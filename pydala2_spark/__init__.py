@@ -1,0 +1,42 @@
+"""pydala2_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of `legout/pydala2` (see /root/reference),
+re-designed Spark-first.
+
+Where pydala2 orchestrates PyArrow + DuckDB + Polars in one process,
+this engine expresses every operator as a Spark DataFrame/SQL plan so
+Catalyst handles pushdown, pruning, join selection, and AQE handles
+runtime re-planning — the same API surface, but one that scales from
+a laptop to a 1000-executor cluster.
+
+Public surface:
+    from pydala2_spark import Dataset, ParquetDataset, CSVDataset, JSONDataset
+    from pydala2_spark import Catalog, Writer, merge
+    from pydala2_spark.session import get_spark
+"""
+
+from pydala2_spark.session import get_spark
+from pydala2_spark.sources.dataset import (
+    BaseDataset,
+    CSVDataset,
+    Dataset,
+    JSONDataset,
+    ParquetDataset,
+)
+from pydala2_spark.sources.writer import Writer
+from pydala2_spark.operators.merge import MergeResult, merge
+from pydala2_spark.plans.catalog import Catalog
+
+__all__ = [
+    "get_spark",
+    "BaseDataset",
+    "Dataset",
+    "ParquetDataset",
+    "CSVDataset",
+    "JSONDataset",
+    "Writer",
+    "merge",
+    "MergeResult",
+    "Catalog",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,317 @@
+"""Keyed merge (insert / update / upsert) for path-addressed Parquet datasets.
+
+Capability parity with ``ParquetDataset.merge`` in the reference
+(`/root/reference/pydala/dataset.py:1549-1777`; contract frozen by
+`/root/reference/tests/test_dataset_merge.py`):
+
+- strategies ``insert`` (new keys only), ``update`` (matched keys only),
+  ``upsert`` (both); anything else → ``ValueError``;
+- ``key_columns`` explicit, or inferred as the whole source row
+  (all source∩target columns); explicitly empty → ``ValueError``;
+- **null-safe key equality** (null == null for identity);
+- duplicate source keys (within a batch or across a list of batches)
+  resolve **last-row-wins**;
+- a list input is ONE logical batch, not sequential merges;
+- source cast to the target schema (extra source columns dropped unless
+  ``alter_schema``); missing columns become typed nulls;
+- empty source → typed no-op result;
+- partition columns are immutable: an update that would move a key to a
+  different partition raises ``ValueError`` before any write;
+- selective rewrite: updates rewrite only the physical files holding
+  matched keys; untouched files are preserved; inserts append new files.
+
+Spark-first design (NOT the reference's pyarrow/duckdb transport): the
+match is a null-safe join (`<=>`); matched-file discovery uses the
+``_metadata.file_path`` hidden column so the "which files hold these
+keys" probe is itself a distributed join; the rewrite job writes new
+files then deletes replaced ones via the Hadoop FileSystem API — the
+same code path works on file:// locally and s3a/hdfs on a cluster.
+At 100 TB an update touching 0.1% of keys rewrites only the matched
+files, not the dataset.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+VALID_STRATEGIES = ("insert", "update", "upsert")
+
+_ORD = "__pydala_ord"
+_BATCH = "__pydala_batch"
+_FILE = "__pydala_file"
+
+
+@dataclass
+class MergeResult:
+    """Typed merge outcome (reference: fsspeckit ``MergeResult`` as pinned
+    by `tests/test_dataset_merge.py:185-203`)."""
+
+    strategy: str
+    source_count: int = 0
+    inserted: int = 0
+    updated: int = 0
+    deleted: int = 0
+    target_count_before: int = 0
+    target_count_after: int = 0
+    rewritten_files: list[str] = field(default_factory=list)
+    preserved_files: list[str] = field(default_factory=list)
+    inserted_files: list[str] = field(default_factory=list)
+
+    @property
+    def files(self) -> list[str]:
+        return sorted(set(self.rewritten_files) | set(self.inserted_files))
+
+    @property
+    def counts(self) -> dict[str, int]:
+        return {
+            "inserted": self.inserted,
+            "updated": self.updated,
+            "deleted": self.deleted,
+            "source": self.source_count,
+            "target_before": self.target_count_before,
+            "target_after": self.target_count_after,
+        }
+
+
+def _normalize_source(spark: SparkSession, source: Any) -> DataFrame:
+    """Input families → one DataFrame with a deterministic order column.
+
+    ``_BATCH`` preserves list order; ``_ORD`` (monotonically increasing,
+    assigned before any shuffle) preserves row order inside a batch —
+    together they define "last row" for last-row-wins dedup.
+    """
+    from pydala2_spark.sources.writer import to_spark_df
+
+    batches = source if isinstance(source, (list, tuple)) else [source]
+    parts = []
+    for i, b in enumerate(batches):
+        df = to_spark_df(spark, b)
+        parts.append(
+            df.withColumn(_BATCH, F.lit(i)).withColumn(_ORD, F.monotonically_increasing_id())
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+def _dedup_last_wins(source: DataFrame, keys: list[str]) -> DataFrame:
+    """Window groups null keys together → dedup is null-safe for free."""
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col(_BATCH).desc(), F.col(_ORD).desc()
+    )
+    return (
+        source.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", _BATCH, _ORD)
+    )
+
+
+def _null_safe_cond(left: DataFrame, right: DataFrame, keys: list[str]):
+    cond = None
+    for k in keys:
+        c = left[k].eqNullSafe(right[k])
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
+def merge(
+    spark: SparkSession,
+    target_path: str,
+    source: Any,
+    strategy: str = "upsert",
+    key_columns: list[str] | None = None,
+    partition_by: list[str] | None = None,
+    alter_schema: bool = False,
+    compression: str = "zstd",
+    max_rows_per_file: int = 10_000_000,
+) -> MergeResult:
+    from pydala2_spark.plans.fs import delete_paths, list_files, path_exists
+    from pydala2_spark.sources.writer import cast_to_schema
+
+    if strategy not in VALID_STRATEGIES:
+        raise ValueError(f"invalid merge strategy {strategy!r}; choose from {VALID_STRATEGIES}")
+    if key_columns is not None and len(key_columns) == 0:
+        raise ValueError("key_columns must be None (infer) or a non-empty list")
+
+    src = _normalize_source(spark, source)
+    src_cols = [c for c in src.columns if c not in (_BATCH, _ORD)]
+    source_count = src.count()
+
+    target_exists = path_exists(spark, target_path) and bool(list_files(spark, target_path))
+
+    # -- discover partitioning of an existing target (hive dirs) ---------
+    if target_exists and not partition_by:
+        partition_by = _discover_partitions(spark, target_path) or None
+
+    # -- missing / empty target: every strategy but update inserts all ---
+    if not target_exists:
+        result = MergeResult(strategy=strategy, source_count=source_count)
+        if strategy == "update" or source_count == 0:
+            return result
+        keys = key_columns or src_cols
+        _validate_keys(keys, src_cols, "source")
+        deduped = _dedup_last_wins(src, keys)
+        result.inserted = deduped.count()
+        _append(deduped, target_path, partition_by, compression, max_rows_per_file)
+        result.inserted_files = list_files(spark, target_path)
+        result.target_count_after = result.inserted
+        return result
+
+    target = spark.read.parquet(target_path)
+    target_cols = target.columns
+    target_count_before = target.count()
+    result = MergeResult(
+        strategy=strategy,
+        source_count=source_count,
+        target_count_before=target_count_before,
+        target_count_after=target_count_before,
+    )
+    if source_count == 0:
+        result.preserved_files = list_files(spark, target_path)
+        return result
+
+    keys = key_columns or [c for c in src_cols if c in target_cols]
+    _validate_keys(keys, src_cols, "source")
+    _validate_keys(keys, target_cols, "target")
+
+    # -- conform source to the target schema -----------------------------
+    # cast common columns to target types, add typed nulls for missing
+    # ones, keep extra source columns only under alter_schema, and keep
+    # the ordering columns through the cast.
+    extra_cols = [c for c in src_cols if c not in target_cols] if alter_schema else []
+    tgt_schema = target.schema
+    src_conformed = cast_to_schema(src, tgt_schema, alter_schema=True).select(
+        *target_cols, *extra_cols, _BATCH, _ORD
+    )
+    deduped = _dedup_last_wins(src_conformed, keys).cache()
+    if extra_cols:
+        target = target.select(
+            "*", *[F.lit(None).cast(dict(deduped.dtypes)[c]).alias(c) for c in extra_cols]
+        )
+        target_cols = target.columns
+
+    tagged = target.withColumn(_FILE, F.col("_metadata.file_path"))
+
+    # matched target rows (null-safe equi-join; broadcast the source side —
+    # merge batches are small relative to the target at scale)
+    match_cond = _null_safe_cond(tagged, deduped, keys)
+    matched_target = tagged.join(F.broadcast(deduped.select(*keys)), on=match_cond, how="left_semi")
+
+    if strategy in ("update", "upsert"):
+        matched_files = [r[_FILE] for r in matched_target.select(_FILE).distinct().collect()]
+    else:
+        matched_files = []
+
+    inserts = (
+        deduped.join(F.broadcast(tagged.select(*keys)), on=_null_safe_cond(deduped, tagged, keys), how="left_anti")
+        if strategy in ("insert", "upsert")
+        else None
+    )
+    matched_source = (
+        deduped.join(F.broadcast(tagged.select(*keys)), on=_null_safe_cond(deduped, tagged, keys), how="left_semi")
+        if strategy in ("update", "upsert")
+        else None
+    )
+
+    # -- partition immutability guard ------------------------------------
+    if partition_by and matched_source is not None and matched_files:
+        moved = (
+            matched_target.alias("t")
+            .join(
+                matched_source.alias("s"),
+                on=_null_safe_cond(matched_target, matched_source, keys),
+                how="inner",
+            )
+            .filter(
+                ~_all_eq_null_safe("t", "s", partition_by)
+            )
+            .count()
+        )
+        if moved:
+            raise ValueError(
+                f"update would change partition column(s) {partition_by} for {moved} matched row(s); "
+                "partition columns are immutable under merge"
+            )
+
+    updated = matched_source.count() if matched_source is not None else 0
+    inserted = inserts.count() if inserts is not None else 0
+
+    all_files_before = list_files(spark, target_path)
+
+    # Ordering matters: every plan below still READS the pre-merge file
+    # set (the DataFrame's FileIndex was pinned at load), so all appends
+    # happen first and the replaced files are deleted last.
+    if inserted:
+        _append(inserts.select(*target_cols), target_path, partition_by, compression, max_rows_per_file)
+        result.inserted_files = [
+            f for f in list_files(spark, target_path) if f not in all_files_before
+        ]
+
+    # -- rewrite matched files: (their unmatched rows) ∪ (matched source) -
+    if updated and matched_files:
+        files_after_inserts = list_files(spark, target_path)
+        survivors = (
+            tagged.filter(F.col(_FILE).isin(matched_files))
+            .join(F.broadcast(deduped.select(*keys)), on=match_cond, how="left_anti")
+            .drop(_FILE)
+        )
+        replacement = survivors.unionByName(matched_source.select(*target_cols))
+        _append(replacement, target_path, partition_by, compression, max_rows_per_file)
+        result.rewritten_files = [
+            f for f in list_files(spark, target_path) if f not in files_after_inserts
+        ]
+        delete_paths(spark, matched_files)
+
+    deduped.unpersist()
+    result.updated = updated
+    result.inserted = inserted
+    result.preserved_files = [f for f in all_files_before if f not in matched_files]
+    result.target_count_after = target_count_before + inserted
+    return result
+
+
+def _all_eq_null_safe(left_alias: str, right_alias: str, cols: list[str]):
+    cond = None
+    for c in cols:
+        e = F.col(f"{left_alias}.{c}").eqNullSafe(F.col(f"{right_alias}.{c}"))
+        cond = e if cond is None else (cond & e)
+    return cond
+
+
+def _validate_keys(keys: list[str], cols: list[str], side: str) -> None:
+    missing = [k for k in keys if k not in cols]
+    if missing:
+        raise ValueError(f"key column(s) {missing} not present in {side} columns {cols}")
+
+
+def _append(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None,
+    compression: str,
+    max_rows_per_file: int,
+) -> None:
+    writer = (
+        df.write.mode("append")
+        .option("compression", compression)
+        .option("maxRecordsPerFile", str(max_rows_per_file))
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def _discover_partitions(spark: SparkSession, path: str) -> list[str]:
+    from pydala2_spark.plans.fs import list_files
+
+    for f in list_files(spark, path):
+        segs = f.split("/")[:-1]  # directory components only
+        names = [s.split("=", 1)[0] for s in segs if "=" in s]
+        if names:
+            return names
+    return []

@@ -1,0 +1,202 @@
+"""YAML catalog — namespaced table entries auto-registered for SQL.
+
+Capability parity with the reference's ``Catalog``
+(`/root/reference/pydala/catalog.py:23-109, 139-166, 530-557, 559-793`):
+a YAML file mapping ``namespace.table`` → {path, format, partitioning,
+write_args}; ``catalog.sql(query)`` extracts referenced table names,
+registers each as a view over its dataset, and runs the query.
+
+Spark-first: registration is ``createOrReplaceTempView`` over a lazy
+DataFrame, execution is ``spark.sql`` (Catalyst), so a catalog query
+against 100 TB of parquet plans exactly like a hand-written DataFrame
+program — nothing is materialized at registration time. The reference's
+named-filesystem section collapses into Hadoop FS URIs in ``path``.
+
+YAML layout (same spirit as the reference's):
+
+    tables:
+      silver:
+        orders:
+          path: /data/orders
+          format: parquet
+          partitioning: [year, month]
+          write_args: {max_rows_per_file: 1000000}
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+try:
+    import yaml  # pyyaml ships with pyspark images; gate anyway
+
+    _HAS_YAML = True
+except Exception:  # pragma: no cover
+    _HAS_YAML = False
+
+_SQL_TABLE_RE = re.compile(
+    r"\b(?:from|join)\s+([A-Za-z_][\w.]*)", re.IGNORECASE
+)
+_SQL_KEYWORDS = {"select", "lateral", "unnest", "values"}
+
+
+def get_table_names(query: str) -> list[str]:
+    """Table identifiers referenced by FROM/JOIN clauses.
+
+    Reference delegates to a sqlglot AST walk
+    (`pydala/helpers/sql.py:9-13`); a regex over FROM/JOIN targets
+    covers the same catalog use case without the dependency
+    (subqueries contribute their inner FROMs, which is exactly what
+    auto-registration needs).
+    """
+    no_strings = re.sub(r"'[^']*'", "''", query)
+    names = []
+    for m in _SQL_TABLE_RE.finditer(no_strings):
+        name = m.group(1)
+        if name.lower() in _SQL_KEYWORDS:
+            continue
+        if name not in names:
+            names.append(name)
+    return names
+
+
+class Catalog:
+    def __init__(self, path: str, spark: SparkSession | None = None) -> None:
+        if spark is None:
+            from pydala2_spark.session import get_spark
+
+            spark = get_spark()
+        self.spark = spark
+        self.path = path
+        self._config: dict[str, Any] = {"tables": {}}
+        if os.path.exists(path):
+            self._load_yaml()
+
+    # -- persistence -----------------------------------------------------
+
+    def _load_yaml(self) -> None:
+        if not _HAS_YAML:
+            raise ImportError("pyyaml is required for YAML catalogs")
+        with open(self.path) as f:
+            self._config = yaml.safe_load(f) or {"tables": {}}
+        self._config.setdefault("tables", {})
+
+    def _save_yaml(self) -> None:
+        if not _HAS_YAML:
+            raise ImportError("pyyaml is required for YAML catalogs")
+        with open(self.path, "w") as f:
+            yaml.safe_dump(self._config, f, sort_keys=False)
+
+    # -- introspection ---------------------------------------------------
+
+    @property
+    def namespaces(self) -> list[str]:
+        return sorted(self._config["tables"].keys())
+
+    def all_tables(self) -> list[str]:
+        out = []
+        for ns, tables in self._config["tables"].items():
+            out.extend(f"{ns}.{t}" for t in tables)
+        return sorted(out)
+
+    def _entry(self, name: str) -> dict[str, Any]:
+        ns, _, table = name.rpartition(".")
+        tables = self._config["tables"]
+        if ns:
+            if ns not in tables or table not in tables[ns]:
+                raise KeyError(f"table {name!r} not in catalog")
+            return tables[ns][table]
+        hits = [(n, t) for n, ts in tables.items() for t in ts if t == table]
+        if not hits:
+            raise KeyError(f"table {name!r} not in catalog")
+        if len(hits) > 1:
+            raise KeyError(f"table name {name!r} is ambiguous across namespaces {sorted(h[0] for h in hits)}")
+        return tables[hits[0][0]][hits[0][1]]
+
+    def files(self, name: str) -> list[str]:
+        return self.load(name).files()
+
+    def schema(self, name: str):
+        return self.load(name).schema
+
+    # -- CRUD (write-through YAML, reference catalog.py:559-793) ---------
+
+    def create_namespace(self, ns: str) -> None:
+        self._config["tables"].setdefault(ns, {})
+        self._save_yaml()
+
+    def create_table(
+        self,
+        name: str,
+        path: str,
+        format: str = "parquet",
+        partitioning: list[str] | None = None,
+        write_args: dict[str, Any] | None = None,
+        **extra: Any,
+    ) -> None:
+        ns, _, table = name.rpartition(".")
+        ns = ns or "default"
+        self._config["tables"].setdefault(ns, {})
+        entry = {"path": path, "format": format}
+        if partitioning:
+            entry["partitioning"] = list(partitioning)
+        if write_args:
+            entry["write_args"] = dict(write_args)
+        entry.update(extra)
+        self._config["tables"][ns][table] = entry
+        self._save_yaml()
+
+    def update_table(self, name: str, **changes: Any) -> None:
+        self._entry(name).update(changes)
+        self._save_yaml()
+
+    def delete_table(self, name: str, vacuum: bool = False) -> None:
+        ns, _, table = name.rpartition(".")
+        ns = ns or "default"
+        entry = self._config["tables"].get(ns, {}).pop(table, None)
+        if entry and vacuum:
+            from pydala2_spark.plans.fs import delete_paths
+
+            delete_paths(self.spark, [entry["path"]])
+        self._save_yaml()
+
+    # -- loading / SQL ---------------------------------------------------
+
+    def load(self, name: str, as_dataset: bool = True):
+        from pydala2_spark.sources.dataset import CSVDataset, JSONDataset, ParquetDataset
+
+        entry = self._entry(name)
+        cls = {"parquet": ParquetDataset, "csv": CSVDataset, "json": JSONDataset}.get(
+            entry.get("format", "parquet"), ParquetDataset
+        )
+        ds = cls(
+            entry["path"],
+            spark=self.spark,
+            partitioning=entry.get("partitioning"),
+            name=name.rpartition(".")[2],
+        )
+        return ds if as_dataset else ds.df
+
+    def register(self, name: str) -> str:
+        view = name.rpartition(".")[2]
+        self.load(name).df.createOrReplaceTempView(view)
+        return view
+
+    def sql(self, query: str) -> DataFrame:
+        """Auto-register every catalog table the query references, run it."""
+        known = {t.rpartition(".")[2]: t for t in self.all_tables()}
+        for ref in get_table_names(query):
+            short = ref.rpartition(".")[2]
+            if short in known:
+                self.register(known[short])
+        return self.spark.sql(query)
+
+    def write_table(self, name: str, data: Any, mode: str = "append", **kw: Any) -> None:
+        entry = self._entry(name)
+        args = dict(entry.get("write_args", {}))
+        args.update(kw)
+        self.load(name).write_to_dataset(data, mode=mode, **args)

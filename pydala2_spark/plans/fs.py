@@ -1,0 +1,80 @@
+"""Filesystem primitives via the Hadoop FileSystem API.
+
+The reference reaches storage through fsspec (`/root/reference/pydala/
+filesystem.py:179-227` — local / S3 / memory / bucket-scoped / cached).
+On Spark the executor-visible storage layer IS Hadoop's FileSystem, so
+these helpers go through the JVM gateway: one code path for ``file://``
+in tests and ``s3a://`` / ``hdfs://`` on a cluster, with no extra
+Python dependencies.
+
+Only driver-side, small-metadata operations live here (list, delete,
+rename, exists); data always moves through DataFrame jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+DATA_FILE_SUFFIXES = (".parquet", ".csv", ".json", ".orc", ".avro")
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def path_exists(spark: SparkSession, path: str) -> bool:
+    fs, hpath, _ = _fs_and_path(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def list_files(spark: SparkSession, path: str, suffixes=DATA_FILE_SUFFIXES) -> list[str]:
+    """Recursive data-file listing (skips _SUCCESS / hidden files)."""
+    fs, hpath, _ = _fs_and_path(spark, path)
+    if not fs.exists(hpath):
+        return []
+    out: list[str] = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        status = it.next()
+        p = status.getPath().toString()
+        name = p.rsplit("/", 1)[-1]
+        if name.startswith(("_", ".")):
+            continue
+        if suffixes and not name.endswith(suffixes):
+            continue
+        out.append(p)
+    return sorted(out)
+
+
+def delete_paths(spark: SparkSession, paths: list[str]) -> int:
+    n = 0
+    for p in paths:
+        fs, hpath, _ = _fs_and_path(spark, p)
+        if fs.delete(hpath, True):
+            n += 1
+    return n
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    fs, hsrc, jvm = _fs_and_path(spark, src)
+    return bool(fs.rename(hsrc, jvm.org.apache.hadoop.fs.Path(dst)))
+
+
+def file_sizes(spark: SparkSession, path: str) -> dict[str, int]:
+    fs, hpath, _ = _fs_and_path(spark, path)
+    if not fs.exists(hpath):
+        return {}
+    sizes: dict[str, int] = {}
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        status = it.next()
+        p = status.getPath().toString()
+        name = p.rsplit("/", 1)[-1]
+        if name.startswith(("_", ".")):
+            continue
+        sizes[p] = int(status.getLen())
+    return sizes

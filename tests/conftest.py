@@ -1,0 +1,49 @@
+"""Shared Spark session + fixtures (session startup is ~50 s in this
+container, so one session serves the whole test run)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pydala2_spark.session import get_spark
+
+    s = get_spark(app_name="pydala2_spark_tests", cpus=8)
+    yield s
+
+
+@pytest.fixture()
+def tmp_ds_path(tmp_path):
+    p = str(tmp_path / "ds")
+    yield p
+    shutil.rmtree(p, ignore_errors=True)
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
+
+
+def make_simple_pdf(n_rows: int = 10, seed: int = 0):
+    """The reference's canonical unit-test table (FIXTURES.md §1)."""
+    import pandas as pd
+
+    ids = list(range(seed, seed + n_rows))
+    return pd.DataFrame(
+        {
+            "id": ids,
+            "name": [f"row_{i}" for i in ids],
+            "value": [i * 1.5 for i in ids],
+            "timestamp": pd.to_datetime([f"2024-01-{(i % 28) + 1:02d}" for i in ids]),
+        }
+    )
