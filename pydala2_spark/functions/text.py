@@ -1,0 +1,134 @@
+"""Text-analysis column builders for large-scale corpus pipelines.
+
+These are the text operators a training-data pipeline needs (language
+ID, quality scoring, token counting, fingerprinting) — beyond the
+reference's own surface (pydala2 has no text ops; scalar work is
+delegated to DuckDB SQL, `/root/reference/pydala/table.py:940-958`),
+but built on the same engine substrate.
+
+Every builder returns a Column composed ONLY of built-in Catalyst
+expressions (split / transform / aggregate / md5 / …): they run inside
+whole-stage codegen on executors — no Python UDFs in the hot path, so
+the same expression that handles 500 docs handles 100 TB of them.
+
+Hashing convention: all content hashes are md5 hex strings (seeded by
+prefixing an integer, e.g. ``md5(concat(k, ':', s))``) so an external
+SQL engine (the DuckDB oracle) can reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _toks(text: str) -> str:
+    """SQL fragment for whitespace tokenization (the corpus is
+    pre-normalized; compose with lower/regexp_replace for raw text)."""
+    return f"split({text}, ' ')"
+
+
+def tokens(text: str = "text") -> Column:
+    return F.split(F.col(text), " ")
+
+
+def token_count(text: str = "text") -> Column:
+    return F.size(tokens(text))
+
+
+def unique_token_count(text: str = "text") -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def avg_token_length(text: str = "text") -> Column:
+    return F.expr(
+        f"aggregate({_toks(text)}, 0L, (acc, x) -> acc + length(x)) / size({_toks(text)})"
+    )
+
+
+def type_token_ratio(text: str = "text") -> Column:
+    """Lexical diversity: unique tokens / tokens (a quality signal)."""
+    return unique_token_count(text) / token_count(text)
+
+
+def stopword_ratio(
+    text: str = "text", stopwords: tuple[str, ...] = ("the", "a", "of", "and")
+) -> Column:
+    sw = ", ".join(f"'{s}'" for s in stopwords)
+    return F.expr(f"size(filter({_toks(text)}, t -> t IN ({sw}))) / size({_toks(text)})")
+
+
+def quality_score(text: str = "text") -> Column:
+    """Deterministic [0,1] quality heuristic: rewards length (up to a
+    cap) and lexical diversity, penalizes stopword stuffing.
+
+    score = 0.4*min(n_tokens,100)/100 + 0.4*ttr + 0.2*(1-stop_ratio)
+    """
+    return (
+        0.4 * F.least(token_count(text), F.lit(100)) / 100
+        + 0.4 * type_token_ratio(text)
+        + 0.2 * (1 - stopword_ratio(text))
+    )
+
+
+# -- language ID (marker-token heuristic) ------------------------------
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of"),
+    "de": ("der", "die", "und"),
+    "es": ("el", "la", "los"),
+    "fr": ("le", "les", "des"),
+    "zh": ("de", "shi", "le"),
+}
+
+
+def lang_marker_score(lang: str, text: str = "text") -> Column:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return F.expr(f"size(filter({_toks(text)}, t -> t IN ({markers})))")
+
+
+def lang_id(text: str = "text") -> Column:
+    """argmax over marker scores; ties break toward the earlier
+    language in LANG_MARKERS order (via a priority field in the
+    struct max — fully deterministic, fully SQL-expressible)."""
+    langs = list(LANG_MARKERS)
+    arr = F.array(
+        *[
+            F.struct(
+                lang_marker_score(lang, text).alias("score"),
+                F.lit(len(langs) - i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    return F.array_max(arr)["lang"]
+
+
+# -- fingerprinting ----------------------------------------------------
+
+
+def shingles_sql(text: str = "text", k: int = 3) -> str:
+    """SQL fragment: distinct k-token shingles of a text column."""
+    t = _toks(text)
+    parts = ", ".join(f"element_at({t}, i + {j})" for j in range(k))
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size({t}) - {k - 1}, 1)), "
+        f"i -> concat_ws(' ', {parts})))"
+    )
+
+
+def shingles(text: str = "text", k: int = 3) -> Column:
+    return F.expr(shingles_sql(text, k))
+
+
+def doc_fingerprint(text: str = "text", k: int = 5) -> Column:
+    """Winnowing-style fingerprint: the minimum md5 over k-token
+    shingles — two docs sharing a fingerprint share at least one
+    k-gram region (cheap first-pass near-dup key)."""
+    return F.array_min(F.transform(shingles(text, k), F.md5))
+
+
+def content_hash(text: str = "text") -> Column:
+    """Exact-duplicate identity: md5 of the raw text."""
+    return F.md5(F.col(text))

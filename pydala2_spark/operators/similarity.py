@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+variant as the 100 TB path. Beyond the reference's surface (pydala2
+has no vector ops) — designed for Spark's execution model:
+
+- the query set is broadcast (small side), the corpus side streams
+  through executors: top-k is a per-partition window, never a
+  driver-side collect;
+- dot products run as Catalyst higher-order functions
+  (``zip_with`` + ``aggregate``) in whole-stage codegen — no Python
+  in the loop;
+- the LSH variant replaces the corpus×query product with an equi-join
+  on deterministic sign-projection buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def norm_expr(a: str) -> Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate({a}, cast(0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))"
+        )
+    )
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def unit_expr(a: str) -> Column:
+    """L2-normalized copy of a vector column (array<double>).
+
+    Pair-wise operators normalize each vector ONCE up front so the
+    per-pair work is a single dot product — at 100 TB the unit vectors
+    are computed in the scan stage, not the O(pairs) join stage.
+    """
+    return F.expr(
+        f"transform({a}, x -> cast(x as double) / "
+        f"sqrt(aggregate({a}, cast(0 as double), (acc, y) -> acc + cast(y as double) * cast(y as double))))"
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors: (query_id, neighbor_id, cosine, rank).
+
+    ``queries`` is broadcast; ranking uses the ROUNDED cosine with the
+    neighbor id as tiebreak, so results are deterministic and
+    reproducible by an external engine despite float summation order.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), unit_expr(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), unit_expr(vec_col).alias("cv"))
+    joined = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.withColumn("cosine", F.round(dot_expr("cv", "qv"), 4))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# -- LSH (sign random projection) -------------------------------------
+
+
+def _proj_weight(p: int, d: int) -> int:
+    """Deterministic ±1 from md5 — reproducible in any engine."""
+    import hashlib
+
+    return 1 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:2], 16) % 2 == 0 else -1
+
+
+def srp_bucket(vec_col: str, num_planes: int = 8, dim: int = 64) -> Column:
+    """Sign-random-projection bucket id in [0, 2^num_planes).
+
+    The hyperplanes are md5-derived ±1 weights — no randomness at
+    runtime, identical on every executor and every engine. Each plane
+    is one zip_with/aggregate over a weight-array literal (compact
+    expression tree; Catalyst folds the literal once per plan).
+    """
+    terms = []
+    for p in range(num_planes):
+        weights = [_proj_weight(p, d) for d in range(dim)]
+        warr = "array(" + ", ".join(f"{w}D" for w in weights) + ")"
+        dot = (
+            f"aggregate(zip_with({vec_col}, {warr}, (x, w) -> cast(x as double) * w), "
+            f"0D, (acc, v) -> acc + v)"
+        )
+        terms.append(f"(case when ({dot}) > 0 then {2 ** p} else 0 end)")
+    return F.expr(" + ".join(terms)).cast("int")
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: compare only vectors in the query's SRP
+    bucket. At 100 TB this turns the scan×query product into an
+    equi-join on the bucket id (2^num_planes buckets, AQE handles
+    skewed ones). Recall < 1.0 by construction; raise num_planes
+    with multi-probe for production recall targets.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        unit_expr(vec_col).alias("cv"),
+        srp_bucket(vec_col, num_planes, dim).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        unit_expr(vec_col).alias("qv"),
+        srp_bucket(vec_col, num_planes, dim).alias("bucket"),
+    )
+    joined = c.join(F.broadcast(q), "bucket").filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.withColumn("cosine", F.round(dot_expr("cv", "qv"), 4))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def label_centroids(
+    df: DataFrame, vec_col: str = "embedding", label_col: str = "label", dim: int = 64
+) -> DataFrame:
+    """Per-label mean vector via element-wise aggregate (posexplode →
+    avg per (label, dim) → collect back ordered). The groupBy keys are
+    (label, pos): perfectly parallel, no driver materialization."""
+    exploded = df.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    means = exploded.groupBy(label_col, "pos").agg(F.avg("x").alias("m"))
+    return (
+        means.groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(label_col, F.expr("transform(pm, s -> s.m)").alias("centroid"))
+    )

@@ -597,3 +597,337 @@ def ev_type_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 4).alias("avg_v"),
         F.round(F.median("value"), 4).alias("median_v"),
     )
+
+
+# =====================================================================
+# Text analysis (LLM-data-pipeline extension)
+# =====================================================================
+
+
+@query(
+    "doc_token_stats",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_unique,
+           round(list_sum(list_transform(string_split(text, ' '), t -> len(t)))
+                 / len(string_split(text, ' ')), 4) AS avg_token_len,
+           round(len(list_distinct(string_split(text, ' ')))
+                 / len(string_split(text, ' ')), 4) AS ttr
+    FROM documents
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydala2_spark.functions import text as X
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        X.token_count().alias("n_tokens"),
+        X.unique_token_count().alias("n_unique"),
+        F.round(X.avg_token_length(), 4).alias("avg_token_len"),
+        F.round(X.type_token_ratio(), 4).alias("ttr"),
+    )
+
+
+@query(
+    "doc_quality_scores",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_distinct(string_split(text, ' '))) AS n_uniq,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(0.4 * least(n_tok, 100) / 100.0
+                     + 0.4 * n_uniq / n_tok
+                     + 0.2 * (1 - n_stop / n_tok)), 4) AS avg_quality
+    FROM t GROUP BY lang
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydala2_spark.functions import text as X
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("lang", X.quality_score().alias("q"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("q"), 4).alias("avg_quality"))
+    )
+
+
+@query(
+    "doc_lang_id",
+    """
+    WITH s AS (
+      SELECT lang,
+             len(list_filter(string_split(text,' '), t -> t IN ('the','a','of')))   AS s_en,
+             len(list_filter(string_split(text,' '), t -> t IN ('der','die','und'))) AS s_de,
+             len(list_filter(string_split(text,' '), t -> t IN ('el','la','los')))  AS s_es,
+             len(list_filter(string_split(text,' '), t -> t IN ('le','les','des'))) AS s_fr,
+             len(list_filter(string_split(text,' '), t -> t IN ('de','shi','le')))  AS s_zh
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS predicted,
+           count(*) AS n
+    FROM s GROUP BY 1, 2
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # confusion matrix of heuristic marker-based language ID vs label
+    from pydala2_spark.functions import text as X
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("lang", X.lang_id().alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "doc_exact_dedup",
+    """
+    WITH g AS (
+      SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS keep_id
+      FROM documents GROUP BY 1
+    )
+    SELECT count(*) AS n_groups,
+           sum(n_docs) AS n_docs,
+           sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
+           sum(CASE WHEN n_docs > 1 THEN n_docs - 1 ELSE 0 END) AS n_removable
+    FROM g
+    """,
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydala2_spark.operators.dedup import exact_duplicates
+
+    groups = exact_duplicates(_t(spark, sf_dir, "documents"))
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        F.sum(F.when(F.col("n_docs") > 1, F.col("n_docs") - 1).otherwise(0)).alias("n_removable"),
+    )
+
+
+@query(
+    "doc_fingerprint_groups",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(tk) - 4, 1)),
+               i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]))) AS sh
+      FROM toks
+    ), fp AS (
+      SELECT doc_id, list_min(list_transform(sh, s -> md5(s))) AS fp FROM sh
+    )
+    SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM fp GROUP BY fp HAVING count(*) > 1
+    """,
+)
+def doc_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydala2_spark.functions.text import doc_fingerprint
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", doc_fingerprint(k=5).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# =====================================================================
+# Near-duplicate detection (MinHash-LSH / SimHash / blocked Jaccard)
+# =====================================================================
+
+
+def _minhash_oracle() -> str:
+    """Oracle SQL for dedup_minhash_lsh, sharing the Spark operator's
+    exact hash constants (one md5 per shingle + universal-hash family
+    mod P — see operators/dedup.minhash_signature)."""
+    from pydala2_spark.operators.dedup import MINHASH_P, _minhash_consts
+
+    a_consts, b_consts = _minhash_consts(12)
+    a_arr = "[" + ", ".join(str(a) for a in a_consts) + "]"
+    b_arr = "[" + ", ".join(str(b) for b in b_consts) + "]"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 1)),
+               i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+      FROM toks
+    ), h0 AS (
+      SELECT doc_id,
+             list_transform(sh, s ->
+               ('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_P}) AS h0
+      FROM sh
+    ), mh AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, 12),
+               h -> list_min(list_transform(h0, x ->
+                 ({a_arr}[h] * x + {b_arr}[h]) % {MINHASH_P}))) AS mh
+      FROM h0
+    ), bands AS (
+      SELECT doc_id, b,
+             md5(array_to_string(list_slice(mh, b * 3 + 1, b * 3 + 3), '|')) AS sig
+      FROM mh, unnest(generate_series(0, 3)) AS u(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.b = b.b AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(len(list_intersect(sa.sh, sb.sh))
+                 / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+    FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+              JOIN sh sb ON cand.id_b = sb.doc_id
+    WHERE len(list_intersect(sa.sh, sb.sh))
+          / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+    """
+
+
+@query("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydala2_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@query(
+    "dedup_ngram_blocked",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, n_chars // 25 AS lb,
+             list_distinct(string_split(text, ' ')) AS tk
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.tk, b.tk))
+                 / len(list_distinct(list_concat(a.tk, b.tk))), 4) AS jaccard
+    FROM t a JOIN t b
+      ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.tk, b.tk))
+          / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.5
+    """,
+)
+def dedup_ngram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydala2_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@query(
+    "dedup_simhash",
+    """
+    WITH tok AS (
+      SELECT doc_id, md5(t) AS h
+      FROM documents, unnest(list_distinct(string_split(text, ' '))) AS u(t)
+    ), bits AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, (j // 4) + 1, 1)) - 1)
+                            // CAST(pow(2, j % 4) AS INT)) % 2 = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM tok, unnest(generate_series(0, 47)) AS u(j)
+      GROUP BY doc_id, j
+    ), sh AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    ), chunked AS (
+      SELECT doc_id, simhash, c,
+             (simhash // CAST(pow(2, c * 12) AS BIGINT)) % 4096 AS v
+      FROM sh, unnest(generate_series(0, 3)) AS u(c)
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM chunked a JOIN chunked b
+        ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+    FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydala2_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@query(
+    "emb_near_dup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           4) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(generate_series(1, 64),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+          >= 0.35
+    """,
+)
+def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydala2_spark.operators.dedup import embedding_near_duplicates
+
+    return embedding_near_duplicates(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+# =====================================================================
+# Similarity search
+# =====================================================================
+
+
+@query(
+    "emb_knn_bruteforce",
+    """
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(
+               list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             4) AS cosine
+      FROM embeddings c, embeddings q
+      WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def emb_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydala2_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query("emb_knn_lsh", None)  # approximate: rows-only check (no SQL oracle)
+def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pydala2_spark.operators.similarity import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5)

@@ -1,0 +1,136 @@
+"""Text-analysis / dedup / similarity operator contracts."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy cat",  # near-dup of 0
+                "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+                "completely different words here entirely unique",
+                "a a a a a a a a",  # degenerate
+            ],
+            "lang": ["en"] * 5,
+            "n_chars": [43, 43, 43, 47, 15],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_token_stats(spark, docs):
+    from pydala2_spark.functions import text as X
+
+    row = docs.filter("doc_id = 4").select(
+        X.token_count().alias("n"), X.unique_token_count().alias("u"), X.type_token_ratio().alias("ttr")
+    ).collect()[0]
+    assert row["n"] == 8 and row["u"] == 1 and row["ttr"] == pytest.approx(1 / 8)
+
+
+def test_quality_score_bounds(spark, docs):
+    from pydala2_spark.functions.text import quality_score
+
+    vals = [r[0] for r in docs.select(quality_score()).collect()]
+    assert all(0 <= v <= 1 for v in vals)
+    # degenerate doc scores worst
+    scored = {r["doc_id"]: r["q"] for r in docs.select("doc_id", quality_score().alias("q")).collect()}
+    assert scored[4] == min(scored.values())
+
+
+def test_lang_id_deterministic(spark, docs):
+    from pydala2_spark.functions.text import lang_id
+
+    out = {r["doc_id"]: r["l"] for r in docs.select("doc_id", lang_id().alias("l")).collect()}
+    assert out[0] == "en"  # 'the' markers dominate
+
+
+def test_exact_duplicates(spark, docs):
+    from pydala2_spark.operators.dedup import drop_exact_duplicates, exact_duplicates
+
+    groups = exact_duplicates(docs).filter("n_docs > 1").collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2 and groups[0]["keep_id"] == 0
+    kept = drop_exact_duplicates(docs)
+    assert kept.count() == 4
+    assert kept.filter("doc_id = 2").count() == 0
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    from pydala2_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in minhash_lsh_pairs(docs, threshold=0.3).collect()}
+    assert (0, 2) in pairs and pairs[(0, 2)] == 1.0  # exact dup
+    assert (0, 1) in pairs and 0.3 <= pairs[(0, 1)] < 1.0  # near dup
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_simhash_near_pairs(spark, docs):
+    from pydala2_spark.operators.dedup import simhash_near_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_pairs(docs, max_hamming=3).collect()}
+    assert pairs[(0, 2)] == 0  # identical text → identical simhash
+    # a one-token edit on an 8-token doc shifts many bits — must NOT
+    # collapse with the hamming<=3 near-dup band
+    assert (0, 3) not in pairs
+
+
+def test_ngram_blocked_pairs(spark, docs):
+    from pydala2_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (0, 2) in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(4, 8).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v], i % 2))
+    # vec 4 = near-copy of vec 0
+    rows.append((4, [float(x) for x in base[0] + 0.01], 0))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk(spark, vectors):
+    from pydala2_spark.operators.similarity import cosine_topk
+
+    out = cosine_topk(vectors, vectors.filter("vec_id = 0"), k=2, exclude_self=True).collect()
+    assert [r["neighbor_id"] for r in out] == [4, out[1]["neighbor_id"]]
+    assert out[0]["cosine"] > 0.99
+
+
+def test_embedding_near_duplicates(spark, vectors):
+    from pydala2_spark.operators.dedup import embedding_near_duplicates
+
+    pairs = embedding_near_duplicates(vectors, threshold=0.99).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 4)]
+
+
+def test_srp_bucket_groups_near_dups(spark, vectors):
+    from pydala2_spark.operators.similarity import srp_bucket
+
+    b = {
+        r["vec_id"]: r["b"]
+        for r in vectors.select("vec_id", srp_bucket("embedding", num_planes=6, dim=8).alias("b")).collect()
+    }
+    assert b[0] == b[4]  # near-identical vectors land in the same bucket
+
+
+def test_label_centroids(spark, vectors):
+    from pydala2_spark.operators.similarity import label_centroids
+
+    cents = label_centroids(vectors, dim=8).collect()
+    assert len(cents) == 2
+    assert all(len(r["centroid"]) == 8 for r in cents)
