@@ -1,0 +1,221 @@
+"""Schema unification, coercions, and dtype optimization.
+
+Capability parity with the reference's schema toolkit
+(`/root/reference/pydala/schema.py`):
+
+- promotion ladder for unifying per-file schemas
+  (`pydala/schema.py:296-342`): null < int8 < int16 < int32 < int64 <
+  float32 < float64 < string; timestamp vs timestamp → µs (Spark's only
+  unit); anything irreconcilable promotes to string.
+- coercions used during repair/replace (`pydala/schema.py:178-293`):
+  string→bool with a truthy vocabulary, int→timestamp (epoch µs),
+  missing columns as typed nulls, extra columns dropped unless
+  ``alter_schema`` (the last two live in
+  :func:`pydala2_spark.sources.writer.cast_to_schema`).
+- ``opt_dtype`` narrowing proposals from a bounded sample with a SAFE
+  full-data validation pass (`pydala/dataset.py:2490-2603`).
+
+Spark-first: proposals are computed with aggregate pushdown (min/max/
+regexp checks run as ONE distributed job, not a driver loop), so the
+SAFE policy's "validate over the full dataset" costs one scan even at
+100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# promotion ladder (`pydala/schema.py:296-342`)
+# ---------------------------------------------------------------------------
+
+_LADDER = ["null", "byte", "short", "integer", "long", "float", "double", "string"]
+
+
+def _rank(t: T.DataType) -> int:
+    name = t.typeName()
+    return _LADDER.index(name) if name in _LADDER else -1
+
+
+def promote_types(a: T.DataType, b: T.DataType) -> T.DataType:
+    """Resolve two field types to the narrower common supertype."""
+    if a == b:
+        return a
+    ra, rb = _rank(a), _rank(b)
+    if ra >= 0 and rb >= 0:
+        winner = a if ra >= rb else b
+        # int+float pairs promote to a float wide enough for the int
+        if {a.typeName(), b.typeName()} & {"float", "double"} and {
+            a.typeName(),
+            b.typeName(),
+        } & {"integer", "long"}:
+            return T.DoubleType()
+        return winner
+    if isinstance(a, T.TimestampType) or isinstance(b, T.TimestampType):
+        if isinstance(a, (T.TimestampType, T.DateType)) and isinstance(
+            b, (T.TimestampType, T.DateType)
+        ):
+            return T.TimestampType()
+    if isinstance(a, T.NullType):
+        return b
+    if isinstance(b, T.NullType):
+        return a
+    return T.StringType()  # permissive fallback (`pydala/helpers/misc.py:336-370`)
+
+
+def unify_schemas(schemas: list[T.StructType]) -> T.StructType:
+    """Unify per-file schemas: union of fields in first-seen order,
+    types resolved through the promotion ladder."""
+    fields: dict[str, T.DataType] = {}
+    nullable: dict[str, bool] = {}
+    for s in schemas:
+        for f in s.fields:
+            if f.name in fields:
+                fields[f.name] = promote_types(fields[f.name], f.dataType)
+                nullable[f.name] = nullable[f.name] or f.nullable
+            else:
+                fields[f.name] = f.dataType
+                nullable[f.name] = f.nullable
+    return T.StructType([T.StructField(n, t, nullable[n]) for n, t in fields.items()])
+
+
+# ---------------------------------------------------------------------------
+# coercions (`pydala/schema.py:178-227`)
+# ---------------------------------------------------------------------------
+
+# truthy vocabulary from the reference (`pydala/schema.py:195-206`)
+TRUE_WORDS = ("true", "wahr", "1", "yes", "ja", "ok", "y", "j", "t")
+FALSE_WORDS = ("false", "falsch", "0", "no", "nein", "n", "f", "-")
+
+
+def str_to_bool(col: str | Column) -> Column:
+    """String → boolean with the reference's truthy vocabulary; unknown
+    words become null."""
+    c = F.lower(F.trim(F.col(col) if isinstance(col, str) else col))
+    return (
+        F.when(c.isin(*TRUE_WORDS), F.lit(True))
+        .when(c.isin(*FALSE_WORDS), F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+def int_to_timestamp(col: str | Column, unit: str = "us") -> Column:
+    """Epoch integer → timestamp (`pydala/schema.py:230-293` int→ts cast)."""
+    c = F.col(col) if isinstance(col, str) else col
+    divisor = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[unit]
+    return F.timestamp_micros((c.cast("decimal(38,0)") * 1_000_000 / divisor).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# opt_dtype (`pydala/dataset.py:2490-2603`)
+# ---------------------------------------------------------------------------
+
+_INT_BOUNDS = {
+    "byte": (-(2**7), 2**7 - 1),
+    "short": (-(2**15), 2**15 - 1),
+    "integer": (-(2**31), 2**31 - 1),
+    "long": (-(2**63), 2**63 - 1),
+}
+_INT_ORDER = ["byte", "short", "integer", "long"]
+_INT_RE = r"^[+-]?\d+$"
+_FLOAT_RE = r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"
+
+
+def _narrowest_int(lo: int, hi: int) -> str:
+    for name in _INT_ORDER:
+        b = _INT_BOUNDS[name]
+        if lo >= b[0] and hi <= b[1]:
+            return name
+    return "long"
+
+
+def propose_dtypes(
+    df: DataFrame,
+    sample_rows: int = 10_000,
+    strict: bool = True,
+    shrink_numerics: bool = True,
+) -> dict[str, tuple[str, str]]:
+    """Propose narrowing casts: ``{column: (current, proposed)}``.
+
+    Policy (reference SAFE vs LOOSE, `pydala/dataset.py:2538-2560`):
+    ``strict=True`` validates every proposal against the FULL dataset
+    (one aggregate job) so the cast is value-preserving; ``strict=False``
+    trusts the sample.
+    """
+    sample = df.limit(sample_rows)
+
+    candidates: dict[str, dict] = {}
+    aggs: list[Column] = []
+    for f in df.schema.fields:
+        name, t = f.name, f.dataType.typeName()
+        if shrink_numerics and t in ("long", "integer", "short"):
+            candidates[name] = {"kind": "int", "from": t}
+            aggs += [F.min(name).alias(f"{name}__min"), F.max(name).alias(f"{name}__max")]
+        elif t == "string":
+            candidates[name] = {"kind": "string", "from": t}
+            nn = F.sum(F.when(F.col(name).isNotNull(), 1).otherwise(0))
+            aggs += [
+                nn.alias(f"{name}__nn"),
+                F.sum(
+                    F.when(F.col(name).rlike(_INT_RE), 1).otherwise(0)
+                ).alias(f"{name}__int"),
+                F.sum(
+                    F.when(F.col(name).rlike(_FLOAT_RE), 1).otherwise(0)
+                ).alias(f"{name}__float"),
+                F.sum(
+                    F.when(
+                        F.lower(F.trim(F.col(name))).isin(*TRUE_WORDS, *FALSE_WORDS), 1
+                    ).otherwise(0)
+                ).alias(f"{name}__bool"),
+                F.min(F.when(F.col(name).rlike(_INT_RE), F.col(name).cast("long"))).alias(
+                    f"{name}__imin"
+                ),
+                F.max(F.when(F.col(name).rlike(_INT_RE), F.col(name).cast("long"))).alias(
+                    f"{name}__imax"
+                ),
+            ]
+    if not candidates:
+        return {}
+
+    frame = df if strict else sample
+    row = frame.agg(*aggs).first()
+
+    plan: dict[str, tuple[str, str]] = {}
+    for name, meta in candidates.items():
+        if meta["kind"] == "int":
+            lo, hi = row[f"{name}__min"], row[f"{name}__max"]
+            if lo is None:
+                continue
+            target = _narrowest_int(int(lo), int(hi))
+            if _INT_ORDER.index(target) < _INT_ORDER.index(
+                meta["from"] if meta["from"] in _INT_ORDER else "long"
+            ):
+                plan[name] = (meta["from"], target)
+        else:
+            nn = row[f"{name}__nn"] or 0
+            if nn == 0:
+                continue
+            if row[f"{name}__bool"] == nn:
+                plan[name] = ("string", "boolean")
+            elif row[f"{name}__int"] == nn:
+                imin, imax = row[f"{name}__imin"], row[f"{name}__imax"]
+                plan[name] = ("string", _narrowest_int(int(imin), int(imax)))
+            elif row[f"{name}__float"] == nn:
+                plan[name] = ("string", "double")
+    return plan
+
+
+def apply_dtype_plan(df: DataFrame, plan: dict[str, tuple[str, str]]) -> DataFrame:
+    cols = []
+    for f in df.schema.fields:
+        if f.name in plan:
+            target = plan[f.name][1]
+            if target == "boolean" and f.dataType.typeName() == "string":
+                cols.append(str_to_bool(f.name).alias(f.name))
+            else:
+                cols.append(F.col(f.name).cast(target).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)

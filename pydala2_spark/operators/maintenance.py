@@ -1,0 +1,469 @@
+"""Dataset maintenance jobs: compaction, repartition, dtype optimization,
+schema repair — each with a truthful dry-run plan.
+
+Capability parity with the reference's maintenance surface
+(`/root/reference/pydala/dataset.py:2098-2603`, `pydala/metadata.py:
+626-758`, `pydala/schema.py:406-578`):
+
+- M1 ``compact_partitions`` — rewrite small multi-file partitions
+  (candidates: >1 file and < max_rows total; ``sort_by`` ⇒ every
+  partition; ``unique`` dedup, exclusive with sort)
+  (`pydala/dataset.py:2098-2191`).
+- M2 ``compact_by_timeperiod`` — slice the dataset's time range into
+  intervals, compact the files overlapping each
+  (`pydala/dataset.py:2197-2347`).
+- M3 ``compact_by_rows`` — non-partitioned row-count compaction
+  (`pydala/dataset.py:2349-2390`).
+- M4 ``repartition_dataset`` — rewrite into a new hive layout with
+  optional derived date-part partition columns
+  (`pydala/dataset.py:2392-2488`).
+- M5 ``optimize_dtypes`` — sample-based narrowing proposal + rewrite
+  (`pydala/dataset.py:2490-2603`).
+- M6 ``repair_schema`` — unify per-file schemas, rewrite only
+  non-conforming files (`pydala/metadata.py:626-758`).
+
+Design notes (Spark-first, scale-first):
+
+- **Planning never reads data.** Candidate selection runs on the
+  footer-only stats table (:mod:`pydala2_spark.plans.stats`), whose
+  collection is itself a distributed job — at 100 TB, planning cost is
+  proportional to file COUNT, not byte size.
+- **Dry-run shares code with execution**: ``dry_run=True`` returns the
+  exact plan the executing branch consumes (reference invariant —
+  `pydala/dataset.py:2122-2127`).
+- **Rewrites are partition-scoped or file-scoped**, never
+  whole-dataset unless semantics demand it (global dedup / layout
+  change). Partition rewrites go through dynamic partition overwrite
+  (commit-time swap per partition); file-scoped rewrites append the
+  replacement files before deleting the replaced ones, the same
+  write-new-then-delete-old discipline as the reference
+  (`pydala/dataset.py:995-1003`) — readers pinned to the old file list
+  keep a consistent (stale) view, new readers see the compacted one.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pydala2_spark.functions.sortspec import SortSpec, to_sort_columns
+from pydala2_spark.plans.fs import delete_paths, list_files, rename
+from pydala2_spark.plans.stats import collect_file_stats
+
+DEFAULT_MAX_ROWS_PER_FILE = 10_000_000  # reference default, pydala/dataset.py:2100
+
+
+@dataclass
+class CompactionPlan:
+    """Per-group rewrite plan; ``groups`` maps a group key (partition
+    path, interval label, or "<all>") to its member files."""
+
+    groups: dict[str, list[str]] = field(default_factory=dict)
+    rows: dict[str, int] = field(default_factory=dict)
+
+    @property
+    def files(self) -> list[str]:
+        return sorted(f for fs in self.groups.values() for f in fs)
+
+    def __bool__(self) -> bool:
+        return bool(self.groups)
+
+
+def _partition_key(parts: dict[str, str]) -> str:
+    return "/".join(f"{k}={v}" for k, v in sorted(parts.items())) or "<root>"
+
+
+def _partition_filter(parts_key: str):
+    cond = F.lit(True)
+    for seg in parts_key.split("/"):
+        k, _, v = seg.partition("=")
+        cond = cond & (F.col(k).cast("string") == v)
+    return cond
+
+
+# ---------------------------------------------------------------------------
+# M1: compact_partitions
+# ---------------------------------------------------------------------------
+
+
+def plan_compact_partitions(
+    spark: SparkSession,
+    path: str,
+    max_rows_per_file: int = DEFAULT_MAX_ROWS_PER_FILE,
+    sort_by: SortSpec = None,
+    stats: DataFrame | None = None,
+) -> CompactionPlan:
+    st = stats if stats is not None else collect_file_stats(spark, path)
+    per_part = (
+        st.groupBy(F.sort_array(F.expr("map_entries(partitions)")).alias("pe"))
+        .agg(
+            F.collect_list("file_path").alias("files"),
+            F.sum("num_rows").alias("rows"),
+            F.count("*").alias("n_files"),
+        )
+        .collect()
+    )
+    plan = CompactionPlan()
+    for r in per_part:
+        parts = {e["key"]: e["value"] for e in r["pe"]} if r["pe"] else {}
+        key = _partition_key(parts)
+        # reference candidates: >1 file and < max_rows total; sort_by ⇒
+        # ordered rewrite of every partition (`pydala/dataset.py:2140-2152`)
+        if (r["n_files"] > 1 and r["rows"] < max_rows_per_file) or (sort_by and r["n_files"] >= 1):
+            plan.groups[key] = sorted(r["files"])
+            plan.rows[key] = int(r["rows"])
+    return plan
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    max_rows_per_file: int = DEFAULT_MAX_ROWS_PER_FILE,
+    sort_by: SortSpec = None,
+    unique: bool | list[str] = False,
+    dry_run: bool = False,
+    compression: str = "zstd",
+) -> CompactionPlan:
+    if sort_by and unique:
+        raise ValueError("sort_by and unique are mutually exclusive")  # pydala/dataset.py:2110
+    plan = plan_compact_partitions(spark, path, max_rows_per_file, sort_by)
+    if dry_run or not plan:
+        return plan
+
+    part_cols = _discover_partition_cols(spark, path)
+    for key, files in plan.groups.items():
+        df = spark.read.option("basePath", path).parquet(*files)
+        if unique:
+            subset = unique if isinstance(unique, list) else None
+            df = df.dropDuplicates(subset) if subset else df.dropDuplicates()
+        if sort_by:
+            df = df.sortWithinPartitions(*to_sort_columns(sort_by))
+        n_rows = plan.rows.get(key, 0)
+        n_out = max(1, math.ceil(n_rows / max_rows_per_file))
+        df = df.coalesce(n_out)
+        writer = (
+            df.write.mode("append")
+            .option("compression", compression)
+            .option("maxRecordsPerFile", str(max_rows_per_file))
+        )
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(path)
+        delete_paths(spark, files)
+    return plan
+
+
+# ---------------------------------------------------------------------------
+# M2: compact_by_timeperiod
+# ---------------------------------------------------------------------------
+
+_UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
+
+
+def _interval_seconds(interval: str) -> int:
+    """Parse '1d' / '6h' / '30m' style interval strings
+    (`pydala/helpers/datetime.py` get_timedelta_str parity)."""
+    num, unit = interval[:-1], interval[-1].lower()
+    if unit not in _UNIT_SECONDS or not num.isdigit():
+        raise ValueError(f"invalid interval {interval!r}; use e.g. '1d', '6h', '30m'")
+    return int(num) * _UNIT_SECONDS[unit]
+
+
+def plan_compact_by_timeperiod(
+    spark: SparkSession,
+    path: str,
+    interval: str,
+    timestamp_column: str,
+    stats: DataFrame | None = None,
+) -> CompactionPlan:
+    """Group files by the interval bucket of their min(ts) footer stat.
+    Each candidate file lands in exactly one group (no double rewrite);
+    groups with >1 file are compacted."""
+    import json as _json
+
+    st = stats if stats is not None else collect_file_stats(spark, path)
+    rows = st.select(
+        "file_path", "num_rows", F.col("column_stats").getItem(timestamp_column).alias("cs")
+    ).collect()
+    step = _interval_seconds(interval)
+    buckets: dict[int, list] = {}
+    for r in rows:
+        if r["cs"] is None or r["cs"]["min"] is None:
+            continue
+        v = _json.loads(r["cs"]["min"])
+        import datetime as _dt
+
+        ts = _dt.datetime.fromisoformat(str(v).replace("Z", "+00:00"))
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        buckets.setdefault(int(ts.timestamp()) // step, []).append(r)
+    plan = CompactionPlan()
+    for b, members in sorted(buckets.items()):
+        if len(members) > 1:
+            key = f"t{b * step}"
+            plan.groups[key] = sorted(m["file_path"] for m in members)
+            plan.rows[key] = int(sum(m["num_rows"] for m in members))
+    return plan
+
+
+def compact_by_timeperiod(
+    spark: SparkSession,
+    path: str,
+    interval: str,
+    timestamp_column: str,
+    max_rows_per_file: int = DEFAULT_MAX_ROWS_PER_FILE,
+    sort_by: SortSpec = None,
+    dry_run: bool = False,
+    compression: str = "zstd",
+) -> CompactionPlan:
+    plan = plan_compact_by_timeperiod(spark, path, interval, timestamp_column)
+    if dry_run or not plan:
+        return plan
+    part_cols = _discover_partition_cols(spark, path)
+    for key, files in plan.groups.items():
+        df = spark.read.option("basePath", path).parquet(*files)
+        df = df.sortWithinPartitions(*to_sort_columns(sort_by or timestamp_column))
+        n_out = max(1, math.ceil(plan.rows.get(key, 0) / max_rows_per_file))
+        writer = (
+            df.coalesce(n_out)
+            .write.mode("append")
+            .option("compression", compression)
+            .option("maxRecordsPerFile", str(max_rows_per_file))
+        )
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(path)
+        delete_paths(spark, files)
+    return plan
+
+
+# ---------------------------------------------------------------------------
+# M3: compact_by_rows
+# ---------------------------------------------------------------------------
+
+
+def compact_by_rows(
+    spark: SparkSession,
+    path: str,
+    max_rows_per_file: int = DEFAULT_MAX_ROWS_PER_FILE,
+    unique: bool | list[str] = False,
+    sort_by: SortSpec = None,
+    dry_run: bool = False,
+    compression: str = "zstd",
+) -> CompactionPlan:
+    """Non-partitioned row-count compaction; delegates to M1 when the
+    dataset is hive-partitioned (`pydala/dataset.py:2349-2390`)."""
+    if _discover_partition_cols(spark, path):
+        return compact_partitions(
+            spark,
+            path,
+            max_rows_per_file=max_rows_per_file,
+            unique=unique,
+            sort_by=sort_by,
+            dry_run=dry_run,
+            compression=compression,
+        )
+    st = collect_file_stats(spark, path)
+    agg = st.agg(F.sum("num_rows").alias("rows"), F.collect_list("file_path").alias("files")).first()
+    total, files = int(agg["rows"] or 0), sorted(agg["files"] or [])
+    n_target = max(1, math.ceil(total / max_rows_per_file))
+    plan = CompactionPlan()
+    if len(files) > n_target or unique or sort_by:
+        plan.groups["<all>"] = files
+        plan.rows["<all>"] = total
+    if dry_run or not plan:
+        return plan
+
+    df = spark.read.parquet(*files)
+    if unique:
+        subset = unique if isinstance(unique, list) else None
+        df = df.dropDuplicates(subset) if subset else df.dropDuplicates()
+    df = df.repartition(n_target)
+    if sort_by:
+        df = df.sortWithinPartitions(*to_sort_columns(sort_by))
+    (
+        df.write.mode("append")
+        .option("compression", compression)
+        .option("maxRecordsPerFile", str(max_rows_per_file))
+        .parquet(path)
+    )
+    delete_paths(spark, files)
+    return plan
+
+
+# ---------------------------------------------------------------------------
+# M4: repartition_dataset
+# ---------------------------------------------------------------------------
+
+
+def repartition_dataset(
+    spark: SparkSession,
+    path: str,
+    partitioning_columns: list[str] | None = None,
+    timestamp_column: str | None = None,
+    unique: bool | list[str] = False,
+    sort_by: SortSpec = None,
+    max_rows_per_file: int = DEFAULT_MAX_ROWS_PER_FILE,
+    compression: str = "zstd",
+) -> list[str]:
+    """Rewrite the dataset into a new hive layout
+    (`pydala/dataset.py:2392-2488`). Missing partition columns that are
+    date-parts (year/month/...) are derived from ``timestamp_column``.
+
+    The rewrite stages into a sibling directory and swaps via rename —
+    the whole-dataset analogue of the reference's per-file atomic swap
+    (`pydala/schema.py:453-475`). Returns the new file list.
+    """
+    from pydala2_spark.functions.dateparts import DATEPART_EXPRS, with_datepart_columns
+
+    df = spark.read.parquet(path)
+    part_cols = list(partitioning_columns or [])
+    missing = [c for c in part_cols if c not in df.columns]
+    derivable = [c for c in missing if c in DATEPART_EXPRS]
+    if derivable:
+        ts = timestamp_column or _first_timestamp_col(df)
+        if ts is None:
+            raise ValueError(f"cannot derive {derivable} without a timestamp column")
+        df = with_datepart_columns(df, ts, derivable)
+    still = [c for c in part_cols if c not in df.columns]
+    if still:
+        raise ValueError(f"partition columns not in data: {still}")
+
+    if unique:
+        subset = unique if isinstance(unique, list) else None
+        df = df.dropDuplicates(subset) if subset else df.dropDuplicates()
+    if part_cols:
+        # co-locate rows of each output partition to avoid tiny files
+        df = df.repartition(*[F.col(c) for c in part_cols])
+    if sort_by:
+        df = df.sortWithinPartitions(*to_sort_columns(sort_by))
+
+    staging = f"{path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
+    writer = (
+        df.write.mode("overwrite")
+        .option("compression", compression)
+        .option("maxRecordsPerFile", str(max_rows_per_file))
+    )
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(staging)
+
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    rename(spark, path, old)
+    rename(spark, staging, path)
+    delete_paths(spark, [old])
+    return list_files(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# M5: optimize_dtypes
+# ---------------------------------------------------------------------------
+
+
+def optimize_dtypes(
+    spark: SparkSession,
+    path: str,
+    sample_rows: int = 10_000,
+    strict: bool = True,
+    shrink_numerics: bool = True,
+    dry_run: bool = False,
+    compression: str = "zstd",
+) -> dict[str, tuple[str, str]]:
+    """Propose (and optionally apply) narrowing casts
+    (`pydala/dataset.py:2490-2603`). Returns the plan
+    ``{column: (from, to)}``; with ``dry_run=False`` the dataset is
+    rewritten in place via staging-dir swap."""
+    from pydala2_spark.functions.schema_tools import apply_dtype_plan, propose_dtypes
+
+    df = spark.read.parquet(path)
+    plan = propose_dtypes(df, sample_rows=sample_rows, strict=strict, shrink_numerics=shrink_numerics)
+    if dry_run or not plan:
+        return plan
+
+    part_cols = _discover_partition_cols(spark, path)
+    out = apply_dtype_plan(df, plan)
+    staging = f"{path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
+    writer = out.write.mode("overwrite").option("compression", compression)
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(staging)
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    rename(spark, path, old)
+    rename(spark, staging, path)
+    delete_paths(spark, [old])
+    return plan
+
+
+# ---------------------------------------------------------------------------
+# M6: repair_schema
+# ---------------------------------------------------------------------------
+
+
+def plan_repair_schema(spark: SparkSession, path: str) -> dict[str, Any]:
+    """Snapshot per-file schemas (footer-only, distributed), unify with
+    the promotion ladder, and list non-conforming files
+    (`pydala/metadata.py:626-758`)."""
+    from pydala2_spark.functions.schema_tools import unify_schemas
+
+    files = list_files(spark, path, suffixes=(".parquet",))
+    per_file: dict[str, Any] = {}
+    schemas = []
+    for f in files:  # schema read per file via Spark (footer only)
+        s = spark.read.parquet(f).schema
+        per_file[f] = s
+        schemas.append(s)
+    if not schemas:
+        return {"files": [], "schema": None}
+    target = unify_schemas(schemas)
+    bad = [f for f, s in per_file.items() if s != target]
+    return {"files": sorted(bad), "schema": target}
+
+
+def repair_schema(spark: SparkSession, path: str, dry_run: bool = False) -> dict[str, Any]:
+    """Rewrite only the files whose physical schema differs from the
+    unified target; each file is replaced atomically (write sibling,
+    delete original) — `pydala/schema.py:499-578` semantics."""
+    from pydala2_spark.sources.writer import cast_to_schema
+
+    plan = plan_repair_schema(spark, path)
+    if dry_run or not plan["files"]:
+        return plan
+    target = plan["schema"]
+    for f in plan["files"]:
+        df = cast_to_schema(spark.read.parquet(f), target)
+        tmp_dir = f"{f}__repair_{uuid.uuid4().hex[:8]}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+        new_file = next(p for p in list_files(spark, tmp_dir) if p.endswith(".parquet"))
+        delete_paths(spark, [f])
+        rename(spark, new_file, f)
+        delete_paths(spark, [tmp_dir])
+    return plan
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _discover_partition_cols(spark: SparkSession, path: str) -> list[str]:
+    files = list_files(spark, path, suffixes=(".parquet",))
+    if not files:
+        return []
+    rel = files[0]
+    base = path if "://" in path else "file:" + os.path.abspath(path.removeprefix("file:"))
+    if rel.startswith(base):
+        rel = rel[len(base) :]
+    return [seg.split("=", 1)[0] for seg in rel.strip("/").split("/") if "=" in seg]
+
+
+def _first_timestamp_col(df: DataFrame) -> str | None:
+    for f in df.schema.fields:
+        if f.dataType.typeName().startswith("timestamp"):
+            return f.name
+    return None

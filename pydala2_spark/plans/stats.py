@@ -1,0 +1,202 @@
+"""Per-file statistics table — footer-only, collected as a Spark job.
+
+The reference maintains two metadata sidecars per dataset and a DuckDB
+``metadata_table`` view with one row per row-group carrying per-column
+min/max/null-count structs (`/root/reference/pydala/metadata.py:261-396,
+1130-1221`), used for file-level pruning (`pydala/dataset.py:1200-1246`)
+and compaction planning (`pydala/dataset.py:2140-2152`).
+
+Spark-first realization: Catalyst already prunes partitions and row
+groups natively, so the stats table here serves the two remaining jobs:
+
+1. **maintenance planning** — file/row/size counts per partition drive
+   the compaction candidate selection without reading data;
+2. **file-level skipping at 100 TB** — when a dataset has millions of
+   files, pre-filtering the *file list* on min/max stats and loading
+   only survivors avoids even opening the losers' footers. That is
+   `prune_files` + `read_pruned` below.
+
+Footers are read on the EXECUTORS (``mapPartitions`` over the file
+list), never the driver — at 1M files this is a 1M-task-free, evenly
+distributed metadata scan; the result is small (one row per file) and
+can itself be persisted as a parquet "stats dataset" and refreshed
+incrementally after writes, like the reference's
+``update_file_metadata`` (`pydala/metadata.py:398-439`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import posixpath
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("file_path", T.StringType(), False),
+        T.StructField("size_bytes", T.LongType(), True),
+        T.StructField("num_rows", T.LongType(), True),
+        T.StructField("num_row_groups", T.IntegerType(), True),
+        # partition values parsed from hive dirs, e.g. {"year": "1996"}
+        T.StructField("partitions", T.MapType(T.StringType(), T.StringType()), True),
+        # column -> {"min": ..., "max": ..., "nulls": ...} (values JSON-encoded
+        # strings; typed comparisons re-cast on use)
+        T.StructField(
+            "column_stats",
+            T.MapType(
+                T.StringType(),
+                T.StructType(
+                    [
+                        T.StructField("min", T.StringType(), True),
+                        T.StructField("max", T.StringType(), True),
+                        T.StructField("nulls", T.LongType(), True),
+                    ]
+                ),
+            ),
+            True,
+        ),
+        T.StructField("schema_json", T.StringType(), True),
+    ]
+)
+
+
+def _hive_partitions(base: str, file_path: str) -> dict[str, str]:
+    rel = file_path
+    if rel.startswith(base):
+        rel = rel[len(base) :].lstrip("/")
+    out: dict[str, str] = {}
+    for seg in posixpath.dirname(rel).split("/"):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out[k] = v
+    return out
+
+
+def _stat_value(v) -> str | None:
+    if v is None:
+        return None
+    try:
+        return json.dumps(v, default=str)
+    except TypeError:
+        return json.dumps(str(v))
+
+
+def _read_footers(base: str, paths: Iterable[str]):
+    """Executor-side: read parquet footers only (no data pages)."""
+    import pyarrow.parquet as pq
+
+    for p in paths:
+        local = p.removeprefix("file:")
+        md = pq.ParquetFile(local).metadata
+        col_stats: dict[str, dict] = {}
+        arrow_schema = md.schema.to_arrow_schema()
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                name = c.path_in_schema
+                s = c.statistics
+                if s is None or not s.has_min_max:
+                    continue
+                cur = col_stats.setdefault(name, {"min": None, "max": None, "nulls": 0})
+                if cur["min"] is None or s.min < cur["min"]:
+                    cur["min"] = s.min
+                if cur["max"] is None or s.max > cur["max"]:
+                    cur["max"] = s.max
+                cur["nulls"] += s.null_count or 0
+        yield (
+            p,
+            int(os.path.getsize(local)),
+            int(md.num_rows),
+            int(md.num_row_groups),
+            _hive_partitions(base, p),
+            {
+                k: (_stat_value(v["min"]), _stat_value(v["max"]), int(v["nulls"]))
+                for k, v in col_stats.items()
+            },
+            arrow_schema.to_string(),
+        )
+
+
+def collect_file_stats(spark: SparkSession, path: str, parallelism: int | None = None) -> DataFrame:
+    """Build the stats table for a parquet dataset with a distributed
+    footer scan. One output row per data file."""
+    from pydala2_spark.plans.fs import list_files
+
+    files = list_files(spark, path, suffixes=(".parquet",))
+    if not files:
+        return spark.createDataFrame([], STATS_SCHEMA)
+    base = path if "://" in path else "file:" + os.path.abspath(path.removeprefix("file:"))
+    n = parallelism or min(len(files), spark.sparkContext.defaultParallelism)
+    rdd = spark.sparkContext.parallelize(files, n).mapPartitions(
+        lambda it, b=base: _read_footers(b, it)
+    )
+    return spark.createDataFrame(rdd, STATS_SCHEMA)
+
+
+def dataset_stats(spark: SparkSession, path: str) -> dict:
+    """Aggregate dataset stats (`pydala/dataset.py:2033-2041` parity):
+    file count, row count, total bytes, per-partition breakdown."""
+    st = collect_file_stats(spark, path).cache()
+    try:
+        agg = st.agg(
+            F.count("*").alias("files"),
+            F.sum("num_rows").alias("rows"),
+            F.sum("size_bytes").alias("bytes"),
+        ).first()
+        return {"files": agg["files"], "rows": agg["rows"] or 0, "bytes": agg["bytes"] or 0}
+    finally:
+        st.unpersist()
+
+
+def prune_files(
+    stats: DataFrame,
+    column: str,
+    lo=None,
+    hi=None,
+) -> list[str]:
+    """Conservative file-level pruning on min/max stats: keep a file
+    unless its stats PROVE no row can match (reference semantics:
+    `pydala/helpers/metadata.py:145-213` — unknown stats ⇒ keep).
+
+    ``lo``/``hi`` bound the wanted value range (inclusive). Values are
+    compared through the JSON-string encoding, cast to the literal's
+    type — callers pass numbers for numeric columns.
+    """
+    s = stats.withColumn("__st", F.col("column_stats").getItem(column))
+    cmin = F.get_json_object(F.col("__st.min"), "$")
+    cmax = F.get_json_object(F.col("__st.max"), "$")
+    keep = F.col("__st").isNull()  # no stats → must keep
+    cond = F.lit(True)
+    if lo is not None:
+        t = "double" if isinstance(lo, (int, float)) else "string"
+        cond = cond & (cmax.cast(t) >= F.lit(lo))
+    if hi is not None:
+        t = "double" if isinstance(hi, (int, float)) else "string"
+        cond = cond & (cmin.cast(t) <= F.lit(hi))
+    return [r["file_path"] for r in s.filter(keep | cond).select("file_path").collect()]
+
+
+def read_pruned(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo=None,
+    hi=None,
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """Scan only the files that can contain rows with ``column`` in
+    [lo, hi] — the reference's ``ParquetDataset.scan``
+    (`pydala/dataset.py:1200-1246`) rebuilt on a Spark file subset.
+
+    The returned DataFrame still needs the row-level filter applied by
+    the caller (pruning is conservative, file granularity)."""
+    st = stats if stats is not None else collect_file_stats(spark, path)
+    files = prune_files(st, column, lo, hi)
+    if not files:
+        return spark.read.parquet(path).limit(0)
+    return spark.read.parquet(*files)

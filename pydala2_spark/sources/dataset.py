@@ -300,6 +300,79 @@ class ParquetDataset(BaseDataset):
         self.clear_cache()
         return result
 
+    # -- maintenance (M1-M8; `pydala/dataset.py:2033-2603`) --------------
+
+    def file_stats(self) -> DataFrame:
+        """Footer-only per-file stats table (distributed collection)."""
+        from pydala2_spark.plans.stats import collect_file_stats
+
+        return collect_file_stats(self.spark, self.path)
+
+    def collect_stats(self) -> dict:
+        from pydala2_spark.plans.stats import dataset_stats
+
+        return dataset_stats(self.spark, self.path)
+
+    def scan(self, column: str, lo=None, hi=None) -> DataFrame:
+        """File-pruned scan on min/max stats (`pydala/dataset.py:1200-1246`);
+        caller still applies the row-level filter."""
+        from pydala2_spark.plans.stats import read_pruned
+
+        return read_pruned(self.spark, self.path, column, lo, hi)
+
+    def compact_partitions(self, **kw):
+        from pydala2_spark.operators.maintenance import compact_partitions
+
+        plan = compact_partitions(self.spark, self.path, **kw)
+        self.clear_cache()
+        return plan
+
+    def compact_by_time_period(self, interval: str, timestamp_column: str | None = None, **kw):
+        from pydala2_spark.operators.maintenance import compact_by_timeperiod
+
+        ts = timestamp_column or self.timestamp_column
+        if not ts:
+            raise ValueError("no timestamp column detected; pass timestamp_column")
+        plan = compact_by_timeperiod(self.spark, self.path, interval, ts, **kw)
+        self.clear_cache()
+        return plan
+
+    def compact_by_rows(self, **kw):
+        from pydala2_spark.operators.maintenance import compact_by_rows
+
+        plan = compact_by_rows(self.spark, self.path, **kw)
+        self.clear_cache()
+        return plan
+
+    def repartition(self, partitioning_columns: list[str] | None = None, **kw):
+        from pydala2_spark.operators.maintenance import repartition_dataset
+
+        files = repartition_dataset(
+            self.spark,
+            self.path,
+            partitioning_columns=partitioning_columns,
+            timestamp_column=kw.pop("timestamp_column", None) or self.timestamp_column,
+            **kw,
+        )
+        if partitioning_columns:
+            self.partitioning = list(partitioning_columns)
+        self.clear_cache()
+        return files
+
+    def optimize_dtypes(self, **kw):
+        from pydala2_spark.operators.maintenance import optimize_dtypes
+
+        plan = optimize_dtypes(self.spark, self.path, **kw)
+        self.clear_cache()
+        return plan
+
+    def repair_schema(self, dry_run: bool = False):
+        from pydala2_spark.operators.maintenance import repair_schema
+
+        plan = repair_schema(self.spark, self.path, dry_run=dry_run)
+        self.clear_cache()
+        return plan
+
 
 # `Dataset` is the friendly default (parquet), like the reference's README
 Dataset = ParquetDataset

@@ -1,0 +1,219 @@
+"""Maintenance-job contracts: dry-run plans never mutate; real runs
+preserve data while changing layout (reference test model:
+/root/reference/tests/test_fsspeckit_maintenance.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pydala2_spark.operators.maintenance import (
+    compact_by_rows,
+    compact_by_timeperiod,
+    compact_partitions,
+    optimize_dtypes,
+    repair_schema,
+    repartition_dataset,
+)
+from pydala2_spark.plans.fs import list_files
+from pydala2_spark.plans.stats import collect_file_stats, dataset_stats, prune_files, read_pruned
+
+from conftest import make_simple_pdf
+
+
+def _write_fragmented(spark, path, n_batches=4, rows=50, partition_by=None):
+    """Write n_batches small appends so the dataset has many files."""
+    for i in range(n_batches):
+        pdf = make_simple_pdf(rows, seed=i * rows)
+        if partition_by:
+            pdf["part"] = [f"p{j % 2}" for j in range(rows)]
+        df = spark.createDataFrame(pdf)
+        w = df.coalesce(1).write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+
+def _snapshot(spark, path):
+    df = spark.read.parquet(path)
+    return sorted(tuple(r) for r in df.select(*sorted(df.columns)).collect())
+
+
+# -- stats table ---------------------------------------------------------
+
+
+def test_file_stats_counts(spark, tmp_ds_path):
+    _write_fragmented(spark, tmp_ds_path, n_batches=3, rows=40)
+    st = collect_file_stats(spark, tmp_ds_path)
+    rows = st.collect()
+    assert len(rows) == 3
+    assert sum(r["num_rows"] for r in rows) == 120
+    assert all(r["size_bytes"] > 0 for r in rows)
+    agg = dataset_stats(spark, tmp_ds_path)
+    assert agg == {"files": 3, "rows": 120, "bytes": sum(r["size_bytes"] for r in rows)}
+
+
+def test_file_stats_partition_values(spark, tmp_ds_path):
+    _write_fragmented(spark, tmp_ds_path, n_batches=2, rows=20, partition_by=["part"])
+    st = collect_file_stats(spark, tmp_ds_path)
+    parts = {tuple(sorted(r["partitions"].items())) for r in st.collect()}
+    assert parts == {(("part", "p0"),), (("part", "p1"),)}
+
+
+def test_prune_files_minmax(spark, tmp_ds_path):
+    # batch i holds ids [50i, 50i+49] → disjoint id ranges per file
+    _write_fragmented(spark, tmp_ds_path, n_batches=4, rows=50)
+    st = collect_file_stats(spark, tmp_ds_path)
+    kept = prune_files(st, "id", lo=120, hi=130)
+    assert len(kept) == 1  # only the file covering 100-149
+    df = read_pruned(spark, tmp_ds_path, "id", lo=120, hi=130).filter(
+        (F.col("id") >= 120) & (F.col("id") <= 130)
+    )
+    assert df.count() == 11
+
+
+# -- M1/M3 compaction ----------------------------------------------------
+
+
+def test_compact_partitions_dry_run_no_mutation(spark, tmp_ds_path):
+    _write_fragmented(spark, tmp_ds_path, partition_by=["part"])
+    before_files = list_files(spark, tmp_ds_path)
+    before = _snapshot(spark, tmp_ds_path)
+    plan = compact_partitions(spark, tmp_ds_path, dry_run=True)
+    assert plan.groups and all(len(fs) > 1 for fs in plan.groups.values())
+    assert list_files(spark, tmp_ds_path) == before_files
+    assert _snapshot(spark, tmp_ds_path) == before
+
+
+def test_compact_partitions_executes(spark, tmp_ds_path):
+    _write_fragmented(spark, tmp_ds_path, n_batches=4, partition_by=["part"])
+    before = _snapshot(spark, tmp_ds_path)
+    assert len(list_files(spark, tmp_ds_path)) == 8  # 4 batches x 2 parts
+    plan = compact_partitions(spark, tmp_ds_path)
+    assert set(plan.groups) == {"part=p0", "part=p1"}
+    after_files = list_files(spark, tmp_ds_path)
+    assert len(after_files) == 2  # one file per partition
+    assert _snapshot(spark, tmp_ds_path) == before
+
+
+def test_compact_by_rows_unpartitioned(spark, tmp_ds_path):
+    _write_fragmented(spark, tmp_ds_path, n_batches=5, rows=30)
+    before = _snapshot(spark, tmp_ds_path)
+    plan = compact_by_rows(spark, tmp_ds_path, max_rows_per_file=1000)
+    assert plan.groups["<all>"] and plan.rows["<all>"] == 150
+    assert len(list_files(spark, tmp_ds_path)) == 1
+    assert _snapshot(spark, tmp_ds_path) == before
+
+
+def test_compact_unique_dedups(spark, tmp_ds_path):
+    pdf = make_simple_pdf(30, seed=0)
+    for _ in range(2):  # identical batches → full duplicates
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(tmp_ds_path)
+    compact_by_rows(spark, tmp_ds_path, unique=True)
+    assert spark.read.parquet(tmp_ds_path).count() == 30
+
+
+def test_compact_sort_unique_exclusive(spark, tmp_ds_path):
+    _write_fragmented(spark, tmp_ds_path, partition_by=["part"])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        compact_partitions(spark, tmp_ds_path, sort_by="id", unique=True)
+
+
+# -- M2 time-period compaction ------------------------------------------
+
+
+def test_compact_by_timeperiod(spark, tmp_ds_path):
+    # two files inside the same day + one on another day
+    for day, seed in (("2024-01-01", 0), ("2024-01-01", 50), ("2024-02-05", 100)):
+        pdf = make_simple_pdf(20, seed=seed)
+        pdf["timestamp"] = pd.to_datetime(day)
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(tmp_ds_path)
+    before = _snapshot(spark, tmp_ds_path)
+    plan = compact_by_timeperiod(spark, tmp_ds_path, "1d", "timestamp", dry_run=True)
+    assert len(plan.groups) == 1  # only the doubled day is a candidate
+    assert len(next(iter(plan.groups.values()))) == 2
+    compact_by_timeperiod(spark, tmp_ds_path, "1d", "timestamp")
+    assert len(list_files(spark, tmp_ds_path)) == 2
+    assert _snapshot(spark, tmp_ds_path) == before
+
+
+# -- M4 repartition ------------------------------------------------------
+
+
+def test_repartition_derives_dateparts(spark, tmp_ds_path):
+    _write_fragmented(spark, tmp_ds_path, n_batches=2, rows=40)
+    before_count = spark.read.parquet(tmp_ds_path).count()
+    files = repartition_dataset(
+        spark, tmp_ds_path, partitioning_columns=["year", "month"], timestamp_column="timestamp"
+    )
+    assert all("/year=" in f and "/month=" in f for f in files)
+    df = spark.read.parquet(tmp_ds_path)
+    assert df.count() == before_count
+    assert {"year", "month"} <= set(df.columns)
+
+
+# -- M5 optimize_dtypes --------------------------------------------------
+
+
+def test_optimize_dtypes_plan_and_apply(spark, tmp_ds_path):
+    pdf = pd.DataFrame(
+        {
+            "big_int": pd.array([1, 2, 3, 250], dtype="int64"),
+            "num_str": ["10", "20", "30", "40"],
+            "bool_str": ["true", "no", "yes", "false"],
+            "free_text": ["a", "b", "c", "d"],
+            "large": [2**40, 2**41, 1, 2],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(tmp_ds_path)
+    plan = optimize_dtypes(spark, tmp_ds_path, dry_run=True)
+    assert plan["big_int"] == ("long", "short")
+    assert plan["num_str"] == ("string", "byte")
+    assert plan["bool_str"] == ("string", "boolean")
+    assert "free_text" not in plan
+    assert "large" not in plan  # already needs long
+    schema_before = dict(spark.read.parquet(tmp_ds_path).dtypes)
+    assert schema_before["big_int"] == "bigint"  # dry run did not rewrite
+
+    optimize_dtypes(spark, tmp_ds_path)
+    dt = dict(spark.read.parquet(tmp_ds_path).dtypes)
+    assert dt["big_int"] == "smallint"
+    assert dt["num_str"] == "tinyint"
+    assert dt["bool_str"] == "boolean"
+    df = spark.read.parquet(tmp_ds_path)
+    assert df.filter(F.col("bool_str")).count() == 2
+
+
+def test_optimize_dtypes_strict_validates_full_data(spark, tmp_ds_path):
+    # sample (first rows) fits int8 but full data needs int32 — SAFE
+    # policy must see the whole dataset.
+    pdf = pd.DataFrame({"v": list(range(100)) + [100_000]})
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(tmp_ds_path)
+    plan = optimize_dtypes(spark, tmp_ds_path, sample_rows=10, strict=True, dry_run=True)
+    assert plan.get("v", ("long", "integer"))[1] == "integer"
+
+
+# -- M6 repair_schema ----------------------------------------------------
+
+
+def test_repair_schema(spark, tmp_ds_path):
+    # file A: id long, value double; file B: id int (narrower), extra col
+    a = pd.DataFrame({"id": pd.array([1, 2], dtype="int64"), "value": [1.0, 2.0]})
+    b = pd.DataFrame({"id": pd.array([3, 4], dtype="int32"), "extra": ["x", "y"]})
+    spark.createDataFrame(a).coalesce(1).write.mode("append").parquet(tmp_ds_path)
+    spark.createDataFrame(b).coalesce(1).write.mode("append").parquet(tmp_ds_path)
+
+    plan = repair_schema(spark, tmp_ds_path, dry_run=True)
+    assert len(plan["files"]) >= 1
+    target_names = {f.name for f in plan["schema"].fields}
+    assert target_names == {"id", "value", "extra"}
+    assert dict((f.name, f.dataType.typeName()) for f in plan["schema"].fields)["id"] == "long"
+
+    repair_schema(spark, tmp_ds_path)
+    # after repair every file individually carries the unified schema
+    for f in list_files(spark, tmp_ds_path):
+        assert {fl.name for fl in spark.read.parquet(f).schema.fields} == target_names
+    df = spark.read.parquet(tmp_ds_path)
+    assert df.count() == 4
+    assert df.filter(F.col("extra").isNotNull()).count() == 2
