@@ -892,6 +892,80 @@ def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Multimodal columns (binary payloads + mapInPandas decode stages)
+# =====================================================================
+
+
+@query(
+    "mm_media_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS size_bytes,
+           'unknown' AS format,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # typed media-metadata struct on a binary column — pure built-ins
+    # (octet_length / magic sniff / md5), zero Python in the scan.
+    from pydala2_spark.operators.multimodal import with_media_metadata
+
+    docs = _t(spark, sf_dir, "documents").withColumn("blob", F.encode("text", "UTF-8"))
+    return with_media_metadata(docs, "blob").select(
+        "doc_id",
+        F.col("media_meta.size_bytes").alias("size_bytes"),
+        F.col("media_meta.format").alias("format"),
+        F.col("media_meta.content_md5").alias("content_md5"),
+    )
+
+
+@query(
+    "mm_image_decode",
+    """
+    SELECT doc_id,
+           CAST(16 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1008 AS INTEGER) AS width,
+           CAST(16 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1008 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels
+    FROM documents
+    """,
+)
+def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arrow-batched mapInPandas decode stage; the deterministic stub
+    # kernel (md5-derived dims) lets the oracle verify the full batch
+    # plumbing — swap the kernel for PIL in production, the plan is
+    # identical (see operators/multimodal.py).
+    from pydala2_spark.operators.multimodal import decode_images
+
+    docs = _t(spark, sf_dir, "documents").withColumn("blob", F.encode("text", "UTF-8"))
+    return decode_images(docs, "blob", passthrough=["doc_id"])
+
+
+@query(
+    "mm_frame_sample",
+    """
+    WITH d AS (
+      SELECT doc_id, text, md5(text) AS h,
+             1000 + ('0x' || substr(md5(text), 9, 4))::BIGINT % 59000 AS dur
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_index,
+           dur * i // 4 AS ts_ms,
+           md5(text || CAST(i AS VARCHAR)) AS frame_md5
+    FROM d, unnest(generate_series(0, 3)) AS u(i)
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one row in → n_frames rows out, exploded INSIDE the Python worker
+    # (a 1 GB video never materializes twice per task).
+    from pydala2_spark.operators.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents").withColumn("blob", F.encode("text", "UTF-8"))
+    return sample_frames(docs, "blob", passthrough=["doc_id"], n_frames=4)
+
+
+# =====================================================================
 # Similarity search
 # =====================================================================
 

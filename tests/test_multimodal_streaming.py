@@ -1,0 +1,181 @@
+"""Multimodal plumbing + Structured Streaming contracts."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _media_df(spark, n=20):
+    """Binary column with real magic numbers (no codec needed)."""
+    payloads = []
+    for i in range(n):
+        body = f"payload-{i}".encode() * (i + 1)
+        magic = [b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff\xe0", b"GIF89a", b"\x00\x00\x00\x18ftypmp42"][
+            i % 4
+        ]
+        payloads.append((i, magic + body))
+    return spark.createDataFrame(payloads, "id long, blob binary")
+
+
+def test_media_metadata_jvm_side(spark):
+    from pydala2_spark.operators.multimodal import with_media_metadata
+
+    df = with_media_metadata(_media_df(spark), "blob")
+    rows = {r["id"]: r["media_meta"] for r in df.collect()}
+    assert rows[0]["format"] == "png"
+    assert rows[1]["format"] == "jpeg"
+    assert rows[2]["format"] == "gif"
+    assert rows[3]["format"] == "mp4"
+    assert all(m["size_bytes"] > 0 and len(m["content_md5"]) == 32 for m in rows.values())
+    # metadata must be pure built-ins: no BatchEvalPython / ArrowEval in plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
+def test_decode_images_deterministic(spark):
+    from pydala2_spark.operators.multimodal import _fake_image_decode, decode_images
+
+    src = _media_df(spark, n=10)
+    out = decode_images(src, "blob", passthrough=["id"]).collect()
+    assert len(out) == 10
+    raw = {r["id"]: bytes(r["blob"]) for r in src.collect()}
+    for r in out:
+        w, h, c = _fake_image_decode(raw[r["id"]])
+        assert (r["width"], r["height"], r["channels"]) == (w, h, c)
+        assert 16 <= r["width"] <= 1023
+
+
+def test_extract_features_shape(spark):
+    from pydala2_spark.operators.multimodal import extract_features
+
+    out = extract_features(_media_df(spark, n=6), "blob", passthrough=["id"], dim=32)
+    assert dict(out.dtypes)["features"] == "array<float>"
+    rows = out.collect()
+    assert all(len(r["features"]) == 32 for r in rows)
+    assert all(all(-1.0 <= v <= 1.0 for v in r["features"]) for r in rows)
+    # deterministic across runs
+    again = extract_features(_media_df(spark, n=6), "blob", passthrough=["id"], dim=32).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_resize_and_frame_sample(spark):
+    from pydala2_spark.operators.multimodal import resize_images, sample_frames
+
+    resized = resize_images(_media_df(spark, n=8), "blob", passthrough=["id"], max_side=64).collect()
+    for r in resized:
+        assert max(r["resized_width"], r["resized_height"]) <= 64
+        assert r["resized_width"] <= r["width"] and r["resized_height"] <= r["height"]
+
+    frames = sample_frames(_media_df(spark, n=5), "blob", passthrough=["id"], n_frames=3)
+    rows = frames.collect()
+    assert len(rows) == 15  # 5 videos x 3 frames
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    for vid_frames in by_id.values():
+        assert sorted(f["frame_index"] for f in vid_frames) == [0, 1, 2]
+        ts = [f["ts_ms"] for f in sorted(vid_frames, key=lambda f: f["frame_index"])]
+        assert ts == sorted(ts) and ts[0] == 0
+
+
+# -- streaming -----------------------------------------------------------
+
+
+@pytest.fixture()
+def landing_dir(sf_dir, tmp_path):
+    """The streaming file source wants a directory; stage the single
+    events.parquet file into one (a real landing zone is a dir of drops)."""
+    import shutil
+
+    d = tmp_path / "events_landing"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def test_streaming_hourly_rollup_matches_batch(spark, sf_dir, landing_dir, tmp_path):
+    from pydala2_spark.streaming.pipeline import (
+        hourly_rollup_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    events = read_event_stream(spark, landing_dir)
+    assert events.isStreaming
+    result = run_to_memory(
+        hourly_rollup_stream(events), "t_rollup", str(tmp_path / "ckpt")
+    )
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["total_value"]) for r in result.collect()
+    }
+
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .groupBy(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+    )
+    want = {(r["hour"], r["event_type"]): (r["n"], r["v"]) for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_sessionization_matches_batch(spark, sf_dir, landing_dir, tmp_path):
+    from pydala2_spark.queries import queries
+    from pydala2_spark.streaming.pipeline import (
+        read_event_stream,
+        run_to_memory,
+        sessionize_stream,
+    )
+
+    events = read_event_stream(spark, landing_dir)
+    result = run_to_memory(sessionize_stream(events), "t_sessions", str(tmp_path / "ckpt2"))
+    got = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in result.collect()}
+
+    batch = queries()["ev_sessionization"](spark, sf_dir)
+    want = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in batch.collect()}
+    assert got == want
+
+
+def test_incremental_rollup_processes_new_files_only(spark, tmp_path):
+    from pydala2_spark.streaming.pipeline import incremental_append_rollup
+
+    src = str(tmp_path / "landing")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt3")
+
+    def batch(n0, n, hours_offset=0):
+        base = 1_700_000_000_000_000_000 + hours_offset * 3_600 * 10**9
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(n0, n0 + n),
+                "user_id": [i % 3 for i in range(n)],
+                "event_type": ["click"] * n,
+                "ts": [base + i * 10**9 for i in range(n)],
+                "value": [1.0] * n,
+                "properties": ["{}"] * n,
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+
+    def sink_total():
+        try:
+            return spark.read.parquet(sink).agg(F.sum("n_events")).first()[0] or 0
+        except Exception:
+            return 0
+
+    # append mode emits a window only once the watermark passes it:
+    # after the first batch nothing is final yet
+    batch(0, 10)
+    incremental_append_rollup(spark, src, sink, ckpt)
+    assert sink_total() == 0
+
+    # a batch 6 h later pushes the watermark (2 h delay) past hour 0 —
+    # ONLY the new file is read (checkpoint), and the closed window
+    # with the original 10 events lands in the sink exactly once
+    batch(100, 5, hours_offset=6)
+    incremental_append_rollup(spark, src, sink, ckpt)
+    assert sink_total() == 10
