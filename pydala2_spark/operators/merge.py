@@ -119,6 +119,40 @@ def _null_safe_cond(left: DataFrame, right: DataFrame, keys: list[str]):
     return cond
 
 
+def merge_frames(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    strategy: str = "upsert",
+) -> DataFrame:
+    """Pure relational core of the merge: combine target and source by
+    the reference's key semantics WITHOUT touching storage — null-safe
+    key equality, last-row-wins source dedup
+    (`pydala/dataset.py:1549-1777`). ``merge`` applies the same
+    semantics file-selectively; this form is the oracle-checkable one.
+
+    - ``insert``: target ∪ (source rows whose keys are absent);
+    - ``update``: matched target rows replaced by source, unmatched kept;
+    - ``upsert``: update + insert.
+    """
+    if strategy not in VALID_STRATEGIES:
+        raise ValueError(f"invalid merge strategy {strategy!r}; choose from {VALID_STRATEGIES}")
+    src = source.withColumn(_BATCH, F.lit(0)).withColumn(_ORD, F.monotonically_increasing_id())
+    deduped = _dedup_last_wins(src, keys).select(*target.columns)
+    if strategy == "insert":
+        new_rows = deduped.join(target.select(*keys), on=_null_safe_cond(deduped, target, keys), how="left_anti")
+        return target.unionByName(new_rows)
+    survivors = target.join(
+        deduped.select(*keys), on=_null_safe_cond(target, deduped, keys), how="left_anti"
+    )
+    if strategy == "update":
+        replacements = deduped.join(
+            target.select(*keys), on=_null_safe_cond(deduped, target, keys), how="left_semi"
+        )
+        return survivors.unionByName(replacements)
+    return survivors.unionByName(deduped)  # upsert
+
+
 def merge(
     spark: SparkSession,
     target_path: str,
