@@ -83,7 +83,8 @@ def minhash_signature(df: DataFrame, text: str = "text", id_col: str = "doc_id",
     num_hashes rows per document.
     """
     a_consts, b_consts = _minhash_consts(num_hashes)
-    sh = df.select(F.col(id_col), F.explode(F.expr(shingles_sql(text, k))).alias("s"))
+    tk = df.select(F.col(id_col), F.split(F.col(text), " ").alias("__tk"))
+    sh = tk.select(F.col(id_col), F.explode(F.expr(shingles_sql(text, k, "__tk"))).alias("s"))
     h0 = sh.select(
         id_col,
         (F.expr("cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)") % MINHASH_P).alias("h0"),
@@ -149,7 +150,9 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    sh = df.select(F.col(id_col), F.expr(shingles_sql(text, k)).alias("sh"))
+    sh = df.select(F.col(id_col), F.split(F.col(text), " ").alias("__tk")).select(
+        F.col(id_col), F.expr(shingles_sql(text, k, "__tk")).alias("sh")
+    )
     return (
         cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

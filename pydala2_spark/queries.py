@@ -1124,12 +1124,17 @@ def ev_type_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pydala2_spark.functions import text as X
 
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        X.token_count().alias("n_tokens"),
-        X.unique_token_count().alias("n_unique"),
-        F.round(X.avg_token_length(), 4).alias("avg_token_len"),
-        F.round(X.type_token_ratio(), 4).alias("ttr"),
+    # tokenize ONCE; the four metrics share the materialized array
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("__tk"))
+        .select(
+            "doc_id",
+            X.token_count(tokens_col="__tk").alias("n_tokens"),
+            X.unique_token_count(tokens_col="__tk").alias("n_unique"),
+            F.round(X.avg_token_length(tokens_col="__tk"), 4).alias("avg_token_len"),
+            F.round(X.type_token_ratio(tokens_col="__tk"), 4).alias("ttr"),
+        )
     )
 
 
@@ -1157,7 +1162,8 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         _t(spark, sf_dir, "documents")
-        .select("lang", X.quality_score().alias("q"))
+        .select("lang", F.split("text", " ").alias("__tk"))
+        .select("lang", X.quality_score(tokens_col="__tk").alias("q"))
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("q"), 4).alias("avg_quality"))
     )
@@ -1191,7 +1197,8 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         _t(spark, sf_dir, "documents")
-        .select("lang", X.lang_id().alias("predicted"))
+        .select("lang", F.split("text", " ").alias("__tk"))
+        .select("lang", X.lang_id(tokens_col="__tk").alias("predicted"))
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -1245,7 +1252,8 @@ def doc_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         _t(spark, sf_dir, "documents")
-        .select("doc_id", doc_fingerprint(k=5).alias("fp"))
+        .select("doc_id", F.split("text", " ").alias("__tk"))
+        .select("doc_id", doc_fingerprint(k=5, tokens_col="__tk").alias("fp"))
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
         .filter(F.col("n_docs") > 1)
