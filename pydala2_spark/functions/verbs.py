@@ -1,0 +1,77 @@
+"""DataFrame verbs — the reference's re-exported Polars helpers
+(`/root/reference/pydala/helpers/polars.py:2-15`), Spark-first.
+
+F5 ``unnest_all`` / ``explode_all``, F6 ``drop_null_columns``,
+F7 ``cast_relaxed`` from SURVEY §2.8. Each compiles to built-in
+Catalyst expressions; ``drop_null_columns`` is the only one that runs
+a job (a single all-column aggregate — one pass even at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def unnest_all(df: DataFrame, separator: str = ".") -> DataFrame:
+    """Recursively flatten every struct column into top-level columns
+    named ``parent<separator>child`` (reference: fsspeckit
+    ``unnest_all``, re-export `pydala/helpers/polars.py:11`)."""
+    while True:
+        struct_fields = [f for f in df.schema.fields if isinstance(f.dataType, T.StructType)]
+        if not struct_fields:
+            return df
+        cols = []
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.StructType):
+                for sub in f.dataType.fields:
+                    cols.append(
+                        F.col(f"`{f.name}`.`{sub.name}`").alias(f"{f.name}{separator}{sub.name}")
+                    )
+            else:
+                cols.append(F.col(f"`{f.name}`"))
+        df = df.select(*cols)
+
+
+def explode_all(df: DataFrame, outer: bool = True) -> DataFrame:
+    """Explode every array column (one at a time, left-to-right —
+    matching the reference's sequential semantics; reference:
+    ``explode_all``, `pydala/helpers/polars.py:6`)."""
+    fn = F.explode_outer if outer else F.explode
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.ArrayType):
+            df = df.withColumn(f.name, fn(F.col(f.name)))
+    return df
+
+
+def drop_null_columns(df: DataFrame) -> DataFrame:
+    """Drop columns whose every value is null (reference:
+    ``drop_null_columns``, `pydala/helpers/polars.py:5`). One aggregate
+    job over all columns (count pushes into the scan's column stats
+    where possible)."""
+    counts = df.agg(
+        *[F.count(F.col(f"`{c}`")).alias(c) for c in df.columns]
+    ).first()
+    keep = [c for c in df.columns if (counts[c] or 0) > 0]
+    return df.select(*[F.col(f"`{c}`") for c in keep])
+
+
+def cast_relaxed(df: DataFrame, target: T.StructType) -> DataFrame:
+    """Relaxed cast to a target schema (reference: ``cast_relaxed``,
+    `pydala/helpers/polars.py:3`): missing columns become typed nulls,
+    extra columns are KEPT (unlike the strict writer cast), matching
+    columns are cast; uncastable combinations fall back to string."""
+    existing = {f.name: f for f in df.schema.fields}
+    target_names = {f.name for f in target.fields}
+    cols = []
+    for f in target.fields:
+        if f.name in existing:
+            try:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            except Exception:
+                cols.append(F.col(f.name).cast("string").alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    cols += [F.col(f.name) for f in df.schema.fields if f.name not in target_names]
+    return df.select(*cols)

@@ -184,6 +184,16 @@ class BaseDataset:
         df = self.df.select(*columns) if columns else self.df
         return df.toArrow()
 
+    def to_batch_reader(self, columns: list[str] | None = None, batch_size: int = 131_072):
+        """pyarrow RecordBatchReader (S7 parity: the reference's
+        ``to_batch_reader``, `pydala/table.py:538-589`, batch size
+        default `pydala/constants.py:23`). Materializes on the driver
+        (Arrow-accelerated) — an export verb for the result of a query,
+        not a distributed scan; large results should stay as DataFrames
+        or be written to storage."""
+        df = self.df.select(*columns) if columns else self.df
+        return df.toArrow().to_reader(max_chunksize=batch_size)
+
     def to_duckdb(self, con=None, name: str | None = None):
         """Register this dataset's files with a DuckDB connection.
 

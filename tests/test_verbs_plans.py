@@ -1,0 +1,132 @@
+"""DataFrame verbs (F5-F7) + plan-shape regressions.
+
+The plan tests pin the scale-critical physical properties: predicate
+pushdown reaches the parquet scan, projections prune the read schema,
+small dimensions broadcast, and expression-only operators contain no
+Python evaluation nodes.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def test_unnest_all(spark):
+    from pydala2_spark.functions.verbs import unnest_all
+
+    df = spark.createDataFrame(
+        [(1, {"a": 2, "b": {"c": 3}})],
+        "id long, s struct<a: long, b: struct<c: long>>",
+    )
+    out = unnest_all(df)
+    assert set(out.columns) == {"id", "s.a", "s.b.c"}
+    r = out.first()
+    assert (r["id"], r["s.a"], r["s.b.c"]) == (1, 2, 3)
+
+
+def test_explode_all(spark):
+    from pydala2_spark.functions.verbs import explode_all
+
+    df = spark.createDataFrame([(1, [1, 2], ["x"])], "id long, a array<long>, b array<string>")
+    out = explode_all(df)
+    assert out.count() == 2  # 2 x 1
+    empty = spark.createDataFrame([(1, [], ["x"])], "id long, a array<long>, b array<string>")
+    assert explode_all(empty, outer=True).count() == 1  # null row kept
+
+
+def test_drop_null_columns(spark):
+    from pydala2_spark.functions.verbs import drop_null_columns
+
+    pdf = pd.DataFrame({"a": [1, 2], "b": [None, None], "c": ["x", None]})
+    df = spark.createDataFrame(pdf)
+    out = drop_null_columns(df)
+    assert set(out.columns) == {"a", "c"}
+
+
+def test_cast_relaxed(spark):
+    from pydala2_spark.functions.verbs import cast_relaxed
+
+    df = spark.createDataFrame([(1, "10", "extra")], "id long, v string, e string")
+    target = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("missing", T.StringType()),
+        ]
+    )
+    out = cast_relaxed(df, target)
+    assert dict(out.dtypes) == {"id": "int", "v": "double", "missing": "string", "e": "string"}
+    r = out.first()
+    assert (r["id"], r["v"], r["missing"], r["e"]) == (1, 10.0, None, "extra")
+
+
+def test_to_batch_reader(spark, sf_dir):
+    from pydala2_spark.sources.dataset import Dataset
+
+    ds = Dataset(f"{sf_dir}/orders.parquet", spark=spark)
+    reader = ds.to_batch_reader(columns=["o_orderkey"], batch_size=1000)
+    batches = list(reader)
+    assert sum(b.num_rows for b in batches) == ds.count_rows()
+    assert all(b.num_rows <= 1000 for b in batches)
+    assert batches[0].schema.names == ["o_orderkey"]
+
+
+# -- plan-shape regressions ---------------------------------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    from pydala2_spark.queries import queries
+
+    df = queries()["scan_filter_project"](spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "l_quantity" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    from pydala2_spark.queries import queries
+
+    df = queries()["scan_filter_project"](spark, sf_dir)
+    read_schema = _plan(df).split("ReadSchema:")[1].split("\n")[0]
+    # 4 projected + 2 filter columns at most; the wide rest is pruned
+    assert "l_extendedprice" in read_schema
+    assert "l_tax" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    from pydala2_spark.queries import queries
+
+    plan = _plan(queries()["q5_nation_revenue"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4  # all dims broadcast
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    from pydala2_spark.queries import queries
+
+    plan = _plan(queries()["sort_limit_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_text_ops_have_no_python_nodes(spark, sf_dir):
+    from pydala2_spark.queries import queries
+
+    for name in ["doc_token_stats", "doc_fingerprint_groups", "dedup_simhash", "emb_near_dup"]:
+        plan = _plan(queries()[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_merge_core_uses_nullsafe_join(spark, sf_dir):
+    from pydala2_spark.queries import queries
+
+    plan = _plan(queries()["merge_upsert_semantics"](spark, sf_dir))
+    # Catalyst compiles `<=>` to (coalesce(key), isnull(key)) composite
+    # hash keys — the physical signature of a null-safe equi-join
+    assert "coalesce(" in plan and "isnull(" in plan
