@@ -1103,6 +1103,81 @@ def ev_type_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "asof_click_before_purchase",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts, max(event_id) AS click_event
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.event_id AS p_event, p.user_id,
+           epoch_us(p.ts) AS ts_us,
+           epoch_us(c.ts) AS click_ts_us,
+           c.click_event
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # as-of join (operators/asof.py): for each purchase, the most
+    # recent prior-or-simultaneous click by the same user. One shuffle
+    # on user_id — no per-group Python, unlike pandas merge_asof.
+    # Clicks are pre-deduped per (user, ts) so ties are well-defined in
+    # both engines.
+    from pydala2_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    clicks = (
+        ev.filter("event_type = 'click'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event"))
+    )
+    joined = asof_join(purchases, clicks, on="ts", by="user_id", direction="backward")
+    return joined.select(
+        F.col("event_id").alias("p_event"),
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("ts_right").alias("click_ts_us"),
+        F.col("click_event_right").alias("click_event"),
+    )
+
+
+@query(
+    "range_join_ship_window",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           round(sum(l_extendedprice), 2) AS total
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate <  o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderpriority
+    """,
+)
+def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # equi + range condition: the hash join stays on l_orderkey (the
+    # equi part); the range predicate evaluates post-match in codegen —
+    # never a nested-loop join.
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate >= orders.o_orderdate)
+            & (li.l_shipdate < orders.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+    )
+
+
 # =====================================================================
 # Text analysis (LLM-data-pipeline extension)
 # =====================================================================

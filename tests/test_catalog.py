@@ -1,0 +1,71 @@
+"""Catalog contracts: YAML persistence, CRUD, auto-registered SQL
+(reference model: /root/reference/pydala/catalog.py:23-109, 530-557)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pydala2_spark.plans.catalog import Catalog, get_table_names
+
+from conftest import make_simple_pdf
+
+
+def test_get_table_names():
+    q = """
+    SELECT * FROM sales s JOIN dims.customers c ON s.id = c.id
+    WHERE s.note = 'from nowhere' AND s.k IN (SELECT k FROM other)
+    """
+    assert get_table_names(q) == ["sales", "dims.customers", "other"]
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return Catalog(str(tmp_path / "catalog.yaml"), spark=spark)
+
+
+def _make_table(spark, tmp_path, name, n=20, seed=0):
+    p = str(tmp_path / name)
+    spark.createDataFrame(make_simple_pdf(n, seed=seed)).write.parquet(p)
+    return p
+
+
+def test_catalog_crud_roundtrip(spark, tmp_path, catalog):
+    p = _make_table(spark, tmp_path, "t1")
+    catalog.create_table("ns1.t1", p, write_args={"max_rows_per_file": 1000})
+    assert catalog.all_tables() == ["ns1.t1"]
+    assert catalog.namespaces == ["ns1"]
+
+    # YAML is write-through: a fresh Catalog sees the same state
+    reloaded = Catalog(catalog.path, spark=spark)
+    assert reloaded.all_tables() == ["ns1.t1"]
+    assert reloaded.load("t1").count_rows() == 20  # short name resolves
+
+    reloaded.update_table("ns1.t1", format="parquet")
+    reloaded.delete_table("ns1.t1")
+    assert Catalog(catalog.path, spark=spark).all_tables() == []
+
+
+def test_catalog_ambiguous_short_name(spark, tmp_path, catalog):
+    p = _make_table(spark, tmp_path, "t2")
+    catalog.create_table("a.t", p)
+    catalog.create_table("b.t", p)
+    with pytest.raises(KeyError, match="ambiguous"):
+        catalog.load("t")
+
+
+def test_catalog_sql_auto_registers(spark, tmp_path, catalog):
+    p1 = _make_table(spark, tmp_path, "left_t", n=10)
+    p2 = _make_table(spark, tmp_path, "right_t", n=10)
+    catalog.create_table("ns.left_t", p1)
+    catalog.create_table("ns.right_t", p2)
+    out = catalog.sql(
+        "SELECT count(*) AS n FROM left_t l JOIN right_t r ON l.id = r.id"
+    )
+    assert out.first()["n"] == 10
+
+
+def test_catalog_write_through_args(spark, tmp_path, catalog):
+    p = _make_table(spark, tmp_path, "t3", n=5)
+    catalog.create_table("ns.t3", p)
+    catalog.write_table("ns.t3", make_simple_pdf(5, seed=100), mode="append")
+    assert catalog.load("ns.t3").count_rows() == 10
