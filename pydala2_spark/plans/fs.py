@@ -36,15 +36,18 @@ def list_files(spark: SparkSession, path: str, suffixes=DATA_FILE_SUFFIXES) -> l
     fs, hpath, _ = _fs_and_path(spark, path)
     if not fs.exists(hpath):
         return []
+    base = fs.makeQualified(hpath).toString()
     out: list[str] = []
     it = fs.listFiles(hpath, True)
     while it.hasNext():
         status = it.next()
         p = status.getPath().toString()
-        name = p.rsplit("/", 1)[-1]
-        if name.startswith(("_", ".")):
+        rel = p[len(base):] if p.startswith(base) else p
+        # match Spark's visibility rule: any hidden path segment
+        # (_ or . prefix) hides the file — e.g. _stats_index/part-0.parquet
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/") if seg):
             continue
-        if suffixes and not name.endswith(suffixes):
+        if suffixes and not p.endswith(suffixes):
             continue
         out.append(p)
     return sorted(out)

@@ -181,6 +181,87 @@ def prune_files(
     return [r["file_path"] for r in s.filter(keep | cond).select("file_path").collect()]
 
 
+class StatsIndex:
+    """Persistent, incrementally-refreshed stats table — the Spark
+    rebirth of the reference's metadata-sidecar lifecycle
+    (`pydala/metadata.py:105-145, 341-439`: collect footers in
+    parallel, diff new/removed files, append or rebuild).
+
+    The index lives as parquet under ``<dataset>/_stats_index`` (the
+    leading underscore hides it from Spark's file listing, exactly like
+    the reference's ``_metadata`` sidecar convention). ``refresh()``
+    footer-scans ONLY files added since the last refresh — at 100 TB
+    with millions of files, a refresh after an append touches just the
+    appended files' footers, distributed across executors.
+    """
+
+    def __init__(self, spark: SparkSession, dataset_path: str, index_path: str | None = None):
+        self.spark = spark
+        self.dataset_path = dataset_path.rstrip("/")
+        self.index_path = index_path or f"{self.dataset_path}/_stats_index"
+
+    def exists(self) -> bool:
+        from pydala2_spark.plans.fs import list_files, path_exists
+
+        return path_exists(self.spark, self.index_path) and bool(
+            list_files(self.spark, self.index_path)
+        )
+
+    def stats(self) -> DataFrame:
+        if not self.exists():
+            self.refresh()
+        return self.spark.read.schema(STATS_SCHEMA).parquet(self.index_path)
+
+    def refresh(self) -> dict:
+        """Bring the index in sync with the physical file list.
+        Returns ``{"added": n, "removed": m, "total": k}``; only the
+        added files' footers are read."""
+        from pydala2_spark.plans.fs import delete_paths, list_files, rename
+
+        current = set(list_files(self.spark, self.dataset_path, suffixes=(".parquet",)))
+        if self.exists():
+            old = self.spark.read.schema(STATS_SCHEMA).parquet(self.index_path)
+            indexed = {r["file_path"] for r in old.select("file_path").collect()}
+        else:
+            old, indexed = None, set()
+
+        added = sorted(current - indexed)
+        removed = indexed - current
+
+        base = (
+            self.dataset_path
+            if "://" in self.dataset_path
+            else "file:" + os.path.abspath(self.dataset_path.removeprefix("file:"))
+        )
+        parts = []
+        if old is not None and (indexed - removed):
+            parts.append(old.filter(~F.col("file_path").isin(list(removed)) if removed else F.lit(True)))
+        if added:
+            n = min(len(added), self.spark.sparkContext.defaultParallelism)
+            rdd = self.spark.sparkContext.parallelize(added, n).mapPartitions(
+                lambda it, b=base: _read_footers(b, it)
+            )
+            parts.append(self.spark.createDataFrame(rdd, STATS_SCHEMA))
+        new_index = parts[0] if parts else self.spark.createDataFrame([], STATS_SCHEMA)
+        for p in parts[1:]:
+            new_index = new_index.unionByName(p)
+
+        staging = f"{self.index_path}__staging"
+        new_index.coalesce(1).write.mode("overwrite").parquet(staging)
+        delete_paths(self.spark, [self.index_path])
+        rename(self.spark, staging, self.index_path)
+        return {"added": len(added), "removed": len(removed), "total": len(current)}
+
+    def prune(self, column: str, lo=None, hi=None) -> list[str]:
+        return prune_files(self.stats(), column, lo, hi)
+
+    def read_pruned(self, column: str, lo=None, hi=None) -> DataFrame:
+        files = self.prune(column, lo, hi)
+        if not files:
+            return self.spark.read.parquet(self.dataset_path).limit(0)
+        return self.spark.read.parquet(*files)
+
+
 def read_pruned(
     spark: SparkSession,
     path: str,

@@ -217,3 +217,46 @@ def test_repair_schema(spark, tmp_ds_path):
     df = spark.read.parquet(tmp_ds_path)
     assert df.count() == 4
     assert df.filter(F.col("extra").isNotNull()).count() == 2
+
+
+# -- persistent stats index -----------------------------------------------
+
+
+def test_stats_index_incremental_refresh(spark, tmp_ds_path):
+    from pydala2_spark.plans.stats import StatsIndex
+
+    _write_fragmented(spark, tmp_ds_path, n_batches=2, rows=50)
+    idx = StatsIndex(spark, tmp_ds_path)
+    r1 = idx.refresh()
+    assert r1 == {"added": 2, "removed": 0, "total": 2}
+    assert idx.stats().count() == 2
+
+    # append one more batch (ids 100-149): refresh touches ONLY it
+    spark.createDataFrame(make_simple_pdf(50, seed=100)).coalesce(1).write.mode(
+        "append"
+    ).parquet(tmp_ds_path)
+    r2 = idx.refresh()
+    assert r2["added"] == 1 and r2["removed"] == 0 and r2["total"] == 3
+    assert idx.stats().count() == 3
+
+    # the index dir is invisible to a normal dataset read (underscore dir)
+    assert spark.read.parquet(tmp_ds_path).count() == 150
+
+    # pruning works off the persisted index (batches have disjoint ids)
+    kept = idx.prune("id", lo=120, hi=130)
+    assert len(kept) == 1
+    assert idx.read_pruned("id", lo=120, hi=130).count() == 50
+
+
+def test_stats_index_handles_removed_files(spark, tmp_ds_path):
+    from pydala2_spark.operators.maintenance import compact_by_rows
+    from pydala2_spark.plans.stats import StatsIndex
+
+    _write_fragmented(spark, tmp_ds_path, n_batches=3, rows=30)
+    idx = StatsIndex(spark, tmp_ds_path, index_path=tmp_ds_path + "_idx")
+    idx.refresh()
+    compact_by_rows(spark, tmp_ds_path)  # rewrites 3 files into 1
+    r = idx.refresh()
+    assert r["removed"] == 3 and r["added"] == 1 and r["total"] == 1
+    total = idx.stats().agg({"num_rows": "sum"}).first()[0]
+    assert total == 90
