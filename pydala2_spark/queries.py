@@ -776,6 +776,249 @@ def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q2_min_cost_supplier",
+    """
+    WITH costs AS (
+      SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal,
+             min(s_acctbal) OVER (PARTITION BY p_partkey) AS min_bal
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+      WHERE p_size < 5
+    )
+    SELECT DISTINCT p_partkey, p_name, s_suppkey AS supplier, round(s_acctbal, 2) AS acctbal
+    FROM costs WHERE s_acctbal = min_bal
+    ORDER BY p_partkey
+    LIMIT 50
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q2 shape (min-within-group then join back) via a window min
+    # — one shuffle on the group key, no self-join.
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") < 5)
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    costs = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
+    )
+    w = W.partitionBy("p_partkey")
+    return (
+        costs.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("s_suppkey").alias("supplier"),
+            F.round("s_acctbal", 2).alias("acctbal"),
+        )
+        .distinct()
+        .orderBy("p_partkey")
+        .limit(50)
+    )
+
+
+@query(
+    "q15_top_suppliers",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scalar max over the aggregate — a rank-less global window avoids
+    # a second scan of lineitem.
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    w = W.partitionBy()
+    top = revenue.withColumn("mx", F.max("total_revenue").over(w)).filter(
+        F.col("total_revenue") == F.col("mx")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return supp.join(F.broadcast(top), supp.s_suppkey == top.supplier_no).select(
+        "s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue")
+    )
+
+
+@query(
+    "q21_multi_exists",
+    """
+    SELECT s.s_suppkey, s.s_name, count(*) AS n_flagged
+    FROM supplier s JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY n_flagged DESC, s.s_suppkey ASC
+    LIMIT 20
+    """,
+)
+def q21_multi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q21 shape: EXISTS + NOT EXISTS decorrelated into one
+    # order-level aggregate (counts of other-supplier lines, flagged
+    # other-supplier lines) joined back — lineitem is scanned twice,
+    # not three times.
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("n_r"),
+    )
+    order_tot = per_order.groupBy("l_orderkey").agg(
+        F.sum("n_lines").alias("tot_lines"),
+        F.sum("n_r").alias("tot_r"),
+        F.count(F.lit(1)).alias("n_supps"),
+    )
+    flagged = (
+        per_order.join(order_tot, "l_orderkey")
+        .filter(
+            (F.col("n_r") > 0)  # this supplier has an R line on the order
+            & (F.col("n_supps") > 1)  # other suppliers exist on the order
+            & (F.col("tot_r") == F.col("n_r"))  # ...but none of THEIR lines are R
+        )
+        .select("l_orderkey", "l_suppkey", F.col("n_r").alias("n_flagged_lines"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        flagged.join(F.broadcast(supp), flagged.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.sum("n_flagged_lines").alias("n_flagged"))
+        .orderBy(F.col("n_flagged").desc(), F.col("s_suppkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "string_function_suite",
+    """
+    SELECT upper(substr(p_name, 1, 3)) AS prefix,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS noun,
+           count(*) AS n,
+           round(avg(len(p_name)), 4) AS avg_len,
+           max(concat(p_brand, ':', p_type)) AS max_tag
+    FROM part
+    GROUP BY 1, 2
+    ORDER BY n DESC, prefix ASC, noun ASC
+    LIMIT 25
+    """,
+)
+def string_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F10 scalar surface: regexp/substr/concat/length, grouped.
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.groupBy(
+            F.upper(F.substring("p_name", 1, 3)).alias("prefix"),
+            F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("noun"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.length("p_name")), 4).alias("avg_len"),
+            F.max(F.concat_ws(":", "p_brand", "p_type")).alias("max_tag"),
+        )
+        .orderBy(F.col("n").desc(), F.col("prefix").asc(), F.col("noun").asc())
+        .limit(25)
+    )
+
+
+@query(
+    "array_function_suite",
+    """
+    SELECT label,
+           count(*) AS n,
+           round(avg(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)))), 4) AS avg_head_sum,
+           round(avg(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE)))), 4) AS avg_max,
+           round(avg(len(list_filter(embedding, x -> x > 0))), 4) AS avg_n_pos
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def array_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # slice/transform/filter/aggregate over array columns — the
+    # vector-column manipulation vocabulary, all JVM-side.
+    e = _t(spark, sf_dir, "embeddings")
+    head_sum = F.expr(
+        "aggregate(transform(slice(embedding, 1, 8), x -> cast(x as double)), 0D, (a, x) -> a + x)"
+    )
+    vmax = F.expr("array_max(transform(embedding, x -> cast(x as double)))")
+    n_pos = F.size(F.expr("filter(embedding, x -> x > 0)"))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(head_sum), 4).alias("avg_head_sum"),
+        F.round(F.avg(vmax), 4).alias("avg_max"),
+        F.round(F.avg(n_pos), 4).alias("avg_n_pos"),
+    )
+
+
+@query(
+    "date_arithmetic_suite",
+    """
+    SELECT CAST(date_diff('day', o_orderdate, l_shipdate) // 30 AS BIGINT) AS months_to_ship,
+           count(*) AS n,
+           round(sum(l_extendedprice), 2) AS total
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= o_orderdate
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def date_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy(
+            F.floor(
+                F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) / 30
+            ).alias("months_to_ship")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("total"))
+        .orderBy("months_to_ship")
+    )
+
+
+@query(
+    "agg_cube_flag_status",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(l_linestatus, 'ALL') AS status,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "n",
+            "qty",
+        )
+    )
+
+
+@query(
     "merge_upsert_semantics",
     """
     WITH source AS (
