@@ -23,8 +23,10 @@ from pydala2_spark.sources.dataset import (
     ParquetDataset,
 )
 from pydala2_spark.sources.writer import Writer
-from pydala2_spark.operators.merge import MergeResult, merge
+from pydala2_spark.operators.asof import asof_join
+from pydala2_spark.operators.merge import MergeResult, merge, merge_frames
 from pydala2_spark.plans.catalog import Catalog
+from pydala2_spark.plans.stats import StatsIndex
 
 __all__ = [
     "get_spark",
@@ -35,8 +37,11 @@ __all__ = [
     "JSONDataset",
     "Writer",
     "merge",
+    "merge_frames",
     "MergeResult",
     "Catalog",
+    "StatsIndex",
+    "asof_join",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) for the pure, driver-side logic:
+schema promotion, sort-spec parsing, minhash constants. These run
+without a SparkSession — fast invariant checks on the corners the
+example-based tests don't enumerate."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from pydala2_spark.functions.schema_tools import (
+    _INT_BOUNDS,
+    _narrowest_int,
+    promote_types,
+    unify_schemas,
+)
+from pydala2_spark.functions.sortspec import to_sort_columns
+
+LADDER_TYPES = [
+    T.NullType(),
+    T.ByteType(),
+    T.ShortType(),
+    T.IntegerType(),
+    T.LongType(),
+    T.FloatType(),
+    T.DoubleType(),
+    T.StringType(),
+]
+
+type_st = st.sampled_from(LADDER_TYPES + [T.TimestampType(), T.DateType(), T.BooleanType()])
+
+
+@given(a=type_st, b=type_st)
+def test_promote_commutative(a, b):
+    assert promote_types(a, b) == promote_types(b, a)
+
+
+@given(a=type_st)
+def test_promote_idempotent(a):
+    assert promote_types(a, a) == a
+
+
+@given(a=type_st, b=type_st)
+def test_promote_is_closed(a, b):
+    # result is always one of the participating types or a ladder supertype
+    out = promote_types(a, b)
+    assert out in LADDER_TYPES + [a, b, T.TimestampType()]
+
+
+@given(st.lists(st.permutations(LADDER_TYPES[1:5]), min_size=1, max_size=4))
+def test_unify_order_insensitive_types(perms):
+    # same field name with int types in any order → always long (widest)
+    schemas = [T.StructType([T.StructField("x", t) for t in perm]) for perm in perms]
+    out = unify_schemas([T.StructType([T.StructField("x", perm[0])]) for perm in perms])
+    assert out["x"].dataType in (T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType())
+
+
+@given(lo=st.integers(min_value=-(2**63), max_value=2**63 - 1), span=st.integers(0, 2**62))
+def test_narrowest_int_contains_range(lo, span):
+    hi = min(lo + span, 2**63 - 1)  # stats come from int64 columns
+    name = _narrowest_int(lo, hi)
+    b = _INT_BOUNDS[name]
+    assert b[0] <= lo and hi <= b[1]
+
+
+@given(
+    cols=st.lists(
+        st.tuples(
+            st.text(alphabet="abcxyz_", min_size=1, max_size=8),
+            st.sampled_from(["asc", "desc"]),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_sortspec_string_and_tuple_forms_agree(cols, spark):  # Column exprs need an active session
+    as_string = ", ".join(f"{c} {d}" for c, d in cols)
+    as_tuples = [(c, d) for c, d in cols]
+    assert [str(c) for c in to_sort_columns(as_string)] == [
+        str(c) for c in to_sort_columns(as_tuples)
+    ]
+
+
+def test_minhash_consts_are_stable():
+    from pydala2_spark.operators.dedup import _minhash_consts
+
+    a1, b1 = _minhash_consts(12)
+    a2, b2 = _minhash_consts(12)
+    assert a1 == a2 and b1 == b2
+    assert all(v > 0 for v in a1)  # multiplier 0 would collapse the hash
