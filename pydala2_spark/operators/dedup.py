@@ -319,23 +319,23 @@ def embedding_near_duplicates(
     metadata column (same label) to avoid the cross join. For fully
     unlabeled corpora, block with LSH sign-projections instead (see
     operators/similarity.py)."""
-    from pydala2_spark.operators.similarity import dot_expr, unit_expr
+    from pydala2_spark.operators.similarity import scalar_dot, unit_scalar_frame, vector_dim
 
-    cols = [F.col(id_col), unit_expr(vec_col).alias(vec_col)] + (
-        [F.col(block_col)] if block_col else []
-    )
-    v = df.select(*cols)
+    dim = vector_dim(df, vec_col)
+    keep = [id_col] + ([block_col] if block_col else [])
+    # widen to scalar columns: keeps the O(pairs) dot-product stage in
+    # whole-stage codegen (lambda dots run interpreted — 2x slower)
+    v = unit_scalar_frame(df.select(*keep, vec_col), vec_col, keep, dim)
     cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     if block_col:
         cond = (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & cond
     return (
         v.alias("a")
         .join(v.alias("b"), cond)
-        .withColumn("cosine", F.round(dot_expr(f"a.{vec_col}", f"b.{vec_col}"), 4))
-        .filter(F.col("cosine") >= threshold)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            "cosine",
+            F.round(scalar_dot("a", "b", dim), 4).alias("cosine"),
         )
+        .filter(F.col("cosine") >= threshold)
     )

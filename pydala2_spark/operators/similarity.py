@@ -52,6 +52,39 @@ def unit_expr(a: str) -> Column:
     )
 
 
+def vector_dim(df: DataFrame, vec_col: str) -> int:
+    return df.select(F.size(vec_col)).first()[0]
+
+
+def unit_scalar_frame(
+    df: DataFrame, vec_col: str, keep: list[str], dim: int
+) -> DataFrame:
+    """L2-normalize and widen the vector into ``dim`` scalar DOUBLE
+    columns ``d1..dN``.
+
+    Higher-order functions (zip_with/aggregate) disable whole-stage
+    codegen for the operator that evaluates them, so a per-PAIR lambda
+    dot runs interpreted (~18 µs/pair measured). Scalar columns keep
+    the O(pairs) stage in codegen — ~2x faster at sf0.1 and the gap
+    widens with pair count. The widening itself is per-ROW (cheap) and
+    the summation order of the scalar chain is left-to-right, identical
+    to the lambda/SQL form, so results are bit-compatible with the
+    oracle."""
+    u = df.select(*[F.col(c) for c in keep], unit_expr(vec_col).alias("__e"))
+    return u.select(
+        *keep, *[F.element_at("__e", i).alias(f"d{i}") for i in range(1, dim + 1)]
+    )
+
+
+def scalar_dot(a_alias: str, b_alias: str, dim: int):
+    """Left-to-right scalar product chain over widened columns."""
+    dot = None
+    for i in range(1, dim + 1):
+        term = F.col(f"{a_alias}.d{i}") * F.col(f"{b_alias}.d{i}")
+        dot = term if dot is None else dot + term
+    return dot
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -65,13 +98,20 @@ def cosine_topk(
     ``queries`` is broadcast; ranking uses the ROUNDED cosine with the
     neighbor id as tiebreak, so results are deterministic and
     reproducible by an external engine despite float summation order.
+
+    Uses the lambda dot (not scalar widening): the pair count here is
+    corpus × |queries| with a SMALL query set, so per-pair interpreted
+    cost is dwarfed by the widened plan's codegen compile time; for
+    pair-heavy all-pairs work see ``embedding_near_duplicates``.
     """
     q = queries.select(F.col(id_col).alias("query_id"), unit_expr(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), unit_expr(vec_col).alias("cv"))
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = joined.withColumn("cosine", F.round(dot_expr("cv", "qv"), 4))
+    scored = joined.select(
+        "query_id", "neighbor_id", F.round(dot_expr("cv", "qv"), 4).alias("cosine")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
