@@ -136,6 +136,17 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each key,
+    dropping repeats that arrive within the watermark horizon.
+
+    State is one entry per key, expired by the watermark — the
+    incremental twin of ``drop_exact_duplicates``. At 100 TB/day this
+    is the standard exactly-once ingest guard in front of an
+    append-only corpus (duplicate deliveries, retried uploads)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, checkpoint_dir: str
 ) -> DataFrame:

@@ -179,3 +179,28 @@ def test_incremental_rollup_processes_new_files_only(spark, tmp_path):
     batch(100, 5, hours_offset=6)
     incremental_append_rollup(spark, src, sink, ckpt)
     assert sink_total() == 10
+
+
+def test_streaming_dedup_drops_repeats(spark, tmp_path):
+    from pydala2_spark.streaming.pipeline import dedup_stream, read_event_stream, run_to_memory
+
+    src = tmp_path / "dedup_landing"
+    src.mkdir()
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 2, 3, 1],  # event 1 and 2 delivered twice
+            "user_id": [10, 11, 11, 12, 10],
+            "event_type": ["click"] * 5,
+            "ts": [1_700_000_000_000_000_000 + i * 10**9 for i in range(5)],
+            "value": [1.0] * 5,
+            "properties": ["{}"] * 5,
+        }
+    )
+    import pyspark.sql
+
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src / "batch"))
+    events = read_event_stream(spark, str(src / "batch"))
+    out = run_to_memory(
+        dedup_stream(events, keys=["event_id"]), "t_dedup", str(tmp_path / "ckpt_dd")
+    )
+    assert sorted(r["event_id"] for r in out.collect()) == [1, 2, 3]

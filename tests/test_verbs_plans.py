@@ -130,3 +130,19 @@ def test_merge_core_uses_nullsafe_join(spark, sf_dir):
     # Catalyst compiles `<=>` to (coalesce(key), isnull(key)) composite
     # hash keys — the physical signature of a null-safe equi-join
     assert "coalesce(" in plan and "isnull(" in plan
+
+
+def test_no_accidental_cartesian_anywhere(spark, sf_dir):
+    """Global plan regression: NO query may plan a cartesian product or
+    nested-loop join except the intentionally-brute-force knn baseline."""
+    from pydala2_spark.queries import queries
+
+    allowed_cross = {"emb_knn_bruteforce"}  # documented exact baseline
+    offenders = []
+    for name, fn in queries().items():
+        if name in allowed_cross:
+            continue
+        plan = _plan(fn(spark, sf_dir))
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders.append(name)
+    assert not offenders, f"unexpected cartesian/nested-loop joins in: {offenders}"
