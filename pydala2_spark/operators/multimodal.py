@@ -180,6 +180,38 @@ def extract_features(
     return df.select(*passthrough, binary_col).mapInPandas(batches, out_schema)
 
 
+AUDIO_FEATURE_FIELDS = [
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("mfcc", T.ArrayType(T.FloatType())),
+]
+
+
+def extract_audio_features(
+    df: DataFrame, binary_col: str, passthrough: list[str], n_mfcc: int = 13
+) -> DataFrame:
+    """Audio decode + feature stage: (sample_rate, duration, channels,
+    MFCC-like vector). Stubbed deterministically (librosa/ffmpeg absent
+    in this container): rate/duration/channels derive from the payload
+    md5, the coefficient vector from the chained-md5 embedding kernel.
+    Swap the body for a librosa call per Arrow batch to productionize —
+    schema and batch shape stay identical."""
+    out_schema = T.StructType([df.schema[c] for c in passthrough] + AUDIO_FEATURE_FIELDS)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf[passthrough].copy()
+            payloads = [bytes(b) for b in pdf[binary_col]]
+            out["sample_rate"] = [[8000, 16000, 22050, 44100][_h32(p, 12, 14) % 4] for p in payloads]
+            out["duration_ms"] = [1000 + _h32(p, 8, 12) % 59_000 for p in payloads]
+            out["n_channels"] = [1 + _h32(p, 14, 15) % 2 for p in payloads]
+            out["mfcc"] = [_fake_embedding(p, n_mfcc) for p in payloads]
+            yield out
+
+    return df.select(*passthrough, binary_col).mapInPandas(batches, out_schema)
+
+
 def resize_images(
     df: DataFrame, binary_col: str, passthrough: list[str], max_side: int = 256
 ) -> DataFrame:

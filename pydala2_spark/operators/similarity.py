@@ -187,6 +187,57 @@ def cosine_topk_lsh(
     )
 
 
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+    dim: int = 64,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer (per-cell
+    centroids) routes each query to its ``nprobe`` nearest cells; the
+    exact scan runs only inside those cells.
+
+    Here the inverted lists are the existing ``cell_col`` partitions
+    and the centroids come from :func:`label_centroids` (stand-in for a
+    k-means pass — the plumbing is identical). At 100 TB the corpus is
+    PHYSICALLY partitioned by cell, so a probe is a partition-pruned
+    scan of nprobe/ncells of the data; recall grows with ``nprobe``.
+    """
+    cents = label_centroids(corpus, vec_col, cell_col, dim)
+    q = queries.select(F.col(id_col).alias("query_id"), unit_expr(vec_col).alias("qv"))
+    # route: score each query against every centroid (tiny cross), keep nprobe
+    scored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "cscore",
+        F.expr(
+            "aggregate(zip_with(qv, centroid, (x, y) -> x * y), 0D, (a, v) -> a + v)"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cscore").desc(), F.col(cell_col).asc())
+    routed = scored.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= nprobe
+    ).select("query_id", "qv", cell_col)
+    # probe: exact cosine only within the routed cells
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(cell_col), unit_expr(vec_col).alias("cv")
+    )
+    joined = c.join(F.broadcast(routed), cell_col).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    out = joined.select(
+        "query_id", "neighbor_id", F.round(dot_expr("cv", "qv"), 4).alias("cosine")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        out.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def label_centroids(
     df: DataFrame, vec_col: str = "embedding", label_col: str = "label", dim: int = 64
 ) -> DataFrame:

@@ -1835,3 +1835,34 @@ def emb_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query("emb_knn_ivf", None)  # approximate: rows-only check (no SQL oracle)
+def emb_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF routing: per-cell centroids as the coarse quantizer, exact
+    # scan only inside nprobe routed cells — the partition-pruned ANN
+    # path for a corpus physically laid out by cell.
+    from pydala2_spark.operators.similarity import cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(emb, emb.filter(F.col("vec_id") < 10), k=5, nprobe=2)
+
+
+@query(
+    "skew_safe_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_distinct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def skew_safe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explicit two-phase distinct: dedup (key, value) first so the
+    # per-key shuffle carries unique values only — the skew-tolerant
+    # form of COUNT(DISTINCT) for hot keys (functions/skew.py).
+    from pydala2_spark.functions.skew import distinct_count_two_phase
+
+    return distinct_count_two_phase(
+        _t(spark, sf_dir, "lineitem"), keys=["l_returnflag"], value_col="l_partkey"
+    )

@@ -134,3 +134,53 @@ def test_label_centroids(spark, vectors):
     cents = label_centroids(vectors, dim=8).collect()
     assert len(cents) == 2
     assert all(len(r["centroid"]) == 8 for r in cents)
+
+
+def test_cosine_topk_ivf_routes_and_ranks(spark, vectors):
+    from pydala2_spark.operators.similarity import cosine_topk, cosine_topk_ivf
+
+    from pyspark.sql import functions as F
+
+    queries = vectors.filter(F.col("vec_id") < 3)
+    exact = cosine_topk(vectors, queries, k=3)
+    approx = cosine_topk_ivf(vectors, queries, k=3, nprobe=2)
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in approx.collect()}
+    assert len(got) > 0
+    # every reported neighbor must carry a valid rank sequence per query
+    by_q = {}
+    for (q, rank), n in got.items():
+        by_q.setdefault(q, []).append(rank)
+    assert all(sorted(rs) == list(range(1, len(rs) + 1)) for rs in by_q.values())
+    # with nprobe = all cells the result should equal the exact top-k
+    n_cells = vectors.select("label").distinct().count()
+    full = cosine_topk_ivf(vectors, queries, k=3, nprobe=n_cells)
+    assert sorted(map(str, full.collect())) == sorted(map(str, exact.collect()))
+
+
+def test_salted_join_matches_plain_join(spark):
+    import pandas as pd
+
+    from pydala2_spark.functions.skew import salted_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1] * 50 + [2] * 5, "lv": range(55)})  # key 1 is hot
+    )
+    right = spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3], "rv": ["a", "b", "c"]}))
+    plain = left.join(right, "k").select("k", "lv", "rv")
+    salted = salted_join(left, right, "k", salt=4).select("k", "lv", "rv")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_extract_audio_features_shape(spark):
+    from pydala2_spark.operators.multimodal import extract_audio_features
+
+    df = spark.createDataFrame(
+        [(i, f"audio-{i}".encode() * 10) for i in range(6)], "id long, blob binary"
+    )
+    out = extract_audio_features(df, "blob", passthrough=["id"], n_mfcc=13).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r["sample_rate"] in (8000, 16000, 22050, 44100)
+        assert 1000 <= r["duration_ms"] <= 60000
+        assert r["n_channels"] in (1, 2)
+        assert len(r["mfcc"]) == 13

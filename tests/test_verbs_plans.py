@@ -137,7 +137,9 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
     nested-loop join except the intentionally-brute-force knn baseline."""
     from pydala2_spark.queries import queries
 
-    allowed_cross = {"emb_knn_bruteforce"}  # documented exact baseline
+    # documented exceptions: exact brute-force baseline; IVF routing
+    # (queries x centroids — a tiny bounded cross)
+    allowed_cross = {"emb_knn_bruteforce", "emb_knn_ivf"}
     offenders = []
     for name, fn in queries().items():
         if name in allowed_cross:
