@@ -50,6 +50,10 @@ def drop_exact_duplicates(df: DataFrame, text: str = "text", id_col: str = "doc_
 # -- MinHash + LSH ----------------------------------------------------
 
 
+# MinHash resemblance sketching (Broder, "On the resemblance and
+# containment of documents", 1997) with banded LSH candidate
+# generation (Leskovec/Rajaraman/Ullman, "Mining of Massive
+# Datasets" ch.3).
 # universal-hash family for MinHash: h_i(x) = (a_i * x + b_i) mod P,
 # where x is the 60-bit prefix of md5(shingle) reduced mod P. The
 # constants are md5-derived (deterministic, embedded literally in the
@@ -226,7 +230,10 @@ SIMHASH_BITS = 48  # stay inside a positive int64
 
 
 def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """48-bit SimHash per document from distinct tokens.
+    """48-bit SimHash per document from distinct tokens (Charikar,
+    "Similarity estimation techniques from rounding algorithms", 2002;
+    near-dup chunking per Manku et al., "Detecting near-duplicates for
+    web crawling", 2007).
 
     Bit j of a token = bit (j%4) of hex digit ⌊j/4⌋ of md5(token);
     document bit j = sign of Σ_tokens (±1). Built as explode → two

@@ -194,6 +194,16 @@ class BaseDataset:
         df = self.df.select(*columns) if columns else self.df
         return df.toArrow().to_reader(max_chunksize=batch_size)
 
+    def to_polars(self, columns: list[str] | None = None):
+        """Polars DataFrame export (reference `.pl`, `pydala/table.py:810-870`);
+        gated on polars availability — Arrow is the interchange."""
+        try:
+            import polars as pl
+        except ImportError as e:  # pragma: no cover
+            raise ImportError("polars is not installed in this environment") from e
+        df = self.df.select(*columns) if columns else self.df
+        return pl.from_arrow(df.toArrow())
+
     def to_duckdb(self, con=None, name: str | None = None):
         """Register this dataset's files with a DuckDB connection.
 

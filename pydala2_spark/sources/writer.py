@@ -205,6 +205,11 @@ class Writer:
             writer = writer.option("header", "true")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
-        writer.save(self.path)
+        # x2 retry on transient failures (reference: `pydala/io.py:624-664`
+        # retries dataset writes twice before surfacing)
+        try:
+            writer.save(self.path)
+        except Exception:
+            writer.save(self.path)
 
     execute = write
