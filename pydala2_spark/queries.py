@@ -905,6 +905,94 @@ def q21_multi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q16_supplier_count_by_part",
+    """
+    SELECT p_brand, p_size // 10 AS size_bucket,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+    GROUP BY p_brand, p_size // 10
+    ORDER BY supplier_cnt DESC, p_brand ASC, size_bucket ASC
+    LIMIT 30
+    """,
+)
+def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q16 shape with lineitem as the part↔supplier link (no
+    # partsupp table in this corpus).
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5") & (F.col("p_type") != "PROMO")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", F.floor(F.col("p_size") / 10).alias("size_bucket"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), F.col("p_brand").asc(), F.col("size_bucket").asc()
+        )
+        .limit(30)
+    )
+
+
+@query(
+    "q20_volume_suppliers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%red%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 100
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def q20_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IN-subquery with HAVING → aggregate then left-semi join.
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    volume = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 100)
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(
+            F.broadcast(volume), supp.s_suppkey == volume.l_suppkey, "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "set_ops_except",
+    """
+    SELECT count(*) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    ) t
+    """,
+)
+def set_ops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    f = orders.filter("o_orderstatus = 'F'").select("o_custkey")
+    o = orders.filter("o_orderstatus = 'O'").select("o_custkey")
+    # subtract = EXCEPT DISTINCT (exceptAll would keep multiplicity)
+    return f.subtract(o).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
     "string_function_suite",
     """
     SELECT upper(substr(p_name, 1, 3)) AS prefix,
