@@ -993,6 +993,81 @@ def set_ops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q12_priority_by_linestatus",
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q12 shape (reference runs it via DuckDB passthrough,
+    # pydala/table.py:940-958): conditional counts after a fact-fact
+    # join. Scale: the shipdate filter is pushed into the lineitem
+    # scan, the join shuffles on orderkey, and the CASE-sum aggregate
+    # is 2 groups — map-side partial aggregation collapses it before
+    # the final exchange.
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q11_supplier_value_share",
+    """
+    SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS value
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING sum(l_extendedprice * (1 - l_discount)) > (
+      SELECT sum(l_extendedprice * (1 - l_discount)) * 0.0015 FROM lineitem
+    )
+    ORDER BY value DESC, l_suppkey ASC
+    """,
+)
+def q11_supplier_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q11 shape (no partsupp in this corpus → supplier value
+    # from lineitem): HAVING against a scalar subquery over the same
+    # fact. Scale: one scan feeds both the per-supplier aggregate and
+    # the global total (Spark recomputes; at 100 TB cache the
+    # aggregated per-supplier frame — the total is then a cheap
+    # second-stage reduce, not a second scan). The 1-row total is
+    # broadcast into the filter.
+    li = _t(spark, sf_dir, "lineitem")
+    value = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_supp = li.groupBy("l_suppkey").agg(value.alias("raw_value"))
+    # derive the global total from the per-supplier aggregate (avoids
+    # a second full scan of the fact table)
+    total = per_supp.agg((F.sum("raw_value") * F.lit(0.0015)).alias("threshold"))
+    return (
+        per_supp.join(F.broadcast(total))
+        .filter(F.col("raw_value") > F.col("threshold"))
+        .select(
+            "l_suppkey", F.round("raw_value", 2).alias("value")
+        )
+        .orderBy(F.col("value").desc(), F.col("l_suppkey").asc())
+    )
+
+
+@query(
     "string_function_suite",
     """
     SELECT upper(substr(p_name, 1, 3)) AS prefix,
