@@ -1823,6 +1823,46 @@ def dedup_ngram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE t AS (
+      SELECT doc_id, lang, n_chars // 25 AS lb,
+             list_distinct(string_split(text, ' ')) AS tk
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM t a JOIN t b
+        ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.tk, b.tk))
+            / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+    ), cc AS (
+      SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM cc
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pair-graph → connected components → (doc, cluster, size). The
+    # oracle computes the same components with a recursive CTE
+    # (min-reachable-id per node) — exactly the fixpoint the Spark
+    # label propagation converges to.
+    from pydala2_spark.operators.dedup import duplicate_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return duplicate_clusters(pairs)
+
+
+@query(
     "dedup_simhash",
     """
     WITH tok AS (

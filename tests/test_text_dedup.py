@@ -184,3 +184,44 @@ def test_extract_audio_features_shape(spark):
         assert 1000 <= r["duration_ms"] <= 60000
         assert r["n_channels"] in (1, 2)
         assert len(r["mfcc"]) == 13
+
+
+def test_duplicate_clusters_transitive(spark):
+    from pydala2_spark.operators.dedup import duplicate_clusters
+
+    # chain 1-2-3 (1~3 NOT a pair) + clique {10,11} + isolated pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], ["id_a", "id_b"]
+    )
+    rows = {r.doc_id: r for r in duplicate_clusters(pairs).collect()}
+    assert rows[1].cluster_id == rows[2].cluster_id == rows[3].cluster_id == 1
+    assert rows[1].cluster_size == 3
+    assert rows[10].cluster_id == rows[11].cluster_id == 10
+    assert rows[10].cluster_size == 2
+    assert rows[20].cluster_id == 20 and rows[21].cluster_size == 2
+    assert len(rows) == 7
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    from pydala2_spark.operators.dedup import duplicate_clusters
+
+    # path graph 0-1-...-9, forced onto the distributed label-propagation
+    # path (driver_edge_limit=0): worst case for propagation (diameter 9)
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(9)], ["id_a", "id_b"])
+    out = duplicate_clusters(pairs, driver_edge_limit=0).collect()
+    assert {r.cluster_id for r in out} == {0}
+    assert all(r.cluster_size == 10 for r in out)
+
+
+def test_duplicate_clusters_paths_agree(spark):
+    from pydala2_spark.operators.dedup import duplicate_clusters
+
+    # driver union-find and distributed propagation produce identical
+    # clusters on a mixed graph (chain + clique + singleton pair)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    driver = sorted(map(tuple, duplicate_clusters(pairs).collect()))
+    dist = sorted(map(tuple, duplicate_clusters(pairs, driver_edge_limit=0).collect()))
+    assert driver == dist
