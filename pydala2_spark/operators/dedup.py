@@ -157,19 +157,16 @@ def minhash_lsh_pairs(
     sh = df.select(F.col(id_col), F.split(F.col(text), " ").alias("__tk")).select(
         F.col(id_col), F.expr(shingles_sql(text, k, "__tk")).alias("sh")
     )
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")), 4
+    )
+    sh_b = sh.withColumnRenamed(id_col, "__idb").withColumnRenamed("sh", "sh_b")
     return (
         cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        # jaccard stated once, inside the join condition: evaluated a
+        # single time per candidate instead of filter + project
+        .join(sh_b, (F.col("id_b") == F.col("__idb")) & (jac >= threshold))
+        .select("id_a", "id_b", jac.alias("jaccard"))
     )
 
 
@@ -197,10 +194,22 @@ def ngram_jaccard_pairs(
         *[F.col(c) for c in block_cols],
         F.floor(F.col(length_col) / length_bucket).alias("lb"),
         F.array_distinct(F.split(F.col(text), " ")).alias("tk"),
+    ).withColumn("sz", F.size("tk"))
+    jac = F.round(
+        F.size(F.array_intersect("a.tk", "b.tk")) / F.size(F.array_union("a.tk", "b.tk")), 4
     )
+    # one conjunction, cheapest first: Catalyst keeps the stated order
+    # of non-equi conjuncts, so the O(|tk|) jaccard only runs on pairs
+    # that survive the O(1) id and size checks. The size-ratio test is
+    # implied by jaccard >= t (|A∩B| ≤ min ⇒ j ≤ min/max): free pruning,
+    # no result change. Stating jaccard in the join condition (not a
+    # later filter) also stops Catalyst re-deriving it twice.
     on = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols] + [
         F.col("a.lb") == F.col("b.lb"),
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+        F.col("a.sz") >= F.lit(threshold) * F.col("b.sz"),
+        F.col("b.sz") >= F.lit(threshold) * F.col("a.sz"),
+        jac >= threshold,
     ]
     cond = on[0]
     for c in on[1:]:
@@ -208,18 +217,10 @@ def ngram_jaccard_pairs(
     return (
         toks.alias("a")
         .join(toks.alias("b"), cond)
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("a.tk", "b.tk")) / F.size(F.array_union("a.tk", "b.tk")),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            "jaccard",
+            jac.alias("jaccard"),
         )
     )
 
@@ -235,33 +236,37 @@ def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFr
     near-dup chunking per Manku et al., "Detecting near-duplicates for
     web crawling", 2007).
 
-    Bit j of a token = bit (j%4) of hex digit ⌊j/4⌋ of md5(token);
-    document bit j = sign of Σ_tokens (±1). Built as explode → two
-    hash-aggregations — both shuffles are on (doc, bit) / doc keys,
-    so the operator is embarrassingly parallel over documents.
+    Token hash = first 48 bits of md5 as one int64; document bit j =
+    sign of Σ_tokens (2·bit_j(token) − 1). One explode to token rows,
+    then a single hash-aggregation per document computing all 48 bit
+    sums as independent columns — no (token × bit) row explosion, no
+    (doc, bit) shuffle, and every expression stays in whole-stage
+    codegen. At 100 TB this is one shuffle keyed on doc_id whose
+    width is 48 longs.
     """
-    hexdigits = "0123456789abcdef"
+    from functools import reduce
+    from operator import add
+
     tok = df.select(
         F.col(id_col), F.explode(F.array_distinct(F.split(F.col(text), " "))).alias("t")
-    ).withColumn("h", F.md5("t"))
-    bit = (
-        F.floor(
-            (F.instr(F.lit(hexdigits), F.substring("h", (F.col("j") / 4).cast("int") + 1, 1)) - 1)
-            / F.pow(F.lit(2), F.col("j") % 4)
-        ).cast("long")
-        % 2
+    ).select(
+        id_col,
+        F.conv(F.substring(F.md5("t"), 1, 12), 16, 10).cast("long").alias("th"),
     )
-    bits = (
-        tok.select(id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"))
-        .withColumn("v", F.when(bit == 1, 1).otherwise(-1))
-        .groupBy(id_col, "j")
-        .agg(F.sum("v").alias("s"))
+    sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.expr(f"(th >> {j}) & 1") == 1, 1).otherwise(-1)).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
     )
-    return bits.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("j")).cast("long")).otherwise(F.lit(0))
-        ).alias("simhash")
+    assemble = reduce(
+        add,
+        [
+            F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(SIMHASH_BITS)
+        ],
     )
+    return sums.select(id_col, assemble.cast("long").alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -302,12 +307,13 @@ def simhash_near_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.bit_count(F.expr("a.simhash ^ b.simhash")).alias("hamming"),
         )
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")))
+        # verify BEFORE dedup: bit_count is a codegen one-liner, while
+        # distinct is a shuffle — filtering first shrinks the shuffle
+        # by the candidate:match ratio (~8x here)
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
     return pairs.select("id_a", "id_b", "hamming")
 

@@ -872,21 +872,25 @@ def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q21_multi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q21 shape: EXISTS + NOT EXISTS decorrelated into one
-    # order-level aggregate (counts of other-supplier lines, flagged
-    # other-supplier lines) joined back — lineitem is scanned twice,
-    # not three times.
+    # order-level pass — lineitem is scanned ONCE: groupBy
+    # (order, supplier), then order-level totals as window sums over
+    # that (much smaller) aggregate. Two shuffles total; the
+    # join-back formulation would be three (the compound-key agg is
+    # not co-partitioned with an orderkey join).
     li = _t(spark, sf_dir, "lineitem")
     per_order = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("n_r"),
     )
-    order_tot = per_order.groupBy("l_orderkey").agg(
-        F.sum("n_lines").alias("tot_lines"),
-        F.sum("n_r").alias("tot_r"),
-        F.count(F.lit(1)).alias("n_supps"),
-    )
+    w = W.partitionBy("l_orderkey")
     flagged = (
-        per_order.join(order_tot, "l_orderkey")
+        per_order.select(
+            "l_orderkey",
+            "l_suppkey",
+            "n_r",
+            F.sum("n_r").over(w).alias("tot_r"),
+            F.count(F.lit(1)).over(w).alias("n_supps"),
+        )
         .filter(
             (F.col("n_r") > 0)  # this supplier has an R line on the order
             & (F.col("n_supps") > 1)  # other suppliers exist on the order
@@ -1866,13 +1870,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash",
     """
     WITH tok AS (
-      SELECT doc_id, md5(t) AS h
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 12))::BIGINT AS th
       FROM documents, unnest(list_distinct(string_split(text, ' '))) AS u(t)
     ), bits AS (
       SELECT doc_id, j,
-             sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, (j // 4) + 1, 1)) - 1)
-                            // CAST(pow(2, j % 4) AS INT)) % 2 = 1
-                      THEN 1 ELSE -1 END) AS s
+             sum(CASE WHEN (th >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
       FROM tok, unnest(generate_series(0, 47)) AS u(j)
       GROUP BY doc_id, j
     ), sh AS (
