@@ -1,0 +1,103 @@
+"""End-to-end corpus curation: the composite pipeline a training-data
+build actually runs, as one operator.
+
+quality gate → exact dedup → near-dup cluster dedup → per-document
+disposition. Composes the verified primitives (functions.text quality
+scoring, md5 exact groups, operators.dedup blocked-Jaccard pairs +
+connected components) into a single DataFrame program — one logical
+plan per stage, every stage oracle-checkable in plain SQL.
+
+The reference has no curation surface (its dedup is row-level
+``unique`` at write time, /root/reference/pydala/io.py:242-259); this
+is the scale extension that makes the engine a corpus tool. At 100 TB:
+the quality gate is a scan-time filter (no shuffle), exact dedup is
+one hash shuffle on the content hash, and the near-dup stage only ever
+joins inside (lang, length-bucket) blocks of quality survivors — the
+candidate graph is orders of magnitude smaller than the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pydala2_spark.functions.text import quality_score
+from pydala2_spark.operators.dedup import duplicate_clusters, ngram_jaccard_pairs
+
+STATUS_KEPT = "kept"
+STATUS_LOW_QUALITY = "low_quality"
+STATUS_EXACT_DUP = "exact_dup"
+STATUS_NEAR_DUP = "near_dup"
+
+
+def curate_corpus(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    length_col: str = "n_chars",
+    min_quality: float = 0.58,
+    langs: tuple[str, ...] = ("en", "de", "es"),
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Disposition per document: (doc_id, status) with status in
+    {kept, low_quality, exact_dup, near_dup}.
+
+    Precedence mirrors a real pipeline's pass order — a document is
+    judged by the first stage that rejects it:
+
+    1. ``low_quality``: quality_score < min_quality or language not in
+       ``langs`` (cheap scan-side predicates first).
+    2. ``exact_dup``: among quality survivors, not the min-id holder of
+       its md5(text) group.
+    3. ``near_dup``: among exact keepers, in a blocked-Jaccard
+       near-dup cluster but not the cluster's min id.
+    4. ``kept``: everything else.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col(length_col),
+        F.col(text),
+        F.split(F.col(text), " ").alias("__tk"),
+    )
+    # scored feeds two branches (low + passing) and survivors feeds
+    # three (pairs, near-anti-join, kept) — cache both so the scan /
+    # scoring / dedup-window run once, not once per branch. Storage is
+    # MEMORY_AND_DISK and Spark LRU-evicts, so this is safe at scale;
+    # on a 100 TB corpus these frames are the post-filter minority.
+    scored = toks.withColumn("__q", quality_score(text, tokens_col="__tk")).cache()
+    passes = (F.col("__q") >= min_quality) & F.col(lang_col).isin(*langs)
+
+    low = scored.filter(~passes).select(
+        F.col(id_col), F.lit(STATUS_LOW_QUALITY).alias("status")
+    )
+    passing = scored.filter(passes)
+
+    grp = Window.partitionBy(F.md5(F.col(text)))
+    with_keeper = passing.withColumn("__keeper", F.min(id_col).over(grp))
+    exact = with_keeper.filter(F.col(id_col) != F.col("__keeper")).select(
+        F.col(id_col), F.lit(STATUS_EXACT_DUP).alias("status")
+    )
+    survivors = with_keeper.filter(F.col(id_col) == F.col("__keeper")).drop(
+        "__keeper", "__q", "__tk"
+    ).cache()
+
+    pairs = ngram_jaccard_pairs(
+        survivors,
+        text=text,
+        id_col=id_col,
+        block_cols=(lang_col,),
+        length_col=length_col,
+        threshold=jaccard_threshold,
+    )
+    clusters = duplicate_clusters(pairs)
+    near = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col), F.lit(STATUS_NEAR_DUP).alias("status")
+    )
+
+    kept = (
+        survivors.join(near.select(F.col(id_col)), id_col, "left_anti")
+        .select(F.col(id_col), F.lit(STATUS_KEPT).alias("status"))
+    )
+    return low.unionByName(exact).unionByName(near).unionByName(kept)

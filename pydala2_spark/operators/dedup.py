@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pydala2_spark.functions.text import content_hash, shingles_sql
 
@@ -422,7 +423,11 @@ def duplicate_clusters(
                     ra, rb = rb, ra
                 parent[rb] = ra
         rows = [(n, find(n)) for n in parent]
-        labels = spark.createDataFrame(rows, ["node", "label"])
+        id_type = undirected.schema["src"].dataType
+        schema = T.StructType(
+            [T.StructField("node", id_type), T.StructField("label", id_type)]
+        )
+        labels = spark.createDataFrame(rows, schema)
         size = Window.partitionBy("label")
         return labels.select(
             F.col("node").alias("doc_id"),

@@ -1867,6 +1867,69 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_curation",
+    """
+    WITH RECURSIVE t AS (
+      SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS tk
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang, n_chars, text, tk,
+             0.4 * least(len(tk), 100) / 100.0
+             + 0.4 * len(list_distinct(tk)) / len(tk)
+             + 0.2 * (1 - len(list_filter(tk, x -> x IN ('the', 'a', 'of', 'and'))) / len(tk))
+               AS q
+      FROM t
+    ), passing AS (
+      SELECT * FROM scored WHERE q >= 0.58 AND lang IN ('en', 'de', 'es')
+    ), eg AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      FROM passing
+    ), surv AS (
+      SELECT p.doc_id, p.lang, p.n_chars // 25 AS lb, list_distinct(p.tk) AS dtk
+      FROM passing p JOIN eg ON p.doc_id = eg.doc_id
+      WHERE eg.doc_id = eg.keeper
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM surv a JOIN surv b
+        ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.dtk, b.dtk))
+            / len(list_distinct(list_concat(a.dtk, b.dtk))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+    ), cc AS (
+      SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
+    ), near AS (
+      SELECT node AS doc_id FROM cc WHERE node <> cluster_id
+    )
+    SELECT s.doc_id,
+           'low_quality' AS status
+    FROM scored s WHERE NOT (s.q >= 0.58 AND s.lang IN ('en', 'de', 'es'))
+    UNION ALL
+    SELECT eg.doc_id, 'exact_dup' FROM eg WHERE eg.doc_id <> eg.keeper
+    UNION ALL
+    SELECT doc_id, 'near_dup' FROM near
+    UNION ALL
+    SELECT s.doc_id, 'kept'
+    FROM surv s LEFT JOIN near n ON s.doc_id = n.doc_id
+    WHERE n.doc_id IS NULL
+    """,
+)
+def doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the full training-data pipeline as one query: quality gate →
+    # exact dedup → near-dup cluster dedup → disposition. See
+    # operators/curate.py for the scale analysis per stage.
+    from pydala2_spark.operators.curate import curate_corpus
+
+    return curate_corpus(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "dedup_simhash",
     """
     WITH tok AS (

@@ -225,3 +225,23 @@ def test_duplicate_clusters_paths_agree(spark):
     driver = sorted(map(tuple, duplicate_clusters(pairs).collect()))
     dist = sorted(map(tuple, duplicate_clusters(pairs, driver_edge_limit=0).collect()))
     assert driver == dist
+
+
+def test_curate_corpus_dispositions(spark, docs):
+    from pydala2_spark.operators.curate import curate_corpus
+
+    out = dict(
+        curate_corpus(docs, min_quality=0.0, langs=("en",)).collect()
+    )
+    # doc 2 is byte-identical to doc 0 -> exact_dup (0 is the keeper);
+    # doc 1 differs from doc 0 by one token -> near_dup of keeper 0;
+    # 3 and 4 are unique; quality gate disabled via min_quality=0.
+    assert out == {0: "kept", 1: "near_dup", 2: "exact_dup", 3: "kept", 4: "kept"}
+
+
+def test_curate_corpus_quality_gate(spark, docs):
+    from pydala2_spark.operators.curate import curate_corpus
+
+    out = dict(curate_corpus(docs, min_quality=0.99, langs=("en",)).collect())
+    assert set(out.values()) == {"low_quality"}
+    assert len(out) == 5
