@@ -1445,6 +1445,46 @@ def ev_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_hourly_rollup",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Structured Streaming end-to-end, oracle-checked: drain
+    # events.parquet through readStream → watermarked tumbling-window
+    # agg → memory sink with availableNow, then hand the driver the
+    # drained table. Proves the streaming rollup converges to the
+    # batch/SQL answer on a finite input — the incremental path and
+    # the batch path agree.
+    import os
+    import tempfile
+    import uuid
+
+    from pydala2_spark.streaming.pipeline import (
+        hourly_rollup_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    events = read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    rollup = hourly_rollup_stream(events).select(
+        "hour", "event_type", "n_events", "total_value"
+    )
+    name = f"rollup_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    # state = O(hours x event_types) — a handful of partitions is
+    # plenty and cuts per-batch state-store file IO 8x vs the session's
+    # batch shuffle setting
+    return run_to_memory(rollup, name, ck, state_partitions=4)
+
+
+@query(
     "ev_sessionization",
     """
     WITH gaps AS (

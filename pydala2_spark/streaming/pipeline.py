@@ -51,6 +51,13 @@ def read_event_stream(
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    # the streaming file source wants a directory; accept a single-file
+    # path by listing its parent with a glob filter
+    import os
+
+    if path.endswith(".parquet") and os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
     df = reader.parquet(path)
     return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
 
@@ -148,22 +155,40 @@ def dedup_stream(events: DataFrame, keys: list[str], watermark: str = "1 hour") 
 
 
 def run_to_memory(
-    stream_df: DataFrame, query_name: str, checkpoint_dir: str
+    stream_df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain all currently-available input (availableNow) into an
     in-memory table and return it as a DataFrame — the test/debug sink.
     Production sinks swap ``format`` for parquet/kafka and keep the
-    same checkpoint discipline."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(query_name)
+    same checkpoint discipline.
+
+    ``state_partitions`` pins the state-store partition count for this
+    query (it is frozen into the checkpoint at first run). Streaming
+    aggs don't get AQE coalescing, so every micro-batch pays one state
+    file per partition per store — size it to expected state volume,
+    not to the session's batch shuffle setting.
+    """
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(query_name)
 
 
 def incremental_append_rollup(
