@@ -164,6 +164,35 @@ class Catalog:
             delete_paths(self.spark, [entry["path"]])
         self._save_yaml()
 
+    def delete_namespace(self, ns: str, vacuum: bool = False) -> None:
+        """Drop a namespace and every table entry in it
+        (docs/user-guide/catalog-management.md:203); data files are
+        only removed with ``vacuum=True``."""
+        tables = self._config["tables"].pop(ns, {})
+        if vacuum and tables:
+            from pydala2_spark.plans.fs import delete_paths
+
+            delete_paths(self.spark, [e["path"] for e in tables.values()])
+        self._save_yaml()
+
+    def copy_table(
+        self, source: str, dest: str, path: str | None = None, mode: str = "overwrite"
+    ) -> None:
+        """Copy a table across namespaces
+        (docs/user-guide/catalog-management.md:235-244): copies the
+        data when a new ``path`` is given (a distributed read→write),
+        otherwise registers the destination entry over the same files.
+        """
+        entry = dict(self._entry(source))
+        if path:
+            df = self.load(source).df
+            df.write.format(entry.get("format", "parquet")).mode(mode).save(path)
+            entry["path"] = path
+        ns, _, table = dest.rpartition(".")
+        ns = ns or "default"
+        self._config["tables"].setdefault(ns, {})[table] = entry
+        self._save_yaml()
+
     # -- loading / SQL ---------------------------------------------------
 
     def load(self, name: str, as_dataset: bool = True):
@@ -182,7 +211,10 @@ class Catalog:
         return ds if as_dataset else ds.df
 
     def register(self, name: str) -> str:
+        from pydala2_spark.functions.safety import quote_identifier
+
         view = name.rpartition(".")[2]
+        quote_identifier(view)  # reject non-identifier table names
         self.load(name).df.createOrReplaceTempView(view)
         return view
 

@@ -1186,6 +1186,38 @@ def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_grouping_sets",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS tot
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explicit GROUPING SETS (beyond ROLLUP/CUBE): per-status totals,
+    # per-priority totals, and the grand total in ONE scan — Spark
+    # expands to a single Expand + hash-agg, not three scans + union.
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("tot"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "tot",
+        )
+    )
+
+
+@query(
     "merge_upsert_semantics",
     """
     WITH source AS (
@@ -1407,6 +1439,48 @@ def w_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month",
         F.round("revenue", 2).alias("revenue"),
         F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("delta"),
+    )
+
+
+@query(
+    "w_rank_distribution_frames",
+    """
+    WITH per_nation AS (
+      SELECT s_nationkey, s_suppkey, s_acctbal
+      FROM supplier
+    )
+    SELECT s_nationkey, s_suppkey,
+           round(percent_rank() OVER w, 4) AS pr,
+           round(cume_dist() OVER w, 4) AS cd,
+           round(first_value(s_acctbal) OVER w, 2) AS best_bal,
+           round(last_value(s_acctbal) OVER (
+             PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS worst_bal,
+           round(max(s_acctbal) OVER (
+             PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS roll3
+    FROM per_nation
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+)
+def w_rank_distribution_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.5 distribution functions + explicit frames: percent_rank /
+    # cume_dist / first_value / last_value (full frame — the default
+    # frame would stop at CURRENT ROW) / sliding 3-row max. One
+    # shuffle on s_nationkey serves all five windows (same partition +
+    # order spec → Catalyst plans a single Window node chain).
+    supp = _t(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+    full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    roll = w.rowsBetween(-2, W.currentRow)
+    return supp.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.round(F.percent_rank().over(w), 4).alias("pr"),
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+        F.round(F.first("s_acctbal").over(w), 2).alias("best_bal"),
+        F.round(F.last("s_acctbal").over(full), 2).alias("worst_bal"),
+        F.round(F.max("s_acctbal").over(roll), 2).alias("roll3"),
     )
 
 

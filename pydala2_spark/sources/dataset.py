@@ -135,7 +135,13 @@ class BaseDataset:
         (`pydala/table.py:68-120`) and its SQL→pyarrow-expression
         compiler (`pydala/helpers/sql.py`): Catalyst parses the SQL
         string and pushes eligible predicates into the Parquet scan.
+        String predicates get the reference's hygiene pass
+        (`pydala/helpers/security.py:118-140`) first.
         """
+        if isinstance(predicate, str):
+            from pydala2_spark.functions.safety import check_predicate
+
+            predicate = check_predicate(predicate)
         return self.df.filter(predicate)
 
     # the reference exposes `scan()` as the stats-pruned variant of

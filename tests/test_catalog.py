@@ -69,3 +69,32 @@ def test_catalog_write_through_args(spark, tmp_path, catalog):
     catalog.create_table("ns.t3", p)
     catalog.write_table("ns.t3", make_simple_pdf(5, seed=100), mode="append")
     assert catalog.load("ns.t3").count_rows() == 10
+
+
+def test_catalog_copy_table_and_delete_namespace(spark, tmp_path, catalog):
+    p = _make_table(spark, tmp_path, "src_t", n=8)
+    catalog.create_table("ns_a.src_t", p)
+
+    # registration-only copy: same files, new entry
+    catalog.copy_table("ns_a.src_t", "ns_b.copy_t")
+    assert catalog.load("ns_b.copy_t").count_rows() == 8
+
+    # data copy: new path, independent files
+    p2 = str(tmp_path / "copied")
+    catalog.copy_table("ns_a.src_t", "ns_b.deep_t", path=p2)
+    assert catalog.load("ns_b.deep_t").count_rows() == 8
+    assert catalog._entry("ns_b.deep_t")["path"] == p2
+
+    catalog.delete_namespace("ns_b")
+    assert "ns_b" not in catalog.namespaces
+    with pytest.raises(KeyError):
+        catalog.load("ns_b.copy_t")
+    # source untouched
+    assert catalog.load("ns_a.src_t").count_rows() == 8
+
+
+def test_catalog_rejects_non_identifier_view(spark, tmp_path, catalog):
+    p = _make_table(spark, tmp_path, "odd", n=3)
+    catalog.create_table("ns.bad-name", p)
+    with pytest.raises(ValueError, match="identifier"):
+        catalog.register("ns.bad-name")

@@ -138,8 +138,10 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
     from pydala2_spark.queries import queries
 
     # documented exceptions: exact brute-force baseline; IVF routing
-    # (queries x centroids — a tiny bounded cross)
-    allowed_cross = {"emb_knn_bruteforce", "emb_knn_ivf"}
+    # (queries x centroids — a tiny bounded cross); q11's scalar
+    # threshold (1-row broadcast nested loop — the canonical way to
+    # attach a global aggregate without a single-partition window)
+    allowed_cross = {"emb_knn_bruteforce", "emb_knn_ivf", "q11_supplier_value_share"}
     offenders = []
     for name, fn in queries().items():
         if name in allowed_cross:
