@@ -53,6 +53,48 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+# ---------------------------------------------------------------------
+# Determinism helpers.
+#
+# A double-precision SUM over a shuffled dataset is order-dependent at
+# the last ulp; when round() lands on a half-ulp boundary the result
+# differs between engines (and between Spark runs at different
+# parallelism). Accumulating in exact decimal removes the order
+# dependence entirely: round the exact decimal, then cast back to
+# double so both engines emit the identical float. Money columns carry
+# ≤2 fractional digits, so the double→decimal(38,6) cast is itself
+# exact (no tie-rounding hazard on the way in).
+# ---------------------------------------------------------------------
+
+_DEC = "decimal(38,6)"
+
+
+def _dsum(expr, scale: int = 2):
+    """Order-independent rounded sum: exact decimal accumulation."""
+    expr = F.col(expr) if isinstance(expr, str) else expr
+    return F.round(F.sum(expr.cast(_DEC)), scale).cast("double")
+
+
+def _davg(expr, scale: int = 4):
+    """Order-independent rounded mean: exact decimal sum, one double
+    division by the non-null count (avg() semantics)."""
+    expr = F.col(expr) if isinstance(expr, str) else expr
+    return F.round(F.sum(expr.cast(_DEC)).cast("double") / F.count(expr), scale)
+
+
+def _osum(expr: str, scale: int = 2) -> str:
+    """DuckDB mirror of _dsum."""
+    return f"CAST(round(sum(CAST({expr} AS DECIMAL(38,6))), {scale}) AS DOUBLE)"
+
+
+def _oavg(expr: str, scale: int = 4) -> str:
+    """DuckDB mirror of _davg."""
+    return (
+        f"round(CAST(sum(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
+        f" / count({expr}), {scale})"
+    )
+
+
 # =====================================================================
 # Scans / filters (S1-S8, P1-P4) — pushdown exercised explicitly
 # =====================================================================
@@ -116,16 +158,16 @@ def distinct_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q1_pricing_summary",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 4)                                        AS avg_disc,
-           count(*)                                                         AS count_order
+           {_osum("l_quantity")}                                        AS sum_qty,
+           {_osum("l_extendedprice")}                                   AS sum_base_price,
+           {_osum("l_extendedprice * (1 - l_discount)")}                AS sum_disc_price,
+           {_osum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}  AS sum_charge,
+           {_oavg("l_quantity")}                                        AS avg_qty,
+           {_oavg("l_extendedprice")}                                   AS avg_price,
+           {_oavg("l_discount")}                                        AS avg_disc,
+           count(*)                                                     AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -139,15 +181,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            _davg("l_quantity").alias("avg_qty"),
+            _davg("l_extendedprice").alias("avg_price"),
+            _davg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -155,8 +197,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q6_forecast_revenue",
-    """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    f"""
+    SELECT {_osum("l_extendedprice * l_discount")} AS revenue,
            count(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -176,18 +218,18 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
 @query(
     "agg_rollup_status_priority",
-    """
+    f"""
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
            coalesce(o_orderpriority, 'ALL') AS priority,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total
+           {_osum("o_totalprice")} AS total
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -197,7 +239,7 @@ def agg_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), _dsum("o_totalprice").alias("total"))
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
@@ -238,9 +280,9 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q3_shipping_priority",
-    """
+    f"""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {_osum("l_extendedprice * (1 - l_discount)")} AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
            o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
@@ -267,7 +309,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
         .select(
@@ -281,9 +323,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q5_nation_revenue",
-    """
+    f"""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           {_osum("l_extendedprice * (1 - l_discount)")} AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -318,15 +360,15 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
 @query(
     "q10_returned_items",
-    """
+    f"""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {_osum("l_extendedprice * (1 - l_discount)")} AS revenue,
            round(any_value(c_acctbal), 2) AS acctbal,
            any_value(n_name) AS nation
     FROM customer
@@ -355,7 +397,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.round(F.any_value("c_acctbal"), 2).alias("acctbal"),
             F.any_value("n_name").alias("nation"),
         )
@@ -443,8 +485,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q7_volume_shipping",
-    """
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    f"""
+    SELECT supp_nation, cust_nation, l_year, {_osum("volume")} AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              strftime(l_shipdate, '%Y') AS l_year,
@@ -484,20 +526,17 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
         )
         .groupBy("supp_nation", "cust_nation", F.date_format("l_shipdate", "yyyy").alias("l_year"))
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
 @query(
     "q8_market_share",
-    """
+    f"""
     SELECT o_year,
-           round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
-                 / sum(volume), 4) AS mkt_share
+           round(CAST(sum(CASE WHEN nation = 'NATION_5'
+                              THEN CAST(volume AS DECIMAL(38,6)) ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CAST(volume AS DECIMAL(38,6))) AS DOUBLE), 4) AS mkt_share
     FROM (
       SELECT strftime(o_orderdate, '%Y') AS o_year,
              l_extendedprice * (1 - l_discount) AS volume,
@@ -537,7 +576,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("o_orderdate", "yyyy").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("nation") == "NATION_5", vol).otherwise(0.0)) / F.sum(vol), 4
+                F.sum(
+                    F.when(F.col("nation") == "NATION_5", vol.cast(_DEC)).otherwise(
+                        F.lit(0).cast(_DEC)
+                    )
+                ).cast("double")
+                / F.sum(vol.cast(_DEC)).cast("double"),
+                4,
             ).alias("mkt_share")
         )
     )
@@ -545,8 +590,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q9_product_profit",
-    """
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    f"""
+    SELECT nation, o_year, {_osum("amount")} AS sum_profit
     FROM (
       SELECT n_name AS nation,
              strftime(o_orderdate, '%Y') AS o_year,
@@ -580,7 +625,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.date_format("o_orderdate", "yyyy").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(_dsum(amount).alias("sum_profit"))
     )
 
 
@@ -612,10 +657,12 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q14_promo_revenue",
-    """
-    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    f"""
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                                  ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE),
+                 4) AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -632,7 +679,13 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
             F.round(
-                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev),
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev.cast(_DEC)).otherwise(
+                        F.lit(0).cast(_DEC)
+                    )
+                ).cast("double")
+                / F.sum(rev.cast(_DEC)).cast("double"),
                 4,
             ).alias("promo_revenue")
         )
@@ -641,8 +694,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q17_small_quantity_revenue",
-    """
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    f"""
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#1'
       AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
@@ -662,7 +715,11 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(avg_qty), li.l_partkey == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / 7.0, 2
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -704,8 +761,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q19_disjunctive_predicates",
-    """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    f"""
+    SELECT {_osum("l_extendedprice * (1 - l_discount)")} AS revenue,
            count(*) AS n_lines
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
@@ -735,19 +792,20 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(25, 50)
     )
     return j.filter(c1 | c2 | c3).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
 @query(
     "q22_inactive_customers",
-    """
-    SELECT nation_grp, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    f"""
+    SELECT nation_grp, count(*) AS numcust, {_osum("c_acctbal")} AS totacctbal
     FROM (
       SELECT c_nationkey % 5 AS nation_grp, c_acctbal
       FROM customer
-      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+                         FROM customer WHERE c_acctbal > 0)
         AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                         AND o_orderpriority = '1-URGENT')
     ) custsale
@@ -759,7 +817,13 @@ def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never-ordered customers.
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    threshold = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).first()[0]
+    threshold = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(F.col("c_acctbal").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias("t")
+        )
+        .first()[0]
+    )
     return (
         cust.filter(F.col("c_acctbal") > threshold)
         .join(
@@ -770,7 +834,7 @@ def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("c_nationkey") % 5).alias("nation_grp"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            _dsum("c_acctbal").alias("totacctbal"),
         )
     )
 
@@ -820,16 +884,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q15_top_suppliers",
-    """
+    f"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
       GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+    SELECT s_suppkey, s_name, CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
     WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
     """,
@@ -841,8 +905,12 @@ def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
+    # exact decimal revenue → the max/equality tie-out is exact, not a
+    # last-ulp double comparison that could drop/duplicate the winner
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)).alias(
+            "total_revenue"
+        )
     )
     w = W.partitionBy()
     top = revenue.withColumn("mx", F.max("total_revenue").over(w)).filter(
@@ -850,7 +918,9 @@ def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = _t(spark, sf_dir, "supplier")
     return supp.join(F.broadcast(top), supp.s_suppkey == top.supplier_no).select(
-        "s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue")
+        "s_suppkey",
+        "s_name",
+        F.round("total_revenue", 2).cast("double").alias("total_revenue"),
     )
 
 
@@ -998,12 +1068,12 @@ def set_ops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q12_priority_by_linestatus",
-    """
+    f"""
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -1037,12 +1107,14 @@ def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q11_supplier_value_share",
-    """
-    SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS value
+    f"""
+    SELECT l_suppkey, {_osum("l_extendedprice * (1 - l_discount)")} AS value
     FROM lineitem
     GROUP BY l_suppkey
-    HAVING sum(l_extendedprice * (1 - l_discount)) > (
-      SELECT sum(l_extendedprice * (1 - l_discount)) * 0.0015 FROM lineitem
+    HAVING CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) > (
+      SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+             * 0.0015
+      FROM lineitem
     )
     ORDER BY value DESC, l_suppkey ASC
     """,
@@ -1056,17 +1128,18 @@ def q11_supplier_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second-stage reduce, not a second scan). The 1-row total is
     # broadcast into the filter.
     li = _t(spark, sf_dir, "lineitem")
-    value = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    value = F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC))
     per_supp = li.groupBy("l_suppkey").agg(value.alias("raw_value"))
-    # derive the global total from the per-supplier aggregate (avoids
-    # a second full scan of the fact table)
-    total = per_supp.agg((F.sum("raw_value") * F.lit(0.0015)).alias("threshold"))
+    # derive the global total from the per-supplier aggregate (avoids a
+    # second full scan of the fact table); decimal sums are exact, so
+    # the global total equals the single-pass total bit-for-bit
+    total = per_supp.agg(
+        (F.sum("raw_value").cast("double") * F.lit(0.0015)).alias("threshold")
+    )
     return (
         per_supp.join(F.broadcast(total))
-        .filter(F.col("raw_value") > F.col("threshold"))
-        .select(
-            "l_suppkey", F.round("raw_value", 2).alias("value")
-        )
+        .filter(F.col("raw_value").cast("double") > F.col("threshold"))
+        .select("l_suppkey", F.round("raw_value", 2).cast("double").alias("value"))
         .orderBy(F.col("value").desc(), F.col("l_suppkey").asc())
     )
 
@@ -1105,11 +1178,11 @@ def string_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "array_function_suite",
-    """
+    f"""
     SELECT label,
            count(*) AS n,
-           round(avg(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)))), 4) AS avg_head_sum,
-           round(avg(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE)))), 4) AS avg_max,
+           {_oavg("list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)))")} AS avg_head_sum,
+           {_oavg("list_max(list_transform(embedding, x -> CAST(x AS DOUBLE)))")} AS avg_max,
            round(avg(len(list_filter(embedding, x -> x > 0))), 4) AS avg_n_pos
     FROM embeddings
     GROUP BY label
@@ -1126,18 +1199,18 @@ def array_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_pos = F.size(F.expr("filter(embedding, x -> x > 0)"))
     return e.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(head_sum), 4).alias("avg_head_sum"),
-        F.round(F.avg(vmax), 4).alias("avg_max"),
+        _davg(head_sum).alias("avg_head_sum"),
+        _davg(vmax).alias("avg_max"),
         F.round(F.avg(n_pos), 4).alias("avg_n_pos"),
     )
 
 
 @query(
     "date_arithmetic_suite",
-    """
+    f"""
     SELECT CAST(date_diff('day', o_orderdate, l_shipdate) // 30 AS BIGINT) AS months_to_ship,
            count(*) AS n,
-           round(sum(l_extendedprice), 2) AS total
+           {_osum("l_extendedprice")} AS total
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate >= o_orderdate
     GROUP BY 1
@@ -1155,14 +1228,14 @@ def date_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) / 30
             ).alias("months_to_ship")
         )
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("l_extendedprice").alias("total"))
         .orderBy("months_to_ship")
     )
 
 
 @query(
     "agg_cube_flag_status",
-    """
+    f"""
     SELECT coalesce(l_returnflag, 'ALL') AS flag,
            coalesce(l_linestatus, 'ALL') AS status,
            count(*) AS n,
@@ -1187,11 +1260,11 @@ def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_grouping_sets",
-    """
+    f"""
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
            coalesce(o_orderpriority, 'ALL') AS priority,
            count(*) AS n,
-           round(sum(o_totalprice), 2) AS tot
+           {_osum("o_totalprice")} AS tot
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -1207,7 +1280,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus",
             "o_orderpriority",
         )
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("tot"))
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("o_totalprice").alias("tot"))
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
@@ -1253,10 +1326,12 @@ def merge_upsert_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ev_json_extract",
-    """
+    f"""
     SELECT event_type,
            count(*) AS n,
-           round(avg(CAST(json_extract(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+           round(CAST(sum(CAST(CAST(json_extract(props, '$.k') AS DOUBLE) AS DECIMAL(38,6)))
+                      AS DOUBLE)
+                 / count(CAST(json_extract(props, '$.k') AS DOUBLE)), 4) AS avg_k,
            max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
     FROM events
     GROUP BY event_type
@@ -1266,9 +1341,10 @@ def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # get_json_object is a JVM built-in — JSON parsing stays in codegen.
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k")
+    kd = k.cast("double")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(k.cast("double")), 4).alias("avg_k"),
+        F.round(F.sum(kd.cast(_DEC)).cast("double") / F.count(kd), 4).alias("avg_k"),
         F.max(k.cast("long")).alias("max_k"),
     )
 
@@ -1300,11 +1376,11 @@ def doc_token_explode_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pivot_status_by_priority",
-    """
+    f"""
     SELECT o_orderpriority,
-           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS f_total,
-           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS o_total,
-           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS p_total
+           {_osum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END")} AS f_total,
+           {_osum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END")} AS o_total,
+           {_osum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END")} AS p_total
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -1315,7 +1391,7 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.round(F.sum("o_totalprice"), 2))
+        .agg(_dsum("o_totalprice"))
         .select(
             "o_orderpriority",
             F.coalesce("F", F.lit(0.0)).alias("f_total"),
@@ -1388,11 +1464,13 @@ def w_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "w_running_revenue",
-    """
+    f"""
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                                         ORDER BY o_orderdate ASC, o_orderkey ASC
-                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                      OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate ASC, o_orderkey ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                AS DOUBLE) AS running_total
     FROM orders
     """,
 )
@@ -1407,22 +1485,24 @@ def w_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             "o_orderkey",
-            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+            F.round(F.sum(F.col("o_totalprice").cast(_DEC)).over(w), 2)
+            .cast("double")
+            .alias("running_total"),
         )
     )
 
 
 @query(
     "w_monthly_growth",
-    """
+    f"""
     WITH monthly AS (
       SELECT strftime(o_orderdate, '%Y-%m') AS month,
-             sum(o_totalprice) AS revenue
+             sum(CAST(o_totalprice AS DECIMAL(38,6))) AS revenue
       FROM orders GROUP BY 1
     )
     SELECT month,
-           round(revenue, 2) AS revenue,
-           round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS delta
+           CAST(round(revenue, 2) AS DOUBLE) AS revenue,
+           CAST(round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS DOUBLE) AS delta
     FROM monthly
     """,
 )
@@ -1432,13 +1512,13 @@ def w_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = (
         _t(spark, sf_dir, "orders")
         .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
-        .agg(F.sum("o_totalprice").alias("revenue"))
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("revenue"))
     )
     w = W.orderBy("month")
     return monthly.select(
         "month",
-        F.round("revenue", 2).alias("revenue"),
-        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("delta"),
+        F.round("revenue", 2).cast("double").alias("revenue"),
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).cast("double").alias("delta"),
     )
 
 
@@ -1491,11 +1571,11 @@ def w_rank_distribution_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ev_hourly_rollup",
-    """
+    f"""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
            event_type,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value,
+           {_osum("value")} AS total_value,
            count(DISTINCT user_id) AS n_users
     FROM events
     GROUP BY 1, 2
@@ -1512,7 +1592,7 @@ def ev_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _dsum("value").alias("total_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )
@@ -1520,11 +1600,11 @@ def ev_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_hourly_rollup",
-    """
+    f"""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
            event_type,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           {_osum("value")} AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -1603,12 +1683,12 @@ def ev_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ev_type_value_stats",
-    """
+    f"""
     SELECT event_type,
            count(*) AS n,
            round(min(value), 4) AS min_v,
            round(max(value), 4) AS max_v,
-           round(avg(value), 4) AS avg_v,
+           {_oavg("value")} AS avg_v,
            round(quantile_cont(value, 0.5), 4) AS median_v
     FROM events
     GROUP BY event_type
@@ -1622,7 +1702,7 @@ def ev_type_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.min("value"), 4).alias("min_v"),
         F.round(F.max("value"), 4).alias("max_v"),
-        F.round(F.avg("value"), 4).alias("avg_v"),
+        _davg("value").alias("avg_v"),
         F.round(F.median("value"), 4).alias("median_v"),
     )
 
@@ -1670,10 +1750,10 @@ def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "range_join_ship_window",
-    """
+    f"""
     SELECT o_orderpriority,
            count(*) AS n_lines,
-           round(sum(l_extendedprice), 2) AS total
+           {_osum("l_extendedprice")} AS total
     FROM lineitem JOIN orders
       ON l_orderkey = o_orderkey
      AND l_shipdate >= o_orderdate
@@ -1697,7 +1777,7 @@ def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+            _dsum("l_extendedprice").alias("total"),
         )
     )
 
@@ -1739,7 +1819,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_quality_scores",
-    """
+    f"""
     WITH t AS (
       SELECT doc_id, lang,
              len(string_split(text, ' ')) AS n_tok,
@@ -1750,9 +1830,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            count(*) AS n_docs,
-           round(avg(0.4 * least(n_tok, 100) / 100.0
-                     + 0.4 * n_uniq / n_tok
-                     + 0.2 * (1 - n_stop / n_tok)), 4) AS avg_quality
+           {_oavg("0.4 * least(n_tok, 100) / 100.0 + 0.4 * n_uniq / n_tok + 0.2 * (1 - n_stop / n_tok)")} AS avg_quality
     FROM t GROUP BY lang
     """,
 )
@@ -1764,7 +1842,7 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.split("text", " ").alias("__tk"))
         .select("lang", X.quality_score(tokens_col="__tk").alias("q"))
         .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("q"), 4).alias("avg_quality"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), _davg("q").alias("avg_quality"))
     )
 
 
@@ -1805,15 +1883,15 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_exact_dedup",
-    """
+    f"""
     WITH g AS (
       SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS keep_id
       FROM documents GROUP BY 1
     )
     SELECT count(*) AS n_groups,
-           sum(n_docs) AS n_docs,
-           sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
-           sum(CASE WHEN n_docs > 1 THEN n_docs - 1 ELSE 0 END) AS n_removable
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+           CAST(sum(CASE WHEN n_docs > 1 THEN n_docs - 1 ELSE 0 END) AS BIGINT) AS n_removable
     FROM g
     """,
 )

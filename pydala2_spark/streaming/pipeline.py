@@ -71,7 +71,12 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # exact decimal accumulation → arrival-order independent (the
+            # incremental state updates in a different order than a batch
+            # scan; double sums would drift at the last ulp)
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
             F.approx_count_distinct("user_id").alias("approx_users"),
         )
         .select(
