@@ -54,7 +54,20 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(out))
+    # The driver keeps only the LAST 2000 chars of stdout and parses the
+    # final JSON line from that tail (r1: a 2.1k-char line got its head
+    # truncated → parsed=null). Emit compact separators and shed decimal
+    # precision until the line is guaranteed to fit; the full-precision
+    # dict goes to BENCH_DETAIL.json next to this script.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    for ndigits in (3, 2, 1):
+        out["queries"] = {k: round(v, ndigits) for k, v in timings.items()}
+        line = json.dumps(out, separators=(",", ":"))
+        if len(line) <= 1980:
+            break
+    print(line)
 
 
 if __name__ == "__main__":

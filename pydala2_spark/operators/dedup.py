@@ -336,21 +336,42 @@ def embedding_near_duplicates(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    block_col: str | None = "label",
+    block_col: str | None = None,
     threshold: float = 0.99,
+    srp_planes: int = 4,
 ) -> DataFrame:
-    """Pairs of near-identical embeddings by exact cosine, blocked by a
-    metadata column (same label) to avoid the cross join. For fully
-    unlabeled corpora, block with LSH sign-projections instead (see
-    operators/similarity.py)."""
-    from pydala2_spark.operators.similarity import scalar_dot, unit_scalar_frame, vector_dim
+    """Pairs of near-identical embeddings by exact cosine.
+
+    Blocking (the thing that kills the O(n²) cross join at 100 TB):
+    by DEFAULT each vector is assigned a deterministic sign-random-
+    projection bucket (md5-derived hyperplanes, similarity.srp_bucket)
+    and only same-bucket pairs are compared — 2^srp_planes blocks whose
+    sizes track the data distribution, no metadata required. Truly
+    near-identical vectors (cosine → 1) land in the same bucket with
+    probability (1 - θ/π)^planes, so recall stays high exactly where
+    the operator is aimed. Pass ``block_col`` to additionally require a
+    metadata match (e.g. same label) — the conjunction tightens blocks
+    for labeled corpora; pairs straddling buckets are missed by
+    construction (documented LSH trade-off).
+    """
+    from pydala2_spark.operators.similarity import (
+        scalar_dot,
+        srp_bucket,
+        unit_scalar_frame,
+        vector_dim,
+    )
 
     dim = vector_dim(df, vec_col)
     keep = [id_col] + ([block_col] if block_col else [])
+    base = df.select(*keep, vec_col).withColumn(
+        "__srp", srp_bucket(vec_col, srp_planes, dim)
+    )
     # widen to scalar columns: keeps the O(pairs) dot-product stage in
     # whole-stage codegen (lambda dots run interpreted — 2x slower)
-    v = unit_scalar_frame(df.select(*keep, vec_col), vec_col, keep, dim)
-    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    v = unit_scalar_frame(base, vec_col, keep + ["__srp"], dim)
+    cond = (F.col("a.__srp") == F.col("b.__srp")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
     if block_col:
         cond = (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & cond
     return (

@@ -247,7 +247,12 @@ def label_centroids(
     exploded = df.select(
         F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "x")
     ).withColumn("x", F.col("x").cast("double"))
-    means = exploded.groupBy(label_col, "pos").agg(F.avg("x").alias("m"))
+    # exact decimal accumulation: the centroid feeds the nprobe cell
+    # ranking, where last-ulp noise from a double avg could flip which
+    # cells a query probes (and the oracle with it)
+    means = exploded.groupBy(label_col, "pos").agg(
+        (F.sum(F.col("x").cast("decimal(38,6)")).cast("double") / F.count("x")).alias("m")
+    )
     return (
         means.groupBy(label_col)
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
