@@ -437,12 +437,25 @@ def repair_schema(spark: SparkSession, path: str, dry_run: bool = False) -> dict
     target = plan["schema"]
     for f in plan["files"]:
         df = cast_to_schema(spark.read.parquet(f), target)
-        tmp_dir = f"{f}__repair_{uuid.uuid4().hex[:8]}"
+        parent, name = f.rsplit("/", 1)
+        tok = uuid.uuid4().hex[:8]
+        # hidden ('_'-prefixed) staging dir: readers never pick it up,
+        # even if a crash strands it
+        tmp_dir = f"{parent}/_repair_{tok}"
         df.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
         new_file = next(p for p in list_files(spark, tmp_dir) if p.endswith(".parquet"))
-        delete_paths(spark, [f])
-        rename(spark, new_file, f)
-        delete_paths(spark, [tmp_dir])
+        # crash-safe ordering: original → hidden backup, replacement
+        # in, backup dropped LAST — at every instant the row data
+        # exists either as the visible file or the recoverable backup
+        # (the old delete-then-rename order lost the file outright if
+        # the rename failed)
+        backup = f"{parent}/._repair_bak_{tok}_{name}"
+        rename(spark, f, backup)
+        if not rename(spark, new_file, f):
+            rename(spark, backup, f)  # roll back
+            delete_paths(spark, [tmp_dir])
+            raise IOError(f"repair_schema: replacement rename failed for {f}")
+        delete_paths(spark, [backup, tmp_dir])
     return plan
 
 

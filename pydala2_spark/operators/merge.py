@@ -111,6 +111,19 @@ def _dedup_last_wins(source: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+# Above this many source rows, skip the broadcast hint and let the
+# planner pick a shuffle join: key tuples at ~50 B/row put 2M rows near
+# 100 MB — about the largest broadcast a healthy driver should carry.
+BROADCAST_ROW_LIMIT = 2_000_000
+
+
+def _hint_small(df: DataFrame, n_rows: int) -> DataFrame:
+    """Broadcast hint gated on a known row count (size-gate per the
+    reference's large-batch behavior: small batches broadcast, backfill
+    batches shuffle)."""
+    return F.broadcast(df) if n_rows <= BROADCAST_ROW_LIMIT else df
+
+
 def _null_safe_cond(left: DataFrame, right: DataFrame, keys: list[str]):
     cond = None
     for k in keys:
@@ -231,23 +244,44 @@ def merge(
 
     tagged = target.withColumn(_FILE, F.col("_metadata.file_path"))
 
-    # matched target rows (null-safe equi-join; broadcast the source side —
-    # merge batches are small relative to the target at scale)
-    match_cond = _null_safe_cond(tagged, deduped, keys)
-    matched_target = tagged.join(F.broadcast(deduped.select(*keys)), on=match_cond, how="left_semi")
+    # matched target rows: null-safe equi-join with the broadcast ALWAYS
+    # on the source side (merge batches are small relative to the target
+    # at scale) — and size-gated, so a huge backfill batch degrades to a
+    # shuffle join instead of OOMing the driver.
+    src_keys = deduped.select(*keys)
+    match_cond = _null_safe_cond(tagged, src_keys, keys)
+    matched_target = tagged.join(
+        _hint_small(src_keys, source_count), on=match_cond, how="left_semi"
+    )
 
     if strategy in ("update", "upsert"):
         matched_files = [r[_FILE] for r in matched_target.select(_FILE).distinct().collect()]
     else:
         matched_files = []
 
+    # matched/unmatched SOURCE rows split on the matched-target key set:
+    # that set is bounded by the source batch (each key is a source
+    # key), so the broadcast again stays on the small side — never on
+    # the target, which can be arbitrarily large. localCheckpoint (not
+    # cache) pins the PRE-append listing: the appends below trigger
+    # refreshByPath, which would re-materialize a cached plan against
+    # the new file list and leak just-inserted keys into the match set.
+    matched_keys = matched_target.select(*keys).distinct().localCheckpoint(eager=True)
     inserts = (
-        deduped.join(F.broadcast(tagged.select(*keys)), on=_null_safe_cond(deduped, tagged, keys), how="left_anti")
+        deduped.join(
+            _hint_small(matched_keys, source_count),
+            on=_null_safe_cond(deduped, matched_keys, keys),
+            how="left_anti",
+        )
         if strategy in ("insert", "upsert")
         else None
     )
     matched_source = (
-        deduped.join(F.broadcast(tagged.select(*keys)), on=_null_safe_cond(deduped, tagged, keys), how="left_semi")
+        deduped.join(
+            _hint_small(matched_keys, source_count),
+            on=_null_safe_cond(deduped, matched_keys, keys),
+            how="left_semi",
+        )
         if strategy in ("update", "upsert")
         else None
     )
@@ -274,38 +308,65 @@ def merge(
 
     updated = matched_source.count() if matched_source is not None else 0
     inserted = inserts.count() if inserts is not None else 0
+    # the rewrite collapses every matched target row (duplicates
+    # included — plain appends can leave several rows per key) into one
+    # source row, so the post-merge count must subtract what matched
+    matched_target_rows = matched_target.count() if updated else 0
 
     all_files_before = list_files(spark, target_path)
 
     # Ordering matters: every plan below still READS the pre-merge file
     # set (the DataFrame's FileIndex was pinned at load), so all appends
-    # happen first and the replaced files are deleted last.
-    if inserted:
-        _append(inserts.select(*target_cols), target_path, partition_by, compression, max_rows_per_file)
-        result.inserted_files = [
-            f for f in list_files(spark, target_path) if f not in all_files_before
-        ]
+    # happen first and the replaced files are deleted last. Any failure
+    # after the first append surfaces as PartialMergeError carrying the
+    # accumulated MergeResult + the not-yet-deleted files, so the caller
+    # can finish (or undo) the mutation deliberately.
+    try:
+        if inserted:
+            _append(inserts.select(*target_cols), target_path, partition_by, compression, max_rows_per_file)
+            result.inserted_files = [
+                f for f in list_files(spark, target_path) if f not in all_files_before
+            ]
 
-    # -- rewrite matched files: (their unmatched rows) ∪ (matched source) -
-    if updated and matched_files:
-        files_after_inserts = list_files(spark, target_path)
-        survivors = (
-            tagged.filter(F.col(_FILE).isin(matched_files))
-            .join(F.broadcast(deduped.select(*keys)), on=match_cond, how="left_anti")
-            .drop(_FILE)
-        )
-        replacement = survivors.unionByName(matched_source.select(*target_cols))
-        _append(replacement, target_path, partition_by, compression, max_rows_per_file)
-        result.rewritten_files = [
-            f for f in list_files(spark, target_path) if f not in files_after_inserts
-        ]
-        delete_paths(spark, matched_files)
+        # -- rewrite matched files: (their unmatched rows) ∪ (matched source)
+        if updated and matched_files:
+            files_after_inserts = list_files(spark, target_path)
+            survivors = (
+                tagged.filter(F.col(_FILE).isin(matched_files))
+                .join(
+                    _hint_small(src_keys, source_count), on=match_cond, how="left_anti"
+                )
+                .drop(_FILE)
+            )
+            replacement = survivors.unionByName(matched_source.select(*target_cols))
+            _append(replacement, target_path, partition_by, compression, max_rows_per_file)
+            result.rewritten_files = [
+                f for f in list_files(spark, target_path) if f not in files_after_inserts
+            ]
+            delete_paths(spark, matched_files)
+    except Exception as e:
+        from pydala2_spark.errors import PartialMergeError
 
-    deduped.unpersist()
+        result.updated = updated
+        result.inserted = inserted
+        # replacements fully written but originals not removed → the
+        # recovery step is exactly "delete pending_deletes"; an earlier
+        # failure leaves nothing pending (Spark's committer stages job
+        # output in _temporary, so a failed append publishes no files)
+        raise PartialMergeError(
+            f"merge mutated {target_path!r} but failed before completing: {e}",
+            merge_result=result,
+            pending_deletes=matched_files if result.rewritten_files else [],
+        ) from e
+    finally:
+        deduped.unpersist()
+
     result.updated = updated
     result.inserted = inserted
     result.preserved_files = [f for f in all_files_before if f not in matched_files]
-    result.target_count_after = target_count_before + inserted
+    result.target_count_after = (
+        target_count_before - matched_target_rows + updated + inserted
+    )
     return result
 
 

@@ -67,6 +67,11 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
     return bool(fs.rename(hsrc, jvm.org.apache.hadoop.fs.Path(dst)))
 
 
+def mkdirs(spark: SparkSession, path: str) -> bool:
+    fs, hpath, _ = _fs_and_path(spark, path)
+    return bool(fs.mkdirs(hpath))
+
+
 def file_sizes(spark: SparkSession, path: str) -> dict[str, int]:
     fs, hpath, _ = _fs_and_path(spark, path)
     if not fs.exists(hpath):

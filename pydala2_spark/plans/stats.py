@@ -172,12 +172,15 @@ def prune_files(
     cmax = F.get_json_object(F.col("__st.max"), "$")
     keep = F.col("__st").isNull()  # no stats → must keep
     cond = F.lit(True)
+    # each bound check is NULL-tolerant: if the stat can't cast to the
+    # probe's type (e.g. numeric probe on a string/timestamp column) the
+    # comparison is NULL, and "unknown ⇒ keep" demands the file survive
     if lo is not None:
         t = "double" if isinstance(lo, (int, float)) else "string"
-        cond = cond & (cmax.cast(t) >= F.lit(lo))
+        cond = cond & F.coalesce(cmax.try_cast(t) >= F.lit(lo), F.lit(True))
     if hi is not None:
         t = "double" if isinstance(hi, (int, float)) else "string"
-        cond = cond & (cmin.cast(t) <= F.lit(hi))
+        cond = cond & F.coalesce(cmin.try_cast(t) <= F.lit(hi), F.lit(True))
     return [r["file_path"] for r in s.filter(keep | cond).select("file_path").collect()]
 
 

@@ -194,25 +194,93 @@ class Writer:
             # min/max stats for later pruning; no global shuffle.
             df = df.sortWithinPartitions(*to_sort_columns(sort_by))
 
-        writer = (
-            df.write.format(self.format)
-            .mode(mode)
-            .option("maxRecordsPerFile", str(max_rows_per_file))
-        )
-        if self.format == "parquet":
-            writer = writer.option("compression", compression)
-        if self.format == "csv":
-            writer = writer.option("header", "true")
-        if partition_cols:
-            writer = writer.partitionBy(*partition_cols)
-        # x2 retry on transient failures (reference: `pydala/io.py:624-664`
-        # retries dataset writes twice before surfacing)
-        try:
-            writer.save(self.path)
-        except Exception:
-            writer.save(self.path)
+        def build(target_mode: str):
+            w = (
+                df.write.format(self.format)
+                .mode(target_mode)
+                .option("maxRecordsPerFile", str(max_rows_per_file))
+            )
+            if self.format == "parquet":
+                w = w.option("compression", compression)
+            if self.format == "csv":
+                w = w.option("header", "true")
+            if partition_cols:
+                w = w.partitionBy(*partition_cols)
+            return w
+
+        # Retry policy (reference retries dataset writes x2,
+        # `pydala/io.py:624-664`), made IDEMPOTENT per mode:
+        # - overwrite / ignore: re-running is safe by construction
+        #   (full replace / no-op when present) → one retry;
+        # - error: never retried — after a failed first attempt the
+        #   path may exist, and the retry would bury the real error
+        #   under path-already-exists;
+        # - append: staged (below) — a naive re-run after a partial
+        #   commit would double-append.
+        from pyspark.errors import AnalysisException
+
+        if mode != "append":
+            try:
+                build(mode).save(self.path)
+            except AnalysisException:
+                raise  # deterministic (schema/path) — retrying can't help
+            except Exception:
+                if mode == "error":
+                    raise
+                build(mode).save(self.path)
+            return
+
+        self._append_staged(build)
 
     execute = write
+
+    def _append_staged(self, build) -> None:
+        """Append = write to a hidden staging dir, then publish by
+        renaming files into place.
+
+        The job commit and every publish step are rename-based, so a
+        first attempt that dies mid-write leaves data only under
+        ``_staging_*`` (readers skip ``_``-prefixed paths) and the
+        retry re-runs against a clean slate — no double-append, the
+        failure mode of the naive save-again retry. If the PUBLISH
+        itself dies partway, PartialWriteError carries what moved and
+        where the rest still lives (reference contract,
+        `pydala/io.py:41-55`).
+        """
+        import uuid
+
+        from pydala2_spark.errors import PartialWriteError
+        from pydala2_spark.plans.fs import delete_paths, list_files, mkdirs, rename
+
+        spark = self.spark
+        token = uuid.uuid4().hex[:12]
+        staging = f"{self.path.rstrip('/')}/_staging_{token}"
+        for attempt in (1, 2):
+            try:
+                build("error").save(staging)
+                break
+            except Exception:
+                delete_paths(spark, [staging])
+                if attempt == 2:
+                    raise
+        published: list[str] = []
+        sep = f"/_staging_{token}/"
+        try:
+            for f in list_files(spark, staging):
+                rel = f.split(sep, 1)[1]
+                dst = f"{self.path.rstrip('/')}/{rel}"
+                if "/" in rel:
+                    mkdirs(spark, dst.rsplit("/", 1)[0])
+                if not rename(spark, f, dst):
+                    raise IOError(f"rename failed: {f} -> {dst}")
+                published.append(dst)
+        except Exception as e:
+            raise PartialWriteError(
+                f"append to {self.path!r} failed during publish: {e}",
+                files=published,
+                staging_dir=staging,
+            ) from e
+        delete_paths(spark, [staging])
 
 
 # -- bucketed write (co-located joins) --------------------------------

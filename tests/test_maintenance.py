@@ -73,6 +73,16 @@ def test_prune_files_minmax(spark, tmp_ds_path):
     assert df.count() == 11
 
 
+def test_prune_files_uncastable_stats_kept(spark, tmp_ds_path):
+    """Numeric probe against a STRING column: min/max stats can't cast
+    to double → comparison is NULL → 'unknown stats ⇒ keep' must hold
+    (a NULL filter result silently pruned the file before)."""
+    _write_fragmented(spark, tmp_ds_path, n_batches=2, rows=10)
+    st = collect_file_stats(spark, tmp_ds_path)
+    kept = prune_files(st, "name", lo=120, hi=130)  # name is a string col
+    assert len(kept) == 2  # nothing provably excluded → keep all files
+
+
 # -- M1/M3 compaction ----------------------------------------------------
 
 
