@@ -72,6 +72,22 @@ def mkdirs(spark: SparkSession, path: str) -> bool:
     return bool(fs.mkdirs(hpath))
 
 
+def qualified(spark: SparkSession, path: str) -> str:
+    """Fully-qualified URI form of ``path`` on its filesystem."""
+    fs, hpath, _ = _fs_and_path(spark, path)
+    return fs.makeQualified(hpath).toString()
+
+
+def copy_file(spark: SparkSession, src: str, dst: str) -> bool:
+    """Cross-filesystem single-file copy (FileUtil) — e.g. s3a → file."""
+    fs_src, hsrc, jvm = _fs_and_path(spark, src)
+    fs_dst, hdst, _ = _fs_and_path(spark, dst)
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    return bool(
+        jvm.org.apache.hadoop.fs.FileUtil.copy(fs_src, hsrc, fs_dst, hdst, False, True, conf)
+    )
+
+
 def file_sizes(spark: SparkSession, path: str) -> dict[str, int]:
     fs, hpath, _ = _fs_and_path(spark, path)
     if not fs.exists(hpath):

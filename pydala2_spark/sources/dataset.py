@@ -60,7 +60,7 @@ class BaseDataset:
         self.path = str(path)
         self._schema = schema
         self.partitioning = list(partitioning or [])
-        self.timestamp_column = timestamp_column
+        self._timestamp_column = timestamp_column
         self.name = name or os.path.basename(os.path.normpath(self.path)) or "dataset"
         self.read_options = dict(read_options or {})
         self._df: DataFrame | None = None
@@ -79,9 +79,25 @@ class BaseDataset:
         """Materialize the lazy DataFrame handle (schema resolution only)."""
         if self._df is None or reload:
             self._df = self._reader().load(self.path)
-            if self.timestamp_column is None:
-                self.timestamp_column = _detect_timestamp_column(self._df)
+            if self._timestamp_column is None:
+                self._timestamp_column = _detect_timestamp_column(self._df)
         return self
+
+    @property
+    def timestamp_column(self) -> str | None:
+        """Explicit or auto-detected timestamp column (detection needs
+        the schema, so first access resolves the DataFrame handle; a
+        not-yet-written dataset simply has none)."""
+        if self._timestamp_column is None and self._df is None:
+            try:
+                self.load()
+            except Exception:
+                return None
+        return self._timestamp_column
+
+    @timestamp_column.setter
+    def timestamp_column(self, value: str | None) -> None:
+        self._timestamp_column = value
 
     def clear_cache(self) -> None:
         """Invalidate cached file listing / footers after external mutation.
@@ -125,6 +141,47 @@ class BaseDataset:
 
     def files(self) -> list[str]:
         return self.df.inputFiles()
+
+    @property
+    def tz(self) -> str | None:
+        """Timezone of the dataset's timestamp column (reference parity:
+        `pydala/dataset.py:1160-1175` reads the parquet field's tz and
+        applies it to the engine connection).
+
+        Resolution order: the Arrow footer's explicit tz string when a
+        file is locally readable (full fidelity — e.g. ``+02:00``),
+        else Spark's logical type: TIMESTAMP (instant, adjusted-to-UTC)
+        → ``UTC``; TIMESTAMP_NTZ (wall clock, no zone) → ``None``.
+        """
+        if self.timestamp_column is None:
+            return None
+        for f in self.files()[:1]:
+            local = f.removeprefix("file:")
+            if os.path.exists(local):
+                try:
+                    import pyarrow.parquet as pq
+
+                    field = pq.read_schema(local).field(self.timestamp_column)
+                    if hasattr(field.type, "tz"):
+                        return field.type.tz
+                except Exception:
+                    pass
+        dt = dict(self.df.dtypes).get(self.timestamp_column, "")
+        if dt == "timestamp":
+            return "UTC"
+        return None  # timestamp_ntz or non-timestamp column
+
+    def apply_session_timezone(self) -> str | None:
+        """Set ``spark.sql.session.timeZone`` to this dataset's tz —
+        the Spark analogue of the reference's per-connection
+        ``SET TimeZone`` (`pydala/dataset.py:1171-1172`). Session-wide
+        by Spark's design (display/parse conversions happen at the
+        session boundary), so this is an explicit verb rather than an
+        implicit load side-effect. Returns the tz applied, if any."""
+        tz = self.tz
+        if tz:
+            self.spark.conf.set("spark.sql.session.timeZone", tz)
+        return tz
 
     # -- query verbs (each returns a DataFrame — one Catalyst plan) ------
 
@@ -191,14 +248,35 @@ class BaseDataset:
         return df.toArrow()
 
     def to_batch_reader(self, columns: list[str] | None = None, batch_size: int = 131_072):
-        """pyarrow RecordBatchReader (S7 parity: the reference's
-        ``to_batch_reader``, `pydala/table.py:538-589`, batch size
-        default `pydala/constants.py:23`). Materializes on the driver
-        (Arrow-accelerated) — an export verb for the result of a query,
-        not a distributed scan; large results should stay as DataFrames
-        or be written to storage."""
+        """Streaming pyarrow RecordBatchReader (S7 parity: the
+        reference's ``to_batch_reader``, `pydala/table.py:538-589`,
+        batch size default `pydala/constants.py:23`).
+
+        TRUE streaming, matching the reference's semantics: partitions
+        are pulled to the driver one at a time (``toLocalIterator``)
+        and re-chunked into ``batch_size`` record batches, so driver
+        memory is O(batch_size + one partition) — never the whole
+        result. For bulk one-shot export prefer :meth:`to_arrow`
+        (vectorized transfer); this verb is for consumers that process
+        incrementally or stop early.
+        """
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         df = self.df.select(*columns) if columns else self.df
-        return df.toArrow().to_reader(max_chunksize=batch_size)
+        schema = to_arrow_schema(df.schema)
+
+        def batches():
+            buf: list[dict] = []
+            for row in df.toLocalIterator(prefetchPartitions=True):
+                buf.append(row.asDict(recursive=True))
+                if len(buf) >= batch_size:
+                    yield pa.RecordBatch.from_pylist(buf, schema=schema)
+                    buf = []
+            if buf:
+                yield pa.RecordBatch.from_pylist(buf, schema=schema)
+
+        return pa.RecordBatchReader.from_batches(schema, batches())
 
     def to_polars(self, columns: list[str] | None = None):
         """Polars DataFrame export (reference `.pl`, `pydala/table.py:810-870`);

@@ -74,6 +74,29 @@ def test_to_batch_reader(spark, sf_dir):
     assert batches[0].schema.names == ["o_orderkey"]
 
 
+def test_to_batch_reader_streams_bounded(spark, tmp_ds_path):
+    """S7 streaming semantics: batches are produced lazily from a
+    multi-partition result — consuming the first batch must not
+    materialize the rest (generator-backed), and early close is clean."""
+    spark.range(0, 20_000, 1, 8).selectExpr(
+        "id", "cast(id % 7 as double) AS v"
+    ).write.parquet(tmp_ds_path)
+    from pydala2_spark.sources.dataset import Dataset
+
+    ds = Dataset(tmp_ds_path, spark=spark)
+    reader = ds.to_batch_reader(batch_size=500)
+    first = reader.read_next_batch()
+    assert first.num_rows == 500  # exact re-chunking, not partition-sized
+    # early stop: abandon the reader after one batch — no error, no
+    # full materialization required
+    reader.close()
+    # full drain through the arrow interface agrees with the DataFrame
+    total = sum(
+        b.num_rows for b in ds.to_batch_reader(batch_size=4096)
+    )
+    assert total == 20_000
+
+
 # -- plan-shape regressions ---------------------------------------------
 
 
