@@ -2439,6 +2439,98 @@ def skew_safe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mm_audio_features",
+    """
+    SELECT doc_id,
+           ([8000, 16000, 22050, 44100])[1 + ('0x' || substr(md5(text), 13, 2))::BIGINT % 4]
+             AS sample_rate,
+           1000 + ('0x' || substr(md5(text), 9, 4))::BIGINT % 59000 AS duration_ms,
+           CAST(1 + ('0x' || substr(md5(text), 15, 1))::BIGINT % 2 AS INTEGER) AS n_channels,
+           13 AS n_mfcc,
+           round((('0x' || substr(md5(text), 1, 2))::BIGINT / 255.0) * 2 - 1, 4) AS mfcc_0
+    FROM documents
+    """,
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # audio decode stage over mapInPandas: the deterministic stub
+    # kernel (md5-derived rate/duration/channels/MFCCs) lets the oracle
+    # verify the full Arrow-batch plumbing; production swaps in
+    # librosa/ffmpeg per batch with the identical schema.
+    from pydala2_spark.operators.multimodal import extract_audio_features
+
+    docs = _t(spark, sf_dir, "documents").withColumn("blob", F.encode("text", "UTF-8"))
+    feats = extract_audio_features(docs, "blob", passthrough=["doc_id"], n_mfcc=13)
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "duration_ms",
+        "n_channels",
+        F.size("mfcc").alias("n_mfcc"),
+        # float32 storage → widen then re-round so both engines emit
+        # the same double (stub writes 6-dp values; 4-dp is exact)
+        F.round(F.element_at("mfcc", 1).cast("double"), 4).alias("mfcc_0"),
+    )
+
+
+@query(
+    "mm_image_resize",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(16 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1008 AS INTEGER) AS width,
+             CAST(16 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1008 AS INTEGER) AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           CAST(ceil(width * least(1.0, 256.0 / greatest(width, height))) AS INTEGER)
+             AS resized_width,
+           CAST(ceil(height * least(1.0, 256.0 / greatest(width, height))) AS INTEGER)
+             AS resized_height
+    FROM d
+    """,
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # resize stage: decode (stub) → clamp longest side to 256 — the
+    # aspect-preserving scale math runs JVM-side on the decoded dims.
+    from pydala2_spark.operators.multimodal import resize_images
+
+    docs = _t(spark, sf_dir, "documents").withColumn("blob", F.encode("text", "UTF-8"))
+    return resize_images(docs, "blob", passthrough=["doc_id"], max_side=256)
+
+
+@query(
+    "skew_salted_join_agg",
+    f"""
+    WITH dim AS (
+      SELECT DISTINCT l_returnflag, 'grp_' || l_returnflag AS grp FROM lineitem
+    )
+    SELECT grp, count(*) AS n, {_osum("l_extendedprice")} AS total
+    FROM lineitem JOIN dim USING (l_returnflag)
+    GROUP BY grp
+    """,
+)
+def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hot-key mitigation demo: l_returnflag has 3 values, so a plain
+    # repartition join puts ~1/3 of the fact table in ONE task. The
+    # salted join spreads each hot key over `salt` shards (left salted
+    # by row hash, right replicated ×salt) — same answer, 8× the
+    # parallelism on the skewed key. functions/skew.py.
+    from pydala2_spark.functions.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        li.select("l_returnflag")
+        .distinct()
+        .withColumn("grp", F.concat(F.lit("grp_"), F.col("l_returnflag")))
+    )
+    return (
+        salted_join(li, dim, key="l_returnflag", salt=8)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("l_extendedprice").alias("total"))
+    )
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -2470,6 +2562,10 @@ _VERIFY_FIRST = [
     "emb_knn_lsh",
     "emb_knn_ivf",
     "skew_safe_distinct",
+    # new this round
+    "mm_audio_features",
+    "mm_image_resize",
+    "skew_salted_join_agg",
     # round-1 red rows, fixed this round
     "q9_product_profit",
     "q12_priority_by_linestatus",
