@@ -2440,6 +2440,54 @@ def skew_safe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_sessionization",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    )
+    SELECT user_id,
+           count(DISTINCT session_id) AS n_sessions,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id
+    """,
+)
+def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # custom STATEFUL streaming operator, oracle-checked end-to-end:
+    # applyInPandasWithState gap sessionizer drained with availableNow
+    # must converge to the batch window-SQL answer on a finite input —
+    # proving the incremental state machine implements the same
+    # semantics as the declarative form (ev_sessionization).
+    import os
+    import tempfile
+    import uuid
+
+    from pydala2_spark.streaming.pipeline import (
+        read_event_stream,
+        run_to_memory,
+        sessionize_stream,
+    )
+
+    events = read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    sess = sessionize_stream(events)
+    name = f"sessionize_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    # state = one tuple per user — a handful of state partitions is plenty
+    return run_to_memory(sess, name, ck, state_partitions=4)
+
+
+@query(
     "mm_audio_features",
     """
     SELECT doc_id,
