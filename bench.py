@@ -62,10 +62,20 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:
         json.dump(out, f, indent=1)
-    for ndigits in (3, 2, 1):
-        out["queries"] = {k: round(v, ndigits) for k, v in timings.items()}
+    def _hybrid(v: float) -> float:
+        # 2 decimals under 1 s, 1 decimal under 10 s, whole seconds above
+        return round(v, 2) if v < 1 else (round(v, 1) if v < 10 else round(v))
+
+    ladder = [
+        lambda v: round(v, 3),
+        lambda v: round(v, 2),
+        _hybrid,
+        lambda v: round(v, 1),
+    ]
+    for fmt in ladder:
+        out["queries"] = {k: fmt(v) for k, v in timings.items()}
         line = json.dumps(out, separators=(",", ":"))
-        if len(line) <= 1980:
+        if len(line) <= 1995:  # + newline fits the 2000-char tail
             break
     print(line)
 
