@@ -362,6 +362,85 @@ def repartition_dataset(
 
 
 # ---------------------------------------------------------------------------
+# Z-order clustering rewrite (scale extension — no reference analogue)
+# ---------------------------------------------------------------------------
+
+
+def zorder_expr(df: DataFrame, cols: list[str], bits: int = 12):
+    """Interleaved-bit (Morton) key over ``cols``.
+
+    Each column maps to a ``2^bits``-bucket id via ``width_bucket`` over
+    its [min, max] (one tiny agg job — no per-column global sort), then
+    the bucket bits interleave into one BIGINT. Pure Catalyst
+    expressions end to end. Numeric columns only; rank/dictionary-encode
+    categoricals first.
+    """
+    mins_maxs = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).first()
+    n = 1 << bits
+    bucket_exprs = []
+    for c in cols:
+        mn, mx = float(mins_maxs[f"mn_{c}"]), float(mins_maxs[f"mx_{c}"])
+        if mx <= mn:
+            mx = mn + 1.0
+        b = F.width_bucket(F.col(c).cast("double"), F.lit(mn), F.lit(mx), F.lit(n)) - 1
+        bucket_exprs.append(F.greatest(F.lit(0), F.least(b, F.lit(n - 1))))
+    d = len(cols)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(bucket_exprs):
+            z = z + F.shiftleft(
+                F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1)), i * d + j
+            )
+    return z
+
+
+def zorder_rewrite(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    bits: int = 12,
+    target_file_count: int | None = None,
+    max_rows_per_file: int = DEFAULT_MAX_ROWS_PER_FILE,
+    compression: str = "zstd",
+) -> list[str]:
+    """Rewrite a dataset clustered on a Z-order (Morton) key so file
+    min/max stats prune for predicates on ANY of ``cols`` — linear
+    sort-at-write only skips on its leading column.
+
+    Shape: one range shuffle on the z-key (``repartitionByRange``
+    gives equal-size files AND disjoint z-ranges per file) + a local
+    sort; each output file then covers a small hyper-rectangle in
+    col-space. At 100 TB this is the standard layout maintenance pass
+    between a time-partitioned ingest and multi-dimension analytics.
+    Swap is staged + atomic, same as ``repartition_dataset``.
+    """
+    df = spark.read.parquet(path)
+    z = zorder_expr(df, cols, bits).alias("__z")
+    clustered = df.select("*", z)
+    if target_file_count:
+        clustered = clustered.repartitionByRange(target_file_count, F.col("__z"))
+    else:
+        clustered = clustered.repartitionByRange(F.col("__z"))
+    clustered = clustered.sortWithinPartitions("__z").drop("__z")
+
+    staging = f"{path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
+    (
+        clustered.write.mode("overwrite")
+        .option("compression", compression)
+        .option("maxRecordsPerFile", str(max_rows_per_file))
+        .parquet(staging)
+    )
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    rename(spark, path, old)
+    rename(spark, staging, path)
+    delete_paths(spark, [old])
+    return list_files(spark, path)
+
+
+# ---------------------------------------------------------------------------
 # M5: optimize_dtypes
 # ---------------------------------------------------------------------------
 

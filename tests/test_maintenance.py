@@ -270,3 +270,28 @@ def test_stats_index_handles_removed_files(spark, tmp_ds_path):
     assert r["removed"] == 3 and r["added"] == 1 and r["total"] == 1
     total = idx.stats().agg({"num_rows": "sum"}).first()[0]
     assert total == 90
+
+
+# -- Z-order clustering --------------------------------------------------
+
+
+def test_zorder_improves_multi_column_pruning(spark, tmp_ds_path):
+    """Linear sort skips only on its leading column; the Morton rewrite
+    must make file-level min/max pruning effective on BOTH columns."""
+    from pydala2_spark.operators.maintenance import zorder_rewrite
+
+    df = spark.range(0, 40_000).selectExpr(
+        "id",
+        "cast(id % 200 as double) AS x",
+        "cast(cast(id / 200 as int) as double) AS y",
+    )
+    df.repartitionByRange(16, "x").write.parquet(tmp_ds_path)
+    st = collect_file_stats(spark, tmp_ds_path)
+    assert len(prune_files(st, "y", lo=0, hi=12)) == 16  # x-layout: no y skipping
+
+    zorder_rewrite(spark, tmp_ds_path, ["x", "y"], target_file_count=16)
+    st2 = collect_file_stats(spark, tmp_ds_path)
+    kept_y = len(prune_files(st2, "y", lo=0, hi=12))
+    kept_x = len(prune_files(st2, "x", lo=0, hi=12))
+    assert kept_y <= 8 and kept_x <= 8  # hyper-rectangle files skip on both
+    assert spark.read.parquet(tmp_ds_path).count() == 40_000  # rows preserved
