@@ -463,6 +463,15 @@ class ParquetDataset(BaseDataset):
         self.clear_cache()
         return files
 
+    def zorder(self, cols: list[str], **kw):
+        """Cluster the dataset on a Z-order key over ``cols`` so file
+        stats prune for predicates on any of them (maintenance.zorder_rewrite)."""
+        from pydala2_spark.operators.maintenance import zorder_rewrite
+
+        files = zorder_rewrite(self.spark, self.path, cols, **kw)
+        self.clear_cache()
+        return files
+
     def optimize_dtypes(self, **kw):
         from pydala2_spark.operators.maintenance import optimize_dtypes
 
