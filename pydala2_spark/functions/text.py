@@ -43,6 +43,24 @@ def unique_token_count(text: str = "text", tokens_col: str | None = None) -> Col
     return F.expr(f"size(array_distinct({_toks(text, tokens_col)}))")
 
 
+# GPT-2-style pre-tokenizer, simplified to the regex constructs Java
+# (Spark) and RE2 (DuckDB oracle) evaluate identically: contraction
+# suffixes, word runs, single non-space punctuation. The LLM-pipeline
+# token estimate — whitespace counting undercounts punctuation-heavy
+# text badly.
+BPE_TOKEN_REGEX = r"'(?:s|t|re|ve|m|ll|d)|\w+|[^\w\s]"
+
+
+def bpe_tokens(text: str = "text") -> Column:
+    """Subword-ish token array via the BPE pre-tokenizer regex — pure
+    Catalyst (regexp_extract_all), no Python in the loop."""
+    return F.regexp_extract_all(F.col(text), F.lit(BPE_TOKEN_REGEX), 0)
+
+
+def bpe_token_count(text: str = "text") -> Column:
+    return F.size(bpe_tokens(text))
+
+
 def avg_token_length(text: str = "text", tokens_col: str | None = None) -> Column:
     t = _toks(text, tokens_col)
     return F.expr(f"aggregate({t}, 0L, (acc, x) -> acc + length(x)) / size({t})")

@@ -2440,6 +2440,34 @@ def skew_safe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_bpe_token_stats",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|\\w+|[^\\w\\s]')) AS n_bpe,
+           len(string_split(text, ' ')) AS n_ws,
+           round(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|\\w+|[^\\w\\s]'))
+                 / len(string_split(text, ' ')), 4) AS tokens_per_word
+    FROM documents
+    """,
+)
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BPE-ish token counting (GPT-2 pre-tokenizer shape): the LLM cost
+    # estimator — whitespace counts undercount punctuation-heavy text.
+    # Pure regexp_extract_all, whole-stage codegen.
+    from pydala2_spark.functions.text import bpe_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    n_bpe = bpe_token_count("text")
+    n_ws = token_count("text")
+    return d.select(
+        "doc_id",
+        n_bpe.alias("n_bpe"),
+        n_ws.alias("n_ws"),
+        F.round(n_bpe / n_ws, 4).alias("tokens_per_word"),
+    )
+
+
+@query(
     "stream_sessionization",
     """
     WITH gaps AS (
@@ -2572,8 +2600,11 @@ def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("grp", F.concat(F.lit("grp_"), F.col("l_returnflag")))
     )
+    # hint the dim side: at test scale the planner would otherwise
+    # broadcast the (tiny-here) fact side, which inverts the shape
+    # this operator exists to demonstrate
     return (
-        salted_join(li, dim, key="l_returnflag", salt=8)
+        salted_join(li, F.broadcast(dim), key="l_returnflag", salt=8)
         .groupBy("grp")
         .agg(F.count(F.lit(1)).alias("n"), _dsum("l_extendedprice").alias("total"))
     )

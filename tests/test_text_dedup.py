@@ -245,3 +245,20 @@ def test_curate_corpus_quality_gate(spark, docs):
     out = dict(curate_corpus(docs, min_quality=0.99, langs=("en",)).collect())
     assert set(out.values()) == {"low_quality"}
     assert len(out) == 5
+
+
+def test_bpe_token_count(spark):
+    from pyspark.sql import functions as F
+
+    from pydala2_spark.functions.text import bpe_token_count, bpe_tokens
+
+    df = spark.createDataFrame(
+        [("it's a test, really!",), ("no punct here",)], ["text"]
+    )
+    rows = df.select(
+        bpe_tokens("text").alias("t"), bpe_token_count("text").alias("n")
+    ).collect()
+    # it | 's | a | test | , | really | !
+    assert rows[0]["t"] == ["it", "'s", "a", "test", ",", "really", "!"]
+    assert rows[0]["n"] == 7
+    assert rows[1]["n"] == 3
