@@ -14,6 +14,7 @@ Public surface:
     from pydala2_spark.session import get_spark
 """
 
+from pydala2_spark.errors import PartialMergeError, PartialWriteError
 from pydala2_spark.session import get_spark
 from pydala2_spark.sources.dataset import (
     BaseDataset,
@@ -25,6 +26,7 @@ from pydala2_spark.sources.dataset import (
 from pydala2_spark.sources.writer import Writer
 from pydala2_spark.operators.asof import asof_join
 from pydala2_spark.operators.merge import MergeResult, merge, merge_frames
+from pydala2_spark.plans.cachefs import LocalCache
 from pydala2_spark.plans.catalog import Catalog
 from pydala2_spark.plans.stats import StatsIndex
 
@@ -39,7 +41,10 @@ __all__ = [
     "merge",
     "merge_frames",
     "MergeResult",
+    "PartialWriteError",
+    "PartialMergeError",
     "Catalog",
+    "LocalCache",
     "StatsIndex",
     "asof_join",
 ]

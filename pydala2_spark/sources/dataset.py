@@ -360,7 +360,67 @@ class BaseDataset:
             shutil.rmtree(local)
         self._df = None
 
-    delete_files = vacuum
+    def delete_files(self, files: str | list[str] | None = None) -> None:
+        """Delete specific data files — or everything when ``files`` is
+        omitted (reference `pydala/dataset.py:607-638`)."""
+        if files is None:
+            return self.vacuum()
+        from pydala2_spark.plans.fs import delete_paths
+
+        delete_paths(self.spark, [files] if isinstance(files, str) else list(files))
+        self.clear_cache()
+
+    # -- reference drop-in surface (naming parity) -----------------------
+
+    @property
+    def has_files(self) -> bool:
+        """`pydala/dataset.py:463-469`."""
+        try:
+            return bool(self.files())
+        except Exception:
+            return False
+
+    @property
+    def is_loaded(self) -> bool:
+        """`pydala/dataset.py:529-533`."""
+        return self._df is not None
+
+    @property
+    def num_rows(self) -> int:
+        """`pydala/dataset.py:580-590`."""
+        return self.count_rows()
+
+    @property
+    def t(self) -> DataFrame:
+        """The table handle (`pydala/dataset.py:556-562`) — here, the
+        DataFrame IS the table."""
+        return self.df
+
+    def load_files(self) -> list[str]:
+        """Refresh and return the file listing (`pydala/dataset.py:420-430`)."""
+        self.clear_cache()
+        return self.files()
+
+    @property
+    def partition_values(self) -> dict[str, list]:
+        """Distinct value list per partition column
+        (`pydala/dataset.py:680-700`). Driver-side dict — partition
+        cardinality is metadata-sized by construction."""
+        names = self.partition_names()
+        if not names:
+            return {}
+        rows = self.df.select(*names).distinct().collect()
+        return {n: sorted({r[n] for r in rows}) for n in names}
+
+    def registered_tables(self) -> list[str]:
+        """Temp views visible to ``spark.sql`` (`pydala/dataset.py:770-777`)."""
+        return [t.name for t in self.spark.catalog.listTables()]
+
+    def compact_small_files(self, **kw):
+        """Reference declares this surface but leaves it a placeholder
+        (`pydala/dataset.py:2193-2195`); here it actually compacts —
+        row-count-bounded rewrite of undersized files."""
+        return self.compact_by_rows(**kw)
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"{type(self).__name__}(path={self.path!r}, format={self.format!r})"
@@ -440,6 +500,8 @@ class ParquetDataset(BaseDataset):
         plan = compact_by_timeperiod(self.spark, self.path, interval, ts, **kw)
         self.clear_cache()
         return plan
+
+    compact_by_timeperiod = compact_by_time_period  # reference spelling
 
     def compact_by_rows(self, **kw):
         from pydala2_spark.operators.maintenance import compact_by_rows

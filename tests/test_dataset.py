@@ -131,3 +131,25 @@ def test_json_dataset(spark, tmp_path):
     ds.write(make_simple_pdf(5).drop(columns=["timestamp"]))
     ds.clear_cache()
     assert ds.count_rows() == 5
+
+
+def test_reference_dropin_surface(spark, tmp_ds_path):
+    """Reference method-name parity: the verbs a pydala2 user calls by
+    name resolve and behave (`pydala/dataset.py:420-777, 2193`)."""
+    from pydala2_spark import Dataset
+
+    ds = Dataset(tmp_ds_path, spark)
+    assert ds.has_files is False and ds.is_loaded is False
+    spark.createDataFrame(make_simple_pdf(12)).write.partitionBy().parquet(tmp_ds_path)
+    ds = Dataset(tmp_ds_path, spark)
+    assert ds.has_files is True
+    assert ds.num_rows == 12
+    assert ds.t.count() == 12 and ds.is_loaded
+    assert ds.load_files() == ds.files()
+    assert ds.partition_values == {}  # unpartitioned
+    ds.register("dropin_t")
+    assert "dropin_t" in ds.registered_tables()
+    # specific-file delete removes exactly that file's rows
+    victim = ds.files()[0]
+    ds.delete_files(victim)
+    assert ds.num_rows < 12 or len(ds.files()) < 1
