@@ -2645,6 +2645,7 @@ _VERIFY_FIRST = [
     "mm_audio_features",
     "mm_image_resize",
     "skew_salted_join_agg",
+    "doc_bpe_token_stats",
     # round-1 red rows, fixed this round
     "q9_product_profit",
     "q12_priority_by_linestatus",
@@ -2665,7 +2666,8 @@ _VERIFY_FIRST = [
     "q11_supplier_value_share",
     "date_arithmetic_suite",
     "agg_grouping_sets",
-    "agg_cube_flag_status",
+    # (agg_cube_flag_status: unchanged since its r1 green row — lives
+    # beyond the window so a new query can take the slot)
     "pivot_status_by_priority",
     "w_monthly_growth",
     "w_running_revenue",
