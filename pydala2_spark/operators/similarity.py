@@ -70,7 +70,13 @@ def unit_scalar_frame(
     the summation order of the scalar chain is left-to-right, identical
     to the lambda/SQL form, so results are bit-compatible with the
     oracle."""
-    u = df.select(*[F.col(c) for c in keep], unit_expr(vec_col).alias("__e"))
+    # materialize the norm as its own column FIRST: referenced inside
+    # the transform lambda it would re-evaluate the aggregate per
+    # ELEMENT (O(dim²) per row in interpreted HOF code)
+    u = df.withColumn("__n", norm_expr(vec_col)).select(
+        *[F.col(c) for c in keep],
+        F.expr(f"transform({vec_col}, x -> cast(x as double) / __n)").alias("__e"),
+    )
     return u.select(
         *keep, *[F.element_at("__e", i).alias(f"d{i}") for i in range(1, dim + 1)]
     )
