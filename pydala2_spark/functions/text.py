@@ -154,6 +154,33 @@ def doc_fingerprint(text: str = "text", k: int = 5, tokens_col: str | None = Non
     return F.array_min(F.transform(shingles(text, k, tokens_col), F.md5))
 
 
+def winnowing_fingerprints(
+    text: str = "text", k: int = 5, w: int = 4, tokens_col: str | None = None
+) -> Column:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    public algorithm): hash every k-gram, then keep the minimum hash of
+    each w-window. Any shared substring of ≥ k+w-1 tokens guarantees a
+    shared fingerprint, so document pairs can be candidate-matched on
+    an equi-join over exploded fingerprints — never a cross join.
+
+    Pure Catalyst: md5-derived 60-bit gram hashes (mirrorable in any
+    engine) + sliding-window minima via transform/slice. O(n·(k+w))
+    per document, no Python.
+    """
+    t = _toks(text, tokens_col)
+    grams = (
+        f"transform(sequence(1, greatest(size({t}) - {k - 1}, 1)),"
+        f" i -> concat_ws(' ', slice({t}, i, {k})))"
+    )
+    gh = (
+        f"transform({grams}, g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))"
+    )
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size({gh}) - {w - 1}, 1)),"
+        f" p -> array_min(slice({gh}, p, {w}))))"
+    )
+
+
 def content_hash(text: str = "text") -> Column:
     """Exact-duplicate identity: md5 of the raw text."""
     return F.md5(F.col(text))

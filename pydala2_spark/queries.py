@@ -2468,6 +2468,51 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_winnow_candidates",
+    """
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), gh AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(t) - 4, 1)),
+               i -> ('0x' || substr(md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])), 1, 15))::BIGINT) AS h
+      FROM tk
+    ), fp AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(h) - 3, 1)),
+               p -> list_min(h[p:p+3]))) AS fps
+      FROM gh
+    ), x AS (
+      SELECT doc_id, f FROM fp, unnest(fps) AS u(f)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+    FROM x a JOIN x b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def doc_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # winnowing (k=5 grams, w=4 windows): candidate pairs sharing >= 2
+    # fingerprints via an exploded equi-join — the rolling-hash
+    # fingerprint route to near-dup candidates (guaranteed to catch any
+    # shared run of k+w-1 = 8 tokens). One shuffle on the fingerprint.
+    from pydala2_spark.functions.text import winnowing_fingerprints
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("__tk"))
+        .select("doc_id", F.explode(winnowing_fingerprints(tokens_col="__tk")).alias("f"))
+    )
+    return (
+        d.alias("a")
+        .join(d.alias("b"), (F.col("a.f") == F.col("b.f")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 2)
+    )
+
+
+@query(
     "stream_sessionization",
     """
     WITH gaps AS (

@@ -262,3 +262,29 @@ def test_bpe_token_count(spark):
     assert rows[0]["t"] == ["it", "'s", "a", "test", ",", "really", "!"]
     assert rows[0]["n"] == 7
     assert rows[1]["n"] == 3
+
+
+def test_winnowing_guarantee(spark):
+    """Winnowing contract: two documents sharing a run of >= k+w-1
+    tokens must share at least one fingerprint."""
+    from pyspark.sql import functions as F
+
+    from pydala2_spark.functions.text import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = 5+4-1 tokens
+    df = spark.createDataFrame(
+        [
+            (1, "intro words here " + shared),
+            (2, shared + " completely different tail text"),
+            (3, "nothing in common with the others at all whatsoever"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = {
+        r["doc_id"]: set(r["f"])
+        for r in df.select(
+            "doc_id", winnowing_fingerprints("text", k=5, w=4).alias("f")
+        ).collect()
+    }
+    assert fps[1] & fps[2], "shared 8-token run must produce a shared fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
