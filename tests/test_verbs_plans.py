@@ -173,3 +173,13 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
             offenders.append(name)
     assert not offenders, f"unexpected cartesian/nested-loop joins in: {offenders}"
+
+
+def test_salted_join_streams_fact_side(spark, sf_dir):
+    """The salted join must broadcast the replicated dim (BuildRight),
+    never the salted fact side — the shape the operator exists for."""
+    from pydala2_spark.queries import queries
+
+    plan = _plan(queries()["skew_salted_join_agg"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BuildRight" in plan and "BuildLeft" not in plan
