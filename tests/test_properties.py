@@ -90,3 +90,25 @@ def test_minhash_consts_are_stable():
     a2, b2 = _minhash_consts(12)
     assert a1 == a2 and b1 == b2
     assert all(v > 0 for v in a1)  # multiplier 0 would collapse the hash
+
+
+# -- merge idempotency contract (not hypothesis — needs the session) ----
+
+
+def test_merge_upsert_idempotent(spark, tmp_path):
+    """Applying the same upsert batch twice must be a no-op the second
+    time: identical rows, no extra files rewritten as inserts."""
+    import pyarrow as pa
+
+    from pydala2_spark.operators.merge import merge
+
+    path = str(tmp_path / "ds")
+    batch = pa.table({"id": [1, 2, 3], "v": ["a", "b", "c"]})
+    merge(spark, path, batch, strategy="upsert", key_columns=["id"])
+    r2 = merge(spark, path, batch, strategy="upsert", key_columns=["id"])
+    assert r2.inserted == 0 and r2.updated == 3
+    rows = sorted((r.id, r.v) for r in spark.read.parquet(path).collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+    r3 = merge(spark, path, batch, strategy="insert", key_columns=["id"])
+    assert r3.inserted == 0
+    assert sorted((r.id, r.v) for r in spark.read.parquet(path).collect()) == rows
