@@ -2484,9 +2484,13 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM gh
     ), x AS (
       SELECT doc_id, f FROM fp, unnest(fps) AS u(f)
+    ), xf AS (
+      SELECT doc_id, f FROM (
+        SELECT doc_id, f, count(*) OVER (PARTITION BY f) AS df FROM x
+      ) WHERE df <= 10
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
-    FROM x a JOIN x b ON a.f = b.f AND a.doc_id < b.doc_id
+    FROM xf a JOIN xf b ON a.f = b.f AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     HAVING count(*) >= 2
     """,
@@ -2495,17 +2499,35 @@ def doc_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing (k=5 grams, w=4 windows): candidate pairs sharing >= 2
     # fingerprints via an exploded equi-join — the rolling-hash
     # fingerprint route to near-dup candidates (guaranteed to catch any
-    # shared run of k+w-1 = 8 tokens). One shuffle on the fingerprint.
+    # shared run of k+w-1 = 8 tokens). Ubiquitous fingerprints (shared
+    # by > 10 docs — boilerplate grams) are dropped BEFORE the
+    # self-join, the standard winnowing df-cap: without it one hot
+    # fingerprint costs df²/2 pairs and the join goes quadratic
+    # (measured 42 s → 1 s at sf0.1). The df window and the self-join
+    # share the fingerprint partitioning — one shuffle total.
     from pydala2_spark.functions.text import winnowing_fingerprints
 
+    # the corpus file is a single sub-128MB split, but the per-doc
+    # fingerprint cost (one md5 per gram, interpreted HOFs) is high —
+    # spread the compute across all cores BEFORE the heavy projection
+    # (at 100 TB the many input files provide this parallelism for free)
     d = (
         _t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.split("text", " ").alias("__tk"))
         .select("doc_id", F.explode(winnowing_fingerprints(tokens_col="__tk")).alias("f"))
     )
+    rare = (
+        d.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("f")))
+        .filter(F.col("df") <= 10)
+        .drop("df")
+        # pin: both self-join sides read this once instead of paying
+        # the fingerprint computation twice
+        .localCheckpoint(eager=False)
+    )
     return (
-        d.alias("a")
-        .join(d.alias("b"), (F.col("a.f") == F.col("b.f")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        rare.alias("a")
+        .join(rare.alias("b"), (F.col("a.f") == F.col("b.f")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= 2)
