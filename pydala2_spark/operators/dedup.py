@@ -26,6 +26,20 @@ from pyspark.sql import types as T
 from pydala2_spark.functions.text import content_hash, shingles_sql
 
 
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition up to session parallelism when the source arrives in
+    fewer partitions than cores. The hash/tokenize stages of these
+    operators are the expensive per-row work; a corpus stored as a few
+    single-row-group files would otherwise serialize them onto a
+    handful of tasks. A many-file 100 TB input already arrives spread,
+    so this is a no-op there (no extra shuffle)."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n, *[F.col(c) for c in cols]) if cols else df.repartition(n)
+    return df
+
+
 # -- exact ------------------------------------------------------------
 
 
@@ -88,7 +102,7 @@ def minhash_signature(df: DataFrame, text: str = "text", id_col: str = "doc_id",
     num_hashes rows per document.
     """
     a_consts, b_consts = _minhash_consts(num_hashes)
-    tk = df.select(F.col(id_col), F.split(F.col(text), " ").alias("__tk"))
+    tk = _spread(df, id_col).select(F.col(id_col), F.split(F.col(text), " ").alias("__tk"))
     sh = tk.select(F.col(id_col), F.explode(F.expr(shingles_sql(text, k, "__tk"))).alias("s"))
     h0 = sh.select(
         id_col,
@@ -198,7 +212,7 @@ def ngram_jaccard_pairs(
     so oracle SQL computed on raw tokens still matches. Measured 1.7×
     on the blocked join.
     """
-    toks = df.select(
+    toks = _spread(df, id_col).select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         F.floor(F.col(length_col) / length_bucket).alias("lb"),
@@ -258,7 +272,7 @@ def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFr
     from functools import reduce
     from operator import add
 
-    tok = df.select(
+    tok = _spread(df, id_col).select(
         F.col(id_col), F.explode(F.array_distinct(F.split(F.col(text), " "))).alias("t")
     ).select(
         id_col,
@@ -363,7 +377,7 @@ def embedding_near_duplicates(
 
     dim = vector_dim(df, vec_col)
     keep = [id_col] + ([block_col] if block_col else [])
-    base = df.select(*keep, vec_col).withColumn(
+    base = _spread(df, id_col).select(*keep, vec_col).withColumn(
         "__srp", srp_bucket(vec_col, srp_planes, dim)
     )
     # widen to scalar columns: keeps the O(pairs) dot-product stage in
