@@ -20,6 +20,15 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """See operators.dedup._spread: parallelize the per-row vector math
+    when the corpus arrives in fewer partitions than cores (single
+    small files); a no-op on a many-file 100 TB corpus."""
+    from pydala2_spark.operators.dedup import _spread as _s
+
+    return _s(df, *cols)
+
+
 def dot_expr(a: str, b: str) -> Column:
     return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
@@ -111,7 +120,7 @@ def cosine_topk(
     pair-heavy all-pairs work see ``embedding_near_duplicates``.
     """
     q = queries.select(F.col(id_col).alias("query_id"), unit_expr(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), unit_expr(vec_col).alias("cv"))
+    c = _spread(corpus, id_col).select(F.col(id_col).alias("neighbor_id"), unit_expr(vec_col).alias("cv"))
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
@@ -173,7 +182,7 @@ def cosine_topk_lsh(
     skewed ones). Recall < 1.0 by construction; raise num_planes
     with multi-probe for production recall targets.
     """
-    c = corpus.select(
+    c = _spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         unit_expr(vec_col).alias("cv"),
         srp_bucket(vec_col, num_planes, dim).alias("bucket"),
@@ -227,7 +236,7 @@ def cosine_topk_ivf(
         F.col("__r") <= nprobe
     ).select("query_id", "qv", cell_col)
     # probe: exact cosine only within the routed cells
-    c = corpus.select(
+    c = _spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(cell_col), unit_expr(vec_col).alias("cv")
     )
     joined = c.join(F.broadcast(routed), cell_col).filter(
@@ -250,7 +259,7 @@ def label_centroids(
     """Per-label mean vector via element-wise aggregate (posexplode →
     avg per (label, dim) → collect back ordered). The groupBy keys are
     (label, pos): perfectly parallel, no driver materialization."""
-    exploded = df.select(
+    exploded = _spread(df, label_col).select(
         F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "x")
     ).withColumn("x", F.col("x").cast("double"))
     # exact decimal accumulation: the centroid feeds the nprobe cell
