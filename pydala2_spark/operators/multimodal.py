@@ -48,6 +48,16 @@ _MAGIC = [
 ]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Parallelize the Python decode stages when the input arrives in
+    fewer partitions than cores (see operators.dedup._spread): one
+    Arrow batch stream per partition means one Python worker per
+    partition — a single-split corpus would decode on one core."""
+    from pydala2_spark.operators.dedup import _spread as _s
+
+    return _s(df)
+
+
 def sniff_format(col: str | Column) -> Column:
     """Container format from magic bytes — pure built-in expressions
     (hex prefix compare), zero Python in the scan."""
@@ -157,7 +167,7 @@ def decode_images(df: DataFrame, binary_col: str, passthrough: list[str]) -> Dat
             out["channels"] = [d[2] for d in dims]
             yield out
 
-    return df.select(*passthrough, binary_col).mapInPandas(batches, out_schema)
+    return _spread(df).select(*passthrough, binary_col).mapInPandas(batches, out_schema)
 
 
 def extract_features(
@@ -177,7 +187,7 @@ def extract_features(
             out["features"] = [_fake_embedding(bytes(b), dim) for b in pdf[binary_col]]
             yield out
 
-    return df.select(*passthrough, binary_col).mapInPandas(batches, out_schema)
+    return _spread(df).select(*passthrough, binary_col).mapInPandas(batches, out_schema)
 
 
 AUDIO_FEATURE_FIELDS = [
@@ -209,7 +219,7 @@ def extract_audio_features(
             out["mfcc"] = [_fake_embedding(p, n_mfcc) for p in payloads]
             yield out
 
-    return df.select(*passthrough, binary_col).mapInPandas(batches, out_schema)
+    return _spread(df).select(*passthrough, binary_col).mapInPandas(batches, out_schema)
 
 
 def resize_images(
@@ -271,4 +281,4 @@ def sample_frames(
                     )
             yield pd.DataFrame(rows, columns=passthrough + ["frame_index", "ts_ms", "frame_md5"])
 
-    return df.select(*passthrough, binary_col).mapInPandas(batches, out_schema)
+    return _spread(df).select(*passthrough, binary_col).mapInPandas(batches, out_schema)
