@@ -154,30 +154,53 @@ def doc_fingerprint(text: str = "text", k: int = 5, tokens_col: str | None = Non
     return F.array_min(F.transform(shingles(text, k, tokens_col), F.md5))
 
 
+# Rabin-Karp constants for the winnowing gram hash: P < 2^31 keeps
+# every (acc * B + x) % P step inside int64; both values are mirrored
+# verbatim in the DuckDB oracle.
+WINNOW_P = 2_147_483_647
+WINNOW_B = 1_000_003
+
+
 def winnowing_fingerprints(
     text: str = "text", k: int = 5, w: int = 4, tokens_col: str | None = None
 ) -> Column:
     """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
-    public algorithm): hash every k-gram, then keep the minimum hash of
-    each w-window. Any shared substring of ≥ k+w-1 tokens guarantees a
-    shared fingerprint, so document pairs can be candidate-matched on
-    an equi-join over exploded fingerprints — never a cross join.
+    public algorithm): rolling-hash every k-gram, then keep the minimum
+    hash of each w-window. Any shared substring of ≥ k+w-1 tokens
+    guarantees a shared fingerprint, so document pairs can be
+    candidate-matched on an equi-join over exploded fingerprints —
+    never a cross join.
 
-    Pure Catalyst: md5-derived 60-bit gram hashes (mirrorable in any
-    engine) + sliding-window minima via transform/slice. O(n·(k+w))
-    per document, no Python.
+    Hashing is the Rabin-Karp construction: one md5 per TOKEN (the
+    engine-portable 60-bit base hash), then each gram combines k token
+    hashes with a polynomial mod-P chain — ~5 multiply-adds per gram
+    instead of re-digesting ~30 chars of text, and the exact arithmetic
+    is reproducible in any SQL engine. Sliding-window minima via
+    transform/slice. Pure Catalyst, no Python.
     """
     t = _toks(text, tokens_col)
-    grams = (
-        f"transform(sequence(1, greatest(size({t}) - {k - 1}, 1)),"
-        f" i -> concat_ws(' ', slice({t}, i, {k})))"
+    th = (
+        f"transform({t}, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint)"
+        f" % {WINNOW_P})"
     )
-    gh = (
-        f"transform({grams}, g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))"
+    # explicit k-step polynomial: ((th[i]*B + th[i+1]) % P)*B + ... % P.
+    # try_element_at: a doc shorter than k tokens yields NULL grams
+    # (mirrors SQL list-index-out-of-bounds semantics) instead of an
+    # ANSI error.
+    acc = "try_element_at(th, i)"
+    for j in range(1, k):
+        acc = f"(({acc} * {WINNOW_B}L + try_element_at(th, i + {j})) % {WINNOW_P}L)"
+    gh = f"transform(sequence(1, greatest(size(th) - {k - 1}, 1)), i -> {acc})"
+    fp = (
+        f"array_distinct(transform(sequence(1, greatest(size(gh) - {w - 1}, 1)),"
+        f" p -> array_min(slice(gh, p, {w}))))"
     )
+    # SQL has no let-binding; wrap each intermediate in a 1-element
+    # array + lambda so it is EVALUATED ONCE (textual substitution
+    # would recompute the token-hash array per element reference)
     return F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size({gh}) - {w - 1}, 1)),"
-        f" p -> array_min(slice({gh}, p, {w}))))"
+        f"element_at(transform(array({th}), th -> "
+        f"element_at(transform(array({gh}), gh -> {fp}), 1)), 1)"
     )
 
 

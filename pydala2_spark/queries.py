@@ -2471,11 +2471,17 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_winnow_candidates",
     """
     WITH tk AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647) AS th
+      FROM documents
     ), gh AS (
       SELECT doc_id,
-             list_transform(generate_series(1, greatest(len(t) - 4, 1)),
-               i -> ('0x' || substr(md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])), 1, 15))::BIGINT) AS h
+             list_transform(generate_series(1, greatest(len(th) - 4, 1)),
+               i -> ((((((((th[i] * 1000003 + th[i+1]) % 2147483647)
+                          * 1000003 + th[i+2]) % 2147483647)
+                          * 1000003 + th[i+3]) % 2147483647)
+                          * 1000003 + th[i+4]) % 2147483647)) AS h
       FROM tk
     ), fp AS (
       SELECT doc_id,
