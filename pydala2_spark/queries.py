@@ -2440,6 +2440,34 @@ def skew_safe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_value_quantiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 4) AS p25,
+           round(quantile_cont(value, 0.5), 4)  AS p50,
+           round(quantile_cont(value, 0.75), 4) AS p75,
+           round(quantile_cont(value, 0.95), 4) AS p95
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def ev_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact interpolated quantile vector — one percentile() aggregate
+    # computes all four cut points in a single pass (shared sort per
+    # group), matching quantile_cont semantics. The 100 TB variant is
+    # approx_percentile (t-digest, no per-group sort) — exact here so
+    # the oracle can hash-match.
+    ev = _t(spark, sf_dir, "events")
+    q = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)))
+    return ev.groupBy("event_type").agg(
+        F.round(F.element_at(q, 1), 4).alias("p25"),
+        F.round(F.element_at(q, 2), 4).alias("p50"),
+        F.round(F.element_at(q, 3), 4).alias("p75"),
+        F.round(F.element_at(q, 4), 4).alias("p95"),
+    )
+
+
+@query(
     "doc_bpe_token_stats",
     """
     SELECT doc_id,
