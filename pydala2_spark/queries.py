@@ -2468,6 +2468,52 @@ def ev_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_quantize_error",
+    f"""
+    WITH q AS (
+      SELECT label,
+             list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS mn,
+             greatest((list_max(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                       - list_min(list_transform(embedding, x -> CAST(x AS DOUBLE)))) / 255.0,
+                      1e-12) AS scale,
+             embedding
+      FROM embeddings
+    ), e AS (
+      SELECT label,
+             sqrt(list_sum(list_transform(embedding,
+                    x -> pow(CAST(x AS DOUBLE)
+                             - (mn + round((CAST(x AS DOUBLE) - mn) / scale, 0) * scale), 2)))
+                  / len(embedding)) AS rmse
+      FROM q
+    )
+    SELECT label, count(*) AS n, {_oavg("rmse", 6)} AS avg_rmse
+    FROM e GROUP BY label
+    """,
+)
+def emb_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # int8 scalar quantization round-trip error per label: quantize →
+    # dequantize → per-vector RMSE → order-independent decimal mean.
+    # Proves the 4x-smaller store loses ~1/255 of the value range.
+    from pydala2_spark.operators.similarity import dequantize_expr, quantize_embeddings
+
+    emb = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    dq = dequantize_expr("q", "q_min", "q_scale")
+    rmse = F.sqrt(
+        F.expr(
+            "aggregate(zip_with(embedding, __dq, (x, y) -> pow(cast(x as double) - y, 2)),"
+            " 0D, (a, v) -> a + v)"
+        )
+        / F.size("embedding")
+    )
+    return (
+        emb.withColumn("__dq", dq)
+        .select("label", rmse.alias("rmse"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), _davg("rmse", 6).alias("avg_rmse"))
+    )
+
+
+@query(
     "doc_bpe_token_stats",
     """
     SELECT doc_id,

@@ -288,3 +288,22 @@ def test_winnowing_guarantee(spark):
     }
     assert fps[1] & fps[2], "shared 8-token run must produce a shared fingerprint"
     assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_quantize_roundtrip_bound(spark, vectors):
+    """int8 quantization: every reconstructed element is within half a
+    quantization step of the original."""
+    from pyspark.sql import functions as F
+
+    from pydala2_spark.operators.similarity import dequantize_expr, quantize_embeddings
+
+    q = quantize_embeddings(vectors)
+    err = F.expr(
+        "array_max(zip_with(embedding, __dq, (x, y) -> abs(cast(x as double) - y)))"
+    )
+    rows = (
+        q.withColumn("__dq", dequantize_expr("q", "q_min", "q_scale"))
+        .select("vec_id", err.alias("e"), "q_scale")
+        .collect()
+    )
+    assert rows and all(r["e"] <= r["q_scale"] / 2 + 1e-9 for r in rows)
