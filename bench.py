@@ -79,6 +79,20 @@ def main() -> None:
         line = json.dumps(out, separators=(",", ":"))
         if len(line) <= 1990:  # + newline fits the 2000-char tail
             break
+    if len(line) > 1990:
+        # still over: fold the fastest queries into one aggregate —
+        # the slow ones carry the round-over-round signal, and the
+        # full per-query dict is in BENCH_DETAIL.json
+        by_time = sorted(timings.items(), key=lambda kv: kv[1])
+        folded: dict[str, float] = {}
+        while len(line) > 1990 and by_time:
+            k, v = by_time.pop(0)
+            folded[k] = v
+            q = {k2: round(v2, 2) for k2, v2 in by_time}
+            q["_fastest_folded"] = len(folded)
+            q["_folded_total"] = round(sum(folded.values()), 2)
+            out["queries"] = q
+            line = json.dumps(out, separators=(",", ":"))
     print(line)
 
 
