@@ -207,3 +207,31 @@ def winnowing_fingerprints(
 def content_hash(text: str = "text") -> Column:
     """Exact-duplicate identity: md5 of the raw text."""
     return F.md5(F.col(text))
+
+
+# -- PII detection / redaction -----------------------------------------
+#
+# Regexes restricted to constructs Java (Spark) and RE2 (DuckDB
+# oracles) treat identically: no backreferences, no lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "url": r"https?://[^\s]+",
+}
+
+
+def pii_count(kind: str, text: str = "text") -> Column:
+    """Occurrences of one PII pattern — regexp_count, whole-stage codegen."""
+    return F.regexp_count(F.col(text), F.lit(PII_PATTERNS[kind]))
+
+
+def redact_pii(text: str = "text", replacement: str = "[REDACTED]") -> Column:
+    """Replace every PII match with a placeholder — the scrubbing pass a
+    corpus runs before training. One chained regexp_replace per
+    pattern; order puts URLs before emails so a mailto-ish URL doesn't
+    leave a partial address behind."""
+    col = F.col(text)
+    for kind in ("url", "email", "phone", "ipv4"):
+        col = F.regexp_replace(col, PII_PATTERNS[kind], replacement)
+    return col

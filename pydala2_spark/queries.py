@@ -2467,6 +2467,54 @@ def ev_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_oracle() -> str:
+    from pydala2_spark.functions.text import PII_PATTERNS
+
+    def q(p: str) -> str:
+        return p.replace("'", "''")
+
+    counts = ",\n           ".join(
+        "CAST(sum(len(regexp_extract_all(text, '%s'))) AS BIGINT) AS n_%s"
+        % (q(p), k)
+        for k, p in PII_PATTERNS.items()
+    )
+    redacted = "text"
+    for kind in ("url", "email", "phone", "ipv4"):
+        redacted = "regexp_replace(%s, '%s', '[REDACTED]', 'g')" % (
+            redacted,
+            q(PII_PATTERNS[kind]),
+        )
+    return """
+    SELECT lang,
+           count(*) AS n_docs,
+           %s,
+           CAST(sum(len(regexp_extract_all(%s, '%s'))) AS BIGINT) AS residual_email
+    FROM documents
+    GROUP BY lang
+    """ % (counts, redacted, q(PII_PATTERNS["email"]))
+
+
+@query("doc_pii_scan", _pii_oracle())
+def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII inventory + scrub verification per language: counts of
+    # emails/phones/IPs/URLs in the raw text, and the email count
+    # REMAINING after redact_pii (must mirror the oracle's replace
+    # chain). Pure regexp built-ins — codegen end to end; this is the
+    # pre-training scrubbing pass at corpus scale.
+    from pydala2_spark.functions.text import PII_PATTERNS, pii_count, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    aggs = [
+        F.sum(pii_count(k)).cast("long").alias(f"n_{k}") for k in PII_PATTERNS
+    ]
+    residual = F.regexp_count(redact_pii(), F.lit(PII_PATTERNS["email"]))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *aggs,
+        F.sum(residual).cast("long").alias("residual_email"),
+    )
+
+
 @query(
     "emb_quantize_error",
     f"""

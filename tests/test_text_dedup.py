@@ -307,3 +307,21 @@ def test_quantize_roundtrip_bound(spark, vectors):
         .collect()
     )
     assert rows and all(r["e"] <= r["q_scale"] / 2 + 1e-9 for r in rows)
+
+
+def test_redact_pii(spark):
+    from pydala2_spark.functions.text import pii_count, redact_pii
+
+    df = spark.createDataFrame(
+        [("mail me at a.b+c@example.com or visit https://x.io/y?z=1 from 10.0.0.1",)],
+        ["text"],
+    )
+    r = df.select(
+        redact_pii().alias("clean"),
+        pii_count("email").alias("ne"),
+        pii_count("url").alias("nu"),
+        pii_count("ipv4").alias("ni"),
+    ).first()
+    assert r["ne"] == 1 and r["nu"] == 1 and r["ni"] == 1
+    assert "@" not in r["clean"] and "https" not in r["clean"] and "10.0.0.1" not in r["clean"]
+    assert r["clean"].count("[REDACTED]") == 3
