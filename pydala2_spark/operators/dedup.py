@@ -28,14 +28,28 @@ from pydala2_spark.functions.text import content_hash, shingles_sql
 
 def _spread(df: DataFrame, *cols: str) -> DataFrame:
     """Repartition up to session parallelism when the source arrives in
-    fewer partitions than cores. The hash/tokenize stages of these
+    fewer files than cores. The hash/tokenize stages of these
     operators are the expensive per-row work; a corpus stored as a few
     single-row-group files would otherwise serialize them onto a
     handful of tasks. A many-file 100 TB input already arrives spread,
-    so this is a no-op there (no extra shuffle)."""
+    so this is a no-op there (no extra shuffle).
+
+    The probe is ``df.inputFiles()`` — file metadata the scan has
+    already listed — NOT ``df.rdd.getNumPartitions()``, which would
+    force a full non-AQE physical plan + RDD conversion on every call
+    (a real driver pause against a 100 TB file index). Trade-off: a
+    dataset stored as one splittable multi-GB file would be
+    repartitioned despite the scan already splitting it; at scale
+    datasets are many-file, so the condition only fires on small
+    inputs where the extra shuffle is cheap.
+    """
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
+    try:
+        nfiles = len(df.inputFiles())
+    except Exception:  # non-file-backed plan (e.g. createDataFrame)
+        return df
+    if 0 < nfiles < n:
         return df.repartition(n, *[F.col(c) for c in cols]) if cols else df.repartition(n)
     return df
 
@@ -196,30 +210,59 @@ def ngram_jaccard_pairs(
     length_col: str = "n_chars",
     length_bucket: int = 25,
     threshold: float = 0.5,
+    min_hash_block: bool = True,
 ) -> DataFrame:
-    """Token-set Jaccard pairs, blocked by metadata + length bucket.
+    """Token-set Jaccard pairs, blocked by metadata + length bucket +
+    (by default) the document's minimum token hash.
 
-    Blocking is metadata-driven (same lang, same ⌊len/25⌋): cheap,
-    deterministic, and turns O(n²) into per-bucket joins. Misses pairs
-    straddling a bucket boundary — the MinHash path has no such blind
-    spot; this operator is the cheap screen.
+    Metadata blocking alone (same lang, same ⌊len/25⌋) has bounded
+    cardinality: at corpus scale a hot (english, common-length) bucket
+    holds millions of documents and the per-bucket join goes O(n²). So
+    the default block key adds a conjunct with *data-driven*
+    cardinality: the min md5-hash over the document's distinct tokens —
+    a 1-row MinHash. Two documents with token-Jaccard j share it with
+    probability exactly j (Broder 1997), so at threshold 0.5 recall is
+    ≥ 50% of threshold pairs (rising with j: exact near-dups always
+    collide); what it buys is block sizes that track token rarity, not
+    corpus language mix — safe by default at 100 TB. Pass
+    ``min_hash_block=False`` for the exhaustive-within-bucket screen
+    when the corpus is known small. Pairs straddling a length-bucket
+    boundary are missed either way — the MinHash-LSH path has no such
+    blind spot.
 
     Tokens are hashed to int64 (xxhash64) ONCE per document before the
     join: per-pair set intersection then hashes 8-byte longs instead of
     re-hashing every string token for every candidate pair. Jaccard on
     the hashed sets equals Jaccard on the token sets (the map is
     injective on each doc's distinct tokens barring 64-bit collisions),
-    so oracle SQL computed on raw tokens still matches. Measured 1.7×
-    on the blocked join.
+    so oracle SQL computed on raw tokens still matches. The block-key
+    min is md5-based (not xxhash64) so the DuckDB oracle can compute
+    the identical key. Measured 1.7× on the blocked join.
     """
-    toks = _spread(df, id_col).select(
-        F.col(id_col),
-        *[F.col(c) for c in block_cols],
-        F.floor(F.col(length_col) / length_bucket).alias("lb"),
+    # md5-derived 60-bit token hash — reproducible in any SQL engine
+    min_tok_hash = F.array_min(
         F.transform(
-            F.array_distinct(F.split(F.col(text), " ")), lambda t: F.xxhash64(t)
-        ).alias("tk"),
-    ).withColumn("sz", F.size("tk"))
+            F.col("__raw"),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        )
+    )
+    toks = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            F.floor(F.col(length_col) / length_bucket).alias("lb"),
+            F.array_distinct(F.split(F.col(text), " ")).alias("__raw"),
+        )
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            "lb",
+            F.transform(F.col("__raw"), lambda t: F.xxhash64(t)).alias("tk"),
+            *([min_tok_hash.alias("mb")] if min_hash_block else []),
+        )
+        .withColumn("sz", F.size("tk"))
+    )
     jac = F.round(
         F.size(F.array_intersect("a.tk", "b.tk")) / F.size(F.array_union("a.tk", "b.tk")), 4
     )
@@ -231,6 +274,7 @@ def ngram_jaccard_pairs(
     # later filter) also stops Catalyst re-deriving it twice.
     on = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols] + [
         F.col("a.lb") == F.col("b.lb"),
+        *([F.col("a.mb") == F.col("b.mb")] if min_hash_block else []),
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
         F.col("a.sz") >= F.lit(threshold) * F.col("b.sz"),
         F.col("b.sz") >= F.lit(threshold) * F.col("a.sz"),
@@ -457,7 +501,13 @@ def duplicate_clusters(
                 parent[x], x = root, parent[x]
             return root
 
-        for a, b in undirected.toLocalIterator():
+        # one parallel Arrow-batched collect: the edge count is already
+        # gated to the driver budget, and toPandas() is a single job
+        # over all partitions — toLocalIterator() here cost one
+        # *sequential* job per partition (32 round-trips ≈ 2 s at
+        # sf0.1; the round-2 bench regression), regardless of size.
+        edges_pdf = undirected.toPandas()
+        for a, b in zip(edges_pdf["src"].tolist(), edges_pdf["dst"].tolist()):
             if a not in parent:
                 parent[a] = a
             if b not in parent:

@@ -2017,14 +2017,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT doc_id, lang, n_chars // 25 AS lb,
-             list_distinct(string_split(text, ' ')) AS tk
+             list_distinct(string_split(text, ' ')) AS tk,
+             list_min(list_transform(list_distinct(string_split(text, ' ')),
+                      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS mb
       FROM documents
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(len(list_intersect(a.tk, b.tk))
                  / len(list_distinct(list_concat(a.tk, b.tk))), 4) AS jaccard
     FROM t a JOIN t b
-      ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+      ON a.lang = b.lang AND a.lb = b.lb AND a.mb = b.mb AND a.doc_id < b.doc_id
     WHERE len(list_intersect(a.tk, b.tk))
           / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.5
     """,
@@ -2040,12 +2042,14 @@ def dedup_ngram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH RECURSIVE t AS (
       SELECT doc_id, lang, n_chars // 25 AS lb,
-             list_distinct(string_split(text, ' ')) AS tk
+             list_distinct(string_split(text, ' ')) AS tk,
+             list_min(list_transform(list_distinct(string_split(text, ' ')),
+                      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS mb
       FROM documents
     ), pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM t a JOIN t b
-        ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        ON a.lang = b.lang AND a.lb = b.lb AND a.mb = b.mb AND a.doc_id < b.doc_id
       WHERE len(list_intersect(a.tk, b.tk))
             / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.5
     ), edges AS (
@@ -2094,13 +2098,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
       FROM passing
     ), surv AS (
-      SELECT p.doc_id, p.lang, p.n_chars // 25 AS lb, list_distinct(p.tk) AS dtk
+      SELECT p.doc_id, p.lang, p.n_chars // 25 AS lb, list_distinct(p.tk) AS dtk,
+             list_min(list_transform(list_distinct(p.tk),
+                      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS mb
       FROM passing p JOIN eg ON p.doc_id = eg.doc_id
       WHERE eg.doc_id = eg.keeper
     ), pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM surv a JOIN surv b
-        ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        ON a.lang = b.lang AND a.lb = b.lb AND a.mb = b.mb AND a.doc_id < b.doc_id
       WHERE len(list_intersect(a.dtk, b.dtk))
             / len(list_distinct(list_concat(a.dtk, b.dtk))) >= 0.5
     ), edges AS (
@@ -2816,62 +2822,41 @@ def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mirror (scripts/check_correctness.py runs every entry).
 
 _VERIFY_FIRST = [
-    # absent from the round-1 correctness window — verify first
-    "doc_token_stats",
-    "doc_quality_scores",
-    "doc_lang_id",
-    "doc_exact_dedup",
-    "doc_fingerprint_groups",
-    "dedup_minhash_lsh",
+    # never driver-verified (local mirror only) — verify first
+    "ev_value_quantiles",
+    "doc_pii_scan",
+    "emb_quantize_error",
+    "doc_winnow_candidates",
+    "stream_sessionization",
+    # verified in round 1 only — rotate back in so every entry holds a
+    # green row from r1∪r2∪r3 with the freshest code verified last
+    "scan_filter_project",
+    "sort_limit_topk",
+    "distinct_keyed",
+    "join_semi_anti",
+    "set_ops_union_except",
+    "set_ops_except",
+    "agg_approx_distinct",
+    "agg_cube_flag_status",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q13_customer_distribution",
+    "q16_supplier_count_by_part",
+    "q18_large_volume_customers",
+    "q20_volume_suppliers",
+    "q21_multi_exists",
+    "string_function_suite",
+    "merge_upsert_semantics",
+    "doc_token_explode_top",
+    "w_value_deciles",
+    "w_top_orders_per_customer",
+    "w_rank_distribution_frames",
+    "ev_sessionization",
+    "asof_click_before_purchase",
+    # changed this round (scale-safe blocking key / regression fix)
     "dedup_ngram_blocked",
     "dedup_clusters",
     "doc_curation",
-    "dedup_simhash",
-    "emb_near_dup",
-    "emb_near_dup_srp",
-    "mm_media_meta",
-    "mm_image_decode",
-    "mm_frame_sample",
-    "emb_knn_bruteforce",
-    "emb_knn_lsh",
-    "emb_knn_ivf",
-    "skew_safe_distinct",
-    # new this round
-    "mm_audio_features",
-    "mm_image_resize",
-    "skew_salted_join_agg",
-    "doc_bpe_token_stats",
-    # round-1 red rows, fixed this round
-    "q9_product_profit",
-    "q12_priority_by_linestatus",
-    # oracles reformulated this round (decimal determinism sweep)
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "agg_rollup_status_priority",
-    "q3_shipping_priority",
-    "q5_nation_revenue",
-    "q10_returned_items",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q22_inactive_customers",
-    "q15_top_suppliers",
-    "q11_supplier_value_share",
-    "date_arithmetic_suite",
-    "agg_grouping_sets",
-    # (agg_cube_flag_status: unchanged since its r1 green row — lives
-    # beyond the window so a new query can take the slot)
-    "pivot_status_by_priority",
-    "w_monthly_growth",
-    "w_running_revenue",
-    "ev_hourly_rollup",
-    "stream_hourly_rollup",
-    "ev_json_extract",
-    "ev_type_value_stats",
-    "array_function_suite",
-    "range_join_ship_window",
 ]
 
 

@@ -3,12 +3,17 @@
 Tables: region nation customer supplier part orders lineitem events
 documents embeddings — one parquet each (TESTDATA.md).
 
-``events.parquet`` stores TIMESTAMP(NANOS), which Spark's Parquet
-reader rejects outright; with ``spark.sql.legacy.parquet.nanosAsLong``
-(set in session.py) the column arrives as int64 nanoseconds and is
-converted here to a microsecond timestamp — the same truncation DuckDB
-applies when it casts ns → its us-precision TIMESTAMP, so oracle
-comparisons agree.
+``events.parquet`` has shipped with two physical ``ts`` encodings
+across driver rounds, both normalized here to a session-UTC TIMESTAMP
+so every downstream query sees one type:
+
+- TIMESTAMP(NANOS): rejected by Spark's vectorized reader; with
+  ``spark.sql.legacy.parquet.nanosAsLong`` (set in session.py) it
+  arrives as int64 nanoseconds and is truncated to microseconds —
+  the same truncation DuckDB applies casting ns → its us TIMESTAMP.
+- TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+  TIMESTAMP_NTZ; cast to TIMESTAMP (session tz is pinned UTC, so the
+  wall-clock value is preserved and DuckDB's naive TIMESTAMP agrees).
 """
 
 from __future__ import annotations
@@ -43,6 +48,8 @@ def _fix_event_ts(df: DataFrame) -> DataFrame:
     ts_type = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields).get("ts")
     if ts_type == "bigint":  # nanosAsLong path
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":  # micros, isAdjustedToUTC=false
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -32,34 +32,63 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("value", T.DoubleType()),
-        T.StructField("properties", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", ts_type),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def _sniff_ts_type(sample_file: str | None) -> T.DataType:
+    """One driver-side footer read decides the ``ts`` physical encoding
+    (the corpus has shipped both TIMESTAMP(NANOS) → read-as-long and
+    TIMESTAMP(MICROS, ntz)). Streaming sources need the schema up
+    front, so this mirrors testdata._fix_event_ts's dynamic branch."""
+    if sample_file:
+        try:
+            import pyarrow.parquet as pq
+            import pyarrow as pa
+
+            t = pq.read_schema(sample_file).field("ts").type
+            if pa.types.is_timestamp(t):
+                return T.TimestampNTZType() if t.tz is None else T.TimestampType()
+        except Exception:
+            pass
+    return T.LongType()  # nanosAsLong fallback
 
 
 def read_event_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """Unbounded reader over a parquet landing zone of events."""
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     # the streaming file source wants a directory; accept a single-file
     # path by listing its parent with a glob filter
     import os
 
+    glob = sample = None
     if path.endswith(".parquet") and os.path.isfile(path):
-        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        glob, sample = os.path.basename(path), path
         path = os.path.dirname(path)
+    elif os.path.isdir(path):
+        pq_files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        sample = os.path.join(path, pq_files[0]) if pq_files else None
+
+    ts_type = _sniff_ts_type(sample)
+    reader = spark.readStream.schema(_events_schema(ts_type))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

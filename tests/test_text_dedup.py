@@ -12,10 +12,15 @@ def docs(spark):
     pdf = pd.DataFrame(
         {
             "doc_id": [0, 1, 2, 3, 4],
+            # docs 0/1 differ in a token ('cat'/'cow') whose md5 hash
+            # is ABOVE the shared min-hash token 'lazy', so the pair
+            # stays inside one ngram block under the min-token-hash
+            # blocking conjunct (the screen's documented recall model),
+            # and their minhash signatures collide in >=1 LSH band
             "text": [
-                "the quick brown fox jumps over the lazy dog",
-                "the quick brown fox jumps over the lazy cat",  # near-dup of 0
-                "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+                "the quick brown fox jumps over the lazy cat",
+                "the quick brown fox jumps over the lazy cow",  # near-dup of 0
+                "the quick brown fox jumps over the lazy cat",  # exact dup of 0
                 "completely different words here entirely unique",
                 "a a a a a a a a",  # degenerate
             ],
@@ -87,6 +92,54 @@ def test_ngram_blocked_pairs(spark, docs):
 
     pairs = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
     assert (0, 2) in pairs
+
+
+def test_ngram_block_key_bounded_on_skew(spark):
+    """The min-token-hash conjunct must split a hot (lang, length)
+    bucket: a skewed corpus where every doc shares lang and length
+    bucket but content differs may not collapse into one block."""
+    from pydala2_spark.operators.dedup import ngram_jaccard_pairs
+
+    n = 400
+    rows = [
+        # same lang, same length bucket, mostly-distinct token sets
+        (i, f"w{i}a w{i}b w{i}c w{i}d shared", "en", 30)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars int")
+
+    # reconstruct the operator's block key and measure block sizes
+    from pyspark.sql import functions as F
+
+    key = df.select(
+        F.floor(F.col("n_chars") / 25).alias("lb"),
+        F.col("lang"),
+        F.array_min(
+            F.transform(
+                F.array_distinct(F.split("text", " ")),
+                lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+            )
+        ).alias("mb"),
+    )
+    sizes = key.groupBy("lang", "lb", "mb").count()
+    largest = sizes.agg(F.max("count")).first()[0]
+    # without mb the single (en, 1) bucket holds all 400 docs -> O(n^2);
+    # with it the hot bucket must shrink by an order of magnitude
+    assert largest <= n // 10
+
+    # and the screen still finds true near-dups that share rare tokens
+    near = spark.createDataFrame(
+        [
+            (1000, "alpha beta gamma delta epsilon", "en", 30),
+            (1001, "alpha beta gamma delta zeta", "en", 27),
+        ],
+        "doc_id long, text string, lang string, n_chars int",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df.unionByName(near), threshold=0.5).collect()
+    }
+    assert (1000, 1001) in pairs
 
 
 @pytest.fixture(scope="module")
