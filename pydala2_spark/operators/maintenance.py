@@ -59,6 +59,27 @@ from pydala2_spark.plans.stats import collect_file_stats
 DEFAULT_MAX_ROWS_PER_FILE = 10_000_000  # reference default, pydala/dataset.py:2100
 
 
+def _publish_staging_swap(spark: SparkSession, path: str, staging: str) -> None:
+    """Atomically replace ``path`` with ``staging`` (rename old out of
+    the way, rename staging in, delete old) — and roll back if either
+    rename reports failure, so a half-swap can never leave readers
+    pointing at a missing dataset while the data sits in a side dir.
+    """
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    if not rename(spark, path, old):
+        delete_paths(spark, [staging])
+        raise IOError(f"staging swap: could not move {path!r} aside to {old!r}")
+    if not rename(spark, staging, path):
+        if not rename(spark, old, path):  # roll the original back in
+            raise IOError(
+                f"staging swap failed AND rollback failed: dataset is at "
+                f"{old!r}, replacement at {staging!r}, nothing at {path!r}"
+            )
+        delete_paths(spark, [staging])
+        raise IOError(f"staging swap: could not publish {staging!r} to {path!r}")
+    delete_paths(spark, [old])
+
+
 @dataclass
 class CompactionPlan:
     """Per-group rewrite plan; ``groups`` maps a group key (partition
@@ -354,10 +375,7 @@ def repartition_dataset(
         writer = writer.partitionBy(*part_cols)
     writer.parquet(staging)
 
-    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
-    rename(spark, path, old)
-    rename(spark, staging, path)
-    delete_paths(spark, [old])
+    _publish_staging_swap(spark, path, staging)
     return list_files(spark, path)
 
 
@@ -375,6 +393,16 @@ def zorder_expr(df: DataFrame, cols: list[str], bits: int = 12):
     expressions end to end. Numeric columns only; rank/dictionary-encode
     categoricals first.
     """
+    if not cols:
+        raise ValueError("zorder_expr needs at least one column")
+    # a 64-bit signed key holds at most 63 interleaved bits: clamp the
+    # per-column resolution rather than let shiftleft wrap mod 64 in
+    # the JVM and silently corrupt the Morton key (e.g. default
+    # bits=12 with 6+ columns)
+    max_bits = 63 // len(cols)
+    if max_bits < 1:
+        raise ValueError(f"too many z-order columns ({len(cols)}): max 63")
+    bits = min(bits, max_bits)
     mins_maxs = df.agg(
         *[F.min(c).alias(f"mn_{c}") for c in cols],
         *[F.max(c).alias(f"mx_{c}") for c in cols],
@@ -382,7 +410,12 @@ def zorder_expr(df: DataFrame, cols: list[str], bits: int = 12):
     n = 1 << bits
     bucket_exprs = []
     for c in cols:
-        mn, mx = float(mins_maxs[f"mn_{c}"]), float(mins_maxs[f"mx_{c}"])
+        # an all-null column has null min/max: give it the degenerate
+        # [0, 1] range (every row lands in bucket 0 — no clustering
+        # signal, but no crash and the other columns still interleave)
+        mn_raw, mx_raw = mins_maxs[f"mn_{c}"], mins_maxs[f"mx_{c}"]
+        mn = float(mn_raw) if mn_raw is not None else 0.0
+        mx = float(mx_raw) if mx_raw is not None else 1.0
         if mx <= mn:
             mx = mn + 1.0
         b = F.width_bucket(F.col(c).cast("double"), F.lit(mn), F.lit(mx), F.lit(n)) - 1
@@ -433,10 +466,7 @@ def zorder_rewrite(
         .option("maxRecordsPerFile", str(max_rows_per_file))
         .parquet(staging)
     )
-    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
-    rename(spark, path, old)
-    rename(spark, staging, path)
-    delete_paths(spark, [old])
+    _publish_staging_swap(spark, path, staging)
     return list_files(spark, path)
 
 
@@ -472,10 +502,7 @@ def optimize_dtypes(
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.parquet(staging)
-    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
-    rename(spark, path, old)
-    rename(spark, staging, path)
-    delete_paths(spark, [old])
+    _publish_staging_swap(spark, path, staging)
     return plan
 
 

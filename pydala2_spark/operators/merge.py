@@ -343,10 +343,28 @@ def merge(
             result.rewritten_files = [
                 f for f in list_files(spark, target_path) if f not in files_after_inserts
             ]
-            delete_paths(spark, matched_files)
+            # fs.delete returning False is a SILENT failure mode: the
+            # replaced file would stay visible next to its replacement
+            # (duplicate rows) with no error. Verify and raise into the
+            # PartialMergeError contract with the precise leftover set.
+            if delete_paths(spark, matched_files) != len(matched_files):
+                still = [f for f in matched_files if path_exists(spark, f)]
+                if still:
+                    from pydala2_spark.errors import PartialMergeError
+
+                    result.updated = updated
+                    result.inserted = inserted
+                    raise PartialMergeError(
+                        f"merge rewrote {target_path!r} but {len(still)} replaced "
+                        f"file(s) could not be deleted",
+                        merge_result=result,
+                        pending_deletes=still,
+                    )
     except Exception as e:
         from pydala2_spark.errors import PartialMergeError
 
+        if isinstance(e, PartialMergeError):
+            raise
         result.updated = updated
         result.inserted = inserted
         # replacements fully written but originals not removed → the

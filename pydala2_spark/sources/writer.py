@@ -210,8 +210,13 @@ class Writer:
 
         # Retry policy (reference retries dataset writes x2,
         # `pydala/io.py:624-664`), made IDEMPOTENT per mode:
-        # - overwrite / ignore: re-running is safe by construction
-        #   (full replace / no-op when present) → one retry;
+        # - overwrite: re-running is a full replace → one retry;
+        # - ignore: retried ONLY if the path pre-existed (then the
+        #   retry's no-op is the correct outcome anyway). If the path
+        #   did NOT pre-exist, the failed first attempt itself created
+        #   it (the committer mkdirs the target), so SaveMode.Ignore
+        #   would see "exists" and silently no-op — reporting success
+        #   with no (or partial) data. Re-raise instead;
         # - error: never retried — after a failed first attempt the
         #   path may exist, and the retry would bury the real error
         #   under path-already-exists;
@@ -219,13 +224,18 @@ class Writer:
         #   commit would double-append.
         from pyspark.errors import AnalysisException
 
+        from pydala2_spark.plans.fs import path_exists
+
         if mode != "append":
+            pre_existing = mode == "ignore" and path_exists(self.spark, self.path)
             try:
                 build(mode).save(self.path)
             except AnalysisException:
                 raise  # deterministic (schema/path) — retrying can't help
             except Exception:
                 if mode == "error":
+                    raise
+                if mode == "ignore" and not pre_existing:
                     raise
                 build(mode).save(self.path)
             return

@@ -295,3 +295,57 @@ def test_zorder_improves_multi_column_pruning(spark, tmp_ds_path):
     kept_x = len(prune_files(st2, "x", lo=0, hi=12))
     assert kept_y <= 8 and kept_x <= 8  # hyper-rectangle files skip on both
     assert spark.read.parquet(tmp_ds_path).count() == 40_000  # rows preserved
+
+
+def test_zorder_expr_null_column_and_bits_clamp(spark):
+    """An all-null column must not crash the key builder, and the
+    interleave must stay inside 63 bits however many columns are given
+    (shiftleft wraps mod 64 in the JVM — a wrapped key would silently
+    destroy the clustering)."""
+    from pyspark.sql import functions as F
+
+    from pydala2_spark.operators.maintenance import zorder_expr
+
+    df = spark.range(0, 100).selectExpr(
+        "cast(id as double) AS a",
+        "cast(null as double) AS b",
+        "cast(id % 7 as double) AS c",
+        "cast(id % 11 as double) AS d",
+        "cast(id % 13 as double) AS e",
+        "cast(id % 17 as double) AS f",
+    )
+    # 6 columns x default bits=12 would need 72 bits without the clamp
+    z = zorder_expr(df, ["a", "b", "c", "d", "e", "f"], bits=12)
+    rows = df.select(z.alias("z")).agg(F.min("z"), F.max("z")).first()
+    assert rows[0] is not None and rows[0] >= 0
+    assert rows[1] < (1 << 63)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        zorder_expr(df, [], bits=12)
+
+
+def test_staging_swap_rolls_back_on_publish_failure(spark, tmp_ds_path, monkeypatch):
+    """If the staging->path rename fails, the original dataset must be
+    rolled back into place and nothing deleted."""
+    import pydala2_spark.operators.maintenance as M
+
+    spark.range(0, 100).write.parquet(tmp_ds_path)
+    real_rename = M.rename
+    calls = {"n": 0}
+
+    def flaky_rename(spark_, src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # second rename = staging -> path publish
+            return False
+        return real_rename(spark_, src, dst)
+
+    monkeypatch.setattr(M, "rename", flaky_rename)
+    import pytest as _pytest
+
+    with _pytest.raises(IOError):
+        M._publish_staging_swap(spark, tmp_ds_path, tmp_ds_path + "__staging_x")
+    monkeypatch.undo()
+    # original data still fully readable at the original path
+    assert spark.read.parquet(tmp_ds_path).count() == 100
