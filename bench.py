@@ -31,19 +31,41 @@ def main() -> None:
     # warmup: trigger codegen + file listing once
     qs["q6_forecast_revenue"](spark, SF_DIR).collect()
 
-    # two passes, keep the min: the first evaluation of a query pays
+    # min-of-N, keep the min: the first evaluation of a query pays
     # one-time codegen compilation and (under co-tenant load) scheduler
     # noise; the min reflects steady-state engine throughput, which is
-    # what a long-running cluster job actually sees.
+    # what a long-running cluster job actually sees. The dedup /
+    # streaming / near-dup families are the noisiest (checkpoints,
+    # microbatch setup, big candidate joins) — they get a third pass so
+    # round-over-round deltas >1.3x are trustworthy.
+    def n_passes(name: str) -> int:
+        noisy = ("dedup_", "stream_", "emb_near", "doc_curation")
+        return 3 if name.startswith(noisy) else 2
+
+    def shuffle_count(df) -> int:
+        """Exchange nodes in the AQE-final executed plan — a cheap plan
+        fingerprint that makes shuffle regressions visible in
+        BENCH_DETAIL.json without re-profiling."""
+        try:
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return plan.count("Exchange")
+        except Exception:
+            return -1
+
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    shuffles: dict[str, int] = {}
+    for _pass in range(3):
         for name, fn in qs.items():
+            if _pass >= n_passes(name):
+                continue
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             n = df.count()
             elapsed = round(time.perf_counter() - t0, 4)
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
+            if _pass == 0:
+                shuffles[name] = shuffle_count(df)
             _ = n
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -61,7 +83,7 @@ def main() -> None:
     # dict goes to BENCH_DETAIL.json next to this script.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:
-        json.dump(out, f, indent=1)
+        json.dump({**out, "shuffle_exchanges": shuffles}, f, indent=1)
     def _hybrid(v: float) -> float:
         # 2 decimals under 1 s, 1 decimal under 10 s, whole seconds above
         return round(v, 2) if v < 1 else (round(v, 1) if v < 10 else round(v))

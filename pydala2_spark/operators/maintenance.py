@@ -113,6 +113,34 @@ def _partition_filter(parts_key: str):
 # ---------------------------------------------------------------------------
 
 
+def compaction_candidates(
+    st: DataFrame,
+    max_rows_per_file: int = DEFAULT_MAX_ROWS_PER_FILE,
+    sort_by: SortSpec = None,
+) -> DataFrame:
+    """Per-partition candidate selection as a DataFrame — the filter
+    runs DISTRIBUTED, so at 100 TB (~10⁶ partitions) the driver only
+    ever receives the partitions actually selected for rewrite, not
+    the full partition list (same collect-the-selection-only shape as
+    ``plans.stats.prune_files``).
+
+    Reference candidates: >1 file and < max_rows total; ``sort_by`` ⇒
+    ordered rewrite of every partition (`pydala/dataset.py:2140-2152`).
+    """
+    grouped = st.groupBy(
+        F.sort_array(F.expr("map_entries(partitions)")).alias("pe")
+    ).agg(
+        F.collect_list("file_path").alias("files"),
+        F.sum("num_rows").alias("rows"),
+        F.count("*").alias("n_files"),
+    )
+    if sort_by:
+        return grouped
+    return grouped.filter(
+        (F.col("n_files") > 1) & (F.col("rows") < max_rows_per_file)
+    )
+
+
 def plan_compact_partitions(
     spark: SparkSession,
     path: str,
@@ -121,24 +149,13 @@ def plan_compact_partitions(
     stats: DataFrame | None = None,
 ) -> CompactionPlan:
     st = stats if stats is not None else collect_file_stats(spark, path)
-    per_part = (
-        st.groupBy(F.sort_array(F.expr("map_entries(partitions)")).alias("pe"))
-        .agg(
-            F.collect_list("file_path").alias("files"),
-            F.sum("num_rows").alias("rows"),
-            F.count("*").alias("n_files"),
-        )
-        .collect()
-    )
+    per_part = compaction_candidates(st, max_rows_per_file, sort_by).collect()
     plan = CompactionPlan()
     for r in per_part:
         parts = {e["key"]: e["value"] for e in r["pe"]} if r["pe"] else {}
         key = _partition_key(parts)
-        # reference candidates: >1 file and < max_rows total; sort_by ⇒
-        # ordered rewrite of every partition (`pydala/dataset.py:2140-2152`)
-        if (r["n_files"] > 1 and r["rows"] < max_rows_per_file) or (sort_by and r["n_files"] >= 1):
-            plan.groups[key] = sorted(r["files"])
-            plan.rows[key] = int(r["rows"])
+        plan.groups[key] = sorted(r["files"])
+        plan.rows[key] = int(r["rows"])
     return plan
 
 
@@ -206,30 +223,37 @@ def plan_compact_by_timeperiod(
     """Group files by the interval bucket of their min(ts) footer stat.
     Each candidate file lands in exactly one group (no double rewrite);
     groups with >1 file are compacted."""
-    import json as _json
-
     st = stats if stats is not None else collect_file_stats(spark, path)
-    rows = st.select(
-        "file_path", "num_rows", F.col("column_stats").getItem(timestamp_column).alias("cs")
-    ).collect()
     step = _interval_seconds(interval)
-    buckets: dict[int, list] = {}
-    for r in rows:
-        if r["cs"] is None or r["cs"]["min"] is None:
-            continue
-        v = _json.loads(r["cs"]["min"])
-        import datetime as _dt
-
-        ts = _dt.datetime.fromisoformat(str(v).replace("Z", "+00:00"))
-        if ts.tzinfo is None:
-            ts = ts.replace(tzinfo=_dt.timezone.utc)
-        buckets.setdefault(int(ts.timestamp()) // step, []).append(r)
+    # bucket + candidate selection stay DISTRIBUTED (same rationale as
+    # compaction_candidates): the driver receives one row per
+    # multi-file interval, never the full file list. The footer min is
+    # a JSON-encoded ISO string; strip quotes, normalize Z, parse in
+    # the session's UTC timezone — byte-for-byte the old driver-side
+    # fromisoformat path.
+    cs = F.col("column_stats").getItem(timestamp_column)
+    ts_str = F.regexp_replace(
+        F.regexp_replace(cs.getField("min"), '^"|"$', ""), "Z$", "+00:00"
+    )
+    bucket = F.floor(F.unix_timestamp(F.to_timestamp(ts_str)) / step)
+    per_bucket = (
+        st.filter(cs.isNotNull() & cs.getField("min").isNotNull())
+        .withColumn("__bucket", bucket)
+        .filter(F.col("__bucket").isNotNull())
+        .groupBy("__bucket")
+        .agg(
+            F.collect_list("file_path").alias("files"),
+            F.sum("num_rows").alias("rows"),
+            F.count("*").alias("n_files"),
+        )
+        .filter(F.col("n_files") > 1)
+        .collect()
+    )
     plan = CompactionPlan()
-    for b, members in sorted(buckets.items()):
-        if len(members) > 1:
-            key = f"t{b * step}"
-            plan.groups[key] = sorted(m["file_path"] for m in members)
-            plan.rows[key] = int(sum(m["num_rows"] for m in members))
+    for r in sorted(per_bucket, key=lambda r: r["__bucket"]):
+        key = f"t{int(r['__bucket']) * step}"
+        plan.groups[key] = sorted(r["files"])
+        plan.rows[key] = int(r["rows"])
     return plan
 
 

@@ -9,16 +9,35 @@ registers each as a view over its dataset, and runs the query.
 Spark-first: registration is ``createOrReplaceTempView`` over a lazy
 DataFrame, execution is ``spark.sql`` (Catalyst), so a catalog query
 against 100 TB of parquet plans exactly like a hand-written DataFrame
-program — nothing is materialized at registration time. The reference's
-named-filesystem section collapses into Hadoop FS URIs in ``path``.
+program — nothing is materialized at registration time.
+
+Named filesystems (reference `pydala/catalog.py:139-166`,
+`pydala/filesystem.py:179-227`): a ``filesystems:`` section maps
+profile names to storage credentials/options; tables reference one by
+name. The Spark-native translation is **per-bucket Hadoop
+configuration** — profile options become
+``fs.s3a.bucket.<bucket>.access.key`` etc. on the session's Hadoop
+conf at load time, so two S3 profiles (or S3 + local) coexist in ONE
+SparkSession without leaking credentials across buckets (the
+session-global ``fs.s3a.*`` keys stay untouched). A profile with
+``cached: true`` routes reads through :class:`plans.cachefs.LocalCache`
+(the reference's cached-fsspec workflow).
 
 YAML layout (same spirit as the reference's):
 
+    filesystems:
+      s3_main:
+        protocol: s3
+        bucket: my-bucket
+        key: AKIA...
+        secret: "..."
+        endpoint_url: http://minio:9000
     tables:
       silver:
         orders:
-          path: /data/orders
+          path: s3://my-bucket/orders
           format: parquet
+          filesystem: s3_main
           partitioning: [year, month]
           write_args: {max_rows_per_file: 1000000}
 """
@@ -42,6 +61,48 @@ _SQL_TABLE_RE = re.compile(
     r"\b(?:from|join)\s+([A-Za-z_][\w.]*)", re.IGNORECASE
 )
 _SQL_KEYWORDS = {"select", "lateral", "unnest", "values"}
+
+# profile option -> fs.s3a.[bucket.<b>.] suffix. Only recognized keys
+# are forwarded; unknown keys are ignored rather than risk writing a
+# malformed Hadoop property.
+_S3A_OPTION_MAP = {
+    "key": "access.key",
+    "access_key": "access.key",
+    "secret": "secret.key",
+    "secret_key": "secret.key",
+    "token": "session.token",
+    "session_token": "session.token",
+    "endpoint": "endpoint",
+    "endpoint_url": "endpoint",
+    "region": "endpoint.region",
+    "path_style_access": "path.style.access",
+}
+
+
+def s3a_conf_for_profile(profile: dict[str, Any]) -> dict[str, str]:
+    """Translate a filesystem profile into Hadoop S3A properties,
+    scoped per-bucket when the profile names one (the mechanism that
+    lets two S3 accounts share a SparkSession)."""
+    bucket = profile.get("bucket")
+    prefix = f"fs.s3a.bucket.{bucket}." if bucket else "fs.s3a."
+    out: dict[str, str] = {}
+    for opt, val in profile.items():
+        suffix = _S3A_OPTION_MAP.get(opt)
+        if suffix is None:
+            continue
+        if isinstance(val, bool):
+            val = "true" if val else "false"
+        out[prefix + suffix] = str(val)
+    if profile.get("anon"):
+        out[prefix + "aws.credentials.provider"] = (
+            "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
+        )
+    return out
+
+
+def _rewrite_scheme(path: str) -> str:
+    """``s3://`` is fsspec vocabulary; Hadoop's S3 connector is s3a."""
+    return re.sub(r"^s3://", "s3a://", path)
 
 
 def get_table_names(query: str) -> list[str]:
@@ -72,7 +133,8 @@ class Catalog:
             spark = get_spark()
         self.spark = spark
         self.path = path
-        self._config: dict[str, Any] = {"tables": {}}
+        self._config: dict[str, Any] = {"tables": {}, "filesystems": {}}
+        self._applied_fs: set[str] = set()
         if os.path.exists(path):
             self._load_yaml()
 
@@ -84,6 +146,7 @@ class Catalog:
         with open(self.path) as f:
             self._config = yaml.safe_load(f) or {"tables": {}}
         self._config.setdefault("tables", {})
+        self._config.setdefault("filesystems", {})
 
     def _save_yaml(self) -> None:
         if not _HAS_YAML:
@@ -122,6 +185,69 @@ class Catalog:
 
     def schema(self, name: str):
         return self.load(name).schema
+
+    def show(self, name: str) -> str:
+        """Pretty YAML dump of one table entry (reference
+        `pydala/catalog.py:253-270`)."""
+        if not _HAS_YAML:
+            raise ImportError("pyyaml is required for YAML catalogs")
+        text = yaml.safe_dump({name: dict(self._entry(name))}, sort_keys=False)
+        print(text)
+        return text
+
+    # -- named filesystems (reference catalog.py:139-166) ----------------
+
+    @property
+    def filesystems(self) -> list[str]:
+        return sorted(self._config.get("filesystems", {}).keys())
+
+    def create_filesystem(self, name: str, protocol: str = "file", **options: Any) -> None:
+        self._config.setdefault("filesystems", {})[name] = {
+            "protocol": protocol, **options
+        }
+        self._applied_fs.discard(name)
+        self._save_yaml()
+
+    def delete_filesystem(self, name: str) -> None:
+        self._config.get("filesystems", {}).pop(name, None)
+        self._applied_fs.discard(name)
+        self._save_yaml()
+
+    def show_filesystem(self, name: str) -> str:
+        """Pretty YAML dump of one filesystem profile with secrets
+        masked (reference `pydala/catalog.py:272-294`)."""
+        if not _HAS_YAML:
+            raise ImportError("pyyaml is required for YAML catalogs")
+        profile = dict(self._fs_profile(name))
+        for k in ("secret", "secret_key", "token", "session_token", "key", "access_key"):
+            if k in profile:
+                profile[k] = "***"
+        text = yaml.safe_dump({name: profile}, sort_keys=False)
+        print(text)
+        return text
+
+    def _fs_profile(self, name: str) -> dict[str, Any]:
+        fss = self._config.get("filesystems", {})
+        if name not in fss:
+            raise KeyError(f"filesystem {name!r} not in catalog")
+        return fss[name]
+
+    def _apply_filesystem(self, name: str) -> dict[str, Any]:
+        """Idempotently push a profile's options onto the session's
+        Hadoop conf (per-bucket keys — other buckets keep their own
+        credentials) and return the profile."""
+        profile = self._fs_profile(name)
+        if name in self._applied_fs:
+            return profile
+        proto = (profile.get("protocol") or "file").lower()
+        if proto in ("s3", "s3a"):
+            hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+            for key, val in s3a_conf_for_profile(profile).items():
+                hconf.set(key, val)
+        # protocol 'file' needs no conf; unknown protocols are left to
+        # whatever Hadoop connectors the session already carries
+        self._applied_fs.add(name)
+        return profile
 
     # -- CRUD (write-through YAML, reference catalog.py:559-793) ---------
 
@@ -199,11 +325,31 @@ class Catalog:
         from pydala2_spark.sources.dataset import CSVDataset, JSONDataset, ParquetDataset
 
         entry = self._entry(name)
+        path = entry["path"]
+        if entry.get("filesystem"):
+            profile = self._apply_filesystem(entry["filesystem"])
+            path = _rewrite_scheme(path)
+            if profile.get("cached"):
+                import hashlib
+
+                from pydala2_spark.plans.cachefs import LocalCache
+
+                # one mirror subdir per remote path, so tables sharing
+                # a cached profile don't overwrite each other
+                storage = profile.get("cache_storage")
+                sub = hashlib.md5(path.encode()).hexdigest()[:12]
+                cache = LocalCache(
+                    self.spark,
+                    path,
+                    cache_dir=os.path.join(storage, sub) if storage else None,
+                )
+                cache.sync()
+                path = cache.cache_dir
         cls = {"parquet": ParquetDataset, "csv": CSVDataset, "json": JSONDataset}.get(
             entry.get("format", "parquet"), ParquetDataset
         )
         ds = cls(
-            entry["path"],
+            path,
             spark=self.spark,
             partitioning=entry.get("partitioning"),
             name=name.rpartition(".")[2],

@@ -247,23 +247,37 @@ class BaseDataset:
         df = self.df.select(*columns) if columns else self.df
         return df.toArrow()
 
-    def to_batch_reader(self, columns: list[str] | None = None, batch_size: int = 131_072):
+    def to_batch_reader(
+        self,
+        columns: list[str] | None = None,
+        batch_size: int = 131_072,
+        filter: str | F.Column | None = None,
+        sort_by: SortSpec = None,
+    ):
         """Streaming pyarrow RecordBatchReader (S7 parity: the
         reference's ``to_batch_reader``, `pydala/table.py:538-589`,
-        batch size default `pydala/constants.py:23`).
+        batch size default `pydala/constants.py:23`; ``filter`` /
+        ``sort_by`` knobs per `pydala/table.py:547-556`).
 
         TRUE streaming, matching the reference's semantics: partitions
         are pulled to the driver one at a time (``toLocalIterator``)
         and re-chunked into ``batch_size`` record batches, so driver
         memory is O(batch_size + one partition) — never the whole
-        result. For bulk one-shot export prefer :meth:`to_arrow`
-        (vectorized transfer); this verb is for consumers that process
-        incrementally or stop early.
+        result. The filter applies BEFORE projection (it may reference
+        dropped columns) and pushes down into the scan; a sort runs as
+        one distributed total order whose partitions then stream back
+        in range order. For bulk one-shot export prefer
+        :meth:`to_arrow` (vectorized transfer); this verb is for
+        consumers that process incrementally or stop early.
         """
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        df = self.df.select(*columns) if columns else self.df
+        df = self.filter(filter) if filter is not None else self.df
+        if sort_by:
+            df = df.orderBy(*to_sort_columns(sort_by))
+        if columns:
+            df = df.select(*columns)
         schema = to_arrow_schema(df.schema)
 
         def batches():

@@ -98,3 +98,59 @@ def test_catalog_rejects_non_identifier_view(spark, tmp_path, catalog):
     catalog.create_table("ns.bad-name", p)
     with pytest.raises(ValueError, match="identifier"):
         catalog.register("ns.bad-name")
+
+
+def test_named_filesystems_two_profiles(spark, tmp_path, catalog):
+    """Two storage profiles in one catalog: a plain local profile and a
+    cached profile, each read through its own path machinery; and an S3
+    profile's credentials land on per-bucket Hadoop keys (the mechanism
+    that keeps two S3 accounts separate in one session)."""
+    p1 = _make_table(spark, tmp_path, "fs_t1", n=10)
+    p2 = _make_table(spark, tmp_path, "fs_t2", n=15)
+
+    catalog.create_filesystem("local_plain", protocol="file")
+    catalog.create_filesystem(
+        "local_cached",
+        protocol="file",
+        cached=True,
+        cache_storage=str(tmp_path / "mirror"),
+    )
+    catalog.create_filesystem(
+        "s3_main",
+        protocol="s3",
+        bucket="bucket-a",
+        key="AKIAEXAMPLE",
+        secret="sekret",
+        endpoint_url="http://localhost:9000",
+        path_style_access=True,
+    )
+    assert catalog.filesystems == ["local_cached", "local_plain", "s3_main"]
+
+    catalog.create_table("ns.t1", p1, filesystem="local_plain")
+    catalog.create_table("ns.t2", p2, filesystem="local_cached")
+    assert catalog.load("ns.t1", as_dataset=False).count() == 10
+    # cached profile reads THROUGH the mirror dir, not the source
+    ds2 = catalog.load("ns.t2")
+    assert ds2.df.count() == 15
+    assert str(tmp_path / "mirror") in ds2.path
+
+    # profiles survive a YAML round-trip
+    reloaded = Catalog(catalog.path, spark=spark)
+    assert reloaded.filesystems == ["local_cached", "local_plain", "s3_main"]
+
+    # applying the s3 profile writes bucket-scoped Hadoop conf only
+    reloaded._apply_filesystem("s3_main")
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.bucket.bucket-a.access.key") == "AKIAEXAMPLE"
+    assert hconf.get("fs.s3a.bucket.bucket-a.secret.key") == "sekret"
+    assert hconf.get("fs.s3a.bucket.bucket-a.endpoint") == "http://localhost:9000"
+    assert hconf.get("fs.s3a.bucket.bucket-a.path.style.access") == "true"
+    # the global key is untouched -> a second bucket keeps its own creds
+    assert hconf.get("fs.s3a.access.key") is None
+
+    # secrets are masked in show_filesystem
+    shown = catalog.show_filesystem("s3_main")
+    assert "sekret" not in shown and "***" in shown
+
+    # show(table) pretty-dumps the entry
+    assert "fs_t1" in catalog.show("ns.t1")

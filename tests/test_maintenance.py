@@ -349,3 +349,25 @@ def test_staging_swap_rolls_back_on_publish_failure(spark, tmp_ds_path, monkeypa
     monkeypatch.undo()
     # original data still fully readable at the original path
     assert spark.read.parquet(tmp_ds_path).count() == 100
+
+
+def test_compaction_candidates_stay_distributed(spark, tmp_ds_path):
+    """Candidate selection must filter BEFORE any driver collect: the
+    candidates frame contains only the partitions selected for rewrite,
+    not one row per partition."""
+    from pyspark.sql import functions as F
+
+    from pydala2_spark.operators.maintenance import compaction_candidates
+
+    # 10 partitions, each a single healthy file, plus 2 fragmented ones
+    big = spark.range(0, 1000).withColumn("p", F.col("id") % 10)
+    big.repartition("p").write.partitionBy("p").parquet(tmp_ds_path)
+    for pid in (90, 91):
+        for _ in range(3):
+            spark.range(0, 5).withColumn("p", F.lit(pid)).write.mode(
+                "append"
+            ).partitionBy("p").parquet(tmp_ds_path)
+
+    st = collect_file_stats(spark, tmp_ds_path)
+    cand = compaction_candidates(st, max_rows_per_file=1_000_000)
+    assert cand.count() == 2  # only the fragmented partitions survive

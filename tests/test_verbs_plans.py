@@ -97,6 +97,31 @@ def test_to_batch_reader_streams_bounded(spark, tmp_ds_path):
     assert total == 20_000
 
 
+def test_to_batch_reader_filter_sort(spark, tmp_ds_path):
+    """Reference knob parity (pydala/table.py:547-556): a filtered,
+    sorted export streams in bounded batches AND arrives in global
+    sort order; the filter may reference a column dropped by the
+    projection."""
+    spark.range(0, 10_000, 1, 8).selectExpr(
+        "id", "cast(id % 97 as long) AS k", "cast(id % 7 as double) AS v"
+    ).write.parquet(tmp_ds_path)
+    from pydala2_spark.sources.dataset import Dataset
+
+    ds = Dataset(tmp_ds_path, spark=spark)
+    reader = ds.to_batch_reader(
+        columns=["id", "k"], batch_size=256, filter="v < 2.0", sort_by="k desc"
+    )
+    got_k, got_rows = [], 0
+    for b in reader:
+        assert b.num_rows <= 256
+        assert b.schema.names == ["id", "k"]
+        got_k.extend(b.column("k").to_pylist())
+        got_rows += b.num_rows
+    expected = ds.df.filter("v < 2.0").count()
+    assert got_rows == expected and expected > 0
+    assert got_k == sorted(got_k, reverse=True)  # global order preserved
+
+
 # -- plan-shape regressions ---------------------------------------------
 
 
