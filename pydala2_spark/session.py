@@ -56,6 +56,14 @@ def get_spark(
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # local-mode default is a 1g heap regardless of machine size —
+        # one driver JVM hosts all N executor threads here, so size it
+        # like N executors (found the hard way: a 10x-scale corpus
+        # OOMed inside localCheckpoint under the 1g default). On a real
+        # cluster this conf is superseded by spark-submit settings.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
     )

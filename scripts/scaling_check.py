@@ -1,0 +1,128 @@
+"""sf1-equivalent scaling spot-check for the most expensive queries.
+
+Synthesizes a ~10x corpus from /root/testdata/sf0.1 (documents,
+embeddings, events — the tables behind the top-cost queries), then
+times each query at 1x and 10x. A blocked/bucketed design should scale
+close to linearly in rows; a ratio far above the replication factor
+(say >3x the factor) flags an accidental quadratic that the sf0.1
+bench can't see.
+
+The 10x corpus is a perturbed replication, not a straight copy: doc
+ids/texts get a copy-specific token (so exact-dup groups don't explode
+10x), embeddings get a tiny deterministic scale wobble, events get new
+user ids per copy (state scales linearly).
+
+Usage: python scripts/scaling_check.py [factor]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from pydala2_spark.session import get_spark
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+OUT = f"/tmp/sfscale_x{FACTOR}"
+
+QUERIES = [
+    "dedup_simhash",
+    "dedup_clusters",
+    "doc_curation",
+    "dedup_minhash_lsh",
+    "emb_near_dup_srp",
+    "stream_sessionization",
+]
+
+
+def build(spark) -> None:
+    if os.path.isdir(OUT):
+        shutil.rmtree(OUT)
+    os.makedirs(OUT)
+
+    docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+    n_docs = docs.count()
+    copies = []
+    for k in range(FACTOR):
+        c = (
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * n_docs))
+            # vary content per copy: append a copy token so replicas are
+            # near-dups (realistic) rather than byte-identical
+            .withColumn(
+                "text",
+                F.when(F.lit(k) == 0, F.col("text")).otherwise(
+                    F.concat(F.col("text"), F.lit(f" c{k}tok"))
+                ),
+            )
+        )
+        c = c.withColumn("n_chars", F.length("text"))
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(32).write.parquet(os.path.join(OUT, "documents.parquet"))
+
+    emb = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    n_emb = emb.count()
+    ecopies = []
+    for k in range(FACTOR):
+        scale = 1.0 + k * 1e-4
+        ecopies.append(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * n_emb)).withColumn(
+                "embedding",
+                F.transform("embedding", lambda x: (x * scale).cast("float")),
+            )
+        )
+    eout = ecopies[0]
+    for c in ecopies[1:]:
+        eout = eout.unionByName(c)
+    eout.repartition(32).write.parquet(os.path.join(OUT, "embeddings.parquet"))
+
+    ev = spark.read.parquet(os.path.join(BASE, "events.parquet"))
+    n_users = ev.agg(F.max("user_id")).first()[0] + 1
+    n_ev = ev.count()
+    vcopies = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(k * n_ev)).withColumn(
+            "user_id", F.col("user_id") + F.lit(k * n_users)
+        )
+        for k in range(FACTOR)
+    ]
+    vout = vcopies[0]
+    for c in vcopies[1:]:
+        vout = vout.unionByName(c)
+    vout.repartition(32).write.parquet(os.path.join(OUT, "events.parquet"))
+
+
+def main() -> None:
+    from pydala2_spark.queries import queries
+
+    spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    build(spark)
+    qs = queries()
+
+    print(f"{'query':32s} {'1x':>7s} {'x' + str(FACTOR):>7s} {'ratio':>7s}")
+    for name in QUERIES:
+        fn = qs[name]
+        times = {}
+        for label, d in (("base", BASE), ("big", OUT)):
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, d).count()
+                e = time.perf_counter() - t0
+                best = e if best is None or e < best else best
+            times[label] = best
+        ratio = times["big"] / times["base"]
+        flag = "  <-- SUPERLINEAR?" if ratio > 3 * FACTOR else ""
+        print(f"{name:32s} {times['base']:7.2f} {times['big']:7.2f} {ratio:6.1f}x{flag}")
+
+
+if __name__ == "__main__":
+    main()
