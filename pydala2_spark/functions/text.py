@@ -147,6 +147,28 @@ def shingles(text: str = "text", k: int = 3, tokens_col: str | None = None) -> C
     return F.expr(shingles_sql(text, k, tokens_col))
 
 
+def raw_shingle_count(text: str = "text", k: int = 3, tokens_col: str | None = None) -> Column:
+    """Number of k-token shingles BEFORE dedup (``shingles`` returns
+    the distinct set; the repetition metrics need both)."""
+    t = _toks(text, tokens_col)
+    return F.expr(f"greatest(size({t}) - {k - 1}, 1)")
+
+
+def duplicate_ngram_fraction(
+    text: str = "text", k: int = 3, tokens_col: str | None = None
+) -> Column:
+    """Fraction of k-gram occurrences that repeat an earlier k-gram in
+    the same document: 1 - distinct/total. The Gopher-style repetition
+    rule (Rae et al. 2021 §A1.1 — e.g. drop docs whose duplicate
+    3-gram fraction is high): boilerplate, keyword stuffing, and
+    generation loops all score high while natural prose stays low.
+    Pure expressions, evaluated per row at scan time — no shuffle.
+    """
+    return F.lit(1.0) - F.size(shingles(text, k, tokens_col)) / raw_shingle_count(
+        text, k, tokens_col
+    )
+
+
 def doc_fingerprint(text: str = "text", k: int = 5, tokens_col: str | None = None) -> Column:
     """Winnowing-style fingerprint: the minimum md5 over k-token
     shingles — two docs sharing a fingerprint share at least one

@@ -101,3 +101,103 @@ def curate_corpus(
         .select(F.col(id_col), F.lit(STATUS_KEPT).alias("status"))
     )
     return low.unionByName(exact).unionByName(near).unionByName(kept)
+
+
+def contamination_screen(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination check: corpus documents sharing any
+    k-token shingle with a benchmark/eval set — the screen every
+    training-data build runs before a model ships (n-gram overlap
+    dedup against eval sets, as in GPT-3 appx. C / PaLM §C.1-style
+    decontamination; k=8..13 token windows are the common range).
+
+    Plan shape at 100 TB: the benchmark side is SMALL (eval sets are
+    thousands of documents) — its distinct shingles broadcast, so the
+    corpus-side explode joins against a hash map with NO shuffle of
+    the corpus; the per-doc count aggregation shuffles only matched
+    (doc, shingle) rows. Returns (id, n_shared_ngrams).
+    """
+    from pydala2_spark.functions.text import shingles
+
+    # pre-split ONCE per doc: shingles() without a tokens_col re-runs
+    # split(text) for every element_at probe (k probes x ~n shingles
+    # per doc — measured 9.9s -> 0.6s at sf0.1 for k=8)
+    bench_sh = (
+        benchmark.select(F.split(F.col(text), " ").alias("__tk"))
+        .select(F.explode(shingles(text, k, "__tk")).alias("sh"))
+        .filter(F.size(F.split(F.col("sh"), " ")) == k)  # drop short-doc stubs
+        .distinct()
+    )
+    corpus_sh = corpus.select(
+        F.col(id_col), F.split(F.col(text), " ").alias("__tk")
+    ).select(F.col(id_col), F.explode(shingles(text, k, "__tk")).alias("sh"))
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    tokens_expr=None,
+) -> DataFrame:
+    """Concat-and-chop sequence packing: documents are laid out in
+    deterministic (group, id) order and chopped into fixed
+    ``budget``-token training sequences; a document's sequence id is
+    the budget bucket its first token lands in. The standard LLM
+    pretraining packing layout — the operator reports per-sequence
+    occupancy so a pipeline can size its batches.
+
+    One window (prefix sum per group) + one aggregation; the window
+    partitions by ``group_col`` so at 100 TB each language packs
+    independently across executors. Returns
+    (group, seq_id, n_docs, seq_tokens).
+    """
+    toks = tokens_expr if tokens_expr is not None else F.size(F.split("text", " "))
+    w = Window.partitionBy(group_col).orderBy(id_col)
+    laid = df.select(
+        F.col(group_col), F.col(id_col), toks.alias("__n")
+    ).withColumn("__start", F.sum("__n").over(w) - F.col("__n"))
+    return (
+        laid.withColumn("seq_id", F.floor(F.col("__start") / budget))
+        .groupBy(group_col, "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("seq_tokens"),
+        )
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the domain/language
+    mixing step of a training-data recipe (e.g. downweight a crawl
+    source without losing reproducibility).
+
+    The coin is md5(id) — NOT rand() — so the sample is stable across
+    runs, executors, and engines (the DuckDB oracle mirrors it bit for
+    bit), and resuming a pipeline re-selects the identical rows. Scan-
+    side filter, no shuffle; at 100 TB it composes with partition
+    pruning because it's a plain predicate.
+    """
+    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 1_000_000
+    rate = F.lit(int(default_rate * 1_000_000))
+    for g, r in sorted(rates.items()):
+        rate = F.when(F.col(group_col) == g, F.lit(int(r * 1_000_000))).otherwise(rate)
+    return df.filter(u < rate)

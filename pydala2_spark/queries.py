@@ -2811,6 +2811,141 @@ def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_repetition_screen",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), s AS (
+      SELECT doc_id,
+             len(tk) AS n_tokens,
+             len(list_distinct(tk)) AS dt,
+             greatest(len(tk) - 2, 1) AS n3,
+             len(list_distinct(list_transform(
+                 generate_series(1, greatest(len(tk) - 2, 1)),
+                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS d3
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           round(1.0 - dt / n_tokens, 4) AS dup_token_frac,
+           round(1.0 - d3 / n3, 4) AS dup_3gram_frac,
+           CAST((1.0 - d3 / n3) > 0.2 AS INT) AS repetitive
+    FROM s
+    """,
+)
+def doc_repetition_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style repetition rule (Rae et al. 2021 §A1.1): the
+    # duplicate n-gram fraction separates boilerplate / keyword
+    # stuffing / generation loops from natural prose. Pure per-row
+    # expressions at scan time — at 100 TB this is a free pass over
+    # the corpus, no shuffle.
+    from pydala2_spark.functions import text as X
+    from pydala2_spark.functions.text import duplicate_ngram_fraction
+
+    rep3 = duplicate_ngram_fraction(tokens_col="__tk")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("__tk"))
+        .select(
+            "doc_id",
+            X.token_count(tokens_col="__tk").alias("n_tokens"),
+            F.round(
+                F.lit(1.0)
+                - X.unique_token_count(tokens_col="__tk")
+                / X.token_count(tokens_col="__tk"),
+                4,
+            ).alias("dup_token_frac"),
+            F.round(rep3, 4).alias("dup_3gram_frac"),
+            (rep3 > 0.2).cast("int").alias("repetitive"),
+        )
+    )
+
+
+@query(
+    "doc_contamination",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+                 generate_series(1, greatest(len(tk) - 7, 1)),
+                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+                                tk[i+4], tk[i+5], tk[i+6], tk[i+7]))) AS shs
+      FROM t
+    ), bench AS (
+      SELECT DISTINCT s FROM sh, unnest(shs) AS u(s)
+      WHERE doc_id % 50 = 0 AND len(string_split(s, ' ')) = 8
+    ), corp AS (
+      SELECT doc_id, s FROM sh, unnest(shs) AS u(s) WHERE doc_id % 50 <> 0
+    )
+    SELECT c.doc_id, count(*) AS n_shared_ngrams
+    FROM corp c JOIN bench b ON c.s = b.s
+    GROUP BY c.doc_id
+    """,
+)
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # benchmark decontamination: corpus docs sharing any 8-token
+    # shingle with the held-out set (docs with id % 50 == 0 stand in
+    # for an eval suite). The eval side broadcasts — the 100 TB corpus
+    # is never shuffled, only its matched (doc, shingle) rows.
+    from pydala2_spark.operators.curate import contamination_screen
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_screen(
+        corpus=docs.filter(F.col("doc_id") % 50 != 0),
+        benchmark=docs.filter(F.col("doc_id") % 50 == 0),
+        k=8,
+    )
+
+
+@query(
+    "doc_pack_sequences",
+    """
+    WITH t AS (
+      SELECT lang, doc_id, len(string_split(text, ' ')) AS n FROM documents
+    ), laid AS (
+      SELECT lang, doc_id, n,
+             sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+               AS start
+      FROM t
+    )
+    SELECT lang, start // 2048 AS seq_id,
+           count(*) AS n_docs, sum(n) AS seq_tokens
+    FROM laid GROUP BY lang, start // 2048
+    """,
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # concat-and-chop packing into 2048-token training sequences, per
+    # language: one prefix-sum window per group + one aggregation.
+    from pydala2_spark.operators.curate import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget=2048)
+
+
+@query(
+    "doc_stratified_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+          < CASE lang WHEN 'en' THEN 250000 WHEN 'de' THEN 500000
+                      ELSE 1000000 END
+    """,
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic md5-coin stratified downsampling (en 25%, de 50%,
+    # rest kept): the domain-mixing step of a data recipe, reproducible
+    # across runs/engines — a plain scan-side predicate at 100 TB.
+    from pydala2_spark.operators.curate import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        rates={"en": 0.25, "de": 0.5},
+        default_rate=1.0,
+    ).select("doc_id", "lang")
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -2822,7 +2957,12 @@ def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mirror (scripts/check_correctness.py runs every entry).
 
 _VERIFY_FIRST = [
-    # never driver-verified (local mirror only) — verify first
+    # new this round — verify first
+    "doc_repetition_screen",
+    "doc_contamination",
+    "doc_pack_sequences",
+    "doc_stratified_sample",
+    # never driver-verified (local mirror only)
     "ev_value_quantiles",
     "doc_pii_scan",
     "emb_quantize_error",

@@ -378,3 +378,94 @@ def test_redact_pii(spark):
     assert r["ne"] == 1 and r["nu"] == 1 and r["ni"] == 1
     assert "@" not in r["clean"] and "https" not in r["clean"] and "10.0.0.1" not in r["clean"]
     assert r["clean"].count("[REDACTED]") == 3
+
+
+# -- curation pipeline extensions (round 3) ----------------------------
+
+
+def test_contamination_screen_detects_planted_overlap(spark):
+    from pyspark.sql import functions as F
+
+    from pydala2_spark.operators.curate import contamination_screen
+
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro words then {leak} trailing text here"),
+            (2, "totally unrelated content with no overlap at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"benchmark question: {leak} answer choices follow")],
+        "doc_id long, text string",
+    )
+    out = contamination_screen(corpus, bench, k=8)
+    rows = {r["doc_id"]: r["n_shared_ngrams"] for r in out.collect()}
+    assert 1 in rows and rows[1] >= 1
+    assert 2 not in rows
+    # the benchmark side must broadcast: the corpus is never shuffled
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from pydala2_spark.operators.curate import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", "tok " * (50 + i)) for i in range(40)],
+        "doc_id long, lang string, text string",
+    ).withColumn("text", F.rtrim("text"))
+    packed = pack_sequences(docs, budget=512)
+    total_in = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("n")
+    ).first()["n"]
+    agg = packed.agg(
+        F.sum("seq_tokens").alias("tok"), F.sum("n_docs").alias("docs")
+    ).first()
+    assert agg["tok"] == total_in and agg["docs"] == 40  # nothing dropped
+    # seq ids start at 0 and are contiguous per group
+    for lang in ("en", "de"):
+        ids = sorted(
+            r["seq_id"] for r in packed.filter(F.col("lang") == lang).collect()
+        )
+        assert ids == list(range(len(ids)))
+
+
+def test_stratified_sample_deterministic(spark):
+    from pydala2_spark.operators.curate import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(3000)],
+        "doc_id long, lang string",
+    )
+    a = {r["doc_id"] for r in stratified_sample(docs, {"en": 0.1}).collect()}
+    b = {r["doc_id"] for r in stratified_sample(docs, {"en": 0.1}).collect()}
+    assert a == b  # md5 coin, not rand(): identical on re-run
+    n_en = docs.filter("lang = 'en'").count()
+    n_en_kept = len([i for i in a if i % 3])
+    assert 0.05 * n_en < n_en_kept < 0.15 * n_en  # ~10% of the stratum
+    assert len([i for i in a if i % 3 == 0]) == 1000  # 'de' fully kept
+
+
+def test_duplicate_ngram_fraction_separates_loops(spark):
+    from pyspark.sql import functions as F
+
+    from pydala2_spark.functions.text import duplicate_ngram_fraction
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now " * 30),  # generation loop
+            (2, "each word appears exactly once in this natural sentence"),
+        ],
+        "doc_id long, text string",
+    ).withColumn("text", F.rtrim("text"))
+    out = {
+        r["doc_id"]: r["f"]
+        for r in spark.createDataFrame(
+            docs.select("doc_id", duplicate_ngram_fraction().alias("f")).collect()
+        ).collect()
+    }
+    assert out[1] > 0.9 and out[2] == 0.0
