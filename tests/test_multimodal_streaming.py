@@ -113,9 +113,10 @@ def test_streaming_hourly_rollup_matches_batch(spark, sf_dir, landing_dir, tmp_p
         (r["hour"], r["event_type"]): (r["n_events"], r["total_value"]) for r in result.collect()
     }
 
+    from pydala2_spark.sources.testdata import read_table
+
     batch = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        read_table(spark, sf_dir, "events")  # normalizes either ts encoding
         .groupBy(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
     )
