@@ -43,12 +43,15 @@ def main() -> None:
         return 3 if name.startswith(noisy) else 2
 
     def shuffle_count(df) -> int:
-        """Exchange nodes in the AQE-final executed plan — a cheap plan
+        """SHUFFLE Exchange nodes in the executed plan — a cheap plan
         fingerprint that makes shuffle regressions visible in
-        BENCH_DETAIL.json without re-profiling."""
+        BENCH_DETAIL.json without re-profiling. BroadcastExchange is
+        excluded: broadcasts are the cheap path this engine prefers,
+        and counting them would mask a broadcast->shuffle regression
+        behind a constant total."""
         try:
             plan = df._jdf.queryExecution().executedPlan().toString()
-            return plan.count("Exchange")
+            return plan.count("Exchange") - plan.count("BroadcastExchange")
         except Exception:
             return -1
 
