@@ -322,11 +322,22 @@ def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFr
         id_col,
         F.conv(F.substring(F.md5("t"), 1, 12), 16, 10).cast("long").alias("th"),
     )
+    # branch-free bit sums: Σ_tokens (2·bit_j − 1) = 2·Σ bit_j − n, so
+    # each of the 48 aggregates is a plain SUM of a shift-and-mask
+    # (no CASE per row) plus one shared COUNT — same result as the
+    # oracle's CASE formulation, less work inside the hot aggregate.
     sums = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
         *[
-            F.sum(F.when(F.expr(f"(th >> {j}) & 1") == 1, 1).otherwise(-1)).alias(f"s{j}")
+            F.sum(F.expr(f"(th >> {j}) & 1")).alias(f"b{j}")
             for j in range(SIMHASH_BITS)
-        ]
+        ],
+    ).select(
+        id_col,
+        *[
+            (F.lit(2) * F.col(f"b{j}") - F.col("__n")).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ],
     )
     assemble = reduce(
         add,

@@ -344,6 +344,15 @@ class BaseDataset:
             raise ValueError(f"dataset at {self.path} is not partitioned")
         return self.df.select(*names).distinct()
 
+    @property
+    def partitioning_schema(self):
+        """Schema of just the partition columns (reference
+        `pydala/dataset.py:641-656`), as inferred by the scan."""
+        names = set(self.partition_names())
+        from pyspark.sql import types as T
+
+        return T.StructType([f for f in self.df.schema.fields if f.name in names])
+
     # -- write / delete --------------------------------------------------
 
     def write_to_dataset(self, data, mode: str = "append", **kwargs) -> None:
