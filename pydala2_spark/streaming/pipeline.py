@@ -225,6 +225,53 @@ def run_to_memory(
     return spark.table(query_name)
 
 
+def merge_stream(
+    spark: SparkSession,
+    source_path: str,
+    target_path: str,
+    key_columns: list[str],
+    checkpoint_dir: str,
+    strategy: str = "upsert",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Streaming keyed merge: drain the landing zone and UPSERT each
+    microbatch into a managed dataset — the CDC-ingestion loop the
+    reference can only do as a manual batch ``merge`` per drop
+    (`pydala/dataset.py:1549-1777`); here the checkpoint makes it
+    exactly-once per input file and re-runnable.
+
+    ``foreachBatch`` is the right sink because merge is a multi-job
+    write (plan, rewrite matched files, delete replaced) that Spark's
+    declarative sinks can't express. Within a microbatch the merge's
+    last-row-wins dedup resolves duplicate keys; across microbatches
+    the usual merge semantics apply in arrival order. At scale the
+    per-batch cost is proportional to the files whose key ranges the
+    batch touches (file-selective rewrite), not the dataset size.
+    """
+    from pydala2_spark.operators.merge import merge
+
+    events = read_event_stream(spark, source_path)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            merge(
+                spark,
+                target_path,
+                batch_df,
+                strategy=strategy,
+                key_columns=key_columns,
+                partition_by=partition_by,
+            )
+
+    q = (
+        events.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def incremental_append_rollup(
     spark: SparkSession,
     source_path: str,

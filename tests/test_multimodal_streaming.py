@@ -205,3 +205,46 @@ def test_streaming_dedup_drops_repeats(spark, tmp_path):
         dedup_stream(events, keys=["event_id"]), "t_dedup", str(tmp_path / "ckpt_dd")
     )
     assert sorted(r["event_id"] for r in out.collect()) == [1, 2, 3]
+
+
+def test_merge_stream_upserts_incrementally(spark, tmp_path):
+    """foreachBatch streaming merge: drop 1 bootstraps the target,
+    drop 2 (overlapping keys) updates matched rows and inserts new
+    ones; the checkpoint makes re-runs exactly-once per file."""
+    import datetime as dt
+
+    from pydala2_spark.streaming.pipeline import merge_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    target = str(tmp_path / "target_ds")
+    ckpt = str(tmp_path / "ckpt_merge")
+
+    def drop(name, rows):
+        df = spark.createDataFrame(
+            [
+                (i, i % 3, "click", dt.datetime(2024, 1, 1, 0, i), v, "{}")
+                for i, v in rows
+            ],
+            "event_id long, user_id long, event_type string, ts timestamp, value double, props string",
+        )
+        df.coalesce(1).write.parquet(str(tmp_path / f"stage_{name}"))
+        import glob as _g
+        import shutil
+
+        src = _g.glob(str(tmp_path / f"stage_{name}" / "part-*.parquet"))[0]
+        shutil.copy(src, landing / f"{name}.parquet")
+
+    drop("d1", [(i, 1.0) for i in range(1, 6)])
+    merge_stream(spark, str(landing), target, ["event_id"], ckpt)
+    assert spark.read.parquet(target).count() == 5
+
+    drop("d2", [(i, 2.0) for i in range(4, 9)])
+    merge_stream(spark, str(landing), target, ["event_id"], ckpt)
+    out = {r["event_id"]: r["value"] for r in spark.read.parquet(target).collect()}
+    assert len(out) == 8
+    assert out[3] == 1.0 and out[4] == 2.0 and out[5] == 2.0 and out[8] == 2.0
+
+    # idempotent: nothing new landed -> re-run is a no-op
+    merge_stream(spark, str(landing), target, ["event_id"], ckpt)
+    assert spark.read.parquet(target).count() == 8
