@@ -51,7 +51,14 @@ def main() -> None:
         behind a constant total."""
         try:
             plan = df._jdf.queryExecution().executedPlan().toString()
-            return plan.count("Exchange") - plan.count("BroadcastExchange")
+            # "Exchange" also substring-matches BroadcastExchange and
+            # ReusedExchange — subtract both: a reused exchange adds no
+            # new shuffle, and broadcasts are the preferred cheap path
+            return (
+                plan.count("Exchange")
+                - plan.count("BroadcastExchange")
+                - plan.count("ReusedExchange")
+            )
         except Exception:
             return -1
 

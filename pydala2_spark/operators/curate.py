@@ -163,7 +163,15 @@ def pack_sequences(
     (group, seq_id, n_docs, seq_tokens).
     """
     toks = tokens_expr if tokens_expr is not None else F.size(F.split("text", " "))
-    w = Window.partitionBy(group_col).orderBy(id_col)
+    # ROWS frame, not the default RANGE: with RANGE, duplicate
+    # (group, id) rows are frame peers and each would see the sum
+    # including ALL peers — wrong prefix sums whenever the id column
+    # is not unique (and a mismatch vs the oracle's ROWS frame)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     laid = df.select(
         F.col(group_col), F.col(id_col), toks.alias("__n")
     ).withColumn("__start", F.sum("__n").over(w) - F.col("__n"))

@@ -443,6 +443,11 @@ def zorder_expr(df: DataFrame, cols: list[str], bits: int = 12):
         if mx <= mn:
             mx = mn + 1.0
         b = F.width_bucket(F.col(c).cast("double"), F.lit(mn), F.lit(mx), F.lit(n)) - 1
+        # coalesce FIRST: least/greatest skip null operands, so a null
+        # bucket would otherwise silently become n-1 (top bucket);
+        # pinning nulls to bucket 0 keeps them co-located and matches
+        # the degenerate-range rationale above
+        b = F.coalesce(b, F.lit(0))
         bucket_exprs.append(F.greatest(F.lit(0), F.least(b, F.lit(n - 1))))
     d = len(cols)
     z = F.lit(0).cast("long")

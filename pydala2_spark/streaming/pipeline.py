@@ -49,7 +49,15 @@ def _sniff_ts_type(sample_file: str | None) -> T.DataType:
     """One driver-side footer read decides the ``ts`` physical encoding
     (the corpus has shipped both TIMESTAMP(NANOS) → read-as-long and
     TIMESTAMP(MICROS, ntz)). Streaming sources need the schema up
-    front, so this mirrors testdata._fix_event_ts's dynamic branch."""
+    front, so this mirrors testdata._fix_event_ts's dynamic branch.
+
+    TIMESTAMP(NANOS) must map to LongType even though pyarrow reports
+    it as a timestamp: the session's ``nanosAsLong`` conf makes the
+    scan deliver int64 nanos, and a TIMESTAMP_NTZ user schema would
+    conflict at the first microbatch. When no sample is readable
+    (remote landing zone, empty dir) the default is TIMESTAMP_NTZ
+    micros — today's encoding; a legacy ns-encoded remote zone needs
+    an explicit local sample."""
     if sample_file:
         try:
             import pyarrow.parquet as pq
@@ -57,10 +65,14 @@ def _sniff_ts_type(sample_file: str | None) -> T.DataType:
 
             t = pq.read_schema(sample_file).field("ts").type
             if pa.types.is_timestamp(t):
+                if t.unit == "ns":
+                    return T.LongType()  # nanosAsLong reads ns as int64
                 return T.TimestampNTZType() if t.tz is None else T.TimestampType()
+            if pa.types.is_integer(t):
+                return T.LongType()
         except Exception:
             pass
-    return T.LongType()  # nanosAsLong fallback
+    return T.TimestampNTZType()
 
 
 def read_event_stream(

@@ -248,3 +248,30 @@ def test_merge_stream_upserts_incrementally(spark, tmp_path):
     # idempotent: nothing new landed -> re-run is a no-op
     merge_stream(spark, str(landing), target, ["event_id"], ckpt)
     assert spark.read.parquet(target).count() == 8
+
+
+def test_sniff_ts_type_all_encodings(spark, tmp_path):
+    """TIMESTAMP(NANOS) must sniff to LongType (the nanosAsLong scan
+    delivers int64), micros-ntz to TimestampNTZ, int64 to Long, and
+    no-sample to the modern NTZ default."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from pydala2_spark.streaming.pipeline import _sniff_ts_type
+
+    ns = str(tmp_path / "ns.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array([1, 2], type=pa.timestamp("ns"))}), ns,
+        use_deprecated_int96_timestamps=False, coerce_timestamps=None,
+        store_schema=False,
+    )
+    us = str(tmp_path / "us.parquet")
+    pq.write_table(pa.table({"ts": pa.array([1, 2], type=pa.timestamp("us"))}), us)
+    i64 = str(tmp_path / "i64.parquet")
+    pq.write_table(pa.table({"ts": pa.array([1, 2], type=pa.int64())}), i64)
+
+    assert isinstance(_sniff_ts_type(ns), T.LongType)
+    assert isinstance(_sniff_ts_type(us), T.TimestampNTZType)
+    assert isinstance(_sniff_ts_type(i64), T.LongType)
+    assert isinstance(_sniff_ts_type(None), T.TimestampNTZType)
