@@ -310,3 +310,85 @@ def quantize_embeddings(
 def dequantize_expr(q_col: str, mn_col: str, scale_col: str):
     """Reconstruct the float vector: mn + code * scale."""
     return F.expr(f"transform({q_col}, c -> {mn_col} + c * {scale_col})")
+
+
+# -- persisted IVF index -----------------------------------------------
+
+
+def build_ivf_index(
+    spark,
+    corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    srp_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Materialize an IVF index on disk: the corpus hive-partitioned by
+    its SRP cell (so a probe is a PARTITION-PRUNED scan — only
+    nprobe/2^planes of the files are ever opened) plus per-cell
+    centroids under ``<path>/_centroids``. This is the persistent form
+    of :func:`cosine_topk_ivf`: build once, probe many times, rebuild
+    incrementally by appending new vectors to their cell partitions.
+
+    At 100 TB the build is one hash-shuffle on the cell id; unit
+    vectors are precomputed at build time so probes pay zero
+    normalization. Returns the centroid frame.
+    """
+    assigned = _spread(corpus, id_col).select(
+        F.col(id_col),
+        unit_expr(vec_col).alias("uv"),
+        srp_bucket(vec_col, srp_planes, dim).alias("cell"),
+    )
+    (
+        assigned.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    stored = spark.read.parquet(path)
+    cents = label_centroids(stored, "uv", "cell", dim)
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+    return cents
+
+
+def cosine_topk_ivf_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 2,
+) -> DataFrame:
+    """Probe a :func:`build_ivf_index` index: route each query to its
+    ``nprobe`` nearest centroids, then scan ONLY those cell partitions
+    (Catalyst prunes the hive dirs via the IN filter — verified by the
+    partition-pruning test). Exact cosine inside the probed cells.
+    """
+    cents = spark.read.parquet(f"{index_path}/_centroids")
+    q = queries.select(F.col(id_col).alias("query_id"), unit_expr(vec_col).alias("qv"))
+    scored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "cscore",
+        F.expr("aggregate(zip_with(qv, centroid, (x, y) -> x * y), 0D, (a, v) -> a + v)"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cscore").desc(), F.col("cell").asc())
+    routed = scored.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= nprobe
+    )
+    cells = [r["cell"] for r in routed.select("cell").distinct().collect()]
+    corpus = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    joined = corpus.join(
+        F.broadcast(routed.select("query_id", "qv", "cell")), "cell"
+    ).filter(F.col(id_col) != F.col("query_id"))
+    out = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(dot_expr("uv", "qv"), 4).alias("cosine"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        out.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

