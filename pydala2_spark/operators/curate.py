@@ -185,6 +185,72 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    size: int = 64,
+    stride: int = 32,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token windows per document — the chunking step in
+    front of an embedding pipeline (size-token chunks, stride-token
+    hop; the final partial window is kept so no tail text is lost).
+
+    One scan-side explode, no shuffle: at 100 TB the chunk frame
+    streams straight into the embedding stage. Returns
+    (id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    tk = F.split(F.col(text), " ")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size(F.col("__tk")) - F.lit(size)) / F.lit(stride)) + 1,
+    ).cast("int")
+    chunks = F.expr(
+        f"transform(sequence(0, __nc - 1), c -> struct("
+        f"c AS chunk_id, slice(__tk, c * {stride} + 1, {size}) AS ct))"
+    )
+    return (
+        df.select(F.col(id_col), tk.alias("__tk"))
+        .withColumn("__nc", n_chunks)
+        .select(F.col(id_col), F.explode(chunks).alias("ch"))
+        .select(
+            F.col(id_col),
+            F.col("ch.chunk_id").alias("chunk_id"),
+            F.size("ch.ct").alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.col("ch.ct")).alias("chunk_text"),
+        )
+    )
+
+
+def source_mix_report(
+    df: DataFrame,
+    text: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Data-mixture report: per (source, lang) document counts, token
+    totals, and share of the corpus — the summary a training-data
+    recipe is negotiated over. One aggregation; the share is a window
+    over the grouped (tiny) frame, so corpus-side work is a single
+    map-side-combined shuffle at any scale."""
+    g = df.groupBy(source_col, lang_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text), " "))).alias("n_tokens"),
+    )
+    total = Window.partitionBy()
+    return g.select(
+        source_col,
+        lang_col,
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(total), 6).alias(
+            "token_share"
+        ),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],

@@ -2946,6 +2946,61 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+@query(
+    "doc_chunk_windows",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), n AS (
+      SELECT doc_id, tk,
+             greatest(1, CAST(ceil((len(tk) - 64) / 32.0) AS INT) + 1) AS nc
+      FROM t
+    )
+    SELECT doc_id, c AS chunk_id,
+           len(tk[c*32+1 : c*32+64]) AS n_chunk_tokens,
+           md5(array_to_string(tk[c*32+1 : c*32+64], ' ')) AS chunk_md5
+    FROM n, unnest(generate_series(0, nc - 1)) AS u(c)
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # overlapping 64-token windows, 32-token stride — the chunking
+    # step in front of an embedding pipeline. Scan-side explode, no
+    # shuffle; chunk text is md5'd for the hash compare (returning
+    # full chunk text would just re-ship the corpus).
+    from pydala2_spark.operators.curate import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), size=64, stride=32
+    ).select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+@query(
+    "doc_source_mix",
+    """
+    WITH g AS (
+      SELECT source, lang, count(*) AS n_docs,
+             sum(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, n_tokens,
+           round(n_tokens / sum(n_tokens) OVER (), 6) AS token_share
+    FROM g
+    """,
+)
+def doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the data-mixture report a training recipe is negotiated over:
+    # per (source, lang) doc counts, token totals, corpus share. One
+    # map-side-combined aggregation at any scale.
+    from pydala2_spark.operators.curate import source_mix_report
+
+    return source_mix_report(_t(spark, sf_dir, "documents"))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -2962,6 +3017,8 @@ _VERIFY_FIRST = [
     "doc_contamination",
     "doc_pack_sequences",
     "doc_stratified_sample",
+    "doc_chunk_windows",
+    "doc_source_mix",
     # never driver-verified (local mirror only)
     "ev_value_quantiles",
     "doc_pii_scan",

@@ -513,3 +513,30 @@ def test_ivf_index_build_probe_and_prune(spark, tmp_path):
         .collect()
     ]
     assert touched and all("/cell=0/" in f or "/cell=1/" in f for f in touched)
+
+
+def test_chunk_documents_covers_all_tokens(spark):
+    """Stride-32/size-64 chunking must cover every token (tail kept)
+    and successive chunks overlap by size - stride."""
+    from pyspark.sql import functions as F
+
+    from pydala2_spark.operators.curate import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(150))), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, size=64, stride=32)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: chunks at offsets 0/32/64/96 -> ceil((150-64)/32)+1 = 4
+    assert len(by_doc[1]) == 4
+    last = max(by_doc[1], key=lambda r: r["chunk_id"])
+    assert last["chunk_id"] * 32 + last["n_chunk_tokens"] == 150  # tail covered
+    # short doc: one whole-doc chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 3
+    # overlap: chunk 1 starts 32 tokens in, repeats tokens 32..63
+    c0, c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])[:2]
+    assert c0["chunk_text"].split()[32:] == c1["chunk_text"].split()[:32]
