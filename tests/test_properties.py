@@ -112,3 +112,70 @@ def test_merge_upsert_idempotent(spark, tmp_path):
     r3 = merge(spark, path, batch, strategy="insert", key_columns=["id"])
     assert r3.inserted == 0
     assert sorted((r.id, r.v) for r in spark.read.parquet(path).collect()) == rows
+
+
+def test_duplicate_clusters_matches_bfs_reference(spark):
+    """Randomized graphs: duplicate_clusters (driver union-find path)
+    must label every node with the min id of its connected component,
+    with correct sizes — checked against a pure-Python BFS."""
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        n = 120
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(40, 140))
+            }
+        )
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+        from pydala2_spark.operators.dedup import duplicate_clusters
+
+        got = {
+            r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+            for r in duplicate_clusters(pairs).collect()
+        }
+
+        # BFS reference over the same edge set
+        adj: dict[int, set] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = {}
+        seen: set = set()
+        for start in adj:
+            if start in seen:
+                continue
+            comp, queue = [], [start]
+            seen.add(start)
+            while queue:
+                v = queue.pop()
+                comp.append(v)
+                for w in adj[v]:
+                    if w not in seen:
+                        seen.add(w)
+                        queue.append(w)
+            label = min(comp)
+            for v in comp:
+                want[v] = (label, len(comp))
+        assert got == want, f"trial {trial}: clusters diverge from BFS"
+
+
+def test_duplicate_clusters_distributed_path_matches_bfs(spark):
+    """Same contract for the distributed min-label-propagation path
+    (forced by driver_edge_limit=0), including a long chain whose
+    diameter exercises the pointer-doubling rounds."""
+    from pydala2_spark.operators.dedup import duplicate_clusters
+
+    chain = [(i, i + 1) for i in range(40)]  # one 41-node path graph
+    extra = [(100, 105), (105, 110), (200, 201)]
+    pairs = spark.createDataFrame(chain + extra, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in duplicate_clusters(pairs, driver_edge_limit=0).collect()
+    }
+    assert all(got[i] == (0, 41) for i in range(41))
+    assert got[100] == (100, 3) and got[110] == (100, 3)
+    assert got[200] == (200, 2) and got[201] == (200, 2)
