@@ -3050,10 +3050,16 @@ _VERIFY_FIRST = [
     "w_rank_distribution_frames",
     "ev_sessionization",
     "asof_click_before_purchase",
-    # changed this round (scale-safe blocking key / regression fix)
+    # changed this round (scale-safe blocking key / regression fix /
+    # _spread probe / branch-free simhash / ts-encoding sniff)
     "dedup_ngram_blocked",
     "dedup_clusters",
     "doc_curation",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "emb_near_dup",
+    "emb_near_dup_srp",
+    "stream_hourly_rollup",
 ]
 
 
