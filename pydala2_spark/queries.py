@@ -13,6 +13,11 @@ Determinism rules (the driver hash-compares Spark vs DuckDB values):
 - no raw timestamp columns in outputs — formatted strings / epoch
   seconds / dates only (Spark's session-TZ timestamps vs DuckDB's
   naive µs would otherwise disagree in representation);
+- integer aggregates are ``CAST(... AS BIGINT)`` in the oracle SQL:
+  DuckDB widens ``sum()`` over integers and ``//`` to HUGEINT
+  (int128) while Spark emits BIGINT, and the driver's hash compare
+  is type-sensitive even when every value is identical (the two red
+  rows of round 3);
 - top-k queries carry a unique tiebreaker in the ORDER BY.
 
 Scale notes are inline per query: what partitions, what broadcasts,
@@ -2911,8 +2916,8 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS start
       FROM t
     )
-    SELECT lang, start // 2048 AS seq_id,
-           count(*) AS n_docs, sum(n) AS seq_tokens
+    SELECT lang, CAST(start // 2048 AS BIGINT) AS seq_id,
+           count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS seq_tokens
     FROM laid GROUP BY lang, start // 2048
     """,
 )
@@ -2984,7 +2989,7 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH g AS (
       SELECT source, lang, count(*) AS n_docs,
-             sum(len(string_split(text, ' '))) AS n_tokens
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
       FROM documents GROUP BY source, lang
     )
     SELECT source, lang, n_docs, n_tokens,
@@ -3012,54 +3017,52 @@ def doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mirror (scripts/check_correctness.py runs every entry).
 
 _VERIFY_FIRST = [
-    # new this round — verify first
-    "doc_repetition_screen",
-    "doc_contamination",
+    # round 4: changed this round — oracle CAST fix (HUGEINT widening,
+    # the two red r3 rows) and the CC pointer-doubling materialization
     "doc_pack_sequences",
-    "doc_stratified_sample",
-    "doc_chunk_windows",
     "doc_source_mix",
-    # never driver-verified (local mirror only)
-    "ev_value_quantiles",
-    "doc_pii_scan",
-    "emb_quantize_error",
-    "doc_winnow_candidates",
-    "stream_sessionization",
-    # verified in round 1 only — rotate back in so every entry holds a
-    # green row from r1∪r2∪r3 with the freshest code verified last
-    "scan_filter_project",
-    "sort_limit_topk",
-    "distinct_keyed",
-    "join_semi_anti",
-    "set_ops_union_except",
-    "set_ops_except",
-    "agg_approx_distinct",
-    "agg_cube_flag_status",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q13_customer_distribution",
-    "q16_supplier_count_by_part",
-    "q18_large_volume_customers",
-    "q20_volume_suppliers",
-    "q21_multi_exists",
-    "string_function_suite",
-    "merge_upsert_semantics",
-    "doc_token_explode_top",
-    "w_value_deciles",
-    "w_top_orders_per_customer",
-    "w_rank_distribution_frames",
-    "ev_sessionization",
-    "asof_click_before_purchase",
-    # changed this round (scale-safe blocking key / regression fix /
-    # _spread probe / branch-free simhash / ts-encoding sniff)
-    "dedup_ngram_blocked",
     "dedup_clusters",
     "doc_curation",
-    "dedup_simhash",
-    "dedup_minhash_lsh",
-    "emb_near_dup",
+    # last verified in round 2 (outside r3's window) — rotate back in
+    # so no entry's latest green row ages past one round
+    "agg_grouping_sets",
+    "array_function_suite",
+    "date_arithmetic_suite",
+    "doc_bpe_token_stats",
+    "doc_exact_dedup",
+    "doc_fingerprint_groups",
+    "doc_lang_id",
+    "doc_quality_scores",
+    "doc_token_stats",
+    "emb_knn_bruteforce",
+    "emb_knn_ivf",
+    "emb_knn_lsh",
+    "ev_hourly_rollup",
+    "ev_json_extract",
+    "ev_type_value_stats",
+    "mm_audio_features",
+    "mm_frame_sample",
+    "mm_image_decode",
+    "mm_image_resize",
+    "mm_media_meta",
+    "pivot_status_by_priority",
+    "q11_supplier_value_share",
+    "q12_priority_by_linestatus",
+    "q14_promo_revenue",
+    "q15_top_suppliers",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q22_inactive_customers",
+    "q9_product_profit",
+    "range_join_ship_window",
+    "skew_safe_distinct",
+    "skew_salted_join_agg",
+    "w_monthly_growth",
+    "w_running_revenue",
+    # perf-touched this round (r3 regressions under diagnosis) — keep
+    # inside the window so any plan change is driver-verified
     "emb_near_dup_srp",
-    "stream_hourly_rollup",
+    "doc_winnow_candidates",
 ]
 
 
