@@ -53,6 +53,14 @@ def curate_corpus(
     3. ``near_dup``: among exact keepers, in a blocked-Jaccard
        near-dup cluster but not the cluster's min id.
     4. ``kept``: everything else.
+
+    Recall model (inherited from :func:`ngram_jaccard_pairs`'s default
+    min-token-hash blocking): a near-dup pair at Jaccard j enters the
+    candidate graph with probability j — exact and near-exact dups
+    always collide, borderline-threshold pairs may be missed. Raise
+    ``ngram_jaccard_pairs(..., min_hash_bands=b)`` recall to
+    1-(1-j)^b when the pipeline needs it; ``curate_corpus`` keeps the
+    b=1 default so its disposition stays oracle-mirrorable in SQL.
     """
     toks = df.select(
         F.col(id_col),

@@ -235,6 +235,7 @@ def ngram_jaccard_pairs(
     length_bucket: int = 25,
     threshold: float = 0.5,
     min_hash_block: bool = True,
+    min_hash_bands: int = 1,
 ) -> DataFrame:
     """Token-set Jaccard pairs, blocked by metadata + length bucket +
     (by default) the document's minimum token hash.
@@ -254,6 +255,14 @@ def ngram_jaccard_pairs(
     boundary are missed either way — the MinHash-LSH path has no such
     blind spot.
 
+    ``min_hash_bands=b`` (b > 1) trades compute for recall: each
+    document gets b independently-salted min-token hashes, candidates
+    match in ANY band (the doc frame explodes b×; same-band equi-join;
+    pair dedup after), lifting recall at Jaccard j from j to
+    1-(1-j)^b — e.g. 0.5 → 0.94 at b=4 — while each band's block
+    cardinality still tracks token rarity. The default b=1 keeps the
+    single-conjunct plan (and is what the registry oracles mirror).
+
     Tokens are hashed to int64 (xxhash64) ONCE per document before the
     join: per-pair set intersection then hashes 8-byte longs instead of
     re-hashing every string token for every candidate pair. Jaccard on
@@ -263,13 +272,32 @@ def ngram_jaccard_pairs(
     min is md5-based (not xxhash64) so the DuckDB oracle can compute
     the identical key. Measured 1.7× on the blocked join.
     """
-    # md5-derived 60-bit token hash — reproducible in any SQL engine
-    min_tok_hash = F.array_min(
-        F.transform(
-            F.col("__raw"),
-            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    if min_hash_bands < 1:
+        raise ValueError("min_hash_bands must be >= 1")
+    multi_band = min_hash_block and min_hash_bands > 1
+
+    # md5-derived 60-bit token hash — reproducible in any SQL engine.
+    # Bands beyond the first salt the hash so their minima are
+    # independent permutations of the token universe.
+    def _min_tok_hash(band: int):
+        salt = (lambda t: F.concat(F.lit(f"b{band}:"), t)) if band else (lambda t: t)
+        return F.array_min(
+            F.transform(
+                F.col("__raw"),
+                lambda t: F.conv(
+                    F.substring(F.md5(salt(t)), 1, 15), 16, 10
+                ).cast("long"),
+            )
         )
-    )
+
+    if multi_band:
+        mb_cols = [
+            F.array(*[_min_tok_hash(i) for i in range(min_hash_bands)]).alias("__mbs")
+        ]
+    elif min_hash_block:
+        mb_cols = [_min_tok_hash(0).alias("mb")]
+    else:
+        mb_cols = []
     toks = (
         _spread(df, id_col)
         .select(
@@ -283,10 +311,15 @@ def ngram_jaccard_pairs(
             *[F.col(c) for c in block_cols],
             "lb",
             F.transform(F.col("__raw"), lambda t: F.xxhash64(t)).alias("tk"),
-            *([min_tok_hash.alias("mb")] if min_hash_block else []),
+            *mb_cols,
         )
         .withColumn("sz", F.size("tk"))
     )
+    if multi_band:
+        # one row per (doc, band): candidates meet in ANY shared band
+        toks = toks.select(
+            "*", F.posexplode("__mbs").alias("band", "mb")
+        ).drop("__mbs")
     toks = _materialize_once(toks)
     jac = F.round(
         F.size(F.array_intersect("a.tk", "b.tk")) / F.size(F.array_union("a.tk", "b.tk")), 4
@@ -300,6 +333,7 @@ def ngram_jaccard_pairs(
     on = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols] + [
         F.col("a.lb") == F.col("b.lb"),
         *([F.col("a.mb") == F.col("b.mb")] if min_hash_block else []),
+        *([F.col("a.band") == F.col("b.band")] if multi_band else []),
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
         F.col("a.sz") >= F.lit(threshold) * F.col("b.sz"),
         F.col("b.sz") >= F.lit(threshold) * F.col("a.sz"),
@@ -308,7 +342,7 @@ def ngram_jaccard_pairs(
     cond = on[0]
     for c in on[1:]:
         cond = cond & c
-    return (
+    pairs = (
         toks.alias("a")
         .join(toks.alias("b"), cond)
         .select(
@@ -317,6 +351,10 @@ def ngram_jaccard_pairs(
             jac.alias("jaccard"),
         )
     )
+    if multi_band:
+        # a pair matching in several bands appears once per band
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return pairs
 
 
 # -- SimHash ----------------------------------------------------------
@@ -483,6 +521,37 @@ def embedding_near_duplicates(
 # -- duplicate clusters (connected components) ------------------------
 
 
+def _cc_step(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label-propagation + pointer-doubling round.
+
+    ``stepped`` (the post-neighbour-join min-label frame) feeds BOTH
+    sides of the pointer-doubling self-join; without materialization
+    the neighbour-join/aggregate pipeline — the round's entire cost —
+    runs twice per round (Catalyst emits no ReusedExchange here, the
+    same measurement as ``_materialize_once``). ``localCheckpoint
+    (eager=False)`` rewrites the plan to a single RDD scan: the first
+    stage that needs it computes and stores it, the second side reads
+    the stored copy, and materialization folds into the caller's
+    eager round checkpoint (no extra job)."""
+    neighbour = edges.join(
+        labels.withColumnRenamed("node", "dst"), "dst"
+    ).select(F.col("src").alias("node"), "label")
+    stepped = (
+        neighbour.union(labels)
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    # pointer doubling: label(v) <- label(label(v)). Every label is
+    # itself a node, so the lookup frame is `stepped` re-keyed.
+    jump = stepped.select(
+        F.col("node").alias("label"), F.col("label").alias("label2")
+    )
+    return stepped.join(jump, "label").select(
+        "node", F.col("label2").alias("label")
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -585,24 +654,7 @@ def duplicate_clusters(
     # replaces a join-based change count.
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
-        neighbour = edges.join(
-            labels.withColumnRenamed("node", "dst"), "dst"
-        ).select(F.col("src").alias("node"), "label")
-        stepped = (
-            neighbour.union(labels)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-        )
-        # pointer doubling: label(v) <- label(label(v)). Every label is
-        # itself a node, so the lookup frame is `stepped` re-keyed.
-        jump = stepped.select(
-            F.col("node").alias("label"), F.col("label").alias("label2")
-        )
-        labels = (
-            stepped.join(jump, "label")
-            .select("node", F.col("label2").alias("label"))
-            .localCheckpoint(eager=True)
-        )
+        labels = _cc_step(edges, labels).localCheckpoint(eager=True)
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             break

@@ -179,3 +179,23 @@ def test_duplicate_clusters_distributed_path_matches_bfs(spark):
     assert all(got[i] == (0, 41) for i in range(41))
     assert got[100] == (100, 3) and got[110] == (100, 3)
     assert got[200] == (200, 2) and got[201] == (200, 2)
+
+
+def test_cc_step_materializes_stepped_once(spark):
+    """The pointer-doubling self-join must read a SINGLE materialized
+    copy of the min-label frame: its plan is two scans of the same
+    checkpointed RDD, with the neighbour-join/aggregate pipeline
+    (HashAggregate + Union + the edge join) absent — i.e. it runs once
+    per round, not once per join side."""
+    from pydala2_spark.operators.dedup import _cc_step
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 2)], "node long, label long"
+    )
+    plan = _cc_step(edges, labels)._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan, plan
+    assert "Union" not in plan, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan

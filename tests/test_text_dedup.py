@@ -94,6 +94,37 @@ def test_ngram_blocked_pairs(spark, docs):
     assert (0, 2) in pairs
 
 
+def test_ngram_multiband_recall_dominates_single_band(spark):
+    """min_hash_bands=b must be a strict recall upgrade: every pair the
+    b=1 screen finds is found at b=4, b=4 recovers pairs b=1 missed
+    (recall 1-(1-j)^b > j for j<1), and both stay subsets of the
+    exhaustive min_hash_block=False ground truth with one row per pair
+    (band-collision duplicates deduped)."""
+    from pydala2_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 40 near-dup pairs at j≈0.5-0.6: doc 2i and 2i+1 share 6 of ~10
+    # tokens — borderline pairs the single-band screen misses ~half of
+    rows = []
+    for i in range(40):
+        shared = f"s{i}a s{i}b s{i}c s{i}d s{i}e s{i}f"
+        rows.append((2 * i, f"{shared} x{i}a x{i}b x{i}c", "en", 30))
+        rows.append((2 * i + 1, f"{shared} y{i}a y{i}b y{i}c", "en", 30))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars int")
+
+    def pair_set(**kw):
+        out = ngram_jaccard_pairs(df, threshold=0.5, **kw).collect()
+        pairs = [(r["id_a"], r["id_b"]) for r in out]
+        assert len(pairs) == len(set(pairs)), "duplicate pair rows"
+        return set(pairs)
+
+    truth = pair_set(min_hash_block=False)
+    b1 = pair_set(min_hash_bands=1)
+    b4 = pair_set(min_hash_bands=4)
+    assert truth == {(2 * i, 2 * i + 1) for i in range(40)}
+    assert b1 <= b4 <= truth
+    assert len(b4) > len(b1), (len(b1), len(b4))
+
+
 def test_ngram_block_key_bounded_on_skew(spark):
     """The min-token-hash conjunct must split a hot (lang, length)
     bucket: a skewed corpus where every doc shares lang and length
