@@ -175,6 +175,50 @@ def compact_partitions(
         return plan
 
     part_cols = _discover_partition_cols(spark, path)
+    # Single-job fast path: when every group compacts to ONE output
+    # file (true by construction for the default candidate rule —
+    # rows < max_rows_per_file), all selected partitions rewrite in a
+    # single Spark job: one scan of every candidate file, one hash
+    # repartition on the partition columns (each hive partition lands
+    # on exactly one task → exactly one output file), one append. A
+    # backlogged dataset with 10⁴–10⁶ candidate partitions pays one
+    # job's scheduling latency instead of one PER GROUP — the serial
+    # driver loop was the 100 TB bottleneck (round-3 verdict #4). The
+    # write-new-then-delete-old discipline is unchanged, so concurrent
+    # appends into the same partitions survive (dynamic partition
+    # OVERWRITE would delete files the planning snapshot never saw).
+    one_file_groups = all(
+        max(1, math.ceil(plan.rows.get(k, 0) / max_rows_per_file)) == 1
+        for k in plan.groups
+    )
+    if part_cols and one_file_groups and not sort_by:
+        all_files = plan.files
+        df = spark.read.option("basePath", path).parquet(*all_files)
+        if unique:
+            # per-partition dedup semantics (the loop reads one
+            # partition at a time): a subset key is widened with the
+            # partition columns so rows in different partitions never
+            # collapse; unique=True compares all columns, which
+            # already include the partition columns
+            subset = unique if isinstance(unique, list) else None
+            df = (
+                df.dropDuplicates(list(dict.fromkeys(subset + part_cols)))
+                if subset
+                else df.dropDuplicates()
+            )
+        (
+            df.repartition(*[F.col(c) for c in part_cols])
+            .write.mode("append")
+            .option("compression", compression)
+            .option("maxRecordsPerFile", str(max_rows_per_file))
+            .partitionBy(*part_cols)
+            .parquet(path)
+        )
+        delete_paths(spark, all_files)
+        return plan
+
+    # precise fallback: per-group coalesce(n_out) file-count control
+    # (sort_by rewrites, or a group that must split into >1 file)
     for key, files in plan.groups.items():
         df = spark.read.option("basePath", path).parquet(*files)
         if unique:
@@ -271,6 +315,56 @@ def compact_by_timeperiod(
     if dry_run or not plan:
         return plan
     part_cols = _discover_partition_cols(spark, path)
+    one_file_groups = all(
+        max(1, math.ceil(plan.rows.get(k, 0) / max_rows_per_file)) == 1
+        for k in plan.groups
+    )
+    if one_file_groups:
+        # single-job fast path (round-3 verdict #4): rows rejoin their
+        # file's interval bucket via input_file_name() against the
+        # (file → group) map the planner already holds — a broadcast
+        # equi-join, no literal map in the plan — then ONE shuffle on
+        # (bucket, partition cols) gives each group one task and so
+        # one output file per (interval, partition), the same output
+        # granularity as the per-group loop. One scan + one append
+        # replaces 10⁴–10⁶ serial driver-looped jobs on a backlogged
+        # dataset; write-new-then-delete-old discipline unchanged.
+        import re
+
+        def _norm(p: str) -> str:
+            # Hadoop qualifies as file:/x, input_file_name() as
+            # file:///x — compare on the scheme-free absolute path
+            return re.sub(r"^[A-Za-z0-9+.-]+:/+", "/", p)
+
+        fmap = spark.createDataFrame(
+            [(_norm(f), k) for k, fs in plan.groups.items() for f in fs],
+            "__file string, __grp string",
+        )
+        df = (
+            spark.read.option("basePath", path)
+            .parquet(*plan.files)
+            .withColumn(
+                "__file",
+                F.regexp_replace(F.input_file_name(), "^[A-Za-z0-9+.-]+:/+", "/"),
+            )
+            .join(F.broadcast(fmap), "__file")
+            .drop("__file")
+        )
+        df = df.repartition(
+            F.col("__grp"), *[F.col(c) for c in part_cols]
+        ).sortWithinPartitions(*to_sort_columns(sort_by or timestamp_column))
+        writer = (
+            df.drop("__grp")
+            .write.mode("append")
+            .option("compression", compression)
+            .option("maxRecordsPerFile", str(max_rows_per_file))
+        )
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(path)
+        delete_paths(spark, plan.files)
+        return plan
+
     for key, files in plan.groups.items():
         df = spark.read.option("basePath", path).parquet(*files)
         df = df.sortWithinPartitions(*to_sort_columns(sort_by or timestamp_column))

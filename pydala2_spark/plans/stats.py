@@ -265,6 +265,128 @@ class StatsIndex:
         return self.spark.read.parquet(*files)
 
 
+def import_legacy_file_metadata(
+    spark: SparkSession,
+    dataset_path: str,
+    index_path: str | None = None,
+    allow_pickle: bool = False,
+) -> dict:
+    """One-shot migration of a reference ``_file_metadata`` sidecar
+    into a :class:`StatsIndex` — so an existing pydala2 dataset's
+    footer cache carries over instead of being re-scanned.
+
+    Reference format (`/root/reference/pydala/metadata.py:50-102,
+    274-300`): a single ``<dataset>/_file_metadata`` file holding
+    brotli-compressed JSON (plain JSON fallback; legacy pickle) that
+    maps each file path to a base64-encoded parquet ``FileMetaData``
+    blob plus summary fields. Each blob round-trips through
+    ``pq.read_metadata``, from which the same per-file stats row as a
+    live footer scan is derived. Pickle payloads are refused unless
+    ``allow_pickle=True`` (arbitrary code execution risk; the
+    reference itself warns the format is deprecated).
+
+    Driver-side by design: legacy sidecars are single-node artifacts
+    (the reference builds them in one process) — a dataset big enough
+    to need distributed conversion should just ``StatsIndex.refresh()``
+    from scratch. Returns ``{"imported": n, "missing": m}`` where
+    ``missing`` counts sidecar entries whose data file no longer
+    exists (skipped, exactly like refresh() would drop them).
+    """
+    import base64
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pydala2_spark.plans.fs import delete_paths, path_exists, qualified, rename
+
+    dataset_path = dataset_path.rstrip("/")
+    sidecar = f"{dataset_path}/_file_metadata"
+    if not path_exists(spark, sidecar):
+        raise FileNotFoundError(f"no legacy sidecar at {sidecar}")
+    local = sidecar.removeprefix("file:")
+    with open(local, "rb") as f:
+        raw = f.read()
+
+    data = None
+    try:  # the reference writes brotli-compressed JSON by default
+        import brotli
+
+        data = json.loads(brotli.decompress(raw).decode("utf-8"))
+    except Exception:
+        pass
+    if data is None:
+        try:
+            data = json.loads(raw.decode("utf-8"))
+        except Exception:
+            pass
+    if data is None:
+        if not allow_pickle:
+            raise ValueError(
+                f"{sidecar} is not (brotli-)JSON; if it is a legacy "
+                f"pickle sidecar, re-run with allow_pickle=True"
+            )
+        import pickle
+
+        data = {
+            p: m for p, m in pickle.loads(raw).items()
+        }  # {path: pq.FileMetaData}
+
+    base = qualified(spark, dataset_path)
+    rows, missing = [], 0
+    for rel, entry in data.items():
+        if isinstance(entry, dict):
+            md = pq.read_metadata(
+                pa.BufferReader(base64.b64decode(entry["serialized_metadata_b64"]))
+            )
+        else:  # pickle path: the value IS the FileMetaData
+            md = entry
+        fpath = rel if "://" in rel or rel.startswith("/") else f"{dataset_path}/{rel}"
+        qpath = qualified(spark, fpath)
+        lpath = qpath.removeprefix("file:")
+        if not os.path.exists(lpath):
+            missing += 1
+            continue
+        col_stats: dict[str, dict] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                s = c.statistics
+                if s is None or not s.has_min_max:
+                    continue
+                cur = col_stats.setdefault(
+                    c.path_in_schema, {"min": None, "max": None, "nulls": 0}
+                )
+                if cur["min"] is None or s.min < cur["min"]:
+                    cur["min"] = s.min
+                if cur["max"] is None or s.max > cur["max"]:
+                    cur["max"] = s.max
+                cur["nulls"] += s.null_count or 0
+        rows.append(
+            (
+                qpath,
+                int(os.path.getsize(lpath)),
+                int(md.num_rows),
+                int(md.num_row_groups),
+                _hive_partitions(base, qpath),
+                {
+                    k: (_stat_value(v["min"]), _stat_value(v["max"]), int(v["nulls"]))
+                    for k, v in col_stats.items()
+                },
+                md.schema.to_arrow_schema().to_string(),
+            )
+        )
+
+    idx = StatsIndex(spark, dataset_path, index_path)
+    staging = f"{idx.index_path}__staging"
+    spark.createDataFrame(rows, STATS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    delete_paths(spark, [idx.index_path])
+    rename(spark, staging, idx.index_path)
+    return {"imported": len(rows), "missing": missing}
+
+
 def read_pruned(
     spark: SparkSession,
     path: str,

@@ -130,6 +130,62 @@ def test_compact_sort_unique_exclusive(spark, tmp_ds_path):
         compact_partitions(spark, tmp_ds_path, sort_by="id", unique=True)
 
 
+def test_compact_partitions_one_write_job(spark, tmp_ds_path):
+    """A multi-partition compaction must execute as ONE Spark write
+    job, not one per partition group (round-3 verdict #4: a backlogged
+    dataset with many candidate groups paid per-job driver latency
+    serially). 8 partition groups; total job count for the whole call
+    (planning collects included) must stay far below the group count."""
+    pdf = make_simple_pdf(64, seed=0)
+    pdf["part"] = [f"p{j % 8}" for j in range(64)]
+    for _ in range(2):  # 2 files per partition → 8 candidate groups
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").partitionBy(
+            "part"
+        ).parquet(tmp_ds_path)
+    before = _snapshot(spark, tmp_ds_path)
+
+    sc = spark.sparkContext
+    sc.setJobGroup("compact-single-job", "compaction job-count probe")
+    try:
+        plan = compact_partitions(spark, tmp_ds_path)
+    finally:
+        sc.setJobGroup("", "")
+    assert len(plan.groups) == 8
+    jobs = sc.statusTracker().getJobIdsForGroup("compact-single-job")
+    # loop path: >= 8 write jobs + planning; single-job path: planning
+    # (stats collect + candidate collect + schema discovery) + 1 write
+    assert len(jobs) < 8, f"{len(jobs)} jobs for 8 groups — still looping?"
+    assert len(list_files(spark, tmp_ds_path)) == 8  # one file per partition
+    assert _snapshot(spark, tmp_ds_path) == before
+
+
+def test_compact_partitions_unique_subset_stays_per_partition(spark, tmp_ds_path):
+    """Fast-path subset dedup must not collapse rows across hive
+    partitions (the loop reads one partition at a time, so its
+    dropDuplicates(subset) is per-partition by construction)."""
+    pdf = make_simple_pdf(8, seed=0)
+    pdf["id"] = [1, 1, 2, 3, 1, 4, 5, 6]  # id=1 dup within p0, also in p1
+    pdf["part"] = ["p0", "p0", "p0", "p0", "p1", "p1", "p1", "p1"]
+    for half in (pdf.iloc[:4], pdf.iloc[4:]):
+        spark.createDataFrame(half).coalesce(1).write.mode("append").partitionBy(
+            "part"
+        ).parquet(tmp_ds_path)
+    # make both partitions multi-file so both are candidates
+    spark.createDataFrame(pdf.iloc[2:6]).coalesce(1).write.mode("append").partitionBy(
+        "part"
+    ).parquet(tmp_ds_path)
+    compact_partitions(spark, tmp_ds_path, unique=["id"])
+    got = sorted(
+        (r["part"], r["id"])
+        for r in spark.read.parquet(tmp_ds_path).select("part", "id").collect()
+    )
+    # one id=1 row PER PARTITION survives — not one overall
+    assert got == [
+        ("p0", 1), ("p0", 2), ("p0", 3),
+        ("p1", 1), ("p1", 4), ("p1", 5), ("p1", 6),
+    ]
+
+
 # -- M2 time-period compaction ------------------------------------------
 
 
@@ -270,6 +326,58 @@ def test_stats_index_handles_removed_files(spark, tmp_ds_path):
     assert r["removed"] == 3 and r["added"] == 1 and r["total"] == 1
     total = idx.stats().agg({"num_rows": "sum"}).first()[0]
     assert total == 90
+
+
+def test_import_legacy_file_metadata_sidecar(spark, tmp_ds_path):
+    """A reference-format ``_file_metadata`` sidecar (JSON with base64
+    parquet FileMetaData blobs, `pydala/metadata.py:50-102`) must
+    convert into a StatsIndex whose rows match a live footer scan —
+    and a subsequent refresh() must treat every imported file as
+    already indexed (added=0)."""
+    import base64
+    import glob
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pydala2_spark.plans.stats import StatsIndex, import_legacy_file_metadata
+
+    _write_fragmented(spark, tmp_ds_path, n_batches=3, rows=40)
+    files = sorted(glob.glob(f"{tmp_ds_path}/*.parquet"))
+
+    # build the sidecar exactly the way the reference serializes it
+    sidecar = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        sink = pa.BufferOutputStream()
+        md.write_metadata_file(sink)
+        rel = f.rsplit("/", 1)[1]
+        sidecar[rel] = {
+            "serialized_metadata_b64": base64.b64encode(
+                sink.getvalue().to_pybytes()
+            ).decode("ascii"),
+            "num_rows": md.num_rows,
+        }
+    sidecar["gone.parquet"] = sidecar[rel]  # stale entry → skipped
+    with open(f"{tmp_ds_path}/_file_metadata", "wb") as fh:
+        fh.write(_json.dumps(sidecar).encode())
+
+    r = import_legacy_file_metadata(spark, tmp_ds_path)
+    assert r == {"imported": 3, "missing": 1}
+
+    idx = StatsIndex(spark, tmp_ds_path)
+    got = {
+        r["file_path"]: r for r in idx.stats().collect()
+    }
+    assert len(got) == 3
+    assert all(r["num_rows"] == 40 and r["size_bytes"] > 0 for r in got.values())
+    # imported column stats drive pruning like a live scan would:
+    # batches hold disjoint id ranges [0,39],[40,79],[80,119]
+    kept = idx.prune("id", lo=50, hi=60)
+    assert len(kept) == 1
+    # refresh recognizes every imported file — nothing re-scanned
+    assert idx.refresh() == {"added": 0, "removed": 0, "total": 3}
 
 
 # -- Z-order clustering --------------------------------------------------
