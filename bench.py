@@ -28,8 +28,17 @@ def main() -> None:
     spark = get_spark(app_name="pydala2_spark_bench", cpus=CPUS)
 
     qs = queries()
-    # warmup: trigger codegen + file listing once
+    # warmup: trigger codegen + file listing once (always from the full
+    # registry — a subset run may not include the warmup query)
     qs["q6_forecast_revenue"](spark, SF_DIR).collect()
+    # optional subset: `python bench.py q5_nation_revenue dedup_simhash`
+    # runs only those queries (A/B diagnosis runs; the driver passes no
+    # args so the full registry is the default)
+    if len(sys.argv) > 1:
+        unknown = [a for a in sys.argv[1:] if a not in qs]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        qs = {k: qs[k] for k in sys.argv[1:]}
 
     # min-of-N, keep the min: the first evaluation of a query pays
     # one-time codegen compilation and (under co-tenant load) scheduler

@@ -82,8 +82,23 @@ _S3A_OPTION_MAP = {
 def s3a_conf_for_profile(profile: dict[str, Any]) -> dict[str, str]:
     """Translate a filesystem profile into Hadoop S3A properties,
     scoped per-bucket when the profile names one (the mechanism that
-    lets two S3 accounts share a SparkSession)."""
+    lets two S3 accounts share a SparkSession).
+
+    A profile WITHOUT ``bucket`` falls back to the session-global
+    ``fs.s3a.*`` prefix — two bucketless profiles applied in one
+    session would silently clobber each other's credentials, so that
+    fallback warns loudly; name a bucket for real isolation."""
     bucket = profile.get("bucket")
+    if not bucket and any(k in _S3A_OPTION_MAP for k in profile):
+        import warnings
+
+        warnings.warn(
+            "filesystem profile sets s3a credentials without a 'bucket': "
+            "they apply SESSION-GLOBALLY (fs.s3a.*) and a second "
+            "bucketless profile would overwrite them — add 'bucket: "
+            "<name>' for per-bucket isolation",
+            stacklevel=2,
+        )
     prefix = f"fs.s3a.bucket.{bucket}." if bucket else "fs.s3a."
     out: dict[str, str] = {}
     for opt, val in profile.items():

@@ -253,11 +253,24 @@ class BaseDataset:
         batch_size: int = 131_072,
         filter: str | F.Column | None = None,
         sort_by: SortSpec = None,
+        prefetch_partitions: bool = True,
     ):
         """Streaming pyarrow RecordBatchReader (S7 parity: the
         reference's ``to_batch_reader``, `pydala/table.py:538-589`,
         batch size default `pydala/constants.py:23`; ``filter`` /
         ``sort_by`` knobs per `pydala/table.py:547-556`).
+
+        Readahead mapping: the reference exposes ``batch_readahead`` /
+        ``fragment_readahead`` Arrow-scanner knobs
+        (`pydala/table.py:538-589`, `pydala/constants.py:24-28`). On
+        Spark the unit of readahead is the PARTITION, not the fragment
+        — ``prefetch_partitions`` (default on, = Spark's
+        ``toLocalIterator(prefetchPartitions=True)``) computes the
+        next partition while the current one streams, the engine-level
+        equivalent of both reference knobs; per-file parallelism
+        inside a partition is Spark's scan concurrency, not a reader
+        option. Pass ``False`` to cap driver memory at exactly one
+        partition when the consumer is slower than the cluster.
 
         TRUE streaming, matching the reference's semantics: partitions
         are pulled to the driver one at a time (``toLocalIterator``)
@@ -282,7 +295,7 @@ class BaseDataset:
 
         def batches():
             buf: list[dict] = []
-            for row in df.toLocalIterator(prefetchPartitions=True):
+            for row in df.toLocalIterator(prefetchPartitions=prefetch_partitions):
                 buf.append(row.asDict(recursive=True))
                 if len(buf) >= batch_size:
                     yield pa.RecordBatch.from_pylist(buf, schema=schema)

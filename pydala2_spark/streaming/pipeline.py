@@ -76,9 +76,18 @@ def _sniff_ts_type(sample_file: str | None) -> T.DataType:
 
 
 def read_event_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    ts_type: T.DataType | None = None,
 ) -> DataFrame:
-    """Unbounded reader over a parquet landing zone of events."""
+    """Unbounded reader over a parquet landing zone of events.
+
+    ``ts_type`` overrides the sniffed ``ts`` physical encoding — pass
+    ``LongType()`` for a legacy ns-encoded REMOTE landing zone where no
+    local sample file exists for the sniff (its no-sample default is
+    TIMESTAMP_NTZ micros, which would fail a ns zone's first microbatch
+    with a schema conflict)."""
     # the streaming file source wants a directory; accept a single-file
     # path by listing its parent with a glob filter
     import os
@@ -91,7 +100,7 @@ def read_event_stream(
         pq_files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
         sample = os.path.join(path, pq_files[0]) if pq_files else None
 
-    ts_type = _sniff_ts_type(sample)
+    ts_type = ts_type if ts_type is not None else _sniff_ts_type(sample)
     reader = spark.readStream.schema(_events_schema(ts_type))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -245,12 +254,20 @@ def merge_stream(
     checkpoint_dir: str,
     strategy: str = "upsert",
     partition_by: list[str] | None = None,
+    ts_type: T.DataType | None = None,
 ) -> None:
-    """Streaming keyed merge: drain the landing zone and UPSERT each
+    """Streaming keyed merge: drain the landing zone and merge each
     microbatch into a managed dataset — the CDC-ingestion loop the
     reference can only do as a manual batch ``merge`` per drop
-    (`pydala/dataset.py:1549-1777`); here the checkpoint makes it
-    exactly-once per input file and re-runnable.
+    (`pydala/dataset.py:1549-1777`); here the checkpoint tracks input
+    files and the sink is guarded by a per-batch marker, giving
+    effectively-once results: ``foreachBatch`` alone is AT-LEAST-once
+    (a crash between the merge and the checkpoint commit replays the
+    batch), so ``_sink`` records each committed batch id under
+    ``<target>/_stream_batches/`` and a replayed batch that already
+    left its marker is skipped instead of re-merged. Upsert re-merge
+    is idempotent anyway; the marker is what makes non-idempotent
+    strategies (e.g. ``insert``) safe across replays.
 
     ``foreachBatch`` is the right sink because merge is a multi-job
     write (plan, rewrite matched files, delete replaced) that Spark's
@@ -260,11 +277,19 @@ def merge_stream(
     per-batch cost is proportional to the files whose key ranges the
     batch touches (file-selective rewrite), not the dataset size.
     """
-    from pydala2_spark.operators.merge import merge
+    import hashlib
 
-    events = read_event_stream(spark, source_path)
+    from pydala2_spark.operators.merge import merge
+    from pydala2_spark.plans.fs import mkdirs, path_exists
+
+    events = read_event_stream(spark, source_path, ts_type=ts_type)
+    # batch ids restart per checkpoint — scope markers to this one
+    cp_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = f"{target_path.rstrip('/')}/_stream_batches/{cp_id}/{batch_id}"
+        if path_exists(spark, marker):
+            return  # replay of a batch whose merge already committed
         if not batch_df.isEmpty():
             merge(
                 spark,
@@ -274,6 +299,7 @@ def merge_stream(
                 key_columns=key_columns,
                 partition_by=partition_by,
             )
+        mkdirs(spark, marker)
 
     q = (
         events.writeStream.foreachBatch(_sink)

@@ -250,6 +250,56 @@ def test_merge_stream_upserts_incrementally(spark, tmp_path):
     assert spark.read.parquet(target).count() == 8
 
 
+def test_merge_stream_batch_marker_skips_replayed_batch(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between the merge and the
+    checkpoint commit replays the batch. The per-batch marker under
+    <target>/_stream_batches must make the replay a no-op — a marked
+    batch id is skipped even when the checkpoint forgot it."""
+    import datetime as dt
+    import hashlib
+    import shutil
+
+    from pydala2_spark.streaming.pipeline import merge_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    target = str(tmp_path / "target_ds")
+    ckpt = str(tmp_path / "ckpt_replay")
+
+    df = spark.createDataFrame(
+        [(1, 1, "click", dt.datetime(2024, 1, 1), 1.0, "{}")],
+        "event_id long, user_id long, event_type string, ts timestamp, value double, props string",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "stage"))
+    import glob as _g
+
+    shutil.copy(
+        _g.glob(str(tmp_path / "stage" / "part-*.parquet"))[0],
+        landing / "d1.parquet",
+    )
+
+    # simulate the crash window: batch 0's marker exists (merge had
+    # committed) but the checkpoint doesn't — the rerun replays batch 0
+    cp_id = hashlib.md5(ckpt.encode()).hexdigest()[:12]
+    marker_root = tmp_path / "target_ds" / "_stream_batches" / cp_id / "0"
+    marker_root.mkdir(parents=True)
+    merge_stream(spark, str(landing), target, ["event_id"], ckpt)
+    import os
+
+    # the replayed batch was skipped: no data files written to target
+    assert not any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(target)
+        for f in fs
+    ), "marked batch must not re-merge"
+
+    # a fresh checkpoint (new cp scope, no marker) processes normally
+    merge_stream(
+        spark, str(landing), target, ["event_id"], str(tmp_path / "ckpt_fresh")
+    )
+    assert spark.read.parquet(target).count() == 1
+
+
 def test_sniff_ts_type_all_encodings(spark, tmp_path):
     """TIMESTAMP(NANOS) must sniff to LongType (the nanosAsLong scan
     delivers int64), micros-ntz to TimestampNTZ, int64 to Long, and
