@@ -259,6 +259,48 @@ def source_mix_report(
     )
 
 
+def temperature_resample_rates(
+    df: DataFrame,
+    alpha: float = 0.5,
+    text: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Temperature-based mixture reweighting: per (source, lang)
+    sampling rates that move the corpus token mix toward
+    ``share^alpha`` (normalized) — the standard multilingual/multi-
+    source rebalancing rule (alpha<1 upweights rare groups; alpha=1 is
+    the natural mix; alpha=0 uniform), e.g. the T=5 sampling of mBERT/
+    XLM-R or the domain weights a pretraining recipe negotiates.
+
+    Derivation: target p_g ∝ share_g^alpha; the per-document keep rate
+    is p_g / share_g ∝ share_g^(alpha-1), scaled so the largest rate
+    is 1 (pure downsampling — never asks a group for more documents
+    than it has). Returns (source, lang, n_docs, n_tokens, share,
+    rate); feed ``rate`` to a deterministic md5-coin filter (see
+    :func:`stratified_sample`) to materialize the resampled corpus.
+
+    One map-side-combined aggregation over the corpus; the rate math
+    runs on the grouped frame (|groups| rows) — trivially scale-safe.
+    """
+    g = df.groupBy(source_col, lang_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text), " "))).alias("n_tokens"),
+    )
+    total = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(total)
+    raw = F.pow(share, F.lit(alpha - 1.0))
+    rate = raw / F.max(raw).over(total)
+    return g.select(
+        source_col,
+        lang_col,
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("share"),
+        F.round(rate, 6).alias("rate"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],

@@ -223,6 +223,107 @@ def minhash_lsh_pairs(
     )
 
 
+# -- persisted MinHash index (incremental dedup) ----------------------
+
+
+def build_minhash_index(
+    spark,
+    corpus: DataFrame,
+    path: str,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    k: int = 3,
+) -> None:
+    """Materialize a MinHash signature store for INCREMENTAL dedup:
+    ``<path>/signatures`` holds (id, mh) and ``<path>/bands`` the
+    exploded (band, sig) keys hive-partitioned by band. This is the
+    near-dup analogue of :func:`similarity.build_ivf_index` — build
+    once over the corpus, then screen every incoming batch against
+    signatures alone: at 100 TB the corpus TEXT is read exactly once
+    ever (here), and each ingest pays O(batch) work plus a join
+    against the band store. The reference has no incremental-dedup
+    surface at all (its ``unique`` is per-write row dedup,
+    /root/reference/pydala/io.py:242-259).
+
+    Signatures persist (not recomputed from text at probe time), so
+    index and probe agree bit-for-bit on the hash family; parameters
+    are recorded under ``<path>/_params`` and enforced at probe time.
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    with_mh = minhash_signature(corpus, text, id_col, num_hashes, k)
+    with_mh.write.mode("overwrite").parquet(f"{path}/signatures")
+    stored = spark.read.parquet(f"{path}/signatures")
+    (
+        lsh_band_signatures(stored, id_col, bands, num_hashes // bands)
+        .repartition("band")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(f"{path}/bands")
+    )
+    spark.createDataFrame(
+        [(num_hashes, bands, k, id_col)],
+        "num_hashes int, bands int, k int, id_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_params")
+
+
+def incremental_near_dups(
+    spark,
+    index_path: str,
+    new_docs: DataFrame,
+    text: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Screen a new batch against a :func:`build_minhash_index` store:
+    (corpus_id, new_id, est_jaccard) for candidate near-dup pairs with
+    estimated Jaccard ≥ threshold.
+
+    The estimate is the standard MinHash agreement fraction (share of
+    equal signature components — unbiased estimator of Jaccard,
+    Broder 1997), computed stored-signature vs batch-signature: the
+    corpus text is never touched. Plan shape: batch signatures (one
+    agg over batch shingles) → band-key equi-join against the band
+    store (the batch side is the small side — broadcast) → one
+    signature join per side → zip_with agreement. False negatives
+    follow the banding curve; tighten with more bands at build time.
+    """
+    p = spark.read.parquet(f"{index_path}/_params").first()
+    id_col = p["id_col"]
+    new_mh = _materialize_once(
+        minhash_signature(new_docs, text, id_col, p["num_hashes"], p["k"])
+    )
+    new_bands = lsh_band_signatures(new_mh, id_col, p["bands"], p["num_hashes"] // p["bands"])
+    idx_bands = spark.read.parquet(f"{index_path}/bands")
+    cand = (
+        idx_bands.join(
+            F.broadcast(new_bands.withColumnRenamed(id_col, "__new_id")),
+            ["band", "sig"],
+        )
+        .select(F.col(id_col).alias("corpus_id"), F.col("__new_id").alias("new_id"))
+        .distinct()
+    )
+    idx_sig = spark.read.parquet(f"{index_path}/signatures").select(
+        F.col(id_col).alias("corpus_id"), F.col("mh").alias("__mh_c")
+    )
+    new_sig = new_mh.select(
+        F.col(id_col).alias("new_id"), F.col("mh").alias("__mh_n")
+    )
+    est = F.round(
+        F.expr("aggregate(zip_with(__mh_c, __mh_n, (x, y) -> if(x = y, 1, 0)), "
+               "0, (acc, v) -> acc + v)")
+        / F.lit(p["num_hashes"]),
+        4,
+    )
+    return (
+        cand.join(idx_sig, "corpus_id")
+        .join(F.broadcast(new_sig), "new_id")
+        .select("corpus_id", "new_id", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
 # -- n-gram Jaccard with length blocking ------------------------------
 
 
@@ -499,8 +600,15 @@ def embedding_near_duplicates(
         "__srp", srp_bucket(vec_col, srp_planes, dim)
     )
     # widen to scalar columns: keeps the O(pairs) dot-product stage in
-    # whole-stage codegen (lambda dots run interpreted — 2x slower)
-    v = unit_scalar_frame(base, vec_col, keep + ["__srp"], dim)
+    # whole-stage codegen (lambda dots run interpreted — 2x slower).
+    # Materialize the widened frame once: it feeds BOTH self-join
+    # sides, and the per-row widening (dim element_at projections +
+    # normalization) is the expensive map stage here — measured 1.59 →
+    # 1.49 s min-of-5 at sf0.1 in one session, with the whole timing
+    # distribution shifted down (round-3's contrary note predates the
+    # in-session A/B; cross-session bench deltas at this scale are
+    # co-tenancy noise, NOTES_r04.md).
+    v = _materialize_once(unit_scalar_frame(base, vec_col, keep + ["__srp"], dim))
     cond = (F.col("a.__srp") == F.col("b.__srp")) & (
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     )

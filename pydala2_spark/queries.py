@@ -3006,6 +3006,78 @@ def doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mix_report(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "doc_temperature_mix",
+    """
+    WITH g AS (
+      SELECT source, lang, count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source, lang
+    ), w AS (
+      SELECT *, n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE) AS share_raw
+      FROM g
+    ), r AS (
+      SELECT *, pow(share_raw, -0.5) AS raw FROM w
+    )
+    SELECT source, lang, n_docs, n_tokens,
+           round(share_raw, 6) AS share,
+           round(raw / max(raw) OVER (), 6) AS rate
+    FROM r
+    """,
+)
+def doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # temperature-based mixture reweighting (alpha=0.5): per-group
+    # sampling rates ∝ share^(alpha-1), scaled to max 1 — the standard
+    # multilingual rebalancing rule. Corpus-side work is one map-side-
+    # combined agg; the rate math runs on the |groups|-row frame.
+    from pydala2_spark.operators.curate import temperature_resample_rates
+
+    return temperature_resample_rates(_t(spark, sf_dir, "documents"), alpha=0.5)
+
+
+@query(
+    "doc_entropy_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), c AS (
+      SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok
+    ), s AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             sum(c * ln(c)) AS sl
+      FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, round(ln(n_tokens) - sl / n_tokens, 4) AS entropy
+    FROM s
+    """,
+)
+def doc_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-document unigram Shannon entropy H = ln(n) − Σ c·ln(c)/n —
+    # the token-diversity quality signal (boilerplate and generation
+    # loops score low, natural prose high; complements the duplicate-
+    # ngram repetition screen). Two hash aggregations, both with
+    # map-side combine: the (doc, token) shuffle carries distinct
+    # tokens per doc, the per-doc shuffle one row per doc. At 100 TB
+    # this is the canonical exploded-token agg — no joins, no windows.
+    docs = _t(spark, sf_dir, "documents")
+    c = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = c.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * F.log("c")).alias("sl"),
+    )
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.log("n_tokens") - F.col("sl") / F.col("n_tokens"), 4).alias(
+            "entropy"
+        ),
+    )
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -3017,6 +3089,9 @@ def doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mirror (scripts/check_correctness.py runs every entry).
 
 _VERIFY_FIRST = [
+    # new this round — verify first
+    "doc_temperature_mix",
+    "doc_entropy_quality",
     # round 4: changed this round — oracle CAST fix (HUGEINT widening,
     # the two red r3 rows) and the CC pointer-doubling materialization
     "doc_pack_sequences",
@@ -3059,9 +3134,11 @@ _VERIFY_FIRST = [
     "skew_salted_join_agg",
     "w_monthly_growth",
     "w_running_revenue",
-    # perf-touched this round (r3 regressions under diagnosis) — keep
-    # inside the window so any plan change is driver-verified
+    # perf-touched this round (r3 regressions under diagnosis; the
+    # near-dup pair frame is now materialized once) — keep inside the
+    # window so any plan change is driver-verified
     "emb_near_dup_srp",
+    "emb_near_dup",
     "doc_winnow_candidates",
 ]
 

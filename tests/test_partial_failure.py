@@ -168,3 +168,73 @@ def test_merge_large_source_falls_back_to_shuffle_join(
     monkeypatch.undo()
     assert r.updated == 1 and r.inserted == 1
     assert read_rows(spark, tmp_ds_path, "id", "v") == [(1, "a"), (2, "B"), (3, "c")]
+
+
+# -- staging swap: chaos between the two renames ----------------------
+
+
+def test_staging_swap_rollback_when_publish_rename_fails(
+    spark, tmp_ds_path, monkeypatch
+):
+    """Failure injected BETWEEN the two renames (dataset already moved
+    aside, staging not yet published): the swap must roll the original
+    back in, delete the staging dir, and raise — readers never see a
+    missing dataset."""
+    import pydala2_spark.operators.maintenance as m
+    from pydala2_spark.operators.maintenance import repartition_dataset
+    from pydala2_spark.plans.fs import path_exists
+
+    spark.createDataFrame(
+        [(i, f"p{i % 2}") for i in range(40)], "id long, part string"
+    ).write.parquet(tmp_ds_path)
+    before = read_rows(spark, tmp_ds_path, "id", "part")
+
+    real_rename = m.rename
+    calls = {"n": 0}
+
+    def chaos_rename(s, src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the publish rename: staging -> path
+            return False
+        return real_rename(s, src, dst)
+
+    monkeypatch.setattr(m, "rename", chaos_rename)
+    with pytest.raises(IOError, match="could not publish"):
+        repartition_dataset(spark, tmp_ds_path, partitioning_columns=["part"])
+    monkeypatch.undo()
+
+    # rollback restored the ORIGINAL dataset, staging is gone, no
+    # __old_/__staging_ side dirs leak next to it
+    assert read_rows(spark, tmp_ds_path, "id", "part") == before
+    parent = tmp_ds_path.rstrip("/").rsplit("/", 1)[0]
+    import os
+
+    leftovers = [d for d in os.listdir(parent) if "__old_" in d or "__staging_" in d]
+    assert leftovers == [], leftovers
+    assert path_exists(spark, tmp_ds_path)
+
+
+def test_staging_swap_aborts_cleanly_when_aside_rename_fails(
+    spark, tmp_ds_path, monkeypatch
+):
+    """Failure on the FIRST rename (dataset couldn't be moved aside):
+    the original stays untouched and the staging dir is cleaned up."""
+    import pydala2_spark.operators.maintenance as m
+    from pydala2_spark.operators.maintenance import repartition_dataset
+
+    spark.createDataFrame(
+        [(i, f"p{i % 2}") for i in range(20)], "id long, part string"
+    ).write.parquet(tmp_ds_path)
+    before = read_rows(spark, tmp_ds_path, "id", "part")
+
+    monkeypatch.setattr(m, "rename", lambda s, src, dst: False)
+    with pytest.raises(IOError, match="could not move"):
+        repartition_dataset(spark, tmp_ds_path, partitioning_columns=["part"])
+    monkeypatch.undo()
+
+    assert read_rows(spark, tmp_ds_path, "id", "part") == before
+    parent = tmp_ds_path.rstrip("/").rsplit("/", 1)[0]
+    import os
+
+    leftovers = [d for d in os.listdir(parent) if "__staging_" in d]
+    assert leftovers == [], leftovers

@@ -94,6 +94,42 @@ def test_ngram_blocked_pairs(spark, docs):
     assert (0, 2) in pairs
 
 
+def test_minhash_index_incremental_screen(spark, docs, tmp_path):
+    """build_minhash_index + incremental_near_dups: a new batch screens
+    against the persisted signature store — corpus text untouched at
+    probe time — finding its near-dup in the corpus and passing the
+    unrelated doc through."""
+    from pydala2_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_near_dups,
+    )
+
+    idx = str(tmp_path / "mh_idx")
+    build_minhash_index(spark, docs, idx, num_hashes=12, bands=4, k=3)
+
+    corpus_text = {r["doc_id"]: r["text"] for r in docs.collect()}
+    new = spark.createDataFrame(
+        [
+            # exact copy of corpus doc 0 → certain hit
+            (100, corpus_text[0]),
+            # unrelated content → no candidate band collision
+            (101, "completely different subject matter entirely novel"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["corpus_id"], r["new_id"]): r["est_jaccard"]
+        for r in incremental_near_dups(spark, idx, new, threshold=0.5).collect()
+    }
+    assert got[(0, 100)] == 1.0  # identical text → identical signature
+    assert got.get((2, 100)) == 1.0  # doc 2 is doc 0's exact dup in the corpus
+    assert not any(n == 101 for _, n in got)
+
+    # the probe reads ONLY index files — corpus text is never scanned
+    files = incremental_near_dups(spark, idx, new, threshold=0.5).inputFiles()
+    assert files and all("mh_idx" in f for f in files), files
+
+
 def test_ngram_multiband_recall_dominates_single_band(spark):
     """min_hash_bands=b must be a strict recall upgrade: every pair the
     b=1 screen finds is found at b=4, b=4 recovers pairs b=1 missed
