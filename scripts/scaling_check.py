@@ -39,6 +39,18 @@ QUERIES = [
     "dedup_minhash_lsh",
     "emb_near_dup_srp",
     "stream_sessionization",
+    # round-4 long tail: TPC-H fact-growth shapes (facts x10, dims
+    # fixed — how a warehouse actually scales), the text screens, and
+    # the new entropy/contamination aggs
+    "q9_product_profit",
+    "q21_multi_exists",
+    "q18_large_volume_customers",
+    "q16_supplier_count_by_part",
+    "dedup_ngram_blocked",
+    "doc_contamination",
+    "doc_winnow_candidates",
+    "doc_entropy_quality",
+    "emb_knn_ivf",
 ]
 
 
@@ -98,6 +110,36 @@ def build(spark) -> None:
     for c in vcopies[1:]:
         vout = vout.unionByName(c)
     vout.repartition(32).write.parquet(os.path.join(OUT, "events.parquet"))
+
+    # TPC-H: replicate the FACTS (orders + lineitem, orderkeys shifted
+    # per copy so the join graph stays 1:N), keep dimensions fixed —
+    # fact growth against stable dims is how a warehouse scales, and it
+    # preserves every query's broadcast-ability assumptions.
+    orders = spark.read.parquet(os.path.join(BASE, "orders.parquet"))
+    key_stride = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    ocopies = [
+        orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(k * key_stride))
+        for k in range(FACTOR)
+    ]
+    oout = ocopies[0]
+    for c in ocopies[1:]:
+        oout = oout.unionByName(c)
+    oout.repartition(32).write.parquet(os.path.join(OUT, "orders.parquet"))
+
+    li = spark.read.parquet(os.path.join(BASE, "lineitem.parquet"))
+    lcopies = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * key_stride))
+        for k in range(FACTOR)
+    ]
+    lout = lcopies[0]
+    for c in lcopies[1:]:
+        lout = lout.unionByName(c)
+    lout.repartition(32).write.parquet(os.path.join(OUT, "lineitem.parquet"))
+
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        shutil.copy(
+            os.path.join(BASE, f"{t}.parquet"), os.path.join(OUT, f"{t}.parquet")
+        )
 
 
 def main() -> None:
