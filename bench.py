@@ -34,7 +34,8 @@ def main() -> None:
     # optional subset: `python bench.py q5_nation_revenue dedup_simhash`
     # runs only those queries (A/B diagnosis runs; the driver passes no
     # args so the full registry is the default)
-    if len(sys.argv) > 1:
+    subset_run = len(sys.argv) > 1
+    if subset_run:
         unknown = [a for a in sys.argv[1:] if a not in qs]
         if unknown:
             raise SystemExit(f"unknown queries: {unknown}")
@@ -100,9 +101,12 @@ def main() -> None:
     # truncated → parsed=null). Emit compact separators and shed decimal
     # precision until the line is guaranteed to fit; the full-precision
     # dict goes to BENCH_DETAIL.json next to this script.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json"), "w") as f:
-        json.dump({**out, "shuffle_exchanges": shuffles}, f, indent=1)
+    # subset (A/B diagnosis) runs must not clobber the full-registry
+    # detail file the judge reads round-over-round
+    if not subset_run:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as f:
+            json.dump({**out, "shuffle_exchanges": shuffles}, f, indent=1)
     def _hybrid(v: float) -> float:
         # 2 decimals under 1 s, 1 decimal under 10 s, whole seconds above
         return round(v, 2) if v < 1 else (round(v, 1) if v < 10 else round(v))

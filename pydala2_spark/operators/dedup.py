@@ -773,3 +773,57 @@ def duplicate_clusters(
         F.col("label").alias("cluster_id"),
         F.count(F.lit(1)).over(size).alias("cluster_size"),
     )
+
+
+# -- cross-document segment duplication (boilerplate screen) ----------
+
+
+def cross_doc_segment_dups(
+    df: DataFrame,
+    k: int = 3,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document share of non-overlapping ``k``-token segments that
+    also occur in at least one OTHER document — the cross-corpus
+    boilerplate screen (repeated headers/footers/licence blocks) that
+    complements the intra-document ``duplicate_ngram_fraction`` gate.
+
+    Reference analogue: none (write-time row ``unique`` only,
+    /root/reference/pydala/io.py:242-259); this is MassiveText-style
+    repeated-passage screening re-expressed relationally.
+
+    100 TB shape: segments are md5'd BEFORE the shuffle so the
+    doc-frequency aggregation and the join back both move fixed-width
+    16-byte keys, never segment text; one groupBy(seg) with map-side
+    partial agg, one equi-join (seg frequencies are 1 row per distinct
+    segment), one groupBy(doc). Documents shorter than ``k`` tokens
+    have no segments and are absent from the output (mirrored by the
+    oracle).
+    """
+    t = _spread(df, id_col).select(
+        F.col(id_col), F.split(F.col(text), " ").alias("__t")
+    ).filter(F.size("__t") >= k)
+    segs = t.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, int(size(__t) / {k})), "
+                f"i -> md5(array_join(slice(__t, (i - 1) * {k} + 1, {k}), ' ')))"
+            )
+        ).alias("seg"),
+    )
+    nd = segs.groupBy("seg").agg(F.countDistinct(id_col).alias("nd"))
+    dup = F.when(F.col("nd") > 1, F.lit(1)).otherwise(F.lit(0))
+    return (
+        segs.join(nd, "seg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(dup).alias("n_dup"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup").cast("double") / F.col("n_segs"), 4),
+        )
+    )

@@ -392,3 +392,117 @@ def cosine_topk_ivf_indexed(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# -- k-means (Lloyd's) -------------------------------------------------
+
+
+def _centroid_literal_sql(centroids: list[tuple[int, list[float]]]) -> str:
+    """Inline a (cid, vector) list as a Spark SQL array-of-struct
+    literal. ``repr(float)`` is the shortest round-trip decimal and the
+    ``D`` suffix parses via Double.parseDouble, so every coordinate
+    survives the text round trip bit-exactly. k*dim doubles — a few KB
+    of SQL text, never data-scale."""
+    items = []
+    for cid, vec in centroids:
+        arr = ", ".join(f"{x!r}D" for x in vec)
+        items.append(f"struct({cid} AS cid, array({arr}) AS c)")
+    return "array(" + ", ".join(items) + ")"
+
+
+def _assign_expr(cents_sql: str, vec: str = "v") -> Column:
+    """argmin over the centroid literal as ONE expression: square the
+    element-wise diff with zip_with, fold to the squared L2 distance,
+    and take array_min over (d, cid) structs — struct ordering gives
+    the cid-asc tiebreak. No join, no shuffle: assignment is a scan-
+    stage projection."""
+    return F.expr(
+        f"array_min(transform({cents_sql}, s -> struct("
+        f"aggregate(zip_with({vec}, s.c, (x, y) -> (x - y) * (x - y)), 0D, "
+        f"(a, t) -> a + t) AS d, s.cid AS cid)))"
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    persist: bool = True,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Distributed Lloyd's k-means over an embedding column; returns
+    (assignments, final_centroids) where assignments carries
+    ``(id_col, cid, d)`` with ``d`` the squared L2 distance to the
+    assigned FINAL centroid.
+
+    Reference has no clustering surface (pydala2 is a dataset manager);
+    this is the coarse-quantizer trainer the IVF family
+    (:func:`build_ivf_index`) stands in for with SRP cells.
+
+    Spark-first shape, scale notes for 100 TB:
+
+    - seeds are the ``k`` smallest-``id_col`` vectors — deterministic,
+      oracle-mirrorable (k rows collected, metadata scale);
+    - centroids live on the driver between iterations (k*dim doubles)
+      and re-enter the plan as a broadcast-free SQL literal, so the
+      ASSIGN step is a pure scan-stage projection — zero shuffle, zero
+      join, stays in the corpus scan;
+    - the UPDATE step is one posexplode + groupBy(cid, pos) per
+      iteration — the only shuffle, k*dim groups, map-side partial agg
+      collapses it;
+    - per-dim means accumulate in DECIMAL(38,6) then divide in double
+      (the :func:`label_centroids` pattern) so the centroid is
+      independent of partition summation order — bit-stable and equal
+      to the DuckDB oracle's.
+
+    Total cost per iteration: one pass over the cast frame + one
+    k*dim-row shuffle. ``persist=True`` (default) caches the cast
+    frame MEMORY_AND_DISK — the standard iterative-ML shape (MLlib
+    does the same): seeds + every iteration + the final assignment
+    would otherwise each re-scan and re-shuffle the corpus
+    (interleaved A/B at sf0.1: 2.1-2.4 s -> 1.6-1.7 s per fit). The
+    cache is corpus-sized; it spills past memory, and LRU eviction
+    reclaims it — pass ``persist=False`` to trade repeated scans for
+    zero cache footprint.
+    """
+    e = _spread(df, id_col).select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    )
+    if persist:
+        from pyspark import StorageLevel
+
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    seed_rows = (
+        e.orderBy(F.col(id_col).asc()).limit(k).select(id_col, "v").collect()
+    )
+    cents = [(i, list(r["v"])) for i, r in enumerate(seed_rows)]
+    for _ in range(iters):
+        assigned = e.withColumn("__am", _assign_expr(_centroid_literal_sql(cents)))
+        exploded = assigned.select(
+            F.col("__am.cid").alias("cid"), F.posexplode("v").alias("pos", "x")
+        )
+        means = (
+            exploded.groupBy("cid", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(38,6)")).cast("double")
+                    / F.count("x")
+                ).alias("m")
+            )
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.expr("transform(pm, s -> s.m)").alias("c"))
+            .orderBy("cid")
+            .collect()
+        )
+        cents = [(r["cid"], list(r["c"])) for r in means]
+    final = e.withColumn("__am", _assign_expr(_centroid_literal_sql(cents)))
+    out = final.select(
+        F.col(id_col),
+        F.col("__am.cid").alias("cid"),
+        F.col("__am.d").alias("d"),
+    )
+    return out, cents

@@ -3078,6 +3078,157 @@ def doc_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cid, v AS c
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id ASC LIMIT 4)
+    ), a1 AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, s.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, 64),
+                   i -> (e.v[i] - s.c[i]) * (e.v[i] - s.c[i]))) ASC,
+                 s.cid ASC) AS r
+        FROM e CROSS JOIN seeds s
+      ) WHERE r = 1
+    ), m1 AS (
+      SELECT cid, i AS pos,
+             CAST(sum(CAST(v[i] AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS m
+      FROM a1, unnest(generate_series(1, 64)) AS g(i)
+      GROUP BY cid, i
+    ), c1 AS (
+      SELECT cid, list(m ORDER BY pos) AS c FROM m1 GROUP BY cid
+    ), a2 AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c1.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, 64),
+                   i -> (e.v[i] - c1.c[i]) * (e.v[i] - c1.c[i]))) ASC,
+                 c1.cid ASC) AS r
+        FROM e CROSS JOIN c1
+      ) WHERE r = 1
+    ), m2 AS (
+      SELECT cid, i AS pos,
+             CAST(sum(CAST(v[i] AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS m
+      FROM a2, unnest(generate_series(1, 64)) AS g(i)
+      GROUP BY cid, i
+    ), c2 AS (
+      SELECT cid, list(m ORDER BY pos) AS c FROM m2 GROUP BY cid
+    ), a3 AS (
+      SELECT vec_id, cid, d FROM (
+        SELECT e.vec_id, c2.cid,
+               list_sum(list_transform(generate_series(1, 64),
+                 i -> (e.v[i] - c2.c[i]) * (e.v[i] - c2.c[i]))) AS d,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, 64),
+                   i -> (e.v[i] - c2.c[i]) * (e.v[i] - c2.c[i]))) ASC,
+                 c2.cid ASC) AS r
+        FROM e CROSS JOIN c2
+      ) WHERE r = 1
+    )
+    SELECT cid, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(d AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4)
+             AS avg_sqdist
+    FROM a3 GROUP BY cid
+    """
+
+
+@query("emb_kmeans", _KMEANS_ORACLE)
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lloyd's k-means, 2 full iterations, k=4, deterministic smallest-id
+    # seeds. The oracle unrolls both iterations as CTEs — an ITERATIVE
+    # algorithm held to an exact SQL oracle: assignments, per-dim
+    # decimal-accumulated centroid means, and final within-cluster
+    # dispersion all match bit-for-bit. Spark shape: assignment is a
+    # scan-stage projection against a centroid SQL literal (no join,
+    # no shuffle); the update is one k*dim-group aggregation per
+    # iteration. See operators/similarity.kmeans_lloyd for the 100 TB
+    # notes.
+    from pydala2_spark.operators.similarity import kmeans_lloyd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_lloyd(emb, k=4, iters=2)
+    return assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("d").cast(_DEC)).cast("double") / F.count("d"), 4
+        ).alias("avg_sqdist"),
+    )
+
+
+@query(
+    "doc_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, t AS term
+      FROM documents, unnest(string_split(text, ' ')) AS u(t)
+      WHERE len(t) >= 4
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)), 4)
+               AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ), ranked AS (
+      SELECT doc_id, term, tf, df, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, score, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-document TF-IDF keywords — corpus feature extraction for
+    # keyword filtering / topic bucketing. One explode, two hash aggs
+    # (both map-side combined), DF side broadcast, N via a broadcast
+    # one-row count frame (no driver collect — the whole query is one
+    # lazy plan).
+    from pydala2_spark.operators.curate import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), top_n=3, min_len=4)
+
+
+@query(
+    "doc_segment_dups",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), segs AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(tk, (i - 1) * 3 + 1, i * 3), ' '))
+               AS seg
+      FROM t, unnest(generate_series(1, len(tk) // 3)) AS g(i)
+    ), nd AS (
+      SELECT seg, count(DISTINCT doc_id) AS nd FROM segs GROUP BY seg
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_segs,
+           CAST(sum(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           round(CAST(sum(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS dup_frac
+    FROM segs s JOIN nd USING (seg)
+    GROUP BY s.doc_id
+    """,
+)
+def doc_segment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cross-document boilerplate screen: share of non-overlapping
+    # 3-token segments that also occur in another document. Segments
+    # are md5'd before the shuffle (fixed-width keys at 100 TB); one
+    # seg-frequency agg + one equi-join + one per-doc agg.
+    from pydala2_spark.operators.dedup import cross_doc_segment_dups
+
+    return cross_doc_segment_dups(_t(spark, sf_dir, "documents"), k=3)
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -3090,6 +3241,9 @@ def doc_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VERIFY_FIRST = [
     # new this round — verify first
+    "emb_kmeans",
+    "doc_tfidf_top_terms",
+    "doc_segment_dups",
     "doc_temperature_mix",
     "doc_entropy_quality",
     # round 4: changed this round — oracle CAST fix (HUGEINT widening,

@@ -607,3 +607,129 @@ def test_chunk_documents_covers_all_tokens(spark):
     # overlap: chunk 1 starts 32 tokens in, repeats tokens 32..63
     c0, c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])[:2]
     assert c0["chunk_text"].split()[32:] == c1["chunk_text"].split()[:32]
+
+
+# -- k-means -----------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    """Two well-separated gaussian blobs in 8-d, 30 points each."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    a = rng.randn(30, 8).astype("float32") * 0.1 + 5.0
+    b = rng.randn(30, 8).astype("float32") * 0.1 - 5.0
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(list(a) + list(b))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_recovers_separated_blobs(spark, blobs):
+    from pydala2_spark.operators.similarity import kmeans_lloyd
+
+    assigned, cents = kmeans_lloyd(blobs, k=2, iters=3, dim=8)
+    rows = assigned.collect()
+    by_cid = {}
+    for r in rows:
+        by_cid.setdefault(r["cid"], set()).add(r["vec_id"])
+    # the two blobs are ids 0-29 and 30-59; clusters must match exactly
+    assert sorted(len(v) for v in by_cid.values()) == [30, 30]
+    assert set(range(30)) in by_cid.values()
+    assert len(cents) == 2 and all(len(c) == 8 for _, c in cents)
+
+
+def test_kmeans_inertia_non_increasing(spark, blobs):
+    from pyspark.sql import functions as F
+
+    from pydala2_spark.operators.similarity import kmeans_lloyd
+
+    inertias = []
+    for iters in (1, 2, 3):
+        assigned, _ = kmeans_lloyd(blobs, k=2, iters=iters, dim=8)
+        inertias.append(assigned.agg(F.sum("d")).first()[0])
+    assert inertias[0] >= inertias[1] - 1e-9
+    assert inertias[1] >= inertias[2] - 1e-9
+
+
+def test_kmeans_assignment_is_scan_stage(spark, blobs):
+    """The ASSIGN step must be a projection over the corpus scan —
+    no join, no Exchange: the centroid literal rides inside the
+    expression. (The UPDATE step's single k*dim-group agg is the only
+    shuffle per iteration.)"""
+    from pydala2_spark.operators.similarity import (
+        _assign_expr,
+        _centroid_literal_sql,
+    )
+    from pyspark.sql import functions as F
+
+    e = blobs.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    cents = [(0, [0.0] * 8), (1, [1.0] * 8)]
+    plan = (
+        e.withColumn("__am", _assign_expr(_centroid_literal_sql(cents)))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+# -- TF-IDF ------------------------------------------------------------
+
+
+def test_tfidf_top_terms_hand_case(spark):
+    from pydala2_spark.operators.curate import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark engine"),
+            (2, "spark table"),
+            (3, "table table motor"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"])
+        for r in tfidf_top_terms(df, top_n=2, min_len=4).collect()
+    }
+    # doc 1: 'spark' tf=2 df=2 idf=ln(1.5) beats 'engine' tf=1 df=1?
+    # scores: spark 2*ln(3/2)=0.81, engine 1*ln(3)=1.0986 -> engine first
+    assert out[(1, 1)][0] == "engine"
+    assert out[(1, 2)] == ("spark", 2, 2)
+    # doc 3: 'motor' df=1 idf=ln(3); 'table' tf=2 df=2
+    assert out[(3, 1)][0] == "motor"
+
+
+def test_tfidf_no_python_nodes(spark, docs):
+    from pydala2_spark.operators.curate import tfidf_top_terms
+
+    plan = (
+        tfidf_top_terms(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# -- cross-document segment duplication -------------------------------
+
+
+def test_cross_doc_segment_dups_hand_case(spark):
+    from pydala2_spark.operators.dedup import cross_doc_segment_dups
+
+    df = spark.createDataFrame(
+        [
+            # doc 1 and 2 share their first 3-token segment; second
+            # segments are unique; doc 3 shares nothing
+            (1, "a b c x y z"),
+            (2, "a b c p q r"),
+            (3, "m n o u v w"),
+            (4, "xy"),  # shorter than one segment -> absent from output
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in cross_doc_segment_dups(df, k=3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_segs"] == 2 and out[1]["n_dup"] == 1
+    assert out[2]["dup_frac"] == 0.5
+    assert out[3]["n_dup"] == 0 and out[3]["dup_frac"] == 0.0
