@@ -1,0 +1,118 @@
+"""Event-stream analytics: funnel, cohort retention, trend fitting.
+
+Extension surface — the reference manages datasets and leaves
+analytics to its embedded DuckDB (/root/reference/pydala/table.py:
+940-958); these are the canonical event-table shapes a data platform
+runs daily, expressed so each one is a fixed, small number of
+shuffles regardless of event count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    ev: DataFrame,
+    steps: list[str],
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered conversion funnel: one output row whose column ``n_<i>``
+    counts users who completed steps[0..i] with strictly increasing
+    timestamps.
+
+    Each stage min-reduces to ONE row per user before the next
+    equi-join, so stage joins shuffle |users| rows, never |events| —
+    the funnel narrows monotonically and every stage's small side is a
+    candidate broadcast. No windows, no self-join on the raw stream.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    stage = (
+        ev.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t"))
+    )
+    counts = [stage.agg(F.count(F.lit(1)).alias("n_0"))]
+    for i, step in enumerate(steps[1:], start=1):
+        stage = (
+            ev.filter(F.col(type_col) == step)
+            .join(stage.select(user_col, "__t"), user_col)
+            .filter(F.col(ts_col) > F.col("__t"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("__t"))
+        )
+        counts.append(stage.agg(F.count(F.lit(1)).alias(f"n_{i}")))
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out
+
+
+def cohort_retention(
+    ev: DataFrame,
+    max_offset: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Users active on day ``cohort + offset``, per first-seen cohort.
+
+    Two aggregations + one equi-join on the user key; the activity side
+    is deduped to (user, day) BEFORE the join so the shuffle carries
+    user-days, not raw events.
+    """
+    f = ev.groupBy(user_col).agg(F.min(F.to_date(ts_col)).alias("cohort"))
+    a = ev.select(user_col, F.to_date(ts_col).alias("day")).distinct()
+    return (
+        a.join(f, user_col)
+        .select(
+            "cohort", F.datediff("day", "cohort").cast("long").alias("day_offset")
+        )
+        .filter(F.col("day_offset") <= max_offset)
+        .groupBy("cohort", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+_DEC = "decimal(38,6)"
+
+
+def grouped_ols_trend(
+    df: DataFrame,
+    group_col: str,
+    x: Column,
+    y: Column,
+    per: float = 86400.0,
+) -> DataFrame:
+    """Closed-form per-group least-squares line fit (y ~ x): one
+    aggregation pass computes n/Σx/Σy/Σxy/Σx², then slope/intercept
+    derive in double — the distributed, iteration-free way to fit a
+    trend per key (map-side combined, one shuffle of |groups| rows).
+
+    Sums accumulate in DECIMAL(38,6) so partition order cannot move a
+    bit — keep |x| small enough (e.g. seconds from a corpus epoch)
+    that x² stays inside 38 digits. ``per`` rescales the slope to a
+    readable unit (default: per day for x in seconds).
+    """
+    b = df.select(F.col(group_col), x.alias("x"), y.alias("y"))
+    s = b.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(_DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(_DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(_DEC)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(_DEC)).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        group_col,
+        "n",
+        F.round(slope * per, 6).alias("slope_per_day"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+    )

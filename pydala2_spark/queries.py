@@ -3229,6 +3229,115 @@ def doc_segment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_doc_segment_dups(_t(spark, sf_dir, "documents"), k=3)
 
 
+@query(
+    "ev_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_full_funnel
+    """,
+)
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ordered conversion funnel (view -> click -> purchase, strictly
+    # increasing timestamps): each stage is a min-reduce to ONE row per
+    # user BEFORE the next equi-join, so the join inputs shrink
+    # monotonically — at 100 TB each stage shuffles |users| rows, never
+    # |events|, and the final counts are single-row aggregates.
+    # Timestamps stay internal (determinism rule: none in the output).
+    from pydala2_spark.operators.events import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"]).select(
+        F.col("n_0").alias("n_view"),
+        F.col("n_1").alias("n_view_click"),
+        F.col("n_2").alias("n_full_funnel"),
+    )
+
+
+@query(
+    "ev_cohort_retention",
+    """
+    WITH f AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+      FROM events GROUP BY user_id
+    ), a AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT f.cohort, CAST(a.day - f.cohort AS BIGINT) AS day_offset,
+           count(*) AS n_active
+    FROM a JOIN f USING (user_id)
+    WHERE a.day - f.cohort <= 7
+    GROUP BY 1, 2
+    """,
+)
+def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cohort retention: users grouped by first-seen date, counted on
+    # each of their first 8 active days. Two aggs + one equi-join on
+    # user_id; the activity side is deduped to (user, day) BEFORE the
+    # join so the shuffle carries user-days, not events.
+    from pydala2_spark.operators.events import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"), max_offset=7)
+
+
+@query(
+    "ev_value_trend",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 1000000 - 1704067200 AS BIGINT) AS x,
+             value AS y
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+      FROM b GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400, 6)
+             AS slope_per_day,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+             AS intercept
+    FROM s
+    """,
+)
+def ev_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # closed-form per-group OLS (value ~ time): one aggregation pass
+    # computes n/Σx/Σy/Σxy/Σx² — the distributed way to fit a trend
+    # line (no iterations, map-side combined, one shuffle of 5 groups).
+    # x is seconds since 2024-01-01 to keep Σx² inside DECIMAL(38,6);
+    # every sum accumulates in decimal so partition order can't move a
+    # bit, then slope/intercept are derived in double with the same
+    # expression shape as the oracle.
+    from pydala2_spark.operators.events import grouped_ols_trend
+
+    ev = _t(spark, sf_dir, "events")
+    return grouped_ols_trend(
+        ev,
+        "event_type",
+        x=F.unix_timestamp("ts") - F.lit(1704067200),
+        y=F.col("value"),
+    )
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -3244,6 +3353,9 @@ _VERIFY_FIRST = [
     "emb_kmeans",
     "doc_tfidf_top_terms",
     "doc_segment_dups",
+    "ev_funnel",
+    "ev_cohort_retention",
+    "ev_value_trend",
     "doc_temperature_mix",
     "doc_entropy_quality",
     # round 4: changed this round — oracle CAST fix (HUGEINT widening,

@@ -1,0 +1,104 @@
+"""Event-analytics operators: funnel / cohort retention / OLS trend."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(day: int, hour: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day, hour, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def tiny_events(spark):
+    rows = [
+        # user 1: full ordered funnel
+        (1, _ts(1, 1), "view"),
+        (1, _ts(1, 2), "click"),
+        (1, _ts(1, 3), "purchase"),
+        # user 2: click BEFORE first view -> stops at view
+        (2, _ts(1, 1), "click"),
+        (2, _ts(1, 2), "view"),
+        # user 3: view then purchase, no click -> stops at view
+        (3, _ts(1, 1), "view"),
+        (3, _ts(2, 1), "purchase"),
+        # user 4: never views
+        (4, _ts(1, 1), "purchase"),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+
+
+def test_funnel_strict_ordering(spark, tiny_events):
+    from pydala2_spark.operators.events import funnel_counts
+
+    row = funnel_counts(tiny_events, ["view", "click", "purchase"]).first()
+    assert (row["n_0"], row["n_1"], row["n_2"]) == (3, 1, 1)
+
+
+def test_funnel_equal_timestamp_not_counted(spark):
+    from pydala2_spark.operators.events import funnel_counts
+
+    df = spark.createDataFrame(
+        [(1, _ts(1), "view"), (1, _ts(1), "click")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    row = funnel_counts(df, ["view", "click"]).first()
+    assert (row["n_0"], row["n_1"]) == (1, 0)  # strictly-after semantics
+
+
+def test_cohort_retention_offsets(spark):
+    from pydala2_spark.operators.events import cohort_retention
+
+    df = spark.createDataFrame(
+        [
+            # user 1 first seen day 1, active days 1 and 3
+            (1, _ts(1, 5), "view"),
+            (1, _ts(1, 9), "click"),  # same day: deduped
+            (1, _ts(3), "view"),
+            # user 2 first seen day 3
+            (2, _ts(3), "view"),
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    out = {
+        (str(r["cohort"]), r["day_offset"]): r["n_active"]
+        for r in cohort_retention(df).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-03", 0): 1,
+    }
+
+
+def test_ols_trend_recovers_known_line(spark):
+    from pydala2_spark.operators.events import grouped_ols_trend
+
+    # y = 3.0 * days + 10 exactly; x in seconds, slope_per_day == 3
+    rows = [("a", d * 86400, 3.0 * d + 10.0) for d in range(10)]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    r = grouped_ols_trend(df, "g", x=F.col("x"), y=F.col("y")).first()
+    assert r["n"] == 10
+    assert abs(r["slope_per_day"] - 3.0) < 1e-9
+    assert abs(r["intercept"] - 10.0) < 1e-9
+
+
+def test_ols_trend_single_shuffle(spark):
+    from pydala2_spark.operators.events import grouped_ols_trend
+
+    rows = [("a", i, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    plan = (
+        grouped_ols_trend(df, "g", x=F.col("x"), y=F.col("y"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one aggregation pass: exactly one shuffle exchange, no join
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
