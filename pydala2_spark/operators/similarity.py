@@ -505,4 +505,13 @@ def kmeans_lloyd(
         F.col("__am.cid").alias("cid"),
         F.col("__am.d").alias("d"),
     )
+    if persist:
+        # cut the returned frame's lineage off the corpus-sized cache
+        # so it can be freed NOW: the assignment is narrow (~20 B/row
+        # vs the corpus's vectors), so one eager localCheckpoint costs
+        # a single extra pass and releases dim*8*N bytes of storage —
+        # without it the cache entry would live as long as the caller
+        # holds the result
+        out = out.localCheckpoint(eager=True)
+        e.unpersist()
     return out, cents

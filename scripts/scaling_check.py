@@ -51,6 +51,13 @@ QUERIES = [
     "doc_winnow_candidates",
     "doc_entropy_quality",
     "emb_knn_ivf",
+    # round-4 additions: the iterative fit (3 corpus passes + 2 small
+    # shuffles — should track rows), the segment/tfidf token pipelines,
+    # and the stage-narrowing funnel
+    "emb_kmeans",
+    "doc_segment_dups",
+    "doc_tfidf_top_terms",
+    "ev_funnel",
 ]
 
 

@@ -199,3 +199,126 @@ def test_cc_step_materializes_stepped_once(spark):
     assert "HashAggregate" not in plan, plan
     assert "Union" not in plan, plan
     assert plan.count("Scan ExistingRDD") == 2, plan
+
+
+# -- round-4 operators vs independent references -----------------------
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    """kmeans_lloyd vs a from-scratch numpy Lloyd's with the same
+    deterministic seeds and iteration count: assignments must agree
+    exactly on a random (non-separable) cloud — this checks the
+    DISTRIBUTED update/assign machinery, not just happy blobs."""
+    import numpy as np
+
+    from pydala2_spark.operators.similarity import kmeans_lloyd
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(80, 6).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    )
+    k, iters = 3, 3
+    assigned, cents = kmeans_lloyd(df, k=k, iters=iters, dim=6)
+    got = {r["vec_id"]: r["cid"] for r in assigned.collect()}
+
+    Xd = X.astype("float64")
+    C = Xd[:k].copy()  # seeds: k smallest vec_ids
+    for _ in range(iters):
+        d2 = ((Xd[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        lab = d2.argmin(axis=1)  # ties: lowest cid, same as argmin
+        for c in range(k):
+            if (lab == c).any():
+                C[c] = Xd[lab == c].mean(axis=0)
+    d2 = ((Xd[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    lab = d2.argmin(axis=1)
+    want = {i: int(lab[i]) for i in range(len(X))}
+    # numpy means differ from decimal-accumulated means in the last
+    # ulp, so compare assignments (robust) not centroids (bit-fragile)
+    assert got == want
+
+
+def test_funnel_matches_bruteforce(spark):
+    """funnel_counts vs a per-user python scan over random event logs."""
+    import datetime as dt
+    import random
+
+    from pydala2_spark.operators.events import funnel_counts
+
+    rnd = random.Random(7)
+    types = ["view", "click", "purchase", "error"]
+    rows = []
+    for uid in range(40):
+        for j in range(rnd.randint(0, 12)):
+            rows.append(
+                (
+                    uid,
+                    dt.datetime(2024, 1, 1) + dt.timedelta(minutes=rnd.randint(0, 5000)),
+                    rnd.choice(types),
+                )
+            )
+    if not rows:
+        rows = [(0, dt.datetime(2024, 1, 1), "view")]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+    steps = ["view", "click", "purchase"]
+    row = funnel_counts(df, steps).first()
+    got = [row[f"n_{i}"] for i in range(len(steps))]
+
+    by_user: dict[int, list] = {}
+    for uid, ts, et in rows:
+        by_user.setdefault(uid, []).append((ts, et))
+    want = [0] * len(steps)
+    for evs in by_user.values():
+        evs.sort()
+        t = None
+        for i, step in enumerate(steps):
+            nxt = min(
+                (ts for ts, et in evs if et == step and (t is None or ts > t)),
+                default=None,
+            )
+            if nxt is None:
+                break
+            t = nxt
+            want[i] += 1
+    assert got == want
+
+
+def test_segment_dups_matches_bruteforce(spark):
+    """cross_doc_segment_dups vs a python dict over random token docs."""
+    import random
+
+    from pydala2_spark.operators.dedup import cross_doc_segment_dups
+
+    rnd = random.Random(13)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = {
+        i: " ".join(rnd.choice(vocab) for _ in range(rnd.randint(1, 20)))
+        for i in range(30)
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    k = 3
+    got = {
+        r["doc_id"]: (r["n_segs"], r["n_dup"])
+        for r in cross_doc_segment_dups(df, k=k).collect()
+    }
+
+    segs = {}
+    per_doc = {}
+    for did, text in texts.items():
+        toks = text.split(" ")
+        ss = [
+            " ".join(toks[i * k : (i + 1) * k]) for i in range(len(toks) // k)
+        ]
+        if ss:
+            per_doc[did] = ss
+            for s in ss:
+                segs.setdefault(s, set()).add(did)
+    want = {
+        did: (len(ss), sum(1 for s in ss if len(segs[s]) > 1))
+        for did, ss in per_doc.items()
+    }
+    assert got == want
