@@ -515,3 +515,69 @@ def kmeans_lloyd(
         out = out.localCheckpoint(eager=True)
         e.unpersist()
     return out, cents
+
+
+# -- two-stage retrieval: quantized shortlist + exact re-rank ----------
+
+
+def cosine_topk_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage ANN: score int8-dequantized vectors to build a
+    ``shortlist`` per query, then re-rank ONLY the shortlist with the
+    exact vectors — the standard shape for a large corpus (SQ8 scan
+    reads a 4x-smaller store; full-precision vectors are touched for
+    |queries| * shortlist rows, via an id equi-join the planner
+    broadcasts).
+
+    Stage-1 ordering uses round(ascore, 6) so the shortlist cut is
+    oracle-stable; the norm of each dequantized vector is materialized
+    per ROW before the pair join (the unit_scalar_frame lesson: keep
+    per-pair work to one dot product).
+    """
+    qz = quantize_embeddings(corpus, vec_col)
+    c1 = _spread(qz, id_col).withColumn(
+        "__dq", dequantize_expr("q", "q_min", "q_scale")
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        "__dq",
+        norm_expr("__dq").alias("__dqn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), unit_expr(vec_col).alias("qu")
+    )
+    approx = (
+        c1.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("ascore", F.round(dot_expr("__dq", "qu") / F.col("__dqn"), 6))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("ascore").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        approx.withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= shortlist)
+        .select("query_id", "neighbor_id", "qu")
+    )
+    exact = corpus.select(
+        F.col(id_col).alias("neighbor_id"), unit_expr(vec_col).alias("cu")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.join(F.broadcast(cand), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot_expr("cu", "qu"), 4).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

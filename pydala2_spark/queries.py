@@ -3338,6 +3338,74 @@ def ev_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "emb_quantized_rerank",
+    """
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), qz AS (
+      SELECT vec_id, v, list_min(v) AS mn,
+             greatest((list_max(v) - list_min(v)) / 255.0, 1e-12) AS scale
+      FROM base
+    ), dqv AS (
+      SELECT vec_id,
+             list_transform(v, x -> mn + round((x - mn) / scale, 0) * scale) AS dq
+      FROM qz
+    ), qu AS (
+      SELECT vec_id AS query_id,
+             list_transform(v, x -> x
+               / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+      FROM base WHERE vec_id < 10
+    ), approx AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(generate_series(1, 64),
+                     i -> c.dq[i] * q.u[i]))
+                   / sqrt(list_sum(list_transform(c.dq, y -> y * y))), 6)
+               AS ascore
+      FROM dqv c CROSS JOIN qu q
+      WHERE c.vec_id <> q.query_id
+    ), cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY ascore DESC, neighbor_id ASC) AS r
+        FROM approx
+      ) WHERE r <= 20
+    ), eu AS (
+      SELECT vec_id,
+             list_transform(v, x -> x
+               / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+      FROM base
+    ), ranked AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_sum(list_transform(generate_series(1, 64),
+                     i -> e.u[i] * q.u[i])), 4) AS cosine,
+             row_number() OVER (PARTITION BY c.query_id ORDER BY
+               round(list_sum(list_transform(generate_series(1, 64),
+                       i -> e.u[i] * q.u[i])), 4) DESC,
+               c.neighbor_id ASC) AS rank
+      FROM cand c
+      JOIN eu e ON e.vec_id = c.neighbor_id
+      JOIN qu q ON q.query_id = c.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def emb_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two-stage retrieval: shortlist of 20 per query from the int8-
+    # dequantized store (4x less scan I/O at 100 TB), exact re-rank of
+    # the shortlist only — full-precision vectors are read for
+    # |queries| * 20 rows via a broadcast id join. Stage-1 cut uses
+    # round(ascore, 6) so the shortlist is oracle-stable.
+    from pydala2_spark.operators.similarity import cosine_topk_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_rerank(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, shortlist=20
+    )
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -3356,6 +3424,7 @@ _VERIFY_FIRST = [
     "ev_funnel",
     "ev_cohort_retention",
     "ev_value_trend",
+    "emb_quantized_rerank",
     "doc_temperature_mix",
     "doc_entropy_quality",
     # round 4: changed this round — oracle CAST fix (HUGEINT widening,

@@ -733,3 +733,22 @@ def test_cross_doc_segment_dups_hand_case(spark):
     assert out[1]["n_segs"] == 2 and out[1]["n_dup"] == 1
     assert out[2]["dup_frac"] == 0.5
     assert out[3]["n_dup"] == 0 and out[3]["dup_frac"] == 0.0
+
+
+def test_quantized_rerank_matches_exact_topk(spark, blobs):
+    """Two-stage retrieval (int8 shortlist -> exact re-rank) must
+    recover the exact top-k: with shortlist >> k the ~1/255
+    quantization error cannot push a true neighbor out of the
+    shortlist on this geometry."""
+    from pydala2_spark.operators.similarity import cosine_topk, cosine_topk_rerank
+
+    qs = blobs.filter("vec_id < 3")
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(blobs, qs, k=5).collect()
+    }
+    two_stage = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk_rerank(blobs, qs, k=5, shortlist=20).collect()
+    }
+    assert two_stage == exact
