@@ -3469,12 +3469,15 @@ _VERIFY_FIRST = [
     "skew_salted_join_agg",
     "w_monthly_growth",
     "w_running_revenue",
-    # perf-touched this round (r3 regressions under diagnosis; the
-    # near-dup pair frame is now materialized once) — keep inside the
-    # window so any plan change is driver-verified
+    # perf-touched this round (plans changed: the SRP unit frame and
+    # the simhash signature frame are now materialized once) — keep
+    # inside the window so the plan changes are driver-verified.
+    # doc_winnow_candidates / emb_near_dup rotated OUT (code unchanged,
+    # r3/r4-mirror green) to hold the explicit list at the 50-entry
+    # driver window.
     "emb_near_dup_srp",
+    "dedup_simhash",
     "emb_near_dup",
-    "doc_winnow_candidates",
 ]
 
 
