@@ -3406,6 +3406,48 @@ def emb_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_dedup_ingest",
+    f"""
+    SELECT event_type, count(*) AS n_events, {_osum("value")} AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exactly-once ingest under at-least-once delivery, end to end:
+    # the landing zone gets the SAME events file delivered twice
+    # (retried upload); readStream → watermarked dropDuplicates on
+    # event_id → per-type rollup must converge to the single-copy
+    # batch answer. Third streaming oracle query (rollup,
+    # sessionization, now the dedup guard) — the state store holds one
+    # entry per event_id inside the watermark horizon, the standard
+    # ingest guard in front of an append-only corpus.
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pydala2_spark.streaming.pipeline import (
+        dedup_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    zone = tempfile.mkdtemp(prefix="dupzone_")
+    shutil.copy(src, os.path.join(zone, "a.parquet"))
+    shutil.copy(src, os.path.join(zone, "b.parquet"))  # duplicate delivery
+    events = read_event_stream(spark, zone)
+    deduped = dedup_stream(events, ["event_id"], watermark="90 days")
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum("value").alias("total_value"),
+    )
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    return run_to_memory(agg, name, ck, state_partitions=4)
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -3469,6 +3511,8 @@ _VERIFY_FIRST = [
     "skew_salted_join_agg",
     "w_monthly_growth",
     "w_running_revenue",
+    # new streaming oracle query
+    "stream_dedup_ingest",
     # perf-touched this round (plans changed: the SRP unit frame and
     # the simhash signature frame are now materialized once) — keep
     # inside the window so the plan changes are driver-verified.
@@ -3477,7 +3521,6 @@ _VERIFY_FIRST = [
     # driver window.
     "emb_near_dup_srp",
     "dedup_simhash",
-    "emb_near_dup",
 ]
 
 

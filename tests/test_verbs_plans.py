@@ -188,8 +188,19 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
     # documented exceptions: exact brute-force baseline; IVF routing
     # (queries x centroids — a tiny bounded cross); q11's scalar
     # threshold (1-row broadcast nested loop — the canonical way to
-    # attach a global aggregate without a single-partition window)
-    allowed_cross = {"emb_knn_bruteforce", "emb_knn_ivf", "q11_supplier_value_share"}
+    # attach a global aggregate without a single-partition window);
+    # tfidf's corpus-size frame and the funnel's stage counts (same
+    # 1-row broadcast shape as q11); the rerank's stage-1 corpus x
+    # broadcast-query-set cross (same bounded shape as bruteforce —
+    # the whole point is that stage 2 then touches only the shortlist)
+    allowed_cross = {
+        "emb_knn_bruteforce",
+        "emb_knn_ivf",
+        "q11_supplier_value_share",
+        "doc_tfidf_top_terms",
+        "ev_funnel",
+        "emb_quantized_rerank",
+    }
     offenders = []
     for name, fn in queries().items():
         if name in allowed_cross:
