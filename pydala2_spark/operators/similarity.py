@@ -423,6 +423,55 @@ def _assign_expr(cents_sql: str, vec: str = "v") -> Column:
     )
 
 
+# above this many inlined doubles the literal plan gets unwieldy
+# (parse + codegen time grow with expression size); switch to the
+# broadcast-join assignment, which scales to any k*dim
+_KMEANS_LITERAL_LIMIT = 20_000
+
+
+def _assign_frame(
+    e: DataFrame, cents: list[tuple[int, list[float]]], id_col: str
+) -> DataFrame:
+    """Assignment as (id, cid, d) — literal projection for small
+    centroid sets, broadcast join + min-struct reduce above the
+    limit. Both paths compute the identical left-to-right distance
+    fold and break ties cid-asc, so they are result-identical (pinned
+    by test)."""
+    k_dim = sum(len(v) for _, v in cents)
+    if k_dim <= _KMEANS_LITERAL_LIMIT:
+        return e.withColumn(
+            "__am", _assign_expr(_centroid_literal_sql(cents))
+        ).select(
+            F.col(id_col),
+            F.col("__am.cid").alias("cid"),
+            F.col("__am.d").alias("d"),
+        )
+    # large coarse quantizer (e.g. k=4096 IVF cells on 768-d): each
+    # corpus row meets the k broadcast centroid rows, the per-pair
+    # distance folds in the join stage, and one groupBy(id) min-struct
+    # reduce picks the argmin — one extra shuffle per assignment,
+    # bounded by |corpus| rows (map-side partial min collapses the
+    # k-fan-out before the exchange)
+    spark = e.sparkSession
+    cdf = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents], "cid int, c array<double>"
+    )
+    d = F.expr(
+        "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D, (a, t) -> a + t)"
+    )
+    return (
+        e.crossJoin(F.broadcast(cdf))
+        .select(F.col(id_col), F.struct(d.alias("d"), F.col("cid")).alias("__s"))
+        .groupBy(id_col)
+        .agg(F.min("__s").alias("__am"))
+        .select(
+            F.col(id_col),
+            F.col("__am.cid").alias("cid"),
+            F.col("__am.d").alias("d"),
+        )
+    )
+
+
 def kmeans_lloyd(
     df: DataFrame,
     k: int = 4,
@@ -448,7 +497,12 @@ def kmeans_lloyd(
     - centroids live on the driver between iterations (k*dim doubles)
       and re-enter the plan as a broadcast-free SQL literal, so the
       ASSIGN step is a pure scan-stage projection — zero shuffle, zero
-      join, stays in the corpus scan;
+      join, stays in the corpus scan. Above ``_KMEANS_LITERAL_LIMIT``
+      inlined doubles (big coarse quantizers, e.g. k=4096 x 768-d) the
+      literal plan's parse/codegen cost dominates, so assignment
+      switches to a broadcast join + min-struct reduce — same argmin,
+      same tiebreak, one extra shuffle (path equivalence pinned by
+      test);
     - the UPDATE step is one posexplode + groupBy(cid, pos) per
       iteration — the only shuffle, k*dim groups, map-side partial agg
       collapses it;
@@ -479,10 +533,26 @@ def kmeans_lloyd(
         e.orderBy(F.col(id_col).asc()).limit(k).select(id_col, "v").collect()
     )
     cents = [(i, list(r["v"])) for i, r in enumerate(seed_rows)]
+    use_literal = k * dim <= _KMEANS_LITERAL_LIMIT
     for _ in range(iters):
-        assigned = e.withColumn("__am", _assign_expr(_centroid_literal_sql(cents)))
+        if use_literal:
+            # assignment rides in the same projection as the explode —
+            # single pass, zero shuffle before the update agg
+            assigned = e.withColumn(
+                "__cid", _assign_expr(_centroid_literal_sql(cents))["cid"]
+            )
+        else:
+            # large k*dim: broadcast-join assignment, then re-attach
+            # the vectors by id for the update (one extra shuffle —
+            # inherent once the centroid set outgrows a literal plan)
+            assigned = e.join(
+                _assign_frame(e, cents, id_col).select(
+                    id_col, F.col("cid").alias("__cid")
+                ),
+                id_col,
+            )
         exploded = assigned.select(
-            F.col("__am.cid").alias("cid"), F.posexplode("v").alias("pos", "x")
+            F.col("__cid").alias("cid"), F.posexplode("v").alias("pos", "x")
         )
         means = (
             exploded.groupBy("cid", "pos")
@@ -499,12 +569,7 @@ def kmeans_lloyd(
             .collect()
         )
         cents = [(r["cid"], list(r["c"])) for r in means]
-    final = e.withColumn("__am", _assign_expr(_centroid_literal_sql(cents)))
-    out = final.select(
-        F.col(id_col),
-        F.col("__am.cid").alias("cid"),
-        F.col("__am.d").alias("d"),
-    )
+    out = _assign_frame(e, cents, id_col)
     if persist:
         # cut the returned frame's lineage off the corpus-sized cache
         # so it can be freed NOW: the assignment is narrow (~20 B/row

@@ -752,3 +752,18 @@ def test_quantized_rerank_matches_exact_topk(spark, blobs):
         for r in cosine_topk_rerank(blobs, qs, k=5, shortlist=20).collect()
     }
     assert two_stage == exact
+
+
+def test_kmeans_join_path_matches_literal_path(spark, blobs, monkeypatch):
+    """Above _KMEANS_LITERAL_LIMIT the assignment switches from the
+    SQL-literal projection to a broadcast join + min-struct reduce;
+    both must produce identical assignments and centroids."""
+    import pydala2_spark.operators.similarity as S
+
+    lit_assigned, lit_cents = S.kmeans_lloyd(blobs, k=2, iters=2, dim=8)
+    lit = {(r["vec_id"], r["cid"]) for r in lit_assigned.collect()}
+    monkeypatch.setattr(S, "_KMEANS_LITERAL_LIMIT", 0)
+    join_assigned, join_cents = S.kmeans_lloyd(blobs, k=2, iters=2, dim=8)
+    got = {(r["vec_id"], r["cid"]) for r in join_assigned.collect()}
+    assert got == lit
+    assert join_cents == lit_cents
