@@ -538,18 +538,48 @@ def simhash_near_pairs(
     interleaved A/B at sf0.1: min 1.59 s -> 0.76 s.
     """
     sh = _materialize_once(simhash(df, text, id_col))
-    width = SIMHASH_BITS // chunks
-    chunked = sh.select(
+    return hamming_near_pairs(
+        sh, "simhash", id_col, SIMHASH_BITS, max_hamming, chunks
+    )
+
+
+def hamming_near_pairs(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Pairs within Hamming ``max_hamming`` over any int64 sketch
+    column, via the pigeonhole chunk join: with ``chunks`` >
+    ``max_hamming``, every qualifying pair must agree on ≥1 chunk, so
+    a self-join on (chunk_idx, chunk_value) finds ALL of them (exact
+    recall) without a cross join. Verify with bit_count(a XOR b).
+
+    Shared candidate machinery for every Hamming-space sketch — text
+    SimHash (:func:`simhash_near_pairs`) and media blockhash
+    (:func:`operators.multimodal.media_near_duplicates`). The input
+    frame should already be materialized/cheap: it feeds both
+    self-join sides.
+    """
+    if chunks <= max_hamming:
+        raise ValueError(
+            f"pigeonhole needs chunks > max_hamming ({chunks} <= {max_hamming}):"
+            " a pair could differ in every chunk and be missed"
+        )
+    width = bits // chunks
+    chunked = df.select(
         id_col,
-        "simhash",
+        hash_col,
         F.explode(
             F.expr(
                 f"transform(sequence(0, {chunks - 1}), "
-                f"c -> struct(c as c, cast(simhash div cast(pow(2, c * {width}) as long) "
+                f"c -> struct(c as c, cast({hash_col} div cast(pow(2, c * {width}) as long) "
                 f"% cast(pow(2, {width}) as long) as long) as v))"
             )
         ).alias("ch"),
-    ).select(id_col, "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    ).select(id_col, hash_col, F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
     pairs = (
         chunked.alias("a")
         .join(
@@ -561,7 +591,7 @@ def simhash_near_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(F.expr("a.simhash ^ b.simhash")).alias("hamming"),
+            F.bit_count(F.expr(f"a.{hash_col} ^ b.{hash_col}")).alias("hamming"),
         )
         # verify BEFORE dedup: bit_count is a codegen one-liner, while
         # distinct is a shuffle — filtering first shrinks the shuffle

@@ -282,3 +282,63 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=passthrough + ["frame_index", "ts_ms", "frame_md5"])
 
     return _spread(df).select(*passthrough, binary_col).mapInPandas(batches, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# media near-duplicate detection (byte-slice blockhash)
+# ---------------------------------------------------------------------------
+
+BLOCKHASH_BITS = 48  # positive int64, matches the SimHash chunking
+
+
+def blockhash48(col: str) -> Column:
+    """48-bit blockhash of a string/binary payload, pure JVM-side.
+
+    Blockhash-style locality: the payload is cut into 48 equal slices
+    and bit j is the parity of md5(slice j) — payloads differing in a
+    few local regions differ in few bits, so Hamming distance tracks
+    how much of the byte stream changed. This is the codec-free stand-
+    in for a perceptual image hash: with a real decoder, swap the byte
+    slices for luminance blocks and the pipeline (hash → pigeonhole
+    chunk join → Hamming verify) is unchanged.
+
+    One projection, 48 md5 calls per row, zero Python, zero shuffle —
+    at 100 TB the hash rides in the scan stage like any other derived
+    column.
+    """
+    terms = []
+    for j in range(BLOCKHASH_BITS):
+        slice_expr = (
+            f"substring({col}, 1 + cast(({j} * length({col})) div {BLOCKHASH_BITS} as int), "
+            f"greatest(cast(length({col}) div {BLOCKHASH_BITS} as int), 1))"
+        )
+        bit = f"cast(conv(substr(md5({slice_expr}), 1, 1), 16, 10) as int) % 2"
+        terms.append(f"IF({bit} = 1, {1 << j}L, 0L)")
+    return F.expr(" + ".join(terms))
+
+
+def media_near_duplicates(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-duplicate media pairs by blockhash Hamming distance —
+    retried uploads with re-encoded headers, trimmed trailers, or
+    small edits collapse to the same cluster while the byte-exact
+    md5 dedup would miss them.
+
+    Reference analogue: none (no media handling). Reuses the exact-
+    recall pigeonhole chunk join shared with text SimHash
+    (:func:`operators.dedup.hamming_near_pairs`); the per-item hash
+    frame is materialized once across the self-join sides.
+    """
+    from pydala2_spark.operators.dedup import _materialize_once, hamming_near_pairs
+
+    hashed = _materialize_once(
+        _spread(df).select(F.col(id_col), blockhash48(binary_col).alias("bh"))
+    )
+    return hamming_near_pairs(
+        hashed, "bh", id_col, BLOCKHASH_BITS, max_hamming, chunks
+    )

@@ -3448,6 +3448,37 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, name, ck, state_partitions=4)
 
 
+@query(
+    "mm_blockhash",
+    """
+    WITH b AS (
+      SELECT doc_id, text, len(text) AS L FROM documents
+    ), bits AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5(substr(text,
+                          1 + CAST((j * L) // 48 AS INT),
+                          greatest(CAST(L // 48 AS INT), 1))), 1, 1))::BIGINT % 2 = 1
+                  THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS v
+      FROM b, unnest(generate_series(0, 47)) AS g(j)
+    )
+    SELECT doc_id, CAST(sum(v) AS BIGINT) AS bh
+    FROM bits GROUP BY doc_id
+    """,
+)
+def mm_blockhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 48-bit byte-slice blockhash per media payload — the codec-free
+    # perceptual-hash stand-in (bit j = parity of md5(slice j)), pure
+    # JVM expressions in the scan stage. Feeds media_near_duplicates'
+    # pigeonhole Hamming join (shared with text SimHash); here the
+    # hash VALUES themselves are oracle-verified bit for bit.
+    from pydala2_spark.operators.multimodal import blockhash48
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", blockhash48("text").alias("bh"))
+    )
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -3490,7 +3521,10 @@ _VERIFY_FIRST = [
     "emb_knn_ivf",
     "emb_knn_lsh",
     "ev_hourly_rollup",
-    "ev_json_extract",
+    # ev_json_extract yields its slot to mm_blockhash (new this round):
+    # it is unchanged since round 1, r2-driver-green, and covered by
+    # the full local mirror every round — the one r2-latest entry left
+    # outside r4's 50-row window
     "ev_type_value_stats",
     "mm_audio_features",
     "mm_frame_sample",
@@ -3511,8 +3545,9 @@ _VERIFY_FIRST = [
     "skew_salted_join_agg",
     "w_monthly_growth",
     "w_running_revenue",
-    # new streaming oracle query
+    # new streaming oracle query + media blockhash
     "stream_dedup_ingest",
+    "mm_blockhash",
     # perf-touched this round (plans changed: the SRP unit frame and
     # the simhash signature frame are now materialized once) — keep
     # inside the window so the plan changes are driver-verified.

@@ -767,3 +767,52 @@ def test_kmeans_join_path_matches_literal_path(spark, blobs, monkeypatch):
     got = {(r["vec_id"], r["cid"]) for r in join_assigned.collect()}
     assert got == lit
     assert join_cents == lit_cents
+
+
+# -- media blockhash near-dup ------------------------------------------
+
+
+def test_media_near_duplicates_planted_pair(spark):
+    from pydala2_spark.operators.multimodal import media_near_duplicates
+
+    base = "x" * 480
+    rows = [
+        (1, base),
+        (2, base[:-10] + "Y" * 10),  # last slices perturbed -> few bits flip
+        (3, "completely different payload " * 16),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in media_near_duplicates(df, "blob", max_hamming=3).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] <= 3
+
+
+def test_hamming_near_pairs_rejects_bad_chunking(spark):
+    import pytest as _pytest
+
+    from pydala2_spark.operators.dedup import hamming_near_pairs
+
+    df = spark.createDataFrame([(1, 0)], "doc_id long, h long")
+    with _pytest.raises(ValueError):
+        hamming_near_pairs(df, "h", max_hamming=4, chunks=4)
+
+
+def test_blockhash_locality(spark):
+    """Payloads differing in one slice differ in O(1) bits; unrelated
+    payloads differ in ~half the bits."""
+    from pydala2_spark.operators.multimodal import blockhash48
+
+    rows = [
+        (1, "a" * 960),
+        (2, "a" * 940 + "b" * 20),   # tail slice edit
+        (3, "q" * 960),              # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob string")
+    h = {r["doc_id"]: r["bh"] for r in df.select("doc_id", blockhash48("blob").alias("bh")).collect()}
+    near = bin(h[1] ^ h[2]).count("1")
+    far = bin(h[1] ^ h[3]).count("1")
+    assert near <= 4
+    assert far >= 12
