@@ -95,7 +95,9 @@ def grouped_ols_trend(
     Sums accumulate in DECIMAL(38,6) so partition order cannot move a
     bit — keep |x| small enough (e.g. seconds from a corpus epoch)
     that x² stays inside 38 digits. ``per`` rescales the slope to a
-    readable unit (default: per day for x in seconds).
+    readable unit (default: per day for x in seconds). Zero-variance
+    groups (n=1, or constant x) divide by zero and yield NULL slope/
+    intercept — identically in Spark (non-ANSI) and DuckDB.
     """
     b = df.select(F.col(group_col), x.alias("x"), y.alias("y"))
     s = b.groupBy(group_col).agg(
