@@ -521,6 +521,10 @@ def kmeans_lloyd(
     reclaims it — pass ``persist=False`` to trade repeated scans for
     zero cache footprint.
     """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
     e = _spread(df, id_col).select(
         F.col(id_col),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
@@ -532,6 +536,10 @@ def kmeans_lloyd(
     seed_rows = (
         e.orderBy(F.col(id_col).asc()).limit(k).select(id_col, "v").collect()
     )
+    if not seed_rows:
+        raise ValueError("kmeans_lloyd: input frame has no rows")
+    # a corpus smaller than k seeds fewer clusters — Lloyd's proceeds
+    # with len(seed_rows) centroids rather than inventing empty ones
     cents = [(i, list(r["v"])) for i, r in enumerate(seed_rows)]
     use_literal = k * dim <= _KMEANS_LITERAL_LIMIT
     for _ in range(iters):

@@ -816,3 +816,23 @@ def test_blockhash_locality(spark):
     far = bin(h[1] ^ h[3]).count("1")
     assert near <= 4
     assert far >= 12
+
+
+def test_kmeans_guards_and_small_corpus(spark):
+    import pytest as _pytest
+
+    from pydala2_spark.operators.similarity import kmeans_lloyd
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError):
+        kmeans_lloyd(df, k=0, dim=2)
+    with _pytest.raises(ValueError):
+        kmeans_lloyd(df, k=2, iters=-1, dim=2)
+    with _pytest.raises(ValueError):
+        kmeans_lloyd(df.filter("vec_id > 99"), k=2, dim=2, persist=False)
+    # corpus smaller than k: fit proceeds with |corpus| centroids
+    assigned, cents = kmeans_lloyd(df, k=5, iters=1, dim=2)
+    assert len(cents) == 2
+    assert assigned.count() == 2
