@@ -520,6 +520,21 @@ class ParquetDataset(BaseDataset):
 
         return read_pruned(self.spark, self.path, column, lo, hi)
 
+    def build_bloom_index(self, column: str, **kw) -> dict:
+        """Per-file bloom sidecar for point-lookup file skipping —
+        the range-stats complement (plans/bloom.py); min/max cannot
+        prune ``col = v`` on high-cardinality unclustered columns."""
+        from pydala2_spark.plans.bloom import build_bloom_index
+
+        return build_bloom_index(self.spark, self.path, column, **kw)
+
+    def scan_point(self, column: str, values: list) -> DataFrame:
+        """Bloom-pruned scan for ``column IN (values)``; caller still
+        applies the row-level filter (no false negatives)."""
+        from pydala2_spark.plans.bloom import read_bloom_pruned
+
+        return read_bloom_pruned(self.spark, self.path, column, values)
+
     def compact_partitions(self, **kw):
         from pydala2_spark.operators.maintenance import compact_partitions
 

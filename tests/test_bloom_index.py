@@ -1,0 +1,147 @@
+"""Bloom-filter file index: no false negatives, real pruning power on
+the exact shape min/max stats cannot prune (uniform high-cardinality
+ids), conservative handling of unindexed files."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydala2_spark.plans.bloom import bloom_prune, build_bloom_index, read_bloom_pruned
+from pydala2_spark.plans.stats import StatsIndex
+
+N_FILES = 8
+N_ROWS = 4000
+
+
+@pytest.fixture(scope="module")
+def bloom_ds(spark, tmp_path_factory):
+    """Uniform random ids shuffled across files: every file's [min,max]
+    spans ~the full id range, the worst case for min/max pruning."""
+    path = str(tmp_path_factory.mktemp("bloom") / "ds")
+    rng = random.Random(7)
+    ids = list(range(N_ROWS))
+    rng.shuffle(ids)
+    rows = [(i, f"doc-{i}") for i in ids]
+    df = spark.createDataFrame(rows, "id long, name string")
+    df.repartition(N_FILES).write.mode("overwrite").parquet(path)
+    build_bloom_index(spark, path, "id", num_bits=1 << 16)
+    build_bloom_index(spark, path, "name", num_bits=1 << 16)
+    return path
+
+
+def _norm(paths):
+    import re as _re
+
+    return {_re.sub(r"^[A-Za-z0-9+.-]+:/+", "/", p) for p in paths}
+
+
+def _file_of(spark, path, id_):
+    return _norm(
+        r["f"]
+        for r in spark.read.parquet(path)
+        .where(F.col("id") == id_)
+        .select(F.input_file_name().alias("f"))
+        .collect()
+    )
+
+
+def test_minmax_cannot_prune_uniform_ids(spark, bloom_ds):
+    # the motivating contrast: stats-index range pruning keeps every
+    # file for a point probe on shuffled uniform ids
+    idx = StatsIndex(spark, bloom_ds)
+    kept = idx.prune("id", lo=1234, hi=1234)
+    assert len(kept) == N_FILES
+
+
+def test_bloom_prunes_point_lookup(spark, bloom_ds):
+    probe = 1234
+    kept = bloom_prune(spark, bloom_ds, "id", [probe])
+    assert _file_of(spark, bloom_ds, probe) <= _norm(kept)  # no false negative
+    assert len(kept) < N_FILES  # actually prunes
+    # pruned read + row filter == full filter
+    got = read_bloom_pruned(spark, bloom_ds, "id", [probe]).where(F.col("id") == probe)
+    assert [r["name"] for r in got.collect()] == [f"doc-{probe}"]
+
+
+def test_no_false_negatives_sampled(spark, bloom_ds):
+    rng = random.Random(21)
+    sample = rng.sample(range(N_ROWS), 40)
+    kept = _norm(bloom_prune(spark, bloom_ds, "id", sample))
+    for v in sample:
+        assert _file_of(spark, bloom_ds, v) <= kept
+
+
+def test_in_list_unions_candidates(spark, bloom_ds):
+    vals = [10, 2222, 3999]
+    kept = _norm(bloom_prune(spark, bloom_ds, "id", vals))
+    per_value = set()
+    for v in vals:
+        per_value |= _file_of(spark, bloom_ds, v)
+    assert per_value <= kept
+
+
+def test_string_column_probe(spark, bloom_ds):
+    kept = bloom_prune(spark, bloom_ds, "name", ["doc-77"])
+    assert _file_of(spark, bloom_ds, 77) <= _norm(kept)
+    assert len(kept) < N_FILES
+    got = read_bloom_pruned(spark, bloom_ds, "name", ["doc-77"]).where(
+        F.col("name") == "doc-77"
+    )
+    assert [r["id"] for r in got.collect()] == [77]
+
+
+def test_absent_value_prunes_everything_or_fp_rate(spark, bloom_ds):
+    # values far outside the inserted domain: only bloom false
+    # positives may survive; at 2^16 bits / 500 values per file the fp
+    # rate is ~0, so expect zero files for most probes
+    kept = bloom_prune(spark, bloom_ds, "id", [10_000_000])
+    assert len(kept) <= 1
+
+
+def test_appended_files_kept_conservatively(spark, bloom_ds, tmp_path):
+    extra = spark.createDataFrame([(99_999_999, "late")], "id long, name string")
+    extra.coalesce(1).write.mode("append").parquet(bloom_ds)
+    try:
+        kept = bloom_prune(spark, bloom_ds, "id", [99_999_999])
+        # the appended file is not in the index → must be kept
+        assert _file_of(spark, bloom_ds, 99_999_999) <= _norm(kept)
+    finally:
+        from pydala2_spark.plans.fs import delete_paths
+
+        late = _file_of(spark, bloom_ds, 99_999_999)
+        delete_paths(spark, list(late))
+
+
+def test_empty_probe_and_missing_index(spark, bloom_ds, tmp_ds_path):
+    assert bloom_prune(spark, bloom_ds, "id", []) == []
+    spark.createDataFrame([(1, "a")], "id long, name string").coalesce(1).write.parquet(
+        tmp_ds_path
+    )
+    # no index built → every file kept
+    kept = bloom_prune(spark, tmp_ds_path, "id", [42])
+    assert len(kept) == 1
+
+
+def test_rejects_bad_params(spark, bloom_ds):
+    with pytest.raises(ValueError):
+        build_bloom_index(spark, bloom_ds, "id", num_bits=1000)
+    with pytest.raises(ValueError):
+        build_bloom_index(spark, bloom_ds, "id", num_hashes=0)
+    with pytest.raises(ValueError):
+        build_bloom_index(spark, bloom_ds, "id; drop table x")
+
+
+def test_sidecar_hidden_from_dataset_scans(spark, bloom_ds):
+    # underscore-prefixed sidecar must not pollute reads
+    assert spark.read.parquet(bloom_ds).columns == ["id", "name"]
+
+
+def test_dataset_api_surface(spark, bloom_ds):
+    from pydala2_spark.sources.dataset import ParquetDataset
+
+    ds = ParquetDataset(bloom_ds, spark=spark)
+    got = ds.scan_point("id", [1234]).where(F.col("id") == 1234)
+    assert [r["name"] for r in got.collect()] == ["doc-1234"]
