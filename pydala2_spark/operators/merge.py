@@ -166,6 +166,164 @@ def merge_frames(
     return survivors.unionByName(deduped)  # upsert
 
 
+def _scd2_delta(
+    history: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    ts,
+    tracked: list[str],
+    valid_from: str,
+    valid_to: str,
+) -> DataFrame:
+    """The SCD2 change set for one batch: closed-out versions of open
+    rows whose tracked attributes differ from the source, plus new
+    current rows for changed or unseen keys. Unchanged keys produce
+    nothing. Output columns = history columns.
+
+    One shuffle: source × current-rows join on the keys (source side
+    broadcast-gated by the caller's join planner). The delta is
+    batch-sized, never history-sized.
+    """
+    vf_type = dict(history.dtypes)[valid_from]
+    vt_type = dict(history.dtypes)[valid_to]
+
+    src = source.withColumn(_BATCH, F.lit(0)).withColumn(_ORD, F.monotonically_increasing_id())
+    src = _dedup_last_wins(src, keys).select(*keys, *tracked).alias("s")
+    cur = (
+        history.filter(F.col(valid_to).isNull())
+        .select(*keys, *tracked, valid_from, F.lit(True).alias("__has_cur"))
+        .alias("c")
+    )
+
+    cond = None
+    for k in keys:
+        e = F.col(f"s.{k}").eqNullSafe(F.col(f"c.{k}"))
+        cond = e if cond is None else (cond & e)
+    diff = None
+    for t in tracked:
+        e = ~F.col(f"s.{t}").eqNullSafe(F.col(f"c.{t}"))
+        diff = e if diff is None else (diff | e)
+
+    affected = src.join(cur, on=cond, how="left").filter(
+        F.col("c.__has_cur").isNull() | (diff if diff is not None else F.lit(False))
+    )
+
+    new_rows = affected.select(
+        *[F.col(f"s.{k}").alias(k) for k in keys],
+        *[F.col(f"s.{t}").alias(t) for t in tracked],
+        F.lit(ts).cast(vf_type).alias(valid_from),
+        F.lit(None).cast(vt_type).alias(valid_to),
+    )
+    closed = affected.filter(F.col("c.__has_cur").isNotNull()).select(
+        *[F.col(f"s.{k}").alias(k) for k in keys],
+        *[F.col(f"c.{t}").alias(t) for t in tracked],  # historic values
+        F.col(f"c.{valid_from}").alias(valid_from),
+        F.lit(ts).cast(vt_type).alias(valid_to),
+    )
+    return closed.unionByName(new_rows).select(*history.columns)
+
+
+def scd2_frames(
+    history: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    ts,
+    tracked: list[str] | None = None,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Pure relational SCD2 (slowly-changing-dimension type 2) apply:
+    given a history frame (``keys + tracked + valid_from + valid_to``,
+    open rows have NULL ``valid_to``) and a source batch of current
+    attribute values at time ``ts``, return the new history.
+
+    Semantics (null-safe everywhere, like the keyed merge above):
+
+    - key unseen in history        → new open row at ``ts``;
+    - tracked attrs changed        → open row closed at ``ts`` (its
+      historic values preserved) + new open row at ``ts``;
+    - tracked attrs identical      → untouched;
+    - keys absent from the source  → untouched (no implicit deletes).
+
+    The reference's merge stops at upsert (`pydala/dataset.py:
+    1549-1777`) — SCD2 is the history-keeping extension a training-
+    data lineage store needs (which sample used which version of a
+    document). Implemented BY the same upsert: the change set keys on
+    ``(keys..., valid_from)``, so closing a row is an update and the
+    new version is an insert — one machinery, audited once.
+    """
+    tracked = tracked or [
+        c for c in history.columns if c not in (*keys, valid_from, valid_to)
+    ]
+    _validate_keys(keys, history.columns, "history")
+    _validate_keys(tracked, source.columns, "source")
+    # the delta is referenced twice by the upsert below (anti-join
+    # probe + union); it is batch-sized, so materializing it once is
+    # cheap at any scale and stops its source×current join from
+    # running per branch. History itself stays lazy: at 100 TB a
+    # second scan beats a full localCheckpoint copy, and chained
+    # in-memory applies should checkpoint between batches themselves.
+    delta = _scd2_delta(history, source, keys, ts, tracked, valid_from, valid_to)
+    delta = delta.localCheckpoint(eager=False)
+    return merge_frames(history, delta, keys=[*keys, valid_from], strategy="upsert")
+
+
+def merge_scd2(
+    spark: SparkSession,
+    target_path: str,
+    source: Any,
+    key_columns: list[str],
+    ts,
+    tracked: list[str] | None = None,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    **merge_kwargs,
+) -> MergeResult:
+    """Storage form of :func:`scd2_frames`: applies one SCD2 batch to a
+    path-addressed dataset via the file-selective keyed merge — only
+    files holding a changed key's open row are rewritten; new versions
+    append. On a missing/empty target every source row becomes an open
+    row at ``ts``.
+
+    ``ts`` must be strictly greater than any previously applied batch's
+    (monotone batch clock); equal timestamps would collide on the
+    ``(key, valid_from)`` upsert key.
+    """
+    from pydala2_spark.plans.fs import list_files, path_exists
+    from pydala2_spark.sources.writer import to_spark_df
+
+    src = to_spark_df(spark, source)
+    exists = path_exists(spark, target_path) and bool(list_files(spark, target_path))
+    if not exists:
+        tracked = tracked or [c for c in src.columns if c not in key_columns]
+        first = src.select(*key_columns, *tracked, F.lit(ts).alias(valid_from))
+        # valid_to mirrors valid_from's type (whatever ts's literal is)
+        vf_type = first.schema[valid_from].dataType.simpleString()
+        first = first.withColumn(valid_to, F.lit(None).cast(vf_type))
+        return merge(
+            spark,
+            target_path,
+            first,
+            "upsert",
+            key_columns=[*key_columns, valid_from],
+            **merge_kwargs,
+        )
+
+    history = spark.read.parquet(target_path)
+    tracked = tracked or [
+        c for c in history.columns if c not in (*key_columns, valid_from, valid_to)
+    ]
+    delta = _scd2_delta(history, src, key_columns, ts, tracked, valid_from, valid_to)
+    return merge(
+        spark,
+        target_path,
+        delta,
+        "upsert",
+        key_columns=[*key_columns, valid_from],
+        **merge_kwargs,
+    )
+
+
 def merge(
     spark: SparkSession,
     target_path: str,

@@ -1341,6 +1341,101 @@ def merge_upsert_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_frames(target, source, keys=["o_orderkey"], strategy="upsert")
 
 
+@query(
+    "merge_scd2_history",
+    """
+    WITH base AS (
+      SELECT CAST(c_custkey AS BIGINT) AS k, round(c_acctbal, 2) AS bal,
+             c_mktsegment AS seg
+      FROM customer
+    ),
+    h0 AS (
+      SELECT k, bal, seg, CAST(0 AS BIGINT) AS valid_from,
+             CAST(NULL AS BIGINT) AS valid_to
+      FROM base
+    ),
+    s1 AS (SELECT k, round(bal + 100, 2) AS bal, seg FROM base WHERE k % 7 = 0),
+    aff1 AS (
+      SELECT s.k AS k, s.bal AS bal, s.seg AS seg,
+             c.bal AS cur_bal, c.seg AS cur_seg, c.valid_from AS cur_vf,
+             c.k IS NOT NULL AS has_cur
+      FROM s1 s
+      LEFT JOIN (SELECT * FROM h0 WHERE valid_to IS NULL) c ON s.k = c.k
+      WHERE c.k IS NULL
+         OR s.bal IS DISTINCT FROM c.bal OR s.seg IS DISTINCT FROM c.seg
+    ),
+    h1 AS (
+      SELECT h.k, h.bal, h.seg, h.valid_from, h.valid_to FROM h0 h
+      WHERE NOT EXISTS (
+        SELECT 1 FROM aff1 a
+        WHERE a.has_cur AND a.k = h.k AND a.cur_vf = h.valid_from)
+      UNION ALL
+      SELECT a.k, a.cur_bal, a.cur_seg, a.cur_vf, CAST(1 AS BIGINT)
+      FROM aff1 a WHERE a.has_cur
+      UNION ALL
+      SELECT a.k, a.bal, a.seg, CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+      FROM aff1 a
+    ),
+    s2 AS (SELECT k, round(bal * 2, 2) AS bal, seg FROM base WHERE k % 3 = 0),
+    aff2 AS (
+      SELECT s.k AS k, s.bal AS bal, s.seg AS seg,
+             c.bal AS cur_bal, c.seg AS cur_seg, c.valid_from AS cur_vf,
+             c.k IS NOT NULL AS has_cur
+      FROM s2 s
+      LEFT JOIN (SELECT * FROM h1 WHERE valid_to IS NULL) c ON s.k = c.k
+      WHERE c.k IS NULL
+         OR s.bal IS DISTINCT FROM c.bal OR s.seg IS DISTINCT FROM c.seg
+    ),
+    h2 AS (
+      SELECT h.k, h.bal, h.seg, h.valid_from, h.valid_to FROM h1 h
+      WHERE NOT EXISTS (
+        SELECT 1 FROM aff2 a
+        WHERE a.has_cur AND a.k = h.k AND a.cur_vf = h.valid_from)
+      UNION ALL
+      SELECT a.k, a.cur_bal, a.cur_seg, a.cur_vf, CAST(2 AS BIGINT)
+      FROM aff2 a WHERE a.has_cur
+      UNION ALL
+      SELECT a.k, a.bal, a.seg, CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+      FROM aff2 a
+    )
+    SELECT k, bal, seg, valid_from, valid_to FROM h2 ORDER BY k, valid_from
+    """,
+)
+def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SCD2 history-keeping merge (operators/merge.py scd2_frames): two
+    # successive attribute batches over a customer dim; the oracle
+    # unrolls the same close-and-reopen semantics as explicit CTEs.
+    # Scale shape per batch: ONE key-shuffle join of the (small) batch
+    # against current rows; the delta is batch-sized, and the storage
+    # form (merge_scd2) rewrites only files holding changed keys.
+    from pydala2_spark.operators.merge import scd2_frames
+
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k"),
+        F.round("c_acctbal", 2).alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    h0 = base.select(
+        "k",
+        "bal",
+        "seg",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    s1 = base.filter(F.col("k") % 7 == 0).select(
+        "k", F.round(F.col("bal") + 100, 2).alias("bal"), "seg"
+    )
+    # checkpoint between chained applies: h1 is referenced by three
+    # branches of the second apply (current-rows probe, anti-join,
+    # union) and would otherwise recompute its whole DAG per branch
+    h1 = scd2_frames(h0, s1, keys=["k"], ts=1).localCheckpoint(eager=False)
+    s2 = base.filter(F.col("k") % 3 == 0).select(
+        "k", F.round(F.col("bal") * 2, 2).alias("bal"), "seg"
+    )
+    h2 = scd2_frames(h1, s2, keys=["k"], ts=2)
+    return h2.orderBy("k", "valid_from")
+
+
 # =====================================================================
 # Scalar-function surface (JSON / explode / pivot / ntile)
 # =====================================================================
@@ -3545,17 +3640,19 @@ _VERIFY_FIRST = [
     "skew_salted_join_agg",
     "w_monthly_growth",
     "w_running_revenue",
-    # new streaming oracle query + media blockhash
+    # new streaming oracle query + media blockhash + SCD2 merge
     "stream_dedup_ingest",
     "mm_blockhash",
+    "merge_scd2_history",
     # perf-touched this round (plans changed: the SRP unit frame and
     # the simhash signature frame are now materialized once) — keep
-    # inside the window so the plan changes are driver-verified.
-    # doc_winnow_candidates / emb_near_dup rotated OUT (code unchanged,
-    # r3/r4-mirror green) to hold the explicit list at the 50-entry
-    # driver window.
+    # emb_near_dup_srp (the r3 red-flagged regression) inside the
+    # window so its plan change is driver-verified.
+    # doc_winnow_candidates / emb_near_dup / dedup_simhash rotated OUT
+    # (dedup_simhash's change is plan-only: results byte-identical
+    # under the type-strict mirror, r3-driver-green) to hold the
+    # explicit list at the 50-entry driver window.
     "emb_near_dup_srp",
-    "dedup_simhash",
 ]
 
 
