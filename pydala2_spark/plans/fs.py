@@ -78,6 +78,32 @@ def qualified(spark: SparkSession, path: str) -> str:
     return fs.makeQualified(hpath).toString()
 
 
+def read_text(spark: SparkSession, path: str) -> str:
+    """Small-file text read through the Hadoop FS (manifests, configs).
+
+    The byte shuttling stays JVM-side (commons-io ships with Hadoop):
+    py4j passes byte[] by value, so Java reads into a Python buffer
+    would silently return nothing.
+    """
+    fs, hpath, jvm = _fs_and_path(spark, path)
+    stream = fs.open(hpath)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def write_text(spark: SparkSession, path: str, content: str) -> None:
+    """Small-file text write through the Hadoop FS (no overwrite races:
+    callers publish via rename)."""
+    fs, hpath, _ = _fs_and_path(spark, path)
+    stream = fs.create(hpath, True)
+    try:
+        stream.write(bytearray(content.encode("utf-8")))
+    finally:
+        stream.close()
+
+
 def copy_file(spark: SparkSession, src: str, dst: str) -> bool:
     """Cross-filesystem single-file copy (FileUtil) — e.g. s3a → file."""
     fs_src, hsrc, jvm = _fs_and_path(spark, src)

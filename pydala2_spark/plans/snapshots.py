@@ -1,0 +1,280 @@
+"""Snapshot manifests: atomic multi-file commits, time travel, rollback.
+
+The reference's datasets are "whatever files are in the directory"
+(`/root/reference/pydala/dataset.py:121-170`) — a multi-file write
+that dies halfway leaves a half-visible dataset, and there is no way
+to read yesterday's state. This layer adds the missing transactional
+story with the same mechanism Iceberg/Delta use, reduced to its core:
+readers trust a MANIFEST, never the directory listing.
+
+Layout::
+
+    <dataset>/part-*.parquet            data files (plain parquet layout)
+    <dataset>/_snapshots/v00000001.json one manifest per committed version
+    <dataset>/_snapshots_stage/<token>/ per-commit staging (transient)
+
+A commit writes its data files into a private staging directory,
+moves them into the dataset root (invisible to snapshot readers —
+they only follow manifests), then publishes a manifest via
+write-temp + atomic rename. Rename-to-existing fails on Hadoop
+filesystems, which gives optimistic concurrency for free: a commit
+that loses the race re-reads the new head, merges its (privately
+owned) files against the new parent, and retries the next version
+number. A crash at ANY point leaves every prior version readable;
+the only debris is orphaned data files, which ``vacuum`` removes
+because no manifest references them.
+
+At 100 TB nothing here scales with data volume: commits move file
+*names*, manifests hold file *lists* (one string per file), and reads
+hand Spark the exact file set — so time-travel reads get the same
+Catalyst pushdown/pruning as any parquet scan, with ``basePath`` set
+so hive partition columns survive.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_MANIFEST_FMT = "v{:08d}.json"
+_MAX_COMMIT_RETRIES = 50
+
+
+class SnapshotConflictError(RuntimeError):
+    """Raised when a commit cannot win the manifest race after retries."""
+
+
+class SnapshotDataset:
+    """Versioned view over a parquet dataset directory.
+
+    Plain ``spark.read.parquet(path)`` still works on the directory but
+    sees uncommitted debris after crashes; the snapshot contract is
+    that readers use :meth:`read` (optionally with ``version=``).
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.snapshots_dir = f"{self.path}/_snapshots"
+
+    # -- manifest plumbing ------------------------------------------------
+
+    def versions(self) -> list[int]:
+        from pydala2_spark.plans.fs import list_files, path_exists
+
+        if not path_exists(self.spark, self.snapshots_dir):
+            return []
+        out = []
+        for f in list_files(self.spark, self.snapshots_dir, suffixes=(".json",)):
+            name = posixpath.basename(f)
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    out.append(int(name[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def current_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _manifest_path(self, version: int) -> str:
+        return f"{self.snapshots_dir}/{_MANIFEST_FMT.format(version)}"
+
+    def _read_manifest(self, version: int) -> dict:
+        from pydala2_spark.plans.fs import read_text
+
+        return json.loads(read_text(self.spark, self._manifest_path(version)))
+
+    def _try_publish(self, manifest: dict) -> bool:
+        """Write-temp + rename; False when another commit won the slot."""
+        from pydala2_spark.plans.fs import (
+            delete_paths,
+            mkdirs,
+            path_exists,
+            rename,
+            write_text,
+        )
+
+        mkdirs(self.spark, self.snapshots_dir)
+        final = self._manifest_path(manifest["version"])
+        if path_exists(self.spark, final):
+            return False
+        tmp = f"{final}.tmp-{uuid.uuid4().hex}"
+        write_text(self.spark, tmp, json.dumps(manifest, sort_keys=True))
+        if rename(self.spark, tmp, final):
+            return True
+        delete_paths(self.spark, [tmp])
+        return False
+
+    def history(self) -> list[dict]:
+        """Manifest metadata, oldest first (files list omitted)."""
+        out = []
+        for v in self.versions():
+            m = self._read_manifest(v)
+            out.append(
+                {
+                    "version": m["version"],
+                    "parent": m["parent"],
+                    "operation": m["operation"],
+                    "n_files": len(m["files"]),
+                    "ts": m["ts"],
+                }
+            )
+        return out
+
+    # -- commit -----------------------------------------------------------
+
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        partition_by: list[str] | None = None,
+        compression: str = "zstd",
+        max_rows_per_file: int = 10_000_000,
+    ) -> dict:
+        """Atomically publish ``df``'s rows as the next version.
+
+        ``append`` keeps the parent's files; ``overwrite`` starts the
+        new version from only this commit's files (older files remain
+        on disk for time travel until :meth:`vacuum`). Returns the
+        published manifest.
+        """
+        from pydala2_spark.plans.fs import (
+            delete_paths,
+            list_files,
+            mkdirs,
+            qualified,
+            rename,
+        )
+
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+
+        stage = f"{self.path}/_snapshots_stage/{uuid.uuid4().hex}"
+        writer = (
+            df.write.mode("overwrite")
+            .option("compression", compression)
+            .option("maxRecordsPerFile", str(max_rows_per_file))
+        )
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(stage)
+
+        qstage = qualified(self.spark, stage)
+        own: list[str] = []
+        for f in list_files(self.spark, stage, suffixes=(".parquet",)):
+            qf = f if f.startswith(qstage) else qualified(self.spark, f)
+            rel = qf[len(qstage) :].lstrip("/")
+            dest = f"{self.path}/{rel}"
+            parent_dir = posixpath.dirname(dest)
+            if parent_dir != self.path:
+                mkdirs(self.spark, parent_dir)
+            if not rename(self.spark, f, dest):
+                delete_paths(self.spark, [stage])
+                raise IOError(f"could not move staged file into dataset: {rel}")
+            own.append(rel)
+        delete_paths(self.spark, [stage])
+
+        schema_json = df.schema.json()
+        for _ in range(_MAX_COMMIT_RETRIES):
+            head = self.current_version()
+            parent_files = (
+                self._read_manifest(head)["files"]
+                if (mode == "append" and head is not None)
+                else []
+            )
+            manifest = {
+                "version": (head or 0) + 1,
+                "parent": head,
+                "operation": mode,
+                "files": sorted(set(parent_files) | set(own)),
+                "added": sorted(own),
+                "schema_json": schema_json,
+                "ts": time.time(),
+            }
+            if self._try_publish(manifest):
+                return manifest
+        raise SnapshotConflictError(
+            f"lost the manifest race {_MAX_COMMIT_RETRIES} times at {self.path!r}"
+        )
+
+    # -- read -------------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """The dataset AS OF ``version`` (default: latest)."""
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            raise ValueError(f"no snapshots at {self.path!r}")
+        m = self._read_manifest(version)
+        if not m["files"]:
+            schema = T.StructType.fromJson(json.loads(m["schema_json"]))
+            return self.spark.createDataFrame([], schema)
+        paths = [f"{self.path}/{rel}" for rel in m["files"]]
+        return self.spark.read.option("basePath", self.path).parquet(*paths)
+
+    # -- rollback ---------------------------------------------------------
+
+    def rollback(self, version: int) -> dict:
+        """Publish a NEW version whose file set equals ``version``'s —
+        history is append-only, so the rollback itself is auditable and
+        time travel to the rolled-back-over versions still works."""
+        target = self._read_manifest(version)  # raises if absent
+        for _ in range(_MAX_COMMIT_RETRIES):
+            head = self.current_version()
+            manifest = {
+                "version": (head or 0) + 1,
+                "parent": head,
+                "operation": f"rollback:{version}",
+                "files": target["files"],
+                "added": [],
+                "schema_json": target["schema_json"],
+                "ts": time.time(),
+            }
+            if self._try_publish(manifest):
+                return manifest
+        raise SnapshotConflictError(f"rollback lost the manifest race at {self.path!r}")
+
+    # -- vacuum -----------------------------------------------------------
+
+    def vacuum(self, keep_last: int | None = None) -> dict:
+        """Delete data files no retained manifest references.
+
+        With ``keep_last=N``, manifests older than the newest N are
+        dropped first (their exclusively-referenced files become
+        deletable); without it every version is retained and only
+        orphans (crashed commits) are removed. Never touches the
+        current version's files.
+        """
+        from pydala2_spark.plans.fs import delete_paths, list_files, qualified
+
+        versions = self.versions()
+        if not versions:
+            return {"deleted_files": 0, "deleted_manifests": 0}
+        drop_versions: list[int] = []
+        if keep_last is not None and keep_last >= 1 and len(versions) > keep_last:
+            drop_versions = versions[: len(versions) - keep_last]
+
+        retained = [v for v in versions if v not in drop_versions]
+        referenced: set[str] = set()
+        for v in retained:
+            referenced.update(self._read_manifest(v)["files"])
+
+        base = qualified(self.spark, self.path)
+        doomed = []
+        for f in list_files(self.spark, self.path, suffixes=(".parquet",)):
+            q = qualified(self.spark, f)
+            rel = q[len(base) :].lstrip("/") if q.startswith(base) else q
+            if rel not in referenced:
+                doomed.append(f)
+        n_files = delete_paths(self.spark, doomed)
+        n_manifests = delete_paths(
+            self.spark, [self._manifest_path(v) for v in drop_versions]
+        )
+        return {"deleted_files": n_files, "deleted_manifests": n_manifests}

@@ -1,0 +1,127 @@
+"""Snapshot manifests: atomic commits, time travel, rollback, vacuum,
+optimistic concurrency, crash debris invisibility."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydala2_spark.plans.snapshots import SnapshotDataset
+
+
+def _df(spark, lo, hi, tag="a"):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.lit(tag).alias("tag")
+    )
+
+
+def test_commit_read_time_travel(spark, tmp_ds_path):
+    ds = SnapshotDataset(spark, tmp_ds_path)
+    m1 = ds.commit(_df(spark, 0, 10, "a"))
+    m2 = ds.commit(_df(spark, 10, 15, "b"))
+    assert (m1["version"], m2["version"]) == (1, 2)
+    assert ds.read().count() == 15
+    assert ds.read(version=1).count() == 10
+    assert set(r["tag"] for r in ds.read(version=1).collect()) == {"a"}
+
+
+def test_overwrite_keeps_old_versions_readable(spark, tmp_ds_path):
+    ds = SnapshotDataset(spark, tmp_ds_path)
+    ds.commit(_df(spark, 0, 10, "a"))
+    ds.commit(_df(spark, 0, 3, "b"), mode="overwrite")
+    assert ds.read().count() == 3
+    assert ds.read(version=1).count() == 10  # time travel across overwrite
+
+
+def test_rollback_is_append_only(spark, tmp_ds_path):
+    ds = SnapshotDataset(spark, tmp_ds_path)
+    ds.commit(_df(spark, 0, 10, "a"))
+    ds.commit(_df(spark, 10, 20, "b"))
+    m = ds.rollback(1)
+    assert m["version"] == 3 and m["operation"] == "rollback:1"
+    assert ds.read().count() == 10
+    # the rolled-back-over version is still reachable
+    assert ds.read(version=2).count() == 20
+    assert [h["version"] for h in ds.history()] == [1, 2, 3]
+
+
+def test_crash_debris_invisible_then_vacuumed(spark, tmp_ds_path):
+    from pydala2_spark.plans.fs import list_files
+
+    ds = SnapshotDataset(spark, tmp_ds_path)
+    ds.commit(_df(spark, 0, 10, "a"))
+    # simulate a crash AFTER data files land but BEFORE the manifest:
+    # write files straight into the root (what a moved-but-unpublished
+    # commit leaves behind)
+    _df(spark, 100, 200, "crash").coalesce(1).write.mode("append").parquet(tmp_ds_path)
+    assert ds.read().count() == 10  # snapshot readers never see debris
+    n_before = len(list_files(spark, tmp_ds_path, suffixes=(".parquet",)))
+    out = ds.vacuum()
+    assert out["deleted_files"] >= 1
+    assert ds.read().count() == 10
+    assert len(list_files(spark, tmp_ds_path, suffixes=(".parquet",))) < n_before
+
+
+def test_vacuum_keep_last_drops_old_version_files(spark, tmp_ds_path):
+    from pydala2_spark.plans.fs import list_files
+
+    ds = SnapshotDataset(spark, tmp_ds_path)
+    ds.commit(_df(spark, 0, 10, "a"))
+    ds.commit(_df(spark, 0, 5, "b"), mode="overwrite")
+    ds.commit(_df(spark, 0, 2, "c"), mode="overwrite")
+    out = ds.vacuum(keep_last=1)
+    assert out["deleted_manifests"] == 2
+    assert out["deleted_files"] >= 2  # v1+v2's exclusive files
+    assert ds.versions() == [3]
+    assert ds.read().count() == 2
+    with pytest.raises(Exception):
+        ds.read(version=1)
+
+
+def test_concurrent_commit_retries_next_version(spark, tmp_ds_path):
+    ds = SnapshotDataset(spark, tmp_ds_path)
+    ds.commit(_df(spark, 0, 10, "a"))
+    # another writer claims v2 between our data move and publish:
+    # pre-publish a manifest at v2 manually
+    squatter = {
+        "version": 2,
+        "parent": 1,
+        "operation": "append",
+        "files": ds._read_manifest(1)["files"],
+        "added": [],
+        "schema_json": ds._read_manifest(1)["schema_json"],
+        "ts": 0.0,
+    }
+    assert ds._try_publish(squatter)
+    m = ds.commit(_df(spark, 10, 20, "b"))
+    # our commit lands at v3 with v2 as parent and BOTH file sets
+    assert m["version"] == 3 and m["parent"] == 2
+    assert ds.read().count() == 20
+
+
+def test_partitioned_commit_preserves_partition_columns(spark, tmp_ds_path):
+    ds = SnapshotDataset(spark, tmp_ds_path)
+    df = spark.range(0, 20).select(
+        "id", (F.col("id") % 2).alias("bucket")
+    )
+    ds.commit(df, partition_by=["bucket"])
+    got = ds.read()
+    assert set(got.columns) == {"id", "bucket"}
+    assert got.filter(F.col("bucket") == 1).count() == 10
+
+
+def test_empty_commit_and_schema_recovery(spark, tmp_ds_path):
+    ds = SnapshotDataset(spark, tmp_ds_path)
+    empty = _df(spark, 0, 0, "a")
+    ds.commit(empty)
+    got = ds.read()
+    assert got.count() == 0
+    assert got.columns == ["id", "tag"]
+
+
+def test_read_without_snapshots_raises(spark, tmp_ds_path):
+    ds = SnapshotDataset(spark, tmp_ds_path)
+    with pytest.raises(ValueError):
+        ds.read()
+    assert ds.current_version() is None
+    assert ds.history() == []
