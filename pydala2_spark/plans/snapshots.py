@@ -137,13 +137,15 @@ class SnapshotDataset:
         partition_by: list[str] | None = None,
         compression: str = "zstd",
         max_rows_per_file: int = 10_000_000,
+        extra: dict | None = None,
     ) -> dict:
         """Atomically publish ``df``'s rows as the next version.
 
         ``append`` keeps the parent's files; ``overwrite`` starts the
         new version from only this commit's files (older files remain
-        on disk for time travel until :meth:`vacuum`). Returns the
-        published manifest.
+        on disk for time travel until :meth:`vacuum`). ``extra`` is
+        caller metadata recorded verbatim in the manifest (e.g. a
+        streaming batch id). Returns the published manifest.
         """
         from pydala2_spark.plans.fs import (
             delete_paths,
@@ -197,12 +199,25 @@ class SnapshotDataset:
                 "added": sorted(own),
                 "schema_json": schema_json,
                 "ts": time.time(),
+                **({"extra": extra} if extra else {}),
             }
             if self._try_publish(manifest):
                 return manifest
         raise SnapshotConflictError(
             f"lost the manifest race {_MAX_COMMIT_RETRIES} times at {self.path!r}"
         )
+
+    def last_stream_batch(self, checkpoint_id: str) -> int | None:
+        """Newest stream batch id this dataset has committed for the
+        given checkpoint — reverse-scans manifests and stops at the
+        first hit (batch ids are monotone per checkpoint), so the
+        common replay probe reads O(1) manifests."""
+        for v in reversed(self.versions()):
+            extra = self._read_manifest(v).get("extra") or {}
+            stream = extra.get("stream") or {}
+            if stream.get("checkpoint") == checkpoint_id:
+                return int(stream["batch_id"])
+        return None
 
     # -- read -------------------------------------------------------------
 

@@ -310,6 +310,57 @@ def merge_stream(
     q.awaitTermination()
 
 
+def snapshot_stream(
+    spark: SparkSession,
+    source_path: str,
+    target_path: str,
+    checkpoint_dir: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    ts_type: T.DataType | None = None,
+) -> None:
+    """Stream → snapshot-versioned dataset: each microbatch lands as
+    one atomic manifest commit (plans/snapshots.py), so downstream
+    readers either see a whole batch or none of it, and can time-travel
+    the ingest history version by version.
+
+    Exactly-once WITHOUT side markers: the manifest itself records
+    ``(checkpoint, batch_id)``, so the commit and its dedup record are
+    published in the same atomic rename — no window where the data is
+    committed but the marker is not (the gap ``merge_stream``'s
+    separate marker directory has to close by ordering). A replayed
+    batch finds its id at-or-below ``last_stream_batch`` and skips;
+    the probe reverse-scans to the newest manifest for this
+    checkpoint, O(1) manifests in steady state.
+    """
+    import hashlib
+
+    from pydala2_spark.plans.snapshots import SnapshotDataset
+
+    events = read_event_stream(spark, source_path, ts_type=ts_type)
+    cp_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        ds = SnapshotDataset(spark, target_path)
+        last = ds.last_stream_batch(cp_id)
+        if last is not None and batch_id <= last:
+            return  # replay of an already-committed batch
+        ds.commit(
+            batch_df,
+            mode=mode,
+            partition_by=partition_by,
+            extra={"stream": {"checkpoint": cp_id, "batch_id": batch_id}},
+        )
+
+    q = (
+        events.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def incremental_append_rollup(
     spark: SparkSession,
     source_path: str,

@@ -125,3 +125,66 @@ def test_read_without_snapshots_raises(spark, tmp_ds_path):
         ds.read()
     assert ds.current_version() is None
     assert ds.history() == []
+
+
+def _drop_events(spark, tmp_path, landing, name, ids):
+    import datetime as dt
+    import glob
+    import shutil
+
+    df = spark.createDataFrame(
+        [(i, i % 3, "click", dt.datetime(2024, 1, 1, 0, i % 60), 1.0, "{}") for i in ids],
+        "event_id long, user_id long, event_type string, ts timestamp, value double, props string",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / f"stage_{name}"))
+    src = glob.glob(str(tmp_path / f"stage_{name}" / "part-*.parquet"))[0]
+    shutil.copy(src, landing / f"{name}.parquet")
+
+
+def test_snapshot_stream_commits_batches_and_time_travels(spark, tmp_path):
+    from pydala2_spark.streaming.pipeline import snapshot_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    target = str(tmp_path / "snap_ds")
+    ckpt = str(tmp_path / "ckpt_snap")
+
+    _drop_events(spark, tmp_path, landing, "d1", range(0, 5))
+    snapshot_stream(spark, str(landing), target, ckpt)
+    ds = SnapshotDataset(spark, target)
+    v1 = ds.current_version()
+    assert ds.read().count() == 5
+
+    _drop_events(spark, tmp_path, landing, "d2", range(5, 12))
+    snapshot_stream(spark, str(landing), target, ckpt)
+    assert ds.read().count() == 12
+    assert ds.read(version=v1).count() == 5  # ingest history is versioned
+
+    # nothing new landed → no new data rows
+    snapshot_stream(spark, str(landing), target, ckpt)
+    assert ds.read().count() == 12
+
+
+def test_snapshot_stream_replayed_batch_skipped(spark, tmp_path):
+    """The manifest IS the dedup record: wipe the checkpoint (the
+    hardest replay — Spark re-reads everything as batch 0) and re-run;
+    the already-committed batch id must be skipped, not re-committed."""
+    import shutil
+
+    from pydala2_spark.streaming.pipeline import snapshot_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    target = str(tmp_path / "snap_ds")
+    ckpt = str(tmp_path / "ckpt_snap")
+
+    _drop_events(spark, tmp_path, landing, "d1", range(0, 6))
+    snapshot_stream(spark, str(landing), target, ckpt)
+    ds = SnapshotDataset(spark, target)
+    v_after = ds.current_version()
+    assert ds.read().count() == 6
+
+    shutil.rmtree(ckpt)  # crash-amnesia: checkpoint lost, data kept
+    snapshot_stream(spark, str(landing), target, ckpt)
+    assert ds.read().count() == 6  # no duplicate ingestion
+    assert ds.current_version() == v_after  # and no version churn
