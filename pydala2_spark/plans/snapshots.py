@@ -130,33 +130,19 @@ class SnapshotDataset:
 
     # -- commit -----------------------------------------------------------
 
-    def commit(
+    def _stage_and_move(
         self,
         df: DataFrame,
-        mode: str = "append",
-        partition_by: list[str] | None = None,
-        compression: str = "zstd",
-        max_rows_per_file: int = 10_000_000,
-        extra: dict | None = None,
-    ) -> dict:
-        """Atomically publish ``df``'s rows as the next version.
-
-        ``append`` keeps the parent's files; ``overwrite`` starts the
-        new version from only this commit's files (older files remain
-        on disk for time travel until :meth:`vacuum`). ``extra`` is
-        caller metadata recorded verbatim in the manifest (e.g. a
-        streaming batch id). Returns the published manifest.
-        """
-        from pydala2_spark.plans.fs import (
-            delete_paths,
-            list_files,
-            mkdirs,
-            qualified,
-            rename,
-        )
-
-        if mode not in ("append", "overwrite"):
-            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        partition_by: list[str] | None,
+        compression: str,
+        max_rows_per_file: int,
+    ) -> list[str]:
+        """Write ``df`` into a private staging dir, move the files into
+        the dataset root (names only — no data copy on a same-FS
+        rename), and return their root-relative paths. The files are
+        invisible to snapshot readers until a manifest references
+        them."""
+        from pydala2_spark.plans.fs import delete_paths, list_files, mkdirs, qualified, rename
 
         stage = f"{self.path}/_snapshots_stage/{uuid.uuid4().hex}"
         writer = (
@@ -182,7 +168,29 @@ class SnapshotDataset:
                 raise IOError(f"could not move staged file into dataset: {rel}")
             own.append(rel)
         delete_paths(self.spark, [stage])
+        return own
 
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        partition_by: list[str] | None = None,
+        compression: str = "zstd",
+        max_rows_per_file: int = 10_000_000,
+        extra: dict | None = None,
+    ) -> dict:
+        """Atomically publish ``df``'s rows as the next version.
+
+        ``append`` keeps the parent's files; ``overwrite`` starts the
+        new version from only this commit's files (older files remain
+        on disk for time travel until :meth:`vacuum`). ``extra`` is
+        caller metadata recorded verbatim in the manifest (e.g. a
+        streaming batch id). Returns the published manifest.
+        """
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+
+        own = self._stage_and_move(df, partition_by, compression, max_rows_per_file)
         schema_json = df.schema.json()
         for _ in range(_MAX_COMMIT_RETRIES):
             head = self.current_version()
@@ -233,6 +241,75 @@ class SnapshotDataset:
             return self.spark.createDataFrame([], schema)
         paths = [f"{self.path}/{rel}" for rel in m["files"]]
         return self.spark.read.option("basePath", self.path).parquet(*paths)
+
+    # -- compaction -------------------------------------------------------
+
+    def compact(
+        self,
+        small_file_max_bytes: int = 64 << 20,
+        target_file_bytes: int = 256 << 20,
+        compression: str = "zstd",
+    ) -> dict | None:
+        """Rewrite the current version's small files into fewer larger
+        ones and publish the result as a new version (operation
+        ``compact``) — maintenance that PRESERVES time travel: older
+        manifests still reference the old files, and the swap is the
+        same atomic manifest publish as any commit, so readers never
+        see a half-compacted state (the mutable-dataset compaction in
+        `operators/maintenance.py` has a delete/rename window instead).
+
+        Only files ≤ ``small_file_max_bytes`` rewrite; survivors carry
+        over by name. Returns the new manifest, or None when fewer than
+        two small files exist. Reclaim the replaced files later with
+        ``vacuum(keep_last=...)``.
+        """
+        from pydala2_spark.plans.fs import file_sizes, qualified
+
+        head = self.current_version()
+        if head is None:
+            return None
+        m = self._read_manifest(head)
+        base = qualified(self.spark, self.path)
+        sizes = file_sizes(self.spark, self.path)
+        rel_size = {
+            (q[len(base) :].lstrip("/") if q.startswith(base) else q): s
+            for q, s in sizes.items()
+        }
+        smalls = [f for f in m["files"] if rel_size.get(f, 0) <= small_file_max_bytes]
+        if len(smalls) < 2:
+            return None
+        survivors = [f for f in m["files"] if f not in set(smalls)]
+
+        total = sum(rel_size.get(f, 0) for f in smalls)
+        n_out = max(1, -(-total // target_file_bytes))  # ceil
+        df = (
+            self.spark.read.option("basePath", self.path)
+            .parquet(*[f"{self.path}/{f}" for f in smalls])
+            .repartition(int(n_out))
+        )
+        own = self._stage_and_move(df, None, compression, 10_000_000)
+
+        for _ in range(_MAX_COMMIT_RETRIES):
+            cur = self.current_version()
+            if cur != head:
+                # another commit landed mid-compaction: its view of the
+                # dataset may add/remove files we didn't rewrite — keep
+                # its files, swap only small→compacted
+                latest = self._read_manifest(cur)
+                survivors = [f for f in latest["files"] if f not in set(smalls)]
+                head = cur
+            manifest = {
+                "version": (head or 0) + 1,
+                "parent": head,
+                "operation": "compact",
+                "files": sorted(set(survivors) | set(own)),
+                "added": sorted(own),
+                "schema_json": m["schema_json"],
+                "ts": time.time(),
+            }
+            if self._try_publish(manifest):
+                return manifest
+        raise SnapshotConflictError(f"compact lost the manifest race at {self.path!r}")
 
     # -- rollback ---------------------------------------------------------
 

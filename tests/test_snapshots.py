@@ -127,6 +127,34 @@ def test_read_without_snapshots_raises(spark, tmp_ds_path):
     assert ds.history() == []
 
 
+def test_compact_preserves_history_and_rows(spark, tmp_ds_path):
+    ds = SnapshotDataset(spark, tmp_ds_path)
+    # three appends → many small files
+    for k in range(3):
+        ds.commit(_df(spark, k * 10, (k + 1) * 10, f"t{k}"))
+    v_before = ds.current_version()
+    rows_before = sorted(r["id"] for r in ds.read().collect())
+    m = ds.compact()
+    assert m is not None and m["operation"] == "compact"
+    assert m["version"] == v_before + 1
+    # rows identical, fewer files
+    assert sorted(r["id"] for r in ds.read().collect()) == rows_before
+    assert len(m["added"]) < len(ds._read_manifest(v_before)["files"])
+    # time travel to the pre-compaction version still works
+    assert ds.read(version=v_before).count() == 30
+    # vacuum with keep_last=1 reclaims the replaced small files
+    out = ds.vacuum(keep_last=1)
+    assert out["deleted_files"] >= 2
+    assert sorted(r["id"] for r in ds.read().collect()) == rows_before
+
+
+def test_compact_noop_below_two_small_files(spark, tmp_ds_path):
+    ds = SnapshotDataset(spark, tmp_ds_path)
+    ds.commit(_df(spark, 0, 10, "a").coalesce(1))
+    assert ds.compact() is None
+    assert ds.current_version() == 1
+
+
 def _drop_events(spark, tmp_path, landing, name, ids):
     import datetime as dt
     import glob
