@@ -311,6 +311,30 @@ class SnapshotDataset:
                 return manifest
         raise SnapshotConflictError(f"compact lost the manifest race at {self.path!r}")
 
+    def read_pruned(
+        self, column: str, lo=None, hi=None, version: int | None = None
+    ) -> DataFrame:
+        """Version-pinned file-pruned scan: footer-scan ONLY this
+        version's manifest files (distributed), drop files whose
+        min/max prove no row matches [lo, hi], and read the survivors.
+        Time travel and file skipping compose — the caller still
+        applies the row-level filter (pruning is conservative)."""
+        from pydala2_spark.plans.stats import collect_file_stats, prune_files
+
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            raise ValueError(f"no snapshots at {self.path!r}")
+        m = self._read_manifest(version)
+        if not m["files"]:
+            return self.read(version)
+        abs_files = [f"{self.path}/{rel}" for rel in m["files"]]
+        stats = collect_file_stats(self.spark, self.path, files=abs_files)
+        keep = prune_files(stats, column, lo, hi)
+        if not keep:
+            return self.read(version).limit(0)
+        return self.spark.read.option("basePath", self.path).parquet(*keep)
+
     # -- rollback ---------------------------------------------------------
 
     def rollback(self, version: int) -> dict:

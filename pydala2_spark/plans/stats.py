@@ -122,12 +122,20 @@ def _read_footers(base: str, paths: Iterable[str]):
         )
 
 
-def collect_file_stats(spark: SparkSession, path: str, parallelism: int | None = None) -> DataFrame:
+def collect_file_stats(
+    spark: SparkSession,
+    path: str,
+    parallelism: int | None = None,
+    files: list[str] | None = None,
+) -> DataFrame:
     """Build the stats table for a parquet dataset with a distributed
-    footer scan. One output row per data file."""
+    footer scan. One output row per data file. ``files`` restricts the
+    scan to an explicit subset (e.g. one snapshot version's manifest)
+    instead of the directory listing."""
     from pydala2_spark.plans.fs import list_files
 
-    files = list_files(spark, path, suffixes=(".parquet",))
+    if files is None:
+        files = list_files(spark, path, suffixes=(".parquet",))
     if not files:
         return spark.createDataFrame([], STATS_SCHEMA)
     base = path if "://" in path else "file:" + os.path.abspath(path.removeprefix("file:"))

@@ -148,6 +148,23 @@ def test_compact_preserves_history_and_rows(spark, tmp_ds_path):
     assert sorted(r["id"] for r in ds.read().collect()) == rows_before
 
 
+def test_read_pruned_skips_files_and_respects_version(spark, tmp_ds_path):
+    ds = SnapshotDataset(spark, tmp_ds_path)
+    # disjoint id ranges per commit → per-file min/max are selective
+    ds.commit(_df(spark, 0, 100, "a").coalesce(1))
+    ds.commit(_df(spark, 1000, 1100, "b").coalesce(1))
+    got = ds.read_pruned("id", lo=1050, hi=1060)
+    assert got.count() == 100  # only the second file read (pre-row-filter)
+    assert set(r["tag"] for r in got.collect()) == {"b"}
+    # version pin: v1 has no rows in that range at all
+    got_v1 = ds.read_pruned("id", lo=1050, hi=1060, version=1)
+    assert got_v1.count() == 0
+    # and the actual filtered answer matches a full-scan filter
+    full = ds.read().where(F.col("id").between(1050, 1060)).count()
+    pruned = got.where(F.col("id").between(1050, 1060)).count()
+    assert full == pruned == 11
+
+
 def test_compact_noop_below_two_small_files(spark, tmp_ds_path):
     ds = SnapshotDataset(spark, tmp_ds_path)
     ds.commit(_df(spark, 0, 10, "a").coalesce(1))
