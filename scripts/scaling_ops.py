@@ -1,0 +1,125 @@
+"""10x scaling spot-check for the NON-registry operators added late in
+round 4: bloom index build/probe, SCD2 merge, snapshot commit/compact.
+
+Replicates sf0.1 documents FACTOR times (ids shifted per copy — unique
+keys, the bloom/SCD2-relevant property), writes both scales as real
+multi-file datasets, then times:
+
+- bloom build (full-corpus hash+bit_or job — should be ~linear in rows)
+- bloom probe (manifest/bitmap join — should be ~linear in sidecar
+  words, i.e. in FILES, not rows)
+- scd2_frames apply of a fixed-size batch (join vs current rows —
+  linear in corpus, batch-sized delta)
+- snapshot commit of a fixed-size append + compact (file-name moves —
+  should be corpus-size-INSENSITIVE)
+
+Usage: python scripts/scaling_ops.py [factor]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from pydala2_spark.session import get_spark
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+ROOT = f"/tmp/sfscale_ops_x{FACTOR}"
+
+
+def build(spark):
+    if os.path.isdir(ROOT):
+        shutil.rmtree(ROOT)
+    os.makedirs(ROOT)
+    docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+    n = docs.count()
+    docs.repartition(8).write.parquet(f"{ROOT}/docs_1x")
+    copies = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * n)) for k in range(FACTOR)
+    ]
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    big.repartition(8 * FACTOR).write.parquet(f"{ROOT}/docs_big")
+    return n
+
+
+def timed(fn, reps=2):
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        e = time.perf_counter() - t0
+        best = e if best is None or e < best else best
+    return best
+
+
+def main():
+    from pydala2_spark.operators.merge import scd2_frames
+    from pydala2_spark.plans.bloom import bloom_prune, build_bloom_index
+    from pydala2_spark.plans.snapshots import SnapshotDataset
+
+    spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    n = build(spark)
+    dirs = {"1x": f"{ROOT}/docs_1x", "big": f"{ROOT}/docs_big"}
+    out: dict[str, dict[str, float]] = {}
+
+    # bloom build + probe (build is cold by nature: rebuild per rep)
+    for label, d in dirs.items():
+        out.setdefault("bloom_build", {})[label] = timed(
+            lambda d=d: build_bloom_index(spark, d, "doc_id"), reps=1
+        )
+        out.setdefault("bloom_probe", {})[label] = timed(
+            lambda d=d: bloom_prune(spark, d, "doc_id", [n // 2, n // 3, n // 5])
+        )
+
+    # scd2: fixed 1k-key batch against each corpus as the dim history
+    for label, d in dirs.items():
+        hist = (
+            spark.read.parquet(d)
+            .select(
+                F.col("doc_id").alias("k"),
+                F.col("lang").alias("val"),
+                F.lit(0).cast("long").alias("valid_from"),
+                F.lit(None).cast("long").alias("valid_to"),
+            )
+        )
+        batch = (
+            spark.read.parquet(d)
+            .filter(F.col("doc_id") % 97 == 0)
+            .select(F.col("doc_id").alias("k"), F.lit("CHANGED").alias("val"))
+        )
+        out.setdefault("scd2_apply", {})[label] = timed(
+            lambda h=hist, b=batch: scd2_frames(h, b, keys=["k"], ts=1).count()
+        )
+
+    # snapshot: bootstrap commit (data write, linear), then a
+    # fixed-1k-row append commit — the cost that must stay
+    # corpus-size-INSENSITIVE (manifest merge + one tiny write)
+    for label, d in dirs.items():
+        snap_path = f"{ROOT}/snap_{label}"
+        ds = SnapshotDataset(spark, snap_path)
+        out.setdefault("snap_bootstrap", {})[label] = timed(
+            lambda ds=ds, d=d: ds.commit(spark.read.parquet(d)), reps=1
+        )
+        small = spark.read.parquet(d).limit(1000)
+        out.setdefault("snap_commit_append", {})[label] = timed(
+            lambda ds=ds, s=small: ds.commit(s), reps=1
+        )
+
+    print(f"{'op':24s} {'1x':>7s} {'x' + str(FACTOR):>7s} {'ratio':>7s}")
+    for op, t in out.items():
+        ratio = t["big"] / t["1x"]
+        flag = "  <-- SUPERLINEAR?" if ratio > 3 * FACTOR else ""
+        print(f"{op:24s} {t['1x']:7.2f} {t['big']:7.2f} {ratio:6.1f}x{flag}")
+
+
+if __name__ == "__main__":
+    main()
