@@ -654,3 +654,92 @@ def cosine_topk_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# -- PCA ---------------------------------------------------------------
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    dim: int | None = None,
+) -> dict:
+    """Distributed PCA fit: mean and covariance accumulate in ONE pass
+    of expression-only aggregates (d sums + the d(d+1)/2 upper-triangle
+    cross sums), the d x d eigendecomposition runs on the DRIVER (d^2
+    doubles — microscopic next to the corpus), and projection
+    (:func:`pca_project`) is a scan-stage expression. The corpus is
+    never collected and never shuffles: the fit is one partial-agg
+    reduction to a single row.
+
+    The reference has no linear-algebra surface; this is the embedding-
+    pipeline extension (compaction of `array<float>` columns to k
+    principal components before ANN / clustering). Practical dim bound:
+    the single-row agg carries d(d+3)/2 buffers (2144 at d=64); for
+    d >~ 256 chunk the cross sums into multiple jobs.
+
+    Returns ``{"mean": [d], "components": [k][d] (rows = top
+    eigenvectors, orthonormal, sign-fixed so the largest-|w| entry is
+    positive), "explained_variance": [k], "dim": d, "k": k}``.
+    """
+    import numpy as np
+
+    d = dim or vector_dim(df, vec_col)
+    if not 1 <= k <= d:
+        raise ValueError(f"k must be in [1, {d}], got {k}")
+    wide = df.select(
+        *[F.element_at(F.col(vec_col), i + 1).cast("double").alias(f"x{i}") for i in range(d)]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(f"x{i}").alias(f"s{i}") for i in range(d)]
+    aggs += [
+        F.sum(F.col(f"x{i}") * F.col(f"x{j}")).alias(f"p{i}_{j}")
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    row = wide.agg(*aggs).first()
+
+    n = row["n"]
+    if not n:
+        raise ValueError("pca_fit needs a non-empty input")
+    mean = np.array([row[f"s{i}"] / n for i in range(d)])
+    cov = np.empty((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            c = row[f"p{i}_{j}"] / n - mean[i] * mean[j]
+            cov[i, j] = cov[j, i] = c
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps, variances = [], []
+    for idx in order:
+        v = evecs[:, idx]
+        if v[np.argmax(np.abs(v))] < 0:  # deterministic sign
+            v = -v
+        comps.append([float(x) for x in v])
+        variances.append(float(max(evals[idx], 0.0)))
+    return {
+        "mean": [float(x) for x in mean],
+        "components": comps,
+        "explained_variance": variances,
+        "dim": d,
+        "k": k,
+    }
+
+
+def pca_project(df: DataFrame, model: dict, vec_col: str = "embedding") -> DataFrame:
+    """Append ``pc1..pck`` projection columns — pure scan-stage
+    expressions (centered dot with each component), no shuffle, no
+    Python in the row loop."""
+    d, k = model["dim"], model["k"]
+    mean, comps = model["mean"], model["components"]
+    cols = [df[c] for c in df.columns]
+    for c in range(k):
+        term = None
+        for i in range(d):
+            t = (F.element_at(F.col(vec_col), i + 1).cast("double") - F.lit(mean[i])) * F.lit(
+                comps[c][i]
+            )
+            term = t if term is None else term + t
+        cols.append(term.alias(f"pc{c + 1}"))
+    return df.select(*cols)

@@ -141,3 +141,72 @@ def test_scd2_rejects_bad_columns(spark):
     h = _hist(spark, [(1, "a", 0, None)])
     with pytest.raises(ValueError):
         scd2_frames(h, _src(spark, [(1, "a")]), keys=["missing"], ts=1)
+
+
+# -- PCA (lives here to reuse the module session without a new file) --
+
+
+def test_pca_matches_numpy(spark):
+    import numpy as np
+
+    from pydala2_spark.operators.similarity import pca_fit, pca_project
+
+    rng = np.random.default_rng(11)
+    # anisotropic cloud: two dominant directions in 8-d
+    base = rng.normal(size=(300, 8))
+    base[:, 0] *= 5.0
+    base[:, 1] *= 2.5
+    rows = [(i, [float(x) for x in base[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    model = pca_fit(df, k=3, dim=8)
+
+    # numpy reference on the SAME float32-truncated data
+    x = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
+    cov = np.cov(x, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    top = np.argsort(evals)[::-1][:3]
+    np.testing.assert_allclose(
+        model["explained_variance"], evals[top], rtol=1e-8
+    )
+    for c, idx in enumerate(top):
+        got = np.array(model["components"][c])
+        want = evecs[:, idx]
+        # eigenvectors match up to sign
+        assert min(np.abs(got - want).max(), np.abs(got + want).max()) < 1e-8
+
+    # projection equals centered dot with the components
+    proj = pca_project(df, model).select("vec_id", "pc1", "pc2", "pc3").collect()
+    centered = x - x.mean(axis=0)
+    want_proj = centered @ np.array(model["components"]).T
+    got_proj = np.array(
+        [[r["pc1"], r["pc2"], r["pc3"]] for r in sorted(proj, key=lambda r: r["vec_id"])]
+    )
+    np.testing.assert_allclose(got_proj, want_proj, atol=1e-8)
+    # variance ordering: pc1 captures the planted dominant axis
+    assert model["explained_variance"][0] > model["explained_variance"][1]
+
+
+def test_pca_projection_stays_scan_stage(spark):
+    from pydala2_spark.operators.similarity import pca_fit, pca_project
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(-i), 1.0, 0.0]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    model = pca_fit(df, k=2, dim=4)
+    plan = pca_project(df, model)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # projection is shuffle-free
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pca_validates_inputs(spark):
+    from pydala2_spark.operators.similarity import pca_fit
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError):
+        pca_fit(df, k=3, dim=2)
+    with pytest.raises(ValueError):
+        pca_fit(df.limit(0), k=1, dim=2)
