@@ -217,8 +217,35 @@ def compact_partitions(
         delete_paths(spark, all_files)
         return plan
 
+    # Single-job SORTED path: a sort_by rewrite selects EVERY partition
+    # (no candidate filter), so the per-group loop was the worst serial
+    # case — 10⁶ partitions, 10⁶ jobs. One range shuffle on
+    # (partition cols, sort cols) replaces it: each output task holds a
+    # contiguous key range, sortWithinPartitions orders it, and
+    # partitionBy routes rows to their hive dirs — per-partition files
+    # come out sorted with (near-)non-overlapping ranges, strictly
+    # better for later stats pruning than the loop's coalesce (which
+    # merged arbitrary partitions into overlapping sorted files).
+    # maxRecordsPerFile still bounds file sizes.
+    if part_cols and sort_by:
+        all_files = plan.files
+        sort_cols = to_sort_columns(sort_by)
+        df = spark.read.option("basePath", path).parquet(*all_files)
+        range_cols = [F.col(c) for c in part_cols] + list(sort_cols)
+        (
+            df.repartitionByRange(*range_cols)
+            .sortWithinPartitions(*range_cols)
+            .write.mode("append")
+            .option("compression", compression)
+            .option("maxRecordsPerFile", str(max_rows_per_file))
+            .partitionBy(*part_cols)
+            .parquet(path)
+        )
+        delete_paths(spark, all_files)
+        return plan
+
     # precise fallback: per-group coalesce(n_out) file-count control
-    # (sort_by rewrites, or a group that must split into >1 file)
+    # (unpartitioned datasets — a single group, so the loop is one job)
     for key, files in plan.groups.items():
         df = spark.read.option("basePath", path).parquet(*files)
         if unique:

@@ -159,6 +159,38 @@ def test_compact_partitions_one_write_job(spark, tmp_ds_path):
     assert _snapshot(spark, tmp_ds_path) == before
 
 
+def test_compact_sorted_single_job_and_sorted_files(spark, tmp_ds_path):
+    """sort_by rewrites select EVERY partition, so they were the worst
+    serial-loop case — now one range-shuffle job. Files must come out
+    internally sorted and rows preserved."""
+    import pyarrow.parquet as pq
+
+    pdf = make_simple_pdf(64, seed=1)
+    pdf["part"] = [f"p{j % 8}" for j in range(64)]
+    for _ in range(2):
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").partitionBy(
+            "part"
+        ).parquet(tmp_ds_path)
+    before = _snapshot(spark, tmp_ds_path)
+
+    sc = spark.sparkContext
+    sc.setJobGroup("compact-sorted-job", "sorted compaction probe")
+    try:
+        plan = compact_partitions(spark, tmp_ds_path, sort_by="id")
+    finally:
+        sc.setJobGroup("", "")
+    assert len(plan.groups) == 8
+    jobs = sc.statusTracker().getJobIdsForGroup("compact-sorted-job")
+    # planning (stats + candidates + partition discovery) + range
+    # SAMPLING + one write ≈ 6; the loop path would be planning + 8
+    assert len(jobs) < 8, f"{len(jobs)} jobs for 8 sorted groups — still looping?"
+    assert _snapshot(spark, tmp_ds_path) == before
+    # every output file is internally sorted by id
+    for f in list_files(spark, tmp_ds_path):
+        ids = pq.read_table(f.removeprefix("file:"), columns=["id"])["id"].to_pylist()
+        assert ids == sorted(ids), f"unsorted file {f}"
+
+
 def test_compact_partitions_unique_subset_stays_per_partition(spark, tmp_ds_path):
     """Fast-path subset dedup must not collapse rows across hive
     partitions (the loop reads one partition at a time, so its
