@@ -414,3 +414,77 @@ def read_pruned(
     if not files:
         return spark.read.parquet(path).limit(0)
     return spark.read.parquet(*files)
+
+
+# -- mergeable NDV sketches -------------------------------------------------
+
+
+def build_ndv_sketches(
+    spark: SparkSession,
+    dataset_path: str,
+    columns: list[str],
+    lg_k: int = 12,
+    index_path: str | None = None,
+) -> dict:
+    """Persist per-file HLL (DataSketches) distinct-count sketches for
+    ``columns`` under ``<dataset>/_ndv_sketches`` — ONE scan of the
+    dataset, then NDV questions answer from the sidecar forever:
+    mergeable sketches mean the distinct count of ANY file subset (a
+    partition, a snapshot version, the whole dataset) is a union of
+    the stored 2^lg_k-byte sketches, no data rescan. The min/max
+    sidecar (``StatsIndex``) answers range questions; this answers
+    cardinality questions (compaction sizing, dictionary-encoding
+    decisions, join-side estimation) at the same metadata scale.
+    """
+    from pydala2_spark.functions.safety import quote_identifier
+    from pydala2_spark.plans.fs import delete_paths, rename
+
+    for c in columns:
+        quote_identifier(c)
+    path = dataset_path.rstrip("/")
+    ipath = index_path or f"{path}/_ndv_sketches"
+
+    df = spark.read.parquet(path)
+    fp = F.regexp_replace(F.input_file_name(), "^[A-Za-z0-9+.-]+:/+", "/")
+    parts = None
+    for c in columns:
+        p = (
+            df.select(fp.alias("file_path"), F.col(c).alias("__v"))
+            .groupBy("file_path")
+            .agg(F.hll_sketch_agg("__v", F.lit(lg_k)).alias("sketch"))
+            .select("file_path", F.lit(c).alias("column"), "sketch")
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    out = parts.withColumn("lg_k", F.lit(lg_k))
+
+    staging = f"{ipath}__staging"
+    out.write.mode("overwrite").parquet(staging)
+    delete_paths(spark, [ipath])
+    rename(spark, staging, ipath)
+    n = spark.read.parquet(ipath).count()
+    return {"rows": n, "columns": list(columns)}
+
+
+def estimate_ndv(
+    spark: SparkSession,
+    dataset_path: str,
+    column: str,
+    files: list[str] | None = None,
+    index_path: str | None = None,
+) -> int:
+    """Approximate distinct count of ``column`` over ``files`` (default:
+    every sketched file) by unioning the stored sketches — a
+    metadata-only job whose cost scales with FILE COUNT, not rows.
+    ``files`` accepts any path form; comparison is scheme-free."""
+    import re
+
+    path = dataset_path.rstrip("/")
+    ipath = index_path or f"{path}/_ndv_sketches"
+    sk = spark.read.parquet(ipath).filter(F.col("column") == column)
+    if files is not None:
+        wanted = [re.sub(r"^[A-Za-z0-9+.-]+:/+", "/", f) for f in files]
+        sk = sk.filter(F.col("file_path").isin(wanted))
+    row = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("ndv")
+    ).first()
+    return int(row["ndv"] or 0)

@@ -145,3 +145,35 @@ def test_dataset_api_surface(spark, bloom_ds):
     ds = ParquetDataset(bloom_ds, spark=spark)
     got = ds.scan_point("id", [1234]).where(F.col("id") == 1234)
     assert [r["name"] for r in got.collect()] == ["doc-1234"]
+
+
+# -- NDV sketch sidecar (same uniform-id fixture) --------------------
+
+
+def test_ndv_sketches_estimate_and_subsets(spark, bloom_ds):
+    from pydala2_spark.plans.fs import list_files
+    from pydala2_spark.plans.stats import build_ndv_sketches, estimate_ndv
+
+    out = build_ndv_sketches(spark, bloom_ds, ["id", "name"])
+    assert out["rows"] == 2 * N_FILES  # one sketch per (file, column)
+
+    # full-dataset estimate within HLL error (~1.6% at lg_k=12)
+    est = estimate_ndv(spark, bloom_ds, "id")
+    assert abs(est - N_ROWS) / N_ROWS < 0.05
+
+    # subset estimate: half the files hold ~half the distinct ids
+    files = list_files(spark, bloom_ds, suffixes=(".parquet",))
+    half = files[: len(files) // 2]
+    est_half = estimate_ndv(spark, bloom_ds, "id", files=half)
+    true_half = (
+        spark.read.parquet(*half).select("id").distinct().count()
+    )
+    assert abs(est_half - true_half) / true_half < 0.05
+
+    # string column too
+    est_name = estimate_ndv(spark, bloom_ds, "name")
+    assert abs(est_name - N_ROWS) / N_ROWS < 0.05
+
+
+def test_ndv_sketch_sidecar_hidden(spark, bloom_ds):
+    assert spark.read.parquet(bloom_ds).columns == ["id", "name"]
