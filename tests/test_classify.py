@@ -1,0 +1,89 @@
+"""Distributed logistic regression vs a from-scratch numpy reference
+(same full-batch GD, same iterations — results must agree closely) and
+separation/scoring contracts."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pydala2_spark.operators.classify import logreg_fit, logreg_score
+
+
+def _cloud(seed=3, n=400, d=3):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, d))
+    true_w = np.array([2.0, -1.5, 0.5])
+    z = x @ true_w + 0.3
+    p = 1 / (1 + np.exp(-z))
+    y = (rng.random(n) < p).astype(float)
+    return x, y
+
+
+def _numpy_fit(x, y, iters, lr, standardize=True):
+    n, d = x.shape
+    if standardize:
+        m, s = x.mean(axis=0), x.std(axis=0)
+        s[s == 0] = 1.0
+        xs = (x - m) / s
+    else:
+        m, s = np.zeros(d), np.ones(d)
+        xs = x
+    w, b = np.zeros(d), 0.0
+    for _ in range(iters):
+        r = 1 / (1 + np.exp(-(xs @ w + b))) - y
+        gw = xs.T @ r / n
+        gb = r.mean()
+        w -= lr * gw
+        b -= lr * gb
+    return w / s, b - float((w * m / s).sum())
+
+
+def test_logreg_matches_numpy_reference(spark):
+    x, y = _cloud()
+    rows = [tuple(map(float, x[i])) + (float(y[i]),) for i in range(len(y))]
+    df = spark.createDataFrame(rows, "f1 double, f2 double, f3 double, y double")
+
+    model = logreg_fit(df, ["f1", "f2", "f3"], "y", iters=40, lr=0.5)
+    w_ref, b_ref = _numpy_fit(x, y, iters=40, lr=0.5)
+
+    np.testing.assert_allclose(model["weights"], w_ref, rtol=1e-6, atol=1e-8)
+    assert abs(model["bias"] - b_ref) < 1e-6
+
+    # probabilities equal the numpy model's
+    scored = logreg_score(df, model).select("f1", "f2", "f3", "score").collect()
+    for r in scored[:50]:
+        z = np.dot([r["f1"], r["f2"], r["f3"]], w_ref) + b_ref
+        assert abs(r["score"] - 1 / (1 + np.exp(-z))) < 1e-6
+
+
+def test_logreg_separates_planted_classes(spark):
+    # cleanly separable: positives have feature >> negatives
+    rows = [(float(i % 7) + 10.0, 1.0) for i in range(100)] + [
+        (float(i % 7) - 10.0, 0.0) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "f double, y double")
+    model = logreg_fit(df, ["f"], "y", iters=60, lr=1.0)
+    scored = logreg_score(df, model)
+    pos = scored.filter(F.col("y") == 1.0).agg(F.min("score")).first()[0]
+    neg = scored.filter(F.col("y") == 0.0).agg(F.max("score")).first()[0]
+    assert pos > 0.9 and neg < 0.1
+
+
+def test_logreg_score_plan_is_scan_stage(spark):
+    df = spark.createDataFrame([(1.0, 0.0)], "f double, y double")
+    model = logreg_fit(df.union(df.select(F.lit(2.0), F.lit(1.0))), ["f"], "y", iters=2)
+    plan = logreg_score(df, model)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_logreg_validates(spark):
+    df = spark.createDataFrame([(1.0, 1.0)], "f double, y double")
+    with pytest.raises(ValueError):
+        logreg_fit(df, [], "y")
+    with pytest.raises(ValueError):
+        logreg_fit(df, ["f"], "y", iters=0)
+    with pytest.raises(ValueError):
+        logreg_fit(df.limit(0), ["f"], "y")
