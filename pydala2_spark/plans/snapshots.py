@@ -105,7 +105,11 @@ class SnapshotDataset:
         final = self._manifest_path(manifest["version"])
         if path_exists(self.spark, final):
             return False
-        tmp = f"{final}.tmp-{uuid.uuid4().hex}"
+        # stage OUTSIDE _snapshots/: a tmp file renamed away mid-listing
+        # would make a concurrent versions() iterator throw
+        tmp_dir = f"{self.snapshots_dir}__tmp"
+        mkdirs(self.spark, tmp_dir)
+        tmp = f"{tmp_dir}/{uuid.uuid4().hex}.json"
         write_text(self.spark, tmp, json.dumps(manifest, sort_keys=True))
         if rename(self.spark, tmp, final):
             return True

@@ -99,6 +99,36 @@ def test_concurrent_commit_retries_next_version(spark, tmp_ds_path):
     assert ds.read().count() == 20
 
 
+def test_concurrent_committers_lose_no_updates(spark, tmp_ds_path):
+    """Two writers race 6 commits each through the optimistic manifest
+    lock: every commit must land (12 linear versions + bootstrap), and
+    the final version must contain ALL rows — no lost updates."""
+    import threading
+
+    ds = SnapshotDataset(spark, tmp_ds_path)
+    ds.commit(_df(spark, 0, 1, "seed"))
+    errs = []
+
+    def writer(wid):
+        try:
+            for i in range(6):
+                lo = 1000 * (wid + 1) + i * 10
+                ds.commit(_df(spark, lo, lo + 10, f"w{wid}"))
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(w,)) for w in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert ds.current_version() == 13  # 1 bootstrap + 12 racing commits
+    assert ds.read().count() == 1 + 12 * 10
+    # version numbers are a gapless linear history
+    assert ds.versions() == list(range(1, 14))
+
+
 def test_partitioned_commit_preserves_partition_columns(spark, tmp_ds_path):
     ds = SnapshotDataset(spark, tmp_ds_path)
     df = spark.range(0, 20).select(
