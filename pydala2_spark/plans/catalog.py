@@ -341,6 +341,14 @@ class Catalog:
 
         entry = self._entry(name)
         path = entry["path"]
+        if entry.get("snapshot"):
+            # manifest-managed table: reads follow the snapshot layer
+            # (plans/snapshots.py); an optional `version:` in the entry
+            # pins time travel for every reader of this catalog
+            from pydala2_spark.plans.snapshots import SnapshotDataset
+
+            snap = SnapshotDataset(self.spark, path)
+            return snap if as_dataset else snap.read(entry.get("version"))
         if entry.get("filesystem"):
             profile = self._apply_filesystem(entry["filesystem"])
             path = _rewrite_scheme(path)
@@ -376,7 +384,7 @@ class Catalog:
 
         view = name.rpartition(".")[2]
         quote_identifier(view)  # reject non-identifier table names
-        self.load(name).df.createOrReplaceTempView(view)
+        self.load(name, as_dataset=False).createOrReplaceTempView(view)
         return view
 
     def sql(self, query: str) -> DataFrame:

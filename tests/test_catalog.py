@@ -154,3 +154,28 @@ def test_named_filesystems_two_profiles(spark, tmp_path, catalog):
 
     # show(table) pretty-dumps the entry
     assert "fs_t1" in catalog.show("ns.t1")
+
+
+def test_catalog_snapshot_table_version_pinning(spark, tmp_path, catalog):
+    """A `snapshot: true` entry reads through the manifest layer; an
+    optional `version:` pins time travel for every catalog reader."""
+    from pydala2_spark.plans.snapshots import SnapshotDataset
+
+    p = str(tmp_path / "snapds")
+    ds = SnapshotDataset(spark, p)
+    ds.commit(spark.range(0, 10).selectExpr("id", "'a' AS tag"))
+    ds.commit(spark.range(10, 25).selectExpr("id", "'b' AS tag"))
+
+    catalog.create_table("ns.snap", p, snapshot=True)
+    # latest by default — and debris-proof: a plain directory read
+    # would also count any orphaned files
+    assert catalog.sql("SELECT count(*) AS n FROM snap").first()["n"] == 25
+    assert isinstance(catalog.load("ns.snap"), SnapshotDataset)
+
+    # pin to version 1
+    catalog.update_table("ns.snap", version=1)
+    assert catalog.sql("SELECT count(*) AS n FROM snap").first()["n"] == 10
+
+    # survives the YAML round-trip
+    reloaded = Catalog(catalog.path, spark=spark)
+    assert reloaded.sql("SELECT count(*) AS n FROM snap").first()["n"] == 10
