@@ -25,10 +25,18 @@ from pydala2_spark.sources.dataset import (
 )
 from pydala2_spark.sources.writer import Writer
 from pydala2_spark.operators.asof import asof_join
-from pydala2_spark.operators.merge import MergeResult, merge, merge_frames
+from pydala2_spark.operators.merge import (
+    MergeResult,
+    merge,
+    merge_frames,
+    merge_scd2,
+    scd2_frames,
+)
+from pydala2_spark.plans.bloom import bloom_prune, build_bloom_index, read_bloom_pruned
 from pydala2_spark.plans.cachefs import LocalCache
 from pydala2_spark.plans.catalog import Catalog
-from pydala2_spark.plans.stats import StatsIndex
+from pydala2_spark.plans.snapshots import SnapshotDataset
+from pydala2_spark.plans.stats import StatsIndex, build_ndv_sketches, estimate_ndv
 
 __all__ = [
     "get_spark",
@@ -47,6 +55,14 @@ __all__ = [
     "LocalCache",
     "StatsIndex",
     "asof_join",
+    "merge_scd2",
+    "scd2_frames",
+    "SnapshotDataset",
+    "build_bloom_index",
+    "bloom_prune",
+    "read_bloom_pruned",
+    "build_ndv_sketches",
+    "estimate_ndv",
 ]
 
 __version__ = "0.1.0"
