@@ -1,0 +1,94 @@
+"""Product quantization: deterministic codes, ADC recall against the
+exact cosine ranking, compression/shape contracts."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pydala2_spark.operators.similarity import (
+    cosine_topk,
+    pq_encode,
+    pq_topk,
+    pq_train,
+)
+
+DIM = 32
+N = 300
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """10 well-separated gaussian clusters in 32-d."""
+    rng = np.random.default_rng(5)
+    centers = rng.normal(scale=5.0, size=(10, DIM))
+    rows = []
+    for i in range(N):
+        c = i % 10
+        v = centers[c] + rng.normal(scale=0.4, size=DIM)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_pq_codes_shape_and_determinism(spark, clustered):
+    model = pq_train(clustered, m=4, k=8, iters=3, dim=DIM)
+    assert len(model["codebooks"]) == 4
+    assert all(len(cb) == 8 for cb in model["codebooks"])
+    codes = pq_encode(clustered, model).orderBy("vec_id")
+    got = codes.collect()
+    assert len(got) == N
+    assert all(len(r["codes"]) == 4 for r in got)
+    assert all(0 <= c < 8 for r in got for c in r["codes"])
+    # deterministic end to end: retrain + re-encode → identical codes
+    model2 = pq_train(clustered, m=4, k=8, iters=3, dim=DIM)
+    got2 = pq_encode(clustered, model2).orderBy("vec_id").collect()
+    assert [r["codes"] for r in got] == [r["codes"] for r in got2]
+
+
+def test_pq_adc_recall_vs_exact(spark, clustered):
+    model = pq_train(clustered, m=8, k=16, iters=4, dim=DIM)
+    codes = pq_encode(clustered, model)
+    queries = clustered.filter(F.col("vec_id") < 5)
+    # pq_topk does not exclude self; ask for one extra and drop it
+    approx = pq_topk(
+        codes,
+        queries.select(F.col("vec_id").alias("query_id"), "embedding"),
+        model,
+        k=11,
+    )
+    a = {}
+    for r in approx.collect():
+        if r["vec_id"] != r["query_id"]:
+            a.setdefault(r["query_id"], []).append(r["vec_id"])
+    # PQ is a SHORTLIST stage (feed cosine_topk_rerank for exact
+    # order): within a tight cluster the codes tie, so id-level
+    # recall@10 is quantization-limited by design. The property that
+    # matters is that the shortlist comes from the right region:
+    # every approx neighbor should share the query's planted cluster.
+    same = [
+        sum(1 for n in ns if n % 10 == q % 10) / len(ns) for q, ns in a.items()
+    ]
+    assert sum(same) / len(same) >= 0.9, same
+    # and the exact ranking agrees on the region for reference
+    exact = cosine_topk(clustered, queries, k=10)
+    e_same = {}
+    for r in exact.collect():
+        e_same.setdefault(r["query_id"], []).append(r["neighbor_id"] % 10)
+    assert all(all(c == q % 10 for c in cs) for q, cs in e_same.items())
+
+
+def test_pq_encode_is_scan_stage(spark, clustered):
+    model = pq_train(clustered, m=4, k=4, iters=1, dim=DIM)
+    plan = (
+        pq_encode(clustered, model)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pq_validates(spark, clustered):
+    with pytest.raises(ValueError):
+        pq_train(clustered, m=5, dim=DIM)  # 32 % 5 != 0
+    with pytest.raises(ValueError):
+        pq_train(clustered, m=4, k=1, dim=DIM)
