@@ -82,3 +82,58 @@ def test_pipeline_curation_reduces_corpus(spark, sf_dir):
     by_status = {r["status"]: r["n"] for r in disp.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert sum(by_status.values()) == docs.count()  # total conservation
     assert by_status.get("kept", 0) > 0
+
+
+def test_managed_corpus_lifecycle_snapshots_bloom_ndv(spark, sf_dir, tmp_path):
+    """The storage-side lifecycle composed end to end: raw corpus
+    lands as snapshot v1, the curated corpus publishes as v2
+    (overwrite — raw stays time-travelable), a bloom index serves
+    point lookups on the curated files, and HLL sketches answer
+    per-version cardinality without rescans."""
+    from pydala2_spark.operators.curate import curate_corpus
+    from pydala2_spark.plans.bloom import bloom_prune, build_bloom_index
+    from pydala2_spark.plans.snapshots import SnapshotDataset
+    from pydala2_spark.plans.stats import build_ndv_sketches, estimate_ndv
+    from pydala2_spark.sources.testdata import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "managed_corpus")
+    ds = SnapshotDataset(spark, path)
+
+    m1 = ds.commit(docs)
+    n_raw = ds.read().count()
+    assert n_raw == docs.count()
+
+    curated = curate_corpus(docs).filter(F.col("status") == "kept")
+    kept = docs.join(curated.select("doc_id"), "doc_id", "left_semi")
+    m2 = ds.commit(kept, mode="overwrite")
+    n_cur = ds.read().count()
+    assert 0 < n_cur < n_raw  # curation dropped something
+    assert ds.read(version=m1["version"]).count() == n_raw  # raw preserved
+
+    # point lookup on the curated VERSION: bloom prunes at directory
+    # grain (v1 + v2 files both hold the id), the manifest narrows to
+    # the version — intersect the two file sets
+    some_id = ds.read().select("doc_id").orderBy("doc_id").first()["doc_id"]
+    build_bloom_index(spark, path, "doc_id")
+    keep_files = bloom_prune(spark, path, "doc_id", [some_id])
+    assert keep_files  # conservative, non-empty
+    import re
+
+    v2_files = {f"/{path.lstrip('/')}/{rel}" for rel in m2["files"]}
+    v2_kept = [
+        f for f in keep_files
+        if re.sub(r"^[A-Za-z0-9+.-]+:/+", "/", f) in v2_files
+    ]
+    got = spark.read.parquet(*v2_kept).filter(F.col("doc_id") == some_id)
+    assert got.count() == 1
+
+    # per-version NDV from sketches: curated strictly fewer docs
+    build_ndv_sketches(spark, path, ["doc_id"])
+    files_v2 = [f"{path}/{rel}" for rel in m2["files"]]
+    est_v2 = estimate_ndv(spark, path, "doc_id", files=files_v2)
+    assert abs(est_v2 - n_cur) / n_cur < 0.05
+    files_v1 = [f"{path}/{rel}" for rel in m1["files"]]
+    est_v1 = estimate_ndv(spark, path, "doc_id", files=files_v1)
+    assert abs(est_v1 - n_raw) / n_raw < 0.05
+    assert est_v2 < est_v1
