@@ -322,3 +322,93 @@ def test_segment_dups_matches_bruteforce(spark):
         for did, ss in per_doc.items()
     }
     assert got == want
+
+
+def test_scd2_matches_python_reference_on_random_batches(spark):
+    """Random batch sequences through scd2_frames vs a dict-based
+    python SCD2 model — full history equality, not just invariants."""
+    import random
+
+    from pydala2_spark.operators.merge import scd2_frames
+
+    rng = random.Random(42)
+    keys = list(range(12))
+
+    def ref_apply(hist, batch, ts):
+        # hist: list of [k, val, vf, vt]; batch: {k: val} (last-wins applied)
+        cur = {r[0]: r for r in hist if r[3] is None}
+        out = [list(r) for r in hist]
+        for k, val in batch.items():
+            c = cur.get(k)
+            if c is None:
+                out.append([k, val, ts, None])
+            elif c[1] != val:
+                for r in out:
+                    if r[0] == k and r[3] is None:
+                        r[3] = ts
+                out.append([k, val, ts, None])
+        return out
+
+    hist_ref = [[k, f"v{k}", 0, None] for k in keys]
+    h = spark.createDataFrame(
+        [tuple(r) for r in hist_ref], "k long, val string, valid_from long, valid_to long"
+    )
+    for ts in range(1, 5):
+        batch_rows = []
+        batch_map = {}
+        for k in rng.sample(keys, rng.randint(1, 8)):
+            val = f"b{ts}_{rng.randint(0, 2)}"
+            batch_rows.append((k, val))
+            batch_map[k] = val  # unique keys per batch here
+        src = spark.createDataFrame(batch_rows, "k long, val string")
+        h = scd2_frames(h, src, keys=["k"], ts=ts).localCheckpoint(eager=False)
+        hist_ref = ref_apply(hist_ref, batch_map, ts)
+
+    got = sorted(
+        (r["k"], r["val"], r["valid_from"], r["valid_to"]) for r in h.collect()
+    )
+    want = sorted((r[0], r[1], r[2], r[3]) for r in hist_ref)
+    assert got == want
+
+
+def test_snapshots_match_python_model_on_random_ops(spark, tmp_path):
+    """Random commit/overwrite/rollback sequence vs a python model of
+    per-version visible row sets — every historical version must read
+    back exactly its model state."""
+    import random
+
+    from pydala2_spark.plans.snapshots import SnapshotDataset
+
+    rng = random.Random(7)
+    path = str(tmp_path / "prop_snap")
+    ds = SnapshotDataset(spark, path)
+    model: dict[int, frozenset] = {}  # version -> visible ids
+    cur: frozenset = frozenset()
+    next_id = 0
+
+    for step in range(8):
+        op = rng.choice(["append", "append", "overwrite", "rollback"])
+        if op == "rollback" and model:
+            target = rng.choice(sorted(model))
+            m = ds.rollback(target)
+            cur = model[target]
+        elif op == "overwrite":
+            ids = frozenset(range(next_id, next_id + rng.randint(1, 5)))
+            next_id = max(ids) + 1
+            m = ds.commit(
+                spark.createDataFrame([(i,) for i in sorted(ids)], "id long"),
+                mode="overwrite",
+            )
+            cur = ids
+        else:
+            ids = frozenset(range(next_id, next_id + rng.randint(1, 5)))
+            next_id = max(ids) + 1
+            m = ds.commit(
+                spark.createDataFrame([(i,) for i in sorted(ids)], "id long")
+            )
+            cur = cur | ids
+        model[m["version"]] = cur
+
+    for v, want in model.items():
+        got = frozenset(r["id"] for r in ds.read(version=v).collect())
+        assert got == want, f"version {v}: {got} != {want}"
