@@ -356,24 +356,18 @@ def compact_by_timeperiod(
         # granularity as the per-group loop. One scan + one append
         # replaces 10⁴–10⁶ serial driver-looped jobs on a backlogged
         # dataset; write-new-then-delete-old discipline unchanged.
-        import re
-
-        def _norm(p: str) -> str:
-            # Hadoop qualifies as file:/x, input_file_name() as
-            # file:///x — compare on the scheme-free absolute path
-            return re.sub(r"^[A-Za-z0-9+.-]+:/+", "/", p)
+        # Hadoop qualifies as file:/x, input_file_name() as file:///x —
+        # compare on the scheme-free absolute path (plans/fs rule)
+        from pydala2_spark.plans.fs import schemeless, schemeless_col
 
         fmap = spark.createDataFrame(
-            [(_norm(f), k) for k, fs in plan.groups.items() for f in fs],
+            [(schemeless(f), k) for k, fs in plan.groups.items() for f in fs],
             "__file string, __grp string",
         )
         df = (
             spark.read.option("basePath", path)
             .parquet(*plan.files)
-            .withColumn(
-                "__file",
-                F.regexp_replace(F.input_file_name(), "^[A-Za-z0-9+.-]+:/+", "/"),
-            )
+            .withColumn("__file", schemeless_col(F.input_file_name()))
             .join(F.broadcast(fmap), "__file")
             .drop("__file")
         )

@@ -178,7 +178,9 @@ def _scd2_delta(
     """The SCD2 change set for one batch: closed-out versions of open
     rows whose tracked attributes differ from the source, plus new
     current rows for changed or unseen keys. Unchanged keys produce
-    nothing. Output columns = history columns.
+    nothing. Output columns = history columns: attributes OUTSIDE
+    ``tracked`` never trigger a change and carry forward from the
+    closed row into the new version (NULL for brand-new keys).
 
     One shuffle: source × current-rows join on the keys (source side
     broadcast-gated by the caller's join planner). The delta is
@@ -186,12 +188,16 @@ def _scd2_delta(
     """
     vf_type = dict(history.dtypes)[valid_from]
     vt_type = dict(history.dtypes)[valid_to]
+    untracked = [
+        c for c in history.columns
+        if c not in (*keys, *tracked, valid_from, valid_to)
+    ]
 
     src = source.withColumn(_BATCH, F.lit(0)).withColumn(_ORD, F.monotonically_increasing_id())
     src = _dedup_last_wins(src, keys).select(*keys, *tracked).alias("s")
     cur = (
         history.filter(F.col(valid_to).isNull())
-        .select(*keys, *tracked, valid_from, F.lit(True).alias("__has_cur"))
+        .select(*keys, *tracked, *untracked, valid_from, F.lit(True).alias("__has_cur"))
         .alias("c")
     )
 
@@ -211,12 +217,15 @@ def _scd2_delta(
     new_rows = affected.select(
         *[F.col(f"s.{k}").alias(k) for k in keys],
         *[F.col(f"s.{t}").alias(t) for t in tracked],
+        # untracked attrs carry forward (left join → NULL for new keys)
+        *[F.col(f"c.{u}").alias(u) for u in untracked],
         F.lit(ts).cast(vf_type).alias(valid_from),
         F.lit(None).cast(vt_type).alias(valid_to),
     )
     closed = affected.filter(F.col("c.__has_cur").isNotNull()).select(
         *[F.col(f"s.{k}").alias(k) for k in keys],
         *[F.col(f"c.{t}").alias(t) for t in tracked],  # historic values
+        *[F.col(f"c.{u}").alias(u) for u in untracked],
         F.col(f"c.{valid_from}").alias(valid_from),
         F.lit(ts).cast(vt_type).alias(valid_to),
     )

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _spread(df: DataFrame, *cols: str) -> DataFrame:
@@ -766,9 +767,11 @@ def pq_train(
     compression at the default 64-d/m=8 — the store that makes
     billion-vector ANN shortlists scannable.
 
-    Returns ``{"codebooks": [m][k][d/m], "m", "k", "dim"}``;
-    codebook rows are indexed by the cid kmeans assigned (0..k-1,
-    deterministic smallest-id seeds → reproducible codes).
+    Returns ``{"codebooks": [m][<=k][d/m], "m", "k", "dim"}``;
+    codebook rows are indexed by the cid kmeans assigned
+    (deterministic smallest-id seeds → reproducible codes). A subspace
+    codebook can hold FEWER than k rows — Lloyd's drops a centroid
+    whose cluster empties — so consumers index by actual length.
     """
     d = dim or vector_dim(df, vec_col)
     if d % m != 0:
@@ -831,8 +834,13 @@ def pq_topk(
     row is then m array lookups + adds — pure scan-stage expressions
     over the 32x-compressed store, no join wider than corpus × |Q|,
     one final top-k window shuffle."""
-    mm, kk, d = model["m"], model["k"], model["dim"]
+    mm, d = model["m"], model["dim"]
     dsub = d // mm
+    # kmeans can converge with FEWER than k centroids (an empty cluster
+    # drops out), so the flat LUT strides on the ACTUAL per-subspace
+    # codebook lengths, never the configured k
+    sizes = [len(cb) for cb in model["codebooks"]]
+    offsets = [sum(sizes[:j]) for j in range(mm)]
     qrows = queries.select(query_id_col, vec_col).collect()
     luts = []
     for r in qrows:
@@ -842,17 +850,22 @@ def pq_topk(
         flat = []
         for j in range(mm):
             qsub = v[j * dsub : (j + 1) * dsub]
-            for c in range(kk):
-                cent = model["codebooks"][j][c]
+            for cent in model["codebooks"][j]:
                 flat.append(sum(a * b for a, b in zip(qsub, cent)))
         luts.append((r[query_id_col], flat))
     spark = codes.sparkSession
-    ldf = spark.createDataFrame(luts, f"{query_id_col} long, __lut array<double>")
+    id_type = T.StructType(
+        [
+            queries.schema[query_id_col],
+            T.StructField("__lut", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+    ldf = spark.createDataFrame(luts, id_type)
 
     score = None
     for j in range(mm):
         term = F.element_at(
-            F.col("__lut"), F.lit(j * kk + 1) + F.element_at(F.col("codes"), j + 1)
+            F.col("__lut"), F.lit(offsets[j] + 1) + F.element_at(F.col("codes"), j + 1)
         )
         score = term if score is None else score + term
     w = Window.partitionBy(query_id_col).orderBy(

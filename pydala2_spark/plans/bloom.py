@@ -43,20 +43,15 @@ from pyspark.sql import functions as F
 
 from pydala2_spark.functions.safety import quote_identifier
 
+# Hadoop qualifies local paths as file:/x, input_file_name() as
+# file:///x — all sidecar paths are stored and compared scheme-free
+# through the package-wide rule in plans/fs.py
+from pydala2_spark.plans.fs import schemeless as _schemeless
+from pydala2_spark.plans.fs import schemeless_col as _schemeless_col
+
 #: sentinel word_index marking "this file was indexed" even when the
 #: indexed column held no non-null values in it.
 _SENTINEL = -1
-
-# Hadoop qualifies local paths as file:/x, input_file_name() as
-# file:///x — all sidecar paths are stored and compared scheme-free
-# (same rule as operators/maintenance.py:335-348)
-_SCHEME_RE = "^[A-Za-z0-9+.-]+:/+"
-
-
-def _schemeless(p: str) -> str:
-    import re
-
-    return re.sub(_SCHEME_RE, "/", p)
 
 
 def _bloom_sidecar_path(dataset_path: str, column: str) -> str:
@@ -120,7 +115,7 @@ def build_bloom_index(
     df = spark.read.parquet(path)
     value_type = df.schema[column].dataType.simpleString()
     values = df.select(
-        F.regexp_replace(F.input_file_name(), _SCHEME_RE, "/").alias("file_path"),
+        _schemeless_col(F.input_file_name()).alias("file_path"),
         F.col(column).alias("__v"),
     ).where(F.col("__v").isNotNull())
 
@@ -194,9 +189,22 @@ def bloom_prune(
     indexed = {r["file_path"] for r in idx.select("file_path").distinct().collect()}
     unknown = [orig for key, orig in current.items() if key not in indexed]
 
-    probe = spark.createDataFrame([(str(v),) for v in values], "raw string").select(
-        F.monotonically_increasing_id().alias("value_id"),
-        F.col("raw").cast(value_type).alias("__v"),
+    # probe values must hash EXACTLY as the build side did, so they
+    # must enter the plan in the column's native type. Direct typed
+    # construction handles every type faithfully (bytes → binary —
+    # str(bytes) would hash the repr and silently false-negative);
+    # fall back to string→cast for convenience probes like an int
+    # against a string column.
+    try:
+        probe_raw = spark.createDataFrame(
+            [(v,) for v in values], f"__v {value_type}"
+        )
+    except Exception:
+        probe_raw = spark.createDataFrame(
+            [(str(v),) for v in values], "raw string"
+        ).select(F.col("raw").cast(value_type).alias("__v"))
+    probe = probe_raw.select(
+        F.monotonically_increasing_id().alias("value_id"), "__v"
     )
     probe_words = _position_words(probe, "__v", int(num_bits), int(num_hashes))
 

@@ -341,14 +341,6 @@ class Catalog:
 
         entry = self._entry(name)
         path = entry["path"]
-        if entry.get("snapshot"):
-            # manifest-managed table: reads follow the snapshot layer
-            # (plans/snapshots.py); an optional `version:` in the entry
-            # pins time travel for every reader of this catalog
-            from pydala2_spark.plans.snapshots import SnapshotDataset
-
-            snap = SnapshotDataset(self.spark, path)
-            return snap if as_dataset else snap.read(entry.get("version"))
         if entry.get("filesystem"):
             profile = self._apply_filesystem(entry["filesystem"])
             path = _rewrite_scheme(path)
@@ -368,6 +360,17 @@ class Catalog:
                 )
                 cache.sync()
                 path = cache.cache_dir
+        if entry.get("snapshot"):
+            # manifest-managed table: reads follow the snapshot layer
+            # (plans/snapshots.py); an optional `version:` in the entry
+            # pins time travel for every reader of this catalog. This
+            # branch sits AFTER the filesystem-profile block so an
+            # s3-profiled snapshot table gets its credentials and
+            # scheme rewrite like any other entry.
+            from pydala2_spark.plans.snapshots import SnapshotDataset
+
+            snap = SnapshotDataset(self.spark, path)
+            return snap if as_dataset else snap.read(entry.get("version"))
         cls = {"parquet": ParquetDataset, "csv": CSVDataset, "json": JSONDataset}.get(
             entry.get("format", "parquet"), ParquetDataset
         )

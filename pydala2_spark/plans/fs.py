@@ -114,6 +114,46 @@ def copy_file(spark: SparkSession, src: str, dst: str) -> bool:
     )
 
 
+SCHEME_RE = r"^[A-Za-z0-9+.-]+:/+"
+
+
+def schemeless(path: str) -> str:
+    """Scheme-free absolute form for path COMPARISONS: Hadoop
+    qualifies local paths as ``file:/x`` while ``input_file_name()``
+    yields ``file:///x`` — every sidecar/manifest comparison in the
+    package goes through this one rule (and its Column twin
+    ``schemeless_col``)."""
+    import re
+
+    return re.sub(SCHEME_RE, "/", path)
+
+
+def schemeless_col(col):
+    """Column form of :func:`schemeless` (e.g. over input_file_name)."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(col, SCHEME_RE, "/")
+
+
+def file_mtimes(spark: SparkSession, path: str) -> dict[str, int]:
+    """Modification time (epoch millis) per data file — recursive,
+    hidden files skipped (same visibility rule as list_files)."""
+    fs, hpath, _ = _fs_and_path(spark, path)
+    if not fs.exists(hpath):
+        return {}
+    base = fs.makeQualified(hpath).toString()
+    out: dict[str, int] = {}
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        status = it.next()
+        p = status.getPath().toString()
+        rel = p[len(base):] if p.startswith(base) else p
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/") if seg):
+            continue
+        out[p] = int(status.getModificationTime())
+    return out
+
+
 def file_sizes(spark: SparkSession, path: str) -> dict[str, int]:
     fs, hpath, _ = _fs_and_path(spark, path)
     if not fs.exists(hpath):

@@ -116,6 +116,30 @@ class SnapshotDataset:
         delete_paths(self.spark, [tmp])
         return False
 
+    # -- dataset-compatible surface (Catalog.files/schema/write_table) ----
+
+    def files(self) -> list[str]:
+        """Absolute paths of the CURRENT version's data files (the
+        dataset-facade contract; snapshot semantics: manifest, not
+        directory listing)."""
+        v = self.current_version()
+        if v is None:
+            return []
+        return [f"{self.path}/{rel}" for rel in self._read_manifest(v)["files"]]
+
+    @property
+    def schema(self):
+        return self.read().schema
+
+    def write_to_dataset(self, data, mode: str = "append", **kwargs) -> None:
+        """Dataset-facade write: a snapshot COMMIT (append/overwrite).
+        Accepts the same input families as the writer."""
+        from pydala2_spark.sources.writer import to_spark_df
+
+        df = to_spark_df(self.spark, data)
+        allowed = {"partition_by", "compression", "max_rows_per_file", "extra"}
+        self.commit(df, mode=mode, **{k: v for k, v in kwargs.items() if k in allowed})
+
     def history(self) -> list[dict]:
         """Manifest metadata, oldest first (files list omitted)."""
         out = []
@@ -264,7 +288,10 @@ class SnapshotDataset:
 
         Only files ≤ ``small_file_max_bytes`` rewrite; survivors carry
         over by name. Returns the new manifest, or None when fewer than
-        two small files exist. Reclaim the replaced files later with
+        two small files exist — or when a concurrent commit removed any
+        of the small files mid-compaction (publishing would resurrect
+        rows that commit deleted; the rewrite is abandoned and its
+        files cleaned up). Reclaim replaced files later with
         ``vacuum(keep_last=...)``.
         """
         from pydala2_spark.plans.fs import file_sizes, qualified
@@ -293,14 +320,25 @@ class SnapshotDataset:
         )
         own = self._stage_and_move(df, None, compression, 10_000_000)
 
+        schema_json = m["schema_json"]
         for _ in range(_MAX_COMMIT_RETRIES):
             cur = self.current_version()
             if cur != head:
-                # another commit landed mid-compaction: its view of the
-                # dataset may add/remove files we didn't rewrite — keep
-                # its files, swap only small→compacted
+                # another commit landed mid-compaction: keep its files,
+                # swap only small→compacted — but ONLY if every small
+                # file is still referenced by the new head. An
+                # overwrite (or a racing compact) that dropped any of
+                # them means our rewrite contains rows the new head
+                # deleted; publishing would resurrect them. Abandon:
+                # our moved files are unreferenced debris for vacuum.
                 latest = self._read_manifest(cur)
+                if not set(smalls) <= set(latest["files"]):
+                    from pydala2_spark.plans.fs import delete_paths
+
+                    delete_paths(self.spark, [f"{self.path}/{rel}" for rel in own])
+                    return None
                 survivors = [f for f in latest["files"] if f not in set(smalls)]
+                schema_json = latest["schema_json"]
                 head = cur
             manifest = {
                 "version": (head or 0) + 1,
@@ -308,7 +346,7 @@ class SnapshotDataset:
                 "operation": "compact",
                 "files": sorted(set(survivors) | set(own)),
                 "added": sorted(own),
-                "schema_json": m["schema_json"],
+                "schema_json": schema_json,
                 "ts": time.time(),
             }
             if self._try_publish(manifest):
@@ -363,7 +401,9 @@ class SnapshotDataset:
 
     # -- vacuum -----------------------------------------------------------
 
-    def vacuum(self, keep_last: int | None = None) -> dict:
+    def vacuum(
+        self, keep_last: int | None = None, orphan_grace_seconds: int = 3600
+    ) -> dict:
         """Delete data files no retained manifest references.
 
         With ``keep_last=N``, manifests older than the newest N are
@@ -371,8 +411,24 @@ class SnapshotDataset:
         deletable); without it every version is retained and only
         orphans (crashed commits) are removed. Never touches the
         current version's files.
+
+        ``orphan_grace_seconds`` protects IN-FLIGHT commits: a
+        committer moves its data files into the root BEFORE publishing
+        the manifest, so an unreferenced file younger than the grace
+        window may be a commit about to publish — deleting it would
+        corrupt that version the instant its manifest lands. Only
+        unreferenced files older than the grace are deleted (the
+        Iceberg orphan-retention rule). Pass 0 only when no writer can
+        be active.
         """
-        from pydala2_spark.plans.fs import delete_paths, list_files, qualified
+        import time as _time
+
+        from pydala2_spark.plans.fs import (
+            delete_paths,
+            file_mtimes,
+            list_files,
+            qualified,
+        )
 
         versions = self.versions()
         if not versions:
@@ -386,12 +442,22 @@ class SnapshotDataset:
         for v in retained:
             referenced.update(self._read_manifest(v)["files"])
 
+        # files referenced ONLY by dropped versions: age-irrelevant —
+        # no in-flight commit can adopt an already-manifested file
+        dropped_referenced: set[str] = set()
+        for v in drop_versions:
+            dropped_referenced.update(self._read_manifest(v)["files"])
+
         base = qualified(self.spark, self.path)
+        mtimes = file_mtimes(self.spark, self.path)
+        cutoff_ms = (_time.time() - orphan_grace_seconds) * 1000
         doomed = []
         for f in list_files(self.spark, self.path, suffixes=(".parquet",)):
             q = qualified(self.spark, f)
             rel = q[len(base) :].lstrip("/") if q.startswith(base) else q
-            if rel not in referenced:
+            if rel in referenced:
+                continue
+            if rel in dropped_referenced or mtimes.get(q, mtimes.get(f, 0)) <= cutoff_ms:
                 doomed.append(f)
         n_files = delete_paths(self.spark, doomed)
         n_manifests = delete_paths(

@@ -445,7 +445,9 @@ def build_ndv_sketches(
     ipath = index_path or f"{path}/_ndv_sketches"
 
     df = spark.read.parquet(path)
-    fp = F.regexp_replace(F.input_file_name(), "^[A-Za-z0-9+.-]+:/+", "/")
+    from pydala2_spark.plans.fs import schemeless_col
+
+    fp = schemeless_col(F.input_file_name())
     parts = None
     for c in columns:
         p = (
@@ -471,19 +473,37 @@ def estimate_ndv(
     column: str,
     files: list[str] | None = None,
     index_path: str | None = None,
+    missing_ok: bool = False,
 ) -> int:
     """Approximate distinct count of ``column`` over ``files`` (default:
-    every sketched file) by unioning the stored sketches — a
+    every file of the dataset) by unioning the stored sketches — a
     metadata-only job whose cost scales with FILE COUNT, not rows.
-    ``files`` accepts any path form; comparison is scheme-free."""
-    import re
+    ``files`` accepts any path form; comparison is scheme-free.
+
+    Staleness is an ERROR, not a silent undercount: a requested (or
+    present-in-the-dataset) file with no stored sketch raises unless
+    ``missing_ok=True`` — the min/max and bloom sidecars degrade
+    conservatively (unknown ⇒ keep), but there is no conservative
+    cardinality, so the only honest answers are "rebuild the sketches"
+    or an explicit opt-in to a lower bound."""
+    from pydala2_spark.plans.fs import list_files, qualified, schemeless
 
     path = dataset_path.rstrip("/")
     ipath = index_path or f"{path}/_ndv_sketches"
     sk = spark.read.parquet(ipath).filter(F.col("column") == column)
-    if files is not None:
-        wanted = [re.sub(r"^[A-Za-z0-9+.-]+:/+", "/", f) for f in files]
-        sk = sk.filter(F.col("file_path").isin(wanted))
+    if files is None:
+        files = [qualified(spark, f) for f in list_files(spark, path, suffixes=(".parquet",))]
+    wanted = [schemeless(f) for f in files]
+    if not missing_ok:
+        sketched = {r["file_path"] for r in sk.select("file_path").distinct().collect()}
+        missing = [f for f in wanted if f not in sketched]
+        if missing:
+            raise ValueError(
+                f"{len(missing)} file(s) have no stored sketch for {column!r} "
+                f"(e.g. {missing[0]}); re-run build_ndv_sketches or pass "
+                f"missing_ok=True for a lower-bound estimate"
+            )
+    sk = sk.filter(F.col("file_path").isin(wanted))
     row = sk.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("ndv")
     ).first()

@@ -177,3 +177,27 @@ def test_ndv_sketches_estimate_and_subsets(spark, bloom_ds):
 
 def test_ndv_sketch_sidecar_hidden(spark, bloom_ds):
     assert spark.read.parquet(bloom_ds).columns == ["id", "name"]
+
+
+def test_binary_column_probe_no_false_negative(spark, tmp_ds_path):
+    """Binary probes must hash the raw BYTES, not str(bytes) — the
+    content-hash column use case from the module docstring."""
+    import hashlib
+
+    rows = [(i, hashlib.md5(str(i).encode()).digest()) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, content_md5 binary")
+    df.repartition(4).write.parquet(tmp_ds_path)
+    build_bloom_index(spark, tmp_ds_path, "content_md5", num_bits=1 << 16)
+
+    probe = hashlib.md5(b"123").digest()
+    kept = bloom_prune(spark, tmp_ds_path, "content_md5", [probe])
+    holder = _norm(
+        r["f"]
+        for r in spark.read.parquet(tmp_ds_path)
+        .where(F.col("content_md5") == probe)
+        .select(F.input_file_name().alias("f"))
+        .collect()
+    )
+    assert holder  # the value exists
+    assert holder <= _norm(kept)  # and its file survives pruning
+    assert len(kept) < 4  # while the index still prunes

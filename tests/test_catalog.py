@@ -179,3 +179,18 @@ def test_catalog_snapshot_table_version_pinning(spark, tmp_path, catalog):
     # survives the YAML round-trip
     reloaded = Catalog(catalog.path, spark=spark)
     assert reloaded.sql("SELECT count(*) AS n FROM snap").first()["n"] == 10
+
+
+def test_catalog_snapshot_table_full_surface(spark, tmp_path, catalog):
+    """files()/schema()/write_table() must work for snapshot tables,
+    not just load/register/sql."""
+    from pydala2_spark.plans.snapshots import SnapshotDataset
+
+    p = str(tmp_path / "snapds2")
+    SnapshotDataset(spark, p).commit(spark.range(0, 4).selectExpr("id", "'x' AS tag"))
+    catalog.create_table("ns.s2", p, snapshot=True)
+
+    assert len(catalog.files("ns.s2")) >= 1
+    assert set(f.name for f in catalog.schema("ns.s2").fields) == {"id", "tag"}
+    catalog.write_table("ns.s2", spark.range(4, 6).selectExpr("id", "'y' AS tag"))
+    assert catalog.sql("SELECT count(*) AS n FROM s2").first()["n"] == 6

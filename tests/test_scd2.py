@@ -210,3 +210,26 @@ def test_pca_validates_inputs(spark):
         pca_fit(df, k=3, dim=2)
     with pytest.raises(ValueError):
         pca_fit(df.limit(0), k=1, dim=2)
+
+
+def test_scd2_explicit_tracked_carries_untracked_forward(spark):
+    """tracked narrower than the history's attributes: untracked
+    columns never trigger a change and carry forward into the new
+    version (NULL for brand-new keys)."""
+    h = spark.createDataFrame(
+        [(1, "a", "m1", 0, None), (2, "b", "m2", 0, None)],
+        "k long, val string, memo string, valid_from long, valid_to long",
+    )
+    s = _src(spark, [(1, "A"), (3, "c")])  # 1 changes, 3 new; 2 untouched
+    out = (
+        scd2_frames(h, s, keys=["k"], ts=1, tracked=["val"])
+        .orderBy("k", "valid_from")
+        .collect()
+    )
+    got = [(r["k"], r["val"], r["memo"], r["valid_from"], r["valid_to"]) for r in out]
+    assert got == [
+        (1, "a", "m1", 0, 1),
+        (1, "A", "m1", 1, None),  # memo carried forward
+        (2, "b", "m2", 0, None),
+        (3, "c", None, 1, None),  # new key: no memo to inherit
+    ]

@@ -56,7 +56,10 @@ def test_crash_debris_invisible_then_vacuumed(spark, tmp_ds_path):
     _df(spark, 100, 200, "crash").coalesce(1).write.mode("append").parquet(tmp_ds_path)
     assert ds.read().count() == 10  # snapshot readers never see debris
     n_before = len(list_files(spark, tmp_ds_path, suffixes=(".parquet",)))
-    out = ds.vacuum()
+    # default grace window protects young unreferenced files: they may
+    # be an IN-FLIGHT commit's moved-but-unpublished data
+    assert ds.vacuum()["deleted_files"] == 0
+    out = ds.vacuum(orphan_grace_seconds=0)  # no writers active: safe
     assert out["deleted_files"] >= 1
     assert ds.read().count() == 10
     assert len(list_files(spark, tmp_ds_path, suffixes=(".parquet",))) < n_before
@@ -176,6 +179,38 @@ def test_compact_preserves_history_and_rows(spark, tmp_ds_path):
     out = ds.vacuum(keep_last=1)
     assert out["deleted_files"] >= 2
     assert sorted(r["id"] for r in ds.read().collect()) == rows_before
+
+
+def test_compact_abandons_when_concurrent_overwrite_drops_smalls(
+    spark, tmp_ds_path, monkeypatch
+):
+    """A concurrent overwrite that removes the small files mid-compaction
+    must make compact abandon (returning None) instead of publishing a
+    version that resurrects the overwritten rows."""
+    from pydala2_spark.plans.snapshots import SnapshotDataset as SDS
+
+    ds = SDS(spark, tmp_ds_path)
+    for k in range(3):
+        ds.commit(_df(spark, k * 10, (k + 1) * 10, f"t{k}"))
+
+    other = SDS(spark, tmp_ds_path)
+    real_publish = SDS._try_publish
+    fired = {"done": False}
+
+    def racing_publish(self, manifest):
+        if not fired["done"] and manifest.get("operation") == "compact":
+            fired["done"] = True
+            # the race: an overwrite lands first, dropping every old file
+            other.commit(_df(spark, 900, 905, "ow"), mode="overwrite")
+        return real_publish(self, manifest)
+
+    monkeypatch.setattr(SDS, "_try_publish", racing_publish)
+    out = ds.compact()
+    assert out is None  # abandoned, not resurrected
+    assert sorted(r["id"] for r in ds.read().collect()) == [900, 901, 902, 903, 904]
+    # the abandoned rewrite left no referenced debris: vacuum(0) cleans
+    ds.vacuum(orphan_grace_seconds=0)
+    assert sorted(r["id"] for r in ds.read().collect()) == [900, 901, 902, 903, 904]
 
 
 def test_read_pruned_skips_files_and_respects_version(spark, tmp_ds_path):
