@@ -467,6 +467,65 @@ def build_ndv_sketches(
     return {"rows": n, "columns": list(columns)}
 
 
+def refresh_ndv_sketches(
+    spark: SparkSession,
+    dataset_path: str,
+    index_path: str | None = None,
+) -> dict:
+    """Incremental sketch refresh: sketch ONLY files added since the
+    last build/refresh (for every column the sidecar already tracks),
+    drop rows of removed files. Keeps ``estimate_ndv``'s staleness
+    guard satisfied after appends without rescanning the corpus.
+    Returns ``{"added": n, "removed": m, "total": k}``."""
+    from pydala2_spark.plans.fs import (
+        delete_paths,
+        list_files,
+        qualified,
+        rename,
+        schemeless,
+        schemeless_col,
+    )
+
+    path = dataset_path.rstrip("/")
+    ipath = index_path or f"{path}/_ndv_sketches"
+    old = spark.read.parquet(ipath)
+    first = old.select("lg_k").first()
+    lg_k = int(first["lg_k"])
+    columns = [r["column"] for r in old.select("column").distinct().collect()]
+    indexed = {r["file_path"] for r in old.select("file_path").distinct().collect()}
+    current = {
+        schemeless(qualified(spark, f)): f
+        for f in list_files(spark, path, suffixes=(".parquet",))
+    }
+    added = sorted(k for k in current if k not in indexed)
+    removed = indexed - set(current)
+
+    parts = [old.filter(~F.col("file_path").isin(list(removed)) if removed else F.lit(True))]
+    if added:
+        df = spark.read.parquet(*[current[k] for k in added])
+        fp = schemeless_col(F.input_file_name())
+        for c in columns:
+            parts.append(
+                df.select(fp.alias("file_path"), F.col(c).alias("__v"))
+                .groupBy("file_path")
+                .agg(F.hll_sketch_agg("__v", F.lit(lg_k)).alias("sketch"))
+                .select(
+                    "file_path",
+                    F.lit(c).alias("column"),
+                    "sketch",
+                    F.lit(lg_k).alias("lg_k"),
+                )
+            )
+    new_index = parts[0]
+    for p in parts[1:]:
+        new_index = new_index.unionByName(p)
+    staging = f"{ipath}__staging"
+    new_index.write.mode("overwrite").parquet(staging)
+    delete_paths(spark, [ipath])
+    rename(spark, staging, ipath)
+    return {"added": len(added), "removed": len(removed), "total": len(current)}
+
+
 def estimate_ndv(
     spark: SparkSession,
     dataset_path: str,

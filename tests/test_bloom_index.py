@@ -201,3 +201,40 @@ def test_binary_column_probe_no_false_negative(spark, tmp_ds_path):
     assert holder  # the value exists
     assert holder <= _norm(kept)  # and its file survives pruning
     assert len(kept) < 4  # while the index still prunes
+
+
+def test_incremental_refreshes_cover_appended_files(spark, tmp_ds_path):
+    """bloom + NDV sidecars refresh incrementally: only appended files
+    are scanned, and both probes then see the new data."""
+    from pydala2_spark.plans.bloom import refresh_bloom_index
+    from pydala2_spark.plans.stats import (
+        build_ndv_sketches,
+        estimate_ndv,
+        refresh_ndv_sketches,
+    )
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(200)], "id long, name string")
+    df.repartition(2).write.parquet(tmp_ds_path)
+    build_bloom_index(spark, tmp_ds_path, "id", num_bits=1 << 16)
+    build_ndv_sketches(spark, tmp_ds_path, ["id"])
+
+    # append a file holding a brand-new id
+    spark.createDataFrame([(5555, "late")], "id long, name string").coalesce(
+        1
+    ).write.mode("append").parquet(tmp_ds_path)
+
+    out_b = refresh_bloom_index(spark, tmp_ds_path, "id")
+    assert out_b["added"] == 1 and out_b["removed"] == 0 and out_b["total"] == 3
+    # after refresh the new file is INDEXED (not conservative-kept):
+    # probing an absent value prunes everything
+    assert bloom_prune(spark, tmp_ds_path, "id", [999_999]) == []
+    # and the new id's file is found
+    kept = bloom_prune(spark, tmp_ds_path, "id", [5555])
+    assert len(kept) >= 1
+    got = spark.read.parquet(*kept).where(F.col("id") == 5555)
+    assert got.count() == 1
+
+    out_s = refresh_ndv_sketches(spark, tmp_ds_path)
+    assert out_s["added"] == 1 and out_s["total"] == 3
+    est = estimate_ndv(spark, tmp_ds_path, "id")  # staleness guard passes
+    assert abs(est - 201) / 201 < 0.05
