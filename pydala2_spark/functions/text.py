@@ -257,3 +257,45 @@ def redact_pii(text: str = "text", replacement: str = "[REDACTED]") -> Column:
     for kind in ("url", "email", "phone", "ipv4"):
         col = F.regexp_replace(col, PII_PATTERNS[kind], replacement)
     return col
+
+
+def normalize_text(
+    text: str = "text",
+    lowercase: bool = False,
+    collapse_whitespace: bool = True,
+    strip_control: bool = True,
+    unify_punct: bool = True,
+) -> Column:
+    """Canonicalize raw text before hashing/dedup — pure Catalyst
+    expressions (regexp/translate/lower are JVM built-ins), so the
+    normalization runs in the scan stage like every other text op.
+
+    Steps (each independently toggleable):
+    - ``strip_control``: drop C0/C1 control chars and zero-width
+      code points (ZWSP/ZWNJ/ZWJ/BOM) — the invisible bytes that make
+      visually identical documents hash differently;
+    - ``unify_punct``: map curly quotes/dashes/ellipsis to their ASCII
+      forms (the dominant "same text, different bytes" source in web
+      corpora);
+    - ``collapse_whitespace``: any run of unicode whitespace → one
+      space, trimmed;
+    - ``lowercase``: unicode-aware ``lower()`` (off by default: case
+      carries signal for quality models).
+
+    NFC/NFD unicode normalization is deliberately NOT attempted here —
+    it needs ICU, which means a Python UDF; route documents needing it
+    through an Arrow-batched ``mapInPandas`` stage instead (the
+    multimodal decode pattern), and keep this expression-only path for
+    the 99 % case.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    if strip_control:
+        c = F.regexp_replace(c, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F​‌‍﻿]", "")
+    if unify_punct:
+        c = F.translate(c, "‘’‚“”„–—−", "'''\"\"\"---")
+        c = F.regexp_replace(c, "…", "...")
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    if lowercase:
+        c = F.lower(c)
+    return c

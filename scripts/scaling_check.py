@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 from pydala2_spark.session import get_spark
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+_pos_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+FACTOR = int(_pos_args[0]) if _pos_args else 10
 OUT = f"/tmp/sfscale_x{FACTOR}"
 
 QUERIES = [
@@ -156,8 +157,12 @@ def main() -> None:
     build(spark)
     qs = queries()
 
+    # --all: the ENTIRE registry instead of the curated heavy list —
+    # the full-coverage long-tail sweep (slow; run in the background)
+    names = sorted(qs) if "--all" in sys.argv else QUERIES
+
     print(f"{'query':32s} {'1x':>7s} {'x' + str(FACTOR):>7s} {'ratio':>7s}")
-    for name in QUERIES:
+    for name in names:
         fn = qs[name]
         times = {}
         for label, d in (("base", BASE), ("big", OUT)):

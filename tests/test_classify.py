@@ -87,3 +87,47 @@ def test_logreg_validates(spark):
         logreg_fit(df, ["f"], "y", iters=0)
     with pytest.raises(ValueError):
         logreg_fit(df.limit(0), ["f"], "y")
+
+
+# -- text normalization (scan-stage expressions) ----------------------
+
+
+def test_normalize_text_matches_python_reference(spark):
+    import re
+
+    from pydala2_spark.functions.text import normalize_text
+
+    samples = [
+        "Hello​ “world” — it’s\x07 fine…  ",
+        "  multi   space\tand\nnewlines ",
+        "plain ascii stays",
+        "‘quoted’ – dashed − minus",
+    ]
+
+    def ref(s):
+        s = re.sub(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F​‌‍﻿]", "", s)
+        table = {"‘": "'", "’": "'", "‚": "'", "“": '"',
+                 "”": '"', "„": '"', "–": "-", "—": "-",
+                 "−": "-"}
+        s = "".join(table.get(ch, ch) for ch in s)
+        s = s.replace("…", "...")
+        s = re.sub(r"\s+", " ", s).strip()
+        return s
+
+    df = spark.createDataFrame([(s,) for s in samples], "text string")
+    got = [r["n"] for r in df.select(normalize_text().alias("n")).collect()]
+    assert got == [ref(s) for s in samples]
+
+
+def test_normalize_text_is_scan_stage(spark):
+    from pydala2_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame([("x",)], "text string")
+    plan = (
+        df.select(normalize_text(lowercase=True).alias("n"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
