@@ -32,11 +32,21 @@ from pydala2_spark.operators.merge import (
     merge_scd2,
     scd2_frames,
 )
-from pydala2_spark.plans.bloom import bloom_prune, build_bloom_index, read_bloom_pruned
+from pydala2_spark.plans.bloom import (
+    bloom_prune,
+    build_bloom_index,
+    read_bloom_pruned,
+    refresh_bloom_index,
+)
 from pydala2_spark.plans.cachefs import LocalCache
 from pydala2_spark.plans.catalog import Catalog
 from pydala2_spark.plans.snapshots import SnapshotDataset
-from pydala2_spark.plans.stats import StatsIndex, build_ndv_sketches, estimate_ndv
+from pydala2_spark.plans.stats import (
+    StatsIndex,
+    build_ndv_sketches,
+    estimate_ndv,
+    refresh_ndv_sketches,
+)
 
 __all__ = [
     "get_spark",
@@ -63,6 +73,8 @@ __all__ = [
     "read_bloom_pruned",
     "build_ndv_sketches",
     "estimate_ndv",
+    "refresh_bloom_index",
+    "refresh_ndv_sketches",
 ]
 
 __version__ = "0.1.0"

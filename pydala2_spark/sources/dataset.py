@@ -520,6 +520,13 @@ class ParquetDataset(BaseDataset):
 
         return read_pruned(self.spark, self.path, column, lo, hi)
 
+    def snapshots(self):
+        """Snapshot view over this dataset's directory (plans/
+        snapshots.py): atomic commits, time travel, rollback, vacuum."""
+        from pydala2_spark.plans.snapshots import SnapshotDataset
+
+        return SnapshotDataset(self.spark, self.path)
+
     def build_bloom_index(self, column: str, **kw) -> dict:
         """Per-file bloom sidecar for point-lookup file skipping —
         the range-stats complement (plans/bloom.py); min/max cannot
