@@ -3530,8 +3530,20 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = os.path.join(sf_dir, "events.parquet")
     zone = tempfile.mkdtemp(prefix="dupzone_")
-    shutil.copy(src, os.path.join(zone, "a.parquet"))
-    shutil.copy(src, os.path.join(zone, "b.parquet"))  # duplicate delivery
+
+    # the driver's testdata ships events as ONE file; a synthetic
+    # scaled corpus (scripts/scaling_check.py) writes a directory of
+    # part files — deliver either shape, twice
+    def _deliver(tag: str) -> None:
+        if os.path.isdir(src):
+            parts = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+            for i, f in enumerate(parts):
+                shutil.copy(os.path.join(src, f), os.path.join(zone, f"{tag}_{i}.parquet"))
+        else:
+            shutil.copy(src, os.path.join(zone, f"{tag}.parquet"))
+
+    _deliver("a")
+    _deliver("b")  # duplicate delivery
     events = read_event_stream(spark, zone)
     deduped = dedup_stream(events, ["event_id"], watermark="90 days")
     agg = deduped.groupBy("event_type").agg(

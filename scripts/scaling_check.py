@@ -154,12 +154,17 @@ def main() -> None:
     from pydala2_spark.queries import queries
 
     spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    build(spark)
+    if "--skip-build" not in sys.argv:  # reuse an existing OUT corpus
+        build(spark)
     qs = queries()
 
     # --all: the ENTIRE registry instead of the curated heavy list —
-    # the full-coverage long-tail sweep (slow; run in the background)
+    # the full-coverage long-tail sweep (slow; run in the background);
+    # --only=a,b,c restricts to named queries
     names = sorted(qs) if "--all" in sys.argv else QUERIES
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            names = [n for n in a[len("--only="):].split(",") if n in qs]
 
     print(f"{'query':32s} {'1x':>7s} {'x' + str(FACTOR):>7s} {'ratio':>7s}")
     for name in names:
