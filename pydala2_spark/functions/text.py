@@ -295,7 +295,10 @@ def normalize_text(
         c = F.translate(c, "‘’‚“”„–—−", "'''\"\"\"---")
         c = F.regexp_replace(c, "…", "...")
     if collapse_whitespace:
-        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+        # (?U) = Java UNICODE_CHARACTER_CLASS: \s then covers NBSP,
+        # thin/ideographic spaces — the web-corpus whitespace family
+        c = F.regexp_replace(c, r"(?U)\s+", " ")
+        c = F.regexp_replace(c, r"^ +| +$", "")
     if lowercase:
         c = F.lower(c)
     return c

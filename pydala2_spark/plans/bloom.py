@@ -107,7 +107,7 @@ def build_bloom_index(
         raise ValueError(f"num_bits must be a power of two >= 64, got {num_bits}")
     if not 1 <= num_hashes <= 16:
         raise ValueError(f"num_hashes must be in [1, 16], got {num_hashes}")
-    from pydala2_spark.plans.fs import delete_paths, list_files, qualified, rename
+    from pydala2_spark.plans.fs import list_files, qualified, replace_dir
 
     path = dataset_path.rstrip("/")
     ipath = index_path or _bloom_sidecar_path(path, column)
@@ -145,8 +145,7 @@ def build_bloom_index(
 
     staging = f"{ipath}__staging"
     out.write.mode("overwrite").parquet(staging)
-    delete_paths(spark, [ipath])
-    rename(spark, staging, ipath)
+    replace_dir(spark, staging, ipath)
 
     idx = spark.read.parquet(ipath)
     n_words = idx.where(F.col("word_index") != _SENTINEL).count()
@@ -167,13 +166,7 @@ def refresh_bloom_index(
     rebuild. Returns ``{"added": n, "removed": m, "total": k}``.
     """
     quote_identifier(column)
-    from pydala2_spark.plans.fs import (
-        delete_paths,
-        list_files,
-        path_exists,
-        qualified,
-        rename,
-    )
+    from pydala2_spark.plans.fs import list_files, path_exists, qualified, replace_dir
 
     path = dataset_path.rstrip("/")
     ipath = index_path or _bloom_sidecar_path(path, column)
@@ -202,7 +195,11 @@ def refresh_bloom_index(
             spark.read.parquet(*[current[k] for k in added])
             .select(
                 _schemeless_col(F.input_file_name()).alias("file_path"),
-                F.col(column).alias("__v"),
+                # xxhash64 is TYPE-sensitive: cast to the sidecar's
+                # stored type so schema drift in appended files (int32
+                # vs the indexed bigint) cannot silently diverge the
+                # hash family from the probe side
+                F.col(column).cast(value_type).alias("__v"),
             )
             .where(F.col("__v").isNotNull())
         )
@@ -227,8 +224,7 @@ def refresh_bloom_index(
         new_index = new_index.unionByName(p)
     staging = f"{ipath}__staging"
     new_index.write.mode("overwrite").parquet(staging)
-    delete_paths(spark, [ipath])
-    rename(spark, staging, ipath)
+    replace_dir(spark, staging, ipath)
     return {"added": len(added), "removed": len(removed), "total": len(current)}
 
 
@@ -271,14 +267,18 @@ def bloom_prune(
     # probe values must hash EXACTLY as the build side did, so they
     # must enter the plan in the column's native type. Direct typed
     # construction handles every type faithfully (bytes → binary —
-    # str(bytes) would hash the repr and silently false-negative);
-    # fall back to string→cast for convenience probes like an int
-    # against a string column.
+    # str(bytes) would hash the repr and silently false-negative).
+    # The string→cast fallback exists ONLY for convenience probes like
+    # an int against a string column, is entered only on the specific
+    # type-mismatch error, and never for binary columns (a repr-hashed
+    # bytes probe would violate the no-false-negative contract).
     try:
         probe_raw = spark.createDataFrame(
             [(v,) for v in values], f"__v {value_type}"
         )
-    except Exception:
+    except TypeError:
+        if value_type == "binary" or any(isinstance(v, (bytes, bytearray)) for v in values):
+            raise
         probe_raw = spark.createDataFrame(
             [(str(v),) for v in values], "raw string"
         ).select(F.col("raw").cast(value_type).alias("__v"))

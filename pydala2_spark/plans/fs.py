@@ -31,26 +31,42 @@ def path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
-def list_files(spark: SparkSession, path: str, suffixes=DATA_FILE_SUFFIXES) -> list[str]:
-    """Recursive data-file listing (skips _SUCCESS / hidden files)."""
+def iter_file_statuses(spark: SparkSession, path: str, hide: str = "segment"):
+    """ONE recursive walk yielding ``(path, size_bytes, mtime_ms)`` per
+    visible file — the shared substrate for list_files / file_sizes /
+    file_mtimes, so the hidden-file rule lives in exactly one place.
+
+    ``hide="segment"`` (Spark's data-visibility rule) hides a file when
+    ANY path segment below the base starts with ``_``/``.``;
+    ``hide="name"`` hides only by final name — the mirroring rule
+    (LocalCache intentionally copies sidecar CONTENTS like
+    ``_snapshots/v*.json`` whose own names are plain).
+    """
     fs, hpath, _ = _fs_and_path(spark, path)
     if not fs.exists(hpath):
-        return []
+        return
     base = fs.makeQualified(hpath).toString()
-    out: list[str] = []
     it = fs.listFiles(hpath, True)
     while it.hasNext():
         status = it.next()
         p = status.getPath().toString()
-        rel = p[len(base):] if p.startswith(base) else p
-        # match Spark's visibility rule: any hidden path segment
-        # (_ or . prefix) hides the file — e.g. _stats_index/part-0.parquet
-        if any(seg.startswith(("_", ".")) for seg in rel.split("/") if seg):
+        if hide == "name":
+            hidden = p.rsplit("/", 1)[-1].startswith(("_", "."))
+        else:
+            rel = p[len(base):] if p.startswith(base) else p
+            hidden = any(seg.startswith(("_", ".")) for seg in rel.split("/") if seg)
+        if hidden:
             continue
-        if suffixes and not p.endswith(suffixes):
-            continue
-        out.append(p)
-    return sorted(out)
+        yield p, int(status.getLen()), int(status.getModificationTime())
+
+
+def list_files(spark: SparkSession, path: str, suffixes=DATA_FILE_SUFFIXES) -> list[str]:
+    """Recursive data-file listing (skips _SUCCESS / hidden files)."""
+    return sorted(
+        p
+        for p, _, _ in iter_file_statuses(spark, path)
+        if not suffixes or p.endswith(suffixes)
+    )
 
 
 def delete_paths(spark: SparkSession, paths: list[str]) -> int:
@@ -114,6 +130,34 @@ def copy_file(spark: SparkSession, src: str, dst: str) -> bool:
     )
 
 
+def replace_dir(spark: SparkSession, staging: str, live: str) -> None:
+    """Atomically swap a freshly-written staging dir into place over a
+    (possibly existing) live dir: live → aside, staging → live, delete
+    aside — with rollback if the publish rename fails, so a crash or
+    failure can never leave NEITHER directory readable (the bare
+    delete-then-rename sequence the sidecar builders used had exactly
+    that window)."""
+    import uuid as _uuid
+
+    if not path_exists(spark, live):
+        if not rename(spark, staging, live):
+            raise IOError(f"could not publish {staging!r} to {live!r}")
+        return
+    aside = f"{live.rstrip('/')}__old_{_uuid.uuid4().hex[:8]}"
+    if not rename(spark, live, aside):
+        delete_paths(spark, [staging])
+        raise IOError(f"could not move {live!r} aside for replacement")
+    if not rename(spark, staging, live):
+        if not rename(spark, aside, live):
+            raise IOError(
+                f"replace failed AND rollback failed: old at {aside!r}, "
+                f"new at {staging!r}, nothing at {live!r}"
+            )
+        delete_paths(spark, [staging])
+        raise IOError(f"could not publish {staging!r} to {live!r}")
+    delete_paths(spark, [aside])
+
+
 SCHEME_RE = r"^[A-Za-z0-9+.-]+:/+"
 
 
@@ -138,33 +182,10 @@ def schemeless_col(col):
 def file_mtimes(spark: SparkSession, path: str) -> dict[str, int]:
     """Modification time (epoch millis) per data file — recursive,
     hidden files skipped (same visibility rule as list_files)."""
-    fs, hpath, _ = _fs_and_path(spark, path)
-    if not fs.exists(hpath):
-        return {}
-    base = fs.makeQualified(hpath).toString()
-    out: dict[str, int] = {}
-    it = fs.listFiles(hpath, True)
-    while it.hasNext():
-        status = it.next()
-        p = status.getPath().toString()
-        rel = p[len(base):] if p.startswith(base) else p
-        if any(seg.startswith(("_", ".")) for seg in rel.split("/") if seg):
-            continue
-        out[p] = int(status.getModificationTime())
-    return out
+    return {p: m for p, _, m in iter_file_statuses(spark, path)}
 
 
 def file_sizes(spark: SparkSession, path: str) -> dict[str, int]:
-    fs, hpath, _ = _fs_and_path(spark, path)
-    if not fs.exists(hpath):
-        return {}
-    sizes: dict[str, int] = {}
-    it = fs.listFiles(hpath, True)
-    while it.hasNext():
-        status = it.next()
-        p = status.getPath().toString()
-        name = p.rsplit("/", 1)[-1]
-        if name.startswith(("_", ".")):
-            continue
-        sizes[p] = int(status.getLen())
-    return sizes
+    """Size per file, hiding only by final NAME — so a mirror sync
+    copies sidecar contents (e.g. ``_snapshots/v*.json``)."""
+    return {p: s for p, s, _ in iter_file_statuses(spark, path, hide="name")}

@@ -138,7 +138,14 @@ class SnapshotDataset:
 
         df = to_spark_df(self.spark, data)
         allowed = {"partition_by", "compression", "max_rows_per_file", "extra"}
-        self.commit(df, mode=mode, **{k: v for k, v in kwargs.items() if k in allowed})
+        unsupported = sorted(set(kwargs) - allowed)
+        if unsupported:
+            raise ValueError(
+                f"snapshot write does not support {unsupported}; supported "
+                f"options: {sorted(allowed)} — apply normalization (sort/"
+                f"dedup/casts) to the DataFrame before committing"
+            )
+        self.commit(df, mode=mode, **kwargs)
 
     def history(self) -> list[dict]:
         """Manifest metadata, oldest first (files list omitted)."""
@@ -382,8 +389,25 @@ class SnapshotDataset:
     def rollback(self, version: int) -> dict:
         """Publish a NEW version whose file set equals ``version``'s —
         history is append-only, so the rollback itself is auditable and
-        time travel to the rolled-back-over versions still works."""
+        time travel to the rolled-back-over versions still works.
+
+        Verifies every target file still exists before publishing, so a
+        rollback cannot re-reference data a ``vacuum(keep_last=)``
+        already removed. (A vacuum racing BETWEEN the check and the
+        publish can still win — don't run retention and rollback for
+        the same dataset concurrently.)"""
+        from pydala2_spark.plans.fs import path_exists
+
         target = self._read_manifest(version)  # raises if absent
+        gone = [
+            rel for rel in target["files"]
+            if not path_exists(self.spark, f"{self.path}/{rel}")
+        ]
+        if gone:
+            raise ValueError(
+                f"cannot roll back to version {version}: {len(gone)} of its "
+                f"file(s) were vacuumed (e.g. {gone[0]})"
+            )
         for _ in range(_MAX_COMMIT_RETRIES):
             head = self.current_version()
             manifest = {
@@ -457,7 +481,12 @@ class SnapshotDataset:
             rel = q[len(base) :].lstrip("/") if q.startswith(base) else q
             if rel in referenced:
                 continue
-            if rel in dropped_referenced or mtimes.get(q, mtimes.get(f, 0)) <= cutoff_ms:
+            # a file listed but missing from the mtimes walk appeared
+            # BETWEEN the two listings — i.e. it is being committed
+            # right now; treat unknown age as "just created" (keep),
+            # never as infinitely old
+            mtime = mtimes.get(q, mtimes.get(f))
+            if rel in dropped_referenced or (mtime is not None and mtime <= cutoff_ms):
                 doomed.append(f)
         n_files = delete_paths(self.spark, doomed)
         n_manifests = delete_paths(

@@ -227,7 +227,7 @@ class StatsIndex:
         """Bring the index in sync with the physical file list.
         Returns ``{"added": n, "removed": m, "total": k}``; only the
         added files' footers are read."""
-        from pydala2_spark.plans.fs import delete_paths, list_files, rename
+        from pydala2_spark.plans.fs import list_files, replace_dir
 
         current = set(list_files(self.spark, self.dataset_path, suffixes=(".parquet",)))
         if self.exists():
@@ -259,8 +259,7 @@ class StatsIndex:
 
         staging = f"{self.index_path}__staging"
         new_index.coalesce(1).write.mode("overwrite").parquet(staging)
-        delete_paths(self.spark, [self.index_path])
-        rename(self.spark, staging, self.index_path)
+        replace_dir(self.spark, staging, self.index_path)
         return {"added": len(added), "removed": len(removed), "total": len(current)}
 
     def prune(self, column: str, lo=None, hi=None) -> list[str]:
@@ -305,7 +304,7 @@ def import_legacy_file_metadata(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from pydala2_spark.plans.fs import delete_paths, path_exists, qualified, rename
+    from pydala2_spark.plans.fs import path_exists, qualified, replace_dir
 
     dataset_path = dataset_path.rstrip("/")
     sidecar = f"{dataset_path}/_file_metadata"
@@ -390,8 +389,7 @@ def import_legacy_file_metadata(
     spark.createDataFrame(rows, STATS_SCHEMA).coalesce(1).write.mode(
         "overwrite"
     ).parquet(staging)
-    delete_paths(spark, [idx.index_path])
-    rename(spark, staging, idx.index_path)
+    replace_dir(spark, staging, idx.index_path)
     return {"imported": len(rows), "missing": missing}
 
 
@@ -437,7 +435,7 @@ def build_ndv_sketches(
     decisions, join-side estimation) at the same metadata scale.
     """
     from pydala2_spark.functions.safety import quote_identifier
-    from pydala2_spark.plans.fs import delete_paths, rename
+    from pydala2_spark.plans.fs import replace_dir
 
     for c in columns:
         quote_identifier(c)
@@ -457,14 +455,24 @@ def build_ndv_sketches(
             .select("file_path", F.lit(c).alias("column"), "sketch")
         )
         parts = p if parts is None else parts.unionByName(p)
-    out = parts.withColumn("lg_k", F.lit(lg_k))
+    # marker row (column="") per PHYSICAL file: a zero-row file emits
+    # no group above, and without a membership record the staleness
+    # guard in estimate_ndv would flag it forever
+    from pydala2_spark.plans.fs import list_files as _lf
+    from pydala2_spark.plans.fs import qualified as _q
+    from pydala2_spark.plans.fs import schemeless as _sl
+
+    phys = [_sl(_q(spark, f)) for f in _lf(spark, path, suffixes=(".parquet",))]
+    markers = spark.createDataFrame(
+        [(f, "") for f in phys], "file_path string, column string"
+    ).withColumn("sketch", F.lit(None).cast("binary"))
+    out = parts.unionByName(markers).withColumn("lg_k", F.lit(lg_k))
 
     staging = f"{ipath}__staging"
     out.write.mode("overwrite").parquet(staging)
-    delete_paths(spark, [ipath])
-    rename(spark, staging, ipath)
-    n = spark.read.parquet(ipath).count()
-    return {"rows": n, "columns": list(columns)}
+    replace_dir(spark, staging, ipath)
+    n = spark.read.parquet(ipath).filter(F.col("column") != "").count()
+    return {"rows": n, "files": len(phys), "columns": list(columns)}
 
 
 def refresh_ndv_sketches(
@@ -478,20 +486,33 @@ def refresh_ndv_sketches(
     guard satisfied after appends without rescanning the corpus.
     Returns ``{"added": n, "removed": m, "total": k}``."""
     from pydala2_spark.plans.fs import (
-        delete_paths,
         list_files,
         qualified,
-        rename,
+        replace_dir,
         schemeless,
         schemeless_col,
     )
 
+    from pydala2_spark.plans.fs import path_exists
+
     path = dataset_path.rstrip("/")
     ipath = index_path or f"{path}/_ndv_sketches"
+    if not path_exists(spark, ipath):
+        raise ValueError(
+            f"no NDV sidecar at {ipath!r}; run build_ndv_sketches(spark, "
+            f"path, columns=[...]) first (a refresh cannot know which "
+            f"columns to sketch)"
+        )
     old = spark.read.parquet(ipath)
     first = old.select("lg_k").first()
+    if first is None:
+        raise ValueError(
+            f"NDV sidecar at {ipath!r} is empty; re-run build_ndv_sketches"
+        )
     lg_k = int(first["lg_k"])
-    columns = [r["column"] for r in old.select("column").distinct().collect()]
+    columns = [
+        r["column"] for r in old.select("column").distinct().collect() if r["column"]
+    ]
     indexed = {r["file_path"] for r in old.select("file_path").distinct().collect()}
     current = {
         schemeless(qualified(spark, f)): f
@@ -516,13 +537,19 @@ def refresh_ndv_sketches(
                     F.lit(lg_k).alias("lg_k"),
                 )
             )
+        parts.append(
+            spark.createDataFrame(
+                [(k, "") for k in added], "file_path string, column string"
+            )
+            .withColumn("sketch", F.lit(None).cast("binary"))
+            .withColumn("lg_k", F.lit(lg_k))
+        )
     new_index = parts[0]
     for p in parts[1:]:
         new_index = new_index.unionByName(p)
     staging = f"{ipath}__staging"
     new_index.write.mode("overwrite").parquet(staging)
-    delete_paths(spark, [ipath])
-    rename(spark, staging, ipath)
+    replace_dir(spark, staging, ipath)
     return {"added": len(added), "removed": len(removed), "total": len(current)}
 
 
@@ -549,12 +576,19 @@ def estimate_ndv(
 
     path = dataset_path.rstrip("/")
     ipath = index_path or f"{path}/_ndv_sketches"
-    sk = spark.read.parquet(ipath).filter(F.col("column") == column)
+    raw = spark.read.parquet(ipath)
+    sk = raw.filter(F.col("column") == column)
     if files is None:
         files = [qualified(spark, f) for f in list_files(spark, path, suffixes=(".parquet",))]
     wanted = [schemeless(f) for f in files]
     if not missing_ok:
-        sketched = {r["file_path"] for r in sk.select("file_path").distinct().collect()}
+        # membership comes from the marker rows (column="") so zero-row
+        # files count as sketched; older sidecars without markers fall
+        # back to the per-column rows
+        members = raw.filter(F.col("column") == "")
+        if members.isEmpty():
+            members = sk
+        sketched = {r["file_path"] for r in members.select("file_path").distinct().collect()}
         missing = [f for f in wanted if f not in sketched]
         if missing:
             raise ValueError(

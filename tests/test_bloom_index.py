@@ -238,3 +238,18 @@ def test_incremental_refreshes_cover_appended_files(spark, tmp_ds_path):
     assert out_s["added"] == 1 and out_s["total"] == 3
     est = estimate_ndv(spark, tmp_ds_path, "id")  # staleness guard passes
     assert abs(est - 201) / 201 < 0.05
+
+
+def test_ndv_zero_row_file_is_sketched_member(spark, tmp_ds_path):
+    """A zero-row part file gets a membership marker: the staleness
+    guard must pass right after a build (it used to raise forever)."""
+    from pydala2_spark.plans.stats import build_ndv_sketches, estimate_ndv
+
+    spark.createDataFrame([(1,), (2,)], "id long").coalesce(1).write.parquet(tmp_ds_path)
+    # produce an empty part file via an empty append
+    spark.createDataFrame([], "id long").coalesce(1).write.mode("append").parquet(
+        tmp_ds_path
+    )
+    build_ndv_sketches(spark, tmp_ds_path, ["id"])
+    est = estimate_ndv(spark, tmp_ds_path, "id")  # must not raise
+    assert est == 2

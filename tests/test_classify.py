@@ -102,6 +102,7 @@ def test_normalize_text_matches_python_reference(spark):
         "  multi   space\tand\nnewlines ",
         "plain ascii stays",
         "‘quoted’ – dashed − minus",
+        "nbsp\u00a0and\u2009thin\u3000ideographic",  # unicode whitespace
     ]
 
     def ref(s):
