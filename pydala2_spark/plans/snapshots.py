@@ -284,6 +284,7 @@ class SnapshotDataset:
         small_file_max_bytes: int = 64 << 20,
         target_file_bytes: int = 256 << 20,
         compression: str = "zstd",
+        cluster_by: list[str] | None = None,
     ) -> dict | None:
         """Rewrite the current version's small files into fewer larger
         ones and publish the result as a new version (operation
@@ -300,6 +301,15 @@ class SnapshotDataset:
         rows that commit deleted; the rewrite is abandoned and its
         files cleaned up). Reclaim replaced files later with
         ``vacuum(keep_last=...)``.
+
+        ``cluster_by`` Z-orders the rewrite: rows range-partition and
+        sort on the interleaved-bit key over those columns
+        (`operators/maintenance.zorder_expr`), so the compacted files
+        carry tight min/max ranges on EVERY clustered column and
+        :meth:`read_pruned` skips most of them for any of those
+        predicates — compaction, clustering, and time travel in one
+        atomic publish. To recluster everything (not just small files)
+        pass ``small_file_max_bytes`` larger than any file.
         """
         from pydala2_spark.plans.fs import file_sizes, qualified
 
@@ -320,11 +330,21 @@ class SnapshotDataset:
 
         total = sum(rel_size.get(f, 0) for f in smalls)
         n_out = max(1, -(-total // target_file_bytes))  # ceil
-        df = (
-            self.spark.read.option("basePath", self.path)
-            .parquet(*[f"{self.path}/{f}" for f in smalls])
-            .repartition(int(n_out))
+        df = self.spark.read.option("basePath", self.path).parquet(
+            *[f"{self.path}/{f}" for f in smalls]
         )
+        if cluster_by:
+            from pydala2_spark.operators.maintenance import zorder_expr
+            from pyspark.sql import functions as F
+
+            df = (
+                df.withColumn("__z", zorder_expr(df, list(cluster_by)))
+                .repartitionByRange(int(n_out), F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            df = df.repartition(int(n_out))
         own = self._stage_and_move(df, None, compression, 10_000_000)
 
         schema_json = m["schema_json"]

@@ -298,3 +298,33 @@ def test_snapshot_stream_replayed_batch_skipped(spark, tmp_path):
     snapshot_stream(spark, str(landing), target, ckpt)
     assert ds.read().count() == 6  # no duplicate ingestion
     assert ds.current_version() == v_after  # and no version churn
+
+
+def test_compact_cluster_by_improves_pruning(spark, tmp_ds_path):
+    """cluster_by Z-orders the compacted files: after the rewrite a
+    narrow predicate on the clustered column prunes most files via the
+    version-pinned stats scan."""
+    import random
+
+    ds = SnapshotDataset(spark, tmp_ds_path)
+    rng = random.Random(3)
+    ids = list(range(2000))
+    rng.shuffle(ids)
+    # 4 commits of shuffled ids → every file spans the whole range
+    for k in range(4):
+        chunk = ids[k * 500 : (k + 1) * 500]
+        ds.commit(
+            spark.createDataFrame([(i, i % 7) for i in chunk], "id long, g long").coalesce(1)
+        )
+    before = ds.read_pruned("id", lo=100, hi=120)
+    n_before = len(before.inputFiles())
+    assert n_before == 4  # shuffled: nothing prunable
+
+    m = ds.compact(cluster_by=["id"], target_file_bytes=4 << 10)  # force multi-file
+    assert m is not None and len(m["added"]) >= 2
+    after = ds.read_pruned("id", lo=100, hi=120)
+    assert len(after.inputFiles()) < len(m["added"])  # skipping works now
+    # identical answers
+    assert sorted(r["id"] for r in after.where(F.col("id").between(100, 120)).collect()) == list(
+        range(100, 121)
+    )
