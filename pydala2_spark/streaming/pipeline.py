@@ -384,3 +384,60 @@ def incremental_append_rollup(
         .start()
     )
     q.awaitTermination()
+
+
+def scd2_stream(
+    spark: SparkSession,
+    source_path: str,
+    target_path: str,
+    key_columns: list[str],
+    checkpoint_dir: str,
+    tracked: list[str] | None = None,
+    ts_type: T.DataType | None = None,
+) -> None:
+    """Streaming CDC → SCD2 dimension history: each microbatch of
+    current attribute values applies as one history-keeping merge
+    (`operators/merge.merge_scd2`) — changed keys close their open row
+    and reopen, new keys insert, and the target accumulates full
+    version history queryable with `valid_from`/`valid_to`.
+
+    The batch clock is the STREAM's batch id (monotone per
+    checkpoint), so replays can never produce an out-of-order
+    `valid_from`; the same per-batch marker guard as ``merge_stream``
+    makes a replayed batch a no-op (close-and-reopen is NOT idempotent
+    — re-applying a batch whose values already landed would be a no-op
+    only because nothing changed, but a replay interleaved with a
+    newer batch would close the wrong row; the marker removes the
+    window entirely). File-selectivity comes from the underlying
+    upsert: only files holding changed keys' open rows rewrite.
+    """
+    import hashlib
+
+    from pydala2_spark.operators.merge import merge_scd2
+    from pydala2_spark.plans.fs import mkdirs, path_exists
+
+    events = read_event_stream(spark, source_path, ts_type=ts_type)
+    cp_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = f"{target_path.rstrip('/')}/_stream_batches/{cp_id}/scd2_{batch_id}"
+        if path_exists(spark, marker):
+            return
+        if not batch_df.isEmpty():
+            merge_scd2(
+                spark,
+                target_path,
+                batch_df,
+                key_columns=key_columns,
+                ts=batch_id,
+                tracked=tracked,
+            )
+        mkdirs(spark, marker)
+
+    q = (
+        events.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -328,3 +328,46 @@ def test_compact_cluster_by_improves_pruning(spark, tmp_ds_path):
     assert sorted(r["id"] for r in after.where(F.col("id").between(100, 120)).collect()) == list(
         range(100, 121)
     )
+
+
+def test_scd2_stream_builds_dimension_history(spark, tmp_path):
+    """CDC drops → SCD2 history: changed keys close and reopen with the
+    stream batch id as the version clock; replays are marker-guarded."""
+    import shutil
+
+    from pydala2_spark.streaming.pipeline import scd2_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    target = str(tmp_path / "dim_history")
+    ckpt = str(tmp_path / "ckpt_scd2")
+
+    _drop_events(spark, tmp_path, landing, "d1", range(0, 5))
+    scd2_stream(spark, str(landing), target, ["user_id"], ckpt, tracked=["value"])
+    h1 = spark.read.parquet(target)
+    assert h1.filter(F.col("valid_to").isNull()).count() == 3  # user_ids 0..2
+
+    # second drop: same users, different values → close + reopen
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(100 + i, i % 3, "click", dt.datetime(2024, 1, 2, 0, i), 9.0, "{}") for i in range(5)],
+        "event_id long, user_id long, event_type string, ts timestamp, value double, props string",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "stage_d2x"))
+    import glob as _g
+
+    src = _g.glob(str(tmp_path / "stage_d2x" / "part-*.parquet"))[0]
+    shutil.copy(src, landing / "d2.parquet")
+    scd2_stream(spark, str(landing), target, ["user_id"], ckpt, tracked=["value"])
+
+    h2 = spark.read.parquet(target)
+    assert h2.filter(F.col("valid_to").isNull()).count() == 3  # one open per user
+    assert h2.count() == 6  # closed v1 rows + new v2 rows
+    closed = h2.filter(F.col("valid_to").isNotNull())
+    assert closed.count() == 3 and all(r["valid_to"] == 1 for r in closed.collect())
+
+    # replay with a wiped checkpoint: markers make it a no-op
+    shutil.rmtree(ckpt)
+    scd2_stream(spark, str(landing), target, ["user_id"], ckpt, tracked=["value"])
+    assert spark.read.parquet(target).count() == 6
