@@ -176,12 +176,20 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     num_planes: int = 8,
     dim: int = 64,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: compare only vectors in the query's SRP
     bucket. At 100 TB this turns the scan×query product into an
     equi-join on the bucket id (2^num_planes buckets, AQE handles
-    skewed ones). Recall < 1.0 by construction; raise num_planes
-    with multi-probe for production recall targets.
+    skewed ones). Recall < 1.0 by construction.
+
+    ``multi_probe=p`` additionally probes every bucket within Hamming
+    distance ≤ p of the query's (flip up to p sign planes) — the
+    standard recall lever that costs only QUERY-side fan-out
+    (|queries| × Σ C(planes, i) broadcast rows), never a second corpus
+    pass; a near neighbor that landed one plane-flip away is found.
+    ``multi_probe=1`` multiplies candidate volume ~(planes+1)× while
+    typically closing most of the recall gap to exact.
     """
     c = _spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
@@ -193,6 +201,22 @@ def cosine_topk_lsh(
         unit_expr(vec_col).alias("qv"),
         srp_bucket(vec_col, num_planes, dim).alias("bucket"),
     )
+    if multi_probe:
+        from itertools import combinations
+
+        masks = [0]
+        for r in range(1, multi_probe + 1):
+            for planes in combinations(range(num_planes), r):
+                masks.append(sum(1 << p for p in planes))
+        q = q.withColumn(
+            "bucket",
+            F.explode(
+                F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+            ),
+        )
+    # no pair dedup needed: each corpus row has ONE bucket and the
+    # probed bucket ids are pairwise distinct (distinct XOR masks), so
+    # a (query, neighbor) pair joins through at most one bucket
     joined = c.join(F.broadcast(q), "bucket").filter(F.col("neighbor_id") != F.col("query_id"))
     scored = joined.withColumn("cosine", F.round(dot_expr("cv", "qv"), 4))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())

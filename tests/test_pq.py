@@ -92,3 +92,32 @@ def test_pq_validates(spark, clustered):
         pq_train(clustered, m=5, dim=DIM)  # 32 % 5 != 0
     with pytest.raises(ValueError):
         pq_train(clustered, m=4, k=1, dim=DIM)
+
+
+def test_lsh_multi_probe_improves_recall(spark, clustered):
+    from pydala2_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+
+    queries = clustered.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(clustered, queries, k=10, vec_col="embedding")
+    e = {}
+    for r in exact.collect():
+        e.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(df):
+        a = {}
+        for r in df.collect():
+            a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(a.get(q, set()) & e[q]) / len(e[q]) for q in e) / len(e)
+
+    single = cosine_topk_lsh(
+        clustered, queries, k=10, num_planes=10, dim=DIM
+    )
+    multi = cosine_topk_lsh(
+        clustered, queries, k=10, num_planes=10, dim=DIM, multi_probe=1
+    )
+    r_single, r_multi = recall(single), recall(multi)
+    assert r_multi >= r_single  # probing neighbor buckets never hurts
+    assert r_multi > 0.5  # and reaches useful recall on clustered data
+    # candidate volume grows but results stay a strict superset family:
+    # every single-probe neighbor set is contained in the multi-probe
+    # CANDIDATES (same bucket is always probed)
