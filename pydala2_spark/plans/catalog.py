@@ -201,6 +201,39 @@ class Catalog:
     def schema(self, name: str):
         return self.load(name).schema
 
+    def analyze(
+        self,
+        name: str,
+        bloom_columns: list[str] | None = None,
+        ndv_columns: list[str] | None = None,
+    ) -> dict:
+        """Build (or incrementally refresh) the table's skipping
+        sidecars in place: the min/max StatsIndex always, plus bloom
+        membership filters and HLL NDV sketches for the named columns.
+        Re-running after appends costs only the appended files (each
+        sidecar follows the StatsIndex incremental discipline) — the
+        catalog-level ANALYZE a warehouse would run after ingest.
+        """
+        from pydala2_spark.plans.bloom import build_bloom_index, refresh_bloom_index
+        from pydala2_spark.plans.fs import path_exists
+        from pydala2_spark.plans.stats import (
+            StatsIndex,
+            build_ndv_sketches,
+            refresh_ndv_sketches,
+        )
+
+        entry = self._entry(name)
+        path = entry["path"].rstrip("/")
+        out: dict = {"stats": StatsIndex(self.spark, path).refresh()}
+        for c in bloom_columns or []:
+            out[f"bloom:{c}"] = refresh_bloom_index(self.spark, path, c)
+        if ndv_columns:
+            if path_exists(self.spark, f"{path}/_ndv_sketches"):
+                out["ndv"] = refresh_ndv_sketches(self.spark, path)
+            else:
+                out["ndv"] = build_ndv_sketches(self.spark, path, list(ndv_columns))
+        return out
+
     def show(self, name: str) -> str:
         """Pretty YAML dump of one table entry (reference
         `pydala/catalog.py:253-270`)."""

@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from pydala2_spark.plans.catalog import Catalog, get_table_names
 
@@ -194,3 +195,32 @@ def test_catalog_snapshot_table_full_surface(spark, tmp_path, catalog):
     assert set(f.name for f in catalog.schema("ns.s2").fields) == {"id", "tag"}
     catalog.write_table("ns.s2", spark.range(4, 6).selectExpr("id", "'y' AS tag"))
     assert catalog.sql("SELECT count(*) AS n FROM s2").first()["n"] == 6
+
+
+def test_catalog_analyze_builds_and_refreshes_sidecars(spark, tmp_path, catalog):
+    from pydala2_spark.plans.bloom import bloom_prune
+    from pydala2_spark.plans.stats import estimate_ndv
+
+    p = str(tmp_path / "analyzed")
+    spark.createDataFrame(
+        [(i, f"u{i}") for i in range(500)], "id long, user string"
+    ).repartition(4).write.parquet(p)
+    catalog.create_table("ns.t_an", p)
+
+    out = catalog.analyze("ns.t_an", bloom_columns=["id"], ndv_columns=["id"])
+    assert out["stats"]["added"] == 4
+    assert out["bloom:id"]["added"] == 4
+    est = estimate_ndv(spark, p, "id")
+    assert abs(est - 500) / 500 < 0.05
+
+    # append → re-analyze refreshes incrementally (1 added everywhere)
+    spark.createDataFrame([(9999, "late")], "id long, user string").coalesce(
+        1
+    ).write.mode("append").parquet(p)
+    out2 = catalog.analyze("ns.t_an", bloom_columns=["id"], ndv_columns=["id"])
+    assert out2["stats"]["added"] == 1
+    assert out2["bloom:id"]["added"] == 1
+    assert out2["ndv"]["added"] == 1
+    kept = bloom_prune(spark, p, "id", [9999])
+    assert len(kept) >= 1
+    assert spark.read.parquet(*kept).filter(F.col("id") == 9999).count() == 1
