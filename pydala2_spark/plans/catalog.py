@@ -211,25 +211,46 @@ class Catalog:
         sidecars in place: the min/max StatsIndex always, plus bloom
         membership filters and HLL NDV sketches for the named columns.
         Re-running after appends costs only the appended files (each
-        sidecar follows the StatsIndex incremental discipline) — the
+        sidecar follows the StatsIndex incremental discipline), and a
+        newly requested NDV column extends the tracked set — the
         catalog-level ANALYZE a warehouse would run after ingest.
+
+        Entries with a ``filesystem:`` profile resolve exactly as
+        ``load`` does (credentials + scheme rewrite); the sidecars are
+        built at the SOURCE path — indexes belong with the data, not a
+        local cache mirror. Snapshot tables are refused: directory-
+        level sidecars would index replaced versions' files; use
+        ``SnapshotDataset.read_pruned`` / ``collect_file_stats(files=
+        manifest)`` for version-scoped skipping instead.
         """
-        from pydala2_spark.plans.bloom import build_bloom_index, refresh_bloom_index
+        from pydala2_spark.plans.bloom import refresh_bloom_index
         from pydala2_spark.plans.fs import path_exists
         from pydala2_spark.plans.stats import (
             StatsIndex,
             build_ndv_sketches,
+            ndv_sidecar_path,
             refresh_ndv_sketches,
         )
 
         entry = self._entry(name)
+        if entry.get("snapshot"):
+            raise ValueError(
+                f"analyze({name!r}): snapshot tables index per version — "
+                "directory-level sidecars would cover replaced files; use "
+                "SnapshotDataset.read_pruned / collect_file_stats(files=...)"
+            )
         path = entry["path"].rstrip("/")
+        if entry.get("filesystem"):
+            self._apply_filesystem(entry["filesystem"])
+            path = _rewrite_scheme(path)
         out: dict = {"stats": StatsIndex(self.spark, path).refresh()}
         for c in bloom_columns or []:
             out[f"bloom:{c}"] = refresh_bloom_index(self.spark, path, c)
         if ndv_columns:
-            if path_exists(self.spark, f"{path}/_ndv_sketches"):
-                out["ndv"] = refresh_ndv_sketches(self.spark, path)
+            if path_exists(self.spark, ndv_sidecar_path(path)):
+                out["ndv"] = refresh_ndv_sketches(
+                    self.spark, path, columns=list(ndv_columns)
+                )
             else:
                 out["ndv"] = build_ndv_sketches(self.spark, path, list(ndv_columns))
         return out

@@ -440,7 +440,7 @@ def build_ndv_sketches(
     for c in columns:
         quote_identifier(c)
     path = dataset_path.rstrip("/")
-    ipath = index_path or f"{path}/_ndv_sketches"
+    ipath = index_path or ndv_sidecar_path(path)
 
     df = spark.read.parquet(path)
     from pydala2_spark.plans.fs import schemeless_col
@@ -475,16 +475,26 @@ def build_ndv_sketches(
     return {"rows": n, "files": len(phys), "columns": list(columns)}
 
 
+def ndv_sidecar_path(dataset_path: str) -> str:
+    return f"{dataset_path.rstrip('/')}/_ndv_sketches"
+
+
 def refresh_ndv_sketches(
     spark: SparkSession,
     dataset_path: str,
     index_path: str | None = None,
+    columns: list[str] | None = None,
 ) -> dict:
     """Incremental sketch refresh: sketch ONLY files added since the
     last build/refresh (for every column the sidecar already tracks),
     drop rows of removed files. Keeps ``estimate_ndv``'s staleness
     guard satisfied after appends without rescanning the corpus.
-    Returns ``{"added": n, "removed": m, "total": k}``."""
+
+    ``columns`` EXTENDS the tracked set: a requested column the sidecar
+    doesn't hold yet is sketched over ALL current files (one extra
+    full-column scan, once) — without this, asking for a new column
+    would silently yield estimates of zero forever.
+    Returns ``{"added": n, "removed": m, "total": k, "new_columns": c}``."""
     from pydala2_spark.plans.fs import (
         list_files,
         qualified,
@@ -496,7 +506,7 @@ def refresh_ndv_sketches(
     from pydala2_spark.plans.fs import path_exists
 
     path = dataset_path.rstrip("/")
-    ipath = index_path or f"{path}/_ndv_sketches"
+    ipath = index_path or ndv_sidecar_path(path)
     if not path_exists(spark, ipath):
         raise ValueError(
             f"no NDV sidecar at {ipath!r}; run build_ndv_sketches(spark, "
@@ -510,9 +520,10 @@ def refresh_ndv_sketches(
             f"NDV sidecar at {ipath!r} is empty; re-run build_ndv_sketches"
         )
     lg_k = int(first["lg_k"])
-    columns = [
+    tracked = [
         r["column"] for r in old.select("column").distinct().collect() if r["column"]
     ]
+    new_columns = [c for c in (columns or []) if c not in tracked]
     indexed = {r["file_path"] for r in old.select("file_path").distinct().collect()}
     current = {
         schemeless(qualified(spark, f)): f
@@ -522,10 +533,27 @@ def refresh_ndv_sketches(
     removed = indexed - set(current)
 
     parts = [old.filter(~F.col("file_path").isin(list(removed)) if removed else F.lit(True))]
+    if new_columns and current:
+        # new columns need sketches for EVERY current file, not just
+        # the appended ones
+        all_df = spark.read.parquet(*current.values())
+        fp_all = schemeless_col(F.input_file_name())
+        for c in new_columns:
+            parts.append(
+                all_df.select(fp_all.alias("file_path"), F.col(c).alias("__v"))
+                .groupBy("file_path")
+                .agg(F.hll_sketch_agg("__v", F.lit(lg_k)).alias("sketch"))
+                .select(
+                    "file_path",
+                    F.lit(c).alias("column"),
+                    "sketch",
+                    F.lit(lg_k).alias("lg_k"),
+                )
+            )
     if added:
         df = spark.read.parquet(*[current[k] for k in added])
         fp = schemeless_col(F.input_file_name())
-        for c in columns:
+        for c in tracked:
             parts.append(
                 df.select(fp.alias("file_path"), F.col(c).alias("__v"))
                 .groupBy("file_path")
@@ -550,7 +578,12 @@ def refresh_ndv_sketches(
     staging = f"{ipath}__staging"
     new_index.write.mode("overwrite").parquet(staging)
     replace_dir(spark, staging, ipath)
-    return {"added": len(added), "removed": len(removed), "total": len(current)}
+    return {
+        "added": len(added),
+        "removed": len(removed),
+        "total": len(current),
+        "new_columns": new_columns,
+    }
 
 
 def estimate_ndv(
@@ -575,7 +608,7 @@ def estimate_ndv(
     from pydala2_spark.plans.fs import list_files, qualified, schemeless
 
     path = dataset_path.rstrip("/")
-    ipath = index_path or f"{path}/_ndv_sketches"
+    ipath = index_path or ndv_sidecar_path(path)
     raw = spark.read.parquet(ipath)
     sk = raw.filter(F.col("column") == column)
     if files is None:

@@ -393,6 +393,7 @@ def scd2_stream(
     key_columns: list[str],
     checkpoint_dir: str,
     tracked: list[str] | None = None,
+    order_by: list[str] | None = None,
     ts_type: T.DataType | None = None,
 ) -> None:
     """Streaming CDC → SCD2 dimension history: each microbatch of
@@ -401,38 +402,60 @@ def scd2_stream(
     and reopen, new keys insert, and the target accumulates full
     version history queryable with `valid_from`/`valid_to`.
 
-    The batch clock is the STREAM's batch id (monotone per
-    checkpoint), so replays can never produce an out-of-order
-    `valid_from`; the same per-batch marker guard as ``merge_stream``
-    makes a replayed batch a no-op (close-and-reopen is NOT idempotent
-    — re-applying a batch whose values already landed would be a no-op
-    only because nothing changed, but a replay interleaved with a
-    newer batch would close the wrong row; the marker removes the
-    window entirely). File-selectivity comes from the underlying
-    upsert: only files holding changed keys' open rows rewrite.
-    """
-    import hashlib
+    The version clock is derived from the TARGET — each batch applies
+    at ``max(valid_from) + 1`` — so it is monotone across checkpoint
+    relocations and losses (a per-checkpoint batch id would restart at
+    0 and corrupt existing history). No marker guard is needed: a
+    replayed availableNow batch re-reads the full landing zone, whose
+    last-write-wins values per key equal what the history already
+    holds, so re-application is a no-op (nothing changed → empty
+    delta → no new version rows). Within a batch, duplicate keys
+    resolve by ``order_by`` (DESCENDING — e.g. ``["ts", "event_id"]``
+    picks the newest event deterministically); without it, arrival
+    order decides, which is file-listing order, NOT event time.
 
+    File-selectivity comes from the underlying upsert: only files
+    holding changed keys' open rows rewrite.
+    """
     from pydala2_spark.operators.merge import merge_scd2
-    from pydala2_spark.plans.fs import mkdirs, path_exists
+    from pydala2_spark.plans.fs import list_files, path_exists
 
     events = read_event_stream(spark, source_path, ts_type=ts_type)
-    cp_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        marker = f"{target_path.rstrip('/')}/_stream_batches/{cp_id}/scd2_{batch_id}"
-        if path_exists(spark, marker):
+        if batch_df.isEmpty():
             return
-        if not batch_df.isEmpty():
-            merge_scd2(
-                spark,
-                target_path,
-                batch_df,
-                key_columns=key_columns,
-                ts=batch_id,
-                tracked=tracked,
+        if order_by:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*key_columns).orderBy(
+                *[F.col(c).desc() for c in order_by]
             )
-        mkdirs(spark, marker)
+            batch_df = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        exists = path_exists(spark, target_path) and bool(
+            list_files(spark, target_path)
+        )
+        if exists:
+            head = (
+                spark.read.parquet(target_path)
+                .agg(F.max("valid_from").alias("m"))
+                .first()["m"]
+            )
+            ts = int(head) + 1 if head is not None else 0
+        else:
+            ts = 0
+        merge_scd2(
+            spark,
+            target_path,
+            batch_df,
+            key_columns=key_columns,
+            ts=ts,
+            tracked=tracked,
+        )
 
     q = (
         events.writeStream.foreachBatch(_sink)

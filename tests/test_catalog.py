@@ -224,3 +224,29 @@ def test_catalog_analyze_builds_and_refreshes_sidecars(spark, tmp_path, catalog)
     kept = bloom_prune(spark, p, "id", [9999])
     assert len(kept) >= 1
     assert spark.read.parquet(*kept).filter(F.col("id") == 9999).count() == 1
+
+
+def test_catalog_analyze_extends_ndv_columns_and_refuses_snapshots(
+    spark, tmp_path, catalog
+):
+    from pydala2_spark.plans.snapshots import SnapshotDataset
+    from pydala2_spark.plans.stats import estimate_ndv
+
+    p = str(tmp_path / "an2")
+    spark.createDataFrame(
+        [(i, f"u{i % 50}") for i in range(300)], "id long, user string"
+    ).repartition(2).write.parquet(p)
+    catalog.create_table("ns.t_an2", p)
+    catalog.analyze("ns.t_an2", ndv_columns=["id"])
+    # a LATER request for a new column must extend the sidecar, not
+    # silently report zero
+    out = catalog.analyze("ns.t_an2", ndv_columns=["user"])
+    assert out["ndv"]["new_columns"] == ["user"]
+    est = estimate_ndv(spark, p, "user")
+    assert abs(est - 50) / 50 < 0.1
+
+    sp = str(tmp_path / "an_snap")
+    SnapshotDataset(spark, sp).commit(spark.range(3).selectExpr("id"))
+    catalog.create_table("ns.t_snap2", sp, snapshot=True)
+    with pytest.raises(ValueError, match="per version"):
+        catalog.analyze("ns.t_snap2", ndv_columns=["id"])

@@ -331,8 +331,9 @@ def test_compact_cluster_by_improves_pruning(spark, tmp_ds_path):
 
 
 def test_scd2_stream_builds_dimension_history(spark, tmp_path):
-    """CDC drops → SCD2 history: changed keys close and reopen with the
-    stream batch id as the version clock; replays are marker-guarded."""
+    """CDC drops → SCD2 history: changed keys close and reopen with a
+    TARGET-derived monotone clock; replays (even after checkpoint
+    loss) re-apply final values and are no-ops by construction."""
     import shutil
 
     from pydala2_spark.streaming.pipeline import scd2_stream
@@ -343,7 +344,10 @@ def test_scd2_stream_builds_dimension_history(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt_scd2")
 
     _drop_events(spark, tmp_path, landing, "d1", range(0, 5))
-    scd2_stream(spark, str(landing), target, ["user_id"], ckpt, tracked=["value"])
+    scd2_stream(
+        spark, str(landing), target, ["user_id"], ckpt,
+        tracked=["value"], order_by=["ts", "event_id"],
+    )
     h1 = spark.read.parquet(target)
     assert h1.filter(F.col("valid_to").isNull()).count() == 3  # user_ids 0..2
 
@@ -359,7 +363,10 @@ def test_scd2_stream_builds_dimension_history(spark, tmp_path):
 
     src = _g.glob(str(tmp_path / "stage_d2x" / "part-*.parquet"))[0]
     shutil.copy(src, landing / "d2.parquet")
-    scd2_stream(spark, str(landing), target, ["user_id"], ckpt, tracked=["value"])
+    scd2_stream(
+        spark, str(landing), target, ["user_id"], ckpt,
+        tracked=["value"], order_by=["ts", "event_id"],
+    )
 
     h2 = spark.read.parquet(target)
     assert h2.filter(F.col("valid_to").isNull()).count() == 3  # one open per user
@@ -367,7 +374,38 @@ def test_scd2_stream_builds_dimension_history(spark, tmp_path):
     closed = h2.filter(F.col("valid_to").isNotNull())
     assert closed.count() == 3 and all(r["valid_to"] == 1 for r in closed.collect())
 
-    # replay with a wiped checkpoint: markers make it a no-op
+    # replay with a wiped checkpoint: the full landing zone re-reads as
+    # one batch whose last-write-wins values (order_by picks the newest
+    # event per key) equal the current open rows → empty delta, no-op
     shutil.rmtree(ckpt)
-    scd2_stream(spark, str(landing), target, ["user_id"], ckpt, tracked=["value"])
+    scd2_stream(
+        spark, str(landing), target, ["user_id"], ckpt,
+        tracked=["value"], order_by=["ts", "event_id"],
+    )
     assert spark.read.parquet(target).count() == 6
+
+    # a NEW file bundled into the replayed batch is NOT lost (the old
+    # marker guard dropped it): user 0 changes again
+    import datetime as _dt
+
+    late = spark.createDataFrame(
+        [(500, 0, "click", _dt.datetime(2024, 1, 3), 42.0, "{}")],
+        "event_id long, user_id long, event_type string, ts timestamp, value double, props string",
+    )
+    late.coalesce(1).write.parquet(str(tmp_path / "stage_d3x"))
+    src3 = _g.glob(str(tmp_path / "stage_d3x" / "part-*.parquet"))[0]
+    shutil.copy(src3, landing / "d3.parquet")
+    shutil.rmtree(ckpt)  # checkpoint lost AGAIN: d1+d2+d3 arrive as one batch
+    scd2_stream(
+        spark, str(landing), target, ["user_id"], ckpt,
+        tracked=["value"], order_by=["ts", "event_id"],
+    )
+    h3 = spark.read.parquet(target)
+    open_rows = {r["user_id"]: r["value"] for r in h3.filter(F.col("valid_to").isNull()).collect()}
+    assert open_rows[0] == 42.0  # the bundled new change applied
+    assert h3.count() == 7  # exactly one new version row, history intact
+    # clock stayed monotone: valid_from strictly increases per user 0
+    u0 = sorted(
+        (r["valid_from"], r["valid_to"]) for r in h3.filter(F.col("user_id") == 0).collect()
+    )
+    assert all(a[0] < (a[1] if a[1] is not None else 10**9) for a in u0)
