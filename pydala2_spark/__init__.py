@@ -40,6 +40,14 @@ from pydala2_spark.plans.bloom import (
 )
 from pydala2_spark.plans.cachefs import LocalCache
 from pydala2_spark.plans.catalog import Catalog
+from pydala2_spark.operators.classify import logreg_fit, logreg_score
+from pydala2_spark.operators.similarity import (
+    pca_fit,
+    pca_project,
+    pq_encode,
+    pq_topk,
+    pq_train,
+)
 from pydala2_spark.plans.snapshots import SnapshotDataset
 from pydala2_spark.plans.stats import (
     StatsIndex,
@@ -75,6 +83,13 @@ __all__ = [
     "estimate_ndv",
     "refresh_bloom_index",
     "refresh_ndv_sketches",
+    "pca_fit",
+    "pca_project",
+    "pq_train",
+    "pq_encode",
+    "pq_topk",
+    "logreg_fit",
+    "logreg_score",
 ]
 
 __version__ = "0.1.0"

@@ -380,6 +380,23 @@ class SnapshotDataset:
                 return manifest
         raise SnapshotConflictError(f"compact lost the manifest race at {self.path!r}")
 
+    def file_stats(self, version: int | None = None):
+        """Footer-only stats table over exactly one version's manifest
+        files (distributed scan; plans/stats.collect_file_stats) — the
+        version-scoped substrate for pruning/compaction planning that
+        directory-level sidecars cannot provide on a snapshot dataset
+        (they would index replaced versions' files too)."""
+        from pydala2_spark.plans.stats import collect_file_stats
+
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            raise ValueError(f"no snapshots at {self.path!r}")
+        m = self._read_manifest(version)
+        return collect_file_stats(
+            self.spark, self.path, files=[f"{self.path}/{rel}" for rel in m["files"]]
+        )
+
     def read_pruned(
         self, column: str, lo=None, hi=None, version: int | None = None
     ) -> DataFrame:

@@ -409,3 +409,13 @@ def test_scd2_stream_builds_dimension_history(spark, tmp_path):
         (r["valid_from"], r["valid_to"]) for r in h3.filter(F.col("user_id") == 0).collect()
     )
     assert all(a[0] < (a[1] if a[1] is not None else 10**9) for a in u0)
+
+
+def test_version_scoped_file_stats(spark, tmp_ds_path):
+    ds = SnapshotDataset(spark, tmp_ds_path)
+    ds.commit(_df(spark, 0, 10, "a").coalesce(1))
+    ds.commit(_df(spark, 10, 30, "b").coalesce(1))
+    st1 = ds.file_stats(version=1)
+    st2 = ds.file_stats()
+    assert st1.count() == 1 and st2.count() == 2
+    assert sum(r["num_rows"] for r in st2.collect()) == 30
