@@ -867,3 +867,81 @@ def cross_doc_segment_dups(
             F.round(F.col("n_dup").cast("double") / F.col("n_segs"), 4),
         )
     )
+
+
+def remove_boilerplate_segments(
+    df: DataFrame,
+    k: int = 3,
+    min_docs: int = 2,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REMOVE cross-corpus boilerplate and reassemble each document:
+    every non-overlapping ``k``-token segment that occurs (verbatim) in
+    at least ``min_docs`` distinct documents is cut; the surviving
+    segments plus the incomplete tail (< ``k`` tokens, never cut)
+    rejoin in original order. The C4/MassiveText "repeated passage
+    removal" step as a relational plan — :func:`cross_doc_segment_dups`
+    is the screen (score only); this is the edit.
+
+    Output: ``(id_col, cleaned, n_kept, n_dropped)`` — documents whose
+    every token was removed are dropped from the output entirely
+    (``cleaned`` would be the empty string, useless downstream).
+
+    Reference analogue: none (write-time row ``unique`` only,
+    /root/reference/pydala/io.py:242-259).
+
+    100 TB shape: the doc-frequency aggregation and the join back move
+    md5 keys (16 bytes/segment) and segment ORDINALS, never text; the
+    rebuild is a scan-stage expression over the original token array.
+    Per doc the dropped ordinal set rides as one small int array
+    (``collect_set``, at most n_tokens/k entries), so the reassembly
+    join is |docs| rows against |docs-with-drops| rows — when AQE
+    broadcasts the drop side (the common case: only docs containing
+    corpus-frequent segments appear there) document text crosses zero
+    shuffles; past broadcast size it degrades to ONE hash join on the
+    id, still never moving text through the frequency path. Segment
+    dropping is corpus-global and deterministic; no sampling.
+    """
+    t = _spread(df, id_col).select(
+        F.col(id_col),
+        F.split(F.col(text), " ").alias("__t"),
+    ).withColumn("__nseg", F.expr(f"int(size(__t) / {k})"))
+    # docs shorter than k tokens have no segments (Spark's
+    # sequence(1, 0) is the DESCENDING [1, 0], not empty — filter,
+    # don't rely on it)
+    segs = t.filter(F.col("__nseg") >= 1).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, __nseg), i -> struct(i AS sid, "
+                f"md5(array_join(slice(__t, (i - 1) * {k} + 1, {k}), ' ')) AS h))"
+            )
+        ).alias("s"),
+    ).select(id_col, "s.sid", "s.h")
+    nd = segs.groupBy("h").agg(F.countDistinct(id_col).alias("nd"))
+    drops = (
+        segs.join(nd.filter(F.col("nd") >= min_docs), "h")
+        .groupBy(id_col)
+        .agg(F.collect_set("sid").alias("__drop"))
+    )
+    # slice(sequence(0, n), 2, n) = [1..n], and = [] at n = 0 — the
+    # empty-safe ascending ordinal list (sequence(1, 0) would descend)
+    kept_tokens = F.expr(
+        f"concat(flatten(transform("
+        f"filter(slice(sequence(0, __nseg), 2, __nseg), "
+        f"i -> NOT array_contains(coalesce(__drop, array()), i)), "
+        f"i -> slice(__t, (i - 1) * {k} + 1, {k}))), "
+        f"slice(__t, __nseg * {k} + 1, size(__t) - __nseg * {k}))"
+    )
+    return (
+        t.join(drops, id_col, "left")
+        .withColumn("__kept", kept_tokens)
+        .filter(F.size("__kept") > 0)
+        .select(
+            F.col(id_col),
+            F.array_join("__kept", " ").alias("cleaned"),
+            F.size("__kept").cast("long").alias("n_kept"),
+            F.coalesce(F.size("__drop"), F.lit(0)).cast("long").alias("n_dropped"),
+        )
+    )

@@ -3325,6 +3325,58 @@ def doc_segment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_boilerplate_removal",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk,
+             len(string_split(text, ' ')) // 3 AS nseg
+      FROM documents
+    ), segs AS (
+      SELECT doc_id, i AS sid,
+             md5(array_to_string(list_slice(tk, (i - 1) * 3 + 1, i * 3), ' '))
+               AS h
+      FROM t, unnest(generate_series(1, nseg)) AS g(i)
+    ), nd AS (
+      SELECT h, count(DISTINCT doc_id) AS nd FROM segs GROUP BY h
+    ), drops AS (
+      SELECT s.doc_id, list(s.sid) AS drop_sids
+      FROM segs s JOIN nd USING (h) WHERE nd.nd >= 2
+      GROUP BY s.doc_id
+    ), reb AS (
+      SELECT t.doc_id,
+             list_concat(
+               flatten(list_transform(
+                 list_filter(generate_series(1, t.nseg),
+                             i -> NOT list_contains(coalesce(d.drop_sids, []), i)),
+                 i -> list_slice(t.tk, (i - 1) * 3 + 1, i * 3))),
+               list_slice(t.tk, t.nseg * 3 + 1, len(t.tk))
+             ) AS kept,
+             coalesce(len(d.drop_sids), 0) AS ndrop
+      FROM t LEFT JOIN drops d USING (doc_id)
+    )
+    SELECT doc_id,
+           array_to_string(kept, ' ') AS cleaned,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(ndrop AS BIGINT) AS n_dropped
+    FROM reb WHERE len(kept) > 0
+    """,
+)
+def doc_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C4/MassiveText-style repeated-passage REMOVAL (doc_segment_dups
+    # is the screen; this is the edit): cut every non-overlapping
+    # 3-token segment seen verbatim in >= 2 distinct documents,
+    # reassemble survivors + tail in order. Only md5 keys and segment
+    # ordinals cross shuffles; document text is rebuilt scan-side from
+    # the original token array. See operators/dedup.
+    # remove_boilerplate_segments for the 100 TB notes.
+    from pydala2_spark.operators.dedup import remove_boilerplate_segments
+
+    return remove_boilerplate_segments(
+        _t(spark, sf_dir, "documents"), k=3, min_docs=2
+    )
+
+
+@query(
     "ev_funnel",
     """
     WITH v AS (
@@ -3612,7 +3664,11 @@ _VERIFY_FIRST = [
     "doc_pack_sequences",
     "doc_source_mix",
     "dedup_clusters",
-    "doc_curation",
+    # doc_curation yields its slot to doc_boilerplate_removal (new):
+    # curation's only r4 change is the CC-step materialization, which
+    # dedup_clusters (in-window) driver-verifies directly; doc_curation
+    # itself is r3-driver-green and type-strict-mirror-green.
+    "doc_boilerplate_removal",
     # last verified in round 2 (outside r3's window) — rotate back in
     # so no entry's latest green row ages past one round
     "agg_grouping_sets",

@@ -324,6 +324,55 @@ def test_segment_dups_matches_bruteforce(spark):
     assert got == want
 
 
+def test_boilerplate_removal_matches_bruteforce(spark):
+    """remove_boilerplate_segments vs a pure-python cut-and-rejoin over
+    random token docs — exact cleaned-text equality, including the
+    short-doc (all-tail), full-removal (doc dropped), and ragged-tail
+    cases the generator covers by construction."""
+    import random
+
+    from pydala2_spark.operators.dedup import remove_boilerplate_segments
+
+    rnd = random.Random(29)
+    vocab = [f"w{i}" for i in range(8)]  # small vocab -> real collisions
+    texts = {
+        i: " ".join(rnd.choice(vocab) for _ in range(rnd.randint(1, 16)))
+        for i in range(40)
+    }
+    k, min_docs = 3, 2
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["cleaned"], r["n_kept"], r["n_dropped"])
+        for r in remove_boilerplate_segments(df, k=k, min_docs=min_docs).collect()
+    }
+
+    seg_docs: dict[str, set[int]] = {}
+    split = {}
+    for did, text in texts.items():
+        toks = text.split(" ")
+        ss = [" ".join(toks[i * k : (i + 1) * k]) for i in range(len(toks) // k)]
+        split[did] = (toks, ss)
+        for s in ss:
+            seg_docs.setdefault(s, set()).add(did)
+    want = {}
+    for did, (toks, ss) in split.items():
+        kept_toks = []
+        n_dropped = 0
+        for i, s in enumerate(ss):
+            if len(seg_docs[s]) >= min_docs:
+                n_dropped += 1
+            else:
+                kept_toks.extend(toks[i * k : (i + 1) * k])
+        kept_toks.extend(toks[len(ss) * k :])  # tail never cut
+        if kept_toks:
+            want[did] = (" ".join(kept_toks), len(kept_toks), n_dropped)
+    assert got == want
+    # the generator's seed must actually exercise the edit: at least
+    # one doc with a drop and at least one fully-removed doc
+    assert any(nd > 0 for _, _, nd in want.values())
+    assert len(want) < len(texts)
+
+
 def test_scd2_matches_python_reference_on_random_batches(spark):
     """Random batch sequences through scd2_frames vs a dict-based
     python SCD2 model — full history equality, not just invariants."""
