@@ -22,6 +22,7 @@ def _run_pipeline(spark, sf_dir: str, out_path: str):
         stratified_sample,
         temperature_resample_rates,
     )
+    from pydala2_spark.operators.dedup import remove_boilerplate_segments
     from pydala2_spark.sources.testdata import read_table
     from pydala2_spark.sources.writer import Writer
 
@@ -30,6 +31,17 @@ def _run_pipeline(spark, sf_dir: str, out_path: str):
     # 1. curation: disposition per doc, keep survivors
     disp = curate_corpus(docs)
     kept = docs.join(disp.filter("status = 'kept'").select("doc_id"), "doc_id")
+
+    # 1b. boilerplate edit on the survivors: cut corpus-frequent
+    # segments, rebuild text (docs reduced to nothing drop out); the
+    # token-derived columns are recomputed from the cleaned text so
+    # downstream packing budgets see the post-edit sizes
+    cleaned = remove_boilerplate_segments(kept, k=3, min_docs=2)
+    kept = (
+        kept.drop("text", "n_chars")
+        .join(cleaned.select("doc_id", F.col("cleaned").alias("text")), "doc_id")
+        .withColumn("n_chars", F.length("text"))
+    )
 
     # 2. mixture: temperature-flatten the (source, lang) distribution,
     # then materialize with the md5-coin sampler (deterministic)
