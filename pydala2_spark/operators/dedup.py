@@ -903,6 +903,10 @@ def remove_boilerplate_segments(
     id, still never moving text through the frequency path. Segment
     dropping is corpus-global and deterministic; no sampling.
     """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
     t = _spread(df, id_col).select(
         F.col(id_col),
         F.split(F.col(text), " ").alias("__t"),

@@ -836,3 +836,24 @@ def test_kmeans_guards_and_small_corpus(spark):
     assigned, cents = kmeans_lloyd(df, k=5, iters=1, dim=2)
     assert len(cents) == 2
     assert assigned.count() == 2
+
+
+def test_boilerplate_removal_guards_and_short_docs(spark):
+    import pytest as _pytest
+
+    from pydala2_spark.operators.dedup import remove_boilerplate_segments
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError):
+        remove_boilerplate_segments(df, k=0)
+    with _pytest.raises(ValueError):
+        remove_boilerplate_segments(df, min_docs=0)
+    # both docs are shorter than k: all-tail, kept verbatim even
+    # though the texts are identical (segments, not whole docs, dedup)
+    out = {
+        r["doc_id"]: (r["cleaned"], r["n_kept"], r["n_dropped"])
+        for r in remove_boilerplate_segments(df, k=3, min_docs=2).collect()
+    }
+    assert out == {1: ("a b", 2, 0), 2: ("a b", 2, 0)}
