@@ -59,6 +59,8 @@ QUERIES = [
     "doc_segment_dups",
     "doc_tfidf_top_terms",
     "ev_funnel",
+    # screen + edit over the same segment keys; rebuild is scan-stage
+    "doc_boilerplate_removal",
 ]
 
 
