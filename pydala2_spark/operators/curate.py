@@ -327,6 +327,42 @@ def stratified_sample(
     return df.filter(u < rate)
 
 
+def source_quota_cap(
+    df: DataFrame,
+    cap: int,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    descending: bool = False,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group quota cap: keep at most ``cap`` documents per
+    ``group_col``, choosing by ``order_col`` (e.g. a quality score,
+    ``descending=True``) with ``id_col`` as the deterministic
+    tiebreak — the domain-balance step of a data recipe
+    (:func:`stratified_sample` thins by RATE; this bounds by COUNT,
+    which is what stops one crawl domain from dominating a mixture
+    regardless of its size).
+
+    Reference analogue: none (extension surface).
+
+    100 TB shape: one ``row_number`` window per group — a single hash
+    shuffle on ``group_col``, rank computed within partitions, rows
+    beyond the cap never leave the filter. Skewed groups (one giant
+    domain) are the expected case: the window sorts that group's
+    partition but emits only ``cap`` rows from it. Deterministic by
+    the (order, id) composite sort — reruns keep identical documents.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(group_col).orderBy(oc, F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     top_n: int = 3,

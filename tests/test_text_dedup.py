@@ -857,3 +857,40 @@ def test_boilerplate_removal_guards_and_short_docs(spark):
         for r in remove_boilerplate_segments(df, k=3, min_docs=2).collect()
     }
     assert out == {1: ("a b", 2, 0), 2: ("a b", 2, 0)}
+
+
+def test_source_quota_cap(spark):
+    import pytest as _pytest
+
+    from pydala2_spark.operators.curate import source_quota_cap
+
+    df = spark.createDataFrame(
+        [
+            # (doc_id, source, q): src0 has 4 docs, src1 has 2
+            (1, "src0", 0.9),
+            (2, "src0", 0.7),
+            (3, "src0", 0.8),
+            (4, "src0", 0.7),
+            (5, "src1", 0.5),
+            (6, "src1", 0.6),
+        ],
+        "doc_id long, source string, q double",
+    )
+    with _pytest.raises(ValueError):
+        source_quota_cap(df, cap=0)
+
+    # cap 2 by quality desc: src0 keeps 0.9 and 0.8; the 0.7 tie is
+    # broken by doc_id asc so doc 2 would win over doc 4 at cap 3
+    top = source_quota_cap(df, cap=2, order_col="q", descending=True)
+    assert {r["doc_id"] for r in top.collect()} == {1, 3, 5, 6}
+    top3 = source_quota_cap(df, cap=3, order_col="q", descending=True)
+    assert {r["doc_id"] for r in top3.filter("source = 'src0'").collect()} == {1, 2, 3}
+    # groups under the cap pass through whole; schema is unchanged
+    assert set(top.columns) == {"doc_id", "source", "q"}
+    # deterministic across runs
+    a = sorted(r["doc_id"] for r in top.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in source_quota_cap(df, cap=2, order_col="q", descending=True).collect()
+    )
+    assert a == b
