@@ -52,6 +52,15 @@ def _run_pipeline(spark, sf_dir: str, out_path: str):
     strat = kept.withColumn("__mix", F.concat_ws("|", "source", "lang"))
     mixed = stratified_sample(strat, rates, group_col="__mix").drop("__mix")
 
+    # 2b. quota: no source contributes more than 60 docs post-mix
+    # (count bound on top of the rate-based mixture), best-quality
+    # first via doc length as the stand-in score
+    from pydala2_spark.operators.curate import source_quota_cap
+
+    mixed = source_quota_cap(
+        mixed, cap=60, group_col="source", order_col="n_chars", descending=True
+    )
+
     # 3. pack into 512-token budgets per language
     packed = pack_sequences(mixed, budget=512)
 
