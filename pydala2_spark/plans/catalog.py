@@ -222,15 +222,13 @@ class Catalog:
         level sidecars would index replaced versions' files; use
         ``SnapshotDataset.read_pruned`` / ``collect_file_stats(files=
         manifest)`` for version-scoped skipping instead.
+
+        All bloom/NDV branches share ONE data scan of the files still
+        needing indexing (:func:`pydala2_spark.plans.analyze.
+        analyze_dataset`) — an analyze after an append reads the
+        appended data once, however many columns are indexed.
         """
-        from pydala2_spark.plans.bloom import refresh_bloom_index
-        from pydala2_spark.plans.fs import path_exists
-        from pydala2_spark.plans.stats import (
-            StatsIndex,
-            build_ndv_sketches,
-            ndv_sidecar_path,
-            refresh_ndv_sketches,
-        )
+        from pydala2_spark.plans.analyze import analyze_dataset
 
         entry = self._entry(name)
         if entry.get("snapshot"):
@@ -243,17 +241,9 @@ class Catalog:
         if entry.get("filesystem"):
             self._apply_filesystem(entry["filesystem"])
             path = _rewrite_scheme(path)
-        out: dict = {"stats": StatsIndex(self.spark, path).refresh()}
-        for c in bloom_columns or []:
-            out[f"bloom:{c}"] = refresh_bloom_index(self.spark, path, c)
-        if ndv_columns:
-            if path_exists(self.spark, ndv_sidecar_path(path)):
-                out["ndv"] = refresh_ndv_sketches(
-                    self.spark, path, columns=list(ndv_columns)
-                )
-            else:
-                out["ndv"] = build_ndv_sketches(self.spark, path, list(ndv_columns))
-        return out
+        return analyze_dataset(
+            self.spark, path, bloom_columns=bloom_columns, ndv_columns=ndv_columns
+        )
 
     def show(self, name: str) -> str:
         """Pretty YAML dump of one table entry (reference

@@ -85,13 +85,53 @@ def _stat_value(v) -> str | None:
         return json.dumps(str(v))
 
 
-def _read_footers(base: str, paths: Iterable[str]):
-    """Executor-side: read parquet footers only (no data pages)."""
+def _pa_fs(path: str):
+    """``(pyarrow.fs.FileSystem, fs-internal path)`` for any URI scheme
+    the engine supports — executor-safe (pure pyarrow, no JVM gateway).
+
+    Hadoop qualifies local paths as ``file:/x`` (one slash) while
+    pyarrow's ``from_uri`` wants ``file:///x``; ``s3a://`` is Hadoop's
+    S3 connector name for what pyarrow calls ``s3://`` (credentials
+    resolve from the environment/instance profile on the executors).
+    Scheme-less paths go straight to LocalFileSystem."""
+    from pyarrow import fs as pafs
+
+    p = _normalize_uri(path)
+    if "://" not in p:
+        return pafs.LocalFileSystem(), os.path.abspath(p)
+    filesystem, inner = pafs.FileSystem.from_uri(p)
+    return filesystem, inner
+
+
+def _normalize_uri(path: str) -> str:
+    """Rewrite Hadoop URI spellings to pyarrow's: ``file:/x`` (Hadoop's
+    qualified local form) → ``file:///x``; ``s3a://`` (Hadoop's S3
+    connector scheme) → ``s3://``. Scheme-less paths pass through."""
+    import re as _re
+
+    p = _re.sub(r"^file:/{1,3}", "file:///", path)
+    return _re.sub(r"^s3a://", "s3://", p)
+
+
+def _read_footer(path: str):
+    """``(FileMetaData, size_bytes)`` of one parquet file on ANY
+    supported filesystem — footer pages only, no data read."""
     import pyarrow.parquet as pq
 
+    filesystem, inner = _pa_fs(path)
+    info = filesystem.get_file_info(inner)
+    if info.size is None:
+        raise FileNotFoundError(f"no parquet file at {path!r} (resolved to {inner!r})")
+    size = int(info.size)
+    with filesystem.open_input_file(inner) as f:
+        md = pq.ParquetFile(f).metadata
+    return md, size
+
+
+def _read_footers(base: str, paths: Iterable[str]):
+    """Executor-side: read parquet footers only (no data pages)."""
     for p in paths:
-        local = p.removeprefix("file:")
-        md = pq.ParquetFile(local).metadata
+        md, size = _read_footer(p)
         col_stats: dict[str, dict] = {}
         arrow_schema = md.schema.to_arrow_schema()
         for rg in range(md.num_row_groups):
@@ -110,7 +150,7 @@ def _read_footers(base: str, paths: Iterable[str]):
                 cur["nulls"] += s.null_count or 0
         yield (
             p,
-            int(os.path.getsize(local)),
+            size,
             int(md.num_rows),
             int(md.num_row_groups),
             _hive_partitions(base, p),
@@ -310,8 +350,8 @@ def import_legacy_file_metadata(
     sidecar = f"{dataset_path}/_file_metadata"
     if not path_exists(spark, sidecar):
         raise FileNotFoundError(f"no legacy sidecar at {sidecar}")
-    local = sidecar.removeprefix("file:")
-    with open(local, "rb") as f:
+    side_fs, side_inner = _pa_fs(sidecar)
+    with side_fs.open_input_stream(side_inner) as f:
         raw = f.read()
 
     data = None
@@ -349,8 +389,11 @@ def import_legacy_file_metadata(
             md = entry
         fpath = rel if "://" in rel or rel.startswith("/") else f"{dataset_path}/{rel}"
         qpath = qualified(spark, fpath)
-        lpath = qpath.removeprefix("file:")
-        if not os.path.exists(lpath):
+        dfs, dinner = _pa_fs(qpath)
+        from pyarrow import fs as _pafs
+
+        finfo = dfs.get_file_info(dinner)
+        if finfo.type == _pafs.FileType.NotFound:
             missing += 1
             continue
         col_stats: dict[str, dict] = {}
@@ -372,7 +415,7 @@ def import_legacy_file_metadata(
         rows.append(
             (
                 qpath,
-                int(os.path.getsize(lpath)),
+                int(finfo.size),
                 int(md.num_rows),
                 int(md.num_row_groups),
                 _hive_partitions(base, qpath),

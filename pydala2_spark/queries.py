@@ -3649,78 +3649,64 @@ def mm_blockhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mirror (scripts/check_correctness.py runs every entry).
 
 _VERIFY_FIRST = [
-    # new this round — verify first
-    "emb_kmeans",
-    "doc_tfidf_top_terms",
-    "doc_segment_dups",
-    "ev_funnel",
-    "ev_cohort_retention",
-    "ev_value_trend",
-    "emb_quantized_rerank",
-    "doc_temperature_mix",
-    "doc_entropy_quality",
-    # round 4: changed this round — oracle CAST fix (HUGEINT widening,
-    # the two red r3 rows) and the CC pointer-doubling materialization
-    "doc_pack_sequences",
-    "doc_source_mix",
-    "dedup_clusters",
-    # doc_curation yields its slot to doc_boilerplate_removal (new):
-    # curation's only r4 change is the CC-step materialization, which
-    # dedup_clusters (in-window) driver-verifies directly; doc_curation
-    # itself is r3-driver-green and type-strict-mirror-green.
+    # round 5 rotation: the 47 entries OUTSIDE round 4's driver window
+    # (last driver-checked r3, ev_json_extract r2) lead, so every
+    # registry entry holds a green driver row in r4∪r5 and nothing
+    # ages more than one round without a driver check. The r4-new
+    # entries (emb_kmeans … merge_scd2_history) yield their slots —
+    # each is r4-driver-green and covered by the full local mirror.
+    "ev_json_extract",
+    "scan_filter_project",
+    "sort_limit_topk",
+    "distinct_keyed",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "agg_rollup_status_priority",
+    "agg_approx_distinct",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "q10_returned_items",
+    "join_semi_anti",
+    "set_ops_union_except",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q18_large_volume_customers",
+    "q2_min_cost_supplier",
+    "q21_multi_exists",
+    "q16_supplier_count_by_part",
+    "q20_volume_suppliers",
+    "set_ops_except",
+    "string_function_suite",
+    "agg_cube_flag_status",
+    "merge_upsert_semantics",
+    "doc_token_explode_top",
+    "w_value_deciles",
+    "w_top_orders_per_customer",
+    "w_rank_distribution_frames",
+    "stream_hourly_rollup",
+    "ev_sessionization",
+    "asof_click_before_purchase",
+    "dedup_minhash_lsh",
+    "dedup_ngram_blocked",
+    "doc_curation",
+    "dedup_simhash",
+    "emb_near_dup",
+    "ev_value_quantiles",
+    "doc_pii_scan",
+    "emb_quantize_error",
+    "doc_winnow_candidates",
+    "stream_sessionization",
+    "doc_repetition_screen",
+    "doc_contamination",
+    "doc_stratified_sample",
+    "doc_chunk_windows",
+    # changed this round — operator+oracle edit (empty-text filter per
+    # ADVICE) and the vectorized frame-sample stage — driver-verify the
+    # changes alongside the aged set.
     "doc_boilerplate_removal",
-    # last verified in round 2 (outside r3's window) — rotate back in
-    # so no entry's latest green row ages past one round
-    "agg_grouping_sets",
-    "array_function_suite",
-    "date_arithmetic_suite",
-    "doc_bpe_token_stats",
-    "doc_exact_dedup",
-    "doc_fingerprint_groups",
-    "doc_lang_id",
-    "doc_quality_scores",
-    "doc_token_stats",
-    "emb_knn_bruteforce",
-    "emb_knn_ivf",
-    "emb_knn_lsh",
-    "ev_hourly_rollup",
-    # ev_json_extract yields its slot to mm_blockhash (new this round):
-    # it is unchanged since round 1, r2-driver-green, and covered by
-    # the full local mirror every round — the one r2-latest entry left
-    # outside r4's 50-row window
-    "ev_type_value_stats",
-    "mm_audio_features",
     "mm_frame_sample",
-    "mm_image_decode",
-    "mm_image_resize",
-    "mm_media_meta",
-    "pivot_status_by_priority",
-    "q11_supplier_value_share",
-    "q12_priority_by_linestatus",
-    "q14_promo_revenue",
-    "q15_top_suppliers",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q22_inactive_customers",
-    "q9_product_profit",
-    "range_join_ship_window",
-    "skew_safe_distinct",
-    "skew_salted_join_agg",
-    "w_monthly_growth",
-    "w_running_revenue",
-    # new streaming oracle query + media blockhash + SCD2 merge
-    "stream_dedup_ingest",
-    "mm_blockhash",
-    "merge_scd2_history",
-    # perf-touched this round (plans changed: the SRP unit frame and
-    # the simhash signature frame are now materialized once) — keep
-    # emb_near_dup_srp (the r3 red-flagged regression) inside the
-    # window so its plan change is driver-verified.
-    # doc_winnow_candidates / emb_near_dup / dedup_simhash rotated OUT
-    # (dedup_simhash's change is plan-only: results byte-identical
-    # under the type-strict mirror, r3-driver-green) to hold the
-    # explicit list at the 50-entry driver window.
-    "emb_near_dup_srp",
 ]
 
 

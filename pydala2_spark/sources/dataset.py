@@ -23,7 +23,6 @@ Design (Spark-first, not a port):
 from __future__ import annotations
 
 import os
-import shutil
 from typing import Any, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -156,16 +155,18 @@ class BaseDataset:
         if self.timestamp_column is None:
             return None
         for f in self.files()[:1]:
-            local = f.removeprefix("file:")
-            if os.path.exists(local):
-                try:
-                    import pyarrow.parquet as pq
+            try:
+                import pyarrow.parquet as pq
 
-                    field = pq.read_schema(local).field(self.timestamp_column)
-                    if hasattr(field.type, "tz"):
-                        return field.type.tz
-                except Exception:
-                    pass
+                from pydala2_spark.plans.stats import _pa_fs
+
+                fs, inner = _pa_fs(f)
+                with fs.open_input_file(inner) as fh:
+                    field = pq.read_schema(fh).field(self.timestamp_column)
+                if hasattr(field.type, "tz"):
+                    return field.type.tz
+            except Exception:
+                pass
         dt = dict(self.df.dtypes).get(self.timestamp_column, "")
         if dt == "timestamp":
             return "UTC"
@@ -343,9 +344,17 @@ class BaseDataset:
         first = (self.files() or [None])[0]
         if not first:
             return []
+        from pydala2_spark.plans.fs import schemeless
+
         names = []
-        rel = os.path.relpath(first, self.path.removeprefix("file:"))
-        for seg in rel.replace("file:", "").split(os.sep):
+        p = self.path
+        if "://" not in p and not p.startswith("file:"):
+            p = os.path.abspath(p)
+        base = schemeless(p).rstrip("/")
+        rel = schemeless(first)
+        if rel.startswith(base):
+            rel = rel[len(base):]
+        for seg in rel.split("/"):
             if "=" in seg:
                 names.append(seg.split("=", 1)[0])
         return names
@@ -390,10 +399,13 @@ class BaseDataset:
     write = write_to_dataset
 
     def vacuum(self) -> None:
-        """Delete every data file of the dataset (`pydala/dataset.py:607-638`)."""
-        local = self.path.removeprefix("file:")
-        if os.path.exists(local):
-            shutil.rmtree(local)
+        """Delete every data file of the dataset (`pydala/dataset.py:607-638`).
+        Goes through the Hadoop FS so remote (s3a/hdfs) datasets vacuum
+        the same way local ones do."""
+        from pydala2_spark.plans.fs import delete_paths, path_exists
+
+        if path_exists(self.spark, self.path):
+            delete_paths(self.spark, [self.path])
         self._df = None
 
     def delete_files(self, files: str | list[str] | None = None) -> None:

@@ -1,0 +1,152 @@
+"""Fused ANALYZE contracts: one shared data scan builds sidecars
+row-identical to the sequential single-sidecar builders, incremental
+discipline survives per-sidecar, and the data is opened exactly once
+per analyze regardless of how many columns are indexed."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydala2_spark.plans.analyze import analyze_dataset
+from pydala2_spark.plans.bloom import _SENTINEL, bloom_prune, refresh_bloom_index
+from pydala2_spark.plans.stats import (
+    StatsIndex,
+    build_ndv_sketches,
+    estimate_ndv,
+    ndv_sidecar_path,
+    refresh_ndv_sketches,
+)
+
+from conftest import make_simple_pdf
+
+
+def _write_batches(spark, path, n_batches, rows=40):
+    for i in range(n_batches):
+        pdf = make_simple_pdf(rows, seed=i * rows)
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(path)
+
+
+def _bloom_rows(spark, path, col):
+    df = spark.read.parquet(f"{path}/_bloom_index/{col}")
+    return sorted(
+        (r["file_path"], r["word_index"], r["word"], r["num_bits"], r["num_hashes"], r["value_type"])
+        for r in df.collect()
+    )
+
+
+def _ndv_membership(spark, path):
+    df = spark.read.parquet(ndv_sidecar_path(path))
+    return sorted(
+        (r["file_path"], r["column"], r["lg_k"]) for r in df.collect()
+    )
+
+
+def test_fused_equals_sequential(spark, tmp_ds_path):
+    """The fused build must produce sidecars row-identical (bloom) /
+    estimate-identical (NDV — sketch bytes legitimately vary with
+    merge order) to the sequential builders over the SAME data: build
+    sequentially, record, wipe the sidecars, build fused, compare."""
+    import shutil
+
+    _write_batches(spark, tmp_ds_path, 3)
+
+    StatsIndex(spark, tmp_ds_path).refresh()
+    refresh_bloom_index(spark, tmp_ds_path, "id")
+    refresh_bloom_index(spark, tmp_ds_path, "name")
+    build_ndv_sketches(spark, tmp_ds_path, ["id", "name"])
+    seq_bloom = {c: _bloom_rows(spark, tmp_ds_path, c) for c in ("id", "name")}
+    seq_stats = sorted(
+        (r["file_path"], r["num_rows"], r["size_bytes"])
+        for r in StatsIndex(spark, tmp_ds_path).stats().collect()
+    )
+    seq_ndv = {c: estimate_ndv(spark, tmp_ds_path, c) for c in ("id", "name")}
+    seq_members = _ndv_membership(spark, tmp_ds_path)
+
+    for side in ("_bloom_index", "_ndv_sketches", "_stats_index"):
+        shutil.rmtree(f"{tmp_ds_path}/{side}", ignore_errors=True)
+
+    out = analyze_dataset(
+        spark, tmp_ds_path, bloom_columns=["id", "name"], ndv_columns=["id", "name"]
+    )
+    assert out["stats"]["added"] == 3
+    assert out["bloom:id"]["added"] == 3 and out["bloom:name"]["added"] == 3
+    assert out["ndv"]["files"] == 3 and sorted(out["ndv"]["columns"]) == ["id", "name"]
+
+    # bloom words are deterministic (bit_or is order-free): word-for-word
+    for col in ("id", "name"):
+        assert _bloom_rows(spark, tmp_ds_path, col) == seq_bloom[col]
+    assert (
+        sorted(
+            (r["file_path"], r["num_rows"], r["size_bytes"])
+            for r in StatsIndex(spark, tmp_ds_path).stats().collect()
+        )
+        == seq_stats
+    )
+    for col in ("id", "name"):
+        assert estimate_ndv(spark, tmp_ds_path, col) == seq_ndv[col]
+    assert _ndv_membership(spark, tmp_ds_path) == seq_members
+
+
+def test_fused_incremental_and_out_of_sync(spark, tmp_ds_path):
+    """After an append, fused analyze must (a) index only the appended
+    files for already-built sidecars, (b) full-scan a newly requested
+    NDV column, (c) keep bloom's no-false-negative contract."""
+    _write_batches(spark, tmp_ds_path, 2)
+    analyze_dataset(spark, tmp_ds_path, bloom_columns=["id"], ndv_columns=["id"])
+
+    _write_batches(spark, tmp_ds_path, 1)  # ids 0..39 again → one more file
+    out = analyze_dataset(
+        spark, tmp_ds_path, bloom_columns=["id", "name"], ndv_columns=["id", "name"]
+    )
+    assert out["stats"]["added"] == 1 and out["stats"]["total"] == 3
+    assert out["bloom:id"]["added"] == 1  # incremental
+    assert out["bloom:name"]["added"] == 3  # fresh build
+    assert out["ndv"]["added"] == 1 and out["ndv"]["new_columns"] == ["name"]
+
+    # bloom: every id value must keep its containing file (no false negatives)
+    for probe, n_expected_min in ((0, 2), (45, 1), (75, 1)):
+        kept = bloom_prune(spark, tmp_ds_path, "id", [probe])
+        df = spark.read.parquet(*kept).filter(F.col("id") == probe)
+        want = spark.read.parquet(tmp_ds_path).filter(F.col("id") == probe).count()
+        assert df.count() == want and want >= n_expected_min
+    # NDV: the new column's estimate covers ALL files, not just appended
+    approx = estimate_ndv(spark, tmp_ds_path, "name")
+    exact = spark.read.parquet(tmp_ds_path).select("name").distinct().count()
+    assert abs(approx - exact) <= max(2, exact * 0.05)
+
+
+def test_fused_single_data_scan(spark, tmp_ds_path, monkeypatch):
+    """Structural pin for the fusion: with 2 bloom + 2 NDV columns, the
+    DATA files are opened by exactly ONE DataFrameReader call (sidecar
+    reads don't count; the StatsIndex footer pass doesn't go through
+    the reader at all). Before the fusion this was 4+ data scans."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    _write_batches(spark, tmp_ds_path, 2)
+    # pre-build so the refresh path (the common case) is what's pinned
+    analyze_dataset(
+        spark, tmp_ds_path, bloom_columns=["id", "name"], ndv_columns=["id", "name"]
+    )
+    _write_batches(spark, tmp_ds_path, 1)
+
+    calls: list[tuple[str, ...]] = []
+    orig = DataFrameReader.parquet
+
+    def spy(self, *paths):
+        calls.append(paths)
+        return orig(self, *paths)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", spy)
+    out = analyze_dataset(
+        spark, tmp_ds_path, bloom_columns=["id", "name"], ndv_columns=["id", "name"]
+    )
+    assert out["stats"]["added"] == 1
+
+    sidecar_markers = ("_bloom_index", "_ndv_sketches", "_stats_index", "__staging")
+    data_scans = [
+        c for c in calls if not any(m in p for p in c for m in sidecar_markers)
+    ]
+    assert len(data_scans) == 1, f"expected 1 data scan, saw {data_scans}"
+    # and that one scan touches only the appended file
+    assert len(data_scans[0]) == 1

@@ -83,6 +83,52 @@ def test_prune_files_uncastable_stats_kept(spark, tmp_ds_path):
     assert len(kept) == 2  # nothing provably excluded → keep all files
 
 
+def test_footer_scan_is_filesystem_agnostic(spark, tmp_ds_path):
+    """The footer reader must go through pyarrow's FileSystem
+    abstraction, not local-path string surgery: Hadoop hands back
+    ``file:/x`` (one slash) qualified URIs, executors elsewhere see
+    ``file:///x`` or ``s3a://…`` — all spellings must resolve."""
+    from pydala2_spark.plans.stats import _normalize_uri, _pa_fs, _read_footer
+
+    from pydala2_spark.plans.fs import schemeless
+
+    _write_fragmented(spark, tmp_ds_path, n_batches=1, rows=10)
+    f = schemeless(list_files(spark, tmp_ds_path)[0])  # plain local path
+    spellings = [f, f"file:{f}", f"file://{f}", f"file://{f}"]
+    sizes = set()
+    for s in spellings:
+        md, size = _read_footer(s)
+        assert md.num_rows == 10
+        sizes.add(size)
+    assert len(sizes) == 1
+    # Hadoop's s3a scheme maps to pyarrow's s3 (string rule only — no
+    # S3FileSystem construction here, that would hit the network)
+    assert _normalize_uri("s3a://bucket/k.parquet") == "s3://bucket/k.parquet"
+    assert _normalize_uri("hdfs://nn/x") == "hdfs://nn/x"
+    fs, inner = _pa_fs(f"file:{f}")
+    import pyarrow.fs as pafs
+
+    assert isinstance(fs, pafs.LocalFileSystem) and inner == f
+
+
+def test_stats_index_on_uri_path(spark, tmp_ds_path):
+    """StatsIndex / collect_file_stats over a ``file:///``-qualified
+    dataset path (the non-local code path, exercised with the local
+    scheme): build, refresh, prune all work on URIs."""
+    from pydala2_spark.plans.stats import StatsIndex
+
+    _write_fragmented(spark, tmp_ds_path, n_batches=2, rows=50)
+    uri = f"file://{tmp_ds_path}"
+    idx = StatsIndex(spark, uri)
+    r = idx.refresh()
+    assert r["added"] == 2 and r["total"] == 2
+    assert idx.stats().count() == 2
+    # disjoint id ranges per batch → pruning keeps exactly one file
+    assert len(idx.prune("id", lo=60, hi=70)) == 1
+    df = idx.read_pruned("id", lo=60, hi=70)
+    assert df.filter((F.col("id") >= 60) & (F.col("id") <= 70)).count() == 11
+
+
 # -- M1/M3 compaction ----------------------------------------------------
 
 
