@@ -265,6 +265,7 @@ def normalize_text(
     collapse_whitespace: bool = True,
     strip_control: bool = True,
     unify_punct: bool = True,
+    nfc: bool = False,
 ) -> Column:
     """Canonicalize raw text before hashing/dedup — pure Catalyst
     expressions (regexp/translate/lower are JVM built-ins), so the
@@ -282,13 +283,26 @@ def normalize_text(
     - ``lowercase``: unicode-aware ``lower()`` (off by default: case
       carries signal for quality models).
 
-    NFC/NFD unicode normalization is deliberately NOT attempted here —
-    it needs ICU, which means a Python UDF; route documents needing it
-    through an Arrow-batched ``mapInPandas`` stage instead (the
-    multimodal decode pattern), and keep this expression-only path for
-    the 99 % case.
+    ``nfc=True`` additionally canonical-composes the text (unicode
+    NFC — ``é`` as e+combining-acute becomes the single code point,
+    Hangul jamo compose, singleton forms map to canonical) BEFORE the
+    expression steps. NFC is not expressible in Catalyst, so this one
+    step runs as an Arrow-batched ``pandas_udf`` (``unicodedata`` via
+    pandas ``Series.str.normalize`` — C-loop per batch, never per-row
+    Python in the plan). Off by default: the default path stays
+    expression-only / whole-stage-codegen and SQL-oracle-mirrorable;
+    turn it on for multilingual corpora where composed/decomposed
+    variants must dedup together.
     """
     c = F.col(text) if isinstance(text, str) else text
+    if nfc:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def _nfc_udf(s):
+            return s.str.normalize("NFC")
+
+        c = _nfc_udf(c)
     if strip_control:
         c = F.regexp_replace(c, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F​‌‍﻿]", "")
     if unify_punct:

@@ -885,8 +885,11 @@ def remove_boilerplate_segments(
     is the screen (score only); this is the edit.
 
     Output: ``(id_col, cleaned, n_kept, n_dropped)`` — documents whose
-    every token was removed are dropped from the output entirely
-    (``cleaned`` would be the empty string, useless downstream).
+    cleaned text is empty or whitespace-only are dropped from the
+    output entirely. The filter is on the TRIMMED joined text, not the
+    token count: ``split('', ' ')`` yields ``['']``, so an empty or
+    all-whitespace input would otherwise survive with a non-empty
+    token array and an empty ``cleaned``.
 
     Reference analogue: none (write-time row ``unique`` only,
     /root/reference/pydala/io.py:242-259).
@@ -941,10 +944,11 @@ def remove_boilerplate_segments(
     return (
         t.join(drops, id_col, "left")
         .withColumn("__kept", kept_tokens)
-        .filter(F.size("__kept") > 0)
+        .withColumn("cleaned", F.array_join("__kept", " "))
+        .filter(F.length(F.trim(F.col("cleaned"))) > 0)
         .select(
             F.col(id_col),
-            F.array_join("__kept", " ").alias("cleaned"),
+            F.col("cleaned"),
             F.size("__kept").cast("long").alias("n_kept"),
             F.coalesce(F.size("__drop"), F.lit(0)).cast("long").alias("n_dropped"),
         )

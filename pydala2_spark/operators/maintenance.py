@@ -46,7 +46,6 @@ from __future__ import annotations
 import math
 import os
 import uuid
-from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,20 +79,111 @@ def _publish_staging_swap(spark: SparkSession, path: str, staging: str) -> None:
     delete_paths(spark, [old])
 
 
-@dataclass
 class CompactionPlan:
     """Per-group rewrite plan; ``groups`` maps a group key (partition
-    path, interval label, or "<all>") to its member files."""
+    path, interval label, or "<all>") to its member files.
 
-    groups: dict[str, list[str]] = field(default_factory=dict)
-    rows: dict[str, int] = field(default_factory=dict)
+    At 10⁶ hive partitions the per-group dict itself is driver-bound,
+    so a plan built from a candidates DataFrame stays LAZY: the frame
+    is locally checkpointed at planning time (one distributed job —
+    snapshot-consistent even after the compaction deletes the input
+    files), and the executing branches consume DataFrame forms
+    (``files`` — the flat list Spark's own FileIndex holds anyway;
+    ``pairs_df`` — the (file, group) mapping as a frame;
+    ``max_outputs_per_group`` — a one-row aggregate). The per-group
+    dicts materialize only when a caller actually reads ``.groups`` /
+    ``.rows`` (dry-run inspection, tests); ``preview(limit)`` caps the
+    collect for display at scale."""
+
+    def __init__(
+        self,
+        groups: dict[str, list[str]] | None = None,
+        rows: dict[str, int] | None = None,
+        df: DataFrame | None = None,
+    ) -> None:
+        self._groups: dict[str, list[str]] = dict(groups or {})
+        self._rows: dict[str, int] = dict(rows or {})
+        #: lazy backing frame: (__key string, files array<string>, rows long)
+        self._df = df
+        self._materialized = df is None
+
+    @classmethod
+    def from_candidates(cls, df: DataFrame) -> "CompactionPlan":
+        """Wrap a candidates frame — localCheckpoint pins the row set
+        (on first action) so later (post-delete) materialization cannot
+        re-read footers of files the compaction already removed; lazy
+        so a dry-run plan nobody inspects costs zero jobs."""
+        return cls(df=df.localCheckpoint(eager=False))
+
+    def _materialize(self) -> None:
+        if self._materialized:
+            return
+        for r in self._df.select("__key", "files", "rows").collect():
+            self._groups[r["__key"]] = sorted(r["files"])
+            self._rows[r["__key"]] = int(r["rows"])
+        self._groups = dict(sorted(self._groups.items()))
+        self._rows = {k: self._rows[k] for k in self._groups}
+        self._materialized = True
+
+    @property
+    def groups(self) -> dict[str, list[str]]:
+        self._materialize()
+        return self._groups
+
+    @property
+    def rows(self) -> dict[str, int]:
+        self._materialize()
+        return self._rows
+
+    def preview(self, limit: int = 20) -> dict[str, list[str]]:
+        """First ``limit`` groups (by key) WITHOUT materializing the
+        rest — the dry-run display path at millions of partitions."""
+        if self._materialized:
+            return dict(list(sorted(self._groups.items()))[:limit])
+        return {
+            r["__key"]: sorted(r["files"])
+            for r in self._df.select("__key", "files").sort("__key").limit(limit).collect()
+        }
 
     @property
     def files(self) -> list[str]:
-        return sorted(f for fs in self.groups.values() for f in fs)
+        if self._materialized:
+            return sorted(f for fs in self._groups.values() for f in fs)
+        return sorted(
+            r["f"] for r in self._df.select(F.explode("files").alias("f")).collect()
+        )
+
+    def pairs_df(self) -> DataFrame:
+        """(__file, __grp) rows as a DataFrame — the join side for
+        group-routed rewrites, never a driver-side dict."""
+        if self._df is not None:
+            return self._df.select(
+                F.explode("files").alias("__file"), F.col("__key").alias("__grp")
+            )
+        spark = SparkSession.getActiveSession()
+        return spark.createDataFrame(
+            [(f, k) for k, fs in self._groups.items() for f in fs],
+            "__file string, __grp string",
+        )
+
+    def max_outputs_per_group(self, max_rows_per_file: int) -> int:
+        """max over groups of ceil(rows / max_rows_per_file) — a one-row
+        aggregate on the lazy frame, a driver loop only if already
+        materialized."""
+        if self._materialized:
+            return max(
+                (max(1, math.ceil(r / max_rows_per_file)) for r in self._rows.values()),
+                default=1,
+            )
+        row = self._df.agg(
+            F.max(F.ceil(F.col("rows") / F.lit(max_rows_per_file))).alias("m")
+        ).first()
+        return max(1, int(row["m"] or 1))
 
     def __bool__(self) -> bool:
-        return bool(self.groups)
+        if self._materialized:
+            return bool(self._groups)
+        return not self._df.isEmpty()
 
 
 def _partition_key(parts: dict[str, str]) -> str:
@@ -149,14 +239,19 @@ def plan_compact_partitions(
     stats: DataFrame | None = None,
 ) -> CompactionPlan:
     st = stats if stats is not None else collect_file_stats(spark, path)
-    per_part = compaction_candidates(st, max_rows_per_file, sort_by).collect()
-    plan = CompactionPlan()
-    for r in per_part:
-        parts = {e["key"]: e["value"] for e in r["pe"]} if r["pe"] else {}
-        key = _partition_key(parts)
-        plan.groups[key] = sorted(r["files"])
-        plan.rows[key] = int(r["rows"])
-    return plan
+    cand = compaction_candidates(st, max_rows_per_file, sort_by)
+    # group key as an expression ("k=v/..." or "<root>") — the plan
+    # stays a DataFrame; nothing per-partition reaches the driver until
+    # a caller inspects .groups (see CompactionPlan)
+    key = F.array_join(
+        F.transform("pe", lambda e: F.concat(e["key"], F.lit("="), e["value"])), "/"
+    )
+    keyed = cand.select(
+        F.when(F.size("pe") > 0, key).otherwise(F.lit("<root>")).alias("__key"),
+        "files",
+        "rows",
+    )
+    return CompactionPlan.from_candidates(keyed)
 
 
 def compact_partitions(
@@ -171,7 +266,13 @@ def compact_partitions(
     if sort_by and unique:
         raise ValueError("sort_by and unique are mutually exclusive")  # pydala/dataset.py:2110
     plan = plan_compact_partitions(spark, path, max_rows_per_file, sort_by)
-    if dry_run or not plan:
+    if dry_run:
+        return plan
+    # one collect of the flat file list doubles as the emptiness check
+    # (the list is what the read/delete need anyway — same metadata
+    # scale as Spark's own FileIndex)
+    all_files = plan.files
+    if not all_files:
         return plan
 
     part_cols = _discover_partition_cols(spark, path)
@@ -187,12 +288,14 @@ def compact_partitions(
     # write-new-then-delete-old discipline is unchanged, so concurrent
     # appends into the same partitions survive (dynamic partition
     # OVERWRITE would delete files the planning snapshot never saw).
-    one_file_groups = all(
-        max(1, math.ceil(plan.rows.get(k, 0) / max_rows_per_file)) == 1
-        for k in plan.groups
-    )
-    if part_cols and one_file_groups and not sort_by:
-        all_files = plan.files
+    # the aggregate only runs when the branch needs it (sorted rewrites
+    # never ask) — every plan probe here is one small job, not a
+    # per-group driver loop
+    if (
+        part_cols
+        and not sort_by
+        and plan.max_outputs_per_group(max_rows_per_file) == 1
+    ):
         df = spark.read.option("basePath", path).parquet(*all_files)
         if unique:
             # per-partition dedup semantics (the loop reads one
@@ -228,7 +331,6 @@ def compact_partitions(
     # merged arbitrary partitions into overlapping sorted files).
     # maxRecordsPerFile still bounds file sizes.
     if part_cols and sort_by:
-        all_files = plan.files
         sort_cols = to_sort_columns(sort_by)
         df = spark.read.option("basePath", path).parquet(*all_files)
         range_cols = [F.col(c) for c in part_cols] + list(sort_cols)
@@ -318,14 +420,15 @@ def plan_compact_by_timeperiod(
             F.count("*").alias("n_files"),
         )
         .filter(F.col("n_files") > 1)
-        .collect()
+        .select(
+            F.concat(
+                F.lit("t"), (F.col("__bucket") * F.lit(step)).cast("long").cast("string")
+            ).alias("__key"),
+            "files",
+            "rows",
+        )
     )
-    plan = CompactionPlan()
-    for r in sorted(per_bucket, key=lambda r: r["__bucket"]):
-        key = f"t{int(r['__bucket']) * step}"
-        plan.groups[key] = sorted(r["files"])
-        plan.rows[key] = int(r["rows"])
-    return plan
+    return CompactionPlan.from_candidates(per_bucket)
 
 
 def compact_by_timeperiod(
@@ -339,13 +442,13 @@ def compact_by_timeperiod(
     compression: str = "zstd",
 ) -> CompactionPlan:
     plan = plan_compact_by_timeperiod(spark, path, interval, timestamp_column)
-    if dry_run or not plan:
+    if dry_run:
+        return plan
+    all_files = plan.files  # flat-list collect doubles as emptiness check
+    if not all_files:
         return plan
     part_cols = _discover_partition_cols(spark, path)
-    one_file_groups = all(
-        max(1, math.ceil(plan.rows.get(k, 0) / max_rows_per_file)) == 1
-        for k in plan.groups
-    )
+    one_file_groups = plan.max_outputs_per_group(max_rows_per_file) == 1
     if one_file_groups:
         # single-job fast path (round-3 verdict #4): rows rejoin their
         # file's interval bucket via input_file_name() against the
@@ -358,15 +461,14 @@ def compact_by_timeperiod(
         # dataset; write-new-then-delete-old discipline unchanged.
         # Hadoop qualifies as file:/x, input_file_name() as file:///x —
         # compare on the scheme-free absolute path (plans/fs rule)
-        from pydala2_spark.plans.fs import schemeless, schemeless_col
+        from pydala2_spark.plans.fs import schemeless_col
 
-        fmap = spark.createDataFrame(
-            [(schemeless(f), k) for k, fs in plan.groups.items() for f in fs],
-            "__file string, __grp string",
+        fmap = plan.pairs_df().select(
+            schemeless_col(F.col("__file")).alias("__file"), "__grp"
         )
         df = (
             spark.read.option("basePath", path)
-            .parquet(*plan.files)
+            .parquet(*all_files)
             .withColumn("__file", schemeless_col(F.input_file_name()))
             .join(F.broadcast(fmap), "__file")
             .drop("__file")
@@ -383,7 +485,7 @@ def compact_by_timeperiod(
         if part_cols:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(path)
-        delete_paths(spark, plan.files)
+        delete_paths(spark, all_files)
         return plan
 
     for key, files in plan.groups.items():
@@ -433,10 +535,10 @@ def compact_by_rows(
     agg = st.agg(F.sum("num_rows").alias("rows"), F.collect_list("file_path").alias("files")).first()
     total, files = int(agg["rows"] or 0), sorted(agg["files"] or [])
     n_target = max(1, math.ceil(total / max_rows_per_file))
-    plan = CompactionPlan()
     if len(files) > n_target or unique or sort_by:
-        plan.groups["<all>"] = files
-        plan.rows["<all>"] = total
+        plan = CompactionPlan(groups={"<all>": files}, rows={"<all>": total})
+    else:
+        plan = CompactionPlan()
     if dry_run or not plan:
         return plan
 

@@ -263,23 +263,41 @@ def sample_frames(
         ]
     )
 
+    cols = passthrough + ["frame_index", "ts_ms", "frame_md5"]
+    suffixes = [str(i).encode() for i in range(n_frames)]
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r[binary_col])
-                dur_ms = 1000 + _h32(payload, 8, 12) % 59_000  # stub duration
-                for i in range(n_frames):
-                    ts = dur_ms * i // n_frames
-                    rows.append(
-                        tuple(r[c] for c in passthrough)
-                        + (
-                            i,
-                            ts,
-                            hashlib.md5(payload + str(i).encode()).hexdigest(),
-                        )
-                    )
-            yield pd.DataFrame(rows, columns=passthrough + ["frame_index", "ts_ms", "frame_md5"])
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame({c: [] for c in cols})
+                continue
+            payloads = [bytes(p) for p in pdf[binary_col]]
+            # vectorized explosion: frame_index tiles, everything
+            # row-level repeats — no per-row pandas iteration
+            idx = np.tile(np.arange(n_frames, dtype=np.int64), n)
+            durs = np.fromiter(
+                (1000 + _h32(p, 8, 12) % 59_000 for p in payloads),
+                dtype=np.int64,
+                count=n,
+            )
+            ts = np.repeat(durs, n_frames) * idx // n_frames
+            # each payload hashes ONCE; per-frame digests fork from the
+            # shared md5 state (identical to md5(payload + str(i)))
+            md5s: list[str] = []
+            for p in payloads:
+                base = hashlib.md5(p)
+                for s in suffixes:
+                    h = base.copy()
+                    h.update(s)
+                    md5s.append(h.hexdigest())
+            out = {c: pdf[c].to_numpy().repeat(n_frames) for c in passthrough}
+            out["frame_index"] = idx.astype(np.int32)
+            out["ts_ms"] = ts
+            out["frame_md5"] = md5s
+            yield pd.DataFrame(out)
 
     return _spread(df).select(*passthrough, binary_col).mapInPandas(batches, out_schema)
 

@@ -3358,7 +3358,7 @@ def doc_segment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
            array_to_string(kept, ' ') AS cleaned,
            CAST(len(kept) AS BIGINT) AS n_kept,
            CAST(ndrop AS BIGINT) AS n_dropped
-    FROM reb WHERE len(kept) > 0
+    FROM reb WHERE len(trim(array_to_string(kept, ' '))) > 0
     """,
 )
 def doc_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -132,3 +132,53 @@ def test_normalize_text_is_scan_stage(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_normalize_text_nfc_matches_unicodedata(spark):
+    """nfc=True must equal unicodedata.normalize('NFC', …) composed
+    with the expression steps — checked against decomposed accents,
+    Hangul jamo, singleton mappings, and already-composed text."""
+    import re
+    import unicodedata
+
+    from pydala2_spark.functions.text import normalize_text
+
+    samples = [
+        "cafe\u0301 o\u0308wns",  # e+combining-acute -> \u00e9, o+combining-diaeresis -> \u00f6
+        "\u1100\u1161\u11a8",  # Hangul jamo -> \uac01
+        "A\u030angstrom",  # A+combining-ring -> \u00c5
+        "caf\u00e9 already composed",
+        "\ufb01ligature stays",  # NFC does NOT decompose ligatures
+        "mix \u201csmart\u201d \u2014 \u00e9\u0301",  # combining on composed + punct steps
+        "",
+    ]
+
+    def ref(s):
+        s = unicodedata.normalize("NFC", s)
+        s = re.sub(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F​‌‍﻿]", "", s)
+        table = {"‘": "'", "’": "'", "‚": "'", "“": '"',
+                 "”": '"', "„": '"', "–": "-", "—": "-",
+                 "−": "-"}
+        s = "".join(table.get(ch, ch) for ch in s)
+        s = s.replace("…", "...")
+        s = re.sub(r"\s+", " ", s).strip()
+        return s
+
+    df = spark.createDataFrame([(s,) for s in samples], "text string")
+    got = [r["n"] for r in df.select(normalize_text(nfc=True).alias("n")).collect()]
+    assert got == [ref(s) for s in samples]
+    # null passes through as null
+    nrow = (
+        spark.createDataFrame([(None,)], "text string")
+        .select(normalize_text(nfc=True).alias("n"))
+        .first()
+    )
+    assert nrow["n"] is None
+    # and the DEFAULT path still carries no Python stage
+    plan = (
+        df.select(normalize_text().alias("n"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -129,6 +129,57 @@ def test_stats_index_on_uri_path(spark, tmp_ds_path):
     assert df.filter((F.col("id") >= 60) & (F.col("id") <= 70)).count() == 11
 
 
+def test_compaction_execution_never_materializes_groups(spark, tmp_ds_path, monkeypatch):
+    """The executing fast paths must consume the plan as DataFrames
+    (flat file list, one-row aggregates, pairs_df join side) — the
+    per-group dict is driver-bound at 10⁶ partitions and may only
+    materialize when a caller inspects .groups/.rows afterwards."""
+    from pydala2_spark.operators.maintenance import CompactionPlan
+
+    _write_fragmented(spark, tmp_ds_path, partition_by=["part"])
+    before = _snapshot(spark, tmp_ds_path)
+
+    called = []
+    orig = CompactionPlan._materialize
+
+    def spy(self):
+        called.append(True)
+        return orig(self)
+
+    monkeypatch.setattr(CompactionPlan, "_materialize", spy)
+    plan = compact_partitions(spark, tmp_ds_path)
+    assert not called, "execution materialized the per-group dict"
+    # preview caps the collect without materializing either
+    assert len(plan.preview(limit=1)) == 1
+    assert not called
+    # a caller reading .groups afterwards still gets the full plan —
+    # from the checkpointed snapshot, though the files are deleted
+    assert set(plan.groups) == {"part=p0", "part=p1"}
+    assert called
+    assert _snapshot(spark, tmp_ds_path) == before
+
+
+def test_compact_by_timeperiod_execution_never_materializes_groups(
+    spark, tmp_ds_path, monkeypatch
+):
+    from pydala2_spark.operators.maintenance import CompactionPlan
+
+    _write_fragmented(spark, tmp_ds_path, n_batches=4, rows=30)
+    before = _snapshot(spark, tmp_ds_path)
+    called = []
+    orig = CompactionPlan._materialize
+
+    def spy(self):
+        called.append(True)
+        return orig(self)
+
+    monkeypatch.setattr(CompactionPlan, "_materialize", spy)
+    plan = compact_by_timeperiod(spark, tmp_ds_path, "1d", "timestamp")
+    assert not called, "M2 execution materialized the per-group dict"
+    assert plan.groups  # post-hoc inspection still works
+    assert _snapshot(spark, tmp_ds_path) == before
+
+
 # -- M1/M3 compaction ----------------------------------------------------
 
 

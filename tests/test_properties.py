@@ -339,6 +339,10 @@ def test_boilerplate_removal_matches_bruteforce(spark):
         i: " ".join(rnd.choice(vocab) for _ in range(rnd.randint(1, 16)))
         for i in range(40)
     }
+    # degenerate inputs must be dropped, not emitted with cleaned=''
+    # (split('', ' ') is [''], so token count alone can't filter them)
+    texts[100] = ""
+    texts[101] = "   "
     k, min_docs = 3, 2
     df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
     got = {
@@ -364,7 +368,7 @@ def test_boilerplate_removal_matches_bruteforce(spark):
             else:
                 kept_toks.extend(toks[i * k : (i + 1) * k])
         kept_toks.extend(toks[len(ss) * k :])  # tail never cut
-        if kept_toks:
+        if " ".join(kept_toks).strip():
             want[did] = (" ".join(kept_toks), len(kept_toks), n_dropped)
     assert got == want
     # the generator's seed must actually exercise the edit: at least
