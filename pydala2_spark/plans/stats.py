@@ -436,6 +436,90 @@ def import_legacy_file_metadata(
     return {"imported": len(rows), "missing": missing}
 
 
+def export_legacy_file_metadata(
+    spark: SparkSession,
+    dataset_path: str,
+    compress: bool = True,
+) -> dict:
+    """Write a reference-format ``_file_metadata`` sidecar for this
+    dataset — the inverse of :func:`import_legacy_file_metadata`, so
+    migration works BOTH ways: a dataset written or compacted here can
+    hand its footer cache straight back to a pydala2 reader.
+
+    Format (`/root/reference/pydala/metadata.py:50-72,385-396`): JSON
+    mapping each data file's path (relative to the dataset root) to
+    ``{serialized_metadata_b64, num_rows, num_columns, created_by,
+    format_version}``, where the blob is the parquet ``FileMetaData``
+    re-serialized via ``write_metadata_file`` and base64-encoded;
+    brotli-compressed when the codec is available (the reference's
+    reader falls back to plain JSON when decompression fails, so
+    ``compress=False`` or a missing brotli still round-trips).
+
+    The footer scan is DISTRIBUTED (``mapPartitions`` over the file
+    list through the same filesystem-agnostic reader as StatsIndex);
+    only the kilobyte-scale b64 blobs collect to the driver, which
+    matches the single-file sidecar's own driver-side nature.
+    Returns ``{"files": n, "bytes": sidecar_size, "compressed": bool}``.
+    """
+    from pydala2_spark.plans.fs import list_files, qualified, schemeless
+
+    path = dataset_path.rstrip("/")
+    files = list_files(spark, path, suffixes=(".parquet",))
+    base = schemeless(qualified(spark, path)).rstrip("/")
+
+    def _blobs(paths):
+        import base64 as _b64
+
+        import pyarrow as pa
+
+        for p in paths:
+            md, _size = _read_footer(p)
+            sink = pa.BufferOutputStream()
+            md.write_metadata_file(sink)
+            yield (
+                p,
+                _b64.b64encode(sink.getvalue().to_pybytes()).decode("ascii"),
+                int(md.num_rows),
+                len(md.schema),
+                md.created_by,
+                md.format_version,  # "1.0"-style string, stored verbatim
+            )
+
+    entries: dict[str, dict] = {}
+    if files:
+        n = min(len(files), spark.sparkContext.defaultParallelism)
+        rows = (
+            spark.sparkContext.parallelize(files, n).mapPartitions(_blobs).collect()
+        )
+        for p, b64, num_rows, num_cols, created_by, fmt in sorted(rows):
+            rel = schemeless(qualified(spark, p))
+            if rel.startswith(base):
+                rel = rel[len(base):].lstrip("/")
+            entries[rel] = {
+                "serialized_metadata_b64": b64,
+                "num_rows": num_rows,
+                "num_columns": num_cols,
+                "created_by": created_by,
+                "format_version": fmt,
+            }
+
+    payload = json.dumps(entries, indent=2).encode("utf-8")
+    compressed = False
+    if compress:
+        try:
+            import brotli
+
+            payload = brotli.compress(payload, quality=5)
+            compressed = True
+        except ImportError:
+            pass  # plain JSON — the reference reader's fallback path
+
+    side_fs, side_inner = _pa_fs(f"{path}/_file_metadata")
+    with side_fs.open_output_stream(side_inner) as f:
+        f.write(payload)
+    return {"files": len(entries), "bytes": len(payload), "compressed": compressed}
+
+
 def read_pruned(
     spark: SparkSession,
     path: str,

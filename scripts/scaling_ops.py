@@ -12,6 +12,14 @@ multi-file datasets, then times:
   linear in corpus, batch-sized delta)
 - snapshot commit of a fixed-size append + compact (file-name moves —
   should be corpus-size-INSENSITIVE)
+- merge_scd2 STORAGE apply of an every-97th-key change batch (keys
+  spread uniformly, so every target file holds changed keys and the
+  file-selective rewrite touches the whole corpus — expected ~linear;
+  a time/tenant-clustered dimension would rewrite only touched files)
+- SnapshotDataset.compact(cluster_by=…) of the whole corpus (Z-order
+  shuffle + rewrite — linear in bytes)
+- snapshot_stream availableNow drain of a landing zone (one manifest
+  commit per microbatch — linear in rows ingested)
 
 Usage: python scripts/scaling_ops.py [factor]
 """
@@ -48,6 +56,17 @@ def build(spark):
     for c in copies[1:]:
         big = big.unionByName(c)
     big.repartition(8 * FACTOR).write.parquet(f"{ROOT}/docs_big")
+    ev = spark.read.parquet(os.path.join(BASE, "events.parquet"))
+    ne = ev.count()
+    ev.repartition(8).write.parquet(f"{ROOT}/ev_1x")
+    ecopies = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(k * ne))
+        for k in range(FACTOR)
+    ]
+    ebig = ecopies[0]
+    for c in ecopies[1:]:
+        ebig = ebig.unionByName(c)
+    ebig.repartition(8 * FACTOR).write.parquet(f"{ROOT}/ev_big")
     return n
 
 
@@ -112,6 +131,48 @@ def main():
         small = spark.read.parquet(d).limit(1000)
         out.setdefault("snap_commit_append", {})[label] = timed(
             lambda ds=ds, s=small: ds.commit(s), reps=1
+        )
+
+    # merge_scd2 storage apply: bootstrap each corpus as an SCD2
+    # dimension, then apply one every-97th-key change batch
+    from pydala2_spark.operators.merge import merge_scd2
+
+    for label, d in dirs.items():
+        tgt = f"{ROOT}/scd2m_{label}"
+        src0 = spark.read.parquet(d).select(
+            F.col("doc_id").alias("k"), F.col("lang").alias("val")
+        )
+        merge_scd2(spark, tgt, src0, ["k"], ts=1)
+        batch = src0.filter(F.col("k") % 97 == 0).withColumn(
+            "val", F.lit("CHANGED")
+        )
+        out.setdefault("merge_scd2_apply", {})[label] = timed(
+            lambda t=tgt, b=batch: merge_scd2(spark, t, b, ["k"], ts=2), reps=1
+        )
+
+    # snapshot clustered compaction: whole-corpus Z-order rewrite
+    for label, d in dirs.items():
+        p = f"{ROOT}/snapc_{label}"
+        ds = SnapshotDataset(spark, p)
+        ds.commit(spark.read.parquet(d))
+        out.setdefault("snap_compact_cluster", {})[label] = timed(
+            lambda ds=ds: ds.compact(
+                small_file_max_bytes=1 << 40, cluster_by=["doc_id"]
+            ),
+            reps=1,
+        )
+
+    # snapshot_stream: drain the events landing zone into a
+    # snapshot-versioned target, one manifest commit per microbatch
+    from pydala2_spark.streaming.pipeline import snapshot_stream
+
+    for label in ("1x", "big"):
+        src = f"{ROOT}/ev_{label}"
+        out.setdefault("snapshot_stream", {})[label] = timed(
+            lambda s=src, l=label: snapshot_stream(
+                spark, s, f"{ROOT}/snapstream_{l}", f"{ROOT}/ck_{l}"
+            ),
+            reps=1,
         )
 
     print(f"{'op':24s} {'1x':>7s} {'x' + str(FACTOR):>7s} {'ratio':>7s}")

@@ -509,6 +509,69 @@ def test_import_legacy_file_metadata_sidecar(spark, tmp_ds_path):
     assert idx.refresh() == {"added": 0, "removed": 0, "total": 3}
 
 
+def test_export_legacy_file_metadata_roundtrip(spark, tmp_ds_path):
+    """``export_legacy_file_metadata`` must write a sidecar in the
+    reference's exact shape (path → serialized_metadata_b64 blob +
+    summary fields, brotli-or-plain JSON) that (a) parses field-for-
+    field, (b) round-trips through our own reference-format importer
+    into a StatsIndex identical to a live footer scan — migration now
+    works in BOTH directions."""
+    import base64
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pydala2_spark.plans.stats import (
+        StatsIndex,
+        export_legacy_file_metadata,
+        import_legacy_file_metadata,
+    )
+
+    _write_fragmented(spark, tmp_ds_path, n_batches=3, rows=40)
+    r = export_legacy_file_metadata(spark, tmp_ds_path)
+    assert r["files"] == 3 and r["bytes"] > 0
+
+    raw = open(f"{tmp_ds_path}/_file_metadata", "rb").read()
+    if r["compressed"]:
+        import brotli
+
+        raw = brotli.decompress(raw)
+    data = _json.loads(raw.decode("utf-8"))
+    assert len(data) == 3
+    for rel, entry in data.items():
+        assert not rel.startswith("/")  # dataset-relative keys
+        assert set(entry) == {
+            "serialized_metadata_b64",
+            "num_rows",
+            "num_columns",
+            "created_by",
+            "format_version",
+        }
+        # blob deserializes exactly as the reference's reader does
+        md = pq.read_metadata(
+            pa.BufferReader(base64.b64decode(entry["serialized_metadata_b64"]))
+        )
+        assert md.num_rows == entry["num_rows"] == 40
+        assert len(md.schema) == entry["num_columns"]
+
+    # full round-trip through the importer == a live footer scan
+    r2 = import_legacy_file_metadata(spark, tmp_ds_path)
+    assert r2 == {"imported": 3, "missing": 0}
+    imported = {
+        r["file_path"]: (r["num_rows"], r["size_bytes"], dict(r["column_stats"]))
+        for r in StatsIndex(spark, tmp_ds_path).stats().collect()
+    }
+    live = {
+        r["file_path"]: (r["num_rows"], r["size_bytes"], dict(r["column_stats"]))
+        for r in collect_file_stats(spark, tmp_ds_path).collect()
+    }
+    # schemeless/qualified forms may differ; compare by basename
+    assert {k.rsplit("/", 1)[-1]: v for k, v in imported.items()} == {
+        k.rsplit("/", 1)[-1]: v for k, v in live.items()
+    }
+
+
 # -- Z-order clustering --------------------------------------------------
 
 
