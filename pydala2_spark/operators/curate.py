@@ -412,3 +412,57 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= top_n)
         .select(id_col, "term", "tf", "df", "score", "rank")
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document average unigram log-probability under the corpus's
+    own MLE unigram model — the CCNet-style "perplexity proxy" quality
+    signal: documents of typical language score high (close to 0),
+    gibberish / rare-token soup scores low (very negative). The
+    production recipe swaps the self-trained unigram table for a
+    KenLM-style model trained on a trusted corpus; the relational
+    shape (token→logprob join + per-doc mean) is identical.
+
+    Output: ``(id_col, n_tokens, avg_logprob)`` with ``avg_logprob =
+    mean over tokens of ln(count(tok)/total_tokens)``, decimal-
+    accumulated then rounded to 4 (order-independent, oracle-exact).
+
+    100 TB notes: one explode + two hash aggregations + one join.
+    The unigram table is one row per distinct token (Zipf: far
+    smaller than the corpus, usually broadcastable — hinted here);
+    the per-token logprob is computed once per (doc, token) GROUP,
+    not per token instance, so the join input is the deduplicated
+    (doc, token, count) frame. Total-token count arrives as a
+    broadcast single-row frame — no driver collect anywhere.
+    Reference analogue: none (extension surface).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("tok")
+    )
+    per_doc = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = per_doc.groupBy("tok").agg(F.sum("c").alias("cc"))
+    total = toks.select(F.count(F.lit(1)).alias("n"))
+    lp = (
+        per_doc.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            "c",
+            F.log(F.col("cc").cast("double") / F.col("n").cast("double")).alias(
+                "lp"
+            ),
+        )
+    )
+    dec = "decimal(38,6)"
+    return lp.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.round(
+            F.sum((F.col("lp") * F.col("c")).cast(dec)).cast("double")
+            / F.sum("c"),
+            4,
+        ).alias("avg_logprob"),
+    )

@@ -666,6 +666,79 @@ def embedding_near_duplicates(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding
+    space with k-means, then screen each CLUSTER for near-duplicate
+    pairs by exact cosine — the published recipe for pruning
+    semantically redundant training data (Abbas et al., "SemDeDup",
+    2023), where ``embedding_near_duplicates`` targets near-identical
+    copies, this finds *same-meaning* redundancy at lower thresholds.
+
+    Output: ``(id_col, cid, is_dup, max_cos)`` — one row per input
+    vector. ``is_dup`` marks vectors with a LOWER-id cellmate at
+    rounded cosine >= ``threshold`` (so the lowest-id member of every
+    duplicate set survives — the deterministic keep rule); ``max_cos``
+    is the strongest such neighbor, null for keepers.
+
+    100 TB design: ``k`` is the blocking knob. Cells of ~10³ vectors
+    (SemDeDup uses k ≈ n/1000) make the within-cell pair count
+    n·cell_size/2 — LINEAR in n at fixed cell size, never O(n²); the
+    tiny k here keeps the 2-iteration oracle CTE tractable. Cluster
+    assignment is the scan-stage k-means projection (zero shuffle —
+    `operators/similarity.kmeans_lloyd`); the unit-normalized frame
+    widens to scalar columns ONCE (codegen dot product) and feeds both
+    self-join sides; pairs filter at the rounded threshold BEFORE the
+    per-id aggregation, so only qualifying pairs reach the max-cos
+    shuffle. Reference analogue: none (pydala2 has no embedding
+    surface).
+    """
+    from pydala2_spark.operators.similarity import (
+        kmeans_lloyd,
+        scalar_dot,
+        unit_scalar_frame,
+        vector_dim,
+    )
+
+    d = dim or vector_dim(df, vec_col)
+    assigned, _ = kmeans_lloyd(
+        df, k=k, iters=iters, vec_col=vec_col, id_col=id_col, dim=d
+    )
+    base = df.select(id_col, vec_col).join(assigned.select(id_col, "cid"), id_col)
+    v = _materialize_once(unit_scalar_frame(base, vec_col, [id_col, "cid"], d))
+    cond = (F.col("a.cid") == F.col("b.cid")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    dups = (
+        v.alias("a")
+        .join(v.alias("b"), cond)
+        .select(
+            F.col(f"b.{id_col}").alias(id_col),
+            F.round(scalar_dot("a", "b", d), 4).alias("__cos"),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .groupBy(id_col)
+        .agg(F.max("__cos").alias("max_cos"))
+    )
+    return (
+        v.select(id_col, "cid")
+        .join(dups, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cid"),
+            F.col("max_cos").isNotNull().alias("is_dup"),
+            "max_cos",
+        )
+    )
+
+
 # -- duplicate clusters (connected components) ------------------------
 
 

@@ -3173,7 +3173,43 @@ def doc_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KMEANS_ORACLE = """
+@query(
+    "doc_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, t AS tok
+      FROM documents, unnest(string_split(text, ' ')) AS u(t)
+    ), per_doc AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+    ), vocab AS (
+      SELECT tok, CAST(sum(c) AS BIGINT) AS cc FROM per_doc GROUP BY tok
+    ), tot AS (
+      SELECT count(*) AS n FROM toks
+    ), lp AS (
+      SELECT per_doc.doc_id, per_doc.c,
+             ln(CAST(vocab.cc AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS lp
+      FROM per_doc JOIN vocab USING (tok) CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(CAST(sum(CAST(lp * c AS DECIMAL(38,6))) AS DOUBLE)
+                 / sum(c), 4) AS avg_logprob
+    FROM lp GROUP BY doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet-style perplexity-proxy quality signal: per-doc mean token
+    # log-probability under the corpus's own MLE unigram model. One
+    # explode + two map-side-combined aggs + one broadcast vocab join;
+    # decimal-accumulated weighted mean so both engines agree to the
+    # bit. See operators/curate.unigram_logprob_scores for 100 TB
+    # notes. (Outside the r5 driver window — slot 50 is taken by
+    # emb_semantic_dedup; mirror-covered now, rotates in next round.)
+    from pydala2_spark.operators.curate import unigram_logprob_scores
+
+    return unigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
+_KMEANS_CTES = """
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
@@ -3223,11 +3259,37 @@ _KMEANS_ORACLE = """
                  c2.cid ASC) AS r
         FROM e CROSS JOIN c2
       ) WHERE r = 1
-    )
+    )"""
+
+_KMEANS_ORACLE = _KMEANS_CTES + """
     SELECT cid, CAST(count(*) AS BIGINT) AS n,
            round(CAST(sum(CAST(d AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4)
              AS avg_sqdist
     FROM a3 GROUP BY cid
+    """
+
+# SemDeDup: the same 2-iteration k-means unroll, then a within-cell
+# unit-cosine screen — lowest-id cellmate keeps, the rest flag as dups
+_SEMANTIC_DEDUP_ORACLE = _KMEANS_CTES + """
+    , u AS (
+      SELECT vec_id,
+             list_transform(v, x -> x
+               / sqrt(list_sum(list_transform(v, y -> y * y)))) AS uv
+      FROM e
+    ), au AS (
+      SELECT a3.vec_id, a3.cid, u.uv FROM a3 JOIN u USING (vec_id)
+    ), p AS (
+      SELECT b.vec_id,
+             round(list_sum(list_transform(generate_series(1, 64),
+                     i -> a.uv[i] * b.uv[i])), 4) AS cos
+      FROM au a JOIN au b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    ), d AS (
+      SELECT vec_id, max(cos) AS max_cos FROM p WHERE cos >= 0.3
+      GROUP BY vec_id
+    )
+    SELECT au.vec_id, au.cid,
+           (d.vec_id IS NOT NULL) AS is_dup, d.max_cos
+    FROM au LEFT JOIN d ON au.vec_id = d.vec_id
     """
 
 
@@ -3251,6 +3313,23 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.col("d").cast(_DEC)).cast("double") / F.count("d"), 4
         ).alias("avg_sqdist"),
+    )
+
+
+@query("emb_semantic_dedup", _SEMANTIC_DEDUP_ORACLE)
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup (Abbas et al. 2023) as a relational plan: k-means cells
+    # block the corpus (scan-stage assignment, zero shuffle), exact
+    # unit-cosine pairs WITHIN each cell, lowest-id keep rule. The
+    # oracle composes the 2-iteration k-means CTE unroll with the
+    # cell-blocked pair screen — per-vector verdicts AND max-cos
+    # values are checked bit-for-bit. k is the blocking knob at scale
+    # (cells ~10^3 → pair count linear in corpus); see
+    # operators/dedup.semantic_dedup for the 100 TB notes.
+    from pydala2_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), k=4, iters=2, threshold=0.3
     )
 
 
@@ -3707,6 +3786,8 @@ _VERIFY_FIRST = [
     # changes alongside the aged set.
     "doc_boilerplate_removal",
     "mm_frame_sample",
+    # new this round (slot 50): SemDeDup-style semantic dedup
+    "emb_semantic_dedup",
 ]
 
 

@@ -377,6 +377,57 @@ def test_boilerplate_removal_matches_bruteforce(spark):
     assert len(want) < len(texts)
 
 
+def test_semantic_dedup_matches_bruteforce(spark):
+    """semantic_dedup vs a from-scratch python pipeline (numpy Lloyd's
+    with the same smallest-id seeds + within-cell pairwise cosine +
+    lowest-id keep rule) — per-vector verdicts and max-cos equality on
+    a random cloud WITH planted near-duplicates."""
+    import numpy as np
+
+    from pydala2_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    n, dim, k, thresh = 120, 8, 3, 0.9
+    x = rng.normal(size=(n, dim))
+    for i in range(0, 30, 3):  # planted dups: tiny perturbations
+        x[i + 1] = x[i] + rng.normal(scale=0.01, size=dim)
+    rows = [(i, [float(v) for v in x[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {
+        r["vec_id"]: (r["cid"], r["is_dup"], r["max_cos"])
+        for r in semantic_dedup(df, k=k, iters=2, threshold=thresh, dim=dim).collect()
+    }
+
+    xf = x.astype(np.float32).astype(np.float64)  # float32 storage round-trip
+    cents = xf[:k].copy()  # smallest-id seeds
+    for _ in range(2):
+        d2 = ((xf[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # ties: lowest cid (argmin default)
+        cents = np.stack(
+            [xf[assign == c].mean(axis=0) if (assign == c).any() else cents[c] for c in range(k)]
+        )
+    d2 = ((xf[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)
+    u = xf / np.linalg.norm(xf, axis=1, keepdims=True)
+    want = {}
+    for i in range(n):
+        best = None
+        for j in range(n):
+            if j < i and assign[j] == assign[i]:
+                c = round(float(u[i] @ u[j]), 4)
+                if c >= thresh and (best is None or c > best):
+                    best = c
+        want[i] = (int(assign[i]), best is not None, best)
+
+    assert {i: v[0] for i, v in got.items()} == {i: v[0] for i, v in want.items()}
+    assert {i: v[1] for i, v in got.items()} == {i: v[1] for i, v in want.items()}
+    for i in range(n):  # float max-cos agrees to rounding
+        a, b = got[i][2], want[i][2]
+        assert (a is None) == (b is None) and (a is None or abs(a - b) <= 1e-4)
+    assert sum(1 for v in want.values() if v[1]) >= 8  # dups actually planted
+
+
 def test_scd2_matches_python_reference_on_random_batches(spark):
     """Random batch sequences through scd2_frames vs a dict-based
     python SCD2 model — full history equality, not just invariants."""

@@ -894,3 +894,35 @@ def test_source_quota_cap(spark):
         for r in source_quota_cap(df, cap=2, order_col="q", descending=True).collect()
     )
     assert a == b
+
+
+def test_unigram_logprob_orders_typical_above_rare(spark):
+    """Documents made of corpus-frequent tokens must outscore documents
+    of hapaxes, and the weighted mean must equal a python reference."""
+    import math
+
+    from pydala2_spark.operators.curate import unigram_logprob_scores
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the dog sat on the mat",
+        3: "zxqv wkjh qpzm xylo",  # hapax soup
+        4: "the the the the",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in unigram_logprob_scores(df).collect()
+    }
+
+    toks = {d: t.split(" ") for d, t in texts.items()}
+    allt = [t for ts in toks.values() for t in ts]
+    n = len(allt)
+    cnt = {t: allt.count(t) for t in set(allt)}
+    for d, ts in toks.items():
+        want = sum(math.log(cnt[t] / n) for t in ts) / len(ts)
+        assert got[d][0] == len(ts)
+        assert abs(got[d][1] - round(want, 4)) <= 1e-4
+    # typical docs above the hapax doc; all-stopword doc scores highest
+    assert got[4][1] > got[1][1] > got[3][1]
+    assert got[2][1] > got[3][1]
