@@ -49,7 +49,10 @@ def main() -> None:
     # microbatch setup, big candidate joins) — they get a third pass so
     # round-over-round deltas >1.3x are trustworthy.
     def n_passes(name: str) -> int:
-        noisy = ("dedup_", "stream_", "emb_near", "doc_curation")
+        # mm_* (Arrow/Python worker startup skews a first pass — r4's
+        # recorded mm_audio_features 5.6 s vs 1.2 s measured) joins the
+        # min-of-3 families
+        noisy = ("dedup_", "stream_", "emb_near", "doc_curation", "mm_")
         return 3 if name.startswith(noisy) else 2
 
     def shuffle_count(df) -> int:

@@ -61,6 +61,12 @@ QUERIES = [
     "ev_funnel",
     # screen + edit over the same segment keys; rebuild is scan-stage
     "doc_boilerplate_removal",
+    # round-5: unigram-LM scoring (explode + aggs + broadcast join —
+    # should track rows). emb_semantic_dedup is NOT here: at the
+    # query's fixed k=4 the within-cell pair stage is quadratic in
+    # cell size by design; the linear-at-scale form (k scaled with the
+    # corpus, constant cell size) is measured in scaling_ops.py.
+    "doc_unigram_logprob",
 ]
 
 

@@ -67,6 +67,20 @@ def build(spark):
     for c in ecopies[1:]:
         ebig = ebig.unionByName(c)
     ebig.repartition(8 * FACTOR).write.parquet(f"{ROOT}/ev_big")
+    emb = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    nv = emb.count()
+    emb.repartition(8).write.parquet(f"{ROOT}/emb_1x")
+    mcopies = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * nv)).withColumn(
+            "embedding",
+            F.transform("embedding", lambda x: (x * (1.0 + k * 1e-4)).cast("float")),
+        )
+        for k in range(FACTOR)
+    ]
+    mbig = mcopies[0]
+    for c in mcopies[1:]:
+        mbig = mbig.unionByName(c)
+    mbig.repartition(8 * FACTOR).write.parquet(f"{ROOT}/emb_big")
     return n
 
 
@@ -172,6 +186,23 @@ def main():
             lambda s=src, l=label: snapshot_stream(
                 spark, s, f"{ROOT}/snapstream_{l}", f"{ROOT}/ck_{l}"
             ),
+            reps=1,
+        )
+
+    # semantic dedup at CONSTANT cell size: the SemDeDup recipe scales
+    # k with the corpus (k = 4 at 1x, 4*FACTOR at big), so cell size —
+    # and with it the within-cell pair count per vector — stays fixed;
+    # this is the linear-at-scale claim the operator makes. (At FIXED
+    # k the pair stage is quadratic in cell size by design.)
+    from pydala2_spark.operators.dedup import semantic_dedup
+
+    kk = {"1x": 4, "big": 4 * FACTOR}
+    for label in ("1x", "big"):
+        d = f"{ROOT}/emb_{label}"
+        out.setdefault("semantic_dedup_kscaled", {})[label] = timed(
+            lambda d=d, k=kk[label]: semantic_dedup(
+                spark.read.parquet(d), k=k, iters=2, threshold=0.3
+            ).count(),
             reps=1,
         )
 
