@@ -131,6 +131,71 @@ def _try_real_image_decode(payload: bytes):
         return None
 
 
+def parse_image_header(payload: bytes) -> tuple[int, int, int] | None:
+    """REAL codec-free dimension extraction from container headers —
+    no PIL needed: PNG IHDR, GIF logical screen descriptor, and a JPEG
+    segment walk to the SOF frame header all carry (width, height,
+    channels) in plain bytes. This is the exact metadata the decode
+    stage reports, so for these formats the pipeline is fully real in
+    this container; pixel access still needs a codec (PIL hook above).
+    Returns None for unrecognized payloads (fake-kernel fallback).
+    """
+    if (
+        payload[:8] == b"\x89PNG\r\n\x1a\n"
+        and len(payload) >= 26
+        and payload[12:16] == b"IHDR"  # validate, don't trust the magic alone
+    ):
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        # color type -> sample channels (palette indexes expand to 3
+        # at decode time; header truth is 1 channel of indexes)
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(payload[25], 3)
+        return w, h, channels
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        return w, h, 3
+    if payload[:3] == b"\xff\xd8\xff":
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                return None  # corrupt segment stream
+            marker = payload[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                i += 2  # standalone markers carry no length
+                continue
+            seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return w, h, payload[i + 9]
+            i += 2 + seglen
+    return None
+
+
+def parse_wav_header(payload: bytes) -> tuple[int, int, int] | None:
+    """REAL WAV (RIFF/WAVE) parameter extraction — pure chunk walk, no
+    audio lib: ``(sample_rate, n_channels, duration_ms)`` from the
+    fmt and data chunks. None for non-WAV payloads."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i, rate, ch, bits, data_len = 12, None, None, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        clen = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(payload):
+            ch = int.from_bytes(payload[i + 10 : i + 12], "little")
+            rate = int.from_bytes(payload[i + 12 : i + 16], "little")
+            bits = int.from_bytes(payload[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            data_len = clen
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate and ch and bits and data_len is not None:
+        n_samples = data_len // max(1, ch * bits // 8)
+        return rate, ch, n_samples * 1000 // rate
+    return None
+
+
 # ---------------------------------------------------------------------------
 # decode / feature-extract / resize / frame-sample — mapInPandas stages
 # ---------------------------------------------------------------------------
@@ -157,8 +222,13 @@ def decode_images(df: DataFrame, binary_col: str, passthrough: list[str]) -> Dat
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            # real decode ladder: header parse (always available, no
+            # codec) → PIL if installed → deterministic fake for
+            # unrecognized payloads (the test corpus's text blobs)
             dims = [
-                _try_real_image_decode(b) or _fake_image_decode(bytes(b))
+                parse_image_header(bytes(b))
+                or _try_real_image_decode(b)
+                or _fake_image_decode(bytes(b))
                 for b in pdf[binary_col]
             ]
             out = pdf[passthrough].copy()
@@ -202,20 +272,32 @@ def extract_audio_features(
     df: DataFrame, binary_col: str, passthrough: list[str], n_mfcc: int = 13
 ) -> DataFrame:
     """Audio decode + feature stage: (sample_rate, duration, channels,
-    MFCC-like vector). Stubbed deterministically (librosa/ffmpeg absent
-    in this container): rate/duration/channels derive from the payload
-    md5, the coefficient vector from the chained-md5 embedding kernel.
-    Swap the body for a librosa call per Arrow batch to productionize —
-    schema and batch shape stay identical."""
+    MFCC-like vector). Real WAV payloads get REAL parameters via the
+    codec-free RIFF chunk walk (:func:`parse_wav_header`); compressed
+    formats and unrecognized payloads fall back to the deterministic
+    md5 stub (librosa/ffmpeg absent in this container). The MFCC
+    vector is always the stub kernel — spectral analysis genuinely
+    needs a DSP library; swap `_fake_embedding` for a librosa call per
+    Arrow batch to productionize, schema and batch shape unchanged."""
     out_schema = T.StructType([df.schema[c] for c in passthrough] + AUDIO_FEATURE_FIELDS)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = pdf[passthrough].copy()
             payloads = [bytes(b) for b in pdf[binary_col]]
-            out["sample_rate"] = [[8000, 16000, 22050, 44100][_h32(p, 12, 14) % 4] for p in payloads]
-            out["duration_ms"] = [1000 + _h32(p, 8, 12) % 59_000 for p in payloads]
-            out["n_channels"] = [1 + _h32(p, 14, 15) % 2 for p in payloads]
+            parsed = [parse_wav_header(p) for p in payloads]
+            out["sample_rate"] = [
+                w[0] if w else [8000, 16000, 22050, 44100][_h32(p, 12, 14) % 4]
+                for w, p in zip(parsed, payloads)
+            ]
+            out["duration_ms"] = [
+                w[2] if w else 1000 + _h32(p, 8, 12) % 59_000
+                for w, p in zip(parsed, payloads)
+            ]
+            out["n_channels"] = [
+                w[1] if w else 1 + _h32(p, 14, 15) % 2
+                for w, p in zip(parsed, payloads)
+            ]
             out["mfcc"] = [_fake_embedding(p, n_mfcc) for p in payloads]
             yield out
 

@@ -37,16 +37,121 @@ def test_media_metadata_jvm_side(spark):
 
 
 def test_decode_images_deterministic(spark):
-    from pydala2_spark.operators.multimodal import _fake_image_decode, decode_images
+    """Decode follows the documented ladder: real header parse first
+    (the GIF rows here carry a real magic, so their body bytes ARE the
+    header-parsed dimensions — garbage in, faithfully decoded out),
+    deterministic fake for everything unparseable (the PNG rows fail
+    IHDR validation, the JPEG rows fail the segment walk)."""
+    from pydala2_spark.operators.multimodal import (
+        _fake_image_decode,
+        decode_images,
+        parse_image_header,
+    )
 
     src = _media_df(spark, n=10)
     out = decode_images(src, "blob", passthrough=["id"]).collect()
     assert len(out) == 10
     raw = {r["id"]: bytes(r["blob"]) for r in src.collect()}
     for r in out:
-        w, h, c = _fake_image_decode(raw[r["id"]])
+        w, h, c = parse_image_header(raw[r["id"]]) or _fake_image_decode(raw[r["id"]])
         assert (r["width"], r["height"], r["channels"]) == (w, h, c)
-        assert 16 <= r["width"] <= 1023
+    # the fake-magic PNG/JPEG payloads fail validation -> fake kernel
+    assert parse_image_header(raw[0]) is None and parse_image_header(raw[1]) is None
+    # deterministic across runs
+    again = decode_images(src, "blob", passthrough=["id"]).collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))
+
+
+def _png_bytes(w, h, color_type=6):
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+    chunk += struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    return b"\x89PNG\r\n\x1a\n" + chunk
+
+
+def _gif_bytes(w, h):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
+
+
+def _jpeg_bytes(w, h, channels=3):
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * channels, 8, h, w, channels)
+    return b"\xff\xd8" + app0 + sof0 + b"\x00" * 8
+
+
+def _wav_bytes(rate, ch, n_samples, bits=16):
+    import struct
+
+    data_len = n_samples * ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * bits // 8, ch * bits // 8, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", data_len) + b"\x00" * data_len
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_images_real_headers(spark):
+    """Recognized containers get REAL header-derived dimensions (no
+    codec lib needed); unrecognized payloads keep the deterministic
+    fake — the ladder the decode stage documents."""
+    from pydala2_spark.operators.multimodal import (
+        _fake_image_decode,
+        decode_images,
+        parse_image_header,
+        sniff_format,
+    )
+
+    blobs = [
+        (1, _png_bytes(640, 480)),  # RGBA -> 4 channels
+        (2, _gif_bytes(320, 200)),
+        (3, _jpeg_bytes(1920, 1080, 3)),
+        (4, _png_bytes(12, 7, color_type=2)),  # RGB -> 3
+        (5, b"not an image at all"),
+    ]
+    df = spark.createDataFrame(blobs, "id long, blob binary")
+    got = {
+        r["id"]: (r["width"], r["height"], r["channels"])
+        for r in decode_images(df, "blob", passthrough=["id"]).collect()
+    }
+    assert got[1] == (640, 480, 4)
+    assert got[2] == (320, 200, 3)
+    assert got[3] == (1920, 1080, 3)
+    assert got[4] == (12, 7, 3)
+    assert got[5] == _fake_image_decode(b"not an image at all")
+    assert parse_image_header(b"not an image at all") is None
+    # the JVM-side magic sniffer agrees on the container formats
+    fmts = {
+        r["id"]: r["f"]
+        for r in df.select("id", sniff_format("blob").alias("f")).collect()
+    }
+    assert fmts[1] == "png" and fmts[2] == "gif" and fmts[3] == "jpeg"
+
+
+def test_audio_features_real_wav_header(spark):
+    from pydala2_spark.operators.multimodal import (
+        extract_audio_features,
+        parse_wav_header,
+    )
+
+    wav = _wav_bytes(44100, 2, 44100 * 3)  # 3 s stereo
+    assert parse_wav_header(wav) == (44100, 2, 3000)
+    df = spark.createDataFrame(
+        [(1, wav), (2, b"compressed-or-unknown payload")], "id long, blob binary"
+    )
+    got = {
+        r["id"]: (r["sample_rate"], r["n_channels"], r["duration_ms"], len(r["mfcc"]))
+        for r in extract_audio_features(df, "blob", passthrough=["id"]).collect()
+    }
+    assert got[1] == (44100, 2, 3000, 13)
+    # fallback stays in the stub's documented ranges
+    assert got[2][0] in (8000, 16000, 22050, 44100) and got[2][1] in (1, 2)
+    assert 1000 <= got[2][2] <= 60000
 
 
 def test_extract_features_shape(spark):

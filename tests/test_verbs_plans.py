@@ -200,6 +200,10 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "doc_tfidf_top_terms",
         "ev_funnel",
         "emb_quantized_rerank",
+        # total-token count frame — the same 1-row broadcast shape as
+        # q11/tfidf (a global aggregate attached without a
+        # single-partition window)
+        "doc_unigram_logprob",
     }
     offenders = []
     for name, fn in queries().items():
