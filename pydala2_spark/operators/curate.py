@@ -466,3 +466,46 @@ def unigram_logprob_scores(
             4,
         ).alias("avg_logprob"),
     )
+
+
+def train_test_split(
+    df: DataFrame,
+    test_fraction: float = 0.1,
+    val_fraction: float = 0.0,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic corpus split: adds a ``split`` column
+    (``train`` / ``val`` / ``test``) derived from md5(salt || id) — the
+    train/eval partitioning step every training-data pipeline ends
+    with. NOT ``rand()``: the assignment is a pure function of the id,
+    so it is stable across runs, executors, engines (the DuckDB oracle
+    mirrors it bit for bit), resumable pipelines re-derive identical
+    splits, and a document NEVER migrates between train and test when
+    the corpus is re-filtered or re-sharded — the leakage property
+    rand()-splits silently violate. ``salt`` rotates the assignment
+    (new experiment, same determinism).
+
+    Scan-side projection (one md5 + one modulo per row, whole-stage
+    codegen); composes with partition pruning because downstream
+    ``filter(split = 'train')`` is a plain predicate. At 100 TB,
+    writing with ``partitionBy("split")`` gives physically separated
+    splits from this same column. Reference analogue: none.
+    """
+    if not 0 <= test_fraction <= 1 or not 0 <= val_fraction <= 1:
+        raise ValueError("fractions must be in [0, 1]")
+    if test_fraction + val_fraction >= 1:
+        raise ValueError("test_fraction + val_fraction must leave room for train")
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long") % 1_000_000
+    t = int(test_fraction * 1_000_000)
+    v = int(val_fraction * 1_000_000)
+    return df.withColumn(
+        "split",
+        F.when(u < t, F.lit("test"))
+        .when(u < t + v, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )

@@ -3174,6 +3174,35 @@ def doc_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_train_test_split",
+    """
+    SELECT doc_id, lang,
+           CASE WHEN ('0x' || substr(md5('exp1' || CAST(doc_id AS VARCHAR)),
+                      1, 8))::BIGINT % 1000000 < 100000 THEN 'test'
+                WHEN ('0x' || substr(md5('exp1' || CAST(doc_id AS VARCHAR)),
+                      1, 8))::BIGINT % 1000000 < 150000 THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic 85/5/10 train/val/test assignment from md5(salt||id)
+    # — stable across runs/executors/engines, so re-filtered or
+    # re-sharded corpora never leak documents across the split
+    # boundary (the property rand() splits silently violate). One
+    # scan-stage md5+modulo per row. (Outside the r5 driver window —
+    # mirror-green now, rotates in next round with doc_unigram_logprob.)
+    from pydala2_spark.operators.curate import train_test_split
+
+    return train_test_split(
+        _t(spark, sf_dir, "documents"),
+        test_fraction=0.1,
+        val_fraction=0.05,
+        salt="exp1",
+    ).select("doc_id", "lang", "split")
+
+
+@query(
     "doc_unigram_logprob",
     """
     WITH toks AS (

@@ -926,3 +926,44 @@ def test_unigram_logprob_orders_typical_above_rare(spark):
     # typical docs above the hapax doc; all-stopword doc scores highest
     assert got[4][1] > got[1][1] > got[3][1]
     assert got[2][1] > got[3][1]
+
+
+def test_train_test_split_deterministic_and_stable_under_refilter(spark):
+    """The split must be a pure function of (salt, id): identical
+    across runs, unchanged when the corpus is re-filtered (no document
+    migrates between train and test), fractions approximately honored,
+    and salt rotation reassigns."""
+    import pytest as _pytest
+
+    from pydala2_spark.operators.curate import train_test_split
+
+    df = spark.range(0, 4000).selectExpr("id AS doc_id", "'x' AS payload")
+    out = train_test_split(df, test_fraction=0.1, val_fraction=0.05, salt="s1")
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in train_test_split(
+            df, test_fraction=0.1, val_fraction=0.05, salt="s1"
+        ).collect()
+    }
+    assert a == b  # run-to-run determinism
+    frac = {s: sum(1 for v in a.values() if v == s) / len(a) for s in set(a.values())}
+    assert abs(frac["test"] - 0.10) < 0.02 and abs(frac["val"] - 0.05) < 0.02
+    # re-filtering the corpus must not move any surviving doc's split
+    sub = train_test_split(
+        df.filter("doc_id % 3 = 0"), test_fraction=0.1, val_fraction=0.05, salt="s1"
+    )
+    for r in sub.collect():
+        assert a[r["doc_id"]] == r["split"]
+    # salt rotation produces a genuinely different assignment
+    c = {
+        r["doc_id"]: r["split"]
+        for r in train_test_split(
+            df, test_fraction=0.1, val_fraction=0.05, salt="s2"
+        ).collect()
+    }
+    assert c != a
+    with _pytest.raises(ValueError):
+        train_test_split(df, test_fraction=0.9, val_fraction=0.2)
+    with _pytest.raises(ValueError):
+        train_test_split(df, test_fraction=-0.1)
