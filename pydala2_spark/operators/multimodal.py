@@ -14,12 +14,18 @@ training-data-pipeline extension surface, built on the conventions a
   ``mapInPandas`` / ``pandas_udf`` stages (the slow path, but batched
   and columnar), sized by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
 
-The actual codec work (PIL/ffmpeg/librosa) is NOT available in this
-container, so the decode kernels are **deterministic stubs**: they
-derive stable pseudo-dimensions/features from an md5 of the payload.
-The Spark-side plumbing — schemas, UDF signatures, batch iteration,
-partition behavior — is real and tested; swap ``_fake_*`` for a codec
-call to productionize. Real-codec hooks are gated behind import-try.
+Decode is a LADDER: real codec-free header parsing first
+(:func:`parse_image_header` — PNG IHDR with chunk validation, GIF
+screen descriptor, JPEG SOF segment walk; :func:`parse_wav_header` —
+RIFF chunk walk), then a PIL hook if installed, then a
+**deterministic stub** (stable pseudo-dimensions/features from an md5
+of the payload) for unrecognized payloads. Dimensions and audio
+parameters are therefore REAL for the common containers with zero
+codec dependencies; pixel/spectral kernels (resize payloads, MFCCs)
+still need PIL/ffmpeg/librosa — absent in this container — and stay
+stubbed behind the same batch shape. The Spark-side plumbing —
+schemas, UDF signatures, batch iteration, partition behavior — is
+real and tested throughout.
 """
 
 from __future__ import annotations
