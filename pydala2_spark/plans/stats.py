@@ -514,9 +514,14 @@ def export_legacy_file_metadata(
         except ImportError:
             pass  # plain JSON — the reference reader's fallback path
 
+    # write-then-rename: a crash mid-write must not leave a truncated
+    # sidecar where a reader (ours or the reference's) expects a whole
+    # one
     side_fs, side_inner = _pa_fs(f"{path}/_file_metadata")
-    with side_fs.open_output_stream(side_inner) as f:
+    _, tmp_inner = _pa_fs(f"{path}/_file_metadata.__tmp")
+    with side_fs.open_output_stream(tmp_inner) as f:
         f.write(payload)
+    side_fs.move(tmp_inner, side_inner)
     return {"files": len(entries), "bytes": len(payload), "compressed": compressed}
 
 

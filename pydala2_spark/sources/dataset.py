@@ -554,6 +554,60 @@ class ParquetDataset(BaseDataset):
 
         return read_bloom_pruned(self.spark, self.path, column, values)
 
+    def explain_pruning(
+        self,
+        column: str,
+        lo=None,
+        hi=None,
+        values: list | None = None,
+    ) -> dict:
+        """Skipping report BEFORE running a query: how many files each
+        sidecar would eliminate for a range (``lo``/``hi`` → min/max
+        stats) or point (``values`` → bloom) predicate on ``column``.
+
+        Returns ``{"total_files": n, "stats_kept": a, "bloom_kept": b,
+        "files_to_scan": k, "skipped_pct": p}`` where the final scan
+        set is the INTERSECTION of the applicable sidecars' keep lists
+        (each is conservative — no false negatives — so intersecting
+        stays correct). A sidecar that does not exist keeps everything
+        and reports ``None`` for its count, which is itself the
+        actionable signal: "this predicate would skip nothing until
+        you ANALYZE". Metadata-only — no data files are opened.
+        """
+        from pydala2_spark.plans.bloom import _bloom_sidecar_path, bloom_prune
+        from pydala2_spark.plans.fs import list_files, path_exists, schemeless
+        from pydala2_spark.plans.stats import StatsIndex
+
+        total = list_files(self.spark, self.path, suffixes=(".parquet",))
+        keep = {schemeless(f) for f in total}
+        stats_kept = bloom_kept = None
+        if (lo is not None or hi is not None) and StatsIndex(
+            self.spark, self.path
+        ).exists():
+            kept = {
+                schemeless(f)
+                for f in StatsIndex(self.spark, self.path).prune(column, lo, hi)
+            }
+            stats_kept = len(kept)
+            keep &= kept
+        if values is not None and path_exists(
+            self.spark, _bloom_sidecar_path(self.path, column)
+        ):
+            kept = {
+                schemeless(f)
+                for f in bloom_prune(self.spark, self.path, column, values)
+            }
+            bloom_kept = len(kept)
+            keep &= kept
+        n = len(total)
+        return {
+            "total_files": n,
+            "stats_kept": stats_kept,
+            "bloom_kept": bloom_kept,
+            "files_to_scan": len(keep),
+            "skipped_pct": round(100.0 * (n - len(keep)) / n, 1) if n else 0.0,
+        }
+
     def compact_partitions(self, **kw):
         from pydala2_spark.operators.maintenance import compact_partitions
 

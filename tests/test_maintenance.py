@@ -671,3 +671,34 @@ def test_compaction_candidates_stay_distributed(spark, tmp_ds_path):
     st = collect_file_stats(spark, tmp_ds_path)
     cand = compaction_candidates(st, max_rows_per_file=1_000_000)
     assert cand.count() == 2  # only the fragmented partitions survive
+
+
+def test_explain_pruning_reports_sidecar_skipping(spark, tmp_ds_path):
+    """The skipping report must reflect each sidecar's keep set, flag
+    missing sidecars as None (= 'ANALYZE first'), and intersect when
+    both apply — all metadata-only."""
+    from pydala2_spark.plans.analyze import analyze_dataset
+    from pydala2_spark.sources.dataset import ParquetDataset
+
+    _write_fragmented(spark, tmp_ds_path, n_batches=4, rows=50)  # disjoint ids
+    ds = ParquetDataset(tmp_ds_path, spark=spark)
+
+    # no sidecars yet: nothing prunable, both counts None
+    r0 = ds.explain_pruning("id", lo=120, hi=130)
+    assert r0 == {
+        "total_files": 4,
+        "stats_kept": None,
+        "bloom_kept": None,
+        "files_to_scan": 4,
+        "skipped_pct": 0.0,
+    }
+
+    analyze_dataset(spark, tmp_ds_path, bloom_columns=["id"], ndv_columns=None)
+    r1 = ds.explain_pruning("id", lo=120, hi=130)
+    assert r1["stats_kept"] == 1 and r1["files_to_scan"] == 1
+    assert r1["skipped_pct"] == 75.0
+    r2 = ds.explain_pruning("id", values=[7])
+    assert r2["bloom_kept"] is not None and 1 <= r2["files_to_scan"] <= 2
+    # range + point intersect
+    r3 = ds.explain_pruning("id", lo=0, hi=49, values=[7])
+    assert r3["files_to_scan"] <= min(r3["stats_kept"], r3["bloom_kept"])
