@@ -194,17 +194,30 @@ def analyze_dataset(
 
     scan = None
     if needed:
-        # basePath keeps hive partition columns addressable even though
-        # the read is an explicit file subset
-        scan = (
-            spark.read.option("basePath", path)
-            .parquet(*[current[k] for k in sorted(needed)])
-            .select(
-                schemeless_col(F.input_file_name()).alias("__file"),
-                *[F.col(c) for c in needed_cols],
+        if set(current) == needed:
+            # full build: read the DIRECTORY — at 10⁶ files an explicit
+            # path list is a driver-memory/plan-size hazard the listing
+            # Spark does anyway avoids (same read shape as the
+            # sequential builders)
+            src = spark.read.parquet(path)
+        else:
+            # incremental: basePath keeps hive partition columns
+            # addressable even though the read is an explicit subset
+            src = spark.read.option("basePath", path).parquet(
+                *[current[k] for k in sorted(needed)]
             )
-            .persist()
-        )
+        scan = src.select(
+            schemeless_col(F.input_file_name()).alias("__file"),
+            *[F.col(c) for c in needed_cols],
+        ).persist()
+
+    def _scan_for(files: list[str]):
+        # a branch that needs the WHOLE scan skips the membership
+        # filter — an isin() over 10⁶ literals is itself a plan-size
+        # hazard; incremental branches filter on their (small) set
+        if set(files) == needed:
+            return scan
+        return scan.filter(F.col("__file").isin(files))
 
     try:
         for t in bloom_tasks:
@@ -220,7 +233,7 @@ def analyze_dataset(
                 # hashes the native type, exactly like build_bloom_index
                 vcol = F.col(c).cast(vt) if t["kept"] is not None else F.col(c)
                 values = (
-                    scan.filter(F.col("__file").isin(t["added"]))
+                    _scan_for(t["added"])
                     .select(F.col("__file").alias("file_path"), vcol.alias("__v"))
                     .where(F.col("__v").isNotNull())
                 )
@@ -253,7 +266,7 @@ def analyze_dataset(
 
             def _sketch(files: list[str], col: str):
                 return (
-                    scan.filter(F.col("__file").isin(files))
+                    _scan_for(files)
                     .select(F.col("__file").alias("file_path"), F.col(col).alias("__v"))
                     .groupBy("file_path")
                     .agg(F.hll_sketch_agg("__v", F.lit(k)).alias("sketch"))
