@@ -746,6 +746,7 @@ def estimate_ndv(
     if files is None:
         files = [qualified(spark, f) for f in list_files(spark, path, suffixes=(".parquet",))]
     wanted = [schemeless(f) for f in files]
+    need_filter = True
     if not missing_ok:
         # membership comes from the marker rows (column="") so zero-row
         # files count as sketched; older sidecars without markers fall
@@ -761,7 +762,14 @@ def estimate_ndv(
                 f"(e.g. {missing[0]}); re-run build_ndv_sketches or pass "
                 f"missing_ok=True for a lower-bound estimate"
             )
-    sk = sk.filter(F.col("file_path").isin(wanted))
+        # sidecar holds exactly the wanted set → the membership filter
+        # is a no-op; skip it (an isin over 10⁶ literal paths is a
+        # plan-size hazard at scale). Kept when the sidecar is stale
+        # (holds removed files) — those sketches must not inflate the
+        # estimate.
+        need_filter = sketched != set(wanted)
+    if need_filter:
+        sk = sk.filter(F.col("file_path").isin(wanted))
     row = sk.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("ndv")
     ).first()
