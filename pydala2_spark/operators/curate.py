@@ -433,11 +433,13 @@ def unigram_logprob_scores(
 
     100 TB notes: one explode + two hash aggregations + one join.
     The unigram table is one row per distinct token (Zipf: far
-    smaller than the corpus, usually broadcastable — hinted here);
-    the per-token logprob is computed once per (doc, token) GROUP,
-    not per token instance, so the join input is the deduplicated
-    (doc, token, count) frame. Total-token count arrives as a
-    broadcast single-row frame — no driver collect anywhere.
+    smaller than the corpus) — deliberately NOT broadcast-hinted:
+    a web-scale vocabulary can reach 10⁸+ rows, where a forced
+    broadcast OOMs the driver; AQE broadcasts it automatically
+    whenever it is actually small, and falls back to a shuffled
+    join keyed on the already-deduplicated (doc, token, count)
+    frame otherwise. Total-token count arrives as a broadcast
+    single-row frame — no driver collect anywhere.
     Reference analogue: none (extension surface).
     """
     toks = df.select(
@@ -447,7 +449,7 @@ def unigram_logprob_scores(
     vocab = per_doc.groupBy("tok").agg(F.sum("c").alias("cc"))
     total = toks.select(F.count(F.lit(1)).alias("n"))
     lp = (
-        per_doc.join(F.broadcast(vocab), "tok")
+        per_doc.join(vocab, "tok")
         .crossJoin(F.broadcast(total))
         .select(
             F.col(id_col),
