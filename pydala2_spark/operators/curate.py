@@ -431,7 +431,9 @@ def unigram_logprob_scores(
     mean over tokens of ln(count(tok)/total_tokens)``, decimal-
     accumulated then rounded to 4 (order-independent, oracle-exact).
 
-    100 TB notes: one explode + two hash aggregations + one join.
+    100 TB notes: one corpus explode + two hash aggregations + one
+    join (the total-token count is an aggregate OF the vocab frame,
+    never a second corpus pass).
     The unigram table is one row per distinct token (Zipf: far
     smaller than the corpus) — deliberately NOT broadcast-hinted:
     a web-scale vocabulary can reach 10⁸+ rows, where a forced
@@ -447,7 +449,10 @@ def unigram_logprob_scores(
     )
     per_doc = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
     vocab = per_doc.groupBy("tok").agg(F.sum("c").alias("cc"))
-    total = toks.select(F.count(F.lit(1)).alias("n"))
+    # total tokens from the VOCAB aggregate (sum of counts), not a
+    # second explode of the corpus — the count pass reuses the frame
+    # the join needs anyway
+    total = vocab.agg(F.sum("cc").alias("n"))
     lp = (
         per_doc.join(vocab, "tok")
         .crossJoin(F.broadcast(total))

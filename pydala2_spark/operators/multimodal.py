@@ -167,6 +167,9 @@ def parse_image_header(payload: bytes) -> tuple[int, int, int] | None:
             if payload[i] != 0xFF:
                 return None  # corrupt segment stream
             marker = payload[i + 1]
+            if marker == 0xFF:
+                i += 1  # fill byte (spec allows any number before a marker)
+                continue
             if marker == 0x01 or 0xD0 <= marker <= 0xD8:
                 i += 2  # standalone markers carry no length
                 continue
@@ -194,12 +197,21 @@ def parse_wav_header(payload: bytes) -> tuple[int, int, int] | None:
             rate = int.from_bytes(payload[i + 12 : i + 16], "little")
             bits = int.from_bytes(payload[i + 22 : i + 24], "little")
         elif cid == b"data":
-            data_len = clen
+            # clamp to the bytes actually present: truncated uploads
+            # (common in web-crawled audio) declare lengths the payload
+            # doesn't hold, and a duration derived from the DECLARED
+            # length would be fabricated
+            data_len = min(clen, max(0, len(payload) - (i + 8)))
         i += 8 + clen + (clen & 1)  # chunks are word-aligned
-    if rate and ch and bits and data_len is not None:
-        n_samples = data_len // max(1, ch * bits // 8)
-        return rate, ch, n_samples * 1000 // rate
-    return None
+    # hostile/corrupt headers must fall back to the stub, not crash the
+    # Arrow batch downstream: the output schema is int32 (sample_rate,
+    # n_channels), so reject values that don't fit sane WAV reality
+    if not rate or not ch or not bits or data_len is None:
+        return None
+    if not (0 < rate < 2**31) or not (0 < ch <= 2**15) or bits not in (8, 16, 24, 32, 64):
+        return None
+    n_samples = data_len // max(1, ch * bits // 8)
+    return rate, ch, n_samples * 1000 // rate
 
 
 # ---------------------------------------------------------------------------

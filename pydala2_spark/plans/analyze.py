@@ -66,6 +66,12 @@ def analyze_dataset(
     )
     from pydala2_spark.plans.stats import StatsIndex, ndv_sidecar_path
 
+    # same guards as build_bloom_index — an unvalidated num_hashes=0
+    # sidecar would make every probe silently prune ALL files
+    if num_bits < 64 or num_bits & (num_bits - 1):
+        raise ValueError(f"num_bits must be a power of two >= 64, got {num_bits}")
+    if not 1 <= num_hashes <= 16:
+        raise ValueError(f"num_hashes must be in [1, 16], got {num_hashes}")
     path = dataset_path.rstrip("/")
     out: dict = {"stats": StatsIndex(spark, path).refresh()}
     bloom_columns = list(dict.fromkeys(bloom_columns or []))
@@ -84,9 +90,14 @@ def analyze_dataset(
     for c in bloom_columns:
         quote_identifier(c)
         ipath = _bloom_sidecar_path(path, c)
+        first = None
         if path_exists(spark, ipath):
             old = spark.read.parquet(ipath)
+            # an EMPTY sidecar (all files removed since the last
+            # refresh) has no parameter row — rebuild from scratch
+            # instead of crashing on first[...] below
             first = old.select("num_bits", "num_hashes", "value_type").first()
+        if first is not None:
             indexed = {r["file_path"] for r in old.select("file_path").distinct().collect()}
             added = sorted(k for k in current if k not in indexed)
             removed = indexed - set(current)
@@ -127,13 +138,11 @@ def analyze_dataset(
     ndv_task = None
     if ndv_columns:
         ipath = ndv_sidecar_path(path)
+        first = None
         if path_exists(spark, ipath):
             old = spark.read.parquet(ipath)
-            first = old.select("lg_k").first()
-            if first is None:
-                raise ValueError(
-                    f"NDV sidecar at {ipath!r} is empty; re-run build_ndv_sketches"
-                )
+            first = old.select("lg_k").first()  # None = empty → rebuild
+        if first is not None:
             k = int(first["lg_k"])
             tracked = [
                 r["column"]

@@ -581,13 +581,9 @@ class ParquetDataset(BaseDataset):
         total = list_files(self.spark, self.path, suffixes=(".parquet",))
         keep = {schemeless(f) for f in total}
         stats_kept = bloom_kept = None
-        if (lo is not None or hi is not None) and StatsIndex(
-            self.spark, self.path
-        ).exists():
-            kept = {
-                schemeless(f)
-                for f in StatsIndex(self.spark, self.path).prune(column, lo, hi)
-            }
+        idx = StatsIndex(self.spark, self.path)
+        if (lo is not None or hi is not None) and idx.exists():
+            kept = {schemeless(f) for f in idx.prune(column, lo, hi)}
             stats_kept = len(kept)
             keep &= kept
         if values is not None and path_exists(

@@ -116,6 +116,37 @@ def test_fused_incremental_and_out_of_sync(spark, tmp_ds_path):
     assert abs(approx - exact) <= max(2, exact * 0.05)
 
 
+def test_fused_recovers_from_emptied_sidecars(spark, tmp_ds_path):
+    """An analyze after ALL data files were removed writes EMPTY
+    sidecars (no parameter rows); the next analyze over new files must
+    REBUILD instead of crashing on the missing parameter row — and
+    invalid bloom parameters are rejected up front (an unvalidated
+    num_hashes=0 sidecar would silently prune every file)."""
+    import shutil
+
+    _write_batches(spark, tmp_ds_path, 2)
+    analyze_dataset(spark, tmp_ds_path, bloom_columns=["id"], ndv_columns=["id"])
+
+    # wipe data, keep sidecar dirs → refresh writes empty sidecars
+    for f in spark.read.parquet(tmp_ds_path).inputFiles():
+        import os
+
+        os.remove(f.replace("file:", ""))
+    analyze_dataset(spark, tmp_ds_path, bloom_columns=["id"], ndv_columns=["id"])
+
+    _write_batches(spark, tmp_ds_path, 1)  # new data arrives
+    out = analyze_dataset(spark, tmp_ds_path, bloom_columns=["id"], ndv_columns=["id"])
+    assert out["bloom:id"]["added"] == 1 and out["ndv"]["files"] == 1
+    kept = bloom_prune(spark, tmp_ds_path, "id", [5])
+    assert spark.read.parquet(*kept).filter(F.col("id") == 5).count() == 1
+    assert estimate_ndv(spark, tmp_ds_path, "id") > 0
+
+    with pytest.raises(ValueError):
+        analyze_dataset(spark, tmp_ds_path, bloom_columns=["id"], num_hashes=0)
+    with pytest.raises(ValueError):
+        analyze_dataset(spark, tmp_ds_path, bloom_columns=["id"], num_bits=1000)
+
+
 def test_fused_single_data_scan(spark, tmp_ds_path, monkeypatch):
     """Structural pin for the fusion: with 2 bloom + 2 NDV columns, the
     DATA files are opened by exactly ONE DataFrameReader call (sidecar

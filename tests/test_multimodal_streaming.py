@@ -133,6 +133,39 @@ def test_decode_images_real_headers(spark):
     assert fmts[1] == "png" and fmts[2] == "gif" and fmts[3] == "jpeg"
 
 
+def test_media_header_parsers_hostile_inputs():
+    """Corrupt/hostile containers must fall back (None), never crash
+    or fabricate: int32-overflowing WAV rates, truncated data chunks,
+    JPEG fill bytes before markers."""
+    import struct
+
+    from pydala2_spark.operators.multimodal import (
+        parse_image_header,
+        parse_wav_header,
+    )
+
+    # WAV with a rate that would overflow the int32 output column
+    bad = bytearray(_wav_bytes(44100, 2, 100))
+    bad[24:28] = b"\xff\xff\xff\xff"  # fmt rate field
+    assert parse_wav_header(bytes(bad)) is None
+    # truncated data chunk: declared 4 GB, payload holds 100 samples —
+    # duration must come from the REAL bytes, not the declared length
+    t = bytearray(_wav_bytes(1000, 1, 100, bits=16))  # 100 samples @ 1 kHz
+    data_pos = bytes(t).find(b"data")
+    t[data_pos + 4 : data_pos + 8] = struct.pack("<I", 0xFFFFFF00)
+    rate, ch, dur = parse_wav_header(bytes(t))
+    assert (rate, ch) == (1000, 1) and dur == 100  # 100 real samples = 100 ms
+    # JPEG fill bytes (any number of 0xFF before a marker) must not
+    # desync the segment walk
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xff\xff\xc0" + struct.pack(">HBHHB", 17, 8, 77, 66, 3)
+    assert parse_image_header(b"\xff\xd8" + app0 + sof0 + b"\x00" * 8) == (66, 77, 3)
+    # zero-channel WAV rejected (division guard + sanity gate)
+    z = bytearray(_wav_bytes(8000, 1, 10))
+    z[22:24] = b"\x00\x00"  # fmt channels field
+    assert parse_wav_header(bytes(z)) is None
+
+
 def test_audio_features_real_wav_header(spark):
     from pydala2_spark.operators.multimodal import (
         extract_audio_features,
