@@ -464,3 +464,126 @@ def scd2_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def curate_stream(
+    spark: SparkSession,
+    source_path: str,
+    target_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    min_quality: float = 0.3,
+    jaccard_threshold: float = 0.5,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Streaming corpus curation — the batch curation gates applied AT
+    INGEST: each microbatch of documents passes the quality floor,
+    batch-internal exact dedup, and the MinHash near-dup screen
+    against the PERSISTED signature index (`dedup.build_minhash_index`)
+    before appending; the index then absorbs the survivors'
+    signatures, so later batches screen against everything ingested so
+    far. The streaming form of `curate.curate_corpus` — corpus text is
+    read once ever (per `incremental_near_dups`); each batch pays
+    O(batch) hashing plus id-scale joins.
+
+    Exactly-once is BY CONSTRUCTION, not by marker ordering: survivors
+    anti-join the target's existing ids (and the index's signature
+    ids) before any write, so a replayed batch — after a crash in any
+    window between the appends and the checkpoint commit — re-selects
+    zero rows. The `_stream_batches` marker is kept as a fast-path
+    skip only. Intra-batch NEAR-dups (two new near-copies arriving in
+    the same microbatch) both pass by design — the index screen sees
+    them only after the batch lands; the periodic batch
+    `curate_corpus` pass catches that tail. Returns ingest counters.
+
+    Requires an existing index (build_minhash_index over the seed
+    corpus, possibly empty); the target may start absent.
+    """
+    import hashlib
+
+    from pyspark.sql import Window
+
+    from pydala2_spark.functions.text import quality_score
+    from pydala2_spark.operators.dedup import (
+        incremental_near_dups,
+        lsh_band_signatures,
+        minhash_signature,
+    )
+    from pydala2_spark.plans.fs import list_files, mkdirs, path_exists
+
+    params = spark.read.parquet(f"{index_path}/_params").first()
+    schema = spark.read.parquet(source_path).schema
+    docs = spark.readStream.schema(schema).parquet(source_path)
+    cp_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+    counters = {"batches": 0, "ingested": 0, "screened": 0}
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = f"{target_path.rstrip('/')}/_stream_batches/{cp_id}/{batch_id}"
+        if path_exists(spark, marker):
+            return  # fast path: this batch fully committed earlier
+        n_in = batch_df.count()
+        if n_in:
+            # 1) quality floor + batch-internal exact dedup (lowest id
+            #    of each identical text survives — deterministic)
+            w = Window.partitionBy(F.md5(F.col(text))).orderBy(F.col(id_col).asc())
+            gated = (
+                batch_df.filter(quality_score(text) >= min_quality)
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            # 2) replay/idempotence gate: ids already in the target (or
+            #    indexed) never re-ingest — id-scale anti-joins
+            if path_exists(spark, target_path) and list_files(spark, target_path):
+                gated = gated.join(
+                    spark.read.parquet(target_path).select(id_col),
+                    id_col,
+                    "left_anti",
+                )
+            gated = gated.join(
+                spark.read.parquet(f"{index_path}/signatures").select(id_col),
+                id_col,
+                "left_anti",
+            )
+            # 3) near-dup screen vs the signature index (subsumes
+            #    exact-vs-corpus: an exact copy estimates jaccard 1.0)
+            dup_ids = (
+                incremental_near_dups(
+                    spark, index_path, gated, text=text, threshold=jaccard_threshold
+                )
+                .select(F.col("new_id").alias(id_col))
+                .distinct()
+            )
+            survivors = gated.join(dup_ids, id_col, "left_anti").localCheckpoint()
+            n_keep = survivors.count()
+            if n_keep:
+                survivors.write.mode("append").parquet(target_path)
+                new_mh = minhash_signature(
+                    survivors, text, id_col, params["num_hashes"], params["k"]
+                ).localCheckpoint()
+                new_mh.write.mode("append").parquet(f"{index_path}/signatures")
+                (
+                    lsh_band_signatures(
+                        new_mh,
+                        id_col,
+                        params["bands"],
+                        params["num_hashes"] // params["bands"],
+                    )
+                    .write.mode("append")
+                    .partitionBy("band")
+                    .parquet(f"{index_path}/bands")
+                )
+            counters["ingested"] += n_keep
+            counters["screened"] += n_in - n_keep
+        counters["batches"] += 1
+        mkdirs(spark, marker)
+
+    q = (
+        docs.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return counters

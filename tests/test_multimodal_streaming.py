@@ -463,3 +463,64 @@ def test_sniff_ts_type_all_encodings(spark, tmp_path):
     assert isinstance(_sniff_ts_type(us), T.TimestampNTZType)
     assert isinstance(_sniff_ts_type(i64), T.LongType)
     assert isinstance(_sniff_ts_type(None), T.TimestampNTZType)
+
+
+def test_curate_stream_gates_and_replays(spark, tmp_path):
+    """Streaming curation end to end: quality floor, batch-internal
+    exact dedup, near-dup screen against the persisted index, index
+    growth across batches, and exactly-once under checkpoint loss
+    (idempotent by construction, not by marker ordering)."""
+    import shutil
+
+    from pydala2_spark.operators.dedup import build_minhash_index
+    from pydala2_spark.streaming.pipeline import curate_stream
+
+    land = str(tmp_path / "landing")
+    target = str(tmp_path / "target")
+    index = str(tmp_path / "mh_index")
+    ck = str(tmp_path / "ck")
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    seed = spark.createDataFrame(
+        [(1000, base + " in the seed corpus version")], "doc_id long, text string"
+    )
+    build_minhash_index(spark, seed, index, num_hashes=12, bands=6, k=2)
+
+    batch1 = spark.createDataFrame(
+        [
+            (1, "a completely different document about distributed query engines and shuffles"),
+            (2, "a completely different document about distributed query engines and shuffles"),  # exact dup of 1
+            (3, base + " in the seed corpus edition"),  # near-dup of the seed doc
+            (4, "the the the the the the"),  # stopword stuffing fails the floor
+            (5, "another unique piece of text with many distinct informative tokens overall"),
+        ],
+        "doc_id long, text string",
+    )
+    batch1.write.parquet(land)
+    c1 = curate_stream(spark, land, target, index, ck, min_quality=0.3, jaccard_threshold=0.5)
+    got1 = sorted(r["doc_id"] for r in spark.read.parquet(target).collect())
+    assert got1 == [1, 5], got1
+    assert c1["ingested"] == 2 and c1["screened"] == 3
+
+    # batch 2: near-dup of an INGESTED doc must be screened by the
+    # index the stream itself extended
+    spark.createDataFrame(
+        [
+            (6, "a completely different document about distributed query engines and exchanges"),
+            (7, "fresh unrelated content mentioning watermark semantics and state stores at length"),
+        ],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(land)
+    curate_stream(spark, land, target, index, ck, min_quality=0.3, jaccard_threshold=0.5)
+    got2 = sorted(r["doc_id"] for r in spark.read.parquet(target).collect())
+    assert got2 == [1, 5, 7], got2
+
+    # checkpoint loss: the full landing zone replays; idempotence gates
+    # must re-select zero rows (no duplicates, index unchanged)
+    shutil.rmtree(ck)
+    n_sigs = spark.read.parquet(f"{index}/signatures").count()
+    c3 = curate_stream(spark, land, target, index, str(tmp_path / "ck2"),
+                       min_quality=0.3, jaccard_threshold=0.5)
+    assert c3["ingested"] == 0
+    assert sorted(r["doc_id"] for r in spark.read.parquet(target).collect()) == [1, 5, 7]
+    assert spark.read.parquet(f"{index}/signatures").count() == n_sigs
