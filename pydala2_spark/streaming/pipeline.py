@@ -534,18 +534,21 @@ def curate_stream(
                 .drop("__rn")
             )
             # 2) replay/idempotence gate: ids already in the target (or
-            #    indexed) never re-ingest — id-scale anti-joins
+            #    indexed) never re-ingest — id-scale anti-joins. A doc
+            #    in the TARGET but missing from the INDEX is the crash
+            #    window between the two appends: backfill its
+            #    signatures (hashing is deterministic, so the replayed
+            #    batch text reproduces them exactly) without
+            #    re-appending its data.
+            idx_ids = spark.read.parquet(f"{index_path}/signatures").select(id_col)
+            backfill = gated.limit(0)
             if path_exists(spark, target_path) and list_files(spark, target_path):
-                gated = gated.join(
-                    spark.read.parquet(target_path).select(id_col),
-                    id_col,
-                    "left_anti",
+                tgt_ids = spark.read.parquet(target_path).select(id_col)
+                backfill = gated.join(tgt_ids, id_col, "left_semi").join(
+                    idx_ids, id_col, "left_anti"
                 )
-            gated = gated.join(
-                spark.read.parquet(f"{index_path}/signatures").select(id_col),
-                id_col,
-                "left_anti",
-            )
+                gated = gated.join(tgt_ids, id_col, "left_anti")
+            gated = gated.join(idx_ids, id_col, "left_anti")
             # 3) near-dup screen vs the signature index (subsumes
             #    exact-vs-corpus: an exact copy estimates jaccard 1.0)
             dup_ids = (
@@ -557,10 +560,12 @@ def curate_stream(
             )
             survivors = gated.join(dup_ids, id_col, "left_anti").localCheckpoint()
             n_keep = survivors.count()
-            if n_keep:
-                survivors.write.mode("append").parquet(target_path)
+            to_index = survivors.unionByName(backfill).localCheckpoint()
+            if not to_index.isEmpty():
+                if n_keep:
+                    survivors.write.mode("append").parquet(target_path)
                 new_mh = minhash_signature(
-                    survivors, text, id_col, params["num_hashes"], params["k"]
+                    to_index, text, id_col, params["num_hashes"], params["k"]
                 ).localCheckpoint()
                 new_mh.write.mode("append").parquet(f"{index_path}/signatures")
                 (

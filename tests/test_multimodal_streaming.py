@@ -524,3 +524,27 @@ def test_curate_stream_gates_and_replays(spark, tmp_path):
     assert c3["ingested"] == 0
     assert sorted(r["doc_id"] for r in spark.read.parquet(target).collect()) == [1, 5, 7]
     assert spark.read.parquet(f"{index}/signatures").count() == n_sigs
+
+    # crash window between the two appends: a doc lands in the TARGET
+    # but its signatures never reach the index. The replay must
+    # BACKFILL the signatures (so future near-dups screen against it)
+    # without duplicating the document.
+    crashed = spark.createDataFrame(
+        [(9, "document that reached the target before the indexing append crashed midway")],
+        "doc_id long, text string",
+    )
+    crashed.write.mode("append").parquet(target)  # simulated half-commit
+    crashed.write.mode("append").parquet(land)
+    curate_stream(spark, land, target, index, str(tmp_path / "ck3"),
+                  min_quality=0.3, jaccard_threshold=0.5)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(target).collect()) == [1, 5, 7, 9]
+    sig_ids = {r["doc_id"] for r in spark.read.parquet(f"{index}/signatures").select("doc_id").collect()}
+    assert 9 in sig_ids  # signatures backfilled
+    # and the backfilled index now screens near-dups of the crashed doc
+    spark.createDataFrame(
+        [(10, "document that reached the target before the indexing append crashed halfway")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(land)
+    curate_stream(spark, land, target, index, str(tmp_path / "ck4"),
+                  min_quality=0.3, jaccard_threshold=0.5)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(target).collect()) == [1, 5, 7, 9]
