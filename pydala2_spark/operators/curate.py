@@ -318,13 +318,30 @@ def stratified_sample(
     side filter, no shuffle; at 100 TB it composes with partition
     pruning because it's a plain predicate.
     """
-    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    ) % 1_000_000
+    u = _md5_coin(id_col)
     rate = F.lit(int(default_rate * 1_000_000))
     for g, r in sorted(rates.items()):
         rate = F.when(F.col(group_col) == g, F.lit(int(r * 1_000_000))).otherwise(rate)
     return df.filter(u < rate)
+
+
+def _md5_coin(id_col: str, prefix: str = "") -> F.Column:
+    """The package-wide deterministic coin: uniform int in [0, 1e6)
+    from md5(prefix || id). ONE definition (mirrored in the DuckDB
+    oracles) so every sampling/splitting decision shares the same
+    reproducibility contract; ``prefix`` DOMAIN-SEPARATES independent
+    decisions — two coins with different prefixes are uncorrelated,
+    two with the same prefix are identical by design."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
 
 
 def source_quota_cap(
@@ -491,7 +508,10 @@ def train_test_split(
     splits, and a document NEVER migrates between train and test when
     the corpus is re-filtered or re-sharded — the leakage property
     rand()-splits silently violate. ``salt`` rotates the assignment
-    (new experiment, same determinism).
+    (new experiment, same determinism). The coin is DOMAIN-SEPARATED
+    from :func:`stratified_sample`'s (``split:`` prefix): without it
+    the two decisions share one md5 and compose pathologically — a
+    10 %-sampled stratum would land 100 % in a 10 % test split.
 
     Scan-side projection (one md5 + one modulo per row, whole-stage
     codegen); composes with partition pruning because downstream
@@ -503,11 +523,7 @@ def train_test_split(
         raise ValueError("fractions must be in [0, 1]")
     if test_fraction + val_fraction >= 1:
         raise ValueError("test_fraction + val_fraction must leave room for train")
-    u = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long") % 1_000_000
+    u = _md5_coin(id_col, prefix=f"split:{salt}")
     t = int(test_fraction * 1_000_000)
     v = int(val_fraction * 1_000_000)
     return df.withColumn(

@@ -277,6 +277,7 @@ def incremental_near_dups(
     new_docs: DataFrame,
     text: str = "text",
     threshold: float = 0.5,
+    new_mh: DataFrame | None = None,
 ) -> DataFrame:
     """Screen a new batch against a :func:`build_minhash_index` store:
     (corpus_id, new_id, est_jaccard) for candidate near-dup pairs with
@@ -293,9 +294,13 @@ def incremental_near_dups(
     """
     p = spark.read.parquet(f"{index_path}/_params").first()
     id_col = p["id_col"]
-    new_mh = _materialize_once(
-        minhash_signature(new_docs, text, id_col, p["num_hashes"], p["k"])
-    )
+    if new_mh is None:
+        new_mh = _materialize_once(
+            minhash_signature(new_docs, text, id_col, p["num_hashes"], p["k"])
+        )
+    # else: caller precomputed the batch signatures (MUST be built with
+    # this index's stored params — curate_stream reads them from
+    # _params) so the dominant per-batch hashing runs once, not twice
     new_bands = lsh_band_signatures(new_mh, id_col, p["bands"], p["num_hashes"] // p["bands"])
     idx_bands = spark.read.parquet(f"{index_path}/bands")
     cand = (

@@ -764,10 +764,16 @@ def estimate_ndv(
             )
         # sidecar holds exactly the wanted set → the membership filter
         # is a no-op; skip it (an isin over 10⁶ literal paths is a
-        # plan-size hazard at scale). Kept when the sidecar is stale
-        # (holds removed files) — those sketches must not inflate the
-        # estimate.
-        need_filter = sketched != set(wanted)
+        # plan-size hazard at scale). The check runs on BOTH the marker
+        # membership AND the per-column sketch rows: a directory-read
+        # build can sketch a stray non-.parquet-suffixed file that the
+        # marker list (from the suffixed listing) never covers, and an
+        # unfiltered union would silently inflate the estimate with it.
+        # Kept (filtered) whenever either set differs from wanted.
+        sk_files = {
+            r["file_path"] for r in sk.select("file_path").distinct().collect()
+        }
+        need_filter = sketched != set(wanted) or not sk_files <= set(wanted)
     if need_filter:
         sk = sk.filter(F.col("file_path").isin(wanted))
     row = sk.agg(

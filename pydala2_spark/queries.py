@@ -3177,9 +3177,9 @@ def doc_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_train_test_split",
     """
     SELECT doc_id, lang,
-           CASE WHEN ('0x' || substr(md5('exp1' || CAST(doc_id AS VARCHAR)),
+           CASE WHEN ('0x' || substr(md5('split:exp1' || CAST(doc_id AS VARCHAR)),
                       1, 8))::BIGINT % 1000000 < 100000 THEN 'test'
-                WHEN ('0x' || substr(md5('exp1' || CAST(doc_id AS VARCHAR)),
+                WHEN ('0x' || substr(md5('split:exp1' || CAST(doc_id AS VARCHAR)),
                       1, 8))::BIGINT % 1000000 < 150000 THEN 'val'
                 ELSE 'train' END AS split
     FROM documents

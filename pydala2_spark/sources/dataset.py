@@ -584,6 +584,14 @@ class ParquetDataset(BaseDataset):
         idx = StatsIndex(self.spark, self.path)
         if (lo is not None or hi is not None) and idx.exists():
             kept = {schemeless(f) for f in idx.prune(column, lo, hi)}
+            # conservative like bloom_prune: files the (possibly stale)
+            # index has NO row for cannot be proven skippable — a file
+            # appended after the last refresh must report as scanned
+            indexed = {
+                schemeless(r["file_path"])
+                for r in idx.stats().select("file_path").collect()
+            }
+            kept |= keep - indexed
             stats_kept = len(kept)
             keep &= kept
         if values is not None and path_exists(

@@ -475,7 +475,6 @@ def curate_stream(
     min_quality: float = 0.3,
     jaccard_threshold: float = 0.5,
     text: str = "text",
-    id_col: str = "doc_id",
 ) -> dict:
     """Streaming corpus curation — the batch curation gates applied AT
     INGEST: each microbatch of documents passes the quality floor,
@@ -491,14 +490,24 @@ def curate_stream(
     anti-join the target's existing ids (and the index's signature
     ids) before any write, so a replayed batch — after a crash in any
     window between the appends and the checkpoint commit — re-selects
-    zero rows. The `_stream_batches` marker is kept as a fast-path
+    zero rows. Commit order is target → bands → SIGNATURES: a doc's
+    signature row is the index commit point, so a replay finds any
+    partially-indexed doc (in target, not in signatures) and
+    re-derives BOTH its band and signature rows from the replayed
+    batch text (hashing is deterministic); a duplicate band row from
+    the bands-then-crash window is harmless (the probe's candidate
+    set is distinct). The `_stream_batches` marker is a fast-path
     skip only. Intra-batch NEAR-dups (two new near-copies arriving in
     the same microbatch) both pass by design — the index screen sees
     them only after the batch lands; the periodic batch
-    `curate_corpus` pass catches that tail. Returns ingest counters.
+    `curate_corpus` pass catches that tail. Returns ingest counters
+    (``batches`` counts every batch examined, including fast-path
+    skips).
 
     Requires an existing index (build_minhash_index over the seed
-    corpus, possibly empty); the target may start absent.
+    corpus, possibly empty); the target may start absent. The id
+    column comes from the index's stored ``_params`` (the hash family
+    and the id keying must agree with the build).
     """
     import hashlib
 
@@ -506,6 +515,7 @@ def curate_stream(
 
     from pydala2_spark.functions.text import quality_score
     from pydala2_spark.operators.dedup import (
+        _materialize_once,
         incremental_near_dups,
         lsh_band_signatures,
         minhash_signature,
@@ -513,12 +523,19 @@ def curate_stream(
     from pydala2_spark.plans.fs import list_files, mkdirs, path_exists
 
     params = spark.read.parquet(f"{index_path}/_params").first()
+    id_col = params["id_col"]
     schema = spark.read.parquet(source_path).schema
+    if id_col not in schema.names:
+        raise ValueError(
+            f"index at {index_path!r} keys on {id_col!r}, which the "
+            f"source documents do not carry (columns: {schema.names})"
+        )
     docs = spark.readStream.schema(schema).parquet(source_path)
     cp_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
     counters = {"batches": 0, "ingested": 0, "screened": 0}
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        counters["batches"] += 1
         marker = f"{target_path.rstrip('/')}/_stream_batches/{cp_id}/{batch_id}"
         if path_exists(spark, marker):
             return  # fast path: this batch fully committed earlier
@@ -535,11 +552,9 @@ def curate_stream(
             )
             # 2) replay/idempotence gate: ids already in the target (or
             #    indexed) never re-ingest — id-scale anti-joins. A doc
-            #    in the TARGET but missing from the INDEX is the crash
-            #    window between the two appends: backfill its
-            #    signatures (hashing is deterministic, so the replayed
-            #    batch text reproduces them exactly) without
-            #    re-appending its data.
+            #    in the TARGET but missing from the SIGNATURES is the
+            #    crash window between the appends: backfill its index
+            #    rows without re-appending its data.
             idx_ids = spark.read.parquet(f"{index_path}/signatures").select(id_col)
             backfill = gated.limit(0)
             if path_exists(spark, target_path) and list_files(spark, target_path):
@@ -550,24 +565,40 @@ def curate_stream(
                 gated = gated.join(tgt_ids, id_col, "left_anti")
             gated = gated.join(idx_ids, id_col, "left_anti")
             # 3) near-dup screen vs the signature index (subsumes
-            #    exact-vs-corpus: an exact copy estimates jaccard 1.0)
+            #    exact-vs-corpus: an exact copy estimates jaccard 1.0).
+            #    Batch signatures compute ONCE and are shared between
+            #    the screen and the index append.
+            mh_gated = _materialize_once(
+                minhash_signature(gated, text, id_col, params["num_hashes"], params["k"])
+            )
             dup_ids = (
                 incremental_near_dups(
-                    spark, index_path, gated, text=text, threshold=jaccard_threshold
+                    spark,
+                    index_path,
+                    gated,
+                    text=text,
+                    threshold=jaccard_threshold,
+                    new_mh=mh_gated,
                 )
                 .select(F.col("new_id").alias(id_col))
                 .distinct()
             )
             survivors = gated.join(dup_ids, id_col, "left_anti").localCheckpoint()
             n_keep = survivors.count()
-            to_index = survivors.unionByName(backfill).localCheckpoint()
-            if not to_index.isEmpty():
+            new_mh = (
+                mh_gated.join(survivors.select(id_col), id_col, "left_semi")
+                .unionByName(
+                    minhash_signature(
+                        backfill, text, id_col, params["num_hashes"], params["k"]
+                    )
+                )
+                .localCheckpoint()
+            )
+            if not new_mh.isEmpty():
                 if n_keep:
                     survivors.write.mode("append").parquet(target_path)
-                new_mh = minhash_signature(
-                    to_index, text, id_col, params["num_hashes"], params["k"]
-                ).localCheckpoint()
-                new_mh.write.mode("append").parquet(f"{index_path}/signatures")
+                # bands BEFORE signatures: the signature row is the
+                # index commit point the backfill gate keys on
                 (
                     lsh_band_signatures(
                         new_mh,
@@ -579,9 +610,9 @@ def curate_stream(
                     .partitionBy("band")
                     .parquet(f"{index_path}/bands")
                 )
+                new_mh.write.mode("append").parquet(f"{index_path}/signatures")
             counters["ingested"] += n_keep
             counters["screened"] += n_in - n_keep
-        counters["batches"] += 1
         mkdirs(spark, marker)
 
     q = (

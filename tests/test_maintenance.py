@@ -702,3 +702,24 @@ def test_explain_pruning_reports_sidecar_skipping(spark, tmp_ds_path):
     # range + point intersect
     r3 = ds.explain_pruning("id", lo=0, hi=49, values=[7])
     assert r3["files_to_scan"] <= min(r3["stats_kept"], r3["bloom_kept"])
+
+
+def test_explain_pruning_conservative_on_stale_index(spark, tmp_ds_path):
+    """A file appended AFTER the last refresh has no index row; the
+    report must count it as scanned (unknown => keep), matching
+    bloom's conservative rule — not silently claim it skippable."""
+    from pydala2_spark.plans.stats import StatsIndex
+    from pydala2_spark.sources.dataset import ParquetDataset
+
+    _write_fragmented(spark, tmp_ds_path, n_batches=2, rows=50)  # ids 0..99
+    StatsIndex(spark, tmp_ds_path).refresh()
+    # new file with ids 200..249 lands; index is now stale
+    spark.createDataFrame(make_simple_pdf(50, seed=200)).coalesce(1).write.mode(
+        "append"
+    ).parquet(tmp_ds_path)
+
+    ds = ParquetDataset(tmp_ds_path, spark=spark)
+    r = ds.explain_pruning("id", lo=210, hi=220)
+    # only the two indexed files are provably skippable
+    assert r["total_files"] == 3 and r["files_to_scan"] == 1
+    assert r["stats_kept"] == 1  # the unindexed file, kept conservatively

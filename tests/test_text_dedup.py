@@ -967,3 +967,17 @@ def test_train_test_split_deterministic_and_stable_under_refilter(spark):
         train_test_split(df, test_fraction=0.9, val_fraction=0.2)
     with _pytest.raises(ValueError):
         train_test_split(df, test_fraction=-0.1)
+
+    # the split coin must be DOMAIN-SEPARATED from the sampling coin:
+    # composing a 20% stratified sample with a 10% test split must
+    # still yield ~10% test among survivors (a shared md5 would put
+    # 50% of the sampled docs in test)
+    from pydala2_spark.operators.curate import stratified_sample
+
+    df2 = spark.range(0, 10000).selectExpr("id AS doc_id", "'en' AS lang")
+    sampled = stratified_sample(df2, rates={"en": 0.2}, group_col="lang")
+    split = train_test_split(sampled, test_fraction=0.1)
+    rows = split.groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in rows}
+    n = sum(counts.values())
+    assert abs(counts.get("test", 0) / n - 0.10) < 0.03
