@@ -679,6 +679,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int | None = None,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the embedding
     space with k-means, then screen each CLUSTER for near-duplicate
@@ -702,8 +703,18 @@ def semantic_dedup(
     widens to scalar columns ONCE (codegen dot product) and feeds both
     self-join sides; pairs filter at the rounded threshold BEFORE the
     per-id aggregation, so only qualifying pairs reach the max-cos
-    shuffle. Reference analogue: none (pydala2 has no embedding
-    surface).
+    shuffle.
+
+    THE quantizer caveat (measured, SCALING.md 100x sweep): brute
+    Lloyd's assignment is k·n work, so holding cell size constant
+    (k ∝ n) makes the FIT quadratic — 39x wall at 100x data. At scale
+    pass ``assignments`` (any (id_col, cid) frame) to bring an O(n)
+    blocker instead: SRP cells (`similarity.srp_bucket` — one
+    scan-stage projection, 2^planes data-distributed cells, the same
+    sweep measures 1.5x at 100x) or a stored IVF coarse quantizer
+    (`similarity.build_ivf_index`). The pair screen — the SemDeDup
+    part — is identical either way. Reference analogue: none (pydala2
+    has no embedding surface).
     """
     from pydala2_spark.operators.similarity import (
         kmeans_lloyd,
@@ -713,10 +724,11 @@ def semantic_dedup(
     )
 
     d = dim or vector_dim(df, vec_col)
-    assigned, _ = kmeans_lloyd(
-        df, k=k, iters=iters, vec_col=vec_col, id_col=id_col, dim=d
-    )
-    base = df.select(id_col, vec_col).join(assigned.select(id_col, "cid"), id_col)
+    if assignments is None:
+        assignments, _ = kmeans_lloyd(
+            df, k=k, iters=iters, vec_col=vec_col, id_col=id_col, dim=d
+        )
+    base = df.select(id_col, vec_col).join(assignments.select(id_col, "cid"), id_col)
     v = _materialize_once(unit_scalar_frame(base, vec_col, [id_col, "cid"], d))
     cond = (F.col("a.cid") == F.col("b.cid")) & (
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")

@@ -100,12 +100,22 @@ def main():
     from pydala2_spark.plans.snapshots import SnapshotDataset
 
     spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    n = build(spark)
+    if "--skip-build" in sys.argv:  # reuse an existing ROOT corpus
+        n = spark.read.parquet(f"{ROOT}/docs_1x").count()
+    else:
+        n = build(spark)
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = a[len("--only="):].split(",")
+
+    def want(op: str) -> bool:
+        return only is None or any(s in op for s in only)
     dirs = {"1x": f"{ROOT}/docs_1x", "big": f"{ROOT}/docs_big"}
     out: dict[str, dict[str, float]] = {}
 
     # bloom build + probe (build is cold by nature: rebuild per rep)
-    for label, d in dirs.items():
+    for label, d in (dirs.items() if want("bloom") else ()):
         out.setdefault("bloom_build", {})[label] = timed(
             lambda d=d: build_bloom_index(spark, d, "doc_id"), reps=1
         )
@@ -114,7 +124,7 @@ def main():
         )
 
     # scd2: fixed 1k-key batch against each corpus as the dim history
-    for label, d in dirs.items():
+    for label, d in (dirs.items() if want("scd2_apply") else ()):
         hist = (
             spark.read.parquet(d)
             .select(
@@ -136,7 +146,7 @@ def main():
     # snapshot: bootstrap commit (data write, linear), then a
     # fixed-1k-row append commit — the cost that must stay
     # corpus-size-INSENSITIVE (manifest merge + one tiny write)
-    for label, d in dirs.items():
+    for label, d in (dirs.items() if want("snap_") else ()):
         snap_path = f"{ROOT}/snap_{label}"
         ds = SnapshotDataset(spark, snap_path)
         out.setdefault("snap_bootstrap", {})[label] = timed(
@@ -151,7 +161,7 @@ def main():
     # dimension, then apply one every-97th-key change batch
     from pydala2_spark.operators.merge import merge_scd2
 
-    for label, d in dirs.items():
+    for label, d in (dirs.items() if want("merge_scd2") else ()):
         tgt = f"{ROOT}/scd2m_{label}"
         src0 = spark.read.parquet(d).select(
             F.col("doc_id").alias("k"), F.col("lang").alias("val")
@@ -165,7 +175,7 @@ def main():
         )
 
     # snapshot clustered compaction: whole-corpus Z-order rewrite
-    for label, d in dirs.items():
+    for label, d in (dirs.items() if want("snap_compact") else ()):
         p = f"{ROOT}/snapc_{label}"
         ds = SnapshotDataset(spark, p)
         ds.commit(spark.read.parquet(d))
@@ -180,7 +190,7 @@ def main():
     # snapshot-versioned target, one manifest commit per microbatch
     from pydala2_spark.streaming.pipeline import snapshot_stream
 
-    for label in ("1x", "big"):
+    for label in (("1x", "big") if want("snapshot_stream") else ()):
         src = f"{ROOT}/ev_{label}"
         out.setdefault("snapshot_stream", {})[label] = timed(
             lambda s=src, l=label: snapshot_stream(
@@ -197,7 +207,7 @@ def main():
     from pydala2_spark.operators.dedup import semantic_dedup
 
     kk = {"1x": 4, "big": 4 * FACTOR}
-    for label in ("1x", "big"):
+    for label in (("1x", "big") if want("semantic_dedup_kscaled") else ()):
         d = f"{ROOT}/emb_{label}"
         out.setdefault("semantic_dedup_kscaled", {})[label] = timed(
             lambda d=d, k=kk[label]: semantic_dedup(
@@ -205,6 +215,29 @@ def main():
             ).count(),
             reps=1,
         )
+
+    # semantic dedup with an O(n) BLOCKER: SRP cells sized for a
+    # constant ~1250-vector cell (2^planes tracks the corpus) replace
+    # the Lloyd fit, whose k*n assignment work is quadratic when k
+    # scales with n (measured 39x at 100x). The pair screen — the
+    # SemDeDup part — is unchanged; this is the 100 TB path the
+    # operator docstring prescribes via assignments=.
+    import math as _math
+
+    from pydala2_spark.operators.similarity import srp_bucket
+
+    planes = {"1x": 2, "big": max(2, 2 + int(round(_math.log2(FACTOR))))}
+    for label in (("1x", "big") if want("semantic_dedup_srp") else ()):
+        d = f"{ROOT}/emb_{label}"
+
+        def run(d=d, p=planes[label]):
+            emb = spark.read.parquet(d)
+            cells = emb.select(
+                "vec_id", srp_bucket("embedding", p, 64).alias("cid")
+            )
+            semantic_dedup(emb, threshold=0.3, assignments=cells).count()
+
+        out.setdefault("semantic_dedup_srp", {})[label] = timed(run, reps=1)
 
     print(f"{'op':24s} {'1x':>7s} {'x' + str(FACTOR):>7s} {'ratio':>7s}")
     for op, t in out.items():

@@ -981,3 +981,42 @@ def test_train_test_split_deterministic_and_stable_under_refilter(spark):
     counts = {r["split"]: r["count"] for r in rows}
     n = sum(counts.values())
     assert abs(counts.get("test", 0) / n - 0.10) < 0.03
+
+
+def test_semantic_dedup_external_assignments(spark):
+    """assignments= must bypass the internal Lloyd fit and produce
+    identical verdicts when handed the same assignment frame — the
+    O(n) blocker injection point for scale (SRP cells / stored IVF)."""
+    import numpy as np
+
+    from pydala2_spark.operators.dedup import semantic_dedup
+    from pydala2_spark.operators.similarity import kmeans_lloyd, srp_bucket
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(v) for v in rng.normal(size=8)]) for i in range(60)]
+    rows += [(100 + i, rows[i][1]) for i in range(5)]  # exact copies
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    internal = {
+        (r["vec_id"], r["cid"], r["is_dup"])
+        for r in semantic_dedup(df, k=3, iters=2, threshold=0.95, dim=8).collect()
+    }
+    assigned, _ = kmeans_lloyd(df, k=3, iters=2, dim=8)
+    external = {
+        (r["vec_id"], r["cid"], r["is_dup"])
+        for r in semantic_dedup(
+            df, threshold=0.95, dim=8, assignments=assigned
+        ).collect()
+    }
+    assert internal == external
+
+    # SRP cells work as a drop-in blocker; exact copies share buckets
+    # by construction, so every planted copy is flagged
+    cells = df.select("vec_id", srp_bucket("embedding", 2, 8).alias("cid"))
+    srp = {
+        r["vec_id"]: r["is_dup"]
+        for r in semantic_dedup(
+            df, threshold=0.95, dim=8, assignments=cells
+        ).collect()
+    }
+    assert all(srp[100 + i] for i in range(5))
