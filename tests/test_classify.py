@@ -182,3 +182,57 @@ def test_normalize_text_nfc_matches_unicodedata(spark):
         .toString()
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_normalize_text_nfc_fuzz_random_unicode(spark):
+    """Fuzz: 300 random unicode strings (BMP letters, combining marks,
+    Hangul jamo, punctuation, odd whitespace) through nfc=True must
+    equal the python reference on every one — a single Spark job over
+    the whole sample."""
+    import random
+    import re
+    import unicodedata
+
+    from pydala2_spark.functions.text import normalize_text
+
+    rnd = random.Random(17)
+    pools = [
+        list(range(0x41, 0x7B)),  # ascii letters + some punct
+        list(range(0xC0, 0x180)),  # latin-1/-A precomposed
+        list(range(0x300, 0x370)),  # combining marks
+        list(range(0x1100, 0x1160)) + list(range(0x1161, 0x11A8)),  # jamo
+        [0x20, 0xA0, 0x2009, 0x3000, 0x200B],  # whitespace/zero-width
+        [0x2018, 0x2019, 0x201C, 0x201D, 0x2013, 0x2014, 0x2026],
+    ]
+    samples = []
+    for _ in range(300):
+        n = rnd.randint(0, 24)
+        s = "".join(
+            chr(rnd.choice(rnd.choice(pools))) for _ in range(n)
+        )
+        samples.append(s)
+
+    def ref(s):
+        s = unicodedata.normalize("NFC", s)
+        s = re.sub(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F​‌‍﻿]", "", s)
+        table = {"‘": "'", "’": "'", "‚": "'", "“": '"',
+                 "”": '"', "„": '"', "–": "-", "—": "-",
+                 "−": "-"}
+        s = "".join(table.get(ch, ch) for ch in s)
+        s = s.replace("…", "...")
+        s = re.sub(r"\s+", " ", s).strip()
+        return s
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "i long, text string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", normalize_text(nfc=True).alias("n")).collect()
+    }
+    bad = [
+        (samples[i], got[i], ref(samples[i]))
+        for i in range(len(samples))
+        if got[i] != ref(samples[i])
+    ]
+    assert not bad, bad[:3]
