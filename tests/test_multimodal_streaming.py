@@ -548,3 +548,34 @@ def test_curate_stream_gates_and_replays(spark, tmp_path):
     curate_stream(spark, land, target, index, str(tmp_path / "ck4"),
                   min_quality=0.3, jaccard_threshold=0.5)
     assert sorted(r["doc_id"] for r in spark.read.parquet(target).collect()) == [1, 5, 7, 9]
+
+
+def test_media_header_parsers_never_crash_on_random_bytes():
+    """Total-function property: arbitrary byte strings — including
+    ones starting with each real magic — must parse to None or a sane
+    tuple, never raise (a crashing parser kills a whole Arrow batch
+    at ingest)."""
+    import random
+
+    from pydala2_spark.operators.multimodal import (
+        parse_image_header,
+        parse_wav_header,
+    )
+
+    rnd = random.Random(23)
+    magics = [
+        b"", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"\xff\xd8\xff",
+        b"RIFF", b"RIFFxxxxWAVE",
+    ]
+    for _ in range(500):
+        payload = rnd.choice(magics) + bytes(
+            rnd.getrandbits(8) for _ in range(rnd.randint(0, 200))
+        )
+        img = parse_image_header(payload)
+        assert img is None or (
+            len(img) == 3 and all(isinstance(v, int) for v in img)
+        )
+        wav = parse_wav_header(payload)
+        if wav is not None:
+            rate, ch, dur = wav
+            assert 0 < rate < 2**31 and 0 < ch <= 2**15 and dur >= 0
