@@ -49,12 +49,18 @@ from pydala2_spark.operators.similarity import (
     pq_train,
 )
 from pydala2_spark.plans.snapshots import SnapshotDataset
+from pydala2_spark.plans.analyze import analyze_dataset
 from pydala2_spark.plans.stats import (
     StatsIndex,
     build_ndv_sketches,
     estimate_ndv,
+    export_legacy_file_metadata,
+    import_legacy_file_metadata,
     refresh_ndv_sketches,
 )
+from pydala2_spark.operators.dedup import semantic_dedup
+from pydala2_spark.operators.curate import train_test_split, unigram_logprob_scores
+from pydala2_spark.streaming.pipeline import curate_stream
 
 __all__ = [
     "get_spark",
@@ -90,6 +96,13 @@ __all__ = [
     "pq_topk",
     "logreg_fit",
     "logreg_score",
+    "analyze_dataset",
+    "export_legacy_file_metadata",
+    "import_legacy_file_metadata",
+    "semantic_dedup",
+    "train_test_split",
+    "unigram_logprob_scores",
+    "curate_stream",
 ]
 
 __version__ = "0.1.0"
