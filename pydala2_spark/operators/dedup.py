@@ -19,6 +19,8 @@ whole-stage codegen.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -707,28 +709,54 @@ def semantic_dedup(
 
     THE quantizer caveat (measured, SCALING.md 100x sweep): brute
     Lloyd's assignment is k·n work, so holding cell size constant
-    (k ∝ n) makes the FIT quadratic — 39x wall at 100x data. At scale
-    pass ``assignments`` (any (id_col, cid) frame) to bring an O(n)
-    blocker instead: SRP cells (`similarity.srp_bucket` — one
-    scan-stage projection, 2^planes data-distributed cells, the same
-    sweep measures 1.5x at 100x) or a stored IVF coarse quantizer
-    (`similarity.build_ivf_index`). The pair screen — the SemDeDup
-    part — is identical either way. Reference analogue: none (pydala2
-    has no embedding surface).
+    (k ∝ n) makes the FIT quadratic — 39x wall at 100x data. The
+    scale path is therefore AUTO-SELECTED: when ``assignments`` is
+    absent and ``k * dim`` crosses the same threshold where the
+    centroid literal plan stops making sense
+    (``similarity._KMEANS_LITERAL_LIMIT``), cells come from SRP
+    buckets (`similarity.srp_bucket`, ``ceil(log2(k))`` planes — one
+    scan-stage projection, data-distributed cells, O(n) total; the
+    sweep measures 1.5x at 100x) instead of a Lloyd fit. Below the
+    threshold the published SemDeDup k-means recipe runs as written.
+    Pass ``assignments`` (any (id_col, cid) frame, e.g. a stored IVF
+    coarse quantizer from `similarity.build_ivf_index`) to override
+    either way. The pair screen — the SemDeDup part — is identical
+    for every quantizer.
+
+    A caller-supplied ``assignments`` frame need not be total: it is
+    LEFT-joined, and vectors it does not cover surface in the output
+    with ``cid`` null and ``is_dup`` false (null cells never pair, so
+    unassigned vectors are conservatively kept — never silently
+    dropped). Reference analogue: none (pydala2 has no embedding
+    surface).
     """
     from pydala2_spark.operators.similarity import (
+        _KMEANS_LITERAL_LIMIT,
         kmeans_lloyd,
         scalar_dot,
+        srp_bucket,
         unit_scalar_frame,
         vector_dim,
     )
 
     d = dim or vector_dim(df, vec_col)
     if assignments is None:
-        assignments, _ = kmeans_lloyd(
-            df, k=k, iters=iters, vec_col=vec_col, id_col=id_col, dim=d
-        )
-    base = df.select(id_col, vec_col).join(assignments.select(id_col, "cid"), id_col)
+        if k * d <= _KMEANS_LITERAL_LIMIT:
+            assignments, _ = kmeans_lloyd(
+                df, k=k, iters=iters, vec_col=vec_col, id_col=id_col, dim=d
+            )
+        else:
+            # the measured 39x-at-100x Lloyd cliff: constant cell size
+            # means k ∝ n and brute assignment is k·n. SRP cells give
+            # ~k data-distributed blocks from one scan-stage
+            # projection — same pair screen, O(n) quantizer.
+            planes = max(1, math.ceil(math.log2(max(2, k))))
+            assignments = df.select(
+                F.col(id_col), srp_bucket(vec_col, planes, d).alias("cid")
+            )
+    base = df.select(id_col, vec_col).join(
+        assignments.select(id_col, "cid"), id_col, "left"
+    )
     v = _materialize_once(unit_scalar_frame(base, vec_col, [id_col, "cid"], d))
     cond = (F.col("a.cid") == F.col("b.cid")) & (
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")

@@ -8,6 +8,10 @@ training-data-pipeline extension surface, built on the conventions a
 
 - media is an opaque ``binary`` column plus a typed metadata struct —
   content-addressed, schema-stable, partitionable;
+- palette-PNG channel semantics: the header parser reports 1 channel
+  (index samples, header truth) where PIL reports the post-expansion
+  3 — deployments that install PIL and want expanded-channel counts
+  should reorder the decode ladder (header parse runs first here);
 - cheap metadata (size, container format via magic numbers) is computed
   JVM-side with built-in functions — no Python in that path;
 - decode / feature-extract / resize / frame-sample run as Arrow-batched
@@ -170,6 +174,14 @@ def parse_image_header(payload: bytes) -> tuple[int, int, int] | None:
             if marker == 0xFF:
                 i += 1  # fill byte (spec allows any number before a marker)
                 continue
+            if marker in (0xD9, 0xDA):
+                # EOI / SOS before any SOF: entropy-coded scan data
+                # follows SOS and its stuffed 0xFF bytes are NOT
+                # segment markers — walking on would misread them and
+                # a spurious 0xC0-0xCF pair would yield garbage
+                # dimensions. No SOF can validly follow SOS, so fall
+                # back to the stub instead.
+                return None
             if marker == 0x01 or 0xD0 <= marker <= 0xD8:
                 i += 2  # standalone markers carry no length
                 continue

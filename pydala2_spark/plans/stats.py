@@ -106,9 +106,18 @@ def _pa_fs(path: str):
 def _normalize_uri(path: str) -> str:
     """Rewrite Hadoop URI spellings to pyarrow's: ``file:/x`` (Hadoop's
     qualified local form) → ``file:///x``; ``s3a://`` (Hadoop's S3
-    connector scheme) → ``s3://``. Scheme-less paths pass through."""
+    connector scheme) → ``s3://``. Scheme-less paths pass through.
+
+    ``file://host/path`` (an authority component) is rejected
+    explicitly: folding the host into the path would resolve to a
+    WRONG local path, and pyarrow has no remote-local-file transport.
+    """
     import re as _re
 
+    if _re.match(r"^file://(?!/)[^/]", path):
+        raise ValueError(
+            f"file URI with an authority component is not supported: {path!r}"
+        )
     p = _re.sub(r"^file:/{1,3}", "file:///", path)
     return _re.sub(r"^s3a://", "s3://", p)
 
@@ -493,8 +502,9 @@ def export_legacy_file_metadata(
         )
         for p, b64, num_rows, num_cols, created_by, fmt in sorted(rows):
             rel = schemeless(qualified(spark, p))
-            if rel.startswith(base):
-                rel = rel[len(base):].lstrip("/")
+            # boundary-safe strip: '/data/ds' must not match '/data/ds2/x'
+            if rel.startswith(base.rstrip("/") + "/"):
+                rel = rel[len(base.rstrip("/")) + 1:]
             entries[rel] = {
                 "serialized_metadata_b64": b64,
                 "num_rows": num_rows,

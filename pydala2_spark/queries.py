@@ -3757,66 +3757,77 @@ def mm_blockhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mirror (scripts/check_correctness.py runs every entry).
 
 _VERIFY_FIRST = [
-    # round 5 rotation: the 47 entries OUTSIDE round 4's driver window
-    # (last driver-checked r3, ev_json_extract r2) lead, so every
-    # registry entry holds a green driver row in r4∪r5 and nothing
-    # ages more than one round without a driver check. The r4-new
-    # entries (emb_kmeans … merge_scd2_history) yield their slots —
-    # each is r4-driver-green and covered by the full local mirror.
-    "ev_json_extract",
-    "scan_filter_project",
-    "sort_limit_topk",
-    "distinct_keyed",
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "agg_rollup_status_priority",
-    "agg_approx_distinct",
-    "q3_shipping_priority",
-    "q5_nation_revenue",
-    "q10_returned_items",
-    "join_semi_anti",
-    "set_ops_union_except",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q18_large_volume_customers",
-    "q2_min_cost_supplier",
-    "q21_multi_exists",
-    "q16_supplier_count_by_part",
-    "q20_volume_suppliers",
-    "set_ops_except",
-    "string_function_suite",
-    "agg_cube_flag_status",
-    "merge_upsert_semantics",
-    "doc_token_explode_top",
-    "w_value_deciles",
-    "w_top_orders_per_customer",
-    "w_rank_distribution_frames",
-    "stream_hourly_rollup",
-    "ev_sessionization",
-    "asof_click_before_purchase",
-    "dedup_minhash_lsh",
-    "dedup_ngram_blocked",
-    "doc_curation",
-    "dedup_simhash",
-    "emb_near_dup",
-    "ev_value_quantiles",
-    "doc_pii_scan",
-    "emb_quantize_error",
-    "doc_winnow_candidates",
-    "stream_sessionization",
-    "doc_repetition_screen",
-    "doc_contamination",
-    "doc_stratified_sample",
-    "doc_chunk_windows",
-    # changed this round — operator+oracle edit (empty-text filter per
-    # ADVICE) and the vectorized frame-sample stage — driver-verify the
-    # changes alongside the aged set.
-    "doc_boilerplate_removal",
-    "mm_frame_sample",
-    # new this round (slot 50): SemDeDup-style semantic dedup
+    # round 6 rotation. Priority order:
+    #   (a) the 2 registry entries the driver gate has NEVER seen
+    #       (added late in r5, mirror-green only) — the r5 verdict's #1
+    #       ask;
+    #   (b) queries NEW this round (real media decode, hive-partitioned
+    #       round-trip);
+    #   (c) queries whose operator changed this round (semantic_dedup
+    #       assignments left-join + auto quantizer; media header SOS
+    #       fix touches every mm_* decode path);
+    #   (d) the r4-window entries — now the aged set (2 rounds stale).
+    # 44 of the 48 aged entries fit; `array_function_suite`,
+    # `date_arithmetic_suite`, `pivot_status_by_priority`,
+    # `w_running_revenue` slip to r7 (pure expression/window suites,
+    # untouched since r3, r4-driver-green and covered by the full local
+    # mirror every session).
+    # (a) never driver-checked
+    "doc_train_test_split",
+    "doc_unigram_logprob",
+    # (b) new this round
+    "mm_image_real_decode",
+    "mm_audio_real_features",
+    "hive_partitioned_scan",
+    # (c) operator changed this round
     "emb_semantic_dedup",
+    # (d) aged set: the r4 driver window, minus the two entries
+    # re-checked in r5 (doc_boilerplate_removal, mm_frame_sample) and
+    # the four stable suites yielding their slots.
+    "agg_grouping_sets",
+    "dedup_clusters",
+    "doc_bpe_token_stats",
+    "doc_entropy_quality",
+    "doc_exact_dedup",
+    "doc_fingerprint_groups",
+    "doc_lang_id",
+    "doc_pack_sequences",
+    "doc_quality_scores",
+    "doc_segment_dups",
+    "doc_source_mix",
+    "doc_temperature_mix",
+    "doc_tfidf_top_terms",
+    "doc_token_stats",
+    "emb_kmeans",
+    "emb_knn_bruteforce",
+    "emb_knn_ivf",
+    "emb_knn_lsh",
+    "emb_near_dup_srp",
+    "emb_quantized_rerank",
+    "ev_cohort_retention",
+    "ev_funnel",
+    "ev_hourly_rollup",
+    "ev_type_value_stats",
+    "ev_value_trend",
+    "merge_scd2_history",
+    "mm_audio_features",
+    "mm_blockhash",
+    "mm_image_decode",
+    "mm_image_resize",
+    "mm_media_meta",
+    "q11_supplier_value_share",
+    "q12_priority_by_linestatus",
+    "q14_promo_revenue",
+    "q15_top_suppliers",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q22_inactive_customers",
+    "q9_product_profit",
+    "range_join_ship_window",
+    "skew_safe_distinct",
+    "skew_salted_join_agg",
+    "stream_dedup_ingest",
+    "w_monthly_growth",
 ]
 
 

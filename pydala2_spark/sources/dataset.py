@@ -352,8 +352,9 @@ class BaseDataset:
             p = os.path.abspath(p)
         base = schemeless(p).rstrip("/")
         rel = schemeless(first)
-        if rel.startswith(base):
-            rel = rel[len(base):]
+        # boundary-safe strip: '/data/ds' must not match '/data/ds2/x'
+        if rel.startswith(base + "/"):
+            rel = rel[len(base) + 1:]
         for seg in rel.split("/"):
             if "=" in seg:
                 names.append(seg.split("=", 1)[0])

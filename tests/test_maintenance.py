@@ -109,6 +109,12 @@ def test_footer_scan_is_filesystem_agnostic(spark, tmp_ds_path):
     import pyarrow.fs as pafs
 
     assert isinstance(fs, pafs.LocalFileSystem) and inner == f
+    # file://host/path carries an AUTHORITY — folding the host into the
+    # path would resolve to a wrong local file; must reject, not guess
+    with pytest.raises(ValueError, match="authority"):
+        _normalize_uri("file://somehost/data/x.parquet")
+    assert _normalize_uri("file:/x/y") == "file:///x/y"
+    assert _normalize_uri("file:///x/y") == "file:///x/y"
 
 
 def test_stats_index_on_uri_path(spark, tmp_ds_path):

@@ -164,6 +164,15 @@ def test_media_header_parsers_hostile_inputs():
     z = bytearray(_wav_bytes(8000, 1, 10))
     z[22:24] = b"\x00\x00"  # fmt channels field
     assert parse_wav_header(bytes(z)) is None
+    # SOS before any SOF: entropy-coded data follows, and its stuffed
+    # bytes must NOT be misread as segments — a 0xFF 0xC0 pair inside
+    # the scan stream previously yielded garbage dimensions. The walk
+    # must stop at SOS (and at EOI) and fall back to the stub.
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    fake_sof_in_scan = b"\x12\xff\xc0" + struct.pack(">HBHHB", 17, 8, 9, 9, 3)
+    assert parse_image_header(b"\xff\xd8" + app0 + sos + fake_sof_in_scan) is None
+    eoi_first = b"\xff\xd8" + app0 + b"\xff\xd9" + sof0
+    assert parse_image_header(eoi_first) is None
 
 
 def test_audio_features_real_wav_header(spark):

@@ -1020,3 +1020,73 @@ def test_semantic_dedup_external_assignments(spark):
         ).collect()
     }
     assert all(srp[100 + i] for i in range(5))
+
+
+def test_semantic_dedup_partial_assignments_keep_all_rows(spark):
+    """A PARTIAL assignments frame must not silently drop the
+    uncovered vectors (the documented one-row-per-input contract):
+    they surface with cid null and is_dup false — conservatively
+    kept, never paired."""
+    import numpy as np
+
+    from pydala2_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(v) for v in rng.normal(size=8)]) for i in range(20)]
+    rows += [(100, rows[0][1]), (101, rows[1][1])]  # exact copies
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # cover only ids < 50 plus copy 100 — copy 101 and its original
+    # partner stay covered/uncovered asymmetrically
+    partial = df.filter("vec_id < 50 or vec_id = 100").selectExpr(
+        "vec_id", "cast(0 as int) as cid"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            df, threshold=0.95, dim=8, assignments=partial
+        ).collect()
+    }
+    assert set(out) == {i for i in range(20)} | {100, 101}  # no row lost
+    assert out[101]["cid"] is None and out[101]["is_dup"] is False
+    assert out[100]["is_dup"] is True  # covered copy still flagged
+
+
+def test_semantic_dedup_auto_srp_above_literal_limit(spark):
+    """When assignments is absent and k*dim crosses
+    _KMEANS_LITERAL_LIMIT (the measured 39x-at-100x Lloyd cliff), the
+    quantizer auto-switches to SRP cells — result-identical to passing
+    the same SRP assignment frame explicitly."""
+    import math
+
+    import numpy as np
+
+    from pydala2_spark.operators.dedup import semantic_dedup
+    from pydala2_spark.operators.similarity import (
+        _KMEANS_LITERAL_LIMIT,
+        srp_bucket,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 64
+    rows = [(i, [float(v) for v in rng.normal(size=dim)]) for i in range(40)]
+    rows += [(200 + i, rows[i][1]) for i in range(4)]  # exact copies
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    k = _KMEANS_LITERAL_LIMIT // dim + 1  # first k that crosses the limit
+    assert k * dim > _KMEANS_LITERAL_LIMIT
+    auto = {
+        (r["vec_id"], r["cid"], r["is_dup"], r["max_cos"])
+        for r in semantic_dedup(df, k=k, threshold=0.95, dim=dim).collect()
+    }
+    planes = max(1, math.ceil(math.log2(max(2, k))))
+    cells = df.select("vec_id", srp_bucket("embedding", planes, dim).alias("cid"))
+    explicit = {
+        (r["vec_id"], r["cid"], r["is_dup"], r["max_cos"])
+        for r in semantic_dedup(
+            df, threshold=0.95, dim=dim, assignments=cells
+        ).collect()
+    }
+    assert auto == explicit
+    # exact copies share every SRP bucket → all flagged on the auto path
+    flagged = {v for v, _, d, _ in auto if d}
+    assert {200 + i for i in range(4)} <= flagged
