@@ -161,6 +161,15 @@ def replace_dir(spark: SparkSession, staging: str, live: str) -> None:
 SCHEME_RE = r"^[A-Za-z0-9+.-]+:/+"
 
 
+def uri_scheme(path: str) -> str | None:
+    """Lower-cased URI scheme of ``path``, or None for scheme-less
+    local paths (``file:`` spellings included — they ARE a scheme)."""
+    import re
+
+    m = re.match(r"^([A-Za-z0-9+.-]+):/", path)
+    return m.group(1).lower() if m else None
+
+
 def schemeless(path: str) -> str:
     """Scheme-free absolute form for path COMPARISONS: Hadoop
     qualifies local paths as ``file:/x`` while ``input_file_name()``

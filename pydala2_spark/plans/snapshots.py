@@ -24,6 +24,23 @@ number. A crash at ANY point leaves every prior version readable;
 the only debris is orphaned data files, which ``vacuum`` removes
 because no manifest references them.
 
+OBJECT STORES: the rename-based optimistic lock requires atomic
+fail-on-existing rename, which object stores do not provide (S3A
+rename is a client-side copy+delete behind a non-atomic existence
+check — two racing committers can both "win" a version and one
+manifest silently overwrites the other). The commit path therefore
+routes by scheme: on a scheme in :data:`NON_ATOMIC_RENAME_SCHEMES`
+a commit REFUSES to run (:class:`UnsafeCommitError`) unless the
+dataset was built with a ``commit_publisher`` — an atomic
+create-if-absent primitive such as S3 conditional PUT
+(``If-None-Match: *``; :func:`s3_conditional_put_publisher` wraps
+boto3) or a DynamoDB/commit-service lock, which is exactly how
+Delta (S3 LogStore) and Iceberg (lock manager / conditional write)
+solve the same race. Data-file staging renames need no such care:
+the names are private until a manifest references them, so a
+copy+delete "rename" there is an efficiency caveat, not a
+correctness one.
+
 At 100 TB nothing here scales with data volume: commits move file
 *names*, manifests hold file *lists* (one string per file), and reads
 hand Spark the exact file set — so time-travel reads get the same
@@ -44,9 +61,74 @@ from pyspark.sql import types as T
 _MANIFEST_FMT = "v{:08d}.json"
 _MAX_COMMIT_RETRIES = 50
 
+# schemes whose Hadoop connector implements rename as copy+delete with
+# a non-atomic existence check — rename-to-existing does NOT fail
+# atomically there, so it cannot serve as the optimistic lock
+NON_ATOMIC_RENAME_SCHEMES = frozenset(
+    {"s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss", "cos", "swift"}
+)
+
 
 class SnapshotConflictError(RuntimeError):
     """Raised when a commit cannot win the manifest race after retries."""
+
+
+class UnsafeCommitError(RuntimeError):
+    """Raised when a manifest publish would rely on a non-atomic
+    primitive (object-store rename) — committing anyway could silently
+    lose a racing writer's version. Supply a ``commit_publisher``."""
+
+
+def s3_conditional_put_publisher(client=None):
+    """A ``commit_publisher`` backed by S3 conditional PUT
+    (``If-None-Match: *`` — atomic create-if-absent, the primitive S3
+    added for exactly this commit pattern). Returns a callable
+    ``(uri, payload) -> bool``: True when this writer created the
+    object, False when it already existed (a racing committer won —
+    retry at the next version).
+
+    ``client`` is a boto3-style S3 client (injectable for tests /
+    S3-compatible endpoints); when None, boto3 must be installed and
+    credentials resolve from the environment the way the s3a
+    connector's do.
+    """
+    if client is None:
+        try:
+            import boto3  # optional dependency, resolved at call time
+        except ImportError as e:  # pragma: no cover - env without boto3
+            raise ImportError(
+                "s3_conditional_put_publisher needs boto3 (or pass an "
+                "s3-compatible client=)"
+            ) from e
+        client = boto3.client("s3")
+
+    def publish(uri: str, payload: str) -> bool:
+        import re
+
+        m = re.match(r"^[A-Za-z0-9+.-]+://([^/]+)/(.+)$", uri)
+        if not m:
+            raise ValueError(f"not a bucket/key URI: {uri!r}")
+        bucket, key = m.group(1), m.group(2)
+        try:
+            client.put_object(
+                Bucket=bucket,
+                Key=key,
+                Body=payload.encode("utf-8"),
+                IfNoneMatch="*",
+            )
+            return True
+        except Exception as e:  # ClientError without importing botocore
+            code = str(
+                getattr(e, "response", {}).get("Error", {}).get("Code", "")
+            )
+            status = getattr(e, "response", {}).get(
+                "ResponseMetadata", {}
+            ).get("HTTPStatusCode")
+            if code == "PreconditionFailed" or status in (412, 409):
+                return False  # object exists: the race is lost, not broken
+            raise
+
+    return publish
 
 
 class SnapshotDataset:
@@ -55,12 +137,19 @@ class SnapshotDataset:
     Plain ``spark.read.parquet(path)`` still works on the directory but
     sees uncommitted debris after crashes; the snapshot contract is
     that readers use :meth:`read` (optionally with ``version=``).
+
+    ``commit_publisher``: atomic create-if-absent hook
+    ``(uri, payload) -> bool`` used to publish manifests instead of
+    write-temp + rename. REQUIRED on object-store schemes (see module
+    docstring); on atomic-rename filesystems it is optional and wins
+    over the rename path when given.
     """
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, commit_publisher=None):
         self.spark = spark
         self.path = path.rstrip("/")
         self.snapshots_dir = f"{self.path}/_snapshots"
+        self.commit_publisher = commit_publisher
 
     # -- manifest plumbing ------------------------------------------------
 
@@ -91,18 +180,48 @@ class SnapshotDataset:
 
         return json.loads(read_text(self.spark, self._manifest_path(version)))
 
+    def _publish_guard(self) -> None:
+        """Refuse the rename-based publish on schemes where rename is
+        not an atomic lock — raised BEFORE any data staging so a
+        misconfigured 100 TB commit fails in milliseconds, not after
+        the write."""
+        from pydala2_spark.plans.fs import uri_scheme
+
+        scheme = uri_scheme(self.path)
+        if self.commit_publisher is None and scheme in NON_ATOMIC_RENAME_SCHEMES:
+            raise UnsafeCommitError(
+                f"snapshot commit on {scheme}:// needs an atomic "
+                f"create-if-absent commit_publisher (rename there is "
+                f"copy+delete behind a non-atomic existence check — two "
+                f"racing committers could both claim the same version and "
+                f"one manifest would silently overwrite the other). Pass "
+                f"SnapshotDataset(..., commit_publisher="
+                f"s3_conditional_put_publisher()) or a commit-service lock."
+            )
+
     def _try_publish(self, manifest: dict) -> bool:
-        """Write-temp + rename; False when another commit won the slot."""
+        """Atomically claim a version slot; False when another commit
+        won it. Routes by capability: an injected ``commit_publisher``
+        (atomic create-if-absent, e.g. S3 conditional PUT) when
+        present, else write-temp + atomic rename — and REFUSES the
+        rename path on schemes where rename is not an atomic lock."""
         from pydala2_spark.plans.fs import (
             delete_paths,
             mkdirs,
             path_exists,
             rename,
+            uri_scheme,
             write_text,
         )
 
-        mkdirs(self.spark, self.snapshots_dir)
         final = self._manifest_path(manifest["version"])
+        payload = json.dumps(manifest, sort_keys=True)
+        if self.commit_publisher is not None:
+            # the publisher IS the lock: no pre-check needed (and a
+            # pre-check would be the very TOCTOU this path removes)
+            return bool(self.commit_publisher(final, payload))
+        self._publish_guard()
+        mkdirs(self.spark, self.snapshots_dir)
         if path_exists(self.spark, final):
             return False
         # stage OUTSIDE _snapshots/: a tmp file renamed away mid-listing
@@ -110,7 +229,7 @@ class SnapshotDataset:
         tmp_dir = f"{self.snapshots_dir}__tmp"
         mkdirs(self.spark, tmp_dir)
         tmp = f"{tmp_dir}/{uuid.uuid4().hex}.json"
-        write_text(self.spark, tmp, json.dumps(manifest, sort_keys=True))
+        write_text(self.spark, tmp, payload)
         if rename(self.spark, tmp, final):
             return True
         delete_paths(self.spark, [tmp])
@@ -224,6 +343,7 @@ class SnapshotDataset:
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        self._publish_guard()
 
         own = self._stage_and_move(df, partition_by, compression, max_rows_per_file)
         schema_json = df.schema.json()
@@ -313,6 +433,7 @@ class SnapshotDataset:
         """
         from pydala2_spark.plans.fs import file_sizes, qualified
 
+        self._publish_guard()
         head = self.current_version()
         if head is None:
             return None
@@ -435,6 +556,7 @@ class SnapshotDataset:
         the same dataset concurrently.)"""
         from pydala2_spark.plans.fs import path_exists
 
+        self._publish_guard()
         target = self._read_manifest(version)  # raises if absent
         gone = [
             rel for rel in target["files"]

@@ -419,3 +419,101 @@ def test_version_scoped_file_stats(spark, tmp_ds_path):
     st2 = ds.file_stats()
     assert st1.count() == 1 and st2.count() == 2
     assert sum(r["num_rows"] for r in st2.collect()) == 30
+
+
+def test_commit_refuses_object_store_scheme_without_publisher(spark):
+    """The rename-based optimistic lock is TOCTOU-racy on object
+    stores (copy+delete rename, non-atomic existence check) — commit,
+    compact, and rollback must fail FAST there (before staging any
+    data) unless an atomic commit_publisher is supplied."""
+    from pydala2_spark.plans.snapshots import UnsafeCommitError
+
+    ds = SnapshotDataset(spark, "s3a://bucket/ds")
+    with pytest.raises(UnsafeCommitError, match="commit_publisher"):
+        ds.commit(_df(spark, 0, 5))
+    with pytest.raises(UnsafeCommitError):
+        ds.rollback(1)
+    with pytest.raises(UnsafeCommitError):
+        ds.compact()
+
+
+def test_conditional_publisher_no_lost_update(spark, tmp_ds_path):
+    """Object-store-style commit protocol: manifests publish through an
+    atomic create-if-absent publisher (O_CREAT|O_EXCL here — true
+    atomicity, like S3 If-None-Match) with NO existence pre-check. The
+    exact race the rename lock loses — two committers both past any
+    existence check, claiming the same version — is driven directly:
+    the loser must observe failure and retry, never overwrite."""
+    import os
+
+    from pydala2_spark.plans.fs import schemeless
+
+    def publisher(uri, payload):
+        p = schemeless(uri)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        try:
+            fd = os.open(p, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+        return True
+
+    ds = SnapshotDataset(spark, tmp_ds_path, commit_publisher=publisher)
+    m1 = ds.commit(_df(spark, 0, 10, "a"))
+    assert m1["version"] == 1
+    # the race: two fully-built manifests for the SAME version slot
+    winner = dict(m1, version=2, parent=1, ts=0.0)
+    loser = dict(m1, version=2, parent=1, ts=1.0)
+    assert ds._try_publish(winner) is True
+    assert ds._try_publish(loser) is False  # create-if-absent: no overwrite
+    # the winning manifest's content survived intact
+    assert ds._read_manifest(2)["ts"] == 0.0
+    # and a losing COMMIT retries to the next slot, merging the new head
+    m3 = ds.commit(_df(spark, 10, 20, "b"))
+    assert m3["version"] == 3 and m3["parent"] == 2
+    assert ds.read().count() == 20
+    assert ds.read(version=1).count() == 10  # time travel intact
+
+
+def test_s3_conditional_put_publisher_with_fake_client():
+    """The boto3-backed publisher maps PreconditionFailed/412 to
+    'lost the race' (False) and never overwrites; other errors
+    propagate; non-bucket URIs are rejected."""
+    from pydala2_spark.plans.snapshots import s3_conditional_put_publisher
+
+    class _PreconditionFailed(Exception):
+        def __init__(self):
+            super().__init__("exists")
+            self.response = {
+                "Error": {"Code": "PreconditionFailed"},
+                "ResponseMetadata": {"HTTPStatusCode": 412},
+            }
+
+    class FakeS3:
+        def __init__(self):
+            self.objects = {}
+
+        def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+            assert IfNoneMatch == "*"  # the atomicity contract
+            if (Bucket, Key) in self.objects:
+                raise _PreconditionFailed()
+            self.objects[(Bucket, Key)] = Body
+
+    c = FakeS3()
+    pub = s3_conditional_put_publisher(client=c)
+    assert pub("s3a://b/ds/_snapshots/v00000001.json", '{"v": 1}') is True
+    assert pub("s3a://b/ds/_snapshots/v00000001.json", '{"v": "x"}') is False
+    assert c.objects[("b", "ds/_snapshots/v00000001.json")] == b'{"v": 1}'
+    with pytest.raises(ValueError, match="bucket/key"):
+        pub("not-a-uri", "{}")
+
+    class Boom(Exception):
+        pass
+
+    class Bad:
+        def put_object(self, **kw):
+            raise Boom()
+
+    with pytest.raises(Boom):
+        s3_conditional_put_publisher(client=Bad())("s3://b/k.json", "{}")
