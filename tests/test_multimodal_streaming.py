@@ -588,3 +588,262 @@ def test_media_header_parsers_never_crash_on_random_bytes():
         if wav is not None:
             rate, ch, dur = wav
             assert 0 < rate < 2**31 and 0 < ch <= 2**15 and dur >= 0
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel/sample kernels (round 6): BMP/PPM/PGM pixels, PCM samples
+# ---------------------------------------------------------------------------
+
+
+def _gradient_bmp(w, h, seed=0):
+    import numpy as np
+
+    from pydala2_spark.operators.multimodal import encode_bmp
+
+    v = (np.arange(h)[:, None] * 11 + np.arange(w)[None, :] * 7 + seed) % 256
+    arr = np.repeat(v[:, :, None], 3, axis=2).astype(np.uint8)
+    return encode_bmp(arr), arr
+
+
+def test_bmp_roundtrip_padding_and_orientation():
+    """encode_bmp ↔ decode_image_pixels round-trips bit-exactly across
+    odd widths (4-byte row padding) and a hand-flipped top-down
+    variant — the two classic BMP decoder bugs."""
+    import struct
+
+    import numpy as np
+
+    from pydala2_spark.operators.multimodal import decode_image_pixels, encode_bmp
+
+    for w, h in [(1, 1), (3, 2), (5, 7), (13, 4), (16, 16)]:
+        arr = (np.arange(h * w * 3, dtype=np.int64) % 251).astype(np.uint8).reshape(h, w, 3)
+        assert np.array_equal(decode_image_pixels(encode_bmp(arr)), arr), (w, h)
+    # top-down: negative height + reversed stored rows = same image
+    arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    p = bytearray(encode_bmp(arr))
+    p[22:26] = struct.pack("<i", -2)
+    stride = (3 * 3 + 3) & ~3
+    pix = bytes(p[54:])
+    rows = [pix[i * stride : (i + 1) * stride] for i in range(2)]
+    assert np.array_equal(
+        decode_image_pixels(bytes(p[:54]) + b"".join(reversed(rows))), arr
+    )
+
+
+def test_pnm_decode_comments_and_gray():
+    import numpy as np
+
+    from pydala2_spark.operators.multimodal import decode_image_pixels
+
+    ppm = b"P6 # comment\n3 2\n255\n" + bytes(range(18))
+    assert decode_image_pixels(ppm).flatten().tolist() == list(range(18))
+    pgm = b"P5\n2 2 255\n" + bytes([10, 20, 30, 40])
+    assert decode_image_pixels(pgm).shape == (2, 2, 1)
+    # truncated pixel data -> None (never a partial array)
+    assert decode_image_pixels(b"P6\n4 4\n255\n" + b"\x00" * 10) is None
+
+
+def test_wav_pcm_roundtrip_and_exotic_depths():
+    import numpy as np
+
+    from pydala2_spark.operators.multimodal import (
+        decode_wav_samples,
+        encode_wav_pcm16,
+        parse_wav_header,
+    )
+
+    s = (np.sin(2 * np.pi * 440 * np.arange(8000) / 8000) * 20000).astype(np.int16)
+    wav = encode_wav_pcm16(s, 8000)
+    assert parse_wav_header(wav) == (8000, 1, 1000)
+    rate, back = decode_wav_samples(wav)
+    assert rate == 8000 and np.array_equal(back[:, 0], s.astype(np.int32))
+    st = np.stack([s, -s], axis=1)
+    rate, back = decode_wav_samples(encode_wav_pcm16(st, 44100))
+    assert back.shape == (8000, 2) and np.array_equal(back, st.astype(np.int32))
+    # 8-bit: stored unsigned, decoded re-centered
+    w8 = bytearray(_wav_bytes(1000, 1, 0, bits=8))
+    w8 = bytes(w8[: len(w8) - 0])
+    hdr = _wav_bytes(1000, 1, 4, bits=8)
+    # replace the 4 data bytes with known values 0,128,255,200
+    w8 = hdr[:-4] + bytes([0, 128, 255, 200])
+    rate, back = decode_wav_samples(w8)
+    assert back[:, 0].tolist() == [-128, 0, 127, 72]
+    # 24-bit: sign extension
+    hdr24 = _wav_bytes(1000, 1, 2, bits=24)
+    w24 = hdr24[:-6] + (8388607).to_bytes(3, "little") + (-8388608).to_bytes(
+        3, "little", signed=True
+    )
+    rate, back = decode_wav_samples(w24)
+    assert back[:, 0].tolist() == [8388607, -8388608]
+    # float WAV (format 3) -> None, not garbage
+    f32 = bytearray(_wav_bytes(1000, 1, 4, bits=32))
+    f32[20:22] = (3).to_bytes(2, "little")
+    assert decode_wav_samples(bytes(f32)) is None
+
+
+def test_pixel_and_sample_decoders_total_over_random_bytes():
+    """Fuzz: the REAL decoders must return an array or None for ANY
+    byte string — never raise (hostile corpus rule, same contract as
+    the header parsers)."""
+    import random
+
+    from pydala2_spark.operators.multimodal import (
+        decode_image_pixels,
+        decode_wav_samples,
+    )
+
+    rng = random.Random(99)
+    prefixes = [b"", b"BM", b"P6", b"P5", b"P6 ", b"RIFF", b"RIFF1234WAVE"]
+    for trial in range(300):
+        blob = rng.choice(prefixes) + bytes(
+            rng.getrandbits(8) for _ in range(rng.randrange(0, 200))
+        )
+        decode_image_pixels(blob)
+        decode_wav_samples(blob)
+
+
+def test_sniff_format_structural_guards(spark):
+    from pydala2_spark.operators.multimodal import sniff_format
+
+    bmp, _ = _gradient_bmp(4, 3)
+    rows = spark.createDataFrame(
+        [
+            (0, bmp),
+            (1, b"BMW dealerships are text"),  # 'BM' text: NOT a bmp
+            (2, b"P6\n2 2\n255\n" + bytes(12)),
+            (3, b"P6X not netpbm"),
+        ],
+        "id long, blob binary",
+    ).select("id", sniff_format("blob").alias("fmt"))
+    got = {r["id"]: r["fmt"] for r in rows.collect()}
+    assert got == {0: "bmp", 1: "unknown", 2: "ppm", 3: "unknown"}
+
+
+def test_image_pixel_stats_real_and_null_ladder(spark):
+    """Decodable payloads yield EXACT numpy-verified pixel stats; text
+    payloads keep stub dims with null stats — never fabricated."""
+    import numpy as np
+
+    from pydala2_spark.operators.multimodal import image_pixel_stats
+
+    p0, a0 = _gradient_bmp(5, 7, seed=3)
+    p1, a1 = _gradient_bmp(12, 4, seed=90)
+    df = spark.createDataFrame(
+        [(0, p0), (1, p1), (2, b"just text, not an image")],
+        "id long, blob binary",
+    )
+    got = {r["id"]: r for r in image_pixel_stats(df, "blob", ["id"]).collect()}
+    for i, a in [(0, a0), (1, a1)]:
+        r = got[i]
+        assert (r["height"], r["width"], r["channels"]) == a.shape
+        assert r["n_pixels"] == a.shape[0] * a.shape[1]
+        assert r["px_sum"] == int(a.sum(dtype="int64"))
+        assert r["px_min"] == int(a.min()) and r["px_max"] == int(a.max())
+        assert r["px_topleft"] == int(a[0, 0, 0])  # pins row order
+    assert got[2]["px_sum"] is None and got[2]["width"] > 0
+
+
+def test_audio_pcm_stats_exact(spark):
+    import numpy as np
+
+    from pydala2_spark.operators.multimodal import audio_pcm_stats, encode_wav_pcm16
+
+    s = np.array([100, -50, 25, -25, 0, 30], dtype=np.int16)  # 3 strict crossings
+    st = np.stack([s, np.roll(s, 1)], axis=1)
+    df = spark.createDataFrame(
+        [
+            (0, encode_wav_pcm16(s, 8000)),
+            (1, encode_wav_pcm16(st, 16000)),
+            (2, b"not audio"),
+        ],
+        "id long, blob binary",
+    )
+    got = {r["id"]: r for r in audio_pcm_stats(df, "blob", ["id"]).collect()}
+    r = got[0]
+    assert (r["sample_rate"], r["n_channels"], r["n_samples"]) == (8000, 1, 6)
+    assert r["abs_sum"] == int(np.abs(s.astype(np.int64)).sum())
+    assert (r["s_min"], r["s_max"]) == (-50, 100)
+    assert r["zero_crossings"] == 3
+    assert got[1]["n_channels"] == 2 and got[1]["abs_sum"] == 2 * r["abs_sum"]
+    assert got[2]["n_samples"] is None and got[2]["sample_rate"] > 0
+
+
+def test_extract_features_real_grid(spark):
+    """A 2x2-block image at dim=4 gives EXACTLY the four block means
+    scaled to [-1, 1] — real pixels driving the feature vector."""
+    import numpy as np
+
+    from pydala2_spark.operators.multimodal import encode_bmp, extract_features
+
+    blocks = np.zeros((8, 8, 3), np.uint8)
+    blocks[:4, 4:] = 51  # -> 51/127.5-1 = -0.6
+    blocks[4:, :4] = 102
+    blocks[4:, 4:] = 255
+    df = spark.createDataFrame([(0, encode_bmp(blocks))], "id long, blob binary")
+    feats = extract_features(df, "blob", ["id"], dim=4).collect()[0]["features"]
+    assert [round(f, 4) for f in feats] == [-1.0, -0.6, -0.2, 1.0]
+
+
+def test_extract_audio_features_real_bands(spark):
+    """Decodable PCM drives REAL band energies: a pure tone's peak
+    band is the band containing its frequency; text payloads keep the
+    md5 stub (ladder unchanged)."""
+    import numpy as np
+
+    from pydala2_spark.operators.multimodal import (
+        _fake_embedding,
+        encode_wav_pcm16,
+        extract_audio_features,
+    )
+
+    rate, f = 8000, 1200
+    s = (np.sin(2 * np.pi * f * np.arange(rate) / rate) * 20000).astype(np.int16)
+    text = b"no samples here"
+    df = spark.createDataFrame(
+        [(0, encode_wav_pcm16(s, rate)), (1, text)], "id long, blob binary"
+    )
+    got = {
+        r["id"]: r for r in extract_audio_features(df, "blob", ["id"], n_mfcc=13).collect()
+    }
+    bands = got[0]["mfcc"]
+    assert int(np.argmax(bands)) == int(f / ((rate / 2) / 13))
+    assert got[0]["sample_rate"] == rate and got[0]["duration_ms"] == 1000
+    stub = [round(x, 4) for x in _fake_embedding(text, 13)]
+    assert [round(x, 4) for x in got[1]["mfcc"]] == stub
+
+
+def test_resize_images_emit_payload_real(spark):
+    """emit_payload=True: the resized payload is a REAL decodable BMP
+    whose pixels are the nearest-neighbor sample of the source."""
+    import numpy as np
+
+    from pydala2_spark.operators.multimodal import (
+        decode_image_pixels,
+        encode_bmp,
+        resize_images,
+    )
+
+    big = np.zeros((64, 32, 3), np.uint8)
+    big[:, :, 0] = np.arange(32, dtype=np.uint8)[None, :] * 8  # column ramp
+    df = spark.createDataFrame(
+        [(0, encode_bmp(big)), (1, b"opaque text payload")], "id long, blob binary"
+    )
+    got = {
+        r["id"]: r
+        for r in resize_images(df, "blob", ["id"], max_side=16, emit_payload=True).collect()
+    }
+    r = got[0]
+    assert (r["width"], r["height"], r["resized_width"], r["resized_height"]) == (
+        32,
+        64,
+        8,
+        16,
+    )
+    small = decode_image_pixels(bytes(r["resized_payload"]))
+    assert small.shape == (16, 8, 3)
+    # nearest-neighbor: output column j samples source column j*32//8
+    expect = (np.arange(8) * 32 // 8 * 8).astype(np.uint8)
+    assert np.array_equal(small[0, :, 0], expect)
+    assert got[1]["resized_payload"] is None and got[1]["resized_width"] > 0
+    # stub path (default) unchanged: no payload column
+    assert "resized_payload" not in resize_images(df, "blob", ["id"]).columns
