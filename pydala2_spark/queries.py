@@ -2400,6 +2400,123 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(docs, "blob", passthrough=["doc_id"], n_frames=4)
 
 
+@query(
+    "mm_image_real_decode",
+    """
+    WITH px AS (
+      SELECT doc_id,
+             8 + doc_id % 5 AS w,
+             8 + doc_id % 7 AS h,
+             flatten(list_transform(range(0, 8 + doc_id % 7), y ->
+               list_transform(range(0, 8 + doc_id % 5), x ->
+                 (x * 7 + y * 11 + doc_id) % 256))) AS vals
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(3 * list_sum(vals) AS BIGINT) AS px_sum,
+           CAST(list_min(vals) AS INTEGER) AS px_min,
+           CAST(list_max(vals) AS INTEGER) AS px_max,
+           CAST(doc_id % 256 AS INTEGER) AS px_topleft
+    FROM px
+    """,
+)
+def mm_image_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL end-to-end image decode — no stub anywhere in the path:
+    synthesize a 24-bit BMP per document (gradient derived from
+    doc_id), decode its ACTUAL pixel bytes
+    (`operators/multimodal.decode_image_pixels` — 4-byte row padding,
+    bottom-up row order, BGR→RGB all load-bearing), and emit exact
+    integer pixel statistics the oracle computes analytically from the
+    same gradient formula. ``px_topleft`` pins orientation: a decoder
+    that forgets BMP's bottom-up storage reports v(0, H-1) instead.
+
+    At 100 TB: synthesis stands in for the corpus's stored payloads —
+    the decode/stats stage is one Arrow-batched pass, no shuffle, and
+    only the (small) stats columns survive the stage."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from pydala2_spark.operators.multimodal import encode_bmp, image_pixel_stats
+
+    @pandas_udf("binary")
+    def synth(doc_id):
+        out = []
+        for d in doc_id:
+            d = int(d)
+            w, h = 8 + d % 5, 8 + d % 7
+            v = (np.arange(w)[None, :] * 7 + np.arange(h)[:, None] * 11 + d) % 256
+            out.append(encode_bmp(np.repeat(v[:, :, None], 3, axis=2).astype(np.uint8)))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").withColumn(
+        "img", synth("doc_id")
+    )
+    return image_pixel_stats(docs, "img", ["doc_id"])
+
+
+@query(
+    "mm_audio_real_features",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             8000 + (doc_id % 5) * 1000 AS rate,
+             list_transform(range(0, 64 + doc_id % 64), i ->
+               (i * 73 + doc_id * 97) % 65536 - 32768) AS smp
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(rate AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(len(smp) AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(smp, v -> abs(v))) AS BIGINT) AS abs_sum,
+           CAST(list_min(smp) AS INTEGER) AS s_min,
+           CAST(list_max(smp) AS INTEGER) AS s_max,
+           CAST(len(list_filter(range(1, len(smp)), j ->
+             smp[j] * smp[j + 1] < 0)) AS BIGINT) AS zero_crossings
+    FROM s
+    """,
+)
+def mm_audio_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL end-to-end audio decode: synthesize a 16-bit PCM WAV per
+    document (deterministic integer waveform from doc_id), decode its
+    ACTUAL samples (`operators/multimodal.decode_wav_samples` — RIFF
+    chunk walk + little-endian int16 frames), and emit exact integer
+    sample statistics (abs-amplitude sum, min/max, strict
+    zero-crossings) the oracle recomputes from the waveform formula.
+    Integer aggregates keep the comparison bit-exact — no float
+    summation-order hazard.
+
+    Same 100 TB shape as the image path: one Arrow-batched scan stage,
+    payloads never cross a shuffle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from pydala2_spark.operators.multimodal import audio_pcm_stats, encode_wav_pcm16
+
+    @pandas_udf("binary")
+    def synth(doc_id):
+        out = []
+        for d in doc_id:
+            d = int(d)
+            n = 64 + d % 64
+            s = ((np.arange(n, dtype=np.int64) * 73 + d * 97) % 65536 - 32768).astype(
+                np.int16
+            )
+            out.append(encode_wav_pcm16(s, 8000 + (d % 5) * 1000))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").withColumn(
+        "wav", synth("doc_id")
+    )
+    return audio_pcm_stats(docs, "wav", ["doc_id"])
+
+
 # =====================================================================
 # Similarity search
 # =====================================================================
@@ -3200,6 +3317,55 @@ def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         val_fraction=0.05,
         salt="exp1",
     ).select("doc_id", "lang", "split")
+
+
+@query(
+    "hive_partitioned_scan",
+    """
+    WITH s AS (
+      SELECT doc_id, source, n_chars, lang,
+             CASE WHEN ('0x' || substr(md5('split:exp1' || CAST(doc_id AS VARCHAR)),
+                        1, 8))::BIGINT % 1000000 < 100000 THEN 'test'
+                  WHEN ('0x' || substr(md5('split:exp1' || CAST(doc_id AS VARCHAR)),
+                        1, 8))::BIGINT % 1000000 < 150000 THEN 'val'
+                  ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, split, lang
+    FROM s WHERE split = 'train' AND lang = 'en'
+    """,
+)
+def hive_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned WRITE → partition-pruned READ round-trip, the
+    layout every production corpus lands in: assign the deterministic
+    train/val/test split, write ``partitionBy(split, lang)`` through
+    the package Writer, read back through the package Dataset with a
+    partition predicate. The oracle recomputes the expected rows
+    directly from the source table (same md5 split coin), so the
+    round-trip must preserve every value AND the partition columns
+    must rehydrate from directory names.
+
+    At 100 TB the predicate never touches data: both conjuncts are
+    partition columns, so Catalyst prunes to the matching directories
+    at planning time (`PartitionFilters` — plan-asserted in
+    tests/test_verbs_plans.py) and the scan reads only ``train/en``
+    files."""
+    import hashlib
+
+    from pydala2_spark.operators.curate import train_test_split
+    from pydala2_spark.sources.dataset import Dataset
+    from pydala2_spark.sources.writer import Writer
+
+    docs = _t(spark, sf_dir, "documents")
+    split = train_test_split(
+        docs, test_fraction=0.1, val_fraction=0.05, salt="exp1"
+    ).select("doc_id", "source", "n_chars", "split", "lang")
+    path = "/tmp/pydala2_spark_hive/" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    Writer(spark, path).write(split, mode="overwrite", partition_by=["split", "lang"])
+    ds = Dataset(path, spark=spark, partitioning=["split", "lang"])
+    return ds.filter("split = 'train' AND lang = 'en'").select(
+        "doc_id", "source", "n_chars", "split", "lang"
+    )
 
 
 @query(

@@ -223,3 +223,33 @@ def test_salted_join_streams_fact_side(spark, sf_dir):
     plan = _plan(queries()["skew_salted_join_agg"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "BuildRight" in plan and "BuildLeft" not in plan
+
+
+def test_hive_partition_predicate_prunes_at_plan_time(spark, tmp_path):
+    """A predicate on hive partition columns must land in the scan's
+    PartitionFilters (directory pruning at planning time — zero data
+    touched for excluded partitions), not just PushedFilters."""
+    import re
+
+    from pydala2_spark.sources.dataset import Dataset
+    from pydala2_spark.sources.writer import Writer
+
+    path = str(tmp_path / "hive_ds")
+    df = spark.range(200).selectExpr(
+        "id",
+        "CASE WHEN id % 10 < 8 THEN 'train' WHEN id % 10 < 9 THEN 'val' "
+        "ELSE 'test' END AS split",
+        "CASE WHEN id % 3 = 0 THEN 'en' ELSE 'de' END AS lang",
+    )
+    Writer(spark, path).write(df, mode="overwrite", partition_by=["split", "lang"])
+    out = Dataset(path, spark=spark, partitioning=["split", "lang"]).filter(
+        "split = 'train' AND lang = 'en'"
+    )
+    plan = _plan(out)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "split" in m.group(1) and "lang" in m.group(1), m.group(1)
+    # and the values round-trip: only the matching partition's rows
+    rows = out.collect()
+    assert rows and all(r["split"] == "train" and r["lang"] == "en" for r in rows)
+    assert len(rows) == sum(1 for i in range(200) if i % 10 < 8 and i % 3 == 0)
