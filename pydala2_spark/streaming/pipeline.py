@@ -475,6 +475,7 @@ def curate_stream(
     min_quality: float = 0.3,
     jaccard_threshold: float = 0.5,
     text: str = "text",
+    max_files_per_trigger: int | None = None,
 ) -> dict:
     """Streaming corpus curation — the batch curation gates applied AT
     INGEST: each microbatch of documents passes the quality floor,
@@ -530,7 +531,13 @@ def curate_stream(
             f"index at {index_path!r} keys on {id_col!r}, which the "
             f"source documents do not carry (columns: {schema.names})"
         )
-    docs = spark.readStream.schema(schema).parquet(source_path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # ingest batch sizing: bounds per-microbatch memory and makes
+        # the availableNow drain process in multiple batches (the
+        # continuous-ingest shape) instead of one corpus-sized batch
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    docs = reader.parquet(source_path)
     cp_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
     counters = {"batches": 0, "ingested": 0, "screened": 0}
 

@@ -239,6 +239,60 @@ def main():
 
         out.setdefault("semantic_dedup_srp", {})[label] = timed(run, reps=1)
 
+    # cross-doc boilerplate removal: segment doc-frequency agg + the
+    # ordinal join-back — only md5 segment keys + int ordinals cross
+    # the shuffle, text stays in the scan stage. Expect ~linear.
+    from pydala2_spark.operators.dedup import remove_boilerplate_segments
+
+    for label, d in (dirs.items() if want("boilerplate") else ()):
+        out.setdefault("boilerplate_removal", {})[label] = timed(
+            lambda d=d: remove_boilerplate_segments(
+                spark.read.parquet(d)
+            ).count(),
+            reps=2,  # min-of-2: first-rep JIT/codegen warmup otherwise
+            # dominates the 1x label and fakes a sublinear ratio
+        )
+
+    # streaming curation gate: seed an EMPTY signature index, then
+    # drain the corpus through curate_stream (per-batch quality floor +
+    # exact dedup + MinHash screen vs the growing index + id-scale
+    # anti-joins). The per-batch cost is O(batch) hashing plus joins
+    # against the index built so far — expect ~linear in rows ingested.
+    from pydala2_spark.operators.dedup import build_minhash_index
+    from pydala2_spark.streaming.pipeline import curate_stream
+
+    for label in (("1x", "big") if want("curate_stream") else ()):
+        d = f"{ROOT}/docs_{label}"
+        idx = f"{ROOT}/curidx_{label}"
+        # fresh scratch state: a leftover checkpoint from an earlier
+        # invocation would make the drain a no-op replay
+        for scratch in (idx, f"{ROOT}/curtgt_{label}", f"{ROOT}/curck_{label}"):
+            if os.path.isdir(scratch):
+                shutil.rmtree(scratch)
+        # small non-empty seed (an empty seed writes no signature
+        # parquet for the stream's first read to infer a schema from)
+        build_minhash_index(spark, spark.read.parquet(d).limit(50), idx)
+        # constant batch COUNT across scales (4 availableNow batches):
+        # each batch is FACTOR× bigger at big, so the ratio reads as
+        # per-batch work scaling (hashing + index screen + anti-joins)
+        # with the index growing batch over batch — the continuous-
+        # ingest shape, not one corpus-sized batch whose fixed stream
+        # overhead hides the work.
+        n_files = len(
+            [f for f in os.listdir(d) if f.endswith(".parquet")]
+        )
+        out.setdefault("curate_stream", {})[label] = timed(
+            lambda d=d, i=idx, l=label, nf=n_files: curate_stream(
+                spark,
+                d,
+                f"{ROOT}/curtgt_{l}",
+                i,
+                f"{ROOT}/curck_{l}",
+                max_files_per_trigger=max(1, nf // 4),
+            ),
+            reps=1,
+        )
+
     print(f"{'op':24s} {'1x':>7s} {'x' + str(FACTOR):>7s} {'ratio':>7s}")
     for op, t in out.items():
         ratio = t["big"] / t["1x"]
