@@ -48,7 +48,11 @@ from pydala2_spark.operators.similarity import (
     pq_topk,
     pq_train,
 )
-from pydala2_spark.plans.snapshots import SnapshotDataset
+from pydala2_spark.plans.snapshots import (
+    SnapshotDataset,
+    UnsafeCommitError,
+    s3_conditional_put_publisher,
+)
 from pydala2_spark.plans.analyze import analyze_dataset
 from pydala2_spark.plans.stats import (
     StatsIndex,
@@ -57,9 +61,19 @@ from pydala2_spark.plans.stats import (
     export_legacy_file_metadata,
     import_legacy_file_metadata,
     refresh_ndv_sketches,
+    register_scheme_filesystem,
+    unregister_scheme_filesystem,
 )
 from pydala2_spark.operators.dedup import semantic_dedup
 from pydala2_spark.operators.curate import train_test_split, unigram_logprob_scores
+from pydala2_spark.operators.multimodal import (
+    audio_pcm_stats,
+    decode_image_pixels,
+    decode_wav_samples,
+    encode_bmp,
+    encode_wav_pcm16,
+    image_pixel_stats,
+)
 from pydala2_spark.streaming.pipeline import curate_stream
 
 __all__ = [
@@ -103,6 +117,16 @@ __all__ = [
     "train_test_split",
     "unigram_logprob_scores",
     "curate_stream",
+    "UnsafeCommitError",
+    "s3_conditional_put_publisher",
+    "register_scheme_filesystem",
+    "unregister_scheme_filesystem",
+    "image_pixel_stats",
+    "audio_pcm_stats",
+    "decode_image_pixels",
+    "encode_bmp",
+    "decode_wav_samples",
+    "encode_wav_pcm16",
 ]
 
 __version__ = "0.1.0"

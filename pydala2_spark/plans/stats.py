@@ -85,7 +85,7 @@ def _stat_value(v) -> str | None:
         return json.dumps(str(v))
 
 
-def _pa_fs(path: str):
+def _pa_fs(path: str, registry: dict | None = None):
     """``(pyarrow.fs.FileSystem, fs-internal path)`` for any URI scheme
     the engine supports — executor-safe (pure pyarrow, no JVM gateway).
 
@@ -93,14 +93,45 @@ def _pa_fs(path: str):
     pyarrow's ``from_uri`` wants ``file:///x``; ``s3a://`` is Hadoop's
     S3 connector name for what pyarrow calls ``s3://`` (credentials
     resolve from the environment/instance profile on the executors).
-    Scheme-less paths go straight to LocalFileSystem."""
+    Scheme-less paths go straight to LocalFileSystem. ``registry``
+    (default: the process-global :func:`register_scheme_filesystem`
+    table) is the explicit-filesystem override, passed BY VALUE into
+    executor closures by the distributed footer scans."""
     from pyarrow import fs as pafs
 
     p = _normalize_uri(path)
     if "://" not in p:
         return pafs.LocalFileSystem(), os.path.abspath(p)
+    scheme = p.split("://", 1)[0].lower()
+    reg = _SCHEME_FILESYSTEMS if registry is None else registry
+    fs = reg.get(scheme)
+    if fs is not None:
+        return fs, p.split("://", 1)[1]
     filesystem, inner = pafs.FileSystem.from_uri(p)
     return filesystem, inner
+
+
+# scheme (lower-case) -> explicitly constructed pyarrow FileSystem.
+# Consulted BEFORE FileSystem.from_uri, so deployments can route a
+# scheme through an endpoint-configured filesystem (MinIO-style S3
+# endpoints, credentialed HDFS, test doubles) instead of from_uri's
+# environment defaults.
+_SCHEME_FILESYSTEMS: dict = {}
+
+
+def register_scheme_filesystem(scheme: str, filesystem) -> None:
+    """Route footer/sidecar I/O for ``scheme://`` URIs through an
+    explicitly constructed ``pyarrow.fs.FileSystem``.
+
+    The filesystem must be PICKLABLE (pyarrow filesystems are): footer
+    scans run on the EXECUTORS, and each scan captures the registry by
+    value into its closure — a registration made after a scan's
+    closure was built does not retroactively apply to it."""
+    _SCHEME_FILESYSTEMS[scheme.lower()] = filesystem
+
+
+def unregister_scheme_filesystem(scheme: str) -> None:
+    _SCHEME_FILESYSTEMS.pop(scheme.lower(), None)
 
 
 def _normalize_uri(path: str) -> str:
@@ -122,12 +153,12 @@ def _normalize_uri(path: str) -> str:
     return _re.sub(r"^s3a://", "s3://", p)
 
 
-def _read_footer(path: str):
+def _read_footer(path: str, registry: dict | None = None):
     """``(FileMetaData, size_bytes)`` of one parquet file on ANY
     supported filesystem — footer pages only, no data read."""
     import pyarrow.parquet as pq
 
-    filesystem, inner = _pa_fs(path)
+    filesystem, inner = _pa_fs(path, registry)
     info = filesystem.get_file_info(inner)
     if info.size is None:
         raise FileNotFoundError(f"no parquet file at {path!r} (resolved to {inner!r})")
@@ -137,10 +168,10 @@ def _read_footer(path: str):
     return md, size
 
 
-def _read_footers(base: str, paths: Iterable[str]):
+def _read_footers(base: str, paths: Iterable[str], registry: dict | None = None):
     """Executor-side: read parquet footers only (no data pages)."""
     for p in paths:
-        md, size = _read_footer(p)
+        md, size = _read_footer(p, registry)
         col_stats: dict[str, dict] = {}
         arrow_schema = md.schema.to_arrow_schema()
         for rg in range(md.num_row_groups):
@@ -190,7 +221,10 @@ def collect_file_stats(
     base = path if "://" in path else "file:" + os.path.abspath(path.removeprefix("file:"))
     n = parallelism or min(len(files), spark.sparkContext.defaultParallelism)
     rdd = spark.sparkContext.parallelize(files, n).mapPartitions(
-        lambda it, b=base: _read_footers(b, it)
+        # registry captured BY VALUE: executors re-import this module
+        # with an empty global table, so the driver's registrations
+        # must ride in the closure
+        lambda it, b=base, reg=dict(_SCHEME_FILESYSTEMS): _read_footers(b, it, reg)
     )
     return spark.createDataFrame(rdd, STATS_SCHEMA)
 
@@ -299,7 +333,9 @@ class StatsIndex:
         if added:
             n = min(len(added), self.spark.sparkContext.defaultParallelism)
             rdd = self.spark.sparkContext.parallelize(added, n).mapPartitions(
-                lambda it, b=base: _read_footers(b, it)
+                lambda it, b=base, reg=dict(_SCHEME_FILESYSTEMS): _read_footers(
+                    b, it, reg
+                )
             )
             parts.append(self.spark.createDataFrame(rdd, STATS_SCHEMA))
         new_index = parts[0] if parts else self.spark.createDataFrame([], STATS_SCHEMA)
@@ -476,13 +512,15 @@ def export_legacy_file_metadata(
     files = list_files(spark, path, suffixes=(".parquet",))
     base = schemeless(qualified(spark, path)).rstrip("/")
 
+    reg = dict(_SCHEME_FILESYSTEMS)  # by value: closure ships to executors
+
     def _blobs(paths):
         import base64 as _b64
 
         import pyarrow as pa
 
         for p in paths:
-            md, _size = _read_footer(p)
+            md, _size = _read_footer(p, reg)
             sink = pa.BufferOutputStream()
             md.write_metadata_file(sink)
             yield (

@@ -117,6 +117,60 @@ def test_footer_scan_is_filesystem_agnostic(spark, tmp_ds_path):
     assert _normalize_uri("file:///x/y") == "file:///x/y"
 
 
+def test_footer_build_and_prune_over_registered_scheme(spark, tmp_ds_path):
+    """Sidecar build + probe over a NON-local URI scheme: a registered
+    pyarrow filesystem (the endpoint-configured-object-store injection
+    point) carries the distributed footer scan — the registry must
+    ship BY VALUE into the executor closures, because workers
+    re-import the module with an empty global table. The probe then
+    prunes on the mock-scheme stats exactly as it would locally."""
+    import os as _os
+
+    import pyarrow.fs as pafs
+
+    from pydala2_spark.plans.fs import list_files, schemeless
+    from pydala2_spark.plans.stats import (
+        _read_footer,
+        collect_file_stats,
+        prune_files,
+        register_scheme_filesystem,
+        unregister_scheme_filesystem,
+    )
+
+    _write_fragmented(spark, tmp_ds_path, n_batches=3, rows=40)
+    root = schemeless(tmp_ds_path if "://" in tmp_ds_path else _os.path.abspath(tmp_ds_path))
+    register_scheme_filesystem(
+        "mockfs", pafs.SubTreeFileSystem(root, pafs.LocalFileSystem())
+    )
+    try:
+        rels = [
+            schemeless(f)[len(root):].lstrip("/")
+            for f in list_files(spark, tmp_ds_path, suffixes=(".parquet",))
+        ]
+        uris = [f"mockfs://{r}" for r in sorted(rels)]
+        assert len(uris) == 3
+        # single-footer read resolves through the registered filesystem
+        md, size = _read_footer(uris[0])
+        assert md.num_rows == 40 and size > 0
+        # BUILD: distributed footer scan entirely over the mock scheme
+        stats = collect_file_stats(spark, "mockfs://", files=uris)
+        rows = {r["file_path"]: r for r in stats.collect()}
+        assert set(rows) == set(uris)
+        assert all(r["num_rows"] == 40 for r in rows.values())
+        # PROBE: id ranges are [0,40) [40,80) [80,120) per batch — a
+        # lo=100 probe must keep exactly the file(s) whose max reaches it
+        keep = prune_files(stats, "id", lo=100)
+        assert keep and all(k.startswith("mockfs://") for k in keep)
+        kept_max = [rows[k]["column_stats"]["id"]["max"] for k in keep]
+        assert all(float(m) >= 100 for m in kept_max)
+        assert len(keep) < len(uris)  # something actually pruned
+    finally:
+        unregister_scheme_filesystem("mockfs")
+    # after unregistration the scheme is unknown again
+    with pytest.raises(Exception):
+        _read_footer("mockfs://whatever.parquet")
+
+
 def test_stats_index_on_uri_path(spark, tmp_ds_path):
     """StatsIndex / collect_file_stats over a ``file:///``-qualified
     dataset path (the non-local code path, exercised with the local
