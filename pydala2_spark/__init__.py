@@ -69,8 +69,10 @@ from pydala2_spark.operators.curate import train_test_split, unigram_logprob_sco
 from pydala2_spark.operators.multimodal import (
     audio_pcm_stats,
     decode_image_pixels,
+    decode_png_pixels,
     decode_wav_samples,
     encode_bmp,
+    encode_png,
     encode_wav_pcm16,
     image_pixel_stats,
 )
@@ -124,7 +126,9 @@ __all__ = [
     "image_pixel_stats",
     "audio_pcm_stats",
     "decode_image_pixels",
+    "decode_png_pixels",
     "encode_bmp",
+    "encode_png",
     "decode_wav_samples",
     "encode_wav_pcm16",
 ]

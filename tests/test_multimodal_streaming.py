@@ -847,3 +847,122 @@ def test_resize_images_emit_payload_real(spark):
     assert got[1]["resized_payload"] is None and got[1]["resized_width"] > 0
     # stub path (default) unchanged: no payload column
     assert "resized_payload" not in resize_images(df, "blob", ["id"]).columns
+
+
+def _fwd_filter_png(a, ftype):
+    """Forward-apply one PNG filter type per scanline and wrap in real
+    chunks — the encoder side the spec defines, so decode must invert."""
+    import zlib
+
+    import numpy as np
+
+    h, w, nch = a.shape
+    stride = w * nch
+    flat = a.reshape(h, stride).astype(np.int32)
+    rows, prev = [], np.zeros(stride, np.int32)
+    for y in range(h):
+        cur = flat[y]
+        filt = np.zeros(stride, np.int32)
+        for x in range(stride):
+            left = cur[x - nch] if x >= nch else 0
+            up = prev[x]
+            ul = prev[x - nch] if x >= nch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            filt[x] = (cur[x] - pred) & 0xFF
+        rows.append(bytes([ftype]) + bytes(filt.astype(np.uint8)))
+        prev = cur
+
+    def chunk(cid, data):
+        return (
+            len(data).to_bytes(4, "big")
+            + cid
+            + data
+            + (zlib.crc32(cid + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, {1: 0, 2: 4, 3: 2, 4: 6}[nch], 0, 0, 0])
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filters_palette_and_rejects():
+    """Real PNG decode: every filter type (None/Sub/Up/Average/Paeth)
+    inverts exactly; palette expands through PLTE; 16-bit, Adam7, and
+    truncated streams fall back to None."""
+    import zlib
+
+    import numpy as np
+
+    from pydala2_spark.operators.multimodal import (
+        decode_image_pixels,
+        decode_png_pixels,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(3)
+    for nch in (1, 2, 3, 4):
+        a = rng.integers(0, 256, (9, 7, nch), dtype=np.uint8)
+        assert np.array_equal(decode_png_pixels(encode_png(a)), a), nch
+    a = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    for ft in range(5):
+        assert np.array_equal(decode_png_pixels(_fwd_filter_png(a, ft)), a), ft
+    # palette: indexes expand to RGB through PLTE
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (4, 5), dtype=np.uint8)
+
+    def chunk(cid, data):
+        return (
+            len(data).to_bytes(4, "big")
+            + cid
+            + data
+            + (zlib.crc32(cid + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (5).to_bytes(4, "big") + (4).to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+    scan = b"".join(b"\x00" + idx[y].tobytes() for y in range(4))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_image_pixels(png), pal[idx])
+    # rejects: interlaced, 16-bit, truncated, out-of-range palette index
+    bad = bytearray(encode_png(a))
+    bad[28] = 1  # interlace flag inside IHDR data
+    assert decode_png_pixels(bytes(bad)) is None
+    bad = bytearray(encode_png(a))
+    bad[24] = 16  # bit depth
+    assert decode_png_pixels(bytes(bad)) is None
+    assert decode_png_pixels(encode_png(a)[:40]) is None
+    short_pal = png.replace(chunk(b"PLTE", pal.tobytes()), chunk(b"PLTE", pal.tobytes()[:9]))
+    assert decode_png_pixels(short_pal) is None
+    # fuzz: total over random bytes with a real PNG signature
+    import random
+
+    r = random.Random(7)
+    for _ in range(200):
+        blob = b"\x89PNG\r\n\x1a\n" + bytes(
+            r.getrandbits(8) for _ in range(r.randrange(0, 150))
+        )
+        decode_png_pixels(blob)
