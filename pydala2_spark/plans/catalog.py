@@ -150,8 +150,20 @@ class Catalog:
         self.path = path
         self._config: dict[str, Any] = {"tables": {}, "filesystems": {}}
         self._applied_fs: set[str] = set()
+        # atomic create-if-absent hook handed to every snapshot table
+        # this catalog loads (plans/snapshots.py commit_publisher) —
+        # REQUIRED before committing to snapshot tables on object-store
+        # schemes, where rename is not an atomic lock
+        self.commit_publisher = None
         if os.path.exists(path):
             self._load_yaml()
+
+    def set_commit_publisher(self, publisher) -> "Catalog":
+        """Install the manifest-publish hook (e.g.
+        ``snapshots.s3_conditional_put_publisher()``) used by every
+        snapshot table loaded through this catalog. Returns self."""
+        self.commit_publisher = publisher
+        return self
 
     # -- persistence -----------------------------------------------------
 
@@ -413,7 +425,9 @@ class Catalog:
             # scheme rewrite like any other entry.
             from pydala2_spark.plans.snapshots import SnapshotDataset
 
-            snap = SnapshotDataset(self.spark, path)
+            snap = SnapshotDataset(
+                self.spark, path, commit_publisher=self.commit_publisher
+            )
             return snap if as_dataset else snap.read(entry.get("version"))
         cls = {"parquet": ParquetDataset, "csv": CSVDataset, "json": JSONDataset}.get(
             entry.get("format", "parquet"), ParquetDataset

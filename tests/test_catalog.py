@@ -182,6 +182,24 @@ def test_catalog_snapshot_table_version_pinning(spark, tmp_path, catalog):
     assert reloaded.sql("SELECT count(*) AS n FROM snap").first()["n"] == 10
 
 
+def test_catalog_hands_commit_publisher_to_snapshot_tables(spark, tmp_path, catalog):
+    """set_commit_publisher installs the object-store commit hook on
+    every snapshot table the catalog loads — the one-line config a
+    100 TB-on-S3 deployment needs (callables can't live in the YAML)."""
+    from pydala2_spark.plans.snapshots import SnapshotDataset
+
+    p = str(tmp_path / "snapds_pub")
+    SnapshotDataset(spark, p).commit(spark.range(3).selectExpr("id"))
+    catalog.create_table("ns.snappub", p, snapshot=True)
+    assert catalog.load("ns.snappub").commit_publisher is None
+
+    def pub(uri, payload):  # pragma: no cover - identity only
+        raise AssertionError("not called in this test")
+
+    assert catalog.set_commit_publisher(pub) is catalog
+    assert catalog.load("ns.snappub").commit_publisher is pub
+
+
 def test_catalog_snapshot_table_full_surface(spark, tmp_path, catalog):
     """files()/schema()/write_table() must work for snapshot tables,
     not just load/register/sql."""
