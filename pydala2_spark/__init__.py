@@ -68,10 +68,12 @@ from pydala2_spark.operators.dedup import semantic_dedup
 from pydala2_spark.operators.curate import train_test_split, unigram_logprob_scores
 from pydala2_spark.operators.multimodal import (
     audio_pcm_stats,
+    decode_gif_pixels,
     decode_image_pixels,
     decode_png_pixels,
     decode_wav_samples,
     encode_bmp,
+    encode_gif,
     encode_png,
     encode_wav_pcm16,
     image_pixel_stats,
@@ -127,8 +129,10 @@ __all__ = [
     "audio_pcm_stats",
     "decode_image_pixels",
     "decode_png_pixels",
+    "decode_gif_pixels",
     "encode_bmp",
     "encode_png",
+    "encode_gif",
     "decode_wav_samples",
     "encode_wav_pcm16",
 ]

@@ -422,6 +422,198 @@ def decode_png_pixels(payload: bytes):
     return arr
 
 
+def _lzw_decode(min_code_size: int, data: bytes, expected: int):
+    """GIF-variant LZW decode (variable code width 3..12 bits,
+    LSB-first packing, CLEAR/EOI codes). Returns exactly ``expected``
+    index bytes, or None on a corrupt stream."""
+    if not (2 <= min_code_size <= 8):
+        return None
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = eoi + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, total_bits = 0, len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < expected:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        elif code in table:
+            entry = table[code]
+            if next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+        elif code == next_code and next_code < 4096:
+            entry = prev + prev[:1]
+            table[next_code] = entry
+            next_code += 1
+        else:
+            return None
+        out += entry
+        prev = entry
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return bytes(out[:expected]) if len(out) >= expected else None
+
+
+def decode_gif_pixels(payload: bytes):
+    """REAL GIF pixel decode — pure-Python LZW + palette expansion +
+    Adam-style 4-pass deinterlace; first image frame of GIF87a/89a.
+    Returns ``(H, W, 3) uint8`` or None (corrupt / truncated /
+    palette-less). With PNG, BMP, and netpbm this leaves JPEG as the
+    only image format whose pixels still need an external codec."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 14:
+        return None
+
+    def le16(i: int) -> int:
+        return int.from_bytes(payload[i : i + 2], "little")
+
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 7) + 1)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension block: label + data sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                return None
+            w, h = le16(pos + 5), le16(pos + 7)
+            ip = payload[pos + 9]
+            pos += 10
+            pal = gct
+            if ip & 0x80:
+                n = 2 ** ((ip & 7) + 1)
+                pal = payload[pos : pos + 3 * n]
+                pos += 3 * n
+            if pal is None or w <= 0 or h <= 0 or pos >= len(payload):
+                return None
+            if w * h > 64_000_000:
+                return None  # decompression-bomb guard
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(mcs, bytes(data), w * h)
+            if idx is None:
+                return None
+            grid = np.frombuffer(idx, np.uint8).reshape(h, w)
+            if ip & 0x40:  # interlaced: rows stored in 4 passes
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                de = np.empty_like(grid)
+                de[order] = grid
+                grid = de
+            pal_arr = np.frombuffer(pal, np.uint8)
+            pal_arr = pal_arr[: len(pal_arr) // 3 * 3].reshape(-1, 3)
+            if pal_arr.size == 0 or int(grid.max()) >= pal_arr.shape[0]:
+                return None
+            return pal_arr[grid]
+        else:  # trailer (0x3B) or garbage before any image frame
+            return None
+    return None
+
+
+def encode_gif(arr) -> bytes:
+    """Encode ``(H, W, 3) uint8`` (≤256 distinct colors) as a
+    single-frame GIF89a — the inverse of :func:`decode_gif_pixels`
+    (round-trip pinned by test). Emits literal LZW codes at the
+    decoder-tracked width (valid, unoptimized stream)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = np.repeat(a[:, :, None], 3, axis=2)
+    h, w, _ = a.shape
+    flat = a.reshape(-1, 3)
+    pal, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if pal.shape[0] > 256:
+        raise ValueError(f"encode_gif wants <=256 distinct colors, got {pal.shape[0]}")
+    depth = max(1, (int(pal.shape[0]) - 1).bit_length())
+    table_n = 1 << depth
+    gct = pal.tobytes() + b"\x00" * (3 * (table_n - pal.shape[0]))
+    mcs = max(2, depth)
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+
+    codes = bytearray()
+    acc = nbits = 0
+    code_size = mcs + 1
+    next_code = eoi + 1
+
+    def emit(c: int) -> None:
+        nonlocal acc, nbits
+        acc |= c << nbits
+        nbits += code_size
+        while nbits >= 8:
+            codes.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    first = True
+    for px in inverse.astype(int):
+        emit(int(px))
+        if first:
+            first = False
+        elif next_code < 4096:
+            next_code += 1  # mirror the decoder's table growth
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+    emit(eoi)
+    if nbits:
+        codes.append(acc & 0xFF)
+    sub = b"".join(
+        bytes([min(255, len(codes) - i)]) + bytes(codes[i : i + 255])
+        for i in range(0, len(codes), 255)
+    )
+    return (
+        b"GIF89a"
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([0x80 | (depth - 1), 0, 0])
+        + gct
+        + b"\x2c"
+        + b"\x00\x00\x00\x00"
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + b"\x00"
+        + bytes([mcs])
+        + sub
+        + b"\x00"
+        + b"\x3b"
+    )
+
+
 def encode_png(arr) -> bytes:
     """Encode ``(H, W, C) uint8`` (C in 1/2/3/4) as a non-interlaced
     8-bit PNG with filter-0 scanlines — the inverse of
@@ -463,10 +655,11 @@ def decode_image_pixels(payload: bytes):
     """REAL pixel decode: ``(H, W, C) uint8`` numpy array for
     dependency-free-decodable containers — BMP 24/32-bit BI_RGB
     (bottom-up and top-down, row padding honored, BGR→RGB), binary
-    netpbm P6/P5, and 8-bit non-interlaced PNG (stdlib zlib inflate +
-    scanline unfilter, :func:`decode_png_pixels`) — or None
-    (JPEG/GIF/16-bit/Adam7: the stub ladder until a codec library is
-    present)."""
+    netpbm P6/P5, 8-bit non-interlaced PNG (stdlib zlib inflate +
+    scanline unfilter, :func:`decode_png_pixels`), and GIF
+    (pure-Python LZW + palette + deinterlace,
+    :func:`decode_gif_pixels`) — or None (JPEG/16-bit/Adam7: the stub
+    ladder until a codec library is present)."""
     import numpy as np
 
     bmp = _parse_bmp_header(payload)
@@ -499,6 +692,8 @@ def decode_image_pixels(payload: bytes):
         )
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(payload)
     return None
 
 

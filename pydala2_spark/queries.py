@@ -2427,15 +2427,16 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_image_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL end-to-end image decode — no stub anywhere in the path:
     synthesize the SAME doc_id-derived gradient into a different
-    container per document (doc_id mod 3: 24-bit BMP / 8-bit PNG /
-    binary PPM) and decode the ACTUAL pixel bytes
+    container per document (doc_id mod 4: 24-bit BMP / 8-bit PNG /
+    binary PPM / GIF) and decode the ACTUAL pixel bytes
     (`operators/multimodal.decode_image_pixels` — BMP row padding +
     bottom-up order + BGR→RGB, PNG zlib inflate + scanline unfilter,
-    netpbm header tokenizer all load-bearing). The oracle computes the
-    expected integer statistics analytically from the gradient formula
-    alone — container-INVARIANT, so one oracle verifies all three
-    decoders. ``px_topleft`` pins orientation: a decoder that forgets
-    BMP's bottom-up storage reports v(0, H-1) instead.
+    netpbm header tokenizer, GIF LZW + palette all load-bearing). The
+    oracle computes the expected integer statistics analytically from
+    the gradient formula alone — container-INVARIANT, so one oracle
+    verifies all four decoders. ``px_topleft`` pins orientation: a
+    decoder that forgets BMP's bottom-up storage reports v(0, H-1)
+    instead.
 
     At 100 TB: synthesis stands in for the corpus's stored payloads —
     the decode/stats stage is one Arrow-batched pass, no shuffle, and
@@ -2446,6 +2447,7 @@ def mm_image_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pydala2_spark.operators.multimodal import (
         encode_bmp,
+        encode_gif,
         encode_png,
         image_pixel_stats,
     )
@@ -2458,12 +2460,14 @@ def mm_image_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             w, h = 8 + d % 5, 8 + d % 7
             v = (np.arange(w)[None, :] * 7 + np.arange(h)[:, None] * 11 + d) % 256
             arr = np.repeat(v[:, :, None], 3, axis=2).astype(np.uint8)
-            if d % 3 == 0:
+            if d % 4 == 0:
                 out.append(encode_bmp(arr))
-            elif d % 3 == 1:
+            elif d % 4 == 1:
                 out.append(encode_png(arr))
-            else:
+            elif d % 4 == 2:
                 out.append(f"P6\n{w} {h}\n255\n".encode("ascii") + arr.tobytes())
+            else:
+                out.append(encode_gif(arr))
         return pd.Series(out)
 
     docs = _t(spark, sf_dir, "documents").select("doc_id").withColumn(

@@ -966,3 +966,54 @@ def test_png_decode_all_filters_palette_and_rejects():
             r.getrandbits(8) for _ in range(r.randrange(0, 150))
         )
         decode_png_pixels(blob)
+
+
+def test_gif_decode_roundtrip_interlace_and_rejects():
+    """Real GIF decode: LZW inverts the encoder across palette sizes
+    (incl. the 256-color width-growth path), interlaced storage
+    deinterlaces, truncated/garbage streams return None."""
+    import numpy as np
+
+    from pydala2_spark.operators.multimodal import (
+        decode_gif_pixels,
+        decode_image_pixels,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(5)
+    ramp = np.repeat(
+        np.arange(256, dtype=np.uint8).reshape(16, 16)[:, :, None], 3, axis=2
+    )
+    assert np.array_equal(decode_gif_pixels(encode_gif(ramp)), ramp)
+    for shape in [(1, 1), (3, 5), (40, 33), (7, 130)]:
+        vals = rng.integers(0, 4, shape, dtype=np.uint8) * 80
+        arr = np.stack([vals, vals // 2, 255 - vals], axis=2).astype(np.uint8)
+        assert np.array_equal(decode_image_pixels(encode_gif(arr)), arr), shape
+    # interlaced: encode the rows in GIF pass order, flip the interlace
+    # bit — decode must hand back the logical row order
+    h = 11
+    arr = np.repeat(
+        (np.arange(h, dtype=np.uint8) * 20)[:, None, None], 3, axis=2
+    ).repeat(4, axis=1)
+    order = (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+    p = bytearray(encode_gif(arr[order]))
+    desc = bytes(p).find(b"\x2c")
+    p[desc + 9] |= 0x40  # image-descriptor interlace flag
+    assert np.array_equal(decode_gif_pixels(bytes(p)), arr)
+    # rejects + fuzz totality
+    assert decode_gif_pixels(encode_gif(ramp)[:30]) is None
+    assert decode_gif_pixels(b"GIF89a" + b"\x01" * 20) is None
+    import random
+
+    r = random.Random(11)
+    for _ in range(300):
+        decode_gif_pixels(
+            b"GIF89a" + bytes(r.getrandbits(8) for _ in range(r.randrange(0, 150)))
+        )
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(rng.integers(0, 256, (40, 40, 3), dtype=np.uint8))
