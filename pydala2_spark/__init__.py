@@ -78,6 +78,7 @@ from pydala2_spark.operators.multimodal import (
     encode_wav_pcm16,
     image_pixel_stats,
 )
+from pydala2_spark.operators.jpeg import decode_jpeg_pixels, encode_jpeg
 from pydala2_spark.streaming.pipeline import curate_stream
 
 __all__ = [
@@ -135,6 +136,8 @@ __all__ = [
     "encode_gif",
     "decode_wav_samples",
     "encode_wav_pcm16",
+    "decode_jpeg_pixels",
+    "encode_jpeg",
 ]
 
 __version__ = "0.1.0"

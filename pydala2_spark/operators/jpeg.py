@@ -1,0 +1,527 @@
+"""Baseline JPEG codec — pure Python + numpy, no codec library.
+
+Completes the real-pixel decode ladder (`operators/multimodal.py`):
+BMP/netpbm are raw, PNG rides stdlib zlib, GIF is hand-rolled LZW, and
+JPEG — the one remaining common format — needs Huffman entropy coding
+plus the 8x8 DCT, both implementable with numpy alone.
+
+Decoder: baseline sequential DCT (SOF0), 8-bit, 1- or 3-component,
+any sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart
+markers, byte unstuffing, generic DHT tables. Progressive (SOF2),
+arithmetic coding, and 12-bit return None — the caller's stub ladder
+handles them honestly.
+
+Encoder: 4:4:4 quality-parameterized writer used as the decoder's
+round-trip partner in tests (JPEG is lossy, so the pin is bounded
+reconstruction error, tight for smooth images). It emits fixed
+8-bit-code Huffman tables — any prefix-free table is valid JPEG, and
+a generic table exercises the decoder's canonical-code machinery the
+way third-party encoders do.
+
+Reference analogue: none (pydala2 has no media surface). Public-spec
+implementation (ITU T.81 baseline process); no reference code
+consulted.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# zigzag scan order: index i of the scan holds block position ZIGZAG[i]
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+
+# orthonormal 8-point DCT-II basis: FDCT F = T @ f @ T.T, IDCT f = T.T @ F @ T
+_T = np.zeros((8, 8))
+for _k in range(8):
+    _a = np.sqrt(0.125) if _k == 0 else np.sqrt(0.25)
+    for _n in range(8):
+        _T[_k, _n] = _a * np.cos(np.pi * (2 * _n + 1) * _k / 16)
+
+# Annex-K luminance/chrominance quantization tables (quality 50 base)
+QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ]
+)
+QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ]
+)
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (base * s + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    unstuffing; surfaces restart markers to the MCU loop."""
+
+    def __init__(self, data: bytes, start: int):
+        self.data = data
+        self.pos = start
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None  # pending RSTn/EOI
+
+    def _fill(self) -> bool:
+        d = self.data
+        self.acc &= (1 << self.nbits) - 1  # trim consumed high bits
+        while self.nbits < 25:
+            if self.marker is not None or self.pos >= len(d):
+                return self.nbits > 0
+            b = d[self.pos]
+            if b == 0xFF:
+                if self.pos + 1 >= len(d):
+                    return self.nbits > 0
+                nxt = d[self.pos + 1]
+                if nxt == 0x00:
+                    self.pos += 2  # stuffed data byte
+                else:
+                    self.marker = nxt  # RSTn / EOI / next segment
+                    return self.nbits > 0
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+        return True
+
+    def bit(self) -> int | None:
+        if self.nbits == 0 and not self._fill():
+            return None
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int | None:
+        v = 0
+        for _ in range(n):
+            b = self.bit()
+            if b is None:
+                return None
+            v = (v << 1) | b
+        return v
+
+    def sync_restart(self) -> bool:
+        """Consume a pending RSTn marker and realign to a byte."""
+        self.acc = 0
+        self.nbits = 0
+        if self.marker is None:
+            # marker not yet seen: scan forward for it
+            d = self.data
+            while self.pos + 1 < len(d):
+                if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                    self.pos += 2
+                    return True
+                self.pos += 1
+            return False
+        if 0xD0 <= self.marker <= 0xD7:
+            self.pos += 2
+            self.marker = None
+            return True
+        return False
+
+
+def _build_huffman(bits: list[int], values: bytes) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman: {(code_length, code): symbol}."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if vi >= len(values):
+                return table
+            table[(length, code)] = values[vi]
+            vi += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(r: _BitReader, table) -> int | None:
+    code, length = 0, 0
+    while length < 16:
+        b = r.bit()
+        if b is None:
+            return None
+        code = (code << 1) | b
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    return None
+
+
+def _extend(v: int, size: int) -> int:
+    """DC/AC magnitude decode: T.81 F.2.2.1 EXTEND."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg_pixels(payload: bytes):
+    """``(H, W, 3) uint8`` RGB (or gray replicated) for a baseline
+    sequential JPEG, or None for progressive/arithmetic/12-bit/corrupt
+    streams. See module docstring."""
+    if payload[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    frame = None  # (h, w, components)
+    restart_interval = 0
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            return None  # EOI before scan
+        seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+        seg = payload[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:  # DQT: one or more tables
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                if pq != 0:
+                    return None  # 16-bit tables: not baseline-8
+                if j + 65 > len(seg):
+                    return None
+                qt[tq] = np.frombuffer(seg, np.uint8, 64, j + 1).astype(np.int32)
+                j += 65
+        elif marker == 0xC4:  # DHT: one or more tables
+            j = 0
+            while j + 17 <= len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                bits = list(seg[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = seg[j + 17 : j + 17 + nv]
+                if len(vals) < nv:
+                    return None
+                huff[(tc, th)] = _build_huffman(bits, vals)
+                j += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # baseline / extended seq
+            if len(seg) < 6 or seg[0] != 8:
+                return None
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            if nc not in (1, 3) or len(seg) < 6 + 3 * nc or not h or not w:
+                return None
+            if w * h > 64_000_000:
+                return None
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 15, "tq": tq})
+            if any(not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2) for c in comps):
+                return None
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # progressive / arithmetic / hierarchical
+        elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                return None
+            restart_interval = int.from_bytes(seg[:2], "big")
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if frame is None or len(seg) < 1:
+                return None
+            ns = seg[0]
+            h, w, comps = frame
+            if ns != len(comps) or len(seg) < 1 + 2 * ns:
+                return None
+            by_id = {c["id"]: c for c in comps}
+            scan = []
+            for s in range(ns):
+                cid, tabs = seg[1 + 2 * s], seg[2 + 2 * s]
+                c = by_id.get(cid)
+                if c is None:
+                    return None
+                c["dc"] = huff.get((0, tabs >> 4))
+                c["ac"] = huff.get((1, tabs & 15))
+                if c["dc"] is None or c["ac"] is None or c["tq"] not in qt:
+                    return None
+                scan.append(c)
+            return _decode_scan(
+                payload, i + 2 + seglen, h, w, scan, qt, restart_interval
+            )
+        i += 2 + seglen
+    return None
+
+
+def _decode_scan(payload, start, h, w, comps, qt, restart_interval):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for c in comps:
+        bw = mcus_x * c["h"]
+        bh = mcus_y * c["v"]
+        c["plane"] = np.zeros((bh * 8, bw * 8), np.float64)
+        c["pred"] = 0
+    r = _BitReader(payload, start)
+    Tt = _T.T
+    n_mcu = mcus_x * mcus_y
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            for c in comps:
+                c["pred"] = 0
+            if not r.sync_restart():
+                return None
+        my, mx = divmod(m, mcus_x)
+        for c in comps:
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    coeffs = np.zeros(64, np.int32)
+                    sym = _huff_decode(r, c["dc"])
+                    if sym is None:
+                        return None
+                    if sym:
+                        v = r.bits(sym)
+                        if v is None:
+                            return None
+                        c["pred"] += _extend(v, sym)
+                    coeffs[0] = c["pred"]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(r, c["ac"])
+                        if rs is None:
+                            return None
+                        run, size = rs >> 4, rs & 15
+                        if size == 0:
+                            if run == 15:
+                                k += 16  # ZRL
+                                continue
+                            break  # EOB
+                        k += run
+                        if k > 63:
+                            return None
+                        v = r.bits(size)
+                        if v is None:
+                            return None
+                        coeffs[k] = _extend(v, size)
+                        k += 1
+                    block = np.zeros(64, np.float64)
+                    block[ZIGZAG] = coeffs * qt[c["tq"]][np.arange(64)]
+                    px = Tt @ block.reshape(8, 8) @ _T + 128.0
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    c["plane"][y0 : y0 + 8, x0 : x0 + 8] = px
+    # upsample to full resolution and color-convert
+    planes = []
+    for c in comps:
+        p = c["plane"]
+        p = p.repeat(vmax // c["v"], axis=0).repeat(hmax // c["h"], axis=1)
+        planes.append(p[:h, :w])
+    if len(planes) == 1:
+        g = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=2
+    )
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# encoder (round-trip partner; 4:4:4, generic fixed-length Huffman tables)
+# ---------------------------------------------------------------------------
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-padding per spec
+
+    def restart(self, m: int) -> None:
+        self.flush()
+        self.out += bytes([0xFF, 0xD0 + (m % 8)])
+
+
+def _flat_table(symbols: list[int]):
+    """All-8-bit-code canonical table: (bits, values, {sym: (code, 8)}).
+    Valid JPEG as long as <256 symbols (and none maps to all-ones —
+    canonical assignment from 0 never reaches 0xFF for <=254 syms)."""
+    assert len(symbols) <= 254
+    bits = [0] * 16
+    bits[7] = len(symbols)
+    enc = {s: (i, 8) for i, s in enumerate(symbols)}
+    return bits, bytes(symbols), enc
+
+
+def encode_jpeg(arr, quality: int = 90, restart_interval: int = 0) -> bytes:
+    """Encode ``(H, W, 3) uint8`` RGB (or 2-D gray) as a baseline
+    4:4:4 JPEG. Lossy by nature — the decoder round-trip is pinned
+    within a quality-dependent error bound in tests.
+    ``restart_interval`` emits DRI + RSTn markers every N MCUs (the
+    error-resilience feature real encoders use; here it also pins the
+    decoder's restart resynchronization)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if gray:
+        a = a[:, :, None]
+    h, w = a.shape[:2]
+    nc = 1 if gray else 3
+    if not gray:
+        rf = a[:, :, 0].astype(np.float64)
+        gf = a[:, :, 1].astype(np.float64)
+        bf = a[:, :, 2].astype(np.float64)
+        planes = [
+            0.299 * rf + 0.587 * gf + 0.114 * bf,
+            -0.168736 * rf - 0.331264 * gf + 0.5 * bf + 128.0,
+            0.5 * rf - 0.418688 * gf - 0.081312 * bf + 128.0,
+        ]
+    else:
+        planes = [a[:, :, 0].astype(np.float64)]
+    ql = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
+    quants = [ql] + [qc] * (nc - 1)
+
+    dc_syms = list(range(12))
+    ac_syms = sorted({0x00, 0xF0} | {(run << 4) | size for run in range(16) for size in range(1, 11)})
+    dc_bits, dc_vals, dc_enc = _flat_table(dc_syms)
+    ac_bits, ac_vals, ac_enc = _flat_table(ac_syms)
+
+    bw_ = _BitWriter()
+    bh = -(-h // 8)
+    bwid = -(-w // 8)
+    pred = [0] * nc
+    mcu = 0
+    rst = 0
+    for by in range(bh):
+        for bx in range(bwid):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw_.restart(rst)
+                rst += 1
+                pred = [0] * nc
+            mcu += 1
+            for ci in range(nc):
+                p = planes[ci]
+                block = np.full((8, 8), p[min(by * 8, h - 1), min(bx * 8, w - 1)])
+                ys = min(8, h - by * 8)
+                xs = min(8, w - bx * 8)
+                block[:ys, :xs] = p[by * 8 : by * 8 + ys, bx * 8 : bx * 8 + xs]
+                # edge replication for partial blocks
+                if ys < 8:
+                    block[ys:, :xs] = block[ys - 1, :xs]
+                if xs < 8:
+                    block[:, xs:] = block[:, xs - 1 : xs]
+                F = _T @ (block - 128.0) @ _T.T
+                # quantize + emit in zigzag scan order (DQT is written
+                # in the same order, per spec)
+                zz = np.rint(F.reshape(64)[ZIGZAG] / quants[ci][ZIGZAG]).astype(
+                    np.int32
+                )
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                size = _category(diff)
+                code, ln = dc_enc[size]
+                bw_.write(code, ln)
+                if size:
+                    v = diff if diff >= 0 else diff + (1 << size) - 1
+                    bw_.write(v, size)
+                run = 0
+                last_nz = 63
+                while last_nz > 0 and zz[last_nz] == 0:
+                    last_nz -= 1
+                for k in range(1, last_nz + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c0, l0 = ac_enc[0xF0]
+                        bw_.write(c0, l0)
+                        run -= 16
+                    size = _category(v)
+                    code, ln = ac_enc[(run << 4) | size]
+                    bw_.write(code, ln)
+                    bw_.write(v if v >= 0 else v + (1 << size) - 1, size)
+                    run = 0
+                if last_nz < 63:
+                    c0, l0 = ac_enc[0x00]
+                    bw_.write(c0, l0)  # EOB
+    bw_.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    zz_l = ql[ZIGZAG].astype(np.uint8)
+    zz_c = qc[ZIGZAG].astype(np.uint8)
+    out = b"\xff\xd8"
+    out += seg(0xDB, b"\x00" + bytes(zz_l))
+    if nc == 3:
+        out += seg(0xDB, b"\x01" + bytes(zz_c))
+    sof = b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    out += seg(0xC4, b"\x00" + bytes(dc_bits) + dc_vals)
+    out += seg(0xC4, b"\x10" + bytes(ac_bits) + ac_vals)
+    if nc == 3:
+        out += seg(0xC4, b"\x01" + bytes(dc_bits) + dc_vals)
+        out += seg(0xC4, b"\x11" + bytes(ac_bits) + ac_vals)
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += bytes(bw_.out)
+    out += b"\xff\xd9"
+    return out

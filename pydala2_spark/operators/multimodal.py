@@ -652,14 +652,15 @@ def encode_png(arr) -> bytes:
 
 
 def decode_image_pixels(payload: bytes):
-    """REAL pixel decode: ``(H, W, C) uint8`` numpy array for
-    dependency-free-decodable containers — BMP 24/32-bit BI_RGB
+    """REAL pixel decode: ``(H, W, C) uint8`` numpy array for every
+    common image container, all dependency-free — BMP 24/32-bit BI_RGB
     (bottom-up and top-down, row padding honored, BGR→RGB), binary
     netpbm P6/P5, 8-bit non-interlaced PNG (stdlib zlib inflate +
-    scanline unfilter, :func:`decode_png_pixels`), and GIF
-    (pure-Python LZW + palette + deinterlace,
-    :func:`decode_gif_pixels`) — or None (JPEG/16-bit/Adam7: the stub
-    ladder until a codec library is present)."""
+    scanline unfilter, :func:`decode_png_pixels`), GIF (pure-Python
+    LZW + palette + deinterlace, :func:`decode_gif_pixels`), and
+    baseline JPEG (Huffman entropy decode + dequant + IDCT + YCbCr,
+    `operators/jpeg.decode_jpeg_pixels`) — or None (progressive JPEG /
+    16-bit / Adam7 / unrecognized: the deterministic stub ladder)."""
     import numpy as np
 
     bmp = _parse_bmp_header(payload)
@@ -694,6 +695,10 @@ def decode_image_pixels(payload: bytes):
         return decode_png_pixels(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_pixels(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        from pydala2_spark.operators.jpeg import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(payload)
     return None
 
 

@@ -1017,3 +1017,54 @@ def test_gif_decode_roundtrip_interlace_and_rejects():
         )
     with pytest.raises(ValueError, match="256"):
         encode_gif(rng.integers(0, 256, (40, 40, 3), dtype=np.uint8))
+
+
+def test_jpeg_codec_roundtrip_and_rejects():
+    """Baseline JPEG: pure-Python Huffman + DCT. Lossy, so the pin is
+    bounded reconstruction error — near-exact for uniform blocks
+    (DC-only), tight for smooth gradients at high quality; restart
+    markers are bit-identical to the unrestarted stream; progressive /
+    truncated / fuzzed streams return None."""
+    import numpy as np
+
+    from pydala2_spark.operators.jpeg import decode_jpeg_pixels, encode_jpeg
+    from pydala2_spark.operators.multimodal import decode_image_pixels
+
+    # uniform image: DC-only, exact reconstruction
+    flat = np.full((16, 24, 3), 128, np.uint8)
+    assert np.array_equal(decode_jpeg_pixels(encode_jpeg(flat, 90)), flat)
+    # smooth gradient at q95: tiny bounded error, via the shared ladder
+    y, x = np.mgrid[0:32, 0:24]
+    g = (x * 3 + y * 2).astype(np.uint8)
+    arr = np.stack([g, g // 2 + 40, 255 - g], axis=2)
+    back = decode_image_pixels(encode_jpeg(arr, quality=95))
+    assert back.shape == arr.shape
+    assert int(np.abs(back.astype(int) - arr.astype(int)).max()) <= 2
+    # restart markers decode bit-identically to the unrestarted stream
+    plain = decode_jpeg_pixels(encode_jpeg(arr, quality=90))
+    rst = decode_jpeg_pixels(encode_jpeg(arr, quality=90, restart_interval=2))
+    assert np.array_equal(plain, rst)
+    # 2-D gray input, non-multiple-of-8 dims
+    gray = np.tile(np.linspace(0, 255, 13).astype(np.uint8), (19, 1))
+    back = decode_jpeg_pixels(encode_jpeg(gray, quality=95))
+    assert back.shape == (19, 13, 3)
+    assert int(np.abs(back[:, :, 0].astype(int) - gray.astype(int)).max()) <= 3
+    # noise at q50 stays bounded (no wrap-around / clamp bugs)
+    rng = np.random.default_rng(0)
+    noise = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    back = decode_jpeg_pixels(encode_jpeg(noise, quality=50))
+    assert int(np.abs(back.astype(int) - noise.astype(int)).max()) < 200
+    # progressive (SOF2) rejected, not garbled
+    p = bytearray(encode_jpeg(arr))
+    i = bytes(p).find(b"\xff\xc0")
+    p[i + 1] = 0xC2
+    assert decode_jpeg_pixels(bytes(p)) is None
+    # truncation + fuzz totality
+    assert decode_jpeg_pixels(encode_jpeg(arr)[:60]) is None
+    import random
+
+    r = random.Random(3)
+    for _ in range(300):
+        decode_jpeg_pixels(
+            b"\xff\xd8" + bytes(r.getrandbits(8) for _ in range(r.randrange(0, 200)))
+        )
