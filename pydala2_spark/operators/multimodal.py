@@ -95,6 +95,16 @@ def sniff_format(col: str | Column) -> Column:
         if name in extra:
             cond = cond & extra[name]
         expr = F.when(cond, name).otherwise(expr)
+    # RIFF is a container family: the form type at offset 8 names the
+    # actual format (WAVE/WEBP/'AVI '); unknown forms stay 'riff'
+    form = F.substring(c, 9, 4).cast("string")
+    expr = F.when(
+        expr == "riff",
+        F.when(form == "WAVE", "wav")
+        .when(form == "WEBP", "webp")
+        .when(form == "AVI ", "avi")
+        .otherwise("riff"),
+    ).otherwise(expr)
     return expr
 
 
@@ -764,10 +774,14 @@ def encode_wav_pcm16(samples, rate: int) -> bytes:
 
 
 def decode_wav_samples(payload: bytes):
-    """REAL PCM sample decode: ``(sample_rate, (n, channels) int32
-    array)`` for integer-PCM WAV (8/16/24/32-bit; 8-bit is stored
-    unsigned and re-centered to signed), or None for float/compressed
-    formats. Pure RIFF chunk walk + numpy — no audio library."""
+    """REAL sample decode: ``(sample_rate, (n, channels) int32
+    array)`` for WAV audio — integer PCM (format 1; 8/16/24/32-bit,
+    8-bit re-centered from unsigned), IEEE float (format 3; 32/64-bit,
+    values scaled to the int16 grid via ``rint(v * 32767)``), and
+    µ-law (format 7; Sun ulaw2linear expansion at the 16-bit scale,
+    full-scale ±32124) — or
+    None for compressed/unknown formats. Pure RIFF chunk walk +
+    numpy, no audio library."""
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -786,14 +800,30 @@ def decode_wav_samples(payload: bytes):
             avail = max(0, len(payload) - (i + 8))
             data = payload[i + 8 : i + 8 + min(clen, avail)]
         i += 8 + clen + (clen & 1)
-    if fmt != 1 or not rate or not ch or bits not in (8, 16, 24, 32) or data is None:
+    ok = (
+        (fmt == 1 and bits in (8, 16, 24, 32))
+        or (fmt == 3 and bits in (32, 64))
+        or (fmt == 7 and bits == 8)
+    )
+    if not ok or not rate or not ch or data is None:
         return None
     if not (0 < rate < 2**31) or not (0 < ch <= 2**15):
         return None
     frame = ch * bits // 8
     n = len(data) // max(1, frame)
     data = data[: n * frame]
-    if bits == 8:
+    if fmt == 3:  # IEEE float: scale [-1, 1] onto the int16 grid
+        f = np.frombuffer(data, "<f4" if bits == 32 else "<f8").astype(np.float64)
+        f = np.nan_to_num(f, nan=0.0, posinf=1.0, neginf=-1.0)
+        s = np.rint(np.clip(f, -1.0, 1.0) * 32767).astype(np.int32)
+    elif fmt == 7:  # µ-law: G.711 expansion
+        u = (~np.frombuffer(data, np.uint8)).astype(np.int32) & 0xFF
+        sign = u >> 7
+        exp = (u >> 4) & 7
+        mant = u & 15
+        mag = (((mant << 3) + 0x84) << exp) - 0x84
+        s = np.where(sign == 1, -mag, mag).astype(np.int32)
+    elif bits == 8:
         s = np.frombuffer(data, np.uint8).astype(np.int32) - 128
     elif bits == 16:
         s = np.frombuffer(data, "<i2").astype(np.int32)

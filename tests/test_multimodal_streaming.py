@@ -675,10 +675,16 @@ def test_wav_pcm_roundtrip_and_exotic_depths():
     )
     rate, back = decode_wav_samples(w24)
     assert back[:, 0].tolist() == [8388607, -8388608]
-    # float WAV (format 3) -> None, not garbage
+    # float WAV (format 3) DECODES since round 6 (scaled to the int16
+    # grid — zeroed payload = silence); a compressed format (ADPCM,
+    # format 2) still returns None, not garbage
     f32 = bytearray(_wav_bytes(1000, 1, 4, bits=32))
     f32[20:22] = (3).to_bytes(2, "little")
-    assert decode_wav_samples(bytes(f32)) is None
+    rate, s = decode_wav_samples(bytes(f32))
+    assert rate == 1000 and s[:, 0].tolist() == [0, 0, 0, 0]  # 4 silent floats
+    adpcm = bytearray(_wav_bytes(1000, 1, 4, bits=16))
+    adpcm[20:22] = (2).to_bytes(2, "little")
+    assert decode_wav_samples(bytes(adpcm)) is None
 
 
 def test_pixel_and_sample_decoders_total_over_random_bytes():
@@ -1068,3 +1074,57 @@ def test_jpeg_codec_roundtrip_and_rejects():
         decode_jpeg_pixels(
             b"\xff\xd8" + bytes(r.getrandbits(8) for _ in range(r.randrange(0, 200)))
         )
+
+
+def test_wav_float_and_mulaw_decode(spark):
+    """Format-3 IEEE float scales onto the int16 grid (NaN/Inf
+    sanitized); format-7 µ-law expands per G.711 (0xFF -> 0,
+    0x7F -> -8031); both flow through the same stats stage."""
+    import struct
+
+    import numpy as np
+
+    from pydala2_spark.operators.multimodal import (
+        audio_pcm_stats,
+        decode_wav_samples,
+        sniff_format,
+    )
+
+    def wav(fmt, ch, rate, bits, data):
+        f = struct.pack("<HHIIHH", fmt, ch, rate, rate * ch * bits // 8, ch * bits // 8, bits)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(f)) + f
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # float32: ±1.0, 0.5, NaN->0, Inf->full-scale
+    fdata = struct.pack("<6f", 1.0, -1.0, 0.5, 0.0, float("nan"), float("inf"))
+    rate, s = decode_wav_samples(wav(3, 1, 8000, 32, fdata))
+    assert rate == 8000
+    assert s[:, 0].tolist() == [32767, -32767, 16384, 0, 0, 32767]
+    # float64
+    rate, s = decode_wav_samples(wav(3, 1, 16000, 64, struct.pack("<2d", -0.25, 1.0)))
+    assert s[:, 0].tolist() == [-8192, 32767]
+    # µ-law: Sun ulaw2linear reference points (16-bit scale): 0xFF and
+    # 0x7F are the two zero codes, 0x80/0x00 are full-scale ±32124
+    rate, s = decode_wav_samples(wav(7, 1, 8000, 8, bytes([0xFF, 0x7F, 0x80, 0x00])))
+    assert s[:, 0].tolist() == [0, 0, 32124, -32124]
+    # the stats stage consumes them like any PCM clip
+    df = spark.createDataFrame(
+        [(0, wav(3, 1, 8000, 32, fdata))], "id long, blob binary"
+    )
+    r = audio_pcm_stats(df, "blob", ["id"]).collect()[0]
+    assert r["n_samples"] == 6 and r["s_max"] == 32767
+    # RIFF form-type refinement in the JVM sniffer
+    got = {
+        r["id"]: r["f"]
+        for r in spark.createDataFrame(
+            [
+                (0, wav(1, 1, 8000, 16, b"\x00\x00")),
+                (1, b"RIFF\x04\x00\x00\x00WEBPVP8 "),
+                (2, b"RIFF\x04\x00\x00\x00AVI LIST"),
+                (3, b"RIFF\x04\x00\x00\x00XXXXdata"),
+            ],
+            "id long, blob binary",
+        ).select("id", sniff_format("blob").alias("f")).collect()
+    }
+    assert got == {0: "wav", 1: "webp", 2: "avi", 3: "riff"}
