@@ -77,6 +77,8 @@ from pydala2_spark.operators.multimodal import (
     encode_png,
     encode_wav_pcm16,
     image_pixel_stats,
+    parse_mp4_header,
+    parse_webp_header,
 )
 from pydala2_spark.operators.jpeg import decode_jpeg_pixels, encode_jpeg
 from pydala2_spark.streaming.pipeline import curate_stream
@@ -138,6 +140,8 @@ __all__ = [
     "encode_wav_pcm16",
     "decode_jpeg_pixels",
     "encode_jpeg",
+    "parse_mp4_header",
+    "parse_webp_header",
 ]
 
 __version__ = "0.1.0"

@@ -192,6 +192,9 @@ def parse_image_header(payload: bytes) -> tuple[int, int, int] | None:
         w = int.from_bytes(payload[6:8], "little")
         h = int.from_bytes(payload[8:10], "little")
         return w, h, 3
+    webp = parse_webp_header(payload)
+    if webp is not None:
+        return webp
     bmp = _parse_bmp_header(payload)
     if bmp is not None:
         w, h, bpp, _, _ = bmp
@@ -746,6 +749,97 @@ def encode_bmp(arr) -> bytes:
     return header + pix
 
 
+def parse_mp4_header(payload: bytes):
+    """REAL MP4/ISO-BMFF metadata from the box structure — no codec:
+    ``(duration_ms, width, height)`` from ``moov/mvhd`` (timescale +
+    duration) and the first video ``trak/tkhd`` (16.16 fixed-point
+    dimensions). Width/height are None for audio-only files; returns
+    None when no valid ``moov`` is present (streaming-optimized files
+    with moov after a huge mdat still parse — the walk skips boxes by
+    declared size)."""
+
+    def walk(lo: int, hi: int):
+        while lo + 8 <= hi:
+            size = int.from_bytes(payload[lo : lo + 4], "big")
+            typ = payload[lo + 4 : lo + 8]
+            if size == 1:  # 64-bit largesize
+                if lo + 16 > hi:
+                    return
+                size = int.from_bytes(payload[lo + 8 : lo + 16], "big")
+                body = lo + 16
+            elif size == 0:  # to end of file
+                size = hi - lo
+                body = lo + 8
+            else:
+                body = lo + 8
+            if size < 8 or lo + size > hi:
+                return
+            yield typ, body, lo + size
+            lo += size
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    dur_ms = None
+    width = height = None
+    for typ, body, end in walk(0, len(payload)):
+        if typ != b"moov":
+            continue
+        for t2, b2, e2 in walk(body, end):
+            if t2 == b"mvhd" and b2 < e2:
+                ver = payload[b2]
+                if ver == 1 and b2 + 32 <= e2:
+                    ts = int.from_bytes(payload[b2 + 20 : b2 + 24], "big")
+                    dur = int.from_bytes(payload[b2 + 24 : b2 + 32], "big")
+                elif ver == 0 and b2 + 20 <= e2:
+                    ts = int.from_bytes(payload[b2 + 12 : b2 + 16], "big")
+                    dur = int.from_bytes(payload[b2 + 16 : b2 + 20], "big")
+                else:
+                    continue
+                if ts:
+                    dur_ms = dur * 1000 // ts
+            elif t2 == b"trak":
+                for t3, b3, e3 in walk(b2, e2):
+                    if t3 == b"tkhd" and width is None:
+                        ver = payload[b3]
+                        off = b3 + (96 if ver == 1 else 84)
+                        if off <= e3:  # width/height are the LAST 8 bytes before off
+                            w = int.from_bytes(payload[off - 8 : off - 4], "big") >> 16
+                            h = int.from_bytes(payload[off - 4 : off], "big") >> 16
+                            if w and h:
+                                width, height = w, h
+        break
+    if dur_ms is None:
+        return None
+    return dur_ms, width, height
+
+
+def parse_webp_header(payload: bytes):
+    """REAL WebP dimensions from the VP8 / VP8L / VP8X chunk headers
+    (lossy frame tag, lossless 14-bit packed, extended canvas), or
+    None."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP" or len(payload) < 30:
+        return None
+    chunk = payload[12:16]
+    if chunk == b"VP8 ":  # lossy: frame tag then sync code 9D 01 2A
+        if payload[23:26] != b"\x9d\x01\x2a":
+            return None
+        w = int.from_bytes(payload[26:28], "little") & 0x3FFF
+        h = int.from_bytes(payload[28:30], "little") & 0x3FFF
+        return (w, h, 3) if w and h else None
+    if chunk == b"VP8L":  # lossless: 1-byte signature 0x2F, 14+14 bits
+        if payload[20] != 0x2F:
+            return None
+        bits = int.from_bytes(payload[21:25], "little")
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        return w, h, 4 if (bits >> 28) & 1 else 3
+    if chunk == b"VP8X":  # extended: 24-bit canvas minus one
+        w = int.from_bytes(payload[24:27], "little") + 1
+        h = int.from_bytes(payload[27:30], "little") + 1
+        return w, h, 4 if payload[20] & 0x10 else 3
+    return None
+
+
 def encode_wav_pcm16(samples, rate: int) -> bytes:
     """Encode int16 samples (``(n,)`` or ``(n, channels)``) as a
     16-bit PCM WAV — the inverse of :func:`decode_wav_samples`
@@ -1251,12 +1345,18 @@ def sample_frames(
                 continue
             payloads = [bytes(p) for p in pdf[binary_col]]
             # vectorized explosion: frame_index tiles, everything
-            # row-level repeats — no per-row pandas iteration
+            # row-level repeats — no per-row pandas iteration.
+            # Durations are REAL for parseable MP4 containers (moov/
+            # mvhd box walk), deterministic stub otherwise.
+            def dur_of(p: bytes) -> int:
+                mp4 = parse_mp4_header(p) if p[4:8] == b"ftyp" else None
+                if mp4 and mp4[0] > 0:
+                    return mp4[0]
+                return 1000 + _h32(p, 8, 12) % 59_000
+
             idx = np.tile(np.arange(n_frames, dtype=np.int64), n)
             durs = np.fromiter(
-                (1000 + _h32(p, 8, 12) % 59_000 for p in payloads),
-                dtype=np.int64,
-                count=n,
+                (dur_of(p) for p in payloads), dtype=np.int64, count=n
             )
             ts = np.repeat(durs, n_frames) * idx // n_frames
             # each payload hashes ONCE; per-frame digests fork from the

@@ -1128,3 +1128,70 @@ def test_wav_float_and_mulaw_decode(spark):
         ).select("id", sniff_format("blob").alias("f")).collect()
     }
     assert got == {0: "wav", 1: "webp", 2: "avi", 3: "riff"}
+
+
+def test_mp4_and_webp_headers_real(spark):
+    """ISO-BMFF box walk (mvhd duration, tkhd 16.16 dims, moov-after-
+    mdat streaming layout, 64-bit largesize tolerated) and WebP
+    VP8/VP8L/VP8X dimension headers; sample_frames uses the REAL mp4
+    duration when parseable."""
+    from pydala2_spark.operators.multimodal import (
+        parse_image_header,
+        parse_mp4_header,
+        parse_webp_header,
+        sample_frames,
+    )
+
+    def box(typ, body):
+        return (8 + len(body)).to_bytes(4, "big") + typ + body
+
+    ftyp = box(b"ftyp", b"isom" + b"\x00" * 4 + b"isomiso2")
+    mvhd = box(
+        b"mvhd",
+        bytes(4) + bytes(8) + (1000).to_bytes(4, "big") + (5500).to_bytes(4, "big") + bytes(80),
+    )
+    tkhd = box(
+        b"tkhd",
+        bytes(4) + bytes(12) + bytes(4) + bytes(4) + bytes(8) + bytes(8) + bytes(36)
+        + (1920 << 16).to_bytes(4, "big") + (1080 << 16).to_bytes(4, "big"),
+    )
+    mp4 = ftyp + box(b"mdat", b"\x00" * 100) + box(b"moov", mvhd + box(b"trak", tkhd))
+    assert parse_mp4_header(mp4) == (5500, 1920, 1080)
+    # mvhd version 1 (64-bit duration), audio-only (no tkhd dims)
+    mvhd1 = box(
+        b"mvhd",
+        bytes([1, 0, 0, 0]) + bytes(16) + (90000).to_bytes(4, "big")
+        + (90000 * 7).to_bytes(8, "big") + bytes(80),
+    )
+    assert parse_mp4_header(ftyp + box(b"moov", mvhd1)) == (7000, None, None)
+    assert parse_mp4_header(b"\x00" * 40) is None
+
+    vp8 = (
+        b"RIFF" + (30).to_bytes(4, "little") + b"WEBP" + b"VP8 "
+        + (24).to_bytes(4, "little") + bytes(3) + b"\x9d\x01\x2a"
+        + (320).to_bytes(2, "little") + (240).to_bytes(2, "little") + bytes(10)
+    )
+    assert parse_webp_header(vp8) == (320, 240, 3)
+    assert parse_image_header(vp8) == (320, 240, 3)  # ladder routes webp
+    bits = 99 | (49 << 14) | (1 << 28)
+    vp8l = (
+        b"RIFF" + (30).to_bytes(4, "little") + b"WEBP" + b"VP8L"
+        + (20).to_bytes(4, "little") + b"\x2f" + bits.to_bytes(4, "little") + bytes(10)
+    )
+    assert parse_webp_header(vp8l) == (100, 50, 4)
+    vp8x = (
+        b"RIFF" + (30).to_bytes(4, "little") + b"WEBP" + b"VP8X"
+        + (10).to_bytes(4, "little") + bytes([0x10]) + bytes(3)
+        + (639).to_bytes(3, "little") + (479).to_bytes(3, "little") + bytes(6)
+    )
+    assert parse_webp_header(vp8x) == (640, 480, 4)
+
+    # sample_frames: real mp4 duration drives the timestamps
+    df = spark.createDataFrame(
+        [(0, mp4), (1, b"not a video")], "id long, blob binary"
+    )
+    got = {}
+    for r in sample_frames(df, "blob", ["id"], n_frames=4).collect():
+        got.setdefault(r["id"], []).append(r["ts_ms"])
+    assert sorted(got[0]) == [0, 5500 * 1 // 4, 5500 * 2 // 4, 5500 * 3 // 4]
+    assert len(got[1]) == 4 and max(got[1]) > 0  # stub path intact
