@@ -1291,6 +1291,8 @@ def resize_images(
                     small = arr[yi][:, xi, :3]
                     if small.shape[2] == 1:
                         small = np.repeat(small, 3, axis=2)
+                    elif small.shape[2] == 2:  # gray+alpha: replicate luma
+                        small = np.repeat(small[:, :, :1], 3, axis=2)
                     payloads.append(encode_bmp(small))
                 else:
                     dims = parse_image_header(p) or _fake_image_decode(p)

@@ -1195,3 +1195,28 @@ def test_mp4_and_webp_headers_real(spark):
         got.setdefault(r["id"], []).append(r["ts_ms"])
     assert sorted(got[0]) == [0, 5500 * 1 // 4, 5500 * 2 // 4, 5500 * 3 // 4]
     assert len(got[1]) == 4 and max(got[1]) > 0  # stub path intact
+
+
+def test_resize_emit_payload_handles_every_channel_count(spark):
+    """Gray / gray+alpha / RGB / RGBA sources all re-encode (BMP wants
+    3 channels: luma replicates, alpha drops) — a 2-channel PNG
+    previously had no branch and would kill the Arrow task."""
+    import numpy as np
+
+    from pydala2_spark.operators.multimodal import (
+        decode_image_pixels,
+        encode_png,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(1)
+    rows = [
+        (nch, encode_png(rng.integers(0, 256, (20, 16, nch), dtype=np.uint8)))
+        for nch in (1, 2, 3, 4)
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    out = resize_images(df, "blob", ["id"], max_side=8, emit_payload=True).collect()
+    assert len(out) == 4
+    for r in out:
+        small = decode_image_pixels(bytes(r["resized_payload"]))
+        assert small.shape == (8, 7, 3), r["id"]  # 16x20 -> 7x8, aspect kept
