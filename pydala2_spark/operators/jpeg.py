@@ -241,7 +241,12 @@ def decode_jpeg_pixels(payload: bytes):
             nc = seg[5]
             if nc not in (1, 3) or len(seg) < 6 + 3 * nc or not h or not w:
                 return None
-            if w * h > 64_000_000:
+            # amplification guards for the pure-Python path: unlike
+            # PNG/GIF (output bounded by supplied compressed bytes),
+            # JPEG's declared dims alone set the allocation, and an
+            # EOB-only stream drives minutes of per-block Python from
+            # a few KB. Cap absolute pixels AND decoded/encoded ratio.
+            if w * h > 16_000_000 or w * h > 2000 * len(payload):
                 return None
             comps = []
             for c in range(nc):
@@ -283,6 +288,14 @@ def decode_jpeg_pixels(payload: bytes):
 
 
 def _decode_scan(payload, start, h, w, comps, qt, restart_interval):
+    if len(comps) == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved — one
+        # data unit per MCU in raster order, the declared sampling
+        # factors notwithstanding (they only matter relative to other
+        # components). Treating it as interleaved block-shuffles the
+        # image (or desyncs the Huffman stream) for gray JPEGs that
+        # declare 2x2 sampling.
+        comps[0]["h"] = comps[0]["v"] = 1
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-w // (8 * hmax))

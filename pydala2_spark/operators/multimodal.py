@@ -184,6 +184,12 @@ def parse_image_header(payload: bytes) -> tuple[int, int, int] | None:
     ):
         w = int.from_bytes(payload[16:20], "big")
         h = int.from_bytes(payload[20:24], "big")
+        # zero or int32-overflowing dims are hostile-header territory:
+        # the downstream Arrow columns are int32 and a resize scale of
+        # max(0, 0) divides by zero — same rejection rule as
+        # parse_wav_header (fall back to the stub, never crash a batch)
+        if not (0 < w < 2**31 and 0 < h < 2**31):
+            return None
         # color type -> sample channels (palette indexes expand to 3
         # at decode time; header truth is 1 channel of indexes)
         channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(payload[25], 3)
@@ -191,6 +197,8 @@ def parse_image_header(payload: bytes) -> tuple[int, int, int] | None:
     if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
         w = int.from_bytes(payload[6:8], "little")
         h = int.from_bytes(payload[8:10], "little")
+        if not (w and h):
+            return None
         return w, h, 3
     webp = parse_webp_header(payload)
     if webp is not None:
@@ -227,6 +235,8 @@ def parse_image_header(payload: bytes) -> tuple[int, int, int] | None:
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h = int.from_bytes(payload[i + 5 : i + 7], "big")
                 w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                if not (w and h):  # h=0 is legal pre-DNL; stub instead
+                    return None
                 return w, h, payload[i + 9]
             i += 2 + seglen
     return None
@@ -328,9 +338,14 @@ def _parse_pnm_header(payload: bytes):
     if len(fields) < 3 or i >= len(payload):
         return None
     w, h, maxval = fields
-    if w <= 0 or h <= 0 or not (0 < maxval < 256):  # 1 byte per sample
+    if not (0 < w < 2**31 and 0 < h < 2**31) or not (0 < maxval < 256):
         return None
-    return w, h, channels, maxval, i + 1  # exactly one ws after maxval
+    # the spec requires EXACTLY ONE whitespace byte after maxval; a
+    # non-whitespace byte there means the offset is ambiguous and the
+    # pixel rows would read shifted garbage — reject, don't guess
+    if payload[i : i + 1] not in (b" ", b"\t", b"\n", b"\r", b"\x0b", b"\x0c"):
+        return None
+    return w, h, channels, maxval, i + 1
 
 
 def decode_png_pixels(payload: bytes):
@@ -380,13 +395,18 @@ def decode_png_pixels(payload: bytes):
         return None
     if w * h > 64_000_000:  # decompression-bomb guard (≈256 MB RGBA)
         return None
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error:
-        return None
     nch = nch_map[ct]
     stride = w * nch
-    if len(raw) < h * (stride + 1):
+    need = h * (stride + 1)
+    try:
+        # cap inflation at exactly the scanline bytes we need — a
+        # small IDAT declaring huge dims can't allocate past the
+        # 64M-pixel guard anyway, and a zlib bomb can't allocate past
+        # the image it claims to be
+        raw = zlib.decompressobj().decompress(b"".join(idat), need)
+    except zlib.error:
+        return None
+    if len(raw) < need:
         return None
     out = np.zeros((h, stride), np.int32)
     prev = np.zeros(stride, np.int32)
@@ -1008,11 +1028,12 @@ def extract_features(
     df: DataFrame, binary_col: str, passthrough: list[str], dim: int = 64
 ) -> DataFrame:
     """Embedding extraction stage: binary → ``array<float>`` feature
-    vector. Decodable payloads (BMP/PPM/PGM — :func:`decode_image_pixels`)
-    get REAL grid features from their pixels; other payloads keep the
-    deterministic stub (production swaps in a model call per Arrow
-    batch). Output feeds operators.similarity / operators.dedup
-    directly."""
+    vector. Decodable payloads (BMP/PPM/PGM/PNG/GIF/baseline JPEG —
+    :func:`decode_image_pixels`) get REAL grid features from their
+    pixels (note the PNG/JPEG per-row Python cost rides here); other
+    payloads keep the deterministic stub (production swaps in a model
+    call per Arrow batch). Output feeds operators.similarity /
+    operators.dedup directly."""
     out_schema = T.StructType(
         [df.schema[c] for c in passthrough]
         + [T.StructField("features", T.ArrayType(T.FloatType()))]
@@ -1236,12 +1257,12 @@ def resize_images(
     stage — no pixel work, oracle-mirrorable for every format).
 
     ``emit_payload=True`` adds a ``resized_payload`` column holding a
-    REAL re-encoded image: decodable payloads (BMP/PPM/PGM) are
-    nearest-neighbor resampled on their actual pixels and re-encoded
-    as 24-bit BMP (:func:`encode_bmp` — itself decodable, so resize
-    chains); non-decodable payloads carry a null payload with their
-    header/stub dimensions. One decode per image, inside the same
-    Arrow batch stage."""
+    REAL re-encoded image: decodable payloads (BMP/PPM/PGM/PNG/GIF/
+    baseline JPEG) are nearest-neighbor resampled on their actual
+    pixels and re-encoded as 24-bit BMP (:func:`encode_bmp` — itself
+    decodable, so resize chains); non-decodable payloads carry a null
+    payload with their header/stub dimensions. One decode per image,
+    inside the same Arrow batch stage."""
     if not emit_payload:
         decoded = decode_images(df, binary_col, passthrough)
         scale = F.least(
@@ -1272,7 +1293,9 @@ def resize_images(
     )
 
     def target(w: int, h: int) -> tuple[int, int]:
-        scale = min(1.0, max_side / max(w, h))
+        # max(..., 1): parse_image_header rejects zero dims, but this
+        # stage must never divide by zero whatever upstream hands it
+        scale = min(1.0, max_side / max(w, h, 1))
         return math.ceil(w * scale), math.ceil(h * scale)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -119,19 +119,31 @@ def _pa_fs(path: str, registry: dict | None = None):
 _SCHEME_FILESYSTEMS: dict = {}
 
 
+# Hadoop scheme spellings that _normalize_uri rewrites BEFORE the
+# registry lookup — registrations under either spelling must hit
+_SCHEME_ALIASES = {"s3a": "s3", "s3n": "s3"}
+
+
 def register_scheme_filesystem(scheme: str, filesystem) -> None:
     """Route footer/sidecar I/O for ``scheme://`` URIs through an
     explicitly constructed ``pyarrow.fs.FileSystem``.
+
+    Hadoop's ``s3a``/``s3n`` spellings register under the same key as
+    ``s3`` (lookups happen after URI normalization, so an ``s3a``
+    registration would otherwise be silently ignored — MinIO-endpoint
+    deployments hit exactly that).
 
     The filesystem must be PICKLABLE (pyarrow filesystems are): footer
     scans run on the EXECUTORS, and each scan captures the registry by
     value into its closure — a registration made after a scan's
     closure was built does not retroactively apply to it."""
-    _SCHEME_FILESYSTEMS[scheme.lower()] = filesystem
+    s = scheme.lower()
+    _SCHEME_FILESYSTEMS[_SCHEME_ALIASES.get(s, s)] = filesystem
 
 
 def unregister_scheme_filesystem(scheme: str) -> None:
-    _SCHEME_FILESYSTEMS.pop(scheme.lower(), None)
+    s = scheme.lower()
+    _SCHEME_FILESYSTEMS.pop(_SCHEME_ALIASES.get(s, s), None)
 
 
 def _normalize_uri(path: str) -> str:

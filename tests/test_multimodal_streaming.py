@@ -1220,3 +1220,72 @@ def test_resize_emit_payload_handles_every_channel_count(spark):
     for r in out:
         small = decode_image_pixels(bytes(r["resized_payload"]))
         assert small.shape == (8, 7, 3), r["id"]  # 16x20 -> 7x8, aspect kept
+
+
+def test_hostile_media_findings_round6_review():
+    """Round-6 adversarial-review regressions: zero/overflowing header
+    dims, PNM offset ambiguity, JPEG amplification, gray-JPEG
+    sampling factors — every one must fall back or decode correctly,
+    never crash a batch or fabricate pixels."""
+    import struct
+
+    import numpy as np
+
+    from pydala2_spark.operators.jpeg import decode_jpeg_pixels, encode_jpeg
+    from pydala2_spark.operators.multimodal import (
+        _parse_pnm_header,
+        parse_image_header,
+    )
+
+    # 0x0 GIF screen / 0-dim PNG IHDR / over-int32 PNG -> None (the
+    # int32 Arrow columns and the resize divide-by-zero both need it)
+    assert parse_image_header(b"GIF89a" + b"\x00" * 10) is None
+    zero_png = _png_bytes(0, 0)
+    assert parse_image_header(zero_png) is None
+    big_png = _png_bytes(0x80000005, 7)
+    assert parse_image_header(big_png) is None
+    # JPEG SOF with h=0 (pre-DNL form) -> stub, not a 0-height image
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 0, 64, 3)
+    assert parse_image_header(b"\xff\xd8" + app0 + sof0) is None
+    # PNM: non-whitespace byte after maxval = ambiguous data offset
+    assert _parse_pnm_header(b"P6 5 5 255X" + b"\x00" * 75) is None
+    assert _parse_pnm_header(b"P6 5 5 255\n" + b"\x00" * 75) is not None
+    # JPEG amplification: tiny payload declaring 8000x8000 -> None fast
+    bomb = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
+    i = bytes(bomb).find(b"\xff\xc0")
+    bomb[i + 5 : i + 9] = struct.pack(">HH", 8000, 8000)
+    assert decode_jpeg_pixels(bytes(bomb)) is None
+    # gray JPEG declaring 2x2 sampling: single-component scans are
+    # non-interleaved per T.81 A.2.2 — must decode IDENTICALLY to the
+    # same stream declaring 1x1 (previously block-shuffled/desynced)
+    gray = np.tile(np.linspace(0, 255, 16).astype(np.uint8), (32, 1))
+    p = bytearray(encode_jpeg(gray, quality=95))
+    i = bytes(p).find(b"\xff\xc0")
+    ref = decode_jpeg_pixels(bytes(p))
+    p[i + 11] = 0x22  # SOF component sampling byte
+    patched = decode_jpeg_pixels(bytes(p))
+    assert patched is not None and np.array_equal(patched, ref)
+
+
+def test_scheme_registry_s3a_alias(tmp_path):
+    """register_scheme_filesystem('s3a', fs) must not be silently
+    ignored: lookups happen AFTER s3a->s3 normalization, so the
+    registration key normalizes the same way."""
+    import pyarrow.fs as pafs
+
+    from pydala2_spark.plans.stats import (
+        _pa_fs,
+        register_scheme_filesystem,
+        unregister_scheme_filesystem,
+    )
+
+    fs = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    register_scheme_filesystem("s3a", fs)
+    try:
+        got, inner = _pa_fs("s3a://bucket/key.parquet")
+        assert got is fs and inner == "bucket/key.parquet"
+        got2, _ = _pa_fs("s3://bucket/key.parquet")  # same registration
+        assert got2 is fs
+    finally:
+        unregister_scheme_filesystem("s3a")
