@@ -682,6 +682,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     dim: int | None = None,
     assignments: DataFrame | None = None,
+    quantizer: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the embedding
     space with k-means, then screen each CLUSTER for near-duplicate
@@ -709,19 +710,30 @@ def semantic_dedup(
 
     THE quantizer caveat (measured, SCALING.md 100x sweep): brute
     Lloyd's assignment is k·n work, so holding cell size constant
-    (k ∝ n) makes the FIT quadratic — 39x wall at 100x data. The
-    scale path is therefore AUTO-SELECTED: when ``assignments`` is
-    absent and ``k * dim`` crosses the same threshold where the
-    centroid literal plan stops making sense
-    (``similarity._KMEANS_LITERAL_LIMIT``), cells come from SRP
-    buckets (`similarity.srp_bucket`, ``ceil(log2(k))`` planes — one
-    scan-stage projection, data-distributed cells, O(n) total; the
-    sweep measures 1.5x at 100x) instead of a Lloyd fit. Below the
-    threshold the published SemDeDup k-means recipe runs as written.
+    (k ∝ n) makes the FIT quadratic — 39x wall at 100x data.
+    ``quantizer`` controls the blocking recipe when ``assignments``
+    is absent:
+
+    - ``"kmeans"`` — the published SemDeDup Lloyd fit, always (pays
+      the k·n assignment; fine for one-shot fits, quadratic when
+      k ∝ n);
+    - ``"srp"`` — SRP hyperplane buckets (`similarity.srp_bucket`,
+      ``ceil(log2(k))`` planes — one scan-stage projection, O(n)
+      total; the sweep measures 1.5x at 100x);
+    - ``"auto"`` (default) — k-means below
+      ``similarity._KMEANS_LITERAL_LIMIT`` inlined doubles (k·dim), SRP
+      above it. NOTE the proxy is PLAN size, not fit cost: k·dim says
+      nothing about n, so a huge-n/small-k corpus stays on Lloyd (pass
+      ``quantizer="srp"`` there) and a big-k/small-n fit switches even
+      though Lloyd would cope (pass ``quantizer="kmeans"`` to force
+      the published recipe — the broadcast-join assignment path
+      handles any k·dim). The two recipes CLUSTER DIFFERENTLY, so the
+      switch changes which pairs meet; the pair screen itself — the
+      SemDeDup part — is identical for every quantizer.
+
     Pass ``assignments`` (any (id_col, cid) frame, e.g. a stored IVF
     coarse quantizer from `similarity.build_ivf_index`) to override
-    either way. The pair screen — the SemDeDup part — is identical
-    for every quantizer.
+    all of this.
 
     A caller-supplied ``assignments`` frame need not be total: it is
     LEFT-joined, and vectors it does not cover surface in the output
@@ -739,9 +751,14 @@ def semantic_dedup(
         vector_dim,
     )
 
+    if quantizer not in ("auto", "kmeans", "srp"):
+        raise ValueError(f"quantizer must be auto|kmeans|srp, got {quantizer!r}")
     d = dim or vector_dim(df, vec_col)
     if assignments is None:
-        if k * d <= _KMEANS_LITERAL_LIMIT:
+        use_kmeans = quantizer == "kmeans" or (
+            quantizer == "auto" and k * d <= _KMEANS_LITERAL_LIMIT
+        )
+        if use_kmeans:
             assignments, _ = kmeans_lloyd(
                 df, k=k, iters=iters, vec_col=vec_col, id_col=id_col, dim=d
             )

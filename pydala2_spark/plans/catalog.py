@@ -160,8 +160,11 @@ class Catalog:
 
     def set_commit_publisher(self, publisher) -> "Catalog":
         """Install the manifest-publish hook (e.g.
-        ``snapshots.s3_conditional_put_publisher()``) used by every
-        snapshot table loaded through this catalog. Returns self."""
+        ``snapshots.s3_conditional_put_publisher()``) used by the
+        snapshot tables this catalog loads on OBJECT-STORE schemes;
+        local/HDFS snapshot tables keep the native atomic-rename lock
+        (an S3 hook would reject their scheme-less manifest paths).
+        Returns self."""
         self.commit_publisher = publisher
         return self
 
@@ -423,11 +426,20 @@ class Catalog:
             # branch sits AFTER the filesystem-profile block so an
             # s3-profiled snapshot table gets its credentials and
             # scheme rewrite like any other entry.
-            from pydala2_spark.plans.snapshots import SnapshotDataset
+            from pydala2_spark.plans.snapshots import (
+                NON_ATOMIC_RENAME_SCHEMES,
+                SnapshotDataset,
+            )
 
             snap = SnapshotDataset(
                 self.spark, path, commit_publisher=self.commit_publisher
             )
+            # the catalog-wide publisher is meant for the object-store
+            # tables; a local/HDFS snapshot table keeps the (atomic,
+            # faster) rename lock — an S3 conditional-put hook would
+            # reject its schemeless manifest paths outright
+            if snap._effective_scheme() not in NON_ATOMIC_RENAME_SCHEMES:
+                snap.commit_publisher = None
             return snap if as_dataset else snap.read(entry.get("version"))
         cls = {"parquet": ParquetDataset, "csv": CSVDataset, "json": JSONDataset}.get(
             entry.get("format", "parquet"), ParquetDataset

@@ -180,14 +180,29 @@ class SnapshotDataset:
 
         return json.loads(read_text(self.spark, self._manifest_path(version)))
 
+    def _effective_scheme(self) -> str | None:
+        """The scheme commits will actually publish through: the
+        path's own scheme, or — for scheme-less paths — the scheme of
+        the Hadoop-QUALIFIED path, so ``fs.defaultFS=s3a://bucket``
+        deployments can't slip past the guard on a bare ``/warehouse``
+        path. Qualification needs the scheme's Hadoop connector; if it
+        can't resolve, fall back to the literal spelling."""
+        from pydala2_spark.plans.fs import qualified, uri_scheme
+
+        scheme = uri_scheme(self.path)
+        if scheme is not None:
+            return scheme
+        try:
+            return uri_scheme(qualified(self.spark, self.path))
+        except Exception:
+            return None
+
     def _publish_guard(self) -> None:
         """Refuse the rename-based publish on schemes where rename is
         not an atomic lock — raised BEFORE any data staging so a
         misconfigured 100 TB commit fails in milliseconds, not after
         the write."""
-        from pydala2_spark.plans.fs import uri_scheme
-
-        scheme = uri_scheme(self.path)
+        scheme = self._effective_scheme()
         if self.commit_publisher is None and scheme in NON_ATOMIC_RENAME_SCHEMES:
             raise UnsafeCommitError(
                 f"snapshot commit on {scheme}:// needs an atomic "
@@ -210,7 +225,6 @@ class SnapshotDataset:
             mkdirs,
             path_exists,
             rename,
-            uri_scheme,
             write_text,
         )
 

@@ -162,7 +162,7 @@ def _normalize_uri(path: str) -> str:
             f"file URI with an authority component is not supported: {path!r}"
         )
     p = _re.sub(r"^file:/{1,3}", "file:///", path)
-    return _re.sub(r"^s3a://", "s3://", p)
+    return _re.sub(r"^s3[an]://", "s3://", p)
 
 
 def _read_footer(path: str, registry: dict | None = None):

@@ -3377,7 +3377,13 @@ def hive_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = train_test_split(
         docs, test_fraction=0.1, val_fraction=0.05, salt="exp1"
     ).select("doc_id", "source", "n_chars", "split", "lang")
-    path = "/tmp/pydala2_spark_hive/" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # path salted per Spark application: two harness processes running
+    # this query against the same corpus must not overwrite each
+    # other's round-trip mid-read
+    token = hashlib.md5(
+        (sf_dir + ":" + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:10]
+    path = "/tmp/pydala2_spark_hive/" + token
     Writer(spark, path).write(split, mode="overwrite", partition_by=["split", "lang"])
     ds = Dataset(path, spark=spark, partitioning=["split", "lang"])
     return ds.filter("split = 'train' AND lang = 'en'").select(

@@ -533,12 +533,14 @@ class ParquetDataset(BaseDataset):
 
         return read_pruned(self.spark, self.path, column, lo, hi)
 
-    def snapshots(self):
+    def snapshots(self, commit_publisher=None):
         """Snapshot view over this dataset's directory (plans/
-        snapshots.py): atomic commits, time travel, rollback, vacuum."""
+        snapshots.py): atomic commits, time travel, rollback, vacuum.
+        ``commit_publisher`` is the object-store commit hook (see
+        ``plans/snapshots.py`` — required to commit on s3a/gs/abfs)."""
         from pydala2_spark.plans.snapshots import SnapshotDataset
 
-        return SnapshotDataset(self.spark, self.path)
+        return SnapshotDataset(self.spark, self.path, commit_publisher=commit_publisher)
 
     def build_bloom_index(self, column: str, **kw) -> dict:
         """Per-file bloom sidecar for point-lookup file skipping —

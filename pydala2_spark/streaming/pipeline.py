@@ -318,6 +318,7 @@ def snapshot_stream(
     mode: str = "append",
     partition_by: list[str] | None = None,
     ts_type: T.DataType | None = None,
+    commit_publisher=None,
 ) -> None:
     """Stream → snapshot-versioned dataset: each microbatch lands as
     one atomic manifest commit (plans/snapshots.py), so downstream
@@ -341,7 +342,9 @@ def snapshot_stream(
     cp_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        ds = SnapshotDataset(spark, target_path)
+        # commit_publisher: required for object-store targets — the
+        # snapshot layer refuses the racy rename lock there
+        ds = SnapshotDataset(spark, target_path, commit_publisher=commit_publisher)
         last = ds.last_stream_batch(cp_id)
         if last is not None and batch_id <= last:
             return  # replay of an already-committed batch

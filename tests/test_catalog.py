@@ -184,20 +184,30 @@ def test_catalog_snapshot_table_version_pinning(spark, tmp_path, catalog):
 
 def test_catalog_hands_commit_publisher_to_snapshot_tables(spark, tmp_path, catalog):
     """set_commit_publisher installs the object-store commit hook on
-    every snapshot table the catalog loads — the one-line config a
-    100 TB-on-S3 deployment needs (callables can't live in the YAML)."""
+    the snapshot tables that NEED it (object-store schemes) — the
+    one-line config a 100 TB-on-S3 deployment needs (callables can't
+    live in the YAML). Local snapshot tables keep the atomic rename
+    lock: an S3 conditional-put hook would reject their scheme-less
+    manifest paths, so handing it to them would BREAK working commits
+    in a mixed catalog."""
     from pydala2_spark.plans.snapshots import SnapshotDataset
 
     p = str(tmp_path / "snapds_pub")
     SnapshotDataset(spark, p).commit(spark.range(3).selectExpr("id"))
     catalog.create_table("ns.snappub", p, snapshot=True)
+    catalog.create_table("ns.snaps3", "s3a://bucket/versioned", snapshot=True)
     assert catalog.load("ns.snappub").commit_publisher is None
 
     def pub(uri, payload):  # pragma: no cover - identity only
         raise AssertionError("not called in this test")
 
     assert catalog.set_commit_publisher(pub) is catalog
-    assert catalog.load("ns.snappub").commit_publisher is pub
+    # object-store table gets the hook; local table keeps rename
+    assert catalog.load("ns.snaps3").commit_publisher is pub
+    assert catalog.load("ns.snappub").commit_publisher is None
+    # and the local table still COMMITS with the catalog-wide hook set
+    catalog.load("ns.snappub").commit(spark.range(2).selectExpr("id"))
+    assert catalog.load("ns.snappub").read().count() == 5
 
 
 def test_catalog_snapshot_table_full_surface(spark, tmp_path, catalog):

@@ -517,3 +517,31 @@ def test_s3_conditional_put_publisher_with_fake_client():
 
     with pytest.raises(Boom):
         s3_conditional_put_publisher(client=Bad())("s3://b/k.json", "{}")
+
+
+def test_publish_guard_and_stream_publisher_plumbing(spark, tmp_ds_path):
+    """Round-6 review regressions: (a) s3n URIs normalize like s3a in
+    the stats layer; (b) snapshot_stream and Dataset.snapshots()
+    accept commit_publisher (object-store targets were otherwise
+    impossible even for callers holding a valid hook); (c) a local
+    path's effective scheme is 'file'-or-None, so the guard stays
+    quiet there."""
+    import inspect
+
+    from pydala2_spark.plans.stats import _normalize_uri
+    from pydala2_spark.sources.dataset import Dataset
+    from pydala2_spark.streaming.pipeline import snapshot_stream
+
+    assert _normalize_uri("s3n://bucket/k") == "s3://bucket/k"
+    assert "commit_publisher" in inspect.signature(snapshot_stream).parameters
+    ds = SnapshotDataset(spark, tmp_ds_path)
+    assert ds._effective_scheme() in (None, "file")
+    ds.commit(_df(spark, 0, 3))  # guard quiet on local paths
+
+    # snapshots(commit_publisher=...) hands the hook through
+    def pub(uri, payload):  # pragma: no cover
+        raise AssertionError("not called")
+
+    d = Dataset(tmp_ds_path, spark=spark)
+    assert d.snapshots(commit_publisher=pub).commit_publisher is pub
+    assert d.snapshots().commit_publisher is None
