@@ -27,6 +27,7 @@ from pydala2_spark.sources.writer import Writer
 from pydala2_spark.operators.asof import asof_join
 from pydala2_spark.operators.merge import (
     MergeResult,
+    delete_where,
     merge,
     merge_frames,
     merge_scd2,
@@ -92,6 +93,7 @@ __all__ = [
     "JSONDataset",
     "Writer",
     "merge",
+    "delete_where",
     "merge_frames",
     "MergeResult",
     "PartialWriteError",

@@ -35,7 +35,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 VALID_STRATEGIES = ("insert", "update", "upsert")
@@ -595,3 +595,103 @@ def _discover_partitions(spark: SparkSession, path: str) -> list[str]:
         if names:
             return names
     return []
+
+
+def delete_where(
+    spark: SparkSession,
+    target_path: str,
+    predicate: str | Column,
+    partition_by: list[str] | None = None,
+    compression: str = "zstd",
+    max_rows_per_file: int = 10_000_000,
+) -> dict:
+    """Row-level predicate DELETE with file-selective rewrite — the
+    managed-dataset counterpart of SQL ``DELETE FROM t WHERE p``.
+
+    Semantics: rows where ``predicate`` is TRUE are removed; rows
+    where it is FALSE **or NULL** survive (the SQL DELETE rule —
+    three-valued logic never deletes on unknown). Only files that
+    actually CONTAIN a matching row are rewritten; the predicate
+    reaches the parquet scan, so min/max row-group pruning skips
+    non-matching files without reading data. Untouched files keep
+    their names — time travel over snapshots and downstream file-based
+    caches stay valid for them.
+
+    Failure contract: replacements append BEFORE originals delete
+    (same ordering as :func:`merge`); a failure in the window raises
+    :class:`~pydala2_spark.errors.PartialMergeError` whose
+    ``pending_deletes`` completes the operation.
+
+    Reference analogue: none — pydala2 deletes whole files/datasets
+    (`pydala/dataset.py` vacuum/delete); row-level delete is part of
+    the managed-table surface users expect from Delta/Iceberg.
+
+    100 TB shape: one pushed-down scan finds touched files, one scan
+    of ONLY those files writes replacements; cost scales with the data
+    under the predicate, not the dataset. Returns a dict with
+    ``deleted_rows``, ``rewritten_files``, ``preserved_files``,
+    ``matched_files``.
+    """
+    from pydala2_spark.plans.fs import delete_paths, list_files, path_exists
+
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    if not (path_exists(spark, target_path) and list_files(spark, target_path)):
+        return {
+            "deleted_rows": 0,
+            "matched_files": [],
+            "rewritten_files": [],
+            "preserved_files": [],
+        }
+    if partition_by is None:
+        partition_by = _discover_partitions(spark, target_path) or None
+
+    target = spark.read.parquet(target_path)
+    tagged = target.withColumn(_FILE, F.col("_metadata.file_path"))
+    # TRUE-only match: coalesce keeps NULL-predicate rows alive
+    hit = F.coalesce(pred, F.lit(False))
+
+    matched = tagged.filter(hit)
+    matched_files = [r[_FILE] for r in matched.select(_FILE).distinct().collect()]
+    if not matched_files:
+        return {
+            "deleted_rows": 0,
+            "matched_files": [],
+            "rewritten_files": [],
+            "preserved_files": list_files(spark, target_path),
+        }
+    deleted_rows = matched.count()
+    all_before = list_files(spark, target_path)
+
+    try:
+        survivors = tagged.filter(F.col(_FILE).isin(matched_files)).filter(
+            ~hit
+        ).drop(_FILE)
+        _append(survivors, target_path, partition_by, compression, max_rows_per_file)
+        rewritten = [f for f in list_files(spark, target_path) if f not in all_before]
+        if delete_paths(spark, matched_files) != len(matched_files):
+            still = [f for f in matched_files if path_exists(spark, f)]
+            if still:
+                from pydala2_spark.errors import PartialMergeError
+
+                raise PartialMergeError(
+                    f"delete_where rewrote {target_path!r} but {len(still)} "
+                    f"replaced file(s) could not be deleted",
+                    pending_deletes=still,
+                )
+    except Exception as e:
+        from pydala2_spark.errors import PartialMergeError
+
+        if isinstance(e, PartialMergeError):
+            raise
+        raise PartialMergeError(
+            f"delete_where mutated {target_path!r} but failed before "
+            f"completing: {e}",
+            pending_deletes=[],
+        ) from e
+
+    return {
+        "deleted_rows": deleted_rows,
+        "matched_files": matched_files,
+        "rewritten_files": rewritten,
+        "preserved_files": [f for f in all_before if f not in matched_files],
+    }

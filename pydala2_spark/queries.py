@@ -3392,6 +3392,40 @@ def hive_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delete_where_semantics",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE NOT coalesce(n_chars > 400 AND lang = 'en', FALSE)
+    """,
+)
+def delete_where_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level predicate DELETE, end to end: copy the corpus into a
+    managed dataset, ``delete_where`` the long English documents, and
+    return what SURVIVES on disk. The oracle is the complementary
+    SELECT with explicit three-valued-logic handling (NULL-predicate
+    rows survive). Verifies the file-selective rewrite preserves every
+    non-matching row bit-for-bit — not just the counts.
+
+    At 100 TB the matched-file discovery is one pushed-down scan
+    (min/max prunes clean files), and only files containing matches
+    rewrite — cost scales with data under the predicate, not the
+    dataset."""
+    import hashlib
+
+    from pydala2_spark.operators.merge import delete_where
+
+    token = hashlib.md5(
+        (sf_dir + ":" + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:10]
+    path = "/tmp/pydala2_spark_delete/" + token
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs.repartition(4).write.mode("overwrite").parquet(path)
+    delete_where(spark, path, "n_chars > 400 AND lang = 'en'")
+    return spark.read.parquet(path).select("doc_id", "lang", "n_chars")
+
+
+@query(
     "doc_unigram_logprob",
     """
     WITH toks AS (

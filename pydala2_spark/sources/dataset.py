@@ -513,6 +513,22 @@ class ParquetDataset(BaseDataset):
         self.clear_cache()
         return result
 
+    def delete_where(self, predicate, **kw) -> dict:
+        """Row-level predicate DELETE with file-selective rewrite —
+        see :func:`pydala2_spark.operators.merge.delete_where` (rows
+        where the predicate is NULL survive, SQL DELETE semantics)."""
+        from pydala2_spark.operators.merge import delete_where as _dw
+
+        out = _dw(
+            self.spark,
+            self.path,
+            predicate,
+            partition_by=self.partitioning or None,
+            **kw,
+        )
+        self.clear_cache()
+        return out
+
     # -- maintenance (M1-M8; `pydala/dataset.py:2033-2603`) --------------
 
     def file_stats(self) -> DataFrame:

@@ -217,3 +217,96 @@ def test_merge_source_families(spark, tmp_ds_path):
         ds = Dataset(f"{tmp_ds_path}_{i}", spark)
         r = ds.merge(src, strategy="upsert", key_columns=["id"])
         assert r.target_count_after == 1, type(src)
+
+
+# -- delete_where: row-level predicate delete (round 6) -----------------
+
+
+def test_delete_where_file_selective(spark, tmp_path):
+    """Only files containing matching rows rewrite; untouched files
+    keep their names; counts and survivors are exact."""
+    from pydala2_spark.operators.merge import delete_where
+    from pydala2_spark.plans.fs import list_files
+
+    p = str(tmp_path / "ds")
+    # three files with disjoint id ranges
+    for lo in (0, 100, 200):
+        spark.range(lo, lo + 50).selectExpr(
+            "id", "id % 7 AS grp"
+        ).coalesce(1).write.mode("append").parquet(p)
+    before = set(list_files(spark, p))
+    assert len(before) == 3
+
+    out = delete_where(spark, p, "id >= 100 AND id < 110")
+    assert out["deleted_rows"] == 10
+    assert len(out["matched_files"]) == 1  # min/max isolates one file
+    after = spark.read.parquet(p)
+    assert after.count() == 140
+    assert after.filter("id >= 100 AND id < 110").count() == 0
+    # the two untouched files survive by NAME
+    preserved = set(out["preserved_files"])
+    assert preserved <= before and len(preserved) == 2
+    assert preserved <= set(list_files(spark, p))
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    """SQL DELETE three-valued logic: rows where the predicate is
+    NULL are NOT deleted."""
+    from pydala2_spark.operators.merge import delete_where
+
+    p = str(tmp_path / "ds")
+    spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 50.0)], "id long, v double"
+    ).coalesce(1).write.parquet(p)
+    out = delete_where(spark, p, "v > 10")
+    assert out["deleted_rows"] == 1
+    left = {r["id"] for r in spark.read.parquet(p).collect()}
+    assert left == {1, 2}  # the NULL row survives
+
+
+def test_delete_where_noop_and_missing_target(spark, tmp_path):
+    from pydala2_spark.operators.merge import delete_where
+
+    p = str(tmp_path / "ds")
+    assert delete_where(spark, p, "id > 5")["deleted_rows"] == 0  # absent
+    spark.range(10).coalesce(1).write.parquet(p)
+    out = delete_where(spark, p, "id > 99")  # no matches
+    assert out["deleted_rows"] == 0 and out["rewritten_files"] == []
+    assert spark.read.parquet(p).count() == 10
+
+
+def test_delete_where_partitioned_dataset(spark, tmp_path):
+    """Rewrites land back in the right hive partitions; whole-partition
+    deletes leave the other partitions untouched."""
+    from pydala2_spark.sources.dataset import Dataset
+
+    p = str(tmp_path / "ds")
+    spark.range(100).selectExpr(
+        "id", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS part"
+    ).write.partitionBy("part").parquet(p)
+    ds = Dataset(p, spark=spark, partitioning=["part"])
+    out = ds.delete_where("part = 'a' AND id < 50")
+    assert out["deleted_rows"] == 25
+    left = ds.df
+    assert left.count() == 75
+    assert left.filter("part = 'a'").count() == 25
+    assert left.filter("part = 'b'").count() == 50
+    # partition column still rehydrates from directories
+    assert set(r["part"] for r in left.select("part").distinct().collect()) == {"a", "b"}
+
+
+def test_delete_where_predicate_pushdown(spark, tmp_path):
+    """The matched-file discovery scan pushes the predicate to parquet
+    (min/max row-group pruning does the skipping at scale)."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "ds")
+    spark.range(1000).coalesce(1).write.parquet(p)
+    tagged = spark.read.parquet(p).withColumn("__f", F.col("_metadata.file_path"))
+    plan = (
+        tagged.filter(F.coalesce(F.expr("id > 900"), F.lit(False)))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "id" in plan.split("PushedFilters:")[1][:120]
