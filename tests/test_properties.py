@@ -516,3 +516,76 @@ def test_snapshots_match_python_model_on_random_ops(spark, tmp_path):
     for v, want in model.items():
         got = frozenset(r["id"] for r in ds.read(version=v).collect())
         assert got == want, f"version {v}: {got} != {want}"
+
+
+# -- media codec round-trips over ARBITRARY arrays (round 6) ------------
+# pure-python + numpy; no Spark session needed
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 20),
+    st.integers(1, 20),
+    st.integers(0, 2**32 - 1),
+)
+def test_bmp_png_roundtrip_any_array(h, w, seed):
+    import numpy as np
+
+    from pydala2_spark.operators.multimodal import (
+        decode_image_pixels,
+        encode_bmp,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image_pixels(encode_bmp(arr)), arr)
+    nch = 1 + seed % 4
+    arr2 = rng.integers(0, 256, (h, w, nch), dtype=np.uint8)
+    assert np.array_equal(decode_image_pixels(encode_png(arr2)), arr2)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 16), st.integers(1, 16), st.integers(1, 8), st.integers(0, 2**32 - 1))
+def test_gif_roundtrip_any_palette(h, w, ncolors, seed):
+    import numpy as np
+
+    from pydala2_spark.operators.multimodal import decode_gif_pixels, encode_gif
+
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, (ncolors, 3), dtype=np.uint8)
+    arr = palette[rng.integers(0, ncolors, (h, w))]
+    assert np.array_equal(decode_gif_pixels(encode_gif(arr)), arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 200), st.integers(1, 2), st.integers(0, 2**32 - 1))
+def test_wav_pcm16_roundtrip_any_samples(n, ch, seed):
+    import numpy as np
+
+    from pydala2_spark.operators.multimodal import (
+        decode_wav_samples,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, (n, ch)).astype(np.int16)
+    rate, back = decode_wav_samples(encode_wav_pcm16(s, 8000))
+    assert rate == 8000 and np.array_equal(back, s.astype(np.int32))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 3), st.integers(1, 3), st.integers(0, 2**32 - 1))
+def test_jpeg_uniform_blocks_reconstruct_tightly(bh, bw, seed):
+    """Uniform 8x8 blocks are DC-only: any uniform color reconstructs
+    within ±2 at quality 95 (YCbCr round-trip + DC quantization)."""
+    import numpy as np
+
+    from pydala2_spark.operators.jpeg import decode_jpeg_pixels, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    color = rng.integers(0, 256, 3, dtype=np.uint8)
+    arr = np.tile(color, (bh * 8, bw * 8, 1)).astype(np.uint8)
+    back = decode_jpeg_pixels(encode_jpeg(arr, quality=95))
+    assert back.shape == arr.shape
+    assert int(np.abs(back.astype(int) - arr.astype(int)).max()) <= 2
