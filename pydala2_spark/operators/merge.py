@@ -635,7 +635,10 @@ def delete_where(
     from pydala2_spark.plans.fs import delete_paths, list_files, path_exists
 
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-    if not (path_exists(spark, target_path) and list_files(spark, target_path)):
+    all_before = (
+        list_files(spark, target_path) if path_exists(spark, target_path) else []
+    )
+    if not all_before:
         return {
             "deleted_rows": 0,
             "matched_files": [],
@@ -647,26 +650,31 @@ def delete_where(
 
     target = spark.read.parquet(target_path)
     tagged = target.withColumn(_FILE, F.col("_metadata.file_path"))
-    # TRUE-only match: coalesce keeps NULL-predicate rows alive
-    hit = F.coalesce(pred, F.lit(False))
+    matched = _delete_discovery(tagged, pred)
 
-    matched = tagged.filter(hit)
-    matched_files = [r[_FILE] for r in matched.select(_FILE).distinct().collect()]
+    # ONE job yields both the touched-file set and the row count
+    # (per-file partial counts collapse map-side; the predicate is
+    # pushed to the scan, so min/max row-group pruning skips clean
+    # files without reading data)
+    per_file = matched.groupBy(_FILE).count().collect()
+    matched_files = [r[_FILE] for r in per_file]
+    deleted_rows = int(sum(r["count"] for r in per_file))
     if not matched_files:
         return {
             "deleted_rows": 0,
             "matched_files": [],
             "rewritten_files": [],
-            "preserved_files": list_files(spark, target_path),
+            "preserved_files": all_before,
         }
-    deleted_rows = matched.count()
-    all_before = list_files(spark, target_path)
 
+    appended = False
     try:
+        hit = F.coalesce(pred, F.lit(False))
         survivors = tagged.filter(F.col(_FILE).isin(matched_files)).filter(
             ~hit
         ).drop(_FILE)
         _append(survivors, target_path, partition_by, compression, max_rows_per_file)
+        appended = True
         rewritten = [f for f in list_files(spark, target_path) if f not in all_before]
         if delete_paths(spark, matched_files) != len(matched_files):
             still = [f for f in matched_files if path_exists(spark, f)]
@@ -683,10 +691,14 @@ def delete_where(
 
         if isinstance(e, PartialMergeError):
             raise
+        # replacements published → the recovery step is exactly
+        # "delete pending_deletes" (same contract as merge); a failed
+        # append publishes nothing (committer stages in _temporary),
+        # so nothing is pending then
         raise PartialMergeError(
             f"delete_where mutated {target_path!r} but failed before "
             f"completing: {e}",
-            pending_deletes=[],
+            pending_deletes=matched_files if appended else [],
         ) from e
 
     return {
@@ -695,3 +707,11 @@ def delete_where(
         "rewritten_files": rewritten,
         "preserved_files": [f for f in all_before if f not in matched_files],
     }
+
+
+def _delete_discovery(tagged: DataFrame, pred: Column) -> DataFrame:
+    """The touched-row frame ``delete_where`` scans: TRUE-only match
+    (coalesce keeps NULL-predicate rows alive) over the file-tagged
+    target. Factored out so plan tests exercise the REAL discovery
+    expression, not a re-implementation."""
+    return tagged.filter(F.coalesce(pred, F.lit(False)))

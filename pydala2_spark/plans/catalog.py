@@ -426,20 +426,14 @@ class Catalog:
             # branch sits AFTER the filesystem-profile block so an
             # s3-profiled snapshot table gets its credentials and
             # scheme rewrite like any other entry.
-            from pydala2_spark.plans.snapshots import (
-                NON_ATOMIC_RENAME_SCHEMES,
-                SnapshotDataset,
-            )
+            from pydala2_spark.plans.snapshots import SnapshotDataset
 
-            snap = SnapshotDataset(
+            # for_path applies the catalog-wide publisher only to
+            # object-store tables; local/HDFS tables keep the atomic
+            # rename lock (see SnapshotDataset.for_path)
+            snap = SnapshotDataset.for_path(
                 self.spark, path, commit_publisher=self.commit_publisher
             )
-            # the catalog-wide publisher is meant for the object-store
-            # tables; a local/HDFS snapshot table keeps the (atomic,
-            # faster) rename lock — an S3 conditional-put hook would
-            # reject its schemeless manifest paths outright
-            if snap._effective_scheme() not in NON_ATOMIC_RENAME_SCHEMES:
-                snap.commit_publisher = None
             return snap if as_dataset else snap.read(entry.get("version"))
         cls = {"parquet": ParquetDataset, "csv": CSVDataset, "json": JSONDataset}.get(
             entry.get("format", "parquet"), ParquetDataset

@@ -151,6 +151,21 @@ class SnapshotDataset:
         self.snapshots_dir = f"{self.path}/_snapshots"
         self.commit_publisher = commit_publisher
 
+    @classmethod
+    def for_path(cls, spark: SparkSession, path: str, commit_publisher=None):
+        """Construct with ``commit_publisher`` applied ONLY where it is
+        needed (object-store schemes). Deployment-wide wiring (catalog,
+        streaming sinks, the Dataset facade) goes through here so a
+        configured S3 hook cannot break local/HDFS datasets — their
+        atomic rename lock is both safe and faster, and an S3
+        conditional-PUT publisher would reject their scheme-less
+        manifest paths outright. Direct construction keeps the
+        publisher unconditionally (explicit per-dataset choice)."""
+        ds = cls(spark, path, commit_publisher=commit_publisher)
+        if ds._effective_scheme() not in NON_ATOMIC_RENAME_SCHEMES:
+            ds.commit_publisher = None
+        return ds
+
     # -- manifest plumbing ------------------------------------------------
 
     def versions(self) -> list[int]:

@@ -58,6 +58,35 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _app_scoped_tmp(spark: SparkSession, sf_dir: str, prefix: str) -> str:
+    """Scratch dataset path for side-effecting queries, salted with
+    the Spark applicationId so concurrent harness runs against the
+    same corpus can't overwrite each other's round-trip mid-read.
+    Leftovers from FINISHED runs are pruned on entry (mtime older than
+    2 h — far beyond any single harness run, so a live concurrent
+    app's directory is never touched), which keeps repeated bench/CI
+    invocations from growing /tmp without bound."""
+    import hashlib
+    import os
+    import shutil
+    import time
+
+    root = f"/tmp/{prefix}"
+    os.makedirs(root, exist_ok=True)
+    cutoff = time.time() - 2 * 3600
+    for d in os.listdir(root):
+        p = os.path.join(root, d)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass  # concurrently removed — fine
+    token = hashlib.md5(
+        (sf_dir + ":" + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:10]
+    return os.path.join(root, token)
+
+
 # ---------------------------------------------------------------------
 # Determinism helpers.
 #
@@ -3367,8 +3396,6 @@ def hive_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     at planning time (`PartitionFilters` — plan-asserted in
     tests/test_verbs_plans.py) and the scan reads only ``train/en``
     files."""
-    import hashlib
-
     from pydala2_spark.operators.curate import train_test_split
     from pydala2_spark.sources.dataset import Dataset
     from pydala2_spark.sources.writer import Writer
@@ -3377,13 +3404,7 @@ def hive_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = train_test_split(
         docs, test_fraction=0.1, val_fraction=0.05, salt="exp1"
     ).select("doc_id", "source", "n_chars", "split", "lang")
-    # path salted per Spark application: two harness processes running
-    # this query against the same corpus must not overwrite each
-    # other's round-trip mid-read
-    token = hashlib.md5(
-        (sf_dir + ":" + spark.sparkContext.applicationId).encode()
-    ).hexdigest()[:10]
-    path = "/tmp/pydala2_spark_hive/" + token
+    path = _app_scoped_tmp(spark, sf_dir, "pydala2_spark_hive")
     Writer(spark, path).write(split, mode="overwrite", partition_by=["split", "lang"])
     ds = Dataset(path, spark=spark, partitioning=["split", "lang"])
     return ds.filter("split = 'train' AND lang = 'en'").select(
@@ -3411,14 +3432,9 @@ def delete_where_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min/max prunes clean files), and only files containing matches
     rewrite — cost scales with data under the predicate, not the
     dataset."""
-    import hashlib
-
     from pydala2_spark.operators.merge import delete_where
 
-    token = hashlib.md5(
-        (sf_dir + ":" + spark.sparkContext.applicationId).encode()
-    ).hexdigest()[:10]
-    path = "/tmp/pydala2_spark_delete/" + token
+    path = _app_scoped_tmp(spark, sf_dir, "pydala2_spark_delete")
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     docs.repartition(4).write.mode("overwrite").parquet(path)
     delete_where(spark, path, "n_chars > 400 AND lang = 'en'")

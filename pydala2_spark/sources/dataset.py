@@ -553,10 +553,13 @@ class ParquetDataset(BaseDataset):
         """Snapshot view over this dataset's directory (plans/
         snapshots.py): atomic commits, time travel, rollback, vacuum.
         ``commit_publisher`` is the object-store commit hook (see
-        ``plans/snapshots.py`` — required to commit on s3a/gs/abfs)."""
+        ``plans/snapshots.py`` — required to commit on s3a/gs/abfs;
+        dropped automatically on atomic-rename filesystems)."""
         from pydala2_spark.plans.snapshots import SnapshotDataset
 
-        return SnapshotDataset(self.spark, self.path, commit_publisher=commit_publisher)
+        return SnapshotDataset.for_path(
+            self.spark, self.path, commit_publisher=commit_publisher
+        )
 
     def build_bloom_index(self, column: str, **kw) -> dict:
         """Per-file bloom sidecar for point-lookup file skipping —

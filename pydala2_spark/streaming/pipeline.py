@@ -343,8 +343,11 @@ def snapshot_stream(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         # commit_publisher: required for object-store targets — the
-        # snapshot layer refuses the racy rename lock there
-        ds = SnapshotDataset(spark, target_path, commit_publisher=commit_publisher)
+        # snapshot layer refuses the racy rename lock there; for_path
+        # drops it on local/HDFS targets where rename is already atomic
+        ds = SnapshotDataset.for_path(
+            spark, target_path, commit_publisher=commit_publisher
+        )
         last = ds.last_stream_batch(cp_id)
         if last is not None and batch_id <= last:
             return  # replay of an already-committed batch

@@ -297,14 +297,18 @@ def test_delete_where_partitioned_dataset(spark, tmp_path):
 
 def test_delete_where_predicate_pushdown(spark, tmp_path):
     """The matched-file discovery scan pushes the predicate to parquet
-    (min/max row-group pruning does the skipping at scale)."""
+    (min/max row-group pruning does the skipping at scale) — asserted
+    on the REAL discovery frame delete_where scans (_delete_discovery),
+    not a re-implementation."""
     from pyspark.sql import functions as F
+
+    from pydala2_spark.operators.merge import _FILE, _delete_discovery
 
     p = str(tmp_path / "ds")
     spark.range(1000).coalesce(1).write.parquet(p)
-    tagged = spark.read.parquet(p).withColumn("__f", F.col("_metadata.file_path"))
+    tagged = spark.read.parquet(p).withColumn(_FILE, F.col("_metadata.file_path"))
     plan = (
-        tagged.filter(F.coalesce(F.expr("id > 900"), F.lit(False)))
+        _delete_discovery(tagged, F.expr("id > 900"))
         ._jdf.queryExecution()
         .executedPlan()
         .toString()

@@ -538,10 +538,21 @@ def test_publish_guard_and_stream_publisher_plumbing(spark, tmp_ds_path):
     assert ds._effective_scheme() in (None, "file")
     ds.commit(_df(spark, 0, 3))  # guard quiet on local paths
 
-    # snapshots(commit_publisher=...) hands the hook through
+    # snapshots(commit_publisher=...) routes through for_path: the
+    # hook sticks on object-store paths and is DROPPED on local ones
+    # (rename is already atomic there; an S3 hook would reject the
+    # scheme-less manifest path)
     def pub(uri, payload):  # pragma: no cover
         raise AssertionError("not called")
 
     d = Dataset(tmp_ds_path, spark=spark)
-    assert d.snapshots(commit_publisher=pub).commit_publisher is pub
-    assert d.snapshots().commit_publisher is None
+    assert d.snapshots(commit_publisher=pub).commit_publisher is None
+    assert (
+        SnapshotDataset.for_path(
+            spark, "s3a://bucket/ds", commit_publisher=pub
+        ).commit_publisher
+        is pub
+    )
+    # direct construction keeps the publisher (explicit choice — the
+    # O_EXCL local-publisher test above depends on it)
+    assert SnapshotDataset(spark, tmp_ds_path, commit_publisher=pub).commit_publisher is pub
