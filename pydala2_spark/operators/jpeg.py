@@ -416,19 +416,32 @@ def _flat_table(symbols: list[int]):
     return bits, bytes(symbols), enc
 
 
-def encode_jpeg(arr, quality: int = 90, restart_interval: int = 0) -> bytes:
+def encode_jpeg(
+    arr, quality: int = 90, restart_interval: int = 0, subsampling: str = "444"
+) -> bytes:
     """Encode ``(H, W, 3) uint8`` RGB (or 2-D gray) as a baseline
-    4:4:4 JPEG. Lossy by nature — the decoder round-trip is pinned
-    within a quality-dependent error bound in tests.
-    ``restart_interval`` emits DRI + RSTn markers every N MCUs (the
-    error-resilience feature real encoders use; here it also pins the
-    decoder's restart resynchronization)."""
+    JPEG. Lossy by nature — the decoder round-trip is pinned within a
+    quality-dependent error bound in tests.
+
+    ``subsampling``: ``"444"`` (default), ``"422"``, or ``"420"`` —
+    chroma planes box-average down by the sampling factors and the
+    MCU interleaves Y blocks with the subsampled chroma blocks, the
+    layout virtually every camera/web JPEG uses (and the decoder's
+    chroma-upsample path round-trips natively). Gray input is always
+    single-component. ``restart_interval`` emits DRI + RSTn markers
+    every N MCUs (the error-resilience feature real encoders use; it
+    also pins the decoder's restart resynchronization)."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     if gray:
         a = a[:, :, None]
     h, w = a.shape[:2]
     nc = 1 if gray else 3
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError(f"subsampling must be 444|422|420, got {subsampling!r}")
+    sh, sv = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsampling]
+    if gray:
+        sh = sv = 1
     if not gray:
         rf = a[:, :, 0].astype(np.float64)
         gf = a[:, :, 1].astype(np.float64)
@@ -442,7 +455,38 @@ def encode_jpeg(arr, quality: int = 90, restart_interval: int = 0) -> bytes:
         planes = [a[:, :, 0].astype(np.float64)]
     ql = _scaled_quant(QUANT_LUMA, quality)
     qc = _scaled_quant(QUANT_CHROMA, quality)
-    quants = [ql] + [qc] * (nc - 1)
+
+    # components: (plane, quant, (h_samp, v_samp)); chroma planes
+    # box-average down by the sampling factors
+    def _boxdown(p, fx, fy):
+        if fx == 1 and fy == 1:
+            return p
+        ph = -(-p.shape[0] // fy) * fy
+        pw = -(-p.shape[1] // fx) * fx
+        pp = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+        return pp.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+
+    comps = [(planes[0], ql, (sh, sv))]
+    for cp in planes[1:]:
+        comps.append((_boxdown(cp, sh, sv), qc, (1, 1)))
+
+    mcu_w, mcu_h = 8 * sh, 8 * sv
+    mcus_x = -(-w // mcu_w)
+    mcus_y = -(-h // mcu_h)
+    # pad every plane (edge replication) to its full MCU-grid size
+    padded = []
+    for p, q, (ch_, cv_) in comps:
+        th = mcus_y * cv_ * 8
+        tw = mcus_x * ch_ * 8
+        padded.append(
+            (
+                np.pad(
+                    p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+                ),
+                q,
+                (ch_, cv_),
+            )
+        )
 
     dc_syms = list(range(12))
     ac_syms = sorted({0x00, 0xF0} | {(run << 4) | size for run in range(16) for size in range(1, 11)})
@@ -450,64 +494,63 @@ def encode_jpeg(arr, quality: int = 90, restart_interval: int = 0) -> bytes:
     ac_bits, ac_vals, ac_enc = _flat_table(ac_syms)
 
     bw_ = _BitWriter()
-    bh = -(-h // 8)
-    bwid = -(-w // 8)
     pred = [0] * nc
+
+    def emit_block(plane, q, y0, x0, ci):
+        block = plane[y0 : y0 + 8, x0 : x0 + 8]
+        Fc = _T @ (block - 128.0) @ _T.T
+        # quantize + emit in zigzag scan order (DQT is written in the
+        # same order, per spec)
+        zz = np.rint(Fc.reshape(64)[ZIGZAG] / q[ZIGZAG]).astype(np.int32)
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        size = _category(diff)
+        code, ln = dc_enc[size]
+        bw_.write(code, ln)
+        if size:
+            v = diff if diff >= 0 else diff + (1 << size) - 1
+            bw_.write(v, size)
+        run = 0
+        last_nz = 63
+        while last_nz > 0 and zz[last_nz] == 0:
+            last_nz -= 1
+        for k in range(1, last_nz + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c0, l0 = ac_enc[0xF0]
+                bw_.write(c0, l0)
+                run -= 16
+            size = _category(v)
+            code, ln = ac_enc[(run << 4) | size]
+            bw_.write(code, ln)
+            bw_.write(v if v >= 0 else v + (1 << size) - 1, size)
+            run = 0
+        if last_nz < 63:
+            c0, l0 = ac_enc[0x00]
+            bw_.write(c0, l0)  # EOB
+
     mcu = 0
     rst = 0
-    for by in range(bh):
-        for bx in range(bwid):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 bw_.restart(rst)
                 rst += 1
                 pred = [0] * nc
             mcu += 1
-            for ci in range(nc):
-                p = planes[ci]
-                block = np.full((8, 8), p[min(by * 8, h - 1), min(bx * 8, w - 1)])
-                ys = min(8, h - by * 8)
-                xs = min(8, w - bx * 8)
-                block[:ys, :xs] = p[by * 8 : by * 8 + ys, bx * 8 : bx * 8 + xs]
-                # edge replication for partial blocks
-                if ys < 8:
-                    block[ys:, :xs] = block[ys - 1, :xs]
-                if xs < 8:
-                    block[:, xs:] = block[:, xs - 1 : xs]
-                F = _T @ (block - 128.0) @ _T.T
-                # quantize + emit in zigzag scan order (DQT is written
-                # in the same order, per spec)
-                zz = np.rint(F.reshape(64)[ZIGZAG] / quants[ci][ZIGZAG]).astype(
-                    np.int32
-                )
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                size = _category(diff)
-                code, ln = dc_enc[size]
-                bw_.write(code, ln)
-                if size:
-                    v = diff if diff >= 0 else diff + (1 << size) - 1
-                    bw_.write(v, size)
-                run = 0
-                last_nz = 63
-                while last_nz > 0 and zz[last_nz] == 0:
-                    last_nz -= 1
-                for k in range(1, last_nz + 1):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        c0, l0 = ac_enc[0xF0]
-                        bw_.write(c0, l0)
-                        run -= 16
-                    size = _category(v)
-                    code, ln = ac_enc[(run << 4) | size]
-                    bw_.write(code, ln)
-                    bw_.write(v if v >= 0 else v + (1 << size) - 1, size)
-                    run = 0
-                if last_nz < 63:
-                    c0, l0 = ac_enc[0x00]
-                    bw_.write(c0, l0)  # EOB
+            for ci, (plane, q, (ch_, cv_)) in enumerate(padded):
+                for by in range(cv_):
+                    for bx in range(ch_):
+                        emit_block(
+                            plane,
+                            q,
+                            (my * cv_ + by) * 8,
+                            (mx * ch_ + bx) * 8,
+                            ci,
+                        )
     bw_.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -521,7 +564,8 @@ def encode_jpeg(arr, quality: int = 90, restart_interval: int = 0) -> bytes:
         out += seg(0xDB, b"\x01" + bytes(zz_c))
     sof = b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
     for ci in range(nc):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        samp = (sh << 4) | sv if ci == 0 else 0x11
+        sof += bytes([ci + 1, samp, 0 if ci == 0 else 1])
     out += seg(0xC0, sof)
     if restart_interval:
         out += seg(0xDD, restart_interval.to_bytes(2, "big"))

@@ -1289,3 +1289,35 @@ def test_scheme_registry_s3a_alias(tmp_path):
         assert got2 is fs
     finally:
         unregister_scheme_filesystem("s3a")
+
+
+def test_jpeg_subsampled_roundtrip():
+    """4:2:2 / 4:2:0 encoding (the layout nearly every real JPEG uses)
+    round-trips through the decoder's chroma-upsample path natively:
+    bounded error on smooth gradients, exact-ish on uniform color,
+    restart markers + odd dimensions composable."""
+    import numpy as np
+
+    from pydala2_spark.operators.jpeg import decode_jpeg_pixels, encode_jpeg
+
+    y, x = np.mgrid[0:40, 0:36]
+    g = (x * 3 + y * 2).astype(np.uint8)
+    arr = np.stack([g, g // 2 + 40, 255 - g], axis=2)
+    for ss, bound in (("444", 3), ("422", 6), ("420", 8)):
+        back = decode_jpeg_pixels(encode_jpeg(arr, quality=95, subsampling=ss))
+        assert back.shape == arr.shape
+        assert int(np.abs(back.astype(int) - arr.astype(int)).max()) <= bound, ss
+    # uniform color: chroma is constant, so subsampling loses nothing
+    flat = np.full((24, 40, 3), 0, np.uint8)
+    flat[:] = (200, 30, 90)
+    back = decode_jpeg_pixels(encode_jpeg(flat, quality=95, subsampling="420"))
+    assert int(np.abs(back.astype(int) - flat.astype(int)).max()) <= 2
+    # odd dims + restart markers compose with 4:2:0 MCUs
+    odd = arr[:37, :33]
+    back = decode_jpeg_pixels(
+        encode_jpeg(odd, quality=92, subsampling="420", restart_interval=2)
+    )
+    assert back.shape == odd.shape
+    assert int(np.abs(back.astype(int) - odd.astype(int)).max()) <= 10
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(arr, subsampling="411")
