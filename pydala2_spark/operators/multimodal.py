@@ -252,7 +252,9 @@ def parse_wav_header(payload: bytes) -> tuple[int, int, int] | None:
     while i + 8 <= len(payload):
         cid = payload[i : i + 4]
         clen = int.from_bytes(payload[i + 4 : i + 8], "little")
-        if cid == b"fmt " and i + 24 <= len(payload):
+        # same clen >= 16 guard as decode_wav_samples: short fmt chunks
+        # must not read parameters out of the following chunk's header
+        if cid == b"fmt " and clen >= 16 and i + 24 <= len(payload):
             ch = int.from_bytes(payload[i + 10 : i + 12], "little")
             rate = int.from_bytes(payload[i + 12 : i + 16], "little")
             bits = int.from_bytes(payload[i + 22 : i + 24], "little")
@@ -348,20 +350,108 @@ def _parse_pnm_header(payload: bytes):
     return w, h, channels, maxval, i + 1
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass, the
+# order scanlines are stored in an interlaced PNG (ISO/IEC 15948 §8.2)
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 2, 4),
+    (0, 2, 2, 4),
+    (1, 0, 1, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw: bytes, pos: int, h: int, rowbytes: int, bpp: int):
+    """Unfilter ``h`` scanlines of ``rowbytes`` bytes each starting at
+    ``raw[pos]`` (each prefixed by its 1-byte filter type), with the
+    spec's byte-wise predictors at pixel width ``bpp`` bytes. Returns
+    ``(uint8 array (h, rowbytes), next_pos)`` or None on an invalid
+    filter byte. Sub/Average/Paeth carry intra-row dependencies —
+    sequential per byte, the cost the C-codec fast path exists for."""
+    import numpy as np
+
+    out = np.zeros((h, rowbytes), np.int32)
+    prev = np.zeros(rowbytes, np.int32)
+    for y in range(h):
+        f = raw[pos]
+        row = np.frombuffer(raw, np.uint8, rowbytes, pos + 1).astype(np.int32)
+        pos += rowbytes + 1
+        if f == 0:
+            cur = row
+        elif f == 1:  # Sub: left neighbor (sequential in x)
+            cur = row
+            for x in range(bpp, rowbytes):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif f == 2:  # Up: vectorized
+            cur = (row + prev) & 0xFF
+        elif f == 3:  # Average
+            cur = row
+            for x in range(rowbytes):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = row
+            for x in range(rowbytes):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            return None  # invalid filter type
+        out[y] = cur
+        prev = cur
+    return out.astype(np.uint8), pos
+
+
+def _png_rows_to_samples(rows, w: int, nch: int, bitd: int, palette: bool):
+    """Unfiltered scanline bytes ``(h, rowbytes)`` → ``(h, w, nch)``
+    uint8 samples. 16-bit samples reduce to their most-significant
+    byte (the standard 16→8 reduction — exact for the common
+    8-bit-content-in-16-bit-container case); sub-8-bit grayscale
+    scales to full range (``v * 255 / (2^d - 1)``, the spec's sample
+    interpretation); sub-8-bit palette keeps raw indexes."""
+    import numpy as np
+
+    h = rows.shape[0]
+    if bitd == 8:
+        return rows[:, : w * nch].reshape(h, w, nch)
+    if bitd == 16:
+        # big-endian sample pairs; MSB is byte 0 of each pair
+        return rows[:, : w * nch * 2].reshape(h, w * nch, 2)[:, :, 0].reshape(h, w, nch)
+    # bitd 1/2/4 — always single-channel (gray or palette indexes);
+    # samples pack MSB-first within each byte
+    bits = np.unpackbits(rows, axis=1)
+    vals = bits.reshape(h, -1, bitd)
+    weights = (1 << np.arange(bitd - 1, -1, -1)).astype(np.uint8)
+    samples = (vals * weights).sum(axis=2).astype(np.int32)[:, :w]
+    if not palette:
+        samples = samples * 255 // ((1 << bitd) - 1)
+    return samples.astype(np.uint8).reshape(h, w, 1)
+
+
 def decode_png_pixels(payload: bytes):
     """REAL PNG pixel decode with nothing but stdlib zlib + numpy:
     chunk walk → IDAT inflate → per-scanline unfilter (all five filter
     types: None/Sub/Up/Average/Paeth) → palette expansion. Supports
-    the 8-bit-depth color types (gray / RGB / palette / gray+alpha /
-    RGBA), non-interlaced; 16-bit depth and Adam7 return None (stub
-    ladder). Palette images expand to RGB — note the HEADER parser
-    reports palette images as 1 channel (index samples); decoded
-    pixels are the expanded truth.
+    every legal IHDR shape: bit depths 1/2/4/8/16 across gray / RGB /
+    palette / gray+alpha / RGBA, non-interlaced AND Adam7 interlaced
+    (seven per-pass sub-images unfiltered independently, then
+    scattered into the full grid). 16-bit samples reduce to their
+    most-significant byte; sub-8-bit grayscale scales to [0, 255].
+    Palette images expand to RGB — note the HEADER parser reports
+    palette images as 1 channel (index samples); decoded pixels are
+    the expanded truth.
 
     Per-row Python cost is real for the sequential filters (Sub/
-    Average/Paeth carry intra-row dependencies); production swaps in a
-    C codec behind the identical signature — correctness here is
-    pinned by forward-filter round-trip tests over every filter type.
+    Average/Paeth carry intra-row dependencies); decode_image_pixels
+    prefers the Pillow C codec when importable behind the identical
+    signature — correctness here is pinned by forward-filter
+    round-trip tests over every filter type.
     """
     import zlib
 
@@ -391,13 +481,47 @@ def decode_png_pixels(payload: bytes):
             break
         i += 12 + clen  # length + type + data + crc
     nch_map = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
-    if not idat or not w or not h or bitd != 8 or ct not in nch_map or interlace != 0:
+    # legal IHDR combinations (ISO/IEC 15948 table 11.1): sub-8-bit
+    # depths only for gray/palette; 16-bit never for palette
+    depth_ok = {
+        0: (1, 2, 4, 8, 16),
+        2: (8, 16),
+        3: (1, 2, 4, 8),
+        4: (8, 16),
+        6: (8, 16),
+    }
+    if (
+        not idat
+        or not w
+        or not h
+        or ct not in nch_map
+        or bitd not in depth_ok.get(ct, ())
+        or interlace not in (0, 1)
+    ):
         return None
     if w * h > 64_000_000:  # decompression-bomb guard (≈256 MB RGBA)
         return None
+    # Payload-relative amplification guard (same family as jpeg.py's
+    # 2000x decoded/encoded cap): deflate expands at most ~1032x, so a
+    # complete stream always satisfies w*h <= 1032*len(payload) —
+    # anything above is a truncated claim or a zlib bomb, and rejecting
+    # it here skips the per-byte Python unfilter work entirely.
+    if w * h > 2000 * max(64, len(payload)):
+        return None
     nch = nch_map[ct]
-    stride = w * nch
-    need = h * (stride + 1)
+    bpp = max(1, nch * bitd // 8)  # filter pixel width in whole bytes
+
+    def rowbytes(width: int) -> int:
+        return (width * nch * bitd + 7) // 8
+
+    if interlace == 0:
+        passes = [(0, 0, 1, 1, w, h)]
+    else:
+        passes = [
+            (x0, y0, dx, dy, (w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy)
+            for x0, y0, dx, dy in _ADAM7
+        ]
+    need = sum(ph * (rowbytes(pw) + 1) for *_, pw, ph in passes if pw and ph)
     try:
         # cap inflation at exactly the scanline bytes we need — a
         # small IDAT declaring huge dims can't allocate past the
@@ -408,41 +532,16 @@ def decode_png_pixels(payload: bytes):
         return None
     if len(raw) < need:
         return None
-    out = np.zeros((h, stride), np.int32)
-    prev = np.zeros(stride, np.int32)
+    arr = np.zeros((h, w, nch), np.uint8)
     pos = 0
-    for y in range(h):
-        f = raw[pos]
-        row = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
-        pos += stride + 1
-        if f == 0:
-            cur = row
-        elif f == 1:  # Sub: left neighbor (sequential in x)
-            cur = row
-            for x in range(nch, stride):
-                cur[x] = (cur[x] + cur[x - nch]) & 0xFF
-        elif f == 2:  # Up: vectorized
-            cur = (row + prev) & 0xFF
-        elif f == 3:  # Average
-            cur = row
-            for x in range(stride):
-                left = cur[x - nch] if x >= nch else 0
-                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            cur = row
-            for x in range(stride):
-                a = cur[x - nch] if x >= nch else 0
-                b = prev[x]
-                c = prev[x - nch] if x >= nch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (cur[x] + pred) & 0xFF
-        else:
-            return None  # invalid filter type
-        out[y] = cur
-        prev = cur
-    arr = out.astype(np.uint8).reshape(h, w, nch)
+    for x0, y0, dx, dy, pw, ph in passes:
+        if not pw or not ph:
+            continue  # pass empty for these dims (small images)
+        res = _png_unfilter(raw, pos, ph, rowbytes(pw), bpp)
+        if res is None:
+            return None
+        rows, pos = res
+        arr[y0::dy, x0::dx] = _png_rows_to_samples(rows, pw, nch, bitd, ct == 3)
     if ct == 3:  # palette indexes -> RGB
         if plte is None or len(plte) < 3:
             return None
@@ -553,6 +652,12 @@ def decode_gif_pixels(payload: bytes):
                 ln = payload[pos]
                 data += payload[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
+            # GIF LZW expands at most ~2731x (12-bit code cap: a code
+            # emits <=4096 pixels per ~1.5 bytes), so dims claiming
+            # more than 4096 pixels per compressed byte are provably
+            # invalid — reject before the pure-Python LZW loop runs.
+            if w * h > 4096 * max(16, len(data)):
+                return None
             idx = _lzw_decode(mcs, bytes(data), w * h)
             if idx is None:
                 return None
@@ -684,16 +789,84 @@ def encode_png(arr) -> bytes:
     )
 
 
-def decode_image_pixels(payload: bytes):
+_PIL_CACHE: list = []  # memoized [Image_module_or_None]
+
+
+def _load_pil():
+    """Resolve ``PIL.Image`` once per process — None when Pillow is
+    absent (this container). Split out as a module-level hook so tests
+    can monkeypatch a fake codec and pin the ladder's preference
+    order without the real dependency."""
+    if not _PIL_CACHE:
+        try:
+            from PIL import Image  # type: ignore
+
+            _PIL_CACHE.append(Image)
+        except Exception:
+            _PIL_CACHE.append(None)
+    return _PIL_CACHE[0]
+
+
+def _codec_decode_lossless(payload: bytes):
+    """C-codec fast path: decode via Pillow when importable. Only ever
+    invoked for payloads where the codec output is BIT-IDENTICAL to
+    the pure-Python kernels (lossless containers have exactly one
+    correct pixel grid), so swapping it in cannot move any oracle —
+    but it replaces the per-byte Python unfilter/LZW loops with
+    libpng/giflib, the ~100x production win the scale notes call for.
+    Returns None when Pillow is absent or refuses the payload; the
+    caller falls back to the deterministic pure-Python kernel."""
+    Image = _load_pil()
+    if Image is None:
+        return None
+    import io
+
+    import numpy as np
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            # header-only at this point; apply the same bomb guard the
+            # pure kernels enforce BEFORE pixel allocation
+            if im.width * im.height > 64_000_000:
+                return None
+            if im.mode == "P":
+                # match the pure-Python decoders' palette expansion
+                im = im.convert("RGB")
+            arr = np.asarray(im)
+    except Exception:
+        return None
+    if arr.dtype != np.uint8:
+        return None  # 16-bit etc: pure kernel owns the semantics
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.size == 0:
+        return None
+    return np.ascontiguousarray(arr)
+
+
+def decode_image_pixels(payload: bytes, prefer_codec: str = "auto"):
     """REAL pixel decode: ``(H, W, C) uint8`` numpy array for every
     common image container, all dependency-free — BMP 24/32-bit BI_RGB
     (bottom-up and top-down, row padding honored, BGR→RGB), binary
-    netpbm P6/P5, 8-bit non-interlaced PNG (stdlib zlib inflate +
-    scanline unfilter, :func:`decode_png_pixels`), GIF (pure-Python
+    netpbm P6/P5, PNG at every legal bit depth incl. 16-bit and Adam7
+    (stdlib zlib inflate + scanline unfilter,
+    :func:`decode_png_pixels`), GIF (pure-Python
     LZW + palette + deinterlace, :func:`decode_gif_pixels`), and
     baseline JPEG (Huffman entropy decode + dequant + IDCT + YCbCr,
-    `operators/jpeg.decode_jpeg_pixels`) — or None (progressive JPEG /
-    16-bit / Adam7 / unrecognized: the deterministic stub ladder)."""
+    `operators/jpeg.decode_jpeg_pixels`) — or None (arithmetic JPEG /
+    unrecognized: the deterministic stub ladder).
+
+    ``prefer_codec`` picks the PNG/GIF execution engine:
+
+    - ``"auto"`` (default): Pillow when importable for 8-bit PNG and
+      GIF — bit-identical output, C-speed — falling back to the
+      pure-Python kernels. JPEG always uses the in-repo decoder
+      (libjpeg's IDCT rounding differs at the last bit, and the
+      oracle queries pin OUR rounding).
+    - ``"pure"``: force the dependency-free kernels (determinism
+      audits, codec-diff testing).
+    - ``"codec"``: prefer Pillow for everything including JPEG —
+      opt-in, because lossy output is codec-specific."""
     import numpy as np
 
     bmp = _parse_bmp_header(payload)
@@ -725,10 +898,26 @@ def decode_image_pixels(payload: bytes):
             .copy()
         )
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # codec path only for 8-bit depth (payload[24] is IHDR bitd —
+        # IHDR is mandated first): 8-bit decode is bit-identical in
+        # every conformant codec; 16-bit→8-bit reduction semantics are
+        # ours, so the pure kernel owns them
+        if prefer_codec != "pure" and len(payload) > 24 and payload[24] == 8:
+            arr = _codec_decode_lossless(payload)
+            if arr is not None:
+                return arr
         return decode_png_pixels(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if prefer_codec != "pure":
+            arr = _codec_decode_lossless(payload)
+            if arr is not None:
+                return arr
         return decode_gif_pixels(payload)
     if payload[:3] == b"\xff\xd8\xff":
+        if prefer_codec == "codec":  # opt-in only: lossy, codec-specific rounding
+            arr = _codec_decode_lossless(payload)
+            if arr is not None:
+                return arr
         from pydala2_spark.operators.jpeg import decode_jpeg_pixels
 
         return decode_jpeg_pixels(payload)
@@ -905,7 +1094,11 @@ def decode_wav_samples(payload: bytes):
     while i + 8 <= len(payload):
         cid = payload[i : i + 4]
         clen = int.from_bytes(payload[i + 4 : i + 8], "little")
-        if cid == b"fmt " and i + 24 <= len(payload):
+        # clen >= 16 is required before trusting the fmt fields: a
+        # malformed fmt chunk declaring a shorter length would read
+        # rate/channels/bits from the NEXT chunk's header bytes —
+        # garbage-but-plausible parameters instead of the honest None
+        if cid == b"fmt " and clen >= 16 and i + 24 <= len(payload):
             fmt = int.from_bytes(payload[i + 8 : i + 10], "little")
             ch = int.from_bytes(payload[i + 10 : i + 12], "little")
             rate = int.from_bytes(payload[i + 12 : i + 16], "little")
@@ -1025,7 +1218,11 @@ def _grid_features(arr, dim: int) -> list[float]:
 
 
 def extract_features(
-    df: DataFrame, binary_col: str, passthrough: list[str], dim: int = 64
+    df: DataFrame,
+    binary_col: str,
+    passthrough: list[str],
+    dim: int = 64,
+    prefer_codec: str = "auto",
 ) -> DataFrame:
     """Embedding extraction stage: binary → ``array<float>`` feature
     vector. Decodable payloads (BMP/PPM/PGM/PNG/GIF/baseline JPEG —
@@ -1045,7 +1242,7 @@ def extract_features(
             feats = []
             for b in pdf[binary_col]:
                 p = bytes(b)
-                arr = decode_image_pixels(p)
+                arr = decode_image_pixels(p, prefer_codec=prefer_codec)
                 feats.append(
                     _grid_features(arr, dim) if arr is not None else _fake_embedding(p, dim)
                 )
@@ -1067,7 +1264,12 @@ IMAGE_PIXEL_STATS_FIELDS = [
 ]
 
 
-def image_pixel_stats(df: DataFrame, binary_col: str, passthrough: list[str]) -> DataFrame:
+def image_pixel_stats(
+    df: DataFrame,
+    binary_col: str,
+    passthrough: list[str],
+    prefer_codec: str = "auto",
+) -> DataFrame:
     """REAL pixel statistics per image — width/height/channels plus
     ``px_sum`` (over every channel byte), min/max, and the top-left
     first-channel value (which pins row order and stride handling: a
@@ -1085,7 +1287,7 @@ def image_pixel_stats(df: DataFrame, binary_col: str, passthrough: list[str]) ->
             cols: dict[str, list] = {f.name: [] for f in IMAGE_PIXEL_STATS_FIELDS}
             for b in pdf[binary_col]:
                 p = bytes(b)
-                arr = decode_image_pixels(p)
+                arr = decode_image_pixels(p, prefer_codec=prefer_codec)
                 if arr is not None:
                     h, w, c = arr.shape
                     cols["width"].append(w)
@@ -1251,6 +1453,7 @@ def resize_images(
     passthrough: list[str],
     max_side: int = 256,
     emit_payload: bool = False,
+    prefer_codec: str = "auto",
 ) -> DataFrame:
     """Resize stage. Default: emits the clamped target dimensions
     computed from the decoded size (pure projection over the decode
@@ -1303,7 +1506,7 @@ def resize_images(
             ws, hs, rws, rhs, payloads = [], [], [], [], []
             for b in pdf[binary_col]:
                 p = bytes(b)
-                arr = decode_image_pixels(p)
+                arr = decode_image_pixels(p, prefer_codec=prefer_codec)
                 if arr is not None:
                     h, w = arr.shape[:2]
                     rw, rh = target(w, h)

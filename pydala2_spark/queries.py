@@ -73,18 +73,31 @@ def _app_scoped_tmp(spark: SparkSession, sf_dir: str, prefix: str) -> str:
 
     root = f"/tmp/{prefix}"
     os.makedirs(root, exist_ok=True)
+    token = hashlib.md5(
+        (sf_dir + ":" + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:10]
+    own = os.path.join(root, token)
+    # Refresh OUR directory's mtime before pruning siblings: a
+    # harness/bench run that outlives the prune horizon would otherwise
+    # have its round-trip dataset removed mid-read by a concurrent
+    # invocation's prune pass. Liveness is therefore signaled by use,
+    # not by creation time.
+    if os.path.isdir(own):
+        try:
+            os.utime(own)
+        except OSError:
+            pass
     cutoff = time.time() - 2 * 3600
     for d in os.listdir(root):
         p = os.path.join(root, d)
+        if p == own:
+            continue  # never prune the live app's own scratch
         try:
             if os.path.getmtime(p) < cutoff:
                 shutil.rmtree(p, ignore_errors=True)
         except OSError:
             pass  # concurrently removed — fine
-    token = hashlib.md5(
-        (sf_dir + ":" + spark.sparkContext.applicationId).encode()
-    ).hexdigest()[:10]
-    return os.path.join(root, token)
+    return own
 
 
 # ---------------------------------------------------------------------

@@ -953,7 +953,9 @@ def test_png_decode_all_filters_palette_and_rejects():
         + chunk(b"IEND", b"")
     )
     assert np.array_equal(decode_image_pixels(png), pal[idx])
-    # rejects: interlaced, 16-bit, truncated, out-of-range palette index
+    # rejects: interlace/depth flags CLAIMING a layout the stream's
+    # byte count can't satisfy (16-bit and Adam7 are now supported —
+    # these streams are simply inconsistent), truncation, palette range
     bad = bytearray(encode_png(a))
     bad[28] = 1  # interlace flag inside IHDR data
     assert decode_png_pixels(bytes(bad)) is None
@@ -972,6 +974,289 @@ def test_png_decode_all_filters_palette_and_rejects():
             r.getrandbits(8) for _ in range(r.randrange(0, 150))
         )
         decode_png_pixels(blob)
+
+
+def _encode_png_any(samples, bitd, ct, interlace, plte=None):
+    """In-test generic PNG encoder (filter-0 scanlines): any legal
+    bit depth 1/2/4/8/16, any color type, non-interlaced or Adam7 —
+    the spec-side inverse the extended decoder must invert.
+    ``samples`` is (H, W, nch) holding RAW sample values (palette
+    indexes for ct=3, 16-bit values for bitd=16)."""
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(samples)
+    h, w, nch = a.shape
+
+    def pack_rows(sub):
+        ph, pw, _ = sub.shape
+        rows = []
+        for y in range(ph):
+            if bitd == 16:
+                row = sub[y].astype(">u2").tobytes()
+            elif bitd == 8:
+                row = sub[y].astype(np.uint8).tobytes()
+            else:
+                vals = sub[y, :, 0].astype(np.uint8)
+                bits = np.unpackbits(vals[:, None], axis=1)[:, 8 - bitd :]
+                flat = bits.flatten()
+                pad = (-len(flat)) % 8
+                flat = np.concatenate([flat, np.zeros(pad, np.uint8)])
+                row = np.packbits(flat).tobytes()
+            rows.append(b"\x00" + row)
+        return b"".join(rows)
+
+    if interlace == 0:
+        scan = pack_rows(a)
+    else:
+        grid = [
+            (0, 0, 8, 8),
+            (4, 0, 8, 8),
+            (0, 4, 4, 8),
+            (2, 0, 2, 4),
+            (0, 2, 2, 4),
+            (1, 0, 1, 2),
+            (0, 1, 1, 2),
+        ]
+        scan = b"".join(
+            pack_rows(a[y0::dy, x0::dx])
+            for x0, y0, dx, dy in grid
+            if a[y0::dy, x0::dx].size
+        )
+
+    def chunk(cid, data):
+        return (
+            len(data).to_bytes(4, "big")
+            + cid
+            + data
+            + (zlib.crc32(cid + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([bitd, ct, 0, 0, interlace])
+    )
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte.tobytes())
+    return out + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
+
+
+def test_png_16bit_sub8bit_and_adam7():
+    """Extended PNG coverage: 16-bit depth reduces to the MSB across
+    every color type; 1/2/4-bit grayscale scales to [0,255]; sub-8
+    palette indexes expand through PLTE; Adam7 interlace reconstructs
+    the logical grid for 8-bit, 16-bit and sub-8 shapes alike."""
+    import numpy as np
+
+    from pydala2_spark.operators.multimodal import decode_png_pixels
+
+    rng = np.random.default_rng(17)
+    # 16-bit: gray, RGB, gray+alpha, RGBA — MSB reduction
+    for ct, nch in [(0, 1), (2, 3), (4, 2), (6, 4)]:
+        a16 = rng.integers(0, 65536, (7, 5, nch), dtype=np.uint16)
+        png = _encode_png_any(a16, 16, ct, 0)
+        got = decode_png_pixels(png)
+        assert got is not None and got.shape == (7, 5, nch), ct
+        assert np.array_equal(got, (a16 >> 8).astype(np.uint8)), ct
+    # sub-8 grayscale: value v scales to v*255/(2^d-1)
+    for bitd in (1, 2, 4):
+        mx = (1 << bitd) - 1
+        g = rng.integers(0, mx + 1, (6, 11, 1), dtype=np.uint8)
+        got = decode_png_pixels(_encode_png_any(g, bitd, 0, 0))
+        assert np.array_equal(got, (g.astype(np.int32) * 255 // mx).astype(np.uint8)), bitd
+    # sub-8 palette: raw indexes through PLTE
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (5, 9, 1), dtype=np.uint8)
+    got = decode_png_pixels(_encode_png_any(idx, 4, 3, 0, plte=pal))
+    assert np.array_equal(got, pal[idx[:, :, 0]])
+    # Adam7: every pass populated (h, w > 8), all depths
+    a8 = rng.integers(0, 256, (13, 10, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png_pixels(_encode_png_any(a8, 8, 2, 1)), a8)
+    a16 = rng.integers(0, 65536, (13, 10, 1), dtype=np.uint16)
+    assert np.array_equal(
+        decode_png_pixels(_encode_png_any(a16, 16, 0, 1)),
+        (a16 >> 8).astype(np.uint8),
+    )
+    g2 = rng.integers(0, 4, (13, 10, 1), dtype=np.uint8)
+    assert np.array_equal(
+        decode_png_pixels(_encode_png_any(g2, 2, 0, 1)),
+        (g2.astype(np.int32) * 255 // 3).astype(np.uint8),
+    )
+    # Adam7 on tiny images (some passes empty)
+    t = rng.integers(0, 256, (2, 3, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png_pixels(_encode_png_any(t, 8, 2, 1)), t)
+    one = rng.integers(0, 256, (1, 1, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png_pixels(_encode_png_any(one, 8, 2, 1)), one)
+    # illegal IHDR combos stay rejected: 16-bit palette, 2-bit RGB
+    assert decode_png_pixels(_encode_png_any(idx, 4, 3, 0, plte=pal).replace(
+        bytes([4, 3]), bytes([16, 3]), 1)) is None
+    assert decode_png_pixels(_encode_png_any(a8, 8, 2, 0).replace(
+        bytes([8, 2]), bytes([2, 2]), 1)) is None
+
+
+def test_image_bomb_ratio_guards_and_wav_fmt_clen():
+    """Payload-relative amplification guards: a tiny PNG/GIF claiming
+    dims beyond the container's physical expansion limit returns None
+    BEFORE the per-byte Python loops run; a WAV fmt chunk with a short
+    declared length must not read parameters from the next chunk."""
+    import time
+    import zlib
+
+    import numpy as np
+
+    from pydala2_spark.operators.multimodal import (
+        decode_gif_pixels,
+        decode_png_pixels,
+        decode_wav_samples,
+        encode_wav_pcm16,
+        parse_wav_header,
+    )
+
+    def chunk(cid, data):
+        return (
+            len(data).to_bytes(4, "big")
+            + cid
+            + data
+            + (zlib.crc32(cid + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    # PNG zlib bomb: ~1 KB of deflate declaring 4096x4096 RGB — the
+    # ratio guard must reject without unfiltering (time-bounded)
+    ihdr = (4096).to_bytes(4, "big") + (4096).to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    bomb_idat = zlib.compress(b"\x00" * 2_000_000)  # ~2 KB compressed
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bomb_idat)
+        + chunk(b"IEND", b"")
+    )
+    t0 = time.monotonic()
+    assert decode_png_pixels(bomb) is None
+    assert time.monotonic() - t0 < 1.0
+    # GIF claiming dims beyond LZW's ~2731x physical expansion limit
+    gif = (
+        b"GIF89a"
+        + (8192).to_bytes(2, "little")
+        + (8192).to_bytes(2, "little")
+        + bytes([0x80 | 1, 0, 0])  # GCT present, 4 entries
+        + b"\x00" * 12  # 4-entry palette
+        + b"\x2c"
+        + b"\x00\x00\x00\x00"
+        + (8192).to_bytes(2, "little")
+        + (8192).to_bytes(2, "little")
+        + b"\x00"  # no LCT, not interlaced
+        + b"\x02"  # LZW min code size
+        + bytes([3, 0x44, 0x44, 0x44])  # one tiny sub-block
+        + b"\x00\x3b"
+    )
+    t0 = time.monotonic()
+    assert decode_gif_pixels(gif) is None
+    assert time.monotonic() - t0 < 1.0
+    # WAV: fmt chunk declaring clen=4 — previously the parser read
+    # rate/channels/bits from the FOLLOWING chunk's bytes
+    samples = np.zeros((8, 1), dtype=np.int16)
+    good = encode_wav_pcm16(samples, rate=8000)
+    assert decode_wav_samples(good) is not None
+    short_fmt = (
+        b"RIFF" + (100).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (4).to_bytes(4, "little") + b"\x01\x00\x01\x00"
+        + b"data" + (16).to_bytes(4, "little") + b"\x00" * 16
+    )
+    assert decode_wav_samples(short_fmt) is None
+    assert parse_wav_header(short_fmt) is None
+
+
+def test_codec_ladder_prefers_pil_for_lossless(monkeypatch):
+    """decode_image_pixels prefers the C codec (Pillow) when
+    importable — but ONLY where its output is bit-identical: 8-bit
+    PNG and GIF take the codec path; JPEG and 16-bit PNG stay on the
+    deterministic pure-Python kernels unless explicitly opted in;
+    a codec failure falls back to the pure kernel."""
+    import io
+
+    import numpy as np
+
+    from pydala2_spark.operators import multimodal as mm
+    from pydala2_spark.operators.jpeg import encode_jpeg
+    from pydala2_spark.operators.multimodal import (
+        decode_image_pixels,
+        decode_png_pixels,
+        encode_gif,
+        encode_png,
+    )
+
+    sentinel = np.full((3, 4, 3), 7, dtype=np.uint8)
+
+    class FakeIm:
+        def __init__(self, arr):
+            self._arr, self.width, self.height = arr, arr.shape[1], arr.shape[0]
+            self.mode = "RGB"
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def convert(self, mode):
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            return self._arr
+
+    class FakePIL:
+        def __init__(self, arr, fail=False):
+            self._arr, self._fail, self.calls = arr, fail, 0
+
+        def open(self, fp):
+            assert isinstance(fp, io.BytesIO)
+            self.calls += 1
+            if self._fail:
+                raise OSError("cannot identify image file")
+            return FakeIm(self._arr)
+
+    rng = np.random.default_rng(23)
+    a = rng.integers(0, 256, (5, 6, 3), dtype=np.uint8)
+    png, gif, jpg = encode_png(a), encode_gif((a // 32) * 32), encode_jpeg(a)
+    # default (no PIL in this container): cache resolves to None → pure
+    monkeypatch.setattr(mm, "_PIL_CACHE", [None])
+    assert np.array_equal(decode_image_pixels(png), a)
+    # fake codec present: lossless formats take the codec path
+    fake = FakePIL(sentinel)
+    monkeypatch.setattr(mm, "_PIL_CACHE", [fake])
+    assert np.array_equal(decode_image_pixels(png), sentinel)
+    assert fake.calls == 1
+    assert np.array_equal(decode_image_pixels(gif), sentinel)
+    # prefer_codec='pure' forces the dependency-free kernel
+    assert np.array_equal(decode_image_pixels(png, prefer_codec="pure"), a)
+    # JPEG: codec NOT consulted under auto (lossy rounding is ours)...
+    calls_before = fake.calls
+    out = decode_image_pixels(jpg)
+    assert fake.calls == calls_before and out is not None
+    # ...but opt-in prefer_codec='codec' uses it
+    assert np.array_equal(decode_image_pixels(jpg, prefer_codec="codec"), sentinel)
+    # 16-bit PNG: pure kernel owns the reduction semantics
+    a16 = rng.integers(0, 65536, (4, 4, 3), dtype=np.uint16)
+    png16 = _encode_png_any(a16, 16, 2, 0)
+    calls_before = fake.calls
+    assert np.array_equal(decode_image_pixels(png16), (a16 >> 8).astype(np.uint8))
+    assert fake.calls == calls_before
+    # codec failure → pure fallback, same pixels as the kernel
+    monkeypatch.setattr(mm, "_PIL_CACHE", [FakePIL(sentinel, fail=True)])
+    assert np.array_equal(decode_image_pixels(png), a)
+    # bomb guard applies inside the codec path too
+    big = FakeIm(sentinel)
+    big.width = big.height = 10_000  # 100M px > 64M guard
+
+    class FakePILBig(FakePIL):
+        def open(self, fp):
+            self.calls += 1
+            return big
+
+    monkeypatch.setattr(mm, "_PIL_CACHE", [FakePILBig(sentinel)])
+    assert np.array_equal(decode_image_pixels(png), a)  # guard → pure fallback
+    assert np.array_equal(decode_png_pixels(png), a)
 
 
 def test_gif_decode_roundtrip_interlace_and_rejects():

@@ -158,3 +158,35 @@ def test_managed_corpus_lifecycle_snapshots_bloom_ndv(spark, sf_dir, tmp_path):
     est_v1 = estimate_ndv(spark, path, "doc_id", files=files_v1)
     assert abs(est_v1 - n_raw) / n_raw < 0.05
     assert est_v2 < est_v1
+
+
+def test_app_scoped_tmp_liveness_and_prune(spark, tmp_path, monkeypatch):
+    """_app_scoped_tmp must never prune the LIVE app's own scratch —
+    liveness is signaled by use (mtime refresh on every call), so a
+    harness run longer than the prune horizon keeps its round-trip
+    dataset; stale sibling directories (finished runs) are removed."""
+    import os
+    import time
+
+    from pydala2_spark.queries import _app_scoped_tmp
+
+    prefix = f"pydala2_test_tmp_{os.getpid()}"
+    root = f"/tmp/{prefix}"
+    own = _app_scoped_tmp(spark, "sfX", prefix)
+    os.makedirs(own, exist_ok=True)
+    marker = os.path.join(own, "dataset.parquet")
+    open(marker, "w").close()
+    # age OUR directory past the horizon, plus a stale sibling
+    old = time.time() - 3 * 3600
+    os.utime(own, (old, old))
+    stale = os.path.join(root, "deadbeef00")
+    os.makedirs(stale, exist_ok=True)
+    os.utime(stale, (old, old))
+    got = _app_scoped_tmp(spark, "sfX", prefix)
+    assert got == own
+    assert os.path.exists(marker), "live app's scratch was pruned"
+    assert os.path.getmtime(own) > time.time() - 60, "mtime not refreshed"
+    assert not os.path.exists(stale), "stale sibling survived the prune"
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
