@@ -778,9 +778,14 @@ def semantic_dedup(
     cond = (F.col("a.cid") == F.col("b.cid")) & (
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     )
+    # null cells (vectors a partial caller-supplied `assignments` frame
+    # does not cover) can never satisfy the equi-join — drop them
+    # BEFORE the self-join so the pair stage doesn't shuffle rows that
+    # cannot pair; they re-enter via the final left join as keepers
+    vp = v.filter(F.col("cid").isNotNull())
     dups = (
-        v.alias("a")
-        .join(v.alias("b"), cond)
+        vp.alias("a")
+        .join(vp.alias("b"), cond)
         .select(
             F.col(f"b.{id_col}").alias(id_col),
             F.round(scalar_dot("a", "b", d), 4).alias("__cos"),

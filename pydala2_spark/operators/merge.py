@@ -44,6 +44,24 @@ _ORD = "__pydala_ord"
 _BATCH = "__pydala_batch"
 _FILE = "__pydala_file"
 
+# Above this many matched files, an IN literal built on the driver
+# stops being a filter and becomes a multi-megabyte plan string (a
+# predicate touching ~10^5 files at 100 TB); switch to a broadcast
+# file-list semi-join — same semantics, bounded plan size.
+_FILE_LITERAL_LIMIT = 1_000
+
+
+def _filter_to_files(tagged: DataFrame, files: list[str]) -> DataFrame:
+    """Restrict the file-tagged target frame to rows from ``files``.
+    Small sets inline as an IN literal (cheap, scan-evaluable); large
+    sets join against a broadcast single-column DataFrame so the plan
+    stays O(1) in the file count."""
+    if len(files) <= _FILE_LITERAL_LIMIT:
+        return tagged.filter(F.col(_FILE).isin(files))
+    spark = tagged.sparkSession
+    flist = spark.createDataFrame([(f,) for f in files], f"`{_FILE}` string")
+    return tagged.join(F.broadcast(flist), on=[_FILE], how="left_semi")
+
 
 @dataclass
 class MergeResult:
@@ -492,14 +510,14 @@ def merge(
         if inserted:
             _append(inserts.select(*target_cols), target_path, partition_by, compression, max_rows_per_file)
             result.inserted_files = [
-                f for f in list_files(spark, target_path) if f not in all_files_before
+                f for f in list_files(spark, target_path) if f not in set(all_files_before)
             ]
 
         # -- rewrite matched files: (their unmatched rows) ∪ (matched source)
         if updated and matched_files:
             files_after_inserts = list_files(spark, target_path)
             survivors = (
-                tagged.filter(F.col(_FILE).isin(matched_files))
+                _filter_to_files(tagged, matched_files)
                 .join(
                     _hint_small(src_keys, source_count), on=match_cond, how="left_anti"
                 )
@@ -508,7 +526,7 @@ def merge(
             replacement = survivors.unionByName(matched_source.select(*target_cols))
             _append(replacement, target_path, partition_by, compression, max_rows_per_file)
             result.rewritten_files = [
-                f for f in list_files(spark, target_path) if f not in files_after_inserts
+                f for f in list_files(spark, target_path) if f not in set(files_after_inserts)
             ]
             # fs.delete returning False is a SILENT failure mode: the
             # replaced file would stay visible next to its replacement
@@ -548,7 +566,7 @@ def merge(
 
     result.updated = updated
     result.inserted = inserted
-    result.preserved_files = [f for f in all_files_before if f not in matched_files]
+    result.preserved_files = [f for f in all_files_before if f not in set(matched_files)]
     result.target_count_after = (
         target_count_before - matched_target_rows + updated + inserted
     )
@@ -670,12 +688,12 @@ def delete_where(
     appended = False
     try:
         hit = F.coalesce(pred, F.lit(False))
-        survivors = tagged.filter(F.col(_FILE).isin(matched_files)).filter(
+        survivors = _filter_to_files(tagged, matched_files).filter(
             ~hit
         ).drop(_FILE)
         _append(survivors, target_path, partition_by, compression, max_rows_per_file)
         appended = True
-        rewritten = [f for f in list_files(spark, target_path) if f not in all_before]
+        rewritten = [f for f in list_files(spark, target_path) if f not in set(all_before)]
         if delete_paths(spark, matched_files) != len(matched_files):
             still = [f for f in matched_files if path_exists(spark, f)]
             if still:
@@ -705,7 +723,7 @@ def delete_where(
         "deleted_rows": deleted_rows,
         "matched_files": matched_files,
         "rewritten_files": rewritten,
-        "preserved_files": [f for f in all_before if f not in matched_files],
+        "preserved_files": [f for f in all_before if f not in set(matched_files)],
     }
 
 

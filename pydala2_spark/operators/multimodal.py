@@ -1383,24 +1383,78 @@ AUDIO_FEATURE_FIELDS = [
 ]
 
 
-def _band_log_energies(samples, n_bands: int) -> list[float]:
-    """REAL spectral features from PCM samples: log power in
-    ``n_bands`` equal-width frequency bands of the channel-mean
-    signal's rFFT — honestly computed with numpy alone. (Not true
-    mel-cepstral coefficients: no mel warp or DCT; swap in a librosa
-    MFCC call per Arrow batch to productionize, same signature.)"""
+def _hz_to_mel(f):
+    """HTK mel scale: ``m = 2595 log10(1 + f/700)``."""
+    import numpy as np
+
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def _mel_to_hz(m):
+    import numpy as np
+
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
+def _mel_filterbank(n_filters: int, n_fft: int, rate: int):
+    """Triangular mel filterbank ``(n_filters, n_fft//2 + 1)`` — HTK
+    convention: ``n_filters + 2`` points equally spaced in MEL between
+    0 Hz and Nyquist, each filter a triangle rising from point i to
+    its center i+1 and falling to i+2. Numpy only; center frequencies
+    are pinned by test against the closed-form mel formula."""
+    import numpy as np
+
+    pts = _mel_to_hz(np.linspace(0.0, float(_hz_to_mel(rate / 2.0)), n_filters + 2))
+    bins = np.floor((n_fft + 1) * pts / rate).astype(int)
+    fb = np.zeros((n_filters, n_fft // 2 + 1))
+    for i in range(n_filters):
+        lo, ce, hi = bins[i], bins[i + 1], bins[i + 2]
+        for j in range(lo, ce):
+            fb[i, j] = (j - lo) / max(1, ce - lo)
+        for j in range(ce, min(hi, n_fft // 2)):
+            fb[i, j] = (hi - j) / max(1, hi - ce)
+    return fb
+
+
+def _mel_spectrogram(samples, rate: int, n_filters: int, n_fft: int = 512):
+    """Channel-mean PCM → ``(n_frames, n_filters)`` mel-band power:
+    half-overlapping Hann frames → rFFT power → triangular mel
+    filterbank. The shared front half of :func:`_mfcc_features`,
+    exposed so tests can pin tone recovery in the mel domain."""
     import numpy as np
 
     mono = samples.astype(np.float64).mean(axis=1)
-    if mono.size == 0:
-        return [0.0] * n_bands
-    power = np.abs(np.fft.rfft(mono)) ** 2
-    edges = np.linspace(0, power.size, n_bands + 1).astype(int)
-    out = []
-    for i in range(n_bands):
-        band = power[edges[i] : max(edges[i] + 1, edges[i + 1])]
-        out.append(round(float(np.log1p(band.mean())), 6))
-    return out
+    if mono.size < n_fft:
+        mono = np.pad(mono, (0, n_fft - mono.size))
+    hop = n_fft // 2
+    n_frames = 1 + (mono.size - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = mono[idx] * np.hanning(n_fft)[None, :]
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2 / n_fft
+    return power @ _mel_filterbank(n_filters, n_fft, rate).T
+
+
+def _mfcc_features(
+    samples, rate: int, n_mfcc: int, n_filters: int = 26, n_fft: int = 512
+) -> list[float]:
+    """TRUE mel-cepstral features from PCM samples, numpy alone:
+    Hann-windowed framing → rFFT power spectrum → triangular mel
+    filterbank (:func:`_mel_filterbank`) → log → orthonormal DCT-II →
+    first ``n_mfcc`` coefficients, averaged over frames (one clip-level
+    vector — the usual pooling for retrieval/dedup features)."""
+    import numpy as np
+
+    if samples.size == 0 or rate <= 0:
+        return [0.0] * n_mfcc
+    n_filters = max(n_filters, n_mfcc)
+    logmel = np.log(_mel_spectrogram(samples, rate, n_filters, n_fft) + 1e-10)
+    n = n_filters
+    k = np.arange(n_mfcc)[:, None]
+    dct = np.cos(np.pi * k * (2.0 * np.arange(n)[None, :] + 1.0) / (2.0 * n))
+    dct *= np.sqrt(2.0 / n)
+    dct[0] *= np.sqrt(0.5)  # orthonormal DCT-II scaling
+    mfcc = logmel @ dct.T
+    return [round(float(x), 6) for x in mfcc.mean(axis=0)]
 
 
 def extract_audio_features(
@@ -1409,9 +1463,9 @@ def extract_audio_features(
     """Audio decode + feature stage: (sample_rate, duration, channels,
     MFCC-like vector). Real WAV payloads get REAL parameters via the
     codec-free RIFF chunk walk (:func:`parse_wav_header`), and
-    integer-PCM payloads additionally get a REAL spectral vector from
-    their decoded samples (:func:`decode_wav_samples` →
-    :func:`_band_log_energies`); compressed formats and unrecognized
+    integer-PCM payloads additionally get a REAL mel-cepstral vector
+    from their decoded samples (:func:`decode_wav_samples` →
+    :func:`_mfcc_features`); compressed formats and unrecognized
     payloads fall back to the deterministic md5 stub (librosa/ffmpeg
     absent in this container), schema and batch shape identical."""
     out_schema = T.StructType([df.schema[c] for c in passthrough] + AUDIO_FEATURE_FIELDS)
@@ -1437,7 +1491,7 @@ def extract_audio_features(
             for p in payloads:
                 dec = decode_wav_samples(p)
                 mfcc.append(
-                    _band_log_energies(dec[1], n_mfcc)
+                    _mfcc_features(dec[1], dec[0], n_mfcc)
                     if dec is not None
                     else _fake_embedding(p, n_mfcc)
                 )

@@ -314,3 +314,50 @@ def test_delete_where_predicate_pushdown(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [" in plan and "id" in plan.split("PushedFilters:")[1][:120]
+
+
+def test_file_filter_broadcast_join_above_literal_limit(spark, tmp_path, monkeypatch):
+    """Above _FILE_LITERAL_LIMIT the matched-file restriction switches
+    from a driver-built IN literal to a broadcast semi-join: identical
+    delete/merge semantics, and the physical plan carries a broadcast
+    join instead of a file-list literal (a 10^5-file predicate at
+    100 TB would otherwise be a multi-megabyte plan string)."""
+    from pydala2_spark.operators import merge as m
+    from pydala2_spark.operators.merge import delete_where, merge
+
+    monkeypatch.setattr(m, "_FILE_LITERAL_LIMIT", 0)  # force the join path
+
+    # the helper itself: no IN literal, broadcast join in the plan
+    import pyspark.sql.functions as F
+
+    p0 = str(tmp_path / "probe")
+    spark.range(0, 100).coalesce(1).write.parquet(p0)
+    tagged = spark.read.parquet(p0).withColumn(
+        m._FILE, F.col("_metadata.file_path")
+    )
+    files = [r[m._FILE] for r in tagged.select(m._FILE).distinct().collect()]
+    plan = m._filter_to_files(tagged, files)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert files[0] not in plan  # file names are broadcast data, not plan text
+    assert m._filter_to_files(tagged, files).count() == 100
+
+    # delete_where end-to-end through the join path
+    p = str(tmp_path / "ds")
+    for lo in (0, 100, 200):
+        spark.range(lo, lo + 50).selectExpr("id", "id % 7 AS grp").coalesce(
+            1
+        ).write.mode("append").parquet(p)
+    out = delete_where(spark, p, "id >= 100 AND id < 110")
+    assert out["deleted_rows"] == 10
+    after = spark.read.parquet(p)
+    assert after.count() == 140
+    assert after.filter("id >= 100 AND id < 110").count() == 0
+
+    # merge upsert end-to-end through the join path
+    p2 = str(tmp_path / "ds2")
+    spark.range(0, 20).selectExpr("id", "id * 2 AS v").coalesce(1).write.parquet(p2)
+    src = spark.range(15, 25).selectExpr("id", "id * 100 AS v")
+    res = m.merge(spark, p2, src, key_columns=["id"], strategy="upsert")
+    assert res.updated == 5 and res.inserted == 5
+    got = {r["id"]: r["v"] for r in spark.read.parquet(p2).collect()}
+    assert got[15] == 1500 and got[24] == 2400 and got[0] == 0 and len(got) == 25

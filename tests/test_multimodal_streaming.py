@@ -790,14 +790,69 @@ def test_extract_features_real_grid(spark):
     assert [round(f, 4) for f in feats] == [-1.0, -0.6, -0.2, 1.0]
 
 
-def test_extract_audio_features_real_bands(spark):
-    """Decodable PCM drives REAL band energies: a pure tone's peak
-    band is the band containing its frequency; text payloads keep the
-    md5 stub (ladder unchanged)."""
+def test_mel_filterbank_centers_and_tone_recovery():
+    """Mel front-end pins: filter CENTER frequencies sit exactly on
+    the closed-form HTK mel grid (recomputed independently here); a
+    pure tone's strongest mel filter is the one whose center is
+    nearest the tone — at two different frequencies, so the warp
+    (narrow filters low, wide filters high) is actually exercised."""
+    import numpy as np
+
+    from pydala2_spark.operators.multimodal import (
+        _mel_filterbank,
+        _mel_spectrogram,
+        _mfcc_features,
+    )
+
+    rate, n_fft, n_filters = 8000, 512, 26
+    # independent HTK grid: n+2 points uniform in mel between 0..Nyquist
+    mel = lambda f: 2595.0 * np.log10(1.0 + f / 700.0)  # noqa: E731
+    imel = lambda m: 700.0 * (10.0 ** (m / 2595.0) - 1.0)  # noqa: E731
+    pts = imel(np.linspace(0.0, mel(rate / 2.0), n_filters + 2))
+    centers_hz = pts[1:-1]
+    fb = _mel_filterbank(n_filters, n_fft, rate)
+    assert fb.shape == (n_filters, n_fft // 2 + 1)
+    bin_hz = rate / (n_fft + 1)
+    for i in range(n_filters):
+        peak_bin = int(np.argmax(fb[i]))
+        # the filter's peak bin is the FFT bin holding its mel center
+        assert abs(peak_bin * bin_hz - centers_hz[i]) <= bin_hz, i
+    # mel warp: low filters narrower (in Hz) than high filters
+    widths = (fb > 0).sum(axis=1)
+    assert widths[0] < widths[-1]
+    # tone recovery through the full front half
+    for f_hz in (300, 2500):
+        s = (np.sin(2 * np.pi * f_hz * np.arange(rate) / rate) * 20000).astype(
+            np.int16
+        )[:, None]
+        energies = _mel_spectrogram(s, rate, n_filters).mean(axis=0)
+        expected = int(np.argmin(np.abs(centers_hz - f_hz)))
+        assert abs(int(np.argmax(energies)) - expected) <= 1, f_hz
+    # DCT-II back half: orthonormal transform of the log-mel means
+    s = (np.sin(2 * np.pi * 440 * np.arange(rate) / rate) * 20000).astype(np.int16)[
+        :, None
+    ]
+    got = _mfcc_features(s, rate, 13)
+    logmel = np.log(_mel_spectrogram(s, rate, 26) + 1e-10)
+    k = np.arange(13)[:, None]
+    dct = np.cos(np.pi * k * (2.0 * np.arange(26)[None, :] + 1.0) / 52.0) * np.sqrt(
+        2.0 / 26
+    )
+    dct[0] *= np.sqrt(0.5)
+    want = (logmel @ dct.T).mean(axis=0)
+    assert np.allclose(got, want, atol=1e-5)
+    assert len(got) == 13
+
+
+def test_extract_audio_features_real_mfcc(spark):
+    """Decodable PCM drives REAL mel-cepstral features through the
+    Arrow-batched stage; text payloads keep the md5 stub (ladder
+    unchanged); the distributed result equals the local kernel."""
     import numpy as np
 
     from pydala2_spark.operators.multimodal import (
         _fake_embedding,
+        _mfcc_features,
         encode_wav_pcm16,
         extract_audio_features,
     )
@@ -811,8 +866,8 @@ def test_extract_audio_features_real_bands(spark):
     got = {
         r["id"]: r for r in extract_audio_features(df, "blob", ["id"], n_mfcc=13).collect()
     }
-    bands = got[0]["mfcc"]
-    assert int(np.argmax(bands)) == int(f / ((rate / 2) / 13))
+    want = _mfcc_features(s[:, None], rate, 13)
+    assert np.allclose(got[0]["mfcc"], want, atol=1e-5)
     assert got[0]["sample_rate"] == rate and got[0]["duration_ms"] == 1000
     stub = [round(x, 4) for x in _fake_embedding(text, 13)]
     assert [round(x, 4) for x in got[1]["mfcc"]] == stub
