@@ -844,6 +844,66 @@ def _codec_decode_lossless(payload: bytes):
     return np.ascontiguousarray(arr)
 
 
+def encode_png_ext(samples, bitd: int, ct: int, interlace: int, plte=None) -> bytes:
+    """Generalized PNG encoder (filter-0 scanlines): any legal bit
+    depth 1/2/4/8/16, any color type, non-interlaced or Adam7 — the
+    spec-side inverse of the extended :func:`decode_png_pixels` paths
+    (16-bit big-endian samples, MSB-first sub-byte packing, per-pass
+    interlace scanlines). ``samples`` is ``(H, W, nch)`` holding RAW
+    sample values: palette indexes for ct=3, 16-bit values for
+    bitd=16. Used by oracle queries to synthesize every decoder shape
+    deterministically."""
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(samples)
+    h, w, nch = a.shape
+
+    def pack_rows(sub) -> bytes:
+        ph = sub.shape[0]
+        rows = []
+        for y in range(ph):
+            if bitd == 16:
+                row = sub[y].astype(">u2").tobytes()
+            elif bitd == 8:
+                row = sub[y].astype(np.uint8).tobytes()
+            else:  # 1/2/4-bit single-channel, MSB-first within bytes
+                vals = sub[y, :, 0].astype(np.uint8)
+                bits = np.unpackbits(vals[:, None], axis=1)[:, 8 - bitd :]
+                flat = bits.flatten()
+                pad = (-len(flat)) % 8
+                flat = np.concatenate([flat, np.zeros(pad, np.uint8)])
+                row = np.packbits(flat).tobytes()
+            rows.append(b"\x00" + row)
+        return b"".join(rows)
+
+    if interlace == 0:
+        scan = pack_rows(a)
+    else:
+        scan = b"".join(
+            pack_rows(a[y0::dy, x0::dx])
+            for x0, y0, dx, dy in _ADAM7
+            if a[y0::dy, x0::dx].size
+        )
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + cid
+            + data
+            + (zlib.crc32(cid + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([bitd, ct, 0, 0, interlace])
+    )
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", np.asarray(plte, dtype=np.uint8).tobytes())
+    return out + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
+
+
 def decode_image_pixels(payload: bytes, prefer_codec: str = "auto"):
     """REAL pixel decode: ``(H, W, C) uint8`` numpy array for every
     common image container, all dependency-free — BMP 24/32-bit BI_RGB

@@ -2519,6 +2519,92 @@ def mm_image_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_image_extended_decode",
+    """
+    WITH px AS (
+      SELECT doc_id,
+             8 + doc_id % 5 AS w,
+             8 + doc_id % 7 AS h,
+             doc_id % 4 AS m,
+             flatten(list_transform(range(0, 8 + doc_id % 7), y ->
+               list_transform(range(0, 8 + doc_id % 5), x ->
+                 (x * 7 + y * 11 + doc_id) % 256))) AS vals
+      FROM documents
+    ), t AS (
+      SELECT doc_id, w, h, m,
+             CASE WHEN m = 2
+                  THEN list_transform(vals, v -> (v % 16) * 17)
+                  ELSE vals END AS dec
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(CASE WHEN m = 1 THEN 3 ELSE 1 END AS INTEGER) AS channels,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(CASE WHEN m = 1 THEN 3 ELSE 1 END * list_sum(dec) AS BIGINT) AS px_sum,
+           CAST(list_min(dec) AS INTEGER) AS px_min,
+           CAST(list_max(dec) AS INTEGER) AS px_max,
+           CAST(CASE WHEN m = 2 THEN (doc_id % 256 % 16) * 17
+                     ELSE doc_id % 256 END AS INTEGER) AS px_topleft
+    FROM t
+    """,
+)
+def mm_image_extended_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXTENDED PNG decoder shapes, end-to-end real: the same
+    doc_id gradient as ``mm_image_real_decode`` synthesized per
+    document into (doc_id mod 4) 16-bit grayscale PNG (MSB reduction),
+    Adam7-interlaced 8-bit RGB (seven-pass scatter), 4-bit grayscale
+    (sub-byte unpacking + range scaling v*17), and Adam7 16-BIT
+    grayscale (both extensions composed). The oracle recomputes every
+    integer statistic analytically from the gradient + the documented
+    reduction rules — so the MSB rule, the sub-8 scaling rule and the
+    interlace reconstruction are each load-bearing for the hash.
+
+    Same 100 TB shape as the other media queries: one Arrow-batched
+    scan stage (`operators/multimodal.image_pixel_stats`), payloads
+    never cross a shuffle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from pydala2_spark.operators.multimodal import encode_png_ext, image_pixel_stats
+
+    @pandas_udf("binary")
+    def synth(doc_id):
+        out = []
+        for d in doc_id:
+            d = int(d)
+            w, h = 8 + d % 5, 8 + d % 7
+            v = (np.arange(w)[None, :] * 7 + np.arange(h)[:, None] * 11 + d) % 256
+            m = d % 4
+            if m == 0:  # 16-bit gray: stored v<<8, decoded MSB == v
+                out.append(
+                    encode_png_ext((v.astype(np.uint16) << 8)[:, :, None], 16, 0, 0)
+                )
+            elif m == 1:  # Adam7 8-bit RGB
+                out.append(
+                    encode_png_ext(
+                        np.repeat(v[:, :, None], 3, axis=2).astype(np.uint8), 8, 2, 1
+                    )
+                )
+            elif m == 2:  # 4-bit gray: index u decodes to u*17
+                out.append(
+                    encode_png_ext((v % 16).astype(np.uint8)[:, :, None], 4, 0, 0)
+                )
+            else:  # Adam7 + 16-bit composed
+                out.append(
+                    encode_png_ext((v.astype(np.uint16) << 8)[:, :, None], 16, 0, 1)
+                )
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").withColumn(
+        "img", synth("doc_id")
+    )
+    return image_pixel_stats(docs, "img", ["doc_id"])
+
+
+@query(
     "mm_audio_real_features",
     """
     WITH s AS (
@@ -4009,77 +4095,83 @@ def mm_blockhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mirror (scripts/check_correctness.py runs every entry).
 
 _VERIFY_FIRST = [
-    # round 6 rotation. Priority order:
-    #   (a) the 2 registry entries the driver gate has NEVER seen
-    #       (added late in r5, mirror-green only) — the r5 verdict's #1
-    #       ask;
-    #   (b) queries NEW this round (real media decode, hive-partitioned
-    #       round-trip);
-    #   (c) queries whose operator changed this round (semantic_dedup
-    #       assignments left-join + auto quantizer; media header SOS
-    #       fix touches every mm_* decode path);
-    #   (d) the r4-window entries — now the aged set (2 rounds stale).
-    # 44 of the 48 aged entries fit; `array_function_suite`,
-    # `date_arithmetic_suite`, `pivot_status_by_priority`,
-    # `w_running_revenue` slip to r7 (pure expression/window suites,
-    # untouched since r3, r4-driver-green and covered by the full local
-    # mirror every session).
+    # round 7 rotation. Priority order:
+    #   (a) the ONE registry entry the driver gate has never seen
+    #       (delete_where_semantics landed after the r6 window froze)
+    #       — the r6 verdict's #1 ask;
+    #   (b) the 4 suites that slipped the r6 window (last
+    #       driver-checked r4);
+    #   (c) NEW this round (extended-PNG oracle query);
+    #   (d) queries whose operator changed this round: the pixel-decode
+    #       ladder grew the codec fast path + 16-bit/Adam7/sub-8 PNG
+    #       (mm_image_*), audio grew mel-MFCCs + WAV fmt-clen guards
+    #       (mm_audio_*), merge/delete grew the broadcast file-list
+    #       join (merge_upsert_semantics), semantic_dedup grew the
+    #       null-cell prefilter (emb_semantic_dedup);
+    #   (e) the aged set — the r5 window minus the one entry r6
+    #       re-checked, in r5-window order.
+    # 38 of the remaining 47 aged entries fit; 9 slip to r8 — all
+    # pure-SQL suites over operators untouched since r3, every one
+    # r5-driver-green and re-verified by the full local mirror each
+    # session: set_ops_union_except, q13_customer_distribution,
+    # q2_min_cost_supplier, q21_multi_exists,
+    # q16_supplier_count_by_part, q20_volume_suppliers, set_ops_except,
+    # string_function_suite, agg_cube_flag_status.
     # (a) never driver-checked
-    "doc_train_test_split",
-    "doc_unigram_logprob",
-    # (b) new this round
+    "delete_where_semantics",
+    # (b) slipped the r6 window
+    "array_function_suite",
+    "date_arithmetic_suite",
+    "pivot_status_by_priority",
+    "w_running_revenue",
+    # (c) new this round
+    "mm_image_extended_decode",
+    # (d) operator changed this round
     "mm_image_real_decode",
     "mm_audio_real_features",
-    "hive_partitioned_scan",
-    # (c) operator changed this round
-    "emb_semantic_dedup",
-    # (d) aged set: the r4 driver window, minus the two entries
-    # re-checked in r5 (doc_boilerplate_removal, mm_frame_sample) and
-    # the four stable suites yielding their slots.
-    "agg_grouping_sets",
-    "dedup_clusters",
-    "doc_bpe_token_stats",
-    "doc_entropy_quality",
-    "doc_exact_dedup",
-    "doc_fingerprint_groups",
-    "doc_lang_id",
-    "doc_pack_sequences",
-    "doc_quality_scores",
-    "doc_segment_dups",
-    "doc_source_mix",
-    "doc_temperature_mix",
-    "doc_tfidf_top_terms",
-    "doc_token_stats",
-    "emb_kmeans",
-    "emb_knn_bruteforce",
-    "emb_knn_ivf",
-    "emb_knn_lsh",
-    "emb_near_dup_srp",
-    "emb_quantized_rerank",
-    "ev_cohort_retention",
-    "ev_funnel",
-    "ev_hourly_rollup",
-    "ev_type_value_stats",
-    "ev_value_trend",
-    "merge_scd2_history",
     "mm_audio_features",
-    "mm_blockhash",
-    "mm_image_decode",
-    "mm_image_resize",
-    "mm_media_meta",
-    "q11_supplier_value_share",
-    "q12_priority_by_linestatus",
-    "q14_promo_revenue",
-    "q15_top_suppliers",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q22_inactive_customers",
-    "q9_product_profit",
-    "range_join_ship_window",
-    "skew_safe_distinct",
-    "skew_salted_join_agg",
-    "stream_dedup_ingest",
-    "w_monthly_growth",
+    "emb_semantic_dedup",
+    "merge_upsert_semantics",
+    "mm_frame_sample",
+    # (e) aged set (r5 window order, minus pulled-forward + slipped)
+    "ev_json_extract",
+    "scan_filter_project",
+    "sort_limit_topk",
+    "distinct_keyed",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "agg_rollup_status_priority",
+    "agg_approx_distinct",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "q10_returned_items",
+    "join_semi_anti",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q18_large_volume_customers",
+    "doc_token_explode_top",
+    "w_value_deciles",
+    "w_top_orders_per_customer",
+    "w_rank_distribution_frames",
+    "stream_hourly_rollup",
+    "ev_sessionization",
+    "asof_click_before_purchase",
+    "dedup_minhash_lsh",
+    "dedup_ngram_blocked",
+    "doc_curation",
+    "dedup_simhash",
+    "emb_near_dup",
+    "ev_value_quantiles",
+    "doc_pii_scan",
+    "emb_quantize_error",
+    "doc_winnow_candidates",
+    "stream_sessionization",
+    "doc_repetition_screen",
+    "doc_contamination",
+    "doc_stratified_sample",
+    "doc_chunk_windows",
+    "doc_boilerplate_removal",
 ]
 
 

@@ -1400,7 +1400,9 @@ def test_jpeg_codec_roundtrip_and_rejects():
     noise = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
     back = decode_jpeg_pixels(encode_jpeg(noise, quality=50))
     assert int(np.abs(back.astype(int) - noise.astype(int)).max()) < 200
-    # progressive (SOF2) rejected, not garbled
+    # a SOF2 flag on a BASELINE-layout stream is inconsistent (its SOS
+    # declares Ss=0,Se=63 — not a legal progressive scan): None, not
+    # garbled pixels
     p = bytearray(encode_jpeg(arr))
     i = bytes(p).find(b"\xff\xc0")
     p[i + 1] = 0xC2
@@ -1413,6 +1415,70 @@ def test_jpeg_codec_roundtrip_and_rejects():
     for _ in range(300):
         decode_jpeg_pixels(
             b"\xff\xd8" + bytes(r.getrandbits(8) for _ in range(r.randrange(0, 200)))
+        )
+
+
+def test_jpeg_progressive_roundtrip_and_partials():
+    """Progressive JPEG (T.81 Annex G): the progressive encoder's
+    decode is BIT-IDENTICAL to the baseline decode of the same image
+    (same quantized coefficients, different scan order), across
+    subsamplings, gray, and a sparse image that forces multi-block EOB
+    runs; a stream truncated between scans reconstructs the honest
+    partial preview; mid-scan truncation and fuzz return None, never
+    crash."""
+    import numpy as np
+
+    from pydala2_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from pydala2_spark.operators.multimodal import decode_image_pixels
+
+    rng = np.random.default_rng(9)
+    for shape, sub in [((16, 24, 3), "444"), ((19, 13, 3), "420"), ((24, 17, 3), "422")]:
+        arr = rng.integers(0, 256, shape, dtype=np.uint8)
+        prog = decode_jpeg_pixels(encode_jpeg_progressive(arr, 75, sub))
+        base = decode_jpeg_pixels(encode_jpeg(arr, 75, subsampling=sub))
+        assert prog is not None and np.array_equal(prog, base), (shape, sub)
+    # sparse image: long cross-block EOB runs in every AC band
+    arr = np.full((40, 40, 3), 128, np.uint8)
+    arr[3, 5] = [250, 0, 10]
+    arr[30, 33] = [0, 255, 0]
+    blob = encode_jpeg_progressive(arr, 90)
+    assert np.array_equal(
+        decode_jpeg_pixels(blob), decode_jpeg_pixels(encode_jpeg(arr, 90))
+    )
+    # gray through the shared decode ladder
+    gray = np.tile(np.linspace(0, 255, 13).astype(np.uint8), (19, 1))
+    assert np.array_equal(
+        decode_image_pixels(encode_jpeg_progressive(gray, 95)),
+        decode_jpeg_pixels(encode_jpeg(gray, 95)),
+    )
+    # truncation between scans = an honest partial preview (that IS
+    # progressive rendering); find the 3rd SOS and cut right before it
+    sos_positions = []
+    j = 0
+    while True:
+        j = blob.find(b"\xff\xda", j + 1)
+        if j < 0:
+            break
+        sos_positions.append(j)
+    assert len(sos_positions) >= 4
+    partial = decode_jpeg_pixels(blob[: sos_positions[2]] + b"\xff\xd9")
+    assert partial is not None and partial.shape == arr.shape
+    # mid-entropy truncation: None (desync detected), and fuzz totality
+    assert decode_jpeg_pixels(blob[: sos_positions[0] + 30]) is None
+    import random
+
+    r = random.Random(5)
+    for _ in range(60):
+        cut = r.randrange(2, len(blob))
+        out = decode_jpeg_pixels(blob[:cut])
+        assert out is None or out.shape == arr.shape
+    for _ in range(200):
+        decode_jpeg_pixels(
+            b"\xff\xd8\xff\xc2" + bytes(r.getrandbits(8) for _ in range(r.randrange(0, 150)))
         )
 
 

@@ -589,3 +589,33 @@ def test_jpeg_uniform_blocks_reconstruct_tightly(bh, bw, seed):
     back = decode_jpeg_pixels(encode_jpeg(arr, quality=95))
     assert back.shape == arr.shape
     assert int(np.abs(back.astype(int) - arr.astype(int)).max()) <= 2
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(6, 40),
+    st.integers(6, 40),
+    st.sampled_from(["444", "422", "420"]),
+    st.sampled_from([50, 75, 90]),
+    st.integers(0, 2**32 - 1),
+)
+def test_jpeg_progressive_decodes_bit_identical_to_baseline(h, w, sub, q, seed):
+    """Progressive and baseline encoders quantize the same
+    coefficients, so their decodes must be BIT-IDENTICAL for any
+    input — this exercises every T.81 Annex-G scan kind (DC
+    first/refine, AC spectral bands, EOB runs, correction bits)
+    against the sequential path on arbitrary noise."""
+    import numpy as np
+
+    from pydala2_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    prog = decode_jpeg_pixels(encode_jpeg_progressive(arr, q, sub))
+    base = decode_jpeg_pixels(encode_jpeg(arr, q, subsampling=sub))
+    assert prog is not None and base is not None
+    assert np.array_equal(prog, base)
