@@ -249,14 +249,17 @@ def parse_wav_header(payload: bytes) -> tuple[int, int, int] | None:
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     i, rate, ch, bits, data_len = 12, None, None, None, None
+    fmt, block_align = None, 0
     while i + 8 <= len(payload):
         cid = payload[i : i + 4]
         clen = int.from_bytes(payload[i + 4 : i + 8], "little")
         # same clen >= 16 guard as decode_wav_samples: short fmt chunks
         # must not read parameters out of the following chunk's header
         if cid == b"fmt " and clen >= 16 and i + 24 <= len(payload):
+            fmt = int.from_bytes(payload[i + 8 : i + 10], "little")
             ch = int.from_bytes(payload[i + 10 : i + 12], "little")
             rate = int.from_bytes(payload[i + 12 : i + 16], "little")
+            block_align = int.from_bytes(payload[i + 20 : i + 22], "little")
             bits = int.from_bytes(payload[i + 22 : i + 24], "little")
         elif cid == b"data":
             # clamp to the bytes actually present: truncated uploads
@@ -270,7 +273,15 @@ def parse_wav_header(payload: bytes) -> tuple[int, int, int] | None:
     # n_channels), so reject values that don't fit sane WAV reality
     if not rate or not ch or not bits or data_len is None:
         return None
-    if not (0 < rate < 2**31) or not (0 < ch <= 2**15) or bits not in (8, 16, 24, 32, 64):
+    if not (0 < rate < 2**31) or not (0 < ch <= 2**15):
+        return None
+    if fmt == 0x11 and bits == 4:  # IMA ADPCM: block-structured
+        if block_align < 8 * ch:
+            return None
+        spb = (block_align - 4 * ch) * 2 // ch + 1
+        n_samples = (data_len // block_align) * spb
+        return rate, ch, n_samples * 1000 // rate
+    if bits not in (8, 16, 24, 32, 64):
         return None
     n_samples = data_len // max(1, ch * bits // 8)
     return rate, ch, n_samples * 1000 // rate
@@ -1136,13 +1147,75 @@ def encode_wav_pcm16(samples, rate: int) -> bytes:
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
+# IMA ADPCM step-size table (89 entries) and index-adjust table —
+# IMA "Recommended Practices for Enhancing Digital Audio Compatibility"
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_adpcm_block(blk: bytes, ch: int, spb: int):
+    """Decode one IMA ADPCM block: per-channel 4-byte headers
+    (int16 predictor, uint8 step index), then channel-interleaved
+    4-byte nibble groups (low nibble first). Returns (spb, ch) int32
+    or None on a malformed header."""
+    import numpy as np
+
+    out = np.zeros((spb, ch), np.int32)
+    preds, idxs = [], []
+    for c in range(ch):
+        p = int.from_bytes(blk[4 * c : 4 * c + 2], "little", signed=True)
+        ix = blk[4 * c + 2]
+        if ix > 88:
+            return None
+        preds.append(p)
+        idxs.append(ix)
+        out[0, c] = p
+    # data: groups of 4 bytes (8 nibbles = 8 samples) rotating channels
+    pos = 4 * ch
+    counts = [1] * ch
+    while pos + 4 <= len(blk):
+        group = (pos - 4 * ch) // 4
+        c = group % ch
+        pred, ix = preds[c], idxs[c]
+        k = counts[c]
+        for byte in blk[pos : pos + 4]:
+            for nib in (byte & 15, byte >> 4):
+                step = _IMA_STEPS[ix]
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                ix = max(0, min(88, ix + _IMA_INDEX[nib & 7]))
+                if k < spb:
+                    out[k, c] = pred
+                    k += 1
+        preds[c], idxs[c], counts[c] = pred, ix, k
+        pos += 4
+    return out
+
+
 def decode_wav_samples(payload: bytes):
     """REAL sample decode: ``(sample_rate, (n, channels) int32
     array)`` for WAV audio — integer PCM (format 1; 8/16/24/32-bit,
     8-bit re-centered from unsigned), IEEE float (format 3; 32/64-bit,
-    values scaled to the int16 grid via ``rint(v * 32767)``), and
+    values scaled to the int16 grid via ``rint(v * 32767)``),
+    A-law (format 6; G.711 alaw2linear, full-scale ±32256),
     µ-law (format 7; Sun ulaw2linear expansion at the 16-bit scale,
-    full-scale ±32124) — or
+    full-scale ±32124), and IMA ADPCM (format 0x11; per-block
+    predictor + step-index state machine, mono/stereo interleave) — or
     None for compressed/unknown formats. Pure RIFF chunk walk +
     numpy, no audio library."""
     import numpy as np
@@ -1150,6 +1223,7 @@ def decode_wav_samples(payload: bytes):
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     i, fmt, rate, ch, bits = 12, None, None, None, None
+    block_align = 0
     data = None
     while i + 8 <= len(payload):
         cid = payload[i : i + 4]
@@ -1162,6 +1236,7 @@ def decode_wav_samples(payload: bytes):
             fmt = int.from_bytes(payload[i + 8 : i + 10], "little")
             ch = int.from_bytes(payload[i + 10 : i + 12], "little")
             rate = int.from_bytes(payload[i + 12 : i + 16], "little")
+            block_align = int.from_bytes(payload[i + 20 : i + 22], "little")
             bits = int.from_bytes(payload[i + 22 : i + 24], "little")
         elif cid == b"data":
             avail = max(0, len(payload) - (i + 8))
@@ -1170,12 +1245,29 @@ def decode_wav_samples(payload: bytes):
     ok = (
         (fmt == 1 and bits in (8, 16, 24, 32))
         or (fmt == 3 and bits in (32, 64))
-        or (fmt == 7 and bits == 8)
+        or (fmt in (6, 7) and bits == 8)
+        or (fmt == 0x11 and bits == 4)
     )
     if not ok or not rate or not ch or data is None:
         return None
     if not (0 < rate < 2**31) or not (0 < ch <= 2**15):
         return None
+    if fmt == 0x11:  # IMA ADPCM: block-structured, not frame-structured
+        if ch > 2 or block_align < 8 * ch or (block_align - 4 * ch) % (4 * ch):
+            return None
+        spb = (block_align - 4 * ch) * 2 // ch + 1
+        nblocks = len(data) // block_align
+        if nblocks == 0:
+            return None
+        parts = []
+        for b in range(nblocks):
+            blk = _ima_adpcm_block(
+                data[b * block_align : (b + 1) * block_align], ch, spb
+            )
+            if blk is None:
+                return None
+            parts.append(blk)
+        return rate, np.concatenate(parts, axis=0)
     frame = ch * bits // 8
     n = len(data) // max(1, frame)
     data = data[: n * frame]
@@ -1183,6 +1275,16 @@ def decode_wav_samples(payload: bytes):
         f = np.frombuffer(data, "<f4" if bits == 32 else "<f8").astype(np.float64)
         f = np.nan_to_num(f, nan=0.0, posinf=1.0, neginf=-1.0)
         s = np.rint(np.clip(f, -1.0, 1.0) * 32767).astype(np.int32)
+    elif fmt == 6:  # A-law: G.711 alaw2linear (Sun reference)
+        a = np.frombuffer(data, np.uint8).astype(np.int32) ^ 0x55
+        mant = a & 15
+        seg = (a >> 4) & 7
+        t = np.where(
+            seg == 0,
+            (mant << 4) + 8,
+            ((mant << 4) + 0x108) << np.maximum(seg - 1, 0),
+        )
+        s = np.where(a & 0x80, t, -t).astype(np.int32)
     elif fmt == 7:  # µ-law: G.711 expansion
         u = (~np.frombuffer(data, np.uint8)).astype(np.int32) & 0xFF
         sign = u >> 7
