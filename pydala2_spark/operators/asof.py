@@ -36,17 +36,34 @@ def asof_join(
     by: list[str] | str | None = None,
     direction: str = "backward",
     suffix: str = "_right",
+    tolerance: float | int | None = None,
 ) -> DataFrame:
     """For each left row, attach the closest right row with
-    ``right.on <= left.on`` (backward) or ``>=`` (forward), optionally
-    matching ``by`` keys exactly. Right columns are suffixed; right
-    rows with no match contribute nulls (left join semantics).
+    ``right.on <= left.on`` (backward), ``>=`` (forward), or the
+    nearer of the two (``nearest``), optionally matching ``by`` keys
+    exactly. Right columns are suffixed; right rows with no match
+    contribute nulls (left join semantics).
 
     Ties on ``on``: the right row at the same instant matches
-    (inclusive), mirroring DuckDB's ``ASOF JOIN`` with ``>=``.
+    (inclusive), mirroring DuckDB's ``ASOF JOIN`` with ``>=``. For
+    ``nearest``, an equidistant backward/forward pair resolves to the
+    BACKWARD row (pandas ``merge_asof`` leaves this unspecified; a
+    deterministic rule keeps the operator oracle-checkable).
+
+    ``tolerance`` bounds the match distance: right rows farther than
+    ``tolerance`` from ``left.on`` null out. Measured on the column's
+    double cast — native units for numeric columns, SECONDS for
+    timestamps (epoch cast), matching pandas' Timedelta semantics.
+
+    ``nearest`` adds a second window ordering over the SAME hash
+    partitioning (one extra in-partition sort, no extra shuffle —
+    Catalyst reuses the exchange), so every direction stays one
+    shuffle total.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
+        )
     by = [by] if isinstance(by, str) else list(by or [])
     if on not in left.columns or on not in right.columns:
         raise ValueError(f"'on' column {on!r} must exist on both sides")
@@ -77,20 +94,47 @@ def asof_join(
         r_tagged.select(*left.columns, _SIDE, "__rp")
     )
 
+    wb = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).desc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned
+    if direction in ("backward", "nearest"):
+        matched = matched.withColumn("__mb", F.last("__rp", ignorenulls=True).over(wb))
+    if direction in ("forward", "nearest"):
+        matched = matched.withColumn("__mf", F.last("__rp", ignorenulls=True).over(wf))
+
+    def dist(m: Column) -> Column:
+        return F.abs(F.col(on).cast("double") - m[f"{on}{suffix}"].cast("double"))
+
+    def within(m: Column) -> Column:
+        if tolerance is None:
+            return m
+        return F.when(dist(m) <= F.lit(float(tolerance)), m)
+
     if direction == "backward":
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.col(on).asc(), F.col(_SIDE).asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        match = within(F.col("__mb"))
+    elif direction == "forward":
+        match = within(F.col("__mf"))
+    else:  # nearest: the closer side; equidistant resolves BACKWARD
+        mb, mf = within(F.col("__mb")), within(F.col("__mf"))
+        match = (
+            F.when(mb.isNull(), mf)
+            .when(mf.isNull(), mb)
+            .when(dist(mb) <= dist(mf), mb)
+            .otherwise(mf)
         )
-    else:
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.col(on).desc(), F.col(_SIDE).asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-    matched = unioned.withColumn("__match", F.last("__rp", ignorenulls=True).over(w))
-    out = matched.filter(F.col(_SIDE) == 1).drop(_SIDE, "__rp")
+    out = (
+        matched.withColumn("__match", match)
+        .filter(F.col(_SIDE) == 1)
+        .drop(_SIDE, "__rp", "__mb", "__mf")
+    )
     return out.select(
         *left.columns, *[F.col("__match")[f"{c}"].alias(c) for c in
                          [f"{on}{suffix}"] + [f"{c}{suffix}" for c in right_payload]]

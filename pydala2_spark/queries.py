@@ -1908,6 +1908,57 @@ def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_nearest_tolerance",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts, max(event_id) AS click_event
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.event_id AS p_event, p.user_id,
+           epoch_us(p.ts) AS ts_us,
+           m.click_ts_us, m.click_event
+    FROM p LEFT JOIN LATERAL (
+        SELECT epoch_us(c.ts) AS click_ts_us, c.click_event
+        FROM c
+        WHERE c.user_id = p.user_id
+          AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 600000000
+        ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC, c.ts ASC
+        LIMIT 1
+    ) m ON true
+    """,
+)
+def asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # nearest-direction as-of with a tolerance window: each purchase
+    # pairs with the CLOSEST click (either side, <= 600 s away, per
+    # user; equidistant resolves backward — the operator's documented
+    # tie rule, mirrored by the oracle's ORDER BY ... c.ts ASC). The
+    # oracle is a lateral top-1 (O(n*m) in DuckDB); the operator stays
+    # the one-shuffle union+window form (operators/asof.py) — nearest
+    # adds a second in-partition sort, not a second shuffle.
+    from pydala2_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    clicks = (
+        ev.filter("event_type = 'click'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event"))
+    )
+    joined = asof_join(
+        purchases, clicks, on="ts", by="user_id", direction="nearest", tolerance=600
+    )
+    return joined.select(
+        F.col("event_id").alias("p_event"),
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("ts_right").alias("click_ts_us"),
+        F.col("click_event_right").alias("click_event"),
+    )
+
+
+@query(
     "range_join_ship_window",
     f"""
     SELECT o_orderpriority,
@@ -4110,13 +4161,14 @@ _VERIFY_FIRST = [
     #       null-cell prefilter (emb_semantic_dedup);
     #   (e) the aged set — the r5 window minus the one entry r6
     #       re-checked, in r5-window order.
-    # 38 of the remaining 47 aged entries fit; 9 slip to r8 — all
-    # pure-SQL suites over operators untouched since r3, every one
-    # r5-driver-green and re-verified by the full local mirror each
+    # 37 of the remaining 47 aged entries fit; 10 slip to r8 — all
+    # pure-SQL/window suites over operators untouched since r3, every
+    # one r5-driver-green and re-verified by the full local mirror each
     # session: set_ops_union_except, q13_customer_distribution,
     # q2_min_cost_supplier, q21_multi_exists,
     # q16_supplier_count_by_part, q20_volume_suppliers, set_ops_except,
-    # string_function_suite, agg_cube_flag_status.
+    # string_function_suite, agg_cube_flag_status,
+    # w_rank_distribution_frames.
     # (a) never driver-checked
     "delete_where_semantics",
     # (b) slipped the r6 window
@@ -4126,6 +4178,7 @@ _VERIFY_FIRST = [
     "w_running_revenue",
     # (c) new this round
     "mm_image_extended_decode",
+    "asof_nearest_tolerance",
     # (d) operator changed this round
     "mm_image_real_decode",
     "mm_audio_real_features",
@@ -4153,7 +4206,6 @@ _VERIFY_FIRST = [
     "doc_token_explode_top",
     "w_value_deciles",
     "w_top_orders_per_customer",
-    "w_rank_distribution_frames",
     "stream_hourly_rollup",
     "ev_sessionization",
     "asof_click_before_purchase",
