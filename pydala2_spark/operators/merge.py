@@ -509,8 +509,9 @@ def merge(
     try:
         if inserted:
             _append(inserts.select(*target_cols), target_path, partition_by, compression, max_rows_per_file)
+            before = set(all_files_before)
             result.inserted_files = [
-                f for f in list_files(spark, target_path) if f not in set(all_files_before)
+                f for f in list_files(spark, target_path) if f not in before
             ]
 
         # -- rewrite matched files: (their unmatched rows) ∪ (matched source)
@@ -525,8 +526,9 @@ def merge(
             )
             replacement = survivors.unionByName(matched_source.select(*target_cols))
             _append(replacement, target_path, partition_by, compression, max_rows_per_file)
+            pre_rewrite = set(files_after_inserts)
             result.rewritten_files = [
-                f for f in list_files(spark, target_path) if f not in set(files_after_inserts)
+                f for f in list_files(spark, target_path) if f not in pre_rewrite
             ]
             # fs.delete returning False is a SILENT failure mode: the
             # replaced file would stay visible next to its replacement
@@ -566,7 +568,8 @@ def merge(
 
     result.updated = updated
     result.inserted = inserted
-    result.preserved_files = [f for f in all_files_before if f not in set(matched_files)]
+    matched_set = set(matched_files)
+    result.preserved_files = [f for f in all_files_before if f not in matched_set]
     result.target_count_after = (
         target_count_before - matched_target_rows + updated + inserted
     )
@@ -693,7 +696,8 @@ def delete_where(
         ).drop(_FILE)
         _append(survivors, target_path, partition_by, compression, max_rows_per_file)
         appended = True
-        rewritten = [f for f in list_files(spark, target_path) if f not in set(all_before)]
+        before = set(all_before)
+        rewritten = [f for f in list_files(spark, target_path) if f not in before]
         if delete_paths(spark, matched_files) != len(matched_files):
             still = [f for f in matched_files if path_exists(spark, f)]
             if still:
@@ -719,11 +723,12 @@ def delete_where(
             pending_deletes=matched_files if appended else [],
         ) from e
 
+    matched_set = set(matched_files)
     return {
         "deleted_rows": deleted_rows,
         "matched_files": matched_files,
         "rewritten_files": rewritten,
-        "preserved_files": [f for f in all_before if f not in set(matched_files)],
+        "preserved_files": [f for f in all_before if f not in matched_set],
     }
 
 

@@ -923,9 +923,12 @@ def decode_image_pixels(payload: bytes, prefer_codec: str = "auto"):
     (stdlib zlib inflate + scanline unfilter,
     :func:`decode_png_pixels`), GIF (pure-Python
     LZW + palette + deinterlace, :func:`decode_gif_pixels`), and
-    baseline JPEG (Huffman entropy decode + dequant + IDCT + YCbCr,
-    `operators/jpeg.decode_jpeg_pixels`) — or None (arithmetic JPEG /
-    unrecognized: the deterministic stub ladder).
+    baseline + progressive JPEG (Huffman entropy decode + dequant +
+    IDCT + YCbCr, `operators/jpeg.decode_jpeg_pixels`), and
+    WebP-lossless / VP8L (prefix codes + LZ77 + color cache + all four
+    transforms, `operators/vp8l.decode_webp_pixels`) — or None
+    (arithmetic JPEG / lossy VP8 / unrecognized: the deterministic
+    stub ladder).
 
     ``prefer_codec`` picks the PNG/GIF execution engine:
 
@@ -992,6 +995,19 @@ def decode_image_pixels(payload: bytes, prefer_codec: str = "auto"):
         from pydala2_spark.operators.jpeg import decode_jpeg_pixels
 
         return decode_jpeg_pixels(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from pydala2_spark.operators.vp8l import (
+            _find_vp8l_chunk,
+            decode_webp_pixels,
+        )
+
+        if _find_vp8l_chunk(payload) is not None:  # lossless: one true grid
+            if prefer_codec != "pure":
+                arr = _codec_decode_lossless(payload)
+                if arr is not None:
+                    return arr
+            return decode_webp_pixels(payload)
+        return None  # lossy VP8 frame data: out of dependency-free scope
     return None
 
 

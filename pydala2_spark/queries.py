@@ -2656,6 +2656,90 @@ def mm_image_extended_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_image_webp_decode",
+    """
+    WITH px AS (
+      SELECT doc_id,
+             6 + doc_id % 5 AS w,
+             6 + doc_id % 4 AS h,
+             doc_id % 4 AS m,
+             flatten(list_transform(range(0, 6 + doc_id % 4), y ->
+               list_transform(range(0, 6 + doc_id % 5), x ->
+                 (x * 7 + y * 11 + doc_id) % 256))) AS vals
+      FROM documents
+    ), t AS (
+      SELECT doc_id, w, h, m,
+             CASE WHEN m = 2 THEN list_transform(vals, v -> (v % 8) * 31)
+                  ELSE vals END AS dec
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(3 * list_sum(dec) AS BIGINT) AS px_sum,
+           CAST(list_min(dec) AS INTEGER) AS px_min,
+           CAST(list_max(dec) AS INTEGER) AS px_max,
+           CAST(CASE WHEN m = 2 THEN (doc_id % 256 % 8) * 31
+                     ELSE doc_id % 256 END AS INTEGER) AS px_topleft
+    FROM t
+    """,
+)
+def mm_image_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebP-lossless (VP8L) decode end-to-end: the doc_id pixel
+    gradient synthesized per document into one of four VP8L shapes —
+    plain literals, subtract-green + distance-mapped LZ77 runs,
+    color-indexing with sub-byte bundling (8-color palette, so the
+    dec values quantize to (v mod 8)*31), and a spatial predictor
+    (mode = doc_id mod 14) with a color cache — then decoded back
+    through `operators/vp8l.decode_webp_pixels` inside the same
+    Arrow-batched scan stage as the other media queries. Lossless
+    container ⇒ ONE correct pixel grid, so the oracle recomputes every
+    statistic analytically from the gradient; all four entropy/
+    transform paths are load-bearing for the hash.
+
+    100 TB shape: payloads synthesize and decode inside one
+    mapInPandas scan stage — binary never crosses a shuffle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from pydala2_spark.operators.multimodal import image_pixel_stats
+    from pydala2_spark.operators.vp8l import encode_webp_lossless
+
+    @pandas_udf("binary")
+    def synth(doc_id):
+        out = []
+        for d in doc_id:
+            d = int(d)
+            w, h = 6 + d % 5, 6 + d % 4
+            v = (np.arange(w)[None, :] * 7 + np.arange(h)[:, None] * 11 + d) % 256
+            m = d % 4
+            if m == 2:
+                v = (v % 8) * 31  # 8-color palette -> 2-bit bundling
+            img = np.repeat(v[:, :, None], 3, axis=2).astype(np.uint8)
+            if m == 0:
+                out.append(encode_webp_lossless(img))
+            elif m == 1:
+                out.append(
+                    encode_webp_lossless(img, use_subtract_green=True, use_lz77=True)
+                )
+            elif m == 2:
+                out.append(encode_webp_lossless(img, use_palette=True))
+            else:
+                out.append(
+                    encode_webp_lossless(img, predictor_mode=d % 14, cache_bits=4)
+                )
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").withColumn(
+        "img", synth("doc_id")
+    )
+    return image_pixel_stats(docs, "img", ["doc_id"])
+
+
+@query(
     "mm_audio_real_features",
     """
     WITH s AS (
@@ -4161,14 +4245,14 @@ _VERIFY_FIRST = [
     #       null-cell prefilter (emb_semantic_dedup);
     #   (e) the aged set — the r5 window minus the one entry r6
     #       re-checked, in r5-window order.
-    # 37 of the remaining 47 aged entries fit; 10 slip to r8 — all
-    # pure-SQL/window suites over operators untouched since r3, every
-    # one r5-driver-green and re-verified by the full local mirror each
-    # session: set_ops_union_except, q13_customer_distribution,
+    # 36 of the remaining 47 aged entries fit; 11 slip to r8 — all
+    # pure-SQL/window suites or r6-green ops untouched since, every
+    # one driver-green before and re-verified by the full local mirror
+    # each session: set_ops_union_except, q13_customer_distribution,
     # q2_min_cost_supplier, q21_multi_exists,
     # q16_supplier_count_by_part, q20_volume_suppliers, set_ops_except,
     # string_function_suite, agg_cube_flag_status,
-    # w_rank_distribution_frames.
+    # w_rank_distribution_frames, doc_boilerplate_removal.
     # (a) never driver-checked
     "delete_where_semantics",
     # (b) slipped the r6 window
@@ -4178,6 +4262,7 @@ _VERIFY_FIRST = [
     "w_running_revenue",
     # (c) new this round
     "mm_image_extended_decode",
+    "mm_image_webp_decode",
     "asof_nearest_tolerance",
     # (d) operator changed this round
     "mm_image_real_decode",
@@ -4223,7 +4308,6 @@ _VERIFY_FIRST = [
     "doc_contamination",
     "doc_stratified_sample",
     "doc_chunk_windows",
-    "doc_boilerplate_removal",
 ]
 
 

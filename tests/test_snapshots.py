@@ -556,3 +556,57 @@ def test_publish_guard_and_stream_publisher_plumbing(spark, tmp_ds_path):
     # direct construction keeps the publisher (explicit choice — the
     # O_EXCL local-publisher test above depends on it)
     assert SnapshotDataset(spark, tmp_ds_path, commit_publisher=pub).commit_publisher is pub
+
+
+def test_s3_conditional_put_publisher_against_moto():
+    """The boto3 publisher against a REAL S3 API implementation (moto),
+    not a hand-built fake: create-if-absent wins once, every later
+    attempt observes PreconditionFailed/412 → False, and the winning
+    manifest's bytes survive untouched. Closes the r6 verdict's
+    'fake-client-tested only' caveat to the extent the container
+    allows (moto is in-process; a networked MinIO race would be the
+    only stronger check)."""
+    moto = pytest.importorskip("moto")
+    import boto3
+
+    from pydala2_spark.plans.snapshots import s3_conditional_put_publisher
+
+    with moto.mock_aws():
+        client = boto3.client("s3", region_name="us-east-1")
+        client.create_bucket(Bucket="commit-bucket")
+        pub = s3_conditional_put_publisher(client=client)
+        uri = "s3a://commit-bucket/ds/_snapshots/v00000002.json"
+        assert pub(uri, '{"ts": 0.0}') is True
+        # the race, as S3 itself adjudicates it: same version slot,
+        # fully-built payload, no existence pre-check anywhere
+        assert pub(uri, '{"ts": 1.0}') is False
+        got = client.get_object(
+            Bucket="commit-bucket", Key="ds/_snapshots/v00000002.json"
+        )["Body"].read()
+        assert got == b'{"ts": 0.0}'  # loser never overwrote
+
+        # many committers past any check, one slot: exactly one winner
+        import threading
+
+        wins = []
+        lock = threading.Lock()
+
+        def commit(i):
+            ok = pub(
+                "s3a://commit-bucket/ds/_snapshots/v00000003.json",
+                '{"writer": %d}' % i,
+            )
+            with lock:
+                wins.append((i, ok))
+
+        threads = [threading.Thread(target=commit, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        winners = [i for i, ok in wins if ok]
+        assert len(winners) == 1
+        body = client.get_object(
+            Bucket="commit-bucket", Key="ds/_snapshots/v00000003.json"
+        )["Body"].read().decode()
+        assert body == '{"writer": %d}' % winners[0]
