@@ -55,6 +55,13 @@ _MAGIC = [
     ("riff", "52494646"),  # wav/avi/webp container
     ("mp4", "66747970"),  # 'ftyp' at offset 4
     ("pdf", "25504446"),
+    ("flac", "664C6143"),  # 'fLaC'
+    ("mp3", "494433"),  # ID3v2-tagged MPEG audio
+    # bare MPEG-1/2 Layer III frame syncs (0xFFE? family, common forms)
+    ("mp3", "FFFB"),
+    ("mp3", "FFFA"),
+    ("mp3", "FFF3"),
+    ("mp3", "FFF2"),
     ("bmp", "424D"),  # 'BM'
     ("ppm", "5036"),  # 'P6' binary RGB
     ("pgm", "5035"),  # 'P5' binary gray
@@ -285,6 +292,92 @@ def parse_wav_header(payload: bytes) -> tuple[int, int, int] | None:
         return None
     n_samples = data_len // max(1, ch * bits // 8)
     return rate, ch, n_samples * 1000 // rate
+
+
+def parse_flac_header(payload: bytes) -> tuple[int, int, int] | None:
+    """REAL FLAC parameters from the mandatory STREAMINFO metadata
+    block (the public FLAC format spec / RFC 9639): ``(sample_rate,
+    n_channels, duration_ms)``. STREAMINFO is required to be the first
+    metadata block; its tail packs rate(20) | channels-1(3) |
+    bits-1(5) | total_samples(36) big-endian. A zero total-samples
+    field is legal ('unknown') and reports duration 0 rather than a
+    fabricated value."""
+    if payload[:4] != b"fLaC" or len(payload) < 8:
+        return None
+    # first metadata block header: last-flag(1) | type(7), 24-bit length
+    btype = payload[4] & 0x7F
+    blen = int.from_bytes(payload[5:8], "big")
+    if btype != 0 or blen < 34 or len(payload) < 8 + 18:
+        return None
+    packed = int.from_bytes(payload[18:26], "big")  # STREAMINFO bytes 10..17
+    rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    total_samples = packed & ((1 << 36) - 1)
+    if not 0 < rate < 2**31:
+        return None
+    return rate, channels, total_samples * 1000 // rate
+
+
+# MPEG audio frame-header tables (Layer III), from the public
+# MPEG-1/MPEG-2 audio specs: kbit/s by (version-group, bitrate index)
+# and Hz by (version, sample-rate index).
+_MP3_BITRATES_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_BITRATES_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def parse_mp3_header(payload: bytes) -> tuple[int, int, int] | None:
+    """REAL MPEG Layer III parameters from the first frame header:
+    ``(sample_rate, n_channels, duration_ms)``. Skips an ID3v2 tag
+    (synchsafe size), then reads version/layer/bitrate/rate/mode from
+    the 4-byte frame header. Duration is the CBR estimate
+    (stream_bytes * 8 / bitrate) — the honest single-header answer;
+    VBR streams would need a full frame walk (or the Xing header),
+    which stays out of dependency-free scope."""
+    i = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        size = 0
+        for bb in payload[6:10]:
+            if bb & 0x80:
+                return None  # synchsafe bytes keep the high bit clear
+            size = (size << 7) | bb
+        i = 10 + size
+    # resync: the first 0xFFE? pair within a bounded probe window
+    end = min(len(payload) - 3, i + 4096)
+    while i <= end:
+        if payload[i] == 0xFF and (payload[i + 1] & 0xE0) == 0xE0:
+            break
+        i += 1
+    else:
+        return None
+    if i + 4 > len(payload):
+        return None
+    b1, b2, b3 = payload[i + 1], payload[i + 2], payload[i + 3]
+    version = (b1 >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+    layer = (b1 >> 1) & 0x3  # 1 = Layer III
+    if version == 1 or layer != 1:
+        return None
+    bitrate_idx = b2 >> 4
+    rate_idx = (b2 >> 2) & 0x3
+    if bitrate_idx in (0, 15) or rate_idx == 3:
+        return None
+    kbps = (_MP3_BITRATES_V1 if version == 3 else _MP3_BITRATES_V2)[bitrate_idx]
+    rate = _MP3_RATES[version][rate_idx]
+    channels = 1 if (b3 >> 6) == 3 else 2
+    duration_ms = (len(payload) - i) * 8 * 1000 // (kbps * 1000)
+    return rate, channels, duration_ms
+
+
+def parse_audio_header(payload: bytes) -> tuple[int, int, int] | None:
+    """Container-dispatch audio metadata ladder: WAV (RIFF chunk
+    walk) → FLAC (STREAMINFO) → MP3 (frame header). One tuple shape
+    — ``(sample_rate, n_channels, duration_ms)`` — so every caller
+    upgrades to the wider format surface without schema change."""
+    return (
+        parse_wav_header(payload)
+        or parse_flac_header(payload)
+        or parse_mp3_header(payload)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1535,7 +1628,7 @@ def audio_pcm_stats(df: DataFrame, binary_col: str, passthrough: list[str]) -> D
                     cols["s_max"].append(int(s.max()) if s.size else None)
                     cols["zero_crossings"].append(int((c0[:-1] * c0[1:] < 0).sum()))
                 else:
-                    w = parse_wav_header(p)
+                    w = parse_audio_header(p)
                     cols["sample_rate"].append(
                         w[0] if w else [8000, 16000, 22050, 44100][_h32(p, 12, 14) % 4]
                     )
@@ -1640,7 +1733,8 @@ def extract_audio_features(
 ) -> DataFrame:
     """Audio decode + feature stage: (sample_rate, duration, channels,
     MFCC-like vector). Real WAV payloads get REAL parameters via the
-    codec-free RIFF chunk walk (:func:`parse_wav_header`), and
+    codec-free metadata ladder (:func:`parse_audio_header` — WAV chunk
+    walk, FLAC STREAMINFO, MP3 frame header), and
     integer-PCM payloads additionally get a REAL mel-cepstral vector
     from their decoded samples (:func:`decode_wav_samples` →
     :func:`_mfcc_features`); compressed formats and unrecognized
@@ -1652,7 +1746,7 @@ def extract_audio_features(
         for pdf in it:
             out = pdf[passthrough].copy()
             payloads = [bytes(b) for b in pdf[binary_col]]
-            parsed = [parse_wav_header(p) for p in payloads]
+            parsed = [parse_audio_header(p) for p in payloads]
             out["sample_rate"] = [
                 w[0] if w else [8000, 16000, 22050, 44100][_h32(p, 12, 14) % 4]
                 for w, p in zip(parsed, payloads)

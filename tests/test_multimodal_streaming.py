@@ -1865,3 +1865,78 @@ def test_wav_alaw_and_ima_adpcm_decode():
     bad[di] = 99
     assert decode_wav_samples(bytes(bad)) is None
     assert decode_wav_samples(wav(0x11, 1, 8000, 4, b"\x00" * 32, block_align=13)) is None
+
+
+def test_flac_and_mp3_header_parse():
+    """REAL FLAC STREAMINFO and MPEG Layer III frame-header metadata:
+    hand-packed headers with known parameters, hostile truncations,
+    and the combined parse_audio_header ladder dispatch."""
+    from pydala2_spark.operators.multimodal import (
+        parse_audio_header,
+        parse_flac_header,
+        parse_mp3_header,
+    )
+
+    # FLAC: rate 44100, stereo, 441000 samples (10 s)
+    packed = (44100 << 44) | ((2 - 1) << 41) | ((16 - 1) << 36) | 441000
+    streaminfo = bytes(10) + packed.to_bytes(8, "big") + bytes(16)
+    flac = b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    assert parse_flac_header(flac) == (44100, 2, 10000)
+    assert parse_audio_header(flac) == (44100, 2, 10000)
+    # unknown total samples -> duration 0, never fabricated
+    packed0 = (48000 << 44) | (0 << 41) | (23 << 36)
+    si0 = bytes(10) + packed0.to_bytes(8, "big") + bytes(16)
+    flac0 = b"fLaC" + bytes([0x00]) + len(si0).to_bytes(3, "big") + si0
+    assert parse_flac_header(flac0) == (48000, 1, 0)
+    # first block not STREAMINFO / truncated / zero rate -> None
+    assert parse_flac_header(b"fLaC" + bytes([0x84]) + bytes(40)) is None
+    assert parse_flac_header(flac[:12]) is None
+    bad_rate = bytes(10) + (0).to_bytes(8, "big") + bytes(16)
+    assert (
+        parse_flac_header(b"fLaC\x00" + len(bad_rate).to_bytes(3, "big") + bad_rate)
+        is None
+    )
+
+    # MP3: MPEG1 Layer III, 128 kbps, 44100 Hz, joint stereo; 4000
+    # payload bytes at 128 kbps -> 250 ms
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x40])
+    mp3 = hdr + bytes(3996)
+    assert parse_mp3_header(mp3) == (44100, 2, 250)
+    # mono mode bits
+    assert parse_mp3_header(bytes([0xFF, 0xFB, 0x90, 0xC0]) + bytes(3996))[1] == 1
+    # MPEG2 table: bitrate idx 9 -> 80 kbps, rate idx 0 -> 22050
+    assert parse_mp3_header(bytes([0xFF, 0xF3, 0x90, 0x40]) + bytes(996))[0] == 22050
+    # ID3v2 tag skipped (synchsafe size 100)
+    tagged = b"ID3\x04\x00\x00\x00\x00\x00\x64" + bytes(100) + mp3
+    assert parse_mp3_header(tagged) == (44100, 2, 250)
+    assert parse_audio_header(tagged) == (44100, 2, 250)
+    # free-format (idx 0) / bad (15) / reserved rate or version -> None
+    assert parse_mp3_header(bytes([0xFF, 0xFB, 0x00, 0x40]) + bytes(64)) is None
+    assert parse_mp3_header(bytes([0xFF, 0xFB, 0xF0, 0x40]) + bytes(64)) is None
+    assert parse_mp3_header(bytes([0xFF, 0xFB, 0x9C, 0x40]) + bytes(64)) is None
+    assert parse_mp3_header(bytes([0xFF, 0xEB, 0x90, 0x40]) + bytes(64)) is None
+    # Layer I/II out of scope -> None
+    assert parse_mp3_header(bytes([0xFF, 0xFD, 0x90, 0x40]) + bytes(64)) is None
+    # totality over random bytes
+    import random
+
+    rng = random.Random(17)
+    for _ in range(200):
+        blob = bytes(rng.getrandbits(8) for _ in range(rng.randrange(0, 64)))
+        parse_flac_header(blob)
+        parse_mp3_header(blob)
+        parse_audio_header(blob)
+
+
+def test_sniff_format_flac_mp3(spark):
+    from pydala2_spark.operators.multimodal import sniff_format
+
+    rows = [
+        (b"fLaC\x00\x00\x00\x22" + bytes(40), "flac"),
+        (b"ID3\x04\x00\x00\x00\x00\x00\x10" + bytes(64), "mp3"),
+        (bytes([0xFF, 0xFB, 0x90, 0x40]) + bytes(64), "mp3"),
+        (bytes([0xFF, 0xF3, 0x90, 0x40]) + bytes(64), "mp3"),
+    ]
+    df = spark.createDataFrame([(p,) for p, _ in rows], "payload binary")
+    got = [r["fmt"] for r in df.select(sniff_format("payload").alias("fmt")).collect()]
+    assert got == [want for _, want in rows]
