@@ -24,6 +24,10 @@ from pyspark.sql import functions as F
 from pydala2_spark.functions.text import quality_score
 from pydala2_spark.operators.dedup import duplicate_clusters, ngram_jaccard_pairs
 
+# order-independent float aggregation: accumulate in exact decimal,
+# round, cast back (same contract as queries._DEC)
+_DEC = "decimal(38,6)"
+
 STATUS_KEPT = "kept"
 STATUS_LOW_QUALITY = "low_quality"
 STATUS_EXACT_DUP = "exact_dup"
@@ -429,6 +433,161 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= top_n)
         .select(id_col, "term", "tf", "df", "score", "rank")
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str] | str,
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k document retrieval by Okapi BM25 (Robertson et al., the
+    public TREC ranking function) — the lexical-search primitive a
+    data pipeline uses for targeted corpus probes (contamination
+    spot-checks, topic pulls, eval-set mining). Reference has no
+    analogue — extension surface.
+
+    ``idf = ln((N - df + 0.5) / (df + 0.5) + 1)`` (the +1 keeps it
+    positive for terms in most documents);
+    ``score = Σ_t idf_t * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``.
+
+    Output: ``(id_col, bm25)`` rounded to 4, ordered by the ROUNDED
+    score desc with ``id_col`` as tiebreaker (the package's
+    deterministic-top-k rule), limited to ``top_k``.
+
+    100 TB notes: the corpus-wide work is ONE explode feeding two
+    map-side-combined aggregations (per-doc length; the tf frame is
+    pre-filtered to query terms at the scan, so postings shuffle only
+    for the handful of queried tokens). N/avgdl arrive as a broadcast
+    one-row aggregate of the doc-length frame — no driver collect.
+    The final top-k is ``orderBy().limit()`` → TakeOrderedAndProject,
+    a distributed partial top-k, never a global sort."""
+    terms = query_terms.split() if isinstance(query_terms, str) else list(query_terms)
+    if not terms:
+        raise ValueError("bm25_search needs at least one query term")
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("term")
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.round(F.sum(F.col("s").cast(_DEC)).cast("double"), 4).alias("bm25")
+    )
+    return per_doc.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(top_k)
+
+
+def dsir_resample(
+    df: DataFrame,
+    target: DataFrame,
+    n: int,
+    text: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    public NeurIPS method): score every raw document by the
+    log-importance ratio of an add-½-smoothed TARGET unigram LM over
+    the RAW unigram LM, then Gumbel-top-``n`` resample — the standard
+    trick that turns importance weights into an exact without-
+    replacement sample. The published recipe uses hashed n-gram
+    features; the unigram table here is the same relational shape
+    (swap the tokenizer to change feature space). Reference analogue:
+    none — extension surface.
+
+    The Gumbel noise is the package md5-coin (`_md5_coin`, domain-
+    separated by ``salt``) mapped to (0,1) and through
+    ``-ln(-ln(u))`` — fully deterministic and engine-portable, so the
+    resample is reproducible AND oracle-checkable.
+
+    Output: ``(id_col, log_weight, gumbel_key)`` for the ``n``
+    selected documents, ordered by the ROUNDED key desc with
+    ``id_col`` tiebreak (deterministic-top-k rule).
+
+    100 TB notes: two corpus-scale explodes (raw + target) feed
+    map-side-combined token counts; the log-ratio table is one row per
+    raw-vocab token (Zipf-small, NOT broadcast-hinted — same rationale
+    as `unigram_logprob_scores`: AQE broadcasts it when it is actually
+    small). V / totals arrive as broadcast one-row aggregates; per-doc
+    weights are a decimal-accumulated sum (order-independent); the
+    selection is ``orderBy().limit(n)`` → distributed partial top-k.
+    Target-only tokens never score (every scored token comes from a
+    raw document, hence the raw vocab)."""
+    raw_toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("tok")
+    )
+    per_doc = raw_toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    q_counts = per_doc.groupBy("tok").agg(F.sum("c").alias("qc"))
+    p_counts = (
+        target.select(F.explode(F.split(F.col(text), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("pc"))
+    )
+    # totals + vocab size from the count frames themselves (no second
+    # corpus pass); target total counts only raw-vocab tokens so both
+    # engines smooth over the identical event space
+    table = q_counts.join(p_counts, "tok", "left").na.fill({"pc": 0})
+    consts = table.agg(
+        F.sum("qc").alias("tq"),
+        F.sum("pc").alias("tp"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    lr = table.crossJoin(F.broadcast(consts)).select(
+        "tok",
+        (
+            F.log(
+                (F.col("pc") + F.lit(0.5))
+                / (F.col("tp") + F.lit(0.5) * F.col("v"))
+            )
+            - F.log(
+                (F.col("qc") + F.lit(0.5))
+                / (F.col("tq") + F.lit(0.5) * F.col("v"))
+            )
+        ).alias("lr"),
+    )
+    logw = per_doc.join(lr, "tok").groupBy(id_col).agg(
+        F.round(F.sum((F.col("c") * F.col("lr")).cast(_DEC)).cast("double"), 6)
+        .alias("log_weight")
+    )
+    u = (_md5_coin(id_col, f"{salt}:") + F.lit(0.5)) / F.lit(1_000_000.0)
+    keyed = logw.withColumn(
+        "gumbel_key",
+        F.round(F.col("log_weight") - F.log(-F.log(u)), 4),
+    ).withColumn("log_weight", F.round("log_weight", 4))
+    return keyed.orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc()).limit(n)
 
 
 def unigram_logprob_scores(

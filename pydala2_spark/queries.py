@@ -3676,6 +3676,100 @@ def delete_where_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_bm25_search",
+    """
+    WITH toks AS (
+      SELECT doc_id, t AS term
+      FROM documents, unnest(string_split(text, ' ')) AS u(t)
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id,
+             ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    )
+    SELECT doc_id,
+           round(CAST(sum(CAST(s AS DECIMAL(38,6))) AS DOUBLE), 4) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 15
+    """,
+)
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Okapi BM25 top-k retrieval over the corpus — the lexical-search
+    # probe a pipeline runs for contamination spot-checks / topic
+    # pulls. One corpus explode; postings pre-filter to the query terms
+    # at the scan; N/avgdl broadcast; TakeOrderedAndProject top-k. See
+    # operators/curate.bm25_search for the 100 TB notes.
+    from pydala2_spark.operators.curate import bm25_search
+
+    return bm25_search(
+        _t(spark, sf_dir, "documents"), "spark join window", top_k=15
+    )
+
+
+@query(
+    "doc_dsir_resample",
+    """
+    WITH toks AS (
+      SELECT doc_id, t AS tok
+      FROM documents, unnest(string_split(text, ' ')) AS u(t)
+    ), per_doc AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+    ), qc AS (
+      SELECT tok, CAST(sum(c) AS BIGINT) AS qc FROM per_doc GROUP BY tok
+    ), pc AS (
+      SELECT t AS tok, count(*) AS pc
+      FROM documents, unnest(string_split(text, ' ')) AS u(t)
+      WHERE lang = 'en' GROUP BY t
+    ), tbl AS (
+      SELECT qc.tok, qc.qc, COALESCE(pc.pc, 0) AS pc
+      FROM qc LEFT JOIN pc USING (tok)
+    ), consts AS (
+      SELECT CAST(sum(qc) AS BIGINT) AS tq, CAST(sum(pc) AS BIGINT) AS tp,
+             count(*) AS v
+      FROM tbl
+    ), lr AS (
+      SELECT tok,
+             ln((pc + 0.5) / (tp + 0.5 * v))
+               - ln((qc + 0.5) / (tq + 0.5 * v)) AS lr
+      FROM tbl CROSS JOIN consts
+    ), lw AS (
+      SELECT per_doc.doc_id,
+             round(CAST(sum(CAST(c * lr AS DECIMAL(38,6))) AS DOUBLE), 6) AS lwr
+      FROM per_doc JOIN lr USING (tok) GROUP BY per_doc.doc_id
+    )
+    SELECT doc_id, round(lwr, 4) AS log_weight,
+           round(lwr - ln(-ln(
+             (('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 1000000 + 0.5) / 1000000.0)), 4) AS gumbel_key
+    FROM lw
+    ORDER BY gumbel_key DESC, doc_id ASC LIMIT 200
+    """,
+)
+def doc_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DSIR (Xie et al. 2023): importance-resample the raw corpus toward
+    # the English subset — add-half-smoothed target/raw unigram
+    # log-ratio weights + deterministic md5-Gumbel top-n (exact
+    # without-replacement sampling by importance weight, reproducible
+    # across engines). See operators/curate.dsir_resample for the
+    # 100 TB notes (Zipf-small ratio table, decimal-accumulated
+    # weights, distributed partial top-k).
+    from pydala2_spark.operators.curate import dsir_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_resample(docs, docs.filter(F.col("lang") == "en"), n=200)
+
+
+@query(
     "doc_unigram_logprob",
     """
     WITH toks AS (
@@ -4245,14 +4339,15 @@ _VERIFY_FIRST = [
     #       null-cell prefilter (emb_semantic_dedup);
     #   (e) the aged set — the r5 window minus the one entry r6
     #       re-checked, in r5-window order.
-    # 36 of the remaining 47 aged entries fit; 11 slip to r8 — all
+    # 34 of the remaining 47 aged entries fit; 13 slip to r8 — all
     # pure-SQL/window suites or r6-green ops untouched since, every
     # one driver-green before and re-verified by the full local mirror
     # each session: set_ops_union_except, q13_customer_distribution,
     # q2_min_cost_supplier, q21_multi_exists,
     # q16_supplier_count_by_part, q20_volume_suppliers, set_ops_except,
     # string_function_suite, agg_cube_flag_status,
-    # w_rank_distribution_frames, doc_boilerplate_removal.
+    # w_rank_distribution_frames, doc_boilerplate_removal,
+    # doc_stratified_sample, doc_chunk_windows.
     # (a) never driver-checked
     "delete_where_semantics",
     # (b) slipped the r6 window
@@ -4263,6 +4358,8 @@ _VERIFY_FIRST = [
     # (c) new this round
     "mm_image_extended_decode",
     "mm_image_webp_decode",
+    "doc_bm25_search",
+    "doc_dsir_resample",
     "asof_nearest_tolerance",
     # (d) operator changed this round
     "mm_image_real_decode",
@@ -4306,8 +4403,6 @@ _VERIFY_FIRST = [
     "stream_sessionization",
     "doc_repetition_screen",
     "doc_contamination",
-    "doc_stratified_sample",
-    "doc_chunk_windows",
 ]
 
 

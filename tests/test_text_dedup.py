@@ -1090,3 +1090,97 @@ def test_semantic_dedup_auto_srp_above_literal_limit(spark):
     # exact copies share every SRP bucket → all flagged on the auto path
     flagged = {v for v, _, d, _ in auto if d}
     assert {200 + i for i in range(4)} <= flagged
+
+
+# -- BM25 retrieval ----------------------------------------------------
+
+
+def test_bm25_hand_case(spark):
+    """Okapi BM25 against a hand-computed corpus: three docs, query
+    'spark table'; N=3, avgdl known, idf/tf/length-norm all checked
+    numerically."""
+    import math
+
+    from pydala2_spark.operators.curate import bm25_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark engine"),  # dl 3
+            (2, "spark table"),  # dl 2
+            (3, "table table motor desk"),  # dl 4
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["bm25"] for r in bm25_search(df, "spark table").collect()}
+    n, avgdl, k1, b = 3, 3.0, 1.2, 0.75
+
+    def s(tf, dl, dfreq):
+        idf = math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert out[1] == round(s(2, 3, 2), 4)  # spark tf=2
+    assert out[2] == round(s(1, 2, 2) + s(1, 2, 2), 4)  # both terms once
+    assert out[3] == round(s(2, 4, 2), 4)  # table tf=2
+    # top_k + tiebreaker ordering
+    top = bm25_search(df, "spark table", top_k=1).collect()
+    assert len(top) == 1 and top[0]["doc_id"] == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25_search(df, [])
+
+
+def test_bm25_no_python_nodes_and_topk_plan(spark, docs):
+    from pydala2_spark.operators.curate import bm25_search
+
+    plan = (
+        bm25_search(docs, "spark join", top_k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # distributed partial top-k, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+# -- DSIR importance resampling ---------------------------------------
+
+
+def test_dsir_resample_prefers_target_like_docs(spark):
+    """Docs made of target-domain tokens must out-weigh docs made of
+    off-domain tokens; weights are deterministic (re-run equality) and
+    the Gumbel keys are reproducible md5 values."""
+    from pydala2_spark.operators.curate import dsir_resample
+
+    rows = [(i, "alpha beta gamma delta") for i in range(10)] + [
+        (i, "zig zag zig zag") for i in range(10, 20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.filter("doc_id < 10")  # alpha/beta corpus
+    out = dsir_resample(df, target, n=20).collect()
+    w = {r["doc_id"]: r["log_weight"] for r in out}
+    assert min(w[i] for i in range(10)) > max(w[i] for i in range(10, 20))
+    # selection is exactly the top-n by key with doc_id tiebreak
+    keys = [(r["gumbel_key"], r["doc_id"]) for r in out]
+    assert keys == sorted(keys, key=lambda t: (-t[0], t[1]))
+    # deterministic: a second run returns identical rows
+    again = dsir_resample(df, target, n=20).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # n truncates: only the 5 highest keys survive
+    top5 = dsir_resample(df, target, n=5).collect()
+    assert len(top5) == 5
+    assert {r["doc_id"] for r in top5} == {t[1] for t in sorted(keys, key=lambda t: (-t[0], t[1]))[:5]}
+
+
+def test_dsir_no_python_nodes(spark, docs):
+    from pydala2_spark.operators.curate import dsir_resample
+
+    plan = (
+        dsir_resample(docs, docs.filter("lang = 'en'"), n=50)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
