@@ -94,6 +94,67 @@ def quality_score(text: str = "text", tokens_col: str | None = None) -> Column:
     )
 
 
+# -- Gopher quality rules (Rae et al. 2021, Appendix A) -----------------
+
+# the paper's "must contain 2 of" stop set
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    text: str = "text",
+    tokens_col: str | None = None,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> dict[str, Column]:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    MassiveWeb filtering, Appendix A) as named boolean Columns — pure
+    Catalyst expressions, zero Python. Returned flags:
+
+    - ``word_count_ok``: token count in [min_words, max_words];
+    - ``mean_word_len_ok``: mean token length in [3, 10];
+    - ``symbol_ratio_ok``: (# occurrences of '#' or '...') / words
+      ≤ 0.1;
+    - ``alpha_ratio_ok``: ≥80% of tokens contain an alphabetic char;
+    - ``stopword_ok``: ≥2 distinct tokens from the paper's 8-stop set;
+    - ``gopher_pass``: the conjunction.
+
+    (The paper's line-level bullet/ellipsis rules need line structure
+    the single-line synthetic corpus lacks; they belong in a
+    line-filter pass upstream.) Per-flag outputs keep the filter
+    DIAGNOSABLE — a recipe tunes thresholds per source by reading the
+    flag marginals, not a single opaque boolean.
+
+    100 TB: every flag is a scan-stage expression over one shared
+    token array (pass ``tokens_col``); the filter prunes before any
+    shuffle downstream."""
+    t = _toks(text, tokens_col)
+    nw = F.expr(f"size({t})")
+    mean_len = F.expr(f"aggregate({t}, 0L, (acc, x) -> acc + length(x))") / nw
+    symbols = (
+        (F.length(text) - F.length(F.regexp_replace(F.col(text), r"#", "")))
+        + (
+            F.length(text)
+            - F.length(F.regexp_replace(F.col(text), r"\.\.\.", ""))
+        )
+        / 3
+    )
+    alpha_frac = F.expr(f"size(filter({t}, x -> x rlike '[a-zA-Z]'))") / nw
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPS)
+    n_stops = F.expr(f"size(array_intersect(array_distinct({t}), array({stops})))")
+    flags = {
+        "word_count_ok": (nw >= min_words) & (nw <= max_words),
+        "mean_word_len_ok": (mean_len >= 3) & (mean_len <= 10),
+        "symbol_ratio_ok": symbols / nw <= 0.1,
+        "alpha_ratio_ok": alpha_frac >= 0.8,
+        "stopword_ok": n_stops >= 2,
+    }
+    allp = None
+    for c in flags.values():
+        allp = c if allp is None else (allp & c)
+    flags["gopher_pass"] = allp
+    return flags
+
+
 # -- language ID (marker-token heuristic) ------------------------------
 
 LANG_MARKERS: dict[str, tuple[str, ...]] = {

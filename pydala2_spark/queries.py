@@ -3676,6 +3676,58 @@ def delete_where_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_gopher_rules",
+    """
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS nw
+      FROM documents
+    )
+    SELECT doc_id,
+           nw >= 20 AND nw <= 100000 AS word_count_ok,
+           list_sum(list_transform(toks, x -> length(x))) / nw >= 3
+             AND list_sum(list_transform(toks, x -> length(x))) / nw <= 10
+             AS mean_word_len_ok,
+           ((length(text) - length(replace(text, '#', '')))
+             + (length(text) - length(replace(text, '...', ''))) / 3)
+             / nw <= 0.1 AS symbol_ratio_ok,
+           len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+             / nw >= 0.8 AS alpha_ratio_ok,
+           len(list_intersect(list_distinct(toks),
+               ['the','be','to','of','and','that','have','with'])) >= 2
+             AS stopword_ok,
+           (nw >= 20 AND nw <= 100000)
+             AND (list_sum(list_transform(toks, x -> length(x))) / nw >= 3
+                  AND list_sum(list_transform(toks, x -> length(x))) / nw <= 10)
+             AND (((length(text) - length(replace(text, '#', '')))
+                   + (length(text) - length(replace(text, '...', ''))) / 3)
+                  / nw <= 0.1)
+             AND (len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+                  / nw >= 0.8)
+             AND (len(list_intersect(list_distinct(toks),
+                  ['the','be','to','of','and','that','have','with'])) >= 2)
+             AS gopher_pass
+    FROM t
+    """,
+)
+def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The published Gopher/MassiveWeb document-quality rules (Rae et
+    # al. 2021 Appendix A) as per-flag diagnostics: word count, mean
+    # word length, symbol ratio, alphabetic-word fraction, stop-set
+    # membership + the conjunction. All scan-stage Catalyst expressions
+    # over ONE shared token projection — zero shuffles, zero Python.
+    from pydala2_spark.functions.text import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__toks", F.split(F.col("text"), " ")
+    )
+    flags = gopher_rules(tokens_col="__toks", min_words=20)
+    return docs.select(
+        "doc_id", *[c.alias(name) for name, c in flags.items()]
+    )
+
+
+@query(
     "doc_bm25_search",
     """
     WITH toks AS (
@@ -4347,7 +4399,7 @@ _VERIFY_FIRST = [
     # q16_supplier_count_by_part, q20_volume_suppliers, set_ops_except,
     # string_function_suite, agg_cube_flag_status,
     # w_rank_distribution_frames, doc_boilerplate_removal,
-    # doc_stratified_sample, doc_chunk_windows.
+    # doc_stratified_sample, doc_chunk_windows, doc_contamination.
     # (a) never driver-checked
     "delete_where_semantics",
     # (b) slipped the r6 window
@@ -4360,6 +4412,7 @@ _VERIFY_FIRST = [
     "mm_image_webp_decode",
     "doc_bm25_search",
     "doc_dsir_resample",
+    "doc_gopher_rules",
     "asof_nearest_tolerance",
     # (d) operator changed this round
     "mm_image_real_decode",
@@ -4402,7 +4455,6 @@ _VERIFY_FIRST = [
     "doc_winnow_candidates",
     "stream_sessionization",
     "doc_repetition_screen",
-    "doc_contamination",
 ]
 
 

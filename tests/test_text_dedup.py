@@ -1184,3 +1184,54 @@ def test_dsir_no_python_nodes(spark, docs):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+# -- Gopher quality rules ----------------------------------------------
+
+
+def test_gopher_rules_hand_cases(spark):
+    """Each published rule (Rae et al. 2021 Appendix A) trips on a
+    crafted document while the clean document passes everything."""
+    from pydala2_spark.functions.text import gopher_rules
+
+    clean = "the quick brown fox jumps over and over with great care " * 3
+    rows = [
+        (1, clean.strip()),  # passes all (33 words, stops present)
+        (2, "the of and"),  # too short
+        (3, " ".join(["the", "of"] + ["a"] * 40)),  # mean word len < 3
+        (4, ("the of " + "#" * 30 + " ") + "word " * 30),  # symbol ratio
+        (5, "the of " + "123 456 789 " * 12),  # alpha fraction < 0.8
+        (6, "lorem ipsum dolor sit amet " * 8),  # no gopher stops
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "__toks", F.split(F.col("text"), " ")
+    )
+    flags = gopher_rules(tokens_col="__toks", min_words=10)
+    got = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *[c.alias(n) for n, c in flags.items()]).collect()
+    }
+    assert got[1]["gopher_pass"]
+    assert not got[2]["word_count_ok"] and not got[2]["gopher_pass"]
+    assert not got[3]["mean_word_len_ok"]
+    assert not got[4]["symbol_ratio_ok"]
+    assert not got[5]["alpha_ratio_ok"]
+    assert not got[6]["stopword_ok"]
+    # every failing doc fails the conjunction
+    for d in (2, 3, 4, 5, 6):
+        assert not got[d]["gopher_pass"], d
+
+
+def test_gopher_rules_no_python_and_scan_stage(spark, docs):
+    from pydala2_spark.functions.text import gopher_rules
+
+    d = docs.withColumn("__toks", F.split(F.col("text"), " "))
+    flags = gopher_rules(tokens_col="__toks")
+    plan = (
+        d.select("doc_id", *[c.alias(n) for n, c in flags.items()])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # pure scan-stage projection
