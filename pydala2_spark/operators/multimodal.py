@@ -55,6 +55,8 @@ _MAGIC = [
     ("riff", "52494646"),  # wav/avi/webp container
     ("mp4", "66747970"),  # 'ftyp' at offset 4
     ("pdf", "25504446"),
+    ("tiff", "49492A00"),  # II little-endian
+    ("tiff", "4D4D002A"),  # MM big-endian
     ("flac", "664C6143"),  # 'fLaC'
     ("mp3", "494433"),  # ID3v2-tagged MPEG audio
     # bare MPEG-1/2 Layer III frame syncs (0xFFE? family, common forms)
@@ -210,6 +212,10 @@ def parse_image_header(payload: bytes) -> tuple[int, int, int] | None:
     webp = parse_webp_header(payload)
     if webp is not None:
         return webp
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from pydala2_spark.operators.tiff import parse_tiff_header
+
+        return parse_tiff_header(payload)
     bmp = _parse_bmp_header(payload)
     if bmp is not None:
         w, h, bpp, _, _ = bmp
@@ -1019,9 +1025,11 @@ def decode_image_pixels(payload: bytes, prefer_codec: str = "auto"):
     baseline + progressive JPEG (Huffman entropy decode + dequant +
     IDCT + YCbCr, `operators/jpeg.decode_jpeg_pixels`), and
     WebP-lossless / VP8L (prefix codes + LZ77 + color cache + all four
-    transforms, `operators/vp8l.decode_webp_pixels`) — or None
-    (arithmetic JPEG / lossy VP8 / unrecognized: the deterministic
-    stub ladder).
+    transforms, `operators/vp8l.decode_webp_pixels`), and baseline
+    TIFF (strips, none/PackBits compression,
+    `operators/tiff.decode_tiff_pixels`) — or None (arithmetic JPEG /
+    lossy VP8 / tiled-LZW TIFF / unrecognized: the deterministic stub
+    ladder).
 
     ``prefer_codec`` picks the PNG/GIF execution engine:
 
@@ -1088,6 +1096,14 @@ def decode_image_pixels(payload: bytes, prefer_codec: str = "auto"):
         from pydala2_spark.operators.jpeg import decode_jpeg_pixels
 
         return decode_jpeg_pixels(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from pydala2_spark.operators.tiff import decode_tiff_pixels
+
+        if prefer_codec != "pure":
+            arr = _codec_decode_lossless(payload)
+            if arr is not None:
+                return arr
+        return decode_tiff_pixels(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         from pydala2_spark.operators.vp8l import (
             _find_vp8l_chunk,
