@@ -409,10 +409,17 @@ def tfidf_top_terms(
     evaluate ln over the same doubles, and the rounding absorbs
     last-ulp libm differences.
     """
+    from pydala2_spark.operators.dedup import _materialize_once
+
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("term")
     ).filter(F.length("term") >= min_len)
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # materialize the (doc, term, tf) frame once: its two consumers
+    # (the DF aggregate and the scoring join) would otherwise each
+    # re-scan the corpus through the plan fork (no ReusedExchange)
+    tf = _materialize_once(
+        toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = df.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -458,28 +465,32 @@ def bm25_search(
     score desc with ``id_col`` as tiebreaker (the package's
     deterministic-top-k rule), limited to ``top_k``.
 
-    100 TB notes: the corpus-wide work is ONE explode feeding two
-    map-side-combined aggregations (per-doc length; the tf frame is
-    pre-filtered to query terms at the scan, so postings shuffle only
-    for the handful of queried tokens). N/avgdl arrive as a broadcast
-    one-row aggregate of the doc-length frame — no driver collect.
-    The final top-k is ``orderBy().limit()`` → TakeOrderedAndProject,
-    a distributed partial top-k, never a global sort."""
+    100 TB notes: the corpus reads ONCE — the (doc, term, count) frame
+    is aggregated from a single explode and materialized via
+    `dedup._materialize_once` (Catalyst pushes the query-term filter
+    below a shared aggregate, which forks the plan into one corpus
+    scan per consumer otherwise — measured 4 FileScans before the
+    checkpoint, 1 after). Doc lengths, postings and df all derive from
+    that Zipf-small frame; N/avgdl arrive as a broadcast one-row
+    aggregate — no driver collect. The final top-k is
+    ``orderBy().limit()`` → TakeOrderedAndProject, a distributed
+    partial top-k, never a global sort."""
+    from pydala2_spark.operators.dedup import _materialize_once
+
     terms = query_terms.split() if isinstance(query_terms, str) else list(query_terms)
     if not terms:
         raise ValueError("bm25_search needs at least one query term")
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("term")
     )
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    per_doc = _materialize_once(
+        toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = per_doc.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    tf = (
-        toks.filter(F.col("term").isin(terms))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = per_doc.filter(F.col("term").isin(terms))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
@@ -537,19 +548,26 @@ def dsir_resample(
     selected documents, ordered by the ROUNDED key desc with
     ``id_col`` tiebreak (deterministic-top-k rule).
 
-    100 TB notes: two corpus-scale explodes (raw + target) feed
-    map-side-combined token counts; the log-ratio table is one row per
-    raw-vocab token (Zipf-small, NOT broadcast-hinted — same rationale
-    as `unigram_logprob_scores`: AQE broadcasts it when it is actually
+    100 TB notes: the raw corpus reads ONCE — its (doc, tok, count)
+    frame materializes via `dedup._materialize_once` and feeds both
+    the raw unigram table and the per-doc scoring join (the fork would
+    otherwise re-scan the corpus per consumer); the target corpus
+    reads once more. The log-ratio table is one row per raw-vocab
+    token (Zipf-small, NOT broadcast-hinted — same rationale as
+    `unigram_logprob_scores`: AQE broadcasts it when it is actually
     small). V / totals arrive as broadcast one-row aggregates; per-doc
     weights are a decimal-accumulated sum (order-independent); the
     selection is ``orderBy().limit(n)`` → distributed partial top-k.
     Target-only tokens never score (every scored token comes from a
     raw document, hence the raw vocab)."""
+    from pydala2_spark.operators.dedup import _materialize_once
+
     raw_toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("tok")
     )
-    per_doc = raw_toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = _materialize_once(
+        raw_toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    )
     q_counts = per_doc.groupBy("tok").agg(F.sum("c").alias("qc"))
     p_counts = (
         target.select(F.explode(F.split(F.col(text), " ")).alias("tok"))
@@ -558,8 +576,12 @@ def dsir_resample(
     )
     # totals + vocab size from the count frames themselves (no second
     # corpus pass); target total counts only raw-vocab tokens so both
-    # engines smooth over the identical event space
-    table = q_counts.join(p_counts, "tok", "left").na.fill({"pc": 0})
+    # engines smooth over the identical event space. The table is
+    # vocab-sized — materialize it so its two consumers (consts + the
+    # ratio join) don't re-scan the target corpus through the fork.
+    table = _materialize_once(
+        q_counts.join(p_counts, "tok", "left").na.fill({"pc": 0})
+    )
     consts = table.agg(
         F.sum("qc").alias("tq"),
         F.sum("pc").alias("tp"),
@@ -617,13 +639,22 @@ def unigram_logprob_scores(
     whenever it is actually small, and falls back to a shuffled
     join keyed on the already-deduplicated (doc, token, count)
     frame otherwise. Total-token count arrives as a broadcast
-    single-row frame — no driver collect anywhere.
+    single-row frame — no driver collect anywhere. The (doc, token,
+    count) frame materializes once (`dedup._materialize_once`): its
+    two consumers — the vocab aggregate and the scoring join — would
+    otherwise each re-scan the corpus (Catalyst emits no
+    ReusedExchange across the fork; measured 3 FileScans before,
+    1 after).
     Reference analogue: none (extension surface).
     """
+    from pydala2_spark.operators.dedup import _materialize_once
+
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("tok")
     )
-    per_doc = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = _materialize_once(
+        toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    )
     vocab = per_doc.groupBy("tok").agg(F.sum("c").alias("cc"))
     # total tokens from the VOCAB aggregate (sum of counts), not a
     # second explode of the corpus — the count pass reuses the frame
