@@ -28,18 +28,29 @@ def funnel_counts(
     equi-join, so stage joins shuffle |users| rows, never |events| —
     the funnel narrows monotonically and every stage's small side is a
     candidate broadcast. No windows, no self-join on the raw stream.
+
+    The event table reads ONCE: the step-filtered (user, type, ts)
+    projection materializes via `dedup._materialize_once` before the
+    stage loop — each stage plus its count branch would otherwise
+    re-scan the corpus (measured: 2·k FileScans for a k-step funnel,
+    1 after).
     """
+    from pydala2_spark.operators.dedup import _materialize_once
+
     if not steps:
         raise ValueError("steps must be non-empty")
+    base = _materialize_once(
+        ev.filter(F.col(type_col).isin(steps)).select(user_col, type_col, ts_col)
+    )
     stage = (
-        ev.filter(F.col(type_col) == steps[0])
+        base.filter(F.col(type_col) == steps[0])
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("__t"))
     )
     counts = [stage.agg(F.count(F.lit(1)).alias("n_0"))]
     for i, step in enumerate(steps[1:], start=1):
         stage = (
-            ev.filter(F.col(type_col) == step)
+            base.filter(F.col(type_col) == step)
             .join(stage.select(user_col, "__t"), user_col)
             .filter(F.col(ts_col) > F.col("__t"))
             .groupBy(user_col)
@@ -62,10 +73,16 @@ def cohort_retention(
 
     Two aggregations + one equi-join on the user key; the activity side
     is deduped to (user, day) BEFORE the join so the shuffle carries
-    user-days, not raw events.
+    user-days, not raw events — and the first-seen cohort derives from
+    that SAME deduped frame (min over distinct days ≡ min over raw
+    events), so the event table reads once, not twice.
     """
-    f = ev.groupBy(user_col).agg(F.min(F.to_date(ts_col)).alias("cohort"))
-    a = ev.select(user_col, F.to_date(ts_col).alias("day")).distinct()
+    from pydala2_spark.operators.dedup import _materialize_once
+
+    a = _materialize_once(
+        ev.select(user_col, F.to_date(ts_col).alias("day")).distinct()
+    )
+    f = a.groupBy(user_col).agg(F.min("day").alias("cohort"))
     return (
         a.join(f, user_col)
         .select(
