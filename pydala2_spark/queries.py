@@ -769,11 +769,21 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # correlated scalar subquery → pre-aggregated per-part averages
     # joined back (the decorrelation Catalyst would do, made explicit
-    # so the avg side is computed once and broadcast).
+    # so the avg side is computed once and broadcast). The avg side
+    # semi-joins to the brand's partkeys BEFORE aggregating: only
+    # averages that survive the final join matter, so the agg covers
+    # ~1/25 of lineitem instead of every part (the per-part average is
+    # unchanged for the parts that remain).
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
-    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
-        (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
+    avg_qty = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("ap_partkey"))
+        .agg((0.5 * F.avg("l_quantity")).alias("half_avg_qty"))
     )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -803,6 +813,12 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the HAVING aggregate IS the output aggregate: join the per-order
+    # quantity sums straight to orders/customer instead of semi-joining
+    # back into lineitem and re-summing — one lineitem scan, one fewer
+    # corpus-side shuffle, bit-identical rows (o_orderkey is unique, so
+    # the old groupBy(c_custkey, o_orderkey) collapsed to one row per
+    # order anyway)
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -810,13 +826,13 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q")).filter(F.col("q") > 300)
     )
     return (
-        li.join(F.broadcast(big_orders.select("l_orderkey")), "l_orderkey", "left_semi")
-        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_custkey", "o_orderkey")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
-            F.round(F.any_value("o_totalprice"), 2).alias("totalprice"),
+        orders.join(big_orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("q", 2).alias("total_qty"),
+            F.round("o_totalprice", 2).alias("totalprice"),
         )
         .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
         .limit(20)
@@ -4399,7 +4415,8 @@ _VERIFY_FIRST = [
     # q16_supplier_count_by_part, q20_volume_suppliers, set_ops_except,
     # string_function_suite, agg_cube_flag_status,
     # w_rank_distribution_frames, doc_boilerplate_removal,
-    # doc_stratified_sample, doc_chunk_windows, doc_contamination.
+    # doc_stratified_sample, doc_chunk_windows, doc_contamination,
+    # doc_repetition_screen.
     # (a) never driver-checked
     "delete_where_semantics",
     # (b) slipped the r6 window
@@ -4421,6 +4438,7 @@ _VERIFY_FIRST = [
     "emb_semantic_dedup",
     "merge_upsert_semantics",
     "mm_frame_sample",
+    "q17_small_quantity_revenue",
     # (e) aged set (r5 window order, minus pulled-forward + slipped)
     "ev_json_extract",
     "scan_filter_project",
@@ -4454,7 +4472,6 @@ _VERIFY_FIRST = [
     "emb_quantize_error",
     "doc_winnow_candidates",
     "stream_sessionization",
-    "doc_repetition_screen",
 ]
 
 
