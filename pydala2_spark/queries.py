@@ -4400,23 +4400,29 @@ _VERIFY_FIRST = [
     #       driver-checked r4);
     #   (c) NEW this round (extended-PNG oracle query);
     #   (d) queries whose operator changed this round: the pixel-decode
-    #       ladder grew the codec fast path + 16-bit/Adam7/sub-8 PNG
-    #       (mm_image_*), audio grew mel-MFCCs + WAV fmt-clen guards
-    #       (mm_audio_*), merge/delete grew the broadcast file-list
-    #       join (merge_upsert_semantics), semantic_dedup grew the
-    #       null-cell prefilter (emb_semantic_dedup);
-    #   (e) the aged set — the r5 window minus the one entry r6
-    #       re-checked, in r5-window order.
-    # 34 of the remaining 47 aged entries fit; 13 slip to r8 — all
-    # pure-SQL/window suites or r6-green ops untouched since, every
-    # one driver-green before and re-verified by the full local mirror
-    # each session: set_ops_union_except, q13_customer_distribution,
-    # q2_min_cost_supplier, q21_multi_exists,
+    #       ladder grew the codec fast path + 16-bit/Adam7/sub-8 PNG +
+    #       VP8L/TIFF dispatch (mm_image_*), audio grew mel-MFCCs +
+    #       WAV fmt-clen guards + the FLAC/MP3 ladder (mm_audio_*),
+    #       merge/delete grew the broadcast file-list join
+    #       (merge_upsert_semantics), semantic_dedup grew the
+    #       null-cell prefilter (emb_semantic_dedup), q17/q18 lost a
+    #       lineitem re-scan, and the token-table ops
+    #       (doc_unigram_logprob, doc_tfidf_top_terms) + events ops
+    #       (ev_funnel, ev_cohort_retention) grew single-scan
+    #       materialization — all r6-driver-green but code-changed, so
+    #       they re-enter the gate;
+    #   (e) the aged set — the r5 window minus pulled-forward entries,
+    #       in r5-window order.
+    # 28 of the remaining aged entries fit; the slipped set for r8 —
+    # every one driver-green in r5/r6 AND re-verified by the full
+    # local mirror each session: set_ops_union_except,
+    # q13_customer_distribution, q2_min_cost_supplier, q21_multi_exists,
     # q16_supplier_count_by_part, q20_volume_suppliers, set_ops_except,
     # string_function_suite, agg_cube_flag_status,
     # w_rank_distribution_frames, doc_boilerplate_removal,
     # doc_stratified_sample, doc_chunk_windows, doc_contamination,
-    # doc_repetition_screen.
+    # doc_repetition_screen, doc_pii_scan, emb_quantize_error,
+    # doc_winnow_candidates, stream_sessionization.
     # (a) never driver-checked
     "delete_where_semantics",
     # (b) slipped the r6 window
@@ -4439,6 +4445,10 @@ _VERIFY_FIRST = [
     "merge_upsert_semantics",
     "mm_frame_sample",
     "q17_small_quantity_revenue",
+    "doc_unigram_logprob",
+    "doc_tfidf_top_terms",
+    "ev_funnel",
+    "ev_cohort_retention",
     # (e) aged set (r5 window order, minus pulled-forward + slipped)
     "ev_json_extract",
     "scan_filter_project",
@@ -4468,10 +4478,6 @@ _VERIFY_FIRST = [
     "dedup_simhash",
     "emb_near_dup",
     "ev_value_quantiles",
-    "doc_pii_scan",
-    "emb_quantize_error",
-    "doc_winnow_candidates",
-    "stream_sessionization",
 ]
 
 
