@@ -204,6 +204,9 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         # q11/tfidf (a global aggregate attached without a
         # single-partition window)
         "doc_unigram_logprob",
+        # N/avgdl and tq/tp/V one-row aggregate frames — same shape
+        "doc_bm25_search",
+        "doc_dsir_resample",
     }
     offenders = []
     for name, fn in queries().items():
