@@ -17,10 +17,12 @@ Public surface:
 from pydala2_spark.errors import PartialMergeError, PartialWriteError
 from pydala2_spark.session import get_spark
 from pydala2_spark.sources.dataset import (
+    AvroDataset,
     BaseDataset,
     CSVDataset,
     Dataset,
     JSONDataset,
+    ORCDataset,
     ParquetDataset,
 )
 from pydala2_spark.sources.writer import Writer
@@ -91,6 +93,8 @@ __all__ = [
     "ParquetDataset",
     "CSVDataset",
     "JSONDataset",
+    "ORCDataset",
+    "AvroDataset",
     "Writer",
     "merge",
     "delete_where",

@@ -716,6 +716,64 @@ class JSONDataset(BaseDataset):
     format = "json"
 
 
+class ORCDataset(BaseDataset):
+    """Columnar ORC dataset — same verbs as parquet, minus the
+    parquet-only sidecar indexes. ORC is a built-in Spark source, so
+    predicate pushdown / column pruning / partition discovery all work
+    through the identical ``spark.read.format("orc")`` path.
+
+    Reference analogue: the reference reads parquet/csv/json via its
+    generic pyarrow path (`pydala/dataset.py:2606-2653`); ORC is
+    extension surface a Spark shop expects (Hive-era warehouses are
+    ORC-heavy)."""
+
+    format = "orc"
+
+
+class AvroDataset(BaseDataset):
+    """Row-oriented Avro dataset. Avro has been an EXTERNAL Spark
+    module since 2.4 (``spark-avro`` jar); when the jar is absent this
+    class still constructs (identity is path+format) but the first
+    load/write raises a clear, actionable error instead of Spark's
+    generic "Failed to find data source"."""
+
+    format = "avro"
+
+    _HINT = (
+        "the spark-avro module is not on this session's classpath; "
+        "start Spark with --packages org.apache.spark:spark-avro_2.13:<spark-version> "
+        "(Avro is an external data source module since Spark 2.4)"
+    )
+
+    @classmethod
+    def available(cls, spark: SparkSession) -> bool:
+        """True when the spark-avro data source is on the classpath.
+        Probes Spark's own DataSource registry — Class.forName is NOT
+        sufficient (sql/core ships shadow classes purely to produce
+        the 'external module' error message, so forName succeeds even
+        when the source can't load)."""
+        try:
+            jvm = spark._jvm  # noqa: SLF001 — classpath probe, no data path
+            jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+                "avro", spark._jsparkSession.sessionState().conf()
+            )
+            return True
+        except Exception:
+            return False
+
+    def load(self, reload: bool = False) -> "BaseDataset":
+        if not self.available(self.spark):
+            raise RuntimeError(self._HINT)
+        return super().load(reload=reload)
+
+    def write_to_dataset(self, data, mode: str = "append", **kwargs) -> None:
+        if not self.available(self.spark):
+            raise RuntimeError(self._HINT)
+        return super().write_to_dataset(data, mode=mode, **kwargs)
+
+    write = write_to_dataset
+
+
 class PyarrowDataset(BaseDataset):
     """Generic format passthrough (`pydala/dataset.py:2606-2653`)."""
 

@@ -133,6 +133,49 @@ def test_json_dataset(spark, tmp_path):
     assert ds.count_rows() == 5
 
 
+def test_orc_dataset_roundtrip_filter_partition(spark, tmp_path):
+    """ORC is a built-in Spark source: the full Dataset surface —
+    append, overwrite, SQL-string filter, hive partitioning — works
+    through the same verbs as parquet."""
+    from pydala2_spark import ORCDataset
+
+    p = str(tmp_path / "orc_ds")
+    ds = ORCDataset(p, spark)
+    ds.write(make_simple_pdf(10, seed=0))
+    ds.write(make_simple_pdf(5, seed=10))
+    assert ds.count_rows() == 15
+    assert ds.filter("value > 5.0 AND id < 10").count() == 6
+
+    # partitioned overwrite + partition-column rehydration
+    pdf = make_simple_pdf(12)
+    pdf["bucket"] = [f"b{i % 3}" for i in range(12)]
+    p2 = str(tmp_path / "orc_part")
+    ds2 = ORCDataset(p2, spark, partitioning=["bucket"])
+    ds2.write(pdf, mode="overwrite")
+    got = ds2.filter("bucket = 'b1'")
+    assert got.count() == 4
+    assert "bucket" in got.columns
+
+
+def test_avro_dataset_gated_by_classpath(spark, tmp_path):
+    """Avro is an external Spark module; without the jar the dataset
+    raises the actionable hint (not Spark's generic lookup error).
+    With the jar present the same round-trip as CSV/JSON must work."""
+    from pydala2_spark import AvroDataset
+
+    p = str(tmp_path / "avro_ds")
+    ds = AvroDataset(p, spark)
+    if AvroDataset.available(spark):
+        ds.write(make_simple_pdf(5).drop(columns=["timestamp"]))
+        ds.clear_cache()
+        assert ds.count_rows() == 5
+    else:
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            ds.write(make_simple_pdf(5).drop(columns=["timestamp"]))
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            ds.load()
+
+
 def test_reference_dropin_surface(spark, tmp_ds_path):
     """Reference method-name parity: the verbs a pydala2 user calls by
     name resolve and behave (`pydala/dataset.py:420-777, 2193`)."""
