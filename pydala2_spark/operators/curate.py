@@ -682,6 +682,79 @@ def unigram_logprob_scores(
     )
 
 
+def bigram_logprob_scores(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document average CONDITIONAL bigram log-probability under the
+    corpus's own MLE bigram model — the next step up from
+    :func:`unigram_logprob_scores` on the CCNet quality ladder:
+    ``lp(w_i | w_{i-1}) = ln(c(w_{i-1} w_i) / c(w_{i-1} ·))``, averaged
+    over the document's bigram positions. Word-salad that passes a
+    unigram screen (common words, shuffled) scores LOW here because the
+    transitions are unseen-rare; natural prose scores high. The
+    production recipe swaps the self-trained table for a KenLM-style
+    model; the relational shape (bigram→logprob join + per-doc mean)
+    is identical.
+
+    Output: ``(id_col, n_bigrams, avg_logprob)`` — documents with fewer
+    than 2 tokens have no bigrams and are absent (mirrored by the
+    oracle). Decimal-accumulated then rounded to 4, so the mean is
+    shuffle-order-independent and oracle-exact.
+
+    100 TB notes: one corpus explode to (prev, word) pairs, then every
+    further stage runs on the deduplicated (doc, prev, word, count)
+    frame — Zipf-small relative to the corpus — which materializes once
+    (`dedup._materialize_once`; its three consumers — bigram table,
+    context table via an aggregate OF the bigram table, scoring join —
+    would otherwise each re-explode the corpus). The bigram vocabulary
+    is deliberately NOT broadcast-hinted (can reach 10⁹ rows at
+    web scale; AQE broadcasts it when actually small).
+    Reference analogue: none (extension surface).
+    """
+    from pydala2_spark.operators.dedup import _materialize_once
+
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text), " ").alias("__t")
+    ).filter(F.size("__t") >= 2)
+    pairs = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__t) - 1), "
+                "i -> struct(element_at(__t, i) AS p, element_at(__t, i + 1) AS w))"
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.p").alias("p"), F.col("bg.w").alias("w"))
+    per_doc = _materialize_once(
+        pairs.groupBy(id_col, "p", "w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = per_doc.groupBy("p", "w").agg(F.sum("c").alias("cpw"))
+    # context totals from the BIGRAM aggregate, not a second corpus pass
+    ctx = bi.groupBy("p").agg(F.sum("cpw").alias("cp"))
+    lp = (
+        per_doc.join(bi, ["p", "w"])
+        .join(ctx, "p")
+        .select(
+            F.col(id_col),
+            "c",
+            F.log(F.col("cpw").cast("double") / F.col("cp").cast("double")).alias(
+                "lp"
+            ),
+        )
+    )
+    dec = "decimal(38,6)"
+    return lp.groupBy(id_col).agg(
+        F.sum("c").alias("n_bigrams"),
+        F.round(
+            F.sum((F.col("lp") * F.col("c")).cast(dec)).cast("double")
+            / F.sum("c"),
+            4,
+        ).alias("avg_logprob"),
+    )
+
+
 def train_test_split(
     df: DataFrame,
     test_fraction: float = 0.1,

@@ -3873,6 +3873,45 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "doc_bigram_logprob",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ), bg AS (
+      SELECT doc_id, tk[i] AS p, tk[i + 1] AS w
+      FROM t, unnest(generate_series(1, len(tk) - 1)) AS u(i)
+    ), per_doc AS (
+      SELECT doc_id, p, w, count(*) AS c FROM bg GROUP BY doc_id, p, w
+    ), bi AS (
+      SELECT p, w, CAST(sum(c) AS BIGINT) AS cpw FROM per_doc GROUP BY p, w
+    ), ctx AS (
+      SELECT p, CAST(sum(cpw) AS BIGINT) AS cp FROM bi GROUP BY p
+    ), lp AS (
+      SELECT per_doc.doc_id, per_doc.c,
+             ln(CAST(bi.cpw AS DOUBLE) / CAST(ctx.cp AS DOUBLE)) AS lp
+      FROM per_doc JOIN bi USING (p, w) JOIN ctx USING (p)
+    )
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(CAST(lp * c AS DECIMAL(38,6))) AS DOUBLE)
+                 / sum(c), 4) AS avg_logprob
+    FROM lp GROUP BY doc_id
+    """,
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Conditional bigram LM quality score — catches shuffled word-salad
+    # the unigram screen passes (transitions unseen-rare, tokens
+    # common). Every post-explode stage runs on the Zipf-small
+    # (doc, prev, word, count) frame, materialized once; context
+    # totals are an aggregate OF the bigram table, never a second
+    # corpus pass. See operators/curate.bigram_logprob_scores for the
+    # 100 TB notes.
+    from pydala2_spark.operators.curate import bigram_logprob_scores
+
+    return bigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
 _KMEANS_CTES = """
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -928,6 +928,43 @@ def test_unigram_logprob_orders_typical_above_rare(spark):
     assert got[2][1] > got[3][1]
 
 
+def test_bigram_logprob_penalizes_shuffled_word_salad(spark):
+    """The conditional bigram score must (a) equal a python reference,
+    (b) rank a natural-transition document above a shuffled one built
+    from the SAME tokens (the case a unigram screen cannot separate),
+    and (c) omit documents with fewer than 2 tokens."""
+    import math
+
+    from pydala2_spark.operators.curate import bigram_logprob_scores
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat sat on the rug",
+        3: "mat the on sat cat the",  # same tokens as 1, shuffled
+        4: "solo",  # < 2 tokens — absent from output
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in bigram_logprob_scores(df).collect()
+    }
+    assert 4 not in got
+
+    toks = {d: t.split(" ") for d, t in texts.items() if len(t.split(" ")) >= 2}
+    bigr = {d: list(zip(ts, ts[1:])) for d, ts in toks.items()}
+    allb = [b for bs in bigr.values() for b in bs]
+    cbw = {b: allb.count(b) for b in set(allb)}
+    cp = {}
+    for (p, _), c in cbw.items():
+        cp[p] = cp.get(p, 0) + c
+    for d, bs in bigr.items():
+        want = sum(math.log(cbw[b] / cp[b[0]]) for b in bs) / len(bs)
+        assert got[d][0] == len(bs)
+        assert abs(got[d][1] - round(want, 4)) <= 1e-4
+    # natural transitions outrank the shuffle of the same tokens
+    assert got[1][1] > got[3][1]
+
+
 def test_train_test_split_deterministic_and_stable_under_refilter(spark):
     """The split must be a pure function of (salt, id): identical
     across runs, unchanged when the corpus is re-filtered (no document
