@@ -1009,6 +1009,105 @@ def cross_doc_segment_dups(
     )
 
 
+def duplicated_substring_spans(
+    df: DataFrame,
+    k: int = 5,
+    min_docs: int = 2,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MAXIMAL duplicated-substring spans per document — the
+    substring-level exact-dedup diagnostic of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"),
+    re-expressed relationally: every SLIDING ``k``-token shingle that
+    occurs in ≥ ``min_docs`` distinct documents marks its token
+    interval as duplicated; overlapping/adjacent intervals merge into
+    maximal spans (gaps-and-islands). Where the suffix-array recipe
+    finds duplicated substrings of any length ≥ 50 chars, the sliding
+    shingle finds exactly the duplicated runs of ≥ ``k`` tokens — the
+    same screen with a length floor, and embarrassingly parallel.
+
+    Complements :func:`cross_doc_segment_dups` (non-overlapping
+    segments → a cheap coverage RATIO): sliding shingles catch
+    duplicated passages at ANY alignment and return their exact
+    boundaries, at k× the shingle volume.
+
+    Output per document with ≥ ``k`` tokens: ``(id_col, n_tokens,
+    n_spans, dup_tokens, dup_frac)`` — zero-span documents included
+    (n_spans = 0), positions 1-based, spans inclusive.
+
+    Reference analogue: none (write-time row ``unique`` only,
+    /root/reference/pydala/io.py:242-259).
+
+    100 TB shape: shingles are md5'd at the scan, so the frequency
+    aggregation and the join back shuffle 16-byte keys + int
+    positions, never text (k× the token count in ROWS, but fixed-width
+    — the dominant cost is the corpus explode all token operators
+    share). The islands window partitions per document over DUPLICATED
+    positions only (usually a tiny fraction); the final join is
+    |docs| × |docs-with-dups| on the id. Nothing all-pairs: documents
+    never compare pairwise, only through the shingle-frequency table.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    t = _spread(df, id_col).select(
+        F.col(id_col), F.split(F.col(text), " ").alias("__t")
+    ).filter(F.size("__t") >= k)
+    base = t.select(F.col(id_col), F.size("__t").cast("long").alias("n_tokens"))
+    sh = t.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(__t) - {k} + 1), "
+                f"i -> struct(i AS pos, md5(array_join(slice(__t, i, {k}), ' ')) AS h))"
+            )
+        ).alias("s"),
+    ).select(id_col, F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    dup_h = (
+        sh.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    dup_pos = sh.join(dup_h, "h").select(id_col, "pos")
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        F.col("pos")
+        > F.coalesce(F.max(F.col("pos") + (k - 1)).over(w_prev), F.lit(-1)) + 1,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    isl = dup_pos.withColumn("brk", brk).withColumn(
+        "g", F.sum("brk").over(Window.partitionBy(id_col).orderBy("pos"))
+    )
+    spans = isl.groupBy(id_col, "g").agg(
+        F.min("pos").alias("s"), (F.max("pos") + (k - 1)).alias("e")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+                / F.col("n_tokens"),
+                4,
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def remove_boilerplate_segments(
     df: DataFrame,
     k: int = 3,

@@ -3912,6 +3912,61 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_scores(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "doc_substring_spans",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE len(string_split(text, ' ')) >= 5
+    ), sh AS (
+      SELECT doc_id, i AS pos, md5(array_to_string(tk[i:i+4], ' ')) AS h
+      FROM t, unnest(generate_series(1, n - 4)) AS u(i)
+    ), freq AS (
+      SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), dup AS (
+      SELECT sh.doc_id, sh.pos FROM sh JOIN freq USING (h)
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + 4) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM dup
+    ), isl2 AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, g, min(pos) AS s, max(pos) + 4 AS e
+      FROM isl2 GROUP BY doc_id, g
+    ), agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+           coalesce(agg.n_spans, 0) AS n_spans,
+           coalesce(agg.dup_tokens, 0) AS dup_tokens,
+           round(CAST(coalesce(agg.dup_tokens, 0) AS DOUBLE) / t.n, 4)
+             AS dup_frac
+    FROM t LEFT JOIN agg USING (doc_id)
+    """,
+)
+def doc_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Maximal duplicated-substring spans (Lee et al. 2022 substring
+    # dedup as a sliding-shingle + gaps-and-islands plan): 5-token
+    # shingles md5'd at the scan, duplicated positions merged into
+    # maximal spans per document, coverage reported. Documents never
+    # compare pairwise — only through the shingle-frequency table. See
+    # operators/dedup.duplicated_substring_spans for 100 TB notes.
+    from pydala2_spark.operators.dedup import duplicated_substring_spans
+
+    return duplicated_substring_spans(
+        _t(spark, sf_dir, "documents"), k=5, min_docs=2
+    )
+
+
 _KMEANS_CTES = """
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

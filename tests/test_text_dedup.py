@@ -928,6 +928,36 @@ def test_unigram_logprob_orders_typical_above_rare(spark):
     assert got[2][1] > got[3][1]
 
 
+def test_duplicated_substring_spans_merges_maximal_intervals(spark):
+    """Sliding k-gram duplicate positions must merge into MAXIMAL
+    spans: a passage shared at different offsets in two docs yields one
+    span per doc covering exactly the shared run; disjoint repeats stay
+    separate spans; clean docs report 0 with full row presence."""
+    from pydala2_spark.operators.dedup import duplicated_substring_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-token shared run
+    texts = {
+        1: f"one two {shared} three four",  # run at pos 3..8
+        2: f"{shared} nine ten eleven twelve",  # run at pos 1..6
+        3: "p q r s t u v w x y",  # clean
+        # doc 4: the SAME run twice, separated — two spans
+        4: f"{shared} mid1 mid2 mid3 {shared}",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_spans"], r["dup_tokens"], r["dup_frac"])
+        for r in duplicated_substring_spans(df, k=3, min_docs=2).collect()
+    }
+    # doc 3 present with zeros
+    assert got[3] == (10, 0, 0, 0.0)
+    # shared run is 6 tokens → one maximal span of 6 in docs 1 and 2
+    assert got[1][1] == 1 and got[1][2] == 6
+    assert got[2][1] == 1 and got[2][2] == 6
+    assert got[1][0] == 10 and got[1][3] == 0.6
+    # doc 4 has the run twice, separated by 3 unique tokens → 2 spans
+    assert got[4][1] == 2 and got[4][2] == 12
+
+
 def test_bigram_logprob_penalizes_shuffled_word_salad(spark):
     """The conditional bigram score must (a) equal a python reference,
     (b) rank a natural-transition document above a shuffled one built
