@@ -3692,6 +3692,67 @@ def delete_where_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_cdf",
+    """
+    SELECT 1 AS step, doc_id, lang, n_chars, 'insert' AS change_type
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT 3 AS step, doc_id, lang, n_chars, 'delete' AS change_type
+    FROM documents WHERE lang = 'de'
+    UNION ALL
+    SELECT 3 AS step, doc_id, lang, n_chars + 7, 'update' AS change_type
+    FROM documents WHERE lang <> 'de' AND n_chars < 300
+    """,
+)
+def snapshot_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed over a full snapshot lifecycle, end to end:
+    overwrite-commit v1 (90% of the corpus), append-commit v2 (the
+    rest), compact to v3, overwrite-commit v4 with row edits (German
+    docs dropped, short docs' n_chars bumped), then read the CDC feed
+    of every step. The oracle states the expected feed directly from
+    the source table: v1→v2 is exactly the appended rows as inserts,
+    v2→v3 (compaction) is EMPTY — files rewrote but no row values
+    changed — and v3→v4 is the deletes (pre image) + updates (post
+    image).
+
+    At 100 TB the manifest file-diff bounds every feed: the append
+    feed reads only the appended files (plan-asserted in
+    tests/test_snapshots.py), the compaction feed reads only rewritten
+    files and joins them to themselves, and unchanged files never
+    scan. See plans/snapshots.SnapshotDataset.changes."""
+    import shutil
+
+    from pydala2_spark.plans.snapshots import SnapshotDataset
+
+    root = _app_scoped_tmp(spark, sf_dir, "pydala2_spark_cdf")
+    path = f"{root}/snap"
+    shutil.rmtree(path, ignore_errors=True)  # version chain must be fresh
+    base = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    ds = SnapshotDataset(spark, path)
+    ds.commit(base.filter("doc_id % 10 != 0").repartition(4), mode="overwrite")
+    ds.commit(base.filter("doc_id % 10 = 0"))
+    assert ds.compact(small_file_max_bytes=1 << 40) is not None
+    edited = base.filter("lang <> 'de'").withColumn(
+        "n_chars",
+        F.when(F.col("n_chars") < 300, F.col("n_chars") + 7).otherwise(
+            F.col("n_chars")
+        ),
+    )
+    ds.commit(edited.repartition(4), mode="overwrite")
+    feeds = [
+        ds.changes(v, v + 1, key_cols=["doc_id"]).withColumn("step", F.lit(v))
+        for v in (1, 2, 3)
+    ]
+    out = feeds[0]
+    for f in feeds[1:]:
+        out = out.unionByName(f)
+    return out.select(
+        "step", "doc_id", "lang", "n_chars",
+        F.col("_change_type").alias("change_type"),
+    )
+
+
+@query(
     "doc_gopher_rules",
     """
     WITH t AS (

@@ -411,6 +411,75 @@ def test_scd2_stream_builds_dimension_history(spark, tmp_path):
     assert all(a[0] < (a[1] if a[1] is not None else 10**9) for a in u0)
 
 
+def test_changes_append_only_feed_is_inserts_and_prunes_carried_files(
+    spark, tmp_ds_path
+):
+    """Across pure appends the CDF is exactly the appended rows as
+    inserts — and the plan must READ only the added files (rows in
+    files carried by name cannot have changed)."""
+    ds = SnapshotDataset(spark, tmp_ds_path)
+    ds.commit(_df(spark, 0, 10, "a"))
+    ds.commit(_df(spark, 10, 15, "b"))
+    ch = ds.changes(1, 2, key_cols=["id"])
+    rows = {(r["id"], r["tag"], r["_change_type"]) for r in ch.collect()}
+    assert rows == {(i, "b", "insert") for i in range(10, 15)}
+    # file pruning: only v2's ADDED files are inputs
+    m1 = ds._read_manifest(1)
+    read_files = {f.split("/")[-1] for f in ch.inputFiles()}
+    v1_files = {f.split("/")[-1] for f in m1["files"]}
+    assert not (read_files & v1_files)
+
+
+def test_changes_overwrite_diff_classifies_insert_update_delete(
+    spark, tmp_ds_path
+):
+    ds = SnapshotDataset(spark, tmp_ds_path)
+    ds.commit(_df(spark, 0, 6, "a"))  # ids 0..5 tag a
+    v2 = (
+        spark.range(2, 8)
+        .select(
+            F.col("id"),
+            F.when(F.col("id") < 4, F.lit("CHANGED")).otherwise(F.lit("a")).alias("tag"),
+        )
+    )
+    ds.commit(v2, mode="overwrite")  # drop 0,1; update 2,3; keep 4,5; insert 6,7
+    got = {
+        (r["id"], r["_change_type"]): r["tag"]
+        for r in ds.changes(1, 2, key_cols=["id"]).collect()
+    }
+    assert set(got) == {
+        (0, "delete"), (1, "delete"),
+        (2, "update"), (3, "update"),
+        (6, "insert"), (7, "insert"),
+    }
+    assert got[(0, "delete")] == "a"  # deletes carry the pre image
+    assert got[(2, "update")] == "CHANGED"  # updates carry the post image
+
+
+def test_changes_compaction_emits_nothing(spark, tmp_ds_path):
+    """A compaction rewrites files but no row values — the CDF between
+    the two versions must be empty (value diff, not file diff)."""
+    ds = SnapshotDataset(spark, tmp_ds_path)
+    ds.commit(_df(spark, 0, 50, "a").repartition(5))
+    assert ds.compact(small_file_max_bytes=1 << 30) is not None
+    assert ds.changes(1, 2, key_cols=["id"]).count() == 0
+
+
+def test_changes_validates_inputs(spark, tmp_ds_path):
+    ds = SnapshotDataset(spark, tmp_ds_path)
+    ds.commit(_df(spark, 0, 3, "a"))
+    ds.commit(_df(spark, 3, 5, "b"))
+    with pytest.raises(ValueError, match="key_cols"):
+        ds.changes(1, 2, key_cols=None)
+    with pytest.raises(ValueError, match="unknown snapshot version"):
+        ds.changes(1, 9, key_cols=["id"])
+    with pytest.raises(ValueError, match="newer than"):
+        ds.changes(2, 1, key_cols=["id"])
+    with pytest.raises(ValueError, match="not in version"):
+        ds.changes(1, 2, key_cols=["nope"])
+    assert ds.changes(1, 1, key_cols=["id"]).count() == 0
+
+
 def test_version_scoped_file_stats(spark, tmp_ds_path):
     ds = SnapshotDataset(spark, tmp_ds_path)
     ds.commit(_df(spark, 0, 10, "a").coalesce(1))
