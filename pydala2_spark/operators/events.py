@@ -135,3 +135,78 @@ def grouped_ols_trend(
             "intercept"
         ),
     )
+
+
+def resample_locf(
+    ev: DataFrame,
+    freq: str = "day",
+    value_col: str = "value",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Resample an irregular event stream onto a regular per-entity
+    time grid with last-observation-carried-forward — the gap-filling
+    step before any time-series model or day-over-day comparison: one
+    row per (entity, bucket) from the entity's FIRST event bucket to
+    the corpus's last bucket, carrying the entity's most recent
+    observed value across silent buckets.
+
+    The per-bucket observation is the entity's LAST event in the
+    bucket (latest ``ts_col``, ties broken by ``id_col`` — fully
+    deterministic). Output: ``(user_col, bucket, observed,
+    value_locf)`` with ``observed`` flagging buckets that had a real
+    event. ``freq`` ∈ {'day', 'hour'}.
+
+    Reference analogue: none (the reference leaves analytics to its
+    embedded DuckDB, /root/reference/pydala/table.py:940-958).
+
+    100 TB shape: the heavy input collapses FIRST — one hash
+    aggregation to |entities|×|active buckets| via the dedup window —
+    and everything after runs on that reduced frame: grid bounds are
+    an aggregate of it, the corpus end is a broadcast one-row
+    aggregate (never a driver collect), the grid explode is map-side,
+    and the LOCF window partitions per entity over |span| rows.
+    Nothing is ever |events|-sized past the first shuffle; output is
+    |entities| × |grid span|, which the CALLER chose by picking
+    ``freq``.
+    """
+    from pyspark.sql import Window
+
+    steps = {"day": "interval 1 day", "hour": "interval 1 hour"}
+    if freq not in steps:
+        raise ValueError(f"freq must be one of {sorted(steps)}, got {freq!r}")
+    bucket = F.date_trunc(freq, F.col(ts_col))
+    rn = F.row_number().over(
+        Window.partitionBy(F.col(user_col), bucket).orderBy(
+            F.col(ts_col).desc(), F.col(id_col).desc()
+        )
+    )
+    per_bucket = (
+        ev.select(
+            F.col(user_col),
+            bucket.alias("bucket"),
+            F.col(value_col).alias("__v"),
+            rn.alias("__rn"),
+        )
+        .filter("__rn = 1")
+        .drop("__rn")
+    )
+    bounds = per_bucket.groupBy(user_col).agg(F.min("bucket").alias("b0"))
+    end = per_bucket.agg(F.max("bucket").alias("bmax"))  # one-row broadcast
+    grid = bounds.crossJoin(F.broadcast(end)).select(
+        F.col(user_col),
+        F.explode(F.expr(f"sequence(b0, bmax, {steps[freq]})")).alias("bucket"),
+    )
+    j = grid.join(per_bucket, [user_col, "bucket"], "left")
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        F.col(user_col),
+        F.col("bucket"),
+        F.col("__v").isNotNull().alias("observed"),
+        F.last("__v", ignorenulls=True).over(w).alias("value_locf"),
+    )

@@ -1774,6 +1774,50 @@ def ev_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_resample_locf",
+    """
+    WITH daily AS (
+      SELECT user_id, d, value FROM (
+        SELECT user_id, date_trunc('day', ts) AS d, value,
+               row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+    ), bounds AS (
+      SELECT user_id, min(d) AS d0 FROM daily GROUP BY user_id
+    ), gm AS (
+      SELECT max(d) AS dmax FROM daily
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(d0, dmax, INTERVAL 1 DAY)) AS d
+      FROM bounds CROSS JOIN gm
+    )
+    SELECT g.user_id,
+           strftime(g.d, '%Y-%m-%d') AS day,
+           daily.value IS NOT NULL AS observed,
+           last_value(daily.value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+    FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.d = daily.d
+    """,
+)
+def ev_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Regular-grid resample with last-observation-carried-forward: one
+    # row per (user, day) from the user's first active day to the
+    # corpus's last, silent days carrying the user's latest value. The
+    # event table collapses to |users|×|active days| in the FIRST
+    # shuffle; the corpus end is a broadcast one-row aggregate. See
+    # operators/events.resample_locf for the 100 TB notes.
+    from pydala2_spark.operators.events import resample_locf
+
+    out = resample_locf(_t(spark, sf_dir, "events"), freq="day")
+    return out.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "observed",
+        "value_locf",
+    )
+
+
+@query(
     "stream_hourly_rollup",
     f"""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,

@@ -102,3 +102,44 @@ def test_ols_trend_single_shuffle(spark):
     # one aggregation pass: exactly one shuffle exchange, no join
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_resample_locf_fills_gaps_and_stops_at_global_end(spark):
+    """Grid spans first-active-day→corpus-end per user; silent days
+    carry the last value; the last event of a day (ts, then id) wins;
+    days before a user's first event do not exist."""
+    import datetime as dt
+
+    from pydala2_spark.operators.events import resample_locf
+
+    d = lambda day, h=0: dt.datetime(2024, 3, day, h)
+    rows = [
+        # user 1: two events on day 1 (later one wins), gap, day 4
+        (1, d(1, 9), 1, 10.0),
+        (2, d(1, 18), 1, 11.0),
+        (3, d(4), 1, 40.0),
+        # user 2: single event day 3 — grid is day3..day4 (global end)
+        (4, d(3), 2, 99.0),
+        # user 3: same-ts tie on day 4 — higher event_id wins
+        (5, d(4, 12), 3, 1.0),
+        (6, d(4, 12), 3, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {
+        (r["user_id"], r["bucket"].day): (r["observed"], r["value_locf"])
+        for r in resample_locf(df, freq="day").collect()
+    }
+    assert got[(1, 1)] == (True, 11.0)  # later event of the day
+    assert got[(1, 2)] == (False, 11.0)  # carried
+    assert got[(1, 3)] == (False, 11.0)
+    assert got[(1, 4)] == (True, 40.0)
+    assert got[(2, 3)] == (True, 99.0)
+    assert got[(2, 4)] == (False, 99.0)
+    assert got[(3, 4)] == (True, 2.0)  # id tiebreak
+    assert (2, 1) not in got and (3, 3) not in got  # no pre-first rows
+    assert len(got) == 4 + 2 + 1
+
+    with pytest.raises(ValueError, match="freq"):
+        resample_locf(df, freq="week")

@@ -207,6 +207,8 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         # N/avgdl and tq/tp/V one-row aggregate frames — same shape
         "doc_bm25_search",
         "doc_dsir_resample",
+        # corpus-end bucket — one-row broadcast aggregate frame
+        "ev_resample_locf",
     }
     offenders = []
     for name, fn in queries().items():
