@@ -1,0 +1,126 @@
+"""Incremental view maintenance (IVM) for additive aggregates.
+
+A grouped count/sum rollup over a snapshot table can be kept current
+from the table's change feed ALONE — each change row adjusts its
+group by a signed delta, so maintenance cost scales with |changes|,
+never with the base table. At 100 TB that is the difference between
+an always-fresh materialized aggregate and a nightly full re-scan.
+
+The contract (classic delta-processing, e.g. Gupta & Mumick's
+materialized-view maintenance survey, 1995):
+
+- ``insert`` / ``update_postimage`` rows contribute +1;
+- ``delete`` / ``update_preimage`` rows contribute −1 — which is why
+  the feed must come from
+  ``SnapshotDataset.changes(..., update_images='both')``: a post-only
+  ``update`` row cannot retract the old contribution and is rejected.
+- groups whose maintained count reaches 0 disappear, exactly as they
+  would from a fresh aggregation.
+
+Sums accumulate in DECIMAL(38,6), so maintenance is EXACT: applying
+the deltas lands bit-identically on what re-aggregating the new state
+would produce (pinned by tests and the ``ivm_incremental_rollup``
+oracle query) — double-precision sums would drift by summation order
+instead.
+
+Reference analogue: none (the reference has no materialized-view
+surface; extension.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,6)"
+_PLUS = ("insert", "update_postimage")
+_MINUS = ("delete", "update_preimage")
+
+
+def rollup_state(
+    df: DataFrame, group_cols: list[str], sum_cols: list[str] | None = None
+) -> DataFrame:
+    """The maintainable state of a grouped count/sum rollup:
+    ``(group_cols..., n, sum_<c>...)`` with decimal-exact sums. Build
+    it ONCE from the base table (one full scan), then keep it current
+    with :func:`apply_changes`."""
+    sum_cols = list(sum_cols or [])
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.col(c).cast(_DEC)).alias(f"sum_{c}") for c in sum_cols
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def apply_changes(
+    state: DataFrame,
+    changes: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str] | None = None,
+) -> DataFrame:
+    """Advance a :func:`rollup_state` frame by one change feed.
+
+    ``changes`` must carry ``_change_type`` with both update images
+    (``update_images='both'``); a bare ``update`` row raises at
+    execution time rather than silently corrupting the view.
+
+    100 TB shape: one hash aggregation of the (small) change feed to
+    per-group deltas, then ONE join against the state — null-safe on
+    the group keys, so NULL groups maintain correctly too. The base
+    table is never read. Groups ending at count 0 drop out; a
+    negative count means the feed and state disagree (fail loudly
+    downstream rather than mask it here — the count is in the output).
+    """
+    sum_cols = list(sum_cols or [])
+    sign = (
+        F.when(F.col("_change_type").isin(*_PLUS), F.lit(1))
+        .when(F.col("_change_type").isin(*_MINUS), F.lit(-1))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "apply_changes needs both update images "
+                        "(update_images='both'); got _change_type="
+                    ),
+                    F.col("_change_type"),
+                )
+            ).cast("int")
+        )
+    )
+    delta = changes.groupBy(*group_cols).agg(
+        F.sum(sign).alias("__dn"),
+        *[
+            F.sum(sign * F.col(c).cast(_DEC)).alias(f"__d_{c}")
+            for c in sum_cols
+        ],
+    )
+    s = state.select(
+        F.lit(1).alias("__s_present"),
+        *[F.col(c).alias(f"__s_{c}") for c in state.columns],
+    )
+    d = delta.select(
+        *[F.col(c).alias(f"__g_{c}") for c in group_cols],
+        "__dn",
+        *[f"__d_{c}" for c in sum_cols],
+    )
+    cond = None
+    for g in group_cols:
+        c = F.col(f"__s_{g}").eqNullSafe(F.col(f"__g_{g}"))
+        cond = c if cond is None else (cond & c)
+    j = s.join(d, cond, "full_outer")
+    here = F.col("__s_present").isNotNull()
+    out_groups = [
+        F.when(here, F.col(f"__s_{g}")).otherwise(F.col(f"__g_{g}")).alias(g)
+        for g in group_cols
+    ]
+    n = (
+        F.coalesce(F.col("__s_n"), F.lit(0))
+        + F.coalesce(F.col("__dn"), F.lit(0))
+    ).alias("n")
+    sums = [
+        (
+            F.coalesce(F.col(f"__s_sum_{c}"), F.lit(0).cast(_DEC))
+            + F.coalesce(F.col(f"__d_{c}"), F.lit(0).cast(_DEC))
+        ).alias(f"sum_{c}")
+        for c in sum_cols
+    ]
+    return j.select(*out_groups, n, *sums).filter(F.col("n") != 0)

@@ -432,6 +432,7 @@ class SnapshotDataset:
         from_version: int,
         to_version: int | None = None,
         key_cols: list[str] | None = None,
+        update_images: str = "post",
     ) -> DataFrame:
         """Change data feed between two versions: every row inserted,
         deleted, or updated going from ``from_version`` to
@@ -446,6 +447,13 @@ class SnapshotDataset:
         rewrite that didn't change a row (compaction, clustering)
         produces no change row.
 
+        ``update_images='both'`` emits TWO rows per updated key —
+        ``update_preimage`` then ``update_postimage`` (the Delta-CDF
+        contract) — which is what incremental aggregate maintenance
+        needs: the pre image retracts the old contribution, the post
+        image asserts the new one (see ``operators/ivm``). The default
+        ``'post'`` emits one ``update`` row carrying the post image.
+
         100 TB shape — the reason this lives on the snapshot layer:
         the manifest file-set diff bounds the work. Rows in files
         carried over by name between the two manifests CANNOT have
@@ -459,6 +467,10 @@ class SnapshotDataset:
         """
         if not key_cols:
             raise ValueError("key_cols is required (unique row identity per version)")
+        if update_images not in ("post", "both"):
+            raise ValueError(
+                f"update_images must be 'post' or 'both', got {update_images!r}"
+            )
         if to_version is None:
             to_version = self.current_version()
         versions = set(self.versions())
@@ -523,16 +535,40 @@ class SnapshotDataset:
             F.col("_change_type").isNotNull()
         )
 
-        def _out(c: str) -> F.Column:
-            post_c = F.col(f"__post_{c}")
-            pre_c = (
+        def _pre_col(c: str) -> F.Column:
+            return (
                 F.col(f"__pre_{c}")
                 if c in set(pre_df.columns)
                 else F.lit(None).cast(post_schema[c].dataType)
             )
-            return F.when(post_here, post_c).otherwise(pre_c).alias(c)
 
-        return j.select(*[_out(c) for c in out_cols], "_change_type")
+        def _out(c: str) -> F.Column:
+            return F.when(post_here, F.col(f"__post_{c}")).otherwise(_pre_col(c)).alias(c)
+
+        if update_images == "post":
+            return j.select(*[_out(c) for c in out_cols], "_change_type")
+
+        # Delta-CDF contract: updates split into a pre-image retraction
+        # and a post-image assertion. The classified change frame
+        # materializes once (it is |changes|-sized, far below the
+        # scanned file subset) so the two branches don't re-run the
+        # file diff join.
+        from pydala2_spark.operators.dedup import _materialize_once
+
+        j = _materialize_once(j)
+        non_upd = j.filter(F.col("_change_type") != "update").select(
+            *[_out(c) for c in out_cols], "_change_type"
+        )
+        upd = j.filter(F.col("_change_type") == "update")
+        pre_rows = upd.select(
+            *[_pre_col(c).alias(c) for c in out_cols],
+            F.lit("update_preimage").alias("_change_type"),
+        )
+        post_rows = upd.select(
+            *[F.col(f"__post_{c}").alias(c) for c in out_cols],
+            F.lit("update_postimage").alias("_change_type"),
+        )
+        return non_upd.unionByName(pre_rows).unionByName(post_rows)
 
     # -- compaction -------------------------------------------------------
 

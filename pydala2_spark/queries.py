@@ -3797,6 +3797,55 @@ def snapshot_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivm_incremental_rollup",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN n_chars < 300 THEN n_chars + 7
+                         ELSE n_chars END) AS BIGINT) AS sum_chars
+    FROM documents WHERE lang <> 'de' GROUP BY lang
+    """,
+)
+def ivm_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance, end to end: materialize a
+    per-language count/sum rollup at snapshot v1, commit an edited v2
+    (German docs dropped, short docs' n_chars bumped), then advance
+    the rollup using ONLY the change feed (both update images) —
+    never re-reading the base table. The oracle recomputes the v2
+    rollup from scratch; the maintained state must land on it exactly
+    (decimal-accumulated deltas, so summation order can't drift a
+    bit).
+
+    At 100 TB this is the always-fresh materialized aggregate:
+    maintenance cost is one aggregation of |changes| + one join
+    against |groups|, while the recompute it replaces is a full table
+    scan. See operators/ivm."""
+    import shutil
+
+    from pydala2_spark.operators.ivm import apply_changes, rollup_state
+    from pydala2_spark.plans.snapshots import SnapshotDataset
+
+    root = _app_scoped_tmp(spark, sf_dir, "pydala2_spark_ivm")
+    path = f"{root}/snap"
+    shutil.rmtree(path, ignore_errors=True)  # version chain must be fresh
+    base = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    ds = SnapshotDataset(spark, path)
+    ds.commit(base.repartition(4), mode="overwrite")
+    edited = base.filter("lang <> 'de'").withColumn(
+        "n_chars",
+        F.when(F.col("n_chars") < 300, F.col("n_chars") + 7).otherwise(
+            F.col("n_chars")
+        ),
+    )
+    ds.commit(edited.repartition(4), mode="overwrite")
+    state_v1 = rollup_state(ds.read(1), ["lang"], ["n_chars"])
+    cdf = ds.changes(1, 2, key_cols=["doc_id"], update_images="both")
+    state_v2 = apply_changes(state_v1, cdf, ["lang"], ["n_chars"])
+    return state_v2.select(
+        "lang", "n", F.col("sum_n_chars").cast("long").alias("sum_chars")
+    )
+
+
+@query(
     "doc_gopher_rules",
     """
     WITH t AS (
