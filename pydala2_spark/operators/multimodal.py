@@ -811,39 +811,7 @@ def encode_gif(arr) -> bytes:
     table_n = 1 << depth
     gct = pal.tobytes() + b"\x00" * (3 * (table_n - pal.shape[0]))
     mcs = max(2, depth)
-    clear, eoi = 1 << mcs, (1 << mcs) + 1
-
-    codes = bytearray()
-    acc = nbits = 0
-    code_size = mcs + 1
-    next_code = eoi + 1
-
-    def emit(c: int) -> None:
-        nonlocal acc, nbits
-        acc |= c << nbits
-        nbits += code_size
-        while nbits >= 8:
-            codes.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
-
-    emit(clear)
-    first = True
-    for px in inverse.astype(int):
-        emit(int(px))
-        if first:
-            first = False
-        elif next_code < 4096:
-            next_code += 1  # mirror the decoder's table growth
-            if next_code == (1 << code_size) and code_size < 12:
-                code_size += 1
-    emit(eoi)
-    if nbits:
-        codes.append(acc & 0xFF)
-    sub = b"".join(
-        bytes([min(255, len(codes) - i)]) + bytes(codes[i : i + 255])
-        for i in range(0, len(codes), 255)
-    )
+    sub = _gif_lzw_literal_stream(inverse.astype(int), mcs)
     return (
         b"GIF89a"
         + w.to_bytes(2, "little")
@@ -860,6 +828,260 @@ def encode_gif(arr) -> bytes:
         + b"\x00"
         + b"\x3b"
     )
+
+
+def _gif_lzw_literal_stream(indices, mcs: int) -> bytes:
+    """All-literal-code GIF LZW stream (valid, unoptimized) packed
+    into data sub-blocks — shared by the still and animation
+    encoders."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    codes = bytearray()
+    acc = nbits = 0
+    code_size = mcs + 1
+    next_code = eoi + 1
+
+    def emit(c: int) -> None:
+        nonlocal acc, nbits, code_size
+        acc |= c << nbits
+        nbits += code_size
+        while nbits >= 8:
+            codes.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    first = True
+    for px in indices:
+        emit(int(px))
+        if first:
+            first = False
+        elif next_code < 4096:
+            next_code += 1  # mirror the decoder's table growth
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+    emit(eoi)
+    if nbits:
+        codes.append(acc & 0xFF)
+    return b"".join(
+        bytes([min(255, len(codes) - i)]) + bytes(codes[i : i + 255])
+        for i in range(0, len(codes), 255)
+    )
+
+
+def encode_gif_animation(
+    frames,
+    delays_cs=None,
+    offsets=None,
+    disposals=None,
+    transparent_color=None,
+    loop: bool = True,
+) -> bytes:
+    """Encode an animated GIF89a. ``frames[0]`` sets the logical
+    canvas; later frames may be smaller patches placed at
+    ``offsets[i]`` (default (0, 0)). One GLOBAL palette is built over
+    all frames (≤256 distinct colors incl. ``transparent_color``).
+    Per-frame GCE carries ``delays_cs[i]`` (centiseconds, default 5)
+    and ``disposals[i]`` (1 = keep, 2 = restore background,
+    3 = restore previous; default 1). Pixels equal to
+    ``transparent_color`` (an RGB triple) encode as the transparent
+    index and leave the underlying canvas showing — the inverse of
+    :func:`decode_gif_frames` (round-trips pinned by tests)."""
+    import numpy as np
+
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not arrs:
+        raise ValueError("need at least one frame")
+    arrs = [np.repeat(a[:, :, None], 3, axis=2) if a.ndim == 2 else a for a in arrs]
+    ch, cw, _ = arrs[0].shape
+    n = len(arrs)
+    delays_cs = list(delays_cs or [5] * n)
+    offsets = list(offsets or [(0, 0)] * n)
+    disposals = list(disposals or [1] * n)
+    if not (len(delays_cs) == len(offsets) == len(disposals) == n):
+        raise ValueError("per-frame lists must match frame count")
+    if offsets[0] != (0, 0) or arrs[0].shape[:2] != (ch, cw):
+        raise ValueError("frame 0 must cover the full canvas at (0, 0)")
+    for a, (x0, y0) in zip(arrs, offsets):
+        if y0 + a.shape[0] > ch or x0 + a.shape[1] > cw:
+            raise ValueError("frame patch exceeds the canvas")
+
+    colors = np.unique(np.concatenate([a.reshape(-1, 3) for a in arrs]), axis=0)
+    if transparent_color is not None:
+        tc = np.asarray(transparent_color, dtype=np.uint8).reshape(1, 3)
+        if not (colors == tc).all(axis=1).any():
+            colors = np.concatenate([colors, tc])
+            colors = colors[np.lexsort(colors.T[::-1])]
+    if colors.shape[0] > 256:
+        raise ValueError(
+            f"encode_gif_animation wants <=256 distinct colors, got {colors.shape[0]}"
+        )
+    lut = {tuple(c): i for i, c in enumerate(colors)}
+    t_idx = lut[tuple(np.asarray(transparent_color, dtype=np.uint8))] if (
+        transparent_color is not None
+    ) else None
+    depth = max(1, (int(colors.shape[0]) - 1).bit_length())
+    table_n = 1 << depth
+    gct = colors.astype(np.uint8).tobytes() + b"\x00" * (3 * (table_n - colors.shape[0]))
+    mcs = max(2, depth)
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += cw.to_bytes(2, "little") + ch.to_bytes(2, "little")
+    out += bytes([0x80 | (depth - 1), 0, 0]) + gct
+    if loop:  # NETSCAPE2.0 infinite-loop application extension
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for a, d_cs, (x0, y0), disp in zip(arrs, delays_cs, offsets, disposals):
+        flags = (int(disp) & 7) << 2
+        tbyte = 0
+        if t_idx is not None:
+            flags |= 1
+            tbyte = t_idx
+        out += b"\x21\xf9\x04" + bytes([flags])
+        out += int(d_cs).to_bytes(2, "little") + bytes([tbyte, 0])
+        fh, fw, _ = a.shape
+        idx = np.array(
+            [lut[tuple(px)] for px in a.reshape(-1, 3)], dtype=np.int64
+        )
+        out += b"\x2c"
+        out += x0.to_bytes(2, "little") + y0.to_bytes(2, "little")
+        out += fw.to_bytes(2, "little") + fh.to_bytes(2, "little")
+        out += b"\x00" + bytes([mcs])
+        out += _gif_lzw_literal_stream(idx, mcs)
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes):
+    """REAL animated-GIF decode: every frame COMPOSED onto the logical
+    canvas — GCE delay/transparency/disposal (1 keep, 2 restore
+    background, 3 restore previous), local palettes, interlace, patch
+    placement. Returns ``(frames, delays_ms)`` where ``frames[i]`` is
+    the composed ``(H, W, 3) uint8`` canvas after frame ``i`` and
+    ``delays_ms[i]`` its GCE delay (centiseconds × 10; 0 when absent),
+    or None (corrupt / truncated / palette-less / bomb). The canvas
+    starts at the logical-screen background color (transparent-first
+    viewers differ; deterministic here, pinned by tests).
+
+    Same bomb guards as :func:`decode_gif_pixels`: ≤64M canvas
+    pixels, per-frame LZW expansion ratio, ≤1024 frames."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 14:
+        return None
+
+    def le16(i: int) -> int:
+        return int.from_bytes(payload[i : i + 2], "little")
+
+    cw, ch = le16(6), le16(8)
+    if cw <= 0 or ch <= 0 or cw * ch > 64_000_000:
+        return None
+    packed = payload[10]
+    bg = payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 7) + 1)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+
+    if gct is not None and 3 * bg + 3 <= len(gct):
+        bg_rgb = gct[3 * bg : 3 * bg + 3]
+    else:
+        bg_rgb = b"\x00\x00\x00"
+    canvas = np.empty((ch, cw, 3), np.uint8)
+    canvas[:] = np.frombuffer(bg_rgb, np.uint8)
+
+    frames: list = []
+    delays_ms: list[int] = []
+    delay_cs = 0
+    disposal = 0
+    t_idx = -1
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension
+            if pos + 2 > len(payload):
+                return None
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9 and pos < len(payload) and payload[pos] >= 4:
+                flags = payload[pos + 1]
+                delay_cs = le16(pos + 2)
+                disposal = (flags >> 2) & 7
+                t_idx = payload[pos + 4] if flags & 1 else -1
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(payload) or len(frames) >= 1024:
+                return None
+            x0, y0 = le16(pos + 1), le16(pos + 3)
+            w, h = le16(pos + 5), le16(pos + 7)
+            ip = payload[pos + 9]
+            pos += 10
+            pal = gct
+            if ip & 0x80:
+                n = 2 ** ((ip & 7) + 1)
+                pal = payload[pos : pos + 3 * n]
+                pos += 3 * n
+            if (
+                pal is None
+                or w <= 0
+                or h <= 0
+                or x0 + w > cw
+                or y0 + h > ch
+                or pos >= len(payload)
+            ):
+                return None
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            if w * h > 4096 * max(16, len(data)):
+                return None  # LZW expansion bound (see decode_gif_pixels)
+            idx = _lzw_decode(mcs, bytes(data), w * h)
+            if idx is None:
+                return None
+            grid = np.frombuffer(idx, np.uint8).reshape(h, w)
+            if ip & 0x40:  # interlaced patch
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                de = np.empty_like(grid)
+                de[order] = grid
+                grid = de
+            pal_arr = np.frombuffer(pal, np.uint8)
+            pal_arr = pal_arr[: len(pal_arr) // 3 * 3].reshape(-1, 3)
+            if pal_arr.size == 0 or int(grid.max()) >= pal_arr.shape[0]:
+                return None
+            prev = canvas.copy() if disposal == 3 else None
+            region = canvas[y0 : y0 + h, x0 : x0 + w]
+            if 0 <= t_idx:
+                opaque = grid != t_idx
+                region[opaque] = pal_arr[grid[opaque]]
+            else:
+                region[:] = pal_arr[grid]
+            frames.append(canvas.copy())
+            delays_ms.append(delay_cs * 10)
+            if disposal == 2:  # restore background in the frame rect
+                canvas[y0 : y0 + h, x0 : x0 + w] = np.frombuffer(bg_rgb, np.uint8)
+            elif disposal == 3 and prev is not None:
+                canvas = prev
+            delay_cs, disposal, t_idx = 0, 0, -1
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            return None
+    if not frames:
+        return None
+    return frames, delays_ms
 
 
 def encode_png(arr) -> bytes:
@@ -1597,6 +1819,82 @@ def image_pixel_stats(
                 out[f.name] = pd.array(
                     cols[f.name],
                     dtype="Int64" if isinstance(f.dataType, T.LongType) else "Int32",
+                )
+            yield out
+
+    return _spread(df).select(*passthrough, binary_col).mapInPandas(batches, out_schema)
+
+
+GIF_FRAME_STATS_FIELDS = [
+    T.StructField("frame_index", T.IntegerType()),
+    T.StructField("ts_ms", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("px_sum", T.LongType()),
+    T.StructField("px_min", T.IntegerType()),
+    T.StructField("px_max", T.IntegerType()),
+    T.StructField("px_topleft", T.IntegerType()),
+]
+
+
+def gif_frame_stats(
+    df: DataFrame,
+    binary_col: str,
+    passthrough: list[str],
+    n_frames: int | None = None,
+) -> DataFrame:
+    """REAL video-style frame sampling over animated GIFs — unlike
+    :func:`sample_frames` (whose per-frame content is a stub for
+    opaque containers), every row here comes from an actually DECODED,
+    disposal-composed canvas: ``ts_ms`` is the frame's true position
+    on the GCE-delay timeline and the pixel stats are reductions over
+    the composed frame. ``n_frames=None`` emits every frame;
+    otherwise frames sample evenly across the animation
+    (``idx = j * total // n``, matching :func:`sample_frames`'s
+    timestamp law). Non-decodable payloads emit no rows — the honest
+    answer for a FRAME query (the metadata path reports them).
+
+    The row explosion happens inside ``mapInPandas``: a long
+    animation never materializes more than one decoded canvas set per
+    task, and only fixed-width stats rows cross out of the stage."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [df.schema[c] for c in passthrough] + GIF_FRAME_STATS_FIELDS
+    )
+    names = [f.name for f in GIF_FRAME_STATS_FIELDS]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {c: [] for c in list(pdf.columns) + names}
+            for _, in_row in pdf.iterrows():
+                dec = decode_gif_frames(bytes(in_row[binary_col]))
+                if dec is None:
+                    continue
+                frames, delays = dec
+                total = len(frames)
+                starts = np.concatenate([[0], np.cumsum(delays)[:-1]])
+                picks = (
+                    range(total)
+                    if n_frames is None or n_frames >= total
+                    else [j * total // n_frames for j in range(n_frames)]
+                )
+                for i in picks:
+                    arr = frames[i]
+                    for c in passthrough:
+                        rows[c].append(in_row[c])
+                    rows["frame_index"].append(i)
+                    rows["ts_ms"].append(int(starts[i]))
+                    rows["width"].append(arr.shape[1])
+                    rows["height"].append(arr.shape[0])
+                    rows["px_sum"].append(int(arr.sum(dtype="int64")))
+                    rows["px_min"].append(int(arr.min()))
+                    rows["px_max"].append(int(arr.max()))
+                    rows["px_topleft"].append(int(arr[0, 0, 0]))
+            out = pd.DataFrame({c: rows[c] for c in passthrough + names})
+            for f in GIF_FRAME_STATS_FIELDS:
+                out[f.name] = out[f.name].astype(
+                    "int64" if isinstance(f.dataType, T.LongType) else "int32"
                 )
             yield out
 

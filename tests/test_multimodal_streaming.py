@@ -1940,3 +1940,105 @@ def test_sniff_format_flac_mp3(spark):
     df = spark.createDataFrame([(p,) for p, _ in rows], "payload binary")
     got = [r["fmt"] for r in df.select(sniff_format("payload").alias("fmt")).collect()]
     assert got == [want for _, want in rows]
+
+
+def test_gif_animation_roundtrip_composition_and_disposal():
+    """Animated GIF: full-frame round-trip with per-frame delays;
+    patch composition (disposal 1), restore-background (2), restore-
+    previous (3), transparency holes; hostile truncation → None."""
+    import numpy as np
+
+    from pydala2_spark.operators.multimodal import (
+        decode_gif_frames,
+        decode_gif_pixels,
+        encode_gif,
+        encode_gif_animation,
+    )
+
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 6, size=(9, 7, 3)).astype(np.uint8) * 40 for _ in range(4)]
+    pay = encode_gif_animation(frames, delays_cs=[2, 3, 4, 5])
+    got, delays = decode_gif_frames(pay)
+    assert delays == [20, 30, 40, 50]
+    assert all(np.array_equal(a, b) for a, b in zip(frames, got))
+
+    # patch composition onto the kept canvas
+    base = np.zeros((8, 8, 3), np.uint8)
+    patch = np.full((3, 3, 3), 200, np.uint8)
+    pay = encode_gif_animation([base, patch], offsets=[(0, 0), (2, 4)])
+    got, _ = decode_gif_frames(pay)
+    exp = base.copy()
+    exp[4:7, 2:5] = 200
+    assert np.array_equal(got[1], exp)
+
+    # transparency: the transparent color leaves the canvas showing
+    base = np.full((6, 6, 3), 10, np.uint8)
+    patch = np.full((2, 2, 3), 99, np.uint8)
+    patch[0, 0] = (1, 2, 3)
+    pay = encode_gif_animation(
+        [base, patch], offsets=[(0, 0), (1, 1)], transparent_color=(1, 2, 3)
+    )
+    got, _ = decode_gif_frames(pay)
+    exp = base.copy()
+    exp[1:3, 1:3] = 99
+    exp[1, 1] = 10
+    assert np.array_equal(got[1], exp)
+
+    # disposal 2: frame rect restores to the background color after
+    f0 = np.full((5, 5, 3), 7, np.uint8)
+    p1 = np.full((2, 2, 3), 50, np.uint8)
+    p2 = np.full((1, 1, 3), 90, np.uint8)
+    pay = encode_gif_animation(
+        [f0, p1, p2], offsets=[(0, 0), (0, 0), (3, 3)], disposals=[1, 2, 1]
+    )
+    got, _ = decode_gif_frames(pay)
+    bg = got[0][0, 0]  # background = global palette entry 0
+    exp2 = f0.copy()
+    exp2[0:2, 0:2] = bg
+    exp2[3, 3] = 90
+    assert np.array_equal(got[2], exp2)
+
+    # disposal 3: previous canvas restored before the next frame
+    pay = encode_gif_animation(
+        [f0, p1, p2], offsets=[(0, 0), (0, 0), (3, 3)], disposals=[1, 3, 1]
+    )
+    got, _ = decode_gif_frames(pay)
+    exp3 = f0.copy()
+    exp3[3, 3] = 90
+    assert np.array_equal(got[2], exp3)
+
+    # agreement with the single-frame decoder; hostile inputs total
+    a = rng.integers(0, 5, size=(6, 6, 3)).astype(np.uint8) * 50
+    single = encode_gif(a)
+    assert np.array_equal(decode_gif_frames(single)[0][0], decode_gif_pixels(single))
+    assert decode_gif_frames(pay[:20]) is None
+    assert decode_gif_frames(b"GIF89a" + b"\x01" * 30) is None
+
+
+def test_gif_frame_stats_real_timeline(spark):
+    """gif_frame_stats emits one row per decoded frame with the true
+    cumulative-delay timestamp; even sampling picks j*total//n; non-GIF
+    payloads emit nothing."""
+    import numpy as np
+
+    from pydala2_spark.operators.multimodal import (
+        encode_gif_animation,
+        gif_frame_stats,
+    )
+
+    frames = [np.full((4, 4, 3), 30 * i, np.uint8) for i in range(5)]
+    pay = encode_gif_animation(frames, delays_cs=[1, 2, 3, 4, 5])
+    df = spark.createDataFrame(
+        [(1, bytearray(pay)), (2, bytearray(b"not a gif"))],
+        "id long, blob binary",
+    )
+    rows = {
+        (r["id"], r["frame_index"]): (r["ts_ms"], r["px_sum"])
+        for r in gif_frame_stats(df, "blob", ["id"]).collect()
+    }
+    assert set(k[0] for k in rows) == {1}
+    assert [rows[(1, i)][0] for i in range(5)] == [0, 10, 30, 60, 100]
+    assert rows[(1, 2)][1] == 4 * 4 * 3 * 60
+
+    sampled = gif_frame_stats(df, "blob", ["id"], n_frames=2).collect()
+    assert sorted(r["frame_index"] for r in sampled) == [0, 2]  # j*5//2
