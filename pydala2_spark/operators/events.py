@@ -137,6 +137,70 @@ def grouped_ols_trend(
     )
 
 
+def ohlc_bars(
+    ev: DataFrame,
+    freq: str = "hour",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Classic time-bar aggregation: per (key, bucket) the OPEN (first
+    value in the bucket), HIGH, LOW, CLOSE (last value), mean, and
+    event count — the resampling shape every metrics/financial
+    pipeline runs before charting or modeling a stream.
+
+    Open/close are argmin/argmax over the composite (ts, id) key via
+    MIN/MAX over a packed struct: structs compare lexicographically in
+    both Spark and DuckDB, and ``id_col`` uniqueness makes the pick
+    fully deterministic — no window pass, no self-join.
+
+    Reference analogue: none (the reference leaves analytics to its
+    embedded DuckDB, /root/reference/pydala/table.py:940-958).
+
+    100 TB shape: ONE hash aggregation keyed (key, bucket); struct
+    MIN/MAX and the decimal sums all combine map-side, so the shuffle
+    carries |keys|×|buckets| partial rows, never |events|. No skew
+    hazard beyond a genuinely hot (key, bucket), which AQE splits.
+    """
+    steps = {"day", "hour"}
+    if freq not in steps:
+        raise ValueError(f"freq must be one of {sorted(steps)}, got {freq!r}")
+    bucket = F.date_trunc(freq, F.col(ts_col))
+    packed = F.struct(
+        F.col(ts_col).alias("t"),
+        F.col(id_col).alias("i"),
+        F.col(value_col).alias("v"),
+    )
+    return (
+        ev.select(F.col(key_col), bucket.alias("__b"), packed.alias("__s"))
+        .groupBy(key_col, "__b")
+        .agg(
+            F.round(F.min("__s").getField("v"), 2).alias("open"),
+            F.round(F.max("__s.v"), 2).alias("high_"),
+            F.round(F.min("__s.v"), 2).alias("low_"),
+            F.round(F.max("__s").getField("v"), 2).alias("close"),
+            F.round(
+                F.sum(F.col("__s.v").cast(_DEC)).cast("double") / F.count(F.lit(1)),
+                4,
+            ).alias("mean_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col(key_col),
+            F.date_format(
+                "__b", "yyyy-MM-dd HH:00" if freq == "hour" else "yyyy-MM-dd"
+            ).alias("bucket"),
+            "open",
+            "high_",
+            "low_",
+            "close",
+            "mean_value",
+            "n_events",
+        )
+    )
+
+
 def resample_locf(
     ev: DataFrame,
     freq: str = "day",

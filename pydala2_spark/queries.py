@@ -1818,6 +1818,34 @@ def ev_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_ohlc_bars",
+    f"""
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket,
+           round(min(struct_pack(t := ts, i := event_id, v := value)).v, 2)
+             AS "open",
+           round(max(value), 2) AS high_,
+           round(min(value), 2) AS low_,
+           round(max(struct_pack(t := ts, i := event_id, v := value)).v, 2)
+             AS "close",
+           {_oavg("value")} AS mean_value,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ev_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Time-bar resampling (open/high/low/close/mean/count per hour and
+    # event type). Open/close are argmin/argmax over (ts, event_id) via
+    # lexicographic struct MIN/MAX — one map-side-combining hash agg,
+    # no window pass; the shuffle carries |keys|×|buckets| partials.
+    # See operators/events.ohlc_bars for the 100 TB notes.
+    from pydala2_spark.operators.events import ohlc_bars
+
+    return ohlc_bars(_t(spark, sf_dir, "events"), freq="hour")
+
+
+@query(
     "stream_hourly_rollup",
     f"""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
@@ -4739,7 +4767,7 @@ _VERIFY_FIRST = [
     #       they re-enter the gate;
     #   (e) the aged set — the r5 window minus pulled-forward entries,
     #       in r5-window order.
-    # 28 of the remaining aged entries fit; the slipped set for r8 —
+    # 22 of the remaining aged entries fit; the slipped set for r8 —
     # every one driver-green in r5/r6 AND re-verified by the full
     # local mirror each session: set_ops_union_except,
     # q13_customer_distribution, q2_min_cost_supplier, q21_multi_exists,
@@ -4748,7 +4776,9 @@ _VERIFY_FIRST = [
     # w_rank_distribution_frames, doc_boilerplate_removal,
     # doc_stratified_sample, doc_chunk_windows, doc_contamination,
     # doc_repetition_screen, doc_pii_scan, emb_quantize_error,
-    # doc_winnow_candidates, stream_sessionization.
+    # doc_winnow_candidates, stream_sessionization, dedup_minhash_lsh,
+    # dedup_ngram_blocked, doc_curation, dedup_simhash, emb_near_dup,
+    # ev_value_quantiles.
     # (a) never driver-checked
     "delete_where_semantics",
     # (b) slipped the r6 window
@@ -4763,6 +4793,14 @@ _VERIFY_FIRST = [
     "doc_dsir_resample",
     "doc_gopher_rules",
     "asof_nearest_tolerance",
+    # (c') new mid-round, after the NOTES_r07 snapshot froze — never
+    # driver-checked, so they enter the window ahead of the aged set
+    "snapshot_cdf",
+    "ivm_incremental_rollup",
+    "doc_bigram_logprob",
+    "doc_substring_spans",
+    "ev_resample_locf",
+    "mm_gif_frame_sample",
     # (d) operator changed this round
     "mm_image_real_decode",
     "mm_audio_real_features",
@@ -4798,12 +4836,6 @@ _VERIFY_FIRST = [
     "stream_hourly_rollup",
     "ev_sessionization",
     "asof_click_before_purchase",
-    "dedup_minhash_lsh",
-    "dedup_ngram_blocked",
-    "doc_curation",
-    "dedup_simhash",
-    "emb_near_dup",
-    "ev_value_quantiles",
 ]
 
 

@@ -143,3 +143,47 @@ def test_resample_locf_fills_gaps_and_stops_at_global_end(spark):
 
     with pytest.raises(ValueError, match="freq"):
         resample_locf(df, freq="week")
+
+
+def test_ohlc_bars_open_close_high_low_and_plan(spark):
+    """Open/close pick by (ts, id) lexicographic struct min/max —
+    deterministic under same-ts ties; high/low/mean/count exact; one
+    hash-agg shuffle, no window exchange, no join."""
+    import datetime as dt
+
+    from pydala2_spark.operators.events import ohlc_bars
+
+    t = lambda h, m=0: dt.datetime(2024, 5, 1, h, m)
+    rows = [
+        # hour 9: open=5 (earliest ts), close=7 (latest ts), high=9, low=2
+        (1, t(9, 0), "click", 5.0),
+        (2, t(9, 10), "click", 9.0),
+        (3, t(9, 20), "click", 2.0),
+        (4, t(9, 50), "click", 7.0),
+        # hour 9 same-ts tie: higher event_id wins close, lower wins open
+        (10, t(9, 30), "view", 1.0),
+        (11, t(9, 30), "view", 3.0),
+        # hour 10 single event: open=close=high=low
+        (5, t(10, 5), "click", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = ohlc_bars(df, freq="hour")
+    # plan BEFORE collect: post-collect AQE prints Final+Initial plan
+    # sections and double-counts the single exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan and "Join" not in plan
+
+    got = {(r["event_type"], r["bucket"]): r.asDict() for r in out.collect()}
+    c9 = got[("click", "2024-05-01 09:00")]
+    assert (c9["open"], c9["high_"], c9["low_"], c9["close"]) == (5.0, 9.0, 2.0, 7.0)
+    assert c9["n_events"] == 4 and c9["mean_value"] == round(23.0 / 4, 4)
+    v9 = got[("view", "2024-05-01 09:00")]
+    assert (v9["open"], v9["close"]) == (1.0, 3.0)  # id tiebreak at same ts
+    c10 = got[("click", "2024-05-01 10:00")]
+    assert (c10["open"], c10["high_"], c10["low_"], c10["close"]) == (4.0,) * 4
+
+    with pytest.raises(ValueError, match="freq"):
+        ohlc_bars(df, freq="minute")
