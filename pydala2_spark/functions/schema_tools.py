@@ -219,3 +219,91 @@ def apply_dtype_plan(df: DataFrame, plan: dict[str, tuple[str, str]]) -> DataFra
         else:
             cols.append(F.col(f.name))
     return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# one-pass column profiling
+# ---------------------------------------------------------------------------
+
+_DEC38 = "decimal(38,6)"
+
+
+def profile_dataframe(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One-row-per-column data profile: row count, null count, exact
+    distinct count, and typed min/max — numerics land in
+    ``min_num``/``max_num`` (double, rounded to 4), strings/booleans in
+    ``min_str``/``max_str``, timestamps/dates as epoch seconds in the
+    numeric pair. The split avoids cross-engine float→string
+    formatting hazards entirely.
+
+    Reference analogue: per-dataset metadata stats
+    (`/root/reference/pydala/metadata.py` collects per-file min/max);
+    this is the interactive "what's in this table" profile over the
+    LIVE frame, computed distributedly.
+
+    100 TB shape: ONE aggregation job. The exact multi-column DISTINCT
+    uses Catalyst's Expand rewrite — the scan fans out k rows per input
+    row (k = profiled columns), then a single hash-agg shuffle; no
+    per-column scans, no driver loop. For quick looks at very wide
+    tables, pass a column subset (the expand factor is the cost knob).
+    min/max/count partials combine map-side as usual.
+    """
+    cols = columns or df.columns
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    unknown = [c for c in cols if c not in schema]
+    if unknown:
+        raise ValueError(f"unknown columns: {unknown}")
+
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        t = schema[c]
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
+        if isinstance(t, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            # NTZ/date first cast to session-TZ timestamp (sessions here
+            # pin UTC, matching the oracle's naive-as-UTC epoch())
+            num = F.unix_timestamp(F.col(c).cast("timestamp")).cast("double")
+        elif isinstance(t, T.NumericType):
+            num = F.col(c).cast("double")
+        else:
+            num = F.lit(None).cast("double")
+        aggs.append(F.round(F.min(num), 4).alias(f"__mn_{c}"))
+        aggs.append(F.round(F.max(num), 4).alias(f"__mx_{c}"))
+        if isinstance(t, (T.StringType, T.BooleanType)):
+            s = F.col(c).cast("string")
+        else:
+            s = F.lit(None).cast("string")
+        aggs.append(F.min(s).alias(f"__sn_{c}"))
+        aggs.append(F.max(s).alias(f"__sx_{c}"))
+
+    one = df.agg(*aggs)
+    stack_args: list[Column] = []
+    for c in cols:
+        stack_args.extend(
+            [
+                F.lit(c),
+                F.col(f"__nn_{c}"),
+                F.col(f"__nd_{c}"),
+                F.col(f"__mn_{c}"),
+                F.col(f"__mx_{c}"),
+                F.col(f"__sn_{c}"),
+                F.col(f"__sx_{c}"),
+            ]
+        )
+    return one.select(
+        F.col("__n").alias("n_rows"),
+        F.stack(
+            F.lit(len(cols)),
+            *stack_args,
+        ).alias("column_name", "n_non_null", "n_distinct", "min_num", "max_num",
+                "min_str", "max_str"),
+    ).select(
+        "column_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("n_non_null")).alias("n_null"),
+        "n_distinct",
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+    )

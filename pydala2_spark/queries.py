@@ -1817,6 +1817,53 @@ def ev_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _profile_branch(col: str, kind: str) -> str:
+    if kind == "num":
+        mn = f"round(CAST(min({col}) AS DOUBLE), 4)"
+        mx = f"round(CAST(max({col}) AS DOUBLE), 4)"
+        sn = sx = "CAST(NULL AS VARCHAR)"
+    elif kind == "ts":
+        mn = f"round(CAST(epoch(min({col})) AS DOUBLE), 4)"
+        mx = f"round(CAST(epoch(max({col})) AS DOUBLE), 4)"
+        sn = sx = "CAST(NULL AS VARCHAR)"
+    else:
+        mn = mx = "CAST(NULL AS DOUBLE)"
+        sn, sx = f"min({col})", f"max({col})"
+    return f"""
+    SELECT '{col}' AS column_name,
+           count(*) AS n_rows,
+           count(*) - count({col}) AS n_null,
+           count(DISTINCT {col}) AS n_distinct,
+           {mn} AS min_num, {mx} AS max_num,
+           {sn} AS min_str, {sx} AS max_str
+    FROM orders"""
+
+
+@query(
+    "profile_orders",
+    "\nUNION ALL".join(
+        _profile_branch(c, k)
+        for c, k in [
+            ("o_orderkey", "num"),
+            ("o_custkey", "num"),
+            ("o_orderstatus", "str"),
+            ("o_totalprice", "num"),
+            ("o_orderdate", "ts"),
+            ("o_orderpriority", "str"),
+        ]
+    ),
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One-pass table profile (nulls / exact distinct / typed min-max
+    # per column) — ONE aggregation job via Catalyst's Expand rewrite
+    # for the multi-column exact DISTINCT; the oracle's 6-scan UNION
+    # ALL is the same answer the slow way. See
+    # functions/schema_tools.profile_dataframe for the 100 TB notes.
+    from pydala2_spark.functions.schema_tools import profile_dataframe
+
+    return profile_dataframe(_t(spark, sf_dir, "orders"))
+
+
 @query(
     "ev_ohlc_bars",
     f"""

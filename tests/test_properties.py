@@ -619,3 +619,44 @@ def test_jpeg_progressive_decodes_bit_identical_to_baseline(h, w, sub, q, seed):
     base = decode_jpeg_pixels(encode_jpeg(arr, q, subsampling=sub))
     assert prog is not None and base is not None
     assert np.array_equal(prog, base)
+
+
+def test_profile_dataframe_routes_types_and_counts(spark):
+    """Numerics/timestamps land in min_num/max_num, strings in
+    min_str/max_str; null/distinct counts exact; single aggregation
+    job (Expand-based multi-distinct), no join."""
+    import datetime as dt
+
+    import pytest
+
+    from pydala2_spark.functions.schema_tools import profile_dataframe
+
+    rows = [
+        (1, "a", 2.5, dt.datetime(2024, 1, 1)),
+        (2, "b", None, dt.datetime(2024, 1, 3)),
+        (2, None, -1.0, None),
+    ]
+    df = spark.createDataFrame(rows, "k long, s string, v double, t timestamp")
+    out = profile_dataframe(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Expand" in plan
+
+    p = {r["column_name"]: r.asDict() for r in out.collect()}
+    assert set(p) == {"k", "s", "v", "t"}
+    assert all(r["n_rows"] == 3 for r in p.values())
+    assert (p["k"]["n_null"], p["k"]["n_distinct"]) == (0, 2)
+    assert (p["k"]["min_num"], p["k"]["max_num"]) == (1.0, 2.0)
+    assert p["k"]["min_str"] is None and p["k"]["max_str"] is None
+    assert (p["s"]["n_null"], p["s"]["n_distinct"]) == (1, 2)
+    assert (p["s"]["min_str"], p["s"]["max_str"]) == ("a", "b")
+    assert p["s"]["min_num"] is None
+    assert (p["v"]["n_null"], p["v"]["min_num"], p["v"]["max_num"]) == (1, -1.0, 2.5)
+    assert p["t"]["n_null"] == 1
+    assert p["t"]["min_num"] == dt.datetime(
+        2024, 1, 1, tzinfo=dt.timezone.utc
+    ).timestamp()
+
+    # column subset + unknown column guard
+    assert profile_dataframe(df, ["k"]).count() == 1
+    with pytest.raises(ValueError, match="unknown"):
+        profile_dataframe(df, ["nope"])
