@@ -3860,6 +3860,42 @@ def hive_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orc_roundtrip_scan",
+    """
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 150000
+    """,
+)
+def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format round-trip: orders lands in an ORC dataset through
+    the package Writer, reads back through ORCDataset with a pushed
+    predicate, and must reproduce the parquet source bit-for-bit (the
+    oracle reads the original parquet). Exercises S6 (generic format
+    scan) end to end on a columnar non-parquet source.
+
+    At 100 TB: ORC is a native Spark source, so the status+price
+    predicates push into the ORC reader (searchArgument) exactly like
+    parquet PushedFilters — scan cost tracks the selected rows, and
+    the write is one shuffle-free pass."""
+    from pydala2_spark.sources.dataset import ORCDataset
+
+    path = _app_scoped_tmp(spark, sf_dir, "pydala2_spark_orc")
+    src = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+    )
+    ds = ORCDataset(path, spark=spark)
+    ds.write_to_dataset(src, mode="overwrite")
+    return ds.filter("o_orderstatus = 'O' AND total > 150000").select(
+        "o_orderkey", "o_orderstatus", "total", "orderdate"
+    )
+
+
+@query(
     "delete_where_semantics",
     """
     SELECT doc_id, lang, n_chars
