@@ -1,0 +1,279 @@
+"""Distributed data sketches built from first principles: HyperLogLog
+distinct-count and Count-Min frequency, both DETERMINISTIC and
+engine-portable (md5-derived hashes, integer bit ops, and a shared
+decimal literal table), so a DuckDB oracle can reproduce every register
+and counter bit-for-bit.
+
+Reference analogue: none — the reference delegates aggregation to its
+embedded DuckDB (`/root/reference/pydala/table.py:940-958`). Sketches
+are the 100 TB answer to "how many distinct / how frequent" when the
+exact answer's shuffle is the bottleneck: registers and counters are
+tiny, merge associatively (map-side combine does almost all the work),
+and the final state is O(m) per group regardless of input size.
+
+Determinism design (why this oracle-matches when floating HLLs can't):
+- the 60-bit hash is ``conv(substr(md5(x), 1, 15), 16, 10)`` — both
+  engines parse the same 15 hex chars;
+- register index / remaining-bits split uses ``&`` and ``>>`` only;
+- the leading-zero count is an explicit integer CASE chain (no log2);
+- the harmonic sum accumulates DECIMAL literals from
+  :data:`POW2_NEG` — the exact same 20-decimal strings in Spark and
+  SQL — so summation order cannot move a bit;
+- the only transcendental (ln in linear-counting) sits behind a
+  branch whose inputs are exact integers/doubles, and results round
+  to 2 decimals.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: shared 2^-k literal table (k = 1..61), rounded to 20 decimals —
+#: imported by the oracle-SQL builders so both engines sum the exact
+#: same decimal values.
+POW2_NEG: dict[int, str] = {k: f"{2 ** -k:.20f}" for k in range(1, 62)}
+
+
+def hll_alpha(m: int) -> float:
+    """Flajolet et al. 2007 bias constant for m >= 128."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hash60(col: Column) -> Column:
+    """Deterministic 60-bit non-negative hash: first 15 hex chars of
+    md5(string(x)). Scan-stage, JVM-side, oracle = ('0x'||substr)::BIGINT."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def leading_zero_rank(v: Column, bits: int) -> Column:
+    """Position of the highest set bit from the MSB side, 1-based —
+    rho(v) over a ``bits``-wide value; all-zero maps to bits+1.
+    Explicit integer comparison chain: no float log anywhere."""
+    expr = None
+    for k in range(1, bits + 1):
+        cond = v >= (1 << (bits - k))
+        expr = F.when(cond, k) if expr is None else expr.when(cond, k)
+    return expr.otherwise(bits + 1)
+
+
+def hll_count_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: int = 7,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate with the standard
+    linear-counting small-range correction, PLUS the exact distinct
+    count (free: distinct values partition across registers, so the
+    per-register exact counts sum to the group's exact count).
+
+    Output: ``(group_col, hll_estimate, exact_distinct, n_registers_hit)``.
+
+    100 TB shape: two hash aggregations. The first reduces the corpus
+    to |groups| x m register rows with map-side combine (max(rho) and
+    the per-register distinct both combine); the second folds m
+    registers per group. Nothing downstream ever sees raw values — at
+    1000 executors the register frame is kilobytes per group. The
+    estimate itself is the scale play: a streaming/approximate
+    pipeline keeps ONLY registers, merged associatively across files,
+    days, or partitions.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    bits = 60 - p
+    h = hash60(F.col(value_col))
+    idx = h.bitwiseAND(m - 1)
+    rho = leading_zero_rank(F.shiftright(h, p), bits)
+
+    lookup = F.array(*[F.lit(Decimal(POW2_NEG[k])) for k in range(1, bits + 2)])
+    reg = df.select(
+        F.col(group_col), idx.alias("__idx"), rho.alias("__rho"), F.col(value_col)
+    )
+    per_reg = reg.groupBy(group_col, "__idx").agg(
+        F.max("__rho").alias("__r"),
+        F.countDistinct(value_col).alias("__nd"),
+    )
+    folded = per_reg.groupBy(group_col).agg(
+        F.sum(F.element_at(lookup, F.col("__r"))).alias("__z_hit"),
+        F.count(F.lit(1)).alias("__hit"),
+        F.sum("__nd").alias("exact_distinct"),
+    )
+    # empty registers contribute 2^0 = 1 each to the harmonic sum
+    zeros = F.lit(m) - F.col("__hit")
+    z = F.col("__z_hit").cast("double") + zeros.cast("double")
+    e_raw = F.lit(hll_alpha(m) * m * m) / z
+    est = F.when(
+        (zeros > 0) & (e_raw <= 2.5 * m),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")), 2),
+    ).otherwise(F.round(e_raw, 2))
+    return folded.select(
+        F.col(group_col),
+        est.alias("hll_estimate"),
+        F.col("exact_distinct"),
+        F.col("__hit").alias("n_registers_hit"),
+    )
+
+
+def hll_oracle_sql(
+    table: str, group_col: str, value_col: str, p: int = 7
+) -> str:
+    """DuckDB SQL reproducing :func:`hll_count_distinct` bit-for-bit —
+    same md5 hash split, same CASE chain, same decimal literals."""
+    m = 1 << p
+    bits = 60 - p
+    branches = "\n               ".join(
+        f"WHEN v >= {1 << (bits - k)} THEN {k}" for k in range(1, bits + 1)
+    )
+    pow_cases = "\n                    ".join(
+        f"WHEN {k} THEN CAST({POW2_NEG[k]} AS DECIMAL(38,20))"
+        for k in range(1, bits + 2)
+    )
+    alpha_m2 = hll_alpha(m) * m * m
+    return f"""
+    WITH h AS (
+      SELECT {group_col} AS g, {value_col} AS val,
+             ('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM {table}
+    ), r AS (
+      SELECT g, val, h & {m - 1} AS idx,
+             CASE {branches}
+               ELSE {bits + 1} END AS rho
+      FROM (SELECT g, val, h, h >> {p} AS v FROM h)
+    ), per_reg AS (
+      SELECT g, idx, max(rho) AS r, count(DISTINCT val) AS nd
+      FROM r GROUP BY g, idx
+    ), folded AS (
+      SELECT g,
+             sum(CASE r {pow_cases} END) AS z_hit,
+             count(*) AS hit,
+             CAST(sum(nd) AS BIGINT) AS exact_distinct
+      FROM per_reg GROUP BY g
+    )
+    SELECT g AS {group_col},
+           CASE WHEN ({m} - hit) > 0
+                 AND {alpha_m2!r} / (CAST(z_hit AS DOUBLE) + ({m} - hit))
+                     <= {2.5 * m}
+                THEN round({float(m)!r} * ln({float(m)!r} / ({m} - hit)), 2)
+                ELSE round(
+                  {alpha_m2!r} / (CAST(z_hit AS DOUBLE) + ({m} - hit)), 2)
+           END AS hll_estimate,
+           exact_distinct,
+           hit AS n_registers_hit
+    FROM folded"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 3,
+    width: int = 64,
+) -> DataFrame:
+    """Count-Min counter table over ``value_col``: ``depth``
+    independent md5-salted hash rows x ``width`` buckets, each counter
+    the number of input rows landing in it. Output:
+    ``(row_id, bucket, cnt)`` — at most depth*width rows TOTAL.
+
+    100 TB shape: one Expand (x depth) + one map-side-combining hash
+    agg — the counter table is O(d*w) no matter the input, merges by
+    addition across any partitioning of the corpus, and broadcasts for
+    the estimate join. The classic trade: width bounds the
+    overestimate (eps ~ e/width), depth bounds its probability.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError("depth must be >= 1 and width >= 2")
+    rows = F.array(*[F.lit(j) for j in range(depth)])
+    return (
+        df.select(F.explode(rows).alias("row_id"), F.col(value_col).alias("__v"))
+        .select(
+            "row_id",
+            cms_bucket(F.col("row_id"), F.col("__v"), width).alias("bucket"),
+        )
+        .groupBy("row_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_bucket(row_id: Column, value: Column, width: int) -> Column:
+    """Bucket of ``value`` in hash row ``row_id``: first 8 md5 hex
+    chars of 'cms<row>:<value>' mod width — integer-only, oracle-portable."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("cms"), row_id.cast("string"), F.lit(":"),
+                           value.cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % width
+
+
+def cms_estimate(
+    counters: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    width: int = 64,
+) -> DataFrame:
+    """Point-frequency estimates: for each item, min over hash rows of
+    its bucket counter (the Count-Min guarantee: est >= true, and
+    est <= true + eps*N with prob 1 - (1/2)^depth). Items missing from
+    a bucket row estimate 0 via the left join's coalesce.
+
+    The counter table broadcasts (it is <= depth*width rows by
+    construction), so the estimate join never shuffles ``items``.
+    """
+    # recompute buckets item-side (one row per hash row of the sketch);
+    # then join the counter table on (row, bucket)
+    probes = items.crossJoin(
+        F.broadcast(counters.select("row_id").distinct())
+    ).select(
+        F.col(value_col),
+        F.col("row_id"),
+        cms_bucket(F.col("row_id"), F.col(value_col), width).alias("bucket"),
+    )
+    joined = probes.join(F.broadcast(counters), ["row_id", "bucket"], "left")
+    return (
+        joined.groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
+    )
+
+
+def cms_oracle_sql(
+    table: str, value_col: str, items_sql: str, depth: int = 3, width: int = 64
+) -> str:
+    """DuckDB SQL reproducing cms_build + cms_estimate exactly over
+    ``table``, probing the item set produced by ``items_sql`` (a query
+    yielding one column named like ``value_col``)."""
+    return f"""
+    WITH rows_ AS (SELECT unnest(range({depth})) AS row_id),
+    counters AS (
+      SELECT row_id,
+             ('0x' || substr(md5('cms' || CAST(row_id AS VARCHAR) || ':'
+                || CAST({value_col} AS VARCHAR)), 1, 8))::BIGINT % {width}
+               AS bucket,
+             count(*) AS cnt
+      FROM {table} CROSS JOIN rows_
+      GROUP BY 1, 2
+    ), items AS ({items_sql}),
+    probes AS (
+      SELECT i.{value_col}, r.row_id,
+             ('0x' || substr(md5('cms' || CAST(r.row_id AS VARCHAR) || ':'
+                || CAST(i.{value_col} AS VARCHAR)), 1, 8))::BIGINT % {width}
+               AS bucket
+      FROM items i CROSS JOIN rows_ r
+    )
+    SELECT p.{value_col},
+           CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_estimate
+    FROM probes p LEFT JOIN counters c
+      ON p.row_id = c.row_id AND p.bucket = c.bucket
+    GROUP BY 1"""

@@ -1817,6 +1817,70 @@ def ev_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_oracle() -> str:
+    from pydala2_spark.functions.sketch import hll_oracle_sql
+
+    return hll_oracle_sql("orders", "o_orderpriority", "o_custkey", p=7)
+
+
+@query("agg_hll_sketch", _hll_oracle())
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # From-scratch HyperLogLog (p=7, md5-derived registers, decimal
+    # harmonic sum) — distinct customers per order priority, estimate
+    # AND exact side-by-side. The oracle reproduces every register
+    # bit-for-bit. See functions/sketch.hll_count_distinct for the
+    # 100 TB notes (registers merge associatively; raw values never
+    # leave the first map-side combine).
+    from pydala2_spark.functions.sketch import hll_count_distinct
+
+    return hll_count_distinct(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_custkey", p=7
+    )
+
+
+def _cms_oracle() -> str:
+    from pydala2_spark.functions.sketch import cms_oracle_sql
+
+    items = (
+        "SELECT user_id FROM events GROUP BY user_id "
+        "ORDER BY count(*) DESC, user_id LIMIT 10"
+    )
+    est = cms_oracle_sql("events", "user_id", items, depth=3, width=512)
+    return f"""
+    WITH est AS ({est}),
+    ex AS (
+      SELECT user_id, count(*) AS exact_n
+      FROM events GROUP BY user_id
+      ORDER BY exact_n DESC, user_id LIMIT 10
+    )
+    SELECT ex.user_id, ex.exact_n, est.cms_estimate
+    FROM ex JOIN est USING (user_id)
+    """
+
+
+@query("agg_cms_heavy_hitters", _cms_oracle())
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count-Min sketch (3 md5-salted rows x 512 buckets) probed at the
+    # 10 heaviest users — estimate (>= truth by construction) next to
+    # the exact count. The counter table is O(d*w) regardless of
+    # corpus size and broadcasts for the probe join; the event
+    # projection materializes once for both the sketch and the exact
+    # top-10. See functions/sketch.cms_build for the 100 TB notes.
+    from pydala2_spark.functions.sketch import cms_build, cms_estimate
+    from pydala2_spark.operators.dedup import _materialize_once
+
+    ev = _materialize_once(_t(spark, sf_dir, "events").select("user_id"))
+    counters = cms_build(ev, "user_id", depth=3, width=512)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(10)
+    )
+    est = cms_estimate(counters, top.select("user_id"), "user_id", width=512)
+    return top.join(est, "user_id").select("user_id", "exact_n", "cms_estimate")
+
+
 def _profile_branch(col: str, kind: str) -> str:
     if kind == "num":
         mn = f"round(CAST(min({col}) AS DOUBLE), 4)"

@@ -1,0 +1,109 @@
+"""HyperLogLog + Count-Min sketch contracts: accuracy envelopes,
+exact-side correctness, guarantee directions, and plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydala2_spark.functions.sketch import (
+    cms_build,
+    cms_estimate,
+    hll_count_distinct,
+)
+
+
+def test_hll_estimate_accuracy_and_exact_side(spark):
+    """5000 distinct values per group: the p=7 estimate lands inside
+    the ~3 sigma envelope (sigma ~ 1.04/sqrt(128) ~ 9.2%), and the
+    piggybacked exact count is exactly right."""
+    df = spark.range(10000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") / 2).cast("long").alias("v"),  # 5000 distinct per group
+    )
+    out = {r["g"]: r.asDict() for r in
+           hll_count_distinct(df, "g", "v", p=7).collect()}
+    for g in ("0", "1"):
+        assert out[g]["exact_distinct"] == 5000
+        assert abs(out[g]["hll_estimate"] - 5000) / 5000 < 0.28
+        assert out[g]["n_registers_hit"] == 128  # far past coupon collection
+
+
+def test_hll_linear_counting_small_range(spark):
+    """Tiny cardinality takes the linear-counting branch and is nearly
+    exact there (classic HLL behavior below 2.5*m)."""
+    df = spark.range(40).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    row = hll_count_distinct(df, "g", "v", p=7).collect()[0]
+    assert row["exact_distinct"] == 40
+    assert abs(row["hll_estimate"] - 40) <= 6
+
+    with pytest.raises(ValueError, match="p must be"):
+        hll_count_distinct(df, "g", "v", p=3)
+
+
+def test_hll_plan_two_exchanges_no_join(spark):
+    df = spark.range(100).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    plan = (
+        hll_count_distinct(df, "g", "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+
+
+def test_cms_overestimates_never_under(spark):
+    """est >= true for every probed item (the Count-Min guarantee is
+    one-sided), and with width >> distinct items collisions are absent
+    so est == true."""
+    rows = [(v,) for v in [1] * 50 + [2] * 30 + [3] * 20 + list(range(10, 40))]
+    df = spark.createDataFrame(rows, "user_id long")
+    truth = {1: 50, 2: 30, 3: 20, **{v: 1 for v in range(10, 40)}}
+
+    narrow = cms_build(df, "user_id", depth=3, width=8)
+    items = spark.createDataFrame([(k,) for k in truth], "user_id long")
+    est_n = {
+        r["user_id"]: r["cms_estimate"]
+        for r in cms_estimate(narrow, items, "user_id", width=8).collect()
+    }
+    assert all(est_n[k] >= v for k, v in truth.items())
+    # total inserted mass bounds any single estimate
+    n_total = sum(truth.values())
+    assert all(est_n[k] <= n_total for k in truth)
+
+    wide = cms_build(df, "user_id", depth=3, width=4096)
+    est_w = {
+        r["user_id"]: r["cms_estimate"]
+        for r in cms_estimate(wide, items, "user_id", width=4096).collect()
+    }
+    assert est_w == truth  # no collisions at this width
+
+    # unseen item estimates 0 (left-join coalesce path) unless it
+    # collides; width 4096 with 33 occupied buckets makes 0 the
+    # overwhelmingly likely outcome — assert the bound only
+    ghost = spark.createDataFrame([(999999,)], "user_id long")
+    g = cms_estimate(wide, ghost, "user_id", width=4096).collect()[0]
+    assert 0 <= g["cms_estimate"] <= 1
+
+    with pytest.raises(ValueError, match="depth"):
+        cms_build(df, "user_id", depth=0)
+
+
+def test_cms_counter_table_bounded_and_mergeable(spark):
+    """The counter table never exceeds depth*width rows, and counters
+    built on disjoint halves merge by addition into the full sketch."""
+    df = spark.range(1000).select("id", (F.col("id") % 97).alias("user_id"))
+    c = cms_build(df, "user_id", depth=3, width=16)
+    assert c.count() <= 3 * 16
+
+    h1 = cms_build(df.filter("id % 2 = 0"), "user_id", depth=3, width=16)
+    h2 = cms_build(df.filter("id % 2 = 1"), "user_id", depth=3, width=16)
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("row_id", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = {(r["row_id"], r["bucket"]): r["cnt"] for r in c.collect()}
+    got = {(r["row_id"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert got == full

@@ -207,6 +207,9 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         # N/avgdl and tq/tp/V one-row aggregate frames — same shape
         "doc_bm25_search",
         "doc_dsir_resample",
+        # 10 probe items x the sketch's 3-row hash-row frame — a
+        # bounded cross by construction (depth is a small constant)
+        "agg_cms_heavy_hitters",
         # corpus-end bucket — one-row broadcast aggregate frame
         "ev_resample_locf",
     }
