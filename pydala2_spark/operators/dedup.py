@@ -1192,3 +1192,63 @@ def remove_boilerplate_segments(
             F.coalesce(F.size("__drop"), F.lit(0)).cast("long").alias("n_dropped"),
         )
     )
+
+
+def fuzzy_matches(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_distance: int = 2,
+    block_expr: F.Column | None = None,
+) -> DataFrame:
+    """Edit-distance near-matches over short strings (names, titles,
+    SKUs): pairs whose levenshtein distance is <= ``max_distance``,
+    discovered inside equality blocks instead of all-pairs.
+
+    Blocking key defaults to the string's LAST whitespace token (for
+    '<modifier> <head-noun>' style names the head noun survives most
+    single-token typos); callers pass ``block_expr`` to block on
+    soundex, prefix, or any domain key. Within a block, a
+    length-difference prefilter (|len a - len b| <= d, a necessary
+    condition for distance <= d) runs before the levenshtein — the
+    cheap rejection does most of the work.
+
+    Output: one row per matched pair with ``id_a < id_b`` (each pair
+    exactly once), both strings, and the distance.
+
+    100 TB shape: ONE shuffle on the block key; cost is quadratic in
+    BLOCK size, never corpus size — the levenshtein itself is a
+    JVM-side expression (whole-stage codegen, no Python). The default
+    last-token key gives |corpus|/|vocabulary| sized blocks; a hot
+    block (skewed head noun) is the knob the caller owns — tighten
+    ``block_expr`` (e.g. add a first-character or soundex conjunct)
+    and the same plan re-applies. Nothing here collects, broadcasts
+    the corpus, or compares across blocks.
+    """
+    if max_distance < 0:
+        raise ValueError(f"max_distance must be >= 0, got {max_distance}")
+    key = block_expr if block_expr is not None else F.element_at(
+        F.split(F.col(text_col), r"\s+"), -1
+    )
+    t = df.select(
+        F.col(id_col), F.col(text_col), key.alias("__blk"),
+        F.length(text_col).alias("__len"),
+    )
+    a = t.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("name_a"),
+        F.col("__blk"), F.col("__len").alias("__la"),
+    )
+    b = t.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("name_b"),
+        F.col("__blk"), F.col("__len").alias("__lb"),
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("__la") - F.col("__lb")) <= max_distance)
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_distance)
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
+    )

@@ -1817,6 +1817,48 @@ def ev_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "fuzzy_part_matches",
+    r"""
+    WITH names AS (
+      SELECT p_name, count(*) AS n, min(p_partkey) AS nid
+      FROM part GROUP BY p_name
+    ), t AS (
+      SELECT nid, p_name, n,
+             regexp_extract(p_name, '(\S+)$', 1) AS blk,
+             length(p_name) AS l
+      FROM names
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+           a.n AS n_a, b.n AS n_b
+    FROM t a JOIN t b ON a.blk = b.blk AND a.nid < b.nid
+    WHERE abs(a.l - b.l) <= 2 AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Entity-grain fuzzy matching: collapse parts to their 64 distinct
+    # names FIRST (the row-grain pair set is quadratic in duplicate
+    # multiplicity — 53k pairs at sf0.01), then levenshtein<=2 inside
+    # head-noun blocks with the length prefilter. See
+    # operators/dedup.fuzzy_matches for the 100 TB notes.
+    from pydala2_spark.operators.dedup import fuzzy_matches
+
+    names = (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("p_partkey").alias("nid"))
+    )
+    m = fuzzy_matches(names, "p_name", "nid", max_distance=2)
+    return (
+        m.join(names.select(F.col("nid").alias("id_a"), F.col("n").alias("n_a")),
+               "id_a")
+        .join(names.select(F.col("nid").alias("id_b"), F.col("n").alias("n_b")),
+              "id_b")
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+    )
+
+
 def _hll_oracle() -> str:
     from pydala2_spark.functions.sketch import hll_oracle_sql
 

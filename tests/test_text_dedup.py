@@ -1302,3 +1302,37 @@ def test_gopher_rules_no_python_and_scan_stage(spark, docs):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan  # pure scan-stage projection
+
+
+def test_fuzzy_matches_blocking_and_distance(spark):
+    """Pairs emit once (id_a < id_b) with exact levenshtein; cross-block
+    candidates never compare even when within distance; the length
+    prefilter and custom block_expr both apply."""
+    from pydala2_spark.operators.dedup import fuzzy_matches
+
+    rows = [
+        (1, "cold widget"),
+        (2, "bold widget"),     # dist 1 from cold widget
+        (3, "old widget"),      # dist 1 from bold, 1 from cold
+        (4, "cold widgets"),    # different block (widgets) — never compared
+        (5, "verylongname widget"),  # same block, length prefilter rejects
+        (6, "cold gear"),       # other block entirely
+    ]
+    df = spark.createDataFrame(rows, "pid long, name string")
+    out = fuzzy_matches(df, "name", "pid", max_distance=2)
+    pairs = {(r["id_a"], r["id_b"]): r["dist"] for r in out.collect()}
+    assert pairs == {(1, 2): 1, (1, 3): 1, (2, 3): 1}
+
+    # custom block key: first character — 4 joins 1 ("cold widget*")
+    from pyspark.sql import functions as F
+
+    out2 = fuzzy_matches(
+        df, "name", "pid", max_distance=2, block_expr=F.substring("name", 1, 4)
+    )
+    pairs2 = {(r["id_a"], r["id_b"]) for r in out2.collect()}
+    assert (1, 4) in pairs2 and (1, 6) not in pairs2
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_distance"):
+        fuzzy_matches(df, "name", "pid", max_distance=-1)
