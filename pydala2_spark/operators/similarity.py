@@ -902,3 +902,61 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "adc", "rank")
     )
+
+
+def dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension distribution profile of an embedding column:
+    count, mean, population std, min, max for every coordinate — the
+    pre-flight check before quantization (scale/offset choice), PCA,
+    or whitening, and the fastest way to spot dead or exploding
+    dimensions in a trained encoder's output.
+
+    Determinism: coordinates quantize to 6 decimals and accumulate in
+    DECIMAL — sums (and the sum of exact 12-decimal squares) are
+    order-independent, so variance derives bit-identically in any
+    engine; sqrt is IEEE-exact. min/max are order-free already.
+
+    100 TB shape: ONE shuffle, keyed by dimension index — posexplode
+    is scan-stage (rows x dim, no data duplication beyond the
+    coordinate itself), every aggregate combines map-side, and the
+    result is |dim| rows however large the corpus. For wide models
+    (dim 4096), the explode factor is the only cost knob — still
+    linear, still one pass.
+    """
+    q = F.round(F.col("__v").cast("double"), 6).cast("decimal(19,6)")
+    return (
+        df.select(F.posexplode(vec_col).alias("dim", "__v"))
+        .select(F.col("dim"), q.alias("__q"), F.col("__v").cast("double").alias("__d"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__q").alias("__sx"),
+            F.sum((F.col("__q") * F.col("__q"))).alias("__sxx"),
+            F.round(F.min("__d"), 6).alias("min_v"),
+            F.round(F.max("__d"), 6).alias("max_v"),
+        )
+        .select(
+            "dim",
+            "n",
+            F.round(F.col("__sx").cast("double") / F.col("n"), 6).alias("mean"),
+            # greatest(0, ..) guards the constant-dimension case where
+            # double cancellation can land a hair below zero
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.lit(0.0),
+                        (
+                            F.col("__sxx").cast("double")
+                            - F.col("__sx").cast("double")
+                            * F.col("__sx").cast("double")
+                            / F.col("n")
+                        )
+                        / F.col("n"),
+                    )
+                ),
+                6,
+            ).alias("std"),
+            "min_v",
+            "max_v",
+        )
+    )

@@ -1818,6 +1818,41 @@ def ev_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_dim_stats",
+    """
+    WITH e AS (
+      SELECT unnest(range(0, len(embedding))) AS dim,
+             unnest(embedding) AS v
+      FROM embeddings
+    ), q AS (
+      SELECT dim, CAST(v AS DOUBLE) AS d,
+             CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(19,6)) AS qv
+      FROM e
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           count(*) AS n,
+           round(CAST(sum(qv) AS DOUBLE) / count(*), 6) AS mean,
+           round(sqrt(greatest(0.0,
+             (CAST(sum(qv * qv) AS DOUBLE)
+              - CAST(sum(qv) AS DOUBLE) * CAST(sum(qv) AS DOUBLE) / count(*))
+             / count(*))), 6) AS std,
+           round(min(d), 6) AS min_v,
+           round(max(d), 6) AS max_v
+    FROM q GROUP BY dim
+    """,
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-coordinate profile of the embedding corpus (mean/std/min/max
+    # per dimension) — one posexplode + one map-side-combining agg;
+    # 6-decimal quantization + DECIMAL accumulation make the moments
+    # order-independent so the oracle matches bit-for-bit. See
+    # operators/similarity.dim_stats for the 100 TB notes.
+    from pydala2_spark.operators.similarity import dim_stats
+
+    return dim_stats(_t(spark, sf_dir, "embeddings"), "embedding")
+
+
+@query(
     "fuzzy_part_matches",
     r"""
     WITH names AS (

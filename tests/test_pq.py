@@ -121,3 +121,39 @@ def test_lsh_multi_probe_improves_recall(spark, clustered):
     # candidate volume grows but results stay a strict superset family:
     # every single-probe neighbor set is contained in the multi-probe
     # CANDIDATES (same bucket is always probed)
+
+
+def test_dim_stats_moments_match_numpy(spark):
+    """Per-dimension mean/std/min/max agree with numpy on the
+    6-decimal-quantized values; one exchange, no join, no Python node."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pydala2_spark.operators.similarity import dim_stats
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(200, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["dim"]: r.asDict() for r in dim_stats(df, "embedding").collect()}
+    q = np.round(vecs.astype(np.float64), 6)
+    for d in range(8):
+        assert out[d]["n"] == 200
+        assert abs(out[d]["mean"] - round(float(q[:, d].mean()), 6)) <= 1e-6
+        assert abs(out[d]["std"] - round(float(q[:, d].std()), 6)) <= 1e-6
+        assert out[d]["min_v"] == round(float(vecs[:, d].astype(np.float64).min()), 6)
+        assert out[d]["max_v"] == round(float(vecs[:, d].astype(np.float64).max()), 6)
+
+    plan = dim_stats(df, "embedding")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan and "Python" not in plan
+
+    # constant dimension: std exactly 0.0, no NaN from cancellation
+    cdf = spark.createDataFrame(
+        [(i, [1.25, float(i)]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    c = {r["dim"]: r for r in dim_stats(cdf, "embedding").collect()}
+    assert c[0]["std"] == 0.0 and c[0]["mean"] == 1.25
