@@ -1,0 +1,186 @@
+"""Graph analytics over event-derived edge lists: weighted PageRank
+with dangling-mass redistribution, engineered so a fixed iteration
+count is bit-reproducible in any engine (the DuckDB oracle unrolls the
+same arithmetic).
+
+Reference analogue: none — the reference leaves analytics to its
+embedded DuckDB (`/root/reference/pydala/table.py:940-958`). Connected
+components already live in :mod:`pydala2_spark.operators.dedup`
+(pointer-doubling); PageRank adds the other canonical iterative graph
+primitive — importance scoring over a transition graph (next-page
+prediction, crawl prioritization, abuse-ring scoring).
+
+Determinism design:
+- per-edge contributions round to 15 decimals in DOUBLE (every input
+  of that expression is itself deterministic), then accumulate as
+  DECIMAL(38,15) so summation order cannot move a bit;
+- dangling mass accumulates in DECIMAL(38,12) the same way;
+- each iteration's rank rounds to 12 decimals, so iteration k+1
+  starts from identical state everywhere;
+- damping literals are formatted with full repr by the shared
+  generator, so Python float semantics (0.15000000000000002) match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def transition_edges(
+    ev: DataFrame,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Weighted edge list from consecutive events per user:
+    ``(src, dst, w)`` where w counts observed src→dst transitions
+    (order by ``ts_col`` then ``id_col`` — fully deterministic).
+
+    100 TB shape: one window shuffle keyed by user (each user's events
+    sort locally), then one map-side-combining count agg — the edge
+    list is |vocabulary|² at most, tiny next to the corpus.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    return (
+        ev.select(
+            F.col(type_col).alias("src"),
+            F.lead(type_col).over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 3,
+) -> DataFrame:
+    """Weighted PageRank with dangling-node redistribution, run for a
+    FIXED iteration count: ``pr' = (1-d)/N + d*(Σ_in pr·w/outw + D/N)``
+    where D is the total rank mass on nodes without out-edges.
+
+    Output: ``(node, pr)`` with pr rounded to 12 decimals per
+    iteration (see module docstring for why that makes a SQL oracle
+    possible).
+
+    100 TB shape: the rank frame is |nodes| rows; every per-iteration
+    join keys on the node id, so for bounded vocabularies (event
+    types, page templates, categories) the whole loop is
+    broadcast-sized. For web-scale node sets the same plan holds with
+    the rank frame shuffling on node — contributions still combine
+    map-side through the decimal sum, and nothing collects to the
+    driver. ``iterations`` is deliberately explicit: each round adds
+    one join to the lineage, so convergence loops should checkpoint —
+    fixed-k scoring (the common production use) does not need to.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ncnt = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    pr = nodes.crossJoin(F.broadcast(ncnt)).select(
+        "node",
+        F.round(F.lit(1.0) / F.col("__n"), 12).alias("pr"),
+    )
+    base = 1.0 - damping
+    for _ in range(iterations):
+        contrib = (
+            edges.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(outw, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("pr") * F.col("w") / F.col("ow"), 15)
+                .cast("decimal(38,15)")
+                .alias("__c"),
+            )
+        )
+        incoming = contrib.groupBy("node").agg(
+            F.sum("__c").cast("double").alias("__s")
+        )
+        dangling = (
+            pr.join(outw, pr["node"] == outw["src"], "left_anti")
+            .agg(F.sum(F.col("pr").cast("decimal(38,12)")).cast("double").alias("__d"))
+        )
+        pr = (
+            nodes.join(incoming, "node", "left")
+            .crossJoin(F.broadcast(ncnt))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.round(
+                    F.lit(base) / F.col("__n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__s"), F.lit(0.0))
+                        + F.coalesce(F.col("__d"), F.lit(0.0)) / F.col("__n")
+                    ),
+                    12,
+                ).alias("pr"),
+            )
+        )
+    return pr
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    damping: float = 0.85,
+    iterations: int = 3,
+) -> str:
+    """DuckDB SQL reproducing :func:`pagerank` exactly: the iteration
+    unrolls into chained CTEs carrying the same round/decimal steps.
+    ``edges_sql`` must yield columns (src, dst, w)."""
+    base = 1.0 - damping
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "nc AS (SELECT count(*) AS n FROM nodes)",
+        "outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src)",
+        "it0 AS (SELECT node, round(CAST(1.0 AS DOUBLE) / n, 12) AS pr FROM nodes CROSS JOIN nc)",
+    ]
+    for i in range(iterations):
+        prev, cur = f"it{i}", f"it{i + 1}"
+        parts.append(
+            f"""inc{i} AS (
+      SELECT e.dst AS node,
+             CAST(sum(CAST(round(p.pr * e.w / o.ow, 15) AS DECIMAL(38,15)))
+                  AS DOUBLE) AS s
+      FROM edges e
+      JOIN {prev} p ON p.node = e.src
+      JOIN outw o ON o.src = e.src
+      GROUP BY e.dst
+    )"""
+        )
+        parts.append(
+            f"""dang{i} AS (
+      SELECT coalesce(CAST(sum(CAST(p.pr AS DECIMAL(38,12))) AS DOUBLE), 0.0)
+               AS d
+      FROM {prev} p LEFT JOIN outw o ON o.src = p.node
+      WHERE o.src IS NULL
+    )"""
+        )
+        parts.append(
+            f"""{cur} AS (
+      SELECT n.node,
+             round(CAST({base!r} AS DOUBLE) / nc.n
+                   + CAST({damping!r} AS DOUBLE)
+                     * (coalesce(i.s, 0.0) + g.d / nc.n), 12) AS pr
+      FROM nodes n
+      LEFT JOIN inc{i} i ON i.node = n.node
+      CROSS JOIN nc CROSS JOIN dang{i} g
+    )"""
+        )
+    body = ",\n    ".join(parts[1:])
+    return f"{parts[0]},\n    {body}\n    SELECT node, pr FROM it{iterations}"

@@ -1817,6 +1817,34 @@ def ev_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle() -> str:
+    from pydala2_spark.operators.graph import pagerank_oracle_sql
+
+    edges = (
+        "SELECT src, dst, count(*) AS w FROM ("
+        "SELECT event_type AS src, "
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst "
+        "FROM events) WHERE dst IS NOT NULL GROUP BY src, dst"
+    )
+    return pagerank_oracle_sql(edges, damping=0.85, iterations=3)
+
+
+@query("graph_pagerank", _pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Weighted PageRank (3 fixed iterations, damping 0.85, dangling
+    # redistribution) over the user-journey transition graph — the
+    # iterative-algorithm primitive next to dedup's pointer-doubling
+    # CC. The oracle unrolls the identical decimal-accumulated
+    # arithmetic. See operators/graph.pagerank for the 100 TB notes
+    # (the heavy step is the one window shuffle building edges; the
+    # rank loop runs on |vocabulary| rows).
+    from pydala2_spark.operators.graph import pagerank, transition_edges
+
+    return pagerank(
+        transition_edges(_t(spark, sf_dir, "events")), damping=0.85, iterations=3
+    )
+
+
 @query(
     "emb_dim_stats",
     """

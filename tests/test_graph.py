@@ -1,0 +1,80 @@
+"""PageRank + transition-edge contracts: known closed forms, mass
+conservation, dangling redistribution, determinism, and plan shape."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydala2_spark.operators.graph import pagerank, transition_edges
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string, w long")
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    """A ring a→b→c→a is perfectly symmetric: every node holds exactly
+    1/3 at every iteration."""
+    e = _edges(spark, [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)])
+    got = {r["node"]: r["pr"] for r in pagerank(e, iterations=4).collect()}
+    third = round(1.0 / 3.0, 12)
+    assert got == {"a": third, "b": third, "c": third}
+
+
+def test_pagerank_mass_conserved_and_sink_absorbs(spark):
+    """Total rank stays ~1 (dangling mass redistributes, not lost),
+    and a pure sink outranks its feeders."""
+    # star into a sink: a,b,c all point at d; d has no out-edges
+    e = _edges(spark, [("a", "d", 1), ("b", "d", 1), ("c", "d", 1)])
+    got = {r["node"]: r["pr"] for r in pagerank(e, iterations=3).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got["d"] > got["a"] == got["b"] == got["c"]
+
+
+def test_pagerank_weights_matter(spark):
+    """Out-weight splits proportionally: a 9:1 edge split sends 9x the
+    contribution to the heavy destination."""
+    e = _edges(
+        spark,
+        [("a", "b", 9), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)],
+    )
+    got = {r["node"]: r["pr"] for r in pagerank(e, iterations=1).collect()}
+    # after one iteration from uniform 1/3: b gets 0.15/3 + .85*(1/3)*0.9
+    assert got["b"] == round(0.15 / 3 + 0.85 * (1.0 / 3.0) * 0.9, 12)
+    assert got["c"] == round(0.15 / 3 + 0.85 * (1.0 / 3.0) * 0.1, 12)
+    assert got["b"] > got["c"]
+
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(e, iterations=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(e, damping=1.5)
+
+
+def test_transition_edges_order_and_weights(spark):
+    """Edges follow (ts, event_id) order per user; last event emits no
+    edge; repeated transitions accumulate weight; one window shuffle."""
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    rows = [
+        (1, t(0), 1, "view"),
+        (2, t(1), 1, "click"),
+        (3, t(2), 1, "view"),
+        (4, t(3), 1, "click"),      # view->click x2, click->view x1
+        (5, t(0), 2, "signup"),     # same ts tie for user 2:
+        (6, t(0), 2, "purchase"),   # id order => signup->purchase
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {(r["src"], r["dst"]): r["w"] for r in transition_edges(df).collect()}
+    assert got == {
+        ("view", "click"): 2,
+        ("click", "view"): 1,
+        ("signup", "purchase"): 1,
+    }
+
+    plan = transition_edges(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2  # window + count agg
+    assert "Join" not in plan
