@@ -795,3 +795,59 @@ def train_test_split(
         .when(u < t + v, F.lit("val"))
         .otherwise(F.lit("train")),
     )
+
+
+def zipf_fit(df: DataFrame, text: str = "text", top_n: int = 1000) -> DataFrame:
+    """Corpus-health diagnostic: least-squares fit of the Zipf law
+    ``ln(freq) ~ ln(rank)`` over the ``top_n`` most frequent terms.
+    Natural language sits near slope -1; a slope far shallower says
+    boilerplate/templated text (too-uniform vocabulary), far steeper
+    says repetitive spam — both worth a look before training on a
+    crawl. Returns ONE row: (n_terms, slope, intercept, r2).
+
+    Reference analogue: none — extension surface.
+
+    100 TB shape: one explode + one map-side-combining term count (the
+    only |corpus|-sized step), then the rank window runs over the
+    VOCABULARY (bounded by language, not corpus size; the single-
+    partition window is |vocabulary| rows by construction). Moment
+    sums accumulate in DECIMAL so partition order cannot move a bit;
+    the final round absorbs last-ulp libm ln differences (same policy
+    as tfidf/bm25).
+    """
+    if top_n < 3:
+        raise ValueError(f"top_n must be >= 3, got {top_n}")
+    counts = (
+        df.select(F.explode(F.split(F.col(text), " ")).alias("t"))
+        .filter(F.length("t") > 0)
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("t").asc())
+    xy = (
+        counts.select(F.row_number().over(w).alias("r"), "c")
+        .filter(F.col("r") <= top_n)
+        .select(
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("c").cast("double")).alias("y"),
+        )
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(_DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(_DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(_DEC)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(_DEC)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(_DEC)).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )

@@ -1817,6 +1817,49 @@ def ev_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_zipf_fit",
+    """
+    WITH c AS (
+      SELECT t, count(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      WHERE length(t) > 0 GROUP BY t
+    ), xy AS (
+      SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+      FROM (SELECT row_number() OVER (ORDER BY c DESC, t ASC) AS r, c FROM c)
+      WHERE r <= 1000
+    ), s AS (
+      SELECT count(*) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+      FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+           round((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+                 / CAST(n AS DOUBLE), 6) AS intercept,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 * (CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+)
+def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Zipf-law OLS over the term-frequency rank curve: one corpus-sized
+    # count agg, then everything runs on the vocabulary. Decimal moment
+    # sums keep the fit order-independent. See operators/curate.zipf_fit
+    # for the 100 TB notes.
+    from pydala2_spark.operators.curate import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), top_n=1000)
+
+
 def _pagerank_oracle() -> str:
     from pydala2_spark.operators.graph import pagerank_oracle_sql
 

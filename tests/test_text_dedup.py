@@ -1336,3 +1336,33 @@ def test_fuzzy_matches_blocking_and_distance(spark):
 
     with pytest.raises(ValueError, match="max_distance"):
         fuzzy_matches(df, "name", "pid", max_distance=-1)
+
+
+def test_zipf_fit_recovers_planted_exponent(spark):
+    """A corpus synthesized with freq(rank) = C * rank^-s recovers
+    slope ~ -s with r2 ~ 1; flat frequencies give slope 0."""
+    import pytest
+
+    from pydala2_spark.operators.curate import zipf_fit
+
+    s = 1.0
+    words = []
+    for rank in range(1, 41):
+        words.extend([f"w{rank:03d}"] * max(1, int(round(4000 / rank ** s))))
+    df = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    row = zipf_fit(df, top_n=40).collect()[0]
+    assert row["n_terms"] == 40
+    assert abs(row["slope"] + s) < 0.02  # integer-rounding noise only
+    assert row["r2"] > 0.999
+
+    flat = spark.createDataFrame(
+        [(0, " ".join([f"t{i}" for i in range(30)] * 5))],
+        "doc_id long, text string",
+    )
+    frow = zipf_fit(flat, top_n=30).collect()[0]
+    assert frow["slope"] == 0.0 and frow["n_terms"] == 30
+
+    with pytest.raises(ValueError, match="top_n"):
+        zipf_fit(df, top_n=2)
