@@ -274,3 +274,64 @@ def resample_locf(
         F.col("__v").isNotNull().alias("observed"),
         F.last("__v", ignorenulls=True).over(w).alias("value_locf"),
     )
+
+
+def scd2_history(
+    ev: DataFrame,
+    attr_col: str = "event_type",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Batch SCD-Type-2 history build: collapse an entity's event
+    stream into validity intervals of the tracked attribute — one row
+    per run of consecutive equal values, with ``valid_from`` (epoch
+    microseconds of the run's first event), ``valid_to`` (start of the next
+    run; NULL while current), ``n_events`` in the run, and
+    ``is_current``. The batch sibling of streaming/pipeline's SCD2
+    sink, for building a dimension's history from raw facts in one
+    shot.
+
+    Gaps-and-islands: a lag-change flag, a running sum to number the
+    islands, then one aggregate per island — all inside a SINGLE
+    partition-by-entity window spec, so the whole operator is one
+    shuffle keyed by entity plus one map-side-combining agg. Ordering
+    ties break by ``id_col``: fully deterministic.
+
+    Reference analogue: none (the reference leaves analytics to its
+    embedded DuckDB, /root/reference/pydala/table.py:940-958).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
+    chg = (
+        F.when(
+            F.lag(attr_col).over(w).isNull()
+            | (F.lag(attr_col).over(w) != F.col(attr_col)),
+            1,
+        )
+        .otherwise(0)
+    )
+    run = F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    marked = ev.select(
+        F.col(key_col),
+        F.col(attr_col),
+        # microsecond epoch: full timestamp fidelity (event streams
+        # carry sub-second precision; oracle mirror is epoch_us)
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__e"),
+        run.alias("__run"),
+    )
+    per_run = marked.groupBy(key_col, "__run").agg(
+        F.any_value(attr_col).alias(attr_col),  # constant within a run
+        F.min("__e").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy(key_col).orderBy("__run")
+    return per_run.select(
+        F.col(key_col),
+        F.col(attr_col),
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )

@@ -1818,6 +1818,46 @@ def ev_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scd2_event_history",
+    """
+    WITH m AS (
+      SELECT user_id, event_type, epoch_us(ts) AS e, ts, event_id,
+             CASE WHEN lag(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                  IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      FROM events
+    ), r AS (
+      SELECT user_id, event_type, e,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run
+      FROM m
+    ), p AS (
+      SELECT user_id, run, any_value(event_type) AS event_type,
+             min(e) AS valid_from, count(*) AS n_events
+      FROM r GROUP BY user_id, run
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+             AS valid_to,
+           n_events,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) IS NULL
+             AS is_current
+    FROM p
+    """,
+)
+def scd2_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Batch SCD-Type-2 build: each user's event-type runs become
+    # validity intervals (valid_from/valid_to in epoch microseconds,
+    # half-open, NULL-ended current row) via gaps-and-islands inside
+    # ONE entity-keyed window spec. See operators/events.scd2_history
+    # for the 100 TB notes.
+    from pydala2_spark.operators.events import scd2_history
+
+    return scd2_history(_t(spark, sf_dir, "events"))
+
+
+@query(
     "doc_zipf_fit",
     """
     WITH c AS (

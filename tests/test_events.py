@@ -187,3 +187,42 @@ def test_ohlc_bars_open_close_high_low_and_plan(spark):
 
     with pytest.raises(ValueError, match="freq"):
         ohlc_bars(df, freq="minute")
+
+
+def test_scd2_history_islands_and_intervals(spark):
+    """Runs of equal attribute values collapse to intervals; valid_to
+    chains to the next run's valid_from (half-open); the final run is
+    current; value-returns open NEW intervals (type-2, not type-1)."""
+    import datetime as dt
+
+    from pydala2_spark.operators.events import scd2_history
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    us = lambda s: int(dt.datetime(2024, 1, 1, 0, 0, s,
+                                   tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    rows = [
+        (1, t(0), 1, "a"),
+        (2, t(10), 1, "a"),   # same run
+        (3, t(20), 1, "b"),   # change
+        (4, t(30), 1, "a"),   # back to a — NEW interval, not merged
+        (5, t(0), 2, "x"),    # single-event user: one current interval
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = sorted(
+        (r.asDict() for r in scd2_history(df).collect()),
+        key=lambda r: (r["user_id"], r["valid_from"]),
+    )
+    u1 = [r for r in out if r["user_id"] == 1]
+    assert [(r["event_type"], r["valid_from"], r["valid_to"], r["n_events"],
+             r["is_current"]) for r in u1] == [
+        ("a", us(0), us(20), 2, False),
+        ("b", us(20), us(30), 1, False),
+        ("a", us(30), None, 1, True),
+    ]
+    u2 = [r for r in out if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["is_current"] and u2[0]["valid_to"] is None
+
+    # exactly one current row per entity, intervals never overlap
+    assert sum(r["is_current"] for r in out) == 2
