@@ -75,3 +75,64 @@ def cast_relaxed(df: DataFrame, target: T.StructType) -> DataFrame:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     cols += [F.col(f.name) for f in df.schema.fields if f.name not in target_names]
     return df.select(*cols)
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 20,
+    group_col: str | None = None,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column, optionally per group:
+    ``(group?, bin, bin_lo, bin_hi, n)`` with ``bins`` equal-width
+    buckets over [lo, hi]. When bounds are omitted they come from the
+    data via a broadcast one-row min/max frame — NO driver collect, the
+    whole thing stays one lazy plan. Values at/beyond the edges clamp
+    into the first/last bucket (so auto-bounds lose nothing).
+
+    Bucket assignment is ``floor((v - lo) / w)`` in IEEE double —
+    deterministic in any engine — and every aggregate combines
+    map-side, so the shuffle carries |groups| x bins partial rows,
+    never the corpus. Degenerate ranges (lo == hi, e.g. a constant
+    column under auto-bounds) put everything in bucket 0.
+
+    Reference analogue: none — the reference leaves analytics to its
+    embedded DuckDB (`/root/reference/pydala/table.py:940-958`).
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if (lo is None) != (hi is None):
+        raise ValueError("pass both lo and hi, or neither")
+    v = F.col(value_col).cast("double")
+    keys = [F.col(group_col)] if group_col else []
+    if lo is None:
+        bounds = df.agg(
+            F.min(v).cast("double").alias("__lo"),
+            F.max(v).cast("double").alias("__hi"),
+        )
+        base = df.crossJoin(F.broadcast(bounds))
+        lo_c, hi_c = F.col("__lo"), F.col("__hi")
+    else:
+        if not hi > lo:
+            raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+        base = df
+        lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
+    w = (hi_c - lo_c) / F.lit(float(bins))
+    raw = F.floor((v - lo_c) / w)
+    bucket = F.least(
+        F.lit(bins - 1), F.greatest(F.lit(0), F.coalesce(raw, F.lit(0)).cast("int"))
+    )
+    return (
+        base.filter(v.isNotNull())
+        .select(*keys, bucket.alias("bin"), lo_c.alias("__l"), w.alias("__w"))
+        .groupBy(*keys, "bin")
+        .agg(
+            F.round(F.any_value(F.col("__l") + F.col("bin") * F.col("__w")), 4)
+            .alias("bin_lo"),
+            F.round(F.any_value(F.col("__l") + (F.col("bin") + 1) * F.col("__w")), 4)
+            .alias("bin_hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

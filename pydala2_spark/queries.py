@@ -1818,6 +1818,42 @@ def ev_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_value_histogram",
+    """
+    WITH b AS (
+      SELECT CAST(min(value) AS DOUBLE) AS lo,
+             CAST(max(value) AS DOUBLE) AS hi
+      FROM events
+    ), x AS (
+      SELECT event_type,
+             least(19, greatest(0,
+               CAST(floor((CAST(value AS DOUBLE) - lo)
+                          / ((hi - lo) / 20.0)) AS INTEGER))) AS bin,
+             lo, (hi - lo) / 20.0 AS w
+      FROM events CROSS JOIN b
+      WHERE value IS NOT NULL
+    )
+    SELECT event_type, bin,
+           round(any_value(lo + bin * w), 4) AS bin_lo,
+           round(any_value(lo + (bin + 1) * w), 4) AS bin_hi,
+           count(*) AS n
+    FROM x GROUP BY event_type, bin
+    """,
+)
+def ev_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 20-bin fixed-width histogram of event values per type with
+    # auto-bounds from a broadcast one-row min/max frame — bucket
+    # assignment is pure IEEE floor arithmetic so the oracle matches
+    # exactly. See functions/verbs.value_histogram for the 100 TB
+    # notes (shuffle carries |types| x 20 partials).
+    from pydala2_spark.functions.verbs import value_histogram
+
+    return value_histogram(
+        _t(spark, sf_dir, "events"), "value", bins=20, group_col="event_type"
+    )
+
+
+@query(
     "scd2_event_history",
     """
     WITH m AS (

@@ -660,3 +660,46 @@ def test_profile_dataframe_routes_types_and_counts(spark):
     assert profile_dataframe(df, ["k"]).count() == 1
     with pytest.raises(ValueError, match="unknown"):
         profile_dataframe(df, ["nope"])
+
+
+def test_value_histogram_buckets_and_edges(spark):
+    """Counts per bucket exact; edge values clamp (max lands in the
+    LAST bucket, below-lo in the first); explicit and auto bounds
+    agree when they span the data; validation errors raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pydala2_spark.functions.verbs import value_histogram
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(100)] + [(None,)], "v double"
+    )
+    # auto bounds: lo=0, hi=99, w=9.9 over 10 bins
+    out = {r["bin"]: r.asDict() for r in
+           value_histogram(df, "v", bins=10).collect()}
+    assert sum(r["n"] for r in out.values()) == 100  # null dropped
+    assert out[9]["n"] == 10  # 90..99, max included via clamp
+    assert out[0]["bin_lo"] == 0.0 and out[9]["bin_hi"] == 99.0
+
+    # explicit bounds narrower than the data: clamping keeps mass
+    e = {r["bin"]: r["n"] for r in
+         value_histogram(df, "v", bins=4, lo=20.0, hi=60.0).collect()}
+    assert sum(e.values()) == 100
+    assert e[0] == 30  # v <= 29 (20 below-lo clamp + 10 in-range)
+    assert e[3] == 50  # v >= 50 (10 in-range + 40 above-hi clamp)
+
+    # per-group split keeps groups independent
+    g = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 2.0)], "g string, v double"
+    )
+    rows = value_histogram(g, "v", bins=2, group_col="g", lo=1.0, hi=3.0)
+    got = {(r["g"], r["bin"]): r["n"] for r in rows.collect()}
+    # half-open buckets: [1,2) and [2,3] — v=2.0 lands in bucket 1
+    assert got == {("a", 0): 1, ("a", 1): 1, ("b", 1): 1}
+
+    with pytest.raises(ValueError, match="bins"):
+        value_histogram(df, "v", bins=0)
+    with pytest.raises(ValueError, match="both lo and hi"):
+        value_histogram(df, "v", lo=1.0)
+    with pytest.raises(ValueError, match="hi > lo"):
+        value_histogram(df, "v", lo=2.0, hi=2.0)

@@ -213,6 +213,8 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         # node-count and dangling-mass one-row aggregate frames,
         # attached per iteration — same 1-row broadcast shape as q11
         "graph_pagerank",
+        # auto-bounds min/max one-row frame — same 1-row broadcast shape
+        "ev_value_histogram",
         # corpus-end bucket — one-row broadcast aggregate frame
         "ev_resample_locf",
     }
