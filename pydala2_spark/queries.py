@@ -5076,6 +5076,45 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_cms_counters",
+    """
+    WITH rows_ AS (SELECT unnest(range(3)) AS row_id)
+    SELECT row_id,
+           ('0x' || substr(md5('cms' || CAST(row_id AS VARCHAR) || ':'
+              || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 512 AS bucket,
+           count(*) AS cnt
+    FROM events CROSS JOIN rows_
+    GROUP BY 1, 2
+    """,
+)
+def stream_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming sketch maintenance, end to end: readStream over the
+    # landing zone → Count-Min counter aggregation → complete-mode
+    # drain. The streamed counter table must equal the batch
+    # cms_build bit-for-bit (counter addition is associative), and —
+    # the scale point — state is bounded at depth x width rows FOREVER,
+    # no watermark needed. Fourth streaming oracle query. See
+    # streaming/pipeline.cms_stream.
+    import tempfile
+    import uuid
+
+    from pydala2_spark.streaming.pipeline import (
+        cms_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    src = f"{sf_dir}/events.parquet"
+    events = read_event_stream(spark, src)
+    counters = cms_stream(events, "user_id", depth=3, width=512)
+    name = f"cms_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    return run_to_memory(
+        counters, name, ck, state_partitions=4, output_mode="complete"
+    )
+
+
+@query(
     "mm_blockhash",
     """
     WITH b AS (

@@ -214,6 +214,7 @@ def run_to_memory(
     query_name: str,
     checkpoint_dir: str,
     state_partitions: int | None = None,
+    output_mode: str = "update",
 ) -> DataFrame:
     """Drain all currently-available input (availableNow) into an
     in-memory table and return it as a DataFrame — the test/debug sink.
@@ -234,7 +235,7 @@ def run_to_memory(
         q = (
             stream_df.writeStream.format("memory")
             .queryName(query_name)
-            .outputMode("update")
+            .outputMode(output_mode)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start()
@@ -636,3 +637,33 @@ def curate_stream(
     )
     q.awaitTermination()
     return counters
+
+
+def cms_stream(
+    events: DataFrame,
+    value_col: str = "user_id",
+    depth: int = 3,
+    width: int = 512,
+) -> DataFrame:
+    """Streaming Count-Min maintenance: the arriving stream folds into
+    the depth x width counter table through a plain streaming
+    aggregation — the canonical "sketch the firehose" pattern. Because
+    counter addition is associative and the KEY SPACE is bounded by
+    construction (at most depth*width state rows, FOREVER), this needs
+    no watermark and never grows state with traffic — the property
+    that makes sketches the streaming answer to frequency/heavy-hitter
+    questions at any scale. Drain with ``output_mode='complete'`` so
+    the sink holds the full current table; the result equals
+    functions/sketch.cms_build over the same rows bit-for-bit.
+    """
+    from pydala2_spark.functions.sketch import cms_bucket
+
+    rows = F.array(*[F.lit(j) for j in range(depth)])
+    return (
+        events.select(
+            F.explode(rows).alias("row_id"), F.col(value_col).alias("__v")
+        )
+        .select("row_id", cms_bucket(F.col("row_id"), F.col("__v"), width).alias("bucket"))
+        .groupBy("row_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

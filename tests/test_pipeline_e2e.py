@@ -190,3 +190,59 @@ def test_app_scoped_tmp_liveness_and_prune(spark, tmp_path, monkeypatch):
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_cms_stream_equals_batch_sketch_across_microbatches(spark, tmp_path):
+    """Counters folded incrementally over TWO microbatches equal the
+    batch cms_build over the union — associativity end to end — and
+    the state key space stays within depth*width."""
+    import datetime as dt
+
+    from pydala2_spark.functions.sketch import cms_build
+    from pydala2_spark.streaming.pipeline import (
+        cms_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    zone = tmp_path / "cms_zone"
+    zone.mkdir()
+    base = dt.datetime(2024, 1, 1)
+
+    def _mk(tag, uids):
+        rows = [
+            (i, u, "view", base + dt.timedelta(minutes=i), 1.0, "{}")
+            for i, u in enumerate(uids)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, event_type string, "
+            "ts timestamp_ntz, value double, props string",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(zone / tag))
+        # move the part file into the flat zone so each is one microbatch
+        import glob
+        import shutil
+
+        part = glob.glob(str(zone / tag / "*.parquet"))[0]
+        shutil.move(part, str(zone / f"{tag}.parquet"))
+        shutil.rmtree(str(zone / tag))
+        return df
+
+    d1 = _mk("a", [1, 1, 2, 3])
+    d2 = _mk("b", [1, 2, 2, 9])
+
+    events = read_event_stream(spark, str(zone), max_files_per_trigger=1)
+    ck = tmp_path / "ck_cms"
+    got = run_to_memory(
+        cms_stream(events, "user_id", depth=3, width=32),
+        "cms_t",
+        str(ck),
+        state_partitions=2,
+        output_mode="complete",
+    )
+    want = cms_build(d1.unionByName(d2), "user_id", depth=3, width=32)
+    g = {(r["row_id"], r["bucket"]): r["cnt"] for r in got.collect()}
+    w = {(r["row_id"], r["bucket"]): r["cnt"] for r in want.collect()}
+    assert g == w
+    assert len(g) <= 3 * 32
