@@ -335,3 +335,63 @@ def scd2_history(
         "n_events",
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
     )
+
+
+def rolling_quantiles(
+    ev: DataFrame,
+    trailing: int = 7,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    quantiles: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """Trailing-window quantiles over a daily series: collapse events
+    to exact per-(key, day) totals, then interpolated quantiles over
+    the last ``trailing`` days (rows) per key — the robust-baseline
+    primitive behind anomaly bands and "median of the last week"
+    alerting, where a mean would chase the outliers being hunted.
+
+    Output: ``(key, day, day_total, q_50, q_90, ...)`` — one ``q_<pct>``
+    column per requested quantile, linearly interpolated (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``).
+
+    Reference analogue: none (the reference leaves analytics to its
+    embedded DuckDB, /root/reference/pydala/table.py:940-958).
+
+    100 TB shape: the |events| input collapses FIRST (one map-side-
+    combining agg to |keys|×|days| rows); the quantile window then
+    sorts only that reduced frame, partitioned by key — a second
+    shuffle of days, not events. Exact decimal day totals keep every
+    downstream quantile engine-reproducible.
+    """
+    if trailing < 1:
+        raise ValueError(f"trailing must be >= 1, got {trailing}")
+    from pyspark.sql import Window
+
+    daily = (
+        ev.groupBy(
+            F.col(key_col), F.date_trunc("day", F.col(ts_col)).alias("__d")
+        )
+        .agg(
+            F.round(F.sum(F.col(value_col).cast(_DEC)), 2)
+            .cast("double")
+            .alias("day_total")
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("__d")
+        .rowsBetween(-(trailing - 1), 0)
+    )
+    cols = [
+        F.col(key_col),
+        F.date_format("__d", "yyyy-MM-dd").alias("day"),
+        F.col("day_total"),
+    ]
+    for q in quantiles:
+        cols.append(
+            F.round(F.percentile("day_total", F.lit(q)).over(w), 4).alias(
+                f"q_{int(round(q * 100))}"
+            )
+        )
+    return daily.select(*cols)

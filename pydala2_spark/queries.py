@@ -1818,6 +1818,36 @@ def ev_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_rolling_quantiles",
+    f"""
+    WITH daily AS (
+      SELECT event_type,
+             date_trunc('day', ts) AS d,
+             {_osum("value")} AS day_total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           strftime(d, '%Y-%m-%d') AS day,
+           day_total,
+           round(quantile_cont(day_total, 0.5) OVER w, 4) AS q_50,
+           round(quantile_cont(day_total, 0.9) OVER w, 4) AS q_90
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ev_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Trailing-7-day median and p90 of exact daily totals per event
+    # type — Spark window `percentile` ≡ DuckDB `quantile_cont`
+    # (linear interpolation), over decimal-exact day totals. See
+    # operators/events.rolling_quantiles for the 100 TB notes (events
+    # collapse to days BEFORE any window sort).
+    from pydala2_spark.operators.events import rolling_quantiles
+
+    return rolling_quantiles(_t(spark, sf_dir, "events"), trailing=7)
+
+
+@query(
     "ev_value_histogram",
     """
     WITH b AS (

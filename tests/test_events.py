@@ -226,3 +226,38 @@ def test_scd2_history_islands_and_intervals(spark):
 
     # exactly one current row per entity, intervals never overlap
     assert sum(r["is_current"] for r in out) == 2
+
+
+def test_rolling_quantiles_window_and_interpolation(spark):
+    """Daily totals are exact; the trailing window covers at most
+    `trailing` rows (fewer at series start); quantiles interpolate
+    linearly (percentile semantics)."""
+    import datetime as dt
+
+    from pydala2_spark.operators.events import rolling_quantiles
+
+    d = lambda day: dt.datetime(2024, 2, day, 12)
+    rows = []
+    totals = [10.0, 30.0, 20.0, 40.0]
+    for i, tot in enumerate(totals, start=1):
+        rows.append((i * 10, d(i), 1, "click", tot / 2))
+        rows.append((i * 10 + 1, d(i), 2, "click", tot / 2))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    out = {r["day"]: r.asDict() for r in
+           rolling_quantiles(df, trailing=3).collect()}
+    assert [out[f"2024-02-0{i}"]["day_total"] for i in (1, 2, 3, 4)] == totals
+    # day1: window {10} -> 10 ; day2: {10,30} -> interp 20 ; day3:
+    # {10,30,20} -> 20 ; day4 trailing3 drops day1: {30,20,40} -> 30
+    assert [out[f"2024-02-0{i}"]["q_50"] for i in (1, 2, 3, 4)] == [
+        10.0, 20.0, 20.0, 30.0,
+    ]
+    # p90 over {10,30}: idx 0.9 -> 10 + 0.9*20 = 28
+    assert out["2024-02-02"]["q_90"] == 28.0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="trailing"):
+        rolling_quantiles(df, trailing=0)
