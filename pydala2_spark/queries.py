@@ -1817,6 +1817,61 @@ def ev_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ER_FIELDS = {
+    # (m, u): P(agree | same entity), P(agree | different) = 1/cardinality
+    "p_brand": (0.95, 0.04),
+    "p_type": (0.95, 1.0 / 6.0),
+    "p_size": (0.95, 0.02),
+}
+
+
+def _linkage_oracle() -> str:
+    import math
+
+    agrees, terms = [], []
+    for f, (m, u) in _ER_FIELDS.items():
+        wa = round(math.log2(m / u), 6)
+        wd = round(math.log2((1.0 - m) / (1.0 - u)), 6)
+        agrees.append(f"(a.{f} = b.{f}) AS agree_{f}")
+        terms.append(
+            f"CASE WHEN a.{f} = b.{f} THEN CAST({wa!r} AS DOUBLE)"
+            f" ELSE CAST({wd!r} AS DOUBLE) END"
+        )
+    score = " + ".join(terms)
+    return rf"""
+    WITH t AS (
+      SELECT p_partkey AS id, p_brand, p_type, p_size,
+             regexp_extract(p_name, '(\S+)$', 1) AS blk
+      FROM part
+    )
+    SELECT a.id AS id_a, b.id AS id_b, {", ".join(agrees)},
+           round({score}, 4) AS score,
+           'match' AS verdict
+    FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
+    WHERE round({score}, 4) >= 6.0
+    """
+
+
+@query("er_part_linkage", _linkage_oracle())
+def er_part_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fellegi-Sunter probabilistic record linkage inside head-noun
+    # blocks: per-field log-likelihood weights enter as driver-computed
+    # literals (no transcendentals in the data path), pairs classify
+    # against the upper threshold, only confirmed matches return. See
+    # operators/dedup.linkage_scores for the 100 TB notes.
+    from pydala2_spark.operators.dedup import linkage_scores
+
+    parts = _t(spark, sf_dir, "part")
+    out = linkage_scores(
+        parts,
+        "p_partkey",
+        _ER_FIELDS,
+        block_expr=F.element_at(F.split(F.col("p_name"), r"\s+"), -1),
+        upper=6.0,
+    )
+    return out.filter("verdict = 'match'")
+
+
 @query(
     "ev_rolling_quantiles",
     f"""

@@ -1366,3 +1366,49 @@ def test_zipf_fit_recovers_planted_exponent(spark):
 
     with pytest.raises(ValueError, match="top_n"):
         zipf_fit(df, top_n=2)
+
+
+def test_linkage_scores_weights_and_verdicts(spark):
+    """Agreement adds log2(m/u), disagreement adds log2((1-m)/(1-u));
+    verdict thresholds split match/possible/non_match; pairs stay
+    inside blocks."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pydala2_spark.operators.dedup import linkage_scores
+
+    fields = {"brand": (0.9, 0.1), "size": (0.9, 0.25)}
+    wa_b, wd_b = round(math.log2(9.0), 6), round(math.log2(0.1 / 0.9), 6)
+    wa_s, wd_s = round(math.log2(3.6), 6), round(math.log2(0.1 / 0.75), 6)
+    rows = [
+        (1, "k1", "X", 10),
+        (2, "k1", "X", 10),   # agree both -> strong match
+        (3, "k1", "X", 99),   # agree brand only
+        (4, "k1", "Y", 77),   # agree none
+        (5, "k2", "X", 10),   # other block: never paired with 1-4
+    ]
+    df = spark.createDataFrame(rows, "id long, blk string, brand string, size int")
+    out = {
+        (r["id_a"], r["id_b"]): r.asDict()
+        for r in linkage_scores(
+            df, "id", fields, block_expr=F.col("blk"), upper=3.0, lower=0.0
+        ).collect()
+    }
+    assert set(out) == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    full = out[(1, 2)]
+    assert full["score"] == round(wa_b + wa_s, 4)
+    assert full["verdict"] == "match"
+    assert full["agree_brand"] and full["agree_size"]
+    partial = out[(1, 3)]
+    assert partial["score"] == round(wa_b + wd_s, 4)
+    assert partial["verdict"] == "possible"  # 3.17 - 2.9 ~ 0.27
+    neither = out[(1, 4)]
+    assert neither["score"] == round(wd_b + wd_s, 4)
+    assert neither["verdict"] == "non_match"
+
+    with pytest.raises(ValueError, match="non-empty"):
+        linkage_scores(df, "id", {}, block_expr=F.col("blk"))
+    with pytest.raises(ValueError, match="0 < u < m < 1"):
+        linkage_scores(df, "id", {"brand": (0.5, 0.6)}, block_expr=F.col("blk"))
