@@ -5296,6 +5296,21 @@ _VERIFY_FIRST = [
     "doc_substring_spans",
     "ev_resample_locf",
     "mm_gif_frame_sample",
+    # (c'') new in the continuation session — never driver-checked
+    "ev_ohlc_bars",
+    "profile_orders",
+    "orc_roundtrip_scan",
+    "agg_hll_sketch",
+    "agg_cms_heavy_hitters",
+    "fuzzy_part_matches",
+    "emb_dim_stats",
+    "graph_pagerank",
+    "doc_zipf_fit",
+    "scd2_event_history",
+    "ev_value_histogram",
+    "stream_cms_counters",
+    "ev_rolling_quantiles",
+    "er_part_linkage",
     # (d) operator changed this round
     "mm_image_real_decode",
     "mm_audio_real_features",
@@ -5308,7 +5323,10 @@ _VERIFY_FIRST = [
     "doc_tfidf_top_terms",
     "ev_funnel",
     "ev_cohort_retention",
-    # (e) aged set (r5 window order, minus pulled-forward + slipped)
+    # (e) aged set (r5 window order, minus pulled-forward + slipped) —
+    # truncated to the window's remaining room; the displaced entries
+    # (agg_approx_distinct .. asof_click_before_purchase) join the
+    # slipped set above, all r5/r6-driver-green and mirror-green
     "ev_json_extract",
     "scan_filter_project",
     "sort_limit_topk",
@@ -5317,20 +5335,6 @@ _VERIFY_FIRST = [
     "q6_forecast_revenue",
     "agg_rollup_status_priority",
     "agg_approx_distinct",
-    "q3_shipping_priority",
-    "q5_nation_revenue",
-    "q10_returned_items",
-    "join_semi_anti",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q18_large_volume_customers",
-    "doc_token_explode_top",
-    "w_value_deciles",
-    "w_top_orders_per_customer",
-    "stream_hourly_rollup",
-    "ev_sessionization",
-    "asof_click_before_purchase",
 ]
 
 
