@@ -395,3 +395,53 @@ def rolling_quantiles(
             )
         )
     return daily.select(*cols)
+
+
+def anomaly_days(
+    ev: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    z_cut: float = 3.0,
+) -> DataFrame:
+    """Robust per-key anomaly screen over the daily series: flag days
+    whose total deviates from the key's MEDIAN by more than ``z_cut``
+    robust z-scores, where the scale is the median absolute deviation
+    (MAD x 1.4826, the normal-consistency constant). Median/MAD ignore
+    the outliers being hunted — the standard reason this beats a
+    mean/stddev screen on ops metrics.
+
+    Output: ``(key, day, day_total, z, is_anomaly)`` with z rounded
+    to 4 (NULL when MAD is 0 — a constant series has no scale).
+
+    100 TB shape: events collapse to |keys|x|days| in the first
+    map-side-combining agg; both median and MAD come from window
+    percentiles over that reduced frame under ONE partitioning (one
+    shuffle, two Window passes, no self-join).
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        ev.groupBy(F.col(key_col), F.date_trunc("day", F.col(ts_col)).alias("__d"))
+        .agg(
+            F.round(F.sum(F.col(value_col).cast(_DEC)), 2)
+            .cast("double")
+            .alias("day_total")
+        )
+    )
+    w = Window.partitionBy(key_col)
+    med = F.percentile("day_total", F.lit(0.5)).over(w)
+    dev = F.abs(F.col("day_total") - F.col("__med"))
+    scaled = daily.withColumn("__med", med).withColumn("__dev", dev)
+    mad = F.percentile("__dev", F.lit(0.5)).over(w)
+    z = F.col("__dev") / (F.lit(1.4826) * F.col("__mad"))
+    return (
+        scaled.withColumn("__mad", mad)
+        .select(
+            F.col(key_col),
+            F.date_format("__d", "yyyy-MM-dd").alias("day"),
+            "day_total",
+            F.when(F.col("__mad") > 0, F.round(z, 4)).alias("z"),
+            F.when(F.col("__mad") > 0, z > z_cut).alias("is_anomaly"),
+        )
+    )

@@ -1873,6 +1873,45 @@ def er_part_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_anomaly_days",
+    f"""
+    WITH daily AS (
+      SELECT event_type,
+             date_trunc('day', ts) AS d,
+             {_osum("value")} AS day_total
+      FROM events GROUP BY 1, 2
+    ), scaled AS (
+      SELECT event_type, d, day_total,
+             abs(day_total - quantile_cont(day_total, 0.5)
+                              OVER (PARTITION BY event_type)) AS dev
+      FROM daily
+    ), m AS (
+      SELECT event_type, d, day_total, dev,
+             quantile_cont(dev, 0.5) OVER (PARTITION BY event_type) AS mad
+      FROM scaled
+    )
+    SELECT event_type,
+           strftime(d, '%Y-%m-%d') AS day,
+           day_total,
+           CASE WHEN mad > 0
+                THEN round(dev / (CAST(1.4826 AS DOUBLE) * mad), 4) END AS z,
+           CASE WHEN mad > 0
+                THEN dev / (CAST(1.4826 AS DOUBLE) * mad) > 3.0 END
+             AS is_anomaly
+    FROM m
+    """,
+)
+def ev_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Robust (median/MAD) daily anomaly screen per event type — both
+    # scale statistics come from window percentiles over the reduced
+    # daily frame under one partitioning. See
+    # operators/events.anomaly_days for the 100 TB notes.
+    from pydala2_spark.operators.events import anomaly_days
+
+    return anomaly_days(_t(spark, sf_dir, "events"))
+
+
+@query(
     "ev_rolling_quantiles",
     f"""
     WITH daily AS (
@@ -5311,6 +5350,7 @@ _VERIFY_FIRST = [
     "stream_cms_counters",
     "ev_rolling_quantiles",
     "er_part_linkage",
+    "ev_anomaly_days",
     # (d) operator changed this round
     "mm_image_real_decode",
     "mm_audio_real_features",
@@ -5334,7 +5374,6 @@ _VERIFY_FIRST = [
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "agg_rollup_status_priority",
-    "agg_approx_distinct",
 ]
 
 

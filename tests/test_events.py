@@ -261,3 +261,33 @@ def test_rolling_quantiles_window_and_interpolation(spark):
 
     with pytest.raises(ValueError, match="trailing"):
         rolling_quantiles(df, trailing=0)
+
+
+def test_anomaly_days_flags_planted_spike(spark):
+    """A 10x spike day flags; normal days don't; a constant series
+    (MAD 0) yields NULL z/flag rather than a divide-by-zero."""
+    import datetime as dt
+
+    from pydala2_spark.operators.events import anomaly_days
+
+    d = lambda day: dt.datetime(2024, 3, day, 9)
+    rows = []
+    eid = 0
+    for day in range(1, 11):
+        tot = 1000.0 if day == 7 else 100.0 + day  # spike on day 7
+        eid += 1
+        rows.append((eid, d(day), 1, "click", tot))
+    for day in range(1, 6):  # constant series
+        eid += 1
+        rows.append((eid, d(day), 1, "view", 50.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    out = {(r["event_type"], r["day"]): r.asDict()
+           for r in anomaly_days(df).collect()}
+    assert out[("click", "2024-03-07")]["is_anomaly"] is True
+    assert out[("click", "2024-03-02")]["is_anomaly"] is False
+    assert out[("click", "2024-03-07")]["z"] > 50
+    const = out[("view", "2024-03-03")]
+    assert const["z"] is None and const["is_anomaly"] is None
