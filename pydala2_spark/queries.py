@@ -1817,6 +1817,92 @@ def ev_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FK_RELATIONS = [
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+]
+
+
+def _fk_oracle() -> str:
+    branches = []
+    for name, fact, fk, dim, pk in _FK_RELATIONS:
+        branches.append(f"""
+    SELECT '{name}' AS relation,
+           (SELECT count(*) FROM {fact}) AS n_rows,
+           (SELECT count(*) FROM {fact} f
+            LEFT JOIN (SELECT DISTINCT {pk} FROM {dim}) d ON f.{fk} = d.{pk}
+            WHERE f.{fk} IS NOT NULL AND d.{pk} IS NULL) AS n_orphans,
+           round(CAST((SELECT count(*) FROM {fact} f
+                       LEFT JOIN (SELECT DISTINCT {pk} FROM {dim}) d
+                         ON f.{fk} = d.{pk}
+                       WHERE f.{fk} IS NOT NULL AND d.{pk} IS NULL) AS DOUBLE)
+                 * 100.0 / (SELECT count(*) FROM {fact}), 4) AS orphan_pct""")
+    return "\nUNION ALL".join(branches)
+
+
+@query("dq_fk_orphans", _fk_oracle())
+def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Referential-integrity audit across the star schema: one LEFT
+    # ANTI join per relation against the broadcast deduped dimension
+    # key set — the fact side never shuffles. See
+    # functions/dq.fk_orphan_report for the 100 TB notes.
+    from pydala2_spark.functions.dq import fk_orphan_report
+
+    rels = [
+        (name, _t(spark, sf_dir, fact), fk, _t(spark, sf_dir, dim), pk)
+        for name, fact, fk, dim, pk in _FK_RELATIONS
+    ]
+    return fk_orphan_report(rels)
+
+
+def _benford_oracle() -> str:
+    import math
+
+    cases = " ".join(
+        f"WHEN {d} THEN CAST({math.log10(1.0 + 1.0 / d)!r} AS DOUBLE)"
+        for d in range(1, 10)
+    )
+    p = f"(CASE digit {cases} END)"
+    return f"""
+    WITH c AS (
+      SELECT CAST(NULLIF(regexp_extract(
+               CAST(round(abs(o_totalprice), 2) AS VARCHAR), '([1-9])', 1),
+             '') AS INTEGER) AS digit
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) > 0
+    ), counts AS (
+      SELECT digit, count(*) AS n_obs FROM c
+      WHERE digit IS NOT NULL GROUP BY digit
+    ), t AS (
+      SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM counts
+    ), w AS (
+      SELECT digit, n_obs,
+             round(n * {p}, 2) AS expected_n,
+             round((n_obs - n * {p}) * (n_obs - n * {p}) / (n * {p}), 6)
+               AS term
+      FROM counts CROSS JOIN t
+    ), x AS (
+      SELECT CAST(round(sum(CAST(term AS DECIMAL(38,6))), 4) AS DOUBLE)
+               AS chi2
+      FROM w
+    )
+    SELECT digit, n_obs, expected_n, chi2 FROM w CROSS JOIN x
+    """
+
+
+@query("dq_benford", _benford_oracle())
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benford first-significant-digit conformance of order totals:
+    # string-regexp digit extraction (no float log10 boundary hazard),
+    # driver-literal expectations, decimal-folded chi-square. See
+    # functions/dq.benford_report for the 100 TB notes.
+    from pydala2_spark.functions.dq import benford_report
+
+    return benford_report(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
 _ER_FIELDS = {
     # (m, u): P(agree | same entity), P(agree | different) = 1/cardinality
     "p_brand": (0.95, 0.04),
@@ -1832,22 +1918,35 @@ def _linkage_oracle() -> str:
     for f, (m, u) in _ER_FIELDS.items():
         wa = round(math.log2(m / u), 6)
         wd = round(math.log2((1.0 - m) / (1.0 - u)), 6)
-        agrees.append(f"(a.{f} = b.{f}) AS agree_{f}")
+        agrees.append(f"(c.a_{f} = c.b_{f}) AS agree_{f}")
         terms.append(
-            f"CASE WHEN a.{f} = b.{f} THEN CAST({wa!r} AS DOUBLE)"
+            f"CASE WHEN c.a_{f} = c.b_{f} THEN CAST({wa!r} AS DOUBLE)"
             f" ELSE CAST({wd!r} AS DOUBLE) END"
         )
     score = " + ".join(terms)
+    proj = ", ".join(
+        f"a.{f} AS a_{f}, b.{f} AS b_{f}" for f in _ER_FIELDS
+    )
+    # multi-pass candidate blocking mirrored: pairs agreeing on
+    # (blk, brand) UNION pairs agreeing on (blk, size); UNION's
+    # row-distinct == pair-distinct because attributes are functions
+    # of the ids
+    passes = " UNION ".join(
+        f"SELECT a.id AS id_a, b.id AS id_b, {proj} "
+        f"FROM t a JOIN t b ON a.blk = b.blk AND a.{f} = b.{f} "
+        f"AND a.id < b.id"
+        for f in ("p_brand", "p_size")
+    )
     return rf"""
     WITH t AS (
       SELECT p_partkey AS id, p_brand, p_type, p_size,
              regexp_extract(p_name, '(\S+)$', 1) AS blk
       FROM part
-    )
-    SELECT a.id AS id_a, b.id AS id_b, {", ".join(agrees)},
+    ), c AS ({passes})
+    SELECT c.id_a, c.id_b, {", ".join(agrees)},
            round({score}, 4) AS score,
            'match' AS verdict
-    FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
+    FROM c
     WHERE round({score}, 4) >= 6.0
     """
 
@@ -1868,6 +1967,12 @@ def er_part_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ER_FIELDS,
         block_expr=F.element_at(F.split(F.col("p_name"), r"\s+"), -1),
         upper=6.0,
+        # lossless for the match class: upper=6.0 is unreachable
+        # without agreeing on brand or size (type agreement alone is
+        # +2.51 against two ~-4.3/-5.6 disagreements), so the two
+        # candidate passes cover every match while skipping the
+        # quadratic all-disagree bulk (25M -> ~1.5M pairs at sf0.1)
+        candidate_fields=["p_brand", "p_size"],
     )
     return out.filter("verdict = 'match'")
 
@@ -2266,10 +2371,11 @@ def _profile_branch(col: str, kind: str) -> str:
     ),
 )
 def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # One-pass table profile (nulls / exact distinct / typed min-max
-    # per column) — ONE aggregation job via Catalyst's Expand rewrite
-    # for the multi-column exact DISTINCT; the oracle's 6-scan UNION
-    # ALL is the same answer the slow way. See
+    # Table profile (nulls / exact distinct / typed min-max per
+    # column) — two map-side-combining hash-agg passes (metrics + a
+    # (column, value) distinct explode; Catalyst's multi-countDistinct
+    # Expand measured 8x slower). The oracle's 6-scan UNION ALL is the
+    # same answer the slow way. See
     # functions/schema_tools.profile_dataframe for the 100 TB notes.
     from pydala2_spark.functions.schema_tools import profile_dataframe
 
@@ -5351,6 +5457,8 @@ _VERIFY_FIRST = [
     "ev_rolling_quantiles",
     "er_part_linkage",
     "ev_anomaly_days",
+    "dq_fk_orphans",
+    "dq_benford",
     # (d) operator changed this round
     "mm_image_real_decode",
     "mm_audio_real_features",
@@ -5372,8 +5480,6 @@ _VERIFY_FIRST = [
     "sort_limit_topk",
     "distinct_keyed",
     "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "agg_rollup_status_priority",
 ]
 
 

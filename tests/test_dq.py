@@ -1,0 +1,63 @@
+"""Data-quality audit contracts: FK orphans and Benford conformance."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydala2_spark.functions.dq import benford_report, fk_orphan_report
+
+
+def test_fk_orphan_report_counts_and_null_exemption(spark):
+    """Orphans are non-null FKs missing from the dim; NULL FKs are not
+    orphans; multiple relations stack; the dim side broadcasts."""
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None), (5, 98)], "id long, fk long"
+    )
+    dim = spark.createDataFrame([(10,), (20,)], "pk long")
+    out = fk_orphan_report(
+        [("f->d", fact, "fk", dim, "pk"), ("f->d2", fact, "fk", dim, "pk")]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    rows = {r["relation"]: r.asDict() for r in out.collect()}
+    assert rows["f->d"]["n_rows"] == 5
+    assert rows["f->d"]["n_orphans"] == 2  # 99 and 98; NULL exempt
+    assert rows["f->d"]["orphan_pct"] == 40.0
+    assert rows["f->d2"]["n_orphans"] == 2
+
+    with pytest.raises(ValueError, match="non-empty"):
+        fk_orphan_report([])
+
+
+def test_benford_report_digits_expectations_chi2(spark):
+    """First significant digits count correctly (leading zeros and
+    signs skipped); expectations follow n*log10(1+1/d); a perfectly
+    Benford-ish vs uniform-digit column orders by chi2."""
+    vals = [1.5, 12.0, 0.19, -140.0, 2.5, 29.0, 0.031, 9.9, 91.0]
+    #  d:   1    1     1      1      2    2     3      9    9
+    df = spark.createDataFrame([(v,) for v in vals] + [(None,), (0.0,)],
+                               "v double")
+    out = {r["digit"]: r.asDict() for r in benford_report(df, "v").collect()}
+    assert {d: out[d]["n_obs"] for d in out} == {1: 4, 2: 2, 3: 1, 9: 2}
+    n = 9
+    assert out[1]["expected_n"] == round(n * math.log10(2.0), 2)
+    # chi2 identical on every row and equals the hand fold
+    terms = []
+    obs = {1: 4, 2: 2, 3: 1, 9: 2}
+    for d, o in obs.items():
+        e = n * math.log10(1.0 + 1.0 / d)
+        terms.append(round((o - e) ** 2 / e, 6))
+    assert out[1]["chi2"] == round(sum(terms), 4)
+    assert len({r["chi2"] for r in out.values()}) == 1
+
+    # a uniform-digit column (violates Benford) scores higher chi2
+    uni = spark.createDataFrame(
+        [(float(d) * 10 + 1,) for d in range(1, 10) for _ in range(10)],
+        "v double",
+    )
+    chi_uni = benford_report(uni, "v").first()["chi2"]
+    assert chi_uni > out[1]["chi2"]
