@@ -851,3 +851,175 @@ def zipf_fit(df: DataFrame, text: str = "text", top_n: int = 1000) -> DataFrame:
         F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
         F.round(cov * cov / (varx * vary), 6).alias("r2"),
     )
+
+
+def token_pmi(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_pair_docs: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information over token co-occurrence at the
+    document grain: for token pairs appearing together in >=
+    ``min_pair_docs`` documents, ``pmi = ln(n * df_ab / (df_a *
+    df_b))`` — the classic association score behind collocation
+    discovery, topic seeds, and embedding sanity checks (word2vec's
+    SGNS factorizes a shifted version of this matrix). Positive =
+    tokens travel together; negative = they repel.
+
+    Output: ``(tok_a, tok_b, df_a, df_b, df_ab, pmi)`` with
+    ``tok_a < tok_b``.
+
+    Reference analogue: none — extension surface.
+
+    100 TB shape: the corpus collapses to (doc, distinct token) ONCE;
+    the within-document token-pair explode is quadratic in DOCUMENT
+    vocabulary (bounded by document length, not corpus size) and
+    aggregates map-side to |vocabulary|² pair counts at most; the
+    unary df frame is |vocabulary| rows and broadcasts onto the pair
+    frame twice. The corpus count is a broadcast one-row frame — no
+    driver collect.
+    """
+    from pydala2_spark.operators.dedup import _materialize_once
+
+    toks = _materialize_once(
+        df.select(
+            F.col(id_col),
+            F.array_sort(F.array_distinct(F.split(F.col(text), " "))).alias("__t"),
+        )
+    )
+    uni = toks.select(F.explode("__t").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df_u")
+    )
+    n = df.select(F.count(F.lit(1)).alias("__n"))
+    # within-doc ordered pairs from the sorted distinct-token array:
+    # explode positions i<j — scan-stage, quadratic in doc vocabulary
+    pairs = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__t, (a, i) -> "
+                    "transform(slice(__t, i + 2, size(__t) - i - 1), "
+                    "b -> struct(a AS ta, b AS tb))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.ta").alias("tok_a"), F.col("p.tb").alias("tok_b"))
+        .agg(F.count(F.lit(1)).alias("df_ab"))
+        .filter(F.col("df_ab") >= min_pair_docs)
+    )
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("df_u").alias("df_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("df_u").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok_a",
+            "tok_b",
+            "df_a",
+            "df_b",
+            "df_ab",
+            F.round(
+                F.log(
+                    F.col("__n").cast("double")
+                    * F.col("df_ab")
+                    / (F.col("df_a").cast("double") * F.col("df_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+def heaps_fit(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    points: int = 50,
+) -> DataFrame:
+    """Heaps'-law fit ``V(N) ~ K * N^beta``: how vocabulary grows with
+    corpus size. Natural corpora sit near beta 0.4-0.6; beta near 0
+    says a closed template vocabulary (synthetic/boilerplate), near 1
+    says id-like token churn. The companion diagnostic to
+    :func:`zipf_fit`. Returns ONE row: ``(n_points, beta, intercept,
+    r2)`` — beta is the log-log slope, intercept is ln K.
+
+    The growth curve samples at ``points`` id-range buckets: per
+    bucket, token mass and NEW vocabulary (tokens whose first
+    appearance — min doc id — falls in the bucket), then running sums
+    over the bucket frame. Curve points with zero cumulative mass
+    (empty leading buckets) drop out.
+
+    Reference analogue: none — extension surface.
+
+    100 TB shape: two corpus-sized map-side-combining aggs (per-bucket
+    token counts; per-token min-id first appearances folded to
+    per-bucket new-vocab counts) — the running-sum window and the OLS
+    then run over ``points`` rows. No single-partition pass ever sees
+    the corpus; the max-id bound is a broadcast one-row frame.
+    """
+    if points < 3:
+        raise ValueError(f"points must be >= 3, got {points}")
+    mx = df.agg(F.max(F.col(id_col)).alias("__mx"))
+    bucket = F.floor(
+        F.col(id_col).cast("double") * points / (F.col("__mx") + 1)
+    ).cast("long")
+    base = df.crossJoin(F.broadcast(mx)).select(
+        bucket.alias("__b"),
+        F.col(id_col),
+        F.split(F.col(text), " ").alias("__t"),
+    )
+    mass = base.groupBy("__b").agg(F.sum(F.size("__t")).alias("__toks"))
+    firsts = (
+        base.select(F.col(id_col), F.explode(F.array_distinct("__t")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min(id_col).alias("__first"))
+    )
+    newv = (
+        firsts.crossJoin(F.broadcast(mx))
+        .select(
+            F.floor(
+                F.col("__first").cast("double") * points / (F.col("__mx") + 1)
+            )
+            .cast("long")
+            .alias("__b")
+        )
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__newv"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        mass.join(newv, "__b", "left")
+        .select(
+            "__b",
+            F.sum("__toks").over(w).alias("__N"),
+            F.sum(F.coalesce(F.col("__newv"), F.lit(0))).over(w).alias("__V"),
+        )
+        .filter((F.col("__N") > 0) & (F.col("__V") > 0))
+    )
+    xy = curve.select(
+        F.log(F.col("__N").cast("double")).alias("x"),
+        F.log(F.col("__V").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(_DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(_DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(_DEC)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(_DEC)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(_DEC)).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    return s.select(
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).alias("beta"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )

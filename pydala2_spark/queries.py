@@ -2123,6 +2123,105 @@ def scd2_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_heaps_fit",
+    """
+    WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+    base AS (
+      SELECT CAST(floor(CAST(doc_id AS DOUBLE) * 50 / (m + 1)) AS BIGINT)
+               AS b,
+             doc_id, string_split(text, ' ') AS t
+      FROM documents CROSS JOIN mx
+    ), mass AS (
+      SELECT b, sum(len(t)) AS toks FROM base GROUP BY b
+    ), firsts AS (
+      SELECT tok, min(doc_id) AS f
+      FROM (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM base)
+      GROUP BY tok
+    ), newv AS (
+      SELECT CAST(floor(CAST(f AS DOUBLE) * 50 / (m + 1)) AS BIGINT) AS b,
+             count(*) AS nv
+      FROM firsts CROSS JOIN mx GROUP BY 1
+    ), curve AS (
+      SELECT mass.b,
+             sum(toks) OVER (ORDER BY mass.b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS N,
+             sum(coalesce(nv, 0)) OVER (ORDER BY mass.b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS V
+      FROM mass LEFT JOIN newv USING (b)
+    ), xy AS (
+      SELECT ln(CAST(N AS DOUBLE)) AS x, ln(CAST(V AS DOUBLE)) AS y
+      FROM curve WHERE N > 0 AND V > 0
+    ), s AS (
+      SELECT count(*) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+      FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS beta,
+           round((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+                 / CAST(n AS DOUBLE), 6) AS intercept,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 * (CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+)
+def doc_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Heaps'-law vocabulary-growth fit over a 50-bucket cumulative
+    # curve — no single-partition pass ever sees the corpus (the
+    # running sums and OLS run on 50 rows). Companion diagnostic to
+    # doc_zipf_fit. See operators/curate.heaps_fit for the 100 TB
+    # notes.
+    from pydala2_spark.operators.curate import heaps_fit
+
+    return heaps_fit(_t(spark, sf_dir, "documents"), points=50)
+
+
+@query(
+    "doc_token_pmi",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+      FROM documents
+    ), uni AS (
+      SELECT tok, count(*) AS df_u
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY tok
+    ), nn AS (SELECT count(*) AS n FROM documents),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS df_ab
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks) a
+      JOIN (SELECT doc_id, unnest(t) AS tok FROM toks) b
+        ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT tok_a, tok_b, ua.df_u AS df_a, ub.df_u AS df_b, df_ab,
+           round(ln(CAST(n AS DOUBLE) * df_ab
+                    / (CAST(ua.df_u AS DOUBLE) * ub.df_u)), 6) AS pmi
+    FROM pairs
+    JOIN uni ua ON ua.tok = pairs.tok_a
+    JOIN uni ub ON ub.tok = pairs.tok_b
+    CROSS JOIN nn
+    """,
+)
+def doc_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Document-grain token co-occurrence PMI: within-doc pairs explode
+    # from the sorted distinct-token array (quadratic in DOC
+    # vocabulary, never corpus size), unary df broadcasts twice, the
+    # corpus count is a broadcast one-row frame. See
+    # operators/curate.token_pmi for the 100 TB notes.
+    from pydala2_spark.operators.curate import token_pmi
+
+    return token_pmi(_t(spark, sf_dir, "documents"), min_pair_docs=5)
+
+
+@query(
     "doc_zipf_fit",
     """
     WITH c AS (
@@ -5459,6 +5558,8 @@ _VERIFY_FIRST = [
     "ev_anomaly_days",
     "dq_fk_orphans",
     "dq_benford",
+    "doc_token_pmi",
+    "doc_heaps_fit",
     # (d) operator changed this round
     "mm_image_real_decode",
     "mm_audio_real_features",
@@ -5478,8 +5579,6 @@ _VERIFY_FIRST = [
     "ev_json_extract",
     "scan_filter_project",
     "sort_limit_topk",
-    "distinct_keyed",
-    "q1_pricing_summary",
 ]
 
 

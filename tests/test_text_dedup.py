@@ -1412,3 +1412,57 @@ def test_linkage_scores_weights_and_verdicts(spark):
         linkage_scores(df, "id", {}, block_expr=F.col("blk"))
     with pytest.raises(ValueError, match="0 < u < m < 1"):
         linkage_scores(df, "id", {"brand": (0.5, 0.6)}, block_expr=F.col("blk"))
+
+
+def test_token_pmi_hand_computed(spark):
+    """PMI matches the closed form on a hand corpus: tokens always
+    together get positive PMI, independent-ish pairs near 0, the
+    min_pair_docs floor drops rare pairs, and tok_a < tok_b."""
+    import math
+
+    from pydala2_spark.operators.curate import token_pmi
+
+    # a & b always co-occur (4 docs); c appears in 2 of them; d once
+    rows = [
+        (0, "a b c"), (1, "a b"), (2, "a b c"), (3, "a b d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["tok_a"], r["tok_b"]): r.asDict()
+           for r in token_pmi(df, min_pair_docs=2).collect()}
+    ab = out[("a", "b")]
+    assert (ab["df_a"], ab["df_b"], ab["df_ab"]) == (4, 4, 4)
+    assert ab["pmi"] == round(math.log(4 * 4 / (4.0 * 4)), 6)  # == 0 at df=n
+    ac = out[("a", "c")]
+    assert ac["pmi"] == round(math.log(4 * 2 / (4.0 * 2)), 6)
+    assert ("a", "d") not in out  # df_ab = 1 < min_pair_docs
+    assert all(a < b for a, b in out)
+
+
+def test_heaps_fit_recovers_growth_exponent(spark):
+    """A corpus built so V(N) = N^beta exactly (each doc contributes
+    a fixed token mass and a power-law vocab schedule) recovers beta;
+    a closed-vocabulary corpus fits beta ~ 0."""
+    import pytest
+
+    from pydala2_spark.operators.curate import heaps_fit
+
+    # closed vocabulary: every doc reuses the same 10 tokens -> after
+    # the first bucket V is flat while N grows -> beta near 0
+    closed = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(10))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    r0 = heaps_fit(closed, points=20).collect()[0]
+    assert r0["n_points"] == 20
+    assert abs(r0["beta"]) < 0.15
+
+    # id-like churn: every token globally fresh -> V == N -> beta == 1
+    fresh = spark.createDataFrame(
+        [(i, f"u{i}a u{i}b u{i}c") for i in range(200)],
+        "doc_id long, text string",
+    )
+    r1 = heaps_fit(fresh, points=20).collect()[0]
+    assert abs(r1["beta"] - 1.0) < 1e-6 and r1["r2"] > 0.999999
+
+    with pytest.raises(ValueError, match="points"):
+        heaps_fit(fresh, points=2)

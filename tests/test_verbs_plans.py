@@ -215,6 +215,12 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "graph_pagerank",
         # auto-bounds min/max one-row frame — same 1-row broadcast shape
         "ev_value_histogram",
+        # corpus-count / max-id / chi2 one-row broadcast frames
+        "doc_token_pmi",
+        "doc_heaps_fit",
+        "dq_fk_orphans",
+        "dq_benford",
+        "ev_anomaly_days",
         # corpus-end bucket — one-row broadcast aggregate frame
         "ev_resample_locf",
     }
