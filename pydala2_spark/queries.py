@@ -4477,6 +4477,51 @@ def hive_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "catalog_sql_roundtrip",
+    """
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(CAST(o.o_totalprice AS DECIMAL(38,6))), 2)::DOUBLE
+             AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY 1
+    """,
+)
+def catalog_sql_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 in the oracle gate: declare orders+customer in a YAML
+    catalog, then run the join THROUGH ``Catalog.sql`` — table
+    references auto-register from the catalog entries, so the query
+    text never names a path. The result must equal the plain SQL over
+    the same parquet (the oracle).
+
+    At 100 TB the catalog is the governance layer: entries carry
+    partitioning/write_args/filesystem profiles, and sql() resolves
+    every reference to the governed dataset — same Catalyst plan as a
+    hand-registered view, zero extra I/O."""
+    import os
+
+    from pydala2_spark.plans.catalog import Catalog
+
+    path = _app_scoped_tmp(spark, sf_dir, "pydala2_spark_catalog")
+    os.makedirs(path, exist_ok=True)
+    cat = Catalog(os.path.join(path, "catalog.yaml"), spark=spark)
+    cat.create_table("tpch.orders", os.path.join(sf_dir, "orders.parquet"))
+    cat.create_table("tpch.customer", os.path.join(sf_dir, "customer.parquet"))
+    return cat.sql(
+        """
+        SELECT c.c_mktsegment,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(38,6))), 2)
+                    AS DOUBLE) AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY c.c_mktsegment
+        """
+    )
+
+
+@query(
     "orc_roundtrip_scan",
     """
     SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total,
@@ -5560,6 +5605,7 @@ _VERIFY_FIRST = [
     "dq_benford",
     "doc_token_pmi",
     "doc_heaps_fit",
+    "catalog_sql_roundtrip",
     # (d) operator changed this round
     "mm_image_real_decode",
     "mm_audio_real_features",
@@ -5578,7 +5624,6 @@ _VERIFY_FIRST = [
     # slipped set above, all r5/r6-driver-green and mirror-green
     "ev_json_extract",
     "scan_filter_project",
-    "sort_limit_topk",
 ]
 
 
