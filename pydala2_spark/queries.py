@@ -5489,6 +5489,82 @@ def stream_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_audio_metadata",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'flac' ELSE 'mp3' END AS fmt,
+           CAST(CASE WHEN doc_id % 2 = 0
+                     THEN 32000 + (doc_id % 4) * 4000
+                     ELSE [44100, 48000, 32000][CAST(doc_id % 3 AS INT) + 1]
+                END AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id // 2) % 2
+                     WHEN doc_id % 4 = 1 THEN 1 ELSE 2
+                END AS INTEGER) AS n_channels,
+           CAST(CASE WHEN doc_id % 2 = 0
+                     THEN (1000 + doc_id % 500) * 1000
+                          // (32000 + (doc_id % 4) * 4000)
+                     ELSE (4 + doc_id % 2000) * 8 * 1000
+                          // ([0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                              192, 224, 256, 320]
+                              [CAST(1 + doc_id % 14 AS INT) + 1] * 1000)
+                END AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def mm_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC + MP3 metadata end to end in the oracle gate: synthesize a
+    REAL container per document (even ids: fLaC + STREAMINFO with the
+    20|3|5|36-bit packed tail; odd ids: an MPEG1 Layer III frame
+    header + CBR payload), sniff the format with the JVM-side magic
+    expression, and parse rate/channels/duration through
+    ``parse_audio_header``'s dependency-free ladder. The oracle
+    recomputes every field from the synthesis formulas.
+
+    100 TB shape: one Arrow-batched synth/parse stage + a scan-stage
+    sniff expression; payloads never cross a shuffle."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from pydala2_spark.operators.multimodal import parse_audio_header, sniff_format
+
+    @pandas_udf("binary")
+    def synth(doc_id):
+        out = []
+        for d in doc_id:
+            d = int(d)
+            if d % 2 == 0:
+                rate = 32000 + (d % 4) * 4000
+                ch = 1 + (d // 2) % 2
+                total = 1000 + d % 500
+                packed = (rate << 44) | ((ch - 1) << 41) | (15 << 36) | total
+                si = bytes(10) + packed.to_bytes(8, "big") + bytes(16)
+                out.append(b"fLaC" + bytes([0]) + (34).to_bytes(3, "big") + si)
+            else:
+                b2 = ((1 + d % 14) << 4) | ((d % 3) << 2)
+                b3 = (3 << 6) if d % 4 == 1 else 0
+                out.append(bytes([0xFF, 0xFB, b2, b3]) + bytes(d % 2000))
+        return pd.Series(out)
+
+    @pandas_udf("sample_rate int, n_channels int, duration_ms bigint")
+    def parse(payload):
+        rows = []
+        for p in payload:
+            meta = parse_audio_header(bytes(p))
+            rows.append(meta if meta else (None, None, None))
+        return pd.DataFrame(
+            rows, columns=["sample_rate", "n_channels", "duration_ms"]
+        )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    with_payload = docs.select("doc_id", synth("doc_id").alias("payload"))
+    return with_payload.select(
+        "doc_id",
+        sniff_format("payload").alias("fmt"),
+        parse("payload").alias("m"),
+    ).select("doc_id", "fmt", "m.sample_rate", "m.n_channels", "m.duration_ms")
+
+
+@query(
     "mm_blockhash",
     """
     WITH b AS (
@@ -5606,6 +5682,7 @@ _VERIFY_FIRST = [
     "doc_token_pmi",
     "doc_heaps_fit",
     "catalog_sql_roundtrip",
+    "mm_audio_metadata",
     # (d) operator changed this round
     "mm_image_real_decode",
     "mm_audio_real_features",
@@ -5622,7 +5699,6 @@ _VERIFY_FIRST = [
     # truncated to the window's remaining room; the displaced entries
     # (agg_approx_distinct .. asof_click_before_purchase) join the
     # slipped set above, all r5/r6-driver-green and mirror-green
-    "ev_json_extract",
     "scan_filter_project",
 ]
 
