@@ -4697,6 +4697,68 @@ def ivm_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivm_join_rollup",
+    """
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(CASE WHEN o.o_totalprice < 50000
+                                    THEN o.o_totalprice + 10
+                                    ELSE o.o_totalprice END
+                          AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus <> 'P'
+    GROUP BY 1
+    """,
+)
+def ivm_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-JOIN view maintenance end to end: materialize revenue per
+    customer segment over ``orders ⋈ customer`` at snapshot v1, commit
+    an edited orders v2 ('P' orders dropped, cheap orders bumped),
+    then advance the view from the fact change feed routed through the
+    static dimension (``Δ(F ⋈ D) = ΔF ⋈ D``) — the 100 TB fact table
+    is never re-read. The oracle recomputes the v2 join rollup from
+    scratch; decimal-exact deltas land on it bit-for-bit. See
+    operators/ivm.apply_fact_changes_through_join."""
+    import shutil
+
+    from pydala2_spark.operators.ivm import (
+        apply_fact_changes_through_join,
+        join_rollup_state,
+    )
+    from pydala2_spark.plans.snapshots import SnapshotDataset
+
+    root = _app_scoped_tmp(spark, sf_dir, "pydala2_spark_ivmj")
+    path = f"{root}/snap"
+    shutil.rmtree(path, ignore_errors=True)  # version chain must be fresh
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    ds = SnapshotDataset(spark, path)
+    ds.commit(base.repartition(4), mode="overwrite")
+    edited = base.filter("o_orderstatus <> 'P'").withColumn(
+        "o_totalprice",
+        F.when(F.col("o_totalprice") < 50000, F.col("o_totalprice") + 10)
+        .otherwise(F.col("o_totalprice")),
+    )
+    ds.commit(edited.repartition(4), mode="overwrite")
+    state_v1 = join_rollup_state(
+        ds.read(1), dim, "o_custkey", ["c_mktsegment"], ["o_totalprice"]
+    )
+    cdf = ds.changes(1, 2, key_cols=["o_orderkey"], update_images="both")
+    state_v2 = apply_fact_changes_through_join(
+        state_v1, cdf, dim, "o_custkey", ["c_mktsegment"], ["o_totalprice"]
+    )
+    return state_v2.select(
+        "c_mktsegment",
+        "n",
+        F.round(F.col("sum_o_totalprice"), 2).cast("double").alias("revenue"),
+    )
+
+
+@query(
     "doc_gopher_rules",
     """
     WITH t AS (
@@ -5683,6 +5745,7 @@ _VERIFY_FIRST = [
     "doc_heaps_fit",
     "catalog_sql_roundtrip",
     "mm_audio_metadata",
+    "ivm_join_rollup",
     # (d) operator changed this round
     "mm_image_real_decode",
     "mm_audio_real_features",
@@ -5699,7 +5762,6 @@ _VERIFY_FIRST = [
     # truncated to the window's remaining room; the displaced entries
     # (agg_approx_distinct .. asof_click_before_purchase) join the
     # slipped set above, all r5/r6-driver-green and mirror-green
-    "scan_filter_project",
 ]
 
 

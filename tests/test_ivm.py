@@ -91,3 +91,50 @@ def test_cdf_both_images_drives_ivm_end_to_end(spark, tmp_ds_path):
     got = apply_changes(state, cdf, ["g"], ["x"])
     want = rollup_state(ds.read(2), ["g"], ["x"])
     assert _canon(got) == _canon(want)
+
+
+def test_join_rollup_maintenance_equals_recompute(spark):
+    """ΔF ⋈ D routing: inserts, deletes, and both-image updates on the
+    fact side land the maintained join rollup exactly on the full
+    recompute; fact keys missing from the dim contribute nothing."""
+    from pyspark.sql import functions as F
+
+    from pydala2_spark.operators.ivm import (
+        apply_fact_changes_through_join,
+        join_rollup_state,
+    )
+
+    fact1 = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 10, 50.0), (3, 20, 70.0), (4, 99, 5.0)],
+        "ok long, ck long, price double",
+    )  # ck=99 has no dim row — excluded by the inner join
+    dim = spark.createDataFrame(
+        [(10, "A"), (20, "B")], "ck long, seg string"
+    )
+    state = join_rollup_state(fact1, dim, "ck", ["seg"], ["price"])
+
+    changes = spark.createDataFrame(
+        [
+            ("insert", 5, 20, 30.0),         # new B fact
+            ("delete", 2, 10, 50.0),         # remove an A fact
+            ("update_preimage", 1, 10, 100.0),
+            ("update_postimage", 1, 10, 110.0),
+            ("insert", 6, 98, 1000.0),       # orphan key: no effect
+        ],
+        "_change_type string, ok long, ck long, price double",
+    )
+    out = {
+        r["seg"]: (r["n"], float(r["sum_price"]))
+        for r in apply_fact_changes_through_join(
+            state, changes, dim, "ck", ["seg"], ["price"]
+        ).collect()
+    }
+    fact2 = spark.createDataFrame(
+        [(1, 10, 110.0), (3, 20, 70.0), (5, 20, 30.0), (6, 98, 1000.0)],
+        "ok long, ck long, price double",
+    )
+    want = {
+        r["seg"]: (r["n"], float(r["sum_price"]))
+        for r in join_rollup_state(fact2, dim, "ck", ["seg"], ["price"]).collect()
+    }
+    assert out == want == {"A": (1, 110.0), "B": (2, 100.0)}
