@@ -5689,18 +5689,15 @@ _VERIFY_FIRST = [
     #       they re-enter the gate;
     #   (e) the aged set — the r5 window minus pulled-forward entries,
     #       in r5-window order.
-    # 22 of the remaining aged entries fit; the slipped set for r8 —
-    # every one driver-green in r5/r6 AND re-verified by the full
-    # local mirror each session: set_ops_union_except,
-    # q13_customer_distribution, q2_min_cost_supplier, q21_multi_exists,
-    # q16_supplier_count_by_part, q20_volume_suppliers, set_ops_except,
-    # string_function_suite, agg_cube_flag_status,
-    # w_rank_distribution_frames, doc_boilerplate_removal,
-    # doc_stratified_sample, doc_chunk_windows, doc_contamination,
-    # doc_repetition_screen, doc_pii_scan, emb_quantize_error,
-    # doc_winnow_candidates, stream_sessionization, dedup_minhash_lsh,
-    # dedup_ngram_blocked, doc_curation, dedup_simhash, emb_near_dup,
-    # ev_value_quantiles.
+    # The continuation session added 25 never-driver-checked queries;
+    # they displaced the ENTIRE aged set from the window (new > aged:
+    # every displaced entry is r5/r6-driver-green AND re-verified by
+    # the full local mirror each session). The slipped set for r8 is
+    # therefore exactly `list(REGISTRY)[50:]` — r8 should lead with
+    # its head (scan_filter_project, sort_limit_topk, distinct_keyed,
+    # q1_pricing_summary, q6_forecast_revenue,
+    # agg_rollup_status_priority, agg_approx_distinct, the TPC-H
+    # block, then the function/window suites) in that stored order.
     # (a) never driver-checked
     "delete_where_semantics",
     # (b) slipped the r6 window
