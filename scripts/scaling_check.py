@@ -67,6 +67,25 @@ QUERIES = [
     # cell size by design; the linear-at-scale form (k scaled with the
     # corpus, constant cell size) is measured in scaling_ops.py.
     "doc_unigram_logprob",
+    # continuation session: the new multi-stage shapes. Facts scale,
+    # dims stay fixed, so the part-table pair ops (fuzzy_part_matches,
+    # er_part_linkage) are excluded — their input doesn't grow here;
+    # their scale knob is the blocking key (documented in-operator).
+    "graph_pagerank",       # edge window + fixed-k loop on vocab
+    "scd2_event_history",   # gaps-and-islands window over events
+    "ev_ohlc_bars",         # one struct-minmax agg
+    "ev_rolling_quantiles", # daily collapse + window percentile
+    "ev_anomaly_days",      # daily collapse + 2 window percentiles
+    "ev_value_histogram",   # auto-bounds + bucket agg
+    "agg_hll_sketch",       # register fold (orders facts)
+    "agg_cms_heavy_hitters",# counter fold + broadcast probe
+    "profile_orders",       # two-pass profile over orders
+    "emb_dim_stats",        # posexplode + one agg
+    "doc_token_pmi",        # within-doc pairs, vocab-bounded agg
+    "doc_heaps_fit",        # bucketed growth curve
+    "doc_zipf_fit",         # term counts + vocab window
+    "stream_cms_counters",  # streaming sketch drain
+    "ivm_join_rollup",      # two snapshot commits + delta join
 ]
 
 
