@@ -136,3 +136,46 @@ def value_histogram(
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    minimize: str,
+    maximize: str,
+    id_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Two-criteria Pareto frontier (skyline): rows for which no other
+    row is at least as good on BOTH axes and strictly better on one —
+    the classic "cheapest vs best" shortlist (price/quality,
+    latency/recall, cost/coverage) that no single ORDER BY can
+    produce.
+
+    2-D skylines reduce to a sort + running extremum (Börzsönyi et
+    al., ICDE 2001): order by (minimize asc, maximize desc, id), then
+    a row survives iff its ``maximize`` strictly exceeds every
+    PRECEDING row's — one window pass, no pairwise join. Duplicate
+    coordinate pairs keep only the lowest id (they dominate each other
+    weakly; one representative is the skyline convention here).
+
+    100 TB shape: per group the window sorts that group's rows (one
+    shuffle keyed by the group). The ungrouped form is a global sort —
+    fine for dimension-sized inputs; for fact-scale skylines
+    pre-filter with a coarse grid (each cell's local skyline is a
+    superset pruning step) before this exact pass, or supply a
+    ``group_col`` and merge per-group frontiers downstream.
+    """
+    from pyspark.sql import Window
+
+    keys = [F.col(group_col)] if group_col else []
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(minimize).asc(), F.col(maximize).desc(), F.col(id_col).asc()
+    )
+    prev_best = F.max(F.col(maximize)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn("__pb", prev_best)
+        .filter(F.col("__pb").isNull() | (F.col(maximize) > F.col("__pb")))
+        .drop("__pb")
+    )

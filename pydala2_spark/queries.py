@@ -2328,6 +2328,40 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "part_skyline",
+    """
+    WITH s AS (
+      SELECT p_partkey, p_name, p_retailprice, p_size,
+             max(p_size) OVER (
+               ORDER BY p_retailprice ASC, p_size DESC, p_partkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb
+      FROM part
+    )
+    SELECT p_partkey, p_name, round(p_retailprice, 2) AS price, p_size
+    FROM s WHERE pb IS NULL OR p_size > pb
+    """,
+)
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pareto frontier (skyline): parts where no other part is both
+    # cheaper-or-equal AND larger-or-equal (one strict) — the 2-D
+    # sort+running-max reduction, one window pass, no pairwise join.
+    # See functions/verbs.skyline_2d for the 100 TB notes.
+    from pydala2_spark.functions.verbs import skyline_2d
+
+    return skyline_2d(
+        _t(spark, sf_dir, "part"),
+        minimize="p_retailprice",
+        maximize="p_size",
+        id_col="p_partkey",
+    ).select(
+        "p_partkey",
+        "p_name",
+        F.round("p_retailprice", 2).alias("price"),
+        "p_size",
+    )
+
+
+@query(
     "fuzzy_part_matches",
     r"""
     WITH names AS (
@@ -5743,6 +5777,7 @@ _VERIFY_FIRST = [
     "catalog_sql_roundtrip",
     "mm_audio_metadata",
     "ivm_join_rollup",
+    "part_skyline",
     # (d) operator changed this round
     "mm_image_real_decode",
     "mm_audio_real_features",
@@ -5754,11 +5789,11 @@ _VERIFY_FIRST = [
     "doc_unigram_logprob",
     "doc_tfidf_top_terms",
     "ev_funnel",
-    "ev_cohort_retention",
-    # (e) aged set (r5 window order, minus pulled-forward + slipped) —
-    # truncated to the window's remaining room; the displaced entries
-    # (agg_approx_distinct .. asof_click_before_purchase) join the
-    # slipped set above, all r5/r6-driver-green and mirror-green
+    # (e) the aged set is fully displaced by the continuation-session
+    # queries — it lives at list(REGISTRY)[50:] in r8-rotation order,
+    # every entry r5/r6-driver-green and mirror-green each session
+    # (ev_cohort_retention, the last (d) re-entry, also slipped — its
+    # single-scan change is pinned by tests and the full mirror)
 ]
 
 

@@ -706,3 +706,47 @@ def test_value_histogram_buckets_and_edges(spark):
         value_histogram(df, "v", lo=1.0)
     with pytest.raises(ValueError, match="hi > lo"):
         value_histogram(df, "v", lo=2.0, hi=2.0)
+
+
+def test_skyline_2d_matches_bruteforce_dominance(spark):
+    """The window skyline equals the O(n^2) dominance definition on a
+    random cloud (with ties and duplicates planted), grouped and
+    ungrouped; duplicates keep the lowest id."""
+    import random
+
+    from pydala2_spark.functions.verbs import skyline_2d
+
+    rng = random.Random(77)
+    rows = [(i, "g", float(rng.randint(0, 30)), rng.randint(0, 30))
+            for i in range(120)]
+    rows += [(200, "g", 5.0, 9), (201, "g", 5.0, 9)]  # exact duplicate pair
+    rows += [(300, "h", 1.0, 1)]  # separate group: trivially in frontier
+
+    def brute(pts):
+        out = []
+        for i, g, p, s in pts:
+            dominated = any(
+                (p2 <= p and s2 >= s and (p2 < p or s2 > s))
+                or (p2 == p and s2 == s and i2 < i)
+                for i2, g2, p2, s2 in pts
+                if g2 == g and i2 != i
+            )
+            if not dominated:
+                out.append(i)
+        return sorted(out)
+
+    df = spark.createDataFrame(rows, "id long, g string, price double, size int")
+    got = sorted(
+        r["id"]
+        for r in skyline_2d(df, "price", "size", "id", group_col="g").collect()
+    )
+    assert got == brute(rows)
+    assert 300 in got and not (200 in got and 201 in got)
+
+    # ungrouped form over one group's points agrees
+    only_g = [r for r in rows if r[1] == "g"]
+    dg = spark.createDataFrame(only_g, "id long, g string, price double, size int")
+    got_u = sorted(
+        r["id"] for r in skyline_2d(dg, "price", "size", "id").collect()
+    )
+    assert got_u == brute(only_g)
