@@ -445,3 +445,82 @@ def anomaly_days(
             F.when(F.col("__mad") > 0, z > z_cut).alias("is_anomaly"),
         )
     )
+
+
+def resample_interp(
+    ev: DataFrame,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Linear-interpolation resample onto a daily grid: one row per
+    (entity, day) from the entity's FIRST to its LAST observed day,
+    silent days filled by the straight line between the surrounding
+    observations — the gap-filler for quantities that drift (balances,
+    gauges) where LOCF's step function misstates the path. The
+    per-day observation is the entity's last event that day
+    ((ts, id)-deterministic, like resample_locf).
+
+    Output: ``(user_col, day, observed, value_interp)`` with the
+    interpolated value rounded to 4. The grid deliberately ENDS at the
+    entity's last observation — extrapolation is a modeling choice,
+    not a resample.
+
+    Reference analogue: none (the reference leaves analytics to its
+    embedded DuckDB, /root/reference/pydala/table.py:940-958).
+
+    100 TB shape: same as resample_locf — the stream collapses to
+    |entities| x |active days| in the first shuffle; the grid explode
+    is map-side; prev/next carries are two frames over ONE
+    entity-keyed window partitioning. Fractions are integer-day
+    ratios in IEEE double: engine-reproducible.
+    """
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy(F.col(user_col), F.date_trunc("day", F.col(ts_col)))
+        .orderBy(F.col(ts_col).desc(), F.col(id_col).desc())
+    )
+    per_day = (
+        ev.select(
+            F.col(user_col),
+            F.date_trunc("day", F.col(ts_col)).alias("__d"),
+            F.col(value_col).alias("__v"),
+            rn.alias("__rn"),
+        )
+        .filter("__rn = 1")
+        .drop("__rn")
+    )
+    bounds = per_day.groupBy(user_col).agg(
+        F.min("__d").alias("__d0"), F.max("__d").alias("__d1")
+    )
+    grid = bounds.select(
+        F.col(user_col),
+        F.explode(F.expr("sequence(__d0, __d1, interval 1 day)")).alias("__d"),
+    )
+    j = grid.join(per_day, [user_col, "__d"], "left")
+    obs = F.when(F.col("__v").isNotNull(), F.struct(F.col("__d"), F.col("__v")))
+    w = Window.partitionBy(user_col).orderBy("__d")
+    prev = F.last(obs, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    nxt = F.first(obs, ignorenulls=True).over(
+        w.rowsBetween(0, Window.unboundedFollowing)
+    )
+    frac = F.datediff(F.col("__d"), F.col("__p.__d")).cast("double") / F.datediff(
+        F.col("__n.__d"), F.col("__p.__d")
+    )
+    interp = F.when(F.col("__v").isNotNull(), F.col("__v")).otherwise(
+        F.col("__p.__v") + (F.col("__n.__v") - F.col("__p.__v")) * frac
+    )
+    return (
+        j.withColumn("__p", prev)
+        .withColumn("__n", nxt)
+        .select(
+            F.col(user_col),
+            F.date_format("__d", "yyyy-MM-dd").alias("day"),
+            F.col("__v").isNotNull().alias("observed"),
+            F.round(interp, 4).alias("value_interp"),
+        )
+    )

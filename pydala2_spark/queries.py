@@ -2544,6 +2544,57 @@ def ev_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_resample_interp",
+    """
+    WITH per_day AS (
+      SELECT user_id, d, v FROM (
+        SELECT user_id, date_trunc('day', ts) AS d, value AS v,
+               row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+    ), bounds AS (
+      SELECT user_id, min(d) AS d0, max(d) AS d1 FROM per_day GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d
+      FROM bounds
+    ), g AS (
+      SELECT g.user_id, g.d, p.v,
+             last_value(CASE WHEN p.v IS NOT NULL
+                             THEN struct_pack(d := g.d, v := p.v) END
+                        IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             first_value(CASE WHEN p.v IS NOT NULL
+                              THEN struct_pack(d := g.d, v := p.v) END
+                         IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.d
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+      FROM grid g LEFT JOIN per_day p
+        ON g.user_id = p.user_id AND g.d = p.d
+    )
+    SELECT user_id,
+           strftime(d, '%Y-%m-%d') AS day,
+           v IS NOT NULL AS observed,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      ELSE pv.v + (nv.v - pv.v)
+                           * (CAST(date_diff('day', pv.d, d) AS DOUBLE)
+                              / date_diff('day', pv.d, nv.d)) END, 4)
+             AS value_interp
+    FROM g
+    """,
+)
+def ev_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Linear-interpolation gap fill on the daily grid (LOCF's sibling
+    # for drifting quantities): silent days take the straight line
+    # between surrounding observations; grid spans each entity's
+    # first..last observed day. See operators/events.resample_interp
+    # for the 100 TB notes.
+    from pydala2_spark.operators.events import resample_interp
+
+    return resample_interp(_t(spark, sf_dir, "events"))
+
+
+@query(
     "stream_hourly_rollup",
     f"""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
@@ -5778,6 +5829,7 @@ _VERIFY_FIRST = [
     "mm_audio_metadata",
     "ivm_join_rollup",
     "part_skyline",
+    "ev_resample_interp",
     # (d) operator changed this round
     "mm_image_real_decode",
     "mm_audio_real_features",
@@ -5788,7 +5840,6 @@ _VERIFY_FIRST = [
     "q17_small_quantity_revenue",
     "doc_unigram_logprob",
     "doc_tfidf_top_terms",
-    "ev_funnel",
     # (e) the aged set is fully displaced by the continuation-session
     # queries — it lives at list(REGISTRY)[50:] in r8-rotation order,
     # every entry r5/r6-driver-green and mirror-green each session

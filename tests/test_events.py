@@ -291,3 +291,37 @@ def test_anomaly_days_flags_planted_spike(spark):
     assert out[("click", "2024-03-07")]["z"] > 50
     const = out[("view", "2024-03-03")]
     assert const["z"] is None and const["is_anomaly"] is None
+
+
+def test_resample_interp_straight_lines_between_observations(spark):
+    """Interior gaps take the straight line; observed days keep their
+    exact value (last event of the day wins); the grid ends at the
+    last observation (no extrapolation); multi-day gaps split
+    proportionally."""
+    import datetime as dt
+
+    from pydala2_spark.operators.events import resample_interp
+
+    d = lambda day, h=0: dt.datetime(2024, 4, day, h)
+    rows = [
+        (1, d(1, 8), 1, 10.0),
+        (2, d(1, 20), 1, 12.0),   # day 1 obs -> 12 (later event wins)
+        (3, d(4), 1, 18.0),       # 3-day gap: 14, 16 interpolated
+        (4, d(6), 1, 17.0),       # 2-day gap: 17.5
+        (5, d(2), 2, 5.0),        # single-obs user: one row, no gaps
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {
+        (r["user_id"], r["day"]): (r["observed"], r["value_interp"])
+        for r in resample_interp(df).collect()
+    }
+    assert got[(1, "2024-04-01")] == (True, 12.0)
+    assert got[(1, "2024-04-02")] == (False, 14.0)
+    assert got[(1, "2024-04-03")] == (False, 16.0)
+    assert got[(1, "2024-04-04")] == (True, 18.0)
+    assert got[(1, "2024-04-05")] == (False, 17.5)
+    assert got[(1, "2024-04-06")] == (True, 17.0)
+    assert got[(2, "2024-04-02")] == (True, 5.0)
+    assert len(got) == 6 + 1  # no rows past the last observation
