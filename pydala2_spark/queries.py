@@ -3571,6 +3571,76 @@ def mm_image_extended_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_image_tiff_decode",
+    """
+    WITH px AS (
+      SELECT doc_id,
+             8 + doc_id % 5 AS w,
+             8 + doc_id % 7 AS h,
+             doc_id % 4 AS m,
+             flatten(list_transform(range(0, 8 + doc_id % 7), y ->
+               list_transform(range(0, 8 + doc_id % 5), x ->
+                 (x * 7 + y * 11 + doc_id) % 256))) AS vals
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(CASE WHEN m % 2 = 0 THEN 3 ELSE 1 END AS INTEGER) AS channels,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(CASE WHEN m % 2 = 0 THEN 3 ELSE 1 END * list_sum(vals)
+                AS BIGINT) AS px_sum,
+           CAST(list_min(vals) AS INTEGER) AS px_min,
+           CAST(list_max(vals) AS INTEGER) AS px_max,
+           CAST(doc_id % 256 AS INTEGER) AS px_topleft
+    FROM px
+    """,
+)
+def mm_image_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline TIFF end-to-end real: the shared gradient synthesized
+    per document into (doc_id mod 4) little-endian uncompressed RGB,
+    big-endian uncompressed grayscale, PackBits RGB, and PackBits
+    big-endian grayscale — both byte orders and both Compression=1/
+    32773 paths of `operators/tiff.py` are load-bearing for the hash
+    (the oracle recomputes the stats analytically from the gradient,
+    so any strip/run decode error flips a value).
+
+    Same 100 TB shape as the other media queries: one Arrow-batched
+    scan stage, payloads never cross a shuffle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from pydala2_spark.operators.multimodal import image_pixel_stats
+    from pydala2_spark.operators.tiff import encode_tiff
+
+    @pandas_udf("binary")
+    def synth(doc_id):
+        out = []
+        for d in doc_id:
+            d = int(d)
+            w, h = 8 + d % 5, 8 + d % 7
+            v = (np.arange(w)[None, :] * 7 + np.arange(h)[:, None] * 11 + d) % 256
+            m = d % 4
+            rgb = np.repeat(v[:, :, None], 3, axis=2).astype(np.uint8)
+            gray = v.astype(np.uint8)[:, :, None]
+            if m == 0:
+                out.append(encode_tiff(rgb, byte_order="little"))
+            elif m == 1:
+                out.append(encode_tiff(gray, byte_order="big"))
+            elif m == 2:
+                out.append(encode_tiff(rgb, packbits=True, byte_order="little"))
+            else:
+                out.append(encode_tiff(gray, packbits=True, byte_order="big"))
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").withColumn(
+        "img", synth("doc_id")
+    )
+    return image_pixel_stats(docs, "img", ["doc_id"])
+
+
+@query(
     "mm_image_webp_decode",
     """
     WITH px AS (
@@ -5830,6 +5900,7 @@ _VERIFY_FIRST = [
     "ivm_join_rollup",
     "part_skyline",
     "ev_resample_interp",
+    "mm_image_tiff_decode",
     # (d) operator changed this round
     "mm_image_real_decode",
     "mm_audio_real_features",
@@ -5839,7 +5910,6 @@ _VERIFY_FIRST = [
     "mm_frame_sample",
     "q17_small_quantity_revenue",
     "doc_unigram_logprob",
-    "doc_tfidf_top_terms",
     # (e) the aged set is fully displaced by the continuation-session
     # queries — it lives at list(REGISTRY)[50:] in r8-rotation order,
     # every entry r5/r6-driver-green and mirror-green each session
