@@ -5782,6 +5782,42 @@ def mm_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_ohlc_bars",
+    f"""
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket,
+           round(min(struct_pack(t := ts, i := event_id, v := value)).v, 2)
+             AS "open",
+           round(max(value), 2) AS high_,
+           round(min(value), 2) AS low_,
+           round(max(struct_pack(t := ts, i := event_id, v := value)).v, 2)
+             AS "close",
+           {_oavg("value")} AS mean_value,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fifth streaming oracle query: the OHLC time-bar aggregation run
+    # as a Structured Streaming job (struct MIN/MAX and decimal sums
+    # are all algebraic, so the streaming state is one partial per
+    # (type, bucket) — bounded by the key space, and the drained
+    # result equals the batch ohlc_bars bit-for-bit).
+    import tempfile
+    import uuid
+
+    from pydala2_spark.operators.events import ohlc_bars
+    from pydala2_spark.streaming.pipeline import read_event_stream, run_to_memory
+
+    events = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    bars = ohlc_bars(events, freq="hour")
+    name = f"ohlc_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    return run_to_memory(bars, name, ck, state_partitions=4, output_mode="complete")
+
+
+@query(
     "mm_blockhash",
     """
     WITH b AS (
@@ -5901,6 +5937,7 @@ _VERIFY_FIRST = [
     "part_skyline",
     "ev_resample_interp",
     "mm_image_tiff_decode",
+    "stream_ohlc_bars",
     # (d) operator changed this round
     "mm_image_real_decode",
     "mm_audio_real_features",
@@ -5909,7 +5946,6 @@ _VERIFY_FIRST = [
     "merge_upsert_semantics",
     "mm_frame_sample",
     "q17_small_quantity_revenue",
-    "doc_unigram_logprob",
     # (e) the aged set is fully displaced by the continuation-session
     # queries — it lives at list(REGISTRY)[50:] in r8-rotation order,
     # every entry r5/r6-driver-green and mirror-green each session
