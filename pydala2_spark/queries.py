@@ -1978,6 +1978,66 @@ def er_part_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_conversion_latency",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS vts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS pts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.vts
+      GROUP BY e.user_id
+    ), lat AS (
+      SELECT strftime(date_trunc('day', v.vts), '%Y-%m-%d') AS cohort_day,
+             epoch_us(p.pts) - epoch_us(v.vts) AS us
+      FROM v JOIN p ON v.user_id = p.user_id
+    )
+    SELECT cohort_day,
+           count(*) AS n_converted,
+           round(quantile_cont(CAST(us AS DOUBLE), 0.5) / 1000000.0, 4)
+             AS median_s,
+           round(quantile_cont(CAST(us AS DOUBLE), 0.9) / 1000000.0, 4)
+             AS p90_s
+    FROM lat GROUP BY cohort_day
+    """,
+)
+def ev_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Time-to-convert distribution per first-view cohort day: two
+    # min-reductions to ONE row per user (stage joins shuffle |users|,
+    # never |events| — the funnel discipline), then interpolated
+    # percentiles over microsecond-exact latencies. The percentile agg
+    # sees |converted users| rows.
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter("event_type = 'view'")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vts"))
+    )
+    p = (
+        ev.filter("event_type = 'purchase'")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    lat = v.join(p, "user_id").select(
+        F.date_format(F.date_trunc("day", "vts"), "yyyy-MM-dd").alias("cohort_day"),
+        (
+            F.unix_micros(F.col("pts").cast("timestamp"))
+            - F.unix_micros(F.col("vts").cast("timestamp"))
+        )
+        .cast("double")
+        .alias("us"),
+    )
+    return lat.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("us", F.lit(0.5)) / 1000000.0, 4).alias("median_s"),
+        F.round(F.percentile("us", F.lit(0.9)) / 1000000.0, 4).alias("p90_s"),
+    )
+
+
+@query(
     "ev_anomaly_days",
     f"""
     WITH daily AS (
@@ -5938,6 +5998,7 @@ _VERIFY_FIRST = [
     "ev_resample_interp",
     "mm_image_tiff_decode",
     "stream_ohlc_bars",
+    "ev_conversion_latency",
     # (d) operator changed this round
     "mm_image_real_decode",
     "mm_audio_real_features",
@@ -5945,7 +6006,6 @@ _VERIFY_FIRST = [
     "emb_semantic_dedup",
     "merge_upsert_semantics",
     "mm_frame_sample",
-    "q17_small_quantity_revenue",
     # (e) the aged set is fully displaced by the continuation-session
     # queries — it lives at list(REGISTRY)[50:] in r8-rotation order,
     # every entry r5/r6-driver-green and mirror-green each session
