@@ -325,3 +325,64 @@ def test_resample_interp_straight_lines_between_observations(spark):
     assert got[(1, "2024-04-06")] == (True, 17.0)
     assert got[(2, "2024-04-02")] == (True, 5.0)
     assert len(got) == 6 + 1  # no rows past the last observation
+
+
+def test_ohlc_and_interp_match_pandas_reference(spark):
+    """Randomized cross-check: ohlc_bars against a pandas
+    groupby-resample and resample_interp against pandas interpolate —
+    300 events, multiple entities, seeded."""
+    import datetime as dt
+    import random
+
+    import pandas as pd
+
+    from pydala2_spark.operators.events import ohlc_bars, resample_interp
+
+    rng = random.Random(42)
+    rows = []
+    for eid in range(300):
+        rows.append(
+            (
+                eid,
+                dt.datetime(2024, 6, 1) + dt.timedelta(
+                    minutes=rng.randint(0, 60 * 24 * 14)
+                ),
+                rng.randint(1, 5),
+                rng.choice(["a", "b"]),
+                round(rng.uniform(-50, 50), 2),
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    # OHLC vs pandas: group on (type, hour), order by (ts, event_id)
+    got = {(r["event_type"], r["bucket"]): r.asDict()
+           for r in ohlc_bars(df, freq="hour").collect()}
+    pdf["bucket"] = pdf["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00")
+    for (et, b), g in pdf.sort_values(["ts", "event_id"]).groupby(
+        ["event_type", "bucket"]
+    ):
+        row = got[(et, b)]
+        assert row["open"] == round(g["value"].iloc[0], 2)
+        assert row["close"] == round(g["value"].iloc[-1], 2)
+        assert row["high_"] == round(g["value"].max(), 2)
+        assert row["low_"] == round(g["value"].min(), 2)
+        assert row["n_events"] == len(g)
+
+    # interp vs pandas: last-event-of-day series, linear interpolation
+    got_i = {(r["user_id"], r["day"]): r["value_interp"]
+             for r in resample_interp(df).collect()}
+    pdf["day"] = pdf["ts"].dt.floor("d")
+    for uid, g in pdf.sort_values(["ts", "event_id"]).groupby("user_id"):
+        daily = g.groupby("day")["value"].last()
+        full = daily.reindex(
+            pd.date_range(daily.index.min(), daily.index.max(), freq="D")
+        ).interpolate(method="linear")
+        for day, want in full.items():
+            have = got_i[(uid, day.strftime("%Y-%m-%d"))]
+            assert abs(have - round(float(want), 4)) <= 1e-4, (uid, day)
