@@ -1023,3 +1023,168 @@ def heaps_fit(
         F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
         F.round(cov * cov / (varx * vary), 6).alias("r2"),
     )
+
+
+def _term_bucket(term, buckets: int):
+    """Stable term -> partition bucket (md5-derived, engine-portable)."""
+    return (
+        F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("long") % buckets
+    )
+
+
+def build_text_index(
+    spark,
+    df: DataFrame,
+    path: str,
+    text: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> None:
+    """Materialize a persisted INVERTED INDEX for repeated lexical
+    search: ``<path>/postings`` holds (doc, term, tf) hive-partitioned
+    by a stable term bucket, ``<path>/terms`` the per-term document
+    frequencies (same partitioning), ``<path>/doclen`` the per-doc
+    token counts. The search-engine analogue of
+    :func:`dedup.build_minhash_index` — build once over the corpus,
+    then every :func:`bm25_search_indexed` probe reads ONLY the query
+    terms' bucket partitions: at 100 TB the corpus text is read
+    exactly once ever (here), and each search is a partition-pruned
+    scan of |query terms| / ``buckets`` of the postings plus the
+    |docs|-sized doclen join. Reference has no search surface at all.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("term")
+    )
+    per_doc = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    per_doc = per_doc.withColumn("bucket", _term_bucket(F.col("term"), buckets))
+    per_doc.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/postings"
+    )
+    # derive the small tables from the WRITTEN postings — one corpus
+    # scan total, and the index is self-consistent by construction
+    p = spark.read.parquet(f"{path}/postings")
+    p.groupBy("term", "bucket").agg(F.count(F.lit(1)).alias("df")).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(f"{path}/terms")
+    p.groupBy(id_col).agg(F.sum("tf").alias("dl")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/doclen")
+
+
+def refresh_text_index(
+    spark,
+    df_new: DataFrame,
+    path: str,
+    text: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> None:
+    """Fold NEW documents into an existing text index without touching
+    the already-indexed corpus: postings/doclen for unseen ids append;
+    the vocabulary-sized terms table rewrites from old df + the
+    appended docs' term counts (exact — appended ids are disjoint from
+    indexed ids by the anti-join). StatsIndex discipline: incremental
+    cost tracks the BATCH, never the corpus."""
+    seen = spark.read.parquet(f"{path}/doclen").select(id_col)
+    fresh = df_new.join(seen, id_col, "left_anti")
+    toks = fresh.select(
+        F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("term")
+    )
+    per_doc = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    per_doc = per_doc.withColumn("bucket", _term_bucket(F.col("term"), buckets))
+    # materialize the delta before any index table it feeds is
+    # overwritten/appended (lazy reads of a path being written race)
+    from pydala2_spark.operators.dedup import _materialize_once
+
+    per_doc = _materialize_once(per_doc)
+    per_doc.count()
+    delta_df = per_doc.groupBy("term", "bucket").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    old_terms = spark.read.parquet(f"{path}/terms")
+    merged = (
+        old_terms.select("term", "bucket", "df")
+        .unionByName(delta_df)
+        .groupBy("term", "bucket")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    merged = _materialize_once(merged)
+    merged.count()  # read old terms fully BEFORE overwriting them
+    per_doc.write.mode("append").partitionBy("bucket").parquet(f"{path}/postings")
+    per_doc.groupBy(id_col).agg(F.sum("tf").alias("dl")).write.mode(
+        "append"
+    ).parquet(f"{path}/doclen")
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/terms.tmp"
+    )
+    # atomic-ish swap via rename (local/HDFS); object stores should
+    # route through plans/snapshots for the manifest discipline
+    from pydala2_spark.plans.fs import replace_dir
+
+    replace_dir(spark, f"{path}/terms.tmp", f"{path}/terms")
+
+
+def bm25_search_indexed(
+    spark,
+    path: str,
+    query_terms: list[str] | str,
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> DataFrame:
+    """BM25 over the persisted index: identical scores, ordering and
+    output shape to :func:`bm25_search`, but the only inputs are the
+    query terms' BUCKET PARTITIONS of postings/terms (directory-pruned
+    at plan time) plus doclen — the corpus text is never read."""
+    terms = query_terms.split() if isinstance(query_terms, str) else list(query_terms)
+    if not terms:
+        raise ValueError("bm25_search_indexed needs at least one query term")
+    want_buckets = sorted(
+        {
+            int.from_bytes(__import__("hashlib").md5(t.encode()).digest()[:4], "big")
+            % buckets
+            for t in terms
+        }
+    )
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(want_buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    dfreq = (
+        spark.read.parquet(f"{path}/terms")
+        .filter(F.col("bucket").isin(want_buckets))
+        .filter(F.col("term").isin(terms))
+        .select("term", "df")
+    )
+    dl = spark.read.parquet(f"{path}/doclen")
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    out = scored.groupBy(id_col).agg(
+        F.round(F.sum(F.col("s").cast(_DEC)).cast("double"), 4).alias("bm25")
+    )
+    return out.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(top_k)

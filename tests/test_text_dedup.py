@@ -1466,3 +1466,82 @@ def test_heaps_fit_recovers_growth_exponent(spark):
 
     with pytest.raises(ValueError, match="points"):
         heaps_fit(fresh, points=2)
+
+
+def test_text_index_bm25_indexed_equals_direct(spark, tmp_path):
+    """bm25_search_indexed over the persisted postings equals
+    bm25_search over the corpus (scores, order, shape); the probe
+    reads ONLY index files, and only the query terms' bucket
+    partitions of the postings."""
+    from pydala2_spark.operators.curate import (
+        bm25_search,
+        bm25_search_indexed,
+        build_text_index,
+    )
+
+    rows = [
+        (i, " ".join(
+            ["spark"] * (1 + i % 3)
+            + ["shuffle"] * (i % 2)
+            + [f"filler{i % 7}", "common", "words", "here"]
+        ))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "tix")
+    build_text_index(spark, df, idx, buckets=16)
+
+    q = ["spark", "shuffle"]
+    direct = [(r["doc_id"], r["bm25"])
+              for r in bm25_search(df, q, top_k=8).collect()]
+    indexed_df = bm25_search_indexed(spark, idx, q, top_k=8, buckets=16)
+    indexed = [(r["doc_id"], r["bm25"]) for r in indexed_df.collect()]
+    assert indexed == direct and len(direct) == 8
+
+    files = indexed_df.inputFiles()
+    assert files and all("tix" in f for f in files)  # corpus never read
+    # bucket pruning lands in the scan's PartitionFilters (directory
+    # pruning at plan time — inputFiles() lists pre-pruning files, so
+    # assert on the plan)
+    import hashlib
+
+    want = {int.from_bytes(hashlib.md5(t.encode()).digest()[:4], "big") % 16
+            for t in q}
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert any(f"bucket#" in seg and "IN" in seg.upper()
+               for seg in plan.split("PartitionFilters:")[1:2]) or all(
+        str(b) in plan.split("PartitionFilters:")[1][:200] for b in want
+    ), plan.split("PartitionFilters:")[1][:300]
+
+
+def test_text_index_refresh_equals_full_rebuild(spark, tmp_path):
+    """Half-build + refresh(other half) answers exactly like a full
+    build; replaying the same refresh batch is a no-op (anti-join)."""
+    from pydala2_spark.operators.curate import (
+        bm25_search_indexed,
+        build_text_index,
+        refresh_text_index,
+    )
+
+    rows = [
+        (i, f"alpha beta{'' if i % 4 else ' gamma'} tok{i % 5} alpha")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    half1, half2 = df.filter("doc_id < 20"), df.filter("doc_id >= 20")
+
+    inc = str(tmp_path / "inc")
+    build_text_index(spark, half1, inc, buckets=8)
+    refresh_text_index(spark, half2, inc, buckets=8)
+    refresh_text_index(spark, half2, inc, buckets=8)  # replay: no-op
+
+    full = str(tmp_path / "full")
+    build_text_index(spark, df, full, buckets=8)
+
+    q = ["alpha", "gamma"]
+    a = [(r["doc_id"], r["bm25"]) for r in
+         bm25_search_indexed(spark, inc, q, top_k=12, buckets=8).collect()]
+    b = [(r["doc_id"], r["bm25"]) for r in
+         bm25_search_indexed(spark, full, q, top_k=12, buckets=8).collect()]
+    assert a == b and len(a) == 12
