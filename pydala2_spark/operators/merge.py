@@ -738,3 +738,128 @@ def _delete_discovery(tagged: DataFrame, pred: Column) -> DataFrame:
     target. Factored out so plan tests exercise the REAL discovery
     expression, not a re-implementation."""
     return tagged.filter(F.coalesce(pred, F.lit(False)))
+
+
+def update_where(
+    spark: SparkSession,
+    target_path: str,
+    predicate: str | Column,
+    set: dict[str, "str | Column"],
+    partition_by: list[str] | None = None,
+    compression: str = "zstd",
+    max_rows_per_file: int = 10_000_000,
+) -> dict:
+    """Row-level predicate UPDATE with file-selective rewrite — the
+    managed-dataset counterpart of SQL ``UPDATE t SET c = e WHERE p``,
+    and :func:`delete_where`'s sibling (same discovery, same failure
+    contract, same file economics).
+
+    Semantics: rows where ``predicate`` is TRUE take the ``set``
+    assignments (expressions may reference the row's OLD values, all
+    assignments evaluate against the pre-update row — SQL UPDATE
+    rules); rows where it is FALSE **or NULL** are byte-preserved.
+    Only files CONTAINING a matching row rewrite; untouched files keep
+    their names, so snapshots and file-based caches stay valid.
+
+    Failure contract: replacements append BEFORE originals delete; a
+    failure in the window raises
+    :class:`~pydala2_spark.errors.PartialMergeError` whose
+    ``pending_deletes`` completes the operation.
+
+    Reference analogue: none — pydala2 updates by whole-key merge
+    (`pydala/dataset.py` upsert); predicate UPDATE is managed-table
+    surface users expect from Delta/Iceberg.
+
+    100 TB shape: identical to delete_where — one pushed-down
+    discovery scan (min/max prunes clean files), one rewrite scan of
+    ONLY the touched files; cost scales with data under the predicate.
+    Returns ``updated_rows`` / ``matched_files`` / ``rewritten_files``
+    / ``preserved_files``.
+    """
+    from pydala2_spark.plans.fs import delete_paths, list_files, path_exists
+
+    if not set:
+        raise ValueError("update_where needs at least one SET assignment")
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    all_before = (
+        list_files(spark, target_path) if path_exists(spark, target_path) else []
+    )
+    if not all_before:
+        return {
+            "updated_rows": 0,
+            "matched_files": [],
+            "rewritten_files": [],
+            "preserved_files": [],
+        }
+    if partition_by is None:
+        partition_by = _discover_partitions(spark, target_path) or None
+
+    target = spark.read.parquet(target_path)
+    missing = [c for c in set if c not in target.columns]
+    if missing:
+        raise ValueError(f"SET columns not in target: {missing}")
+    tagged = target.withColumn(_FILE, F.col("_metadata.file_path"))
+    matched = _delete_discovery(tagged, pred)
+    per_file = matched.groupBy(_FILE).count().collect()
+    matched_files = [r[_FILE] for r in per_file]
+    updated_rows = int(sum(r["count"] for r in per_file))
+    if not matched_files:
+        return {
+            "updated_rows": 0,
+            "matched_files": [],
+            "rewritten_files": [],
+            "preserved_files": all_before,
+        }
+
+    appended = False
+    try:
+        hit = F.coalesce(pred, F.lit(False))
+        # all assignments evaluate against the PRE-update row: build
+        # every new value from the original columns, then project —
+        # a SET that swaps two columns stays correct
+        assigns = {
+            c: (F.expr(e) if isinstance(e, str) else e) for c, e in set.items()
+        }
+        cols = [
+            (
+                F.when(hit, assigns[c]).otherwise(F.col(c)).alias(c)
+                if c in assigns
+                else F.col(c)
+            )
+            for c in target.columns
+        ]
+        replacement = _filter_to_files(tagged, matched_files).select(*cols)
+        _append(
+            replacement, target_path, partition_by, compression, max_rows_per_file
+        )
+        appended = True
+        before = frozenset(all_before)
+        rewritten = [f for f in list_files(spark, target_path) if f not in before]
+        if delete_paths(spark, matched_files) != len(matched_files):
+            still = [f for f in matched_files if path_exists(spark, f)]
+            if still:
+                from pydala2_spark.errors import PartialMergeError
+
+                raise PartialMergeError(
+                    f"update_where rewrote {target_path!r} but {len(still)} "
+                    f"replaced file(s) could not be deleted",
+                    pending_deletes=still,
+                )
+    except Exception as e:
+        from pydala2_spark.errors import PartialMergeError
+
+        if isinstance(e, PartialMergeError):
+            raise
+        raise PartialMergeError(
+            f"update_where mutated {target_path!r} but failed before "
+            f"completing: {e}",
+            pending_deletes=matched_files if appended else [],
+        ) from e
+
+    matched_set = frozenset(matched_files)
+    return {
+        "updated_rows": updated_rows,
+        "matched_files": matched_files,
+        "rewritten_files": rewritten,
+        "preserved_files": [f for f in all_before if f not in matched_set],
+    }

@@ -4773,6 +4773,46 @@ def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "update_where_semantics",
+    """
+    SELECT doc_id, lang,
+           CASE WHEN coalesce(n_chars > 400 AND lang = 'en', FALSE)
+                THEN n_chars * 2 ELSE n_chars END AS n_chars,
+           CASE WHEN coalesce(n_chars > 400 AND lang = 'en', FALSE)
+                THEN 'boosted' ELSE source END AS source
+    FROM documents
+    """,
+)
+def update_where_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level predicate UPDATE, end to end: copy the corpus into a
+    managed dataset, ``update_where`` the long English documents
+    (doubling n_chars AND retagging source — two SET assignments, both
+    against the pre-update row), and return everything on disk. The
+    oracle applies the same CASE with explicit three-valued logic
+    (NULL-predicate rows keep their bytes). Verifies the
+    file-selective rewrite transforms exactly the matching rows and
+    preserves every other row bit-for-bit.
+
+    At 100 TB: one pushed-down discovery scan + a rewrite of only the
+    files containing matches — cost scales with data under the
+    predicate (same economics as delete_where)."""
+    from pydala2_spark.operators.merge import update_where
+
+    path = _app_scoped_tmp(spark, sf_dir, "pydala2_spark_update")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "source"
+    )
+    docs.repartition(4).write.mode("overwrite").parquet(path)
+    update_where(
+        spark,
+        path,
+        "n_chars > 400 AND lang = 'en'",
+        set={"n_chars": "n_chars * 2", "source": "'boosted'"},
+    )
+    return spark.read.parquet(path).select("doc_id", "lang", "n_chars", "source")
+
+
+@query(
     "delete_where_semantics",
     """
     SELECT doc_id, lang, n_chars
@@ -5999,13 +6039,13 @@ _VERIFY_FIRST = [
     "mm_image_tiff_decode",
     "stream_ohlc_bars",
     "ev_conversion_latency",
+    "update_where_semantics",
     # (d) operator changed this round
     "mm_image_real_decode",
     "mm_audio_real_features",
     "mm_audio_features",
     "emb_semantic_dedup",
     "merge_upsert_semantics",
-    "mm_frame_sample",
     # (e) the aged set is fully displaced by the continuation-session
     # queries — it lives at list(REGISTRY)[50:] in r8-rotation order,
     # every entry r5/r6-driver-green and mirror-green each session

@@ -529,6 +529,24 @@ class ParquetDataset(BaseDataset):
         self.clear_cache()
         return out
 
+    def update_where(self, predicate, set: dict, **kw) -> dict:
+        """Row-level predicate UPDATE with file-selective rewrite —
+        see :func:`pydala2_spark.operators.merge.update_where` (SET
+        expressions evaluate against the pre-update row; NULL
+        predicates preserve the row, SQL UPDATE semantics)."""
+        from pydala2_spark.operators.merge import update_where as _uw
+
+        out = _uw(
+            self.spark,
+            self.path,
+            predicate,
+            set=set,
+            partition_by=self.partitioning or None,
+            **kw,
+        )
+        self.clear_cache()
+        return out
+
     # -- maintenance (M1-M8; `pydala/dataset.py:2033-2603`) --------------
 
     def file_stats(self) -> DataFrame:

@@ -361,3 +361,53 @@ def test_file_filter_broadcast_join_above_literal_limit(spark, tmp_path, monkeyp
     assert res.updated == 5 and res.inserted == 5
     got = {r["id"]: r["v"] for r in spark.read.parquet(p2).collect()}
     assert got[15] == 1500 and got[24] == 2400 and got[0] == 0 and len(got) == 25
+
+
+def test_update_where_semantics_and_file_selectivity(spark, tmp_path):
+    """SET applies only to TRUE-predicate rows (NULL preserves); all
+    assignments see the PRE-update row (swap stays correct); files
+    without matches keep their names; SET validation raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pydala2_spark.operators.merge import update_where
+
+    path = str(tmp_path / "upd")
+    rows = [
+        (1, 10.0, 100.0, "a"),
+        (2, 20.0, 200.0, "a"),
+        (3, None, 300.0, "b"),   # NULL predicate -> preserved
+        (4, 40.0, 400.0, "b"),
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y double, g string")
+    # one file per g-partition so selectivity is observable
+    df.repartition("g").write.partitionBy("g").parquet(path)
+
+    before = set(spark.read.parquet(path).select(
+        F.col("_metadata.file_path")).distinct().toPandas()["file_path"])
+
+    out = update_where(
+        spark, path, "x >= 20 AND g = 'a'",
+        set={"x": "y", "y": "x"},  # swap: both read pre-update values
+    )
+    assert out["updated_rows"] == 1
+    got = {r["id"]: (r["x"], r["y"]) for r in spark.read.parquet(path).collect()}
+    assert got[2] == (200.0, 20.0)      # swapped
+    assert got[1] == (10.0, 100.0)      # untouched (pred false)
+    assert got[3] == (None, 300.0)      # NULL predicate preserved
+    assert got[4] == (40.0, 400.0)
+
+    after = set(spark.read.parquet(path).select(
+        F.col("_metadata.file_path")).distinct().toPandas()["file_path"])
+    preserved_b = {f for f in before if "g=b" in f}
+    assert preserved_b <= after  # b-partition files untouched
+    assert set(out["preserved_files"]) == {f for f in before if "g=b" in f}
+
+    with pytest.raises(ValueError, match="SET columns"):
+        update_where(spark, path, "x > 0", set={"nope": "1"})
+    with pytest.raises(ValueError, match="SET assignment"):
+        update_where(spark, path, "x > 0", set={})
+
+    # idempotence of a no-match predicate
+    out2 = update_where(spark, path, "x > 1e9", set={"x": "0.0"})
+    assert out2["updated_rows"] == 0 and out2["rewritten_files"] == []
