@@ -232,10 +232,19 @@ class SnapshotDataset:
 
     def _try_publish(self, manifest: dict) -> bool:
         """Atomically claim a version slot; False when another commit
-        won it. Routes by capability: an injected ``commit_publisher``
-        (atomic create-if-absent, e.g. S3 conditional PUT) when
-        present, else write-temp + atomic rename — and REFUSES the
-        rename path on schemes where rename is not an atomic lock."""
+        won it."""
+        return self._publish_file(
+            self._manifest_path(manifest["version"]),
+            json.dumps(manifest, sort_keys=True),
+        )
+
+    def _publish_file(self, final: str, payload: str) -> bool:
+        """Atomic create-if-absent publish of ONE metadata file (shared
+        by version manifests and tags). Routes by capability: an
+        injected ``commit_publisher`` (atomic create-if-absent, e.g. S3
+        conditional PUT) when present, else write-temp + atomic
+        rename — and REFUSES the rename path on schemes where rename is
+        not an atomic lock."""
         from pydala2_spark.plans.fs import (
             delete_paths,
             mkdirs,
@@ -243,9 +252,6 @@ class SnapshotDataset:
             rename,
             write_text,
         )
-
-        final = self._manifest_path(manifest["version"])
-        payload = json.dumps(manifest, sort_keys=True)
         if self.commit_publisher is not None:
             # the publisher IS the lock: no pre-check needed (and a
             # pre-check would be the very TOCTOU this path removes)
@@ -412,10 +418,76 @@ class SnapshotDataset:
                 return int(stream["batch_id"])
         return None
 
+    # -- tags (named immutable versions) -----------------------------------
+
+    def tag(self, name: str, version: int | None = None) -> dict:
+        """Pin a NAME to a version (default: current) — the audit/
+        release primitive ('the corpus the model trained on'): readers
+        say ``read(tag='train-v3')`` and keep resolving the same bytes
+        no matter how many commits follow. Tags are IMMUTABLE —
+        published through the same atomic create-if-absent path as
+        version manifests (so two racing taggers cannot both claim a
+        name), and re-pointing requires an explicit ``delete_tag`` +
+        re-tag. Tag files live beside manifests; ``vacuum`` never
+        removes a tagged version's files while the tag exists (tagged
+        versions count as referenced)."""
+        import re as _re
+
+        if not _re.match(r"^[A-Za-z0-9][A-Za-z0-9._-]*$", name or ""):
+            raise ValueError(f"invalid tag name: {name!r}")
+        if version is None:
+            version = self.current_version()
+        if version is None or version not in self.versions():
+            raise ValueError(f"no such version to tag: {version!r}")
+        payload = {"tag": name, "version": int(version), "ts": time.time()}
+        final = f"{self.snapshots_dir}/tag-{name}.json"
+        if not self._publish_file(final, json.dumps(payload, sort_keys=True)):
+            raise SnapshotConflictError(
+                f"tag {name!r} already exists at {self.path!r} "
+                f"(tags are immutable; delete_tag first to re-point)"
+            )
+        return payload
+
+    def tags(self) -> dict[str, int]:
+        """All tags as ``{name: version}``."""
+        from pydala2_spark.plans.fs import list_files, path_exists, read_text
+
+        if not path_exists(self.spark, self.snapshots_dir):
+            return {}
+        out: dict[str, int] = {}
+        for f in list_files(self.spark, self.snapshots_dir, suffixes=(".json",)):
+            base = posixpath.basename(f)
+            if base.startswith("tag-") and base.endswith(".json"):
+                t = json.loads(read_text(self.spark, f))
+                out[t["tag"]] = int(t["version"])
+        return out
+
+    def delete_tag(self, name: str) -> bool:
+        """Remove a tag (the version and its files stay; they become
+        vacuum-eligible once nothing else references them)."""
+        from pydala2_spark.plans.fs import delete_paths, path_exists
+
+        p = f"{self.snapshots_dir}/tag-{name}.json"
+        if not path_exists(self.spark, p):
+            return False
+        return delete_paths(self.spark, [p]) == 1
+
+    def _resolve_tag(self, tag: str) -> int:
+        t = self.tags()
+        if tag not in t:
+            raise ValueError(f"unknown tag {tag!r} at {self.path!r}")
+        return t[tag]
+
     # -- read -------------------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """The dataset AS OF ``version`` (default: latest)."""
+    def read(
+        self, version: int | None = None, tag: str | None = None
+    ) -> DataFrame:
+        """The dataset AS OF ``version`` / ``tag`` (default: latest)."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version OR tag, not both")
+            version = self._resolve_tag(tag)
         if version is None:
             version = self.current_version()
         if version is None:
@@ -792,6 +864,10 @@ class SnapshotDataset:
         drop_versions: list[int] = []
         if keep_last is not None and keep_last >= 1 and len(versions) > keep_last:
             drop_versions = versions[: len(versions) - keep_last]
+        # tagged versions are REFERENCED regardless of age: a release
+        # tag must keep resolving to the same bytes until deleted
+        tagged = set(self.tags().values())
+        drop_versions = [v for v in drop_versions if v not in tagged]
 
         retained = [v for v in versions if v not in drop_versions]
         referenced: set[str] = set()

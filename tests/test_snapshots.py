@@ -679,3 +679,46 @@ def test_s3_conditional_put_publisher_against_moto():
             Bucket="commit-bucket", Key="ds/_snapshots/v00000003.json"
         )["Body"].read().decode()
         assert body == '{"writer": %d}' % winners[0]
+
+
+def test_tags_pin_versions_survive_vacuum_and_are_immutable(spark, tmp_path):
+    """A tag resolves to its pinned bytes across later commits; tagged
+    versions survive keep_last vacuum; tags are create-once (racing or
+    repeated tagging raises); delete_tag frees the version for aging."""
+    import pytest
+
+    from pydala2_spark.plans.snapshots import SnapshotConflictError, SnapshotDataset
+
+    ds = SnapshotDataset(spark, str(tmp_path / "tagged"))
+    ds.commit(spark.range(3).selectExpr("id", "'a' AS v"), mode="overwrite")
+    ds.commit(spark.range(5).selectExpr("id", "'b' AS v"), mode="overwrite")
+    ds.tag("train-v1", version=1)
+    ds.commit(spark.range(7).selectExpr("id", "'c' AS v"), mode="overwrite")
+    ds.commit(spark.range(9).selectExpr("id", "'d' AS v"), mode="overwrite")
+
+    assert ds.tags() == {"train-v1": 1}
+    assert ds.read(tag="train-v1").count() == 3
+    assert {r["v"] for r in ds.read(tag="train-v1").collect()} == {"a"}
+
+    with pytest.raises(SnapshotConflictError, match="immutable"):
+        ds.tag("train-v1", version=2)
+    with pytest.raises(ValueError, match="invalid tag"):
+        ds.tag("../escape", version=1)
+    with pytest.raises(ValueError, match="no such version"):
+        ds.tag("ghost", version=99)
+    with pytest.raises(ValueError, match="version OR tag"):
+        ds.read(version=1, tag="train-v1")
+    with pytest.raises(ValueError, match="unknown tag"):
+        ds.read(tag="nope")
+
+    # keep_last=1 would normally age out v1..v3 — the tag holds v1
+    ds.vacuum(keep_last=1, orphan_grace_seconds=0)
+    assert ds.read(tag="train-v1").count() == 3  # bytes intact
+    assert ds.read().count() == 9
+
+    # delete the tag: the version becomes vacuum-eligible again
+    assert ds.delete_tag("train-v1") is True
+    assert ds.delete_tag("train-v1") is False
+    ds.vacuum(keep_last=1, orphan_grace_seconds=0)
+    with pytest.raises(Exception):
+        ds.read(version=1).count()
