@@ -418,6 +418,126 @@ class SnapshotDataset:
                 return int(stream["batch_id"])
         return None
 
+    # -- row-level DML (file-selective manifest swap) -----------------------
+
+    def delete_where(self, predicate, **kw) -> dict:
+        """Row-level DELETE on the snapshot table: SQL 3VL semantics
+        (NULL-predicate rows survive), published as a NEW VERSION whose
+        manifest drops the matched files and adds their rewritten
+        survivors — untouched files are carried by NAME, old versions
+        keep time-traveling to the pre-delete bytes, and ``vacuum``
+        reclaims the replaced files once no retained version references
+        them. The dir-dataset sibling is
+        :func:`pydala2_spark.operators.merge.delete_where`; HERE the
+        swap is atomic (one manifest publish), so readers never see a
+        half-deleted state."""
+        return self._mutate_where(predicate, None, **kw)
+
+    def update_where(self, predicate, set: dict, **kw) -> dict:
+        """Row-level UPDATE on the snapshot table (SET evaluates
+        against the pre-update row), published as a new version via the
+        same file-selective manifest swap as :meth:`delete_where`."""
+        if not set:
+            raise ValueError("update_where needs at least one SET assignment")
+        return self._mutate_where(predicate, set, **kw)
+
+    def _mutate_where(
+        self,
+        predicate,
+        assigns: dict | None,
+        partition_by: list[str] | None = None,
+        compression: str = "zstd",
+        max_rows_per_file: int = 10_000_000,
+    ) -> dict:
+        """Shared DELETE/UPDATE core. 100 TB shape: one pushed-down
+        discovery scan over the CURRENT version (min/max prunes clean
+        files), one rewrite scan of only the matched files, one
+        manifest publish. Cost scales with data under the predicate;
+        the publish is O(1). A concurrent commit between discovery and
+        publish loses the optimistic race cleanly
+        (SnapshotConflictError — re-run against the new head; blind
+        retry could resurrect rows a racing overwrite removed)."""
+        from pydala2_spark.plans.fs import schemeless
+
+        self._publish_guard()
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        head = self.current_version()
+        if head is None:
+            raise ValueError(f"no snapshots at {self.path!r}")
+        m = self._read_manifest(head)
+        df = self.read(head)
+        if assigns is not None:
+            missing = [c for c in assigns if c not in df.columns]
+            if missing:
+                raise ValueError(f"SET columns not in target: {missing}")
+        tagged = df.withColumn("__f", F.col("_metadata.file_path"))
+        hit = F.coalesce(pred, F.lit(False))
+        per_file = tagged.filter(hit).groupBy("__f").count().collect()
+        base = schemeless(self.path).rstrip("/") + "/"
+        matched_rel = sorted(
+            schemeless(r["__f"]).split(base, 1)[-1] for r in per_file
+        )
+        n_rows = int(sum(r["count"] for r in per_file))
+        if not matched_rel:
+            return {"rows": 0, "matched_files": [], "version": head}
+
+        matched_set = set(matched_rel)
+        # _metadata paths are scheme-qualified; normalize to the
+        # manifest's root-relative spelling, then select the touched
+        # files (IN literal while small, broadcast semi-join above the
+        # merge module's file-literal limit)
+        rel = F.expr(
+            "substring(regexp_replace(__f, '^[a-zA-Z0-9+.-]+:/+', '/'), "
+            f"{len(base) + 1})"
+        )
+        tagged = tagged.withColumn("__rel", rel)
+        if len(matched_rel) <= 1000:
+            touched = tagged.filter(F.col("__rel").isin(matched_rel))
+        else:
+            keys = self.spark.createDataFrame(
+                [(r,) for r in matched_rel], "__rel string"
+            )
+            touched = tagged.join(F.broadcast(keys), "__rel", "left_semi")
+        if assigns is None:
+            replacement = touched.filter(~hit).drop("__f", "__rel")
+        else:
+            built = {
+                c: (F.expr(e) if isinstance(e, str) else e)
+                for c, e in assigns.items()
+            }
+            cols = [
+                (
+                    F.when(hit, built[c]).otherwise(F.col(c)).alias(c)
+                    if c in built
+                    else F.col(c)
+                )
+                for c in df.columns
+            ]
+            replacement = touched.select(*cols)
+        own = self._stage_and_move(
+            replacement, partition_by, compression, max_rows_per_file
+        )
+        manifest = {
+            "version": head + 1,
+            "parent": head,
+            "operation": "delete_where" if assigns is None else "update_where",
+            "files": sorted(
+                [f for f in m["files"] if f not in matched_set] + list(own)
+            ),
+            "added": sorted(own),
+            "removed": matched_rel,
+            "schema_json": m["schema_json"],
+            "ts": time.time(),
+        }
+        if not self._try_publish(manifest):
+            raise SnapshotConflictError(
+                f"concurrent commit won version {head + 1} at {self.path!r} "
+                f"during row-level {manifest['operation']}; re-run against "
+                f"the new head (staged files are unreferenced and will be "
+                f"vacuumed as orphans)"
+            )
+        return {"rows": n_rows, "matched_files": matched_rel, "version": head + 1}
+
     # -- tags (named immutable versions) -----------------------------------
 
     def tag(self, name: str, version: int | None = None) -> dict:

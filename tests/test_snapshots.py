@@ -722,3 +722,53 @@ def test_tags_pin_versions_survive_vacuum_and_are_immutable(spark, tmp_path):
     ds.vacuum(keep_last=1, orphan_grace_seconds=0)
     with pytest.raises(Exception):
         ds.read(version=1).count()
+
+
+def test_snapshot_row_level_delete_and_update(spark, tmp_path):
+    """delete_where/update_where publish NEW versions via file-selective
+    manifest swap: untouched files carry by NAME, old versions still
+    time-travel to pre-DML bytes, NULL predicates preserve rows, SET
+    sees the pre-update row, and vacuum reclaims replaced files."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pydala2_spark.plans.snapshots import SnapshotDataset
+
+    ds = SnapshotDataset(spark, str(tmp_path / "dml"))
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, None, "a"), (3, 30.0, "b"), (4, 40.0, "b")],
+        "id long, x double, g string",
+    )
+    ds.commit(df.repartition("g"), mode="overwrite", partition_by=["g"])
+    m1 = ds._read_manifest(1)
+
+    out = ds.delete_where("x >= 30 AND g = 'b'")
+    assert out["rows"] == 2 and out["version"] == 2
+    assert sorted(r["id"] for r in ds.read().collect()) == [1, 2]
+    assert sorted(r["id"] for r in ds.read(1).collect()) == [1, 2, 3, 4]
+    m2 = ds._read_manifest(2)
+    untouched = [f for f in m1["files"] if "g=a" in f]
+    assert untouched and set(untouched) <= set(m2["files"])  # carried by name
+
+    up = ds.update_where("x IS NULL", set={"x": "99.0"})
+    assert up["rows"] == 1 and up["version"] == 3
+    got = {r["id"]: r["x"] for r in ds.read().collect()}
+    assert got == {1: 10.0, 2: 99.0}
+    # pre-update bytes still travel
+    assert {r["id"]: r["x"] for r in ds.read(2).collect()}[2] is None
+
+    # no-match is version-neutral
+    nm = ds.delete_where("x > 1e9")
+    assert nm["rows"] == 0 and nm["version"] == 3
+    assert ds.current_version() == 3
+
+    with pytest.raises(ValueError, match="SET assignment"):
+        ds.update_where("x > 0", set={})
+    with pytest.raises(ValueError, match="SET columns"):
+        ds.update_where("x > 0", set={"nope": "1"})
+
+    # replaced files reclaim once their versions age out
+    before = len(ds.files())
+    ds.vacuum(keep_last=1, orphan_grace_seconds=0)
+    assert ds.read().count() == 2
+    assert len(ds.files()) <= before
