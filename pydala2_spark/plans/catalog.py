@@ -434,7 +434,19 @@ class Catalog:
             snap = SnapshotDataset.for_path(
                 self.spark, path, commit_publisher=self.commit_publisher
             )
-            return snap if as_dataset else snap.read(entry.get("version"))
+            if as_dataset:
+                return snap
+            # `tag:` pins by NAME (resolved at read time, so re-tagging
+            # rolls every catalog reader together); `version:` pins the
+            # number. Both present is ambiguous — refuse.
+            if entry.get("tag") is not None and entry.get("version") is not None:
+                raise ValueError(
+                    f"{name!r}: catalog entry pins both tag and version — "
+                    "keep exactly one"
+                )
+            if entry.get("tag") is not None:
+                return snap.read(tag=entry["tag"])
+            return snap.read(entry.get("version"))
         cls = {"parquet": ParquetDataset, "csv": CSVDataset, "json": JSONDataset}.get(
             entry.get("format", "parquet"), ParquetDataset
         )

@@ -302,3 +302,33 @@ def test_catalog_analyze_on_filesystem_profile_path(spark, tmp_path, catalog):
     # re-analyze is incremental (nothing added)
     out2 = catalog.analyze("ns.t_fs_an", bloom_columns=["id"], ndv_columns=["id"])
     assert out2["stats"]["added"] == 0 and out2["bloom:id"]["added"] == 0
+
+
+def test_catalog_snapshot_table_tag_pinning(spark, tmp_path):
+    """A `tag:` entry pins every catalog reader to the tagged version
+    by NAME (re-tagging rolls readers without editing YAML); tag+
+    version together is refused."""
+    import pytest
+
+    from pydala2_spark.plans.catalog import Catalog
+    from pydala2_spark.plans.snapshots import SnapshotDataset
+
+    snap_path = str(tmp_path / "snap_tagged")
+    ds = SnapshotDataset(spark, snap_path)
+    ds.commit(spark.range(3).selectExpr("id", "'a' AS v"), mode="overwrite")
+    ds.commit(spark.range(6).selectExpr("id", "'b' AS v"), mode="overwrite")
+    ds.tag("release", version=1)
+
+    cat = Catalog(str(tmp_path / "cat.yaml"), spark=spark)
+    cat.create_table("ns.snap", snap_path, snapshot=True, tag="release")
+    assert cat.load("ns.snap", as_dataset=False).count() == 3
+
+    # roll the tag: same YAML, readers now see v2
+    dsl = cat.load("ns.snap")
+    dsl.delete_tag("release")
+    dsl.tag("release", version=2)
+    assert cat.load("ns.snap", as_dataset=False).count() == 6
+
+    cat.update_table("ns.snap", version=1)
+    with pytest.raises(ValueError, match="both tag and version"):
+        cat.load("ns.snap", as_dataset=False)
