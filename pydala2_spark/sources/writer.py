@@ -170,6 +170,8 @@ class Writer:
         max_rows_per_file: int = DEFAULT_MAX_ROWS_PER_FILE,
         compression: str = DEFAULT_COMPRESSION,
         target_file_count: int | None = None,
+        bloom_filter_columns: list[str] | None = None,
+        bloom_filter_ndv: "int | dict[str, int] | None" = None,
         **_: Any,
     ) -> None:
         if mode not in ("append", "overwrite", "error", "ignore"):
@@ -202,6 +204,26 @@ class Writer:
             )
             if self.format == "parquet":
                 w = w.option("compression", compression)
+                # NATIVE parquet bloom filters: written into each
+                # row group's metadata, so ANY parquet reader (Spark,
+                # DuckDB, Trino) prunes row groups on point lookups —
+                # the in-file complement to plans/bloom.py's per-FILE
+                # sidecars (those skip whole files without opening
+                # them; these skip row groups inside opened files).
+                # expected.ndv sizes the filter (default 1M NDV writes
+                # ~1 MiB per column per row group — pass the real
+                # cardinality to shrink it ~NDV/1M-fold)
+                for c in bloom_filter_columns or []:
+                    w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+                    ndv = (
+                        bloom_filter_ndv.get(c)
+                        if isinstance(bloom_filter_ndv, dict)
+                        else bloom_filter_ndv
+                    )
+                    if ndv:
+                        w = w.option(
+                            f"parquet.bloom.filter.expected.ndv#{c}", str(int(ndv))
+                        )
             if self.format == "csv":
                 w = w.option("header", "true")
             if partition_cols:
