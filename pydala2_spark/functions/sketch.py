@@ -277,3 +277,66 @@ def cms_oracle_sql(
     FROM probes p LEFT JOIN counters c
       ON p.row_id = c.row_id AND p.bucket = c.bucket
     GROUP BY 1"""
+
+
+def hll_registers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: int = 7,
+) -> DataFrame:
+    """The MERGEABLE HLL state: ``(group_col, idx, r)`` — one row per
+    touched register holding the max rho. Register frames from
+    disjoint (or overlapping!) slices of a corpus merge by
+    ``groupBy(group, idx).max(r)`` into exactly the full-corpus state,
+    which is what makes HLL the streaming/incremental answer to
+    distinct counting: max is algebraic, so a streaming aggregation
+    maintains this frame with bounded state (<= |groups| x 2^p rows,
+    FOREVER) — see streaming/pipeline.hll_stream.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    bits = 60 - p
+    h = hash60(F.col(value_col))
+    return (
+        df.select(
+            F.col(group_col),
+            h.bitwiseAND(m - 1).alias("idx"),
+            leading_zero_rank(F.shiftright(h, p), bits).alias("__rho"),
+        )
+        .groupBy(group_col, "idx")
+        .agg(F.max("__rho").alias("r"))
+    )
+
+
+def hll_estimate_from_registers(
+    registers: DataFrame,
+    group_col: str,
+    p: int = 7,
+) -> DataFrame:
+    """Fold a :func:`hll_registers` frame into per-group estimates —
+    identical arithmetic to :func:`hll_count_distinct` (same decimal
+    literal table, same linear-counting branch), so an estimate from
+    merged register state equals the single-pass answer bit-for-bit.
+    Output: ``(group_col, hll_estimate, n_registers_hit)``.
+    """
+    m = 1 << p
+    bits = 60 - p
+    lookup = F.array(*[F.lit(Decimal(POW2_NEG[k])) for k in range(1, bits + 2)])
+    folded = registers.groupBy(group_col).agg(
+        F.sum(F.element_at(lookup, F.col("r"))).alias("__z_hit"),
+        F.count(F.lit(1)).alias("__hit"),
+    )
+    zeros = F.lit(m) - F.col("__hit")
+    z = F.col("__z_hit").cast("double") + zeros.cast("double")
+    e_raw = F.lit(hll_alpha(m) * m * m) / z
+    est = F.when(
+        (zeros > 0) & (e_raw <= 2.5 * m),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")), 2),
+    ).otherwise(F.round(e_raw, 2))
+    return folded.select(
+        F.col(group_col),
+        est.alias("hll_estimate"),
+        F.col("__hit").alias("n_registers_hit"),
+    )

@@ -5881,6 +5881,44 @@ def mm_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "fmt", "m.sample_rate", "m.n_channels", "m.duration_ms")
 
 
+def _stream_hll_oracle() -> str:
+    from pydala2_spark.functions.sketch import hll_oracle_sql
+
+    inner = hll_oracle_sql("events", "event_type", "user_id", p=7)
+    return (
+        "SELECT event_type, hll_estimate, n_registers_hit "
+        f"FROM ({inner})"
+    )
+
+
+@query("stream_hll_distinct", _stream_hll_oracle())
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Seventh streaming oracle query: per-type distinct-user
+    # HyperLogLog maintained as streaming max-rho register state
+    # (algebraic, bounded at |types| x 128 rows forever, no
+    # watermark); the drained registers fold to the batch estimate
+    # bit-for-bit. See streaming/pipeline.hll_stream and
+    # functions/sketch.hll_estimate_from_registers.
+    import tempfile
+    import uuid
+
+    from pydala2_spark.functions.sketch import hll_estimate_from_registers
+    from pydala2_spark.streaming.pipeline import (
+        hll_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    events = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    regs = hll_stream(events, "event_type", "user_id", p=7)
+    name = f"hll_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    drained = run_to_memory(
+        regs, name, ck, state_partitions=4, output_mode="complete"
+    )
+    return hll_estimate_from_registers(drained, "event_type", p=7)
+
+
 @query(
     "stream_ohlc_bars",
     f"""
@@ -6040,10 +6078,10 @@ _VERIFY_FIRST = [
     "stream_ohlc_bars",
     "ev_conversion_latency",
     "update_where_semantics",
+    "stream_hll_distinct",
     # (d) operator changed this round
     "mm_image_real_decode",
     "mm_audio_real_features",
-    "mm_audio_features",
     "emb_semantic_dedup",
     "merge_upsert_semantics",
     # (e) the aged set is fully displaced by the continuation-session

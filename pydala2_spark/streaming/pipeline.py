@@ -667,3 +667,37 @@ def cms_stream(
         .groupBy("row_id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def hll_stream(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    p: int = 7,
+) -> DataFrame:
+    """Streaming HyperLogLog maintenance: the arriving stream folds
+    into per-(group, register) max-rho state through a plain streaming
+    aggregation — max is algebraic and the key space is bounded at
+    |groups| x 2^p rows FOREVER, so (like :func:`cms_stream`) no
+    watermark is needed and state never grows with traffic. Drain with
+    ``output_mode='complete'``; fold the drained registers through
+    ``functions.sketch.hll_estimate_from_registers`` and the estimate
+    equals the batch ``hll_count_distinct`` bit-for-bit. The streaming
+    answer to "distinct users so far, per key" at any scale.
+    """
+    from pydala2_spark.functions.sketch import hash60, leading_zero_rank
+
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    bits = 60 - p
+    h = hash60(F.col(value_col))
+    return (
+        events.select(
+            F.col(group_col),
+            h.bitwiseAND(m - 1).alias("idx"),
+            leading_zero_rank(F.shiftright(h, p), bits).alias("__rho"),
+        )
+        .groupBy(group_col, "idx")
+        .agg(F.max("__rho").alias("r"))
+    )

@@ -107,3 +107,35 @@ def test_cms_counter_table_bounded_and_mergeable(spark):
     full = {(r["row_id"], r["bucket"]): r["cnt"] for r in c.collect()}
     got = {(r["row_id"], r["bucket"]): r["cnt"] for r in merged.collect()}
     assert got == full
+
+
+def test_hll_registers_merge_and_estimate_equal_single_pass(spark):
+    """Register frames from overlapping halves merge (groupBy max)
+    into exactly the full-corpus state; the folded estimate equals
+    hll_count_distinct bit-for-bit."""
+    from pydala2_spark.functions.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    df = spark.range(4000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 1700).alias("v"),
+    )
+    h1 = hll_registers(df.filter("id < 2500"), "g", "v", p=7)   # overlap
+    h2 = hll_registers(df.filter("id >= 1500"), "g", "v", p=7)  # with h1
+    merged = (
+        h1.unionByName(h2).groupBy("g", "idx").agg(F.max("r").alias("r"))
+    )
+    full = hll_registers(df, "g", "v", p=7)
+    assert (
+        {tuple(r) for r in merged.collect()} == {tuple(r) for r in full.collect()}
+    )
+
+    from pydala2_spark.functions.sketch import hll_count_distinct
+
+    est_m = {r["g"]: r["hll_estimate"] for r in
+             hll_estimate_from_registers(merged, "g", p=7).collect()}
+    est_s = {r["g"]: r["hll_estimate"] for r in
+             hll_count_distinct(df, "g", "v", p=7).collect()}
+    assert est_m == est_s
