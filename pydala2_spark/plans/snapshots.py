@@ -621,8 +621,8 @@ class SnapshotDataset:
 
     def changes(
         self,
-        from_version: int,
-        to_version: int | None = None,
+        from_version: "int | str",
+        to_version: "int | str | None" = None,
         key_cols: list[str] | None = None,
         update_images: str = "post",
     ) -> DataFrame:
@@ -663,6 +663,13 @@ class SnapshotDataset:
             raise ValueError(
                 f"update_images must be 'post' or 'both', got {update_images!r}"
             )
+        # tag names are accepted wherever a version is ("what changed
+        # since the last release?"): strings resolve through the tag
+        # store at call time
+        if isinstance(from_version, str):
+            from_version = self._resolve_tag(from_version)
+        if isinstance(to_version, str):
+            to_version = self._resolve_tag(to_version)
         if to_version is None:
             to_version = self.current_version()
         versions = set(self.versions())

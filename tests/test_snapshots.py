@@ -772,3 +772,18 @@ def test_snapshot_row_level_delete_and_update(spark, tmp_path):
     ds.vacuum(keep_last=1, orphan_grace_seconds=0)
     assert ds.read().count() == 2
     assert len(ds.files()) <= before
+
+
+def test_changes_accepts_tag_endpoints(spark, tmp_path):
+    """changes('release', ...) resolves tags to versions — the 'what
+    changed since the last release' probe."""
+    from pydala2_spark.plans.snapshots import SnapshotDataset
+
+    ds = SnapshotDataset(spark, str(tmp_path / "cdf_tags"))
+    ds.commit(spark.range(3).selectExpr("id", "'a' AS v"), mode="overwrite")
+    ds.tag("release")
+    ds.commit(spark.range(4).selectExpr("id", "'a' AS v"), mode="overwrite")
+    got = {(r["id"], r["_change_type"])
+           for r in ds.changes("release", key_cols=["id"]).collect()}
+    assert got == {(3, "insert")}
+    assert ds.changes("release", "release", key_cols=["id"]).count() == 0
