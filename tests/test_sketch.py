@@ -139,3 +139,36 @@ def test_hll_registers_merge_and_estimate_equal_single_pass(spark):
     est_s = {r["g"]: r["hll_estimate"] for r in
              hll_count_distinct(df, "g", "v", p=7).collect()}
     assert est_m == est_s
+
+
+def test_hash_split_matches_python_reference(spark):
+    """The md5-derived 60-bit hash, register index, and rho chain agree
+    with an independent pure-Python computation over random values —
+    the cross-engine portability contract the oracles rest on."""
+    import hashlib
+    import random
+
+    from pydala2_spark.functions.sketch import hash60, leading_zero_rank
+
+    rng = random.Random(99)
+    vals = [str(rng.randint(-10**12, 10**12)) for _ in range(300)]
+    vals += ["", "0", "-1", "a" * 500, "é中"]
+
+    p, m, bits = 7, 128, 53
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {
+        r["v"]: (r["h"], r["idx"], r["rho"])
+        for r in df.select(
+            "v",
+            hash60(F.col("v")).alias("h"),
+            hash60(F.col("v")).bitwiseAND(m - 1).alias("idx"),
+            leading_zero_rank(
+                F.shiftright(hash60(F.col("v")), p), bits
+            ).alias("rho"),
+        ).collect()
+    }
+    for v in vals:
+        h = int(hashlib.md5(v.encode("utf-8")).hexdigest()[:15], 16)
+        rem = h >> p
+        rho = (bits - rem.bit_length() + 1) if rem else bits + 1
+        assert got[v] == (h, h & (m - 1), rho), v
