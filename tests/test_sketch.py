@@ -172,3 +172,33 @@ def test_hash_split_matches_python_reference(spark):
         rem = h >> p
         rho = (bits - rem.bit_length() + 1) if rem else bits + 1
         assert got[v] == (h, h & (m - 1), rho), v
+
+
+def test_cms_bucket_matches_python_reference(spark):
+    """cms_bucket's md5-salted bucket assignment agrees with the
+    driver-side computation bm25/CMS probes rely on."""
+    import hashlib
+    import random
+
+    from pydala2_spark.functions.sketch import cms_bucket
+
+    rng = random.Random(5)
+    vals = [rng.randint(-10**9, 10**9) for _ in range(200)]
+    width = 512
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r["v"]: [r["b0"], r["b1"], r["b2"]]
+        for r in df.select(
+            "v",
+            *[
+                cms_bucket(F.lit(j), F.col("v"), width).alias(f"b{j}")
+                for j in range(3)
+            ],
+        ).collect()
+    }
+    for v in vals:
+        want = [
+            int(hashlib.md5(f"cms{j}:{v}".encode()).hexdigest()[:8], 16) % width
+            for j in range(3)
+        ]
+        assert got[v] == want, v
