@@ -5997,98 +5997,111 @@ def mm_blockhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mirror (scripts/check_correctness.py runs every entry).
 
 _VERIFY_FIRST = [
-    # round 7 rotation. Priority order:
-    #   (a) the ONE registry entry the driver gate has never seen
-    #       (delete_where_semantics landed after the r6 window froze)
-    #       — the r6 verdict's #1 ask;
-    #   (b) the 4 suites that slipped the r6 window (last
-    #       driver-checked r4);
-    #   (c) NEW this round (extended-PNG oracle query);
-    #   (d) queries whose operator changed this round: the pixel-decode
-    #       ladder grew the codec fast path + 16-bit/Adam7/sub-8 PNG +
-    #       VP8L/TIFF dispatch (mm_image_*), audio grew mel-MFCCs +
-    #       WAV fmt-clen guards + the FLAC/MP3 ladder (mm_audio_*),
-    #       merge/delete grew the broadcast file-list join
-    #       (merge_upsert_semantics), semantic_dedup grew the
-    #       null-cell prefilter (emb_semantic_dedup), q17/q18 lost a
-    #       lineitem re-scan, and the token-table ops
-    #       (doc_unigram_logprob, doc_tfidf_top_terms) + events ops
-    #       (ev_funnel, ev_cohort_retention) grew single-scan
-    #       materialization — all r6-driver-green but code-changed, so
-    #       they re-enter the gate;
-    #   (e) the aged set — the r5 window minus pulled-forward entries,
-    #       in r5-window order.
-    # The continuation session added 25 never-driver-checked queries;
-    # they displaced the ENTIRE aged set from the window (new > aged:
-    # every displaced entry is r5/r6-driver-green AND re-verified by
-    # the full local mirror each session). The slipped set for r8 is
-    # therefore exactly `list(REGISTRY)[50:]` — r8 should lead with
-    # its head (scan_filter_project, sort_limit_topk, distinct_keyed,
-    # q1_pricing_summary, q6_forecast_revenue,
-    # agg_rollup_status_priority, agg_approx_distinct, the TPC-H
-    # block, then the function/window suites) in that stored order.
-    # (a) never driver-checked
-    "delete_where_semantics",
-    # (b) slipped the r6 window
-    "array_function_suite",
-    "date_arithmetic_suite",
-    "pivot_status_by_priority",
-    "w_running_revenue",
-    # (c) new this round
-    "mm_image_extended_decode",
-    "mm_image_webp_decode",
-    "doc_bm25_search",
-    "doc_dsir_resample",
-    "doc_gopher_rules",
-    "asof_nearest_tolerance",
-    # (c') new mid-round, after the NOTES_r07 snapshot froze — never
-    # driver-checked, so they enter the window ahead of the aged set
-    "snapshot_cdf",
-    "ivm_incremental_rollup",
-    "doc_bigram_logprob",
-    "doc_substring_spans",
-    "ev_resample_locf",
-    "mm_gif_frame_sample",
-    # (c'') new in the continuation session — never driver-checked
-    "ev_ohlc_bars",
-    "profile_orders",
-    "orc_roundtrip_scan",
-    "agg_hll_sketch",
-    "agg_cms_heavy_hitters",
-    "fuzzy_part_matches",
-    "emb_dim_stats",
-    "graph_pagerank",
-    "doc_zipf_fit",
-    "scd2_event_history",
-    "ev_value_histogram",
-    "stream_cms_counters",
-    "ev_rolling_quantiles",
-    "er_part_linkage",
-    "ev_anomaly_days",
-    "dq_fk_orphans",
-    "dq_benford",
-    "doc_token_pmi",
-    "doc_heaps_fit",
-    "catalog_sql_roundtrip",
-    "mm_audio_metadata",
-    "ivm_join_rollup",
-    "part_skyline",
-    "ev_resample_interp",
-    "mm_image_tiff_decode",
-    "stream_ohlc_bars",
-    "ev_conversion_latency",
-    "update_where_semantics",
-    "stream_hll_distinct",
-    # (d) operator changed this round
-    "mm_image_real_decode",
-    "mm_audio_real_features",
-    "emb_semantic_dedup",
-    "merge_upsert_semantics",
-    # (e) the aged set is fully displaced by the continuation-session
-    # queries — it lives at list(REGISTRY)[50:] in r8-rotation order,
-    # every entry r5/r6-driver-green and mirror-green each session
-    # (ev_cohort_retention, the last (d) re-entry, also slipped — its
-    # single-scan change is pinned by tests and the full mirror)
+    # round 8 rotation — the r7 verdict's #1 ask, honored exactly:
+    # the driver window is the 50 STALEST registry entries (last
+    # driver-checked r5/r6; every one mirror-green in every session
+    # since). Stored r8-rotation order from NOTES_r07 / the r7
+    # registry tail. The 45 next-stalest follow immediately (the r9
+    # window head, printed in NOTES_r08); the 50 r7-driver-checked
+    # entries sit at the tail (freshest — all 50/50 green in
+    # CORRECTNESS_r07.json).
+    # --- the r8 driver window: positions 0-49 ---
+    "scan_filter_project",
+    "sort_limit_topk",
+    "distinct_keyed",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "agg_rollup_status_priority",
+    "agg_approx_distinct",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "q10_returned_items",
+    "join_semi_anti",
+    "set_ops_union_except",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicates",
+    "q22_inactive_customers",
+    "q2_min_cost_supplier",
+    "q15_top_suppliers",
+    "q21_multi_exists",
+    "q16_supplier_count_by_part",
+    "q20_volume_suppliers",
+    "set_ops_except",
+    "q12_priority_by_linestatus",
+    "q11_supplier_value_share",
+    "string_function_suite",
+    "agg_cube_flag_status",
+    "agg_grouping_sets",
+    "merge_scd2_history",
+    "ev_json_extract",
+    "doc_token_explode_top",
+    "w_value_deciles",
+    "w_top_orders_per_customer",
+    "w_monthly_growth",
+    "w_rank_distribution_frames",
+    "ev_hourly_rollup",
+    "stream_hourly_rollup",
+    "ev_sessionization",
+    "ev_type_value_stats",
+    "asof_click_before_purchase",
+    "range_join_ship_window",
+    "doc_token_stats",
+    "doc_quality_scores",
+    "doc_lang_id",
+    "doc_exact_dedup",
+    # --- next-stalest 45: the r9 window head (NOT in the r8 window) ---
+    "doc_fingerprint_groups",
+    "dedup_minhash_lsh",
+    "dedup_ngram_blocked",
+    "dedup_clusters",
+    "doc_curation",
+    "dedup_simhash",
+    "emb_near_dup",
+    "emb_near_dup_srp",
+    "mm_media_meta",
+    "mm_image_decode",
+    "mm_frame_sample",
+    "emb_knn_bruteforce",
+    "emb_knn_lsh",
+    "emb_knn_ivf",
+    "skew_safe_distinct",
+    "ev_value_quantiles",
+    "doc_pii_scan",
+    "emb_quantize_error",
+    "doc_bpe_token_stats",
+    "doc_winnow_candidates",
+    "stream_sessionization",
+    "mm_audio_features",
+    "mm_image_resize",
+    "skew_salted_join_agg",
+    "doc_repetition_screen",
+    "doc_contamination",
+    "doc_pack_sequences",
+    "doc_stratified_sample",
+    "doc_chunk_windows",
+    "doc_source_mix",
+    "doc_temperature_mix",
+    "doc_entropy_quality",
+    "doc_train_test_split",
+    "hive_partitioned_scan",
+    "doc_unigram_logprob",
+    "emb_kmeans",
+    "doc_tfidf_top_terms",
+    "doc_segment_dups",
+    "doc_boilerplate_removal",
+    "ev_funnel",
+    "ev_cohort_retention",
+    "ev_value_trend",
+    "emb_quantized_rerank",
+    "stream_dedup_ingest",
+    "mm_blockhash",
 ]
 
 
