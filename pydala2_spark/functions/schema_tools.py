@@ -232,9 +232,10 @@ def profile_dataframe(df: DataFrame, columns: list[str] | None = None) -> DataFr
     """One-row-per-column data profile: row count, null count, exact
     distinct count, and typed min/max — numerics land in
     ``min_num``/``max_num`` (double, rounded to 4), strings/booleans in
-    ``min_str``/``max_str``, timestamps/dates as epoch seconds in the
-    numeric pair. The split avoids cross-engine float→string
-    formatting hazards entirely.
+    ``min_str``/``max_str``, timestamps/dates as epoch seconds (with
+    the sub-second fraction kept to exact microseconds) in the numeric
+    pair. The split avoids cross-engine float→string formatting
+    hazards entirely.
 
     Reference analogue: per-dataset metadata stats
     (`/root/reference/pydala/metadata.py` collects per-file min/max);
@@ -262,7 +263,12 @@ def profile_dataframe(df: DataFrame, columns: list[str] | None = None) -> DataFr
     def _sform(c: str) -> Column:
         t = schema[c]
         if isinstance(t, (T.TimestampType, T.TimestampNTZType, T.DateType)):
-            return F.unix_timestamp(F.col(c).cast("timestamp")).cast("string")
+            # MICROsecond epoch, not seconds: event-grade timestamps
+            # differ only in sub-second precision, and a whole-second
+            # form would collapse them — breaking the documented
+            # "exact distinct count" (ADVICE r7). unix_micros is the
+            # same precision ladder the rest of the package uses.
+            return F.unix_micros(F.col(c).cast("timestamp")).cast("string")
         return F.col(c).cast("string")
 
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
@@ -271,14 +277,23 @@ def profile_dataframe(df: DataFrame, columns: list[str] | None = None) -> DataFr
         aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
         if isinstance(t, (T.TimestampType, T.TimestampNTZType, T.DateType)):
             # NTZ/date first cast to session-TZ timestamp (sessions here
-            # pin UTC, matching the oracle's naive-as-UTC epoch())
-            num = F.unix_timestamp(F.col(c).cast("timestamp")).cast("double")
+            # pin UTC, matching the oracle's naive-as-UTC epoch()).
+            # Epoch SECONDS with the sub-second fraction kept (micros /
+            # 1e6, rounded to 6 — exact µs): unix_timestamp's whole
+            # seconds lost event-grade precision (ADVICE r7).
+            num = (
+                F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+                / F.lit(1_000_000.0)
+            )
+            nd_digits = 6
         elif isinstance(t, T.NumericType):
             num = F.col(c).cast("double")
+            nd_digits = 4
         else:
             num = F.lit(None).cast("double")
-        aggs.append(F.round(F.min(num), 4).alias(f"__mn_{c}"))
-        aggs.append(F.round(F.max(num), 4).alias(f"__mx_{c}"))
+            nd_digits = 4
+        aggs.append(F.round(F.min(num), nd_digits).alias(f"__mn_{c}"))
+        aggs.append(F.round(F.max(num), nd_digits).alias(f"__mx_{c}"))
         if isinstance(t, (T.StringType, T.BooleanType)):
             s = F.col(c).cast("string")
         else:

@@ -85,6 +85,11 @@ def hll_count_distinct(
         raise ValueError(f"p must be in [4, 16], got {p}")
     m = 1 << p
     bits = 60 - p
+    # NULLs never count as a distinct value (countDistinct ignores
+    # them); unfiltered, md5(NULL) yields a NULL register row that
+    # perturbs the hit/empty-register split and the estimate
+    # (ADVICE r7). Mirrored in hll_oracle_sql.
+    df = df.filter(F.col(value_col).isNotNull())
     h = hash60(F.col(value_col))
     idx = h.bitwiseAND(m - 1)
     rho = leading_zero_rank(F.shiftright(h, p), bits)
@@ -138,6 +143,7 @@ def hll_oracle_sql(
       SELECT {group_col} AS g, {value_col} AS val,
              ('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15))::BIGINT AS h
       FROM {table}
+      WHERE {value_col} IS NOT NULL
     ), r AS (
       SELECT g, val, h & {m - 1} AS idx,
              CASE {branches}
@@ -191,7 +197,7 @@ def cms_build(
     if depth < 1 or width < 2:
         raise ValueError("depth must be >= 1 and width >= 2")
     rows = F.array(*[F.lit(j) for j in range(depth)])
-    return (
+    out = (
         df.select(F.explode(rows).alias("row_id"), F.col(value_col).alias("__v"))
         .select(
             "row_id",
@@ -199,6 +205,18 @@ def cms_build(
         )
         .groupBy("row_id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # Carry the sketch geometry IN the frame (column metadata on
+    # ``bucket``): probing with a different width recomputes buckets
+    # over the wrong modulus and the min over misaligned counters can
+    # come back BELOW the true count — silently breaking the
+    # Count-Min >= truth guarantee (ADVICE r7). cms_estimate reads and
+    # validates this, so a build/probe mismatch is a loud error.
+    return out.withColumn(
+        "bucket",
+        F.col("bucket").alias(
+            "bucket", metadata={"cms_width": width, "cms_depth": depth}
+        ),
     )
 
 
@@ -222,16 +240,45 @@ def cms_estimate(
     counters: DataFrame,
     items: DataFrame,
     value_col: str,
-    width: int = 64,
+    width: int | None = None,
 ) -> DataFrame:
     """Point-frequency estimates: for each item, min over hash rows of
     its bucket counter (the Count-Min guarantee: est >= true, and
     est <= true + eps*N with prob 1 - (1/2)^depth). Items missing from
     a bucket row estimate 0 via the left join's coalesce.
 
+    ``width`` defaults to the geometry :func:`cms_build` stamped into
+    the counter frame's ``bucket`` column metadata; passing a width
+    that DISAGREES with the stamp raises (probing over the wrong
+    modulus silently returns estimates below the true count —
+    ADVICE r7). An explicit width is only required for counter frames
+    built outside :func:`cms_build` (e.g. a raw streaming state store
+    read), which carry no stamp.
+
     The counter table broadcasts (it is <= depth*width rows by
     construction), so the estimate join never shuffles ``items``.
     """
+    stamped = None
+    try:
+        md = counters.schema["bucket"].metadata or {}
+        stamped = int(md["cms_width"]) if "cms_width" in md else None
+    except (KeyError, TypeError, ValueError):
+        stamped = None
+    if width is None:
+        if stamped is None:
+            raise ValueError(
+                "counter frame carries no cms_width stamp (not built by "
+                "cms_build?) — pass width= explicitly, and make sure it "
+                "matches the build width"
+            )
+        width = stamped
+    elif stamped is not None and width != stamped:
+        raise ValueError(
+            f"width mismatch: counters were built with width={stamped} "
+            f"but cms_estimate was called with width={width} — probing "
+            f"over the wrong modulus breaks the Count-Min >= truth "
+            f"guarantee"
+        )
     # recompute buckets item-side (one row per hash row of the sketch);
     # then join the counter table on (row, bucket)
     probes = items.crossJoin(
@@ -298,6 +345,9 @@ def hll_registers(
         raise ValueError(f"p must be in [4, 16], got {p}")
     m = 1 << p
     bits = 60 - p
+    # same NULL rule as hll_count_distinct: a NULL value is not a
+    # distinct value and must not mint a NULL register row
+    df = df.filter(F.col(value_col).isNotNull())
     h = hash60(F.col(value_col))
     return (
         df.select(

@@ -457,7 +457,7 @@ class SnapshotDataset:
         publish loses the optimistic race cleanly
         (SnapshotConflictError — re-run against the new head; blind
         retry could resurrect rows a racing overwrite removed)."""
-        from pydala2_spark.plans.fs import schemeless
+        from pydala2_spark.plans.fs import qualified, schemeless, schemeless_col
 
         self._publish_guard()
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
@@ -470,27 +470,45 @@ class SnapshotDataset:
             missing = [c for c in assigns if c not in df.columns]
             if missing:
                 raise ValueError(f"SET columns not in target: {missing}")
-        tagged = df.withColumn("__f", F.col("_metadata.file_path"))
-        hit = F.coalesce(pred, F.lit(False))
-        per_file = tagged.filter(hit).groupBy("__f").count().collect()
-        base = schemeless(self.path).rstrip("/") + "/"
-        matched_rel = sorted(
-            schemeless(r["__f"]).split(base, 1)[-1] for r in per_file
+        # Root-relative spelling of each row's source file, derived
+        # ONCE and used for BOTH discovery and touched-row selection
+        # (a single expression cannot disagree with itself — a relative
+        # or non-normalized self.path previously made the Python-side
+        # split() and the Column-side substring() compute different rel
+        # paths, emptying the replacement while still dropping the
+        # matched files from the manifest: silent row loss). The base
+        # comes from Hadoop makeQualified, the same qualification
+        # _metadata.file_path carries, so './', '//' and relative
+        # spellings of self.path all land on the manifest's spelling.
+        base = schemeless(qualified(self.spark, self.path)).rstrip("/") + "/"
+        tagged = df.withColumn("__f", F.col("_metadata.file_path")).withColumn(
+            "__rel",
+            F.substring(
+                schemeless_col(F.col("__f")), len(base) + 1, 1 << 30
+            ),
         )
+        hit = F.coalesce(pred, F.lit(False))
+        per_file = tagged.filter(hit).groupBy("__rel").count().collect()
+        matched_rel = sorted(r["__rel"] for r in per_file)
         n_rows = int(sum(r["count"] for r in per_file))
         if not matched_rel:
             return {"rows": 0, "matched_files": [], "version": head}
 
         matched_set = set(matched_rel)
-        # _metadata paths are scheme-qualified; normalize to the
-        # manifest's root-relative spelling, then select the touched
-        # files (IN literal while small, broadcast semi-join above the
-        # merge module's file-literal limit)
-        rel = F.expr(
-            "substring(regexp_replace(__f, '^[a-zA-Z0-9+.-]+:/+', '/'), "
-            f"{len(base) + 1})"
-        )
-        tagged = tagged.withColumn("__rel", rel)
+        # Belt-and-braces: every matched rel path must name a file the
+        # current manifest actually tracks — if the base/rel derivation
+        # ever drifts from the manifest spelling, refuse loudly instead
+        # of publishing a version that drops files it failed to rewrite.
+        unknown = matched_set - set(m["files"])
+        if unknown:
+            raise ValueError(
+                f"row-level mutation matched files the version-{head} "
+                f"manifest does not track (path normalization drift?): "
+                f"{sorted(unknown)[:5]}"
+            )
+        # Touched-file selection over the SAME __rel column (IN literal
+        # while small, broadcast semi-join above the merge module's
+        # file-literal limit)
         if len(matched_rel) <= 1000:
             touched = tagged.filter(F.col("__rel").isin(matched_rel))
         else:

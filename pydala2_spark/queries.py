@@ -2533,8 +2533,11 @@ def _profile_branch(col: str, kind: str) -> str:
         mx = f"round(CAST(max({col}) AS DOUBLE), 4)"
         sn = sx = "CAST(NULL AS VARCHAR)"
     elif kind == "ts":
-        mn = f"round(CAST(epoch(min({col})) AS DOUBLE), 4)"
-        mx = f"round(CAST(epoch(max({col})) AS DOUBLE), 4)"
+        # epoch_us/1e6 rounded to 6: the same micros-exact arithmetic
+        # profile_dataframe runs (whole-second epochs collapsed
+        # event-grade timestamps — ADVICE r7)
+        mn = f"round(CAST(epoch_us(CAST(min({col}) AS TIMESTAMP)) AS DOUBLE) / 1000000, 6)"
+        mx = f"round(CAST(epoch_us(CAST(max({col}) AS TIMESTAMP)) AS DOUBLE) / 1000000, 6)"
         sn = sx = "CAST(NULL AS VARCHAR)"
     else:
         mn = mx = "CAST(NULL AS DOUBLE)"

@@ -693,7 +693,10 @@ def hll_stream(
     bits = 60 - p
     h = hash60(F.col(value_col))
     return (
-        events.select(
+        # same NULL rule as the batch forms: a NULL value is not a
+        # distinct value and must not mint a NULL register row
+        events.filter(F.col(value_col).isNotNull())
+        .select(
             F.col(group_col),
             h.bitwiseAND(m - 1).alias("idx"),
             leading_zero_rank(F.shiftright(h, p), bits).alias("__rho"),

@@ -202,3 +202,75 @@ def test_cms_bucket_matches_python_reference(spark):
             for j in range(3)
         ]
         assert got[v] == want, v
+
+
+def test_hll_ignores_nulls_like_count_distinct(spark):
+    """ADVICE r7: NULL values must not mint a NULL register row —
+    estimates and exact counts over a frame WITH NULLs equal the
+    NULL-free frame exactly (countDistinct semantics)."""
+    from pydala2_spark.functions.sketch import hll_registers
+
+    clean = spark.range(600).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") / 2).cast("long").alias("v"),
+    )
+    dirty = clean.unionAll(
+        spark.range(40).select(
+            (F.col("id") % 2).cast("string").alias("g"),
+            F.lit(None).cast("long").alias("v"),
+        )
+    )
+    a = {r["g"]: r.asDict() for r in hll_count_distinct(clean, "g", "v").collect()}
+    b = {r["g"]: r.asDict() for r in hll_count_distinct(dirty, "g", "v").collect()}
+    assert a == b
+    ra = sorted(map(tuple, hll_registers(clean, "g", "v").collect()))
+    rb = sorted(map(tuple, hll_registers(dirty, "g", "v").collect()))
+    assert ra == rb and all(r[1] is not None for r in ra)
+
+
+def test_cms_width_stamp_carried_and_validated(spark):
+    """ADVICE r7: cms_build stamps its geometry into the counter
+    frame; cms_estimate defaults to the stamp and REFUSES a
+    conflicting explicit width (probing the wrong modulus can return
+    estimates below the true count)."""
+    df = spark.range(300).select((F.col("id") % 7).cast("string").alias("v"))
+    counters = cms_build(df, "v", depth=3, width=32)
+    md = counters.schema["bucket"].metadata
+    assert md["cms_width"] == 32 and md["cms_depth"] == 3
+
+    items = df.select("v").distinct()
+    # stamped default: no width argument needed
+    est = {r["v"]: r["cms_estimate"]
+           for r in cms_estimate(counters, items, "v").collect()}
+    truth = {r["v"]: r["n"]
+             for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(est[v] >= truth[v] for v in truth)
+
+    with pytest.raises(ValueError, match="width mismatch"):
+        cms_estimate(counters, items, "v", width=64)
+
+    # un-stamped counters (e.g. a raw state-store read) need an
+    # explicit width; matching explicit width on stamped counters is fine
+    bare = counters.select(F.col("row_id"), F.col("bucket").cast("long"), "cnt")
+    with pytest.raises(ValueError, match="no cms_width stamp"):
+        cms_estimate(bare.withColumn("bucket", F.col("bucket")), items, "v")
+    ok = cms_estimate(counters, items, "v", width=32)
+    assert ok.count() == len(truth)
+
+
+def test_profile_dataframe_microsecond_timestamps(spark):
+    """ADVICE r7: timestamps differing only sub-second must count as
+    DISTINCT, and min/max keep the fraction (epoch seconds, µs-exact)."""
+    from pydala2_spark.functions.schema_tools import profile_dataframe
+
+    df = spark.sql(
+        """SELECT * FROM VALUES
+             (TIMESTAMP '2021-01-01 00:00:00.000001'),
+             (TIMESTAMP '2021-01-01 00:00:00.000002'),
+             (TIMESTAMP '2021-01-01 00:00:00.500000')
+           AS t(ts)"""
+    )
+    row = profile_dataframe(df).collect()[0]
+    assert row["n_distinct"] == 3  # was 1 under whole-second epochs
+    assert row["min_num"] == 1609459200.000001
+    assert row["max_num"] == 1609459200.5

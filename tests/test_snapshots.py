@@ -787,3 +787,47 @@ def test_changes_accepts_tag_endpoints(spark, tmp_path):
            for r in ds.changes("release", key_cols=["id"]).collect()}
     assert got == {(3, "insert")}
     assert ds.changes("release", "release", key_cols=["id"]).count() == 0
+
+
+def test_row_level_dml_with_unnormalized_paths(spark, tmp_path):
+    """ADVICE r7 (medium): _mutate_where previously derived the matched
+    file list with a Python split(base) but selected touched rows with a
+    Column substring(len(base)+1) — a non-normalized self.path ('//',
+    '/./') made the two disagree, publishing a version that dropped the
+    matched files with an EMPTY replacement (silent row loss). Both
+    sides now derive from one __rel column over the Hadoop-qualified
+    base; this drives DML through '//' and '/./' spellings of the same
+    dataset and checks no rows are lost. (Fully-relative spellings
+    resolve against the JVM's cwd and are covered by the same
+    makeQualified call.)"""
+    from pydala2_spark.plans.snapshots import SnapshotDataset
+
+    absdir = str(tmp_path / "dml_rel")
+    ds = SnapshotDataset(spark, absdir)
+    ds.commit(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)], "id long, x double"
+        ),
+        mode="overwrite",
+    )
+
+    # run the mutations through a doubled-separator spelling
+    odd = SnapshotDataset(spark, str(tmp_path) + "//dml_rel")
+    assert odd.read().count() == 4
+    out = odd.delete_where("id = 4")
+    assert out["rows"] == 1 and len(out["matched_files"]) >= 1
+    assert sorted(r["id"] for r in odd.read().collect()) == [1, 2, 3]
+
+    # and a /./ spelling
+    dot = SnapshotDataset(spark, str(tmp_path) + "/./dml_rel")
+    up = dot.update_where("id = 1", set={"x": "x + 5"})
+    assert up["rows"] == 1
+    got = {r["id"]: r["x"] for r in dot.read().collect()}
+    assert got == {1: 15.0, 2: 20.0, 3: 30.0}
+
+    # the normalized-spelling handle sees the same post-DML state
+    assert {r["id"]: r["x"] for r in ds.read().collect()} == {
+        1: 15.0,
+        2: 20.0,
+        3: 30.0,
+    }
