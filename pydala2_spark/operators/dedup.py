@@ -380,7 +380,13 @@ def ngram_jaccard_pairs(
     injective on each doc's distinct tokens barring 64-bit collisions),
     so oracle SQL computed on raw tokens still matches. The block-key
     min is md5-based (not xxhash64) so the DuckDB oracle can compute
-    the identical key. Measured 1.7× on the blocked join.
+    the identical key. r8 quiet A/B at sf0.1 (5 alternating runs each):
+    hashed 0.569 s vs raw-string 0.575 s median — parity at this scale
+    (the md5 min-hash map stage dominates); the 8-byte compare
+    advantage grows with candidate-pair volume, so the hashed form
+    stays. The apparent r6→r7 bench regression (1.17→1.79 s) did not
+    reproduce quietly (registry query median 0.645 s) — co-tenant
+    spread, not code.
     """
     if min_hash_bands < 1:
         raise ValueError("min_hash_bands must be >= 1")
