@@ -281,6 +281,12 @@ def profile_dataframe(df: DataFrame, columns: list[str] | None = None) -> DataFr
             # Epoch SECONDS with the sub-second fraction kept (micros /
             # 1e6, rounded to 6 — exact µs): unix_timestamp's whole
             # seconds lost event-grade precision (ADVICE r7).
+            # Precision bound (ADVICE r8): the double is µs-exact only
+            # while |epoch| < ~2^33 s (years ~±270000); beyond that the
+            # ulp exceeds 1 µs and Spark's BigDecimal round vs DuckDB's
+            # float round may differ in the last digit. If far-future/
+            # ancient timestamps ever matter, emit integer epoch-micros
+            # here instead of fractional seconds.
             num = (
                 F.unix_micros(F.col(c).cast("timestamp")).cast("double")
                 / F.lit(1_000_000.0)

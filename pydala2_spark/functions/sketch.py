@@ -72,6 +72,13 @@ def hll_count_distinct(
 
     Output: ``(group_col, hll_estimate, exact_distinct, n_registers_hit)``.
 
+    NULL handling: NULLs are not distinct values (``countDistinct``
+    semantics), so they are filtered BEFORE grouping — a group whose
+    values are ALL NULL produces no output row at all, where a plain
+    ``groupBy().countDistinct()`` would return it with count 0. A
+    caller that needs 0-rows for all-NULL groups should left-join this
+    result back to the group universe and coalesce to 0.
+
     100 TB shape: two hash aggregations. The first reduces the corpus
     to |groups| x m register rows with map-side combine (max(rho) and
     the per-register distinct both combine); the second folds m
@@ -212,6 +219,13 @@ def cms_build(
     # come back BELOW the true count — silently breaking the
     # Count-Min >= truth guarantee (ADVICE r7). cms_estimate reads and
     # validates this, so a build/probe mismatch is a loud error.
+    # CAVEAT (ADVICE r8): the stamp rides COLUMN METADATA, which Spark
+    # drops under expr-selects/casts and resolves from the FIRST child
+    # on union. Counter frames may only be merged (unionAll + re-agg by
+    # sum) when they share geometry — a mixed-width union keeps the
+    # first frame's stamp and validates against the wrong width.
+    # cms_estimate additionally cross-checks the stamped depth against
+    # the distinct row_id count, which catches mixed-DEPTH merges.
     return out.withColumn(
         "bucket",
         F.col("bucket").alias(
@@ -257,13 +271,26 @@ def cms_estimate(
 
     The counter table broadcasts (it is <= depth*width rows by
     construction), so the estimate join never shuffles ``items``.
+
+    Merged counter frames must share geometry: column metadata rides
+    the FIRST union child, so a mixed-width unionAll validates against
+    the wrong modulus undetected. Mixed-DEPTH merges ARE detected: the
+    stamped depth is cross-checked against the frame's distinct
+    ``row_id`` count (more hash rows than the stamp → loud error).
     """
-    stamped = None
+    if "bucket" not in counters.columns:
+        raise ValueError(
+            "cms_estimate: counters frame has no 'bucket' column — this is "
+            "not a cms_build counter table (expected columns "
+            "(row_id, bucket, cnt))"
+        )
+    stamped = stamped_depth = None
     try:
         md = counters.schema["bucket"].metadata or {}
         stamped = int(md["cms_width"]) if "cms_width" in md else None
-    except (KeyError, TypeError, ValueError):
-        stamped = None
+        stamped_depth = int(md["cms_depth"]) if "cms_depth" in md else None
+    except (TypeError, ValueError):
+        stamped = stamped_depth = None
     if width is None:
         if stamped is None:
             raise ValueError(
@@ -279,6 +306,16 @@ def cms_estimate(
             f"over the wrong modulus breaks the Count-Min >= truth "
             f"guarantee"
         )
+    if stamped_depth is not None:
+        n_rows = counters.select("row_id").distinct().count()
+        if n_rows > stamped_depth:
+            raise ValueError(
+                f"cms_estimate: counters frame holds {n_rows} distinct hash "
+                f"rows but is stamped cms_depth={stamped_depth} — counter "
+                "frames built with different depths were merged; rebuild "
+                "with one geometry (mixed-geometry merges break the "
+                "Count-Min >= truth guarantee)"
+            )
     # recompute buckets item-side (one row per hash row of the sketch);
     # then join the counter table on (row, bucket)
     probes = items.crossJoin(
@@ -340,6 +377,10 @@ def hll_registers(
     distinct counting: max is algebraic, so a streaming aggregation
     maintains this frame with bounded state (<= |groups| x 2^p rows,
     FOREVER) — see streaming/pipeline.hll_stream.
+
+    Same NULL rule as :func:`hll_count_distinct`: a group whose values
+    are all NULL mints no register rows and therefore vanishes from the
+    output (left-join back to the group universe for 0-rows).
     """
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")

@@ -850,6 +850,7 @@ def pq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     id_col: str = "vec_id",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: per query the
     m*k dot products against the codebook compute DRIVER-side into a
@@ -857,7 +858,14 @@ def pq_topk(
     the same gate as ``cosine_topk``'s brute force); scoring a corpus
     row is then m array lookups + adds — pure scan-stage expressions
     over the 32x-compressed store, no join wider than corpus × |Q|,
-    one final top-k window shuffle."""
+    one final top-k window shuffle.
+
+    The LUT build COLLECTS the query vectors to the driver, so the
+    query side is hard-capped at ``max_queries`` (the fetch stops at
+    the cap — an oversized frame raises before it can fill driver
+    memory). For query sets beyond broadcast scale use the join-based
+    :func:`cosine_topk` / :func:`ivf_topk`, which keep both sides
+    distributed."""
     mm, d = model["m"], model["dim"]
     dsub = d // mm
     # kmeans can converge with FEWER than k centroids (an empty cluster
@@ -865,7 +873,15 @@ def pq_topk(
     # codebook lengths, never the configured k
     sizes = [len(cb) for cb in model["codebooks"]]
     offsets = [sum(sizes[:j]) for j in range(mm)]
-    qrows = queries.select(query_id_col, vec_col).collect()
+    qrows = queries.select(query_id_col, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_topk: query side exceeds max_queries={max_queries}. The ADC "
+            "lookup tables are driver-built and broadcast — a per-query "
+            "O(m*k) literal — so the query frame must stay broadcast-scale. "
+            "For large query sets use the join-based cosine_topk/ivf_topk, "
+            "or raise max_queries if the driver can hold |Q|*m*k doubles."
+        )
     luts = []
     for r in qrows:
         v = [float(x) for x in r[vec_col]]

@@ -340,3 +340,57 @@ def analyze_dataset(
         if scan is not None:
             scan.unpersist()
     return out
+
+
+def existing_sidecar_columns(spark: SparkSession, dataset_path: str) -> dict:
+    """Discover which skipping sidecars the layout already carries —
+    ``{"bloom": [cols], "ndv": [cols]}`` — from metadata only (one
+    directory listing for bloom, one sidecar-parquet column scan for
+    NDV; neither touches data files). The write-through refresh uses
+    this so a plain ``update_metadata=True`` maintains exactly the
+    sidecars an operator previously opted into, no more."""
+    from pydala2_spark.plans.bloom import _bloom_sidecar_path  # noqa: F401
+    from pydala2_spark.plans.fs import _fs_and_path, path_exists
+    from pydala2_spark.plans.stats import ndv_sidecar_path
+
+    path = dataset_path.rstrip("/")
+    out: dict = {"bloom": [], "ndv": []}
+    broot = f"{path}/_bloom_index"
+    if path_exists(spark, broot):
+        fs, hpath, _ = _fs_and_path(spark, broot)
+        for st in fs.listStatus(hpath):
+            if st.isDirectory():
+                out["bloom"].append(st.getPath().getName())
+        out["bloom"].sort()
+    npath = ndv_sidecar_path(path)
+    if path_exists(spark, npath):
+        rows = (
+            spark.read.parquet(npath)
+            .select("column")
+            .filter(F.col("column") != "")
+            .distinct()
+            .collect()
+        )
+        out["ndv"] = sorted(r["column"] for r in rows)
+    return out
+
+
+def refresh_metadata(spark: SparkSession, dataset_path: str) -> dict:
+    """Write-through sidecar refresh — the reference's
+    ``update_metadata=True`` contract (`pydala/dataset.py:1479-1530`:
+    every write folds the new files into `_metadata` without a manual
+    rebuild). Here: the min/max StatsIndex always refreshes, and every
+    bloom / NDV sidecar that already exists on the layout refreshes
+    incrementally — new files' data is read ONCE, shared across all
+    sidecars, via :func:`analyze_dataset`. Sidecars the caller never
+    built are not invented (building one is an explicit opt-in with
+    geometry choices); use ``Catalog.analyze`` / ``analyze_dataset``
+    to add one.
+    """
+    found = existing_sidecar_columns(spark, dataset_path)
+    return analyze_dataset(
+        spark,
+        dataset_path,
+        bloom_columns=found["bloom"],
+        ndv_columns=found["ndv"],
+    )

@@ -497,6 +497,7 @@ def export_legacy_file_metadata(
     spark: SparkSession,
     dataset_path: str,
     compress: bool = True,
+    max_files: int = 100_000,
 ) -> dict:
     """Write a reference-format ``_file_metadata`` sidecar for this
     dataset — the inverse of :func:`import_legacy_file_metadata`, so
@@ -514,14 +515,29 @@ def export_legacy_file_metadata(
 
     The footer scan is DISTRIBUTED (``mapPartitions`` over the file
     list through the same filesystem-agnostic reader as StatsIndex);
-    only the kilobyte-scale b64 blobs collect to the driver, which
-    matches the single-file sidecar's own driver-side nature.
+    the kilobyte-scale b64 blobs reach the driver one partition at a
+    time (``toLocalIterator`` over a path-sorted frame, not a single
+    ``collect``), which matches the single-file sidecar's own
+    driver-side nature. The format itself is O(files × footer) in one
+    JSON document, so the export REFUSES above ``max_files`` (default
+    10⁵ ≈ a few hundred MB of sidecar) with a pointer at the
+    partitioned StatsIndex, which has no such ceiling — raise
+    ``max_files`` explicitly to accept the memory bill.
     Returns ``{"files": n, "bytes": sidecar_size, "compressed": bool}``.
     """
     from pydala2_spark.plans.fs import list_files, qualified, schemeless
 
     path = dataset_path.rstrip("/")
     files = list_files(spark, path, suffixes=(".parquet",))
+    if len(files) > max_files:
+        raise ValueError(
+            f"export_legacy_file_metadata: dataset has {len(files)} data files, "
+            f"over max_files={max_files}. The legacy _file_metadata sidecar is a "
+            "single JSON document holding every footer — O(files) memory for "
+            "whoever writes or reads it, by format. Pass a larger max_files to "
+            "accept that, or stay on the partitioned StatsIndex sidecar "
+            "(pydala2_spark.plans.stats.StatsIndex), which scales past this."
+        )
     base = schemeless(qualified(spark, path)).rstrip("/")
 
     reg = dict(_SCHEME_FILESYSTEMS)  # by value: closure ships to executors
@@ -547,10 +563,16 @@ def export_legacy_file_metadata(
     entries: dict[str, dict] = {}
     if files:
         n = min(len(files), spark.sparkContext.defaultParallelism)
-        rows = (
-            spark.sparkContext.parallelize(files, n).mapPartitions(_blobs).collect()
-        )
-        for p, b64, num_rows, num_cols, created_by, fmt in sorted(rows):
+        # partition-streamed: the driver holds at most one partition of
+        # blobs beyond the entries dict itself (no collect double-buffer)
+        blob_df = spark.createDataFrame(
+            spark.sparkContext.parallelize(files, n).mapPartitions(_blobs),
+            schema=(
+                "path string, b64 string, num_rows long, num_cols int, "
+                "created_by string, fmt string"
+            ),
+        ).orderBy("path")
+        for p, b64, num_rows, num_cols, created_by, fmt in blob_df.toLocalIterator():
             rel = schemeless(qualified(spark, p))
             # boundary-safe strip: '/data/ds' must not match '/data/ds2/x'
             if rel.startswith(base.rstrip("/") + "/"):

@@ -5989,6 +5989,49 @@ def mm_blockhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "s12_update_metadata_writethrough",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE n_chars BETWEEN 200 AND 600
+    """,
+)
+def s12_update_metadata_writethrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 write-through sidecar refresh, end to end (reference
+    ``update_metadata=True`` on write, `pydala/dataset.py:1479-1530`):
+    two writes land the corpus with the knob on, then the range query
+    is answered THROUGH the StatsIndex-pruned scan — ``read_pruned``
+    trusts the sidecar verbatim, so if write-through ever failed to
+    index the second write's files those rows would vanish from the
+    result and the oracle hash would flip. No manual ANALYZE anywhere.
+
+    At 100 TB: each write's refresh footer-scans only the files that
+    write added (distributed over executors), and the read prunes to
+    files whose min/max overlap the range — I/O scales with data under
+    the predicate, not with the dataset."""
+    from pydala2_spark.plans.stats import StatsIndex
+    from pydala2_spark.sources.dataset import ParquetDataset
+
+    path = _app_scoped_tmp(spark, sf_dir, "pydala2_spark_s12") + "/ds"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    ds = ParquetDataset(path, spark)
+    ds.write_to_dataset(
+        docs.filter(F.col("doc_id") % 2 == 0).repartition(4),
+        mode="overwrite",
+        update_metadata=True,
+    )
+    ds.write_to_dataset(
+        docs.filter(F.col("doc_id") % 2 != 0).repartition(4),
+        mode="append",
+        update_metadata=True,
+    )
+    pruned = StatsIndex(spark, path).read_pruned("n_chars", 200, 600)
+    return pruned.filter(F.col("n_chars").between(200, 600)).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -6000,66 +6043,16 @@ def mm_blockhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mirror (scripts/check_correctness.py runs every entry).
 
 _VERIFY_FIRST = [
-    # round 8 rotation — the r7 verdict's #1 ask, honored exactly:
-    # the driver window is the 50 STALEST registry entries (last
-    # driver-checked r5/r6; every one mirror-green in every session
-    # since). Stored r8-rotation order from NOTES_r07 / the r7
-    # registry tail. The 45 next-stalest follow immediately (the r9
-    # window head, printed in NOTES_r08); the 50 r7-driver-checked
-    # entries sit at the tail (freshest — all 50/50 green in
-    # CORRECTNESS_r07.json).
-    # --- the r8 driver window: positions 0-49 ---
-    "scan_filter_project",
-    "sort_limit_topk",
-    "distinct_keyed",
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "agg_rollup_status_priority",
-    "agg_approx_distinct",
-    "q3_shipping_priority",
-    "q5_nation_revenue",
-    "q10_returned_items",
-    "join_semi_anti",
-    "set_ops_union_except",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_predicates",
-    "q22_inactive_customers",
-    "q2_min_cost_supplier",
-    "q15_top_suppliers",
-    "q21_multi_exists",
-    "q16_supplier_count_by_part",
-    "q20_volume_suppliers",
-    "set_ops_except",
-    "q12_priority_by_linestatus",
-    "q11_supplier_value_share",
-    "string_function_suite",
-    "agg_cube_flag_status",
-    "agg_grouping_sets",
-    "merge_scd2_history",
-    "ev_json_extract",
-    "doc_token_explode_top",
-    "w_value_deciles",
-    "w_top_orders_per_customer",
-    "w_monthly_growth",
-    "w_rank_distribution_frames",
-    "ev_hourly_rollup",
-    "stream_hourly_rollup",
-    "ev_sessionization",
-    "ev_type_value_stats",
-    "asof_click_before_purchase",
-    "range_join_ship_window",
-    "doc_token_stats",
-    "doc_quality_scores",
-    "doc_lang_id",
-    "doc_exact_dedup",
-    # --- next-stalest 45: the r9 window head (NOT in the r8 window) ---
+    # round 9 rotation — the r8 verdict's #2 ask: the 45 registry
+    # entries whose last driver check is r6-era (the r8 window covered
+    # the 50 stalest; the r7 window covered the tail 50; these 45 are
+    # everything in between) lead, so after r9 EVERY registry entry
+    # has a driver-green row from r7 or later. The remaining 5 slots:
+    # the new-this-round S12 write-through query (never driver-seen)
+    # plus 4 r7-checked entries. Entries past the window hold green
+    # rows from r7/r8 and stay covered by the full local mirror
+    # (scripts/check_correctness.py).
+    # --- the r9 driver window: positions 0-49 ---
     "doc_fingerprint_groups",
     "dedup_minhash_lsh",
     "dedup_ngram_blocked",
@@ -6105,6 +6098,11 @@ _VERIFY_FIRST = [
     "emb_quantized_rerank",
     "stream_dedup_ingest",
     "mm_blockhash",
+    "s12_update_metadata_writethrough",
+    "array_function_suite",
+    "date_arithmetic_suite",
+    "pivot_status_by_priority",
+    "w_running_revenue",
 ]
 
 

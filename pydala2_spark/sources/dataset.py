@@ -384,9 +384,22 @@ class BaseDataset:
         Accepts a Spark DataFrame, pandas DataFrame, pyarrow Table /
         RecordBatch, or a list of those treated as one logical batch —
         the reference's input families (`pydala/dataset.py:865-882`).
+
+        ``update_metadata=True`` (the reference's write-through sidecar
+        contract, `pydala/dataset.py:1479-1530`) folds the written
+        files into the skipping sidecars in the same call: StatsIndex
+        always, plus any bloom / NDV sidecars the layout already
+        carries — new files' data is scanned once, shared across
+        sidecars. Parquet datasets only (sidecars are footer-derived).
         """
         from pydala2_spark.sources.writer import Writer
 
+        update_metadata = bool(kwargs.pop("update_metadata", False))
+        if update_metadata and self.format != "parquet":
+            raise ValueError(
+                "update_metadata=True requires a parquet dataset (the "
+                f"skipping sidecars are parquet-footer-derived); format={self.format!r}"
+            )
         writer = Writer(self.spark, self.path, format=self.format)
         writer.write(
             data,
@@ -396,6 +409,10 @@ class BaseDataset:
             **kwargs,
         )
         self.clear_cache()
+        if update_metadata:
+            from pydala2_spark.plans.analyze import refresh_metadata
+
+            refresh_metadata(self.spark, self.path)
 
     write = write_to_dataset
 
@@ -496,9 +513,12 @@ class ParquetDataset(BaseDataset):
         partition_by: list[str] | None = None,
         **kw,
     ):
-        """Keyed insert/update/upsert — see :func:`pydala2_spark.operators.merge.merge`."""
+        """Keyed insert/update/upsert — see :func:`pydala2_spark.operators.merge.merge`.
+        ``update_metadata=True`` additionally folds the touched files
+        (added AND rewritten-away) into the existing skipping sidecars."""
         from pydala2_spark.operators.merge import merge as _merge
 
+        update_metadata = bool(kw.pop("update_metadata", False))
         result = _merge(
             self.spark,
             target_path=self.path,
@@ -511,14 +531,21 @@ class ParquetDataset(BaseDataset):
         if partition_by and not self.partitioning:
             self.partitioning = list(partition_by)
         self.clear_cache()
+        if update_metadata:
+            from pydala2_spark.plans.analyze import refresh_metadata
+
+            refresh_metadata(self.spark, self.path)
         return result
 
     def delete_where(self, predicate, **kw) -> dict:
         """Row-level predicate DELETE with file-selective rewrite —
         see :func:`pydala2_spark.operators.merge.delete_where` (rows
-        where the predicate is NULL survive, SQL DELETE semantics)."""
+        where the predicate is NULL survive, SQL DELETE semantics).
+        ``update_metadata=True`` folds the rewrite into the existing
+        skipping sidecars in the same call."""
         from pydala2_spark.operators.merge import delete_where as _dw
 
+        update_metadata = bool(kw.pop("update_metadata", False))
         out = _dw(
             self.spark,
             self.path,
@@ -527,15 +554,22 @@ class ParquetDataset(BaseDataset):
             **kw,
         )
         self.clear_cache()
+        if update_metadata:
+            from pydala2_spark.plans.analyze import refresh_metadata
+
+            refresh_metadata(self.spark, self.path)
         return out
 
     def update_where(self, predicate, set: dict, **kw) -> dict:
         """Row-level predicate UPDATE with file-selective rewrite —
         see :func:`pydala2_spark.operators.merge.update_where` (SET
         expressions evaluate against the pre-update row; NULL
-        predicates preserve the row, SQL UPDATE semantics)."""
+        predicates preserve the row, SQL UPDATE semantics).
+        ``update_metadata=True`` folds the rewrite into the existing
+        skipping sidecars in the same call."""
         from pydala2_spark.operators.merge import update_where as _uw
 
+        update_metadata = bool(kw.pop("update_metadata", False))
         out = _uw(
             self.spark,
             self.path,
@@ -545,6 +579,10 @@ class ParquetDataset(BaseDataset):
             **kw,
         )
         self.clear_cache()
+        if update_metadata:
+            from pydala2_spark.plans.analyze import refresh_metadata
+
+            refresh_metadata(self.spark, self.path)
         return out
 
     # -- maintenance (M1-M8; `pydala/dataset.py:2033-2603`) --------------

@@ -181,3 +181,71 @@ def test_fused_single_data_scan(spark, tmp_ds_path, monkeypatch):
     assert len(data_scans) == 1, f"expected 1 data scan, saw {data_scans}"
     # and that one scan touches only the appended file
     assert len(data_scans[0]) == 1
+
+
+def test_update_metadata_write_through(spark, tmp_ds_path):
+    """S12 write-through (reference ``update_metadata=True``,
+    `pydala/dataset.py:1479-1530`): a write/DML with the knob folds the
+    touched files into every EXISTING sidecar in the same call — a
+    follow-up analyze finds nothing left to index — and never invents
+    sidecars the caller didn't build."""
+    import os
+
+    from pydala2_spark.sources.dataset import CSVDataset, ParquetDataset
+
+    _write_batches(spark, tmp_ds_path, 2)
+    analyze_dataset(spark, tmp_ds_path, bloom_columns=["id"], ndv_columns=["id"])
+
+    ds = ParquetDataset(tmp_ds_path, spark)
+    ds.write_to_dataset(
+        spark.createDataFrame(make_simple_pdf(40, seed=1000)),
+        mode="append",
+        update_metadata=True,
+    )
+    # everything the write added is already indexed in ALL sidecars
+    out = analyze_dataset(spark, tmp_ds_path, bloom_columns=["id"], ndv_columns=["id"])
+    assert out["stats"]["added"] == 0 and out["stats"]["removed"] == 0
+    assert out["bloom:id"]["added"] == 0
+    assert out["ndv"]["added"] == 0 and out["ndv"]["new_columns"] == []
+    # no sidecar invention: only the opted-into bloom column exists
+    assert os.listdir(f"{tmp_ds_path}/_bloom_index") == ["id"]
+
+    # row-level DML write-through: rewritten-away files leave the
+    # index, replacement files enter it, in the same call
+    ds.delete_where("id < 5", update_metadata=True)
+    out = analyze_dataset(spark, tmp_ds_path, bloom_columns=["id"], ndv_columns=["id"])
+    assert out["stats"]["added"] == 0 and out["stats"]["removed"] == 0
+    assert out["bloom:id"]["added"] == 0
+    assert out["ndv"]["added"] == 0
+    # the index matches the live layout exactly
+    live = {p.rsplit("/", 1)[-1] for p in ds.files()}
+    indexed = {
+        r["file_path"].rsplit("/", 1)[-1]
+        for r in StatsIndex(spark, tmp_ds_path).stats().collect()
+    }
+    assert indexed == live
+
+    # sidecars are parquet-footer-derived: non-parquet formats refuse
+    with pytest.raises(ValueError, match="parquet"):
+        CSVDataset(f"{tmp_ds_path}_csv", spark).write_to_dataset(
+            spark.createDataFrame(make_simple_pdf(5)), update_metadata=True
+        )
+
+
+def test_update_metadata_stats_only_when_no_sidecars(spark, tmp_ds_path):
+    """With no sidecars built yet, ``update_metadata=True`` maintains
+    just the StatsIndex (always-on min/max skipping) and leaves the
+    opt-in bloom/NDV layers absent."""
+    import os
+
+    from pydala2_spark.sources.dataset import ParquetDataset
+
+    ds = ParquetDataset(tmp_ds_path, spark)
+    ds.write_to_dataset(
+        spark.createDataFrame(make_simple_pdf(30)), mode="append", update_metadata=True
+    )
+    idx = StatsIndex(spark, tmp_ds_path)
+    assert idx.exists() and idx.stats().count() >= 1
+    assert idx.refresh()["added"] == 0  # nothing left unindexed
+    assert not os.path.exists(f"{tmp_ds_path}/_bloom_index")
+    assert not os.path.exists(ndv_sidecar_path(tmp_ds_path))

@@ -783,3 +783,20 @@ def test_explain_pruning_conservative_on_stale_index(spark, tmp_ds_path):
     # only the two indexed files are provably skippable
     assert r["total_files"] == 3 and r["files_to_scan"] == 1
     assert r["stats_kept"] == 1  # the unindexed file, kept conservatively
+
+
+def test_export_legacy_file_metadata_refuses_above_cap(spark, tmp_ds_path):
+    """The legacy sidecar is one JSON document holding every footer —
+    O(files) memory by format — so the export refuses above max_files
+    with an error naming the scalable alternative, and writes nothing."""
+    import os
+
+    from pydala2_spark.plans.stats import export_legacy_file_metadata
+
+    _write_fragmented(spark, tmp_ds_path, n_batches=3, rows=10)
+    with pytest.raises(ValueError, match="max_files.*StatsIndex"):
+        export_legacy_file_metadata(spark, tmp_ds_path, max_files=2)
+    assert not os.path.exists(f"{tmp_ds_path}/_file_metadata")
+    # raising the cap explicitly accepts the bill and proceeds
+    r = export_legacy_file_metadata(spark, tmp_ds_path, max_files=3)
+    assert r["files"] == 3

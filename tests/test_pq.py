@@ -157,3 +157,18 @@ def test_dim_stats_moments_match_numpy(spark):
     )
     c = {r["dim"]: r for r in dim_stats(cdf, "embedding").collect()}
     assert c[0]["std"] == 0.0 and c[0]["mean"] == 1.25
+
+
+def test_pq_topk_query_side_cap(spark, clustered):
+    """The ADC LUT build collects the query frame to the driver, so an
+    oversized query side must refuse with a pointer at the join-based
+    paths — and the fetch itself stops at the cap (limit(cap+1)), so
+    the refusal cannot OOM the driver on the way to the error."""
+    model = pq_train(clustered, m=4, k=8, iters=2, dim=DIM)
+    codes = pq_encode(clustered, model)
+    qf = clustered.withColumnRenamed("vec_id", "query_id")
+    with pytest.raises(ValueError, match="max_queries.*cosine_topk"):
+        pq_topk(codes, qf, model, k=3, max_queries=5)
+    # at the cap boundary the query side still runs
+    ok = pq_topk(codes, qf.limit(5), model, k=3, max_queries=5)
+    assert ok.select("query_id").distinct().count() == 5

@@ -274,3 +274,32 @@ def test_profile_dataframe_microsecond_timestamps(spark):
     assert row["n_distinct"] == 3  # was 1 under whole-second epochs
     assert row["min_num"] == 1609459200.000001
     assert row["max_num"] == 1609459200.5
+
+
+def test_cms_estimate_requires_bucket_column(spark):
+    """ADVICE r8: a frame without 'bucket' is not a counter table —
+    refuse immediately with a clear error, never fall through to a
+    later AnalysisException in the join."""
+    df = spark.range(10).selectExpr("id AS user_id")
+    not_counters = spark.range(3).selectExpr("id AS row_id", "id AS cnt")
+    with pytest.raises(ValueError, match="no 'bucket' column"):
+        cms_estimate(not_counters, df, "user_id", width=16)
+
+
+def test_cms_mixed_depth_merge_detected(spark):
+    """ADVICE r8: the stamp rides the FIRST union child, so a mixed-
+    depth merge would validate against the wrong geometry — the
+    distinct-row_id cross-check catches it."""
+    df = spark.range(200).selectExpr("(id % 7) AS user_id")
+    d2 = cms_build(df, "user_id", depth=2, width=16)
+    d4 = cms_build(df, "user_id", depth=4, width=16)
+    merged = (
+        d2.unionByName(d4)
+        .groupBy("row_id", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    # metadata resolves from the first child: stamped depth 2, but the
+    # frame holds 4 hash rows
+    items = df.distinct()
+    with pytest.raises(ValueError, match="different depths"):
+        cms_estimate(merged, items, "user_id")
