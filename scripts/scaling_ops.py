@@ -293,6 +293,116 @@ def main():
             reps=1,
         )
 
+    # --- r9 continuation ops (r8 verdict ask #6) -----------------------
+
+    # pagerank: the heavy step is the per-user transition window over
+    # events (linear); the fixed-k rank loop runs on the event-type
+    # vocabulary, which does NOT grow with the corpus. Expect ~linear.
+    from pydala2_spark.operators.graph import pagerank, transition_edges
+
+    for label in (("1x", "big") if want("pagerank") else ()):
+        d = f"{ROOT}/ev_{label}"
+        out.setdefault("pagerank", {})[label] = timed(
+            lambda d=d: pagerank(
+                transition_edges(spark.read.parquet(d)), iterations=3
+            ).count(),
+            reps=2,
+        )
+
+    # ivm delta-join apply: fixed-RATE edit (every 97th doc) so the
+    # change feed grows linearly with the corpus while the rollup
+    # state stays |langs| rows. Timed step = changes() diff (linear
+    # hash-compare of the two versions) + delta routed through the
+    # broadcast dim; the fact table is never re-aggregated.
+    from pydala2_spark.operators.ivm import (
+        apply_fact_changes_through_join,
+        join_rollup_state,
+    )
+    from pydala2_spark.plans.snapshots import SnapshotDataset as _SD
+
+    for label in (("1x", "big") if want("ivm_join_apply") else ()):
+        d = f"{ROOT}/docs_{label}"
+        p = f"{ROOT}/ivm_{label}"
+        shutil.rmtree(p, ignore_errors=True)
+        base = spark.read.parquet(d).select("doc_id", "lang", "n_chars")
+        dim = (
+            base.select("lang").distinct()
+            .withColumn("grp", F.substring("lang", 1, 1))
+        )
+        sd = _SD(spark, p)
+        sd.commit(base.repartition(8), mode="overwrite")
+        edited = base.withColumn(
+            "n_chars",
+            F.when(F.col("doc_id") % 97 == 0, F.col("n_chars") + 1).otherwise(
+                F.col("n_chars")
+            ),
+        )
+        sd.commit(edited.repartition(8), mode="overwrite")
+        state_v1 = join_rollup_state(sd.read(1), dim, "lang", ["grp"], ["n_chars"])
+        out.setdefault("ivm_join_apply", {})[label] = timed(
+            lambda sd=sd, s=state_v1, dm=dim: apply_fact_changes_through_join(
+                s,
+                sd.changes(1, 2, key_cols=["doc_id"], update_images="both"),
+                dm,
+                "lang",
+                ["grp"],
+                ["n_chars"],
+            ).count(),
+            reps=2,
+        )
+
+    # snapshot row-level DML: uniformly-spread predicate (worst case —
+    # every file holds matches, so the file-selective rewrite touches
+    # the whole corpus; expect ~linear). A clustered predicate would
+    # rewrite only touched files.
+    for label in (("1x", "big") if want("snap_dml") else ()):
+        d = f"{ROOT}/docs_{label}"
+        p = f"{ROOT}/snapdml_{label}"
+        shutil.rmtree(p, ignore_errors=True)
+        sd = SnapshotDataset(spark, p)
+        sd.commit(spark.read.parquet(d), mode="overwrite")
+        out.setdefault("snap_update_where", {})[label] = timed(
+            lambda sd=sd: sd.update_where(
+                "doc_id % 997 = 0", set={"n_chars": "n_chars + 1"}
+            ),
+            reps=1,
+        )
+        out.setdefault("snap_delete_where", {})[label] = timed(
+            lambda sd=sd: sd.delete_where("doc_id % 1009 = 0"), reps=1
+        )
+
+    # persisted text index: build is the one corpus scan (linear);
+    # refresh folds a FIXED 1k-doc batch (cost = batch tokens + the
+    # vocab-sized terms rewrite — corpus-size-insensitive up to vocab
+    # growth); the indexed search reads only the query terms' bucket
+    # partitions + doclen (sublinear in corpus).
+    from pydala2_spark.operators.curate import (
+        bm25_search_indexed,
+        build_text_index,
+        refresh_text_index,
+    )
+
+    for label in (("1x", "big") if want("text_index") else ()):
+        d = f"{ROOT}/docs_{label}"
+        p = f"{ROOT}/tidx_{label}"
+        shutil.rmtree(p, ignore_errors=True)
+        docs = spark.read.parquet(d)
+        out.setdefault("text_index_build", {})[label] = timed(
+            lambda docs=docs, p=p: build_text_index(spark, docs, p), reps=1
+        )
+        batch = docs.orderBy("doc_id").limit(1000).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10_000_000_000)
+        )
+        out.setdefault("text_index_refresh", {})[label] = timed(
+            lambda b=batch, p=p: refresh_text_index(spark, b, p), reps=1
+        )
+        out.setdefault("bm25_search_indexed", {})[label] = timed(
+            lambda p=p: bm25_search_indexed(
+                spark, p, ["the", "model", "data"]
+            ).count(),
+            reps=2,
+        )
+
     print(f"{'op':24s} {'1x':>7s} {'x' + str(FACTOR):>7s} {'ratio':>7s}")
     for op, t in out.items():
         ratio = t["big"] / t["1x"]
