@@ -278,10 +278,11 @@ def cms_estimate(
     stamped depth is cross-checked against the frame's distinct
     ``row_id`` count (more hash rows than the stamp → loud error).
     """
-    if "bucket" not in counters.columns:
+    missing = [c for c in ("row_id", "bucket", "cnt") if c not in counters.columns]
+    if missing:
         raise ValueError(
-            "cms_estimate: counters frame has no 'bucket' column — this is "
-            "not a cms_build counter table (expected columns "
+            f"cms_estimate: counters frame lacks column(s) {missing} — this "
+            "is not a cms_build counter table (expected columns "
             "(row_id, bucket, cnt))"
         )
     stamped = stamped_depth = None
@@ -306,20 +307,40 @@ def cms_estimate(
             f"over the wrong modulus breaks the Count-Min >= truth "
             f"guarantee"
         )
-    if stamped_depth is not None:
-        n_rows = counters.select("row_id").distinct().count()
-        if n_rows > stamped_depth:
-            raise ValueError(
-                f"cms_estimate: counters frame holds {n_rows} distinct hash "
-                f"rows but is stamped cms_depth={stamped_depth} — counter "
-                "frames built with different depths were merged; rebuild "
-                "with one geometry (mixed-geometry merges break the "
-                "Count-Min >= truth guarantee)"
-            )
+    # Materialize the counter table ONCE before it is referenced twice
+    # (probe row_id list, estimate join): it is <= d*w rows by
+    # construction, but its LINEAGE is a corpus scan, and Catalyst
+    # emits no ReusedExchange across the references — lazy, each would
+    # re-run the scan. coalesce(1) first: the one-partition checkpoint
+    # costs one task per downstream read instead of a full
+    # shuffle-partition fan of empty tasks (the aggregation above it
+    # still runs at full parallelism).
+    counters = counters.coalesce(1).localCheckpoint(eager=False)
+    # the driver-side row_id list (<= depth values) serves both the
+    # mixed-depth-merge check and the probe expansion — no extra pass
+    row_ids = sorted(
+        r["row_id"] for r in counters.select("row_id").distinct().collect()
+    )
+    if stamped_depth is not None and len(row_ids) > stamped_depth:
+        raise ValueError(
+            f"cms_estimate: counters frame holds {len(row_ids)} distinct "
+            f"hash rows but is stamped cms_depth={stamped_depth} — counter "
+            "frames built with different depths were merged; rebuild with "
+            "one geometry (mixed-geometry merges break the Count-Min >= "
+            "truth guarantee)"
+        )
     # recompute buckets item-side (one row per hash row of the sketch);
     # then join the counter table on (row, bucket)
-    probes = items.crossJoin(
-        F.broadcast(counters.select("row_id").distinct())
+    if not row_ids:  # empty counter table → no estimates (as before)
+        return items.select(F.col(value_col)).limit(0).withColumn(
+            "cms_estimate", F.lit(0).cast("long")
+        )
+    rid_type = counters.schema["row_id"].dataType.simpleString()
+    probes = items.select(
+        F.col(value_col),
+        F.explode(
+            F.array(*[F.lit(int(i)) for i in row_ids]).cast(f"array<{rid_type}>")
+        ).alias("row_id"),
     ).select(
         F.col(value_col),
         F.col("row_id"),

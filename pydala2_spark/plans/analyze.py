@@ -349,7 +349,6 @@ def existing_sidecar_columns(spark: SparkSession, dataset_path: str) -> dict:
     NDV; neither touches data files). The write-through refresh uses
     this so a plain ``update_metadata=True`` maintains exactly the
     sidecars an operator previously opted into, no more."""
-    from pydala2_spark.plans.bloom import _bloom_sidecar_path  # noqa: F401
     from pydala2_spark.plans.fs import _fs_and_path, path_exists
     from pydala2_spark.plans.stats import ndv_sidecar_path
 

@@ -282,7 +282,7 @@ def test_cms_estimate_requires_bucket_column(spark):
     later AnalysisException in the join."""
     df = spark.range(10).selectExpr("id AS user_id")
     not_counters = spark.range(3).selectExpr("id AS row_id", "id AS cnt")
-    with pytest.raises(ValueError, match="no 'bucket' column"):
+    with pytest.raises(ValueError, match=r"lacks column\(s\) \['bucket'\]"):
         cms_estimate(not_counters, df, "user_id", width=16)
 
 
