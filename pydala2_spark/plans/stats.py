@@ -343,13 +343,20 @@ class StatsIndex:
         if old is not None and (indexed - removed):
             parts.append(old.filter(~F.col("file_path").isin(list(removed)) if removed else F.lit(True)))
         if added:
-            n = min(len(added), self.spark.sparkContext.defaultParallelism)
-            rdd = self.spark.sparkContext.parallelize(added, n).mapPartitions(
-                lambda it, b=base, reg=dict(_SCHEME_FILESYSTEMS): _read_footers(
-                    b, it, reg
+            if len(added) <= 32:
+                # small append (the write-through common case): footers
+                # are kilobytes — reading them on the driver skips a
+                # whole parallelize/mapPartitions job round-trip
+                rows = list(_read_footers(base, added, dict(_SCHEME_FILESYSTEMS)))
+                parts.append(self.spark.createDataFrame(rows, STATS_SCHEMA))
+            else:
+                n = min(len(added), self.spark.sparkContext.defaultParallelism)
+                rdd = self.spark.sparkContext.parallelize(added, n).mapPartitions(
+                    lambda it, b=base, reg=dict(_SCHEME_FILESYSTEMS): _read_footers(
+                        b, it, reg
+                    )
                 )
-            )
-            parts.append(self.spark.createDataFrame(rdd, STATS_SCHEMA))
+                parts.append(self.spark.createDataFrame(rdd, STATS_SCHEMA))
         new_index = parts[0] if parts else self.spark.createDataFrame([], STATS_SCHEMA)
         for p in parts[1:]:
             new_index = new_index.unionByName(p)
