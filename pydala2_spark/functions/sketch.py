@@ -452,3 +452,50 @@ def hll_estimate_from_registers(
         est.alias("hll_estimate"),
         F.col("__hit").alias("n_registers_hit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k / K-minimum-values) sketch
+# ---------------------------------------------------------------------------
+
+
+def kmv_hashes(df: DataFrame, value_col: str) -> DataFrame:
+    """Distinct 60-bit hashes of ``value_col`` — the substrate every
+    KMV estimate is computed from (one map-side-combined distinct of
+    the corpus; NULLs are not values, same rule as HLL)."""
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(hash60(F.col(value_col)).alias("h"))
+        .distinct()
+    )
+
+
+def kmv_bottom_k(hashes: DataFrame, k: int = 64) -> DataFrame:
+    """The k smallest distinct hashes — the KMV state (Bar-Yossef et
+    al. 2002). ``orderBy(h).limit(k)`` compiles to Spark's
+    TakeOrderedAndProject: every partition keeps a LOCAL bottom-k and
+    only k rows per partition reach the driver-side merge — no
+    single-partition window skew, which is what makes this the 100 TB
+    shape (a ``row_number`` over one global ordering would funnel the
+    whole distinct set through one task).
+
+    KMV states MERGE by union + re-bottom-k, and unlike HLL registers
+    the state supports SET OPERATIONS: the bottom-k of a union is
+    computable from the per-set states alone, and intersection follows
+    from Jaccard over the union sketch (the fraction of the union's
+    bottom-k present in both sets) — see :func:`kmv_estimate_expr` and
+    the ``agg_kmv_set_ops`` registry query.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return hashes.orderBy("h").limit(k)
+
+
+def kmv_estimate_expr(nd_col: str, hk_col: str, k: int) -> Column:
+    """Distinct-count estimate from a KMV state summary: exact below
+    ``k`` (the sketch holds the whole set), else the unbiased
+    ``(k-1) * 2^60 / h_k`` with ``h_k`` the k-th smallest hash —
+    integer inputs, one IEEE division, round(2): oracle-portable."""
+    return F.when(
+        F.col(nd_col) <= k, F.col(nd_col).cast("double")
+    ).otherwise(F.round(F.lit(float((k - 1) * (1 << 60))) / F.col(hk_col), 2))

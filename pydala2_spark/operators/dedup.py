@@ -1360,3 +1360,47 @@ def linkage_scores(
         .otherwise(F.lit("non_match"))
     )
     return pairs.select(*out_cols, score.alias("score"), verdict.alias("verdict"))
+
+
+def canonicalize_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Disposition AFTER near-dup clustering: every document maps to
+    the canonical representative of its duplicate cluster — the
+    highest-``quality_col`` member, ties to the smallest id — and
+    singletons map to themselves. Output: ``(id_col, canonical_id,
+    is_kept)``; filtering ``is_kept`` yields the deduplicated corpus,
+    keeping the version worth keeping (the curation step that plain
+    min-id dedup gets wrong when replicas differ in quality).
+
+    100 TB shape: the representative is ``max_by(id, struct(quality,
+    -id))`` — ONE map-side-combined aggregation over the cluster
+    frame, no per-cluster window (a window would funnel each cluster
+    through one task; a boilerplate mega-cluster then stalls the
+    stage). The final mapping is two id-keyed left joins of narrow
+    frames; document text never moves.
+    """
+    clusters = duplicate_clusters(pairs)
+    if id_col != "doc_id":  # duplicate_clusters emits doc_id
+        clusters = clusters.withColumnRenamed("doc_id", id_col)
+    members = clusters.join(df.select(id_col, quality_col), id_col)
+    reps = members.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(F.col(quality_col), (-F.col(id_col)).alias("__neg")),
+        ).alias("__canon")
+    )
+    out = (
+        df.select(id_col)
+        .join(clusters.select(id_col, "cluster_id"), id_col, "left")
+        .join(reps, "cluster_id", "left")
+    )
+    canon = F.coalesce(F.col("__canon"), F.col(id_col))
+    return out.select(
+        F.col(id_col),
+        canon.alias("canonical_id"),
+        (canon == F.col(id_col)).alias("is_kept"),
+    )

@@ -6032,6 +6032,179 @@ def s12_update_metadata_writethrough(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@query(
+    "agg_kmv_set_ops",
+    """
+    WITH hs AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), a AS (SELECT h FROM hs WHERE event_type = 'click'),
+    b AS (SELECT h FROM hs WHERE event_type = 'purchase'),
+    u AS (SELECT DISTINCT h FROM hs),
+    ka AS (SELECT max(h) AS hk FROM (SELECT h FROM a ORDER BY h LIMIT 64)),
+    kb AS (SELECT max(h) AS hk FROM (SELECT h FROM b ORDER BY h LIMIT 64)),
+    ku AS (SELECT max(h) AS hk FROM (SELECT h FROM u ORDER BY h LIMIT 64)),
+    uk AS (SELECT h FROM u ORDER BY h LIMIT 64),
+    na AS (SELECT count(*) AS nd FROM a),
+    nb AS (SELECT count(*) AS nd FROM b),
+    nu AS (SELECT count(*) AS nd FROM u),
+    mm AS (SELECT count(*) AS m FROM uk JOIN a USING (h) JOIN b USING (h)),
+    ix AS (SELECT count(*) AS inter_exact FROM a JOIN b USING (h))
+    SELECT na.nd AS click_exact,
+           CASE WHEN na.nd <= 64 THEN CAST(na.nd AS DOUBLE)
+                ELSE round(63.0 * 1152921504606846976 / ka.hk, 2)
+           END AS click_est,
+           nb.nd AS purchase_exact,
+           CASE WHEN nb.nd <= 64 THEN CAST(nb.nd AS DOUBLE)
+                ELSE round(63.0 * 1152921504606846976 / kb.hk, 2)
+           END AS purchase_est,
+           nu.nd AS union_exact,
+           CASE WHEN nu.nd <= 64 THEN CAST(nu.nd AS DOUBLE)
+                ELSE round(63.0 * 1152921504606846976 / ku.hk, 2)
+           END AS union_est,
+           ix.inter_exact,
+           round(CAST(mm.m AS DOUBLE) / least(64, nu.nd)
+                 * (CASE WHEN nu.nd <= 64 THEN CAST(nu.nd AS DOUBLE)
+                         ELSE round(63.0 * 1152921504606846976 / ku.hk, 2) END),
+                 2) AS inter_est
+    FROM na, nb, nu, ka, kb, ku, mm, ix
+    """,
+)
+def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) sketch with SET-OPERATION estimates — the
+    cardinality question HLL registers cannot answer: distinct
+    clickers, distinct purchasers, their UNION, and their INTERSECTION
+    (via Jaccard over the union sketch), each next to its exact value.
+    The sketch is 64 longs per set and merges by union + re-bottom-k,
+    so day-over-day overlap questions answer from stored states
+    without re-reading either day.
+
+    100 TB shape: ONE map-side-combined distinct of (set, hash), then
+    every bottom-k is Spark's TakeOrderedAndProject — each partition
+    forwards at most k rows, no global-ordering window skew — over the
+    once-materialized hash frame. Estimates are integer inputs + one
+    IEEE division each, so the DuckDB oracle lands bit-for-bit.
+    See functions/sketch.kmv_bottom_k.
+    """
+    from pydala2_spark.functions.sketch import (
+        hash60,
+        kmv_bottom_k,
+        kmv_estimate_expr,
+    )
+    from pydala2_spark.operators.dedup import _materialize_once
+
+    K = 64
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    hs = _materialize_once(
+        ev.select("event_type", hash60(F.col("user_id")).alias("h")).distinct()
+    )
+    a = hs.filter(F.col("event_type") == "click").select("h")
+    b = hs.filter(F.col("event_type") == "purchase").select("h")
+    u = hs.select("h").distinct()
+
+    def summary(df, tag):
+        kth = kmv_bottom_k(df, K).agg(F.max("h").alias(f"hk_{tag}"))
+        return kth.crossJoin(df.agg(F.count(F.lit(1)).alias(f"nd_{tag}")))
+
+    uk = kmv_bottom_k(u, K)
+    m = uk.join(a, "h").join(b, "h").agg(F.count(F.lit(1)).alias("m"))
+    ix = a.join(b, "h").agg(F.count(F.lit(1)).alias("inter_exact"))
+    row = (
+        summary(a, "a")
+        .crossJoin(summary(b, "b"))
+        .crossJoin(summary(u, "u"))
+        .crossJoin(m)
+        .crossJoin(ix)
+    )
+    union_est = kmv_estimate_expr("nd_u", "hk_u", K)
+    return row.select(
+        F.col("nd_a").alias("click_exact"),
+        kmv_estimate_expr("nd_a", "hk_a", K).alias("click_est"),
+        F.col("nd_b").alias("purchase_exact"),
+        kmv_estimate_expr("nd_b", "hk_b", K).alias("purchase_est"),
+        F.col("nd_u").alias("union_exact"),
+        union_est.alias("union_est"),
+        F.col("inter_exact"),
+        F.round(
+            F.col("m").cast("double")
+            / F.least(F.lit(K).cast("long"), F.col("nd_u"))
+            * union_est,
+            2,
+        ).alias("inter_est"),
+    )
+
+
+@query(
+    "dedup_keep_best",
+    """
+    WITH RECURSIVE t AS (
+      SELECT doc_id, lang, n_chars // 25 AS lb,
+             list_distinct(string_split(text, ' ')) AS tk
+      FROM documents
+    ), tt AS (
+      SELECT doc_id, lang, lb, tk,
+             list_min(list_transform(tk,
+                      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS mb
+      FROM t
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM tt a JOIN tt b
+        ON a.lang = b.lang AND a.lb = b.lb AND a.mb = b.mb AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.tk, b.tk))
+            / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+    ), cc AS (
+      SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+    ), rep AS (
+      SELECT cluster_id, doc_id AS canon FROM (
+        SELECT cc.cluster_id, cc.doc_id,
+               row_number() OVER (
+                 PARTITION BY cc.cluster_id
+                 ORDER BY d.n_chars DESC, cc.doc_id ASC) AS rn
+        FROM cc JOIN documents d ON cc.doc_id = d.doc_id)
+      WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           coalesce(r.canon, d.doc_id) AS canonical_id,
+           coalesce(r.canon, d.doc_id) = d.doc_id AS is_kept
+    FROM documents d
+    LEFT JOIN cc ON d.doc_id = cc.doc_id
+    LEFT JOIN rep r ON cc.cluster_id = r.cluster_id
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The disposition step AFTER near-dup clustering: each document
+    maps to its cluster's canonical representative — highest n_chars,
+    ties to the smallest id — and singletons keep themselves.
+    ``is_kept`` filters to the deduplicated corpus while KEEPING the
+    best version of each duplicate group (min-id dedup keeps an
+    arbitrary one). The oracle recomputes the same clusters with a
+    recursive CTE and the same (quality DESC, id ASC) argmax.
+
+    100 TB: representative selection is a ``max_by`` struct aggregate
+    (map-side combined — no per-cluster window, so a boilerplate
+    mega-cluster cannot stall one task), then two id-keyed narrow
+    joins; text never shuffles. See operators/dedup.canonicalize_clusters."""
+    from pydala2_spark.operators.dedup import (
+        canonicalize_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    return canonicalize_clusters(docs, pairs)
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -6099,10 +6272,10 @@ _VERIFY_FIRST = [
     "stream_dedup_ingest",
     "mm_blockhash",
     "s12_update_metadata_writethrough",
+    "agg_kmv_set_ops",
+    "dedup_keep_best",
     "array_function_suite",
     "date_arithmetic_suite",
-    "pivot_status_by_priority",
-    "w_running_revenue",
 ]
 
 

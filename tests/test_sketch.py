@@ -303,3 +303,52 @@ def test_cms_mixed_depth_merge_detected(spark):
     items = df.distinct()
     with pytest.raises(ValueError, match="different depths"):
         cms_estimate(merged, items, "user_id")
+
+
+def test_kmv_mergeability_and_estimates(spark):
+    """KMV contracts: (1) bottom-k of a union is recoverable from the
+    per-set bottom-k states alone (the mergeability that makes stored
+    day-sketches answer overlap questions); (2) the estimator is exact
+    below k and within ~3/sqrt(k) relative error above it."""
+    from pydala2_spark.functions.sketch import (
+        hash60,
+        kmv_bottom_k,
+        kmv_estimate_expr,
+    )
+
+    a = spark.range(0, 3000).selectExpr("CAST(id AS STRING) AS v")
+    b = spark.range(2000, 6000).selectExpr("CAST(id AS STRING) AS v")
+    ha = a.select(hash60(F.col("v")).alias("h")).distinct()
+    hb = b.select(hash60(F.col("v")).alias("h")).distinct()
+    K = 64
+    # mergeability: bottom-k(U) == bottom-k(bottom-k(A) ∪ bottom-k(B))
+    full_u = kmv_bottom_k(ha.union(hb).distinct(), K).collect()
+    merged = kmv_bottom_k(
+        kmv_bottom_k(ha, K).union(kmv_bottom_k(hb, K)).distinct(), K
+    ).collect()
+    assert sorted(r["h"] for r in full_u) == sorted(r["h"] for r in merged)
+
+    # estimator accuracy (6000 distinct in the union, k=64)
+    state = kmv_bottom_k(ha.union(hb).distinct(), K)
+    row = (
+        state.agg(F.max("h").alias("hk"))
+        .crossJoin(ha.union(hb).distinct().agg(F.count("*").alias("nd")))
+        .select(kmv_estimate_expr("nd", "hk", K).alias("est"), "nd")
+        .first()
+    )
+    assert abs(row["est"] - row["nd"]) / row["nd"] < 3 / (K ** 0.5)
+
+    # exact-below-k branch
+    tiny = spark.range(10).selectExpr("CAST(id AS STRING) AS v")
+    ht = tiny.select(hash60(F.col("v")).alias("h")).distinct()
+    r = (
+        kmv_bottom_k(ht, K)
+        .agg(F.max("h").alias("hk"))
+        .crossJoin(ht.agg(F.count("*").alias("nd")))
+        .select(kmv_estimate_expr("nd", "hk", K).alias("est"))
+        .first()
+    )
+    assert r["est"] == 10.0
+
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_bottom_k(ht, 1)

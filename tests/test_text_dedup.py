@@ -1545,3 +1545,28 @@ def test_text_index_refresh_equals_full_rebuild(spark, tmp_path):
     b = [(r["doc_id"], r["bm25"]) for r in
          bm25_search_indexed(spark, full, q, top_k=12, buckets=8).collect()]
     assert a == b and len(a) == 12
+
+
+def test_canonicalize_clusters_keep_best(spark):
+    """Disposition contracts: singletons keep themselves; each cluster
+    maps every member to the highest-quality doc (ties to smallest
+    id); is_kept marks exactly one doc per cluster."""
+    from pydala2_spark.operators.dedup import canonicalize_clusters
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 300), (4, 50), (9, 70)],
+        "doc_id long, n_chars long",
+    )
+    # {1,2,3} one cluster, {4} pairs with nothing... use explicit pairs
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r for r in canonicalize_clusters(docs, pairs).collect()}
+    assert len(out) == 5
+    # cluster {1,2,3}: best quality 300 tie between 2 and 3 → min id 2
+    assert out[1]["canonical_id"] == 2 and not out[1]["is_kept"]
+    assert out[2]["canonical_id"] == 2 and out[2]["is_kept"]
+    assert out[3]["canonical_id"] == 2 and not out[3]["is_kept"]
+    # singletons (never in pairs) keep themselves
+    assert out[4]["canonical_id"] == 4 and out[4]["is_kept"]
+    assert out[9]["canonical_id"] == 9 and out[9]["is_kept"]
