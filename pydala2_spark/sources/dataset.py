@@ -585,6 +585,17 @@ class ParquetDataset(BaseDataset):
             refresh_metadata(self.spark, self.path)
         return out
 
+    def refresh_metadata(self) -> dict:
+        """Explicit sidecar sync — the same fused refresh that
+        ``update_metadata=True`` runs per write (StatsIndex + every
+        existing bloom/NDV sidecar, one shared data scan), callable on
+        its own after out-of-band file changes (reference
+        `pydala/dataset.py:1479-1530`'s standalone
+        ``update_file_metadata`` shape)."""
+        from pydala2_spark.plans.analyze import refresh_metadata
+
+        return refresh_metadata(self.spark, self.path)
+
     # -- maintenance (M1-M8; `pydala/dataset.py:2033-2603`) --------------
 
     def file_stats(self) -> DataFrame:

@@ -249,3 +249,11 @@ def test_update_metadata_stats_only_when_no_sidecars(spark, tmp_ds_path):
     assert idx.refresh()["added"] == 0  # nothing left unindexed
     assert not os.path.exists(f"{tmp_ds_path}/_bloom_index")
     assert not os.path.exists(ndv_sidecar_path(tmp_ds_path))
+
+    # explicit method form: sync after an out-of-band write
+    spark.createDataFrame(make_simple_pdf(5, seed=99)).coalesce(1).write.mode(
+        "append"
+    ).parquet(tmp_ds_path)
+    r = ds.refresh_metadata()
+    assert r["stats"]["added"] == 1
+    assert StatsIndex(spark, tmp_ds_path).refresh()["added"] == 0

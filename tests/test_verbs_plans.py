@@ -223,6 +223,10 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "ev_anomaly_days",
         # corpus-end bucket — one-row broadcast aggregate frame
         "ev_resample_locf",
+        # KMV summary assembly: crossJoins of ONE-ROW (hk, nd)
+        # aggregate frames — the same 1-row broadcast shape as q11;
+        # the corpus-sized work is the distinct + TakeOrdered upstream
+        "agg_kmv_set_ops",
     }
     offenders = []
     for name, fn in queries().items():
