@@ -274,9 +274,15 @@ def cms_estimate(
 
     Merged counter frames must share geometry: column metadata rides
     the FIRST union child, so a mixed-width unionAll validates against
-    the wrong modulus undetected. Mixed-DEPTH merges ARE detected: the
-    stamped depth is cross-checked against the frame's distinct
-    ``row_id`` count (more hash rows than the stamp → loud error).
+    the wrong modulus undetected. Mixed-DEPTH merges are SAFE by
+    construction here: a stamped frame is probed on exactly
+    ``range(cms_depth)`` (cms_build mints those row ids, and row
+    ``j``'s hash function is depth-independent), so extra hash rows
+    from a deeper frame are simply ignored — the min runs over fewer
+    rows, which can only keep the estimate >= truth. The probe list
+    therefore costs NO data pass for stamped frames; only unstamped
+    external frames (e.g. a raw streaming state read) pay one bounded
+    materialization to discover their hash rows.
     """
     missing = [c for c in ("row_id", "bucket", "cnt") if c not in counters.columns]
     if missing:
@@ -307,27 +313,24 @@ def cms_estimate(
             f"over the wrong modulus breaks the Count-Min >= truth "
             f"guarantee"
         )
-    # Materialize the counter table ONCE before it is referenced twice
-    # (probe row_id list, estimate join): it is <= d*w rows by
-    # construction, but its LINEAGE is a corpus scan, and Catalyst
-    # emits no ReusedExchange across the references — lazy, each would
-    # re-run the scan. coalesce(1) first: the one-partition checkpoint
-    # costs one task per downstream read instead of a full
-    # shuffle-partition fan of empty tasks (the aggregation above it
-    # still runs at full parallelism).
-    counters = counters.coalesce(1).localCheckpoint(eager=False)
-    # the driver-side row_id list (<= depth values) serves both the
-    # mixed-depth-merge check and the probe expansion — no extra pass
-    row_ids = sorted(
-        r["row_id"] for r in counters.select("row_id").distinct().collect()
-    )
-    if stamped_depth is not None and len(row_ids) > stamped_depth:
-        raise ValueError(
-            f"cms_estimate: counters frame holds {len(row_ids)} distinct "
-            f"hash rows but is stamped cms_depth={stamped_depth} — counter "
-            "frames built with different depths were merged; rebuild with "
-            "one geometry (mixed-geometry merges break the Count-Min >= "
-            "truth guarantee)"
+    if stamped_depth is not None:
+        # cms_build frames: the hash rows are range(depth) BY
+        # CONSTRUCTION, so the probe list is known without touching
+        # data — the whole estimate stays ONE pass over the counters
+        # lineage (the join side), zero extra actions. A mixed-depth
+        # merge degrades safely to the stamped (first child) depth:
+        # its extra rows are never probed, and min over fewer rows
+        # still satisfies estimate >= truth.
+        row_ids = list(range(stamped_depth))
+    else:
+        # unstamped external frame (explicit width): the hash-row set
+        # is unknown — materialize the bounded counter table once
+        # (lazy one-partition checkpoint; its lineage may be a corpus
+        # scan, and the collect + join would otherwise each re-run it)
+        # and discover the rows with one driver collect.
+        counters = counters.coalesce(1).localCheckpoint(eager=False)
+        row_ids = sorted(
+            r["row_id"] for r in counters.select("row_id").distinct().collect()
         )
     # recompute buckets item-side (one row per hash row of the sketch);
     # then join the counter table on (row, bucket)

@@ -270,7 +270,7 @@ def build_minhash_index(
     spark.createDataFrame(
         [(num_hashes, bands, k, id_col)],
         "num_hashes int, bands int, k int, id_col string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_params")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/_params")
 
 
 def incremental_near_dups(

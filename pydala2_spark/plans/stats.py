@@ -362,7 +362,12 @@ class StatsIndex:
             new_index = new_index.unionByName(p)
 
         staging = f"{self.index_path}__staging"
-        new_index.coalesce(1).write.mode("overwrite").parquet(staging)
+        # repartition(1), NOT coalesce(1): coalescing a plan whose leaves
+        # include driver-local rows makes ONE task iterate every
+        # pickled slice through the Python gateway — measured 4.2 s for
+        # a 4-row index vs 0.5 s through the shuffle (r9); the shuffle
+        # moves kilobytes here
+        new_index.repartition(1).write.mode("overwrite").parquet(staging)
         replace_dir(self.spark, staging, self.index_path)
         return {"added": len(added), "removed": len(removed), "total": len(current)}
 
@@ -493,9 +498,9 @@ def import_legacy_file_metadata(
 
     idx = StatsIndex(spark, dataset_path, index_path)
     staging = f"{idx.index_path}__staging"
-    spark.createDataFrame(rows, STATS_SCHEMA).coalesce(1).write.mode(
+    spark.createDataFrame(rows, STATS_SCHEMA).repartition(1).write.mode(
         "overwrite"
-    ).parquet(staging)
+    ).parquet(staging)  # repartition not coalesce: see StatsIndex.refresh
     replace_dir(spark, staging, idx.index_path)
     return {"imported": len(rows), "missing": missing}
 

@@ -286,10 +286,14 @@ def test_cms_estimate_requires_bucket_column(spark):
         cms_estimate(not_counters, df, "user_id", width=16)
 
 
-def test_cms_mixed_depth_merge_detected(spark):
+def test_cms_mixed_depth_merge_degrades_safely(spark):
     """ADVICE r8: the stamp rides the FIRST union child, so a mixed-
-    depth merge would validate against the wrong geometry — the
-    distinct-row_id cross-check catches it."""
+    depth merge carries a depth-2 stamp over 4 hash rows. The probe
+    list is range(stamped_depth) by construction (row j's hash is
+    depth-independent), so the deeper frame's extra rows are ignored
+    and the Count-Min >= truth guarantee HOLDS on the merged counts:
+    both sketches counted every row, so each estimate must be >= 2x
+    the true per-value count."""
     df = spark.range(200).selectExpr("(id % 7) AS user_id")
     d2 = cms_build(df, "user_id", depth=2, width=16)
     d4 = cms_build(df, "user_id", depth=4, width=16)
@@ -298,11 +302,22 @@ def test_cms_mixed_depth_merge_detected(spark):
         .groupBy("row_id", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
-    # metadata resolves from the first child: stamped depth 2, but the
-    # frame holds 4 hash rows
     items = df.distinct()
-    with pytest.raises(ValueError, match="different depths"):
-        cms_estimate(merged, items, "user_id")
+    true = {r["user_id"]: r["n"] for r in
+            df.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    est = {r["user_id"]: r["cms_estimate"] for r in
+           cms_estimate(merged, items, "user_id").collect()}
+    assert set(est) == set(true)
+    for u, n in true.items():
+        assert est[u] >= 2 * n  # both sketches counted every row
+
+    # an UNSTAMPED frame (metadata stripped by an expression select)
+    # discovers its hash rows from data: all 4 rows probed, same bound
+    bare = merged.selectExpr("row_id", "bucket", "cnt")
+    est2 = {r["user_id"]: r["cms_estimate"] for r in
+            cms_estimate(bare, items, "user_id", width=16).collect()}
+    for u, n in true.items():
+        assert est2[u] >= 2 * n
 
 
 def test_kmv_mergeability_and_estimates(spark):
