@@ -86,6 +86,10 @@ QUERIES = [
     "doc_zipf_fit",         # term counts + vocab window
     "stream_cms_counters",  # streaming sketch drain
     "ivm_join_rollup",      # two snapshot commits + delta join
+    # r9 additions
+    "agg_kmv_set_ops",      # distinct + per-partition bottom-k
+    "dedup_keep_best",      # cluster CC + max_by canonicalization
+    "s12_update_metadata_writethrough",  # write+sidecar round-trip
 ]
 
 
