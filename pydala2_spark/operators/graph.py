@@ -193,3 +193,73 @@ def pagerank_oracle_sql(
         )
     body = ",\n    ".join(parts[1:])
     return f"{parts[0]},\n    {body}\n    SELECT node, pr FROM it{iterations}"
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation over an undirected graph —
+    ``(node, n_triangles)`` for every node in at least one triangle.
+
+    Degree-oriented enumeration (the classic O(m^1.5) bound): define
+    the total order π(x) = (degree(x), x) and direct every edge from
+    its π-smaller endpoint. Each triangle {x,y,z} with
+    π(x)<π(y)<π(z) is then found EXACTLY ONCE as the wedge
+    (x→y, x→z) closed by the oriented edge y→z. Orientation caps
+    out-degree at O(sqrt(m)), so the wedge self-join — the only
+    superlinear step — meets the optimal triangle-listing bound
+    instead of exploding on hub nodes.
+
+    100 TB shape: three equi-joins keyed on node ids (degrees
+    broadcast-or-shuffle by size), no windows, no driver state; the
+    wedge join's skew is structurally bounded by the orientation, which
+    is why this shape survives power-law graphs where the naive
+    3-way self-join dies on the hottest hub.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = e.join(
+        deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    ov = o.join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    w1 = ov.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
+    w2 = ov.select("u", F.col("v").alias("z"), F.col("dv").alias("dz"))
+    wedge_lt = (F.col("dy") < F.col("dz")) | (
+        (F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z"))
+    )
+    tri = (
+        w1.join(w2, "u")
+        .filter(wedge_lt)
+        .join(
+            o.select(F.col("u").alias("y"), F.col("v").alias("z")),
+            ["y", "z"],
+        )
+        .select(F.col("u").alias("x"), "y", "z")
+    )
+    nodes = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

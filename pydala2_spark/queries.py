@@ -6205,6 +6205,131 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize_clusters(docs, pairs)
 
 
+def _hll_full_oracle_no_exact() -> str:
+    from pydala2_spark.functions.sketch import hll_oracle_sql
+
+    inner = hll_oracle_sql("orders", "o_orderpriority", "o_custkey", p=7)
+    return (
+        "SELECT o_orderpriority, hll_estimate, n_registers_hit FROM ("
+        + inner
+        + ")"
+    )
+
+
+@query("ivm_hll_distinct", _hll_full_oracle_no_exact())
+def ivm_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained DISTINCT counts: commit orders v1 to a
+    snapshot dataset, append the rest as v2, and advance the per-group
+    HLL REGISTER state with the change feed's inserts only — the v1
+    fact rows are never re-read. The oracle recomputes the full-table
+    HLL from scratch; because registers merge by max (algebraic), the
+    delta-maintained state must land on it BIT-FOR-BIT — the property
+    that makes sketch-backed materialized views safe to advance
+    forever. (Distinct-count IVM is append-only by nature: register
+    max cannot retract a delete — a deleting feed needs a full
+    register rebuild of the affected groups, documented here.)
+
+    100 TB: maintenance cost is hash+max over the DELTA plus a
+    |groups| x 2^p state merge — independent of the fact table's size;
+    the register state is the only thing that persists between
+    commits. See functions/sketch.hll_registers."""
+    import shutil
+
+    from pydala2_spark.functions.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+    from pydala2_spark.plans.snapshots import SnapshotDataset
+
+    root = _app_scoped_tmp(spark, sf_dir, "pydala2_spark_ivmh")
+    path = f"{root}/snap"
+    shutil.rmtree(path, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_custkey"
+    )
+    ds = SnapshotDataset(spark, path)
+    ds.commit(orders.filter(F.col("o_orderkey") % 3 != 0).repartition(4))
+    ds.commit(orders.filter(F.col("o_orderkey") % 3 == 0).repartition(2))
+    state_v1 = hll_registers(ds.read(1), "o_orderpriority", "o_custkey", p=7)
+    delta = ds.changes(1, 2, key_cols=["o_orderkey"]).filter(
+        F.col("_change_type") == "insert"
+    )
+    delta_regs = hll_registers(delta, "o_orderpriority", "o_custkey", p=7)
+    state_v2 = (
+        state_v1.unionByName(delta_regs)
+        .groupBy("o_orderpriority", "idx")
+        .agg(F.max("r").alias("r"))
+    )
+    return hll_estimate_from_registers(state_v2, "o_orderpriority", p=7)
+
+
+@query(
+    "graph_triangles",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem WHERE l_quantity >= 35),
+    e AS (
+      SELECT DISTINCT x.p AS a, y.p AS b
+      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+    ), deg AS (
+      SELECT n, count(*) AS d
+      FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+      GROUP BY n
+    ), o AS (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN e.a ELSE e.b END AS u,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN e.b ELSE e.a END AS v
+      FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n
+    ), ov AS (SELECT o.u, o.v, deg.d AS dv FROM o JOIN deg ON o.v = deg.n),
+    tri AS (
+      SELECT w1.u AS x, w1.v AS y, w2.v AS z
+      FROM ov w1
+      JOIN ov w2 ON w1.u = w2.u
+        AND (w1.dv < w2.dv OR (w1.dv = w2.dv AND w1.v < w2.v))
+      JOIN o ON o.u = w1.v AND o.v = w2.v
+    ), nodes AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT node AS partkey, count(*) AS n_triangles
+    FROM nodes GROUP BY node
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation counts over the co-purchase graph (parts
+    linked when they share an order): the clustering/cohesion
+    primitive next to pagerank's centrality. Edge derivation is a
+    per-order self-join (bounded blow-up — TPC-H orders cap at 7
+    lines); enumeration is degree-oriented so each triangle is found
+    exactly once and the wedge join's out-degree is capped at
+    O(sqrt(m)) — the shape that survives power-law co-purchase hubs.
+    The oracle mirrors the orientation and wedge order integer-exact.
+    See operators/graph.triangle_counts."""
+    from pydala2_spark.operators.graph import triangle_counts
+
+    # the bulk-quantity slice: a 2M-edge full co-purchase graph at
+    # sf0.1 is ~dense (avg degree ~190) and triangle COUNT explodes
+    # combinatorially — the realistic analysis restricts to the
+    # bulk-order signal, and the filter pushes to the parquet scan
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 35)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    edges = (
+        li.alias("x")
+        .join(li.alias("y"), "o")
+        .filter(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+    )
+    return triangle_counts(edges).select(
+        F.col("node").alias("partkey"), "n_triangles"
+    )
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -6274,8 +6399,8 @@ _VERIFY_FIRST = [
     "s12_update_metadata_writethrough",
     "agg_kmv_set_ops",
     "dedup_keep_best",
-    "array_function_suite",
-    "date_arithmetic_suite",
+    "ivm_hll_distinct",
+    "graph_triangles",
 ]
 
 

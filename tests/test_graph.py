@@ -78,3 +78,23 @@ def test_transition_edges_order_and_weights(spark):
     plan = transition_edges(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 2  # window + count agg
     assert "Join" not in plan
+
+
+def test_triangle_counts_exact_and_oriented_once(spark):
+    """Hand-checkable graph: K4 on {1,2,3,4} (4 triangles, each node
+    in 3) plus a pendant edge 4-5 (no new triangle) plus a disjoint
+    triangle {6,7,8}. Duplicate/reversed input edges must not double-
+    count."""
+    from pydala2_spark.operators.graph import triangle_counts
+
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+        (4, 5),                                          # pendant
+        (6, 7), (7, 8), (8, 6),                          # triangle
+        (2, 1), (3, 2),                                  # dup/reversed
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 6: 1, 7: 1, 8: 1}
+    # total triangles = sum/3 = 5 (4 in K4 + 1 disjoint)
+    assert sum(got.values()) // 3 == 5
