@@ -750,3 +750,40 @@ def test_skyline_2d_matches_bruteforce_dominance(spark):
         r["id"] for r in skyline_2d(dg, "price", "size", "id").collect()
     )
     assert got_u == brute(only_g)
+
+
+def test_triangle_counts_matches_bruteforce_reference(spark):
+    """Randomized cross-check: degree-oriented enumeration must equal
+    an itertools brute force on arbitrary small graphs (hand-seeded
+    RNG — deterministic), including multi-component, hub-heavy, and
+    duplicate-edge inputs."""
+    import itertools
+    import random
+
+    from pydala2_spark.operators.graph import triangle_counts
+
+    rng = random.Random(421)
+    for trial in range(6):
+        n = rng.randint(4, 9)
+        density = rng.choice([0.25, 0.5, 0.8])
+        edges = [
+            (a, b)
+            for a, b in itertools.combinations(range(n), 2)
+            if rng.random() < density
+        ]
+        if not edges:
+            continue
+        # inject duplicates and reversals — must not change counts
+        edges += [(b, a) for a, b in edges[::3]]
+        adj = {i: set() for i in range(n)}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        expected: dict[int, int] = {}
+        for x, y, z in itertools.combinations(range(n), 3):
+            if y in adj[x] and z in adj[x] and z in adj[y]:
+                for v in (x, y, z):
+                    expected[v] = expected.get(v, 0) + 1
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+        assert got == expected, f"trial {trial}: {got} != {expected}"
