@@ -6350,6 +6350,19 @@ _VERIFY_FIRST = [
     # plus 4 r7-checked entries. Entries past the window hold green
     # rows from r7/r8 and stay covered by the full local mirror
     # (scripts/check_correctness.py).
+    # r10 pre-staging: after r9's driver pass the stalest 50 are the
+    # r7-checked block (CORRECTNESS_r07's window: array_function_suite,
+    # date_arithmetic_suite, merge_upsert_semantics,
+    # pivot_status_by_priority, w_running_revenue, ev_resample_locf,
+    # dq_*, er_part_linkage, ev_* stats, scd2_event_history, doc_
+    # heaps/pmi/zipf, graph_pagerank, emb_dim_stats, part_skyline,
+    # fuzzy_part_matches, agg_hll/cms, profile_orders, ohlc/interp,
+    # asof_nearest_tolerance, the mm_* real-decode suite,
+    # catalog/orc, update/delete_where, snapshot_cdf, ivm_*rollup,
+    # doc_gopher/bm25/dsir/bigram/substring, emb_semantic_dedup,
+    # stream_cms/hll/ohlc, mm_audio_metadata) — rotate THOSE to the
+    # front in r10 (plus any new queries), then the r8-checked block
+    # in r11.
     # --- the r9 driver window: positions 0-49 ---
     "doc_fingerprint_groups",
     "dedup_minhash_lsh",
