@@ -255,6 +255,7 @@ def cms_estimate(
     items: DataFrame,
     value_col: str,
     width: int | None = None,
+    depth: int | None = None,
 ) -> DataFrame:
     """Point-frequency estimates: for each item, min over hash rows of
     its bucket counter (the Count-Min guarantee: est >= true, and
@@ -267,7 +268,11 @@ def cms_estimate(
     modulus silently returns estimates below the true count —
     ADVICE r7). An explicit width is only required for counter frames
     built outside :func:`cms_build` (e.g. a raw streaming state store
-    read), which carry no stamp.
+    read), which carry no stamp. ``depth`` works the same way: it
+    defaults to the stamp (mismatch raises), and passing it explicitly
+    for an unstamped frame gives that frame the zero-pass probe list
+    too (hash rows are range(depth) for anything built with
+    :func:`cms_bucket` row ids).
 
     The counter table broadcasts (it is <= depth*width rows by
     construction), so the estimate join never shuffles ``items``.
@@ -313,15 +318,21 @@ def cms_estimate(
             f"over the wrong modulus breaks the Count-Min >= truth "
             f"guarantee"
         )
-    if stamped_depth is not None:
-        # cms_build frames: the hash rows are range(depth) BY
+    if depth is not None and stamped_depth is not None and depth != stamped_depth:
+        raise ValueError(
+            f"depth mismatch: counters were built with depth={stamped_depth} "
+            f"but cms_estimate was called with depth={depth}"
+        )
+    known_depth = depth if depth is not None else stamped_depth
+    if known_depth is not None:
+        # cms_build-shaped frames: the hash rows are range(depth) BY
         # CONSTRUCTION, so the probe list is known without touching
         # data — the whole estimate stays ONE pass over the counters
         # lineage (the join side), zero extra actions. A mixed-depth
         # merge degrades safely to the stamped (first child) depth:
         # its extra rows are never probed, and min over fewer rows
         # still satisfies estimate >= truth.
-        row_ids = list(range(stamped_depth))
+        row_ids = list(range(known_depth))
     else:
         # unstamped external frame (explicit width): the hash-row set
         # is unknown — materialize the bounded counter table once

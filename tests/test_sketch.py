@@ -367,3 +367,20 @@ def test_kmv_mergeability_and_estimates(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         kmv_bottom_k(ht, 1)
+
+
+def test_cms_explicit_depth_for_unstamped_frames(spark):
+    """An unstamped frame probed with an explicit depth gets the same
+    zero-pass probe list as a stamped one; a depth that disagrees with
+    an existing stamp refuses."""
+    df = spark.range(300).selectExpr("(id % 11) AS user_id")
+    c = cms_build(df, "user_id", depth=3, width=32)
+    bare = c.selectExpr("row_id", "bucket", "cnt")  # stamp stripped
+    items = df.distinct()
+    true = {r["user_id"]: r["n"] for r in
+            df.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    est = {r["user_id"]: r["cms_estimate"] for r in
+           cms_estimate(bare, items, "user_id", width=32, depth=3).collect()}
+    assert all(est[u] >= n for u, n in true.items())
+    with pytest.raises(ValueError, match="depth mismatch"):
+        cms_estimate(c, items, "user_id", depth=4)
