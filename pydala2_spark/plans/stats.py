@@ -372,13 +372,31 @@ class StatsIndex:
         return {"added": len(added), "removed": len(removed), "total": len(current)}
 
     def prune(self, column: str, lo=None, hi=None) -> list[str]:
+        """Index-side survivors only — files the INDEX cannot rule
+        out. Files the index has never seen are not returned here;
+        ``read_pruned`` adds them back (staleness-safe reads)."""
         return prune_files(self.stats(), column, lo, hi)
 
     def read_pruned(self, column: str, lo=None, hi=None) -> DataFrame:
-        files = self.prune(column, lo, hi)
+        """Pruned scan that is SAFE under a stale index: survivors
+        from the min/max sidecar, UNIONED with every live file the
+        index has not seen (one extra directory listing — metadata
+        cost). A file missing from the sidecar (append since the last
+        refresh, or a lost write-through race) is scanned, never
+        silently skipped — the same unknown ⇒ keep rule prune_files
+        applies to missing column stats, applied at the file level.
+        Rows outside [lo, hi] still need the caller's row filter."""
+        from pydala2_spark.plans.fs import list_files
+
+        files = set(self.prune(column, lo, hi))
+        indexed = {
+            r["file_path"] for r in self.stats().select("file_path").collect()
+        }
+        current = list_files(self.spark, self.dataset_path, suffixes=(".parquet",))
+        files.update(f for f in current if f not in indexed)
         if not files:
             return self.spark.read.parquet(self.dataset_path).limit(0)
-        return self.spark.read.parquet(*files)
+        return self.spark.read.parquet(*sorted(files))
 
 
 def import_legacy_file_metadata(

@@ -6001,10 +6001,11 @@ def s12_update_metadata_writethrough(spark: SparkSession, sf_dir: str) -> DataFr
     """S12 write-through sidecar refresh, end to end (reference
     ``update_metadata=True`` on write, `pydala/dataset.py:1479-1530`):
     two writes land the corpus with the knob on, then the range query
-    is answered THROUGH the StatsIndex-pruned scan — ``read_pruned``
-    trusts the sidecar verbatim, so if write-through ever failed to
-    index the second write's files those rows would vanish from the
-    result and the oracle hash would flip. No manual ANALYZE anywhere.
+    is answered THROUGH the StatsIndex-pruned scan. ``read_pruned`` is
+    staleness-SAFE (unindexed files always scan), so correctness here
+    is by construction; the write-through FRESHNESS itself is pinned
+    by tests/test_analyze_fused.py's added==0 contracts. No manual
+    ANALYZE anywhere.
 
     At 100 TB: each write's refresh footer-scans only the files that
     write added (distributed over executors), and the read prunes to

@@ -257,3 +257,25 @@ def test_update_metadata_stats_only_when_no_sidecars(spark, tmp_ds_path):
     r = ds.refresh_metadata()
     assert r["stats"]["added"] == 1
     assert StatsIndex(spark, tmp_ds_path).refresh()["added"] == 0
+
+
+def test_read_pruned_safe_under_stale_index(spark, tmp_ds_path):
+    """A stale StatsIndex (append after the last refresh — or a lost
+    concurrent write-through race) must degrade to extra I/O, never to
+    silently missing rows: read_pruned unions every unindexed live
+    file into the scan."""
+    _write_batches(spark, tmp_ds_path, 2)
+    idx = StatsIndex(spark, tmp_ds_path)
+    idx.refresh()
+    # out-of-band append the index has never seen
+    spark.createDataFrame(make_simple_pdf(40, seed=5000)).coalesce(1).write.mode(
+        "append"
+    ).parquet(tmp_ds_path)
+    got = (
+        idx.read_pruned("id", 5000, 5039)
+        .filter("id BETWEEN 5000 AND 5039")
+        .count()
+    )
+    assert got == 40  # the unindexed file's rows all arrive
+    # prune() itself stays index-only (documented): no unindexed paths
+    assert len(idx.prune("id", 5000, 5039)) == 0
