@@ -513,3 +513,70 @@ def kmv_estimate_expr(nd_col: str, hk_col: str, k: int) -> Column:
     return F.when(
         F.col(nd_col) <= k, F.col(nd_col).cast("double")
     ).otherwise(F.round(F.lit(float((k - 1) * (1 << 60))) / F.col(hk_col), 2))
+
+
+def kmv_bottom_k_grouped(
+    hashes: DataFrame,
+    group_col: str,
+    k: int = 64,
+    salt: int = 16,
+) -> DataFrame:
+    """Per-GROUP KMV states — ``(group_col, h)`` rows, at most ``k``
+    per group — without the global-ordering funnel of a plain
+    ``row_number() over (partition by group order by h)``: a single
+    window per group pushes every hash of the hottest group through
+    ONE task.
+
+    Two-stage instead: hashes first rank inside ``(group, salt-cell)``
+    — each stage-1 window sees only ~1/salt of its group — and only
+    the ≤ salt*k survivors per group rank again for the true bottom-k.
+    Deterministic (the salt is xxhash64 of the hash value itself), and
+    the largest window anywhere is max(group/salt, salt*k) rows. Size
+    ``salt`` ~ sqrt(|biggest group| / k) to balance the stages.
+
+    Output states feed :func:`kmv_estimate_expr` (via max(h)/count per
+    group) and merge across corpus slices by union + re-bottom-k —
+    same contract as the ungrouped :func:`kmv_bottom_k`.
+    """
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    cell = F.pmod(F.xxhash64(F.col("h")), F.lit(salt))
+    w1 = Window.partitionBy(group_col, "__cell").orderBy("h")
+    stage1 = (
+        hashes.select(F.col(group_col), F.col("h"), cell.alias("__cell"))
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__cell")
+    )
+    w2 = Window.partitionBy(group_col).orderBy("h")
+    return (
+        stage1.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_grouped_estimates(
+    states: DataFrame,
+    exact: DataFrame,
+    group_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Fold per-group KMV states into ``(group_col, hll-style
+    estimate)``: ``exact`` carries ``(group_col, nd)`` exact-or-known
+    distinct counts per group (needed for the exact-below-k branch —
+    the state itself IS the whole set there, so ``nd`` can also be
+    computed as the state's row count when no exact side exists).
+    Output: ``(group_col, kmv_estimate)`` rounded to 2."""
+    summary = states.groupBy(group_col).agg(F.max("h").alias("__hk"))
+    return (
+        summary.join(exact, group_col)
+        .select(
+            F.col(group_col),
+            kmv_estimate_expr("nd", "__hk", k).alias("kmv_estimate"),
+        )
+    )

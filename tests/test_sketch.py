@@ -384,3 +384,41 @@ def test_cms_explicit_depth_for_unstamped_frames(spark):
     assert all(est[u] >= n for u, n in true.items())
     with pytest.raises(ValueError, match="depth mismatch"):
         cms_estimate(c, items, "user_id", depth=4)
+
+
+def test_kmv_grouped_matches_ungrouped_per_group(spark):
+    """The salted two-stage per-group bottom-k must return EXACTLY the
+    per-group bottom-k (same rows as running kmv_bottom_k on each
+    group separately), and the grouped estimates must be within
+    ~3/sqrt(k) for large groups and exact for small ones."""
+    from pydala2_spark.functions.sketch import (
+        hash60,
+        kmv_bottom_k,
+        kmv_bottom_k_grouped,
+        kmv_grouped_estimates,
+    )
+
+    # group 'big': 4000 distinct values; group 'small': 20
+    rows = [("big", f"b{i}") for i in range(4000)] + [
+        ("small", f"s{i}") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    hs = df.select("g", hash60(F.col("v")).alias("h")).distinct()
+    K = 64
+    states = kmv_bottom_k_grouped(hs, "g", k=K, salt=8)
+    for g in ("big", "small"):
+        expect = sorted(
+            r["h"] for r in kmv_bottom_k(hs.filter(F.col("g") == g), K).collect()
+        )
+        got = sorted(
+            r["h"] for r in states.filter(F.col("g") == g).collect()
+        )
+        assert got == expect, g
+    exact = hs.groupBy("g").agg(F.count("*").alias("nd"))
+    est = {r["g"]: r["kmv_estimate"] for r in
+           kmv_grouped_estimates(states, exact, "g", k=K).collect()}
+    assert est["small"] == 20.0
+    assert abs(est["big"] - 4000) / 4000 < 3 / (K ** 0.5)
+
+    with pytest.raises(ValueError, match="salt"):
+        kmv_bottom_k_grouped(hs, "g", k=K, salt=0)
