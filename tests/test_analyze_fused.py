@@ -24,7 +24,7 @@ from conftest import make_simple_pdf
 def _write_batches(spark, path, n_batches, rows=40):
     for i in range(n_batches):
         pdf = make_simple_pdf(rows, seed=i * rows)
-        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(path)
+        spark.createDataFrame(pdf).repartition(1).write.mode("append").parquet(path)
 
 
 def _bloom_rows(spark, path, col):
@@ -251,7 +251,7 @@ def test_update_metadata_stats_only_when_no_sidecars(spark, tmp_ds_path):
     assert not os.path.exists(ndv_sidecar_path(tmp_ds_path))
 
     # explicit method form: sync after an out-of-band write
-    spark.createDataFrame(make_simple_pdf(5, seed=99)).coalesce(1).write.mode(
+    spark.createDataFrame(make_simple_pdf(5, seed=99)).repartition(1).write.mode(
         "append"
     ).parquet(tmp_ds_path)
     r = ds.refresh_metadata()
@@ -268,7 +268,7 @@ def test_read_pruned_safe_under_stale_index(spark, tmp_ds_path):
     idx = StatsIndex(spark, tmp_ds_path)
     idx.refresh()
     # out-of-band append the index has never seen
-    spark.createDataFrame(make_simple_pdf(40, seed=5000)).coalesce(1).write.mode(
+    spark.createDataFrame(make_simple_pdf(40, seed=5000)).repartition(1).write.mode(
         "append"
     ).parquet(tmp_ds_path)
     got = (

@@ -103,7 +103,7 @@ def test_absent_value_prunes_everything_or_fp_rate(spark, bloom_ds):
 
 def test_appended_files_kept_conservatively(spark, bloom_ds, tmp_path):
     extra = spark.createDataFrame([(99_999_999, "late")], "id long, name string")
-    extra.coalesce(1).write.mode("append").parquet(bloom_ds)
+    extra.repartition(1).write.mode("append").parquet(bloom_ds)
     try:
         kept = bloom_prune(spark, bloom_ds, "id", [99_999_999])
         # the appended file is not in the index → must be kept
@@ -117,7 +117,7 @@ def test_appended_files_kept_conservatively(spark, bloom_ds, tmp_path):
 
 def test_empty_probe_and_missing_index(spark, bloom_ds, tmp_ds_path):
     assert bloom_prune(spark, bloom_ds, "id", []) == []
-    spark.createDataFrame([(1, "a")], "id long, name string").coalesce(1).write.parquet(
+    spark.createDataFrame([(1, "a")], "id long, name string").repartition(1).write.parquet(
         tmp_ds_path
     )
     # no index built → every file kept
@@ -245,9 +245,9 @@ def test_ndv_zero_row_file_is_sketched_member(spark, tmp_ds_path):
     guard must pass right after a build (it used to raise forever)."""
     from pydala2_spark.plans.stats import build_ndv_sketches, estimate_ndv
 
-    spark.createDataFrame([(1,), (2,)], "id long").coalesce(1).write.parquet(tmp_ds_path)
+    spark.createDataFrame([(1,), (2,)], "id long").repartition(1).write.parquet(tmp_ds_path)
     # produce an empty part file via an empty append
-    spark.createDataFrame([], "id long").coalesce(1).write.mode("append").parquet(
+    spark.createDataFrame([], "id long").repartition(1).write.mode("append").parquet(
         tmp_ds_path
     )
     build_ndv_sketches(spark, tmp_ds_path, ["id"])

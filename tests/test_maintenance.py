@@ -29,7 +29,7 @@ def _write_fragmented(spark, path, n_batches=4, rows=50, partition_by=None):
         if partition_by:
             pdf["part"] = [f"p{j % 2}" for j in range(rows)]
         df = spark.createDataFrame(pdf)
-        w = df.coalesce(1).write.mode("append")
+        w = df.repartition(1).write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
@@ -276,7 +276,7 @@ def test_compact_by_rows_unpartitioned(spark, tmp_ds_path):
 def test_compact_unique_dedups(spark, tmp_ds_path):
     pdf = make_simple_pdf(30, seed=0)
     for _ in range(2):  # identical batches → full duplicates
-        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(tmp_ds_path)
+        spark.createDataFrame(pdf).repartition(1).write.mode("append").parquet(tmp_ds_path)
     compact_by_rows(spark, tmp_ds_path, unique=True)
     assert spark.read.parquet(tmp_ds_path).count() == 30
 
@@ -296,7 +296,7 @@ def test_compact_partitions_one_write_job(spark, tmp_ds_path):
     pdf = make_simple_pdf(64, seed=0)
     pdf["part"] = [f"p{j % 8}" for j in range(64)]
     for _ in range(2):  # 2 files per partition → 8 candidate groups
-        spark.createDataFrame(pdf).coalesce(1).write.mode("append").partitionBy(
+        spark.createDataFrame(pdf).repartition(1).write.mode("append").partitionBy(
             "part"
         ).parquet(tmp_ds_path)
     before = _snapshot(spark, tmp_ds_path)
@@ -325,7 +325,7 @@ def test_compact_sorted_single_job_and_sorted_files(spark, tmp_ds_path):
     pdf = make_simple_pdf(64, seed=1)
     pdf["part"] = [f"p{j % 8}" for j in range(64)]
     for _ in range(2):
-        spark.createDataFrame(pdf).coalesce(1).write.mode("append").partitionBy(
+        spark.createDataFrame(pdf).repartition(1).write.mode("append").partitionBy(
             "part"
         ).parquet(tmp_ds_path)
     before = _snapshot(spark, tmp_ds_path)
@@ -356,11 +356,11 @@ def test_compact_partitions_unique_subset_stays_per_partition(spark, tmp_ds_path
     pdf["id"] = [1, 1, 2, 3, 1, 4, 5, 6]  # id=1 dup within p0, also in p1
     pdf["part"] = ["p0", "p0", "p0", "p0", "p1", "p1", "p1", "p1"]
     for half in (pdf.iloc[:4], pdf.iloc[4:]):
-        spark.createDataFrame(half).coalesce(1).write.mode("append").partitionBy(
+        spark.createDataFrame(half).repartition(1).write.mode("append").partitionBy(
             "part"
         ).parquet(tmp_ds_path)
     # make both partitions multi-file so both are candidates
-    spark.createDataFrame(pdf.iloc[2:6]).coalesce(1).write.mode("append").partitionBy(
+    spark.createDataFrame(pdf.iloc[2:6]).repartition(1).write.mode("append").partitionBy(
         "part"
     ).parquet(tmp_ds_path)
     compact_partitions(spark, tmp_ds_path, unique=["id"])
@@ -383,7 +383,7 @@ def test_compact_by_timeperiod(spark, tmp_ds_path):
     for day, seed in (("2024-01-01", 0), ("2024-01-01", 50), ("2024-02-05", 100)):
         pdf = make_simple_pdf(20, seed=seed)
         pdf["timestamp"] = pd.to_datetime(day)
-        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(tmp_ds_path)
+        spark.createDataFrame(pdf).repartition(1).write.mode("append").parquet(tmp_ds_path)
     before = _snapshot(spark, tmp_ds_path)
     plan = compact_by_timeperiod(spark, tmp_ds_path, "1d", "timestamp", dry_run=True)
     assert len(plan.groups) == 1  # only the doubled day is a candidate
@@ -444,7 +444,7 @@ def test_optimize_dtypes_strict_validates_full_data(spark, tmp_ds_path):
     # sample (first rows) fits int8 but full data needs int32 — SAFE
     # policy must see the whole dataset.
     pdf = pd.DataFrame({"v": list(range(100)) + [100_000]})
-    spark.createDataFrame(pdf).coalesce(1).write.parquet(tmp_ds_path)
+    spark.createDataFrame(pdf).repartition(1).write.parquet(tmp_ds_path)
     plan = optimize_dtypes(spark, tmp_ds_path, sample_rows=10, strict=True, dry_run=True)
     assert plan.get("v", ("long", "integer"))[1] == "integer"
 
@@ -456,8 +456,8 @@ def test_repair_schema(spark, tmp_ds_path):
     # file A: id long, value double; file B: id int (narrower), extra col
     a = pd.DataFrame({"id": pd.array([1, 2], dtype="int64"), "value": [1.0, 2.0]})
     b = pd.DataFrame({"id": pd.array([3, 4], dtype="int32"), "extra": ["x", "y"]})
-    spark.createDataFrame(a).coalesce(1).write.mode("append").parquet(tmp_ds_path)
-    spark.createDataFrame(b).coalesce(1).write.mode("append").parquet(tmp_ds_path)
+    spark.createDataFrame(a).repartition(1).write.mode("append").parquet(tmp_ds_path)
+    spark.createDataFrame(b).repartition(1).write.mode("append").parquet(tmp_ds_path)
 
     plan = repair_schema(spark, tmp_ds_path, dry_run=True)
     assert len(plan["files"]) >= 1
@@ -487,7 +487,7 @@ def test_stats_index_incremental_refresh(spark, tmp_ds_path):
     assert idx.stats().count() == 2
 
     # append one more batch (ids 100-149): refresh touches ONLY it
-    spark.createDataFrame(make_simple_pdf(50, seed=100)).coalesce(1).write.mode(
+    spark.createDataFrame(make_simple_pdf(50, seed=100)).repartition(1).write.mode(
         "append"
     ).parquet(tmp_ds_path)
     r2 = idx.refresh()
@@ -774,7 +774,7 @@ def test_explain_pruning_conservative_on_stale_index(spark, tmp_ds_path):
     _write_fragmented(spark, tmp_ds_path, n_batches=2, rows=50)  # ids 0..99
     StatsIndex(spark, tmp_ds_path).refresh()
     # new file with ids 200..249 lands; index is now stale
-    spark.createDataFrame(make_simple_pdf(50, seed=200)).coalesce(1).write.mode(
+    spark.createDataFrame(make_simple_pdf(50, seed=200)).repartition(1).write.mode(
         "append"
     ).parquet(tmp_ds_path)
 

@@ -233,7 +233,7 @@ def test_delete_where_file_selective(spark, tmp_path):
     for lo in (0, 100, 200):
         spark.range(lo, lo + 50).selectExpr(
             "id", "id % 7 AS grp"
-        ).coalesce(1).write.mode("append").parquet(p)
+        ).repartition(1).write.mode("append").parquet(p)
     before = set(list_files(spark, p))
     assert len(before) == 3
 
@@ -257,7 +257,7 @@ def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
     p = str(tmp_path / "ds")
     spark.createDataFrame(
         [(1, 5.0), (2, None), (3, 50.0)], "id long, v double"
-    ).coalesce(1).write.parquet(p)
+    ).repartition(1).write.parquet(p)
     out = delete_where(spark, p, "v > 10")
     assert out["deleted_rows"] == 1
     left = {r["id"] for r in spark.read.parquet(p).collect()}
@@ -269,7 +269,7 @@ def test_delete_where_noop_and_missing_target(spark, tmp_path):
 
     p = str(tmp_path / "ds")
     assert delete_where(spark, p, "id > 5")["deleted_rows"] == 0  # absent
-    spark.range(10).coalesce(1).write.parquet(p)
+    spark.range(10).repartition(1).write.parquet(p)
     out = delete_where(spark, p, "id > 99")  # no matches
     assert out["deleted_rows"] == 0 and out["rewritten_files"] == []
     assert spark.read.parquet(p).count() == 10
@@ -305,7 +305,7 @@ def test_delete_where_predicate_pushdown(spark, tmp_path):
     from pydala2_spark.operators.merge import _FILE, _delete_discovery
 
     p = str(tmp_path / "ds")
-    spark.range(1000).coalesce(1).write.parquet(p)
+    spark.range(1000).repartition(1).write.parquet(p)
     tagged = spark.read.parquet(p).withColumn(_FILE, F.col("_metadata.file_path"))
     plan = (
         _delete_discovery(tagged, F.expr("id > 900"))
@@ -331,7 +331,7 @@ def test_file_filter_broadcast_join_above_literal_limit(spark, tmp_path, monkeyp
     import pyspark.sql.functions as F
 
     p0 = str(tmp_path / "probe")
-    spark.range(0, 100).coalesce(1).write.parquet(p0)
+    spark.range(0, 100).repartition(1).write.parquet(p0)
     tagged = spark.read.parquet(p0).withColumn(
         m._FILE, F.col("_metadata.file_path")
     )
@@ -355,7 +355,7 @@ def test_file_filter_broadcast_join_above_literal_limit(spark, tmp_path, monkeyp
 
     # merge upsert end-to-end through the join path
     p2 = str(tmp_path / "ds2")
-    spark.range(0, 20).selectExpr("id", "id * 2 AS v").coalesce(1).write.parquet(p2)
+    spark.range(0, 20).selectExpr("id", "id * 2 AS v").repartition(1).write.parquet(p2)
     src = spark.range(15, 25).selectExpr("id", "id * 100 AS v")
     res = m.merge(spark, p2, src, key_columns=["id"], strategy="upsert")
     assert res.updated == 5 and res.inserted == 5

@@ -307,7 +307,7 @@ def test_incremental_rollup_processes_new_files_only(spark, tmp_path):
                 "properties": ["{}"] * n,
             }
         )
-        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+        spark.createDataFrame(pdf).repartition(1).write.mode("append").parquet(src)
 
     def sink_total():
         try:
@@ -346,7 +346,7 @@ def test_streaming_dedup_drops_repeats(spark, tmp_path):
     )
     import pyspark.sql
 
-    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src / "batch"))
+    spark.createDataFrame(pdf).repartition(1).write.parquet(str(src / "batch"))
     events = read_event_stream(spark, str(src / "batch"))
     out = run_to_memory(
         dedup_stream(events, keys=["event_id"]), "t_dedup", str(tmp_path / "ckpt_dd")
@@ -375,7 +375,7 @@ def test_merge_stream_upserts_incrementally(spark, tmp_path):
             ],
             "event_id long, user_id long, event_type string, ts timestamp, value double, props string",
         )
-        df.coalesce(1).write.parquet(str(tmp_path / f"stage_{name}"))
+        df.repartition(1).write.parquet(str(tmp_path / f"stage_{name}"))
         import glob as _g
         import shutil
 
@@ -417,7 +417,7 @@ def test_merge_stream_batch_marker_skips_replayed_batch(spark, tmp_path):
         [(1, 1, "click", dt.datetime(2024, 1, 1), 1.0, "{}")],
         "event_id long, user_id long, event_type string, ts timestamp, value double, props string",
     )
-    df.coalesce(1).write.parquet(str(tmp_path / "stage"))
+    df.repartition(1).write.parquet(str(tmp_path / "stage"))
     import glob as _g
 
     shutil.copy(

@@ -219,7 +219,7 @@ def test_cms_stream_equals_batch_sketch_across_microbatches(spark, tmp_path):
             "event_id long, user_id long, event_type string, "
             "ts timestamp_ntz, value double, props string",
         )
-        df.coalesce(1).write.mode("overwrite").parquet(str(zone / tag))
+        df.repartition(1).write.mode("overwrite").parquet(str(zone / tag))
         # move the part file into the flat zone so each is one microbatch
         import glob
         import shutil

@@ -53,7 +53,7 @@ def test_crash_debris_invisible_then_vacuumed(spark, tmp_ds_path):
     # simulate a crash AFTER data files land but BEFORE the manifest:
     # write files straight into the root (what a moved-but-unpublished
     # commit leaves behind)
-    _df(spark, 100, 200, "crash").coalesce(1).write.mode("append").parquet(tmp_ds_path)
+    _df(spark, 100, 200, "crash").repartition(1).write.mode("append").parquet(tmp_ds_path)
     assert ds.read().count() == 10  # snapshot readers never see debris
     n_before = len(list_files(spark, tmp_ds_path, suffixes=(".parquet",)))
     # default grace window protects young unreferenced files: they may
@@ -246,7 +246,7 @@ def _drop_events(spark, tmp_path, landing, name, ids):
         [(i, i % 3, "click", dt.datetime(2024, 1, 1, 0, i % 60), 1.0, "{}") for i in ids],
         "event_id long, user_id long, event_type string, ts timestamp, value double, props string",
     )
-    df.coalesce(1).write.parquet(str(tmp_path / f"stage_{name}"))
+    df.repartition(1).write.parquet(str(tmp_path / f"stage_{name}"))
     src = glob.glob(str(tmp_path / f"stage_{name}" / "part-*.parquet"))[0]
     shutil.copy(src, landing / f"{name}.parquet")
 
@@ -358,7 +358,7 @@ def test_scd2_stream_builds_dimension_history(spark, tmp_path):
         [(100 + i, i % 3, "click", dt.datetime(2024, 1, 2, 0, i), 9.0, "{}") for i in range(5)],
         "event_id long, user_id long, event_type string, ts timestamp, value double, props string",
     )
-    df.coalesce(1).write.parquet(str(tmp_path / "stage_d2x"))
+    df.repartition(1).write.parquet(str(tmp_path / "stage_d2x"))
     import glob as _g
 
     src = _g.glob(str(tmp_path / "stage_d2x" / "part-*.parquet"))[0]
@@ -392,7 +392,7 @@ def test_scd2_stream_builds_dimension_history(spark, tmp_path):
         [(500, 0, "click", _dt.datetime(2024, 1, 3), 42.0, "{}")],
         "event_id long, user_id long, event_type string, ts timestamp, value double, props string",
     )
-    late.coalesce(1).write.parquet(str(tmp_path / "stage_d3x"))
+    late.repartition(1).write.parquet(str(tmp_path / "stage_d3x"))
     src3 = _g.glob(str(tmp_path / "stage_d3x" / "part-*.parquet"))[0]
     shutil.copy(src3, landing / "d3.parquet")
     shutil.rmtree(ckpt)  # checkpoint lost AGAIN: d1+d2+d3 arrive as one batch
