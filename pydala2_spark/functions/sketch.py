@@ -580,3 +580,177 @@ def kmv_grouped_estimates(
             kmv_estimate_expr("nd", "__hk", k).alias("kmv_estimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Uniform-sample quantile sketch (bottom-k rows by row-key hash)
+# ---------------------------------------------------------------------------
+#
+# KMV answers "how many distinct"; this answers "what does the value
+# DISTRIBUTION look like" from the same bottom-k idea: hashing a UNIQUE
+# row key uniformly permutes the rows, so the k rows with the smallest
+# hashes are a uniform-without-replacement sample of the group — and,
+# unlike reservoir sampling, the state is ORDER-INDEPENDENT (the sample
+# is a pure function of the row set), so states merge across corpus
+# slices / micro-batches by union + re-bottom-k and a streaming
+# maintenance lands bit-for-bit on the batch sketch. Quantiles read off
+# the sorted sample (discrete lower quantile: no interpolation, so the
+# emitted value is a bit-copy of an input value — oracle-portable).
+
+
+def sample_bottom_k_grouped(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    k: int = 128,
+    salt: int = 16,
+) -> DataFrame:
+    """Per-group uniform row-sample sketch state: the ``k`` rows of each
+    group with the smallest ``hash60(key_col)``, as ``(group_col, h,
+    __key, __val)`` rows (≤ k per group). ``key_col`` must be unique per
+    row (a row id) — it both drives the uniform permutation and breaks
+    hash ties deterministically. NULL keys are dropped (a row without
+    an identity cannot be permuted deterministically).
+
+    Same two-stage salted ranking as :func:`kmv_bottom_k_grouped`: no
+    window ever sees more than max(group/salt, salt*k) rows, so a hot
+    group cannot funnel through one task at 100 TB. States merge with
+    :func:`merge_sample_states`."""
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    rows = df.filter(F.col(key_col).isNotNull()).select(
+        F.col(group_col),
+        hash60(F.col(key_col)).alias("h"),
+        F.col(key_col).alias("__key"),
+        F.col(value_col).alias("__val"),
+    )
+    cell = F.pmod(F.xxhash64(F.col("h")), F.lit(salt))
+    w1 = Window.partitionBy(group_col, "__cell").orderBy("h", "__key")
+    stage1 = (
+        rows.withColumn("__cell", cell)
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__cell")
+    )
+    w2 = Window.partitionBy(group_col).orderBy("h", "__key")
+    return (
+        stage1.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def merge_sample_states(
+    states: list[DataFrame], group_col: str, k: int, salt: int = 16
+) -> DataFrame:
+    """Merge sample-sketch states from disjoint corpus slices: union +
+    re-bottom-k. Because each state already holds its slice's k
+    smallest hashes, the merged bottom-k equals the bottom-k of the
+    full union of slices — the property that makes the sketch safe to
+    maintain incrementally (pinned by pytest)."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    if not states:
+        raise ValueError("need at least one state to merge")
+    u = reduce(lambda a, b: a.unionByName(b), states)
+    cell = F.pmod(F.xxhash64(F.col("h")), F.lit(salt))
+    w1 = Window.partitionBy(group_col, "__cell").orderBy("h", "__key")
+    stage1 = (
+        u.withColumn("__cell", cell)
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__cell")
+    )
+    w2 = Window.partitionBy(group_col).orderBy("h", "__key")
+    return (
+        stage1.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def discrete_quantiles(
+    rows: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    qs: dict[str, float],
+    n_alias: str = "n",
+) -> DataFrame:
+    """Per-group DISCRETE (lower) quantiles: the element at 0-based
+    index ``floor((n-1) * q)`` of the group's rows ordered by
+    ``(value, key)``. No interpolation — the output is a bit-copy of an
+    input value, so Spark and a SQL oracle agree exactly even on
+    arbitrary doubles. ``qs`` maps output column name → q in [0, 1].
+
+    The per-group window sort is the verification shape; the sketch
+    path applies this to ≤ k sampled rows per group where the window is
+    trivially bounded. (Over a FULL 100 TB group, use the sketch — or
+    approx_percentile when a t-digest bound is acceptable.)"""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(value_col, key_col)
+    wc = Window.partitionBy(group_col)
+    r = rows.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(wc)
+    )
+    target = {
+        name: (F.floor((F.col("__n") - 1).cast("double") * F.lit(q)) + 1)
+        for name, q in qs.items()
+    }
+    aggs = [F.max("__n").alias(n_alias)] + [
+        F.max(
+            F.when(F.col("__rn") == target[name], F.col(value_col))
+        ).alias(name)
+        for name in qs
+    ]
+    return r.groupBy(group_col).agg(*aggs)
+
+
+def sample_quantile_oracle_sql(
+    table: str,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    k: int,
+    qs: dict[str, float],
+    where: str = "",
+) -> str:
+    """DuckDB mirror of sample_bottom_k_grouped + discrete_quantiles:
+    the same 60-bit md5 hash, the same (h, key) bottom-k, the same
+    floor((n-1)*q) index over (value, key) order."""
+    w = f"WHERE {where}" if where else ""
+    qcols = ",\n           ".join(
+        f"max(CASE WHEN rn = CAST(floor((n - 1) * {q!r}) AS BIGINT) + 1 "
+        f"THEN v_ END) AS {name}"
+        for name, q in qs.items()
+    )
+    return f"""
+    WITH h AS (
+      SELECT {group_col} AS g_, {key_col} AS k_, {value_col} AS v_,
+             ('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM {table} {w}
+    ), s AS (
+      SELECT g_, k_, v_ FROM (
+        SELECT g_, k_, v_,
+               row_number() OVER (PARTITION BY g_ ORDER BY h, k_) AS hr
+        FROM h)
+      WHERE hr <= {k}
+    ), sq AS (
+      SELECT g_, v_,
+             row_number() OVER (PARTITION BY g_ ORDER BY v_, k_) AS rn,
+             count(*) OVER (PARTITION BY g_) AS n
+      FROM s
+    )
+    SELECT g_ AS {group_col},
+           max(n) AS sample_n,
+           {qcols}
+    FROM sq GROUP BY g_
+    """

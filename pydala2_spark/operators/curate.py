@@ -1188,3 +1188,74 @@ def bm25_search_indexed(
         F.round(F.sum(F.col("s").cast(_DEC)).cast("double"), 4).alias("bm25")
     )
     return out.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(top_k)
+
+
+def priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Weighted sampling with unbiased subset-sum estimation — priority
+    sampling (Duffield, Lund, Thorup 2007): each row gets priority
+    ``q = w / u`` with ``u = (hash60(key)+1) / 2^60`` a deterministic
+    uniform in (0,1]; the k highest-priority rows are the sample, and
+    with ``tau`` the (k+1)-th priority every sampled row's
+    Horvitz-Thompson weight estimate is ``max(w, tau)`` — the estimator
+    whose subset sums are unbiased with near-optimal variance. Heavy
+    rows (w >= tau) are ALWAYS sampled and enter at their exact weight,
+    which is what makes this the right downsample for skewed corpora
+    (a giant document can't be missed; light rows are represented by
+    inflated survivors).
+
+    Division-only arithmetic (w * 2^60 is an exact exponent shift; one
+    IEEE division per row), so a SQL oracle reproduces the sample AND
+    the estimates bit-for-bit — rand()-based weighted reservoirs can't
+    be verified like this.
+
+    100 TB shape: priorities are scan-stage expressions; the top-(k+1)
+    is TakeOrderedAndProject (every partition forwards at most k+1
+    rows, no global-sort shuffle, no hot-task funnel). Returns the k
+    sampled rows with ``__priority``, ``__tau``, and ``__w_est``
+    columns appended.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pydala2_spark.functions.sketch import hash60
+
+    pri = (
+        F.col(weight_col).cast("double") * F.lit(float(1 << 60))
+    ) / (hash60(F.col(key_col)) + F.lit(1)).cast("double")
+    ranked = df.filter(F.col(key_col).isNotNull()).withColumn(
+        "__priority", pri
+    )
+    # ONE corpus pass: the top-(k+1) (TakeOrderedAndProject) yields both
+    # the sample (rows 1..k) and tau (row k+1's priority; 0 when the
+    # whole input fits in k — then max(w, 0) = w and the estimate
+    # degrades to exact). The windows below see <= k+1 rows.
+    topk1 = ranked.orderBy(F.col("__priority").desc(), F.col(key_col)).limit(
+        k + 1
+    )
+    w_all = Window.partitionBy().orderBy(
+        F.col("__priority").desc(), F.col(key_col)
+    )
+    w_unb = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = topk1.withColumn("__rn", F.row_number().over(w_all)).withColumn(
+        "__tau",
+        F.coalesce(
+            F.max(
+                F.when(F.col("__rn") == k + 1, F.col("__priority"))
+            ).over(w_unb),
+            F.lit(0.0),
+        ),
+    )
+    return (
+        t.filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .withColumn(
+            "__w_est",
+            F.greatest(F.col(weight_col).cast("double"), F.col("__tau")),
+        )
+    )

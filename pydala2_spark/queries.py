@@ -6331,6 +6331,176 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quantile_sketch_oracle() -> str:
+    from pydala2_spark.functions.sketch import sample_quantile_oracle_sql
+
+    est = sample_quantile_oracle_sql(
+        "events",
+        "event_type",
+        "event_id",
+        "value",
+        k=128,
+        qs={"p50_est": 0.5, "p90_est": 0.9, "p99_est": 0.99},
+    )
+    return f"""
+    WITH est AS ({est}),
+    fq AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), exact AS (
+      SELECT event_type, max(n) AS n_rows,
+             max(CASE WHEN rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1
+                      THEN value END) AS p50_exact,
+             max(CASE WHEN rn = CAST(floor((n - 1) * 0.9) AS BIGINT) + 1
+                      THEN value END) AS p90_exact,
+             max(CASE WHEN rn = CAST(floor((n - 1) * 0.99) AS BIGINT) + 1
+                      THEN value END) AS p99_exact
+      FROM fq GROUP BY event_type
+    )
+    SELECT est.event_type, exact.n_rows, est.sample_n,
+           est.p50_est, exact.p50_exact,
+           est.p90_est, exact.p90_exact,
+           est.p99_est, exact.p99_exact
+    FROM est JOIN exact USING (event_type)
+    """
+
+
+@query("agg_quantile_sketch", _quantile_sketch_oracle())
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketch — the distribution-shaped sibling of
+    the KMV cardinality sketch: hashing the unique row id uniformly
+    permutes each group's rows, so the k=128 smallest-hash rows are a
+    uniform sample, and discrete quantiles read straight off the sorted
+    sample next to their exact full-group values. Unlike reservoir
+    sampling the state is a pure function of the row SET
+    (order-independent), so slice states merge by union + re-bottom-k
+    and a streaming maintenance lands on the batch sketch bit-for-bit
+    (pinned by pytest; see stream_kmv_quantiles).
+
+    100 TB shape: the sketch side is the salted two-stage bottom-k —
+    no window ever sees more than max(group/salt, salt*k) rows — then
+    quantile extraction over ≤128 rows per group. The exact columns
+    (full-group window sort) are the verification baseline; production
+    drops them — that is the point of the sketch. Emitted quantiles are
+    bit-copies of input values (discrete, no interpolation), so the
+    oracle hash-matches without rounding.
+    See functions/sketch.sample_bottom_k_grouped."""
+    from pydala2_spark.functions.sketch import (
+        discrete_quantiles,
+        sample_bottom_k_grouped,
+    )
+
+    QS = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    ev = _t(spark, sf_dir, "events")
+    state = sample_bottom_k_grouped(ev, "event_type", "event_id", "value", k=128)
+    est = discrete_quantiles(
+        state,
+        "event_type",
+        "__val",
+        "__key",
+        {f"{n}_est": q for n, q in QS.items()},
+        n_alias="sample_n",
+    )
+    exact = discrete_quantiles(
+        ev.select("event_type", "event_id", "value"),
+        "event_type",
+        "value",
+        "event_id",
+        {f"{n}_exact": q for n, q in QS.items()},
+        n_alias="n_rows",
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_rows",
+        "sample_n",
+        "p50_est",
+        "p50_exact",
+        "p90_est",
+        "p90_exact",
+        "p99_est",
+        "p99_exact",
+    )
+
+
+@query(
+    "doc_priority_sample",
+    """
+    WITH p AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(n_chars AS DOUBLE) * 1152921504606846976.0
+               / CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       + 1) AS DOUBLE) AS pri
+      FROM documents
+    ), t AS (
+      SELECT doc_id, lang, n_chars, pri,
+             row_number() OVER (ORDER BY pri DESC, doc_id) AS rn
+      FROM (SELECT * FROM p ORDER BY pri DESC, doc_id LIMIT 65)
+    ), tau AS (
+      SELECT coalesce(max(CASE WHEN rn = 65 THEN pri END), 0.0) AS tau FROM t
+    ), s AS (
+      SELECT doc_id, lang, n_chars, pri,
+             greatest(CAST(n_chars AS DOUBLE), tau.tau) AS w_est
+      FROM t, tau WHERE rn <= 64
+    ), tot AS (
+      SELECT CAST(round(sum(CAST(w_est AS DECIMAL(38,6))), 2) AS DOUBLE)
+               AS est_total
+      FROM s
+    ), ex AS (
+      SELECT CAST(sum(n_chars) AS BIGINT) AS exact_total FROM documents
+    )
+    SELECT s.doc_id, s.lang, s.n_chars,
+           round(s.pri, 2) AS priority,
+           round(s.w_est, 2) AS w_est,
+           tot.est_total, ex.exact_total
+    FROM s, tot, ex
+    """,
+)
+def doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus downsampling with UNBIASED size estimation —
+    priority sampling (Duffield-Lund-Thorup 2007): k=64 docs sampled
+    with probability increasing in n_chars via deterministic hash
+    priorities q = w/u, plus each survivor's Horvitz-Thompson weight
+    estimate max(w, tau). The punchline columns: est_total (the sum of
+    the 64 estimates) sits next to exact_total (the true corpus
+    character count) — the estimator a pipeline uses to budget token
+    counts from a tiny weighted sample. Heavy docs (w >= tau) are
+    sampled with certainty at exact weight; rand()-based weighted
+    reservoirs cannot be oracle-verified like this.
+
+    100 TB shape: priorities are scan-stage expressions; the top-(k+1)
+    is one TakeOrderedAndProject pass (<= k+1 rows leave any
+    partition); tau and the estimates derive from that same pass
+    (sample is localCheckpointed: corpus scanned ONCE).
+    See operators/curate.priority_sample."""
+    from pydala2_spark.operators.curate import priority_sample
+    from pydala2_spark.operators.dedup import _materialize_once
+
+    docs = _t(spark, sf_dir, "documents")
+    s = _materialize_once(
+        priority_sample(
+            docs.select("doc_id", "lang", "n_chars"), "doc_id", "n_chars", k=64
+        )
+    )
+    tot = s.agg(_dsum("__w_est", 2).alias("est_total"))
+    ex = docs.agg(F.sum("n_chars").cast("long").alias("exact_total"))
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ex))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round("__priority", 2).alias("priority"),
+            F.round("__w_est", 2).alias("w_est"),
+            "est_total",
+            "exact_total",
+        )
+    )
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
