@@ -524,3 +524,80 @@ def resample_interp(
             F.round(interp, 4).alias("value_interp"),
         )
     )
+
+
+def mann_kendall(
+    series: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann-Kendall trend test + Kendall's tau per group: the standard
+    NONPARAMETRIC monotone-trend detector for time series (Mann 1945,
+    Kendall 1975) — robust to outliers and any monotone transform,
+    where an OLS slope (grouped_ols_trend) is neither. ``series`` is
+    one row per (group, time) with a numeric value; output per group:
+
+    - ``s_stat`` = sum over ordered pairs of sign(x_j - x_i) (integer),
+      with ``n_concordant`` / ``n_discordant`` / ``n_tied`` breakdowns;
+    - ``tau`` = S / (n(n-1)/2) — Kendall's tau-a in [-1, 1];
+    - ``z_score`` = the normal-approximation statistic
+      (S ∓ 1) / sqrt(n(n-1)(2n+5)/18) with continuity correction;
+    - ``trend`` = increasing / decreasing / none at the 5% level
+      (|z| > 1.959964).
+
+    Pair comparisons are sign tests — integer-exact, so the oracle
+    matches bit-for-bit; tau and z are one division / one sqrt each.
+
+    100 TB shape: built for PRE-AGGREGATED series (e.g. daily rollups
+    of a raw stream — aggregate first, map-side combined). The pair
+    self-join is per-group O(n_points²) with n_points bounded by the
+    calendar, not the event count; groups spread across the cluster.
+    """
+    a = series.select(
+        F.col(group_col),
+        F.col(time_col).alias("__t1"),
+        F.col(value_col).alias("__x1"),
+    )
+    b = series.select(
+        F.col(group_col),
+        F.col(time_col).alias("__t2"),
+        F.col(value_col).alias("__x2"),
+    )
+    pairs = a.join(b, group_col).filter(F.col("__t1") < F.col("__t2"))
+    sign = F.when(F.col("__x2") > F.col("__x1"), 1).when(
+        F.col("__x2") < F.col("__x1"), -1
+    ).otherwise(0)
+    n_points = series.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+    stats = pairs.groupBy(group_col).agg(
+        F.sum(sign).cast("long").alias("s_stat"),
+        F.sum(F.when(sign == 1, 1).otherwise(0)).cast("long").alias("n_concordant"),
+        F.sum(F.when(sign == -1, 1).otherwise(0)).cast("long").alias("n_discordant"),
+        F.sum(F.when(sign == 0, 1).otherwise(0)).cast("long").alias("n_tied"),
+    )
+    n = F.col("n_points").cast("double")
+    var_s = n * (n - 1) * (2 * n + 5) / F.lit(18.0)
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var_s))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    crit = 1.959964
+    return (
+        n_points.join(stats, group_col)
+        .withColumn(
+            "tau",
+            F.round(
+                F.col("s_stat").cast("double") / (n * (n - 1) / F.lit(2.0)), 4
+            ),
+        )
+        .withColumn("z_score", F.round(z, 4))
+        .withColumn(
+            "trend",
+            F.when(F.col("z_score") > crit, F.lit("increasing"))
+            .when(F.col("z_score") < -crit, F.lit("decreasing"))
+            .otherwise(F.lit("none")),
+        )
+    )

@@ -263,3 +263,87 @@ def triangle_counts(
         .unionAll(tri.select(F.col("z").alias("node")))
     )
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def kcore(edges: DataFrame, k: int, max_iter: int = 12) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly delete
+    every node with degree < k until fixpoint (Matula & Beck 1983) —
+    the cohesion filter that isolates the dense backbone of a graph
+    (spam rings, power-user cliques, boilerplate hubs) where a single
+    degree cut cannot: removing a weak node can expose its neighbors.
+
+    ``edges`` is an undirected edge list ``(src, dst)``, one row per
+    edge. Returns ``(node, core_degree)`` — the surviving nodes of the
+    k-core subgraph with their within-core degrees.
+
+    Iterations stop at fixpoint or ``max_iter``, whichever is first;
+    because a converged peel is a no-op, stopping early equals running
+    the full cap — which is what lets a SQL oracle unroll exactly
+    ``max_iter`` rounds and land on the identical answer
+    (:func:`kcore_oracle_sql`). Integer-exact throughout.
+
+    100 TB shape: each round is one map-side-combined degree count and
+    two semi-joins keyed on node id, with lineage truncated per round
+    (localCheckpoint) so the plan doesn't deepen; the edge frame only
+    ever SHRINKS. Real graphs converge in a few rounds (the peel depth
+    is the graph's degeneracy ladder, not its diameter)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    adj = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    adj = adj.localCheckpoint()
+    n_edges = adj.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        keep = (
+            adj.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .filter(F.col("__d") >= k)
+            .select("u")
+        )
+        pruned = adj.join(keep, "u", "left_semi").join(
+            keep.withColumnRenamed("u", "v"), "v", "left_semi"
+        )
+        pruned = pruned.localCheckpoint()
+        n_pruned = pruned.count()
+        if n_pruned == n_edges:
+            break  # fixpoint: further peels are no-ops
+        adj, n_edges = pruned, n_pruned
+    return adj.groupBy("u").agg(F.count(F.lit(1)).alias("core_degree")).select(
+        F.col("u").alias("node"), "core_degree"
+    )
+
+
+def kcore_oracle_sql(edge_cte: str, k: int, max_iter: int = 12) -> str:
+    """DuckDB mirror of :func:`kcore`: the peel loop unrolled exactly
+    ``max_iter`` times (converged rounds are no-ops, so capped unroll
+    = fixpoint whenever the graph converges within the cap — and when
+    it doesn't, the Spark side stops at the same cap). ``edge_cte`` is
+    SQL producing the undirected edge list as columns ``(a, b)``."""
+    # AS MATERIALIZED is load-bearing: each round references the
+    # previous one three times, so an inlining planner would expand the
+    # base scan 3^max_iter times (observed as "too many open files")
+    parts = [
+        f"e AS MATERIALIZED ({edge_cte})",
+        "a0 AS MATERIALIZED (SELECT a AS u, b AS v FROM e "
+        "UNION ALL SELECT b AS u, a AS v FROM e)",
+    ]
+    for i in range(max_iter):
+        parts.append(
+            f"k{i} AS MATERIALIZED "
+            f"(SELECT u FROM a{i} GROUP BY u HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"a{i + 1} AS MATERIALIZED (SELECT x.u, x.v FROM a{i} x "
+            f"JOIN k{i} p ON x.u = p.u JOIN k{i} q ON x.v = q.u)"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT u AS node, count(*) AS core_degree "
+        f"FROM a{max_iter} GROUP BY u"
+    )

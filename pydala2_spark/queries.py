@@ -6501,6 +6501,192 @@ def doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcore_oracle() -> str:
+    from pydala2_spark.operators.graph import kcore_oracle_sql
+
+    edge_cte = """
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                  FROM lineitem WHERE l_quantity >= 45)
+      SELECT DISTINCT x.p AS a, y.p AS b
+      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+    """
+    inner = kcore_oracle_sql(edge_cte, k=3, max_iter=12)
+    return (
+        f"SELECT node AS partkey, core_degree FROM ({inner})"
+    )
+
+
+@query("graph_kcore", _kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the bulk co-purchase graph — iterative peeling
+    (Matula-Beck), the third canonical iterative graph primitive next
+    to pagerank (centrality) and triangles (local cohesion): nodes
+    survive only if they keep >= 3 within-core neighbors AFTER weaker
+    nodes are removed, which a one-shot degree filter cannot compute
+    (peeling cascades — this slice takes 5 rounds at sf0.01). The
+    oracle unrolls the identical peel 12 rounds; converged rounds are
+    no-ops so both sides land on the same fixpoint, integer-exact.
+
+    100 TB shape: per round one map-side-combined degree count + two
+    node-keyed semi-joins over an edge frame that only shrinks, with
+    lineage truncated per round. Peel depth is the graph's degeneracy
+    ladder, not its diameter — small for real graphs.
+    See operators/graph.kcore."""
+    from pydala2_spark.operators.graph import kcore
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    edges = (
+        li.alias("x")
+        .join(li.alias("y"), "o")
+        .filter(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+        .distinct()
+    )
+    return kcore(edges, k=3, max_iter=12).select(
+        F.col("node").alias("partkey"), "core_degree"
+    )
+
+
+@query(
+    "ev_mann_kendall",
+    f"""
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             {_osum("value", 4)} AS x
+      FROM events GROUP BY 1, 2
+    ), p AS (
+      SELECT a.event_type,
+             CASE WHEN b.x > a.x THEN 1
+                  WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND a.day < b.day
+    ), np AS (
+      SELECT event_type, count(*) AS n_points FROM d GROUP BY 1
+    ), s AS (
+      SELECT event_type,
+             CAST(sum(sgn) AS BIGINT) AS s_stat,
+             CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_concordant,
+             CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_discordant,
+             CAST(sum(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tied
+      FROM p GROUP BY 1
+    ), zc AS (
+      SELECT np.event_type, np.n_points, s.s_stat,
+             s.n_concordant, s.n_discordant, s.n_tied,
+             round(CAST(s.s_stat AS DOUBLE)
+                   / (CAST(np.n_points AS DOUBLE)
+                      * (CAST(np.n_points AS DOUBLE) - 1) / 2.0), 4) AS tau,
+             round(CASE
+               WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                 / sqrt(CAST(np.n_points AS DOUBLE)
+                        * (CAST(np.n_points AS DOUBLE) - 1)
+                        * (2 * CAST(np.n_points AS DOUBLE) + 5) / 18.0)
+               WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                 / sqrt(CAST(np.n_points AS DOUBLE)
+                        * (CAST(np.n_points AS DOUBLE) - 1)
+                        * (2 * CAST(np.n_points AS DOUBLE) + 5) / 18.0)
+               ELSE 0.0 END, 4) AS z_score
+      FROM np JOIN s USING (event_type)
+    )
+    SELECT event_type, n_points, s_stat, n_concordant, n_discordant,
+           n_tied, tau, z_score,
+           CASE WHEN z_score > 1.959964 THEN 'increasing'
+                WHEN z_score < -1.959964 THEN 'decreasing'
+                ELSE 'none' END AS trend
+    FROM zc
+    """,
+)
+def ev_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test + Kendall's tau per event type
+    over the DAILY value series — the nonparametric complement to
+    ev_value_trend's OLS slope: sign-based, so robust to outliers and
+    invariant under monotone transforms, with an honest significance
+    statement (z with continuity correction at the 5% level). Pair
+    comparisons are integers; only tau and z divide, so the oracle
+    lands bit-for-bit.
+
+    100 TB shape: the raw stream reduces to (type, day) FIRST —
+    map-side-combined decimal sums — and the O(days²) pair join runs
+    on that calendar-bounded frame (90 days → 4005 pairs per group),
+    never on events. See operators/events.mann_kendall."""
+    from pydala2_spark.operators.events import mann_kendall
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        _dsum("value", 4).alias("x")
+    )
+    mk = mann_kendall(daily, "event_type", "day", "x")
+    return mk.select(
+        "event_type",
+        "n_points",
+        "s_stat",
+        "n_concordant",
+        "n_discordant",
+        "n_tied",
+        "tau",
+        "z_score",
+        "trend",
+    )
+
+
+def _stream_kmv_quantiles_oracle() -> str:
+    from pydala2_spark.functions.sketch import sample_quantile_oracle_sql
+
+    return sample_quantile_oracle_sql(
+        "events",
+        "event_type",
+        "event_id",
+        "value",
+        k=128,
+        qs={"p50_est": 0.5, "p90_est": 0.9, "p99_est": 0.99},
+    )
+
+
+@query("stream_kmv_quantiles", _stream_kmv_quantiles_oracle())
+def stream_kmv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eighth streaming oracle query: the uniform-sample quantile
+    sketch maintained as CUSTOM BOUNDED STATE — per event type,
+    ``applyInPandasWithState`` keeps the k=128 smallest-hash rows seen
+    so far (O(k) per group forever, no watermark), and because a
+    bottom-k is a pure function of the row SET, the drained state
+    equals the batch sketch bit-for-bit regardless of how micro-batches
+    split the input. The oracle recomputes the batch sketch in SQL —
+    streaming quantile monitoring whose answer is EXACTLY reproducible
+    offline. See streaming/pipeline.sample_sketch_stream."""
+    import tempfile
+    import uuid
+
+    from pydala2_spark.functions.sketch import discrete_quantiles
+    from pydala2_spark.streaming.pipeline import (
+        read_event_stream,
+        run_to_memory,
+        sample_sketch_rows,
+        sample_sketch_stream,
+    )
+
+    events = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    sk = sample_sketch_stream(events, "event_type", "event_id", "value", k=128)
+    name = f"kmvq_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    drained = run_to_memory(sk, name, ck, state_partitions=4)
+    rows = sample_sketch_rows(drained, "event_type")
+    return discrete_quantiles(
+        rows,
+        "event_type",
+        "__val",
+        "__key",
+        {"p50_est": 0.5, "p90_est": 0.9, "p99_est": 0.99},
+        n_alias="sample_n",
+    )
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================

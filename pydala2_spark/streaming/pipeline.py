@@ -704,3 +704,124 @@ def hll_stream(
         .groupBy(group_col, "idx")
         .agg(F.max("__rho").alias("r"))
     )
+
+
+SAMPLE_SKETCH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("hs", T.ArrayType(T.LongType())),
+        T.StructField("ks", T.ArrayType(T.LongType())),
+        T.StructField("vs", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _sample_sketch_output_schema(group_field: T.StructField) -> T.StructType:
+    return T.StructType(
+        [
+            group_field,
+            T.StructField("n_seen", T.LongType()),
+            T.StructField("hs", T.ArrayType(T.LongType())),
+            T.StructField("ks", T.ArrayType(T.LongType())),
+            T.StructField("vs", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+
+def sample_sketch_stream(
+    events: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    k: int = 128,
+) -> DataFrame:
+    """Streaming maintenance of the uniform-sample quantile sketch
+    (functions/sketch.sample_bottom_k_grouped): per group, keep the k
+    rows with the smallest hash60(key) seen SO FAR, carried as three
+    bounded arrays in ``applyInPandasWithState`` state. Because the
+    bottom-k of a row set is order-independent, the drained state
+    equals the batch sketch bit-for-bit no matter how micro-batches
+    split the input — the mergeability property, exercised live.
+
+    State is O(k) per group FOREVER (no watermark needed, like the
+    CMS/HLL streams); each update sorts ≤ state+batch rows inside one
+    Arrow batch. Output rows (update mode) snapshot the state with a
+    monotone ``n_seen`` so a multi-batch drain can keep each group's
+    last snapshot. Quantiles read off the drained arrays exactly as
+    off the batch state.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pydala2_spark.functions.sketch import hash60
+
+    hashed = events.filter(F.col(key_col).isNotNull()).select(
+        F.col(group_col),
+        hash60(F.col(key_col)).alias("__h"),
+        F.col(key_col).cast("long").alias("__k"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    group_field = next(
+        f for f in hashed.schema.fields if f.name == group_col
+    )
+    out_schema = _sample_sketch_output_schema(group_field)
+
+    def _fn(
+        key: Tuple[Any, ...],
+        batches: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n_seen, hs, ks, vs = state.get
+            items = list(zip(hs, ks, vs))
+        else:
+            n_seen, items = 0, []
+        for pdf in batches:
+            n_seen += len(pdf)
+            items.extend(
+                zip(
+                    pdf["__h"].astype("int64"),
+                    pdf["__k"].astype("int64"),
+                    pdf["__v"].astype("float64"),
+                )
+            )
+            items.sort(key=lambda t: (t[0], t[1]))
+            del items[k:]
+        hs = [int(t[0]) for t in items]
+        ks = [int(t[1]) for t in items]
+        vs = [float(t[2]) for t in items]
+        state.update((n_seen, hs, ks, vs))
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "n_seen": [n_seen],
+                "hs": [hs],
+                "ks": [ks],
+                "vs": [vs],
+            }
+        )
+
+    return hashed.groupBy(group_col).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=SAMPLE_SKETCH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def sample_sketch_rows(drained: DataFrame, group_col: str) -> DataFrame:
+    """Unfold a drained sample-sketch stream back into per-row sketch
+    state ``(group, h, __key, __val)`` — each group's LAST snapshot
+    (max n_seen) wins, so a multi-batch drain in update mode (one
+    snapshot row per group per touching batch) reduces correctly.
+    Feed the result to functions/sketch.discrete_quantiles."""
+    last = drained.groupBy(group_col).agg(
+        F.max_by(F.struct("hs", "ks", "vs"), "n_seen").alias("__s")
+    )
+    z = F.explode(F.arrays_zip("__s.hs", "__s.ks", "__s.vs")).alias("__z")
+    return last.select(F.col(group_col), z).select(
+        F.col(group_col),
+        F.col("__z.hs").alias("h"),
+        F.col("__z.ks").alias("__key"),
+        F.col("__z.vs").alias("__val"),
+    )

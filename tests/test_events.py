@@ -386,3 +386,46 @@ def test_ohlc_and_interp_match_pandas_reference(spark):
         for day, want in full.items():
             have = got_i[(uid, day.strftime("%Y-%m-%d"))]
             assert abs(have - round(float(want), 4)) <= 1e-4, (uid, day)
+
+
+def test_mann_kendall_known_series_and_bruteforce(spark):
+    """Known answers on constructed series (strictly increasing ->
+    tau=1/increasing, strictly decreasing -> tau=-1/decreasing, flat
+    -> tau=0/none) and an exact brute-force cross-check of every
+    statistic on a deterministic pseudo-random series."""
+    import math
+
+    from pydala2_spark.operators.events import mann_kendall
+
+    n = 12
+    rows = (
+        [("up", t, float(t * 2 + 1)) for t in range(n)]
+        + [("down", t, float(100 - 3 * t)) for t in range(n)]
+        + [("flat", t, 7.0) for t in range(n)]
+        + [("rnd", t, float((t * 7919) % 13)) for t in range(n)]
+    )
+    df = spark.createDataFrame(rows, "g string, t long, x double")
+    out = {r["g"]: r.asDict() for r in mann_kendall(df, "g", "t", "x").collect()}
+
+    assert out["up"]["tau"] == 1.0 and out["up"]["trend"] == "increasing"
+    assert out["down"]["tau"] == -1.0 and out["down"]["trend"] == "decreasing"
+    assert out["flat"]["s_stat"] == 0 and out["flat"]["trend"] == "none"
+    assert out["flat"]["n_tied"] == n * (n - 1) // 2
+
+    # brute force the rnd series
+    xs = [float((t * 7919) % 13) for t in range(n)]
+    sgn = [
+        (xs[j] > xs[i]) - (xs[j] < xs[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    ]
+    S = sum(sgn)
+    r = out["rnd"]
+    assert r["s_stat"] == S
+    assert r["n_concordant"] == sum(1 for s in sgn if s == 1)
+    assert r["n_discordant"] == sum(1 for s in sgn if s == -1)
+    assert r["n_tied"] == sum(1 for s in sgn if s == 0)
+    assert r["tau"] == round(S / (n * (n - 1) / 2.0), 4)
+    var_s = n * (n - 1) * (2 * n + 5) / 18.0
+    z = 0.0 if S == 0 else (S - (1 if S > 0 else -1)) / math.sqrt(var_s)
+    assert r["z_score"] == round(z, 4)

@@ -98,3 +98,62 @@ def test_triangle_counts_exact_and_oriented_once(spark):
     assert got == {1: 3, 2: 3, 3: 3, 4: 3, 6: 1, 7: 1, 8: 1}
     # total triangles = sum/3 = 5 (4 in K4 + 1 disjoint)
     assert sum(got.values()) // 3 == 5
+
+
+def test_kcore_matches_bruteforce_peel(spark):
+    """kcore() vs an in-Python peel on a random-ish deterministic
+    graph, for several k: same surviving nodes and within-core
+    degrees; plus the fixpoint-vs-capped-unroll equivalence (running
+    far past convergence changes nothing)."""
+    import collections
+
+    from pydala2_spark.operators.graph import kcore
+
+    # deterministic pseudo-random graph: 60 nodes, edge iff hash cond
+    edges_py = [
+        (a, b)
+        for a in range(60)
+        for b in range(a + 1, 60)
+        if (a * 7919 + b * 104729) % 17 < 2
+    ]
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    for k in (2, 3, 4):
+        adj = collections.defaultdict(set)
+        for a, b in edges_py:
+            adj[a].add(b)
+            adj[b].add(a)
+        while True:
+            drop = [n for n, s in adj.items() if len(s) < k]
+            if not drop:
+                break
+            for n in drop:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+        expect = sorted((n, len(s)) for n, s in adj.items())
+        got = sorted(
+            (r["node"], r["core_degree"])
+            for r in kcore(edges, k=k, max_iter=30).collect()
+        )
+        assert got == expect, f"k={k}"
+    # capped equals converged: max_iter far past fixpoint is a no-op
+    a = sorted(map(tuple, kcore(edges, k=3, max_iter=5).collect()))
+    b = sorted(map(tuple, kcore(edges, k=3, max_iter=25).collect()))
+    assert a == b
+
+
+def test_kcore_empty_and_guards(spark):
+    from pydala2_spark.operators.graph import kcore
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert kcore(empty, k=2).count() == 0
+    # a triangle is a 2-core but not a 3-core
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    assert kcore(tri, k=2).count() == 3
+    assert kcore(tri, k=3).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        kcore(tri, k=0)

@@ -2042,3 +2042,46 @@ def test_gif_frame_stats_real_timeline(spark):
 
     sampled = gif_frame_stats(df, "blob", ["id"], n_frames=2).collect()
     assert sorted(r["frame_index"] for r in sampled) == [0, 2]  # j*5//2
+
+
+def test_streaming_sample_sketch_multibatch_equals_batch(spark, sf_dir, tmp_path):
+    """The order-independence punchline, exercised across REAL
+    micro-batch boundaries: events split into 3 landing files drained
+    one file per trigger must leave EXACTLY the batch sketch in state
+    (same hashes, same keys, same values), because a bottom-k is a
+    pure function of the row set. Also pins the multi-snapshot
+    reduction: update mode emits one state snapshot per group per
+    touching batch, and sample_sketch_rows must keep only the last."""
+    from pydala2_spark.functions.sketch import sample_bottom_k_grouped
+    from pydala2_spark.sources.testdata import read_table
+    from pydala2_spark.streaming.pipeline import (
+        read_event_stream,
+        run_to_memory,
+        sample_sketch_rows,
+        sample_sketch_stream,
+    )
+
+    batch_events = read_table(spark, sf_dir, "events")
+    d = tmp_path / "landing3"
+    batch_events.repartition(3).write.parquet(str(d))
+
+    stream = read_event_stream(spark, str(d), max_files_per_trigger=1)
+    sk = sample_sketch_stream(stream, "event_type", "event_id", "value", k=16)
+    drained = run_to_memory(
+        sk, "t_kmvq", str(tmp_path / "ckpt_kmvq"), state_partitions=2
+    )
+    # multi-batch really happened: some group has >1 snapshot row
+    per_group = drained.groupBy("event_type").count().collect()
+    assert max(r["count"] for r in per_group) > 1
+
+    got = sorted(
+        (r["event_type"], r["h"], r["__key"], r["__val"])
+        for r in sample_sketch_rows(drained, "event_type").collect()
+    )
+    want = sorted(
+        (r["event_type"], r["h"], r["__key"], float(r["__val"]))
+        for r in sample_bottom_k_grouped(
+            batch_events, "event_type", "event_id", "value", k=16
+        ).collect()
+    )
+    assert got == want

@@ -246,3 +246,50 @@ def test_cms_stream_equals_batch_sketch_across_microbatches(spark, tmp_path):
     w = {(r["row_id"], r["bucket"]): r["cnt"] for r in want.collect()}
     assert g == w
     assert len(g) <= 3 * 32
+
+
+def test_priority_sample_contracts(spark):
+    """Priority sampling (Duffield-Lund-Thorup) contracts: bounded at
+    k; heavy rows (w >= tau) always sampled at exact weight; inputs
+    that fit in k degrade to exact (tau=0, est=w); the HT total lands
+    inside a ~4/sqrt(k) envelope of the true total; deterministic."""
+    from pyspark.sql import functions as F
+
+    from pydala2_spark.operators.curate import priority_sample
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k_"),
+        (F.col("id") % 97 + 1).cast("long").alias("w"),
+    )
+    k = 64
+    s = priority_sample(df, "k_", "w", k=k)
+    rows = s.collect()
+    assert len(rows) == k
+    tau = rows[0]["__tau"]
+    assert all(r["__tau"] == tau for r in rows)
+    # every row with w >= tau must be in the sample, at exact weight
+    heavy = {r["k_"] for r in df.filter(F.col("w") >= tau).collect()}
+    sampled = {r["k_"] for r in rows}
+    assert heavy <= sampled
+    for r in rows:
+        if r["w"] >= tau:
+            assert r["__w_est"] == float(r["w"])
+    # HT total ~ true total (variance <= Var(optimal k-1 sample); the
+    # envelope is generous on purpose -- this is one draw)
+    est_total = sum(r["__w_est"] for r in rows)
+    true_total = df.agg(F.sum("w")).first()[0]
+    assert abs(est_total - true_total) / true_total < 4 / (k ** 0.5)
+    # determinism
+    again = priority_sample(df, "k_", "w", k=k).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    # input smaller than k: exact passthrough with tau = 0
+    tiny = df.limit(10)
+    t = priority_sample(tiny, "k_", "w", k=k).collect()
+    assert len(t) == 10
+    assert all(r["__tau"] == 0.0 and r["__w_est"] == float(r["w"]) for r in t)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        priority_sample(df, "k_", "w", k=0)

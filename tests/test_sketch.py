@@ -422,3 +422,78 @@ def test_kmv_grouped_matches_ungrouped_per_group(spark):
 
     with pytest.raises(ValueError, match="salt"):
         kmv_bottom_k_grouped(hs, "g", k=K, salt=0)
+
+
+def test_sample_sketch_merge_equals_oneshot_and_quantiles(spark):
+    """Uniform-sample quantile sketch contracts: (1) merging per-slice
+    states (union + re-bottom-k) equals the one-shot sketch EXACTLY —
+    the state is a pure function of the row set; (2) discrete quantiles
+    off the sample track the true quantiles; (3) the discrete extractor
+    is exactly right when the 'sample' is the whole group."""
+    from pydala2_spark.functions.sketch import (
+        discrete_quantiles,
+        merge_sample_states,
+        sample_bottom_k_grouped,
+    )
+
+    df = spark.range(4000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.col("id").alias("k_"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    one = sample_bottom_k_grouped(df, "g", "k_", "v", k=64)
+    halves = [df.filter(F.col("id") < 2000), df.filter(F.col("id") >= 2000)]
+    states = [sample_bottom_k_grouped(h, "g", "k_", "v", k=64) for h in halves]
+    merged = merge_sample_states(states, "g", k=64)
+    key = lambda r: (r["g"], r["h"], r["__key"])
+    assert sorted(map(key, one.collect())) == sorted(map(key, merged.collect()))
+
+    # sampled-quantile accuracy: values are uniform 0..999, so p50 ~ 500
+    est = {
+        r["g"]: r
+        for r in discrete_quantiles(
+            one, "g", "__val", "__key", {"p50": 0.5, "p90": 0.9}
+        ).collect()
+    }
+    for g in ("0", "1"):
+        assert est[g]["n"] == 64
+        assert abs(est[g]["p50"] - 500) < 200  # ~1/sqrt(64) envelope
+        assert abs(est[g]["p90"] - 900) < 200
+
+    # exact extractor: full group, brute-force expectations
+    full = discrete_quantiles(
+        df.select("g", F.col("k_"), F.col("v")),
+        "g",
+        "v",
+        "k_",
+        {"p0": 0.0, "p50": 0.5, "p100": 1.0},
+    ).collect()
+    import math
+
+    vals = {
+        g: sorted(float((i * 2 + int(g)) % 1000) for i in range(2000))
+        for g in ("0", "1")
+    }
+    for r in full:
+        ref = vals[r["g"]]
+        assert r["n"] == 2000
+        for name, q in (("p0", 0.0), ("p50", 0.5), ("p100", 1.0)):
+            assert r[name] == ref[math.floor((2000 - 1) * q)]
+
+
+def test_sample_sketch_null_keys_dropped_and_guards(spark):
+    from pydala2_spark.functions.sketch import (
+        merge_sample_states,
+        sample_bottom_k_grouped,
+    )
+
+    df = spark.createDataFrame(
+        [("a", None, 1.0), ("a", 1, 2.0), ("a", 2, 3.0)],
+        "g string, k_ long, v double",
+    )
+    out = sample_bottom_k_grouped(df, "g", "k_", "v", k=8).collect()
+    assert len(out) == 2  # NULL-keyed row cannot be permuted -> dropped
+    with pytest.raises(ValueError, match="k must be"):
+        sample_bottom_k_grouped(df, "g", "k_", "v", k=1)
+    with pytest.raises(ValueError, match="at least one state"):
+        merge_sample_states([], "g", k=8)
