@@ -265,7 +265,12 @@ def triangle_counts(
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
-def kcore(edges: DataFrame, k: int, max_iter: int = 12) -> DataFrame:
+def kcore(
+    edges: DataFrame,
+    k: int,
+    max_iter: int = 12,
+    driver_edge_budget: int = 5_000_000,
+) -> DataFrame:
     """k-core decomposition by iterative peeling: repeatedly delete
     every node with degree < k until fixpoint (Matula & Beck 1983) —
     the cohesion filter that isolates the dense backbone of a graph
@@ -273,8 +278,9 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 12) -> DataFrame:
     degree cut cannot: removing a weak node can expose its neighbors.
 
     ``edges`` is an undirected edge list ``(src, dst)``, one row per
-    edge. Returns ``(node, core_degree)`` — the surviving nodes of the
-    k-core subgraph with their within-core degrees.
+    edge (no multi-edges). Returns ``(node, core_degree)`` — the
+    surviving nodes of the k-core subgraph with their within-core
+    degrees.
 
     Iterations stop at fixpoint or ``max_iter``, whichever is first;
     because a converged peel is a no-op, stopping early equals running
@@ -282,11 +288,17 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 12) -> DataFrame:
     ``max_iter`` rounds and land on the identical answer
     (:func:`kcore_oracle_sql`). Integer-exact throughout.
 
-    100 TB shape: each round is one map-side-combined degree count and
-    two semi-joins keyed on node id, with lineage truncated per round
-    (localCheckpoint) so the plan doesn't deepen; the edge frame only
-    ever SHRINKS. Real graphs converge in a few rounds (the peel depth
-    is the graph's degeneracy ladder, not its diameter)."""
+    100 TB shape: each distributed round is one map-side-combined
+    degree count and two semi-joins keyed on node id, with lineage
+    truncated per round (localCheckpoint) so the plan doesn't deepen;
+    the edge frame only ever SHRINKS. Once the surviving adjacency
+    fits ``driver_edge_budget`` endpoint rows, the remaining rounds
+    finish driver-side in one pass instead of paying per-round job
+    latency on tiny frames — the same budget-gated pattern as
+    dedup's duplicate_clusters union-find; the finisher honors the
+    SAME round cap, so results are identical on either path (pinned
+    by pytest). Peel depth is the graph's degeneracy ladder, not its
+    diameter — small for real graphs."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if max_iter < 1:
@@ -296,9 +308,10 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 12) -> DataFrame:
     ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
     adj = adj.localCheckpoint()
     n_edges = adj.count()
-    for _ in range(max_iter):
-        if n_edges == 0:
-            break
+    rounds_left = max_iter
+    while rounds_left > 0 and n_edges > 0:
+        if n_edges <= driver_edge_budget:
+            return _kcore_driver_finish(adj, k, rounds_left)
         keep = (
             adj.groupBy("u")
             .agg(F.count(F.lit(1)).alias("__d"))
@@ -310,11 +323,39 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 12) -> DataFrame:
         )
         pruned = pruned.localCheckpoint()
         n_pruned = pruned.count()
+        rounds_left -= 1
         if n_pruned == n_edges:
             break  # fixpoint: further peels are no-ops
         adj, n_edges = pruned, n_pruned
     return adj.groupBy("u").agg(F.count(F.lit(1)).alias("core_degree")).select(
         F.col("u").alias("node"), "core_degree"
+    )
+
+
+def _kcore_driver_finish(adj: DataFrame, k: int, rounds_left: int) -> DataFrame:
+    """Finish the peel on the driver: the adjacency is at most the
+    caller's budget (bounded memory), each remaining round is the
+    identical delete-all-deg<k step, and the ROUND CAP still applies
+    so the capped-unroll oracle equivalence survives the handoff."""
+    node_type = dict(
+        (f.name, f.dataType.simpleString()) for f in adj.schema.fields
+    )["u"]
+    nbrs: dict = {}
+    for r in adj.collect():
+        nbrs.setdefault(r["u"], set()).add(r["v"])
+    for _ in range(rounds_left):
+        drop = [n for n, s in nbrs.items() if len(s) < k]
+        if not drop:
+            break
+        for n in drop:
+            for m in nbrs[n]:
+                s = nbrs.get(m)
+                if s is not None:
+                    s.discard(n)
+            del nbrs[n]
+    rows = [(n, len(s)) for n, s in nbrs.items()]
+    return adj.sparkSession.createDataFrame(
+        rows, f"node {node_type}, core_degree long"
     )
 
 

@@ -140,6 +140,20 @@ def test_kcore_matches_bruteforce_peel(spark):
     a = sorted(map(tuple, kcore(edges, k=3, max_iter=5).collect()))
     b = sorted(map(tuple, kcore(edges, k=3, max_iter=25).collect()))
     assert a == b
+    # the driver-side finisher (default budget) and the pure
+    # distributed path (budget 0) must agree exactly, including under
+    # a binding round cap (max_iter=2 stops both mid-peel)
+    for mi in (2, 25):
+        d = sorted(
+            map(tuple, kcore(edges, k=3, max_iter=mi).collect())
+        )
+        dist = sorted(
+            map(
+                tuple,
+                kcore(edges, k=3, max_iter=mi, driver_edge_budget=0).collect(),
+            )
+        )
+        assert d == dist, f"max_iter={mi}"
 
 
 def test_kcore_empty_and_guards(spark):
