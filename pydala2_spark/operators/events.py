@@ -601,3 +601,244 @@ def mann_kendall(
             .otherwise(F.lit("none")),
         )
     )
+
+
+def pettitt_change_point(
+    series: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Pettitt (1979) single change-point detection per group: the
+    rank-based test that locates WHERE a series' distribution shifted
+    — the monitoring question after mann_kendall's "is there a trend".
+    For each candidate split t, U_t = sum over pairs (i <= t < j) of
+    sign(x_j - x_i); the change point is the t maximizing |U_t|, with
+    significance p ~ 2*exp(-6K^2 / (n^3 + n^2)).
+
+    Computed via the O(n^2)-pair identity U_t = -sum_{s<=t} V_s with
+    V_s = sum_{j != s} sign(x_s - x_j): ONE pair join builds the
+    per-element V, one prefix-sum window builds every U_t — not the
+    naive O(n^3) per-candidate rescan. Sign statistics are integers,
+    so the oracle matches exactly (p rounds to 4, the repo's
+    transcendental-behind-round precedent).
+
+    Output per group: n_points, t_star (the change-point time, ties to
+    the earliest), k_stat = |U_{t_star}|, u_stat = U_{t_star} (sign
+    says shift direction: positive = later values larger), p_approx.
+
+    100 TB shape: built for pre-aggregated series (daily rollups) —
+    the pair join is calendar-bounded per group, never event-bounded.
+    """
+    from pyspark.sql import Window
+
+    a = series.select(
+        F.col(group_col),
+        F.col(time_col).alias("__t"),
+        F.col(value_col).alias("__x"),
+    )
+    b = series.select(
+        F.col(group_col),
+        F.col(time_col).alias("__tj"),
+        F.col(value_col).alias("__xj"),
+    )
+    sgn = F.when(F.col("__x") > F.col("__xj"), 1).when(
+        F.col("__x") < F.col("__xj"), -1
+    ).otherwise(0)
+    v = (
+        a.join(b, group_col)
+        .filter(F.col("__t") != F.col("__tj"))
+        .groupBy(group_col, "__t")
+        .agg(F.sum(sgn).cast("long").alias("__v"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(group_col)
+    u = (
+        v.withColumn("__u", -F.sum("__v").over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .withColumn("__rn", F.row_number().over(
+            Window.partitionBy(group_col).orderBy("__t")
+        ))
+        # candidate splits are t = 1 .. n-1 (a split after the last
+        # point is no split; U_n = 0 identically)
+        .filter(F.col("__rn") < F.col("__n"))
+    )
+    best = u.groupBy(group_col).agg(
+        F.max("__n").alias("__n2"),
+        F.max_by(
+            F.struct(
+                F.abs("__u").alias("k"),
+                F.col("__u").alias("u"),
+                F.col("__t").alias("t"),
+            ),
+            # argmax |U| with ties to the EARLIEST time: max_by on a
+            # struct compares lexicographically, so negate a monotone
+            # time rank to flip the tiebreak
+            F.struct(F.abs("__u").alias("k"), (-F.col("__rn")).alias("r")),
+        ).alias("__b"),
+    )
+    # __n counted the group's FULL series (the count window ran before
+    # the rn < n candidate filter), so it IS n_points
+    n = F.col("__n2").cast("double")
+    k = F.col("__b.k").cast("double")
+    p = 2.0 * F.exp(-6.0 * k * k / (n * n * n + n * n))
+    return best.select(
+        F.col(group_col),
+        F.col("__n2").alias("n_points"),
+        F.col("__b.t").alias("t_star"),
+        F.col("__b.k").alias("k_stat"),
+        F.col("__b.u").alias("u_stat"),
+        F.round(F.least(p, F.lit(1.0)), 4).alias("p_approx"),
+    )
+
+
+def welch_ttest(
+    values: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups — the A/B
+    primitive: difference of means, the t statistic, and the
+    Welch-Satterthwaite degrees of freedom, computed from exact
+    decimal moment sums so the result is engine-portable.
+
+    Moments accumulate as DECIMAL: the value casts to DECIMAL(38,6)
+    (deterministic half-up, same contract as the _dsum helpers) and
+    its square is exact decimal arithmetic, so n / sum / sum-of-squares
+    are bit-identical in any engine; mean, variance, t, and df are
+    then a fixed sequence of IEEE double ops. Two-sided significance
+    is left to the caller's t-table — emitting ONE deterministic
+    statistic beats baking in an incomplete-beta approximation.
+
+    Output: one row — n/mean/var per side, mean_diff, t_stat, df.
+
+    100 TB shape: one map-side-combined aggregation per side over a
+    scan-stage filter; nothing else moves."""
+    d = F.col(value_col).cast("decimal(38,6)")
+
+    def side(tag: str, name: str) -> DataFrame:
+        return (
+            values.filter(
+                (F.col(group_col) == name) & F.col(value_col).isNotNull()
+            )
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{tag}"),
+                F.sum(d).alias(f"__s_{tag}"),
+                F.sum(d * d).alias(f"__ss_{tag}"),
+            )
+        )
+    j = side("a", group_a).crossJoin(side("b", group_b))
+    out = j
+    for tag in ("a", "b"):
+        n = F.col(f"n_{tag}").cast("double")
+        s = F.col(f"__s_{tag}").cast("double")
+        ss = F.col(f"__ss_{tag}").cast("double")
+        out = out.withColumn(f"__m_{tag}", s / n).withColumn(
+            # sample variance via the exact-decimal moments:
+            # (ss - n*m^2) / (n-1), every op double IEEE
+            f"__v_{tag}",
+            (ss - n * F.col(f"__m_{tag}") * F.col(f"__m_{tag}")) / (n - 1),
+        )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    va_n = F.col("__v_a") / na
+    vb_n = F.col("__v_b") / nb
+    se = F.sqrt(va_n + vb_n)
+    t = (F.col("__m_a") - F.col("__m_b")) / se
+    df = (va_n + vb_n) * (va_n + vb_n) / (
+        va_n * va_n / (na - 1) + vb_n * vb_n / (nb - 1)
+    )
+    return out.select(
+        "n_a",
+        F.round("__m_a", 4).alias("mean_a"),
+        F.round("__v_a", 4).alias("var_a"),
+        "n_b",
+        F.round("__m_b", 4).alias("mean_b"),
+        F.round("__v_b", 4).alias("var_b"),
+        F.round(F.col("__m_a") - F.col("__m_b"), 4).alias("mean_diff"),
+        F.round(t, 4).alias("t_stat"),
+        F.round(df, 2).alias("df"),
+    )
+
+
+def lag_autocorr(
+    series: DataFrame,
+    group_col: str,
+    time_index_col: str,
+    value_col: str,
+    lags: list[int],
+) -> DataFrame:
+    """Lag-k Pearson autocorrelation per group — seasonality and
+    persistence detection over pre-aggregated series (lag 1 =
+    day-over-day momentum, lag 7 = weekly cycle). ``time_index_col``
+    is a DENSE integer index (0..n-1 per group, e.g. a datediff from
+    the group's first day): the lag pairing is an equi-join on
+    ``idx + k``, so gaps in the calendar are the caller's decision.
+
+    Engine-portable determinism: series values are expected to carry
+    bounded decimals (e.g. round(x, 4) daily sums), so every moment
+    (sum x, sum y, sum xy, sum x^2, sum y^2 over the n-k lag pairs)
+    accumulates EXACTLY in decimal; the correlation
+    (p*Sxy - Sx*Sy) / (sqrt(p*Sxx - Sx^2) * sqrt(p*Syy - Sy^2))
+    is then a fixed double sequence. NULL when fewer than 2 pairs or
+    a degenerate (constant) side.
+
+    100 TB shape: one self-equi-join per lag on the calendar-bounded
+    series + a map-side-combined moment agg; events never join."""
+    if not lags or any(k < 1 for k in lags):
+        raise ValueError(f"lags must be positive, got {lags}")
+    dec = "decimal(38,12)"
+    base = series.select(
+        F.col(group_col),
+        F.col(time_index_col).alias("__i"),
+        F.col(value_col).alias("__x"),
+    )
+    outs = []
+    for k in lags:
+        lead = base.select(
+            F.col(group_col),
+            (F.col("__i") - k).alias("__i"),
+            F.col("__x").alias("__y"),
+        )
+        xd, yd = F.col("__x").cast(dec), F.col("__y").cast(dec)
+        m = (
+            base.join(lead, [group_col, "__i"])
+            .groupBy(group_col)
+            .agg(
+                F.count(F.lit(1)).alias("__p"),
+                F.sum(xd).alias("__sx"),
+                F.sum(yd).alias("__sy"),
+                F.sum(xd * yd).alias("__sxy"),
+                F.sum(xd * xd).alias("__sxx"),
+                F.sum(yd * yd).alias("__syy"),
+            )
+        )
+        p = F.col("__p").cast("double")
+        sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+        sxy = F.col("__sxy").cast("double")
+        sxx, syy = F.col("__sxx").cast("double"), F.col("__syy").cast("double")
+        denom_x = p * sxx - sx * sx
+        denom_y = p * syy - sy * sy
+        r = F.when(
+            (F.col("__p") >= 2) & (denom_x > 0) & (denom_y > 0),
+            F.round(
+                (p * sxy - sx * sy) / (F.sqrt(denom_x) * F.sqrt(denom_y)), 4
+            ),
+        )
+        outs.append(
+            m.select(
+                F.col(group_col),
+                F.lit(k).alias("lag"),
+                F.col("__p").alias("n_pairs"),
+                r.alias("autocorr"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -6687,6 +6687,215 @@ def stream_kmv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ev_pettitt_change",
+    f"""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, {_osum("value", 4)} AS x
+      FROM events GROUP BY 1, 2
+    ), v AS (
+      SELECT a.event_type, a.day,
+             CAST(sum(CASE WHEN a.x > b.x THEN 1
+                           WHEN a.x < b.x THEN -1 ELSE 0 END) AS BIGINT) AS v
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND a.day <> b.day
+      GROUP BY 1, 2
+    ), u AS (
+      SELECT event_type, day,
+             CAST(-sum(v) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS u,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ), pick AS (
+      SELECT event_type, n, day, u, abs(u) AS k,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(u) DESC, rn ASC) AS pr
+      FROM u WHERE rn < n
+    )
+    SELECT event_type,
+           n AS n_points,
+           strftime(day, '%Y-%m-%d') AS t_star,
+           k AS k_stat,
+           u AS u_stat,
+           round(least(
+             2.0 * exp(-6.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  + CAST(n AS DOUBLE) * CAST(n AS DOUBLE))),
+             1.0), 4) AS p_approx
+    FROM pick WHERE pr = 1
+    """,
+)
+def ev_pettitt_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt single change-point detection per event type over the
+    daily value series — WHERE did the distribution shift (the
+    monitoring question after ev_mann_kendall's "is there a trend"):
+    rank-based so outlier-robust, located via the O(n²) prefix-sum
+    identity (one pair join + one window — not the naive O(n³)
+    per-candidate rescan). Sign statistics are integers, so t_star,
+    K, and U oracle-match exactly; the significance approximation is
+    one exp behind round(4) (the repo's linear-counting precedent).
+
+    100 TB shape: the pair join runs on the calendar-bounded daily
+    frame, never on events. See operators/events.pettitt_change_point."""
+    from pydala2_spark.operators.events import pettitt_change_point
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        _dsum("value", 4).alias("x")
+    )
+    out = pettitt_change_point(daily, "event_type", "day", "x")
+    return out.select(
+        "event_type",
+        "n_points",
+        F.date_format("t_star", "yyyy-MM-dd").alias("t_star"),
+        "k_stat",
+        "u_stat",
+        "p_approx",
+    )
+
+
+@query(
+    "ev_welch_ttest",
+    """
+    WITH a AS (
+      SELECT count(*) AS n_a,
+             sum(CAST(value AS DECIMAL(38,6))) AS s_a,
+             sum(CAST(value AS DECIMAL(38,6))
+                 * CAST(value AS DECIMAL(38,6))) AS ss_a
+      FROM events WHERE event_type = 'click' AND value IS NOT NULL
+    ), b AS (
+      SELECT count(*) AS n_b,
+             sum(CAST(value AS DECIMAL(38,6))) AS s_b,
+             sum(CAST(value AS DECIMAL(38,6))
+                 * CAST(value AS DECIMAL(38,6))) AS ss_b
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ), m AS (
+      SELECT n_a, n_b,
+             CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS m_a,
+             CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS m_b,
+             (CAST(ss_a AS DOUBLE)
+              - CAST(n_a AS DOUBLE) * (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                * (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)))
+               / (CAST(n_a AS DOUBLE) - 1) AS v_a,
+             (CAST(ss_b AS DOUBLE)
+              - CAST(n_b AS DOUBLE) * (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                * (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+               / (CAST(n_b AS DOUBLE) - 1) AS v_b
+      FROM a, b
+    ), w AS (
+      SELECT *, v_a / CAST(n_a AS DOUBLE) AS va_n,
+                v_b / CAST(n_b AS DOUBLE) AS vb_n
+      FROM m
+    )
+    SELECT n_a, round(m_a, 4) AS mean_a, round(v_a, 4) AS var_a,
+           n_b, round(m_b, 4) AS mean_b, round(v_b, 4) AS var_b,
+           round(m_a - m_b, 4) AS mean_diff,
+           round((m_a - m_b) / sqrt(va_n + vb_n), 4) AS t_stat,
+           round((va_n + vb_n) * (va_n + vb_n)
+                 / (va_n * va_n / (CAST(n_a AS DOUBLE) - 1)
+                    + vb_n * vb_n / (CAST(n_b AS DOUBLE) - 1)), 2) AS df
+    FROM w
+    """,
+)
+def ev_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between click and purchase
+    values — the A/B-testing primitive: mean difference, t statistic,
+    Welch-Satterthwaite degrees of freedom. Moments accumulate as
+    EXACT decimals (count / sum / sum-of-squares), so the statistic is
+    a fixed double sequence both engines replay bit-for-bit.
+
+    100 TB shape: one map-side-combined aggregation per side over a
+    scan-stage filter — three numbers per side leave the executors.
+    See operators/events.welch_ttest."""
+    from pydala2_spark.operators.events import welch_ttest
+
+    ev = _t(spark, sf_dir, "events")
+    return welch_ttest(ev, "event_type", "value", "click", "purchase")
+
+
+def _autocorr_oracle(lags: list[int]) -> str:
+    blocks = []
+    for k in lags:
+        blocks.append(f"""
+    SELECT a.event_type, {k} AS lag, count(*) AS n_pairs,
+           CASE WHEN count(*) >= 2
+                 AND CAST(count(*) AS DOUBLE)
+                     * CAST(sum(CAST(a.x AS DECIMAL(38,12))
+                                * CAST(a.x AS DECIMAL(38,12))) AS DOUBLE)
+                     - CAST(sum(CAST(a.x AS DECIMAL(38,12))) AS DOUBLE)
+                       * CAST(sum(CAST(a.x AS DECIMAL(38,12))) AS DOUBLE) > 0
+                 AND CAST(count(*) AS DOUBLE)
+                     * CAST(sum(CAST(b.x AS DECIMAL(38,12))
+                                * CAST(b.x AS DECIMAL(38,12))) AS DOUBLE)
+                     - CAST(sum(CAST(b.x AS DECIMAL(38,12))) AS DOUBLE)
+                       * CAST(sum(CAST(b.x AS DECIMAL(38,12))) AS DOUBLE) > 0
+           THEN round(
+             (CAST(count(*) AS DOUBLE)
+              * CAST(sum(CAST(a.x AS DECIMAL(38,12))
+                         * CAST(b.x AS DECIMAL(38,12))) AS DOUBLE)
+              - CAST(sum(CAST(a.x AS DECIMAL(38,12))) AS DOUBLE)
+                * CAST(sum(CAST(b.x AS DECIMAL(38,12))) AS DOUBLE))
+             / (sqrt(CAST(count(*) AS DOUBLE)
+                     * CAST(sum(CAST(a.x AS DECIMAL(38,12))
+                                * CAST(a.x AS DECIMAL(38,12))) AS DOUBLE)
+                     - CAST(sum(CAST(a.x AS DECIMAL(38,12))) AS DOUBLE)
+                       * CAST(sum(CAST(a.x AS DECIMAL(38,12))) AS DOUBLE))
+                * sqrt(CAST(count(*) AS DOUBLE)
+                       * CAST(sum(CAST(b.x AS DECIMAL(38,12))
+                                  * CAST(b.x AS DECIMAL(38,12))) AS DOUBLE)
+                       - CAST(sum(CAST(b.x AS DECIMAL(38,12))) AS DOUBLE)
+                         * CAST(sum(CAST(b.x AS DECIMAL(38,12))) AS DOUBLE))),
+             4)
+           END AS autocorr
+    FROM i a JOIN i b
+      ON a.event_type = b.event_type AND b.idx = a.idx + {k}
+    GROUP BY a.event_type""")
+    body = "\n    UNION ALL\n".join(blocks)
+    return f"""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, {_osum("value", 4)} AS x
+      FROM events GROUP BY 1, 2
+    ), i AS (
+      SELECT event_type,
+             CAST(day - min(day) OVER (PARTITION BY event_type) AS BIGINT)
+               AS idx,
+             x
+      FROM d
+    )
+    {body}
+    """
+
+
+@query("ev_autocorr", _autocorr_oracle([1, 7]))
+def ev_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-7 Pearson autocorrelation of the daily value
+    series per event type — day-over-day persistence and the weekly
+    cycle, the seasonality screen that decides whether ev_value_trend
+    or a seasonal model fits. Daily sums carry 4 decimals, so every
+    moment over the lag pairs accumulates EXACTLY in decimal and the
+    correlation is a fixed double sequence — oracle bit-exact, no
+    float-summation drift.
+
+    100 TB shape: one self-equi-join per lag over the
+    calendar-bounded daily frame + map-side-combined moments; events
+    reduce once. See operators/events.lag_autocorr."""
+    from pydala2_spark.operators.events import lag_autocorr
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        _dsum("value", 4).alias("x")
+    )
+    w_min = W.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        F.datediff("day", F.min("day").over(w_min)).cast("long").alias("idx"),
+        "x",
+    )
+    return lag_autocorr(idx, "event_type", "idx", "x", lags=[1, 7])
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================

@@ -403,6 +403,115 @@ def main():
             reps=2,
         )
 
+    # --- r9 continuation session ops ----------------------------------
+
+    # mergeable quantile sketch: one scan + salted two-stage bottom-k
+    # (windows bounded at max(group/salt, salt*k)); quantile extraction
+    # over <= k rows/group. Expect ~linear in the scan.
+    from pydala2_spark.functions.sketch import (
+        discrete_quantiles,
+        sample_bottom_k_grouped,
+    )
+
+    for label in (("1x", "big") if want("quantile_sketch") else ()):
+        d = f"{ROOT}/ev_{label}"
+
+        def run_qs(d=d):
+            ev = spark.read.parquet(d)
+            st = sample_bottom_k_grouped(
+                ev, "event_type", "event_id", "value", k=128
+            )
+            discrete_quantiles(
+                st, "event_type", "__val", "__key", {"p50": 0.5, "p99": 0.99}
+            ).count()
+
+        out.setdefault("quantile_sketch", {})[label] = timed(run_qs, reps=2)
+
+    # priority sampling: scan-stage priorities + one
+    # TakeOrderedAndProject (<= k+1 rows leave any partition).
+    # Expect ~linear in the scan, nothing else.
+    from pydala2_spark.operators.curate import priority_sample
+
+    for label in (("1x", "big") if want("priority_sample") else ()):
+        d = f"{ROOT}/docs_{label}"
+        out.setdefault("priority_sample", {})[label] = timed(
+            lambda d=d: priority_sample(
+                spark.read.parquet(d), "doc_id", "n_chars", k=64
+            ).count(),
+            reps=2,
+        )
+
+    # Mann-Kendall: the raw stream reduces to (type, day) first; the
+    # pair join runs on the calendar-bounded daily frame (replication
+    # keeps the same date range, so pairs are CONSTANT while the daily
+    # agg is linear). Expect ~linear, dominated by the scan.
+    from pydala2_spark.operators.events import mann_kendall
+
+    for label in (("1x", "big") if want("mann_kendall") else ()):
+        d = f"{ROOT}/ev_{label}"
+
+        def run_mk(d=d):
+            ev = spark.read.parquet(d)
+            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+            daily = ev.groupBy(
+                "event_type", F.to_date("ts").alias("day")
+            ).agg(
+                F.round(F.sum(F.col("value").cast("decimal(38,6)")), 4)
+                .cast("double")
+                .alias("x")
+            )
+            mann_kendall(daily, "event_type", "day", "x").count()
+
+        out.setdefault("mann_kendall", {})[label] = timed(run_mk, reps=2)
+
+    # k-core: FACTOR disjoint shifted copies of the co-purchase graph
+    # (same degeneracy ladder, FACTOR x the edges) derived lazily from
+    # the base lineitem — edge derivation linear, each peel round is a
+    # degree agg + two semi-joins over a shrinking frame; the driver
+    # finish takes over under the 5M-endpoint budget.
+    from pydala2_spark.operators.graph import kcore
+
+    for label in (("1x", "big") if want("kcore") else ()):
+        base_li = spark.read.parquet(
+            os.path.join(BASE, "lineitem.parquet")
+        ).select("l_orderkey", "l_partkey", "l_quantity")
+        if label == "1x":
+            li = base_li
+        else:
+            mo = base_li.agg(F.max("l_orderkey")).first()[0] + 1
+            mp = base_li.agg(F.max("l_partkey")).first()[0] + 1
+            li = base_li
+            for c in range(1, FACTOR):
+                li = li.unionByName(
+                    base_li.withColumn(
+                        "l_orderkey", F.col("l_orderkey") + F.lit(c * mo)
+                    ).withColumn(
+                        "l_partkey", F.col("l_partkey") + F.lit(c * mp)
+                    )
+                )
+
+        def run_kc(li=li):
+            flt = (
+                li.filter(F.col("l_quantity") >= 45)
+                .select(
+                    F.col("l_orderkey").alias("o"),
+                    F.col("l_partkey").alias("p"),
+                )
+                .distinct()
+            )
+            edges = (
+                flt.alias("x")
+                .join(flt.alias("y"), "o")
+                .filter(F.col("x.p") < F.col("y.p"))
+                .select(
+                    F.col("x.p").alias("src"), F.col("y.p").alias("dst")
+                )
+                .distinct()
+            )
+            kcore(edges, k=3, max_iter=12).count()
+
+        out.setdefault("kcore", {})[label] = timed(run_kc, reps=2)
+
     print(f"{'op':24s} {'1x':>7s} {'x' + str(FACTOR):>7s} {'ratio':>7s}")
     for op, t in out.items():
         ratio = t["big"] / t["1x"]
