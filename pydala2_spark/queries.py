@@ -6916,11 +6916,12 @@ _VERIFY_FIRST = [
     # plus 4 r7-checked entries. Entries past the window hold green
     # rows from r7/r8 and stay covered by the full local mirror
     # (scripts/check_correctness.py).
-    # r10 pre-staging: the five r9-CONTINUATION queries
+    # r10 pre-staging: the eight r9-CONTINUATION queries
     # (agg_quantile_sketch, doc_priority_sample, graph_kcore,
-    # ev_mann_kendall, stream_kmv_quantiles) land AFTER this window —
-    # they have never been driver-seen (they are green in the full
-    # local mirror), so they MUST lead the r10 window, followed by the
+    # ev_mann_kendall, stream_kmv_quantiles, ev_pettitt_change,
+    # ev_welch_ttest, ev_autocorr) land AFTER this window — they have
+    # never been driver-seen (they are green in the full local
+    # mirror), so they MUST lead the r10 window, followed by the
     # stalest previously-checked entries below.
     # After r9's driver pass the stalest 50 are the
     # r7-checked block (CORRECTNESS_r07's window: array_function_suite,

@@ -429,3 +429,116 @@ def test_mann_kendall_known_series_and_bruteforce(spark):
     var_s = n * (n - 1) * (2 * n + 5) / 18.0
     z = 0.0 if S == 0 else (S - (1 if S > 0 else -1)) / math.sqrt(var_s)
     assert r["z_score"] == round(z, 4)
+
+
+def test_pettitt_change_point_bruteforce_and_shift(spark):
+    """A planted level shift is located exactly; every statistic
+    matches a brute-force O(n^3) Pettitt computation; ties resolve to
+    the earliest candidate."""
+    import math
+
+    def brute(xs):
+        n = len(xs)
+        best = None
+        for t in range(n - 1):  # candidate split AFTER index t
+            u = sum(
+                (xs[j] > xs[i]) - (xs[j] < xs[i])
+                for i in range(t + 1)
+                for j in range(t + 1, n)
+            )
+            if best is None or abs(u) > best[0]:
+                best = (abs(u), u, t)
+        k, u, t = best
+        p = min(2.0 * math.exp(-6.0 * k * k / (n**3 + n**2)), 1.0)
+        return k, u, t, round(p, 4)
+
+    from pydala2_spark.operators.events import pettitt_change_point
+
+    shift = [10.0 + (i % 3) for i in range(10)] + [
+        50.0 + (i % 3) for i in range(10)
+    ]
+    rnd = [float((i * 7919) % 23) for i in range(15)]
+    rows = [("shift", t, x) for t, x in enumerate(shift)] + [
+        ("rnd", t, x) for t, x in enumerate(rnd)
+    ]
+    df = spark.createDataFrame(rows, "g string, t long, x double")
+    out = {
+        r["g"]: r.asDict()
+        for r in pettitt_change_point(df, "g", "t", "x").collect()
+    }
+    for g, xs in (("shift", shift), ("rnd", rnd)):
+        k, u, t, p = brute(xs)
+        r = out[g]
+        assert r["n_points"] == len(xs)
+        assert (r["k_stat"], r["u_stat"], r["t_star"]) == (k, u, t), g
+        assert r["p_approx"] == p, g
+    # the planted shift is found at the boundary and is significant
+    assert out["shift"]["t_star"] == 9
+    assert out["shift"]["u_stat"] > 0  # later values larger
+    assert out["shift"]["p_approx"] < 0.01
+
+
+def test_welch_ttest_bruteforce(spark):
+    """Welch t/df vs a float brute force over the same decimal-exact
+    moments; equal-variance sanity (t ~ 0 on identical groups)."""
+    a = [float(10 + (i * 13) % 7) for i in range(40)]
+    b = [float(12 + (i * 17) % 11) for i in range(25)]
+    rows = [("a", x) for x in a] + [("b", x) for x in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    from pydala2_spark.operators.events import welch_ttest
+
+    r = welch_ttest(df, "g", "v", "a", "b").first().asDict()
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = (sum(x * x for x in a) - na * ma * ma) / (na - 1)
+    vb = (sum(x * x for x in b) - nb * mb * mb) / (nb - 1)
+    van, vbn = va / na, vb / nb
+    t = (ma - mb) / (van + vbn) ** 0.5
+    dfree = (van + vbn) ** 2 / (van**2 / (na - 1) + vbn**2 / (nb - 1))
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert r["mean_a"] == round(ma, 4) and r["mean_b"] == round(mb, 4)
+    assert abs(r["var_a"] - va) < 1e-3 and abs(r["var_b"] - vb) < 1e-3
+    assert abs(r["t_stat"] - t) < 1e-3
+    assert abs(r["df"] - dfree) < 0.05
+
+    same = spark.createDataFrame(
+        [("a", float(x)) for x in range(50)]
+        + [("b", float(x)) for x in range(50)],
+        "g string, v double",
+    )
+    r2 = welch_ttest(same, "g", "v", "a", "b").first()
+    assert r2["t_stat"] == 0.0 and r2["mean_diff"] == 0.0
+
+
+def test_lag_autocorr_known_and_degenerate(spark):
+    """Linear series: lag-k autocorrelation of x_t = t is exactly 1;
+    perfect period-2 alternation: lag-1 = -1, lag-2 = +1; constant
+    series: NULL (degenerate); short series (< 2 pairs): NULL row or
+    absent."""
+    from pydala2_spark.operators.events import lag_autocorr
+
+    rows = (
+        [("lin", i, float(i)) for i in range(20)]
+        + [("alt", i, float(i % 2)) for i in range(20)]
+        + [("const", i, 5.0) for i in range(20)]
+        + [("short", 0, 1.0), ("short", 1, 2.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, idx long, x double")
+    out = {
+        (r["g"], r["lag"]): r.asDict()
+        for r in lag_autocorr(df, "g", "idx", "x", lags=[1, 2]).collect()
+    }
+    assert out[("lin", 1)]["autocorr"] == 1.0
+    assert out[("lin", 2)]["autocorr"] == 1.0
+    assert out[("alt", 1)]["autocorr"] == -1.0
+    assert out[("alt", 2)]["autocorr"] == 1.0
+    assert out[("const", 1)]["autocorr"] is None
+    assert out[("short", 1)]["n_pairs"] == 1
+    assert out[("short", 1)]["autocorr"] is None  # < 2 pairs
+    assert ("short", 2) not in out  # zero pairs -> no group row
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lags must be"):
+        lag_autocorr(df, "g", "idx", "x", lags=[0])
