@@ -754,3 +754,79 @@ def sample_quantile_oracle_sql(
            {qcols}
     FROM sq GROUP BY g_
     """
+
+
+def cms_inner_product(
+    counters_a: DataFrame,
+    counters_b: DataFrame,
+    width: int | None = None,
+    depth: int | None = None,
+) -> DataFrame:
+    """JOIN-SIZE estimation from two Count-Min sketches (the AMS /
+    Cormode-Muthukrishnan inner-product estimator): for counter tables
+    over each side's join key, sum(A[r,b] * B[r,b]) per hash row r is
+    an overestimate of the true join cardinality
+    sum_k fA(k) * fB(k), and the MIN over rows is the estimate — the
+    same >= truth guarantee as point estimates. This is what lets a
+    planner size a join (pick broadcast vs shuffle, pre-provision
+    skew handling) from two O(d*w) states WITHOUT touching either
+    table — day-over-day states merge by addition, so the question
+    also answers across stored sketches.
+
+    Both frames must share geometry: widths are read from the
+    cms_build stamps (explicit ``width`` required for unstamped
+    frames; a stamp/argument disagreement raises — probing misaligned
+    moduli silently breaks the guarantee). Integer-only arithmetic, so
+    a SQL oracle lands bit-for-bit.
+
+    Output: one row ``(inner_product_est BIGINT)``.
+
+    100 TB shape: the counter tables are <= depth*width rows each;
+    the product join is sketch-sized, nothing scans data."""
+
+    def stamp(df, arg, field):
+        try:
+            md = df.schema["bucket"].metadata or {}
+            s = int(md[field]) if field in md else None
+        except (KeyError, TypeError, ValueError):
+            s = None
+        if s is not None and arg is not None and s != arg:
+            raise ValueError(
+                f"cms_inner_product: explicit {field}={arg} disagrees with "
+                f"the frame's stamped {field}={s}"
+            )
+        return s if s is not None else arg
+
+    for df, tag in ((counters_a, "counters_a"), (counters_b, "counters_b")):
+        missing = [c for c in ("row_id", "bucket", "cnt") if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"cms_inner_product: {tag} lacks column(s) {missing}"
+            )
+    wa = stamp(counters_a, width, "cms_width")
+    wb = stamp(counters_b, width, "cms_width")
+    if wa is None or wb is None:
+        raise ValueError(
+            "cms_inner_product: no width stamp and no explicit width — "
+            "pass width= for counter frames not built by cms_build"
+        )
+    if wa != wb:
+        raise ValueError(
+            f"cms_inner_product: geometry mismatch — widths {wa} vs {wb}"
+        )
+    da = stamp(counters_a, depth, "cms_depth")
+    db = stamp(counters_b, depth, "cms_depth")
+    if da is not None and db is not None and da != db:
+        raise ValueError(
+            f"cms_inner_product: geometry mismatch — depths {da} vs {db}"
+        )
+    a = counters_a.select("row_id", "bucket", F.col("cnt").alias("__ca"))
+    b = counters_b.select("row_id", "bucket", F.col("cnt").alias("__cb"))
+    per_row = (
+        a.join(b, ["row_id", "bucket"])
+        .groupBy("row_id")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__ip"))
+    )
+    return per_row.agg(
+        F.min("__ip").cast("long").alias("inner_product_est")
+    )

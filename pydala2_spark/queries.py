@@ -6896,6 +6896,207 @@ def ev_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lag_autocorr(idx, "event_type", "idx", "x", lags=[1, 7])
 
 
+@query(
+    "agg_cms_join_size",
+    """
+    WITH rows_ AS (SELECT unnest(range(3)) AS row_id),
+    ca AS (
+      SELECT row_id,
+             ('0x' || substr(md5('cms' || CAST(row_id AS VARCHAR) || ':'
+                || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 512 AS bucket,
+             count(*) AS cnt
+      FROM events CROSS JOIN rows_
+      WHERE event_type = 'click' AND user_id IS NOT NULL
+      GROUP BY 1, 2
+    ), cb AS (
+      SELECT row_id,
+             ('0x' || substr(md5('cms' || CAST(row_id AS VARCHAR) || ':'
+                || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 512 AS bucket,
+             count(*) AS cnt
+      FROM events CROSS JOIN rows_
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+      GROUP BY 1, 2
+    ), ip AS (
+      SELECT ca.row_id, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS ipr
+      FROM ca JOIN cb USING (row_id, bucket)
+      GROUP BY ca.row_id
+    ), est AS (SELECT CAST(min(ipr) AS BIGINT) AS est_pairs FROM ip),
+    ex AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_pairs
+      FROM (SELECT user_id FROM events
+            WHERE event_type = 'click' AND user_id IS NOT NULL) a
+      JOIN (SELECT user_id FROM events
+            WHERE event_type = 'purchase' AND user_id IS NOT NULL) b
+        USING (user_id)
+    )
+    SELECT ex.exact_pairs, est.est_pairs,
+           round(CAST(est.est_pairs AS DOUBLE)
+                 / CAST(ex.exact_pairs AS DOUBLE), 4) AS over_ratio
+    FROM ex, est
+    """,
+)
+def agg_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE estimation from sketches alone — the AMS/Count-Min
+    inner-product estimator (sum over buckets of A[r,b]*B[r,b], min
+    over hash rows): how many click-purchase pairs join on user_id,
+    answered from two O(d*w) counter states WITHOUT scanning either
+    side. This is the planner question (broadcast or shuffle? expect
+    skew?) and the day-over-day question (states merge by addition),
+    shown next to the exact join count and the guaranteed->=1
+    over-ratio. Integer-only, so the oracle is bit-exact.
+
+    100 TB shape: each sketch is one map-side-combined pass (the scan
+    you already paid for stats); the product join is sketch-sized —
+    the estimate costs nothing at query time.
+    See functions/sketch.cms_inner_product."""
+    from pydala2_spark.functions.sketch import cms_build, cms_inner_product
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    est = cms_inner_product(
+        cms_build(a, "user_id", depth=3, width=512),
+        cms_build(b, "user_id", depth=3, width=512),
+    ).select(F.col("inner_product_est").alias("est_pairs"))
+    exact = a.join(b, "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_pairs")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_pairs",
+        "est_pairs",
+        F.round(
+            F.col("est_pairs").cast("double")
+            / F.col("exact_pairs").cast("double"),
+            4,
+        ).alias("over_ratio"),
+    )
+
+
+def _drift_oracle() -> str:
+    def branch(col: str, kind: str, where: str) -> str:
+        if kind == "num":
+            mn = f"round(CAST(min({col}) AS DOUBLE), 4)"
+            mx = f"round(CAST(max({col}) AS DOUBLE), 4)"
+            sn = sx = "CAST(NULL AS VARCHAR)"
+        elif kind == "ts":
+            mn = (
+                f"round(CAST(epoch_us(CAST(min({col}) AS TIMESTAMP)) AS DOUBLE)"
+                " / 1000000, 6)"
+            )
+            mx = (
+                f"round(CAST(epoch_us(CAST(max({col}) AS TIMESTAMP)) AS DOUBLE)"
+                " / 1000000, 6)"
+            )
+            sn = sx = "CAST(NULL AS VARCHAR)"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+            sn, sx = f"min({col})", f"max({col})"
+        return f"""
+      SELECT '{col}' AS column_name,
+             count(*) AS n_rows,
+             count(DISTINCT {col}) AS n_distinct,
+             {mn} AS min_num, {mx} AS max_num,
+             {sn} AS min_str, {sx} AS max_str
+      FROM orders {where}"""
+
+    cols = [
+        ("o_custkey", "num"),
+        ("o_totalprice", "num"),
+        ("o_orderstatus", "str"),
+        ("o_orderdate", "ts"),
+    ]
+    p1 = "\n      UNION ALL".join(
+        branch(c, k, "WHERE o_orderkey % 3 <> 0") for c, k in cols
+    )
+    p2 = "\n      UNION ALL".join(branch(c, k, "") for c, k in cols)
+    return f"""
+    WITH p1 AS ({p1}), p2 AS ({p2})
+    SELECT p1.column_name,
+           p1.n_rows AS n_v1, p2.n_rows AS n_v2,
+           p1.n_distinct AS ndv_v1, p2.n_distinct AS ndv_v2,
+           round(CAST(p2.n_distinct AS DOUBLE)
+                 / CAST(p1.n_distinct AS DOUBLE), 4) AS ndv_ratio,
+           p1.min_num AS min_num_v1, p1.max_num AS max_num_v1,
+           p2.min_num AS min_num_v2, p2.max_num AS max_num_v2,
+           coalesce(p2.min_num < p1.min_num, FALSE)
+             OR coalesce(p2.max_num > p1.max_num, FALSE)
+             OR coalesce(p2.min_str < p1.min_str, FALSE)
+             OR coalesce(p2.max_str > p1.max_str, FALSE) AS range_widened
+    FROM p1 JOIN p2 USING (column_name)
+    """
+
+
+@query("dq_profile_drift", _drift_oracle())
+def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema/profile DRIFT between two snapshot VERSIONS of a managed
+    dataset — the data-quality gate a pipeline runs after every
+    ingest: per column, row/distinct counts and typed min/max for v1
+    vs v2 (computed over time-travel reads of the same
+    SnapshotDataset), the NDV growth ratio, and a range_widened flag
+    (new values outside the previous envelope — the classic silent
+    schema-drift symptom). Reuses profile_dataframe, so the metrics
+    are the same two map-side-combined passes per version.
+
+    100 TB shape: profiling scans each version once with no joins or
+    windows on data; the drift join is |columns| rows. Versions are
+    manifest-following reads — no listing races.
+    See functions/schema_tools.profile_dataframe, plans/snapshots."""
+    import shutil
+
+    from pydala2_spark.functions.schema_tools import profile_dataframe
+    from pydala2_spark.plans.snapshots import SnapshotDataset
+
+    cols = ["o_custkey", "o_totalprice", "o_orderstatus", "o_orderdate"]
+    root = _app_scoped_tmp(spark, sf_dir, "pydala2_spark_drift")
+    path = f"{root}/snap"
+    shutil.rmtree(path, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", *cols)
+    ds = SnapshotDataset(spark, path)
+    ds.commit(orders.filter(F.col("o_orderkey") % 3 != 0).repartition(4))
+    ds.commit(orders.filter(F.col("o_orderkey") % 3 == 0).repartition(2))
+    p1 = profile_dataframe(ds.read(1), cols)
+    p2 = profile_dataframe(ds.read(2), cols)
+    r1 = p1.select(
+        "column_name",
+        F.col("n_rows").alias("n_v1"),
+        F.col("n_distinct").alias("ndv_v1"),
+        F.col("min_num").alias("min_num_v1"),
+        F.col("max_num").alias("max_num_v1"),
+        F.col("min_str").alias("min_str_v1"),
+        F.col("max_str").alias("max_str_v1"),
+    )
+    r2 = p2.select(
+        "column_name",
+        F.col("n_rows").alias("n_v2"),
+        F.col("n_distinct").alias("ndv_v2"),
+        F.col("min_num").alias("min_num_v2"),
+        F.col("max_num").alias("max_num_v2"),
+        F.col("min_str").alias("min_str_v2"),
+        F.col("max_str").alias("max_str_v2"),
+    )
+    widened = (
+        F.coalesce(F.col("min_num_v2") < F.col("min_num_v1"), F.lit(False))
+        | F.coalesce(F.col("max_num_v2") > F.col("max_num_v1"), F.lit(False))
+        | F.coalesce(F.col("min_str_v2") < F.col("min_str_v1"), F.lit(False))
+        | F.coalesce(F.col("max_str_v2") > F.col("max_str_v1"), F.lit(False))
+    )
+    return r1.join(r2, "column_name").select(
+        "column_name",
+        "n_v1",
+        "n_v2",
+        "ndv_v1",
+        "ndv_v2",
+        F.round(
+            F.col("ndv_v2").cast("double") / F.col("ndv_v1").cast("double"), 4
+        ).alias("ndv_ratio"),
+        "min_num_v1",
+        "max_num_v1",
+        "min_num_v2",
+        "max_num_v2",
+        widened.alias("range_widened"),
+    )
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -6916,9 +7117,10 @@ _VERIFY_FIRST = [
     # plus 4 r7-checked entries. Entries past the window hold green
     # rows from r7/r8 and stay covered by the full local mirror
     # (scripts/check_correctness.py).
-    # r10 pre-staging: the eight r9-CONTINUATION queries
+    # r10 pre-staging: the ten r9-CONTINUATION queries
     # (agg_quantile_sketch, doc_priority_sample, graph_kcore,
     # ev_mann_kendall, stream_kmv_quantiles, ev_pettitt_change,
+    # agg_cms_join_size, dq_profile_drift,
     # ev_welch_ttest, ev_autocorr) land AFTER this window — they have
     # never been driver-seen (they are green in the full local
     # mirror), so they MUST lead the r10 window, followed by the

@@ -497,3 +497,53 @@ def test_sample_sketch_null_keys_dropped_and_guards(spark):
         sample_bottom_k_grouped(df, "g", "k_", "v", k=1)
     with pytest.raises(ValueError, match="at least one state"):
         merge_sample_states([], "g", k=8)
+
+
+def test_cms_inner_product_join_size(spark):
+    """Inner-product estimator contracts: >= the true join size
+    always; equals it exactly when the width is large enough that
+    buckets don't collide; geometry guards refuse mismatched or
+    unstamped frames."""
+    from pydala2_spark.functions.sketch import cms_build, cms_inner_product
+
+    # skewed frequencies: key k appears k times in A, (11-k) in B
+    a = spark.createDataFrame(
+        [(k,) for k in range(1, 11) for _ in range(k)], "v long"
+    )
+    b = spark.createDataFrame(
+        [(k,) for k in range(1, 11) for _ in range(11 - k)], "v long"
+    )
+    true_ip = sum(k * (11 - k) for k in range(1, 11))
+    assert a.join(b, "v").count() == true_ip
+
+    est_wide = cms_inner_product(
+        cms_build(a, "v", depth=3, width=4096),
+        cms_build(b, "v", depth=3, width=4096),
+    ).first()["inner_product_est"]
+    assert est_wide == true_ip  # 10 keys, 4096 buckets: no collisions
+
+    est_tight = cms_inner_product(
+        cms_build(a, "v", depth=3, width=4),
+        cms_build(b, "v", depth=3, width=4),
+    ).first()["inner_product_est"]
+    assert est_tight >= true_ip  # collisions only ADD
+
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        cms_inner_product(
+            cms_build(a, "v", depth=3, width=64),
+            cms_build(b, "v", depth=3, width=128),
+        )
+    with pytest.raises(ValueError, match="disagrees with"):
+        cms_inner_product(
+            cms_build(a, "v", depth=3, width=64),
+            cms_build(b, "v", depth=3, width=64),
+            width=128,
+        )
+    # unstamped frames need an explicit width
+    ca = cms_build(a, "v", depth=3, width=64).selectExpr(
+        "row_id", "bucket + 0 AS bucket", "cnt"  # drops column metadata
+    )
+    with pytest.raises(ValueError, match="no width stamp"):
+        cms_inner_product(ca, ca)
+    r = cms_inner_product(ca, ca, width=64).first()["inner_product_est"]
+    assert r >= sum(k * k for k in range(1, 11))
