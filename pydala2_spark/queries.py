@@ -7097,6 +7097,230 @@ def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dq_key_skew",
+    """
+    WITH f AS (
+      SELECT user_id, count(*) AS c FROM events
+      WHERE user_id IS NOT NULL GROUP BY user_id
+    ), r AS (
+      SELECT c, row_number() OVER (ORDER BY c, user_id) AS i,
+             count(*) OVER () AS n,
+             CAST(sum(c) OVER () AS BIGINT) AS total
+      FROM f
+    ), g AS (
+      SELECT max(n) AS n_keys, max(total) AS n_rows,
+             CAST(sum((2 * i - n - 1) * c) AS BIGINT) AS gini_num
+      FROM r
+    ), tk AS (
+      SELECT CAST(sum(c) AS BIGINT) AS top10_rows
+      FROM (SELECT c FROM f ORDER BY c DESC, user_id LIMIT 10)
+    ), mx AS (
+      SELECT CAST(max(c) AS BIGINT) AS max_key_rows FROM f
+    )
+    SELECT g.n_keys, g.n_rows, mx.max_key_rows,
+           round(CAST(mx.max_key_rows AS DOUBLE)
+                 / CAST(g.n_rows AS DOUBLE), 6) AS max_share,
+           tk.top10_rows,
+           round(CAST(tk.top10_rows AS DOUBLE)
+                 / CAST(g.n_rows AS DOUBLE), 6) AS top10_share,
+           round(CAST(g.gini_num AS DOUBLE)
+                 / (CAST(g.n_keys AS DOUBLE) * CAST(g.n_rows AS DOUBLE)), 6)
+             AS gini
+    FROM g, tk, mx
+    """,
+)
+def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key SKEW diagnostics for events.user_id — the
+    numbers that decide salting and AQE skew-join thresholds BEFORE a
+    job falls over: key count, the heaviest key's share, the top-10
+    share, and the Gini coefficient of the frequency distribution
+    (0 = uniform, →1 = one hot key). The Gini numerator
+    sum((2i - n - 1) * c) is integer-exact over the rank-ordered
+    frequencies, so the oracle matches to the last digit; the only
+    doubles are three final divisions.
+
+    100 TB shape: events reduce to one row per KEY first (map-side
+    combined); the rank window and top-10 run on the key frame —
+    bounded by the key space, not the event count. For a key space
+    too large to rank globally, bucket the frequencies first (the
+    histogram approximation); the exact form here is the oracle
+    baseline. Complements agg_cms_join_size: that sizes the join,
+    this says whether its hottest key needs salting
+    (functions/skew.py)."""
+    from pyspark.sql import Window
+
+    f = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_rank = Window.partitionBy().orderBy("c", "user_id")
+    w_all = Window.partitionBy()
+    r = (
+        f.withColumn("i", F.row_number().over(w_rank))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .withColumn("total", F.sum("c").over(w_all))
+    )
+    g = r.agg(
+        F.max("n").alias("n_keys"),
+        F.max("total").cast("long").alias("n_rows"),
+        F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("c"))
+        .cast("long")
+        .alias("gini_num"),
+    )
+    tk = (
+        f.orderBy(F.desc("c"), "user_id")
+        .limit(10)
+        .agg(F.sum("c").cast("long").alias("top10_rows"))
+    )
+    mx = f.agg(F.max("c").cast("long").alias("max_key_rows"))
+    return (
+        g.crossJoin(F.broadcast(tk))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_key_rows",
+            F.round(
+                F.col("max_key_rows").cast("double")
+                / F.col("n_rows").cast("double"),
+                6,
+            ).alias("max_share"),
+            "top10_rows",
+            F.round(
+                F.col("top10_rows").cast("double")
+                / F.col("n_rows").cast("double"),
+                6,
+            ).alias("top10_share"),
+            F.round(
+                F.col("gini_num").cast("double")
+                / (
+                    F.col("n_keys").cast("double")
+                    * F.col("n_rows").cast("double")
+                ),
+                6,
+            ).alias("gini"),
+        )
+    )
+
+
+@query(
+    "graph_common_neighbors",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem WHERE l_quantity >= 45),
+    e AS (
+      SELECT DISTINCT x.p AS a, y.p AS b
+      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+    ), adj AS (
+      SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e
+    ), deg AS (
+      SELECT u AS n_, count(*) AS d FROM adj GROUP BY u
+    ), am AS (
+      SELECT adj.u AS m, adj.v AS a, deg.d AS dm
+      FROM adj JOIN deg ON adj.u = deg.n_
+    ), w AS (
+      SELECT x.a AS a, y.a AS b, x.m, x.dm
+      FROM am x JOIN am y ON x.m = y.m AND x.dm = y.dm AND x.a < y.a
+    ), cand AS (
+      SELECT w.a, w.b, w.dm FROM w
+      LEFT JOIN e ON w.a = e.a AND w.b = e.b
+      WHERE e.a IS NULL
+    ), sc AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
+             CAST(sum(CAST(round(1.0 / ln(CAST(dm AS DOUBLE)), 12)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS aa
+      FROM cand GROUP BY a, b
+    )
+    SELECT sc.a AS part_a, sc.b AS part_b, sc.cn,
+           round(CAST(sc.cn AS DOUBLE)
+                 / CAST(da.d + db.d - sc.cn AS DOUBLE), 6) AS jaccard,
+           round(sc.aa, 4) AS adamic_adar
+    FROM sc JOIN deg da ON sc.a = da.n_ JOIN deg db ON sc.b = db.n_
+    ORDER BY sc.cn DESC, sc.a, sc.b LIMIT 50
+    """,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the bulk co-purchase graph
+    (Liben-Nowell & Kleinberg): for the top 50 NON-adjacent part
+    pairs by shared neighbors — which products will be co-purchased
+    next — common-neighbor count, neighbor Jaccard, and Adamic-Adar
+    (rare shared neighbors weigh more; each 1/ln(deg) contribution
+    rounds to 12 decimals and accumulates in exact decimal, the
+    pagerank discipline, so the oracle reproduces every score).
+
+    100 TB shape: one wedge self-join keyed on the middle node (the
+    triangle-counting shape; max_middle_degree caps hub middles at
+    scale), degrees broadcast, pair anti-join key-shuffled.
+    See operators/graph.link_prediction_scores."""
+    from pydala2_spark.operators.graph import link_prediction_scores
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    edges = (
+        li.alias("x")
+        .join(li.alias("y"), "o")
+        .filter(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+        .distinct()
+    )
+    return (
+        link_prediction_scores(edges)
+        .orderBy(F.desc("cn"), "a", "b")
+        .limit(50)
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            "cn",
+            "jaccard",
+            "adamic_adar",
+        )
+    )
+
+
+@query(
+    "doc_substring_search",
+    """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE text LIKE '%merge batch%'
+    """,
+)
+def doc_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring (LIKE '%pat%') search THROUGH a persisted trigram
+    index — the pg_trgm idea as partition-pruned parquet: build
+    DISTINCT (doc, 3-gram) postings hive-partitioned by gram bucket,
+    then answer the search by intersecting the pattern's posting
+    lists (only those bucket directories are read) and verifying the
+    candidate superset with one contains(). End to end in the gate:
+    build + probe must equal the oracle's full LIKE scan exactly.
+    Substring predicates are the access pattern neither word indexes
+    nor min/max stats can serve; this is the third persisted-index
+    family next to BM25 postings and the IVF cells.
+
+    100 TB shape: corpus text is read once at build; each search
+    reads |pattern grams|/buckets of the postings + an id-keyed
+    semi-join; text is touched only for candidate rows.
+    See operators/curate.build_trigram_index."""
+    from pydala2_spark.operators.curate import (
+        build_trigram_index,
+        substring_search_indexed,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    root = _app_scoped_tmp(spark, sf_dir, "pydala2_spark_trgm")
+    path = f"{root}/idx"
+    build_trigram_index(spark, docs, path)
+    return substring_search_indexed(
+        spark, path, docs, "merge batch"
+    ).select("doc_id", "lang", "n_chars")
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -7117,10 +7341,11 @@ _VERIFY_FIRST = [
     # plus 4 r7-checked entries. Entries past the window hold green
     # rows from r7/r8 and stay covered by the full local mirror
     # (scripts/check_correctness.py).
-    # r10 pre-staging: the ten r9-CONTINUATION queries
+    # r10 pre-staging: the thirteen r9-CONTINUATION queries
     # (agg_quantile_sketch, doc_priority_sample, graph_kcore,
     # ev_mann_kendall, stream_kmv_quantiles, ev_pettitt_change,
-    # agg_cms_join_size, dq_profile_drift,
+    # agg_cms_join_size, dq_profile_drift, dq_key_skew,
+    # graph_common_neighbors, doc_substring_search,
     # ev_welch_ttest, ev_autocorr) land AFTER this window — they have
     # never been driver-seen (they are green in the full local
     # mirror), so they MUST lead the r10 window, followed by the

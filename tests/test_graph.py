@@ -171,3 +171,66 @@ def test_kcore_empty_and_guards(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         kcore(tri, k=0)
+
+
+def test_link_prediction_scores_bruteforce(spark):
+    """CN / Jaccard / Adamic-Adar vs an in-Python brute force over all
+    non-adjacent pairs with >= 1 common neighbor; pairs without common
+    neighbors and existing edges never appear; middle-degree cap drops
+    hub-mediated wedges only."""
+    import math
+
+    from pydala2_spark.operators.graph import link_prediction_scores
+
+    edges_py = [
+        (a, b)
+        for a in range(25)
+        for b in range(a + 1, 25)
+        if (a * 31 + b * 17) % 7 == 0
+    ]
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    nbrs = {}
+    for a, b in edges_py:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    eset = set(edges_py)
+    want = {}
+    nodes = sorted(nbrs)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            if (a, b) in eset:
+                continue
+            common = nbrs[a] & nbrs[b]
+            if not common:
+                continue
+            cn = len(common)
+            jac = round(cn / (len(nbrs[a]) + len(nbrs[b]) - cn), 6)
+            aa = round(
+                sum(round(1.0 / math.log(len(nbrs[m])), 12) for m in common), 4
+            )
+            want[(a, b)] = (cn, jac, aa)
+    got = {
+        (r["a"], r["b"]): (r["cn"], r["jaccard"], r["adamic_adar"])
+        for r in link_prediction_scores(edges).collect()
+    }
+    assert got == want
+
+    # cap: only wedges through middles of degree <= cap survive
+    capped = {
+        (r["a"], r["b"]): r["cn"]
+        for r in link_prediction_scores(edges, max_middle_degree=2).collect()
+    }
+    want_capped = {}
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            if (a, b) in eset:
+                continue
+            cn = sum(1 for m in nbrs[a] & nbrs[b] if len(nbrs[m]) <= 2)
+            if cn:
+                want_capped[(a, b)] = cn
+    assert capped == want_capped
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_middle_degree"):
+        link_prediction_scores(edges, max_middle_degree=1)

@@ -1570,3 +1570,66 @@ def test_canonicalize_clusters_keep_best(spark):
     # singletons (never in pairs) keep themselves
     assert out[4]["canonical_id"] == 4 and out[4]["is_kept"]
     assert out[9]["canonical_id"] == 9 and out[9]["is_kept"]
+
+
+def test_trigram_substring_search_exact_and_pruned(spark, tmp_path):
+    """substring_search_indexed == full-scan contains() on every
+    pattern (boundary, repeated, absent, full-text); short patterns
+    fall back to the scan; the probe reads ONLY the pattern's
+    gram-bucket partitions (input_file_name pin)."""
+    from pyspark.sql import functions as F
+
+    from pydala2_spark.operators.curate import (
+        build_trigram_index,
+        substring_search_indexed,
+    )
+
+    rows = [
+        (1, "abcdef"),
+        (2, "xxabcxx"),
+        (3, "no match here"),
+        (4, "abcabcabc"),
+        (5, "ab"),  # shorter than a trigram
+        (6, "ends with abc"),
+        (7, "abc at the start"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "trgm")
+    build_trigram_index(spark, docs, path)
+
+    for pat in ("abc", "abcdef", "match", "zzz", "abcabc", "h h"):
+        got = sorted(
+            r["doc_id"]
+            for r in substring_search_indexed(
+                spark, path, docs, pat
+            ).collect()
+        )
+        want = sorted(
+            r["doc_id"]
+            for r in docs.filter(F.col("text").contains(pat)).collect()
+        )
+        assert got == want, pat
+
+    # short-pattern fallback is still exact
+    got = sorted(
+        r["doc_id"]
+        for r in substring_search_indexed(spark, path, docs, "ab").collect()
+    )
+    assert got == [1, 2, 4, 5, 6, 7]
+
+    # pruning: the postings scan for one gram reads <= 1 bucket dir
+    import hashlib
+
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(
+            F.col("bucket")
+            == int(hashlib.md5(b"abc").hexdigest()[:8], 16) % 64
+        )
+        .filter(F.col("gram") == "abc")
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    dirs = {r["f"].rsplit("/", 2)[-2] for r in postings}
+    assert len(dirs) == 1 and all(d.startswith("bucket=") for d in dirs)
