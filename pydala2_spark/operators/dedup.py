@@ -1404,3 +1404,103 @@ def canonicalize_clusters(
         canon.alias("canonical_id"),
         (canon == F.col(id_col)).alias("is_kept"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-SUBSET pairs by SHINGLE containment |A∩B| / |A| over
+    distinct ``shingle_k``-token windows — the asymmetric duplication
+    Jaccard-blocked dedup structurally misses: a short document
+    embedded verbatim in a long one (quoted article, doc+boilerplate
+    wrapper, chunk vs source) has tiny Jaccard but containment ~1.
+    Returns ``(id_a, id_b, n_a, n_b, containment)`` with A the
+    (near-)contained smaller side: ``n_a < n_b``, ties broken
+    ``id_a < id_b``. Shingles (not bare tokens, ``shingle_k=1``) are
+    the default on purpose: token-SET containment degenerates to
+    all-pairs density on any small shared vocabulary, while k-token
+    windows demand actual phrase-level embedding. Documents shorter
+    than ``shingle_k`` tokens have no shingle set and drop.
+
+    Candidate rule: A's MINIMUM shingle hash must occur among B's
+    shingle hashes. For a true subset this holds with probability 1
+    (A's min shingle IS in B); for a near-subset at containment c it
+    holds with probability >= c (the min of A is hash-uniform over
+    A's shingles) — the same single-band recall model as
+    ngram_jaccard_pairs, and the same exact verify after: candidates
+    compute true containment and filter at ``threshold``.
+
+    100 TB shape: the join keys are (block, 60-bit hash) — the B side
+    explodes to (id, shingle-hash) rows but carries NO text; shingle
+    arrays re-attach to the surviving candidate pairs via two
+    id-keyed narrow joins before the exact verify. A hot (block,
+    common-shingle) key can skew the candidate join only if a common
+    shingle is some document's MINIMUM hash — rare by construction
+    (mins are hash-uniform, so they spread over the shingle space)."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if shingle_k < 1:
+        raise ValueError(f"shingle_k must be >= 1, got {shingle_k}")
+    from pydala2_spark.functions.sketch import hash60
+    from pydala2_spark.functions.text import shingles
+
+    blocks = [F.col(c) for c in block_cols]
+    base = df.select(
+        F.col(id_col), *blocks, F.split(F.col(text), " ").alias("__tk")
+    ).filter(F.size("__tk") >= shingle_k)
+    elems = (
+        F.array_distinct(F.col("__tk"))
+        if shingle_k == 1
+        else shingles(text, shingle_k, tokens_col="__tk")
+    )
+    t = _materialize_once(
+        base.select(F.col(id_col), *blocks, elems.alias("__tk")).withColumn(
+            "__n", F.size("__tk")
+        )
+    )
+    a_min = t.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+        F.col("__n").alias("n_a"),
+        F.array_min(F.transform("__tk", lambda x: hash60(x))).alias("__mh"),
+    )
+    b_tok = t.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+        F.col("__n").alias("n_b"),
+        F.explode("__tk").alias("__tok"),
+    ).select(
+        "id_b",
+        *[f"__b_{c}" for c in block_cols],
+        "n_b",
+        hash60(F.col("__tok")).alias("__h"),
+    )
+    smaller = (F.col("n_a") < F.col("n_b")) | (
+        (F.col("n_a") == F.col("n_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    on = a_min["__mh"] == b_tok["__h"]
+    for c in block_cols:
+        on = on & (a_min[f"__b_{c}"] == b_tok[f"__b_{c}"])
+    cand = (
+        a_min.join(b_tok, on)
+        .filter(smaller)
+        .select("id_a", "id_b", "n_a", "n_b")
+        .distinct()
+    )
+    tk_a = t.select(F.col(id_col).alias("id_a"), F.col("__tk").alias("__tka"))
+    tk_b = t.select(F.col(id_col).alias("id_b"), F.col("__tk").alias("__tkb"))
+    cont = F.size(F.array_intersect("__tka", "__tkb")).cast(
+        "double"
+    ) / F.col("n_a").cast("double")
+    return (
+        cand.join(tk_a, "id_a")
+        .join(tk_b, "id_b")
+        .withColumn("containment", F.round(cont, 6))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_a", "n_b", "containment")
+    )

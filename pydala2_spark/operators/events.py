@@ -842,3 +842,74 @@ def lag_autocorr(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+HOLT_SCHEMA = (
+    "g string, n_points bigint, level double, trend double, "
+    "f1 double, f7 double"
+)
+
+
+def holt_linear_smooth(
+    series: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing per group (Holt 1957)
+    — the workhorse short-horizon forecaster: level
+    s_t = a*x_t + (1-a)*(s_{t-1} + b_{t-1}) and trend
+    b_t = B*(s_t - s_{t-1}) + (1-B)*b_{t-1}, seeded s_1 = x_1,
+    b_1 = x_2 - x_1. Output per group: the final level and trend and
+    the h=1 / h=7 forecasts (s + h*b) as RAW doubles — callers round
+    engine-side (F.round), never in Python, whose banker's rounding
+    disagrees with SQL HALF_UP at decimal midpoints.
+
+    The recursion is inherently sequential, so it runs as ONE
+    ``applyInPandas`` pass per group — each group's series is
+    CALENDAR-bounded (daily points), so a group is a few hundred
+    floats regardless of corpus size; groups spread across executors.
+    Engine portability: the loop is plain IEEE double arithmetic in
+    the exact association a SQL engine uses, with NO intermediate
+    rounding — both sides replay the identical op sequence, so a
+    DuckDB recursive CTE lands on the same bits (pinned by the
+    ev_holt_forecast oracle). Groups with a single point emit
+    level = x_1, trend = 0.
+
+    100 TB shape: aggregate the raw stream to the series FIRST
+    (map-side combined); the smoothing pass moves |groups| x |days|
+    rows through Arrow once."""
+    if not 0.0 < alpha <= 1.0 or not 0.0 < beta <= 1.0:
+        raise ValueError(f"alpha/beta must be in (0, 1], got {alpha}, {beta}")
+    import pandas as pd
+
+    om_a, om_b = 1.0 - alpha, 1.0 - beta
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col)
+        xs = [float(v) for v in pdf[value_col]]
+        g = pdf[group_col].iloc[0]
+        n = len(xs)
+        if n == 1:
+            s, b = xs[0], 0.0
+        else:
+            s, b = xs[0], xs[1] - xs[0]
+            for t in range(1, n):
+                s_new = alpha * xs[t] + om_a * (s + b)
+                b = beta * (s_new - s) + om_b * b
+                s = s_new
+        return pd.DataFrame(
+            {
+                "g": [g],
+                "n_points": [n],
+                "level": [s],
+                "trend": [b],
+                "f1": [s + b],
+                "f7": [s + 7 * b],
+            }
+        )
+
+    out = series.groupBy(group_col).applyInPandas(fn, schema=HOLT_SCHEMA)
+    return out.withColumnRenamed("g", group_col)

@@ -7321,6 +7321,170 @@ def doc_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
+@query(
+    "ev_holt_forecast",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, {_osum("value", 4)} AS x
+      FROM events GROUP BY 1, 2
+    ), d AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM base
+    ), seed AS (
+      SELECT a.event_type, a.n, a.x AS s, b.x - a.x AS b
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND a.t = 1 AND b.t = 2
+    ), hw(event_type, n, t, s, b) AS (
+      SELECT event_type, n, 1, s, b FROM seed
+      UNION ALL
+      SELECT hw.event_type, hw.n, hw.t + 1,
+             0.3 * d.x + 0.7 * (hw.s + hw.b),
+             0.1 * ((0.3 * d.x + 0.7 * (hw.s + hw.b)) - hw.s) + 0.9 * hw.b
+      FROM hw JOIN d
+        ON d.event_type = hw.event_type AND d.t = hw.t + 1
+    )
+    SELECT event_type, n AS n_points,
+           round(s, 4) AS level, round(b, 4) AS trend,
+           round(s + b, 4) AS f1, round(s + 7 * b, 4) AS f7
+    FROM hw WHERE t = n
+    """,
+)
+def ev_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing + 1/7-day forecasts
+    per event type over the daily value series — the short-horizon
+    forecasting primitive next to the diagnostic stack (trend test,
+    change point, autocorrelation). The recursion is inherently
+    sequential, so Spark runs it as ONE applyInPandas pass per
+    CALENDAR-bounded group, and the oracle replays it as a recursive
+    CTE: both sides execute the identical IEEE double sequence with
+    no intermediate rounding, so 90 chained smoothing steps still
+    land bit-for-bit (rounding happens once, engine-side, at output).
+
+    100 TB shape: events reduce to (type, day) map-side first; the
+    smoothing pass moves |groups| x |days| rows through Arrow once —
+    group count scales out, series length is calendar-bounded.
+    See operators/events.holt_linear_smooth."""
+    from pydala2_spark.operators.events import holt_linear_smooth
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        _dsum("value", 4).alias("x")
+    )
+    hw = holt_linear_smooth(daily, "event_type", "day", "x", alpha=0.3, beta=0.1)
+    return hw.select(
+        "event_type",
+        "n_points",
+        F.round("level", 4).alias("level"),
+        F.round("trend", 4).alias("trend"),
+        F.round("f1", 4).alias("f1"),
+        F.round("f7", 4).alias("f7"),
+    )
+
+
+@query(
+    "dedup_containment",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+                 generate_series(1, len(tk) - 2),
+                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS tk
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk
+            FROM documents)
+      WHERE len(tk) >= 3
+    ), tt AS (
+      SELECT doc_id, lang, tk, len(tk) AS n,
+             list_min(list_transform(tk,
+                      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS mh
+      FROM t
+    ), bh AS (
+      SELECT doc_id, lang, n,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+      FROM tt, unnest(tk) AS u(tok)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n AS n_a, b.n AS n_b
+      FROM tt a JOIN bh b
+        ON a.lang = b.lang AND a.mh = b.h
+       AND (a.n < b.n OR (a.n = b.n AND a.doc_id < b.doc_id))
+    ), pairs AS (
+      SELECT c.id_a, c.id_b, c.n_a, c.n_b,
+             round(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+                   / CAST(c.n_a AS DOUBLE), 6) AS containment
+      FROM cand c
+      JOIN t ta ON c.id_a = ta.doc_id
+      JOIN t tb ON c.id_b = tb.doc_id
+      WHERE round(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+                  / CAST(c.n_a AS DOUBLE), 6) >= 0.8
+    )
+    SELECT id_a, CAST(count(*) AS BIGINT) AS n_containers,
+           max_containment, best_container, n_a, best_n_b
+    FROM pairs
+    JOIN (
+      SELECT id_a AS k_,
+             max(containment) AS max_containment,
+             min(CASE WHEN rnk = 1 THEN id_b END) AS best_container,
+             min(CASE WHEN rnk = 1 THEN n_b END) AS best_n_b
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY id_a
+              ORDER BY containment DESC, id_b ASC) AS rnk
+            FROM pairs)
+      GROUP BY id_a
+    ) b ON pairs.id_a = b.k_
+    GROUP BY id_a, max_containment, best_container, n_a, best_n_b
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-SUBSET detection by 3-token SHINGLE containment |A∩B|/|A|
+    — the asymmetric duplication the Jaccard family structurally
+    misses: a short document embedded verbatim in a long one (quote,
+    chunk-vs-source, doc+wrapper) has tiny Jaccard but containment
+    ~1. Shingles, not bare tokens: token-set containment degenerates
+    to all-pairs density on a small shared vocabulary (measured: the
+    token form emitted 25k pairs from 500 synthetic docs and went
+    22x-superlinear at 10x; the phrase-level form stays sparse and
+    sublinear). Candidates via A's minimum shingle hash occurring
+    among B's hashes (probability 1 for true subsets, >= c at
+    containment c — the Broder single-band model), verified exactly
+    at threshold 0.8, then folded to ONE disposition row per
+    contained doc: how many containers, the best
+    one (max containment, ties to min id — a max_by struct aggregate,
+    no per-doc window), and its size. Output is |docs|-bounded even
+    on a word-soup corpus where raw pairs explode.
+
+    100 TB shape: join keys are (lang, 60-bit hash) only — text never
+    shuffles; token arrays re-attach to surviving pairs by id. Both
+    engines threshold the ROUNDED containment (one int division), so
+    the boundary cannot flake — oracle bit-exact.
+    See operators/dedup.containment_pairs."""
+    from pydala2_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = containment_pairs(docs, threshold=0.8)
+    best = F.max_by(
+        F.struct(
+            F.col("id_b").alias("b"), F.col("n_b").alias("nb")
+        ),
+        F.struct(F.col("containment").alias("c"), (-F.col("id_b")).alias("t")),
+    )
+    return pairs.groupBy("id_a").agg(
+        F.count(F.lit(1)).cast("long").alias("n_containers"),
+        F.max("containment").alias("max_containment"),
+        best.getField("b").alias("best_container"),
+        F.max("n_a").alias("n_a"),
+        best.getField("nb").alias("best_n_b"),
+    ).select(
+        "id_a",
+        "n_containers",
+        "max_containment",
+        "best_container",
+        "n_a",
+        "best_n_b",
+    )
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -7341,11 +7505,12 @@ _VERIFY_FIRST = [
     # plus 4 r7-checked entries. Entries past the window hold green
     # rows from r7/r8 and stay covered by the full local mirror
     # (scripts/check_correctness.py).
-    # r10 pre-staging: the thirteen r9-CONTINUATION queries
+    # r10 pre-staging: the fifteen r9-CONTINUATION queries
     # (agg_quantile_sketch, doc_priority_sample, graph_kcore,
     # ev_mann_kendall, stream_kmv_quantiles, ev_pettitt_change,
     # agg_cms_join_size, dq_profile_drift, dq_key_skew,
-    # graph_common_neighbors, doc_substring_search,
+    # graph_common_neighbors, doc_substring_search, ev_holt_forecast,
+    # dedup_containment,
     # ev_welch_ttest, ev_autocorr) land AFTER this window — they have
     # never been driver-seen (they are green in the full local
     # mirror), so they MUST lead the r10 window, followed by the

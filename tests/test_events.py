@@ -542,3 +542,48 @@ def test_lag_autocorr_known_and_degenerate(spark):
 
     with _pytest.raises(ValueError, match="lags must be"):
         lag_autocorr(df, "g", "idx", "x", lags=[0])
+
+
+def test_holt_linear_smooth_bruteforce(spark):
+    """The applyInPandas recursion equals a plain-Python Holt loop
+    bit-for-bit (raw doubles, no rounding inside); a perfect line is
+    tracked exactly after the seed; singleton groups emit trend 0."""
+    from pydala2_spark.operators.events import holt_linear_smooth
+
+    a, b_ = 0.3, 0.1
+    series = {
+        "lin": [5.0 + 2.0 * t for t in range(30)],
+        "rnd": [float((t * 7919) % 13) + 0.25 for t in range(40)],
+        "one": [42.0],
+    }
+    rows = [
+        (g, t, x) for g, xs in series.items() for t, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows, "g string, t long, x double")
+    got = {
+        r["g"]: r.asDict()
+        for r in holt_linear_smooth(df, "g", "t", "x", alpha=a, beta=b_).collect()
+    }
+    for g, xs in series.items():
+        n = len(xs)
+        if n == 1:
+            s, b = xs[0], 0.0
+        else:
+            s, b = xs[0], xs[1] - xs[0]
+            for t in range(1, n):
+                s_new = a * xs[t] + (1.0 - a) * (s + b)
+                b = b_ * (s_new - s) + (1.0 - b_) * b
+                s = s_new
+        r = got[g]
+        assert r["n_points"] == n
+        assert r["level"] == s and r["trend"] == b, g  # bit equality
+        assert r["f1"] == s + b and r["f7"] == s + 7 * b, g
+    # a perfect line: level lands on the line, trend on the slope
+    assert abs(got["lin"]["level"] - (5.0 + 2.0 * 29)) < 1e-6
+    assert abs(got["lin"]["trend"] - 2.0) < 1e-6
+    assert got["one"]["trend"] == 0.0 and got["one"]["level"] == 42.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha/beta"):
+        holt_linear_smooth(df, "g", "t", "x", alpha=0.0)

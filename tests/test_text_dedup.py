@@ -1633,3 +1633,49 @@ def test_trigram_substring_search_exact_and_pruned(spark, tmp_path):
     )
     dirs = {r["f"].rsplit("/", 2)[-2] for r in postings}
     assert len(dirs) == 1 and all(d.startswith("bucket=") for d in dirs)
+
+
+def test_containment_pairs_planted_subsets(spark):
+    """A verbatim embedded passage is ALWAYS found (the
+    min-hash-membership block has recall 1 for true shingle subsets)
+    with containment 1.0; orientation puts the smaller side first;
+    shared vocabulary WITHOUT shared phrases does not pair (the
+    reason shingles are the default); token mode (shingle_k=1)
+    behaves as set containment; guards refuse nonsense."""
+    import pytest as _pytest
+
+    from pydala2_spark.operators.dedup import containment_pairs
+
+    rows = [
+        (1, "en", "alpha beta gamma delta"),  # passage, embedded in 2
+        (2, "en", "intro words alpha beta gamma delta outro tail"),
+        (3, "en", "beta alpha delta gamma qq ww ee rr"),  # same VOCAB only
+        (4, "de", "alpha beta gamma delta"),  # other lang block
+        (5, "en", "zz xx cc vv"),             # disjoint
+        (6, "en", "ab"),                      # shorter than one shingle
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r.asDict()
+        for r in containment_pairs(docs, threshold=0.8).collect()
+    }
+    # doc1's 2 shingles both appear in doc2 -> containment 1.0
+    assert got[(1, 2)]["containment"] == 1.0
+    assert got[(1, 2)]["n_a"] == 2 and got[(1, 2)]["n_b"] == 6
+    # doc3 shares every TOKEN with doc1 but no 3-token phrase
+    assert all(3 not in p for p in got)
+    assert all(4 not in p and 6 not in p for p in got)
+
+    # token mode: doc3 DOES contain doc1's token set
+    tok = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(
+            docs, threshold=0.8, shingle_k=1
+        ).collect()
+    }
+    assert tok[(1, 3)] == 1.0 and tok[(1, 2)] == 1.0
+
+    with _pytest.raises(ValueError, match="threshold"):
+        containment_pairs(docs, threshold=0.0)
+    with _pytest.raises(ValueError, match="shingle_k"):
+        containment_pairs(docs, shingle_k=0)
