@@ -7485,6 +7485,155 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "p_bloom_pruned_scan",
+    """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id IN (7, 123, 456)
+    """,
+)
+def p_bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookups THROUGH the bloom-filter file index, end to end
+    in the oracle gate (the sidecar family's s12-style driver proof:
+    StatsIndex already has one, this is the bloom's): write the
+    corpus as a multi-file dataset, build the per-file bloom sidecar
+    on doc_id, then answer an IN-list probe by scanning ONLY the
+    bloom-surviving files + the row-level filter. Blooms serve
+    exactly the predicate min/max stats cannot — point lookups on
+    high-cardinality UNCLUSTERED ids, where every file's min/max
+    straddles every value. Must equal the oracle's full-scan IN.
+
+    100 TB shape: the probe is a sidecar-only job (bounded by file
+    count); the data scan touches only surviving files. Build cost is
+    one scan amortized over every later lookup.
+    See plans/bloom.build_bloom_index."""
+    import shutil
+
+    from pydala2_spark.plans.bloom import build_bloom_index, read_bloom_pruned
+
+    root = _app_scoped_tmp(spark, sf_dir, "pydala2_spark_bloomq")
+    path = f"{root}/docs"
+    shutil.rmtree(path, ignore_errors=True)
+    _t(spark, sf_dir, "documents").repartition(8).write.parquet(path)
+    build_bloom_index(spark, path, "doc_id", num_bits=1 << 14)
+    vals = [7, 123, 456]
+    pruned = read_bloom_pruned(spark, path, "doc_id", vals)
+    return pruned.filter(F.col("doc_id").isin(vals)).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@query(
+    "stream_static_enrich",
+    f"""
+    SELECT event_type,
+           CAST(length(event_type) AS INT) AS weight,
+           count(*) AS n_events,
+           {_osum("value * length(event_type)")} AS weighted_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ninth streaming oracle query: STREAM-STATIC enrichment — the
+    arriving stream joins a static dimension (broadcast, re-resolved
+    per micro-batch) before the rollup, the standard "enrich the
+    firehose with reference data" topology. The weight dimension
+    derives from the event type so the oracle can reconstruct it in
+    SQL; production swaps in any keyed reference table with the same
+    plan. Decimal-accumulated weighted sums make the drained result
+    equal the batch answer bit-for-bit.
+
+    100 TB/day shape: the dim broadcasts (no stream-side shuffle for
+    the join); state is one partial per (type) — bounded by the key
+    space forever."""
+    import tempfile
+    import uuid
+
+    from pydala2_spark.streaming.pipeline import read_event_stream, run_to_memory
+
+    dim = (
+        _t(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn("weight", F.length("event_type").cast("int"))
+    )
+    events = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    enriched = events.join(F.broadcast(dim), "event_type").groupBy(
+        "event_type", "weight"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum((F.col("value") * F.col("weight")).cast(_DEC)), 2
+        )
+        .cast("double")
+        .alias("weighted_value"),
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    return run_to_memory(
+        enriched, name, ck, state_partitions=4, output_mode="complete"
+    )
+
+
+@query(
+    "ev_dow_seasonality",
+    f"""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, {_osum("value", 4)} AS x
+      FROM events GROUP BY 1, 2
+    ), dw AS (
+      SELECT event_type, dayofweek(day) + 1 AS dow,
+             count(*) AS n_days,
+             CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS m
+      FROM d GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type,
+             CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS tm
+      FROM d GROUP BY 1
+    )
+    SELECT dw.event_type, dw.dow, dw.n_days,
+           round(dw.m, 4) AS dow_mean,
+           round(dw.m / t.tm, 4) AS seasonal_index
+    FROM dw JOIN t USING (event_type)
+    """,
+)
+def ev_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal indices per event type — the weekly-cycle
+    quantification after ev_autocorr's lag-7 screen says there IS
+    one: mean daily total per weekday over the type's overall daily
+    mean (index 1.0 = no effect). Feed the indices back to deseason a
+    series before trend fitting. Daily sums carry 4 decimals, so the
+    weekday means are ratios of exact decimal sums — one double
+    division each, oracle bit-exact.
+
+    100 TB shape: two map-side-combined aggs over the (type, day)
+    reduction; nothing scales with events."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        _dsum("value", 4).alias("x")
+    )
+    dw = daily.groupBy(
+        "event_type", F.dayofweek("day").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (
+            F.sum(F.col("x").cast(_DEC)).cast("double") / F.count(F.lit(1))
+        ).alias("m"),
+    )
+    t = daily.groupBy("event_type").agg(
+        (
+            F.sum(F.col("x").cast(_DEC)).cast("double") / F.count(F.lit(1))
+        ).alias("tm")
+    )
+    return dw.join(t, "event_type").select(
+        "event_type",
+        "dow",
+        "n_days",
+        F.round("m", 4).alias("dow_mean"),
+        F.round(F.col("m") / F.col("tm"), 4).alias("seasonal_index"),
+    )
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -7505,12 +7654,13 @@ _VERIFY_FIRST = [
     # plus 4 r7-checked entries. Entries past the window hold green
     # rows from r7/r8 and stay covered by the full local mirror
     # (scripts/check_correctness.py).
-    # r10 pre-staging: the fifteen r9-CONTINUATION queries
+    # r10 pre-staging: the eighteen r9-CONTINUATION queries
     # (agg_quantile_sketch, doc_priority_sample, graph_kcore,
     # ev_mann_kendall, stream_kmv_quantiles, ev_pettitt_change,
     # agg_cms_join_size, dq_profile_drift, dq_key_skew,
     # graph_common_neighbors, doc_substring_search, ev_holt_forecast,
-    # dedup_containment,
+    # dedup_containment, p_bloom_pruned_scan, stream_static_enrich,
+    # ev_dow_seasonality,
     # ev_welch_ttest, ev_autocorr) land AFTER this window — they have
     # never been driver-seen (they are green in the full local
     # mirror), so they MUST lead the r10 window, followed by the
