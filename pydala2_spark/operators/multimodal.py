@@ -2303,3 +2303,53 @@ def media_near_duplicates(
     return hamming_near_pairs(
         hashed, "bh", id_col, BLOCKHASH_BITS, max_hamming, chunks
     )
+
+
+def parse_exif(payload: bytes) -> tuple[int, int, int | None] | None:
+    """EXIF metadata from a JPEG APP1 segment — pure byte walk over
+    the public structures (JPEG segment stream -> APP1 "Exif\\0\\0" ->
+    embedded TIFF IFD, reusing the TIFF reader): returns
+    ``(orientation, resolution_unit, iso)`` with ``iso`` read from
+    the EXIF sub-IFD (tag 0x8769 -> 0x8827) when present, else None.
+    Returns None when the payload is not a JPEG or carries no
+    EXIF APP1. Orientation is the 1-8 rotation/mirror code cameras
+    stamp; values 5-8 mean the DISPLAY dimensions are the SOF
+    dimensions swapped — the correction every thumbnail/resize stage
+    must apply before geometry math."""
+    from pydala2_spark.operators.tiff import _read_ifd
+
+    if payload[:3] != b"\xff\xd8\xff":
+        return None
+    i = 2
+    while i + 4 < len(payload):
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in (0xD9, 0xDA):
+            return None  # scan data reached without an APP1
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            i += 2
+            continue
+        seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if marker == 0xE1 and payload[i + 4 : i + 10] == b"Exif\x00\x00":
+            tiff = payload[i + 10 : i + 2 + seglen]
+            r = _read_ifd(tiff)
+            if r is None:
+                return None
+            tags, _bo = r
+            orientation = tags.get(0x0112, [1])[0]
+            if not 1 <= orientation <= 8:
+                orientation = 1
+            res_unit = tags.get(0x0128, [2])[0]
+            iso = None
+            sub = tags.get(0x8769)
+            if sub:
+                rs = _read_ifd(tiff, ifd_offset=sub[0])
+                if rs is not None:
+                    iso = rs[0].get(0x8827, [None])[0]
+            return orientation, res_unit, iso
+        i += 2 + seglen
+    return None

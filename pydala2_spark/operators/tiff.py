@@ -35,8 +35,10 @@ _PLANAR = 284
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 
 
-def _read_ifd(payload: bytes):
-    """First IFD as {tag: [values]} plus the byte order, or None."""
+def _read_ifd(payload: bytes, ifd_offset: int | None = None):
+    """First IFD (or the IFD at ``ifd_offset`` — e.g. an EXIF sub-IFD
+    pointer) as {tag: [values]} plus the byte order, or None. Only
+    integer-typed entries (BYTE/SHORT/LONG) are collected."""
     if payload[:4] == b"II*\x00":
         bo = "little"
     elif payload[:4] == b"MM\x00*":
@@ -45,7 +47,7 @@ def _read_ifd(payload: bytes):
         return None
     if len(payload) < 8:
         return None
-    off = int.from_bytes(payload[4:8], bo)
+    off = int.from_bytes(payload[4:8], bo) if ifd_offset is None else ifd_offset
     if off + 2 > len(payload):
         return None
     n = int.from_bytes(payload[off : off + 2], bo)

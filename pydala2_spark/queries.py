@@ -7634,6 +7634,333 @@ def ev_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mm_exif_orientation",
+    """
+    SELECT doc_id,
+           CAST(1 + doc_id % 8 AS INT) AS orientation,
+           CAST(1 + doc_id % 3 AS INT) AS resolution_unit,
+           CAST(100 * (1 + doc_id % 16) AS INT) AS iso,
+           CAST(64 + doc_id % 32 AS INT) AS width,
+           CAST(48 + doc_id % 24 AS INT) AS height,
+           CAST(CASE WHEN 1 + doc_id % 8 >= 5 THEN 48 + doc_id % 24
+                     ELSE 64 + doc_id % 32 END AS INT) AS disp_width,
+           CAST(CASE WHEN 1 + doc_id % 8 >= 5 THEN 64 + doc_id % 32
+                     ELSE 48 + doc_id % 24 END AS INT) AS disp_height
+    FROM documents
+    """,
+)
+def mm_exif_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata end to end in the oracle gate: synthesize a REAL
+    JPEG per document (SOI + APP1 "Exif" carrying a TIFF IFD — byte
+    order alternating II/MM by parity, Orientation/ResolutionUnit in
+    IFD0, ISO behind the 0x8769 EXIF sub-IFD pointer — then an SOF0
+    with the true dimensions), parse it back with the
+    dependency-free ``parse_exif`` + ``parse_image_header`` walk, and
+    emit the DISPLAY dimensions (orientations 5-8 swap width/height —
+    the correction every thumbnail stage must apply before geometry).
+    The oracle recomputes every field from the synthesis formulas.
+
+    100 TB shape: one Arrow-batched synth/parse stage; payloads never
+    cross a shuffle. See operators/multimodal.parse_exif."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from pydala2_spark.operators.multimodal import (
+        parse_exif,
+        parse_image_header,
+    )
+
+    @pandas_udf("binary")
+    def synth(doc_id):
+        out = []
+        for d in doc_id:
+            d = int(d)
+            bo = "little" if d % 2 == 0 else "big"
+            head = b"II*\x00" if bo == "little" else b"MM\x00*"
+
+            def ent(tag, typ, count, val, four=False):
+                v = (
+                    val.to_bytes(4, bo)
+                    if four
+                    else val.to_bytes(2, bo) + b"\x00\x00"
+                )
+                return (
+                    tag.to_bytes(2, bo)
+                    + typ.to_bytes(2, bo)
+                    + count.to_bytes(4, bo)
+                    + v
+                )
+
+            # IFD0 at offset 8: count(2) + 3 entries(36) + next(4)
+            # = 42 bytes; EXIF sub-IFD at 8 + 42 = 50
+            ifd0 = (
+                (3).to_bytes(2, bo)
+                + ent(0x0112, 3, 1, 1 + d % 8)
+                + ent(0x0128, 3, 1, 1 + d % 3)
+                + ent(0x8769, 4, 1, 50, four=True)
+                + (0).to_bytes(4, bo)
+            )
+            sub = (
+                (1).to_bytes(2, bo)
+                + ent(0x8827, 3, 1, 100 * (1 + d % 16))
+                + (0).to_bytes(4, bo)
+            )
+            tiff = head + (8).to_bytes(4, bo) + ifd0 + sub
+            app1_body = b"Exif\x00\x00" + tiff
+            app1 = b"\xff\xe1" + (len(app1_body) + 2).to_bytes(2, "big") + app1_body
+            w, h = 64 + d % 32, 48 + d % 24
+            sof = (
+                b"\xff\xc0"
+                + (11).to_bytes(2, "big")
+                + bytes([8])
+                + h.to_bytes(2, "big")
+                + w.to_bytes(2, "big")
+                + bytes([3, 1, 0x11, 0])
+            )
+            out.append(b"\xff\xd8" + app1 + sof + b"\xff\xd9")
+        return pd.Series(out)
+
+    @pandas_udf(
+        "orientation int, resolution_unit int, iso int, width int, height int"
+    )
+    def parse(payload):
+        rows = []
+        for p in payload:
+            b = bytes(p)
+            ex = parse_exif(b)
+            dims = parse_image_header(b)
+            rows.append(
+                (
+                    ex[0] if ex else None,
+                    ex[1] if ex else None,
+                    ex[2] if ex else None,
+                    dims[0] if dims else None,
+                    dims[1] if dims else None,
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "orientation",
+                "resolution_unit",
+                "iso",
+                "width",
+                "height",
+            ],
+        )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = docs.select("doc_id", parse(synth("doc_id")).alias("m")).select(
+        "doc_id", "m.*"
+    )
+    swap = F.col("orientation") >= 5
+    return m.select(
+        "doc_id",
+        "orientation",
+        "resolution_unit",
+        "iso",
+        "width",
+        "height",
+        F.when(swap, F.col("height")).otherwise(F.col("width")).alias(
+            "disp_width"
+        ),
+        F.when(swap, F.col("width")).otherwise(F.col("height")).alias(
+            "disp_height"
+        ),
+    )
+
+
+@query(
+    "assoc_rules_parts",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+    n AS (SELECT count(DISTINCT o) AS n FROM li),
+    sx AS (SELECT p, count(*) AS s FROM li GROUP BY p),
+    pairs AS (
+      SELECT x.p AS a, y.p AS b, CAST(count(*) AS BIGINT) AS support_pair
+      FROM li x JOIN li y ON x.o = y.o AND x.p <> y.p
+      GROUP BY 1, 2
+    )
+    SELECT a AS antecedent, b AS consequent, support_pair,
+           CAST(sa.s AS BIGINT) AS support_a,
+           CAST(sb.s AS BIGINT) AS support_b,
+           round(CAST(support_pair AS DOUBLE) / CAST(sa.s AS DOUBLE), 6)
+             AS confidence,
+           round(CAST(support_pair AS DOUBLE) * CAST(n.n AS DOUBLE)
+                 / (CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE)), 6)
+             AS lift
+    FROM pairs JOIN sx sa ON pairs.a = sa.p JOIN sx sb ON pairs.b = sb.p
+    CROSS JOIN n
+    WHERE support_pair >= 3
+    ORDER BY lift DESC, antecedent, consequent LIMIT 100
+    """,
+)
+def assoc_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets (Agrawal &
+    Srikant): for part pairs co-occurring in >= 3 orders, directed
+    confidence P(b|a) and lift P(a,b)/(P(a)P(b)) — the co-purchase
+    RULE view next to the graph views (triangles = cohesion, link
+    prediction = structure; lift says which co-occurrences beat
+    chance). Integer supports with two final divisions — oracle
+    bit-exact; top 100 by lift with a full unique tiebreak.
+
+    100 TB shape: baskets dedupe map-side to (order, part); the pair
+    join is per-order (TPC-H baskets cap at 7 items, so blow-up is
+    bounded per basket — for long baskets cap or sample items);
+    item supports broadcast into the rule join."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    from pydala2_spark.operators.dedup import _materialize_once
+
+    li = _materialize_once(li)
+    n = li.select("o").distinct().agg(F.count(F.lit(1)).alias("n"))
+    sx = li.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), "o")
+        .filter(F.col("x.p") != F.col("y.p"))
+        .groupBy(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("support_pair"))
+        .filter(F.col("support_pair") >= 3)
+    )
+    sa = sx.select(F.col("p").alias("a"), F.col("s").alias("support_a"))
+    sb = sx.select(F.col("p").alias("b"), F.col("s").alias("support_b"))
+    return (
+        pairs.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("a").alias("antecedent"),
+            F.col("b").alias("consequent"),
+            "support_pair",
+            F.col("support_a").cast("long").alias("support_a"),
+            F.col("support_b").cast("long").alias("support_b"),
+            F.round(
+                F.col("support_pair").cast("double")
+                / F.col("support_a").cast("double"),
+                6,
+            ).alias("confidence"),
+            F.round(
+                F.col("support_pair").cast("double")
+                * F.col("n").cast("double")
+                / (
+                    F.col("support_a").cast("double")
+                    * F.col("support_b").cast("double")
+                ),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "antecedent", "consequent")
+        .limit(100)
+    )
+
+
+@query(
+    "stream_cusum_alarm",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), p AS (
+      SELECT event_type,
+             CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS mu
+      FROM d GROUP BY 1
+    ), pp AS (
+      SELECT event_type, mu,
+             greatest(CAST(1 AS BIGINT), CAST(floor(mu / 10) AS BIGINT)) AS k,
+             mu AS h
+      FROM p
+    ), s AS (
+      SELECT d.event_type, d.day, pp.h,
+             CAST(sum(d.x - pp.mu - pp.k) OVER (
+               PARTITION BY d.event_type ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS ps
+      FROM d JOIN pp USING (event_type)
+    ), g AS (
+      SELECT event_type, day, h,
+             ps - least(CAST(0 AS BIGINT),
+                        CAST(min(ps) OVER (
+                          PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT)) AS gv,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS nd
+      FROM s
+    )
+    SELECT event_type,
+           CAST(max(nd) AS BIGINT) AS n_days,
+           CAST(max(CASE WHEN rn = nd THEN gv END) AS BIGINT) AS g_final,
+           CAST(max(gv) AS BIGINT) AS max_g,
+           CAST(sum(CASE WHEN gv > h THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+    FROM g GROUP BY event_type
+    """,
+)
+def stream_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tenth streaming oracle query: CUSUM drift monitoring of daily
+    event VOLUMES per type as custom bounded state — the "is traffic
+    structurally above its reference rate" alarm, maintained with
+    FIVE INTEGERS per group forever via the reset-free identity
+    g_t = S_t - min(0, min S_j). Reference parameters (mu/k/h,
+    integer floor arithmetic) come from a batch pre-pass and
+    broadcast into the stream — the production topology (fit on
+    history, monitor the live stream). Integer-exact, so the drained
+    state equals the oracle's window-SQL computation to the digit.
+    See streaming/pipeline.cusum_volume_stream."""
+    import tempfile
+    import uuid
+
+    from pydala2_spark.streaming.pipeline import (
+        cusum_volume_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    mu = F.floor(
+        F.sum("x").cast("double") / F.count(F.lit(1))
+    ).cast("long")
+    params = (
+        daily.groupBy("event_type")
+        .agg(mu.alias("mu"))
+        .select(
+            "event_type",
+            "mu",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(F.col("mu") / 10).cast("long"),
+            ).alias("k"),
+            F.col("mu").alias("h"),
+        )
+    )
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    cs = cusum_volume_stream(stream, params)
+    name = f"cusum_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    drained = run_to_memory(cs, name, ck, state_partitions=4)
+    last = drained.groupBy("event_type").agg(
+        F.max_by(
+            F.struct("n_days", "g_final", "max_g", "n_above"), "n_seen"
+        ).alias("__s")
+    )
+    return last.select(
+        "event_type",
+        F.col("__s.n_days").alias("n_days"),
+        F.col("__s.g_final").alias("g_final"),
+        F.col("__s.max_g").alias("max_g"),
+        F.col("__s.n_above").alias("n_above"),
+    )
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -7654,13 +7981,14 @@ _VERIFY_FIRST = [
     # plus 4 r7-checked entries. Entries past the window hold green
     # rows from r7/r8 and stay covered by the full local mirror
     # (scripts/check_correctness.py).
-    # r10 pre-staging: the eighteen r9-CONTINUATION queries
+    # r10 pre-staging: the twenty-one r9-CONTINUATION queries
     # (agg_quantile_sketch, doc_priority_sample, graph_kcore,
     # ev_mann_kendall, stream_kmv_quantiles, ev_pettitt_change,
     # agg_cms_join_size, dq_profile_drift, dq_key_skew,
     # graph_common_neighbors, doc_substring_search, ev_holt_forecast,
     # dedup_containment, p_bloom_pruned_scan, stream_static_enrich,
-    # ev_dow_seasonality,
+    # ev_dow_seasonality, mm_exif_orientation, assoc_rules_parts,
+    # stream_cusum_alarm,
     # ev_welch_ttest, ev_autocorr) land AFTER this window — they have
     # never been driver-seen (they are green in the full local
     # mirror), so they MUST lead the r10 window, followed by the

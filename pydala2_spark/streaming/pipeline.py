@@ -825,3 +825,108 @@ def sample_sketch_rows(drained: DataFrame, group_col: str) -> DataFrame:
         F.col("__z.ks").alias("__key"),
         F.col("__z.vs").alias("__val"),
     )
+
+
+CUSUM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ds", T.ArrayType(T.LongType())),
+        T.StructField("cs", T.ArrayType(T.LongType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def cusum_volume_stream(
+    events: DataFrame,
+    params: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming CUSUM volume monitoring (Page 1954) per group: daily
+    event counts drift-tested against a FIXED reference rate — the
+    "is traffic structurally above normal" alarm. ``params`` is a
+    small static frame ``(group, mu, k, h)`` (reference daily rate,
+    slack, alarm threshold — in production, fitted on a history
+    window); it broadcasts into the stream per micro-batch
+    (stream-static join) ahead of the stateful op.
+
+    State is the per-day COUNT MAP — calendar-bounded (one long per
+    day per group, forever) and ORDER-FREE: counts merge by addition
+    whatever order micro-batches arrive in (the file source does NOT
+    guarantee day order — observed delivering a backfill
+    newest-first), and every emission computes the full CUSUM
+    g_t = S_t - min(0, min_{j<=t} S_j) over the sorted days in one
+    O(n_days) integer pass. Integer-exact, so the drained result
+    equals the batch window-SQL computation to the digit, regardless
+    of batch split or arrival order (pinned by pytest with a
+    reversed-order drain).
+
+    Output per touching batch: (group, n_seen, n_days, g_final,
+    max_g, n_above); reduce multi-batch drains by max n_seen."""
+    src = events.select(
+        F.col(group_col),
+        F.unix_date(F.to_date(ts_col)).alias("__day"),
+    ).join(F.broadcast(params), group_col)
+    group_field = next(f for f in src.schema.fields if f.name == group_col)
+    out_schema = T.StructType(
+        [
+            group_field,
+            T.StructField("n_seen", T.LongType()),
+            T.StructField("n_days", T.LongType()),
+            T.StructField("g_final", T.LongType()),
+            T.StructField("max_g", T.LongType()),
+            T.StructField("n_above", T.LongType()),
+        ]
+    )
+
+    def _fn(
+        key: Tuple[Any, ...],
+        batches: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ds, cs, n_seen = state.get
+            counts = dict(zip(ds, cs))
+        else:
+            counts, n_seen = {}, 0
+        mu = k = h = None
+        for pdf in batches:
+            if mu is None and len(pdf):
+                mu = int(pdf["mu"].iloc[0])
+                k = int(pdf["k"].iloc[0])
+                h = int(pdf["h"].iloc[0])
+            n_seen += len(pdf)
+            for day, cnt in pdf.groupby("__day").size().items():
+                counts[int(day)] = counts.get(int(day), 0) + int(cnt)
+        days = sorted(counts)
+        state.update(
+            (days, [counts[d] for d in days], n_seen)
+        )
+        s_ = min_s = 0
+        max_g = n_above = 0
+        g = 0
+        if mu is not None:
+            for d in days:
+                s_ += counts[d] - mu - k
+                min_s = min(min_s, s_)
+                g = s_ - min(0, min_s)
+                max_g = max(max_g, g)
+                n_above += 1 if g > h else 0
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "n_seen": [n_seen],
+                "n_days": [len(days)],
+                "g_final": [g],
+                "max_g": [max_g],
+                "n_above": [n_above],
+            }
+        )
+
+    return src.groupBy(group_col).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

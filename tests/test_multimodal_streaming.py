@@ -2085,3 +2085,122 @@ def test_streaming_sample_sketch_multibatch_equals_batch(spark, sf_dir, tmp_path
         ).collect()
     )
     assert got == want
+
+
+def test_parse_exif_both_orders_and_hostile():
+    """EXIF walk: orientation/resunit from IFD0 and ISO from the
+    0x8769 sub-IFD in both byte orders; no-APP1 JPEGs and truncated
+    payloads return None; out-of-range orientation normalizes to 1."""
+    from pydala2_spark.operators.multimodal import parse_exif
+
+    def blob(orientation, resunit, iso, bo):
+        head = b"II*\x00" if bo == "little" else b"MM\x00*"
+
+        def ent(tag, typ, count, val, four=False):
+            v = val.to_bytes(4, bo) if four else val.to_bytes(2, bo) + b"\x00\x00"
+            return tag.to_bytes(2, bo) + typ.to_bytes(2, bo) + count.to_bytes(4, bo) + v
+
+        ifd0 = (
+            (3).to_bytes(2, bo)
+            + ent(0x0112, 3, 1, orientation)
+            + ent(0x0128, 3, 1, resunit)
+            + ent(0x8769, 4, 1, 50, four=True)
+            + (0).to_bytes(4, bo)
+        )
+        sub = (1).to_bytes(2, bo) + ent(0x8827, 3, 1, iso) + (0).to_bytes(4, bo)
+        tiff = head + (8).to_bytes(4, bo) + ifd0 + sub
+        body = b"Exif\x00\x00" + tiff
+        return (
+            b"\xff\xd8"
+            + b"\xff\xe1"
+            + (len(body) + 2).to_bytes(2, "big")
+            + body
+            + b"\xff\xd9"
+        )
+
+    for bo in ("little", "big"):
+        assert parse_exif(blob(6, 2, 400, bo)) == (6, 2, 400), bo
+    assert parse_exif(blob(99, 2, 400, "little"))[0] == 1  # normalize
+    assert parse_exif(b"\xff\xd8\xff\xd9") is None          # no APP1
+    assert parse_exif(b"\x89PNG\r\n\x1a\n") is None          # not JPEG
+    b = blob(3, 1, 200, "big")
+    for cut in (3, 7, 15, len(b) - 3):
+        parse_exif(b[:cut])  # must not raise
+
+
+def test_streaming_cusum_multibatch_matches_bruteforce(spark, sf_dir, tmp_path):
+    """Day-range-split landing files drained one per trigger — and
+    the file source is free to deliver them in ANY order (observed:
+    newest-first): the order-free day-count state must still land on
+    a plain Python computation over the daily counts exactly."""
+    from pyspark.sql import functions as F
+
+    from pydala2_spark.sources.testdata import read_table
+    from pydala2_spark.streaming.pipeline import (
+        cusum_volume_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    # three files, split by day RANGE; arrival order is NOT assumed
+    d = tmp_path / "cusum_landing"
+    d.mkdir()
+    days = sorted(r["d"] for r in ev.select(F.to_date("ts").alias("d")).distinct().collect())
+    cuts = [days[len(days) // 3], days[2 * len(days) // 3]]
+    ev.filter(F.to_date("ts") < F.lit(cuts[0])).coalesce(1).write.parquet(str(d / "f0"))
+    ev.filter((F.to_date("ts") >= F.lit(cuts[0])) & (F.to_date("ts") < F.lit(cuts[1]))).coalesce(1).write.parquet(str(d / "f1"))
+    ev.filter(F.to_date("ts") >= F.lit(cuts[1])).coalesce(1).write.parquet(str(d / "f2"))
+    import glob
+    import shutil
+
+    for i, f in enumerate(sorted(glob.glob(str(d / "f*" / "*.parquet")))):
+        shutil.copy(f, d / f"part-{i}.parquet")
+    for sub in ("f0", "f1", "f2"):
+        shutil.rmtree(d / sub)
+
+    mu_k_h = {}
+    daily = {}
+    for r in ev.groupBy("event_type", F.to_date("ts").alias("day")).count().collect():
+        daily.setdefault(r["event_type"], {})[r["day"]] = r["count"]
+    for g, m in daily.items():
+        mu = int(sum(m.values()) / len(m))
+        mu_k_h[g] = (mu, max(1, mu // 10), mu)
+
+    params = spark.createDataFrame(
+        [(g, *v) for g, v in mu_k_h.items()],
+        "event_type string, mu long, k long, h long",
+    )
+    stream = read_event_stream(spark, str(d), max_files_per_trigger=1)
+    drained = run_to_memory(
+        cusum_volume_stream(stream, params),
+        "t_cusum",
+        str(tmp_path / "ck_cusum"),
+        state_partitions=2,
+    )
+    assert drained.groupBy("event_type").count().agg(F.max("count")).first()[0] > 1
+    last = {
+        r["event_type"]: r.asDict()
+        for r in drained.orderBy("n_seen")
+        .groupBy("event_type")
+        .agg(
+            F.max_by(
+                F.struct("n_days", "g_final", "max_g", "n_above"), "n_seen"
+            ).alias("s")
+        )
+        .select("event_type", "s.*")
+        .collect()
+    }
+    for g, m in daily.items():
+        mu, k, h = mu_k_h[g]
+        s = mins = 0
+        max_g = n_above = 0
+        for day in sorted(m):
+            s += m[day] - mu - k
+            mins = min(mins, s)
+            gv = s - min(0, mins)
+            max_g = max(max_g, gv)
+            n_above += 1 if gv > h else 0
+        r = last[g]
+        assert r["n_days"] == len(m) and r["g_final"] == s - min(0, mins)
+        assert r["max_g"] == max_g and r["n_above"] == n_above, g
