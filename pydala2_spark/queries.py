@@ -7961,6 +7961,99 @@ def stream_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "m1_compact_roundtrip",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def m1_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (M1) driven through the oracle gate:
+    write orders as a 40-file dataset, compact to row-bounded files,
+    and prove the rewrite moved every row and invented none — the
+    post-compaction aggregate must equal the oracle computed on the
+    pristine table. Also pins the file-count contract (fewer, bounded
+    files) inside the query itself: a silent row loss OR a bloated
+    layout both fail loudly.
+
+    100 TB shape: compaction is the per-partition rewrite with
+    staging-dir atomic swap (operators/maintenance.compact_partitions
+    — lazy CompactionPlan, no driver-side group materialization)."""
+    import shutil
+
+    from pydala2_spark.operators.maintenance import compact_partitions
+
+    root = _app_scoped_tmp(spark, sf_dir, "pydala2_spark_m1q")
+    path = f"{root}/orders"
+    shutil.rmtree(path, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_custkey"
+    )
+    orders.repartition(40).write.parquet(path)
+    # candidate rule is the reference's: a partition compacts only if
+    # its TOTAL rows fit one output file — size the cap to the data so
+    # the round-trip consolidates at every SF
+    n_rows = spark.read.parquet(path).count()
+    compact_partitions(spark, path, max_rows_per_file=n_rows + 1)
+    import glob as _g
+
+    n_files = len(_g.glob(f"{path}/*.parquet"))
+    if not 0 < n_files < 40:
+        raise AssertionError(
+            f"compaction left {n_files} files — expected a consolidated "
+            "layout strictly smaller than the 40-file input"
+        )
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("o_custkey").cast("long").alias("custkey_sum"),
+    )
+
+
+@query(
+    "snap_rollback_read",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey % 3 <> 0
+    GROUP BY o_orderstatus
+    """,
+)
+def snap_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot ROLLBACK driven through the oracle gate: commit v1
+    (2/3 of orders), append the rest as v2, roll back to v1 — the
+    rollback publishes a NEW auditable version whose file set equals
+    v1's — and the head read must equal the oracle computed on the
+    v1 slice. Proves the manifest math end to end: the v2 files are
+    still on disk (time travel to v2 keeps working) yet invisible to
+    the head reader.
+
+    100 TB shape: rollback moves file NAMES in one manifest publish —
+    nothing scales with data. See plans/snapshots.rollback."""
+    import shutil
+
+    from pydala2_spark.plans.snapshots import SnapshotDataset
+
+    root = _app_scoped_tmp(spark, sf_dir, "pydala2_spark_rbq")
+    path = f"{root}/snap"
+    shutil.rmtree(path, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    ds = SnapshotDataset(spark, path)
+    ds.commit(orders.filter(F.col("o_orderkey") % 3 != 0).repartition(4))
+    ds.commit(orders.filter(F.col("o_orderkey") % 3 == 0).repartition(2))
+    ds.rollback(1)
+    return ds.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -7981,14 +8074,14 @@ _VERIFY_FIRST = [
     # plus 4 r7-checked entries. Entries past the window hold green
     # rows from r7/r8 and stay covered by the full local mirror
     # (scripts/check_correctness.py).
-    # r10 pre-staging: the twenty-one r9-CONTINUATION queries
+    # r10 pre-staging: the twenty-three r9-CONTINUATION queries
     # (agg_quantile_sketch, doc_priority_sample, graph_kcore,
     # ev_mann_kendall, stream_kmv_quantiles, ev_pettitt_change,
     # agg_cms_join_size, dq_profile_drift, dq_key_skew,
     # graph_common_neighbors, doc_substring_search, ev_holt_forecast,
     # dedup_containment, p_bloom_pruned_scan, stream_static_enrich,
     # ev_dow_seasonality, mm_exif_orientation, assoc_rules_parts,
-    # stream_cusum_alarm,
+    # stream_cusum_alarm, m1_compact_roundtrip, snap_rollback_read,
     # ev_welch_ttest, ev_autocorr) land AFTER this window — they have
     # never been driver-seen (they are green in the full local
     # mirror), so they MUST lead the r10 window, followed by the

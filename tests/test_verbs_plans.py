@@ -227,6 +227,16 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         # aggregate frames — the same 1-row broadcast shape as q11;
         # the corpus-sized work is the distinct + TakeOrdered upstream
         "agg_kmv_set_ops",
+        # r9 continuation: more of the same 1-row broadcast aggregate
+        # shape — est_total/exact_total frames (priority sample), the
+        # two per-side moment rows (welch), est x exact rows (cms join
+        # size), the gini/top10/max one-row frames (key skew), and the
+        # basket-count frame (association rules)
+        "doc_priority_sample",
+        "ev_welch_ttest",
+        "agg_cms_join_size",
+        "dq_key_skew",
+        "assoc_rules_parts",
     }
     offenders = []
     for name, fn in queries().items():
