@@ -8054,6 +8054,283 @@ def snap_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scd2_point_in_time",
+    """
+    WITH base AS (
+      SELECT CAST(c_custkey AS BIGINT) AS k, round(c_acctbal, 2) AS bal,
+             c_mktsegment AS seg
+      FROM customer
+    ),
+    h0 AS (
+      SELECT k, bal, seg, CAST(0 AS BIGINT) AS valid_from,
+             CAST(NULL AS BIGINT) AS valid_to
+      FROM base
+    ),
+    s1 AS (SELECT k, round(bal + 100, 2) AS bal, seg FROM base WHERE k % 7 = 0),
+    aff1 AS (
+      SELECT s.k AS k, s.bal AS bal, s.seg AS seg,
+             c.bal AS cur_bal, c.seg AS cur_seg, c.valid_from AS cur_vf,
+             c.k IS NOT NULL AS has_cur
+      FROM s1 s
+      LEFT JOIN (SELECT * FROM h0 WHERE valid_to IS NULL) c ON s.k = c.k
+      WHERE c.k IS NULL
+         OR s.bal IS DISTINCT FROM c.bal OR s.seg IS DISTINCT FROM c.seg
+    ),
+    h1 AS (
+      SELECT h.k, h.bal, h.seg, h.valid_from, h.valid_to FROM h0 h
+      WHERE NOT EXISTS (
+        SELECT 1 FROM aff1 a
+        WHERE a.has_cur AND a.k = h.k AND a.cur_vf = h.valid_from)
+      UNION ALL
+      SELECT a.k, a.cur_bal, a.cur_seg, a.cur_vf, CAST(1 AS BIGINT)
+      FROM aff1 a WHERE a.has_cur
+      UNION ALL
+      SELECT a.k, a.bal, a.seg, CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+      FROM aff1 a
+    ),
+    s2 AS (SELECT k, round(bal * 2, 2) AS bal, seg FROM base WHERE k % 3 = 0),
+    aff2 AS (
+      SELECT s.k AS k, s.bal AS bal, s.seg AS seg,
+             c.bal AS cur_bal, c.seg AS cur_seg, c.valid_from AS cur_vf,
+             c.k IS NOT NULL AS has_cur
+      FROM s2 s
+      LEFT JOIN (SELECT * FROM h1 WHERE valid_to IS NULL) c ON s.k = c.k
+      WHERE c.k IS NULL
+         OR s.bal IS DISTINCT FROM c.bal OR s.seg IS DISTINCT FROM c.seg
+    ),
+    h2 AS (
+      SELECT h.k, h.bal, h.seg, h.valid_from, h.valid_to FROM h1 h
+      WHERE NOT EXISTS (
+        SELECT 1 FROM aff2 a
+        WHERE a.has_cur AND a.k = h.k AND a.cur_vf = h.valid_from)
+      UNION ALL
+      SELECT a.k, a.cur_bal, a.cur_seg, a.cur_vf, CAST(2 AS BIGINT)
+      FROM aff2 a WHERE a.has_cur
+      UNION ALL
+      SELECT a.k, a.bal, a.seg, CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+      FROM aff2 a
+    ),
+    facts AS (
+      SELECT CAST(o_custkey AS BIGINT) AS k,
+             CAST(o_orderkey % 3 AS BIGINT) AS v
+      FROM orders
+    )
+    SELECT f.v AS version, h.seg,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(h.bal AS DECIMAL(38,6))), 2) AS DOUBLE)
+             AS bal_sum
+    FROM facts f
+    JOIN h2 h
+      ON f.k = h.k AND h.valid_from <= f.v
+     AND (h.valid_to IS NULL OR f.v < h.valid_to)
+    GROUP BY f.v, h.seg
+    """,
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME dimension lookup over SCD2 history — the
+    warehousing primitive the history exists FOR: each fact row joins
+    the dimension version that was valid AT ITS OWN TIME
+    (valid_from <= t < valid_to), not the current one. Facts = orders
+    stamped with a 0/1/2 version clock; the dimension is the same
+    two-batch customer history as merge_scd2_history, so a
+    balance-at-time aggregate per (version, segment) only lands on
+    the oracle if every close-and-reopen interval is exactly right.
+
+    100 TB shape: the PIT join is an equi-join on the key plus a
+    range residual — Spark plans the hash join on k and filters the
+    interval; history sides are |dim| x versions (small), so it
+    broadcasts. See operators/merge.scd2_frames."""
+    from pydala2_spark.operators.merge import scd2_frames
+
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k"),
+        F.round("c_acctbal", 2).alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    h0 = base.select(
+        "k",
+        "bal",
+        "seg",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    s1 = base.filter(F.col("k") % 7 == 0).select(
+        "k", F.round(F.col("bal") + 100, 2).alias("bal"), "seg"
+    )
+    h1 = scd2_frames(h0, s1, keys=["k"], ts=1).localCheckpoint(eager=False)
+    s2 = base.filter(F.col("k") % 3 == 0).select(
+        "k", F.round(F.col("bal") * 2, 2).alias("bal"), "seg"
+    )
+    h2 = scd2_frames(h1, s2, keys=["k"], ts=2)
+    facts = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("k"),
+        (F.col("o_orderkey") % 3).cast("long").alias("v"),
+    )
+    pit = facts.join(
+        F.broadcast(h2),
+        (facts["k"] == h2["k"])
+        & (h2["valid_from"] <= facts["v"])
+        & (h2["valid_to"].isNull() | (facts["v"] < h2["valid_to"])),
+    )
+    return pit.groupBy(
+        facts["v"].alias("version"), h2["seg"].alias("seg")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        _dsum("bal", 2).alias("bal_sum"),
+    )
+
+
+@query(
+    "w_pareto_abc",
+    """
+    WITH rev AS (
+      SELECT l_partkey AS partkey,
+             CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ), c AS (
+      SELECT partkey, revenue,
+             CAST(sum(CAST(revenue AS DECIMAL(38,6))) OVER (
+               ORDER BY revenue DESC, partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS cum,
+             CAST((SELECT sum(CAST(revenue AS DECIMAL(38,6))) FROM rev)
+                  AS DOUBLE) AS total
+      FROM rev
+    ), cls AS (
+      SELECT partkey, revenue, total,
+             CASE WHEN cum / total <= 0.8 THEN 'A'
+                  WHEN cum / total <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM c
+    )
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(round(sum(CAST(revenue AS DECIMAL(38,6))), 2) AS DOUBLE)
+             AS class_revenue,
+           round(CAST(sum(CAST(revenue AS DECIMAL(38,6))) AS DOUBLE)
+                 / max(total), 6) AS revenue_share
+    FROM cls GROUP BY abc_class
+    """,
+)
+def w_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification of parts by revenue — the 80/15/5
+    inventory-analytics split: rank parts by revenue, classify by
+    CUMULATIVE revenue share (A holds the first 80%, B to 95%, C the
+    tail), report each class's size and share. Per-part revenues
+    round to 2 via exact decimal sums, the cumulative sum accumulates
+    those ROUNDED values in decimal again, and the class cut compares
+    one deterministic division — so the boundary part lands in the
+    same class in both engines.
+
+    100 TB shape: the per-part reduction is map-side combined; the
+    rank window runs over |parts| (catalog-bounded, not lineitem-
+    bounded). The global window is the verification form — range-
+    partition by revenue for a truly huge catalog."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy(F.desc("revenue"), "partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = rev.withColumn(
+        "cum", F.sum(F.col("revenue").cast(_DEC)).over(w).cast("double")
+    ).withColumn(
+        "total",
+        F.sum(F.col("revenue").cast(_DEC)).over(w_all).cast("double"),
+    )
+    cls = c.withColumn(
+        "abc_class",
+        F.when(F.col("cum") / F.col("total") <= 0.8, "A")
+        .when(F.col("cum") / F.col("total") <= 0.95, "B")
+        .otherwise("C"),
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        _dsum("revenue", 2).alias("class_revenue"),
+        F.round(
+            F.sum(F.col("revenue").cast(_DEC)).cast("double")
+            / F.max("total"),
+            6,
+        ).alias("revenue_share"),
+    )
+
+
+def _equidepth_oracle() -> str:
+    from pydala2_spark.functions.sketch import sample_quantile_oracle_sql
+
+    cuts = {f"b{i}": i / 8 for i in range(1, 8)}
+    est = sample_quantile_oracle_sql(
+        "events", "event_type", "event_id", "value", k=100000, qs=cuts
+    )
+    conds = " + ".join(
+        f"(CASE WHEN e.value > q.b{i} THEN 1 ELSE 0 END)" for i in range(1, 8)
+    )
+    return f"""
+    WITH q AS ({est})
+    SELECT e.event_type,
+           CAST({conds} AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(e.value), 4) AS lo,
+           round(max(e.value), 4) AS hi
+    FROM events e JOIN q ON e.event_type = q.event_type
+    GROUP BY 1, 2
+    """
+
+
+@query("ev_equidepth_hist", _equidepth_oracle())
+def ev_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram per event type — the planner-statistics
+    form (near-equal row counts per bucket, so selectivity estimates
+    stay accurate in skewed regions where equi-WIDTH buckets lump
+    everything): 7 cut points at the discrete octile quantiles, then
+    one pass bucketing every row by comparisons against the broadcast
+    boundary row. Boundaries are bit-copies of input values and the
+    bucket id is a sum of integer comparisons — oracle-exact. (k in
+    the sketch machinery is set above the group size, so the 'sample'
+    is exact here; drop k for the sketched variant at scale.)
+
+    100 TB shape: boundary discovery via the quantile machinery; the
+    bucketing pass is scan-stage expressions against a broadcast
+    |groups| x 7 frame, then a map-side-combined agg — no shuffle of
+    events beyond the count reduction."""
+    from pydala2_spark.functions.sketch import (
+        discrete_quantiles,
+        sample_bottom_k_grouped,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cuts = {f"b{i}": i / 8 for i in range(1, 8)}
+    state = sample_bottom_k_grouped(
+        ev, "event_type", "event_id", "value", k=100000
+    )
+    q = discrete_quantiles(state, "event_type", "__val", "__key", cuts)
+    bucket = sum(
+        F.when(F.col("value") > F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(1, 8)
+    )
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", bucket.cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -8074,7 +8351,7 @@ _VERIFY_FIRST = [
     # plus 4 r7-checked entries. Entries past the window hold green
     # rows from r7/r8 and stay covered by the full local mirror
     # (scripts/check_correctness.py).
-    # r10 pre-staging: the twenty-three r9-CONTINUATION queries
+    # r10 pre-staging: the twenty-six r9-CONTINUATION queries
     # (agg_quantile_sketch, doc_priority_sample, graph_kcore,
     # ev_mann_kendall, stream_kmv_quantiles, ev_pettitt_change,
     # agg_cms_join_size, dq_profile_drift, dq_key_skew,
@@ -8082,6 +8359,7 @@ _VERIFY_FIRST = [
     # dedup_containment, p_bloom_pruned_scan, stream_static_enrich,
     # ev_dow_seasonality, mm_exif_orientation, assoc_rules_parts,
     # stream_cusum_alarm, m1_compact_roundtrip, snap_rollback_read,
+    # scd2_point_in_time, w_pareto_abc, ev_equidepth_hist,
     # ev_welch_ttest, ev_autocorr) land AFTER this window — they have
     # never been driver-seen (they are green in the full local
     # mirror), so they MUST lead the r10 window, followed by the

@@ -512,6 +512,81 @@ def main():
 
         out.setdefault("kcore", {})[label] = timed(run_kc, reps=2)
 
+    # shingle containment: candidate join keys are (lang, 60-bit
+    # hash); replication multiplies both sides but phrase-level
+    # shingles keep candidates sparse. Expect ~linear-ish (the
+    # replicated corpus IS containment-denser: every copy of a doc
+    # contains every other copy).
+    from pydala2_spark.operators.dedup import containment_pairs
+
+    for label, d in (dirs.items() if want("containment") else ()):
+        out.setdefault("containment", {})[label] = timed(
+            lambda d=d: containment_pairs(
+                spark.read.parquet(d), threshold=0.8
+            ).count(),
+            reps=2,
+        )
+
+    # trigram index: build = one corpus scan + bucketed write
+    # (~linear); the probe reads only the pattern's bucket partitions
+    # + an id semi-join (~flat in corpus, linear in matches).
+    from pydala2_spark.operators.curate import (
+        build_trigram_index,
+        substring_search_indexed,
+    )
+
+    for label, d in (dirs.items() if want("trigram") else ()):
+        p = f"{ROOT}/trgm_{label}"
+        shutil.rmtree(p, ignore_errors=True)
+        docs = spark.read.parquet(d)
+        out.setdefault("trigram_build", {})[label] = timed(
+            lambda docs=docs, p=p: build_trigram_index(spark, docs, p), reps=1
+        )
+        out.setdefault("trigram_probe", {})[label] = timed(
+            lambda p=p, docs=docs: substring_search_indexed(
+                spark, p, docs, "merge batch"
+            ).count(),
+            reps=2,
+        )
+
+    # association rules: basket pair join is bounded per basket (7
+    # items); supports broadcast. FACTOR disjoint copies of lineitem
+    # (same trick as kcore). Expect ~linear.
+    for label in (("1x", "big") if want("assoc") else ()):
+        base_li = spark.read.parquet(
+            os.path.join(BASE, "lineitem.parquet")
+        ).select("l_orderkey", "l_partkey")
+        if label == "1x":
+            li0 = base_li
+        else:
+            mo = base_li.agg(F.max("l_orderkey")).first()[0] + 1
+            mp = base_li.agg(F.max("l_partkey")).first()[0] + 1
+            li0 = base_li
+            for c in range(1, FACTOR):
+                li0 = li0.unionByName(
+                    base_li.withColumn(
+                        "l_orderkey", F.col("l_orderkey") + F.lit(c * mo)
+                    ).withColumn(
+                        "l_partkey", F.col("l_partkey") + F.lit(c * mp)
+                    )
+                )
+
+        def run_ar(li0=li0):
+            li = li0.select(
+                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+            ).distinct()
+            pairs = (
+                li.alias("x")
+                .join(li.alias("y"), "o")
+                .filter(F.col("x.p") != F.col("y.p"))
+                .groupBy(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+                .agg(F.count(F.lit(1)).alias("s"))
+                .filter(F.col("s") >= 3)
+            )
+            pairs.count()
+
+        out.setdefault("assoc_pairs", {})[label] = timed(run_ar, reps=2)
+
     print(f"{'op':24s} {'1x':>7s} {'x' + str(FACTOR):>7s} {'ratio':>7s}")
     for op, t in out.items():
         ratio = t["big"] / t["1x"]
