@@ -286,3 +286,26 @@ def test_hive_partition_predicate_prunes_at_plan_time(spark, tmp_path):
     rows = out.collect()
     assert rows and all(r["split"] == "train" and r["lang"] == "en" for r in rows)
     assert len(rows) == sum(1 for i in range(200) if i % 10 < 8 and i % 3 == 0)
+
+
+def test_no_row_at_a_time_python_anywhere(spark, sf_dir):
+    """Global plan invariant: NO query may plan a row-at-a-time Python
+    UDF (BatchEvalPython) — the 10-100x-slower escape hatch this
+    engine never needs. Arrow-batched Python (ArrowEvalPython /
+    MapInPandas / FlatMapGroupsInPandas) is allowed where declared:
+    the multimodal decode ladder, the per-group recursions (Holt),
+    and the streaming state machines; everything else must stay
+    JVM-side end to end."""
+    from pydala2_spark.queries import queries
+
+    offenders = []
+    for name, fn in queries().items():
+        if name.startswith(("stream_", "mm_")):
+            continue  # streaming drains / decode stages, checked above
+        try:
+            plan = _plan(fn(spark, sf_dir))
+        except Exception:
+            continue  # side-effecting queries checked by the mirror
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
