@@ -689,6 +689,9 @@ def discrete_quantiles(
     ``(value, key)``. No interpolation — the output is a bit-copy of an
     input value, so Spark and a SQL oracle agree exactly even on
     arbitrary doubles. ``qs`` maps output column name → q in [0, 1].
+    Values must be non-NULL (NULL sort placement differs between
+    engines: Spark orders NULLs first ASC, most SQL engines last —
+    filter them out before calling; a NULL has no quantile anyway).
 
     The per-group window sort is the verification shape; the sketch
     path applies this to ≤ k sampled rows per group where the window is
@@ -822,10 +825,18 @@ def cms_inner_product(
         )
     a = counters_a.select("row_id", "bucket", F.col("cnt").alias("__ca"))
     b = counters_b.select("row_id", "bucket", F.col("cnt").alias("__cb"))
+    # decimal(19,0) x decimal(19,0) -> exact decimal(38,0): a long
+    # product would WRAP silently under Spark's non-ANSI arithmetic
+    # once per-bucket counts pass ~3e9 (100 TB-of-events territory);
+    # DuckDB widens the same product to HUGEINT, so exactness here is
+    # also what keeps the oracle honest
+    prod = F.col("__ca").cast("decimal(19,0)") * F.col("__cb").cast(
+        "decimal(19,0)"
+    )
     per_row = (
         a.join(b, ["row_id", "bucket"])
         .groupBy("row_id")
-        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__ip"))
+        .agg(F.sum(prod).alias("__ip"))
     )
     return per_row.agg(
         F.min("__ip").cast("long").alias("inner_product_est")
