@@ -377,3 +377,86 @@ def normalize_text(
     if lowercase:
         c = F.lower(c)
     return c
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    stopwords: tuple[str, ...],
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; each word scores
+    degree/frequency over the phrase corpus (degree = summed length
+    of every phrase containing it — words that ride in long phrases
+    score high); a phrase scores the sum of its words' scores. The
+    dependency-free keyword extractor next to TF-IDF (df-based) and
+    winnowing (fingerprint-based).
+
+    Returns one row per distinct phrase text: ``(phrase, n_words,
+    n_occurrences, score)``. Determinism: counts are integers; each
+    word score rounds to 6 and phrase sums accumulate in exact
+    decimal (order-free), rounding to 4 at output — oracle-exact.
+
+    100 TB shape: one posexplode + two windowed passes per doc
+    partition (phrase segmentation is per-doc local), then two
+    map-side-combined aggs over (word) and (phrase) — the wide corpus
+    never joins itself; the word-score side is vocabulary-sized and
+    broadcasts."""
+    from pyspark.sql import Window
+
+    if not stopwords:
+        raise ValueError("stopwords must be non-empty")
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text), " ")).alias("__ord", "__tok"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("__ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = toks.withColumn("__st", F.col("__tok").isin(*stopwords))
+    ph = marked.withColumn(
+        "__pid", F.sum(F.col("__st").cast("int")).over(w)
+    ).filter(~F.col("__st"))
+    plen = ph.groupBy(id_col, "__pid").agg(F.count(F.lit(1)).alias("__plen"))
+    ws = (
+        ph.join(plen, [id_col, "__pid"])
+        .groupBy("__tok")
+        .agg(
+            F.count(F.lit(1)).alias("__freq"),
+            F.sum("__plen").cast("long").alias("__deg"),
+        )
+        .select(
+            "__tok",
+            F.round(
+                F.col("__deg").cast("double") / F.col("__freq"), 6
+            ).alias("__wscore"),
+        )
+    )
+    ptext = ph.groupBy(id_col, "__pid").agg(
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(sort_array(collect_list(struct(__ord, __tok))),"
+                " x -> x.__tok)"
+            ),
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    pscore = (
+        ph.join(F.broadcast(ws), "__tok")
+        .groupBy(id_col, "__pid")
+        .agg(
+            F.round(F.sum(F.col("__wscore").cast("decimal(38,6)")), 4)
+            .cast("double")
+            .alias("score")
+        )
+    )
+    return (
+        ptext.join(pscore, [id_col, "__pid"])
+        .groupBy("phrase", "n_words", "score")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .select("phrase", "n_words", "n_occurrences", "score")
+    )

@@ -976,3 +976,119 @@ def dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
             "max_v",
         )
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    k: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Greedy k-center diverse-subset selection (Gonzalez 1985) — the
+    coreset / dedup-aware sampling primitive a training-data pipeline
+    uses to pick MAXIMALLY SPREAD exemplars (seed prompts, eval
+    anchors, diverse few-shot pools): seed with the smallest id, then
+    repeatedly take the point FARTHEST from every chosen center
+    (smallest max-cosine, ties to the smallest id). The classic 2-
+    approximation to the optimal k-center cover.
+
+    Deterministic by construction: unit vectors normalize scan-side,
+    per-center cosines round to 4 before the max/argmax (the emb-suite
+    discipline), ids break ties — so a SQL oracle replays the greedy
+    loop exactly (kcenter_oracle_sql).
+
+    Returns ``(sel_rank, id, max_cos_to_prior)`` — k rows; the seed's
+    max_cos is NULL, later rows report their similarity to the
+    already-chosen set at selection time (monotonically increasing ≈
+    how fast the space saturates).
+
+    100 TB shape: k scans, each a scan-stage expression against the
+    <= k-1 chosen vectors INLINED as literals (zero joins — the
+    k-means assignment discipline) followed by a TakeOrderedAndProject
+    of ONE row; the corpus-side unit frame materializes once. Driver
+    holds k vectors, never data."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pydala2_spark.operators.dedup import _materialize_once
+
+    u = _materialize_once(
+        _spread(df, id_col).select(F.col(id_col), unit_expr(vec_col).alias("__uv"))
+    )
+    seed = u.orderBy(id_col).limit(1).collect()[0]
+    chosen: list[tuple] = [(seed[id_col], None, list(seed["__uv"]))]
+    for _ in range(k - 1):
+        dots = [
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "__uv",
+                        F.array(*[F.lit(float(x)) for x in vec]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                4,
+            )
+            for (_, _, vec) in chosen
+        ]
+        mc = F.greatest(*dots) if len(dots) > 1 else dots[0]
+        pick = (
+            u.filter(~F.col(id_col).isin([c[0] for c in chosen]))
+            .select(F.col(id_col), F.col("__uv"), mc.alias("__mc"))
+            .orderBy(F.col("__mc").asc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((pick[id_col], float(pick["__mc"]), list(pick["__uv"])))
+    rows = [
+        (i + 1, cid, mcv) for i, (cid, mcv, _) in enumerate(chosen)
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "sel_rank int, id long, max_cos_to_prior double"
+    )
+
+
+def kcenter_oracle_sql(k: int = 6, table: str = "embeddings", dim: int = 64) -> str:
+    """DuckDB mirror of :func:`kcenter_coreset`: the greedy loop
+    unrolled as MATERIALIZED CTEs (each level is referenced multiple
+    times — inlining would compound) with the identical unit-vector,
+    round-4 dot, and (mc ASC, id ASC) argmax sequence."""
+    dot = (
+        f"round(list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> x.uv[i] * c.uv[i])), 4)"
+    )
+    parts = [
+        f"""u AS MATERIALIZED (
+      SELECT vec_id, list_transform({table}.embedding, e -> CAST(e AS DOUBLE)
+        / sqrt(list_sum(list_transform({table}.embedding,
+                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS uv
+      FROM {table})""",
+        "ch1 AS MATERIALIZED (SELECT vec_id, uv, 1 AS r, "
+        "CAST(NULL AS DOUBLE) AS mc FROM "
+        "(SELECT vec_id, uv FROM u ORDER BY vec_id LIMIT 1))",
+    ]
+    for i in range(2, k + 1):
+        prev = f"ch{i - 1}"
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT x.vec_id, max({dot}) AS mc
+      FROM u x, {prev} c
+      WHERE x.vec_id NOT IN (SELECT vec_id FROM {prev})
+      GROUP BY x.vec_id)"""
+        )
+        parts.append(
+            f"""ch{i} AS MATERIALIZED (
+      SELECT vec_id, uv, r, mc FROM {prev}
+      UNION ALL
+      SELECT p.vec_id, u.uv, {i} AS r, p.mc
+      FROM (SELECT vec_id, mc FROM d{i}
+            ORDER BY mc ASC, vec_id ASC LIMIT 1) p
+      JOIN u ON p.vec_id = u.vec_id)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT r AS sel_rank, vec_id AS id, mc AS max_cos_to_prior"
+        f"\n    FROM ch{k}"
+    )

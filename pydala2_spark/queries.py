@@ -8331,6 +8331,145 @@ def ev_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcenter_oracle() -> str:
+    from pydala2_spark.operators.similarity import kcenter_oracle_sql
+
+    return kcenter_oracle_sql(k=6)
+
+
+@query("emb_kcenter_coreset", _kcenter_oracle())
+def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diverse-subset selection by greedy k-center (Gonzalez 1985):
+    six maximally-spread exemplar embeddings — seed at min id, then
+    repeatedly the point FARTHEST from every chosen center (smallest
+    max-cosine, id tiebreak). The coreset/sampling primitive for
+    eval-anchor and few-shot-pool selection, and the spread-first dual
+    of semantic dedup (that removes close pairs; this KEEPS far
+    points). The oracle replays the greedy loop as unrolled
+    materialized CTEs, so all six selections and their
+    max-cos-at-selection values must match exactly.
+
+    100 TB shape: k scans, each a scan-stage literal-dot expression +
+    a one-row TakeOrderedAndProject; no joins, driver holds k
+    vectors. See operators/similarity.kcenter_coreset."""
+    from pydala2_spark.operators.similarity import kcenter_coreset
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kcenter_coreset(emb, k=6)
+
+
+@query(
+    "stream_topk_ingest",
+    """
+    SELECT event_type, rank, event_id, value
+    FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id ASC) AS rank
+      FROM events
+      WHERE event_id IS NOT NULL AND value IS NOT NULL
+    ) WHERE rank <= 5
+    """,
+)
+def stream_topk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eleventh streaming oracle query: a live LEADERBOARD — the k=5
+    highest-value events per type maintained as O(k) bounded state.
+    A top-k is a pure function of the row set (like the sample
+    sketch), so the drained board equals the batch answer bit-for-bit
+    under any micro-batch split or arrival order; output values are
+    bit-copies of inputs (selection, no arithmetic).
+    See streaming/pipeline.topk_stream."""
+    import tempfile
+    import uuid
+
+    from pydala2_spark.streaming.pipeline import (
+        read_event_stream,
+        run_to_memory,
+        topk_stream,
+    )
+
+    events = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    tk = topk_stream(events, "event_type", "event_id", "value", k=5)
+    name = f"topk_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    drained = run_to_memory(tk, name, ck, state_partitions=4)
+    last = drained.groupBy("event_type").agg(
+        F.max_by(F.struct("ids", "vals"), "n_seen").alias("__s")
+    )
+    flat = last.select(
+        "event_type",
+        F.posexplode("__s.ids").alias("__p", "event_id"),
+        F.col("__s.vals").alias("__vals"),
+    )
+    return flat.select(
+        "event_type",
+        (F.col("__p") + 1).cast("int").alias("rank"),
+        "event_id",
+        F.element_at("__vals", F.col("__p") + 1).alias("value"),
+    )
+
+
+@query(
+    "doc_rake_keyphrases",
+    """
+    WITH toks AS (
+      SELECT doc_id, tk[i] AS tok, i AS ord
+      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           unnest(generate_series(1, len(tk))) AS g(i)
+    ), ph AS (
+      SELECT doc_id, tok, ord,
+             sum(CASE WHEN tok IN ('the', 'a') THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY ord
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS pid
+      FROM toks
+      QUALIFY tok NOT IN ('the', 'a')
+    ), plen AS (
+      SELECT doc_id, pid, count(*) AS plen FROM ph GROUP BY 1, 2
+    ), ws AS (
+      SELECT tok,
+             round(CAST(CAST(sum(plen) AS BIGINT) AS DOUBLE)
+                   / count(*), 6) AS wscore
+      FROM ph JOIN plen USING (doc_id, pid)
+      GROUP BY tok
+    ), ptext AS (
+      SELECT doc_id, pid,
+             string_agg(tok, ' ' ORDER BY ord) AS phrase,
+             CAST(count(*) AS BIGINT) AS n_words
+      FROM ph GROUP BY 1, 2
+    ), pscore AS (
+      SELECT ph.doc_id, ph.pid,
+             CAST(round(sum(CAST(ws.wscore AS DECIMAL(38,6))), 4)
+                  AS DOUBLE) AS score
+      FROM ph JOIN ws USING (tok)
+      GROUP BY 1, 2
+    )
+    SELECT p.phrase, p.n_words,
+           CAST(count(*) AS BIGINT) AS n_occurrences, s.score
+    FROM ptext p JOIN pscore s USING (doc_id, pid)
+    GROUP BY p.phrase, p.n_words, s.score
+    """,
+)
+def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) over the corpus:
+    candidate phrases = maximal stopword-free token runs; word score =
+    degree/frequency over the phrase corpus; phrase score = sum of its
+    words' scores. The dependency-free keyword extractor next to
+    TF-IDF (df-weighted single terms) — RAKE surfaces MULTI-WORD
+    phrases without any external model. Counts are integers, word
+    scores round to 6, phrase sums accumulate in exact decimal —
+    oracle bit-exact per distinct phrase.
+
+    100 TB shape: phrase segmentation is a per-doc window (doc-local
+    sort, no cross-doc shuffle of text); word scores are
+    vocabulary-sized and broadcast back.
+    See functions/text.rake_keyphrases."""
+    from pydala2_spark.functions.text import rake_keyphrases
+
+    docs = _t(spark, sf_dir, "documents")
+    return rake_keyphrases(docs, stopwords=("the", "a"))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -8351,7 +8490,7 @@ _VERIFY_FIRST = [
     # plus 4 r7-checked entries. Entries past the window hold green
     # rows from r7/r8 and stay covered by the full local mirror
     # (scripts/check_correctness.py).
-    # r10 pre-staging: the twenty-six r9-CONTINUATION queries
+    # r10 pre-staging: the twenty-nine r9-CONTINUATION queries
     # (agg_quantile_sketch, doc_priority_sample, graph_kcore,
     # ev_mann_kendall, stream_kmv_quantiles, ev_pettitt_change,
     # agg_cms_join_size, dq_profile_drift, dq_key_skew,
@@ -8360,6 +8499,7 @@ _VERIFY_FIRST = [
     # ev_dow_seasonality, mm_exif_orientation, assoc_rules_parts,
     # stream_cusum_alarm, m1_compact_roundtrip, snap_rollback_read,
     # scd2_point_in_time, w_pareto_abc, ev_equidepth_hist,
+    # emb_kcenter_coreset, stream_topk_ingest, doc_rake_keyphrases,
     # ev_welch_ttest, ev_autocorr) land AFTER this window — they have
     # never been driver-seen (they are green in the full local
     # mirror), so they MUST lead the r10 window, followed by the

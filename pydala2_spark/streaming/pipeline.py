@@ -930,3 +930,88 @@ def cusum_volume_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TOPK_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("vals", T.ArrayType(T.DoubleType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def topk_stream(
+    events: DataFrame,
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    k: int = 5,
+) -> DataFrame:
+    """Streaming LEADERBOARD: the k highest-value rows per group,
+    maintained as ``applyInPandasWithState`` state. Like the sample
+    sketch, a top-k is a PURE FUNCTION OF THE ROW SET — merging each
+    micro-batch into the k-row state commutes with any batch split or
+    arrival order, so the drained board equals the batch top-k
+    bit-for-bit (ties break on the id). State is O(k) per group
+    forever; no watermark.
+
+    Output per touching batch: one snapshot row per group with the
+    id/value arrays rank-ordered; reduce multi-batch drains by max
+    ``n_seen`` and explode (see the stream_topk_ingest query)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    src = events.filter(
+        F.col(id_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col),
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    group_field = next(f for f in src.schema.fields if f.name == group_col)
+    out_schema = T.StructType(
+        [
+            group_field,
+            T.StructField("n_seen", T.LongType()),
+            T.StructField("ids", T.ArrayType(T.LongType())),
+            T.StructField("vals", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _fn(
+        key: Tuple[Any, ...],
+        batches: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids, vals, n_seen = state.get
+            items = list(zip(ids, vals))
+        else:
+            items, n_seen = [], 0
+        for pdf in batches:
+            n_seen += len(pdf)
+            items.extend(
+                zip(pdf["__id"].astype("int64"), pdf["__v"].astype("float64"))
+            )
+            # rank by (value DESC, id ASC); keep k
+            items.sort(key=lambda t: (-t[1], t[0]))
+            del items[k:]
+        ids = [int(t[0]) for t in items]
+        vals = [float(t[1]) for t in items]
+        state.update((ids, vals, n_seen))
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "n_seen": [n_seen],
+                "ids": [ids],
+                "vals": [vals],
+            }
+        )
+
+    return src.groupBy(group_col).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=TOPK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

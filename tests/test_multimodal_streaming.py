@@ -2204,3 +2204,48 @@ def test_streaming_cusum_multibatch_matches_bruteforce(spark, sf_dir, tmp_path):
         r = last[g]
         assert r["n_days"] == len(m) and r["g_final"] == s - min(0, mins)
         assert r["max_g"] == max_g and r["n_above"] == n_above, g
+
+
+def test_streaming_topk_multibatch_order_free(spark, sf_dir, tmp_path):
+    """Top-k state is a pure function of the row set: a 3-file RANDOM
+    split (no day ordering at all) drained one file per trigger must
+    equal the batch top-k exactly, ids, ranks and values."""
+    from pyspark.sql import functions as F
+
+    from pydala2_spark.sources.testdata import read_table
+    from pydala2_spark.streaming.pipeline import (
+        read_event_stream,
+        run_to_memory,
+        topk_stream,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    d = tmp_path / "topk_landing"
+    ev.repartition(3).write.parquet(str(d))
+    stream = read_event_stream(spark, str(d), max_files_per_trigger=1)
+    drained = run_to_memory(
+        topk_stream(stream, k=4),
+        "t_topk",
+        str(tmp_path / "ck_topk"),
+        state_partitions=2,
+    )
+    assert drained.groupBy("event_type").count().agg(F.max("count")).first()[0] > 1
+    last = {
+        r["event_type"]: (list(r["s"]["ids"]), list(r["s"]["vals"]))
+        for r in drained.groupBy("event_type")
+        .agg(F.max_by(F.struct("ids", "vals"), "n_seen").alias("s"))
+        .collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    want = {}
+    for r in (
+        ev.withColumn("rn", F.row_number().over(w)).filter("rn <= 4").collect()
+    ):
+        want.setdefault(r["event_type"], ([], []))
+        want[r["event_type"]][0].append(r["event_id"])
+        want[r["event_type"]][1].append(r["value"])
+    assert last == want

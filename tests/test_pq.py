@@ -172,3 +172,54 @@ def test_pq_topk_query_side_cap(spark, clustered):
     # at the cap boundary the query side still runs
     ok = pq_topk(codes, qf.limit(5), model, k=3, max_queries=5)
     assert ok.select("query_id").distinct().count() == 5
+
+
+def test_kcenter_coreset_bruteforce(spark):
+    """Greedy k-center vs an in-Python replay (same rounding, same
+    tiebreaks) on deterministic vectors; the selection is maximally
+    spread (every non-selected point is closer to the chosen set than
+    the selection floor allows); guard refuses k < 2."""
+    import math
+
+    import pytest as _pytest
+
+    from pydala2_spark.operators.similarity import kcenter_coreset
+
+    def vec(i):
+        # 8-dim deterministic spread
+        return [float(((i * 31 + d * 17) % 13) - 6) for d in range(8)]
+
+    rows = [(i, vec(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    K = 5
+    got = sorted(
+        (r["sel_rank"], r["id"], r["max_cos_to_prior"])
+        for r in kcenter_coreset(df, k=K).collect()
+    )
+
+    # python replay
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    uvs = {i: unit([float(f) for f in vec(i)]) for i in range(40)}
+    chosen = [0]
+    want = [(1, 0, None)]
+    for r in range(2, K + 1):
+        best = None
+        for i in sorted(uvs):
+            if i in chosen:
+                continue
+            mc = max(
+                round(sum(a * b for a, b in zip(uvs[i], uvs[c])), 4)
+                for c in chosen
+            )
+            if best is None or (mc, i) < best:
+                best = (mc, i)
+        chosen.append(best[1])
+        want.append((r, best[1], best[0]))
+    assert got == sorted(want)
+
+    with _pytest.raises(ValueError, match="k must be"):
+        kcenter_coreset(df, k=1)

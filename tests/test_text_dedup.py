@@ -1679,3 +1679,36 @@ def test_containment_pairs_planted_subsets(spark):
         containment_pairs(docs, threshold=0.0)
     with _pytest.raises(ValueError, match="shingle_k"):
         containment_pairs(docs, shingle_k=0)
+
+
+def test_rake_keyphrases_hand_case(spark):
+    """RAKE scores on a tiny corpus with hand-computable degree/freq:
+    phrase segmentation on stopwords, word score = degree/frequency,
+    phrase score = sum of member scores, duplicates collapse with a
+    count."""
+    from pydala2_spark.functions.text import rake_keyphrases
+
+    rows = [
+        (1, "deep learning the deep model"),
+        (2, "deep learning a model"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["phrase"]: r.asDict()
+        for r in rake_keyphrases(docs, stopwords=("the", "a")).collect()
+    }
+    # phrases: doc1 -> "deep learning" (len2), "deep model" (len2);
+    # doc2 -> "deep learning" (len2), "model" (len1)
+    # freq: deep=3, learning=2, model=2
+    # deg:  deep=2+2+2=6, learning=4, model=2+1=3
+    # score: deep=2.0, learning=2.0, model=1.5
+    assert out["deep learning"]["n_occurrences"] == 2
+    assert out["deep learning"]["score"] == 4.0
+    assert out["deep model"]["score"] == 3.5
+    assert out["model"]["score"] == 1.5
+    assert out["model"]["n_words"] == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stopwords"):
+        rake_keyphrases(docs, stopwords=())
