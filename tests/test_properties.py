@@ -787,3 +787,90 @@ def test_triangle_counts_matches_bruteforce_reference(spark):
         df = spark.createDataFrame(edges, "src long, dst long")
         got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
         assert got == expected, f"trial {trial}: {got} != {expected}"
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=400), min_size=5, max_size=60
+    ),
+    splits=st.lists(st.integers(0, 2), min_size=5, max_size=60),
+    k=st.integers(min_value=2, max_value=12),
+)
+@settings(max_examples=60, deadline=None)
+def test_sample_sketch_merge_pure_function_of_set(vals, splits, k):
+    """Driver-side model of the sample-sketch merge law: for ANY
+    3-way split of a row set, merging per-slice bottom-k states equals
+    the one-shot bottom-k — the property the streaming/mirror tests
+    pin on Spark, enumerated here over random corners (duplicated
+    hash ordering keys broken by row id, k beyond the set size, empty
+    slices)."""
+    import hashlib
+
+    rows = [
+        (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16), i, v)
+        for i, v in enumerate(vals)
+    ]
+
+    def bottom_k(rs):
+        return sorted(rs, key=lambda t: (t[0], t[1]))[:k]
+
+    splits = (splits + [0] * len(rows))[: len(rows)]
+    slices = [[], [], []]
+    for r, s in zip(rows, splits):
+        slices[s].append(r)
+    merged = bottom_k([x for sl in slices for x in bottom_k(sl)])
+    assert merged == bottom_k(rows)
+
+
+@given(
+    counts=st.lists(
+        st.integers(min_value=0, max_value=200), min_size=1, max_size=80
+    ),
+    mu=st.integers(0, 100),
+    k=st.integers(0, 10),
+)
+@settings(max_examples=100, deadline=None)
+def test_cusum_prefix_identity_matches_recursion(counts, mu, k):
+    """The reset-free identity the streaming CUSUM state relies on:
+    g_t = S_t - min(0, min_{j<=t} S_j) equals the textbook recursion
+    g_t = max(0, g_{t-1} + (x_t - mu - k)) for every prefix."""
+    g_rec = 0
+    s = 0
+    mins = 0
+    for x in counts:
+        g_rec = max(0, g_rec + (x - mu - k))
+        s += x - mu - k
+        mins = min(mins, s)
+        assert s - min(0, mins) == g_rec
+
+
+@given(
+    weights=st.lists(
+        st.integers(min_value=1, max_value=1000), min_size=1, max_size=60
+    ),
+    k=st.integers(min_value=1, max_value=20),
+)
+@settings(max_examples=60, deadline=None)
+def test_priority_sampling_heavy_certainty_and_exact_small(weights, k):
+    """Priority-sampling invariants (driver model of the Spark op):
+    every item with w >= tau is sampled; if n <= k the sample is
+    everything with tau = 0 and exact weights; estimates never fall
+    below the true weight."""
+    import hashlib
+
+    items = []
+    for i, w in enumerate(weights):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        u = (h + 1) / float(1 << 60)
+        items.append((i, w, w / u))
+    by_pri = sorted(items, key=lambda t: (-t[2], t[0]))
+    sample = by_pri[:k]
+    tau = by_pri[k][2] if len(by_pri) > k else 0.0
+    sampled_ids = {i for i, _, _ in sample}
+    for i, w, _ in items:
+        if w >= tau:
+            assert i in sampled_ids
+    for i, w, _ in sample:
+        assert max(w, tau) >= w
+    if len(items) <= k:
+        assert tau == 0.0 and sampled_ids == {i for i, _, _ in items}
