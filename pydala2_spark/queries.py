@@ -8470,6 +8470,114 @@ def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rake_keyphrases(docs, stopwords=("the", "a"))
 
 
+@query(
+    "m5_optimize_dtypes_roundtrip",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(max(o_custkey) AS BIGINT) AS max_cust
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def m5_optimize_dtypes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dtype optimization (M5) driven through the oracle gate: write
+    orders with a STRINGIFIED key column (the classic CSV-heritage
+    smell), run optimize_dtypes — SAFE full-data validation, then an
+    in-place staging-dir rewrite — and prove the round trip: the key
+    column must come back integer-typed (asserted in-query) and the
+    typed aggregates must equal the oracle computed on the pristine
+    table. A silently-failed cast OR a row lost in the rewrite both
+    fail loudly.
+
+    100 TB shape: inference samples, validation and rewrite are one
+    full pass each (operators/maintenance.optimize_dtypes)."""
+    import shutil
+
+    from pydala2_spark.operators.maintenance import optimize_dtypes
+
+    root = _app_scoped_tmp(spark, sf_dir, "pydala2_spark_m5q")
+    path = f"{root}/orders"
+    shutil.rmtree(path, ignore_errors=True)
+    _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        "o_orderstatus",
+    ).repartition(4).write.parquet(path)
+    plan = optimize_dtypes(spark, path)
+    if "o_orderkey" not in plan:
+        raise AssertionError(
+            f"optimize_dtypes proposed no cast for the stringified key: {plan}"
+        )
+    back = spark.read.parquet(path)
+    kt = dict(back.dtypes)["o_orderkey"]
+    if kt not in ("int", "bigint", "smallint"):
+        raise AssertionError(f"o_orderkey came back {kt}, not integer-typed")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.max("o_custkey").cast("long").alias("max_cust"),
+    )
+
+
+@query(
+    "m6_schema_repair_roundtrip",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(round(sum(CAST(CASE WHEN o_orderkey % 2 = 1
+                    THEN CAST(CAST(o_totalprice AS REAL) AS DOUBLE)
+                    ELSE o_totalprice END AS DECIMAL(38,6))), 2) AS DOUBLE)
+             AS price_sum
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def m6_schema_repair_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema repair (M6) driven through the oracle gate: land two
+    files with DRIFTED physical schemas in one dataset (even keys as
+    bigint/double, odd keys as int/float — the classic
+    multiple-writers smell), run repair_schema — promotion-ladder
+    unify, then per-file atomic rewrite of nonconforming files — and
+    prove the read: unified integer/double types (asserted in-query)
+    and aggregates equal to the oracle, which models the float leg's
+    precision loss explicitly (REAL->DOUBLE round trip). Every row
+    must survive the per-file rewrite.
+
+    100 TB shape: only nonconforming FILES rewrite; conforming data
+    is untouched (operators/maintenance.repair_schema)."""
+    import shutil
+
+    from pydala2_spark.operators.maintenance import repair_schema
+
+    root = _app_scoped_tmp(spark, sf_dir, "pydala2_spark_m6q")
+    path = f"{root}/orders"
+    shutil.rmtree(path, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.filter(F.col("o_orderkey") % 2 == 0).repartition(2).write.parquet(
+        path
+    )
+    orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("float").alias("o_totalprice"),
+    ).repartition(2).write.mode("append").parquet(path)
+    plan = repair_schema(spark, path)
+    if not plan["files"]:
+        raise AssertionError("repair_schema found nothing to rewrite")
+    back = spark.read.parquet(path)
+    dts = dict(back.dtypes)
+    if dts["o_orderkey"] != "bigint" or dts["o_totalprice"] != "double":
+        raise AssertionError(f"unify landed on the wrong ladder rung: {dts}")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        _dsum("o_totalprice", 2).alias("price_sum"),
+    )
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -8490,7 +8598,7 @@ _VERIFY_FIRST = [
     # plus 4 r7-checked entries. Entries past the window hold green
     # rows from r7/r8 and stay covered by the full local mirror
     # (scripts/check_correctness.py).
-    # r10 pre-staging: the twenty-nine r9-CONTINUATION queries
+    # r10 pre-staging: the thirty-one r9-CONTINUATION queries
     # (agg_quantile_sketch, doc_priority_sample, graph_kcore,
     # ev_mann_kendall, stream_kmv_quantiles, ev_pettitt_change,
     # agg_cms_join_size, dq_profile_drift, dq_key_skew,
@@ -8500,6 +8608,7 @@ _VERIFY_FIRST = [
     # stream_cusum_alarm, m1_compact_roundtrip, snap_rollback_read,
     # scd2_point_in_time, w_pareto_abc, ev_equidepth_hist,
     # emb_kcenter_coreset, stream_topk_ingest, doc_rake_keyphrases,
+    # m5_optimize_dtypes_roundtrip, m6_schema_repair_roundtrip,
     # ev_welch_ttest, ev_autocorr) land AFTER this window — they have
     # never been driver-seen (they are green in the full local
     # mirror), so they MUST lead the r10 window, followed by the
