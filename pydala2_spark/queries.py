@@ -8578,6 +8578,69 @@ def m6_schema_repair_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "p_zorder_pruned_scan",
+    """
+    SELECT l_orderkey, l_partkey, l_suppkey, round(l_extendedprice, 2)
+             AS price
+    FROM lineitem
+    WHERE l_partkey BETWEEN 500 AND 600
+      AND l_suppkey BETWEEN 10 AND 60
+    """,
+)
+def p_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering driven through the oracle gate — the last
+    member of the data-skipping family after the StatsIndex (s12) and
+    bloom proofs: write lineitem scattered (no useful file min/max on
+    either column), Z-order-rewrite on (l_partkey, l_suppkey), refresh
+    the stats sidecar, and answer a two-dimensional range predicate
+    THROUGH StatsIndex.read_pruned. The in-query contract asserts the
+    pruned scan read strictly fewer files than the layout holds —
+    i.e. the interleaved-bit clustering actually tightened per-file
+    min/max on BOTH columns, which a linear sort cannot do for the
+    trailing one — and the rows must equal the full-scan oracle.
+
+    100 TB shape: one range shuffle on the Morton key at maintenance
+    time buys min/max pruning for every later multi-dimension range
+    query; the probe is sidecar-only (file-count bounded).
+    See operators/maintenance.zorder_rewrite."""
+    import shutil
+
+    from pydala2_spark.operators.maintenance import zorder_rewrite
+    from pydala2_spark.plans.stats import StatsIndex
+
+    root = _app_scoped_tmp(spark, sf_dir, "pydala2_spark_zoq")
+    path = f"{root}/li"
+    shutil.rmtree(path, ignore_errors=True)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    # scatter: hash-random layout = every file straddles every range
+    li.repartition(16).write.parquet(path)
+    zorder_rewrite(spark, path, ["l_partkey", "l_suppkey"], target_file_count=16)
+    idx = StatsIndex(spark, path)
+    idx.refresh()
+    import glob as _g
+
+    n_layout = len(_g.glob(f"{path}/*.parquet"))
+    n_pruned = len(idx.prune("l_partkey", 500, 600))
+    if not 0 < n_pruned < n_layout:
+        raise AssertionError(
+            f"z-order pruning read {n_pruned} of {n_layout} files — "
+            "clustering failed to tighten per-file min/max"
+        )
+    pruned = idx.read_pruned("l_partkey", 500, 600)
+    return pruned.filter(
+        F.col("l_partkey").between(500, 600)
+        & F.col("l_suppkey").between(10, 60)
+    ).select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.round("l_extendedprice", 2).alias("price"),
+    )
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -8598,7 +8661,7 @@ _VERIFY_FIRST = [
     # plus 4 r7-checked entries. Entries past the window hold green
     # rows from r7/r8 and stay covered by the full local mirror
     # (scripts/check_correctness.py).
-    # r10 pre-staging: the thirty-one r9-CONTINUATION queries
+    # r10 pre-staging: the thirty-two r9-CONTINUATION queries
     # (agg_quantile_sketch, doc_priority_sample, graph_kcore,
     # ev_mann_kendall, stream_kmv_quantiles, ev_pettitt_change,
     # agg_cms_join_size, dq_profile_drift, dq_key_skew,
@@ -8609,6 +8672,7 @@ _VERIFY_FIRST = [
     # scd2_point_in_time, w_pareto_abc, ev_equidepth_hist,
     # emb_kcenter_coreset, stream_topk_ingest, doc_rake_keyphrases,
     # m5_optimize_dtypes_roundtrip, m6_schema_repair_roundtrip,
+    # p_zorder_pruned_scan,
     # ev_welch_ttest, ev_autocorr) land AFTER this window — they have
     # never been driver-seen (they are green in the full local
     # mirror), so they MUST lead the r10 window, followed by the
