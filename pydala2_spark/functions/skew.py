@@ -56,3 +56,75 @@ def salted_join(
     )
     out = l.join(r, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def distributed_prefix(
+    df: DataFrame,
+    order_cols: list,
+    sum_col: str | None = None,
+    n_partitions: int = 32,
+    rank_col: str = "__rank",
+    cum_col: str = "__cum",
+):
+    """Distributed cumulative RANK and (optionally) cumulative SUM
+    over a total order — the scalable replacement for a global
+    ``Window.partitionBy()`` (which funnels every row through ONE
+    task): range-partition on the order, compute partition-LOCAL
+    prefixes, then add each partition's broadcast offset (row count /
+    decimal sum of everything before it).
+
+    ``order_cols`` must totally order the rows (include a unique
+    tiebreaker). ``sum_col``, when given, must be a DECIMAL column —
+    exact addition is associative, so the result is bit-identical to
+    the single-window form no matter where the sampled range
+    boundaries fall (a float sum would NOT be). Returns the frame
+    with ``rank_col`` (1-based) and, if requested, ``cum_col``
+    (inclusive decimal prefix sum).
+
+    Shape: one range shuffle + two tiny aggregations over
+    |partitions| rows; no task ever sees more than its range."""
+    from pyspark.sql import Window
+
+    ranged = df.repartitionByRange(n_partitions, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*order_cols)
+    out = ranged.withColumn("__lrank", F.row_number().over(w_local))
+    aggs = [F.count(F.lit(1)).alias("__pn")]
+    if sum_col is not None:
+        out = out.withColumn(
+            "__lcum",
+            F.sum(sum_col).over(
+                w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        aggs.append(F.sum(sum_col).alias("__psum"))
+    per_part = out.groupBy("__pid").agg(*aggs)
+    w_off = (
+        Window.partitionBy()
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_part.select(
+        "__pid",
+        F.coalesce(F.sum("__pn").over(w_off), F.lit(0)).alias("__off_n"),
+        *(
+            [
+                F.coalesce(
+                    F.sum("__psum").over(w_off),
+                    F.lit(0).cast(dict(per_part.dtypes)["__psum"]),
+                ).alias("__off_s")
+            ]
+            if sum_col is not None
+            else []
+        ),
+    )
+    out = out.join(F.broadcast(offsets), "__pid").withColumn(
+        rank_col, (F.col("__lrank") + F.col("__off_n")).cast("long")
+    )
+    if sum_col is not None:
+        out = out.withColumn(cum_col, F.col("__lcum") + F.col("__off_s"))
+    drop = ["__pid", "__lrank", "__off_n"] + (
+        ["__lcum", "__off_s"] if sum_col is not None else []
+    )
+    return out.drop(*drop)

@@ -7141,14 +7141,13 @@ def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles are three final divisions.
 
     100 TB shape: events reduce to one row per KEY first (map-side
-    combined); the rank window and top-10 run on the key frame —
-    bounded by the key space, not the event count. For a key space
-    too large to rank globally, bucket the frequencies first (the
-    histogram approximation); the exact form here is the oracle
-    baseline. Complements agg_cms_join_size: that sizes the join,
-    this says whether its hottest key needs salting
-    (functions/skew.py)."""
-    from pyspark.sql import Window
+    combined); the global rank is a DISTRIBUTED two-pass row_number
+    (functions/skew.distributed_prefix — range-partition + local
+    ranks + broadcast offsets), so the key frame never funnels
+    through one task; the top-10 is TakeOrderedAndProject.
+    Complements agg_cms_join_size: that sizes the join, this says
+    whether its hottest key needs salting (functions/skew.py)."""
+    from pydala2_spark.functions.skew import distributed_prefix
 
     f = (
         _t(spark, sf_dir, "events")
@@ -7156,13 +7155,12 @@ def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w_rank = Window.partitionBy().orderBy("c", "user_id")
-    w_all = Window.partitionBy()
-    r = (
-        f.withColumn("i", F.row_number().over(w_rank))
-        .withColumn("n", F.count(F.lit(1)).over(w_all))
-        .withColumn("total", F.sum("c").over(w_all))
+    tot = f.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("total")
     )
+    r = distributed_prefix(
+        f, [F.asc("c"), F.asc("user_id")], rank_col="i"
+    ).crossJoin(F.broadcast(tot))
     g = r.agg(
         F.max("n").alias("n_keys"),
         F.max("total").cast("long").alias("n_rows"),
@@ -8225,30 +8223,30 @@ def w_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     same class in both engines.
 
     100 TB shape: the per-part reduction is map-side combined; the
-    rank window runs over |parts| (catalog-bounded, not lineitem-
-    bounded). The global window is the verification form — range-
-    partition by revenue for a truly huge catalog."""
-    from pyspark.sql import Window
+    cumulative share is a DISTRIBUTED two-pass prefix sum
+    (range-partition on the order + partition-local prefixes +
+    broadcast offsets — functions/skew.distributed_prefix), so no
+    task ever holds the whole catalog; exact decimal addition makes
+    the result independent of where the sampled range boundaries
+    fall."""
+    from pydala2_spark.functions.skew import distributed_prefix
 
     li = _t(spark, sf_dir, "lineitem")
     rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
         _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
             "revenue"
         )
-    )
-    w = (
-        Window.partitionBy()
-        .orderBy(F.desc("revenue"), "partkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    c = rev.withColumn(
-        "cum", F.sum(F.col("revenue").cast(_DEC)).over(w).cast("double")
-    ).withColumn(
-        "total",
-        F.sum(F.col("revenue").cast(_DEC)).over(w_all).cast("double"),
+    ).withColumn("__rd", F.col("revenue").cast(_DEC))
+    total = rev.agg(F.sum("__rd").cast("double").alias("total"))
+    c = (
+        distributed_prefix(
+            rev,
+            [F.desc("revenue"), F.asc("partkey")],
+            sum_col="__rd",
+            cum_col="__cumd",
+        )
+        .withColumn("cum", F.col("__cumd").cast("double"))
+        .crossJoin(F.broadcast(total))
     )
     cls = c.withColumn(
         "abc_class",

@@ -1712,3 +1712,48 @@ def test_rake_keyphrases_hand_case(spark):
 
     with _pytest.raises(ValueError, match="stopwords"):
         rake_keyphrases(docs, stopwords=())
+
+
+def test_distributed_prefix_equals_single_window(spark):
+    """The two-pass distributed rank/cumsum must equal the global
+    single-window form exactly — including DESC orders, decimal sums
+    (associative, so boundary placement cannot move a bit), and more
+    requested partitions than rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pydala2_spark.functions.skew import distributed_prefix
+
+    rows = [(i, float((i * 7919) % 97) / 4) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v double").withColumn(
+        "vd", F.col("v").cast("decimal(38,6)")
+    )
+    for order in ([F.asc("v"), F.asc("k")], [F.desc("v"), F.asc("k")]):
+        got = {
+            r["k"]: (r["__rank"], float(r["__cum"]))
+            for r in distributed_prefix(
+                df, order, sum_col="vd", n_partitions=7
+            ).collect()
+        }
+        w = Window.partitionBy().orderBy(*order)
+        want = {
+            r["k"]: (r["rn"], float(r["cs"]))
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .withColumn(
+                "cs",
+                F.sum("vd").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            .collect()
+        }
+        assert got == want
+    # rank-only mode, partitions >> rows
+    tiny = spark.createDataFrame([(3,), (1,), (2,)], "k long")
+    got = {
+        r["k"]: r["__rank"]
+        for r in distributed_prefix(
+            tiny, [F.asc("k")], n_partitions=64
+        ).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 3}
