@@ -1211,7 +1211,11 @@ def priority_sample(
     Division-only arithmetic (w * 2^60 is an exact exponent shift; one
     IEEE division per row), so a SQL oracle reproduces the sample AND
     the estimates bit-for-bit — rand()-based weighted reservoirs can't
-    be verified like this.
+    be verified like this. Weights are expected positive: a zero
+    weight gets priority 0 (sampled only when nothing outranks it,
+    estimate max(0, tau) = tau), and NULL weights yield NULL
+    priorities, which sort last under DESC — filter both out upstream
+    when they shouldn't participate.
 
     100 TB shape: priorities are scan-stage expressions; the top-(k+1)
     is TakeOrderedAndProject (every partition forwards at most k+1
