@@ -1592,12 +1592,36 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # global ntile needs a total order — fine post-agg or at moderate n;
-    # the 100 TB path is approx_percentile bucketing (no global sort).
-    w = W.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    # DISTRIBUTED ntile: the naive form is a global window over the
+    # whole fact table — one task sorts everything. Instead the global
+    # rank comes from the two-pass distributed prefix
+    # (skew.distributed_prefix), and the decile is the SQL-standard
+    # ntile bucket formula applied to (rank, n): the first n%k buckets
+    # take floor(n/k)+1 rows, the rest floor(n/k) — integer-exact, so
+    # the result equals the oracle's native ntile() row for row.
+    from pydala2_spark.functions.skew import distributed_prefix
+
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    n_row = orders.agg(F.count(F.lit(1)).alias("__n"))
+    r = distributed_prefix(
+        orders,
+        [F.asc("o_totalprice"), F.asc("o_orderkey")],
+        rank_col="__r",
+    ).crossJoin(F.broadcast(n_row))
+    k = 10
+    sz = F.floor(F.col("__n") / k).cast("long")
+    big = F.col("__n") % k
+    cut = big * (sz + 1)
+    decile = (
+        F.when(
+            F.col("__r") <= cut,
+            F.floor((F.col("__r") - 1) / (sz + 1)) + 1,
+        )
+        .otherwise(big + F.floor((F.col("__r") - 1 - cut) / sz) + 1)
+        .cast("int")
+    )
     return (
-        _t(spark, sf_dir, "orders")
-        .select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        r.select("o_totalprice", decile.alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -240,6 +240,8 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         # one-row total-revenue frame attached after the distributed
         # prefix cumsum (the window that used to carry it is gone)
         "w_pareto_abc",
+        # one-row count frame feeding the distributed ntile formula
+        "w_value_deciles",
     }
     offenders = []
     for name, fn in queries().items():
