@@ -979,21 +979,28 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # scalar max over the aggregate — a rank-less global window avoids
-    # a second scan of lineitem.
+    # scalar max over the aggregate attached as a ONE-ROW broadcast
+    # (the q11 shape): a global window here would funnel every
+    # supplier's revenue row through one task; the agg max is a
+    # map-side-combined reduction and the revenue frame materializes
+    # once for both branches.
+    from pydala2_spark.operators.dedup import _materialize_once
+
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     # exact decimal revenue → the max/equality tie-out is exact, not a
     # last-ulp double comparison that could drop/duplicate the winner
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)).alias(
-            "total_revenue"
+    revenue = _materialize_once(
+        li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+            ).alias("total_revenue")
         )
     )
-    w = W.partitionBy()
-    top = revenue.withColumn("mx", F.max("total_revenue").over(w)).filter(
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    top = revenue.crossJoin(F.broadcast(mx)).filter(
         F.col("total_revenue") == F.col("mx")
     )
     supp = _t(spark, sf_dir, "supplier")

@@ -242,6 +242,9 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "w_pareto_abc",
         # one-row count frame feeding the distributed ntile formula
         "w_value_deciles",
+        # one-row max-revenue frame (replaced the global-window max
+        # that funneled every supplier through one task)
+        "q15_top_suppliers",
     }
     offenders = []
     for name, fn in queries().items():
