@@ -8684,95 +8684,85 @@ def p_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mirror (scripts/check_correctness.py runs every entry).
 
 _VERIFY_FIRST = [
-    # round 9 rotation — the r8 verdict's #2 ask: the 45 registry
-    # entries whose last driver check is r6-era (the r8 window covered
-    # the 50 stalest; the r7 window covered the tail 50; these 45 are
-    # everything in between) lead, so after r9 EVERY registry entry
-    # has a driver-green row from r7 or later. The remaining 5 slots:
-    # the new-this-round S12 write-through query (never driver-seen)
-    # plus 4 r7-checked entries. Entries past the window hold green
-    # rows from r7/r8 and stay covered by the full local mirror
-    # (scripts/check_correctness.py).
-    # r10 pre-staging: the thirty-two r9-CONTINUATION queries
-    # (agg_quantile_sketch, doc_priority_sample, graph_kcore,
-    # ev_mann_kendall, stream_kmv_quantiles, ev_pettitt_change,
-    # agg_cms_join_size, dq_profile_drift, dq_key_skew,
-    # graph_common_neighbors, doc_substring_search, ev_holt_forecast,
-    # dedup_containment, p_bloom_pruned_scan, stream_static_enrich,
-    # ev_dow_seasonality, mm_exif_orientation, assoc_rules_parts,
-    # stream_cusum_alarm, m1_compact_roundtrip, snap_rollback_read,
-    # scd2_point_in_time, w_pareto_abc, ev_equidepth_hist,
-    # emb_kcenter_coreset, stream_topk_ingest, doc_rake_keyphrases,
-    # m5_optimize_dtypes_roundtrip, m6_schema_repair_roundtrip,
-    # p_zorder_pruned_scan,
-    # ev_welch_ttest, ev_autocorr) land AFTER this window — they have
-    # never been driver-seen (they are green in the full local
-    # mirror), so they MUST lead the r10 window, followed by the
-    # stalest previously-checked entries below.
-    # After r9's driver pass the stalest 50 are the
-    # r7-checked block (CORRECTNESS_r07's window: array_function_suite,
-    # date_arithmetic_suite, merge_upsert_semantics,
-    # pivot_status_by_priority, w_running_revenue, ev_resample_locf,
-    # dq_*, er_part_linkage, ev_* stats, scd2_event_history, doc_
-    # heaps/pmi/zipf, graph_pagerank, emb_dim_stats, part_skyline,
-    # fuzzy_part_matches, agg_hll/cms, profile_orders, ohlc/interp,
-    # asof_nearest_tolerance, the mm_* real-decode suite,
-    # catalog/orc, update/delete_where, snapshot_cdf, ivm_*rollup,
-    # doc_gopher/bm25/dsir/bigram/substring, emb_semantic_dedup,
-    # stream_cms/hll/ohlc, mm_audio_metadata) — rotate THOSE to the
-    # front in r10 (plus any new queries), then the r8-checked block
-    # in r11.
-    # --- the r9 driver window: positions 0-49 ---
-    "doc_fingerprint_groups",
-    "dedup_minhash_lsh",
-    "dedup_ngram_blocked",
-    "dedup_clusters",
-    "doc_curation",
-    "dedup_simhash",
-    "emb_near_dup",
-    "emb_near_dup_srp",
-    "mm_media_meta",
-    "mm_image_decode",
-    "mm_frame_sample",
-    "emb_knn_bruteforce",
-    "emb_knn_lsh",
-    "emb_knn_ivf",
-    "skew_safe_distinct",
-    "ev_value_quantiles",
-    "doc_pii_scan",
-    "emb_quantize_error",
-    "doc_bpe_token_stats",
-    "doc_winnow_candidates",
-    "stream_sessionization",
-    "mm_audio_features",
-    "mm_image_resize",
-    "skew_salted_join_agg",
-    "doc_repetition_screen",
-    "doc_contamination",
-    "doc_pack_sequences",
-    "doc_stratified_sample",
-    "doc_chunk_windows",
-    "doc_source_mix",
-    "doc_temperature_mix",
-    "doc_entropy_quality",
-    "doc_train_test_split",
-    "hive_partitioned_scan",
-    "doc_unigram_logprob",
-    "emb_kmeans",
-    "doc_tfidf_top_terms",
-    "doc_segment_dups",
-    "doc_boilerplate_removal",
-    "ev_funnel",
-    "ev_cohort_retention",
-    "ev_value_trend",
-    "emb_quantized_rerank",
-    "stream_dedup_ingest",
-    "mm_blockhash",
-    "s12_update_metadata_writethrough",
-    "agg_kmv_set_ops",
-    "dedup_keep_best",
-    "ivm_hll_distinct",
+    # round 10 rotation — the r9 verdict's #1 ask. Ordering rationale:
+    #   positions 0-31: the thirty-two r9-continuation queries that
+    #     have NEVER had a driver t2 row (judge-mirror-green in r9;
+    #     this window gives each its first driver-oracle row).
+    #   positions 32-35: queries whose PLAN changed after their last
+    #     driver check — w_value_deciles (distributed ntile, 6b802e9),
+    #     q15_top_suppliers (broadcast scalar max, 74307c0),
+    #     agg_cms_heavy_hitters (stamped-probe redesign), and
+    #     graph_triangles (r10: oriented-edge localCheckpoint reuse).
+    #   positions 36-49: the stalest previously-checked entries
+    #     (r7-checked block, CORRECTNESS_r07 order).
+    # r11 pre-staging: rotate the REMAINDER of the r7-checked block to
+    # the front next round — doc_heaps_fit, doc_token_pmi, doc_zipf_fit,
+    # graph_pagerank, emb_dim_stats, part_skyline, fuzzy_part_matches,
+    # agg_hll_sketch, profile_orders, ev_ohlc_bars, ev_resample_interp,
+    # asof_nearest_tolerance, snapshot_cdf, ivm_incremental_rollup,
+    # ivm_join_rollup, catalog_sql_roundtrip, orc_roundtrip_scan,
+    # update_where_semantics, delete_where_semantics,
+    # doc_gopher_rules, doc_bm25_search, doc_dsir_resample,
+    # doc_bigram_logprob, doc_substring_spans, emb_semantic_dedup,
+    # stream_cms_counters, stream_hll_distinct, stream_ohlc_bars,
+    # mm_audio_metadata, mm_image_extended_decode, mm_image_webp_decode,
+    # mm_gif_frame_sample, mm_image_tiff_decode, mm_image_real_decode,
+    # mm_audio_real_features — then pad with the r8-checked block
+    # (CORRECTNESS_r08 order: scan_filter_project, sort_limit_topk, ...)
+    # and any queries added or rewritten in r10. Entries past the
+    # window hold green driver rows from r8/r9 and stay covered by the
+    # full local mirror (scripts/check_correctness.py runs every entry).
+    # --- the r10 driver window: positions 0-49 ---
+    "agg_quantile_sketch",
+    "doc_priority_sample",
+    "graph_kcore",
+    "ev_mann_kendall",
+    "stream_kmv_quantiles",
+    "ev_pettitt_change",
+    "ev_welch_ttest",
+    "ev_autocorr",
+    "agg_cms_join_size",
+    "dq_profile_drift",
+    "dq_key_skew",
+    "graph_common_neighbors",
+    "doc_substring_search",
+    "ev_holt_forecast",
+    "dedup_containment",
+    "p_bloom_pruned_scan",
+    "stream_static_enrich",
+    "ev_dow_seasonality",
+    "mm_exif_orientation",
+    "assoc_rules_parts",
+    "stream_cusum_alarm",
+    "m1_compact_roundtrip",
+    "snap_rollback_read",
+    "scd2_point_in_time",
+    "w_pareto_abc",
+    "ev_equidepth_hist",
+    "emb_kcenter_coreset",
+    "stream_topk_ingest",
+    "doc_rake_keyphrases",
+    "m5_optimize_dtypes_roundtrip",
+    "m6_schema_repair_roundtrip",
+    "p_zorder_pruned_scan",
+    "w_value_deciles",
+    "q15_top_suppliers",
+    "agg_cms_heavy_hitters",
     "graph_triangles",
+    "array_function_suite",
+    "date_arithmetic_suite",
+    "merge_upsert_semantics",
+    "pivot_status_by_priority",
+    "w_running_revenue",
+    "ev_resample_locf",
+    "dq_fk_orphans",
+    "dq_benford",
+    "er_part_linkage",
+    "ev_conversion_latency",
+    "ev_anomaly_days",
+    "ev_rolling_quantiles",
+    "ev_value_histogram",
+    "scd2_event_history",
 ]
 
 
