@@ -216,7 +216,13 @@ def triangle_counts(
     broadcast-or-shuffle by size), no windows, no driver state; the
     wedge join's skew is structurally bounded by the orientation, which
     is why this shape survives power-law graphs where the naive
-    3-way self-join dies on the hottest hub.
+    3-way self-join dies on the hottest hub. The normalized edge
+    frame, the degree table, and the oriented-edge frame are each
+    consumed 2-3 times downstream, so all three are localCheckpoint-ed
+    (the kcore pattern): without it, every reuse re-runs the caller's
+    full edge-derivation lineage — on the co-purchase graph that is
+    a lineitem scan + self-join + distinct repeated up to 8 times
+    (observed as a 289-exchange plan with zero ReusedExchange).
     """
     e = (
         edges.select(
@@ -225,12 +231,14 @@ def triangle_counts(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("a").alias("n"))
         .unionAll(e.select(F.col("b").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
     )
     ed = e.join(
         deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a"
@@ -241,7 +249,7 @@ def triangle_counts(
     o = ed.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    )
+    ).localCheckpoint()
     ov = o.join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
     w1 = ov.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
     w2 = ov.select("u", F.col("v").alias("z"), F.col("dv").alias("dz"))

@@ -171,6 +171,20 @@ def test_text_ops_have_no_python_nodes(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
 
 
+def test_triangles_checkpoint_bounds_exchanges(spark, sf_dir):
+    """triangle_counts localCheckpoints its three reused frames (edges,
+    degrees, oriented edges); without that, every reuse re-runs the
+    caller's full edge-derivation lineage — observed as a 289-exchange
+    final plan at sf0.1 (r9 BENCH_DETAIL flagged 232, an order of
+    magnitude above any other query). The checkpointed plan reads each
+    segment once; pin the final plan's exchange count at the fixed
+    post-fix shape with slack for AQE variation."""
+    from pydala2_spark.queries import queries
+
+    plan = _plan(queries()["graph_triangles"](spark, sf_dir))
+    assert plan.count("Exchange") <= 40, plan.count("Exchange")
+
+
 def test_merge_core_uses_nullsafe_join(spark, sf_dir):
     from pydala2_spark.queries import queries
 
