@@ -22,6 +22,9 @@ def _prepare(spark: SparkSession) -> None:
     # read it (as int64 ns — converted in the loader).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Arrow batch transfer for the few driver-side handoffs (kcore
+    # finish, union-find finish): runtime conf, safe to set post-boot
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
 
 
 def entry(spark: SparkSession) -> DataFrame:
