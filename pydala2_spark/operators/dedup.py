@@ -1114,6 +1114,221 @@ def duplicated_substring_spans(
     )
 
 
+def exact_substring_matches(
+    df: DataFrame,
+    k: int = 8,
+    min_len: int | None = None,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_occ_per_anchor: int = 1000,
+) -> DataFrame:
+    """MAXIMAL cross-document exact token runs as matched PAIRS —
+    the ExactSubstr deduplication of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), re-expressed
+    relationally. Where :func:`duplicated_substring_spans` reports
+    each document's duplicated INTERVALS (who-agnostic), this returns
+    WHO matches WHOM and exactly where: one row ``(id_a, id_b, pos_a,
+    pos_b, match_len)`` per maximal matching run of >= ``min_len``
+    tokens between two distinct documents, at ANY alignment
+    (positions 1-based; ``id_a < id_b``).
+
+    The suffix-array recipe becomes sorted-anchor + extend-and-verify:
+
+    1. every sliding ``k``-token window is md5'd into an ANCHOR
+       ``(doc, pos, hash, prev_token)`` — fixed-width rows, token text
+       never shuffles;
+    2. anchors equi-join on hash across documents (the relational
+       stand-in for suffix-array adjacency), keeping only
+       LEFT-MAXIMAL pairs — the run cannot extend left because one
+       side is at position 1 or the preceding tokens differ — so each
+       maximal run is generated exactly once, at its start, instead
+       of once per covered anchor;
+    3. each surviving pair joins back to the two token arrays and
+       extends right by direct token comparison (``zip_with`` over
+       array slices — JVM-side, no Python). The comparison re-checks
+       the anchor's own ``k`` tokens, so an md5 collision yields
+       ``match_len < k`` and is filtered: results are EXACT by
+       construction, the hash is only a router.
+
+    Anchors occurring more than ``max_occ_per_anchor`` times are
+    dropped before pairing: a k-gram shared by n documents yields
+    O(n^2) pairs, and at corpus scale ultra-common boilerplate anchors
+    (license headers, navigation chrome) would otherwise quadratically
+    dominate — the same clustering escape hatch Lee et al. apply.
+    Runs whose STARTING anchor is that common are reported only if
+    they also start at a rarer alignment; document-level screens
+    (:func:`cross_doc_segment_dups`, :func:`remove_boilerplate_segments`)
+    are the right tool for that regime.
+
+    Reference analogue: none (write-time row ``unique`` only,
+    /root/reference/pydala/io.py:242-259).
+
+    100 TB shape: the anchor table is the corpus token count in
+    fixed-width rows (16-byte hash + int + one token); frequency
+    filter and pair join shuffle on the hash (map-side-combined agg,
+    equi-join, occurrence cap bounds the blow-up); the extension joins
+    move each participating document's token array once per matched
+    doc, not per anchor. Nothing all-pairs, no windows, no Python.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    min_len = k if min_len is None else min_len
+    if min_len < k:
+        raise ValueError(f"min_len must be >= k ({k}), got {min_len}")
+    if max_occ_per_anchor < 2:
+        raise ValueError(
+            f"max_occ_per_anchor must be >= 2, got {max_occ_per_anchor}"
+        )
+    t = (
+        _spread(df, id_col)
+        .select(F.col(id_col), F.split(F.col(text), " ").alias("__t"))
+        .filter(F.size("__t") >= k)
+    )
+    toks = _materialize_once(t)  # consumed by anchors + both extension sides
+    sh = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(__t) - {k} + 1), "
+                f"i -> struct(i AS pos, "
+                f"md5(array_join(slice(__t, i, {k}), ' ')) AS h, "
+                f"if(i = 1, NULL, element_at(__t, i - 1)) AS prev))"
+            )
+        ).alias("s"),
+    ).select(
+        F.col(id_col),
+        F.col("s.pos").alias("pos"),
+        F.col("s.h").alias("h"),
+        F.col("s.prev").alias("prev"),
+    )
+    sh = _materialize_once(sh)  # pair join consumes it twice
+    good = (
+        sh.groupBy("h")
+        .agg(
+            F.countDistinct(id_col).alias("__nd"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .filter((F.col("__nd") >= 2) & (F.col("__n") <= max_occ_per_anchor))
+        .select("h")
+    )
+    a = sh.join(good, "h").select(
+        F.col("h"),
+        F.col(id_col).alias("id_a"),
+        F.col("pos").alias("pa"),
+        F.col("prev").alias("prev_a"),
+    )
+    b = sh.join(good, "h").select(
+        F.col("h"),
+        F.col(id_col).alias("id_b"),
+        F.col("pos").alias("pb"),
+        F.col("prev").alias("prev_b"),
+    )
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("pa") == 1)
+            | (F.col("pb") == 1)
+            | ~F.col("prev_a").eqNullSafe(F.col("prev_b"))
+        )
+        .select("id_a", "id_b", "pa", "pb")
+    )
+    ta = toks.select(F.col(id_col).alias("id_a"), F.col("__t").alias("__ta"))
+    tb = toks.select(F.col(id_col).alias("id_b"), F.col("__t").alias("__tb"))
+    ext = (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn(
+            "__maxlen",
+            F.least(
+                F.size("__ta") - F.col("pa"), F.size("__tb") - F.col("pb")
+            )
+            + F.lit(1),
+        )
+        .withColumn(
+            "__mm",
+            F.expr(
+                "array_position(zip_with(slice(__ta, pa, __maxlen), "
+                "slice(__tb, pb, __maxlen), (x, y) -> x = y), false)"
+            ),
+        )
+        .withColumn(
+            "match_len",
+            F.when(F.col("__mm") == 0, F.col("__maxlen")).otherwise(
+                F.col("__mm") - 1
+            ),
+        )
+        .filter(F.col("match_len") >= min_len)
+    )
+    return ext.select(
+        "id_a",
+        "id_b",
+        F.col("pa").alias("pos_a"),
+        F.col("pb").alias("pos_b"),
+        F.col("match_len").cast("long").alias("match_len"),
+    )
+
+
+def exact_substring_oracle_sql(
+    docs_sql: str,
+    k: int = 8,
+    min_len: int | None = None,
+    max_occ_per_anchor: int = 1000,
+) -> str:
+    """DuckDB SQL reproducing :func:`exact_substring_matches` exactly.
+    ``docs_sql`` must yield columns ``(doc_id, text)``. The extension
+    runs as a correlated min-over-generate_series (first mismatching
+    offset) — integer/token-exact, so rows land bit-for-bit."""
+    min_len = k if min_len is None else min_len
+    return f"""
+    WITH src AS ({docs_sql}),
+    docs AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM src WHERE len(string_split(text, ' ')) >= {k}
+    ),
+    sh0 AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, len(t) - {k} + 1)) AS pos
+      FROM docs
+    ),
+    sh AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(t[pos:pos + {k} - 1], ' ')) AS h,
+             CASE WHEN pos = 1 THEN NULL ELSE t[pos - 1] END AS prev
+      FROM sh0
+    ),
+    good AS (
+      SELECT h FROM sh GROUP BY h
+      HAVING count(DISTINCT doc_id) >= 2
+         AND count(*) <= {max_occ_per_anchor}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, a.pos AS pa, b.pos AS pb
+      FROM sh a JOIN good g ON a.h = g.h JOIN sh b ON a.h = b.h
+      WHERE a.doc_id < b.doc_id
+        AND (a.pos = 1 OR b.pos = 1 OR a.prev IS DISTINCT FROM b.prev)
+    ),
+    ext AS (
+      SELECT p.ia, p.ib, p.pa, p.pb, da.t AS ta, db.t AS tb,
+             least(len(da.t) - p.pa, len(db.t) - p.pb) + 1 AS maxlen
+      FROM pairs p
+      JOIN docs da ON da.doc_id = p.ia
+      JOIN docs db ON db.doc_id = p.ib
+    ),
+    m AS (
+      SELECT ia, ib, pa, pb,
+             coalesce(list_min(list_filter(
+                 generate_series(0, maxlen - 1),
+                 i -> ta[pa + i] IS DISTINCT FROM tb[pb + i])),
+               maxlen) AS mlen
+      FROM ext
+    )
+    SELECT ia AS id_a, ib AS id_b, pa AS pos_a, pb AS pos_b,
+           CAST(mlen AS BIGINT) AS match_len
+    FROM m WHERE mlen >= {min_len}
+    """
+
+
 def remove_boilerplate_segments(
     df: DataFrame,
     k: int = 3,

@@ -7514,6 +7514,34 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_substr_oracle() -> str:
+    from pydala2_spark.operators.dedup import exact_substring_oracle_sql
+
+    return exact_substring_oracle_sql(
+        "SELECT doc_id, text FROM documents", k=8
+    )
+
+
+@query("dedup_exact_substr", _exact_substr_oracle())
+def dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022) as matched PAIRS: one row
+    per MAXIMAL cross-document exact token run of >= 8 tokens, at any
+    alignment — (id_a, id_b, pos_a, pos_b, match_len). The family's
+    remaining gap before this query: doc_substring_spans reports each
+    document's duplicated intervals but not WHO matches whom or the
+    true pairwise extents, and the fixed-grid/shingle-set screens miss
+    unaligned long repeats entirely. Suffix-array adjacency becomes a
+    sorted-anchor equi-join (8-token md5 anchors), LEFT-MAXIMAL pairs
+    only (each run generated once, at its start), then extend-and-
+    verify by direct token comparison — md5 is only a router, results
+    are exact even under collisions. Oracle mirrors anchor, pairing
+    and extension integer/token-exact.
+    See operators/dedup.exact_substring_matches for 100 TB notes."""
+    from pydala2_spark.operators.dedup import exact_substring_matches
+
+    return exact_substring_matches(_t(spark, sf_dir, "documents"), k=8)
+
+
 @query(
     "p_bloom_pruned_scan",
     """
@@ -8762,7 +8790,9 @@ _VERIFY_FIRST = [
     "ev_anomaly_days",
     "ev_rolling_quantiles",
     "ev_value_histogram",
-    "scd2_event_history",
+    # new in r10 (never driver-seen) — displaces the last r7 padding
+    # entry (scd2_event_history), which rotates forward in r11
+    "dedup_exact_substr",
 ]
 
 

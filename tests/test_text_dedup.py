@@ -1757,3 +1757,116 @@ def test_distributed_prefix_equals_single_window(spark):
         ).collect()
     }
     assert got == {1: 1, 2: 2, 3: 3}
+
+
+# -- ExactSubstr matched pairs (Lee et al. 2022) -----------------------
+
+
+def _brute_exact_substr(docs: list[tuple[int, str]], k: int) -> list:
+    """Reference enumeration: every left-maximal cross-doc run >= k."""
+    toks = {d: t.split(" ") for d, t in docs}
+    out = set()
+    ids = sorted(toks)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            A, B = toks[ids[x]], toks[ids[y]]
+            for pa in range(len(A)):
+                for pb in range(len(B)):
+                    if pa > 0 and pb > 0 and A[pa - 1] == B[pb - 1]:
+                        continue  # extends left -> not maximal
+                    n = 0
+                    while (
+                        pa + n < len(A)
+                        and pb + n < len(B)
+                        and A[pa + n] == B[pb + n]
+                    ):
+                        n += 1
+                    if n >= k:
+                        out.add((ids[x], ids[y], pa + 1, pb + 1, n))
+    return sorted(out)
+
+
+def test_exact_substring_matches_brute_force_pin(spark):
+    """Planted unaligned duplicates: a 12-token passage at different
+    offsets in different surroundings, a below-threshold 5-token
+    overlap, and a periodic doc (every alignment is a distinct
+    maximal run). Spark must equal the brute-force enumeration."""
+    from pydala2_spark.operators.dedup import exact_substring_matches
+
+    run = " ".join(f"R{i}" for i in range(12))
+    docs = [
+        (1, "a b c " + run + " x y z"),
+        (2, "p q " + run + " m n o t u"),
+        (3, "h i " + " ".join(f"R{i}" for i in range(5)) + " j"),
+        (4, "w w w w w w w w w w"),
+        (5, "k l m w w w w w w w w w w n"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in exact_substring_matches(df, k=8).collect()
+    )
+    exp = _brute_exact_substr(docs, 8)
+    assert got == exp and len(exp) == 6
+    # the 12-token passage is found despite different alignments
+    assert (1, 2, 4, 3, 12) in got
+
+
+def test_exact_substring_matches_oracle_parity(spark):
+    """DuckDB oracle lands bit-for-bit on the same planted corpus."""
+    import duckdb
+
+    from pydala2_spark.operators.dedup import (
+        exact_substring_matches,
+        exact_substring_oracle_sql,
+    )
+
+    run = " ".join(f"T{i}" for i in range(9))
+    docs = [
+        (10, "alpha " + run + " omega"),
+        (11, run + " tail tail tail"),
+        (12, "pre pre " + run),
+        (13, "unrelated words only here now truly"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in exact_substring_matches(df, k=8).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs_in AS SELECT * FROM (VALUES "
+        + ", ".join(f"({d}, '{t}')" for d, t in docs)
+        + ") v(doc_id, text)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            exact_substring_oracle_sql(
+                "SELECT doc_id, text FROM docs_in", k=8
+            )
+        ).fetchall()
+    )
+    assert got == want == _brute_exact_substr(docs, 8)
+    assert len(got) == 3  # each doc pair among 10/11/12 shares the run
+
+
+def test_exact_substring_matches_min_len_and_hub_cap(spark):
+    from pydala2_spark.operators.dedup import exact_substring_matches
+
+    run = " ".join(f"Z{i}" for i in range(10))
+    docs = [(i, f"d{i} " + run + f" e{i}") for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # min_len raises the floor: 10-token runs survive >=10, not >=11
+    assert exact_substring_matches(df, k=8, min_len=10).count() == 15
+    assert exact_substring_matches(df, k=8, min_len=11).count() == 0
+    # hub cap: the run's anchors occur 6 times; capping at 5 drops all
+    assert (
+        exact_substring_matches(df, k=8, max_occ_per_anchor=5).count() == 0
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        exact_substring_matches(df, k=1)
+    with _pytest.raises(ValueError):
+        exact_substring_matches(df, k=8, min_len=7)
+    with _pytest.raises(ValueError):
+        exact_substring_matches(df, k=8, max_occ_per_anchor=1)
