@@ -1329,6 +1329,149 @@ def exact_substring_oracle_sql(
     """
 
 
+def remove_exact_substrings(
+    df: DataFrame,
+    k: int = 8,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The DELETION step of ExactSubstr dedup (Lee et al. 2022): cut
+    every cross-document duplicated token run of >= ``k`` tokens from
+    all documents EXCEPT one canonical copy, and return the rewritten
+    corpus. Complements :func:`exact_substring_matches` (which reports
+    the pairs) the way Lee et al.'s dedup tool follows its suffix-array
+    scan: the corpus that comes out is what you train on.
+
+    Semantics: a sliding ``k``-token shingle occurring in >= 2 distinct
+    documents marks its token interval as duplicated; the OWNER of a
+    duplicated shingle is the minimum ``id_col`` among the documents
+    containing it. A token is removed iff some duplicated shingle
+    covering it is owned by ANOTHER document. So of n identical
+    copies of a passage, the copy in the smallest doc id survives and
+    the other n-1 are cut — deterministic, order-free, and exactly
+    one canonical copy per duplicated run. Documents shorter than
+    ``k`` tokens pass through untouched.
+
+    Output: ``(id_col, n_tokens, n_removed, clean_text)`` for EVERY
+    input document (clean_text = surviving tokens joined by a single
+    space; empty string when everything was cut).
+
+    Reference analogue: none (write-time row ``unique`` only,
+    /root/reference/pydala/io.py:242-259).
+
+    100 TB shape: shingles shuffle as 16-byte md5 keys; ownership is
+    one map-side-combined (min, countDistinct) aggregate; covered
+    positions explode only for DUPLICATED shingles in NON-owner docs
+    (k rows per cut shingle, not per corpus token); the rewrite joins
+    the removed-position array back by doc id and filters the token
+    array JVM-side. The per-token array_contains makes the rewrite
+    O(tokens x removed) per document — linear for the common
+    mostly-kept / tiny-removed case and bounded by document size,
+    never corpus size. Nothing all-pairs, no windows, no Python.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    t = _spread(df, id_col).select(
+        F.col(id_col), F.split(F.col(text), " ").alias("__t")
+    )
+    toks = _materialize_once(t)
+    sh = toks.filter(F.size("__t") >= k).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(__t) - {k} + 1), "
+                f"i -> struct(i AS pos, "
+                f"md5(array_join(slice(__t, i, {k}), ' ')) AS h))"
+            )
+        ).alias("s"),
+    ).select(F.col(id_col), F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    sh = _materialize_once(sh)  # ownership agg + coverage probe
+    owner = (
+        sh.groupBy("h")
+        .agg(
+            F.min(id_col).alias("__owner"),
+            F.countDistinct(id_col).alias("__nd"),
+        )
+        .filter(F.col("__nd") >= 2)
+        .select("h", "__owner")
+    )
+    removed = (
+        sh.join(owner, "h")
+        .filter(F.col(id_col) != F.col("__owner"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(f"sequence(pos, pos + {k} - 1)")
+            ).alias("__p"),
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("__p")).alias("__rem"))
+    )
+    out = toks.join(removed, id_col, "left").withColumn(
+        "__rem", F.coalesce(F.col("__rem"), F.expr("array()"))
+    )
+    kept = F.expr(
+        "transform(filter(transform(__t, (w, i) -> "
+        "struct(w AS w, i + 1 AS p)), "
+        "s -> NOT array_contains(__rem, s.p)), s -> s.w)"
+    )
+    return out.select(
+        F.col(id_col),
+        F.size("__t").cast("long").alias("n_tokens"),
+        F.size("__rem").cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
+def exact_substring_removal_oracle_sql(docs_sql: str, k: int = 8) -> str:
+    """DuckDB SQL reproducing :func:`remove_exact_substrings` exactly.
+    ``docs_sql`` must yield columns ``(doc_id, text)``."""
+    return f"""
+    WITH src AS ({docs_sql}),
+    docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM src),
+    sh0 AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, len(t) - {k} + 1)) AS pos
+      FROM docs WHERE len(t) >= {k}
+    ),
+    sh AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(t[pos:pos + {k} - 1], ' ')) AS h
+      FROM sh0
+    ),
+    own AS (
+      SELECT h, min(doc_id) AS owner FROM sh GROUP BY h
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    rem AS (
+      SELECT DISTINCT doc_id, p FROM (
+        SELECT s.doc_id,
+               unnest(generate_series(s.pos, s.pos + {k} - 1)) AS p
+        FROM sh s JOIN own o ON s.h = o.h
+        WHERE s.doc_id <> o.owner
+      )
+    ),
+    tok AS (
+      SELECT doc_id, unnest(t) AS w,
+             unnest(generate_series(1, len(t))) AS i
+      FROM docs
+    ),
+    kept AS (
+      SELECT tok.doc_id,
+             coalesce(string_agg(tok.w, ' ' ORDER BY tok.i)
+                        FILTER (WHERE rem.p IS NULL), '') AS clean_text,
+             count(*) FILTER (WHERE rem.p IS NOT NULL) AS n_removed
+      FROM tok LEFT JOIN rem
+        ON rem.doc_id = tok.doc_id AND rem.p = tok.i
+      GROUP BY tok.doc_id
+    )
+    SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+           CAST(coalesce(kept.n_removed, 0) AS BIGINT) AS n_removed,
+           coalesce(kept.clean_text, '') AS clean_text
+    FROM docs d LEFT JOIN kept ON kept.doc_id = d.doc_id
+    """
+
+
 def remove_boilerplate_segments(
     df: DataFrame,
     k: int = 3,

@@ -7542,6 +7542,44 @@ def dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_matches(_t(spark, sf_dir, "documents"), k=8)
 
 
+def _exact_substr_removal_oracle() -> str:
+    from pydala2_spark.operators.dedup import (
+        exact_substring_removal_oracle_sql,
+    )
+
+    inner = exact_substring_removal_oracle_sql(
+        "SELECT doc_id, text FROM documents", k=8
+    )
+    return (
+        f"SELECT doc_id, n_tokens, n_removed, md5(clean_text) AS clean_md5 "
+        f"FROM ({inner})"
+    )
+
+
+@query("dedup_exact_substr_removal", _exact_substr_removal_oracle())
+def dedup_exact_substr_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETION step of ExactSubstr dedup (Lee et al. 2022): every
+    cross-document duplicated run of >= 8 tokens is cut from all
+    documents except the minimum-doc_id canonical copy, and the
+    rewritten corpus comes back — the transform a training pipeline
+    actually applies, where dedup_exact_substr reports the evidence.
+    One row per input document with before/after token accounting;
+    clean_text is md5'd so the oracle compares full rewritten bodies
+    without shipping them. See operators/dedup.remove_exact_substrings
+    for semantics (shingle ownership, one surviving copy) and 100 TB
+    notes."""
+    from pydala2_spark.operators.dedup import remove_exact_substrings
+
+    return remove_exact_substrings(
+        _t(spark, sf_dir, "documents"), k=8
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    )
+
+
 @query(
     "p_bloom_pruned_scan",
     """

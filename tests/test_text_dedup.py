@@ -1870,3 +1870,67 @@ def test_exact_substring_matches_min_len_and_hub_cap(spark):
         exact_substring_matches(df, k=8, min_len=7)
     with _pytest.raises(ValueError):
         exact_substring_matches(df, k=8, max_occ_per_anchor=1)
+
+
+def test_remove_exact_substrings_keeps_one_canonical_copy(spark):
+    from pydala2_spark.operators.dedup import remove_exact_substrings
+
+    run = " ".join(f"R{i}" for i in range(12))
+    docs = [
+        (1, "a b c " + run + " x y z"),      # min id: owner, untouched
+        (2, "p q " + run + " m n o t u"),    # copy: run cut
+        (3, "h i only unique words here j"),  # no dups: untouched
+        (4, run),                             # copy: cut to empty
+        (5, "short doc"),                     # < k tokens: pass-through
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in remove_exact_substrings(df, k=8).collect()
+    }
+    assert got[1] == (18, 0, docs[0][1])
+    assert got[2] == (19, 12, "p q m n o t u")
+    assert got[3] == (7, 0, docs[2][1])
+    assert got[4] == (12, 12, "")  # non-owner copy removed entirely
+    assert got[5] == (2, 0, "short doc")
+    # exactly one copy of the run survives corpus-wide
+    survivors = [v[2] for v in got.values() if run in v[2]]
+    assert len(survivors) == 1
+
+
+def test_remove_exact_substrings_oracle_parity(spark):
+    import duckdb
+
+    from pydala2_spark.operators.dedup import (
+        exact_substring_removal_oracle_sql,
+        remove_exact_substrings,
+    )
+
+    run = " ".join(f"Q{i}" for i in range(9))
+    docs = [
+        (7, "lead " + run + " tail"),
+        (8, run + " extra extra"),
+        (9, "x y " + run),
+        (10, "none of these words repeat anywhere at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in remove_exact_substrings(df, k=8).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs_in AS SELECT * FROM (VALUES "
+        + ", ".join(f"({d}, '{t}')" for d, t in docs)
+        + ") v(doc_id, text)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            exact_substring_removal_oracle_sql(
+                "SELECT doc_id, text FROM docs_in", k=8
+            )
+        ).fetchall()
+    )
+    assert got == want
+    with pytest.raises(ValueError):
+        remove_exact_substrings(df, k=1)
