@@ -460,7 +460,12 @@ def link_prediction_scores(
     neighbor of degree 10^6 contributes ~nothing to Adamic-Adar and
     would dominate the join; dropping it biases scores DOWN, the safe
     direction for a shortlist). Degrees broadcast; the anti-join
-    against existing edges is key-shuffled on the pair."""
+    against existing edges is key-shuffled on the pair. The edge
+    frame is consumed three times (both union branches + the
+    anti-join) and the wedge-arm frame twice (self-join), so both are
+    localCheckpoint-ed — the triangle_counts lesson: without it every
+    consumption re-runs the caller's full edge-derivation lineage."""
+    edges = edges.select("src", "dst").localCheckpoint()
     adj = edges.select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
@@ -475,7 +480,7 @@ def link_prediction_scores(
     # wedges a - m - b with a < b; middle degree rides along for AA
     am = adj.join(mid.withColumnRenamed("u", "__m"), adj["u"] == F.col("__m")).select(
         F.col("__m").alias("m"), F.col("v").alias("a"), F.col("d").alias("dm")
-    )
+    ).localCheckpoint()
     wedge = (
         am.alias("x")
         .join(am.alias("y"), ["m", "dm"])
