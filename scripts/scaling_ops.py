@@ -527,6 +527,34 @@ def main():
             reps=2,
         )
 
+    # ExactSubstr: anchors/ownership are linear corpus passes; the
+    # replicated corpus is a pathological worst case for the PAIR form
+    # (FACTOR identical copies of every doc -> C(FACTOR,2)-clique of
+    # full-length runs per doc: output grows FACTOR^2/2 while input
+    # grows FACTOR — expect output-driven superlinearity, same
+    # adjudication as containment). The REMOVAL form stays row-per-doc
+    # (~linear) regardless of clique density.
+    from pydala2_spark.operators.dedup import (
+        exact_substring_matches,
+        remove_exact_substrings,
+    )
+
+    for label, d in (dirs.items() if want("exact_substr") else ()):
+        out.setdefault("exact_substr_pairs", {})[label] = timed(
+            lambda d=d: exact_substring_matches(
+                spark.read.parquet(d), k=8
+            ).count(),
+            reps=2,
+        )
+        # sum(length(clean_text)) — a bare count() would let Catalyst
+        # prune the rewrite expression and time only the joins
+        out.setdefault("exact_substr_removal", {})[label] = timed(
+            lambda d=d: remove_exact_substrings(spark.read.parquet(d), k=8)
+            .agg(F.sum(F.length("clean_text")))
+            .collect(),
+            reps=2,
+        )
+
     # trigram index: build = one corpus scan + bucketed write
     # (~linear); the probe reads only the pattern's bucket partitions
     # + an id semi-join (~flat in corpus, linear in matches).
