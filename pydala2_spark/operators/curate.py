@@ -1360,3 +1360,243 @@ def substring_search_indexed(
     return corpus.join(cand, id_col, "left_semi").filter(
         F.col(text).contains(pattern)
     )
+
+
+# -- BPE tokenizer training (Sennrich et al. 2016) ---------------------
+
+# Symbol sequences travel as ONE delimited string: every symbol is
+# wrapped \x01sym\x02, so a merge of (A, B) is literally
+# replace(s, '\x01A\x02\x01B\x02', '\x01AB\x02') — and both Spark's
+# and DuckDB's replace() scan left-to-right over non-overlapping
+# occurrences, which IS greedy BPE merge application. One shared
+# representation, one string primitive, bit-identical engines.
+_BPE_L = "\x01"
+_BPE_R = "\x02"
+
+
+def _bpe_word_table(df: DataFrame, text: str, max_word_len: int) -> DataFrame:
+    w = (
+        df.select(F.explode(F.split(F.col(text), " ")).alias("word"))
+        .filter(
+            (F.char_length("word") >= 1)
+            & (F.char_length("word") <= max_word_len)
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    chars = F.expr(
+        "transform(sequence(1, char_length(word)), i -> substring(word, i, 1))"
+    )
+    return w.select(
+        "word",
+        "freq",
+        F.concat(
+            F.lit(_BPE_L),
+            F.array_join(chars, _BPE_R + _BPE_L),
+            F.lit(_BPE_R),
+        ).alias("s"),
+    )
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    n_merges: int,
+    text: str = "text",
+    max_word_len: int = 64,
+    checkpoint_every: int = 8,
+    driver_word_budget: int = 200_000,
+) -> list[tuple[str, str, int]]:
+    """Learn a BPE merge table from the corpus — the tokenizer-training
+    step of the pipeline (Sennrich, Haddow & Birch 2016, "Neural
+    Machine Translation of Rare Words with Subword Units"). Returns
+    ``[(left, right, pair_count), ...]`` in merge order.
+
+    Algorithm, faithfully: words are whitespace tokens; each starts as
+    its character sequence; every round counts ADJACENT symbol pairs
+    over the word-frequency table (overlapping occurrences count, as
+    in the reference implementation's ``get_stats``), picks the most
+    frequent pair (ties broken deterministically: count DESC, then
+    lexicographic left, right — so the same corpus always yields the
+    same tokenizer), and merges it greedily left-to-right in every
+    word. Words longer than ``max_word_len`` chars are excluded from
+    training (the pre-tokenizer cap; megatoken junk would dominate
+    symbol work while representing nothing worth a vocab slot).
+
+    Raises ``ValueError`` if the vocabulary runs out of pairs before
+    ``n_merges`` rounds — loud, instead of silently returning a
+    shorter table than the caller asked to train.
+
+    Reference analogue: none (the reference has no text surface).
+
+    100 TB shape: the corpus is read ONCE (explode + map-side-combined
+    word count); every merge round then runs on the DISTINCT-word
+    table — Zipf-bounded, corpus-size-insensitive — as one pair-count
+    aggregate (map-side combined) plus one TakeOrderedAndProject
+    argmax (a single row to the driver per round) and one scan-stage
+    replace(). Lineage is truncated every ``checkpoint_every`` rounds
+    (the kcore batching pattern); state between rounds is the word
+    table, never the corpus. When the vocabulary fits
+    ``driver_word_budget`` rows, the merge loop finishes driver-side
+    over the Arrow-fetched table instead of paying per-round job
+    latency on a tiny frame — the kcore/union-find budget pattern;
+    both paths run the identical argmax and greedy merge, so results
+    are equal (pinned by pytest).
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if max_word_len < 1:
+        raise ValueError(f"max_word_len must be >= 1, got {max_word_len}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
+    w = _bpe_word_table(df, text, max_word_len).localCheckpoint()
+    if driver_word_budget and w.count() <= driver_word_budget:
+        return _bpe_driver_finish(w, n_merges)
+    merges: list[tuple[str, str, int]] = []
+    sep = _BPE_R + _BPE_L
+    for r in range(n_merges):
+        arr = F.split(
+            F.expr("substring(s, 2, char_length(s) - 2)"), sep
+        )
+        # the size guard matters: Spark's sequence(1, 0) is DESCENDING
+        # [1, 0], so an unguarded transform would probe index 0 on
+        # fully-merged single-symbol words
+        pairs = F.expr(
+            "if(size(__arr) < 2, "
+            "cast(array() as array<struct<x: string, y: string>>), "
+            "transform(sequence(1, size(__arr) - 1), "
+            "i -> struct(element_at(__arr, i) AS x, "
+            "element_at(__arr, i + 1) AS y)))"
+        )
+        pc = (
+            w.select("freq", arr.alias("__arr"))
+            .select("freq", F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pc.orderBy(F.desc("cnt"), "x", "y").limit(1).collect()
+        if not best:
+            raise ValueError(
+                f"vocabulary exhausted after {r} merges; "
+                f"asked for {n_merges}"
+            )
+        a, b, c = best[0]["x"], best[0]["y"], int(best[0]["cnt"])
+        merges.append((a, b, c))
+        # F.lit, not an F.expr literal: symbols may contain quotes or
+        # backslashes, which the SQL parser would reinterpret
+        w = w.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(_BPE_L + a + _BPE_R + _BPE_L + b + _BPE_R),
+                F.lit(_BPE_L + a + b + _BPE_R),
+            ),
+        )
+        if (r + 1) % checkpoint_every == 0 and r + 1 < n_merges:
+            w = w.localCheckpoint()
+    return merges
+
+
+def _bpe_driver_finish(
+    w: DataFrame, n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Merge loop on the driver for budget-sized vocabularies: the
+    identical pair-count / argmax / greedy-merge per round, over
+    symbol lists instead of delimited strings — equal output by
+    construction (pinned against the distributed path by pytest)."""
+    from collections import Counter
+
+    sep = _BPE_R + _BPE_L
+    try:
+        pdf = w.select("freq", "s").toPandas()
+        items = list(
+            zip(
+                (int(x) for x in pdf["freq"].to_numpy()),
+                (s[1:-1].split(sep) for s in pdf["s"]),
+            )
+        )
+    except Exception:  # Arrow refused: fall back to Rows
+        items = [
+            (int(r["freq"]), r["s"][1:-1].split(sep)) for r in w.collect()
+        ]
+    items = [(f, list(syms)) for f, syms in items]
+    merges: list[tuple[str, str, int]] = []
+    for r in range(n_merges):
+        pc: Counter = Counter()
+        for f, syms in items:
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            raise ValueError(
+                f"vocabulary exhausted after {r} merges; "
+                f"asked for {n_merges}"
+            )
+        (a, b), c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((a, b, int(c)))
+        for f, syms in items:
+            i = 0
+            j = 0
+            n = len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    syms[j] = a + b
+                    i += 2
+                else:
+                    syms[j] = syms[i]
+                    i += 1
+                j += 1
+            del syms[j:]
+    return merges
+
+
+def bpe_merges_oracle_sql(
+    docs_sql: str,
+    n_merges: int,
+    max_word_len: int = 64,
+) -> str:
+    """DuckDB SQL replaying :func:`learn_bpe_merges` exactly: the merge
+    loop unrolls into chained CTEs — same word table, same delimited-
+    string representation, same replace()-based greedy merge, same
+    (count DESC, left, right) argmax — so all ``n_merges`` output rows
+    land bit-for-bit. ``docs_sql`` must yield a column ``text``."""
+    L, R = "chr(1)", "chr(2)"
+    parts = [
+        f"src AS ({docs_sql})",
+        "wt AS (SELECT w AS word, count(*) AS freq FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS w FROM src) "
+        f"WHERE length(w) BETWEEN 1 AND {max_word_len} GROUP BY w)",
+        f"w0 AS (SELECT word, freq, {L} || array_to_string("
+        "list_transform(generate_series(1, length(word)), i -> word[i]), "
+        f"{R} || {L}) || {R} AS s FROM wt)",
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f"a{r} AS (SELECT freq, string_split("
+            f"s[2:length(s) - 1], {R} || {L}) AS arr FROM w{r})"
+        )
+        parts.append(
+            f"p{r} AS (SELECT arr[i] AS x, arr[i + 1] AS y, "
+            f"sum(freq) AS cnt FROM (SELECT freq, arr, "
+            f"unnest(generate_series(1, len(arr) - 1)) AS i FROM a{r}) "
+            f"GROUP BY arr[i], arr[i + 1])"
+        )
+        parts.append(
+            f"m{r} AS (SELECT x, y, cnt FROM p{r} "
+            f"ORDER BY cnt DESC, x, y LIMIT 1)"
+        )
+        if r + 1 < n_merges:
+            parts.append(
+                f"w{r + 1} AS (SELECT w.word, w.freq, replace(w.s, "
+                f"{L} || m.x || {R} || {L} || m.y || {R}, "
+                f"{L} || m.x || m.y || {R}) AS s "
+                f"FROM w{r} w CROSS JOIN m{r} m)"
+            )
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {r + 1} AS merge_rank, x AS left_sym, y AS right_sym, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM m{r}"
+        for r in range(n_merges)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + sel

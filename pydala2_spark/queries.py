@@ -7542,6 +7542,41 @@ def dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_matches(_t(spark, sf_dir, "documents"), k=8)
 
 
+def _bpe_learn_oracle() -> str:
+    from pydala2_spark.operators.curate import bpe_merges_oracle_sql
+
+    return bpe_merges_oracle_sql(
+        "SELECT text FROM documents", n_merges=12
+    )
+
+
+@query("doc_bpe_learn", _bpe_learn_oracle())
+def doc_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING on the corpus (Sennrich et al. 2016):
+    the first 12 learned merges with their pair counts — the pipeline
+    step that produces the tokenizer everything downstream counts
+    with. One corpus pass builds the word-frequency table; every merge
+    round then runs on the Zipf-bounded DISTINCT-word table
+    (corpus-size-insensitive): one map-side-combined pair-count
+    aggregate, one single-row argmax with deterministic ties
+    (count DESC, lexicographic), one scan-stage replace(). The oracle
+    unrolls the identical loop as chained CTEs over the same
+    delimited-string symbol representation — both engines' replace()
+    is greedy left-to-right, so merge application is bit-identical.
+    See operators/curate.learn_bpe_merges for 100 TB notes."""
+    from pydala2_spark.operators.curate import learn_bpe_merges
+
+    merges = learn_bpe_merges(_t(spark, sf_dir, "documents"), n_merges=12)
+    rows = [
+        (i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "merge_rank int, left_sym string, right_sym string, "
+        "pair_count long",
+    )
+
+
 def _exact_substr_removal_oracle() -> str:
     from pydala2_spark.operators.dedup import (
         exact_substring_removal_oracle_sql,

@@ -1934,3 +1934,101 @@ def test_remove_exact_substrings_oracle_parity(spark):
     assert got == want
     with pytest.raises(ValueError):
         remove_exact_substrings(df, k=1)
+
+
+# -- BPE tokenizer training (Sennrich et al. 2016) ---------------------
+
+
+def _py_bpe(texts: list[str], n: int, max_len: int = 64) -> list:
+    """Reference implementation: Sennrich get_stats/merge semantics
+    with the (count DESC, lexicographic) deterministic tie-break."""
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if 1 <= len(w) <= max_len:
+                wf[w] += 1
+    words = {w: list(w) for w in wf}
+    out = []
+    for _ in range(n):
+        pc = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wf[w]
+        if not pc:
+            raise ValueError("exhausted")
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        out.append((a, b, c))
+        for w, syms in words.items():
+            i, ns = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            words[w] = ns
+    return out
+
+
+_BPE_CORPUS = [
+    "the cat sat on the mat",
+    "the cats sat on the mats",
+    "that hat is the cats hat",
+    "aaaa aaaa aa b",  # periodic: overlapping pair counts, greedy merge
+]
+
+
+def test_bpe_learn_matches_reference_both_paths(spark):
+    from pydala2_spark.operators.curate import learn_bpe_merges
+
+    df = spark.createDataFrame([(t,) for t in _BPE_CORPUS], "text string")
+    exp = _py_bpe(_BPE_CORPUS, 8)
+    got_driver = learn_bpe_merges(df, 8)  # vocabulary under the budget
+    got_dist = learn_bpe_merges(df, 8, driver_word_budget=0)
+    assert got_driver == exp
+    assert got_dist == exp  # distributed path identical
+
+
+def test_bpe_learn_oracle_parity(spark):
+    import duckdb
+
+    from pydala2_spark.operators.curate import (
+        bpe_merges_oracle_sql,
+        learn_bpe_merges,
+    )
+
+    df = spark.createDataFrame([(t,) for t in _BPE_CORPUS], "text string")
+    got = learn_bpe_merges(df, 6)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs_in AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{t}')" for t in _BPE_CORPUS)
+        + ") v(text)"
+    )
+    want = [
+        (r[1], r[2], int(r[3]))
+        for r in sorted(
+            con.execute(
+                bpe_merges_oracle_sql("SELECT text FROM docs_in", 6)
+            ).fetchall()
+        )
+    ]
+    assert got == want == _py_bpe(_BPE_CORPUS, 6)
+
+
+def test_bpe_learn_validation_and_exhaustion(spark):
+    from pydala2_spark.operators.curate import learn_bpe_merges
+
+    df = spark.createDataFrame([("ab ab",)], "text string")
+    # 'ab' fully merges after 1 round; asking for 2 must be loud
+    assert learn_bpe_merges(df, 1) == [("a", "b", 2)]
+    with pytest.raises(ValueError):
+        learn_bpe_merges(df, 2)
+    with pytest.raises(ValueError):
+        learn_bpe_merges(df, 0)
+    # max_word_len excludes the long word entirely
+    df2 = spark.createDataFrame([("abcde xy xy",)], "text string")
+    assert learn_bpe_merges(df2, 1, max_word_len=2) == [("x", "y", 2)]
