@@ -1552,16 +1552,12 @@ def _bpe_driver_finish(
     return merges
 
 
-def bpe_merges_oracle_sql(
-    docs_sql: str,
-    n_merges: int,
-    max_word_len: int = 64,
-) -> str:
-    """DuckDB SQL replaying :func:`learn_bpe_merges` exactly: the merge
-    loop unrolls into chained CTEs — same word table, same delimited-
-    string representation, same replace()-based greedy merge, same
-    (count DESC, left, right) argmax — so all ``n_merges`` output rows
-    land bit-for-bit. ``docs_sql`` must yield a column ``text``."""
+def _bpe_oracle_parts(
+    docs_sql: str, n_merges: int, max_word_len: int
+) -> list[str]:
+    """Shared CTE chain for the BPE oracles: word table, n_merges
+    unrolled rounds (a{r}/p{r}/m{r}), and every intermediate w{r}
+    including the final post-merge w{n_merges}."""
     L, R = "chr(1)", "chr(2)"
     parts = [
         f"src AS ({docs_sql})",
@@ -1587,16 +1583,176 @@ def bpe_merges_oracle_sql(
             f"m{r} AS (SELECT x, y, cnt FROM p{r} "
             f"ORDER BY cnt DESC, x, y LIMIT 1)"
         )
-        if r + 1 < n_merges:
-            parts.append(
-                f"w{r + 1} AS (SELECT w.word, w.freq, replace(w.s, "
-                f"{L} || m.x || {R} || {L} || m.y || {R}, "
-                f"{L} || m.x || m.y || {R}) AS s "
-                f"FROM w{r} w CROSS JOIN m{r} m)"
-            )
+        parts.append(
+            f"w{r + 1} AS (SELECT w.word, w.freq, replace(w.s, "
+            f"{L} || m.x || {R} || {L} || m.y || {R}, "
+            f"{L} || m.x || m.y || {R}) AS s "
+            f"FROM w{r} w CROSS JOIN m{r} m)"
+        )
+    return parts
+
+
+def bpe_merges_oracle_sql(
+    docs_sql: str,
+    n_merges: int,
+    max_word_len: int = 64,
+) -> str:
+    """DuckDB SQL replaying :func:`learn_bpe_merges` exactly: the merge
+    loop unrolls into chained CTEs — same word table, same delimited-
+    string representation, same replace()-based greedy merge, same
+    (count DESC, left, right) argmax — so all ``n_merges`` output rows
+    land bit-for-bit. ``docs_sql`` must yield a column ``text``."""
+    parts = _bpe_oracle_parts(docs_sql, n_merges, max_word_len)
     sel = "\n    UNION ALL ".join(
         f"SELECT {r + 1} AS merge_rank, x AS left_sym, y AS right_sym, "
         f"CAST(cnt AS BIGINT) AS pair_count FROM m{r}"
         for r in range(n_merges)
     )
     return "WITH " + ",\n    ".join(parts) + "\n    " + sel
+
+
+def bpe_encode_token_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text: str = "text",
+    group_cols: tuple[str, ...] = ("source",),
+    checkpoint_every: int = 64,
+) -> DataFrame:
+    """Encode the corpus under a learned BPE merge table and report
+    per-group compression: ``(group_cols..., n_words, n_chars,
+    n_subtokens, chars_per_token)``. The other half of the tokenizer
+    loop — :func:`learn_bpe_merges` trains, this measures what the
+    vocabulary buys on real data (the chars-per-token ratio that sets
+    context-window economics).
+
+    Merges apply IN ORDER to the DISTINCT-word vocabulary only — the
+    corpus is touched twice total (once to collect distinct words,
+    once to join each word occurrence to its encoded length), never
+    per merge. Words of any length encode; greedy left-to-right
+    application is the same single ``replace()`` per merge as
+    training. ``checkpoint_every`` truncates the replace-chain lineage
+    for large merge tables.
+
+    Reference analogue: none (the reference has no text surface).
+
+    100 TB shape: the replace chain runs on the Zipf-bounded distinct
+    vocabulary; the corpus-side join keys on the word string (the
+    vocab side is AQE-broadcastable for real vocabularies); counts
+    are map-side-combined sums. No Python, no windows.
+    """
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
+    sep = _BPE_R + _BPE_L
+    chars = F.expr(
+        "transform(sequence(1, char_length(word)), i -> substring(word, i, 1))"
+    )
+    vocab = (
+        df.select(F.explode(F.split(F.col(text), " ")).alias("word"))
+        .filter(F.char_length("word") >= 1)
+        .distinct()
+        .select(
+            "word",
+            F.concat(
+                F.lit(_BPE_L),
+                F.array_join(chars, sep),
+                F.lit(_BPE_R),
+            ).alias("s"),
+        )
+    )
+    for i, m in enumerate(merges):
+        a, b = m[0], m[1]
+        vocab = vocab.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(_BPE_L + a + _BPE_R + _BPE_L + b + _BPE_R),
+                F.lit(_BPE_L + a + b + _BPE_R),
+            ),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < len(merges):
+            vocab = vocab.localCheckpoint(eager=False)
+    enc = vocab.select(
+        "word",
+        F.size(
+            F.split(F.expr("substring(s, 2, char_length(s) - 2)"), sep)
+        ).alias("__n_sub"),
+    )
+    docw = df.select(
+        *[F.col(c) for c in group_cols],
+        F.explode(F.split(F.col(text), " ")).alias("word"),
+    ).filter(F.char_length("word") >= 1)
+    return (
+        docw.join(enc, "word")
+        .groupBy(*[F.col(c) for c in group_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.char_length("word")).alias("n_chars"),
+            F.sum("__n_sub").alias("n_subtokens"),
+        )
+        .select(
+            *group_cols,
+            "n_words",
+            "n_chars",
+            "n_subtokens",
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_subtokens"), 4
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+def bpe_encode_oracle_sql(
+    docs_sql: str,
+    n_merges: int,
+    max_word_len: int = 64,
+    group_cols: tuple[str, ...] = ("source",),
+) -> str:
+    """DuckDB SQL reproducing :func:`learn_bpe_merges` (capped word
+    table, producing m0..m{n-1}) followed by
+    :func:`bpe_encode_token_counts` (uncapped vocabulary, merges
+    applied in order) — the full train-then-measure loop, bit-exact.
+    ``docs_sql`` must yield ``text`` plus ``group_cols``."""
+    L, R = "chr(1)", "chr(2)"
+    with_chain = "WITH " + ",\n    ".join(
+        _bpe_oracle_parts(docs_sql, n_merges, max_word_len)
+    )
+    gc = ", ".join(group_cols)
+    enc_parts = [
+        f"ew0 AS (SELECT word, {L} || array_to_string("
+        "list_transform(generate_series(1, length(word)), i -> word[i]), "
+        f"{R} || {L}) || {R} AS s FROM "
+        "(SELECT DISTINCT w AS word FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS w FROM src) "
+        "WHERE length(w) >= 1))",
+    ]
+    for r in range(n_merges):
+        enc_parts.append(
+            f"ew{r + 1} AS (SELECT e.word, replace(e.s, "
+            f"{L} || m.x || {R} || {L} || m.y || {R}, "
+            f"{L} || m.x || m.y || {R}) AS s "
+            f"FROM ew{r} e CROSS JOIN m{r} m)"
+        )
+    enc_parts.append(
+        f"enc AS (SELECT word, len(string_split(s[2:length(s) - 1], "
+        f"{R} || {L})) AS n_sub FROM ew{n_merges})"
+    )
+    enc_parts.append(
+        f"docw AS (SELECT {gc}, unnest(string_split(text, ' ')) AS word "
+        "FROM src)"
+    )
+    return (
+        with_chain
+        + ",\n    "
+        + ",\n    ".join(enc_parts)
+        + f"""
+    SELECT {gc}, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(d.word)) AS BIGINT) AS n_chars,
+           CAST(sum(e.n_sub) AS BIGINT) AS n_subtokens,
+           round(CAST(sum(length(d.word)) AS DOUBLE)
+                 / sum(e.n_sub), 4) AS chars_per_token
+    FROM docw d JOIN enc e ON d.word = e.word
+    WHERE length(d.word) >= 1
+    GROUP BY {gc}"""
+    )

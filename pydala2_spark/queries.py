@@ -7577,6 +7577,36 @@ def doc_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_compression_oracle() -> str:
+    from pydala2_spark.operators.curate import bpe_encode_oracle_sql
+
+    return bpe_encode_oracle_sql(
+        "SELECT text, source FROM documents", n_merges=12
+    )
+
+
+@query("doc_bpe_compression", _bpe_compression_oracle())
+def doc_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full tokenizer train-then-measure loop: learn 12 BPE merges
+    on the corpus (doc_bpe_learn's algorithm), ENCODE every word under
+    them, and report per-source compression — words, chars, subword
+    tokens, chars-per-token. The ratio that decides what a context
+    window costs per source, measured with the corpus's own tokenizer
+    rather than a hand-set token model. Encoding applies the merges in
+    order to the DISTINCT-word vocabulary only (the corpus is touched
+    twice total); the oracle replays train AND encode as one unrolled
+    CTE chain, bit-exact. See operators/curate.bpe_encode_token_counts
+    for 100 TB notes."""
+    from pydala2_spark.operators.curate import (
+        bpe_encode_token_counts,
+        learn_bpe_merges,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, n_merges=12)
+    return bpe_encode_token_counts(docs, merges, group_cols=("source",))
+
+
 def _exact_substr_removal_oracle() -> str:
     from pydala2_spark.operators.dedup import (
         exact_substring_removal_oracle_sql,

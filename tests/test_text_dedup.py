@@ -2032,3 +2032,45 @@ def test_bpe_learn_validation_and_exhaustion(spark):
     # max_word_len excludes the long word entirely
     df2 = spark.createDataFrame([("abcde xy xy",)], "text string")
     assert learn_bpe_merges(df2, 1, max_word_len=2) == [("x", "y", 2)]
+
+
+def test_bpe_encode_compression_oracle_parity(spark):
+    import duckdb
+
+    from pydala2_spark.operators.curate import (
+        bpe_encode_oracle_sql,
+        bpe_encode_token_counts,
+        learn_bpe_merges,
+    )
+
+    corpus = [
+        ("the cat sat on the mat", "web"),
+        ("the cats sat on the mats", "web"),
+        ("that hat is the cats hat", "book"),
+        # > max_word_len words still ENCODE (merges apply to any word)
+        ("supercalifragilistic words beyond the usual caps here", "book"),
+    ]
+    df = spark.createDataFrame(corpus, "text string, source string")
+    merges = learn_bpe_merges(df, 5)
+    got = sorted(
+        tuple(r) for r in bpe_encode_token_counts(df, merges).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs_in AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{t}', '{s}')" for t, s in corpus)
+        + ") v(text, source)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            bpe_encode_oracle_sql("SELECT text, source FROM docs_in", 5)
+        ).fetchall()
+    )
+    assert got == want
+    # conservation: with zero merges every word encodes to its chars
+    base = {
+        r["source"]: (r["n_chars"], r["n_subtokens"])
+        for r in bpe_encode_token_counts(df, []).collect()
+    }
+    assert all(c == s for c, s in base.values())
