@@ -112,3 +112,194 @@ def benford_report(df: DataFrame, value_col: str) -> DataFrame:
         w.crossJoin(F.broadcast(chi2))
         .select("digit", "n_obs", "expected_n", "chi2")
     )
+
+
+# -- declarative rulesets ----------------------------------------------
+
+_RULE_KINDS = ("not_null", "unique", "range", "in_set", "regex", "expr")
+
+
+def _rule_name(r: dict) -> str:
+    if "name" in r:
+        return str(r["name"])
+    kind = r["rule"]
+    if kind == "unique":
+        return f"unique({', '.join(r['cols'])})"
+    if kind == "expr":
+        return f"expr({r['predicate']})"
+    return f"{kind}({r['col']})"
+
+
+def validate_rules(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Great-Expectations-style declarative data-quality run: evaluate
+    a RULESET against the frame in ONE aggregation pass and return one
+    row per rule — ``(rule, n_rows, n_violations, violation_pct)``.
+
+    Rule shapes (dicts; optional ``"name"`` overrides the label):
+
+    - ``{"rule": "not_null", "col": c}`` — NULL values violate.
+    - ``{"rule": "unique", "cols": [c, ...]}`` — violations = rows with
+      fully-non-null keys in excess of one per distinct key (rows with
+      a NULL key component are not_null's problem, not duplicates).
+    - ``{"rule": "range", "col": c, "min": lo, "max": hi}`` (either
+      bound optional) — non-NULL values outside [lo, hi] violate.
+    - ``{"rule": "in_set", "col": c, "values": [...]}`` — non-NULL
+      values outside the set violate.
+    - ``{"rule": "regex", "col": c, "pattern": p}`` — non-NULL values
+      NOT matching (RE2-style, unanchored) violate.
+    - ``{"rule": "expr", "predicate": sql}`` — rows where the SQL
+      predicate is NOT TRUE violate (write dialect-portable SQL if the
+      ruleset must mirror into an oracle).
+
+    NULL convention: every per-value rule passes NULLs through —
+    ``not_null`` is the one place nullness is judged, so a single bad
+    row doesn't double-count across the ruleset.
+
+    Reference analogue: none (the reference has no validation
+    surface); sits beside fk_orphan_report/benford_report.
+
+    100 TB shape: every row-level rule compiles to a conditional sum
+    in ONE map-side-combined aggregate over a single scan — adding a
+    rule adds a column, not a pass. ``unique`` rules add their
+    count(DISTINCT struct) to the same aggregate (Catalyst plans the
+    distinct expansion; still one scan of the input). The one-row
+    aggregate then unpivots to |rules| rows driver-free.
+    """
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, r in enumerate(rules):
+        kind = r.get("rule")
+        if kind not in _RULE_KINDS:
+            raise ValueError(f"unknown rule kind: {kind!r}")
+        if kind == "not_null":
+            bad = F.col(r["col"]).isNull()
+        elif kind == "unique":
+            cols = r["cols"]
+            nn = F.struct(*[F.col(c) for c in cols])
+            all_nn = None
+            for c in cols:
+                p = F.col(c).isNotNull()
+                all_nn = p if all_nn is None else (all_nn & p)
+            aggs.append(
+                (
+                    F.sum(F.when(all_nn, 1).otherwise(0))
+                    - F.count_distinct(
+                        F.when(all_nn, nn)
+                    )
+                ).alias(f"__v{i}")
+            )
+            continue
+        elif kind == "range":
+            c = F.col(r["col"])
+            conds = []
+            if "min" in r:
+                conds.append(c < F.lit(r["min"]))
+            if "max" in r:
+                conds.append(c > F.lit(r["max"]))
+            if not conds:
+                raise ValueError("range rule needs min and/or max")
+            out = conds[0]
+            for x in conds[1:]:
+                out = out | x
+            bad = c.isNotNull() & out
+        elif kind == "in_set":
+            c = F.col(r["col"])
+            bad = c.isNotNull() & ~c.isin(list(r["values"]))
+        elif kind == "regex":
+            c = F.col(r["col"])
+            bad = c.isNotNull() & ~c.rlike(r["pattern"])
+        else:  # expr
+            bad = ~F.coalesce(F.expr(r["predicate"]), F.lit(False))
+        aggs.append(F.sum(F.when(bad, 1).otherwise(0)).alias(f"__v{i}"))
+    one = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(_rule_name(r)).alias("rule"),
+                F.col(f"__v{i}").cast("long").alias("v"),
+            )
+            for i, r in enumerate(rules)
+        ]
+    )
+    return (
+        one.select(F.col("__n"), F.explode(entries).alias("e"))
+        .select(
+            F.col("e.rule").alias("rule"),
+            F.col("__n").cast("long").alias("n_rows"),
+            F.col("e.v").alias("n_violations"),
+            F.round(F.col("e.v") * 100.0 / F.col("__n"), 4).alias(
+                "violation_pct"
+            ),
+        )
+    )
+
+
+def rules_oracle_sql(table_sql: str, rules: list[dict]) -> str:
+    """DuckDB SQL reproducing :func:`validate_rules` exactly (one
+    conditional-sum aggregate + unpivot via UNION ALL). Regex rules
+    map to ``regexp_matches`` (unanchored, like Spark ``rlike``);
+    ``expr`` predicates are passed through verbatim, so use
+    dialect-portable SQL there."""
+    if not rules:
+        raise ValueError("rules must be non-empty")
+
+    def lit(v) -> str:
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
+    vs = []
+    for i, r in enumerate(rules):
+        kind = r["rule"]
+        if kind == "not_null":
+            e = f"sum(CASE WHEN {r['col']} IS NULL THEN 1 ELSE 0 END)"
+        elif kind == "unique":
+            cols = r["cols"]
+            nn = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+            row = ", ".join(cols)
+            e = (
+                f"(sum(CASE WHEN {nn} THEN 1 ELSE 0 END) - "
+                f"count(DISTINCT CASE WHEN {nn} THEN ROW({row}) END))"
+            )
+        elif kind == "range":
+            c = r["col"]
+            conds = []
+            if "min" in r:
+                conds.append(f"{c} < {lit(r['min'])}")
+            if "max" in r:
+                conds.append(f"{c} > {lit(r['max'])}")
+            e = (
+                f"sum(CASE WHEN {c} IS NOT NULL AND "
+                f"({' OR '.join(conds)}) THEN 1 ELSE 0 END)"
+            )
+        elif kind == "in_set":
+            c = r["col"]
+            vals = ", ".join(lit(v) for v in r["values"])
+            e = (
+                f"sum(CASE WHEN {c} IS NOT NULL AND {c} NOT IN ({vals}) "
+                f"THEN 1 ELSE 0 END)"
+            )
+        elif kind == "regex":
+            c = r["col"]
+            e = (
+                f"sum(CASE WHEN {c} IS NOT NULL AND NOT "
+                f"regexp_matches({c}, {lit(r['pattern'])}) "
+                f"THEN 1 ELSE 0 END)"
+            )
+        else:
+            e = (
+                f"sum(CASE WHEN ({r['predicate']}) IS NOT TRUE "
+                f"THEN 1 ELSE 0 END)"
+            )
+        vs.append(f"{e} AS v{i}")
+    names = "\n    UNION ALL ".join(
+        f"SELECT {lit(_rule_name(r))} AS rule, n_rows, "
+        f"CAST(v{i} AS BIGINT) AS n_violations, "
+        f"round(v{i} * 100.0 / n_rows, 4) AS violation_pct FROM a"
+        for i, r in enumerate(rules)
+    )
+    return (
+        f"WITH a AS (SELECT count(*) AS n_rows, {', '.join(vs)} "
+        f"FROM ({table_sql}))\n    {names}"
+    )

@@ -1873,6 +1873,43 @@ def _fk_oracle() -> str:
     return "\nUNION ALL".join(branches)
 
 
+_DQ_RULES = [
+    {"rule": "not_null", "col": "o_custkey"},
+    {"rule": "unique", "cols": ["o_orderkey"]},
+    {"rule": "range", "col": "o_totalprice", "min": 0, "max": 300000},
+    {"rule": "in_set", "col": "o_orderstatus", "values": ["O", "F"]},
+    {"rule": "regex", "col": "o_orderpriority", "pattern": "^[1-3]-"},
+    {
+        "rule": "expr",
+        "name": "clerk_matches_priority_band",
+        "predicate": "o_totalprice < 400000 OR o_orderpriority LIKE '1-%'",
+    },
+]
+
+
+def _dq_rules_oracle() -> str:
+    from pydala2_spark.functions.dq import rules_oracle_sql
+
+    return rules_oracle_sql("SELECT * FROM orders", _DQ_RULES)
+
+
+@query("dq_rule_report", _dq_rules_oracle())
+def dq_rule_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality RULESET over a freshly landed fact
+    table (Great-Expectations-style): six rule kinds — not_null,
+    multi-column unique, numeric range, categorical set, regex, and a
+    free SQL predicate — compiled into ONE map-side-combined aggregate
+    pass (adding a rule adds a column, not a scan), then unpivoted to
+    one report row per rule. Thresholds here are deliberately tight so
+    several rules report real violation counts, not a wall of zeros.
+    NULL convention: per-value rules pass NULLs through; not_null is
+    the single place nullness is judged. See
+    functions/dq.validate_rules for 100 TB notes."""
+    from pydala2_spark.functions.dq import validate_rules
+
+    return validate_rules(_t(spark, sf_dir, "orders"), _DQ_RULES)
+
+
 @query("dq_fk_orphans", _fk_oracle())
 def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Referential-integrity audit across the star schema: one LEFT

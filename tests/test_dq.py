@@ -61,3 +61,76 @@ def test_benford_report_digits_expectations_chi2(spark):
     )
     chi_uni = benford_report(uni, "v").first()["chi2"]
     assert chi_uni > out[1]["chi2"]
+
+
+# -- declarative rulesets ----------------------------------------------
+
+
+def test_validate_rules_planted_violations(spark):
+    from pydala2_spark.functions.dq import validate_rules
+
+    rows = [
+        (1, "a", 10.0, "O"),
+        (2, None, -5.0, "F"),
+        (2, "b", 999.0, "X"),
+        (None, "c", None, "O"),
+        (3, "dd", 50.0, "P"),
+    ]
+    df = spark.createDataFrame(rows, "k long, s string, v double, st string")
+    rules = [
+        {"rule": "not_null", "col": "s"},
+        {"rule": "unique", "cols": ["k"]},
+        {"rule": "range", "col": "v", "min": 0, "max": 100},
+        {"rule": "in_set", "col": "st", "values": ["O", "F", "P"]},
+        {"rule": "regex", "col": "s", "pattern": "^[a-c]$"},
+        {"rule": "expr", "name": "v_lt_k100", "predicate": "v < k * 100"},
+    ]
+    got = {
+        r["rule"]: (r["n_rows"], r["n_violations"])
+        for r in validate_rules(df, rules).collect()
+    }
+    assert got == {
+        "not_null(s)": (5, 1),       # one NULL s
+        "unique(k)": (5, 1),         # k=2 twice; NULL k not a duplicate
+        "range(v)": (5, 2),          # -5 and 999; NULL v passes
+        "in_set(st)": (5, 1),        # X
+        "regex(s)": (5, 1),          # "dd"
+        "v_lt_k100": (5, 2),         # 999 >= 200, and NULL k -> NOT TRUE
+    }
+
+
+def test_validate_rules_oracle_parity_and_one_scan(spark):
+    import duckdb
+    import pandas as pd
+
+    from pydala2_spark.functions.dq import rules_oracle_sql, validate_rules
+
+    rows = [(i, f"s{i % 3}", float(i * 7 % 40)) for i in range(50)]
+    rows += [(5, "s0", 11.0), (None, None, None)]
+    df = spark.createDataFrame(rows, "k long, s string, v double")
+    rules = [
+        {"rule": "unique", "cols": ["k"]},
+        {"rule": "not_null", "col": "s"},
+        {"rule": "range", "col": "v", "max": 30},
+        {"rule": "regex", "col": "s", "pattern": "^s[01]$"},
+    ]
+    out = validate_rules(df, rules)
+    got = sorted(tuple(r) for r in out.collect())
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["k", "s", "v"]))
+    want = sorted(
+        tuple(r)
+        for r in con.execute(rules_oracle_sql("SELECT * FROM t", rules)).fetchall()
+    )
+    assert got == want
+    # one-pass contract: a single scan feeds the whole ruleset
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") <= 1  # createDataFrame: no file scan at all
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        validate_rules(df, [])
+    with _pytest.raises(ValueError):
+        validate_rules(df, [{"rule": "nope", "col": "k"}])
+    with _pytest.raises(ValueError):
+        validate_rules(df, [{"rule": "range", "col": "v"}])
