@@ -303,3 +303,78 @@ def rules_oracle_sql(table_sql: str, rules: list[dict]) -> str:
         f"WITH a AS (SELECT count(*) AS n_rows, {', '.join(vs)} "
         f"FROM ({table_sql}))\n    {names}"
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+    l: int = 2,
+) -> DataFrame:
+    """Re-identification risk audit before a dataset is shared:
+    k-anonymity over the quasi-identifier columns (Sweeney 2002), plus
+    l-diversity over a sensitive column (Machanavajjhala et al. 2007)
+    when given. An equivalence CLASS is one distinct combination of
+    ``qi_cols``; a row in a class smaller than ``k`` is re-identifiable
+    by linking those attributes, and a class whose sensitive values
+    collapse below ``l`` distinct leaks the attribute even at size k.
+
+    One summary row: ``(n_rows, n_classes, min_class_size,
+    n_classes_below_k, n_rows_below_k, below_k_pct[, n_classes_below_l,
+    n_rows_below_l])``. NULL quasi-identifier values form their own
+    classes (grouping semantics — identical in both engines).
+
+    Reference analogue: none (no privacy surface); sits with the DQ
+    audits as the release gate.
+
+    100 TB shape: ONE groupBy over the quasi-identifier tuple
+    (map-side combined; the class table is |distinct QI| rows, tiny
+    next to the input) followed by a one-row reduction. Adding
+    l-diversity rides the same aggregate as a countDistinct.
+    """
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    aggs = [F.count(F.lit(1)).alias("__sz")]
+    if sensitive_col is not None:
+        if l < 2:
+            raise ValueError(f"l must be >= 2, got {l}")
+        aggs.append(F.countDistinct(F.col(sensitive_col)).alias("__nd"))
+    classes = df.groupBy(*[F.col(c) for c in qi_cols]).agg(*aggs)
+    outs = [
+        F.sum("__sz").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("__sz").cast("long").alias("min_class_size"),
+        F.sum(F.when(F.col("__sz") < k, 1).otherwise(0))
+        .cast("long")
+        .alias("n_classes_below_k"),
+        F.sum(F.when(F.col("__sz") < k, F.col("__sz")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_below_k"),
+    ]
+    if sensitive_col is not None:
+        outs += [
+            F.sum(F.when(F.col("__nd") < l, 1).otherwise(0))
+            .cast("long")
+            .alias("n_classes_below_l"),
+            F.sum(F.when(F.col("__nd") < l, F.col("__sz")).otherwise(0))
+            .cast("long")
+            .alias("n_rows_below_l"),
+        ]
+    out = classes.agg(*outs).withColumn(
+        "below_k_pct",
+        F.round(F.col("n_rows_below_k") * 100.0 / F.col("n_rows"), 4),
+    )
+    cols = [
+        "n_rows",
+        "n_classes",
+        "min_class_size",
+        "n_classes_below_k",
+        "n_rows_below_k",
+        "below_k_pct",
+    ]
+    if sensitive_col is not None:
+        cols += ["n_classes_below_l", "n_rows_below_l"]
+    return out.select(*cols)

@@ -913,3 +913,68 @@ def holt_linear_smooth(
 
     out = series.groupBy(group_col).applyInPandas(fn, schema=HOLT_SCHEMA)
     return out.withColumnRenamed("g", group_col)
+
+
+def theil_sen_trend(
+    series: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil-Sen slope estimator per group — the robust trend LINE that
+    pairs with :func:`mann_kendall`'s robust trend TEST (Theil 1950,
+    Sen 1968): slope = MEDIAN of all pairwise slopes
+    ``(x_j - x_i) / (t_j - t_i)``, intercept = median of
+    ``x_i - slope * t_i``. Breaks down only past 29% outliers where
+    OLS breaks at one. ``time_col`` must be numeric (e.g. day number);
+    groups with a single point have no pairs and are absent.
+
+    Output: ``(group, n_points, n_pairs, slope, intercept)``, slope
+    and intercept rounded to 4 (each pairwise slope is one IEEE
+    division, identical across engines; the median follows the
+    percentile discipline the quantile queries already pin).
+
+    100 TB shape: built for PRE-AGGREGATED series — the O(n_points²)
+    pair join is calendar-bounded per group, never event-bounded; the
+    intercept's second pass joins the one-row-per-group slope back to
+    the points frame (broadcast). No windows, no Python.
+    """
+    a = series.select(
+        F.col(group_col),
+        F.col(time_col).alias("__t1"),
+        F.col(value_col).alias("__x1"),
+    )
+    b = series.select(
+        F.col(group_col),
+        F.col(time_col).alias("__t2"),
+        F.col(value_col).alias("__x2"),
+    )
+    pairs = a.join(b, group_col).filter(F.col("__t1") < F.col("__t2"))
+    slope_expr = (F.col("__x2") - F.col("__x1")) / (
+        F.col("__t2") - F.col("__t1")
+    )
+    sl = (
+        pairs.withColumn("__sl", slope_expr)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.expr("percentile(__sl, 0.5)"), 4).alias("slope"),
+        )
+    )
+    n_points = series.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points")
+    )
+    resid = (
+        series.join(sl.select(group_col, "slope"), group_col)
+        .withColumn(
+            "__r",
+            F.col(value_col) - F.col("slope") * F.col(time_col),
+        )
+        .groupBy(group_col)
+        .agg(F.round(F.expr("percentile(__r, 0.5)"), 4).alias("intercept"))
+    )
+    return (
+        n_points.join(sl, group_col)
+        .join(resid, group_col)
+        .select(group_col, "n_points", "n_pairs", "slope", "intercept")
+    )

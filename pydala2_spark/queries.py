@@ -1873,6 +1873,57 @@ def _fk_oracle() -> str:
     return "\nUNION ALL".join(branches)
 
 
+@query(
+    "dq_k_anonymity",
+    """
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             count(*) AS sz,
+             count(DISTINCT c_custkey % 7) AS nd
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(sz) AS BIGINT) AS min_class_size,
+           CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_classes_below_k,
+           CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+             AS n_rows_below_k,
+           round(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) * 100.0
+                 / sum(sz), 4) AS below_k_pct,
+           CAST(sum(CASE WHEN nd < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_classes_below_l,
+           CAST(sum(CASE WHEN nd < 2 THEN sz ELSE 0 END) AS BIGINT)
+             AS n_rows_below_l
+    FROM cls
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk audit (k-anonymity, Sweeney 2002 +
+    l-diversity, Machanavajjhala 2007) over customer quasi-identifiers
+    — nation, market segment, account-balance band — with a synthetic
+    sensitive attribute (custkey mod 7 stands in for the sensitive
+    column the schema lacks). The release gate a training-data
+    pipeline runs before sharing user-derived tables: how many rows
+    sit in linkable classes below k=5, and how many classes collapse
+    to fewer than 2 sensitive values. One groupBy over the QI tuple +
+    a one-row reduction; integer counts, oracle exact.
+    See functions/dq.k_anonymity_report."""
+    from pydala2_spark.functions.dq import k_anonymity_report
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+    ).withColumn("sens", F.col("c_custkey") % 7)
+    return k_anonymity_report(
+        cust,
+        ["c_nationkey", "c_mktsegment", "bal_band"],
+        k=5,
+        sensitive_col="sens",
+        l=2,
+    )
+
+
 _DQ_RULES = [
     {"rule": "not_null", "col": "o_custkey"},
     {"rule": "unique", "cols": ["o_orderkey"]},
@@ -6618,6 +6669,62 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(edges, k=3, max_iter=12).select(
         F.col("node").alias("partkey"), "core_degree"
     )
+
+
+@query(
+    "ev_theil_sen",
+    f"""
+    WITH d AS (
+      SELECT event_type,
+             datediff('day', DATE '1970-01-01', date_trunc('day', ts))
+               AS t,
+             {_osum("value", 4)} AS x
+      FROM events GROUP BY 1, 2
+    ), p AS (
+      SELECT a.event_type,
+             (b.x - a.x) / (b.t - a.t) AS sl
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND a.t < b.t
+    ), np AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_points
+      FROM d GROUP BY 1
+    ), s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+             round(quantile_cont(sl, 0.5), 4) AS slope
+      FROM p GROUP BY 1
+    ), r AS (
+      SELECT d.event_type,
+             round(quantile_cont(d.x - s.slope * d.t, 0.5), 4)
+               AS intercept
+      FROM d JOIN s USING (event_type) GROUP BY 1
+    )
+    SELECT np.event_type, np.n_points, s.n_pairs, s.slope, r.intercept
+    FROM np JOIN s USING (event_type) JOIN r USING (event_type)
+    """,
+)
+def ev_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend LINE per event type over the daily value
+    series — the estimator that pairs with ev_mann_kendall's robust
+    trend TEST: slope = median of all pairwise daily slopes (breaks
+    down only past 29% outliers where ev_value_trend's OLS breaks at
+    one), intercept = median residual at the fitted slope. Day numbers
+    are integer datediffs; each pairwise slope is one IEEE division,
+    identical across engines; the medians follow the percentile
+    discipline the quantile queries pin.
+
+    100 TB shape: raw events reduce to (type, day) FIRST (map-side-
+    combined decimal sums); the O(days²) pair join runs calendar-
+    bounded, never on events. See operators/events.theil_sen_trend."""
+    from pydala2_spark.operators.events import theil_sen_trend
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "t"
+        ),
+    ).agg(_dsum("value", 4).alias("x"))
+    return theil_sen_trend(daily, "event_type", "t", "x")
 
 
 @query(

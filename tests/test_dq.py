@@ -134,3 +134,38 @@ def test_validate_rules_oracle_parity_and_one_scan(spark):
         validate_rules(df, [{"rule": "nope", "col": "k"}])
     with _pytest.raises(ValueError):
         validate_rules(df, [{"rule": "range", "col": "v"}])
+
+
+def test_k_anonymity_report_hand_case(spark):
+    from pydala2_spark.functions.dq import k_anonymity_report
+
+    rows = [
+        # class (a,1): 3 rows, sensitive {x, y} -> diverse
+        ("a", 1, "x"), ("a", 1, "y"), ("a", 1, "x"),
+        # class (a,2): 1 row -> below k AND below l
+        ("a", 2, "x"),
+        # class (b,1): 2 rows, sensitive {z} -> below k and below l
+        ("b", 1, "z"), ("b", 1, "z"),
+        # class (NULL, 1): NULLs form their own class
+        (None, 1, "x"),
+    ]
+    df = spark.createDataFrame(rows, "q1 string, q2 int, s string")
+    got = k_anonymity_report(
+        df, ["q1", "q2"], k=3, sensitive_col="s", l=2
+    ).collect()[0]
+    assert got["n_rows"] == 7 and got["n_classes"] == 4
+    assert got["min_class_size"] == 1
+    assert got["n_classes_below_k"] == 3  # (a,2), (b,1), (NULL,1)
+    assert got["n_rows_below_k"] == 4
+    assert got["below_k_pct"] == round(4 * 100.0 / 7, 4)
+    assert got["n_classes_below_l"] == 3  # all but (a,1)
+    assert got["n_rows_below_l"] == 4
+    # without a sensitive column, the l columns are absent
+    cols = k_anonymity_report(df, ["q1"], k=3).columns
+    assert "n_classes_below_l" not in cols
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        k_anonymity_report(df, [], k=3)
+    with _pytest.raises(ValueError):
+        k_anonymity_report(df, ["q1"], k=1)

@@ -587,3 +587,29 @@ def test_holt_linear_smooth_bruteforce(spark):
 
     with _pytest.raises(ValueError, match="alpha/beta"):
         holt_linear_smooth(df, "g", "t", "x", alpha=0.0)
+
+
+def test_theil_sen_matches_numpy_reference(spark):
+    import numpy as np
+
+    from pydala2_spark.operators.events import theil_sen_trend
+
+    # y = 2t + 1 with one gross outlier OLS would chase
+    pts = [(0, 1.0), (1, 3.0), (2, 5.0), (3, 7.0), (4, 100.0), (5, 11.0)]
+    rows = [("g", t, x) for t, x in pts]
+    df = spark.createDataFrame(rows, "g string, t int, x double")
+    got = theil_sen_trend(df, "g", "t", "x").collect()[0]
+    slopes = sorted(
+        (x2 - x1) / (t2 - t1)
+        for i, (t1, x1) in enumerate(pts)
+        for t2, x2 in pts[i + 1 :]
+    )
+    exp_slope = round(float(np.median(slopes)), 4)
+    resid = sorted(x - exp_slope * t for t, x in pts)
+    exp_icpt = round(float(np.median(resid)), 4)
+    assert got["n_points"] == 6 and got["n_pairs"] == 15
+    assert got["slope"] == exp_slope == 2.0  # outlier shrugged off
+    assert got["intercept"] == exp_icpt
+    # single-point group: no pairs, absent from output
+    df2 = spark.createDataFrame([("a", 1, 5.0)], "g string, t int, x double")
+    assert theil_sen_trend(df2, "g", "t", "x").count() == 0
