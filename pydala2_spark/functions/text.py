@@ -460,3 +460,74 @@ def rake_keyphrases(
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
         .select("phrase", "n_words", "n_occurrences", "score")
     )
+
+
+# -- encoding repair (mojibake) ----------------------------------------
+
+# UTF-8 bytes re-read as Windows-1252: the classic double-encoding
+# corruption ("café" -> "cafÃ©"). The table is GENERATED, not typed:
+# for each target char, its mojibake form is exactly
+# char.encode("utf-8").decode("cp1252"). Targets are limited to chars
+# whose UTF-8 bytes all map in cp1252 (0x81/0x8D/0x8F/0x90/0x9D are
+# undefined there — e.g. the right double quote " is excluded because
+# real-world cp1252 mojibake mangles its 0x9D byte unrecoverably).
+# Repairs apply LONGEST-FIRST so a prefix pattern can never eat a
+# longer one's bytes.
+_MOJIBAKE_TARGETS = "éèêëäöüñçàáâíìîóòôúùûïÉ’‘“…–—«»°"
+
+
+def _mojibake_table() -> list[tuple[str, str]]:
+    out = []
+    for ch in _MOJIBAKE_TARGETS:
+        bad = ch.encode("utf-8").decode("cp1252")
+        out.append((bad, ch))
+    out.sort(key=lambda p: (-len(p[0]), p[0]))
+    return out
+
+
+MOJIBAKE_REPAIRS: list[tuple[str, str]] = _mojibake_table()
+
+
+def mojibake_count(text: str = "text", col: Column | None = None) -> Column:
+    """Total mojibake sequences present (occurrences of any repair-table
+    pattern) — scan-stage arithmetic over replace(), no regex, no
+    Python: count(pat) = (len(s) - len(remove(s, pat))) / len(pat)."""
+    s = F.col(text) if col is None else col
+    total = F.lit(0).cast("long")
+    for bad, _ in MOJIBAKE_REPAIRS:
+        total = total + (
+            (F.char_length(s) - F.char_length(F.replace(s, F.lit(bad), F.lit(""))))
+            / F.lit(len(bad))
+        ).cast("long")
+    return total
+
+
+def fix_mojibake(text: str = "text", col: Column | None = None) -> Column:
+    """Repair UTF-8-as-cp1252 mojibake: chained scan-stage replace()s
+    in longest-first table order. Deterministic, JVM-side, and exactly
+    mirrored by the same chain in any SQL engine."""
+    s = F.col(text) if col is None else col
+    for bad, good in MOJIBAKE_REPAIRS:
+        s = F.replace(s, F.lit(bad), F.lit(good))
+    return s
+
+
+def mojibake_oracle_exprs(col_sql: str) -> tuple[str, str]:
+    """DuckDB SQL mirrors of :func:`mojibake_count` and
+    :func:`fix_mojibake` over ``col_sql`` — (count_expr, fix_expr),
+    same table, same order."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    parts = []
+    for bad, _ in MOJIBAKE_REPAIRS:
+        parts.append(
+            f"CAST((length({col_sql}) - length(replace({col_sql}, "
+            f"{q(bad)}, ''))) / {len(bad)} AS BIGINT)"
+        )
+    count_expr = " + ".join(parts)
+    fix_expr = col_sql
+    for bad, good in MOJIBAKE_REPAIRS:
+        fix_expr = f"replace({fix_expr}, {q(bad)}, {q(good)})"
+    return count_expr, fix_expr

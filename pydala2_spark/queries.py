@@ -7686,6 +7686,56 @@ def dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_matches(_t(spark, sf_dir, "documents"), k=8)
 
 
+_MOJIBAKE_INJECT = [
+    (" the ", " thÃ© "),   # thé read as cp1252
+    (" and ", " Ã¡nd "),   # ánd
+    (" on ", " Ã¶n "),     # ön
+    (" up ", " Ã¼p "),     # üp
+    (" it ", " â€™it "),  # ’it (curly apostrophe)
+]
+
+
+def _mojibake_oracle() -> str:
+    from pydala2_spark.functions.text import mojibake_oracle_exprs
+
+    corrupted = "text"
+    for pat, rep in _MOJIBAKE_INJECT:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        corrupted = f"replace({corrupted}, '{p}', '{r}')"
+    cnt, fix = mojibake_oracle_exprs("c")
+    return f"""
+    WITH co AS (SELECT doc_id, {corrupted} AS c FROM documents),
+    m AS (SELECT doc_id, {cnt} AS n_bad, md5({fix}) AS fixed_md5 FROM co)
+    SELECT doc_id, n_bad, fixed_md5 FROM m WHERE n_bad > 0
+    """
+
+
+@query("doc_mojibake_repair", _mojibake_oracle())
+def doc_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-corruption repair, end to end: deterministically
+    corrupt the corpus with classic UTF-8-read-as-cp1252 mojibake
+    (five common words gain mangled accents/punctuation — the same
+    replace chain in both engines), then DETECT (sequence counts via
+    replace-length arithmetic, no regex) and REPAIR with the generated
+    22-pattern table (char.encode('utf-8').decode('cp1252'), applied
+    longest-first). The ftfy-style cleanup every web-scraped training
+    corpus needs, scan-stage and Python-free; repaired bodies md5'd
+    for the oracle. See functions/text.fix_mojibake."""
+    from pydala2_spark.functions.text import fix_mojibake, mojibake_count
+
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    for pat, rep in _MOJIBAKE_INJECT:
+        c = F.replace(c, F.lit(pat), F.lit(rep))
+    out = docs.select(
+        "doc_id",
+        mojibake_count(col=c).alias("n_bad"),
+        F.md5(fix_mojibake(col=c).cast("binary")).alias("fixed_md5"),
+    )
+    return out.filter(F.col("n_bad") > 0)
+
+
 def _bpe_learn_oracle() -> str:
     from pydala2_spark.operators.curate import bpe_merges_oracle_sql
 

@@ -2074,3 +2074,56 @@ def test_bpe_encode_compression_oracle_parity(spark):
         for r in bpe_encode_token_counts(df, []).collect()
     }
     assert all(c == s for c, s in base.values())
+
+
+def test_mojibake_roundtrip_and_count(spark):
+    """fix_mojibake inverts UTF-8-as-cp1252 corruption exactly: for
+    any text of repairable chars, fix(corrupt(text)) == text."""
+    from pydala2_spark.functions.text import (
+        MOJIBAKE_REPAIRS,
+        fix_mojibake,
+        mojibake_count,
+    )
+
+    originals = [
+        "café crème brûlée — c’est «très» bon… naïve piñata",
+        "plain ascii stays untouched",
+        "über señor 10°",
+    ]
+    corrupted = [
+        t.encode("utf-8").decode("cp1252", errors="ignore")
+        if any(b for b, _ in MOJIBAKE_REPAIRS if b in
+               t.encode("utf-8").decode("cp1252", errors="ignore"))
+        else t
+        for t in originals
+    ]
+    df = spark.createDataFrame(
+        [(o, c) for o, c in zip(originals, corrupted)],
+        "orig string, bad string",
+    )
+    from pyspark.sql import functions as F
+
+    rows = df.select(
+        "orig",
+        fix_mojibake(col=F.col("bad")).alias("fixed"),
+        mojibake_count(col=F.col("bad")).alias("n"),
+        mojibake_count(col=F.col("orig")).alias("n_orig"),
+    ).collect()
+    for r in rows:
+        # every repairable char round-trips; ascii text is untouched
+        assert r["n_orig"] == 0
+        if r["n"] > 0:
+            assert r["fixed"] == r["orig"]
+    assert rows[0]["n"] >= 8  # é è û ’ « » … ï ñ all corrupted
+    assert rows[1]["n"] == 0
+
+
+def test_mojibake_table_is_prefix_safe(spark):
+    """Longest-first ordering: no pattern applied earlier is a strict
+    prefix of one applied later (which the earlier replace would eat)."""
+    from pydala2_spark.functions.text import MOJIBAKE_REPAIRS
+
+    pats = [b for b, _ in MOJIBAKE_REPAIRS]
+    for i, p in enumerate(pats):
+        for later in pats[i + 1 :]:
+            assert not (later.startswith(p) and later != p)
