@@ -9018,10 +9018,17 @@ _VERIFY_FIRST = [
     #     q15_top_suppliers (broadcast scalar max, 74307c0),
     #     agg_cms_heavy_hitters (stamped-probe redesign), and
     #     graph_triangles (r10: oriented-edge localCheckpoint reuse).
-    #   positions 36-49: the stalest previously-checked entries
+    #   positions 36-43: the EIGHT queries new in r10 (never
+    #     driver-seen, mirror-green): dedup_exact_substr[_removal],
+    #     doc_bpe_learn/compression, dq_rule_report, dq_k_anonymity,
+    #     ev_theil_sen, doc_mojibake_repair.
+    #   positions 44-49: the stalest previously-checked entries
     #     (r7-checked block, CORRECTNESS_r07 order).
     # r11 pre-staging: rotate the REMAINDER of the r7-checked block to
-    # the front next round — doc_heaps_fit, doc_token_pmi, doc_zipf_fit,
+    # the front next round — dq_fk_orphans, dq_benford,
+    # er_part_linkage, ev_conversion_latency, ev_anomaly_days,
+    # ev_rolling_quantiles, ev_value_histogram, scd2_event_history,
+    # doc_heaps_fit, doc_token_pmi, doc_zipf_fit,
     # graph_pagerank, emb_dim_stats, part_skyline, fuzzy_part_matches,
     # agg_hll_sketch, profile_orders, ev_ohlc_bars, ev_resample_interp,
     # asof_nearest_tolerance, snapshot_cdf, ivm_incremental_rollup,
@@ -9034,7 +9041,7 @@ _VERIFY_FIRST = [
     # mm_gif_frame_sample, mm_image_tiff_decode, mm_image_real_decode,
     # mm_audio_real_features — then pad with the r8-checked block
     # (CORRECTNESS_r08 order: scan_filter_project, sort_limit_topk, ...)
-    # and any queries added or rewritten in r10. Entries past the
+    # and any queries added or rewritten in r11. Entries past the
     # window hold green driver rows from r8/r9 and stay covered by the
     # full local mirror (scripts/check_correctness.py runs every entry).
     # --- the r10 driver window: positions 0-49 ---
@@ -9074,22 +9081,20 @@ _VERIFY_FIRST = [
     "q15_top_suppliers",
     "agg_cms_heavy_hitters",
     "graph_triangles",
+    "dedup_exact_substr",
+    "dedup_exact_substr_removal",
+    "doc_bpe_learn",
+    "doc_bpe_compression",
+    "dq_rule_report",
+    "dq_k_anonymity",
+    "ev_theil_sen",
+    "doc_mojibake_repair",
     "array_function_suite",
     "date_arithmetic_suite",
     "merge_upsert_semantics",
     "pivot_status_by_priority",
     "w_running_revenue",
     "ev_resample_locf",
-    "dq_fk_orphans",
-    "dq_benford",
-    "er_part_linkage",
-    "ev_conversion_latency",
-    "ev_anomaly_days",
-    "ev_rolling_quantiles",
-    "ev_value_histogram",
-    # new in r10 (never driver-seen) — displaces the last r7 padding
-    # entry (scd2_event_history), which rotates forward in r11
-    "dedup_exact_substr",
 ]
 
 
