@@ -555,6 +555,61 @@ def main():
             reps=2,
         )
 
+    # r10 batch: single-aggregate / calendar-bounded shapes — expect
+    # ~linear (rules, k-anonymity, mojibake are one scan-stage pass;
+    # theil-sen's O(days^2) pair join is calendar-bounded so the 100x
+    # corpus only grows the daily reduction).
+    from pydala2_spark.functions.dq import k_anonymity_report, validate_rules
+    from pydala2_spark.functions.text import fix_mojibake, mojibake_count
+    from pydala2_spark.operators.events import theil_sen_trend
+
+    for label in (("1x", "big") if want("r10batch") else ()):
+        dd = spark.read.parquet(
+            {"1x": f"{ROOT}/docs_1x", "big": f"{ROOT}/docs_big"}[label]
+        )
+        rules = [
+            {"rule": "not_null", "col": "lang"},
+            {"rule": "unique", "cols": ["doc_id"]},
+            {"rule": "range", "col": "n_chars", "min": 10, "max": 5000},
+            {"rule": "regex", "col": "lang", "pattern": "^[a-z]{2}$"},
+        ]
+        out.setdefault("dq_rules", {})[label] = timed(
+            lambda dd=dd, rules=rules: validate_rules(dd, rules).collect(),
+            reps=2,
+        )
+        out.setdefault("k_anonymity", {})[label] = timed(
+            lambda dd=dd: k_anonymity_report(
+                dd.withColumn("band", F.floor(F.col("n_chars") / 100)),
+                ["lang", "source", "band"],
+                k=5,
+            ).collect(),
+            reps=2,
+        )
+        out.setdefault("mojibake_fix", {})[label] = timed(
+            lambda dd=dd: dd.select(
+                mojibake_count(col=F.col("text")).alias("n"),
+                F.length(fix_mojibake(col=F.col("text"))).alias("l"),
+            )
+            .agg(F.sum("n"), F.sum("l"))
+            .collect(),
+            reps=2,
+        )
+        ee = spark.read.parquet(
+            {"1x": f"{ROOT}/ev_1x", "big": f"{ROOT}/ev_big"}[label]
+        )
+        daily = ee.groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("t"),
+        ).agg(F.sum("value").alias("x"))
+        out.setdefault("theil_sen", {})[label] = timed(
+            lambda daily=daily: theil_sen_trend(
+                daily, "event_type", "t", "x"
+            ).collect(),
+            reps=2,
+        )
+
     # trigram index: build = one corpus scan + bucketed write
     # (~linear); the probe reads only the pattern's bucket partitions
     # + an id semi-join (~flat in corpus, linear in matches).
