@@ -7930,6 +7930,72 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us,
+           round(p.value, 2) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Twelfth streaming oracle query: STREAM-STREAM interval join —
+    two branches of the event firehose (clicks, purchases) correlated
+    within a 30-minute window, the attribution topology neither
+    stream-static enrichment nor the as-of BATCH join covers. The
+    watermark + interval condition bound each side's join state to
+    rate x window (never history); inner-join matches emit
+    immediately, so the availableNow drain equals the batch interval
+    join bit-for-bit (integer µs lags, one rounded value).
+    See streaming/pipeline.interval_join_streams."""
+    import tempfile
+    import uuid
+
+    from pydala2_spark.streaming.pipeline import (
+        interval_join_streams,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    ev = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    clicks = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    joined = interval_join_streams(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="c_ts",
+        right_ts="p_ts",
+        upper="30 minutes",
+        watermark="2 hours",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    return run_to_memory(
+        joined, name, ck, state_partitions=4, output_mode="append"
+    )
+
+
+@query(
     "ev_dow_seasonality",
     f"""
     WITH d AS (
@@ -9094,7 +9160,9 @@ _VERIFY_FIRST = [
     "merge_upsert_semantics",
     "pivot_status_by_priority",
     "w_running_revenue",
-    "ev_resample_locf",
+    # ninth r10 addition (never driver-seen); ev_resample_locf joins
+    # the staged r11 r7-block rotation
+    "stream_stream_join",
 ]
 
 

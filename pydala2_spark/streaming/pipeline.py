@@ -1015,3 +1015,39 @@ def topk_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    upper: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM inner join within a time interval — the canonical
+    two-firehose correlation (click→purchase attribution, request→
+    response pairing): emit one row per (left, right) pair with the
+    same ``key`` where ``left_ts <= right_ts <= left_ts + upper``.
+
+    Both sides get the same event-time watermark; together with the
+    interval condition that BOUNDS THE JOIN STATE — each side's buffer
+    holds only rows inside watermark + interval, so state is
+    rate x window, not history (the property that makes a
+    stream-stream join survivable at 100 TB/day; without the interval
+    bound Spark must buffer both streams forever). Inner joins emit
+    matches immediately; the watermark only governs state eviction,
+    so an availableNow drain yields exactly the batch-join answer.
+
+    Column names must be disjoint apart from ``key`` (rename before
+    calling); self-joins of one source stream are fine.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        f"{key} = __rk AND {right_ts} >= {left_ts} "
+        f"AND {right_ts} <= {left_ts} + INTERVAL {upper}"
+    )
+    r = r.withColumnRenamed(key, "__rk")
+    return l.join(r, F.expr(cond), "inner").drop("__rk")

@@ -2249,3 +2249,57 @@ def test_streaming_topk_multibatch_order_free(spark, sf_dir, tmp_path):
         want[r["event_type"]][0].append(r["event_id"])
         want[r["event_type"]][1].append(r["value"])
     assert last == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, landing_dir, tmp_path):
+    from pydala2_spark.streaming.pipeline import (
+        interval_join_streams,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    ev = read_event_stream(spark, landing_dir)
+    clicks = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    joined = interval_join_streams(
+        clicks, purchases, key="user_id", left_ts="c_ts",
+        right_ts="p_ts", upper="30 minutes",
+    ).select("click_id", "purchase_id", "user_id")
+    got = sorted(
+        tuple(r)
+        for r in run_to_memory(
+            joined, "ssj_test", str(tmp_path / "ck"), state_partitions=2,
+            output_mode="append",
+        ).collect()
+    )
+    # batch reference: identical interval join on the static frame
+    bev = spark.read.parquet(landing_dir)
+    c = bev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    p = bev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("u2"),
+        F.col("ts").alias("p_ts"),
+    )
+    want = sorted(
+        tuple(r)
+        for r in c.join(
+            p,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select("click_id", "purchase_id", "user_id")
+        .collect()
+    )
+    assert got == want and len(got) > 0
