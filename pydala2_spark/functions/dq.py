@@ -378,3 +378,203 @@ def k_anonymity_report(
     if sensitive_col is not None:
         cols += ["n_classes_below_l", "n_rows_below_l"]
     return out.select(*cols)
+
+
+_DEC8 = "decimal(38,8)"
+
+
+def corr_matrix(df: DataFrame, cols: list[str], ndigits: int = 6) -> DataFrame:
+    """Pairwise Pearson correlation matrix over ``cols``, unpivoted to
+    one row per unordered pair: ``(col_x, col_y, corr)`` — the
+    multicollinearity / feature-redundancy screen a modeling pipeline
+    runs before training.
+
+    ONE aggregation pass computes every sufficient statistic
+    (n, Σx, Σx² per column, Σxy per pair — C(k,2)+2k+1 aggregate
+    columns); adding a column adds aggregates, not scans. Each per-row
+    product is a deterministic IEEE double, cast to DECIMAL(38,8)
+    before summing so partition order cannot move a bit (the
+    ev_value_trend discipline); correlations derive in double with a
+    fixed expression shape a SQL oracle reproduces exactly.
+
+    100 TB shape: one map-side-combined scan to a single row, then the
+    unpivot explodes a literal array — no shuffle beyond the one-row
+    reduce.
+    """
+    if len(cols) < 2:
+        raise ValueError(f"need >= 2 columns, got {cols!r}")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast(_DEC8)).alias(f"s_{c}"))
+        aggs.append(F.sum((F.col(c) * F.col(c)).cast(_DEC8)).alias(f"q_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(F.sum((F.col(a) * F.col(b)).cast(_DEC8)).alias(f"p_{a}_{b}"))
+    s = df.agg(*aggs)
+
+    def _corr(a: str, b: str):
+        n = F.col("n").cast("double")
+        sa = F.col(f"s_{a}").cast("double")
+        sb = F.col(f"s_{b}").cast("double")
+        qa = F.col(f"q_{a}").cast("double")
+        qb = F.col(f"q_{b}").cast("double")
+        p = F.col(f"p_{a}_{b}").cast("double")
+        den = F.sqrt(n * qa - sa * sa) * F.sqrt(n * qb - sb * sb)
+        # zero-variance column -> NULL (ANSI mode would throw on /0)
+        return F.round(F.when(den > 0, (n * p - sa * sb) / den), ndigits)
+
+    rows = [
+        F.struct(
+            F.lit(a).alias("col_x"),
+            F.lit(b).alias("col_y"),
+            _corr(a, b).alias("corr"),
+        )
+        for a, b in pairs
+    ]
+    return s.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def corr_matrix_oracle_sql(
+    table_sql: str, cols: list[str], ndigits: int = 6
+) -> str:
+    """DuckDB oracle for :func:`corr_matrix`: identical sufficient
+    statistics (DECIMAL(38,8) sums of per-row double products) and the
+    identical double-precision derivation, one UNION ALL arm per
+    pair."""
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    aggs = ["count(*) AS n"]
+    for c in cols:
+        aggs.append(f"sum(CAST({c} AS DECIMAL(38,8))) AS s_{c}")
+        aggs.append(f"sum(CAST({c} * {c} AS DECIMAL(38,8))) AS q_{c}")
+    for a, b in pairs:
+        aggs.append(f"sum(CAST({a} * {b} AS DECIMAL(38,8))) AS p_{a}_{b}")
+    arms = []
+    for a, b in pairs:
+        den = (
+            f"(sqrt(CAST(n AS DOUBLE) * CAST(q_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+            f" * sqrt(CAST(n AS DOUBLE) * CAST(q_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+        )
+        expr = (
+            f"round(CASE WHEN {den} > 0 THEN"
+            f" (CAST(n AS DOUBLE) * CAST(p_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+            f" / {den} END, {ndigits})"
+        )
+        arms.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, {expr} AS corr FROM s"
+        )
+    return (
+        f"WITH s AS (SELECT {', '.join(aggs)} FROM ({table_sql}))\n"
+        + "\nUNION ALL\n".join(arms)
+    )
+
+
+def categorical_mutual_info(
+    df: DataFrame, x: str, y: str, ndigits: int = 4
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, with
+    both marginal entropies and the min-entropy-normalized MI — the
+    feature-dependence / redundancy audit (is ``source`` just a proxy
+    for ``lang``?) and the leakage screen (is a feature secretly the
+    label?).
+
+    One row out: ``(n_rows, h_x, h_y, mi, mi_norm)``.
+
+    Determinism: joint and marginal counts are integer-exact, so every
+    per-cell term is a deterministic double; terms round to 12
+    decimals and accumulate as DECIMAL(38,12) (the pagerank
+    discipline) so summation order cannot move a bit.
+
+    100 TB shape: one map-side-combined groupBy to the |X|x|Y| joint
+    frame; marginals are re-aggregations OF that frame (the corpus is
+    scanned once); totals join back as one-row broadcasts — no global
+    window, no funnel.
+    """
+    joint = df.groupBy(
+        F.col(x).alias("__x"), F.col(y).alias("__y")
+    ).agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    tot = joint.agg(F.sum("c").cast("long").alias("n"))
+    mx = joint.groupBy("__x").agg(F.sum("c").alias("cx"))
+    my = joint.groupBy("__y").agg(F.sum("c").alias("cy"))
+    dec = "decimal(38,12)"
+
+    def _h(marg: DataFrame, ccol: str):
+        t = marg.crossJoin(F.broadcast(tot))
+        term = F.round(
+            -(F.col(ccol).cast("double") / F.col("n").cast("double"))
+            * F.log(F.col(ccol).cast("double") / F.col("n").cast("double")),
+            12,
+        ).cast(dec)
+        return t.agg(F.sum(term).cast("double").alias("h"))
+
+    mi_term = F.round(
+        (F.col("c").cast("double") / F.col("n").cast("double"))
+        * F.log(
+            (F.col("c").cast("double") * F.col("n").cast("double"))
+            / (F.col("cx").cast("double") * F.col("cy").cast("double"))
+        ),
+        12,
+    ).cast(dec)
+    mi = (
+        joint.join(mx, "__x")
+        .join(my, "__y")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum(mi_term).cast("double").alias("mi"))
+    )
+    hx = _h(mx, "cx")
+    hy = _h(my, "cy")
+    return (
+        tot.crossJoin(F.broadcast(hx.select(F.col("h").alias("__hx"))))
+        .crossJoin(F.broadcast(hy.select(F.col("h").alias("__hy"))))
+        .crossJoin(F.broadcast(mi))
+        .select(
+            F.col("n").alias("n_rows"),
+            F.round("__hx", ndigits).alias("h_x"),
+            F.round("__hy", ndigits).alias("h_y"),
+            F.round("mi", ndigits).alias("mi"),
+            F.round(
+                F.col("mi") / F.least("__hx", "__hy"), ndigits
+            ).alias("mi_norm"),
+        )
+    )
+
+
+def mutual_info_oracle_sql(
+    table_sql: str, x: str, y: str, ndigits: int = 4
+) -> str:
+    """DuckDB oracle for :func:`categorical_mutual_info` — identical
+    rounded-term DECIMAL(38,12) accumulation."""
+    return f"""
+    WITH joint AS (
+      SELECT {x} AS xv, {y} AS yv, count(*) AS c
+      FROM ({table_sql}) GROUP BY 1, 2
+    ), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM joint),
+    mx AS (SELECT xv, sum(c) AS cx FROM joint GROUP BY 1),
+    my AS (SELECT yv, sum(c) AS cy FROM joint GROUP BY 1),
+    hx AS (
+      SELECT CAST(sum(CAST(round(
+        -(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE))
+          * ln(CAST(cx AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+        AS DECIMAL(38,12))) AS DOUBLE) AS h FROM mx, tot
+    ), hy AS (
+      SELECT CAST(sum(CAST(round(
+        -(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))
+          * ln(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+        AS DECIMAL(38,12))) AS DOUBLE) AS h FROM my, tot
+    ), mi AS (
+      SELECT CAST(sum(CAST(round(
+        (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+          * ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE))
+               / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))), 12)
+        AS DECIMAL(38,12))) AS DOUBLE) AS mi
+      FROM joint JOIN mx USING (xv) JOIN my USING (yv), tot
+    )
+    SELECT tot.n AS n_rows,
+           round(hx.h, {ndigits}) AS h_x,
+           round(hy.h, {ndigits}) AS h_y,
+           round(mi.mi, {ndigits}) AS mi,
+           round(mi.mi / least(hx.h, hy.h), {ndigits}) AS mi_norm
+    FROM tot, hx, hy, mi
+    """

@@ -531,3 +531,70 @@ def mojibake_oracle_exprs(col_sql: str) -> tuple[str, str]:
     for bad, good in MOJIBAKE_REPAIRS:
         fix_expr = f"replace({fix_expr}, {q(bad)}, {q(good)})"
     return count_expr, fix_expr
+
+
+SYLLABLE_REGEX = "[aeiouy]+"
+
+
+def syllable_count(tok: Column | str) -> Column:
+    """Heuristic syllable count for one token: number of maximal
+    vowel-group runs (a/e/i/o/u/y). The standard cheap estimator —
+    exact enough for corpus-level readability statistics, and
+    expressible identically in Spark and the DuckDB oracle
+    (``regexp_extract_all`` length in both)."""
+    c = F.col(tok) if isinstance(tok, str) else tok
+    return F.size(F.regexp_extract_all(c, F.lit(SYLLABLE_REGEX), F.lit(0)))
+
+
+def readability_report(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text: str = "text",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Per-group FORCAST readability (Caylor et al. 1973): grade =
+    20 - 15 * (monosyllabic-word fraction) — the one published
+    readability formula that needs NO sentence boundaries, which is
+    exactly the situation with boilerplate-stripped / OCR'd / markup-
+    flattened corpora where period detection is garbage. Plus the raw
+    complexity signals (syllables per word, mean word length).
+
+    Output: ``(group, n_words, pct_monosyllabic, syllables_per_word,
+    avg_word_len, forcast_grade)``.
+
+    Determinism: all aggregates are exact integer counts; the derived
+    ratios are single divisions of exact integers, rounded.
+
+    100 TB shape: explode + one map-side-combined agg keyed by the
+    group — the canonical exploded-token aggregation, no joins, no
+    windows. Syllable counting is a scan-stage regexp (JVM-side,
+    whole-stage codegen)."""
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    syl = syllable_count("tok")
+    agg = toks.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.when(syl <= 1, 1).otherwise(0)).cast("long").alias("n_mono"),
+        F.sum(syl.cast("long")).cast("long").alias("n_syllables"),
+        F.sum(F.length("tok").cast("long")).cast("long").alias("n_chars"),
+    )
+    w = F.col("n_words").cast("double")
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_words",
+        F.round(F.col("n_mono").cast("double") / w, ndigits).alias(
+            "pct_monosyllabic"
+        ),
+        F.round(F.col("n_syllables").cast("double") / w, ndigits).alias(
+            "syllables_per_word"
+        ),
+        F.round(F.col("n_chars").cast("double") / w, ndigits).alias(
+            "avg_word_len"
+        ),
+        F.round(
+            F.lit(20.0) - F.lit(15.0) * (F.col("n_mono").cast("double") / w),
+            ndigits,
+        ).alias("forcast_grade"),
+    )

@@ -978,3 +978,89 @@ def theil_sen_trend(
         .join(resid, group_col)
         .select(group_col, "n_points", "n_pairs", "slope", "intercept")
     )
+
+
+def markov_transitions(
+    ev: DataFrame,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    ndigits: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: ``(src, dst, n_trans, p)`` where ``p`` row-normalizes
+    counts to P(next=dst | cur=src). The behavioral-model primitive
+    behind next-event prediction, journey analysis, and anomalous-
+    session scoring (a session whose transitions are improbable under
+    the fitted matrix is an outlier).
+
+    Determinism: counts are integer-exact; ``p`` is a single division
+    of exact integers, rounded — no accumulation-order hazard.
+
+    100 TB shape: one window shuffle keyed by user (each user's
+    events sort locally — millions of small partitions, no funnel),
+    one map-side-combined count agg to a |types|^2 frame, then the
+    row-normalizing window runs on that tiny post-agg frame.
+    """
+    from pydala2_spark.operators.graph import transition_edges
+
+    e = transition_edges(
+        ev, type_col=type_col, user_col=user_col, ts_col=ts_col, id_col=id_col
+    )
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy("src")
+    return e.select(
+        "src",
+        "dst",
+        F.col("w").cast("long").alias("n_trans"),
+        F.round(
+            F.col("w").cast("double") / F.sum("w").over(tot).cast("double"),
+            ndigits,
+        ).alias("p"),
+    )
+
+
+def frequent_event_paths(
+    ev: DataFrame,
+    depth: int = 3,
+    k: int = 25,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-``k`` most frequent length-``depth`` event-type paths
+    (consecutive runs within a user's ordered sequence) — the
+    sequential-pattern-mining shape (n-gram flavor of SPADE/
+    PrefixSpan): "what do users actually do, in order?".
+
+    Output ``(path, n_paths)`` with ``path`` like
+    ``'view>click>purchase'``; ties broken by path text so the top-k
+    is deterministic.
+
+    100 TB shape: the same single per-user window shuffle as
+    sessionization (``lead`` x (depth-1) rides one sort), a map-side-
+    combined count agg to at most |types|^depth rows, then top-k is
+    one TakeOrderedAndProject — no global sort of the input.
+    """
+    if depth < 2:
+        raise ValueError(f"depth must be >= 2, got {depth}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, depth)
+    ]
+    # concat_ws silently SKIPS nulls (it would emit truncated paths at
+    # sequence tails); require the last step non-null instead.
+    path = F.concat_ws(">", *steps)
+    return (
+        ev.select(path.alias("path"), steps[-1].alias("__last"))
+        .filter(F.col("__last").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), F.col("path"))
+        .limit(k)
+    )

@@ -518,3 +518,95 @@ def link_prediction_scores(
             F.round("__aa", 4).alias("adamic_adar"),
         )
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source BFS hop distances: for every node reachable from
+    ``seeds`` within ``max_hops`` undirected hops, the MINIMUM hop
+    count. The "blast radius" primitive — recall expansion from a
+    contaminated-part list, fraud-ring neighborhoods, related-content
+    expansion from a seed set.
+
+    ``edges`` is an undirected edge list ``(src, dst)``; ``seeds`` has
+    one column ``node``. Seeds not present in the edge list are
+    dropped (they have no neighborhood to expand — and the SQL oracle
+    mirrors the same join). Output: ``(node, dist)``, integer-exact.
+
+    100 TB shape: textbook frontier BFS — each round expands ONLY the
+    newly-settled frontier (one equi-join keyed on the frontier node),
+    then anti-joins against the settled set so a node is expanded at
+    most once ever. Work per round is proportional to the frontier's
+    edge boundary, not the graph; ``max_hops`` bounds the round count.
+    The settled and frontier frames are each consumed by later rounds,
+    so both are localCheckpoint-ed per round (the triangle_counts
+    lesson: an un-checkpointed reuse re-runs the caller's whole
+    edge-derivation lineage every round).
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    edges = edges.select("src", "dst").localCheckpoint()
+    adj = edges.select(
+        F.col("src").alias("node"), F.col("dst").alias("v")
+    ).unionAll(edges.select(F.col("dst").alias("node"), F.col("src").alias("v")))
+    nodes = adj.select("node").distinct()
+    settled = (
+        seeds.select("node")
+        .distinct()
+        .join(nodes, "node")
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint()
+    )
+    frontier = settled
+    for hop in range(1, max_hops + 1):
+        grown = (
+            frontier.join(adj, "node")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(settled, "node", "left_anti")
+            .select("node", F.lit(hop).cast("long").alias("dist"))
+            .localCheckpoint()
+        )
+        if grown.isEmpty():
+            break
+        settled = settled.unionAll(grown).localCheckpoint()
+        frontier = grown
+    return settled
+
+
+def bfs_oracle_sql(
+    edge_cte: str,
+    seed_cte: str,
+    max_hops: int = 3,
+    node_alias: str = "node",
+) -> str:
+    """DuckDB oracle for :func:`bfs_distances`: ``max_hops`` unrolled
+    min-fold rounds (``d_k = min over d_{k-1} UNION neighbors+1`` —
+    a settled node's distance is already minimal, so the fold is
+    idempotent on it; identical arithmetic, integer-exact).
+    ``edge_cte`` must yield (src, dst); ``seed_cte`` one column
+    ``node``."""
+    parts = [
+        f"WITH e AS ({edge_cte}),",
+        "adj AS (SELECT src AS node, dst AS v FROM e"
+        " UNION ALL SELECT dst, src FROM e),",
+        f"seeds AS ({seed_cte}),",
+        "d0 AS (SELECT DISTINCT s.node, CAST(0 AS BIGINT) AS dist"
+        " FROM seeds s JOIN (SELECT DISTINCT node FROM adj) g USING (node)),",
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f"d{h} AS (SELECT node, min(dist) AS dist FROM ("
+            f"SELECT node, dist FROM d{h - 1}"
+            f" UNION ALL SELECT adj.v, d{h - 1}.dist + 1"
+            f" FROM adj JOIN d{h - 1} USING (node)) GROUP BY node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT node AS {node_alias}, CAST(dist AS BIGINT) AS dist"
+        f" FROM d{max_hops}"
+    )
+    return "\n".join(parts)

@@ -9064,6 +9064,205 @@ def p_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_matrix_oracle() -> str:
+    from pydala2_spark.functions.dq import corr_matrix_oracle_sql
+
+    return corr_matrix_oracle_sql(
+        "SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem",
+        _CORR_COLS,
+    )
+
+
+@query("agg_corr_matrix", _corr_matrix_oracle())
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over lineitem's numeric measures,
+    unpivoted to one row per pair — the feature-redundancy screen.
+    ONE map-side-combined scan computes all C(4,2)+8+1 sufficient
+    statistics (decimal-accumulated, the ev_value_trend discipline);
+    the pair explode runs on the single reduced row. At 100 TB:
+    one pass, one one-row shuffle, no joins.
+    See functions/dq.corr_matrix."""
+    from pydala2_spark.functions.dq import corr_matrix
+
+    return corr_matrix(_t(spark, sf_dir, "lineitem"), _CORR_COLS)
+
+
+def _mutual_info_oracle() -> str:
+    from pydala2_spark.functions.dq import mutual_info_oracle_sql
+
+    return mutual_info_oracle_sql(
+        "SELECT lang, source FROM documents", "lang", "source"
+    )
+
+
+@query("dq_mutual_info", _mutual_info_oracle())
+def dq_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between the corpus' lang and source labels
+    (plus both marginal entropies and min-normalized MI) — the
+    dependence / leakage audit: is `source` secretly a language
+    proxy? One groupBy to the |langs|x|sources| joint frame, marginals
+    re-aggregate THAT frame (corpus scanned once), totals join back as
+    one-row broadcasts; per-cell ln terms round-12 then accumulate as
+    DECIMAL(38,12) (pagerank discipline) so both engines sum exactly.
+    See functions/dq.categorical_mutual_info."""
+    from pydala2_spark.functions.dq import categorical_mutual_info
+
+    return categorical_mutual_info(
+        _t(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
+@query(
+    "doc_readability",
+    """
+    WITH t AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), s AS (
+      SELECT lang, tok, len(regexp_extract_all(tok, '[aeiouy]+')) AS syl
+      FROM t WHERE tok <> ''
+    ), a AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(CASE WHEN syl <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_mono,
+             CAST(sum(syl) AS BIGINT) AS n_syl,
+             CAST(sum(length(tok)) AS BIGINT) AS n_chars
+      FROM s GROUP BY lang
+    )
+    SELECT lang, n_words,
+           round(CAST(n_mono AS DOUBLE) / CAST(n_words AS DOUBLE), 4)
+             AS pct_monosyllabic,
+           round(CAST(n_syl AS DOUBLE) / CAST(n_words AS DOUBLE), 4)
+             AS syllables_per_word,
+           round(CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE), 4)
+             AS avg_word_len,
+           round(20.0 - 15.0 * (CAST(n_mono AS DOUBLE)
+                                / CAST(n_words AS DOUBLE)), 4)
+             AS forcast_grade
+    FROM a
+    """,
+)
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language FORCAST readability (Caylor et al. 1973) — the
+    sentence-boundary-free readability formula, which is the right one
+    for boilerplate-stripped corpora where period detection is
+    garbage. Syllables = vowel-group runs, a scan-stage regexp in
+    whole-stage codegen; one exploded-token agg keyed by lang, all
+    counts integer-exact. See functions/text.readability_report."""
+    from pydala2_spark.functions.text import readability_report
+
+    return readability_report(_t(spark, sf_dir, "documents"), "lang")
+
+
+@query(
+    "ev_markov_transitions",
+    """
+    WITH s AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ), c AS (
+      SELECT src, dst, count(*) AS w FROM s
+      WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, CAST(w AS BIGINT) AS n_trans,
+           round(CAST(w AS DOUBLE)
+                 / CAST(sum(w) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
+    FROM c
+    """,
+)
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (row-normalized next-event probabilities) — the
+    journey-model / anomalous-session primitive. One per-user window
+    shuffle (millions of small partitions, no funnel), one map-side
+    count agg to |types|^2 rows; the normalizing window runs on that
+    tiny post-agg frame. p divides exact integers — no accumulation
+    hazard. See operators/events.markov_transitions."""
+    from pydala2_spark.operators.events import markov_transitions
+
+    return markov_transitions(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "ev_frequent_paths",
+    """
+    WITH s AS (
+      SELECT event_type AS e0,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e1,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e2
+      FROM events
+    )
+    SELECT e0 || '>' || e1 || '>' || e2 AS path,
+           CAST(count(*) AS BIGINT) AS n_paths
+    FROM s WHERE e2 IS NOT NULL
+    GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 25
+    """,
+)
+def ev_frequent_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 most frequent 3-step event paths across user sequences —
+    the n-gram flavor of sequential pattern mining (what do users DO,
+    in order?). Both leads ride ONE per-user window sort; the count
+    agg is map-side combined to at most |types|^3 rows; top-k is one
+    TakeOrderedAndProject with a path-text tiebreak.
+    See operators/events.frequent_event_paths."""
+    from pydala2_spark.operators.events import frequent_event_paths
+
+    return frequent_event_paths(_t(spark, sf_dir, "events"), depth=3, k=25)
+
+
+def _bfs_oracle() -> str:
+    from pydala2_spark.operators.graph import bfs_oracle_sql
+
+    edge_cte = """
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                  FROM lineitem WHERE l_quantity >= 35)
+      SELECT DISTINCT x.p AS src, y.p AS dst
+      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+    """
+    seed_cte = "SELECT p_partkey AS node FROM part WHERE p_size = 50"
+    return bfs_oracle_sql(edge_cte, seed_cte, max_hops=3, node_alias="partkey")
+
+
+@query("graph_bfs_distances", _bfs_oracle())
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the co-purchase graph: minimum hop
+    distance (<= 3) from the size-50 part list — the blast-radius /
+    recall-expansion primitive (contaminated-lot tracing, related-item
+    widening). Frontier BFS: each round expands only newly-settled
+    nodes via one equi-join + anti-join, frames localCheckpoint-ed so
+    reuse never re-runs the edge derivation; the oracle unrolls the
+    same min-fold integer-exact. See operators/graph.bfs_distances."""
+    from pydala2_spark.operators.graph import bfs_distances
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 35)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    edges = (
+        li.alias("x")
+        .join(li.alias("y"), "o")
+        .filter(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+    )
+    seeds = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 50)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    return bfs_distances(edges, seeds, max_hops=3).select(
+        F.col("node").alias("partkey"), "dist"
+    )
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -9090,8 +9289,11 @@ _VERIFY_FIRST = [
     #     ev_theil_sen, doc_mojibake_repair.
     #   positions 44-49: the stalest previously-checked entries
     #     (r7-checked block, CORRECTNESS_r07 order).
-    # r11 pre-staging: rotate the REMAINDER of the r7-checked block to
-    # the front next round — dq_fk_orphans, dq_benford,
+    # r11 pre-staging: FIRST the six r10 third-batch queries that have
+    # never been driver-seen (mirror-green) — agg_corr_matrix,
+    # dq_mutual_info, doc_readability, ev_markov_transitions,
+    # ev_frequent_paths, graph_bfs_distances — then rotate the
+    # REMAINDER of the r7-checked block — dq_fk_orphans, dq_benford,
     # er_part_linkage, ev_conversion_latency, ev_anomaly_days,
     # ev_rolling_quantiles, ev_value_histogram, scd2_event_history,
     # doc_heaps_fit, doc_token_pmi, doc_zipf_fit,

@@ -670,6 +670,99 @@ def main():
 
         out.setdefault("assoc_pairs", {})[label] = timed(run_ar, reps=2)
 
+    # r10 third batch. Expectations: bfs ~linear (frontier joins over
+    # a FACTOR-disjoint-component graph — frontier sizes scale with
+    # input, hop count fixed); markov/paths ~linear (one per-user
+    # window + small agg); corr ~linear single-pass; mutual-info
+    # ~linear (one joint groupBy); readability ~linear (exploded agg).
+    from pydala2_spark.functions.dq import (
+        categorical_mutual_info,
+        corr_matrix,
+    )
+    from pydala2_spark.functions.text import readability_report
+    from pydala2_spark.operators.events import (
+        frequent_event_paths,
+        markov_transitions,
+    )
+    from pydala2_spark.operators.graph import bfs_distances
+
+    for label in (("1x", "big") if want("r10c") else ()):
+        dd = spark.read.parquet(
+            {"1x": f"{ROOT}/docs_1x", "big": f"{ROOT}/docs_big"}[label]
+        )
+        ee = spark.read.parquet(
+            {"1x": f"{ROOT}/ev_1x", "big": f"{ROOT}/ev_big"}[label]
+        )
+        out.setdefault("readability", {})[label] = timed(
+            lambda dd=dd: readability_report(dd, "lang").collect(), reps=2
+        )
+        out.setdefault("mutual_info", {})[label] = timed(
+            lambda dd=dd: categorical_mutual_info(dd, "lang", "source")
+            .collect(),
+            reps=2,
+        )
+        out.setdefault("markov", {})[label] = timed(
+            lambda ee=ee: markov_transitions(ee).collect(), reps=2
+        )
+        out.setdefault("freq_paths", {})[label] = timed(
+            lambda ee=ee: frequent_event_paths(ee, depth=3, k=25).collect(),
+            reps=2,
+        )
+        base_li = spark.read.parquet(
+            os.path.join(BASE, "lineitem.parquet")
+        ).select(
+            "l_orderkey",
+            "l_partkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        )
+        if label == "1x":
+            li = base_li
+        else:
+            mo = base_li.agg(F.max("l_orderkey")).first()[0] + 1
+            mp = base_li.agg(F.max("l_partkey")).first()[0] + 1
+            li = base_li
+            for c in range(1, FACTOR):
+                li = li.unionByName(
+                    base_li.withColumn(
+                        "l_orderkey", F.col("l_orderkey") + F.lit(c * mo)
+                    ).withColumn(
+                        "l_partkey", F.col("l_partkey") + F.lit(c * mp)
+                    )
+                )
+        out.setdefault("corr_matrix", {})[label] = timed(
+            lambda li=li: corr_matrix(
+                li,
+                ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            ).collect(),
+            reps=2,
+        )
+
+        def run_bfs(li=li):
+            flt = (
+                li.filter(F.col("l_quantity") >= 45)
+                .select(
+                    F.col("l_orderkey").alias("o"),
+                    F.col("l_partkey").alias("p"),
+                )
+                .distinct()
+            )
+            edges = (
+                flt.alias("x")
+                .join(flt.alias("y"), "o")
+                .filter(F.col("x.p") < F.col("y.p"))
+                .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+                .distinct()
+            )
+            seeds = edges.select(F.col("src").alias("node")).filter(
+                F.col("node") % 53 == 0
+            )
+            bfs_distances(edges, seeds, max_hops=3).count()
+
+        out.setdefault("bfs", {})[label] = timed(run_bfs, reps=2)
+
     print(f"{'op':24s} {'1x':>7s} {'x' + str(FACTOR):>7s} {'ratio':>7s}")
     for op, t in out.items():
         ratio = t["big"] / t["1x"]

@@ -169,3 +169,73 @@ def test_k_anonymity_report_hand_case(spark):
         k_anonymity_report(df, [], k=3)
     with _pytest.raises(ValueError):
         k_anonymity_report(df, ["q1"], k=1)
+
+
+def test_corr_matrix_matches_numpy(spark):
+    """corr_matrix() vs numpy.corrcoef on a deterministic frame —
+    every unordered pair present once, values equal at the rounding
+    grain; constant columns yield NULL (0/0), not a crash."""
+    import numpy as np
+
+    from pydala2_spark.functions.dq import corr_matrix
+
+    n = 200
+    x = np.arange(n, dtype=float)
+    data = {
+        "a": x,
+        "b": 3.0 * x + 1.0,                      # corr(a,b) = 1
+        "c": -x + 0.25 * ((x * 7919) % 13),      # strong negative
+        "d": ((x * 104729) % 17).astype(float),  # ~uncorrelated
+    }
+    rows = list(zip(*(data[c].tolist() for c in "abcd")))
+    df = spark.createDataFrame(rows, "a double, b double, c double, d double")
+    got = {
+        (r["col_x"], r["col_y"]): r["corr"]
+        for r in corr_matrix(df, ["a", "b", "c", "d"]).collect()
+    }
+    assert len(got) == 6
+    m = np.corrcoef(np.vstack([data[c] for c in "abcd"]))
+    cols = "abcd"
+    for i, a in enumerate(cols):
+        for j in range(i + 1, 4):
+            assert got[(a, cols[j])] == round(float(m[i, j]), 6), (a, cols[j])
+    # constant column: zero variance -> NULL corr, no exception
+    df2 = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 2.0), (3.0, 2.0)], "a double, k double"
+    )
+    [r] = corr_matrix(df2, ["a", "k"]).collect()
+    assert r["corr"] is None
+
+
+def test_corr_matrix_guards():
+    import pytest
+
+    from pydala2_spark.functions.dq import corr_matrix
+
+    with pytest.raises(ValueError):
+        corr_matrix(None, ["a"])
+
+
+def test_categorical_mutual_info_exact(spark):
+    """MI/entropies vs hand math on a frame with known structure:
+    independent columns give MI ~ 0; a deterministic copy gives
+    MI = H(x) = H(y) and mi_norm = 1."""
+    import math
+
+    from pydala2_spark.functions.dq import categorical_mutual_info
+
+    # x uniform over 2, y uniform over 2, independent by construction
+    rows = [(str(i % 2), str((i // 2) % 2)) for i in range(400)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    [r] = categorical_mutual_info(df, "x", "y").collect()
+    ln2 = round(math.log(2.0), 4)
+    assert (r["n_rows"], r["h_x"], r["h_y"]) == (400, ln2, ln2)
+    assert abs(r["mi"]) < 1e-9
+    # y a bijection of x: MI = H
+    rows2 = [(str(i % 3), str((i % 3) * 7)) for i in range(300)]
+    df2 = spark.createDataFrame(rows2, "x string, y string")
+    [r2] = categorical_mutual_info(df2, "x", "y").collect()
+    ln3 = round(math.log(3.0), 4)
+    assert (r2["h_x"], r2["h_y"], r2["mi"], r2["mi_norm"]) == (
+        ln3, ln3, ln3, 1.0,
+    )

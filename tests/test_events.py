@@ -613,3 +613,69 @@ def test_theil_sen_matches_numpy_reference(spark):
     # single-point group: no pairs, absent from output
     df2 = spark.createDataFrame([("a", 1, 5.0)], "g string, t int, x double")
     assert theil_sen_trend(df2, "g", "t", "x").count() == 0
+
+
+def test_markov_transitions_exact(spark):
+    """Transition counts and row-normalized probabilities on a
+    hand-checkable two-user sequence; ts ties broken by event_id."""
+    from datetime import datetime
+
+    from pydala2_spark.operators.events import markov_transitions
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1: a -> b -> a -> c   (a>b, b>a, a>c)
+        (1, 1, t0, "a"), (2, 1, datetime(2024, 1, 2), "b"),
+        (3, 1, datetime(2024, 1, 3), "a"), (4, 1, datetime(2024, 1, 4), "c"),
+        # user 2: same-ts tie ordered by event_id: a -> b (a>b)
+        (10, 2, t0, "a"), (11, 2, t0, "b"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r["src"], r["dst"]): (r["n_trans"], r["p"])
+        for r in markov_transitions(ev).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 0.666667),
+        ("a", "c"): (1, 0.333333),
+        ("b", "a"): (1, 1.0),
+    }
+
+
+def test_frequent_event_paths_counts_and_tail_guard(spark):
+    """Length-3 paths: sequences shorter than the depth contribute
+    nothing (no truncated concat_ws paths), counts are exact, top-k
+    ties break on path text."""
+    from datetime import datetime, timedelta
+
+    import pytest
+
+    from pydala2_spark.operators.events import frequent_event_paths
+
+    t0 = datetime(2024, 1, 1)
+    seqs = {1: ["a", "b", "c", "b", "c"], 2: ["a", "b"], 3: ["b", "c", "a"]}
+    rows = []
+    eid = 0
+    for u, seq in seqs.items():
+        for i, t in enumerate(seq):
+            rows.append((eid, u, t0 + timedelta(minutes=i), t))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = [
+        (r["path"], r["n_paths"])
+        for r in frequent_event_paths(ev, depth=3, k=10).collect()
+    ]
+    # user 1: a>b>c, b>c>b, c>b>c ; user 2: none ; user 3: b>c>a
+    assert got == [
+        ("a>b>c", 1), ("b>c>a", 1), ("b>c>b", 1), ("c>b>c", 1),
+    ]
+    assert [
+        (r["path"], r["n_paths"])
+        for r in frequent_event_paths(ev, depth=2, k=2).collect()
+    ] == [("b>c", 3), ("a>b", 2)]
+    with pytest.raises(ValueError):
+        frequent_event_paths(ev, depth=1)

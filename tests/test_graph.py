@@ -234,3 +234,65 @@ def test_link_prediction_scores_bruteforce(spark):
 
     with _pytest.raises(ValueError, match="max_middle_degree"):
         link_prediction_scores(edges, max_middle_degree=1)
+
+
+def test_bfs_distances_matches_bruteforce(spark):
+    """bfs_distances() vs an in-Python BFS on a deterministic graph:
+    same (node, dist) map at several hop bounds; seeds absent from the
+    edge list are dropped; unreachable nodes never appear."""
+    import collections
+
+    from pydala2_spark.operators.graph import bfs_distances
+
+    edges_py = [
+        (a, b)
+        for a in range(40)
+        for b in range(a + 1, 40)
+        if (a * 7919 + b * 104729) % 23 < 2
+    ]
+    adj = collections.defaultdict(set)
+    for a, b in edges_py:
+        adj[a].add(b)
+        adj[b].add(a)
+    seeds_py = [0, 5, 999]  # 999 is not in the graph
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    seeds = spark.createDataFrame([(s,) for s in seeds_py], "node long")
+    for hops in (0, 1, 2, 3):
+        want = {}
+        frontier = [s for s in seeds_py if s in adj]
+        for s in frontier:
+            want[s] = 0
+        for d in range(1, hops + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in want:
+                        want[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        got = {
+            r["node"]: r["dist"]
+            for r in bfs_distances(edges, seeds, max_hops=hops).collect()
+        }
+        assert got == want, f"hops={hops}"
+
+
+def test_bfs_distances_early_exit_and_guards(spark):
+    """An exhausted frontier stops the loop early (a 2-node component
+    explored with max_hops=5 returns the same as max_hops=1), and a
+    negative hop bound raises."""
+    import pytest
+
+    from pydala2_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    a = sorted(
+        tuple(r) for r in bfs_distances(edges, seeds, max_hops=1).collect()
+    )
+    b = sorted(
+        tuple(r) for r in bfs_distances(edges, seeds, max_hops=5).collect()
+    )
+    assert a == b == [(1, 0), (2, 1)]
+    with pytest.raises(ValueError):
+        bfs_distances(edges, seeds, max_hops=-1)

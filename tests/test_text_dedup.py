@@ -2127,3 +2127,35 @@ def test_mojibake_table_is_prefix_safe(spark):
     for i, p in enumerate(pats):
         for later in pats[i + 1 :]:
             assert not (later.startswith(p) and later != p)
+
+
+def test_syllable_count_and_readability_report(spark):
+    """Vowel-group syllable counts on known words; FORCAST formula
+    hand-checked per group; empty tokens (double spaces) excluded."""
+    from pydala2_spark.functions.text import readability_report, syllable_count
+
+    toks = spark.createDataFrame(
+        [("strength",), ("idea",), ("queueing",), ("rhythm",), ("xyz",)],
+        "tok string",
+    )
+    got = [r[0] for r in toks.select(syllable_count("tok")).collect()]
+    # strength: 'e'; idea: 'i','ea'; queueing: one run 'ueuei';
+    # rhythm: 'y'; xyz: 'y'
+    assert got == [1, 2, 1, 1, 1]
+    docs = spark.createDataFrame(
+        [
+            ("en", "the  cat sat"),          # 3 words, all mono
+            ("de", "banana banana potato"),  # 3 words, 0 mono
+        ],
+        "lang string, text string",
+    )
+    rows = {r["lang"]: r for r in readability_report(docs, "lang").collect()}
+    en, de = rows["en"], rows["de"]
+    assert (en["n_words"], en["pct_monosyllabic"], en["forcast_grade"]) == (
+        3, 1.0, 5.0,
+    )
+    assert (de["n_words"], de["pct_monosyllabic"], de["forcast_grade"]) == (
+        3, 0.0, 20.0,
+    )
+    assert de["syllables_per_word"] == 3.0
+    assert en["avg_word_len"] == 3.0

@@ -259,6 +259,10 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         # one-row max-revenue frame (replaced the global-window max
         # that funneled every supplier through one task)
         "q15_top_suppliers",
+        # r10: total/h_x/h_y/mi one-row aggregate frames crossJoined
+        # onto each other — the same 1-row broadcast shape as q11; the
+        # corpus-sized work is the single joint-count groupBy upstream
+        "dq_mutual_info",
     }
     offenders = []
     for name, fn in queries().items():
