@@ -1756,3 +1756,246 @@ def bpe_encode_oracle_sql(
     WHERE length(d.word) >= 1
     GROUP BY {gc}"""
     )
+
+
+def collocation_llr(
+    df: DataFrame,
+    text: str = "text",
+    k: int = 25,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Top-``k`` bigram collocations by Dunning's log-likelihood ratio
+    (Dunning 1993) — the statistically-sound collocation test that,
+    unlike PMI, does not explode on rare pairs: LLR compares the
+    observed 2x2 contingency (bigram vs its parts) against
+    independence, weighting by evidence mass, so "of the" and true
+    multiword terms rank by strength of association at their actual
+    frequency. The phrase-mining primitive (tokenizer vocab seeding,
+    keyphrase dictionaries, stopword discovery).
+
+    Output: ``(tok_a, tok_b, k11, llr)`` where ``k11`` is the bigram
+    count; ordered llr DESC with a (tok_a, tok_b) tiebreak.
+
+    Determinism: the contingency cells are integer-exact; LLR is one
+    fixed-shape double expression of those integers (0*ln(0) handled
+    by explicit CASE), rounded — no accumulation hazard. Ranking uses
+    the ROUNDED value plus the text tiebreak so near-equal doubles
+    cannot flip the top-k across engines.
+
+    100 TB shape: one corpus explode to adjacent pairs, then every
+    stage runs on the Zipf-small distinct-bigram frame (materialized
+    once); the unigram margins are aggregates OF that frame, joined
+    back without broadcast hints (AQE decides). Top-k is one
+    TakeOrderedAndProject.
+    """
+    from pydala2_spark.operators.dedup import _materialize_once
+
+    toks = df.select(F.split(F.col(text), " ").alias("__t")).filter(
+        F.size("__t") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__t) - 1), "
+                "i -> struct(element_at(__t, i) AS a, "
+                "element_at(__t, i + 1) AS b))"
+            )
+        ).alias("bg")
+    ).select(F.col("bg.a").alias("tok_a"), F.col("bg.b").alias("tok_b"))
+    bi = _materialize_once(
+        pairs.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("k11"))
+    )
+    left = bi.groupBy("tok_a").agg(F.sum("k11").alias("ca"))
+    right = bi.groupBy("tok_b").agg(F.sum("k11").alias("cb"))
+    tot = bi.agg(F.sum("k11").cast("long").alias("n"))
+    j = bi.join(left, "tok_a").join(right, "tok_b").crossJoin(F.broadcast(tot))
+
+    def _term(kc, rc, cc):
+        # k * ln(k*N / (R*C)), 0 when k = 0
+        return F.when(
+            kc > 0,
+            kc.cast("double")
+            * F.log(
+                kc.cast("double")
+                * F.col("n").cast("double")
+                / (rc.cast("double") * cc.cast("double"))
+            ),
+        ).otherwise(F.lit(0.0))
+
+    k11 = F.col("k11")
+    k12 = F.col("ca") - k11
+    k21 = F.col("cb") - k11
+    k22 = F.col("n") - F.col("ca") - F.col("cb") + k11
+    r1, r2 = F.col("ca"), F.col("n") - F.col("ca")
+    c1, c2 = F.col("cb"), F.col("n") - F.col("cb")
+    llr = F.lit(2.0) * (
+        _term(k11, r1, c1)
+        + _term(k12, r1, c2)
+        + _term(k21, r2, c1)
+        + _term(k22, r2, c2)
+    )
+    return (
+        j.select(
+            "tok_a",
+            "tok_b",
+            F.col("k11").cast("long").alias("k11"),
+            F.round(llr, ndigits).alias("llr"),
+        )
+        .orderBy(F.col("llr").desc(), "tok_a", "tok_b")
+        .limit(k)
+    )
+
+
+def collocation_llr_oracle_sql(
+    table_sql: str, text: str = "text", k: int = 25, ndigits: int = 4
+) -> str:
+    """DuckDB oracle for :func:`collocation_llr` — identical cells and
+    the identical fixed-shape LLR expression."""
+
+    def term(kc, rc, cc):
+        return (
+            f"CASE WHEN {kc} > 0 THEN CAST({kc} AS DOUBLE)"
+            f" * ln(CAST({kc} AS DOUBLE) * CAST(n AS DOUBLE)"
+            f" / (CAST({rc} AS DOUBLE) * CAST({cc} AS DOUBLE)))"
+            f" ELSE 0.0 END"
+        )
+
+    terms = " + ".join(
+        [
+            term("k11", "ca", "cb"),
+            term("(ca - k11)", "ca", "(n - cb)"),
+            term("(cb - k11)", "(n - ca)", "cb"),
+            term("(n - ca - cb + k11)", "(n - ca)", "(n - cb)"),
+        ]
+    )
+    return f"""
+    WITH t AS (
+      SELECT string_split({text}, ' ') AS tk FROM ({table_sql})
+      WHERE len(string_split({text}, ' ')) >= 2
+    ), bg AS (
+      SELECT tk[i] AS tok_a, tk[i + 1] AS tok_b
+      FROM t, unnest(generate_series(1, len(tk) - 1)) AS u(i)
+    ), bi AS (
+      SELECT tok_a, tok_b, count(*) AS k11 FROM bg GROUP BY 1, 2
+    ), l AS (SELECT tok_a, sum(k11) AS ca FROM bi GROUP BY 1),
+    r AS (SELECT tok_b, sum(k11) AS cb FROM bi GROUP BY 1),
+    tot AS (SELECT CAST(sum(k11) AS BIGINT) AS n FROM bi)
+    SELECT tok_a, tok_b, CAST(k11 AS BIGINT) AS k11,
+           round(2.0 * ({terms}), {ndigits}) AS llr
+    FROM bi JOIN l USING (tok_a) JOIN r USING (tok_b), tot
+    ORDER BY llr DESC, tok_a, tok_b LIMIT {k}
+    """
+
+
+def js_divergence_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text: str = "text",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Jensen-Shannon divergence between each group's unigram
+    distribution and the WHOLE corpus's — the domain-shift measure
+    behind mixture design: a source whose JS vs the corpus is high is
+    contributing something distributionally new (upweight for
+    diversity), one near zero is redundant. Symmetric and bounded
+    [0, ln 2], unlike KL (which is infinite on any token the corpus
+    has that the source lacks — i.e. always, so raw KL is useless
+    here; JS is the standard fix).
+
+    Output: ``(group, n_tokens, js_nats, js_norm)`` with ``js_norm``
+    = js / ln 2 in [0, 1].
+
+    Determinism: all counts integer-exact; the vocabulary-sum uses the
+    algebraic identity
+    ``JS = 0.5 * Σ_{t in group} [p ln(p/m) + q ln(q/m) - q ln 2]
+    + 0.5 ln 2`` (tokens absent from the group contribute exactly
+    ``0.5 q ln 2``, folded into the constant), so only group-present
+    tokens are summed; each term rounds to 12 decimals and accumulates
+    as DECIMAL(38,12) (the pagerank discipline).
+
+    100 TB shape: one corpus explode to (group, token) counts —
+    Zipf-small, materialized once; the global token table and group
+    totals are aggregates OF that frame; the scoring join is keyed on
+    token with no broadcast hints (web-scale vocabularies can be
+    large; AQE broadcasts when actually small). The constant attaches
+    as one-row broadcasts. No second corpus pass, no windows.
+    """
+    from pydala2_spark.operators.dedup import _materialize_once
+
+    gt = _materialize_once(
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(F.split(F.col(text), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("grp", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    glob = gt.groupBy("tok").agg(F.sum("c").alias("cg"))
+    gtot = gt.groupBy("grp").agg(F.sum("c").cast("long").alias("ns"))
+    tot = glob.agg(F.sum("cg").cast("long").alias("nn"))
+    j = (
+        gt.join(glob, "tok")
+        .join(gtot, "grp")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("c").cast("double") / F.col("ns").cast("double")
+    q = F.col("cg").cast("double") / F.col("nn").cast("double")
+    m = (p + q) / F.lit(2.0)
+    ln2 = F.log(F.lit(2.0))
+    term = F.round(
+        p * F.log(p / m) + q * F.log(q / m) - q * ln2, 12
+    ).cast("decimal(38,12)")
+    return j.groupBy("grp", "ns").agg(
+        F.sum(term).cast("double").alias("__s")
+    ).select(
+        F.col("grp").alias(group_col),
+        F.col("ns").alias("n_tokens"),
+        F.round(
+            F.lit(0.5) * F.col("__s") + F.lit(0.5) * ln2, ndigits
+        ).alias("js_nats"),
+        F.round(
+            (F.lit(0.5) * F.col("__s") + F.lit(0.5) * ln2) / ln2, ndigits
+        ).alias("js_norm"),
+    )
+
+
+def js_divergence_oracle_sql(
+    table_sql: str,
+    group_col: str = "source",
+    text: str = "text",
+    ndigits: int = 4,
+) -> str:
+    """DuckDB oracle for :func:`js_divergence_by_group` — identical
+    identity and rounded-term decimal accumulation."""
+    return f"""
+    WITH gt AS (
+      SELECT {group_col} AS grp, tok, count(*) AS c FROM (
+        SELECT {group_col}, unnest(string_split({text}, ' ')) AS tok
+        FROM ({table_sql})
+      ) WHERE tok <> '' GROUP BY 1, 2
+    ), gl AS (SELECT tok, sum(c) AS cg FROM gt GROUP BY 1),
+    gtot AS (SELECT grp, CAST(sum(c) AS BIGINT) AS ns FROM gt GROUP BY 1),
+    tot AS (SELECT CAST(sum(cg) AS BIGINT) AS nn FROM gl),
+    terms AS (
+      SELECT grp, ns,
+             CAST(round(
+               (CAST(c AS DOUBLE) / CAST(ns AS DOUBLE))
+                 * ln((CAST(c AS DOUBLE) / CAST(ns AS DOUBLE))
+                      / ((CAST(c AS DOUBLE) / CAST(ns AS DOUBLE)
+                          + CAST(cg AS DOUBLE) / CAST(nn AS DOUBLE)) / 2.0))
+               + (CAST(cg AS DOUBLE) / CAST(nn AS DOUBLE))
+                 * ln((CAST(cg AS DOUBLE) / CAST(nn AS DOUBLE))
+                      / ((CAST(c AS DOUBLE) / CAST(ns AS DOUBLE)
+                          + CAST(cg AS DOUBLE) / CAST(nn AS DOUBLE)) / 2.0))
+               - (CAST(cg AS DOUBLE) / CAST(nn AS DOUBLE)) * ln(2.0),
+               12) AS DECIMAL(38,12)) AS term
+      FROM gt JOIN gl USING (tok) JOIN gtot USING (grp), tot
+    )
+    SELECT grp AS {group_col}, ns AS n_tokens,
+           round(0.5 * CAST(sum(term) AS DOUBLE) + 0.5 * ln(2.0),
+                 {ndigits}) AS js_nats,
+           round((0.5 * CAST(sum(term) AS DOUBLE) + 0.5 * ln(2.0))
+                 / ln(2.0), {ndigits}) AS js_norm
+    FROM terms GROUP BY grp, ns
+    """

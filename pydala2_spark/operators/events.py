@@ -1064,3 +1064,156 @@ def frequent_event_paths(
         .orderBy(F.col("n_paths").desc(), F.col("path"))
         .limit(k)
     )
+
+
+def kaplan_meier(
+    ev: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_gap_days: int = 7,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes (first to last
+    event, in days) with right-censoring: a user still active within
+    ``censor_gap_days`` of the corpus end hasn't churned YET — their
+    lifetime is a lower bound, and dropping or death-counting them
+    (the naive averages) biases retention down. KM is the standard
+    estimator that uses censored lifetimes correctly: at each distinct
+    duration t, S(t) *= 1 - d_t/n_t over the at-risk population.
+
+    Output: one row per distinct duration —
+    ``(duration_days, n_at_risk, n_events, n_censored, survival)``.
+
+    Determinism: the risk table is integer-exact (counts + cumulative
+    counts); each ln(1 - d/n) factor rounds to 12 decimals and
+    accumulates as DECIMAL(38,12) (the pagerank discipline), so the
+    product is bit-stable in any engine. A final step where everyone
+    remaining dies (d = n, only possible on the last row) yields
+    survival 0 via an explicit CASE — no ln(0).
+
+    100 TB shape: one per-user agg (map-side combined) reduces the
+    corpus to |users| rows; the corpus-end bound attaches as a one-row
+    broadcast; the risk table is one more agg to |distinct durations|
+    rows (calendar-bounded — a few thousand at most), and the
+    cumulative windows run on THAT tiny frame only.
+    """
+    from pyspark.sql import Window
+
+    per_user = ev.groupBy(user_col).agg(
+        F.min(F.to_date(ts_col)).alias("__first"),
+        F.max(F.to_date(ts_col)).alias("__last"),
+    )
+    end = ev.agg(F.max(F.to_date(ts_col)).alias("__end"))
+    lives = per_user.crossJoin(F.broadcast(end)).select(
+        F.datediff("__last", "__first").cast("long").alias("t"),
+        (
+            F.datediff("__end", "__last") >= F.lit(censor_gap_days)
+        ).cast("int").alias("observed"),
+    )
+    risk = lives.groupBy("t").agg(
+        F.sum("observed").cast("long").alias("n_events"),
+        F.sum(F.lit(1) - F.col("observed")).cast("long").alias("n_censored"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    # tiny post-agg frame (distinct durations): the global windows here
+    # run over calendar-bounded rows, not the corpus
+    risk = risk.withColumn(
+        "n_at_risk",
+        (
+            F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(
+                    Window.orderBy("t").rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                ),
+                F.lit(0),
+            )
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(w),
+                F.lit(0),
+            )
+        ).cast("long"),
+    )
+    term = F.when(
+        F.col("n_events") < F.col("n_at_risk"),
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("n_events").cast("double")
+                / F.col("n_at_risk").cast("double")
+            ),
+            12,
+        ).cast("decimal(38,12)"),
+    ).otherwise(F.lit(0).cast("decimal(38,12)"))
+    cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        risk.withColumn("__term", term)
+        .withColumn(
+            "survival",
+            F.when(
+                F.col("n_events") < F.col("n_at_risk"),
+                F.round(
+                    F.exp(F.sum("__term").over(cum).cast("double")), ndigits
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(
+            F.col("t").alias("duration_days"),
+            "n_at_risk",
+            "n_events",
+            "n_censored",
+            "survival",
+        )
+    )
+
+
+def kaplan_meier_oracle_sql(
+    events_sql: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_gap_days: int = 7,
+    ndigits: int = 6,
+) -> str:
+    """DuckDB oracle for :func:`kaplan_meier` — identical risk table
+    and the identical rounded-term decimal accumulation."""
+    return f"""
+    WITH pu AS (
+      SELECT {user_col},
+             min(CAST({ts_col} AS DATE)) AS f,
+             max(CAST({ts_col} AS DATE)) AS l
+      FROM ({events_sql}) GROUP BY {user_col}
+    ), e AS (SELECT max(CAST({ts_col} AS DATE)) AS corpus_end
+             FROM ({events_sql})),
+    lives AS (
+      SELECT CAST(l - f AS BIGINT) AS t,
+             CASE WHEN corpus_end - l >= {censor_gap_days}
+                  THEN 1 ELSE 0 END AS observed
+      FROM pu, e
+    ), risk0 AS (
+      SELECT t, CAST(sum(observed) AS BIGINT) AS n_events,
+             CAST(sum(1 - observed) AS BIGINT) AS n_censored
+      FROM lives GROUP BY t
+    ), risk AS (
+      SELECT *,
+             CAST(sum(n_events + n_censored) OVER ()
+                  - coalesce(sum(n_events + n_censored) OVER (
+                      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+      FROM risk0
+    ), terms AS (
+      SELECT *,
+             CASE WHEN n_events < n_at_risk
+                  THEN CAST(round(ln(1.0 - CAST(n_events AS DOUBLE)
+                                   / CAST(n_at_risk AS DOUBLE)), 12)
+                            AS DECIMAL(38,12))
+                  ELSE CAST(0 AS DECIMAL(38,12)) END AS term
+      FROM risk
+    )
+    SELECT t AS duration_days, n_at_risk, n_events, n_censored,
+           CASE WHEN n_events < n_at_risk
+                THEN round(exp(CAST(sum(term) OVER (
+                       ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS DOUBLE)), {ndigits})
+                ELSE 0.0 END AS survival
+    FROM terms
+    """

@@ -9263,6 +9263,69 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _collocation_oracle() -> str:
+    from pydala2_spark.operators.curate import collocation_llr_oracle_sql
+
+    return collocation_llr_oracle_sql("SELECT text FROM documents", k=25)
+
+
+@query("doc_collocation_llr", _collocation_oracle())
+def doc_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 bigram collocations by Dunning's log-likelihood ratio —
+    the statistically-sound phrase miner (PMI's rare-pair explosion
+    fixed by evidence weighting; the pairing to doc_token_pmi). One
+    corpus explode to adjacent pairs; every later stage runs on the
+    Zipf-small distinct-bigram frame materialized once; margins are
+    aggregates OF that frame; top-k is one TakeOrderedAndProject on
+    the ROUNDED score + text tiebreak.
+    See operators/curate.collocation_llr."""
+    from pydala2_spark.operators.curate import collocation_llr
+
+    return collocation_llr(_t(spark, sf_dir, "documents"), k=25)
+
+
+def _km_oracle() -> str:
+    from pydala2_spark.operators.events import kaplan_meier_oracle_sql
+
+    return kaplan_meier_oracle_sql("SELECT user_id, ts FROM events")
+
+
+@query("ev_kaplan_meier", _km_oracle())
+def ev_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival over user lifetimes with right-censoring
+    (active within 7 days of corpus end = not churned yet) — the
+    estimator that uses censored lifetimes correctly where naive
+    retention averages bias down. One per-user agg reduces the corpus
+    to |users| rows; the corpus-end bound is a one-row broadcast; the
+    cumulative windows run on the calendar-bounded distinct-duration
+    frame only. ln(1-d/n) factors round-12 then accumulate as
+    DECIMAL(38,12). See operators/events.kaplan_meier."""
+    from pydala2_spark.operators.events import kaplan_meier
+
+    return kaplan_meier(_t(spark, sf_dir, "events"))
+
+
+def _js_oracle() -> str:
+    from pydala2_spark.operators.curate import js_divergence_oracle_sql
+
+    return js_divergence_oracle_sql("SELECT source, text FROM documents")
+
+
+@query("doc_js_divergence", _js_oracle())
+def doc_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    vs the whole corpus — the domain-shift measure behind mixture
+    design (high JS = distributionally novel source; near zero =
+    redundant). Only group-present tokens are summed (absent tokens
+    fold into a closed-form constant), terms round-12 +
+    DECIMAL(38,12)-accumulate; one corpus explode, the rest runs on
+    Zipf-small aggregate frames.
+    See operators/curate.js_divergence_by_group."""
+    from pydala2_spark.operators.curate import js_divergence_by_group
+
+    return js_divergence_by_group(_t(spark, sf_dir, "documents"), "source")
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -9289,10 +9352,11 @@ _VERIFY_FIRST = [
     #     ev_theil_sen, doc_mojibake_repair.
     #   positions 44-49: the stalest previously-checked entries
     #     (r7-checked block, CORRECTNESS_r07 order).
-    # r11 pre-staging: FIRST the six r10 third-batch queries that have
+    # r11 pre-staging: FIRST the nine r10 third-batch queries that have
     # never been driver-seen (mirror-green) — agg_corr_matrix,
     # dq_mutual_info, doc_readability, ev_markov_transitions,
-    # ev_frequent_paths, graph_bfs_distances — then rotate the
+    # ev_frequent_paths, graph_bfs_distances, doc_collocation_llr,
+    # ev_kaplan_meier, doc_js_divergence — then rotate the
     # REMAINDER of the r7-checked block — dq_fk_orphans, dq_benford,
     # er_part_linkage, ev_conversion_latency, ev_anomaly_days,
     # ev_rolling_quantiles, ev_value_histogram, scd2_event_history,

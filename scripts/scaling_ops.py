@@ -763,6 +763,34 @@ def main():
 
         out.setdefault("bfs", {})[label] = timed(run_bfs, reps=2)
 
+    # r10 third batch continuation: LLR collocations (explode +
+    # Zipf-small bigram frame — ~linear scan, sublinear agg), JS
+    # divergence (same shape), Kaplan-Meier (per-user agg then
+    # calendar-bounded risk table — ~linear in events).
+    from pydala2_spark.operators.curate import (
+        collocation_llr,
+        js_divergence_by_group,
+    )
+    from pydala2_spark.operators.events import kaplan_meier
+
+    for label in (("1x", "big") if want("r10d") else ()):
+        dd = spark.read.parquet(
+            {"1x": f"{ROOT}/docs_1x", "big": f"{ROOT}/docs_big"}[label]
+        )
+        ee = spark.read.parquet(
+            {"1x": f"{ROOT}/ev_1x", "big": f"{ROOT}/ev_big"}[label]
+        )
+        out.setdefault("collocation_llr", {})[label] = timed(
+            lambda dd=dd: collocation_llr(dd, k=25).collect(), reps=2
+        )
+        out.setdefault("js_divergence", {})[label] = timed(
+            lambda dd=dd: js_divergence_by_group(dd, "source").collect(),
+            reps=2,
+        )
+        out.setdefault("kaplan_meier", {})[label] = timed(
+            lambda ee=ee: kaplan_meier(ee).collect(), reps=2
+        )
+
     print(f"{'op':24s} {'1x':>7s} {'x' + str(FACTOR):>7s} {'ratio':>7s}")
     for op, t in out.items():
         ratio = t["big"] / t["1x"]

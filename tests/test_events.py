@@ -679,3 +679,66 @@ def test_frequent_event_paths_counts_and_tail_guard(spark):
     ] == [("b>c", 3), ("a>b", 2)]
     with pytest.raises(ValueError):
         frequent_event_paths(ev, depth=1)
+
+
+def test_kaplan_meier_matches_manual(spark):
+    """KM estimator vs a hand-rolled product-limit computation on
+    lifetimes with censoring; the all-deaths-last-step edge yields
+    survival exactly 0 (no ln(0))."""
+    import math
+    from datetime import datetime, timedelta
+
+    from pydala2_spark.operators.events import kaplan_meier
+
+    day0 = datetime(2024, 1, 1)
+    # users: (first_day_offset, last_day_offset)
+    spans = {
+        1: (0, 3), 2: (0, 3), 3: (1, 4), 4: (0, 10), 5: (2, 12),
+        6: (5, 25), 7: (20, 28),  # last two end near corpus max (28)
+    }
+    rows = []
+    eid = 0
+    for u, (a, b) in spans.items():
+        for off in (a, b):
+            rows.append((eid, u, day0 + timedelta(days=off)))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    got = {
+        r["duration_days"]: r
+        for r in kaplan_meier(ev, censor_gap_days=7).collect()
+    }
+    # corpus end day 28: user 6 (last 25, gap 3) and user 7 (last 28,
+    # gap 0) are censored. Durations: 3 x3 observed (users 1-3),
+    # 10 x2 observed (users 4: 0->10, 5: 2->12), 8 censored (user 7:
+    # 20->28), 20 censored (user 6: 5->25).
+    # risk table sorted: t=3 d=3 c=0 n=7 ; t=8 d=0 c=1 n=4 ;
+    # t=10 d=2 c=0 n=3 ; t=20 d=0 c=1 n=1
+    assert [(t, r["n_at_risk"], r["n_events"], r["n_censored"])
+            for t, r in sorted(got.items())] == [
+        (3, 7, 3, 0), (8, 4, 0, 1), (10, 3, 2, 0), (20, 1, 0, 1),
+    ]
+    s = 1.0
+    want = {}
+    for t, n, d in [(3, 7, 3), (8, 4, 0), (10, 3, 2), (20, 1, 0)]:
+        if d:
+            s *= 1.0 - d / n
+        want[t] = s
+    for t, r in got.items():
+        assert abs(r["survival"] - want[t]) < 1e-6, t
+    # everyone-dies edge: the longest OBSERVED lifetime is the last
+    # risk row with d = n = 1 -> survival exactly 0, no ln(0). A third
+    # user active at corpus end keeps user 2's death observed.
+    ev2 = spark.createDataFrame(
+        [(0, 1, day0), (1, 1, day0 + timedelta(days=2)),
+         (2, 2, day0), (3, 2, day0 + timedelta(days=30)),
+         (4, 3, day0 + timedelta(days=35)),
+         (5, 3, day0 + timedelta(days=40))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    rows2 = {r["duration_days"]: r["survival"]
+             for r in kaplan_meier(ev2, censor_gap_days=7).collect()}
+    # t=2: d=1 n=3 -> 2/3 ; t=5: censored ; t=30: d=n=1 -> 0
+    assert abs(rows2[2] - 2.0 / 3.0) < 1e-6
+    assert rows2[5] == rows2[2] and rows2[30] == 0.0

@@ -2159,3 +2159,96 @@ def test_syllable_count_and_readability_report(spark):
     )
     assert de["syllables_per_word"] == 3.0
     assert en["avg_word_len"] == 3.0
+
+
+def test_collocation_llr_matches_bruteforce(spark):
+    """Dunning LLR vs a hand computation over a tiny corpus; planted
+    collocation ranks first; zero cells contribute zero terms."""
+    import math
+
+    from pydala2_spark.operators.curate import collocation_llr
+
+    docs = spark.createDataFrame(
+        [("hong kong hong kong hong kong",), ("the cat the dog the cow",)],
+        "text string",
+    )
+    got = [
+        (r["tok_a"], r["tok_b"], r["k11"], r["llr"])
+        for r in collocation_llr(docs, k=3).collect()
+    ]
+    # brute force: bigram table over both docs
+    bigrams = {}
+    for t in ["hong kong hong kong hong kong", "the cat the dog the cow"]:
+        w = t.split()
+        for a, b in zip(w, w[1:]):
+            bigrams[(a, b)] = bigrams.get((a, b), 0) + 1
+    n = sum(bigrams.values())
+    la = {}
+    rb = {}
+    for (a, b), c in bigrams.items():
+        la[a] = la.get(a, 0) + c
+        rb[b] = rb.get(b, 0) + c
+
+    def llr(a, b):
+        k11 = bigrams[(a, b)]
+        ca, cb = la[a], rb[b]
+        cells = [
+            (k11, ca, cb), (ca - k11, ca, n - cb),
+            (cb - k11, n - ca, cb), (n - ca - cb + k11, n - ca, n - cb),
+        ]
+        s = sum(
+            k * math.log(k * n / (r * c)) for k, r, c in cells if k > 0
+        )
+        return round(2.0 * s, 4)
+
+    want = sorted(
+        ((a, b, c, llr(a, b)) for (a, b), c in bigrams.items()),
+        key=lambda x: (-x[3], x[0], x[1]),
+    )[:3]
+    assert got == want
+    assert got[0][:2] == ("hong", "kong")
+
+
+def test_js_divergence_matches_bruteforce(spark):
+    """JS divergence vs a direct two-distribution computation; a group
+    identical to the corpus mix scores ~0; disjoint vocabularies push
+    js_norm toward its upper bound."""
+    import math
+
+    from pydala2_spark.operators.curate import js_divergence_by_group
+
+    docs = spark.createDataFrame(
+        [("s1", "a a b"), ("s2", "c c d"), ("s3", "a a b c c d")],
+        "source string, text string",
+    )
+    got = {
+        r["source"]: (r["n_tokens"], r["js_nats"], r["js_norm"])
+        for r in js_divergence_by_group(docs, "source").collect()
+    }
+    # brute force
+    from collections import Counter
+
+    groups = {"s1": "a a b", "s2": "c c d", "s3": "a a b c c d"}
+    corpus = Counter()
+    per = {}
+    for g, t in groups.items():
+        per[g] = Counter(t.split())
+        corpus.update(t.split())
+    nn = sum(corpus.values())
+    for g, cnt in per.items():
+        ns = sum(cnt.values())
+        js = 0.0
+        vocab = set(corpus)
+        for t in vocab:
+            p = cnt.get(t, 0) / ns
+            q = corpus[t] / nn
+            m = (p + q) / 2
+            if p > 0:
+                js += 0.5 * p * math.log(p / m)
+            if q > 0:
+                js += 0.5 * q * math.log(q / m)
+        assert abs(got[g][1] - js) < 1e-3, g
+        assert got[g][0] == ns
+    # s3 is exactly half the corpus with the corpus' own mix -> lowest
+    assert got["s3"][1] == min(v[1] for v in got.values())
+    assert got["s1"][2] > 0.2 and got["s2"][2] > 0.2

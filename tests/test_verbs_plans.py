@@ -263,6 +263,11 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         # onto each other — the same 1-row broadcast shape as q11; the
         # corpus-sized work is the single joint-count groupBy upstream
         "dq_mutual_info",
+        # r10: one-row bigram-total / corpus-total / corpus-end frames
+        # attached broadcast — same 1-row shape
+        "doc_collocation_llr",
+        "doc_js_divergence",
+        "ev_kaplan_meier",
     }
     offenders = []
     for name, fn in queries().items():
