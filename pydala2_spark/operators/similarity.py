@@ -1092,3 +1092,171 @@ def kcenter_oracle_sql(k: int = 6, table: str = "embeddings", dim: int = 64) -> 
         + f"\n    SELECT r AS sel_rank, vec_id AS id, mc AS max_cos_to_prior"
         f"\n    FROM ch{k}"
     )
+
+
+def mmr_select(
+    df: DataFrame,
+    k: int = 6,
+    pool: int = 40,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified retrieval (Carbonell &
+    Goldstein 1998): given a query vector, greedily pick ``k`` items
+    maximizing ``lam * relevance - (1 - lam) * max_sim_to_selected`` —
+    the standard RAG/retrieval re-ranker that trades pure similarity
+    for coverage (pure top-k returns k near-duplicates of the best
+    hit; MMR returns the best hit plus its complements). The query is
+    the corpus's smallest-id vector ("more like this, but diverse").
+
+    Returns ``(sel_rank, id, relevance, mmr_score)`` — the seed's
+    mmr_score is its pure relevance.
+
+    Deterministic by construction (the kcenter discipline): unit
+    vectors normalize scan-side, relevance and per-center cosines
+    round to 4 BEFORE the argmax, and BOTH weight literals come from
+    one shared generator (repr(lam), repr(1-lam) — the pagerank
+    damping discipline, so Python float semantics like
+    0.30000000000000004 match engine-for-engine), ids break ties — a
+    SQL oracle replays the greedy loop exactly.
+
+    100 TB shape: ONE corpus pass scores relevance and
+    TakeOrderedAndProject keeps the ``pool`` candidates (the re-rank
+    pool, the standard production shape); the k-step greedy loop then
+    runs on that pool-sized frame with chosen vectors inlined as
+    literals — zero joins, driver holds k + pool rows of metadata,
+    never the corpus."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if pool < k:
+        raise ValueError(f"pool must be >= k, got pool={pool} k={k}")
+    from pydala2_spark.operators.dedup import _materialize_once
+
+    u = _spread(df, id_col).select(
+        F.col(id_col), unit_expr(vec_col).alias("__uv")
+    )
+    q = u.orderBy(id_col).limit(1).collect()[0]
+    qv = F.array(*[F.lit(float(x)) for x in q["__uv"]])
+    rel = F.round(
+        F.aggregate(
+            F.zip_with("__uv", qv, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+    cand = _materialize_once(
+        u.select(F.col(id_col), F.col("__uv"), rel.alias("__rel"))
+        .orderBy(F.col("__rel").desc(), F.col(id_col).asc())
+        .limit(pool)
+    )
+    seed = cand.orderBy(F.col("__rel").desc(), F.col(id_col).asc()).limit(
+        1
+    ).collect()[0]
+    chosen = [
+        (seed[id_col], float(seed["__rel"]), float(seed["__rel"]),
+         list(seed["__uv"]))
+    ]
+    for _ in range(k - 1):
+        dots = [
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "__uv",
+                        F.array(*[F.lit(float(x)) for x in vec]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                4,
+            )
+            for (_, _, _, vec) in chosen
+        ]
+        mc = F.greatest(*dots) if len(dots) > 1 else dots[0]
+        wl, wd = _mmr_weights(lam)
+        score = F.round(
+            F.expr(wl) * F.col("__rel") - F.expr(wd) * mc, 4
+        )
+        pick = (
+            cand.filter(~F.col(id_col).isin([c[0] for c in chosen]))
+            .select(F.col(id_col), "__uv", "__rel", score.alias("__s"))
+            .orderBy(F.col("__s").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append(
+            (pick[id_col], float(pick["__rel"]), float(pick["__s"]),
+             list(pick["__uv"]))
+        )
+    rows = [(i + 1, cid, r, s) for i, (cid, r, s, _) in enumerate(chosen)]
+    return df.sparkSession.createDataFrame(
+        rows, "sel_rank int, id long, relevance double, mmr_score double"
+    )
+
+
+def _mmr_weights(lam: float) -> tuple[str, str]:
+    """The (relevance, diversity) weight literals, full-repr from ONE
+    generator so Spark and the oracle multiply identical doubles."""
+    return (
+        f"CAST({float(lam)!r} AS DOUBLE)",
+        f"CAST({1.0 - float(lam)!r} AS DOUBLE)",
+    )
+
+
+def mmr_oracle_sql(
+    k: int = 6,
+    pool: int = 40,
+    lam: float = 0.7,
+    table: str = "embeddings",
+    dim: int = 64,
+) -> str:
+    """DuckDB mirror of :func:`mmr_select`: pool CTE + the greedy loop
+    unrolled as MATERIALIZED CTEs with the identical round-4 dots,
+    shared-repr weight literals, and (score DESC, id ASC) argmax."""
+    wl, wd = _mmr_weights(lam)
+    dotc = (
+        f"round(list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> x.uv[i] * c.uv[i])), 4)"
+    )
+    parts = [
+        f"""u AS MATERIALIZED (
+      SELECT vec_id, list_transform({table}.embedding, e -> CAST(e AS DOUBLE)
+        / sqrt(list_sum(list_transform({table}.embedding,
+                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS uv
+      FROM {table})""",
+        "q AS MATERIALIZED (SELECT uv FROM u ORDER BY vec_id LIMIT 1)",
+        f"""cand AS MATERIALIZED (
+      SELECT x.vec_id, x.uv,
+             round(list_sum(list_transform(generate_series(1, {dim}),
+               i -> x.uv[i] * q.uv[i])), 4) AS rel
+      FROM u x, q
+      ORDER BY rel DESC, x.vec_id ASC LIMIT {pool})""",
+        "ch1 AS MATERIALIZED (SELECT vec_id, uv, rel, 1 AS r, rel AS s "
+        "FROM (SELECT * FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1))",
+    ]
+    for i in range(2, k + 1):
+        prev = f"ch{i - 1}"
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT x.vec_id, round({wl} * x.rel - {wd} * max({dotc}), 4) AS s
+      FROM cand x, {prev} c
+      WHERE x.vec_id NOT IN (SELECT vec_id FROM {prev})
+      GROUP BY x.vec_id, x.rel)"""
+        )
+        parts.append(
+            f"""ch{i} AS MATERIALIZED (
+      SELECT vec_id, uv, rel, r, s FROM {prev}
+      UNION ALL
+      SELECT p.vec_id, cand.uv, cand.rel, {i} AS r, p.s
+      FROM (SELECT vec_id, s FROM d{i}
+            ORDER BY s DESC, vec_id ASC LIMIT 1) p
+      JOIN cand ON p.vec_id = cand.vec_id)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT r AS sel_rank, vec_id AS id, rel AS relevance,"
+        f"\n           s AS mmr_score FROM ch{k}"
+    )

@@ -9326,6 +9326,28 @@ def doc_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return js_divergence_by_group(_t(spark, sf_dir, "documents"), "source")
 
 
+def _mmr_oracle() -> str:
+    from pydala2_spark.operators.similarity import mmr_oracle_sql
+
+    return mmr_oracle_sql(k=6, pool=40)
+
+
+@query("emb_mmr_diversify", _mmr_oracle())
+def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998): top-6 diverse results for a query vector from a 40-item
+    relevance pool — the RAG re-ranker that returns the best hit plus
+    its complements instead of k near-duplicates. One corpus pass
+    scores relevance (TakeOrderedAndProject pool), then the greedy
+    loop runs on the pool-sized frame with chosen vectors inlined as
+    literals (the kcenter discipline — zero joins, round-4 dots,
+    0.7/0.3 literal weights, id tiebreaks); the oracle unrolls the
+    same loop. See operators/similarity.mmr_select."""
+    from pydala2_spark.operators.similarity import mmr_select
+
+    return mmr_select(_t(spark, sf_dir, "embeddings"), k=6, pool=40)
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -9352,11 +9374,12 @@ _VERIFY_FIRST = [
     #     ev_theil_sen, doc_mojibake_repair.
     #   positions 44-49: the stalest previously-checked entries
     #     (r7-checked block, CORRECTNESS_r07 order).
-    # r11 pre-staging: FIRST the nine r10 third-batch queries that have
+    # r11 pre-staging: FIRST the ten r10 third-batch queries that have
     # never been driver-seen (mirror-green) — agg_corr_matrix,
     # dq_mutual_info, doc_readability, ev_markov_transitions,
     # ev_frequent_paths, graph_bfs_distances, doc_collocation_llr,
-    # ev_kaplan_meier, doc_js_divergence — then rotate the
+    # ev_kaplan_meier, doc_js_divergence, emb_mmr_diversify — then
+    # rotate the
     # REMAINDER of the r7-checked block — dq_fk_orphans, dq_benford,
     # er_part_linkage, ev_conversion_latency, ev_anomaly_days,
     # ev_rolling_quantiles, ev_value_histogram, scd2_event_history,

@@ -223,3 +223,73 @@ def test_kcenter_coreset_bruteforce(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         kcenter_coreset(df, k=1)
+
+
+def test_mmr_select_bruteforce(spark):
+    """MMR re-rank vs an in-Python replay (same pool, rounding, 0.7/0.3
+    weights, tiebreaks); planted near-duplicates of the best hit are
+    demoted below rank 2 (the diversification property pure top-k
+    lacks); guards refuse k < 2 and pool < k."""
+    import math
+
+    import pytest as _pytest
+
+    from pydala2_spark.operators.similarity import mmr_select
+
+    def vec(i):
+        base = [float(((i * 31 + d * 17) % 13) - 6) for d in range(8)]
+        if i in (25, 26):  # near-clones of the query vector (id 0)
+            base = [float(((0 * 31 + d * 17) % 13) - 6) for d in range(8)]
+            base[0] += 0.01 * (i - 24)
+        return base
+
+    rows = [(i, vec(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    K, POOL = 5, 12
+    got = sorted(
+        (r["sel_rank"], r["id"], r["relevance"], r["mmr_score"])
+        for r in mmr_select(df, k=K, pool=POOL).collect()
+    )
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    import numpy as np
+
+    uvs = {
+        i: unit([float(np.float32(f)) for f in vec(i)]) for i in range(30)
+    }
+    qv = uvs[0]
+    rel = {
+        i: round(sum(a * b for a, b in zip(uvs[i], qv)), 4) for i in uvs
+    }
+    pool = sorted(uvs, key=lambda i: (-rel[i], i))[:POOL]
+    chosen = [pool[0]]
+    want = [(1, pool[0], rel[pool[0]], rel[pool[0]])]
+    for r in range(2, K + 1):
+        best = None
+        for i in pool:
+            if i in chosen:
+                continue
+            mc = max(
+                round(sum(a * b for a, b in zip(uvs[i], uvs[c])), 4)
+                for c in chosen
+            )
+            s = round(0.7 * rel[i] - (1 - 0.7) * mc, 4)
+            if best is None or (-s, i) < best[:2]:
+                best = (-s, i, s)
+        chosen.append(best[1])
+        want.append((r, best[1], rel[best[1]], best[2]))
+    assert got == sorted(want)
+    # diversity-heavy lam: the query's near-clones (25/26) lead the
+    # relevance pool but their ~1.0 similarity to the seed makes their
+    # MMR score negative — both excluded from the top-5
+    ids_div = {
+        r["id"] for r in mmr_select(df, k=K, pool=POOL, lam=0.2).collect()
+    }
+    assert 25 not in ids_div and 26 not in ids_div
+    with _pytest.raises(ValueError, match="k must be"):
+        mmr_select(df, k=1)
+    with _pytest.raises(ValueError, match="pool must be"):
+        mmr_select(df, k=5, pool=3)
