@@ -578,3 +578,166 @@ def mutual_info_oracle_sql(
            round(mi.mi / least(hx.h, hy.h), {ndigits}) AS mi_norm
     FROM tot, hx, hy, mi
     """
+
+
+_KS_SHIFT = "1000000000000000"  # 10^15: packs (c1, c2) into one decimal
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    g1: str,
+    g2: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the ``value_col``
+    distributions of groups ``g1`` and ``g2`` — the DISTRIBUTIONAL
+    drift gate (profile_drift catches schema/envelope drift; KS
+    catches a shape change inside an unchanged envelope, the classic
+    silent regression after an upstream logic change). Reports the
+    exact D statistic plus the Numerical-Recipes asymptotic
+    significance (lambda and p).
+
+    One row out: ``(n_1, n_2, d_stat, ks_lambda, p_value)``.
+
+    Determinism: D is computed ENTIRELY in integers — per-value counts
+    for both samples pack into one DECIMAL(38,0) (c1·10^15 + c2, exact
+    since each cumulative count < 10^15 at any conceivable scale), one
+    cumulative prefix recovers both ECDFs, and the max of
+    |cum1·n2 - cum2·n1| is an integer max; the single division
+    happens once at the end. The p-series terms round to 12 decimals
+    and accumulate as DECIMAL(38,12) — exact addition is associative,
+    so Spark's ordered fold and SQL's unordered sum agree bit-for-bit.
+
+    100 TB shape: one map-side-combined groupBy collapses the corpus
+    to distinct values; the cumulative runs through
+    ``skew.distributed_prefix`` (range shuffle + broadcast offsets —
+    NO global-window funnel); totals attach as a one-row broadcast.
+    """
+    from pydala2_spark.functions.skew import distributed_prefix
+
+    vals = df.filter(F.col(group_col).isin([g1, g2])).select(
+        F.col(value_col).alias("v"),
+        F.when(F.col(group_col) == g1, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is1"),
+    )
+    per_v = vals.groupBy("v").agg(
+        F.sum("is1").cast("long").alias("c1"),
+        F.sum(F.lit(1) - F.col("is1")).cast("long").alias("c2"),
+    )
+    shift = F.lit(_KS_SHIFT).cast("decimal(38,0)")
+    packed = (
+        F.col("c1").cast("decimal(38,0)") * shift
+        + F.col("c2").cast("decimal(38,0)")
+    ).cast("decimal(38,0)")
+    pref = distributed_prefix(
+        per_v.withColumn("__pk", packed),
+        ["v"],
+        sum_col="__pk",
+        cum_col="__cum",
+    )
+    cum2 = (F.col("__cum") % shift).cast("decimal(38,0)")
+    cum1 = ((F.col("__cum") - cum2) / shift).cast("decimal(38,0)")
+    tot = per_v.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    mx = (
+        pref.crossJoin(F.broadcast(tot))
+        .select(
+            F.abs(
+                cum1 * F.col("n2").cast("decimal(38,0)")
+                - cum2 * F.col("n1").cast("decimal(38,0)")
+            ).alias("__diff")
+        )
+        .agg(F.max("__diff").alias("md"))
+    )
+    one = mx.crossJoin(F.broadcast(tot))
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    d = F.col("md").cast("double") / (n1d * n2d)
+    en = n1d * n2d / (n1d + n2d)
+    lam = (
+        F.sqrt(en) + F.lit(0.12) + F.lit(0.11) / F.sqrt(en)
+    ) * d
+    term = lambda j: F.round(
+        F.when(j % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.exp((F.lit(-2) * j * j).cast("double") * (lam * lam)),
+        12,
+    ).cast("decimal(38,12)")
+    p = F.lit(2.0) * F.aggregate(
+        F.sequence(F.lit(1), F.lit(50)),
+        F.lit(0).cast("decimal(38,12)"),
+        lambda acc, j: (acc + term(j)).cast("decimal(38,12)"),
+    ).cast("double")
+    return one.select(
+        F.col("n1").alias("n_1"),
+        F.col("n2").alias("n_2"),
+        F.round(d, ndigits).alias("d_stat"),
+        F.round(lam, 4).alias("ks_lambda"),
+        F.round(F.least(F.lit(1.0), F.greatest(F.lit(0.0), p)), ndigits)
+        .alias("p_value"),
+    )
+
+
+def ks_oracle_sql(
+    table_sql: str,
+    value_col: str,
+    group_col: str,
+    g1: str,
+    g2: str,
+    ndigits: int = 6,
+) -> str:
+    """DuckDB oracle for :func:`ks_two_sample` — the same integer-exact
+    ECDF maximum and the identical term-rounded p-series."""
+    return f"""
+    WITH f AS (
+      SELECT {value_col} AS v,
+             CASE WHEN {group_col} = '{g1}' THEN 1 ELSE 0 END AS is1
+      FROM ({table_sql}) WHERE {group_col} IN ('{g1}', '{g2}')
+    ), pv AS (
+      SELECT v, CAST(sum(is1) AS BIGINT) AS c1,
+             CAST(sum(1 - is1) AS BIGINT) AS c2
+      FROM f GROUP BY v
+    ), tot AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+      FROM pv
+    ), cum AS (
+      SELECT sum(CAST(c1 AS DECIMAL(38,0))) OVER (ORDER BY v) AS cum1,
+             sum(CAST(c2 AS DECIMAL(38,0))) OVER (ORDER BY v) AS cum2
+      FROM pv
+    ), mx AS (
+      SELECT max(abs(cum1 * CAST(n2 AS DECIMAL(38,0))
+                     - cum2 * CAST(n1 AS DECIMAL(38,0)))) AS md
+      FROM cum, tot
+    ), s AS (
+      SELECT n1, n2,
+             CAST(md AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d,
+             (sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+              + 0.12
+              + 0.11 / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+             * (CAST(md AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS lam
+      FROM mx, tot
+    ), ps AS (
+      SELECT s.*,
+             2.0 * CAST((
+               SELECT sum(CAST(round(
+                 (CASE WHEN j % 2 = 1 THEN 1.0 ELSE -1.0 END)
+                 * exp(CAST(-2 * j * j AS DOUBLE) * (s.lam * s.lam)), 12)
+               AS DECIMAL(38,12)))
+               FROM unnest(generate_series(1, 50)) AS u(j)
+             ) AS DOUBLE) AS p
+      FROM s
+    )
+    SELECT n1 AS n_1, n2 AS n_2,
+           round(d, {ndigits}) AS d_stat,
+           round(lam, 4) AS ks_lambda,
+           round(least(1.0, greatest(0.0, p)), {ndigits}) AS p_value
+    FROM ps
+    """

@@ -9348,6 +9348,35 @@ def emb_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_select(_t(spark, sf_dir, "embeddings"), k=6, pool=40)
 
 
+def _ks_oracle() -> str:
+    from pydala2_spark.functions.dq import ks_oracle_sql
+
+    return ks_oracle_sql(
+        "SELECT event_type, value FROM events",
+        "value",
+        "event_type",
+        "view",
+        "purchase",
+    )
+
+
+@query("dq_ks_test", _ks_oracle())
+def dq_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test (view vs purchase values) —
+    the DISTRIBUTIONAL drift gate next to dq_profile_drift's
+    schema/envelope gate: catches a shape change inside an unchanged
+    envelope. D is integer-exact end to end (both per-value counts
+    pack into one decimal, ONE distributed_prefix recovers both
+    ECDFs — no global-window funnel — and max|cum1*n2 - cum2*n1| is
+    an integer max); the Numerical-Recipes p-series accumulates
+    round-12 decimal terms. See functions/dq.ks_two_sample."""
+    from pydala2_spark.functions.dq import ks_two_sample
+
+    return ks_two_sample(
+        _t(spark, sf_dir, "events"), "value", "event_type", "view", "purchase"
+    )
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -9374,12 +9403,12 @@ _VERIFY_FIRST = [
     #     ev_theil_sen, doc_mojibake_repair.
     #   positions 44-49: the stalest previously-checked entries
     #     (r7-checked block, CORRECTNESS_r07 order).
-    # r11 pre-staging: FIRST the ten r10 third-batch queries that have
-    # never been driver-seen (mirror-green) — agg_corr_matrix,
+    # r11 pre-staging: FIRST the eleven r10 third-batch queries that
+    # have never been driver-seen (mirror-green) — agg_corr_matrix,
     # dq_mutual_info, doc_readability, ev_markov_transitions,
     # ev_frequent_paths, graph_bfs_distances, doc_collocation_llr,
-    # ev_kaplan_meier, doc_js_divergence, emb_mmr_diversify — then
-    # rotate the
+    # ev_kaplan_meier, doc_js_divergence, emb_mmr_diversify,
+    # dq_ks_test — then rotate the
     # REMAINDER of the r7-checked block — dq_fk_orphans, dq_benford,
     # er_part_linkage, ev_conversion_latency, ev_anomaly_days,
     # ev_rolling_quantiles, ev_value_histogram, scd2_event_history,

@@ -239,3 +239,46 @@ def test_categorical_mutual_info_exact(spark):
     assert (r2["h_x"], r2["h_y"], r2["mi"], r2["mi_norm"]) == (
         ln3, ln3, ln3, 1.0,
     )
+
+
+def test_ks_two_sample_matches_manual(spark):
+    """KS D statistic vs a hand-rolled ECDF computation (exact, with
+    ties across samples); p vs the same Numerical-Recipes series in
+    Python; disjoint samples give D = 1 and p ~ 0."""
+    import math
+
+    from pydala2_spark.functions.dq import ks_two_sample
+
+    a = [float(((i * 31) % 17) - 8) / 4.0 for i in range(60)]
+    b = [float(((i * 37) % 23) - 8) / 4.0 for i in range(45)]
+    rows = [("a", v) for v in a] + [("b", v) for v in b] + [("c", 99.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    [r] = ks_two_sample(df, "v", "g", "a", "b").collect()
+    assert (r["n_1"], r["n_2"]) == (60, 45)  # group c excluded
+    n1, n2 = len(a), len(b)
+    xs = sorted(set(a) | set(b))
+    best = 0
+    c1 = c2 = 0
+    for x in xs:
+        c1 += sum(1 for v in a if v == x)
+        c2 += sum(1 for v in b if v == x)
+        best = max(best, abs(c1 * n2 - c2 * n1))
+    d = best / (n1 * n2)
+    assert r["d_stat"] == round(d, 6)
+    en = n1 * n2 / (n1 + n2)
+    lam = (math.sqrt(en) + 0.12 + 0.11 / math.sqrt(en)) * d
+    assert r["ks_lambda"] == round(lam, 4)
+    p = 2.0 * sum(
+        round((1.0 if j % 2 == 1 else -1.0)
+              * math.exp(float(-2 * j * j) * (lam * lam)), 12)
+        for j in range(1, 51)
+    )
+    assert r["p_value"] == round(min(1.0, max(0.0, p)), 6)
+    # disjoint supports -> D = 1
+    df2 = spark.createDataFrame(
+        [("a", float(i)) for i in range(20)]
+        + [("b", 100.0 + i) for i in range(20)],
+        "g string, v double",
+    )
+    [r2] = ks_two_sample(df2, "v", "g", "a", "b").collect()
+    assert r2["d_stat"] == 1.0 and r2["p_value"] < 1e-6

@@ -268,6 +268,8 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "doc_collocation_llr",
         "doc_js_divergence",
         "ev_kaplan_meier",
+        # r10: one-row (n1, n2) totals and the one-row max-diff frame
+        "dq_ks_test",
     }
     offenders = []
     for name, fn in queries().items():
