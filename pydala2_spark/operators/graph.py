@@ -610,3 +610,84 @@ def bfs_oracle_sql(
         f" FROM d{max_hops}"
     )
     return "\n".join(parts)
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """SYNCHRONOUS label propagation (Raghavan et al. 2007) for
+    community detection: every node starts as its own label; each
+    round it adopts the most frequent label among its neighbors (ties
+    to the smallest label). Synchronous + deterministic tie-break
+    makes the result exactly reproducible — the asynchronous/random
+    variants of LPA are famously run-to-run unstable, which is useless
+    for an oracle-checked engine, so the fixed-round synchronous form
+    is the right re-expression. Returns ``(node, community)`` after
+    ``rounds`` rounds (community = a node id).
+
+    100 TB shape: per round, ONE equi-join of the adjacency against
+    the |nodes| label frame and two map-side-combined aggs — the
+    argmax is a struct-max (count, -label, label), NOT a per-node
+    window sort. Adjacency and each round's labels localCheckpoint
+    (the triangle_counts lesson: reuse without it re-runs the caller's
+    edge derivation every round).
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    edges = edges.select("src", "dst").localCheckpoint()
+    adj = (
+        edges.select(F.col("src").alias("node"), F.col("dst").alias("v"))
+        .unionAll(
+            edges.select(F.col("dst").alias("node"), F.col("src").alias("v"))
+        )
+        .localCheckpoint()
+    )
+    labels = (
+        adj.select("node")
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        cnt = adj.join(
+            labels.select(F.col("node").alias("v"), "lbl"), "v"
+        ).groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c").alias("c"),
+                        (-F.col("lbl")).alias("negl"),
+                        F.col("lbl").alias("lbl"),
+                    )
+                ).alias("m")
+            )
+            .select("node", F.col("m.lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("lbl").alias("community"))
+
+
+def label_propagation_oracle_sql(
+    edge_cte: str, rounds: int = 4
+) -> str:
+    """DuckDB oracle for :func:`label_propagation` — the synchronous
+    rounds unrolled, argmax via the identical (c DESC, lbl ASC)
+    ordering."""
+    parts = [
+        f"WITH e AS ({edge_cte}),",
+        "adj AS (SELECT src AS node, dst AS v FROM e"
+        " UNION ALL SELECT dst, src FROM e),",
+        "l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"l{k} AS (SELECT node, lbl FROM ("
+            f"SELECT adj.node, l.lbl, count(*) AS c,"
+            f" row_number() OVER (PARTITION BY adj.node"
+            f" ORDER BY count(*) DESC, l.lbl ASC) AS rn"
+            f" FROM adj JOIN l{k - 1} l ON adj.v = l.node"
+            f" GROUP BY adj.node, l.lbl) WHERE rn = 1),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT node, lbl AS community FROM l{rounds}")
+    return "\n".join(parts)

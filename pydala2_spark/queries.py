@@ -9377,6 +9377,49 @@ def dq_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lpa_oracle() -> str:
+    from pydala2_spark.operators.graph import label_propagation_oracle_sql
+
+    edge_cte = """
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                  FROM lineitem WHERE l_quantity >= 45)
+      SELECT DISTINCT x.p AS src, y.p AS dst
+      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+    """
+    return label_propagation_oracle_sql(edge_cte, rounds=4)
+
+
+@query("graph_label_prop", _lpa_oracle())
+def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation over the
+    sparse co-purchase slice — the clustering primitive next to
+    pagerank's centrality and k-core's cohesion. Synchronous rounds +
+    (count DESC, label ASC) tie-break make LPA (famously run-to-run
+    unstable in its async/random form) exactly reproducible; the
+    per-round argmax is a struct-max, not a per-node window sort, and
+    every reused frame localCheckpoints.
+    See operators/graph.label_propagation."""
+    from pydala2_spark.operators.graph import label_propagation
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    edges = (
+        li.alias("x")
+        .join(li.alias("y"), "o")
+        .filter(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+        # dedupe multi-order pairs: LPA counts labels by edge
+        # MULTIPLICITY, so the simple-graph semantics need one row per
+        # pair (the oracle's SELECT DISTINCT)
+        .distinct()
+    )
+    return label_propagation(edges, rounds=4)
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -9403,12 +9446,12 @@ _VERIFY_FIRST = [
     #     ev_theil_sen, doc_mojibake_repair.
     #   positions 44-49: the stalest previously-checked entries
     #     (r7-checked block, CORRECTNESS_r07 order).
-    # r11 pre-staging: FIRST the eleven r10 third-batch queries that
+    # r11 pre-staging: FIRST the twelve r10 third-batch queries that
     # have never been driver-seen (mirror-green) — agg_corr_matrix,
     # dq_mutual_info, doc_readability, ev_markov_transitions,
     # ev_frequent_paths, graph_bfs_distances, doc_collocation_llr,
     # ev_kaplan_meier, doc_js_divergence, emb_mmr_diversify,
-    # dq_ks_test — then rotate the
+    # dq_ks_test, graph_label_prop — then rotate the
     # REMAINDER of the r7-checked block — dq_fk_orphans, dq_benford,
     # er_part_linkage, ev_conversion_latency, ev_anomaly_days,
     # ev_rolling_quantiles, ev_value_histogram, scd2_event_history,

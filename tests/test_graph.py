@@ -296,3 +296,50 @@ def test_bfs_distances_early_exit_and_guards(spark):
     assert a == b == [(1, 0), (2, 1)]
     with pytest.raises(ValueError):
         bfs_distances(edges, seeds, max_hops=-1)
+
+
+def test_label_propagation_matches_bruteforce(spark):
+    """Synchronous LPA vs an in-Python replay (same tie-break) on a
+    deterministic graph; two planted cliques joined by one bridge
+    resolve to two communities; guard refuses rounds < 1."""
+    import collections
+
+    import pytest
+
+    from pydala2_spark.operators.graph import label_propagation
+
+    # two 5-cliques {0..4} and {10..14} plus bridge (4, 10)
+    edges_py = (
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        + [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+        + [(4, 10)]
+    )
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    adj = collections.defaultdict(list)
+    for a, b in edges_py:
+        adj[a].append(b)
+        adj[b].append(a)
+    for rounds in (1, 2, 4):
+        lbl = {n: n for n in adj}
+        for _ in range(rounds):
+            nxt = {}
+            for n in adj:
+                cnt = collections.Counter(lbl[v] for v in adj[n])
+                nxt[n] = min(
+                    cnt, key=lambda l: (-cnt[l], l)
+                )
+            lbl = nxt
+        got = {
+            r["node"]: r["community"]
+            for r in label_propagation(edges, rounds=rounds).collect()
+        }
+        assert got == lbl, f"rounds={rounds}"
+    # planted structure: after 4 rounds each clique is one community
+    final = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, rounds=4).collect()
+    }
+    assert len({final[n] for n in range(5)}) == 1
+    assert len({final[n] for n in range(10, 15)}) == 1
+    with pytest.raises(ValueError):
+        label_propagation(edges, rounds=0)
