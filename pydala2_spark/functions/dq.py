@@ -741,3 +741,96 @@ def ks_oracle_sql(
            round(least(1.0, greatest(0.0, p)), {ndigits}) AS p_value
     FROM ps
     """
+
+
+def chi2_independence(
+    df: DataFrame, x: str, y: str, ndigits: int = 4
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, plus Cramer's V effect size — the categorical-association
+    audit that complements :func:`categorical_mutual_info` (chi2 is
+    the classical significance-bearing statistic; MI is the
+    information-theoretic one; a drift monitor wants both).
+
+    One row out: ``(n_rows, card_x, card_y, dof, chi2, cramers_v)``.
+
+    Uses the identity ``chi2 = N * (sum_ij n_ij^2 / (r_i * c_j) - 1)``
+    so every input to the sum is an exact integer count; each per-cell
+    term rounds to 12 decimals and accumulates as DECIMAL(38,12) (the
+    pagerank discipline), making the sum order-independent and
+    engine-portable. Cramer's V = sqrt(chi2 / (N * min(rx-1, cy-1))).
+
+    100 TB shape: one map-side-combined groupBy to the |X|x|Y| joint
+    frame; marginals re-aggregate THAT frame (corpus scanned once);
+    totals join back as one-row broadcasts. No window, no funnel.
+    """
+    joint = (
+        df.groupBy(F.col(x).alias("__x"), F.col(y).alias("__y"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    tot = joint.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.countDistinct("__x").cast("long").alias("kx"),
+        F.countDistinct("__y").cast("long").alias("ky"),
+    )
+    mx = joint.groupBy("__x").agg(F.sum("c").alias("cx"))
+    my = joint.groupBy("__y").agg(F.sum("c").alias("cy"))
+    term = F.round(
+        (F.col("c").cast("double") * F.col("c").cast("double"))
+        / (F.col("cx").cast("double") * F.col("cy").cast("double")),
+        12,
+    ).cast("decimal(38,12)")
+    s = (
+        joint.join(mx, "__x")
+        .join(my, "__y")
+        .agg(F.sum(term).cast("double").alias("__s"))
+    )
+    n = F.col("n").cast("double")
+    chi2 = n * (F.col("__s") - F.lit(1.0))
+    dof = (F.col("kx") - 1) * (F.col("ky") - 1)
+    vmin = F.least(F.col("kx") - 1, F.col("ky") - 1).cast("double")
+    return tot.crossJoin(F.broadcast(s)).select(
+        F.col("n").alias("n_rows"),
+        F.col("kx").alias("card_x"),
+        F.col("ky").alias("card_y"),
+        dof.cast("long").alias("dof"),
+        F.round(chi2, ndigits).alias("chi2"),
+        # round-12 term residue can leave chi2 a hair below zero on a
+        # perfectly independent table — clamp before the sqrt
+        F.round(
+            F.sqrt(F.greatest(chi2, F.lit(0.0)) / (n * vmin)), 6
+        ).alias("cramers_v"),
+    )
+
+
+def chi2_oracle_sql(table_sql: str, x: str, y: str, ndigits: int = 4) -> str:
+    """DuckDB oracle for :func:`chi2_independence` — identical
+    rounded-term DECIMAL(38,12) accumulation."""
+    return f"""
+    WITH joint AS (
+      SELECT {x} AS xv, {y} AS yv, count(*) AS c
+      FROM ({table_sql}) GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(DISTINCT xv) AS BIGINT) AS kx,
+             CAST(count(DISTINCT yv) AS BIGINT) AS ky
+      FROM joint
+    ), mx AS (SELECT xv, sum(c) AS cx FROM joint GROUP BY 1),
+    my AS (SELECT yv, sum(c) AS cy FROM joint GROUP BY 1),
+    s AS (
+      SELECT CAST(sum(CAST(round(
+        (CAST(c AS DOUBLE) * CAST(c AS DOUBLE))
+          / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)), 12)
+        AS DECIMAL(38,12))) AS DOUBLE) AS s
+      FROM joint JOIN mx USING (xv) JOIN my USING (yv)
+    )
+    SELECT tot.n AS n_rows, tot.kx AS card_x, tot.ky AS card_y,
+           CAST((tot.kx - 1) * (tot.ky - 1) AS BIGINT) AS dof,
+           round(CAST(tot.n AS DOUBLE) * (s.s - 1.0), {ndigits}) AS chi2,
+           round(sqrt(greatest(CAST(tot.n AS DOUBLE) * (s.s - 1.0), 0.0)
+                      / (CAST(tot.n AS DOUBLE)
+                         * CAST(least(tot.kx - 1, tot.ky - 1) AS DOUBLE))),
+                 6) AS cramers_v
+    FROM tot, s
+    """

@@ -9420,6 +9420,43 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, rounds=4)
 
 
+def _chi2_oracle() -> str:
+    from pydala2_spark.functions.dq import chi2_oracle_sql
+
+    return chi2_oracle_sql(
+        """SELECT c_mktsegment AS seg, o_orderpriority AS pri
+           FROM orders JOIN customer ON o_custkey = c_custkey""",
+        "seg",
+        "pri",
+    )
+
+
+@query("agg_chi2_independence", _chi2_oracle())
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test + Cramer's V between
+    customer market segment and order priority — the classical
+    categorical-association audit next to dq_mutual_info's
+    information-theoretic one (a segmentation model wants to know if
+    priority is segment-confounded BEFORE training on both). One
+    equi-join on the key, one map-side-combined groupBy to the 5x5
+    joint frame; marginals re-aggregate that frame, the corpus moves
+    once. See functions/dq.chi2_independence."""
+    from pydala2_spark.functions.dq import chi2_independence
+
+    joined = (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", F.col("o_orderpriority").alias("pri"))
+        .join(
+            _t(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_mktsegment").alias("seg"),
+            ),
+            "o_custkey",
+        )
+    )
+    return chi2_independence(joined, "seg", "pri")
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================

@@ -282,3 +282,33 @@ def test_ks_two_sample_matches_manual(spark):
     )
     [r2] = ks_two_sample(df2, "v", "g", "a", "b").collect()
     assert r2["d_stat"] == 1.0 and r2["p_value"] < 1e-6
+
+
+def test_chi2_independence_exact(spark):
+    """Chi-square vs hand math: independent uniform columns give
+    chi2 = 0 and V = 0; a bijection of x gives the maximal
+    chi2 = N*(k-1) and Cramer's V = 1."""
+    from pydala2_spark.functions.dq import chi2_independence
+
+    rows = [(str(i % 2), str((i // 2) % 3)) for i in range(600)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    [r] = chi2_independence(df, "x", "y").collect()
+    assert (r["n_rows"], r["card_x"], r["card_y"], r["dof"]) == (600, 2, 3, 2)
+    # round-12 term residue keeps chi2 at rounded 0.0; V may carry a
+    # ~1e-6 sqrt-amplified echo of it
+    assert r["chi2"] == 0.0 and r["cramers_v"] <= 1e-5
+    # y = f(x) bijection: perfect association
+    rows2 = [(str(i % 3), str((i % 3) * 7)) for i in range(300)]
+    df2 = spark.createDataFrame(rows2, "x string, y string")
+    [r2] = chi2_independence(df2, "x", "y").collect()
+    assert (r2["dof"], r2["chi2"], r2["cramers_v"]) == (4, 600.0, 1.0)
+    # 2x2 with known counts: chi2 by the textbook formula
+    rows3 = [("a", "p")] * 30 + [("a", "q")] * 10 + [("b", "p")] * 20 + [("b", "q")] * 40
+    df3 = spark.createDataFrame(rows3, "x string, y string")
+    [r3] = chi2_independence(df3, "x", "y").collect()
+    # chi2 = N (ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d))
+    n, a, b, c, d = 100, 30, 10, 20, 40
+    exp = n * (a * d - b * c) ** 2 / ((a + b) * (c + d) * (a + c) * (b + d))
+    # output rounds chi2 to 4 digits, V to 6
+    assert r3["chi2"] == round(exp, 4)
+    assert abs(r3["cramers_v"] - (exp / n) ** 0.5) < 1e-6
