@@ -1217,3 +1217,126 @@ def kaplan_meier_oracle_sql(
                 ELSE 0.0 END AS survival
     FROM terms
     """
+
+
+def attribution_credit(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view", "signup"),
+    window_days: int = 7,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Multi-touch attribution over an event log — per channel, the
+    credit each of the four canonical models assigns: first-touch and
+    last-touch conversion counts, linear (1/n per touch), and
+    U-shaped position-based (40% first, 40% last, 20% split across
+    the middle; 100%/50-50 for 1- and 2-touch paths).
+
+    A conversion's path is every touch event by the same user in the
+    ``window_days`` lookback ending strictly before the conversion.
+    Fractional credits round to 12 decimals and accumulate as
+    DECIMAL(38,12) (the pagerank discipline) so both engines sum
+    identically; first/last flags and touch counts are integer-exact.
+
+    100 TB shape: one equi-join on user_id (per-user fanout is
+    touches x conversions for that user — bounded by per-user
+    activity, never by corpus size), then per-conversion windows that
+    share ONE hash exchange on the conversion id (millions of small
+    groups, no funnel), then a map-side-combined groupBy channel.
+    """
+    from pyspark.sql import Window as W
+
+    conv = events.filter(F.col("event_type") == conversion_type).select(
+        F.col("user_id").alias("__u"),
+        F.col("event_id").alias("__cid"),
+        F.col("ts").alias("__cts"),
+    )
+    touch = events.filter(F.col("event_type").isin(*touch_types)).select(
+        F.col("user_id").alias("__u"),
+        F.col("event_type").alias("channel"),
+        "ts",
+        "event_id",
+    )
+    lo = F.col("__cts") - F.expr(f"INTERVAL {int(window_days)} DAYS")
+    pairs = touch.join(conv, "__u").filter(
+        (F.col("ts") < F.col("__cts")) & (F.col("ts") >= lo)
+    )
+    w = W.partitionBy("__cid")
+    wa = w.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wd = w.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    r = (
+        pairs.withColumn(
+            "__n", F.count(F.lit(1)).over(w.orderBy("ts").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing))
+        )
+        .withColumn("__ra", F.row_number().over(wa))
+        .withColumn("__rd", F.row_number().over(wd))
+    )
+    dec = "decimal(38,12)"
+    nd = F.col("__n").cast("double")
+    lin = F.round(F.lit(1.0) / nd, 12).cast(dec)
+    pos = F.round(
+        F.when(F.col("__n") == 1, F.lit(1.0))
+        .when(F.col("__n") == 2, F.lit(0.5))
+        .when((F.col("__ra") == 1) | (F.col("__rd") == 1), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (nd - F.lit(2.0))),
+        12,
+    ).cast(dec)
+    return r.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum(F.when(F.col("__ra") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_first"),
+        F.sum(F.when(F.col("__rd") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_last"),
+        F.round(F.sum(lin).cast("double"), ndigits).alias("linear_credit"),
+        F.round(F.sum(pos).cast("double"), ndigits).alias("position_credit"),
+    )
+
+
+def attribution_oracle_sql(
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view", "signup"),
+    window_days: int = 7,
+    ndigits: int = 4,
+) -> str:
+    """DuckDB oracle for :func:`attribution_credit` — identical
+    rounded-term DECIMAL(38,12) accumulation, every fractional literal
+    CAST to DOUBLE so decimal-typed literals can't shift a 12th digit."""
+    tt = ", ".join(f"'{t}'" for t in touch_types)
+    return f"""
+    WITH conv AS (
+      SELECT event_id AS cid, user_id, ts AS cts
+      FROM events WHERE event_type = '{conversion_type}'
+    ), pairs AS (
+      SELECT c.cid, e.event_type AS channel, e.ts, e.event_id
+      FROM conv c JOIN events e ON e.user_id = c.user_id
+      WHERE e.event_type IN ({tt})
+        AND e.ts < c.cts
+        AND e.ts >= c.cts - INTERVAL {int(window_days)} DAY
+    ), r AS (
+      SELECT channel,
+             count(*) OVER (PARTITION BY cid) AS n,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY ts ASC, event_id ASC) AS ra,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM pairs
+    )
+    SELECT channel,
+           count(*) AS n_touches,
+           CAST(sum(CASE WHEN ra = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+           CAST(sum(CASE WHEN rd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+           round(CAST(sum(CAST(round(
+             CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE), 12)
+             AS DECIMAL(38,12))) AS DOUBLE), {ndigits}) AS linear_credit,
+           round(CAST(sum(CAST(round(
+             CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+                  WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+                  WHEN ra = 1 OR rd = 1 THEN CAST(0.4 AS DOUBLE)
+                  ELSE CAST(0.2 AS DOUBLE) / (CAST(n AS DOUBLE) - 2.0)
+             END, 12)
+             AS DECIMAL(38,12))) AS DOUBLE), {ndigits}) AS position_credit
+    FROM r GROUP BY channel
+    """

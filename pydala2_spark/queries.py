@@ -9420,6 +9420,27 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, rounds=4)
 
 
+def _attribution_oracle() -> str:
+    from pydala2_spark.operators.events import attribution_oracle_sql
+
+    return attribution_oracle_sql()
+
+
+@query("ev_attribution", _attribution_oracle())
+def ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: per channel, first-touch / last-touch
+    conversion counts plus linear and U-shaped position-based credit
+    over 7-day lookback paths ending at each purchase — the marketing
+    counterpart to ev_funnel's ordered-step counts. One user_id
+    equi-join builds the paths (fanout bounded by per-user activity),
+    per-conversion windows share one hash exchange, credits accumulate
+    as round-12 DECIMAL(38,12).
+    See operators/events.attribution_credit."""
+    from pydala2_spark.operators.events import attribution_credit
+
+    return attribution_credit(_t(spark, sf_dir, "events"))
+
+
 def _chi2_oracle() -> str:
     from pydala2_spark.functions.dq import chi2_oracle_sql
 

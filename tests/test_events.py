@@ -742,3 +742,54 @@ def test_kaplan_meier_matches_manual(spark):
     # t=2: d=1 n=3 -> 2/3 ; t=5: censored ; t=30: d=n=1 -> 0
     assert abs(rows2[2] - 2.0 / 3.0) < 1e-6
     assert rows2[5] == rows2[2] and rows2[30] == 0.0
+
+
+def test_attribution_credit_bruteforce(spark):
+    """Attribution credits vs a Python replay on a tiny synthetic log:
+    paths of length 1, 2, and 4 exercise every CASE branch; an
+    out-of-window and a post-conversion touch must be excluded."""
+    from datetime import datetime, timedelta
+
+    from pydala2_spark.operators.events import attribution_credit
+
+    t0 = datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        # user 1: 4-touch path (first 0.4, last 0.4, two middles 0.1)
+        (1, 1, t0 + timedelta(minutes=1), "click"),
+        (2, 1, t0 + timedelta(minutes=2), "view"),
+        (3, 1, t0 + timedelta(minutes=3), "view"),
+        (4, 1, t0 + timedelta(minutes=4), "signup"),
+        (5, 1, t0 + timedelta(minutes=5), "purchase"),
+        # user 2: 1-touch path
+        (6, 2, t0, "click"),
+        (7, 2, t0 + timedelta(hours=1), "purchase"),
+        # user 2: same touch ALSO in the window of a 2nd purchase ->
+        # it participates in both paths (per-conversion credit)
+        (8, 2, t0 + timedelta(hours=2), "view"),
+        (9, 2, t0 + timedelta(hours=3), "purchase"),
+        # excluded: touch 8 days before, touch after conversion
+        (10, 3, t0 - timedelta(days=8), "click"),
+        (11, 3, t0 + timedelta(minutes=30), "purchase"),
+        (12, 3, t0 + timedelta(minutes=40), "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {r["channel"]: r for r in attribution_credit(df).collect()}
+    # user1 path: click,view,view,signup (n=4): pos = .4, .1, .1, .4
+    # user2 purchase7 path: [click6] n=1 -> 1.0
+    # user2 purchase9 path: [click6, view8] n=2 -> 0.5 each
+    # user3 purchase11: no touches in window (ev10 too old)
+    assert got["click"]["n_touches"] == 3  # ev1, ev6 (twice: 2 paths)
+    assert got["click"]["n_first"] == 3
+    assert got["click"]["n_last"] == 1  # ev6 in the n=1 path
+    assert abs(got["click"]["linear_credit"] - (0.25 + 1.0 + 0.5)) < 1e-9
+    assert abs(got["click"]["position_credit"] - (0.4 + 1.0 + 0.5)) < 1e-9
+    assert got["view"]["n_touches"] == 3  # ev2, ev3, ev8
+    assert got["view"]["n_first"] == 0
+    assert got["view"]["n_last"] == 1  # ev8 last in the n=2 path
+    assert abs(got["view"]["linear_credit"] - (0.25 + 0.25 + 0.5)) < 1e-9
+    assert abs(got["view"]["position_credit"] - (0.1 + 0.1 + 0.5)) < 1e-9
+    assert got["signup"]["n_touches"] == 1
+    assert (got["signup"]["n_first"], got["signup"]["n_last"]) == (0, 1)
+    assert abs(got["signup"]["position_credit"] - 0.4) < 1e-9
