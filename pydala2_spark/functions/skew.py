@@ -128,3 +128,36 @@ def distributed_prefix(
         ["__lcum", "__off_s"] if sum_col is not None else []
     )
     return out.drop(*drop)
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_cols: list,
+    k: int,
+    out_col: str = "__ntile",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """SQL-standard ``ntile(k)`` over a total order WITHOUT the global
+    window funnel: global rank via :func:`distributed_prefix`, then
+    the standard bucket formula on (rank, n) — the first ``n % k``
+    buckets take ``floor(n/k)+1`` rows, the rest ``floor(n/k)``.
+    Integer-exact, so the result equals a native ``ntile()`` row for
+    row (the w_value_deciles contract, factored out for reuse).
+
+    ``order_cols`` must totally order the rows (include a unique
+    tiebreaker)."""
+    n_row = df.agg(F.count(F.lit(1)).alias("__n"))
+    r = distributed_prefix(
+        df, order_cols, n_partitions=n_partitions, rank_col="__r"
+    ).crossJoin(F.broadcast(n_row))
+    sz = F.floor(F.col("__n") / k).cast("long")
+    big = F.col("__n") % k
+    cut = big * (sz + 1)
+    bucket = (
+        F.when(F.col("__r") <= cut, F.floor((F.col("__r") - 1) / (sz + 1)) + 1)
+        # greatest() keeps the dormant branch ANSI-safe when n < k
+        # (sz = 0 there, but cut = n already routed every row above)
+        .otherwise(big + F.floor((F.col("__r") - 1 - cut) / F.greatest(sz, F.lit(1))) + 1)
+        .cast("int")
+    )
+    return r.withColumn(out_col, bucket).drop("__r", "__n")

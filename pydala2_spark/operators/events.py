@@ -1340,3 +1340,98 @@ def attribution_oracle_sql(
              AS DECIMAL(38,12))) AS DOUBLE), {ndigits}) AS position_credit
     FROM r GROUP BY channel
     """
+
+
+def rfm_scores(
+    events: DataFrame,
+    purchase_type: str = "purchase",
+    k: int = 5,
+    ndigits: int = 4,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation over
+    the purchase log — the canonical customer-value grid. Per user:
+    recency = whole days between their last purchase and the corpus'
+    last purchase, frequency = purchase count, monetary = exact
+    DECIMAL(38,6) spend. Each dimension scores 1..k by SQL-standard
+    ntile (5 = best: most recent / most frequent / highest spend),
+    with user_id as the deterministic tiebreaker. Output: one row per
+    populated (r,f,m) cell with user count and mean spend.
+
+    100 TB shape: one map-side-combined groupBy collapses the event
+    log to the user grain (localCheckpoint-ed — three downstream
+    consumers must not re-run the scan); each score is a
+    distributed_ntile = range shuffle + tiny offset aggregation on the
+    USER frame, never a global window; the final cell rollup is
+    <= k^3 rows."""
+    from pydala2_spark.functions.skew import distributed_ntile
+
+    p = events.filter(F.col("event_type") == purchase_type)
+    mx = p.agg(F.max("ts").alias("__mx"))
+    users = (
+        p.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("__last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .withColumn(
+            "recency_days",
+            F.datediff(F.to_date("__mx"), F.to_date("__last")).cast("long"),
+        )
+        .drop("__mx", "__last")
+        .localCheckpoint()
+    )
+    scored = distributed_ntile(
+        users,
+        [F.desc("recency_days"), F.asc("user_id")],
+        k,
+        out_col="r_score",
+    )
+    scored = distributed_ntile(
+        scored, [F.asc("frequency"), F.asc("user_id")], k, out_col="f_score"
+    )
+    scored = distributed_ntile(
+        scored, [F.asc("monetary"), F.asc("user_id")], k, out_col="m_score"
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(
+            F.sum("monetary").cast("double") / F.count(F.lit(1)), ndigits
+        ).alias("avg_monetary"),
+    )
+
+
+def rfm_oracle_sql(
+    purchase_type: str = "purchase", k: int = 5, ndigits: int = 4
+) -> str:
+    """DuckDB oracle for :func:`rfm_scores` — native ntile() windows
+    over the same user-grain frame."""
+    return f"""
+    WITH p AS (
+      SELECT user_id, ts, value FROM events
+      WHERE event_type = '{purchase_type}'
+    ), mx AS (SELECT max(ts) AS mts FROM p),
+    u AS (
+      SELECT user_id,
+             date_diff('day', CAST(max(ts) AS DATE),
+                       CAST((SELECT mts FROM mx) AS DATE)) AS recency_days,
+             count(*) AS frequency,
+             sum(CAST(value AS DECIMAL(38,6))) AS monetary
+      FROM p GROUP BY user_id
+    ), s AS (
+      SELECT monetary,
+             ntile({k}) OVER (ORDER BY recency_days DESC, user_id ASC)
+               AS r_score,
+             ntile({k}) OVER (ORDER BY frequency ASC, user_id ASC)
+               AS f_score,
+             ntile({k}) OVER (ORDER BY monetary ASC, user_id ASC)
+               AS m_score
+      FROM u
+    )
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_users,
+           round(CAST(sum(monetary) AS DOUBLE) / count(*), {ndigits})
+             AS avg_monetary
+    FROM s GROUP BY 1, 2, 3
+    """

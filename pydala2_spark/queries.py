@@ -9420,6 +9420,26 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, rounds=4)
 
 
+def _rfm_oracle() -> str:
+    from pydala2_spark.operators.events import rfm_oracle_sql
+
+    return rfm_oracle_sql()
+
+
+@query("ev_rfm_scores", _rfm_oracle())
+def ev_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation (recency/frequency/monetary 1..5
+    grid with user counts and mean spend) — the customer-value rollup
+    next to ev_cohort_retention. Every ntile is a distributed_ntile
+    (range shuffle + broadcast offsets over the USER-grain frame), so
+    no global window funnels the user table through one task; the
+    user frame localCheckpoints once for its three scoring passes.
+    See operators/events.rfm_scores."""
+    from pydala2_spark.operators.events import rfm_scores
+
+    return rfm_scores(_t(spark, sf_dir, "events"))
+
+
 def _attribution_oracle() -> str:
     from pydala2_spark.operators.events import attribution_oracle_sql
 

@@ -2252,3 +2252,39 @@ def test_js_divergence_matches_bruteforce(spark):
     # s3 is exactly half the corpus with the corpus' own mix -> lowest
     assert got["s3"][1] == min(v[1] for v in got.values())
     assert got["s1"][2] > 0.2 and got["s2"][2] > 0.2
+
+
+def test_distributed_ntile_equals_native(spark):
+    """distributed_ntile must reproduce the native ntile() bucket row
+    for row, including the uneven-bucket edge (n % k != 0) and the
+    n < k degenerate case."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pydala2_spark.functions.skew import distributed_ntile
+
+    rows = [((i * 37) % 101, i) for i in range(97)]  # coprime scramble
+    df = spark.createDataFrame(rows, "v long, id long")
+    for k in (5, 10, 7):
+        got = {
+            r["id"]: r["b"]
+            for r in distributed_ntile(
+                df, [F.asc("v"), F.asc("id")], k, out_col="b", n_partitions=8
+            ).collect()
+        }
+        want = {
+            r["id"]: r["b"]
+            for r in df.withColumn(
+                "b", F.ntile(k).over(Window.orderBy(F.asc("v"), F.asc("id")))
+            ).collect()
+        }
+        assert got == want, f"k={k}"
+    # n < k: first n buckets get one row each
+    small = spark.createDataFrame([(3, 1), (1, 2), (2, 3)], "v long, id long")
+    got = {
+        r["id"]: r["b"]
+        for r in distributed_ntile(
+            small, [F.asc("v"), F.asc("id")], 5, out_col="b", n_partitions=4
+        ).collect()
+    }
+    assert got == {2: 1, 3: 2, 1: 3}

@@ -270,6 +270,12 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "ev_kaplan_meier",
         # r10: one-row (n1, n2) totals and the one-row max-diff frame
         "dq_ks_test",
+        # r10 continuation: one-row (n, kx, ky) totals and the one-row
+        # term-sum frame (chi2); the one-row corpus-max-ts frame and
+        # the per-ntile one-row count frames (rfm) — all 1-row
+        # broadcasts, corpus work is the upstream groupBy
+        "agg_chi2_independence",
+        "ev_rfm_scores",
     }
     offenders = []
     for name, fn in queries().items():
