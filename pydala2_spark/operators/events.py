@@ -1435,3 +1435,120 @@ def rfm_oracle_sql(
              AS avg_monetary
     FROM s GROUP BY 1, 2, 3
     """
+
+
+def concurrency_sweep(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Peak concurrent sessions by sweep-line — the capacity-planning
+    question ("how many sessions were ever open at once, and when did
+    the peak first happen?"). Sessions are the 30-minute-gap intervals
+    of ev_sessionization, [first event, last event]; the sweep emits
+    +1 at each start and -1 at each end, ordered by (time,
+    starts-before-ends, user, session) so touching intervals count as
+    concurrent and the running sum is a deterministic total order.
+
+    One row out: ``(n_intervals, peak_concurrency, first_peak_at)``
+    (timestamp formatted to the second — raw timestamps are banned by
+    the determinism contract).
+
+    100 TB shape: sessionization is per-user windows on ONE hash
+    exchange; the running sum is skew.distributed_prefix (range
+    shuffle + broadcast offsets) — the global ORDER BY never funnels
+    through one task; peak and first-peak reduce to one-row
+    broadcasts."""
+    from pyspark.sql import Window as W
+
+    from pydala2_spark.functions.skew import distributed_prefix
+
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = (
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    ) > gap_minutes * 60
+    flagged = events.withColumn(
+        "__new", F.when(gap | F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    )
+    sess = (
+        flagged.withColumn(
+            "__sid",
+            F.sum("__new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .groupBy("user_id", "__sid")
+        .agg(F.min("ts").alias("__s"), F.max("ts").alias("__e"))
+        .localCheckpoint()
+    )
+    deltas = sess.select(
+        F.col("__s").alias("t"),
+        F.lit(0).alias("pri"),
+        F.lit(1).cast("decimal(38,0)").alias("d"),
+        "user_id",
+        "__sid",
+    ).unionAll(
+        sess.select(
+            F.col("__e").alias("t"),
+            F.lit(1).alias("pri"),
+            F.lit(-1).cast("decimal(38,0)").alias("d"),
+            "user_id",
+            "__sid",
+        )
+    )
+    cum = distributed_prefix(
+        deltas,
+        [F.asc("t"), F.asc("pri"), F.asc("user_id"), F.asc("__sid")],
+        sum_col="d",
+        cum_col="__cum",
+    ).localCheckpoint()
+    peak = cum.agg(F.max("__cum").alias("__peak"))
+    n_int = sess.agg(F.count(F.lit(1)).alias("n_intervals"))
+    first = (
+        cum.join(F.broadcast(peak), F.col("__cum") == F.col("__peak"))
+        .agg(F.min("t").alias("__ft"))
+    )
+    return (
+        n_int.crossJoin(F.broadcast(peak))
+        .crossJoin(F.broadcast(first))
+        .select(
+            "n_intervals",
+            F.col("__peak").cast("long").alias("peak_concurrency"),
+            F.date_format("__ft", "yyyy-MM-dd HH:mm:ss").alias("first_peak_at"),
+        )
+    )
+
+
+def concurrency_oracle_sql(gap_minutes: int = 30) -> str:
+    """DuckDB oracle for :func:`concurrency_sweep` — native global
+    window over the same delta stream."""
+    return f"""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL {int(gap_minutes)} MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS sid
+      FROM gaps
+    ), sess AS (
+      SELECT user_id, sid, min(ts) AS s, max(ts) AS e
+      FROM numbered GROUP BY 1, 2
+    ), d AS (
+      SELECT s AS t, 0 AS pri, 1 AS dlt, user_id, sid FROM sess
+      UNION ALL
+      SELECT e AS t, 1 AS pri, -1 AS dlt, user_id, sid FROM sess
+    ), c AS (
+      SELECT t, sum(dlt) OVER (ORDER BY t, pri, user_id, sid
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+      FROM d
+    ), m AS (SELECT max(cum) AS peak FROM c)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM sess) AS n_intervals,
+           CAST(m.peak AS BIGINT) AS peak_concurrency,
+           (SELECT strftime(min(t), '%Y-%m-%d %H:%M:%S')
+            FROM c, m WHERE c.cum = m.peak) AS first_peak_at
+    FROM m
+    """

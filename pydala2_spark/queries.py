@@ -9420,6 +9420,25 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, rounds=4)
 
 
+def _concurrency_oracle() -> str:
+    from pydala2_spark.operators.events import concurrency_oracle_sql
+
+    return concurrency_oracle_sql()
+
+
+@query("ev_concurrency_peak", _concurrency_oracle())
+def ev_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions (sweep-line over the 30-minute-gap
+    session intervals): +1/-1 deltas in (time, starts-first) order,
+    running sum via skew.distributed_prefix — the capacity question
+    answered with NO global-window funnel; peak and first-peak-time
+    collapse to one-row broadcasts.
+    See operators/events.concurrency_sweep."""
+    from pydala2_spark.operators.events import concurrency_sweep
+
+    return concurrency_sweep(_t(spark, sf_dir, "events"))
+
+
 def _rfm_oracle() -> str:
     from pydala2_spark.operators.events import rfm_oracle_sql
 

@@ -793,3 +793,40 @@ def test_attribution_credit_bruteforce(spark):
     assert got["signup"]["n_touches"] == 1
     assert (got["signup"]["n_first"], got["signup"]["n_last"]) == (0, 1)
     assert abs(got["signup"]["position_credit"] - 0.4) < 1e-9
+
+
+def test_concurrency_sweep_bruteforce(spark):
+    """Sweep-line peak vs hand math: three users whose sessions are
+    engineered to overlap 3-wide for one minute; a touching pair
+    (end == start) must count as concurrent under starts-before-ends
+    ordering."""
+    from datetime import datetime, timedelta
+
+    from pydala2_spark.operators.events import concurrency_sweep
+
+    t0 = datetime(2024, 2, 1, 9, 0, 0)
+    mk = []
+    eid = 0
+
+    def ev(u, minutes):
+        nonlocal eid
+        eid += 1
+        return (eid, u, t0 + timedelta(minutes=minutes), "click", 0.0)
+
+    # u1: session [0, 10]; u2: session [5, 12]; u3: session [9, 20]
+    # -> all three open in [9, 10]; peak 3 first reached at minute 9
+    mk += [ev(1, 0), ev(1, 10)]
+    mk += [ev(2, 5), ev(2, 12)]
+    mk += [ev(3, 9), ev(3, 20)]
+    # u4: session [20, 25] TOUCHES u3's end at 20 -> concurrent pair,
+    # but peak stays 3
+    mk += [ev(4, 20), ev(4, 25)]
+    # u1 second session far later (gap > 30 min) -> 5 intervals total
+    mk += [ev(1, 120)]
+    df = spark.createDataFrame(
+        mk, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    [r] = concurrency_sweep(df).collect()
+    assert r["n_intervals"] == 5
+    assert r["peak_concurrency"] == 3
+    assert r["first_peak_at"] == "2024-02-01 09:09:00"

@@ -276,6 +276,9 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         # broadcasts, corpus work is the upstream groupBy
         "agg_chi2_independence",
         "ev_rfm_scores",
+        # one-row peak / first-peak / interval-count frames assembled
+        # after the distributed-prefix sweep
+        "ev_concurrency_peak",
     }
     offenders = []
     for name, fn in queries().items():
