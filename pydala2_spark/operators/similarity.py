@@ -1260,3 +1260,138 @@ def mmr_oracle_sql(
         + f"\n    SELECT r AS sel_rank, vec_id AS id, rel AS relevance,"
         f"\n           s AS mmr_score FROM ch{k}"
     )
+
+
+def silhouette_by_label(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-cluster simplified silhouette (centroid-based: a = distance
+    to own centroid, b = distance to the nearest OTHER centroid,
+    s = (b-a)/max(a,b)) — the clustering-quality gate that tells a
+    curation pipeline whether its label/cluster column actually
+    separates in embedding space before it is trusted for sampling
+    or dedup blocking.
+
+    Centroids come from :func:`label_centroids` (exact DECIMAL(38,6)
+    means); per-point distances round to 6 decimals, silhouettes to
+    12, and the per-label mean accumulates as DECIMAL(38,12) — the
+    kcenter/kmeans determinism contract. Output: one row per label
+    with n and mean silhouette.
+
+    100 TB shape: the centroid frame collapses to |labels| rows
+    (driver-collected like kmeans' codebook — bounded by label
+    cardinality, never corpus size); assignment is a scan-stage
+    literal projection below _KMEANS_LITERAL_LIMIT inlined doubles
+    and a broadcast-join + min/max-reduce above it; the final agg is
+    map-side-combined per label."""
+    cents_rows = label_centroids(df, vec_col, label_col).collect()
+    cents = sorted(
+        (int(r[label_col]), [float(x) for x in r["centroid"]])
+        for r in cents_rows
+    )
+    if len(cents) < 2:
+        raise ValueError("silhouette needs >= 2 labels")
+    e = df.select(
+        F.col(id_col),
+        F.col(label_col).alias("__lbl"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
+    )
+    k_dim = sum(len(v) for _, v in cents)
+    if k_dim <= _KMEANS_LITERAL_LIMIT:
+        cents_sql = _centroid_literal_sql(cents)
+        ds = (
+            f"transform({cents_sql}, s -> struct(s.cid AS cid, "
+            f"round(sqrt(aggregate(zip_with(__v, s.c, "
+            f"(x, y) -> (x - y) * (x - y)), 0D, (a, t) -> a + t)), 6) AS d))"
+        )
+        pt = e.select(
+            "__lbl",
+            F.expr(f"element_at(filter({ds}, s -> s.cid = __lbl), 1).d")
+            .alias("__a"),
+            F.expr(
+                f"array_min(transform(filter({ds}, s -> s.cid != __lbl), "
+                f"s -> s.d))"
+            ).alias("__b"),
+        )
+    else:
+        cdf = e.sparkSession.createDataFrame(cents, "cid int, c array<double>")
+        d = F.round(
+            F.sqrt(
+                F.expr(
+                    "aggregate(zip_with(__v, c, (x, y) -> (x - y) * (x - y)), "
+                    "0D, (a, t) -> a + t)"
+                )
+            ),
+            6,
+        )
+        pt = (
+            e.crossJoin(F.broadcast(cdf))
+            .select(id_col, "__lbl", "cid", d.alias("__d"))
+            .groupBy(id_col, "__lbl")
+            .agg(
+                F.max(
+                    F.when(F.col("cid") == F.col("__lbl"), F.col("__d"))
+                ).alias("__a"),
+                F.min(
+                    F.when(F.col("cid") != F.col("__lbl"), F.col("__d"))
+                ).alias("__b"),
+            )
+        )
+    s = F.when(F.greatest("__a", "__b") == 0.0, F.lit(0.0)).otherwise(
+        (F.col("__b") - F.col("__a")) / F.greatest("__a", "__b")
+    )
+    sd = F.round(s, 12).cast("decimal(38,12)")
+    return pt.groupBy(F.col("__lbl").alias(label_col)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(sd).cast("double") / F.count(F.lit(1)), ndigits).alias(
+            "mean_silhouette"
+        ),
+    )
+
+
+def silhouette_oracle_sql(
+    dim: int = 64, table: str = "embeddings", ndigits: int = 6
+) -> str:
+    """DuckDB oracle for :func:`silhouette_by_label` — centroids from
+    the identical DECIMAL(38,6) mean, identical round-6 distances and
+    round-12 DECIMAL(38,12) silhouette accumulation."""
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM {table}
+    ), px AS (
+      SELECT label, g.i AS i, CAST(v[g.i] AS DECIMAL(38,6)) AS x
+      FROM e, unnest(generate_series(1, {dim})) AS g(i)
+    ), m AS (
+      SELECT label, i, CAST(sum(x) AS DOUBLE) / count(*) AS m
+      FROM px GROUP BY 1, 2
+    ), c AS (
+      SELECT label AS cl, list(m ORDER BY i) AS cv FROM m GROUP BY label
+    ), d AS (
+      SELECT e.vec_id, e.label, c.cl,
+             round(sqrt(list_sum(list_transform(
+               generate_series(1, {dim}),
+               i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))), 6) AS d
+      FROM e, c
+    ), ab AS (
+      SELECT vec_id, label,
+             max(CASE WHEN cl = label THEN d END) AS a,
+             min(CASE WHEN cl <> label THEN d END) AS b
+      FROM d GROUP BY 1, 2
+    ), t AS (
+      SELECT label,
+             CAST(round(CASE WHEN greatest(a, b) = 0 THEN 0.0
+                        ELSE (b - a) / greatest(a, b) END, 12)
+                  AS DECIMAL(38,12)) AS s
+      FROM ab
+    )
+    SELECT label, count(*) AS n,
+           round(CAST(sum(s) AS DOUBLE) / count(*), {ndigits})
+             AS mean_silhouette
+    FROM t GROUP BY label
+    """

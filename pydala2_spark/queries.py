@@ -9420,6 +9420,26 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, rounds=4)
 
 
+def _silhouette_oracle() -> str:
+    from pydala2_spark.operators.similarity import silhouette_oracle_sql
+
+    return silhouette_oracle_sql()
+
+
+@query("emb_silhouette", _silhouette_oracle())
+def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label simplified silhouette (distance to own centroid vs
+    nearest other centroid) — the clustering-quality gate for the
+    embedding column's label structure, next to emb_kmeans (fit) and
+    emb_dim_stats (geometry). Centroids are exact decimal means;
+    assignment is a scan-stage literal projection (broadcast-join
+    fallback above the inline limit); one map-side-combined agg per
+    label. See operators/similarity.silhouette_by_label."""
+    from pydala2_spark.operators.similarity import silhouette_by_label
+
+    return silhouette_by_label(_t(spark, sf_dir, "embeddings"))
+
+
 def _concurrency_oracle() -> str:
     from pydala2_spark.operators.events import concurrency_oracle_sql
 

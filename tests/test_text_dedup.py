@@ -2288,3 +2288,62 @@ def test_distributed_ntile_equals_native(spark):
         ).collect()
     }
     assert got == {2: 1, 3: 2, 1: 3}
+
+
+def test_silhouette_numpy_reference(spark):
+    """silhouette_by_label vs a from-scratch numpy computation with
+    the same round-6 distances; the broadcast-join fallback path must
+    agree with the literal path bit for bit."""
+    import numpy as np
+
+    from pydala2_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(7)
+    k, n, d = 3, 60, 5
+    cents = rng.randn(k, d) * 4
+    rows = []
+    for i in range(n):
+        lbl = i % k
+        rows.append(
+            (i, [float(x) for x in cents[lbl] + rng.randn(d) * 0.5], lbl)
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {
+        r["label"]: (r["n"], r["mean_silhouette"])
+        for r in sim.silhouette_by_label(df).collect()
+    }
+    # numpy reference with the library's exact discipline: centroid =
+    # decimal-exact mean of float32-rounded inputs ~ plain mean of the
+    # float32 values (exact here since we only compare to 6 digits
+    # after round-6 distances)
+    vecs = np.array(
+        [np.array(v, dtype=np.float32).astype(np.float64) for _, v, _ in rows]
+    )
+    labels = np.array([l for _, _, l in rows])
+    C = np.vstack([vecs[labels == j].mean(axis=0) for j in range(k)])
+    want = {}
+    for j in range(k):
+        ss = []
+        for i in range(n):
+            if labels[i] != j:
+                continue
+            dists = [round(float(np.sqrt(((vecs[i] - C[m]) ** 2).sum())), 6) for m in range(k)]
+            a = dists[j]
+            b = min(dd for m, dd in enumerate(dists) if m != j)
+            s = 0.0 if max(a, b) == 0 else (b - a) / max(a, b)
+            ss.append(round(s, 12))
+        want[j] = (len(ss), round(sum(ss) / len(ss), 6))
+    for j in range(k):
+        assert got[j][0] == want[j][0]
+        assert abs(got[j][1] - want[j][1]) < 2e-6, (j, got[j], want[j])
+    # broadcast-path equality: force the join path by dropping the limit
+    old = sim._KMEANS_LITERAL_LIMIT
+    try:
+        sim._KMEANS_LITERAL_LIMIT = 0
+        got2 = {
+            r["label"]: (r["n"], r["mean_silhouette"])
+            for r in sim.silhouette_by_label(df).collect()
+        }
+    finally:
+        sim._KMEANS_LITERAL_LIMIT = old
+    assert got == got2
