@@ -1395,3 +1395,130 @@ def silhouette_oracle_sql(
              AS mean_silhouette
     FROM t GROUP BY label
     """
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the top-k most-similar vectors with a DIFFERENT label (the hard
+    negatives a triplet/InfoNCE loss wants) next to the single
+    most-similar SAME-label vector (the hard positive), with the
+    margin between them. A query with no same-label neighbor in the
+    corpus yields no rows (inner join by design).
+
+    Output: (query_id, rank, negative_id, negative_label, neg_cos,
+    positive_id, pos_cos, margin), rank 1..k by (rounded cosine DESC,
+    id ASC) — the cosine_topk determinism contract.
+
+    100 TB shape: queries broadcast once; scoring is one scan-stage
+    pass; ONE window ranks positives and negatives together
+    (partitioned by query x is-positive, so WindowGroupLimit keeps
+    only k rows per group past the exchange); the pos/neg recombine
+    joins two <= |queries|*k row frames."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("__qlbl"),
+        unit_expr(vec_col).alias("qv"),
+    )
+    c = _spread(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("negative_label"),
+        unit_expr(vec_col).alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "negative_label",
+            (F.col("negative_label") == F.col("__qlbl")).cast("int").alias("__pos"),
+            F.round(dot_expr("cv", "qv"), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id", "__pos").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(
+            ((F.col("__pos") == 1) & (F.col("__rk") == 1))
+            | ((F.col("__pos") == 0) & (F.col("__rk") <= k))
+        )
+        # tiny (<= |queries| * (k+1) rows) but consumed twice below —
+        # checkpoint so the corpus window doesn't run twice
+        .localCheckpoint()
+    )
+    neg = ranked.filter(F.col("__pos") == 0).select(
+        "query_id",
+        F.col("__rk").alias("rank"),
+        F.col("neighbor_id").alias("negative_id"),
+        "negative_label",
+        F.col("cosine").alias("neg_cos"),
+    )
+    pos = ranked.filter(F.col("__pos") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("positive_id"),
+        F.col("cosine").alias("pos_cos"),
+    )
+    return (
+        neg.join(F.broadcast(pos), "query_id")
+        .withColumn("margin", F.round(F.col("pos_cos") - F.col("neg_cos"), 4))
+        .select(
+            "query_id",
+            "rank",
+            "negative_id",
+            "negative_label",
+            "neg_cos",
+            "positive_id",
+            "pos_cos",
+            "margin",
+        )
+    )
+
+
+def hard_negatives_oracle_sql(
+    k: int = 3, probe: str = "vec_id < 10", dim: int = 64
+) -> str:
+    """DuckDB oracle for :func:`hard_negatives` — unit-vector round-4
+    cosine, one conditional row_number partition, same recombine."""
+    return f"""
+    WITH u AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)
+               / sqrt(list_sum(list_transform(embedding,
+                        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS uv
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, label AS qlbl, uv AS qv
+      FROM u WHERE {probe}
+    ), scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS negative_label,
+             CASE WHEN c.label = q.qlbl THEN 1 ELSE 0 END AS pos,
+             round(list_sum(list_transform(generate_series(1, {dim}),
+                     i -> c.uv[i] * q.qv[i])), 4) AS cosine
+      FROM u c JOIN q ON c.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id, pos
+                                   ORDER BY cosine DESC, neighbor_id ASC)
+                  AS rk
+      FROM scored
+    ), neg AS (
+      SELECT query_id, rk AS rank, neighbor_id AS negative_id,
+             negative_label, cosine AS neg_cos
+      FROM ranked WHERE pos = 0 AND rk <= {k}
+    ), p AS (
+      SELECT query_id, neighbor_id AS positive_id, cosine AS pos_cos
+      FROM ranked WHERE pos = 1 AND rk = 1
+    )
+    SELECT n.query_id, n.rank, n.negative_id, n.negative_label, n.neg_cos,
+           p.positive_id, p.pos_cos,
+           round(p.pos_cos - n.neg_cos, 4) AS margin
+    FROM neg n JOIN p USING (query_id)
+    """

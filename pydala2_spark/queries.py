@@ -9420,6 +9420,27 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, rounds=4)
 
 
+def _hard_neg_oracle() -> str:
+    from pydala2_spark.operators.similarity import hard_negatives_oracle_sql
+
+    return hard_negatives_oracle_sql()
+
+
+@query("emb_hard_negatives", _hard_neg_oracle())
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (top-3 most-similar DIFFERENT-label
+    vectors per probe, next to the hard positive and the margin) —
+    the contrastive-training data miner on top of the ANN family.
+    One broadcast scoring pass; ONE window ranks positives and
+    negatives together via a conditional partition key
+    (WindowGroupLimit bounds what crosses the exchange).
+    See operators/similarity.hard_negatives."""
+    from pydala2_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
 def _silhouette_oracle() -> str:
     from pydala2_spark.operators.similarity import silhouette_oracle_sql
 

@@ -2347,3 +2347,47 @@ def test_silhouette_numpy_reference(spark):
     finally:
         sim._KMEANS_LITERAL_LIMIT = old
     assert got == got2
+
+
+def test_hard_negatives_bruteforce(spark):
+    """Hard negatives vs a numpy replay on a planted geometry: the
+    nearest different-label vector must out-rank farther ones, the
+    positive is the nearest same-label vector, and a query whose
+    label is unique in the corpus yields no rows."""
+    import numpy as np
+
+    from pydala2_spark.operators.similarity import hard_negatives
+
+    rows = [
+        # query 0, label 0, along +x
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        # same-label friends at decreasing similarity
+        (1, [0.9, 0.1, 0.0, 0.0], 0),
+        (2, [0.5, 0.5, 0.0, 0.0], 0),
+        # different-label: one very close (hard), one orthogonal
+        (3, [0.99, 0.01, 0.0, 0.0], 1),
+        (4, [0.0, 1.0, 0.0, 0.0], 1),
+        (5, [0.0, 0.0, 1.0, 0.0], 2),
+        # query 6 has a unique label -> no positive -> no output rows
+        (6, [0.0, 0.0, 0.0, 1.0], 9),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = hard_negatives(
+        df, df.filter("vec_id = 0 OR vec_id = 6"), k=2
+    ).collect()
+    assert all(r["query_id"] == 0 for r in out)  # query 6 dropped
+    by_rank = {r["rank"]: r for r in out}
+    assert by_rank[1]["negative_id"] == 3  # the near different-label vec
+    assert by_rank[2]["negative_id"] == 4
+    assert all(r["positive_id"] == 1 for r in out)
+    # margin = pos_cos - neg_cos, and the rank-1 negative out-scores
+    # the positive here (vec 3 is closer than vec 1) -> negative margin
+    assert by_rank[1]["margin"] < 0 < by_rank[2]["margin"]
+    un = np.array([1.0, 0.0, 0.0, 0.0])
+
+    def cos(v):
+        v = np.array(v)
+        return round(float(un @ v / np.linalg.norm(v)), 4)
+
+    assert by_rank[1]["neg_cos"] == cos([0.99, 0.01, 0.0, 0.0])
+    assert by_rank[1]["pos_cos"] == cos([0.9, 0.1, 0.0, 0.0])
