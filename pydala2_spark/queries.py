@@ -9420,6 +9420,105 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, rounds=4)
 
 
+_ANN_RECALL_ORACLE = """
+    WITH u AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)
+               / sqrt(list_sum(list_transform(embedding,
+                        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS uv
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, uv AS qv FROM u WHERE vec_id < 10
+    ), ex_scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(generate_series(1, 64),
+                     i -> c.uv[i] * q.qv[i])), 4) AS cosine
+      FROM u c JOIN q ON c.vec_id <> q.query_id
+    ), ex AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM ex_scored
+      ) WHERE rank <= 5
+    ), x AS (
+      SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, unnest(generate_series(1, 64)) AS g(i)
+    ), cent AS (
+      SELECT label, pos,
+             CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / count(v) AS m
+      FROM x GROUP BY label, pos
+    ), cvec AS (
+      SELECT label, list(m ORDER BY pos) AS centroid FROM cent GROUP BY label
+    ), routed AS (
+      SELECT query_id, label, qv FROM (
+        SELECT q.query_id, cvec.label, q.qv,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 list_sum(list_transform(generate_series(1, 64),
+                   i -> q.qv[i] * cvec.centroid[i])) DESC,
+                 cvec.label ASC) AS r
+        FROM q CROSS JOIN cvec
+      ) WHERE r <= 2
+    ), iv_scored AS (
+      SELECT r.query_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(generate_series(1, 64),
+                     i -> c.uv[i] * r.qv[i])), 4) AS cosine
+      FROM routed r JOIN u c ON c.label = r.label
+      WHERE c.vec_id <> r.query_id
+    ), iv AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM iv_scored
+      ) WHERE rank <= 5
+    )
+    SELECT e.query_id, count(*) AS n_exact,
+           CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS recall
+    FROM ex e LEFT JOIN iv a USING (query_id, neighbor_id)
+    GROUP BY e.query_id
+    """
+
+
+@query("emb_ann_recall", _ANN_RECALL_ORACLE)
+def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: per-query recall@5 of the IVF(nprobe=2)
+    probe against the exact brute-force top-5 — the harness every ANN
+    deployment needs before trusting an approximate index at scale
+    (tune nprobe until measured recall clears the bar). Both paths
+    reuse the production operators; the compare joins two
+    |queries|*k-row frames — evaluation cost is probe-sized, never
+    corpus-sized."""
+    from pydala2_spark.operators.similarity import cosine_topk, cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, probes, k=5).select("query_id", "neighbor_id")
+    approx = (
+        cosine_topk_ivf(emb, probes, k=5, nprobe=2)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    j = exact.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .withColumn(
+            "recall",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_exact"), 4
+            ),
+        )
+    )
+
+
 def _hard_neg_oracle() -> str:
     from pydala2_spark.operators.similarity import hard_negatives_oracle_sql
 

@@ -2391,3 +2391,47 @@ def test_hard_negatives_bruteforce(spark):
 
     assert by_rank[1]["neg_cos"] == cos([0.99, 0.01, 0.0, 0.0])
     assert by_rank[1]["pos_cos"] == cos([0.9, 0.1, 0.0, 0.0])
+
+
+def test_ann_recall_planted_miss(spark):
+    """recall@k harness on a planted geometry: a cross-cell near
+    neighbor that IVF(nprobe=1) cannot see yields recall 4/5; raising
+    nprobe to cover every cell restores recall 1.0."""
+    from pyspark.sql import functions as F
+
+    from pydala2_spark.operators.similarity import cosine_topk, cosine_topk_ivf
+
+    rows = [
+        (0, [1.0, 0.0], 0),      # the query, cell 0
+        (1, [1.0, 0.01], 0),
+        (2, [1.0, 0.02], 0),
+        (3, [1.0, 0.03], 0),
+        (4, [1.0, 0.04], 0),
+        (5, [0.9, 0.44], 1),     # near the query but in cell 1
+        (6, [0.0, 1.0], 1),      # drag cell 1's centroid away
+        (7, [0.0, 1.0], 1),
+        (8, [-0.1, 1.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    probes = df.filter("vec_id = 0")
+
+    def recall(nprobe):
+        exact = cosine_topk(df, probes, k=5).select("query_id", "neighbor_id")
+        ap = (
+            cosine_topk_ivf(df, probes, k=5, nprobe=nprobe)
+            .select("query_id", "neighbor_id")
+            .withColumn("__hit", F.lit(1))
+        )
+        j = exact.join(F.broadcast(ap), ["query_id", "neighbor_id"], "left")
+        [r] = (
+            j.groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits"),
+            )
+            .collect()
+        )
+        return r["n_exact"], r["n_hits"]
+
+    assert recall(1) == (5, 4)  # vec 5 is in the unprobed cell
+    assert recall(2) == (5, 5)
