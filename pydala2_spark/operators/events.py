@@ -1459,6 +1459,10 @@ def concurrency_sweep(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
     from pydala2_spark.functions.skew import distributed_prefix
 
+    # NTZ parquet scans (Spark-written corpora read raw) can't cast
+    # straight to BIGINT for the gap arithmetic — normalize first
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     gap = (
         F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
@@ -1551,4 +1555,108 @@ def concurrency_oracle_sql(gap_minutes: int = 30) -> str:
            (SELECT strftime(min(t), '%Y-%m-%d %H:%M:%S')
             FROM c, m WHERE c.cum = m.peak) AS first_peak_at
     FROM m
+    """
+
+
+def anova_oneway(
+    values: DataFrame, group_col: str, value_col: str, ndigits: int = 4
+) -> DataFrame:
+    """One-way ANOVA across ALL groups — the k-group generalization of
+    :func:`welch_ttest` (classic equal-variance F test): between/within
+    sums of squares, the F statistic, and eta-squared effect size.
+
+    Per-group moments (n, sum, sum-of-squares) accumulate as exact
+    DECIMAL(38,6) per the welch contract; the per-group SSB/SSW terms
+    are then deterministic doubles that round to 12 decimals and sum
+    as DECIMAL(38,12) over the k-row group frame.
+
+    One row out: ``(k, n, ssb, ssw, f_stat, eta_sq)``. Significance is
+    left to the caller's F-table (the welch_ttest rationale).
+
+    100 TB shape: ONE map-side-combined aggregation to the k-row group
+    frame (localCheckpoint-ed: totals and terms both consume it);
+    everything after is one-row broadcast arithmetic."""
+    d = F.col(value_col).cast("decimal(38,6)")
+    g = (
+        values.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(d).alias("s"),
+            F.sum(d * d).alias("ss"),
+        )
+        .localCheckpoint()
+    )
+    t = g.agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        (F.sum("s").cast("double") / F.sum("n").cast("double")).alias("m"),
+    )
+    dec = "decimal(38,12)"
+    mg = F.col("s").cast("double") / F.col("n").cast("double")
+    ssb_t = F.round(
+        F.col("n").cast("double") * (mg - F.col("m")) * (mg - F.col("m")), 12
+    ).cast(dec)
+    ssw_t = F.round(
+        F.col("ss").cast("double") - F.col("n").cast("double") * mg * mg, 12
+    ).cast(dec)
+    b = (
+        g.crossJoin(F.broadcast(t))
+        .agg(
+            F.sum(ssb_t).cast("double").alias("ssb"),
+            F.sum(ssw_t).cast("double").alias("ssw"),
+        )
+    )
+    return t.crossJoin(F.broadcast(b)).select(
+        "k",
+        F.col("n_tot").alias("n"),
+        F.round("ssb", ndigits).alias("ssb"),
+        F.round("ssw", ndigits).alias("ssw"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n_tot") - F.col("k"))),
+            ndigits,
+        ).alias("f_stat"),
+        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias(
+            "eta_sq"
+        ),
+    )
+
+
+def anova_oracle_sql(
+    table_sql: str, group_col: str, value_col: str, ndigits: int = 4
+) -> str:
+    """DuckDB oracle for :func:`anova_oneway` — identical decimal
+    moments and rounded-term accumulation."""
+    return f"""
+    WITH g AS (
+      SELECT {group_col} AS grp, count(*) AS n,
+             sum(CAST({value_col} AS DECIMAL(38,6))) AS s,
+             sum(CAST({value_col} AS DECIMAL(38,6))
+                 * CAST({value_col} AS DECIMAL(38,6))) AS ss
+      FROM ({table_sql}) WHERE {value_col} IS NOT NULL GROUP BY 1
+    ), t AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS m
+      FROM g
+    ), b AS (
+      SELECT
+        CAST(sum(CAST(round(CAST(n AS DOUBLE)
+          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - t.m)
+          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - t.m), 12)
+          AS DECIMAL(38,12))) AS DOUBLE) AS ssb,
+        CAST(sum(CAST(round(CAST(ss AS DOUBLE)
+          - CAST(n AS DOUBLE)
+            * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+          AS DECIMAL(38,12))) AS DOUBLE) AS ssw
+      FROM g, t
+    )
+    SELECT t.k AS k, t.nn AS n,
+           round(b.ssb, {ndigits}) AS ssb,
+           round(b.ssw, {ndigits}) AS ssw,
+           round((b.ssb / (t.k - 1)) / (b.ssw / (t.nn - t.k)), {ndigits})
+             AS f_stat,
+           round(b.ssb / (b.ssb + b.ssw), 6) AS eta_sq
+    FROM t, b
     """

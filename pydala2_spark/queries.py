@@ -9560,6 +9560,27 @@ def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     return silhouette_by_label(_t(spark, sf_dir, "embeddings"))
 
 
+def _anova_oracle() -> str:
+    from pydala2_spark.operators.events import anova_oracle_sql
+
+    return anova_oracle_sql(
+        "SELECT event_type, value FROM events", "event_type", "value"
+    )
+
+
+@query("agg_anova_f", _anova_oracle())
+def agg_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across all event types — the k-group F test
+    beside ev_welch_ttest's two-group comparison: between/within sums
+    of squares, F, and eta-squared, from ONE map-side-combined
+    decimal-moment aggregation; everything past the k-row group frame
+    is one-row broadcast arithmetic.
+    See operators/events.anova_oneway."""
+    from pydala2_spark.operators.events import anova_oneway
+
+    return anova_oneway(_t(spark, sf_dir, "events"), "event_type", "value")
+
+
 def _concurrency_oracle() -> str:
     from pydala2_spark.operators.events import concurrency_oracle_sql
 
@@ -9683,12 +9704,15 @@ _VERIFY_FIRST = [
     #     ev_theil_sen, doc_mojibake_repair.
     #   positions 44-49: the stalest previously-checked entries
     #     (r7-checked block, CORRECTNESS_r07 order).
-    # r11 pre-staging: FIRST the twelve r10 third-batch queries that
-    # have never been driver-seen (mirror-green) — agg_corr_matrix,
-    # dq_mutual_info, doc_readability, ev_markov_transitions,
-    # ev_frequent_paths, graph_bfs_distances, doc_collocation_llr,
-    # ev_kaplan_meier, doc_js_divergence, emb_mmr_diversify,
-    # dq_ks_test, graph_label_prop — then rotate the
+    # r11 pre-staging: FIRST the nineteen r10 third/fourth-batch
+    # queries that have never been driver-seen (mirror-green) —
+    # agg_corr_matrix, dq_mutual_info, doc_readability,
+    # ev_markov_transitions, ev_frequent_paths, graph_bfs_distances,
+    # doc_collocation_llr, ev_kaplan_meier, doc_js_divergence,
+    # emb_mmr_diversify, dq_ks_test, graph_label_prop,
+    # agg_chi2_independence, ev_attribution, ev_rfm_scores,
+    # ev_concurrency_peak, emb_silhouette, emb_hard_negatives,
+    # emb_ann_recall — then rotate the
     # REMAINDER of the r7-checked block — dq_fk_orphans, dq_benford,
     # er_part_linkage, ev_conversion_latency, ev_anomaly_days,
     # ev_rolling_quantiles, ev_value_histogram, scd2_event_history,

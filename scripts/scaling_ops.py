@@ -791,6 +791,86 @@ def main():
             lambda ee=ee: kaplan_meier(ee).collect(), reps=2
         )
 
+    # r10 fourth batch: attribution / RFM / concurrency sweep on a
+    # USER-shifted replication (shifting only event_id would multiply
+    # per-user activity and square the touch x conversion fanout — a
+    # replication artifact; real corpus growth adds users), chi2 and
+    # the embedding trio on the standard replicas.
+    from pydala2_spark.functions.dq import chi2_independence
+    from pydala2_spark.operators.events import (
+        attribution_credit,
+        concurrency_sweep,
+        rfm_scores,
+    )
+    from pydala2_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+        hard_negatives,
+        silhouette_by_label,
+    )
+
+    for label in (("1x", "big") if want("r10e") else ()):
+        base_ev = spark.read.parquet(f"{ROOT}/ev_1x")
+        if label == "1x":
+            ee = base_ev
+        else:
+            mu = base_ev.agg(F.max("user_id")).first()[0] + 1
+            me = base_ev.agg(F.max("event_id")).first()[0] + 1
+            ee = base_ev
+            for c in range(1, FACTOR):
+                ee = ee.unionByName(
+                    base_ev.withColumn(
+                        "user_id", F.col("user_id") + F.lit(c * mu)
+                    ).withColumn("event_id", F.col("event_id") + F.lit(c * me))
+                )
+        ee = ee.localCheckpoint()
+        mm = spark.read.parquet(
+            {"1x": f"{ROOT}/emb_1x", "big": f"{ROOT}/emb_big"}[label]
+        )
+        out.setdefault("attribution", {})[label] = timed(
+            lambda ee=ee: attribution_credit(ee).collect(), reps=2
+        )
+        out.setdefault("rfm", {})[label] = timed(
+            lambda ee=ee: rfm_scores(ee).collect(), reps=2
+        )
+        out.setdefault("concurrency", {})[label] = timed(
+            lambda ee=ee: concurrency_sweep(ee).collect(), reps=2
+        )
+        out.setdefault("chi2", {})[label] = timed(
+            lambda ee=ee: chi2_independence(
+                ee.withColumn("dow", F.dayofweek("ts")), "event_type", "dow"
+            ).collect(),
+            reps=2,
+        )
+        out.setdefault("silhouette", {})[label] = timed(
+            lambda mm=mm: silhouette_by_label(mm).collect(), reps=2
+        )
+        probes = mm.filter(F.col("vec_id") < 10).localCheckpoint()
+        out.setdefault("hard_negatives", {})[label] = timed(
+            lambda mm=mm, probes=probes: hard_negatives(
+                mm, probes, k=3
+            ).collect(),
+            reps=2,
+        )
+
+        def run_recall(mm=mm, probes=probes):
+            exact = cosine_topk(mm, probes, k=5).select(
+                "query_id", "neighbor_id"
+            )
+            ap = (
+                cosine_topk_ivf(mm, probes, k=5, nprobe=2)
+                .select("query_id", "neighbor_id")
+                .withColumn("__hit", F.lit(1))
+            )
+            exact.join(
+                F.broadcast(ap), ["query_id", "neighbor_id"], "left"
+            ).groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits"),
+            ).collect()
+
+        out.setdefault("ann_recall", {})[label] = timed(run_recall, reps=2)
+
     print(f"{'op':24s} {'1x':>7s} {'x' + str(FACTOR):>7s} {'ratio':>7s}")
     for op, t in out.items():
         ratio = t["big"] / t["1x"]

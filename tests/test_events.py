@@ -830,3 +830,36 @@ def test_concurrency_sweep_bruteforce(spark):
     assert r["n_intervals"] == 5
     assert r["peak_concurrency"] == 3
     assert r["first_peak_at"] == "2024-02-01 09:09:00"
+
+
+def test_anova_oneway_numpy_reference(spark):
+    """ANOVA F vs a from-scratch numpy computation; identical groups
+    give F = 0 (rounded), a huge separation gives eta_sq ~ 1."""
+    import numpy as np
+
+    from pydala2_spark.operators.events import anova_oneway
+
+    rng = np.random.RandomState(3)
+    groups = {"a": rng.randn(40) + 1.0, "b": rng.randn(50) + 1.5, "c": rng.randn(30) - 0.5}
+    rows = [(g, round(float(v), 6)) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    [r] = anova_oneway(df, "g", "v").collect()
+    vals = {g: np.round(vs, 6) for g, vs in groups.items()}
+    allv = np.concatenate(list(vals.values()))
+    m = allv.mean()
+    ssb = sum(len(v) * (v.mean() - m) ** 2 for v in vals.values())
+    ssw = sum(((v - v.mean()) ** 2).sum() for v in vals.values())
+    k, n = 3, len(allv)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert (r["k"], r["n"]) == (k, n)
+    assert abs(r["ssb"] - ssb) < 1e-3 and abs(r["ssw"] - ssw) < 1e-3
+    assert abs(r["f_stat"] - f) < 1e-3
+    assert abs(r["eta_sq"] - ssb / (ssb + ssw)) < 1e-5
+    # identical groups: F rounds to 0
+    same = spark.createDataFrame(
+        [("a", float(i % 5)) for i in range(50)]
+        + [("b", float(i % 5)) for i in range(50)],
+        "g string, v double",
+    )
+    [r2] = anova_oneway(same, "g", "v").collect()
+    assert r2["f_stat"] == 0.0 and r2["eta_sq"] == 0.0

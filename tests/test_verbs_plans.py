@@ -279,6 +279,8 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         # one-row peak / first-peak / interval-count frames assembled
         # after the distributed-prefix sweep
         "ev_concurrency_peak",
+        # one-row totals / term-sum frames over the k-row group frame
+        "agg_anova_f",
     }
     offenders = []
     for name, fn in queries().items():
