@@ -691,3 +691,93 @@ def label_propagation_oracle_sql(
     parts[-1] = parts[-1].rstrip(",")
     parts.append(f"SELECT node, lbl AS community FROM l{rounds}")
     return "\n".join(parts)
+
+
+def modularity_report(
+    edges: DataFrame, communities: DataFrame, ndigits: int = 9
+) -> DataFrame:
+    """Newman modularity of a community assignment, one row per
+    community: node count, internal edge count, degree sum, and the
+    community's contribution e_c/m - (d_c/2m)^2 — the quality metric
+    that says whether a partition (label propagation's, or any other
+    (node, community) frame) actually beats random edge placement.
+    Every input to the contribution is an exact integer count, so the
+    two divisions are fixed-shape IEEE ops identical in any engine;
+    Q = sum(contrib).
+
+    100 TB shape: degree and community-size aggregations are
+    map-side-combined; internal edges are two equi-joins of the edge
+    list against the |nodes| community frame; the edge total attaches
+    as a one-row broadcast. Reused frames localCheckpoint (the
+    triangle_counts lesson)."""
+    edges = edges.select("src", "dst").localCheckpoint()
+    comm = communities.localCheckpoint()
+    m_row = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dc = (
+        comm.join(deg, "node")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("d_sum"),
+        )
+    )
+    cs = comm.select(F.col("node").alias("src"), F.col("community").alias("__cs"))
+    cd = comm.select(F.col("node").alias("dst"), F.col("community").alias("__cd"))
+    ec = (
+        edges.join(cs, "src")
+        .join(cd, "dst")
+        .filter(F.col("__cs") == F.col("__cd"))
+        .groupBy(F.col("__cs").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    out = dc.join(ec, "community", "left").crossJoin(F.broadcast(m_row))
+    e = F.coalesce("e_in", F.lit(0)).cast("double")
+    half = F.col("d_sum").cast("double") / (F.lit(2.0) * F.col("m").cast("double"))
+    return out.select(
+        "community",
+        "n_nodes",
+        F.coalesce("e_in", F.lit(0)).cast("long").alias("e_in"),
+        "d_sum",
+        F.round(e / F.col("m").cast("double") - half * half, ndigits).alias(
+            "contrib"
+        ),
+    )
+
+
+def modularity_oracle_sql(edge_cte: str, rounds: int = 4, ndigits: int = 9) -> str:
+    """DuckDB oracle for :func:`modularity_report` over a
+    label-propagation partition — the unrolled-LPA oracle nested as a
+    CTE, then pure integer-count modularity arithmetic."""
+    inner = label_propagation_oracle_sql(edge_cte, rounds)
+    return f"""
+    WITH comm AS ({inner}),
+    e2 AS ({edge_cte}),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e2),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT src AS node FROM e2 UNION ALL SELECT dst FROM e2
+      ) GROUP BY 1
+    ), dc AS (
+      SELECT c.community, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(deg.d) AS BIGINT) AS d_sum
+      FROM comm c JOIN deg USING (node) GROUP BY 1
+    ), ec AS (
+      SELECT cs.community, CAST(count(*) AS BIGINT) AS e_in
+      FROM e2 JOIN comm cs ON e2.src = cs.node
+              JOIN comm cd ON e2.dst = cd.node
+      WHERE cs.community = cd.community GROUP BY 1
+    )
+    SELECT d.community, d.n_nodes,
+           CAST(coalesce(ec.e_in, 0) AS BIGINT) AS e_in, d.d_sum,
+           round(CAST(coalesce(ec.e_in, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+                 - (CAST(d.d_sum AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+                   * (CAST(d.d_sum AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE))),
+                 {ndigits}) AS contrib
+    FROM dc d LEFT JOIN ec USING (community), m
+    """

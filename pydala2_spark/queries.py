@@ -9678,6 +9678,48 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_independence(joined, "seg", "pri")
 
 
+def _modularity_oracle() -> str:
+    from pydala2_spark.operators.graph import modularity_oracle_sql
+
+    edge_cte = """
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                  FROM lineitem WHERE l_quantity >= 45)
+      SELECT DISTINCT x.p AS src, y.p AS dst
+      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+    """
+    return modularity_oracle_sql(edge_cte, rounds=4)
+
+
+@query("graph_modularity", _modularity_oracle())
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation partition over the
+    co-purchase slice — the partition-quality metric that closes the
+    community-detection loop (graph_label_prop finds it, this grades
+    it). Per-community contribution is pure integer-count arithmetic
+    (e_c/m - (d_c/2m)^2), so no decimal-rounding machinery is needed;
+    Q = sum(contrib). See operators/graph.modularity_report."""
+    from pydala2_spark.operators.graph import (
+        label_propagation,
+        modularity_report,
+    )
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    edges = (
+        li.alias("x")
+        .join(li.alias("y"), "o")
+        .filter(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    return modularity_report(edges, label_propagation(edges, rounds=4))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================

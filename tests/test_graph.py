@@ -343,3 +343,37 @@ def test_label_propagation_matches_bruteforce(spark):
     assert len({final[n] for n in range(10, 15)}) == 1
     with pytest.raises(ValueError):
         label_propagation(edges, rounds=0)
+
+
+def test_modularity_planted_cliques(spark):
+    """Modularity vs hand math on two 4-cliques joined by one bridge:
+    LPA recovers the cliques; each community's contribution is
+    e_c/m - (d_c/2m)^2 with exact integer counts, and Q for this
+    layout is well above the random-graph 0 line."""
+    from pydala2_spark.operators.graph import (
+        label_propagation,
+        modularity_report,
+    )
+
+    a = [1, 2, 3, 4]
+    b = [5, 6, 7, 8]
+    edges = [(x, y) for i, x in enumerate(a) for y in a[i + 1:]]
+    edges += [(x, y) for i, x in enumerate(b) for y in b[i + 1:]]
+    edges += [(4, 5)]  # the bridge
+    df = spark.createDataFrame(edges, "src long, dst long")
+    comm = label_propagation(df, rounds=4)
+    got = {r["community"]: r for r in modularity_report(df, comm).collect()}
+    m = len(edges)  # 13
+    # LPA labels each clique with its smallest id (1 and 5)
+    assert set(got) == {1, 5}
+    for c, dsum in ((1, 3 * 3 + 4), (5, 3 * 3 + 4)):
+        r = got[c]
+        assert r["n_nodes"] == 4 and r["e_in"] == 6 and r["d_sum"] == dsum
+        want = 6 / m - (dsum / (2 * m)) ** 2
+        assert abs(r["contrib"] - want) < 1e-9
+    q = sum(r["contrib"] for r in got.values())
+    assert q > 0.3  # strong community structure
+    # degenerate: everything one community -> Q = e/m - 1 = 0 exactly
+    one = comm.selectExpr("node", "CAST(1 AS BIGINT) AS community")
+    rows = modularity_report(df, one).collect()
+    assert len(rows) == 1 and abs(rows[0]["contrib"]) < 1e-12

@@ -281,6 +281,8 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "ev_concurrency_peak",
         # one-row totals / term-sum frames over the k-row group frame
         "agg_anova_f",
+        # one-row edge-total frame attached to the community rollup
+        "graph_modularity",
     }
     offenders = []
     for name, fn in queries().items():
