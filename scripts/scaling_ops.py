@@ -871,6 +871,64 @@ def main():
 
         out.setdefault("ann_recall", {})[label] = timed(run_recall, reps=2)
 
+    # r10 fifth batch: ANOVA (one decimal-moment agg — ~linear scan)
+    # and modularity over the LPA partition of the replicated
+    # co-purchase graph (edges grow ~FACTOR with shifted keys).
+    from pydala2_spark.operators.events import anova_oneway
+    from pydala2_spark.operators.graph import (
+        label_propagation,
+        modularity_report,
+    )
+
+    for label in (("1x", "big") if want("r10f") else ()):
+        ee = spark.read.parquet(
+            {"1x": f"{ROOT}/ev_1x", "big": f"{ROOT}/ev_big"}[label]
+        )
+        out.setdefault("anova", {})[label] = timed(
+            lambda ee=ee: anova_oneway(ee, "event_type", "value").collect(),
+            reps=2,
+        )
+        base_li = spark.read.parquet(
+            os.path.join(BASE, "lineitem.parquet")
+        ).select("l_orderkey", "l_partkey", "l_quantity")
+        if label == "1x":
+            li = base_li
+        else:
+            mo = base_li.agg(F.max("l_orderkey")).first()[0] + 1
+            mp = base_li.agg(F.max("l_partkey")).first()[0] + 1
+            li = base_li
+            for c in range(1, FACTOR):
+                li = li.unionByName(
+                    base_li.withColumn(
+                        "l_orderkey", F.col("l_orderkey") + F.lit(c * mo)
+                    ).withColumn(
+                        "l_partkey", F.col("l_partkey") + F.lit(c * mp)
+                    )
+                )
+
+        def run_mod(li=li):
+            flt = (
+                li.filter(F.col("l_quantity") >= 45)
+                .select(
+                    F.col("l_orderkey").alias("o"),
+                    F.col("l_partkey").alias("p"),
+                )
+                .distinct()
+            )
+            edges = (
+                flt.alias("x")
+                .join(flt.alias("y"), "o")
+                .filter(F.col("x.p") < F.col("y.p"))
+                .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+                .distinct()
+                .localCheckpoint()
+            )
+            modularity_report(
+                edges, label_propagation(edges, rounds=4)
+            ).count()
+
+        out.setdefault("modularity", {})[label] = timed(run_mod, reps=2)
+
     print(f"{'op':24s} {'1x':>7s} {'x' + str(FACTOR):>7s} {'ratio':>7s}")
     for op, t in out.items():
         ratio = t["big"] / t["1x"]
