@@ -1999,3 +1999,189 @@ def js_divergence_oracle_sql(
                  / ln(2.0), {ndigits}) AS js_norm
     FROM terms GROUP BY grp, ns
     """
+
+
+def nb_domain_classifier(
+    df: DataFrame,
+    class_col: str = "source",
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multinomial Naive Bayes domain classifier, trained and
+    evaluated inside the engine — the CCNet/GPT-3-style quality- or
+    domain-filter primitive (train a cheap classifier on labeled
+    text, score the corpus with it). Trains add-1-smoothed per-class
+    unigram models on even ``id_col`` docs, predicts the odd ones,
+    and returns the confusion matrix ``(true_source,
+    predicted_source, n_docs)``.
+
+    Determinism: every model quantity is an integer count; the only
+    transcendental is ln, and each term rounds to 12 decimals then
+    accumulates as DECIMAL(38,12) (the pagerank discipline). The
+    vocab-absent/OOV mass uses the algebraic identity
+    ``score_c = ln(prior) - n_doc * ln(T_c + V)
+    + Σ_{tok: c_tc>0} cnt * ln(c_tc + 1)``
+    — tokens the class never saw contribute ln(1) = 0 to the sum, so
+    the scoring join is INNER on class-present tokens only (the
+    js_divergence folding trick). Argmax breaks score ties class-ASC
+    via a struct-min on (-score, class).
+
+    100 TB shape: one corpus explode; the model is the Zipf-small
+    (token, class) count frame, materialized once; scoring joins
+    test tokens to it keyed on token (fanout <= |classes|); the
+    |classes|-row prior frame attaches broadcast. No windows over
+    corpus-sized data, no driver collect."""
+    from pydala2_spark.operators.dedup import _materialize_once
+
+    dec = "decimal(38,12)"
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(class_col).alias("cls"),
+        F.explode(F.split(F.col(text), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    model = _materialize_once(
+        toks.filter(F.col("doc") % 2 == 0)
+        .groupBy("tok", "cls")
+        .agg(F.count(F.lit(1)).alias("ctc"))
+    )
+    tc = model.groupBy("cls").agg(F.sum("ctc").cast("long").alias("t_c"))
+    vocab = model.select("tok").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    train_docs = (
+        df.filter(F.col(id_col) % 2 == 0)
+        .groupBy(F.col(class_col).alias("cls"))
+        .agg(F.count(F.lit(1)).alias("dc"))
+    )
+    dtot = train_docs.agg(F.sum("dc").cast("long").alias("dt"))
+    classes = (
+        tc.join(train_docs, "cls")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(dtot))
+        .select(
+            "cls",
+            F.round(
+                F.log(F.col("dc").cast("double") / F.col("dt").cast("double")),
+                12,
+            )
+            .cast(dec)
+            .alias("lp_prior"),
+            F.log((F.col("t_c") + F.col("v")).cast("double")).alias("ln_den"),
+        )
+    )
+    tcnt = _materialize_once(
+        toks.filter(F.col("doc") % 2 == 1)
+        .groupBy("doc", F.col("cls").alias("true_cls"), "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ndoc = tcnt.groupBy("doc", "true_cls").agg(
+        F.sum("cnt").cast("long").alias("n_doc")
+    )
+    j = (
+        tcnt.join(
+            model.select("tok", F.col("cls").alias("__mcls"), "ctc"), "tok"
+        )
+        .select(
+            "doc",
+            F.col("__mcls").alias("cls"),
+            F.round(
+                F.col("cnt").cast("double")
+                * F.log(F.col("ctc").cast("double") + 1.0),
+                12,
+            )
+            .cast(dec)
+            .alias("term"),
+        )
+        .groupBy("doc", "cls")
+        .agg(F.sum("term").alias("s1"))
+    )
+    scored = (
+        ndoc.crossJoin(F.broadcast(classes))
+        .join(j, ["doc", "cls"], "left")
+        .select(
+            "doc",
+            "true_cls",
+            "cls",
+            (
+                F.col("lp_prior")
+                + F.round(
+                    -F.col("n_doc").cast("double") * F.col("ln_den"), 12
+                ).cast(dec)
+                + F.coalesce(F.col("s1"), F.lit(0).cast(dec))
+            ).alias("score"),
+        )
+    )
+    pred = scored.groupBy("doc", "true_cls").agg(
+        F.min(
+            F.struct((-F.col("score")).alias("ns"), F.col("cls").alias("c"))
+        ).alias("m")
+    )
+    return pred.groupBy(
+        F.col("true_cls").alias("true_source"),
+        F.col("m.c").alias("predicted_source"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
+def nb_classifier_oracle_sql(
+    table_sql: str,
+    class_col: str = "source",
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`nb_domain_classifier` — identical
+    folding identity and rounded-term decimal accumulation."""
+    return f"""
+    WITH toks AS (
+      SELECT doc, cls, tok FROM (
+        SELECT {id_col} AS doc, {class_col} AS cls,
+               unnest(string_split({text}, ' ')) AS tok
+        FROM ({table_sql})
+      ) WHERE tok <> ''
+    ), model AS (
+      SELECT tok, cls, count(*) AS ctc FROM toks
+      WHERE doc % 2 = 0 GROUP BY 1, 2
+    ), tc AS (
+      SELECT cls, CAST(sum(ctc) AS BIGINT) AS t_c FROM model GROUP BY 1
+    ), vocab AS (
+      SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM model
+    ), tdocs AS (
+      SELECT {class_col} AS cls, count(*) AS dc FROM ({table_sql})
+      WHERE {id_col} % 2 = 0 GROUP BY 1
+    ), dtot AS (SELECT CAST(sum(dc) AS BIGINT) AS dt FROM tdocs),
+    classes AS (
+      SELECT tc.cls,
+             CAST(round(ln(CAST(dc AS DOUBLE) / CAST(dt AS DOUBLE)), 12)
+                  AS DECIMAL(38,12)) AS lp_prior,
+             ln(CAST(t_c + v AS DOUBLE)) AS ln_den
+      FROM tc JOIN tdocs USING (cls), vocab, dtot
+    ), tcnt AS (
+      SELECT doc, cls AS true_cls, tok, count(*) AS cnt FROM toks
+      WHERE doc % 2 = 1 GROUP BY 1, 2, 3
+    ), ndoc AS (
+      SELECT doc, true_cls, CAST(sum(cnt) AS BIGINT) AS n_doc
+      FROM tcnt GROUP BY 1, 2
+    ), j AS (
+      SELECT t.doc, m.cls,
+             sum(CAST(round(CAST(t.cnt AS DOUBLE)
+                            * ln(CAST(m.ctc AS DOUBLE) + 1.0), 12)
+                      AS DECIMAL(38,12))) AS s1
+      FROM tcnt t JOIN model m USING (tok) GROUP BY 1, 2
+    ), scored AS (
+      SELECT n.doc, n.true_cls, c.cls,
+             c.lp_prior
+             + CAST(round(-CAST(n.n_doc AS DOUBLE) * c.ln_den, 12)
+                    AS DECIMAL(38,12))
+             + coalesce(j.s1, CAST(0 AS DECIMAL(38,12))) AS score
+      FROM ndoc n CROSS JOIN classes c
+      LEFT JOIN j ON j.doc = n.doc AND j.cls = c.cls
+    ), pred AS (
+      SELECT doc, true_cls, cls AS predicted FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc
+                    ORDER BY score DESC, cls ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT true_cls AS true_source, predicted AS predicted_source,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2
+    """

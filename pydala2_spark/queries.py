@@ -9678,6 +9678,27 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_independence(joined, "seg", "pri")
 
 
+def _nb_oracle() -> str:
+    from pydala2_spark.operators.curate import nb_classifier_oracle_sql
+
+    return nb_classifier_oracle_sql("SELECT doc_id, source, text FROM documents")
+
+
+@query("doc_nb_classifier", _nb_oracle())
+def doc_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes domain classifier trained and evaluated
+    in-engine (train on even doc_ids, predict odd, confusion matrix
+    out) — the CCNet/GPT-3-style quality-filter primitive beside
+    doc_dsir_resample's importance weighting. Model = Zipf-small
+    (token, class) counts materialized once; scoring is an inner join
+    on class-present tokens only (absent tokens fold to ln(1) = 0);
+    ln terms round-12 + DECIMAL(38,12).
+    See operators/curate.nb_domain_classifier."""
+    from pydala2_spark.operators.curate import nb_domain_classifier
+
+    return nb_domain_classifier(_t(spark, sf_dir, "documents"))
+
+
 def _modularity_oracle() -> str:
     from pydala2_spark.operators.graph import modularity_oracle_sql
 

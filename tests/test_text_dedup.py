@@ -2435,3 +2435,39 @@ def test_ann_recall_planted_miss(spark):
 
     assert recall(1) == (5, 4)  # vec 5 is in the unprobed cell
     assert recall(2) == (5, 5)
+
+
+def test_nb_classifier_hand_case(spark):
+    """NB classifier vs hand math: class-exclusive vocabularies give a
+    perfect confusion diagonal; an all-OOV test doc falls back to the
+    smoothing-dominated score where the class with FEWER training
+    tokens wins (smaller ln(T_c + V) denominator), not the prior."""
+    rows = []
+    # train (even ids): class a says "apple banana", class b "zebra yak"
+    for i in range(0, 20, 2):
+        rows.append((i, "a", "apple banana apple"))
+    for i in range(20, 32, 2):
+        rows.append((i, "b", "zebra yak zebra yak"))
+    # test (odd ids): clearly separable
+    rows += [(1, "a", "apple apple banana"), (3, "a", "banana apple"),
+             (21, "b", "zebra yak yak"), (23, "b", "yak zebra")]
+    # all-OOV test doc, true class a: every token unseen -> score_c =
+    # ln(prior_c) - n*ln(T_c+V); T_a = 30 < T_b = 24? compute: a has
+    # 10 docs x 3 toks = 30, b has 6 docs x 4 = 24; V = 4
+    rows += [(5, "a", "quux corge")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    from pydala2_spark.operators.curate import nb_domain_classifier
+
+    got = {
+        (r["true_source"], r["predicted_source"]): r["n_docs"]
+        for r in nb_domain_classifier(df).collect()
+    }
+    import math
+
+    # hand-score the OOV doc: n=2 tokens
+    pa = math.log(10 / 16) - 2 * math.log(30 + 4)
+    pb = math.log(6 / 16) - 2 * math.log(24 + 4)
+    oov_pred = "a" if pa > pb else "b"
+    want = {("a", "a"): 2, ("b", "b"): 2}
+    want[("a", oov_pred)] = want.get(("a", oov_pred), 0) + 1
+    assert got == want
