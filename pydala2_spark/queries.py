@@ -9775,8 +9775,8 @@ _VERIFY_FIRST = [
     # emb_mmr_diversify, dq_ks_test, graph_label_prop,
     # agg_chi2_independence, ev_attribution, ev_rfm_scores,
     # ev_concurrency_peak, emb_silhouette, emb_hard_negatives,
-    # emb_ann_recall, agg_anova_f, graph_modularity (twenty-one in
-    # all) — then rotate the
+    # emb_ann_recall, agg_anova_f, graph_modularity,
+    # doc_nb_classifier (twenty-two in all) — then rotate the
     # REMAINDER of the r7-checked block — dq_fk_orphans, dq_benford,
     # er_part_linkage, ev_conversion_latency, ev_anomaly_days,
     # ev_rolling_quantiles, ev_value_histogram, scd2_event_history,

@@ -929,6 +929,16 @@ def main():
 
         out.setdefault("modularity", {})[label] = timed(run_mod, reps=2)
 
+    # r10 sixth batch: NB domain classifier (explode + Zipf-small
+    # model frame + token-keyed scoring join — ~linear scan)
+    from pydala2_spark.operators.curate import nb_domain_classifier
+
+    for label, d in (dirs.items() if want("r10g") else ()):
+        dd = spark.read.parquet(d)
+        out.setdefault("nb_classifier", {})[label] = timed(
+            lambda dd=dd: nb_domain_classifier(dd).collect(), reps=2
+        )
+
     print(f"{'op':24s} {'1x':>7s} {'x' + str(FACTOR):>7s} {'ratio':>7s}")
     for op, t in out.items():
         ratio = t["big"] / t["1x"]
