@@ -3171,10 +3171,12 @@ def doc_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(table_sql: str = "documents") -> str:
     """Oracle SQL for dedup_minhash_lsh, sharing the Spark operator's
     exact hash constants (one md5 per shingle + universal-hash family
-    mod P — see operators/dedup.minhash_signature)."""
+    mod P — see operators/dedup.minhash_signature). ``table_sql`` must
+    expose (doc_id, text); the default keeps the dedup_minhash_lsh
+    oracle byte-identical."""
     from pydala2_spark.operators.dedup import MINHASH_P, _minhash_consts
 
     a_consts, b_consts = _minhash_consts(12)
@@ -3182,7 +3184,7 @@ def _minhash_oracle() -> str:
     b_arr = "[" + ", ".join(str(b) for b in b_consts) + "]"
     return f"""
     WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      SELECT doc_id, string_split(text, ' ') AS tk FROM {table_sql}
     ), sh AS (
       SELECT doc_id,
              list_distinct(list_transform(generate_series(1, greatest(len(tk) - 2, 1)),
@@ -3222,6 +3224,86 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pydala2_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+_MINHASH_EVAL_CLONES = """(
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 2,
+               len(string_split(text, ' '))), ' ') AS text
+      FROM documents
+      WHERE doc_id % 40 = 0 AND len(string_split(text, ' ')) >= 20
+    )"""
+
+
+def _minhash_eval_oracle() -> str:
+    inner = _minhash_oracle(_MINHASH_EVAL_CLONES)
+    return f"""
+    WITH pairs AS ({inner}),
+    planted AS (
+      SELECT doc_id AS id_a, doc_id + 10000000 AS id_b FROM documents
+      WHERE doc_id % 40 = 0 AND len(string_split(text, ' ')) >= 20
+    ), hit AS (
+      SELECT count(*) AS n_detected
+      FROM planted p JOIN pairs q ON p.id_a = q.id_a AND p.id_b = q.id_b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM planted) AS n_planted,
+           CAST(hit.n_detected AS BIGINT) AS n_detected,
+           round(CAST(hit.n_detected AS DOUBLE)
+                 / (SELECT count(*) FROM planted), 4) AS recall,
+           (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs
+    FROM hit
+    """
+
+
+@query("dedup_minhash_eval", _minhash_eval_oracle())
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-recall evaluation harness: plant a deterministic
+    first-token-dropped clone of every 40th long document (shingle
+    Jaccard >= ~0.9 by construction), run the production MinHash-LSH
+    pipeline on the augmented corpus, and report how many planted
+    pairs the banding actually caught — the measured-recall loop every
+    probabilistic dedup deployment needs (the emb_ann_recall of the
+    dedup family; 12 perms / 4 bands gives P(miss) = (1-J^3)^4, so
+    recall should sit near 1.0 and any drop is a pipeline regression).
+    Clone generation is scan-stage; everything else is the unchanged
+    operator. See operators/dedup.minhash_lsh_pairs."""
+    from pydala2_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.withColumn("__tk", F.split("text", " "))
+    clone_src = base.filter(
+        (F.col("doc_id") % 40 == 0) & (F.size("__tk") >= 20)
+    )
+    clones = clone_src.select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.array_join(F.expr("slice(__tk, 2, size(__tk))"), " ").alias("text"),
+    )
+    pairs = minhash_lsh_pairs(
+        docs.unionByName(clones), threshold=0.5
+    ).localCheckpoint()
+    planted = clone_src.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + F.lit(10_000_000)).alias("id_b"),
+    )
+    n_p = planted.agg(F.count(F.lit(1)).cast("long").alias("n_planted"))
+    n_d = planted.join(pairs, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_detected")
+    )
+    n_t = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    return (
+        n_p.crossJoin(F.broadcast(n_d))
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            "n_planted",
+            "n_detected",
+            F.round(
+                F.col("n_detected").cast("double") / F.col("n_planted"), 4
+            ).alias("recall"),
+            "n_pairs",
+        )
+    )
 
 
 @query(
@@ -9776,7 +9858,8 @@ _VERIFY_FIRST = [
     # agg_chi2_independence, ev_attribution, ev_rfm_scores,
     # ev_concurrency_peak, emb_silhouette, emb_hard_negatives,
     # emb_ann_recall, agg_anova_f, graph_modularity,
-    # doc_nb_classifier (twenty-two in all) — then rotate the
+    # doc_nb_classifier, dedup_minhash_eval (twenty-three in all) —
+    # then rotate the
     # REMAINDER of the r7-checked block — dq_fk_orphans, dq_benford,
     # er_part_linkage, ev_conversion_latency, ev_anomaly_days,
     # ev_rolling_quantiles, ev_value_histogram, scd2_event_history,

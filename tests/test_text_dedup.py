@@ -2471,3 +2471,26 @@ def test_nb_classifier_hand_case(spark):
     want = {("a", "a"): 2, ("b", "b"): 2}
     want[("a", oov_pred)] = want.get(("a", oov_pred), 0) + 1
     assert got == want
+
+
+def test_minhash_planted_clone_detected(spark):
+    """The dedup_minhash_eval construction: a first-token-dropped
+    clone of a long doc must survive banding and the 0.5 Jaccard
+    verify; an unrelated doc must not pair with it."""
+    from pyspark.sql import functions as F
+
+    from pydala2_spark.operators.dedup import minhash_lsh_pairs
+
+    long_text = " ".join(f"tok{i}" for i in range(30))
+    clone = " ".join(f"tok{i}" for i in range(1, 30))  # first token dropped
+    other = " ".join(f"zzz{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, long_text), (10000001, clone), (2, other)],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in minhash_lsh_pairs(df, threshold=0.5).collect()}
+    assert (1, 10000001) in got
+    # 28 shared 3-shingles of 29 original ones
+    assert got[(1, 10000001)] == round(27 / 28, 4)
+    assert all(2 not in k for k in got)

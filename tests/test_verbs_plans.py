@@ -283,6 +283,8 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "agg_anova_f",
         # one-row edge-total frame attached to the community rollup
         "graph_modularity",
+        # one-row planted/detected/total count frames
+        "dedup_minhash_eval",
     }
     offenders = []
     for name, fn in queries().items():
