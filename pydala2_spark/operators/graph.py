@@ -781,3 +781,99 @@ def modularity_oracle_sql(edge_cte: str, rounds: int = 4, ndigits: int = 9) -> s
                  {ndigits}) AS contrib
     FROM dc d LEFT JOIN ec USING (community), m
     """
+
+
+def degree_assortativity(edges: DataFrame, ndigits: int = 6) -> DataFrame:
+    """Newman degree assortativity of an undirected simple graph —
+    the one-number structural fingerprint (positive: hubs link hubs,
+    social-graph-like; negative: hubs link leaves, web/biology-like)
+    that tells a sampling or partitioning strategy what kind of graph
+    it is holding. Pearson correlation of end-point degrees over the
+    symmetrized edge list, computed WITHOUT materializing the
+    symmetrized pairs: for single-direction edges,
+    ``Sx_sym = Σ(du+dv)``, ``Sxy_sym = 2·Σ du·dv``,
+    ``Sxx_sym = Σ(du²+dv²)``, ``M = 2m``, and
+    ``r = (M·Sxy_sym − Sx²) / (M·Sxx_sym − Sx²)``.
+
+    Every sum is an exact DECIMAL(38,0) integer, so the final fixed
+    IEEE expression is engine-portable with no rounding machinery; a
+    regular graph (zero degree variance) yields NULL by definition.
+
+    100 TB shape: one degree agg (map-side-combined), two equi-joins
+    of the edge list against it, ONE moment aggregation. No windows,
+    no driver work."""
+    dec = "decimal(38,0)"
+    edges = edges.select("src", "dst").localCheckpoint()
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
+    )
+    j = edges.join(
+        deg.select(F.col("node").alias("src"), F.col("d").alias("du")), "src"
+    ).join(
+        deg.select(F.col("node").alias("dst"), F.col("d").alias("dv")), "dst"
+    )
+    a = j.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum((F.col("du") + F.col("dv")).cast(dec)).alias("sx"),
+        F.sum(F.col("du").cast(dec) * F.col("dv").cast(dec)).alias("sxy"),
+        F.sum(
+            F.col("du").cast(dec) * F.col("du").cast(dec)
+            + F.col("dv").cast(dec) * F.col("dv").cast(dec)
+        ).alias("sxx"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    md = F.col("m").cast("double")
+    sx = F.col("sx").cast("double")
+    num = F.lit(4.0) * md * F.col("sxy").cast("double") - sx * sx
+    den = F.lit(2.0) * md * F.col("sxx").cast("double") - sx * sx
+    return n_nodes.crossJoin(F.broadcast(a)).select(
+        "n_nodes",
+        F.col("m").alias("n_edges"),
+        F.when(den == 0.0, F.lit(None).cast("double"))
+        .otherwise(F.round(num / den, ndigits))
+        .alias("assortativity"),
+    )
+
+
+def assortativity_oracle_sql(edge_cte: str, ndigits: int = 6) -> str:
+    """DuckDB oracle for :func:`degree_assortativity` — identical
+    decimal moments and the identical left-associated IEEE final
+    expression."""
+    return f"""
+    WITH e AS ({edge_cte}),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+      ) GROUP BY 1
+    ), j AS (
+      SELECT du.d AS du, dv.d AS dv
+      FROM e JOIN deg du ON e.src = du.node JOIN deg dv ON e.dst = dv.node
+    ), a AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             sum(CAST(du + dv AS DECIMAL(38,0))) AS sx,
+             sum(CAST(du AS DECIMAL(38,0)) * CAST(dv AS DECIMAL(38,0)))
+               AS sxy,
+             sum(CAST(du AS DECIMAL(38,0)) * CAST(du AS DECIMAL(38,0))
+                 + CAST(dv AS DECIMAL(38,0)) * CAST(dv AS DECIMAL(38,0)))
+               AS sxx
+      FROM j
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           a.m AS n_edges,
+           CASE WHEN 2.0 * CAST(a.m AS DOUBLE) * CAST(a.sxx AS DOUBLE)
+                     - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE) = 0.0
+                THEN NULL
+                ELSE round((4.0 * CAST(a.m AS DOUBLE)
+                            * CAST(a.sxy AS DOUBLE)
+                            - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE))
+                           / (2.0 * CAST(a.m AS DOUBLE)
+                              * CAST(a.sxx AS DOUBLE)
+                              - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE)),
+                           {ndigits})
+           END AS assortativity
+    FROM a
+    """

@@ -9760,6 +9760,43 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_independence(joined, "seg", "pri")
 
 
+def _assort_oracle() -> str:
+    from pydala2_spark.operators.graph import assortativity_oracle_sql
+
+    edge_cte = """
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                  FROM lineitem WHERE l_quantity >= 45)
+      SELECT DISTINCT x.p AS src, y.p AS dst
+      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+    """
+    return assortativity_oracle_sql(edge_cte)
+
+
+@query("graph_assortativity", _assort_oracle())
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — the structural
+    fingerprint (hub-hub vs hub-leaf mixing) beside triangles/k-core/
+    communities. Symmetrized-moment identity avoids materializing the
+    doubled edge list; every sum is an exact DECIMAL(38,0) integer.
+    See operators/graph.degree_assortativity."""
+    from pydala2_spark.operators.graph import degree_assortativity
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    edges = (
+        li.alias("x")
+        .join(li.alias("y"), "o")
+        .filter(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+        .distinct()
+    )
+    return degree_assortativity(edges)
+
+
 def _nb_oracle() -> str:
     from pydala2_spark.operators.curate import nb_classifier_oracle_sql
 
@@ -9858,8 +9895,8 @@ _VERIFY_FIRST = [
     # agg_chi2_independence, ev_attribution, ev_rfm_scores,
     # ev_concurrency_peak, emb_silhouette, emb_hard_negatives,
     # emb_ann_recall, agg_anova_f, graph_modularity,
-    # doc_nb_classifier, dedup_minhash_eval (twenty-three in all) —
-    # then rotate the
+    # doc_nb_classifier, dedup_minhash_eval, graph_assortativity
+    # (twenty-four in all) — then rotate the
     # REMAINDER of the r7-checked block — dq_fk_orphans, dq_benford,
     # er_part_linkage, ev_conversion_latency, ev_anomaly_days,
     # ev_rolling_quantiles, ev_value_histogram, scd2_event_history,

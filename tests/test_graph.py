@@ -377,3 +377,37 @@ def test_modularity_planted_cliques(spark):
     one = comm.selectExpr("node", "CAST(1 AS BIGINT) AS community")
     rows = modularity_report(df, one).collect()
     assert len(rows) == 1 and abs(rows[0]["contrib"]) < 1e-12
+
+
+def test_assortativity_reference_graphs(spark):
+    """Assortativity vs known values: a star is perfectly
+    disassortative (r = -1), a regular graph (cycle) has zero degree
+    variance (NULL), and a numpy Pearson over the symmetrized pairs
+    must match a scrambled graph."""
+    import numpy as np
+
+    from pydala2_spark.operators.graph import degree_assortativity
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    [r] = degree_assortativity(star).collect()
+    assert (r["n_nodes"], r["n_edges"]) == (6, 5)
+    assert r["assortativity"] == -1.0
+    cycle = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
+    )
+    [r2] = degree_assortativity(cycle).collect()
+    assert r2["assortativity"] is None  # regular graph: undefined
+    mixed = [(0, 1), (0, 2), (0, 3), (1, 2), (3, 4), (4, 5), (5, 6), (2, 6)]
+    [r3] = degree_assortativity(
+        spark.createDataFrame(mixed, "src long, dst long")
+    ).collect()
+    deg = {}
+    for a, b in mixed:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs = [deg[a] for a, b in mixed] + [deg[b] for a, b in mixed]
+    ys = [deg[b] for a, b in mixed] + [deg[a] for a, b in mixed]
+    want = np.corrcoef(xs, ys)[0, 1]
+    assert abs(r3["assortativity"] - want) < 1e-6

@@ -285,6 +285,8 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "graph_modularity",
         # one-row planted/detected/total count frames
         "dedup_minhash_eval",
+        # one-row moment frame attached to the node count
+        "graph_assortativity",
     }
     offenders = []
     for name, fn in queries().items():
