@@ -939,6 +939,76 @@ def main():
             lambda dd=dd: nb_domain_classifier(dd).collect(), reps=2
         )
 
+    # r10 seventh batch: planted-clone dedup recall (minhash shapes,
+    # already-swept family + a scan-stage clone pass) and degree
+    # assortativity on the replicated co-purchase graph.
+    from pydala2_spark.operators.dedup import minhash_lsh_pairs
+    from pydala2_spark.operators.graph import degree_assortativity
+
+    for label, d in (dirs.items() if want("r10h") else ()):
+        dd = spark.read.parquet(d).select("doc_id", "text")
+
+        def run_eval(dd=dd):
+            base = dd.withColumn("__tk", F.split("text", " "))
+            cs = base.filter(
+                (F.col("doc_id") % 40 == 0) & (F.size("__tk") >= 20)
+            )
+            clones = cs.select(
+                (F.col("doc_id") + F.lit(100_000_000)).alias("doc_id"),
+                F.array_join(
+                    F.expr("slice(__tk, 2, size(__tk))"), " "
+                ).alias("text"),
+            )
+            pairs = minhash_lsh_pairs(
+                dd.unionByName(clones), threshold=0.5
+            ).localCheckpoint()
+            planted = cs.select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + F.lit(100_000_000)).alias("id_b"),
+            )
+            planted.join(pairs, ["id_a", "id_b"]).count()
+
+        out.setdefault("minhash_eval", {})[label] = timed(run_eval, reps=2)
+
+    for label in (("1x", "big") if want("r10h") else ()):
+        base_li = spark.read.parquet(
+            os.path.join(BASE, "lineitem.parquet")
+        ).select("l_orderkey", "l_partkey", "l_quantity")
+        if label == "1x":
+            li = base_li
+        else:
+            mo = base_li.agg(F.max("l_orderkey")).first()[0] + 1
+            mp = base_li.agg(F.max("l_partkey")).first()[0] + 1
+            li = base_li
+            for c in range(1, FACTOR):
+                li = li.unionByName(
+                    base_li.withColumn(
+                        "l_orderkey", F.col("l_orderkey") + F.lit(c * mo)
+                    ).withColumn(
+                        "l_partkey", F.col("l_partkey") + F.lit(c * mp)
+                    )
+                )
+
+        def run_assort(li=li):
+            flt = (
+                li.filter(F.col("l_quantity") >= 45)
+                .select(
+                    F.col("l_orderkey").alias("o"),
+                    F.col("l_partkey").alias("p"),
+                )
+                .distinct()
+            )
+            edges = (
+                flt.alias("x")
+                .join(flt.alias("y"), "o")
+                .filter(F.col("x.p") < F.col("y.p"))
+                .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+                .distinct()
+            )
+            degree_assortativity(edges).collect()
+
+        out.setdefault("assortativity", {})[label] = timed(run_assort, reps=2)
+
     print(f"{'op':24s} {'1x':>7s} {'x' + str(FACTOR):>7s} {'ratio':>7s}")
     for op, t in out.items():
         ratio = t["big"] / t["1x"]
