@@ -1382,15 +1382,21 @@ def rfm_scores(
         .drop("__mx", "__last")
         .localCheckpoint()
     )
+    # checkpoint BETWEEN scoring passes, not just before the first:
+    # each distributed_ntile references its input from several plan
+    # branches (local window, per-partition counts, offset join), so
+    # chaining three of them un-checkpointed compounds the lineage
+    # (measured: 59 shuffle exchanges vs 17 with the checkpoints —
+    # the triangle_counts disease in miniature)
     scored = distributed_ntile(
         users,
         [F.desc("recency_days"), F.asc("user_id")],
         k,
         out_col="r_score",
-    )
+    ).localCheckpoint()
     scored = distributed_ntile(
         scored, [F.asc("frequency"), F.asc("user_id")], k, out_col="f_score"
-    )
+    ).localCheckpoint()
     scored = distributed_ntile(
         scored, [F.asc("monetary"), F.asc("user_id")], k, out_col="m_score"
     )
