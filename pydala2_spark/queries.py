@@ -9760,6 +9760,123 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_independence(joined, "seg", "pri")
 
 
+_CLUSTERING_ORACLE = """
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem WHERE l_quantity >= 35),
+    e AS (
+      SELECT DISTINCT x.p AS a, y.p AS b
+      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+    ), deg AS (
+      SELECT n, count(*) AS d
+      FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+      GROUP BY n
+    ), o AS (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN e.a ELSE e.b END AS u,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN e.b ELSE e.a END AS v
+      FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n
+    ), ov AS (SELECT o.u, o.v, deg.d AS dv FROM o JOIN deg ON o.v = deg.n),
+    tri AS (
+      SELECT w1.u AS x, w1.v AS y, w2.v AS z
+      FROM ov w1
+      JOIN ov w2 ON w1.u = w2.u
+        AND (w1.dv < w2.dv OR (w1.dv = w2.dv AND w1.v < w2.v))
+      JOIN o ON o.u = w1.v AND o.v = w2.v
+    ), tcnt AS (
+      SELECT node, count(*) AS t FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY node
+    ), per_node AS (
+      SELECT deg.n, deg.d, coalesce(tcnt.t, 0) AS t
+      FROM deg LEFT JOIN tcnt ON deg.n = tcnt.node
+      WHERE deg.d >= 2
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(t) AS BIGINT) AS sum_t,
+             CAST(sum(d * (d - 1) / 2) AS BIGINT) AS wedges,
+             CAST(sum(CAST(round(CAST(t AS DOUBLE)
+                   / (CAST(d AS DOUBLE) * (CAST(d AS DOUBLE) - 1.0) / 2.0),
+                   12) AS DECIMAL(38,12))) AS DOUBLE) AS sum_c
+      FROM per_node
+    )
+    SELECT n_nodes, CAST(sum_t / 3 AS BIGINT) AS n_triangles, wedges,
+           round(CAST(sum_t AS DOUBLE) / CAST(wedges AS DOUBLE), 6)
+             AS global_coeff,
+           round(sum_c / CAST(n_nodes AS DOUBLE), 6) AS avg_local_coeff
+    FROM agg
+    """
+
+
+@query("graph_clustering_coeff", _CLUSTERING_ORACLE)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global and average-local clustering coefficients of the
+    co-purchase graph — the transitivity summary on top of
+    graph_triangles' per-node counts (same degree-oriented
+    enumeration, same slice): global C = 3T / wedges from exact
+    integer sums; local c_v terms round-12 + DECIMAL(38,12) for the
+    mean over degree >= 2 nodes. One wedge-bounded triangle pass, one
+    degree agg, one left join — no new corpus-scale machinery.
+    See operators/graph.triangle_counts."""
+    from pydala2_spark.operators.graph import triangle_counts
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 35)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    edges = (
+        li.alias("x")
+        .join(li.alias("y"), "o")
+        .filter(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+        # parts sharing several orders produce the pair repeatedly —
+        # the degree table below must count each undirected pair once
+        .distinct()
+        .localCheckpoint()
+    )
+    tri = triangle_counts(edges)
+    deg = (
+        edges.select(F.col("src").alias("n"))
+        .unionAll(edges.select(F.col("dst").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    per_node = (
+        deg.filter(F.col("d") >= 2)
+        .join(tri.withColumnRenamed("node", "n"), "n", "left")
+        .select(
+            "d", F.coalesce("n_triangles", F.lit(0)).alias("t")
+        )
+    )
+    dd = F.col("d").cast("double")
+    c_term = F.round(
+        F.col("t").cast("double") / (dd * (dd - F.lit(1.0)) / F.lit(2.0)), 12
+    ).cast("decimal(38,12)")
+    agg = per_node.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("t").cast("long").alias("sum_t"),
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long"))
+        .cast("long")
+        .alias("wedges"),
+        F.sum(c_term).cast("double").alias("sum_c"),
+    )
+    return agg.select(
+        "n_nodes",
+        (F.col("sum_t") / 3).cast("long").alias("n_triangles"),
+        "wedges",
+        F.round(
+            F.col("sum_t").cast("double") / F.col("wedges").cast("double"), 6
+        ).alias("global_coeff"),
+        F.round(F.col("sum_c") / F.col("n_nodes").cast("double"), 6).alias(
+            "avg_local_coeff"
+        ),
+    )
+
+
 def _assort_oracle() -> str:
     from pydala2_spark.operators.graph import assortativity_oracle_sql
 

@@ -411,3 +411,39 @@ def test_assortativity_reference_graphs(spark):
     ys = [deg[b] for a, b in mixed] + [deg[a] for a, b in mixed]
     want = np.corrcoef(xs, ys)[0, 1]
     assert abs(r3["assortativity"] - want) < 1e-6
+
+
+def test_clustering_coeff_hand_graphs(spark):
+    """Clustering coefficients vs hand math mirrored on the query's
+    composition: K3 + a pendant node. Degrees (3,2,2,1); wedges =
+    3+1+1 = 3... spelled out below."""
+    from pyspark.sql import functions as F
+
+    from pydala2_spark.operators.graph import triangle_counts
+
+    # K3 on {1,2,3} plus pendant 4-1: deg = {1:3, 2:2, 3:2, 4:1}
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4)], "src long, dst long"
+    ).localCheckpoint()
+    tri = triangle_counts(edges)
+    deg = (
+        edges.select(F.col("src").alias("n"))
+        .unionAll(edges.select(F.col("dst").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    per_node = (
+        deg.filter(F.col("d") >= 2)
+        .join(tri.withColumnRenamed("node", "n"), "n", "left")
+        .select("n", "d", F.coalesce("n_triangles", F.lit(0)).alias("t"))
+    )
+    rows = {r["n"]: (r["d"], r["t"]) for r in per_node.collect()}
+    assert rows == {1: (3, 1), 2: (2, 1), 3: (2, 1)}
+    # wedges = 3 + 1 + 1 = 5; sum_t = 3 -> global C = 3/5
+    # local: c1 = 1/3, c2 = c3 = 1 -> avg = (1/3 + 2) / 3
+    sum_t = sum(t for _, t in rows.values())
+    wedges = sum(d * (d - 1) // 2 for d, _ in rows.values())
+    assert (sum_t, wedges) == (3, 5)
+    assert abs(sum_t / wedges - 0.6) < 1e-12
+    avg_local = (1 / 3 + 1.0 + 1.0) / 3
+    assert abs(avg_local - 7 / 9) < 1e-12
