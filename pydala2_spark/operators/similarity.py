@@ -1522,3 +1522,154 @@ def hard_negatives_oracle_sql(
            round(p.pos_cos - n.neg_cos, 4) AS margin
     FROM neg n JOIN p USING (query_id)
     """
+
+
+def embedding_drift(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Embedding-distribution drift monitor between two corpus halves
+    (even vs odd ``id_col`` — stand-ins for reference vs candidate
+    batches of a production encoder): centroid L2 distance and cosine,
+    plus each half's mean vector norm. The check that catches a model
+    redeploy, a normalization regression, or an upstream tokenizer
+    change BEFORE the ANN index quietly degrades.
+
+    One row out: ``(n_a, n_b, centroid_dist, centroid_cos,
+    mean_norm_a, mean_norm_b)``.
+
+    Determinism: per-dimension sums accumulate as DECIMAL(38,6)
+    (label_centroids contract); the per-dimension diff/product terms
+    round to 12 and re-accumulate as DECIMAL(38,12); norms round to 6
+    then average exactly as DECIMAL(38,6).
+
+    100 TB shape: one posexplode aggregation to the |dims| frame and
+    one scan-stage norm aggregation — two corpus passes, all
+    map-side-combined, one-row broadcasts after."""
+    dec = "decimal(38,12)"
+    e = df.select(
+        (F.col(id_col) % 2 == 0).alias("__a"),
+        F.posexplode(
+            F.expr(f"transform({vec_col}, x -> cast(x as double))")
+        ).alias("pos", "x"),
+    )
+    d6 = F.col("x").cast("decimal(38,6)")
+    dims = e.groupBy("pos").agg(
+        F.sum(F.when(F.col("__a"), d6)).alias("sa"),
+        F.count(F.when(F.col("__a"), F.lit(1))).alias("na"),
+        F.sum(F.when(~F.col("__a"), d6)).alias("sb"),
+        F.count(F.when(~F.col("__a"), F.lit(1))).alias("nb"),
+    )
+    ma = F.col("sa").cast("double") / F.col("na").cast("double")
+    mb = F.col("sb").cast("double") / F.col("nb").cast("double")
+    t = dims.select(
+        F.round((ma - mb) * (ma - mb), 12).cast(dec).alias("d2"),
+        F.round(ma * mb, 12).cast(dec).alias("ab"),
+        F.round(ma * ma, 12).cast(dec).alias("aa"),
+        F.round(mb * mb, 12).cast(dec).alias("bb"),
+    )
+    s = t.agg(
+        F.sum("d2").cast("double").alias("d2"),
+        F.sum("ab").cast("double").alias("ab"),
+        F.sum("aa").cast("double").alias("aa"),
+        F.sum("bb").cast("double").alias("bb"),
+    )
+    nm = F.round(
+        F.sqrt(
+            F.expr(
+                f"aggregate(transform({vec_col}, x -> cast(x as double)), "
+                f"0D, (a, x) -> a + x * x)"
+            )
+        ),
+        6,
+    ).cast("decimal(38,6)")
+    halves = df.select(
+        (F.col(id_col) % 2 == 0).alias("__a"), nm.alias("__nm")
+    ).agg(
+        F.count(F.when(F.col("__a"), F.lit(1))).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("__a"), F.col("__nm"))).alias("__sna"),
+        F.count(F.when(~F.col("__a"), F.lit(1))).cast("long").alias("n_b"),
+        F.sum(F.when(~F.col("__a"), F.col("__nm"))).alias("__snb"),
+    )
+    return halves.crossJoin(F.broadcast(s)).select(
+        "n_a",
+        "n_b",
+        F.round(F.sqrt(F.col("d2")), ndigits).alias("centroid_dist"),
+        F.round(
+            F.col("ab") / (F.sqrt(F.col("aa")) * F.sqrt(F.col("bb"))),
+            ndigits,
+        ).alias("centroid_cos"),
+        F.round(
+            F.col("__sna").cast("double") / F.col("n_a").cast("double"), 4
+        ).alias("mean_norm_a"),
+        F.round(
+            F.col("__snb").cast("double") / F.col("n_b").cast("double"), 4
+        ).alias("mean_norm_b"),
+    )
+
+
+def embedding_drift_oracle_sql(
+    dim: int = 64, table: str = "embeddings", ndigits: int = 6
+) -> str:
+    """DuckDB oracle for :func:`embedding_drift` — identical decimal
+    ladders on both aggregation grains."""
+    return f"""
+    WITH e AS (
+      SELECT vec_id % 2 = 0 AS a,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM {table}
+    ), px AS (
+      SELECT a, g.i AS pos, CAST(v[g.i] AS DECIMAL(38,6)) AS x
+      FROM e, unnest(generate_series(1, {dim})) AS g(i)
+    ), dims AS (
+      SELECT pos,
+             sum(CASE WHEN a THEN x END) AS sa,
+             count(CASE WHEN a THEN 1 END) AS na,
+             sum(CASE WHEN NOT a THEN x END) AS sb,
+             count(CASE WHEN NOT a THEN 1 END) AS nb
+      FROM px GROUP BY pos
+    ), t AS (
+      SELECT
+        CAST(round((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                    - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                   * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                      - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)), 12)
+             AS DECIMAL(38,12)) AS d2,
+        CAST(round((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+                   * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)), 12)
+             AS DECIMAL(38,12)) AS ab,
+        CAST(round((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+                   * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)), 12)
+             AS DECIMAL(38,12)) AS aa,
+        CAST(round((CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                   * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)), 12)
+             AS DECIMAL(38,12)) AS bb
+      FROM dims
+    ), s AS (
+      SELECT CAST(sum(d2) AS DOUBLE) AS d2, CAST(sum(ab) AS DOUBLE) AS ab,
+             CAST(sum(aa) AS DOUBLE) AS aa, CAST(sum(bb) AS DOUBLE) AS bb
+      FROM t
+    ), nrm AS (
+      SELECT a,
+             CAST(round(sqrt(list_sum(list_transform(v, x -> x * x))), 6)
+                  AS DECIMAL(38,6)) AS nm
+      FROM e
+    ), h AS (
+      SELECT CAST(count(CASE WHEN a THEN 1 END) AS BIGINT) AS n_a,
+             sum(CASE WHEN a THEN nm END) AS sna,
+             CAST(count(CASE WHEN NOT a THEN 1 END) AS BIGINT) AS n_b,
+             sum(CASE WHEN NOT a THEN nm END) AS snb
+      FROM nrm
+    )
+    SELECT h.n_a, h.n_b,
+           round(sqrt(s.d2), {ndigits}) AS centroid_dist,
+           round(s.ab / (sqrt(s.aa) * sqrt(s.bb)), {ndigits})
+             AS centroid_cos,
+           round(CAST(sna AS DOUBLE) / CAST(n_a AS DOUBLE), 4)
+             AS mean_norm_a,
+           round(CAST(snb AS DOUBLE) / CAST(n_b AS DOUBLE), 4)
+             AS mean_norm_b
+    FROM h, s
+    """

@@ -9601,6 +9601,25 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_drift_oracle() -> str:
+    from pydala2_spark.operators.similarity import embedding_drift_oracle_sql
+
+    return embedding_drift_oracle_sql()
+
+
+@query("emb_centroid_drift", _emb_drift_oracle())
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between corpus halves (centroid
+    L2 + cosine, per-half mean norms) — the production monitor that
+    catches an encoder redeploy or normalization regression before
+    the ANN index degrades. Two map-side-combined corpus passes (dims
+    explode + scan-stage norms), one-row broadcasts after.
+    See operators/similarity.embedding_drift."""
+    from pydala2_spark.operators.similarity import embedding_drift
+
+    return embedding_drift(_t(spark, sf_dir, "embeddings"))
+
+
 def _hard_neg_oracle() -> str:
     from pydala2_spark.operators.similarity import hard_negatives_oracle_sql
 
@@ -10012,8 +10031,9 @@ _VERIFY_FIRST = [
     # agg_chi2_independence, ev_attribution, ev_rfm_scores,
     # ev_concurrency_peak, emb_silhouette, emb_hard_negatives,
     # emb_ann_recall, agg_anova_f, graph_modularity,
-    # doc_nb_classifier, dedup_minhash_eval, graph_assortativity
-    # (twenty-four in all) — then rotate the
+    # doc_nb_classifier, dedup_minhash_eval, graph_assortativity,
+    # graph_clustering_coeff, emb_centroid_drift (twenty-six in all)
+    # — then rotate the
     # REMAINDER of the r7-checked block — dq_fk_orphans, dq_benford,
     # er_part_linkage, ev_conversion_latency, ev_anomaly_days,
     # ev_rolling_quantiles, ev_value_histogram, scd2_event_history,

@@ -2494,3 +2494,36 @@ def test_minhash_planted_clone_detected(spark):
     # 28 shared 3-shingles of 29 original ones
     assert got[(1, 10000001)] == round(27 / 28, 4)
     assert all(2 not in k for k in got)
+
+
+def test_embedding_drift_planted_shift(spark):
+    """Drift monitor vs numpy: identical halves give dist 0 / cos 1;
+    a planted constant offset on the odd half shows up as exactly
+    that offset's norm in centroid_dist and in the mean norms."""
+    import numpy as np
+
+    from pydala2_spark.operators.similarity import embedding_drift
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(40, 8).astype(np.float32)
+    # identical halves: even id i and odd id i+1 share a vector
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    [r] = embedding_drift(df).collect()
+    assert (r["n_a"], r["n_b"]) == (40, 40)
+    assert r["centroid_dist"] == 0.0 and r["centroid_cos"] == 1.0
+    assert r["mean_norm_a"] == r["mean_norm_b"]
+    # plant a +2.0 shift on dimension 0 of the odd half
+    rows2 = []
+    for i, v in enumerate(base):
+        rows2.append((2 * i, [float(x) for x in v]))
+        w = v.copy(); w[0] += 2.0
+        rows2.append((2 * i + 1, [float(x) for x in w]))
+    [r2] = embedding_drift(
+        spark.createDataFrame(rows2, "vec_id long, embedding array<float>")
+    ).collect()
+    assert abs(r2["centroid_dist"] - 2.0) < 1e-6
+    assert r2["centroid_cos"] < 1.0

@@ -287,6 +287,8 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "dedup_minhash_eval",
         # one-row moment frame attached to the node count
         "graph_assortativity",
+        # one-row dims-moment frame attached to the norm summary
+        "emb_centroid_drift",
     }
     offenders = []
     for name, fn in queries().items():
