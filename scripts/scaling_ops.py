@@ -1009,6 +1009,17 @@ def main():
 
         out.setdefault("assortativity", {})[label] = timed(run_assort, reps=2)
 
+    # r10 eighth batch: embedding drift (two map-side corpus passes)
+    from pydala2_spark.operators.similarity import embedding_drift
+
+    for label in (("1x", "big") if want("r10i") else ()):
+        mm = spark.read.parquet(
+            {"1x": f"{ROOT}/emb_1x", "big": f"{ROOT}/emb_big"}[label]
+        )
+        out.setdefault("emb_drift", {})[label] = timed(
+            lambda mm=mm: embedding_drift(mm).collect(), reps=2
+        )
+
     print(f"{'op':24s} {'1x':>7s} {'x' + str(FACTOR):>7s} {'ratio':>7s}")
     for op, t in out.items():
         ratio = t["big"] / t["1x"]
