@@ -289,6 +289,13 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "graph_assortativity",
         # one-row dims-moment frame attached to the norm summary
         "emb_centroid_drift",
+        # composes the allowlisted broadcast-probe ANN paths (exact +
+        # IVF) — the probe frame is the same tiny broadcast side
+        "emb_ann_recall",
+        # the |classes|-row prior frame broadcast onto the test-doc
+        # frame IS the dense (doc, class) score grid — intentional,
+        # bounded by class cardinality
+        "doc_nb_classifier",
     }
     offenders = []
     for name, fn in queries().items():
