@@ -2185,3 +2185,59 @@ def nb_classifier_oracle_sql(
            CAST(count(*) AS BIGINT) AS n_docs
     FROM pred GROUP BY 1, 2
     """
+
+
+def token_cooccurrence_edges(
+    df: DataFrame, text: str = "text", min_count: int = 3
+) -> DataFrame:
+    """Adjacent-token co-occurrence graph over the corpus — the
+    substrate for TextRank keyword extraction (Mihalcea & Tarau
+    2004): one undirected edge (least, greatest) per adjacent pair of
+    lowercase alphabetic tokens (>= 3 chars), weighted by corpus-wide
+    adjacency count and pruned below ``min_count``. Scan-stage
+    zip_with pairing (no window), one map-side-combined count agg;
+    the result is Zipf-small regardless of corpus size."""
+    tk = F.split(F.lower(F.col(text)), " ")
+    pairs = F.expr(
+        "filter(zip_with(slice(__tk, 1, size(__tk) - 1), "
+        "slice(__tk, 2, size(__tk) - 1), (a, b) -> struct(a, b)), "
+        "p -> p.a rlike '^[a-z]{3,}$' AND p.b rlike '^[a-z]{3,}$' "
+        "AND p.a <> p.b)"
+    )
+    return (
+        df.select(tk.alias("__tk"))
+        .select(F.explode(pairs).alias("p"))
+        .select(
+            F.least("p.a", "p.b").alias("src"),
+            F.greatest("p.a", "p.b").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= min_count)
+    )
+
+
+def textrank_edges_oracle_sql(
+    table_sql: str = "documents", text: str = "text", min_count: int = 3
+) -> str:
+    """DuckDB edge CTE matching :func:`token_cooccurrence_edges`,
+    symmetrized for the directed pagerank oracle (TextRank runs on
+    the undirected graph = both directions of every edge)."""
+    return f"""SELECT src, dst, w FROM (
+      WITH u AS (
+        SELECT least(a, b) AS s, greatest(a, b) AS d, count(*) AS w
+        FROM (
+          SELECT tk[g.i] AS a, tk[g.i + 1] AS b
+          FROM (SELECT string_split(lower({text}), ' ') AS tk
+                FROM {table_sql}) t,
+               unnest(generate_series(1, len(tk) - 1)) AS g(i)
+        )
+        WHERE regexp_matches(a, '^[a-z]{{3,}}$')
+          AND regexp_matches(b, '^[a-z]{{3,}}$')
+          AND a <> b
+        GROUP BY 1, 2 HAVING count(*) >= {min_count}
+      )
+      SELECT s AS src, d AS dst, w FROM u
+      UNION ALL
+      SELECT d AS src, s AS dst, w FROM u
+    )"""

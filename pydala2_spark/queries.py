@@ -9933,6 +9933,44 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(edges)
 
 
+def _textrank_oracle() -> str:
+    from pydala2_spark.operators.curate import textrank_edges_oracle_sql
+    from pydala2_spark.operators.graph import pagerank_oracle_sql
+
+    inner = pagerank_oracle_sql(textrank_edges_oracle_sql(), iterations=3)
+    return f"""
+    SELECT node AS token, pr FROM ({inner})
+    ORDER BY pr DESC, node ASC LIMIT 25
+    """
+
+
+@query("doc_textrank_keywords", _textrank_oracle())
+def doc_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): pagerank
+    over the adjacent-token co-occurrence graph, top 25 tokens — the
+    graph-centrality keyword miner beside doc_rake_keyphrases'
+    degree-based one, REUSING the verified weighted-pagerank core
+    (same round-12/decimal iteration contract, oracle unrolled on the
+    token graph). The graph is Zipf-small, so the whole loop is
+    broadcast-sized at any corpus scale.
+    See operators/curate.token_cooccurrence_edges, graph.pagerank."""
+    from pydala2_spark.operators.curate import token_cooccurrence_edges
+    from pydala2_spark.operators.graph import pagerank
+
+    edges = token_cooccurrence_edges(_t(spark, sf_dir, "documents"))
+    sym = edges.unionAll(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    pr = pagerank(sym, iterations=3)
+    return (
+        pr.orderBy(F.col("pr").desc(), F.col("node").asc())
+        .limit(25)
+        .select(F.col("node").alias("token"), "pr")
+    )
+
+
 def _nb_oracle() -> str:
     from pydala2_spark.operators.curate import nb_classifier_oracle_sql
 

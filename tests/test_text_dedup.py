@@ -2527,3 +2527,32 @@ def test_embedding_drift_planted_shift(spark):
     ).collect()
     assert abs(r2["centroid_dist"] - 2.0) < 1e-6
     assert r2["centroid_cos"] < 1.0
+
+
+def test_token_cooccurrence_edges_and_textrank_order(spark):
+    """Edge builder: lowercased, >= 3 chars alphabetic only, least/
+    greatest normalized, min_count pruning; TextRank on a planted hub
+    graph must rank the hub first."""
+    from pyspark.sql import functions as F
+
+    from pydala2_spark.operators.curate import token_cooccurrence_edges
+    from pydala2_spark.operators.graph import pagerank
+
+    docs = spark.createDataFrame(
+        [("HUB alpha hub beta hub gamma x9 hub alpha",),
+         ("alpha hub beta hub gamma hub",),
+         ("alpha hub",)],
+        "text string",
+    )
+    edges = token_cooccurrence_edges(docs, min_count=2)
+    got = {(r["src"], r["dst"]): r["w"] for r in edges.collect()}
+    # 'x9' fails the alphabetic filter -> gamma-x9 / x9-hub never form;
+    # pairs seen >= 2 times survive
+    assert ("alpha", "hub") in got and ("beta", "hub") in got
+    assert all("x9" not in k for k in got)
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    pr = pagerank(sym, iterations=3).collect()
+    top = max(pr, key=lambda r: (r["pr"], r["node"]))
+    assert top["node"] == "hub"
