@@ -1666,3 +1666,89 @@ def anova_oracle_sql(
            round(b.ssb / (b.ssb + b.ssw), 6) AS eta_sq
     FROM t, b
     """
+
+
+def cohort_ltv(events: DataFrame, purchase_type: str = "purchase") -> DataFrame:
+    """Cohort lifetime-value triangle: users cohort by their FIRST
+    purchase day; each (cohort, age) cell reports that day's revenue,
+    the running cumulative, and cumulative LTV per cohort user — the
+    payback-curve view that cohort_retention (activity) deliberately
+    does not price.
+
+    Revenue accumulates as DECIMAL(38,6) end to end (the cumulative
+    window sums decimals, so partition boundaries cannot move a bit);
+    day arithmetic is integer datediff on DATE grain.
+
+    100 TB shape: the purchase log reduces to the |users| first-day
+    frame (map-side min) and the |cohorts|x|ages| calendar-bounded
+    cell frame; the cumulative window runs on THAT tiny frame,
+    partitioned by cohort — no corpus-sized window anywhere."""
+    from pyspark.sql import Window as W
+
+    p = events.filter(F.col("event_type") == purchase_type).select(
+        "user_id", F.to_date("ts").alias("__d"), "value"
+    )
+    first = p.groupBy("user_id").agg(F.min("__d").alias("cohort"))
+    sz = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    g = (
+        p.join(first, "user_id")
+        .select(
+            "cohort",
+            F.datediff(F.col("__d"), F.col("cohort")).cast("long").alias(
+                "age_days"
+            ),
+            F.col("value").cast("decimal(38,6)").alias("__v"),
+        )
+        .groupBy("cohort", "age_days")
+        .agg(F.sum("__v").alias("__rev"))
+    )
+    w = (
+        W.partitionBy("cohort")
+        .orderBy("age_days")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = g.withColumn("__cum", F.sum("__rev").over(w))
+    return c.join(sz, "cohort").select(
+        "cohort",
+        "age_days",
+        "n_users",
+        F.round(F.col("__rev").cast("double"), 2).alias("revenue"),
+        F.round(F.col("__cum").cast("double"), 2).alias("cum_revenue"),
+        F.round(
+            F.col("__cum").cast("double") / F.col("n_users").cast("double"), 4
+        ).alias("ltv_per_user"),
+    )
+
+
+def cohort_ltv_oracle_sql(purchase_type: str = "purchase") -> str:
+    """DuckDB oracle for :func:`cohort_ltv` — identical decimal
+    accumulation and date arithmetic."""
+    return f"""
+    WITH p AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, value FROM events
+      WHERE event_type = '{purchase_type}'
+    ), f AS (
+      SELECT user_id, min(d) AS cohort FROM p GROUP BY 1
+    ), sz AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS n_users FROM f GROUP BY 1
+    ), g AS (
+      SELECT f.cohort,
+             CAST(date_diff('day', f.cohort, p.d) AS BIGINT) AS age_days,
+             sum(CAST(p.value AS DECIMAL(38,6))) AS rev
+      FROM p JOIN f USING (user_id) GROUP BY 1, 2
+    ), c AS (
+      SELECT cohort, age_days, rev,
+             sum(rev) OVER (PARTITION BY cohort ORDER BY age_days
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+      FROM g
+    )
+    SELECT c.cohort, c.age_days, sz.n_users,
+           round(CAST(c.rev AS DOUBLE), 2) AS revenue,
+           round(CAST(c.cum AS DOUBLE), 2) AS cum_revenue,
+           round(CAST(c.cum AS DOUBLE) / CAST(sz.n_users AS DOUBLE), 4)
+             AS ltv_per_user
+    FROM c JOIN sz USING (cohort)
+    """

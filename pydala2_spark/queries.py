@@ -9701,6 +9701,24 @@ def ev_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concurrency_sweep(_t(spark, sf_dir, "events"))
 
 
+def _cohort_ltv_oracle() -> str:
+    from pydala2_spark.operators.events import cohort_ltv_oracle_sql
+
+    return cohort_ltv_oracle_sql()
+
+
+@query("ev_cohort_ltv", _cohort_ltv_oracle())
+def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle (per first-purchase-day cohort: daily
+    revenue, running cumulative, LTV per user) — the payback curve
+    beside ev_cohort_retention's activity counts. Decimal revenue end
+    to end; the cumulative window runs on the calendar-bounded cell
+    frame only. See operators/events.cohort_ltv."""
+    from pydala2_spark.operators.events import cohort_ltv
+
+    return cohort_ltv(_t(spark, sf_dir, "events"))
+
+
 def _rfm_oracle() -> str:
     from pydala2_spark.operators.events import rfm_oracle_sql
 

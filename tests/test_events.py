@@ -863,3 +863,36 @@ def test_anova_oneway_numpy_reference(spark):
     )
     [r2] = anova_oneway(same, "g", "v").collect()
     assert r2["f_stat"] == 0.0 and r2["eta_sq"] == 0.0
+
+
+def test_cohort_ltv_hand_triangle(spark):
+    """LTV triangle vs hand math: two users cohorted on day 1 with
+    purchases across three days, one user cohorted day 2; cumulative
+    and per-user values must track exactly."""
+    from datetime import datetime
+
+    from pydala2_spark.operators.events import cohort_ltv
+
+    d = lambda day, h=0: datetime(2024, 6, day, h)
+    rows = [
+        (1, 1, d(1), "purchase", 10.0),
+        (2, 2, d(1, 5), "purchase", 20.0),   # same cohort day
+        (3, 1, d(2), "purchase", 5.0),
+        (4, 2, d(3), "purchase", 15.0),
+        (5, 3, d(2), "purchase", 100.0),
+        (6, 3, d(2, 9), "view", 999.0),      # non-purchase ignored
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    got = {
+        (str(r["cohort"]), r["age_days"]): (
+            r["n_users"], r["revenue"], r["cum_revenue"], r["ltv_per_user"]
+        )
+        for r in cohort_ltv(df).collect()
+    }
+    assert got[("2024-06-01", 0)] == (2, 30.0, 30.0, 15.0)
+    assert got[("2024-06-01", 1)] == (2, 5.0, 35.0, 17.5)
+    assert got[("2024-06-01", 2)] == (2, 15.0, 50.0, 25.0)
+    assert got[("2024-06-02", 0)] == (1, 100.0, 100.0, 100.0)
+    assert len(got) == 4
