@@ -1752,3 +1752,155 @@ def cohort_ltv_oracle_sql(purchase_type: str = "purchase") -> str:
              AS ltv_per_user
     FROM c JOIN sz USING (cohort)
     """
+
+
+HW_SCHEMA = (
+    "g string, n_points bigint, level double, trend double, "
+    "season_next double, f1 double, f7 double"
+)
+
+
+def holt_winters_additive(
+    series: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    period: int = 7,
+) -> DataFrame:
+    """Additive Holt-Winters (triple exponential) smoothing per group
+    — :func:`holt_linear_smooth` plus a length-``period`` seasonal
+    state, the standard weekly-seasonality forecaster. Seeds: level =
+    mean of the first period (explicit left-associated sum), trend =
+    (mean of the second period - level) / period, seasonal_i =
+    x_i - level; groups shorter than 2*period are dropped (no honest
+    seed exists). The recursion from t = period+1:
+    ``s' = a*(x - c_used) + (1-a)*(s + b)``,
+    ``b' = B*(s' - s) + (1-B)*b``,
+    ``c' = g*(x - s') + (1-g)*c_used``, with the seasonal vector
+    rotating as a queue. Output adds the next day's seasonal factor
+    and seasonal forecasts f1 = s+b+c_next, f7 = s+7b+c_{+7}.
+
+    Engine portability is the holt contract: the loop is plain IEEE
+    arithmetic in the exact association a recursive SQL CTE uses
+    (s' appears textually inside b' and c' on both sides), no
+    intermediate rounding, smoothing constants shared via repr —
+    see holt_winters_oracle_sql.
+
+    100 TB shape: identical to holt — aggregate to the
+    calendar-bounded series first, one Arrow pass, groups scale out."""
+    if not 0.0 < alpha <= 1.0 or not 0.0 < beta <= 1.0 or not 0.0 < gamma <= 1.0:
+        raise ValueError(
+            f"alpha/beta/gamma must be in (0, 1], got {alpha}, {beta}, {gamma}"
+        )
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    import pandas as pd
+
+    om_a, om_b, om_g = 1.0 - alpha, 1.0 - beta, 1.0 - gamma
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col)
+        xs = [float(v) for v in pdf[value_col]]
+        g = pdf[group_col].iloc[0]
+        n = len(xs)
+        if n < 2 * period:
+            return pd.DataFrame(
+                columns=["g", "n_points", "level", "trend",
+                         "season_next", "f1", "f7"]
+            )
+        acc = xs[0]
+        for x in xs[1:period]:
+            acc = acc + x
+        s = acc / float(period)
+        acc2 = xs[period]
+        for x in xs[period + 1 : 2 * period]:
+            acc2 = acc2 + x
+        b = (acc2 / float(period) - s) / float(period)
+        sc = [x - s for x in xs[:period]]
+        for x in xs[period:]:
+            c_used = sc[0]
+            s_new = alpha * (x - c_used) + om_a * (s + b)
+            b = beta * (s_new - s) + om_b * b
+            c_new = gamma * (x - s_new) + om_g * c_used
+            s = s_new
+            sc = sc[1:] + [c_new]
+        return pd.DataFrame(
+            {
+                "g": [g],
+                "n_points": [n],
+                "level": [s],
+                "trend": [b],
+                "season_next": [sc[0]],
+                "f1": [s + b + sc[0]],
+                "f7": [s + 7.0 * b + sc[period - 1]],
+            }
+        )
+
+    out = series.groupBy(group_col).applyInPandas(fn, schema=HW_SCHEMA)
+    return out.withColumnRenamed("g", group_col)
+
+
+def holt_winters_oracle_sql(
+    daily_sql: str,
+    group_col: str = "event_type",
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    period: int = 7,
+    ndigits: int = 4,
+) -> str:
+    """DuckDB oracle for :func:`holt_winters_additive` — the seasonal
+    recursion as a recursive CTE carrying the rotating seasonal LIST;
+    ``daily_sql`` must yield (grp, day, x). Smoothing constants are
+    injected via repr so both engines multiply by the identical
+    doubles."""
+    a, oa = repr(alpha), repr(1.0 - alpha)
+    bb, ob = repr(beta), repr(1.0 - beta)
+    gg, og = repr(gamma), repr(1.0 - gamma)
+    m = period
+    xcols = ", ".join(
+        f"max(CASE WHEN t = {i} THEN x END) AS x{i}" for i in range(1, 2 * m + 1)
+    )
+    s0 = "(" * (m - 1) + "x1" + "".join(f" + x{i})" for i in range(2, m + 1))
+    s0 = f"({s0} / {float(m)!r})"
+    m2 = "(" * (m - 1) + f"x{m + 1}" + "".join(
+        f" + x{i})" for i in range(m + 2, 2 * m + 1)
+    )
+    m2 = f"({m2} / {float(m)!r})"
+    sc0 = "[" + ", ".join(f"x{i} - {s0}" for i in range(1, m + 1)) + "]"
+    s_new = f"{a} * (d.x - hw.sc[1]) + {oa} * (hw.s + hw.b)"
+    return f"""
+    WITH RECURSIVE d0 AS ({daily_sql}),
+    d AS (
+      SELECT grp, x,
+             row_number() OVER (PARTITION BY grp ORDER BY day) AS t,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM d0
+    ), piv AS (
+      SELECT grp, max(n) AS n, {xcols}
+      FROM d GROUP BY grp HAVING max(n) >= {2 * m}
+    ), seed AS (
+      SELECT grp, n, {s0} AS s,
+             ({m2} - {s0}) / {float(m)!r} AS b,
+             {sc0} AS sc
+      FROM piv
+    ), hw(grp, n, t, s, b, sc) AS (
+      SELECT grp, n, {m}, s, b, sc FROM seed
+      UNION ALL
+      SELECT hw.grp, hw.n, hw.t + 1,
+             {s_new},
+             {bb} * (({s_new}) - hw.s) + {ob} * hw.b,
+             list_append(hw.sc[2:{m}],
+               {gg} * (d.x - ({s_new})) + {og} * hw.sc[1])
+      FROM hw JOIN d ON d.grp = hw.grp AND d.t = hw.t + 1
+    )
+    SELECT grp AS {group_col}, CAST(n AS BIGINT) AS n_points,
+           round(s, {ndigits}) AS level, round(b, {ndigits}) AS trend,
+           round(sc[1], {ndigits}) AS season_next,
+           round(s + b + sc[1], {ndigits}) AS f1,
+           round(s + 7.0 * b + sc[{m}], {ndigits}) AS f7
+    FROM hw WHERE t = n
+    """

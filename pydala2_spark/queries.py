@@ -9701,6 +9701,43 @@ def ev_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concurrency_sweep(_t(spark, sf_dir, "events"))
 
 
+def _hw_oracle() -> str:
+    from pydala2_spark.operators.events import holt_winters_oracle_sql
+
+    daily = (
+        "SELECT event_type AS grp, CAST(ts AS DATE) AS day, "
+        f"{_osum('value', 4)} AS x FROM events GROUP BY 1, 2"
+    )
+    return holt_winters_oracle_sql(daily)
+
+
+@query("ev_holt_winters", _hw_oracle())
+def ev_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (triple exponential) smoothing per event
+    type with weekly seasonality — ev_holt_forecast plus the rotating
+    seasonal state, so f1/f7 carry the day-of-week effect the linear
+    model flattens. Same contract: one applyInPandas pass over the
+    calendar-bounded daily series, the oracle replays the identical
+    IEEE sequence as a recursive CTE carrying the seasonal LIST.
+    See operators/events.holt_winters_additive."""
+    from pydala2_spark.operators.events import holt_winters_additive
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        _dsum("value", 4).alias("x")
+    )
+    hw = holt_winters_additive(daily, "event_type", "day", "x")
+    return hw.select(
+        "event_type",
+        "n_points",
+        F.round("level", 4).alias("level"),
+        F.round("trend", 4).alias("trend"),
+        F.round("season_next", 4).alias("season_next"),
+        F.round("f1", 4).alias("f1"),
+        F.round("f7", 4).alias("f7"),
+    )
+
+
 def _cohort_ltv_oracle() -> str:
     from pydala2_spark.operators.events import cohort_ltv_oracle_sql
 
