@@ -10125,8 +10125,9 @@ _VERIFY_FIRST = [
     # ev_concurrency_peak, emb_silhouette, emb_hard_negatives,
     # emb_ann_recall, agg_anova_f, graph_modularity,
     # doc_nb_classifier, dedup_minhash_eval, graph_assortativity,
-    # graph_clustering_coeff, emb_centroid_drift (twenty-six in all)
-    # — then rotate the
+    # graph_clustering_coeff, emb_centroid_drift,
+    # doc_textrank_keywords, ev_cohort_ltv, ev_holt_winters
+    # (twenty-nine in all) — then rotate the
     # REMAINDER of the r7-checked block — dq_fk_orphans, dq_benford,
     # er_part_linkage, ev_conversion_latency, ev_anomaly_days,
     # ev_rolling_quantiles, ev_value_histogram, scd2_event_history,

@@ -1020,6 +1020,55 @@ def main():
             lambda mm=mm: embedding_drift(mm).collect(), reps=2
         )
 
+    # r10 ninth batch: TextRank (Zipf-small token graph), cohort LTV
+    # (linear reduce + calendar-bounded triangle), Holt-Winters
+    # (calendar-bounded series, one Arrow pass)
+    from pydala2_spark.operators.curate import token_cooccurrence_edges
+    from pydala2_spark.operators.events import (
+        cohort_ltv,
+        holt_winters_additive,
+    )
+    from pydala2_spark.operators.graph import pagerank
+
+    for label in (("1x", "big") if want("r10j") else ()):
+        dd = spark.read.parquet(
+            {"1x": f"{ROOT}/docs_1x", "big": f"{ROOT}/docs_big"}[label]
+        )
+        ee = spark.read.parquet(
+            {"1x": f"{ROOT}/ev_1x", "big": f"{ROOT}/ev_big"}[label]
+        )
+        if dict(ee.dtypes).get("ts") == "timestamp_ntz":
+            ee = ee.withColumn("ts", F.col("ts").cast("timestamp"))
+
+        def run_textrank(dd=dd):
+            edges = token_cooccurrence_edges(dd)
+            sym = edges.unionAll(
+                edges.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+                )
+            )
+            pr = pagerank(sym, iterations=3)
+            pr.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(
+                25
+            ).collect()
+
+        out.setdefault("textrank", {})[label] = timed(run_textrank, reps=2)
+        out.setdefault("cohort_ltv", {})[label] = timed(
+            lambda ee=ee: cohort_ltv(ee).collect(), reps=2
+        )
+
+        def run_hw(ee=ee):
+            daily = ee.groupBy(
+                "event_type", F.to_date("ts").alias("day")
+            ).agg(
+                F.round(F.sum(F.col("value").cast("decimal(38,6)")), 4)
+                .cast("double")
+                .alias("x")
+            )
+            holt_winters_additive(daily, "event_type", "day", "x").collect()
+
+        out.setdefault("holt_winters", {})[label] = timed(run_hw, reps=2)
+
     print(f"{'op':24s} {'1x':>7s} {'x' + str(FACTOR):>7s} {'ratio':>7s}")
     for op, t in out.items():
         ratio = t["big"] / t["1x"]

@@ -296,6 +296,9 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         # frame IS the dense (doc, class) score grid — intentional,
         # bounded by class cardinality
         "doc_nb_classifier",
+        # pagerank's one-row node-count broadcast, riding on the
+        # Zipf-small token graph
+        "doc_textrank_keywords",
     }
     offenders = []
     for name, fn in queries().items():
