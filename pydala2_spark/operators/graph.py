@@ -877,3 +877,173 @@ def assortativity_oracle_sql(edge_cte: str, ndigits: int = 6) -> str:
            END AS assortativity
     FROM a
     """
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 3,
+) -> DataFrame:
+    """Personalized PageRank: :func:`pagerank` with the teleport (and
+    dangling-mass redistribution) concentrated on a seed set instead
+    of uniform — the graph-retrieval primitive (seed = a query's
+    entities / a user's items; scores = the neighborhood that matters
+    TO THOSE SEEDS, not globally). ``seeds`` must be a (node) frame;
+    seeds outside the graph still receive teleport mass (standard
+    definition). Per iteration:
+    seed:     pr' = (1-d)/|S| + d*(inc + D/|S|)
+    non-seed: pr' = d*inc
+    with pr rounded to 12 per iteration (the pagerank oracle
+    contract). Output: ``(node, pr)``.
+
+    100 TB shape: identical to pagerank — node-keyed joins, map-side
+    decimal contribution sums, one-row broadcasts for |S| and the
+    dangling mass; reused frames materialize once."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    from pydala2_spark.operators.dedup import _materialize_once
+
+    edges = _materialize_once(edges)
+    seeds = _materialize_once(seeds.select("node").distinct())
+    nodes = _materialize_once(
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .union(seeds.select("node"))
+        .distinct()
+    )
+    scnt = seeds.agg(F.count(F.lit(1)).alias("__s"))
+    outw = _materialize_once(edges.groupBy("src").agg(F.sum("w").alias("ow")))
+    flagged = _materialize_once(
+        nodes.join(seeds.withColumn("__is_seed", F.lit(1)), "node", "left")
+    )
+    pr = flagged.crossJoin(F.broadcast(scnt)).select(
+        "node",
+        F.when(
+            F.col("__is_seed") == 1,
+            F.round(F.lit(1.0) / F.col("__s"), 12),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pr"),
+    )
+    base = 1.0 - damping
+    for _ in range(iterations):
+        pr = _materialize_once(pr)
+        contrib = (
+            edges.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(outw, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("pr") * F.col("w") / F.col("ow"), 15)
+                .cast("decimal(38,15)")
+                .alias("__c"),
+            )
+        )
+        incoming = contrib.groupBy("node").agg(
+            F.sum("__c").cast("double").alias("__i")
+        )
+        dangling = pr.join(
+            outw, pr["node"] == outw["src"], "left_anti"
+        ).agg(
+            F.sum(F.col("pr").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("__d")
+        )
+        pr = (
+            flagged.join(incoming, "node", "left")
+            .crossJoin(F.broadcast(scnt))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.when(
+                    F.col("__is_seed") == 1,
+                    F.round(
+                        F.lit(base) / F.col("__s")
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("__i"), F.lit(0.0))
+                            + F.coalesce(F.col("__d"), F.lit(0.0))
+                            / F.col("__s")
+                        ),
+                        12,
+                    ),
+                )
+                .otherwise(
+                    F.round(
+                        F.lit(damping)
+                        * F.coalesce(F.col("__i"), F.lit(0.0)),
+                        12,
+                    )
+                )
+                .alias("pr"),
+            )
+        )
+    return pr
+
+
+def ppr_oracle_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    damping: float = 0.85,
+    iterations: int = 3,
+) -> str:
+    """DuckDB oracle for :func:`personalized_pagerank` — pagerank's
+    unrolled CTEs with the seed-conditional base term. ``seeds_sql``
+    must yield a (node) column."""
+    base = 1.0 - damping
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        f"seeds AS (SELECT DISTINCT node FROM ({seeds_sql}))",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges UNION SELECT node FROM seeds)",
+        "sc AS (SELECT count(*) AS s FROM seeds)",
+        "outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src)",
+        """it0 AS (
+      SELECT n.node,
+             CASE WHEN sd.node IS NOT NULL
+                  THEN round(CAST(1.0 AS DOUBLE) / sc.s, 12)
+                  ELSE 0.0 END AS pr
+      FROM nodes n LEFT JOIN seeds sd ON sd.node = n.node CROSS JOIN sc
+    )""",
+    ]
+    for i in range(iterations):
+        prev, cur = f"it{i}", f"it{i + 1}"
+        parts.append(
+            f"""inc{i} AS (
+      SELECT e.dst AS node,
+             CAST(sum(CAST(round(p.pr * e.w / o.ow, 15) AS DECIMAL(38,15)))
+                  AS DOUBLE) AS s
+      FROM edges e
+      JOIN {prev} p ON p.node = e.src
+      JOIN outw o ON o.src = e.src
+      GROUP BY e.dst
+    )"""
+        )
+        parts.append(
+            f"""dang{i} AS (
+      SELECT coalesce(CAST(sum(CAST(p.pr AS DECIMAL(38,12))) AS DOUBLE), 0.0)
+               AS d
+      FROM {prev} p LEFT JOIN outw o ON o.src = p.node
+      WHERE o.src IS NULL
+    )"""
+        )
+        parts.append(
+            f"""{cur} AS (
+      SELECT n.node,
+             CASE WHEN sd.node IS NOT NULL
+                  THEN round(CAST({base!r} AS DOUBLE) / sc.s
+                             + CAST({damping!r} AS DOUBLE)
+                               * (coalesce(i.s, 0.0) + g.d / sc.s), 12)
+                  ELSE round(CAST({damping!r} AS DOUBLE)
+                             * coalesce(i.s, 0.0), 12)
+             END AS pr
+      FROM nodes n
+      LEFT JOIN seeds sd ON sd.node = n.node
+      LEFT JOIN inc{i} i ON i.node = n.node
+      CROSS JOIN sc CROSS JOIN dang{i} g
+    )"""
+        )
+    body = ",\n    ".join(parts[1:])
+    return f"{parts[0]},\n    {body}\n    SELECT node, pr FROM it{iterations}"
