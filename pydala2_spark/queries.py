@@ -9951,6 +9951,65 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppr_oracle() -> str:
+    from pydala2_spark.operators.graph import ppr_oracle_sql
+
+    edge_cte = """
+      SELECT src, dst, w FROM (
+        WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                    FROM lineitem WHERE l_quantity >= 45),
+        u AS (SELECT x.p AS s, y.p AS d, count(*) AS w
+              FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+              GROUP BY 1, 2)
+        SELECT s AS src, d AS dst, w FROM u
+        UNION ALL SELECT d AS src, s AS dst, w FROM u
+      )
+    """
+    seeds = """
+      SELECT DISTINCT l_partkey AS node FROM lineitem
+      WHERE l_quantity >= 45 AND l_partkey % 97 = 0
+    """
+    return ppr_oracle_sql(edge_cte, seeds, iterations=3)
+
+
+@query("graph_ppr", _ppr_oracle())
+def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a seed part-list over the weighted
+    co-purchase graph — the graph-retrieval primitive (scores = the
+    neighborhood that matters TO THE SEEDS) beside the global
+    centrality of graph_pagerank. Teleport and dangling mass both
+    concentrate on seeds; same round-12/decimal iteration contract,
+    oracle unrolled with the seed-conditional base term.
+    See operators/graph.personalized_pagerank."""
+    from pydala2_spark.operators.graph import personalized_pagerank
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    u = (
+        li.alias("x")
+        .join(li.alias("y"), "o")
+        .filter(F.col("x.p") < F.col("y.p"))
+        .groupBy(F.col("x.p").alias("s"), F.col("y.p").alias("d"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = u.select(
+        F.col("s").alias("src"), F.col("d").alias("dst"), "w"
+    ).unionAll(
+        u.select(F.col("d").alias("src"), F.col("s").alias("dst"), "w")
+    )
+    seeds = (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") >= 45) & (F.col("l_partkey") % 97 == 0))
+        .select(F.col("l_partkey").alias("node"))
+        .distinct()
+    )
+    return personalized_pagerank(edges, seeds, iterations=3)
+
+
 def _assort_oracle() -> str:
     from pydala2_spark.operators.graph import assortativity_oracle_sql
 
@@ -10126,8 +10185,8 @@ _VERIFY_FIRST = [
     # emb_ann_recall, agg_anova_f, graph_modularity,
     # doc_nb_classifier, dedup_minhash_eval, graph_assortativity,
     # graph_clustering_coeff, emb_centroid_drift,
-    # doc_textrank_keywords, ev_cohort_ltv, ev_holt_winters
-    # (twenty-nine in all) — then rotate the
+    # doc_textrank_keywords, ev_cohort_ltv, ev_holt_winters,
+    # graph_ppr (thirty in all) — then rotate the
     # REMAINDER of the r7-checked block — dq_fk_orphans, dq_benford,
     # er_part_linkage, ev_conversion_latency, ev_anomaly_days,
     # ev_rolling_quantiles, ev_value_histogram, scd2_event_history,

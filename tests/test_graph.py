@@ -447,3 +447,31 @@ def test_clustering_coeff_hand_graphs(spark):
     assert abs(sum_t / wedges - 0.6) < 1e-12
     avg_local = (1 / 3 + 1.0 + 1.0) / 3
     assert abs(avg_local - 7 / 9) < 1e-12
+
+
+def test_personalized_pagerank_locality_and_mass(spark):
+    """PPR on a barbell: teleporting to one end concentrates mass
+    there; total mass stays ~1; a disconnected seedless component
+    gets (almost) nothing; guards raise."""
+    import pytest
+
+    from pydala2_spark.operators.graph import personalized_pagerank
+
+    # two triangles {1,2,3} and {4,5,6} joined by 3-4; island {7,8}
+    pairs = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4), (7, 8)]
+    edges = spark.createDataFrame(
+        [(a, b, 1) for a, b in pairs] + [(b, a, 1) for a, b in pairs],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    pr = {r["node"]: r["pr"] for r in
+          personalized_pagerank(edges, seeds, iterations=4).collect()}
+    total = sum(pr.values())
+    assert abs(total - 1.0) < 1e-9
+    # seed-side triangle holds most of the mass
+    assert pr[1] > pr[4] and pr[2] > pr[5]
+    assert sum(pr[n] for n in (1, 2, 3)) > 0.6
+    # the island never receives teleport or walk mass
+    assert pr[7] == 0.0 and pr[8] == 0.0
+    with pytest.raises(ValueError):
+        personalized_pagerank(edges, seeds, iterations=0)

@@ -299,6 +299,8 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         # pagerank's one-row node-count broadcast, riding on the
         # Zipf-small token graph
         "doc_textrank_keywords",
+        # PPR's one-row seed-count / dangling-mass broadcasts
+        "graph_ppr",
     }
     offenders = []
     for name, fn in queries().items():
