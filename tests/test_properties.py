@@ -874,3 +874,166 @@ def test_priority_sampling_heavy_certainty_and_exact_small(weights, k):
         assert max(w, tau) >= w
     if len(items) <= k:
         assert tau == 0.0 and sampled_ids == {i for i, _, _ in items}
+
+
+def test_attribution_credit_conservation(spark):
+    """Law: over any event log, each credit model distributes exactly
+    one unit per attributable conversion — so the channel sums total
+    the number of conversions whose 7-day window holds >= 1 touch
+    (up to the round-12 term / round-4 output grain)."""
+    import datetime as dt
+    import random
+
+    from pydala2_spark.operators.events import attribution_credit
+
+    rnd = random.Random(23)
+    types = ["view", "click", "signup", "purchase", "error"]
+    rows = []
+    eid = 0
+    for uid in range(30):
+        for _ in range(rnd.randint(0, 15)):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    uid,
+                    dt.datetime(2024, 1, 1)
+                    + dt.timedelta(minutes=rnd.randint(0, 20000)),
+                    rnd.choice(types),
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = attribution_credit(df).collect()
+    lin = sum(r["linear_credit"] for r in out)
+    pos = sum(r["position_credit"] for r in out)
+    # python replay: count conversions with >= 1 in-window touch
+    by_user = {}
+    for e, u, ts, et in rows:
+        by_user.setdefault(u, []).append((ts, et))
+    expected = 0
+    for evs in by_user.values():
+        for ts, et in evs:
+            if et != "purchase":
+                continue
+            lo = ts - dt.timedelta(days=7)
+            if any(
+                t2 < ts and t2 >= lo and e2 in ("view", "click", "signup")
+                for t2, e2 in evs
+            ):
+                expected += 1
+    assert abs(lin - expected) < 1e-3
+    assert abs(pos - expected) < 1e-3
+    # first/last counts each total exactly the attributable conversions
+    assert sum(r["n_first"] for r in out) == expected
+    assert sum(r["n_last"] for r in out) == expected
+
+
+def test_distributed_ntile_random_equivalence(spark):
+    """Law: distributed_ntile == native ntile for random sizes, ks and
+    duplicate-heavy value columns."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pydala2_spark.functions.skew import distributed_ntile
+
+    rnd = random.Random(5)
+    for trial in range(3):
+        n = rnd.randint(1, 200)
+        k = rnd.choice([2, 3, 5, 8, 50])
+        rows = [(rnd.randint(0, 9), i) for i in range(n)]  # heavy ties
+        df = spark.createDataFrame(rows, "v long, id long")
+        got = {
+            r["id"]: r["b"]
+            for r in distributed_ntile(
+                df, [F.asc("v"), F.asc("id")], k, out_col="b", n_partitions=7
+            ).collect()
+        }
+        want = {
+            r["id"]: r["b"]
+            for r in df.withColumn(
+                "b", F.ntile(k).over(Window.orderBy(F.asc("v"), F.asc("id")))
+            ).collect()
+        }
+        assert got == want, (trial, n, k)
+
+
+def test_modularity_invariants_random(spark):
+    """Laws for any partition of any graph: community node counts sum
+    to |nodes|, degree sums total 2m, internal edges never exceed m,
+    Q <= 1, and the all-singletons partition has zero internal edges."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pydala2_spark.operators.graph import modularity_report
+
+    rnd = random.Random(31)
+    pairs = set()
+    while len(pairs) < 40:
+        a, b = rnd.randint(0, 19), rnd.randint(0, 19)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    edges = spark.createDataFrame(sorted(pairs), "src long, dst long")
+    nodes = sorted({x for p in pairs for x in p})
+    comm = spark.createDataFrame(
+        [(n, rnd.randint(0, 3)) for n in nodes], "node long, community long"
+    )
+    rows = modularity_report(edges, comm).collect()
+    m = len(pairs)
+    assert sum(r["n_nodes"] for r in rows) == len(nodes)
+    assert sum(r["d_sum"] for r in rows) == 2 * m
+    assert sum(r["e_in"] for r in rows) <= m
+    q = sum(r["contrib"] for r in rows)
+    assert q <= 1.0 + 1e-9
+    singles = spark.createDataFrame(
+        [(n, n) for n in nodes], "node long, community long"
+    )
+    srows = modularity_report(edges, singles).collect()
+    assert all(r["e_in"] == 0 for r in srows)
+
+
+def test_ppr_mass_conservation_random(spark):
+    """Law: personalized PageRank conserves unit mass on ANY graph —
+    teleport plus dangling redistribution returns every escaped unit
+    of rank to the seeds, so per-iteration totals stay 1 up to the
+    round-12-per-node grain."""
+    import random
+
+    from pydala2_spark.operators.graph import personalized_pagerank
+
+    rnd = random.Random(41)
+    edges = []
+    for _ in range(60):
+        a, b = rnd.randint(0, 24), rnd.randint(0, 24)
+        if a != b:
+            edges.append((a, b, rnd.randint(1, 3)))
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    seeds = spark.createDataFrame(
+        [(n,) for n in {0, 5, 13}], "node long"
+    )
+    pr = personalized_pagerank(df, seeds, iterations=4).collect()
+    total = sum(r["pr"] for r in pr)
+    assert abs(total - 1.0) < 1e-8
+
+
+def test_nb_classifier_partition_law(spark):
+    """Law: the confusion matrix partitions the scored population —
+    cell counts total exactly the odd-id docs with >= 1 token."""
+    import random
+
+    from pydala2_spark.operators.curate import nb_domain_classifier
+
+    rnd = random.Random(53)
+    vocab = [f"w{i}" for i in range(20)]
+    rows = []
+    for i in range(80):
+        text = " ".join(rnd.choice(vocab) for _ in range(rnd.randint(0, 8)))
+        rows.append((i, rnd.choice(["a", "b", "c"]), text))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = nb_domain_classifier(df).collect()
+    expected = sum(1 for i, _, t in rows if i % 2 == 1 and t.strip() != "")
+    assert sum(r["n_docs"] for r in out) == expected
