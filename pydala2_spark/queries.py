@@ -9701,6 +9701,79 @@ def ev_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concurrency_sweep(_t(spark, sf_dir, "events"))
 
 
+@query(
+    "ev_interarrival_stats",
+    """
+    WITH g AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                 OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS gap
+      FROM events
+    ), f AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+    a AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_gaps,
+             sum(CAST(gap AS DECIMAL(38,0))) AS s,
+             sum(CAST(gap AS DECIMAL(38,0)) * CAST(gap AS DECIMAL(38,0)))
+               AS ss,
+             round(quantile_cont(gap, 0.5), 1) AS p50,
+             round(quantile_cont(gap, 0.9), 1) AS p90
+      FROM f GROUP BY event_type
+    )
+    SELECT event_type, n_gaps,
+           round(CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE), 2) AS mean_s,
+           round(sqrt((CAST(ss AS DOUBLE)
+                       - CAST(n_gaps AS DOUBLE)
+                         * (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                         * (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+                      / (CAST(n_gaps AS DOUBLE) - 1.0))
+                 / (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 4) AS cv,
+           p50, p90
+    FROM a
+    """,
+)
+def ev_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time statistics per event type (mean gap,
+    coefficient of variation, p50/p90) — the burstiness / Poisson-ness
+    diagnostic: cv ~ 1 is memoryless traffic, >> 1 is bursty,
+    << 1 is scheduled. Gaps are integer seconds, so the moment sums
+    are exact DECIMAL(38,0) and cv is a fixed IEEE expression; the
+    percentiles follow the ev_type_value_stats interpolation
+    contract. One (user, type) window shuffle + one map-side agg."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    sec = F.col("ts").cast("long")
+    g = ev.withColumn("gap", sec - F.lag(sec).over(w)).filter(
+        F.col("gap").isNotNull()
+    )
+    d = F.col("gap").cast("decimal(38,0)")
+    a = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum(d).alias("__s"),
+        F.sum(d * d).alias("__ss"),
+        F.round(F.percentile("gap", F.lit(0.5)), 1).alias("p50"),
+        F.round(F.percentile("gap", F.lit(0.9)), 1).alias("p90"),
+    )
+    n = F.col("n_gaps").cast("double")
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    mean = s / n
+    return a.select(
+        "event_type",
+        "n_gaps",
+        F.round(mean, 2).alias("mean_s"),
+        F.round(
+            F.sqrt((ss - n * mean * mean) / (n - F.lit(1.0))) / mean, 4
+        ).alias("cv"),
+        "p50",
+        "p90",
+    )
+
+
 def _hw_oracle() -> str:
     from pydala2_spark.operators.events import holt_winters_oracle_sql
 
@@ -10186,7 +10259,8 @@ _VERIFY_FIRST = [
     # doc_nb_classifier, dedup_minhash_eval, graph_assortativity,
     # graph_clustering_coeff, emb_centroid_drift,
     # doc_textrank_keywords, ev_cohort_ltv, ev_holt_winters,
-    # graph_ppr (thirty in all) — then rotate the
+    # graph_ppr, ev_interarrival_stats (thirty-one in all) — then
+    # rotate the
     # REMAINDER of the r7-checked block — dq_fk_orphans, dq_benford,
     # er_part_linkage, ev_conversion_latency, ev_anomaly_days,
     # ev_rolling_quantiles, ev_value_histogram, scd2_event_history,

@@ -945,3 +945,55 @@ def test_holt_winters_replay_and_seasonality(spark):
     # allow that bias band; day 34 lands on index 6 -> +20ish
     assert abs(r["season_next"] - 0.0) < 5.0
     assert r["f7"] - (r["level"] + 7 * r["trend"]) > 10.0
+
+
+def test_interarrival_stats_hand_case(spark):
+    """Gap stats vs hand math: a perfectly periodic user (cv = 0) and
+    a bursty one; cross-user gaps must never form."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    t0 = datetime(2024, 8, 1)
+    rows = []
+    eid = 0
+    for k in range(5):  # user 1: every 60 s
+        eid += 1
+        rows.append((eid, 1, t0 + timedelta(seconds=60 * k), "click", 0.0))
+    for s in (0, 1, 2, 1000):  # user 2: bursty
+        eid += 1
+        rows.append((eid, 2, t0 + timedelta(seconds=s), "click", 0.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("long")
+    gaps = sorted(
+        r["g"]
+        for r in df.withColumn("g", sec - F.lag(sec).over(w))
+        .filter(F.col("g").isNotNull())
+        .collect()
+    )
+    # 4 gaps of 60 (user 1) + [1, 1, 998] (user 2); 7 total — the
+    # cross-user boundary (user2 start vs user1 end) contributes none
+    assert gaps == [1, 1, 60, 60, 60, 60, 998]
+    import statistics
+
+    d = F.col("g").cast("decimal(38,0)")
+    a = (
+        df.withColumn("g", sec - F.lag(sec).over(w))
+        .filter(F.col("g").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(d).alias("s"),
+            F.sum(d * d).alias("ss"),
+        )
+        .collect()[0]
+    )
+    n, s, ss = a["n"], float(a["s"]), float(a["ss"])
+    mean = s / n
+    var = (ss - n * mean * mean) / (n - 1)
+    assert n == 7 and abs(mean - statistics.mean(gaps)) < 1e-9
+    assert abs(var - statistics.variance(gaps)) < 1e-6
