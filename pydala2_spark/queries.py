@@ -10232,107 +10232,92 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mirror (scripts/check_correctness.py runs every entry).
 
 _VERIFY_FIRST = [
-    # round 10 rotation — the r9 verdict's #1 ask. Ordering rationale:
-    #   positions 0-31: the thirty-two r9-continuation queries that
-    #     have NEVER had a driver t2 row (judge-mirror-green in r9;
-    #     this window gives each its first driver-oracle row).
-    #   positions 32-35: queries whose PLAN changed after their last
-    #     driver check — w_value_deciles (distributed ntile, 6b802e9),
-    #     q15_top_suppliers (broadcast scalar max, 74307c0),
-    #     agg_cms_heavy_hitters (stamped-probe redesign), and
-    #     graph_triangles (r10: oriented-edge localCheckpoint reuse).
-    #   positions 36-43: the EIGHT queries new in r10 (never
-    #     driver-seen, mirror-green): dedup_exact_substr[_removal],
-    #     doc_bpe_learn/compression, dq_rule_report, dq_k_anonymity,
-    #     ev_theil_sen, doc_mojibake_repair.
-    #   positions 44-49: the stalest previously-checked entries
-    #     (r7-checked block, CORRECTNESS_r07 order).
-    # r11 pre-staging: FIRST the nineteen r10 third/fourth-batch
-    # queries that have never been driver-seen (mirror-green) —
-    # agg_corr_matrix, dq_mutual_info, doc_readability,
-    # ev_markov_transitions, ev_frequent_paths, graph_bfs_distances,
-    # doc_collocation_llr, ev_kaplan_meier, doc_js_divergence,
-    # emb_mmr_diversify, dq_ks_test, graph_label_prop,
-    # agg_chi2_independence, ev_attribution, ev_rfm_scores,
-    # ev_concurrency_peak, emb_silhouette, emb_hard_negatives,
-    # emb_ann_recall, agg_anova_f, graph_modularity,
-    # doc_nb_classifier, dedup_minhash_eval, graph_assortativity,
-    # graph_clustering_coeff, emb_centroid_drift,
-    # doc_textrank_keywords, ev_cohort_ltv, ev_holt_winters,
-    # graph_ppr, ev_interarrival_stats (thirty-one in all) — then
-    # rotate the
-    # REMAINDER of the r7-checked block — dq_fk_orphans, dq_benford,
-    # er_part_linkage, ev_conversion_latency, ev_anomaly_days,
-    # ev_rolling_quantiles, ev_value_histogram, scd2_event_history,
-    # doc_heaps_fit, doc_token_pmi, doc_zipf_fit,
-    # graph_pagerank, emb_dim_stats, part_skyline, fuzzy_part_matches,
-    # agg_hll_sketch, profile_orders, ev_ohlc_bars, ev_resample_interp,
-    # asof_nearest_tolerance, snapshot_cdf, ivm_incremental_rollup,
-    # ivm_join_rollup, catalog_sql_roundtrip, orc_roundtrip_scan,
-    # update_where_semantics, delete_where_semantics,
-    # doc_gopher_rules, doc_bm25_search, doc_dsir_resample,
-    # doc_bigram_logprob, doc_substring_spans, emb_semantic_dedup,
-    # stream_cms_counters, stream_hll_distinct, stream_ohlc_bars,
-    # mm_audio_metadata, mm_image_extended_decode, mm_image_webp_decode,
-    # mm_gif_frame_sample, mm_image_tiff_decode, mm_image_real_decode,
-    # mm_audio_real_features — then pad with the r8-checked block
-    # (CORRECTNESS_r08 order: scan_filter_project, sort_limit_topk, ...)
-    # and any queries added or rewritten in r11. Entries past the
-    # window hold green driver rows from r8/r9 and stay covered by the
-    # full local mirror (scripts/check_correctness.py runs every entry).
-    # --- the r10 driver window: positions 0-49 ---
-    "agg_quantile_sketch",
-    "doc_priority_sample",
-    "graph_kcore",
-    "ev_mann_kendall",
-    "stream_kmv_quantiles",
-    "ev_pettitt_change",
-    "ev_welch_ttest",
-    "ev_autocorr",
-    "agg_cms_join_size",
-    "dq_profile_drift",
-    "dq_key_skew",
-    "graph_common_neighbors",
-    "doc_substring_search",
-    "ev_holt_forecast",
-    "dedup_containment",
-    "p_bloom_pruned_scan",
-    "stream_static_enrich",
-    "ev_dow_seasonality",
-    "mm_exif_orientation",
-    "assoc_rules_parts",
-    "stream_cusum_alarm",
-    "m1_compact_roundtrip",
-    "snap_rollback_read",
-    "scd2_point_in_time",
-    "w_pareto_abc",
-    "ev_equidepth_hist",
-    "emb_kcenter_coreset",
-    "stream_topk_ingest",
-    "doc_rake_keyphrases",
-    "m5_optimize_dtypes_roundtrip",
-    "m6_schema_repair_roundtrip",
-    "p_zorder_pruned_scan",
-    "w_value_deciles",
-    "q15_top_suppliers",
-    "agg_cms_heavy_hitters",
-    "graph_triangles",
-    "dedup_exact_substr",
-    "dedup_exact_substr_removal",
-    "doc_bpe_learn",
-    "doc_bpe_compression",
-    "dq_rule_report",
-    "dq_k_anonymity",
-    "ev_theil_sen",
-    "doc_mojibake_repair",
-    "array_function_suite",
-    "date_arithmetic_suite",
-    "merge_upsert_semantics",
-    "pivot_status_by_priority",
-    "w_running_revenue",
-    # ninth r10 addition (never driver-seen); ev_resample_locf joins
-    # the staged r11 r7-block rotation
-    "stream_stream_join",
+    # round 11 rotation — the r10 verdict's #1 ask, performed (the r10
+    # window staged this ordering in a comment; this is the rotation).
+    # Ordering rationale:
+    #   positions 0-30: the thirty-one r10 third/fourth-batch queries
+    #     that have NEVER had a driver t2 row (judge-mirror-green in
+    #     r10; this window gives each its first driver-oracle row).
+    #     Three of them were rewritten for performance in r11
+    #     (graph_clustering_coeff, emb_centroid_drift,
+    #     agg_corr_matrix), so their first driver rows also cover the
+    #     new plans.
+    #   positions 31+: queries ADDED in r11 (never driver-seen), then
+    #     padding to 50 with the stalest previously-checked entries
+    #     (the r7-checked block, CORRECTNESS_r07 order).
+    # r12 pre-staging: after this window, every registry entry that
+    # existed at r10 has a driver row. Order r12 by staleness — the
+    # REMAINDER of the r7-checked block first (scd2_event_history,
+    # doc_heaps_fit, doc_token_pmi, doc_zipf_fit, graph_pagerank,
+    # emb_dim_stats, part_skyline, fuzzy_part_matches, agg_hll_sketch,
+    # profile_orders, ev_ohlc_bars, ev_resample_interp,
+    # ev_resample_locf, asof_nearest_tolerance, snapshot_cdf,
+    # ivm_incremental_rollup, ivm_join_rollup, catalog_sql_roundtrip,
+    # orc_roundtrip_scan, update_where_semantics,
+    # delete_where_semantics, doc_gopher_rules, doc_bm25_search,
+    # doc_dsir_resample, doc_bigram_logprob, doc_substring_spans,
+    # emb_semantic_dedup, stream_cms_counters, stream_hll_distinct,
+    # stream_ohlc_bars, mm_audio_metadata, mm_image_extended_decode,
+    # mm_image_webp_decode, mm_gif_frame_sample, mm_image_tiff_decode,
+    # mm_image_real_decode, mm_audio_real_features — then pad with the
+    # r8-checked block (CORRECTNESS_r08 order: scan_filter_project,
+    # sort_limit_topk, ...) and any queries added or rewritten in r12.
+    # Entries past the window hold green driver rows from earlier
+    # rounds and stay covered by the full local mirror
+    # (scripts/check_correctness.py runs every entry).
+    # --- positions 0-30: first driver rows ---
+    "agg_corr_matrix",
+    "dq_mutual_info",
+    "doc_readability",
+    "ev_markov_transitions",
+    "ev_frequent_paths",
+    "graph_bfs_distances",
+    "doc_collocation_llr",
+    "ev_kaplan_meier",
+    "doc_js_divergence",
+    "emb_mmr_diversify",
+    "dq_ks_test",
+    "graph_label_prop",
+    "agg_chi2_independence",
+    "ev_attribution",
+    "ev_rfm_scores",
+    "ev_concurrency_peak",
+    "emb_silhouette",
+    "emb_hard_negatives",
+    "emb_ann_recall",
+    "agg_anova_f",
+    "graph_modularity",
+    "doc_nb_classifier",
+    "dedup_minhash_eval",
+    "graph_assortativity",
+    "graph_clustering_coeff",
+    "emb_centroid_drift",
+    "doc_textrank_keywords",
+    "ev_cohort_ltv",
+    "ev_holt_winters",
+    "graph_ppr",
+    "ev_interarrival_stats",
+    # --- positions 31+: r11 additions land here (newest first) ---
+    # --- padding to 50: stalest (r7-checked) block ---
+    "dq_fk_orphans",
+    "dq_benford",
+    "er_part_linkage",
+    "ev_conversion_latency",
+    "ev_anomaly_days",
+    "ev_rolling_quantiles",
+    "ev_value_histogram",
+    "scd2_event_history",
+    "doc_heaps_fit",
+    "doc_token_pmi",
+    "doc_zipf_fit",
+    "graph_pagerank",
+    "emb_dim_stats",
+    "part_skyline",
+    "fuzzy_part_matches",
+    "agg_hll_sketch",
+    "profile_orders",
+    "ev_ohlc_bars",
+    "ev_resample_interp",
 ]
 
 
