@@ -224,7 +224,17 @@ def triangle_counts(
     a lineitem scan + self-join + distinct repeated up to 8 times
     (observed as a 289-exchange plan with zero ReusedExchange).
     """
-    e = (
+    _, counts = _triangle_pass(_canonical_edges(edges, src, dst))
+    return counts
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge list as canonical ``(a, b)`` with a < b, each
+    pair once, self-loops dropped — localCheckpoint-ed because the
+    triangle pass consumes it three times (degree table, orientation
+    join, wedge-closing join) and the caller's edge-derivation lineage
+    must not replay per consumer."""
+    return (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
@@ -233,6 +243,19 @@ def triangle_counts(
         .distinct()
         .localCheckpoint()
     )
+
+
+def _triangle_pass(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One degree-oriented triangle enumeration over a canonical edge
+    frame (see :func:`_canonical_edges`). Returns the SHARED pair
+    ``(deg, counts)`` — ``deg``: (n, d) for every node (checkpointed,
+    reused by orientation and by callers like
+    :func:`clustering_coefficients` that need degrees for wedge
+    counts); ``counts``: (node, n_triangles) for every node in at
+    least one triangle. Sharing these frames across query legs is what
+    keeps composed transitivity queries at one enumeration instead of
+    replaying the pass per leg (the 289-exchange plan this module's
+    checkpoint discipline eliminated)."""
     deg = (
         e.select(F.col("a").alias("n"))
         .unionAll(e.select(F.col("b").alias("n")))
@@ -265,12 +288,67 @@ def triangle_counts(
         )
         .select(F.col("u").alias("x"), "y", "z")
     )
-    nodes = (
-        tri.select(F.col("x").alias("node"))
-        .unionAll(tri.select(F.col("y").alias("node")))
-        .unionAll(tri.select(F.col("z").alias("node")))
+    # ONE explode, not a 3-way unionAll of per-corner selects: union
+    # branches are independent subtrees, so the whole wedge-join
+    # pipeline above would replay once per corner (observed as the tri
+    # subtree appearing 3x in the final plan, 25 exchanges where the
+    # enumeration itself needs ~8)
+    nodes = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("node")
     )
-    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    counts = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return deg, counts
+
+
+def clustering_coefficients(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Global and average-local clustering coefficients in ONE
+    degree-oriented triangle pass: (n_nodes, n_triangles, wedges,
+    global_coeff, avg_local_coeff) over nodes with degree >= 2.
+
+    The degree table and per-node triangle counts come from the SAME
+    :func:`_triangle_pass` frames — the global leg (3T / wedges) and
+    the local leg (mean of t / C(d,2)) are two expressions over one
+    left join, not two enumerations. Determinism: integer sums for T
+    and wedges; local terms round-12 then DECIMAL(38,12) so the mean
+    is summation-order-independent.
+
+    100 TB shape: everything downstream of the pass is keyed equi-join
+    + one map-side-combined aggregate to a single row; the pass itself
+    carries the O(m^1.5) bound with orientation-capped skew.
+    """
+    deg, counts = _triangle_pass(_canonical_edges(edges, src, dst))
+    per_node = (
+        deg.filter(F.col("d") >= 2)
+        .join(counts.withColumnRenamed("node", "n"), "n", "left")
+        .select("d", F.coalesce("n_triangles", F.lit(0)).alias("t"))
+    )
+    dd = F.col("d").cast("double")
+    c_term = F.round(
+        F.col("t").cast("double") / (dd * (dd - F.lit(1.0)) / F.lit(2.0)), 12
+    ).cast("decimal(38,12)")
+    agg = per_node.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("t").cast("long").alias("sum_t"),
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long"))
+        .cast("long")
+        .alias("wedges"),
+        F.sum(c_term).cast("double").alias("sum_c"),
+    )
+    return agg.select(
+        "n_nodes",
+        (F.col("sum_t") / 3).cast("long").alias("n_triangles"),
+        "wedges",
+        F.round(
+            F.col("sum_t").cast("double") / F.col("wedges").cast("double"), 6
+        ).alias("global_coeff"),
+        F.round(F.col("sum_c") / F.col("n_nodes").cast("double"), 6).alias(
+            "avg_local_coeff"
+        ),
+    )
 
 
 def kcore(

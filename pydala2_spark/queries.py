@@ -9964,10 +9964,12 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph_triangles' per-node counts (same degree-oriented
     enumeration, same slice): global C = 3T / wedges from exact
     integer sums; local c_v terms round-12 + DECIMAL(38,12) for the
-    mean over degree >= 2 nodes. One wedge-bounded triangle pass, one
-    degree agg, one left join — no new corpus-scale machinery.
-    See operators/graph.triangle_counts."""
-    from pydala2_spark.operators.graph import triangle_counts
+    mean over degree >= 2 nodes. The degree table and triangle counts
+    are the SAME checkpointed frames from one enumeration pass (shared
+    via operators/graph.clustering_coefficients), so the global and
+    local legs add one left join and one single-row aggregate — not a
+    second pass. See operators/graph.clustering_coefficients."""
+    from pydala2_spark.operators.graph import clustering_coefficients
 
     li = (
         _t(spark, sf_dir, "lineitem")
@@ -9980,48 +9982,8 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li.alias("y"), "o")
         .filter(F.col("x.p") < F.col("y.p"))
         .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
-        # parts sharing several orders produce the pair repeatedly —
-        # the degree table below must count each undirected pair once
-        .distinct()
-        .localCheckpoint()
     )
-    tri = triangle_counts(edges)
-    deg = (
-        edges.select(F.col("src").alias("n"))
-        .unionAll(edges.select(F.col("dst").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    per_node = (
-        deg.filter(F.col("d") >= 2)
-        .join(tri.withColumnRenamed("node", "n"), "n", "left")
-        .select(
-            "d", F.coalesce("n_triangles", F.lit(0)).alias("t")
-        )
-    )
-    dd = F.col("d").cast("double")
-    c_term = F.round(
-        F.col("t").cast("double") / (dd * (dd - F.lit(1.0)) / F.lit(2.0)), 12
-    ).cast("decimal(38,12)")
-    agg = per_node.agg(
-        F.count(F.lit(1)).cast("long").alias("n_nodes"),
-        F.sum("t").cast("long").alias("sum_t"),
-        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long"))
-        .cast("long")
-        .alias("wedges"),
-        F.sum(c_term).cast("double").alias("sum_c"),
-    )
-    return agg.select(
-        "n_nodes",
-        (F.col("sum_t") / 3).cast("long").alias("n_triangles"),
-        "wedges",
-        F.round(
-            F.col("sum_t").cast("double") / F.col("wedges").cast("double"), 6
-        ).alias("global_coeff"),
-        F.round(F.col("sum_c") / F.col("n_nodes").cast("double"), 6).alias(
-            "avg_local_coeff"
-        ),
-    )
+    return clustering_coefficients(edges)
 
 
 def _ppr_oracle() -> str:

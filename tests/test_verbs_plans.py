@@ -182,7 +182,22 @@ def test_triangles_checkpoint_bounds_exchanges(spark, sf_dir):
     from pydala2_spark.queries import queries
 
     plan = _plan(queries()["graph_triangles"](spark, sf_dir))
-    assert plan.count("Exchange") <= 40, plan.count("Exchange")
+    # r11: the per-corner 3-way unionAll became one explode(array(x,y,z)),
+    # so the wedge-join subtree appears once, not three times (25 -> 9)
+    assert plan.count("Exchange") <= 15, plan.count("Exchange")
+
+
+def test_clustering_coeff_shares_triangle_pass(spark, sf_dir):
+    """clustering_coefficients reuses the SAME checkpointed degree and
+    triangle-count frames as the enumeration pass — the global and
+    local transitivity legs add one left join and one single-row agg
+    on top of graph_triangles' plan, not a second enumeration
+    (r10 BENCH_DETAIL flagged 27 exchanges; the shared-pass + explode
+    rewrite lands at 11)."""
+    from pydala2_spark.queries import queries
+
+    plan = _plan(queries()["graph_clustering_coeff"](spark, sf_dir))
+    assert plan.count("Exchange") <= 17, plan.count("Exchange")
 
 
 def test_merge_core_uses_nullsafe_join(spark, sf_dir):
