@@ -9612,8 +9612,10 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-distribution drift between corpus halves (centroid
     L2 + cosine, per-half mean norms) — the production monitor that
     catches an encoder redeploy or normalization regression before
-    the ANN index degrades. Two map-side-combined corpus passes (dims
-    explode + scan-stage norms), one-row broadcasts after.
+    the ANN index degrades. ONE map-side-combined corpus pass: the
+    per-dim sums ride as 2d wide-agg buffers (pca_fit pattern) in the
+    same single-row aggregate as the counts and norm sums — no
+    posexplode row blow-up, no second pass, no broadcast join.
     See operators/similarity.embedding_drift."""
     from pydala2_spark.operators.similarity import embedding_drift
 
