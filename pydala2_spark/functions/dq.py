@@ -383,7 +383,12 @@ def k_anonymity_report(
 _DEC8 = "decimal(38,8)"
 
 
-def corr_matrix(df: DataFrame, cols: list[str], ndigits: int = 6) -> DataFrame:
+def corr_matrix(
+    df: DataFrame,
+    cols: list[str],
+    ndigits: int = 6,
+    min_tasks: int | None = None,
+) -> DataFrame:
     """Pairwise Pearson correlation matrix over ``cols``, unpivoted to
     one row per unordered pair: ``(col_x, col_y, corr)`` — the
     multicollinearity / feature-redundancy screen a modeling pipeline
@@ -400,9 +405,21 @@ def corr_matrix(df: DataFrame, cols: list[str], ndigits: int = 6) -> DataFrame:
     100 TB shape: one map-side-combined scan to a single row, then the
     unpivot explodes a literal array — no shuffle beyond the one-row
     reduce.
+
+    ``min_tasks``: the decimal accumulation is CPU-heavy (BigDecimal
+    adds per row per statistic) and partial aggregation parallelism is
+    capped by the SCAN's split count — a few huge parquet row groups
+    serialize the whole pass onto that many cores. Passing min_tasks
+    round-robin-repartitions the column-pruned k-double frame first so
+    the partial aggregates fan out; exact decimal sums make the result
+    independent of the added exchange. Leave None when the input
+    already has healthy split parallelism (any real 100 TB corpus) —
+    there the extra shuffle is pure waste.
     """
     if len(cols) < 2:
         raise ValueError(f"need >= 2 columns, got {cols!r}")
+    if min_tasks:
+        df = df.select(*cols).repartition(min_tasks)
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
     for c in cols:
         aggs.append(F.sum(F.col(c).cast(_DEC8)).alias(f"s_{c}"))

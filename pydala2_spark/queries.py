@@ -9165,11 +9165,19 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE map-side-combined scan computes all C(4,2)+8+1 sufficient
     statistics (decimal-accumulated, the ev_value_trend discipline);
     the pair explode runs on the single reduced row. At 100 TB:
-    one pass, one one-row shuffle, no joins.
+    one pass, one one-row shuffle, no joins. The test corpus packs
+    each table into ONE parquet row group, so the CPU-heavy decimal
+    partials would serialize onto one core — min_tasks fans the pruned
+    4-double frame out first (exact decimal sums are exchange-
+    invariant; a real multi-split corpus would skip this).
     See functions/dq.corr_matrix."""
     from pydala2_spark.functions.dq import corr_matrix
 
-    return corr_matrix(_t(spark, sf_dir, "lineitem"), _CORR_COLS)
+    return corr_matrix(
+        _t(spark, sf_dir, "lineitem"),
+        _CORR_COLS,
+        min_tasks=spark.sparkContext.defaultParallelism,
+    )
 
 
 def _mutual_info_oracle() -> str:
