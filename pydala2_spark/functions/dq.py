@@ -851,3 +851,288 @@ def chi2_oracle_sql(table_sql: str, x: str, y: str, ndigits: int = 4) -> str:
                  6) AS cramers_v
     FROM tot, s
     """
+
+
+# -- Spearman rank correlation ------------------------------------------
+
+
+def spearman_corr(
+    df: DataFrame, x: str, y: str, ndigits: int = 6
+) -> DataFrame:
+    """Spearman rank correlation between two numeric columns, exact
+    with average ranks for ties — the monotone-association screen
+    next to :func:`corr_matrix`'s linear one (a modeling pipeline
+    wants BOTH: a strong Spearman with weak Pearson flags a nonlinear
+    but learnable feature).
+
+    Ranks are computed WITHOUT a global window: group to the
+    distinct-value table, take a distributed prefix over it
+    (:func:`pydala2_spark.functions.skew.distributed_prefix` — range
+    shuffle + broadcast offsets), and join the |distinct| rank table
+    back to the rows. The whole derivation stays in INTEGER
+    arithmetic: we carry twice-the-average-rank ``r2 = 2*(rows
+    before) + ties + 1`` (always integral) so every product and sum
+    is an exact decimal — the Pearson-on-ranks formula is
+    scale-invariant, so the factor of 2 cancels. No rounding happens
+    anywhere until the final double division, which both engines
+    evaluate with the identical expression shape.
+
+    One row out: ``(n_pairs, spearman_rho)``.
+
+    100 TB shape: two map-side-combined groupBys to the distinct
+    tables, one range shuffle each over |distinct| rows, two
+    corpus-side equi-joins on the value (hot tied values are join
+    keys against a DISTINCT build side — no row explosion), one
+    single-row aggregate. No global window funnel.
+    """
+    from pydala2_spark.functions.skew import distributed_prefix
+
+    base = df.select(F.col(x).alias("xv"), F.col(y).alias("yv")).filter(
+        F.col("xv").isNotNull() & F.col("yv").isNotNull()
+    )
+
+    def rank2(col: str, out: str) -> DataFrame:
+        g = base.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        g = g.withColumn("c_dec", F.col("c").cast("decimal(38,0)"))
+        g = distributed_prefix(g, [col], sum_col="c_dec", cum_col="__cum")
+        # rows strictly before this value = inclusive cum - own count
+        return g.select(
+            col,
+            (
+                F.lit(2) * (F.col("__cum") - F.col("c_dec"))
+                + F.col("c_dec")
+                + F.lit(1)
+            )
+            .cast("decimal(14,0)")
+            .alias(out),
+        )
+
+    rx = rank2("xv", "rx2")
+    ry = rank2("yv", "ry2")
+    j = base.join(rx, "xv").join(ry, "yv")
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).alias("qx"),
+        F.sum(F.col("ry2") * F.col("ry2")).alias("qy"),
+        F.sum(F.col("rx2") * F.col("ry2")).alias("p"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    qx, qy = F.col("qx").cast("double"), F.col("qy").cast("double")
+    p = F.col("p").cast("double")
+    den = F.sqrt(n * qx - sx * sx) * F.sqrt(n * qy - sy * sy)
+    return s.select(
+        "n_pairs",
+        F.round(F.when(den > 0, (n * p - sx * sy) / den), ndigits).alias(
+            "spearman_rho"
+        ),
+    )
+
+
+def spearman_oracle_sql(
+    table_sql: str, x: str, y: str, ndigits: int = 6
+) -> str:
+    """DuckDB oracle for :func:`spearman_corr`: identical integral
+    twice-average-ranks via a window prefix (fine at oracle SF), the
+    identical exact decimal sums, the identical final expression."""
+    return f"""
+    WITH base AS (
+      SELECT {x} AS xv, {y} AS yv FROM ({table_sql})
+      WHERE {x} IS NOT NULL AND {y} IS NOT NULL
+    ), gx AS (SELECT xv AS v, count(*) AS c FROM base GROUP BY xv),
+    rx AS (
+      SELECT v, CAST(2 * (sum(c) OVER (ORDER BY v) - c) + c + 1
+                     AS DECIMAL(14,0)) AS rx2
+      FROM gx
+    ), gy AS (SELECT yv AS v, count(*) AS c FROM base GROUP BY yv),
+    ry AS (
+      SELECT v, CAST(2 * (sum(c) OVER (ORDER BY v) - c) + c + 1
+                     AS DECIMAL(14,0)) AS ry2
+      FROM gy
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             sum(rx2) AS sx, sum(ry2) AS sy,
+             sum(rx2 * rx2) AS qx, sum(ry2 * ry2) AS qy,
+             sum(rx2 * ry2) AS p
+      FROM base JOIN rx ON base.xv = rx.v JOIN ry ON base.yv = ry.v
+    )
+    SELECT n_pairs,
+           round(CASE WHEN (sqrt(CAST(n_pairs AS DOUBLE) * CAST(qx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * sqrt(CAST(n_pairs AS DOUBLE) * CAST(qy AS DOUBLE)
+                                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) > 0
+                      THEN (CAST(n_pairs AS DOUBLE) * CAST(p AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(qx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * sqrt(CAST(n_pairs AS DOUBLE) * CAST(qy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 END, {ndigits}) AS spearman_rho
+    FROM s
+    """
+
+
+# -- candidate-key discovery --------------------------------------------
+
+
+def candidate_keys(
+    df: DataFrame, cols: list[str], ndigits: int = 6
+) -> DataFrame:
+    """Uniqueness profile per column: exact distinct count, null
+    count, unique ratio, and an ``is_candidate_key`` verdict (every
+    value present and distinct) — the schema-inference audit that
+    finds join keys and catches silent key collisions after an ingest.
+
+    ONE corpus scan: the multi-column exact COUNT(DISTINCT) compiles
+    to Catalyst's Expand (each row replicated |cols|+1 ways, then
+    map-side-combined) — a documented xK row amplification bought for
+    single-pass semantics; for very wide audits run column batches.
+    Null counts ride the same aggregate. The unpivot explodes a
+    literal array on the single reduced row.
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in cols:
+        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"d_{c}"))
+        aggs.append(
+            F.count(F.when(F.col(c).isNull(), F.lit(1)))
+            .cast("long")
+            .alias(f"z_{c}")
+        )
+    s = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("n").alias("n_rows"),
+            F.col(f"d_{c}").alias("n_distinct"),
+            F.col(f"z_{c}").alias("n_nulls"),
+            F.round(
+                F.col(f"d_{c}").cast("double") / F.col("n").cast("double"),
+                ndigits,
+            ).alias("unique_ratio"),
+            (
+                (F.col(f"d_{c}") == F.col("n")) & (F.col(f"z_{c}") == 0)
+            ).alias("is_candidate_key"),
+        )
+        for c in cols
+    ]
+    return s.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def candidate_keys_oracle_sql(
+    table_sql: str, cols: list[str], ndigits: int = 6
+) -> str:
+    """DuckDB oracle for :func:`candidate_keys` — one aggregate, one
+    UNION ALL arm per column."""
+    aggs = ["count(*) AS n"]
+    for c in cols:
+        aggs.append(f"count(DISTINCT {c}) AS d_{c}")
+        aggs.append(f"count(CASE WHEN {c} IS NULL THEN 1 END) AS z_{c}")
+    arms = []
+    for c in cols:
+        arms.append(
+            f"SELECT '{c}' AS \"column\", CAST(n AS BIGINT) AS n_rows,"
+            f" CAST(d_{c} AS BIGINT) AS n_distinct,"
+            f" CAST(z_{c} AS BIGINT) AS n_nulls,"
+            f" round(CAST(d_{c} AS DOUBLE) / CAST(n AS DOUBLE), {ndigits})"
+            f" AS unique_ratio,"
+            f" (d_{c} = n AND z_{c} = 0) AS is_candidate_key FROM s"
+        )
+    return (
+        f"WITH s AS (SELECT {', '.join(aggs)} FROM ({table_sql}))\n"
+        + "\nUNION ALL\n".join(arms)
+    )
+
+
+# -- population stability index -----------------------------------------
+
+
+def psi_report(
+    df: DataFrame,
+    value_col: str,
+    split_col,
+    bin_width: int,
+    max_bin: int,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Population Stability Index between two cohorts of one numeric
+    column — THE model-monitoring drift number (PSI < 0.1 stable,
+    0.1-0.25 shifting, > 0.25 broken), complementing
+    ``dq_profile_drift``'s schema envelope and ``dq_ks_test``'s
+    distribution-equality verdict with the binned magnitude score
+    risk teams actually threshold on.
+
+    ``split_col`` is a boolean Column: true rows form cohort A
+    (reference), false rows cohort B (current). Binning is FIXED-WIDTH
+    integer arithmetic (``least(value div bin_width, max_bin)``) —
+    deterministic in any engine, no quantile-edge ambiguity.
+    Proportions are Laplace-smoothed by one row per bin so empty bins
+    stay finite; per-bin terms round-12 then accumulate as
+    DECIMAL(38,12) (the mutual-info ln discipline).
+
+    Output: one row ``(n_a, n_b, n_bins, psi)``.
+
+    100 TB shape: one map-side-combined groupBy to the <= max_bin+1
+    frame; everything after runs on that frame.
+    """
+    b = F.least(
+        F.floor(F.col(value_col) / F.lit(bin_width)).cast("long"),
+        F.lit(max_bin),
+    )
+    g = df.select(split_col.alias("__a"), b.alias("bin")).groupBy("bin").agg(
+        F.count(F.when(F.col("__a"), F.lit(1))).alias("ca"),
+        F.count(F.when(~F.col("__a"), F.lit(1))).alias("cb"),
+    )
+    tot = g.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    pa = (F.col("ca") + 1).cast("double") / (
+        F.col("n_a") + F.col("n_bins")
+    ).cast("double")
+    pb = (F.col("cb") + 1).cast("double") / (
+        F.col("n_b") + F.col("n_bins")
+    ).cast("double")
+    term = F.round((pa - pb) * F.log(pa / pb), 12).cast("decimal(38,12)")
+    return (
+        j.groupBy("n_a", "n_b", "n_bins")
+        .agg(F.round(F.sum(term).cast("double"), ndigits).alias("psi"))
+        .select("n_a", "n_b", "n_bins", "psi")
+    )
+
+
+def psi_oracle_sql(
+    table_sql: str,
+    value_col: str,
+    split_sql: str,
+    bin_width: int,
+    max_bin: int,
+    ndigits: int = 6,
+) -> str:
+    """DuckDB oracle for :func:`psi_report` — identical integer bins,
+    Laplace smoothing, and round-12 decimal ln-term ladder."""
+    return f"""
+    WITH g AS (
+      SELECT least(CAST(floor({value_col} / {bin_width}) AS BIGINT), {max_bin})
+               AS bin,
+             count(CASE WHEN {split_sql} THEN 1 END) AS ca,
+             count(CASE WHEN NOT ({split_sql}) THEN 1 END) AS cb
+      FROM ({table_sql}) GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+             CAST(count(*) AS BIGINT) AS n_bins
+      FROM g
+    )
+    SELECT n_a, n_b, n_bins,
+           round(CAST(sum(CAST(round(
+             (CAST(ca + 1 AS DOUBLE) / CAST(n_a + n_bins AS DOUBLE)
+              - CAST(cb + 1 AS DOUBLE) / CAST(n_b + n_bins AS DOUBLE))
+             * ln((CAST(ca + 1 AS DOUBLE) / CAST(n_a + n_bins AS DOUBLE))
+                  / (CAST(cb + 1 AS DOUBLE) / CAST(n_b + n_bins AS DOUBLE))),
+             12) AS DECIMAL(38,12))) AS DOUBLE), {ndigits}) AS psi
+    FROM g, tot
+    GROUP BY n_a, n_b, n_bins
+    """
