@@ -1125,3 +1125,139 @@ def ppr_oracle_sql(
         )
     body = ",\n    ".join(parts[1:])
     return f"{parts[0]},\n    {body}\n    SELECT node, pr FROM it{iterations}"
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 4,
+    hub_col: str = "hub",
+    auth_col: str = "auth",
+) -> DataFrame:
+    """HITS hubs-and-authorities over a DIRECTED (typically bipartite)
+    edge list, run for a fixed iteration count — the mutual-
+    reinforcement centrality next to :func:`pagerank`'s random-walk
+    one: an authority is pointed at by good hubs, a hub points at good
+    authorities (customers who buy consensus parts vs parts bought by
+    discerning customers; crawlers ranking pages vs hub sites).
+
+    Per iteration: ``a(v) = Σ_{(u,v)} h(u)`` then L1-normalize, then
+    ``h(u) = Σ_{(u,v)} a(v)`` then L1-normalize. Determinism follows
+    the pagerank contract: scores round to 12 decimals each update,
+    contributions accumulate as DECIMAL(38,12) so summation order
+    cannot move a bit, and L1 (sum) normalization keeps everything in
+    +/round-friendly arithmetic (an L2 norm would put a cross-engine
+    sqrt inside the loop).
+
+    Output: ``(node, role, score)`` — one row per hub and per
+    authority, roles "hub" / "authority".
+
+    100 TB shape: each update is one equi-join of the edge list with
+    the |nodes| score frame plus a map-side-combined groupBy; the
+    normalizer is a one-row broadcast. Score frames localCheckpoint
+    per iteration (the pagerank lineage lesson). No driver state.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    from pydala2_spark.operators.dedup import _materialize_once
+
+    e = _materialize_once(
+        edges.select(F.col(hub_col).alias("hub"), F.col(auth_col).alias("auth"))
+        .distinct()
+    )
+    dec = "decimal(38,12)"
+    h = _materialize_once(
+        e.select("hub").distinct().select("hub", F.lit(1.0).alias("h"))
+    )
+    a = None
+    for _ in range(iterations):
+        araw = (
+            e.join(h, "hub")
+            .groupBy("auth")
+            .agg(F.sum(F.col("h").cast(dec)).alias("__ar"))
+        )
+        asum = araw.agg(F.sum("__ar").cast("double").alias("__as"))
+        a = _materialize_once(
+            araw.crossJoin(F.broadcast(asum)).select(
+                "auth",
+                F.round(F.col("__ar").cast("double") / F.col("__as"), 12)
+                .alias("a"),
+            )
+        )
+        hraw = (
+            e.join(a, "auth")
+            .groupBy("hub")
+            .agg(F.sum(F.col("a").cast(dec)).alias("__hr"))
+        )
+        hsum = hraw.agg(F.sum("__hr").cast("double").alias("__hs"))
+        h = _materialize_once(
+            hraw.crossJoin(F.broadcast(hsum)).select(
+                "hub",
+                F.round(F.col("__hr").cast("double") / F.col("__hs"), 12)
+                .alias("h"),
+            )
+        )
+    hubs = h.select(
+        F.col("hub").alias("node"), F.lit("hub").alias("role"),
+        F.col("h").alias("score"),
+    )
+    auths = a.select(
+        F.col("auth").alias("node"), F.lit("authority").alias("role"),
+        F.col("a").alias("score"),
+    )
+    return hubs.unionByName(auths)
+
+
+def hits_oracle_sql(edges_sql: str, iterations: int = 4) -> str:
+    """DuckDB SQL reproducing :func:`hits` exactly — unrolled CTEs
+    with the identical round-12 / DECIMAL(38,12) / L1 ladder.
+    ``edges_sql`` must yield columns (hub, auth).
+
+    Every per-iteration CTE is MATERIALIZED: each level is referenced
+    twice (once by the normalizer subquery, once by the next update),
+    so DuckDB's default inlining would expand the plan 4^iterations
+    times — measured as minutes at 3 iterations vs 0.6 s at 2."""
+    parts = [
+        f"WITH edges AS MATERIALIZED (SELECT DISTINCT hub, auth"
+        f" FROM ({edges_sql}))",
+        "h0 AS MATERIALIZED (SELECT DISTINCT hub, CAST(1.0 AS DOUBLE) AS h"
+        " FROM edges)",
+    ]
+    for i in range(iterations):
+        hp, hn = f"h{i}", f"h{i + 1}"
+        parts.append(
+            f"""ar{i} AS MATERIALIZED (
+      SELECT e.auth, sum(CAST(p.h AS DECIMAL(38,12))) AS ar
+      FROM edges e JOIN {hp} p ON p.hub = e.hub GROUP BY e.auth
+    )"""
+        )
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+      SELECT auth,
+             round(CAST(ar AS DOUBLE)
+                   / (SELECT CAST(sum(ar) AS DOUBLE) FROM ar{i}), 12) AS a
+      FROM ar{i}
+    )"""
+        )
+        parts.append(
+            f"""hr{i} AS MATERIALIZED (
+      SELECT e.hub, sum(CAST(q.a AS DECIMAL(38,12))) AS hr
+      FROM edges e JOIN a{i} q ON q.auth = e.auth GROUP BY e.hub
+    )"""
+        )
+        parts.append(
+            f"""{hn} AS MATERIALIZED (
+      SELECT hub,
+             round(CAST(hr AS DOUBLE)
+                   / (SELECT CAST(sum(hr) AS DOUBLE) FROM hr{i}), 12) AS h
+      FROM hr{i}
+    )"""
+        )
+    last = iterations - 1
+    body = ",\n    ".join(parts[1:])
+    return (
+        f"{parts[0]},\n    {body}\n    "
+        f"SELECT hub AS node, 'hub' AS role, h AS score FROM h{iterations}\n"
+        f"    UNION ALL\n"
+        f"    SELECT auth AS node, 'authority' AS role, a AS score"
+        f" FROM a{last}"
+    )

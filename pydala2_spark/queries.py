@@ -10281,6 +10281,44 @@ def dq_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hits_oracle() -> str:
+    from pydala2_spark.operators.graph import hits_oracle_sql
+
+    return hits_oracle_sql(
+        """SELECT o_custkey AS hub, l_partkey AS auth
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_quantity >= 47""",
+        iterations=4,
+    )
+
+
+@query("graph_hits", _hits_oracle())
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs and authorities over the bipartite customer-part
+    purchase graph (bulk-quantity slice) — mutual-reinforcement
+    centrality next to pagerank's random walk: authoritative parts
+    are bought by discerning customers and vice versa. Four L1-
+    normalized iterations with the pagerank determinism ladder
+    (round-12 scores, DECIMAL(38,12) contribution sums, one-row
+    broadcast normalizers); per-iteration frames localCheckpoint so
+    lineage stays one edge-derivation deep.
+    See operators/graph.hits."""
+    from pydala2_spark.operators.graph import hits
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 47)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    )
+    ords = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("o"), F.col("o_custkey").alias("c")
+    )
+    edges = li.join(ords, "o").select(
+        F.col("c").alias("hub"), F.col("p").alias("auth")
+    )
+    return hits(edges, iterations=4)
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -10359,6 +10397,7 @@ _VERIFY_FIRST = [
     "ev_interarrival_stats",
     # --- positions 31+: r11 additions land here (newest first) ---
     "agg_spearman",
+    "graph_hits",
     "dq_candidate_keys",
     "dq_psi",
     # --- padding to 50: stalest (r7-checked) block ---

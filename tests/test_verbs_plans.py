@@ -239,6 +239,9 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         # 10 probe items x the sketch's 3-row hash-row frame — a
         # bounded cross by construction (depth is a small constant)
         "agg_cms_heavy_hitters",
+        # L1-normalizer one-row aggregate frames, attached per
+        # iteration — same 1-row broadcast shape as q11
+        "graph_hits",
         # node-count and dangling-mass one-row aggregate frames,
         # attached per iteration — same 1-row broadcast shape as q11
         "graph_pagerank",
