@@ -1904,3 +1904,394 @@ def holt_winters_oracle_sql(
            round(s + 7.0 * b + sc[{m}], {ndigits}) AS f7
     FROM hw WHERE t = n
     """
+
+
+# -- periodogram ---------------------------------------------------------
+
+
+def periodogram(
+    events: DataFrame,
+    periods: list[int],
+    ts_col: str = "ts",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Discrete-Fourier power at chosen candidate periods over the
+    HOURLY event-count series — cycle detection that names the period
+    (daily = 24, weekly = 168) instead of lag_autocorr's yes/no at a
+    chosen lag. Power(p) = (Σ (x_t - x̄)·cos(2πt/p))² +
+    (Σ (x_t - x̄)·sin(2πt/p))², normalized by n.
+
+    Cross-engine determinism without trusting libm: cos/sin depend
+    only on ``t mod p``, so the Σp distinct weights are computed ONCE
+    in PYTHON (full-repr literals) and joined on ``(p, t % p)`` — both
+    engines multiply by bit-identical constants; products round-12
+    then accumulate as DECIMAL(38,12) (pagerank discipline).
+
+    100 TB shape: one map-side-combined groupBy to the calendar-
+    bounded hourly frame; the weight join is |hours|x|periods| rows
+    against a broadcast literal table; one final |periods|-group agg.
+    """
+    import math
+
+    if not periods or any(p < 2 for p in periods):
+        raise ValueError(f"periods must be >= 2, got {periods}")
+    spark = events.sparkSession
+    hours = (
+        events.select(
+            (F.unix_timestamp(F.date_trunc("hour", F.col(ts_col))) / 3600)
+            .cast("long")
+            .alias("__h")
+        )
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__x"))
+    )
+    lo = hours.agg(
+        F.min("__h").alias("__h0"),
+        F.sum("__x").cast("double").alias("__sx"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    base = hours.crossJoin(F.broadcast(lo)).select(
+        (F.col("__h") - F.col("__h0")).alias("t"),
+        (F.col("__x").cast("double") - F.col("__sx") / F.col("__n"))
+        .alias("xd"),
+        F.col("__n").alias("n_points"),
+    )
+    wrows = [
+        (p, r, math.cos(2.0 * math.pi * r / p), math.sin(2.0 * math.pi * r / p))
+        for p in periods
+        for r in range(p)
+    ]
+    w = spark.createDataFrame(wrows, "p long, r long, cw double, sw double")
+    dec = "decimal(38,12)"
+    terms = (
+        base.join(
+            F.broadcast(w),
+            F.pmod(F.col("t"), F.col("p")) == F.col("r"),
+        )
+        .select(
+            "p",
+            "n_points",
+            F.round(F.col("xd") * F.col("cw"), 12).cast(dec).alias("ct"),
+            F.round(F.col("xd") * F.col("sw"), 12).cast(dec).alias("st"),
+        )
+    )
+    g = terms.groupBy("p", "n_points").agg(
+        F.sum("ct").cast("double").alias("c"),
+        F.sum("st").cast("double").alias("s"),
+    )
+    return g.select(
+        F.col("p").alias("period"),
+        "n_points",
+        F.round(
+            (F.col("c") * F.col("c") + F.col("s") * F.col("s"))
+            / F.col("n_points").cast("double"),
+            ndigits,
+        ).alias("power"),
+    )
+
+
+def periodogram_oracle_sql(
+    periods: list[int], ts_col: str = "ts", ndigits: int = 4
+) -> str:
+    """DuckDB oracle for :func:`periodogram` — the identical literal
+    weight table (generated by the same Python math calls, so the
+    constants match to the bit), hour indexing, and decimal ladder."""
+    import math
+
+    vals = ",\n        ".join(
+        f"({p}, {r}, {math.cos(2.0 * math.pi * r / p)!r},"
+        f" {math.sin(2.0 * math.pi * r / p)!r})"
+        for p in periods
+        for r in range(p)
+    )
+    return f"""
+    WITH hours AS (
+      SELECT CAST(epoch(date_trunc('hour', {ts_col})) / 3600 AS BIGINT)
+               AS h, count(*) AS x
+      FROM events GROUP BY 1
+    ), lo AS (
+      SELECT min(h) AS h0, CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM hours
+    ), base AS (
+      SELECT h - h0 AS t, CAST(x AS DOUBLE) - sx / n AS xd, n AS n_points
+      FROM hours CROSS JOIN lo
+    ), w(p, r, cw, sw) AS (
+      VALUES
+        {vals}
+    ), terms AS (
+      SELECT p, n_points,
+             CAST(round(xd * cw, 12) AS DECIMAL(38,12)) AS ct,
+             CAST(round(xd * sw, 12) AS DECIMAL(38,12)) AS st
+      FROM base JOIN w ON t % p = r
+    )
+    SELECT p AS period, n_points,
+           round((CAST(sum(ct) AS DOUBLE) * CAST(sum(ct) AS DOUBLE)
+                  + CAST(sum(st) AS DOUBLE) * CAST(sum(st) AS DOUBLE))
+                 / CAST(n_points AS DOUBLE), {ndigits}) AS power
+    FROM terms GROUP BY p, n_points
+    """
+
+
+# -- Granger-style lead-lag screen --------------------------------------
+
+
+def granger_lag_f(
+    events: DataFrame,
+    y_type: str,
+    x_type: str,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Granger-style lead-lag screen at lag 1 over daily value sums:
+    does yesterday's ``x_type`` activity explain today's ``y_type``
+    beyond yesterday's own value? Fits the restricted model
+    ``y_t = a + b·y_{t-1}`` and the full ``y_t = a + b·y_{t-1} +
+    c·x_{t-1}`` in closed form (3x3 normal equations via Cramer's
+    rule) and reports the incremental-F statistic — the classical
+    pre-test before anyone builds a cross-series forecasting feature.
+
+    Determinism: daily sums accumulate as DECIMAL(38,6); all nine
+    sufficient statistics are exact decimal sums of decimal products;
+    the Cramer / RSS / F derivation is one fixed double-expression
+    sequence both engines evaluate identically.
+
+    One row out: ``(n_pairs, beta_ylag, beta_xlag, f_stat)``.
+
+    100 TB shape: two map-side-combined daily groupBys, calendar-
+    bounded equi-joins (day and day-1), one single-row moment
+    aggregate. Events never self-join at row grain.
+    """
+    d6 = "decimal(38,6)"
+    dec = "decimal(38,12)"
+
+    def daily(t: str, out: str) -> DataFrame:
+        return (
+            events.filter(F.col(type_col) == t)
+            .groupBy(F.to_date(F.col(ts_col)).alias("d"))
+            .agg(F.sum(F.col(value_col).cast(d6)).alias(out))
+        )
+
+    ys = daily(y_type, "yv")
+    xs = daily(x_type, "xv")
+    cur = ys.select(F.col("d"), F.col("yv").alias("y"))
+    prev = ys.select(F.date_add(F.col("d"), 1).alias("d"), F.col("yv").alias("yl")).join(
+        xs.select(F.date_add(F.col("d"), 1).alias("d"), F.col("xv").alias("xl")),
+        "d",
+    )
+    j = cur.join(prev, "d")
+    m = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("yl").cast(dec)).alias("s1"),
+        F.sum(F.col("xl").cast(dec)).alias("s2"),
+        F.sum((F.col("yl") * F.col("yl")).cast(dec)).alias("s11"),
+        F.sum((F.col("xl") * F.col("xl")).cast(dec)).alias("s22"),
+        F.sum((F.col("yl") * F.col("xl")).cast(dec)).alias("s12"),
+        F.sum((F.col("y") * F.col("yl")).cast(dec)).alias("sy1"),
+        F.sum((F.col("y") * F.col("xl")).cast(dec)).alias("sy2"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sy, s1, s2 = (F.col(c).cast("double") for c in ("sy", "s1", "s2"))
+    s11, s22, s12 = (F.col(c).cast("double") for c in ("s11", "s22", "s12"))
+    sy1, sy2, syy = (F.col(c).cast("double") for c in ("sy1", "sy2", "syy"))
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    a_f = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (sy1 * s22 - s12 * sy2)
+        + s2 * (sy1 * s12 - s11 * sy2)
+    ) / det
+    b_f = (
+        n * (sy1 * s22 - s12 * sy2)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * sy2 - sy1 * s2)
+    ) / det
+    c_f = (
+        n * (s11 * sy2 - sy1 * s12)
+        - s1 * (s1 * sy2 - sy1 * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    ) / det
+    rss_f = syy - a_f * sy - b_f * sy1 - c_f * sy2
+    b_r = (n * sy1 - sy * s1) / (n * s11 - s1 * s1)
+    a_r = (sy - b_r * s1) / n
+    rss_r = syy - a_r * sy - b_r * sy1
+    f_stat = (rss_r - rss_f) * (n - F.lit(3.0)) / rss_f
+    ok = (F.col("n") >= 4) & (det != 0) & (rss_f > 0)
+    return m.select(
+        F.col("n").alias("n_pairs"),
+        F.round(F.when(ok, b_f), ndigits).alias("beta_ylag"),
+        F.round(F.when(ok, c_f), ndigits).alias("beta_xlag"),
+        F.round(F.when(ok, f_stat), ndigits).alias("f_stat"),
+    )
+
+
+def granger_oracle_sql(
+    y_type: str,
+    x_type: str,
+    ndigits: int = 4,
+) -> str:
+    """DuckDB oracle for :func:`granger_lag_f` — identical decimal
+    moments and the identical Cramer/RSS/F double sequence."""
+    return f"""
+    WITH ys AS (
+      SELECT date_trunc('day', ts) AS d,
+             sum(CAST(value AS DECIMAL(38,6))) AS yv
+      FROM events WHERE event_type = '{y_type}' GROUP BY 1
+    ), xs AS (
+      SELECT date_trunc('day', ts) AS d,
+             sum(CAST(value AS DECIMAL(38,6))) AS xv
+      FROM events WHERE event_type = '{x_type}' GROUP BY 1
+    ), j AS (
+      SELECT c.yv AS y, p.yv AS yl, q.xv AS xl
+      FROM ys c
+      JOIN ys p ON p.d + INTERVAL 1 DAY = c.d
+      JOIN xs q ON q.d + INTERVAL 1 DAY = c.d
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(y AS DECIMAL(38,12))) AS sy,
+             sum(CAST(yl AS DECIMAL(38,12))) AS s1,
+             sum(CAST(xl AS DECIMAL(38,12))) AS s2,
+             sum(CAST(yl * yl AS DECIMAL(38,12))) AS s11,
+             sum(CAST(xl * xl AS DECIMAL(38,12))) AS s22,
+             sum(CAST(yl * xl AS DECIMAL(38,12))) AS s12,
+             sum(CAST(y * yl AS DECIMAL(38,12))) AS sy1,
+             sum(CAST(y * xl AS DECIMAL(38,12))) AS sy2,
+             sum(CAST(y * y AS DECIMAL(38,12))) AS syy
+      FROM j
+    ), dd AS (
+      SELECT n,
+             CAST(n AS DOUBLE) AS nd, CAST(sy AS DOUBLE) AS sy,
+             CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+             CAST(s11 AS DOUBLE) AS s11, CAST(s22 AS DOUBLE) AS s22,
+             CAST(s12 AS DOUBLE) AS s12, CAST(sy1 AS DOUBLE) AS sy1,
+             CAST(sy2 AS DOUBLE) AS sy2, CAST(syy AS DOUBLE) AS syy
+      FROM m
+    ), k AS (
+      SELECT *,
+        (nd * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+         + s2 * (s1 * s12 - s11 * s2)) AS det
+      FROM dd
+    ), cf AS (
+      SELECT *,
+        (sy * (s11 * s22 - s12 * s12) - s1 * (sy1 * s22 - s12 * sy2)
+         + s2 * (sy1 * s12 - s11 * sy2)) / det AS a_f,
+        (nd * (sy1 * s22 - s12 * sy2) - sy * (s1 * s22 - s12 * s2)
+         + s2 * (s1 * sy2 - sy1 * s2)) / det AS b_f,
+        (nd * (s11 * sy2 - sy1 * s12) - s1 * (s1 * sy2 - sy1 * s2)
+         + sy * (s1 * s12 - s11 * s2)) / det AS c_f,
+        (nd * sy1 - sy * s1) / (nd * s11 - s1 * s1) AS b_r
+      FROM k
+    ), r AS (
+      SELECT *,
+        syy - a_f * sy - b_f * sy1 - c_f * sy2 AS rss_f,
+        syy - ((sy - b_r * s1) / nd) * sy - b_r * sy1 AS rss_r
+      FROM cf
+    )
+    SELECT n AS n_pairs,
+           round(CASE WHEN n >= 4 AND det <> 0 AND rss_f > 0
+                      THEN b_f END, {ndigits}) AS beta_ylag,
+           round(CASE WHEN n >= 4 AND det <> 0 AND rss_f > 0
+                      THEN c_f END, {ndigits}) AS beta_xlag,
+           round(CASE WHEN n >= 4 AND det <> 0 AND rss_f > 0
+                      THEN (rss_r - rss_f) * (nd - 3.0) / rss_f
+                 END, {ndigits}) AS f_stat
+    FROM r
+    """
+
+
+# -- seasonal decomposition ----------------------------------------------
+
+
+def seasonal_decompose_dow(
+    events: DataFrame,
+    ts_col: str = "ts",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Additive STL-lite decomposition of the daily event-count
+    series: trend = centered 7-day moving average (full windows only),
+    seasonal = per-day-of-week mean of the detrended residual — the
+    decomposition that separates "Mondays are slow" from "the corpus
+    is growing", where ev_dow_seasonality's raw per-dow means conflate
+    the two.
+
+    Output: one row per day-of-week ``(dow, n_days, seasonal)`` with
+    Spark's dayofweek convention (1 = Sunday .. 7 = Saturday).
+
+    Determinism: daily counts are exact longs; the 7-day mean is one
+    double division of an exact integer sum; residuals round-6 then
+    accumulate as DECIMAL(38,6).
+
+    100 TB shape: one map-side-combined groupBy to the calendar-
+    bounded daily frame; the moving average is a +-3-day range
+    equi-join on that frame (7 rows per day), not a window funnel.
+    """
+    daily = (
+        events.select(F.to_date(F.col(ts_col)).alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    left = daily.select(F.col("d"), F.col("x"))
+    right = daily.select(F.col("d").alias("d2"), F.col("x").alias("x2"))
+    win = left.join(
+        right,
+        (F.col("d2") >= F.date_sub(F.col("d"), 3))
+        & (F.col("d2") <= F.date_add(F.col("d"), 3)),
+    )
+    trend = (
+        win.groupBy("d", "x")
+        .agg(F.count(F.lit(1)).alias("k"), F.sum("x2").alias("sx"))
+        .filter(F.col("k") == 7)
+        .select(
+            "d",
+            (
+                F.col("x").cast("double")
+                - F.col("sx").cast("double") / F.lit(7.0)
+            ).alias("resid"),
+        )
+    )
+    res = trend.select(
+        F.dayofweek("d").alias("dow"),
+        F.round(F.col("resid"), 6).cast("decimal(38,6)").alias("r6"),
+    )
+    return (
+        res.groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(
+                F.sum("r6").cast("double") / F.count(F.lit(1)), ndigits
+            ).alias("seasonal"),
+        )
+        .select("dow", "n_days", "seasonal")
+    )
+
+
+def seasonal_decompose_oracle_sql(ndigits: int = 6) -> str:
+    """DuckDB oracle for :func:`seasonal_decompose_dow` — identical
+    range join, full-window filter, and round-6 decimal ladder;
+    dayofweek shifted to Spark's 1=Sunday convention."""
+    return f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d, count(*) AS x
+      FROM events GROUP BY 1
+    ), win AS (
+      SELECT a.d, a.x, count(*) AS k, sum(b.x) AS sx
+      FROM daily a JOIN daily b
+        ON b.d >= a.d - INTERVAL 3 DAY AND b.d <= a.d + INTERVAL 3 DAY
+      GROUP BY a.d, a.x
+    ), resid AS (
+      SELECT dayofweek(d) + 1 AS dow,
+             CAST(round(CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / 7.0, 6)
+                  AS DECIMAL(38,6)) AS r6
+      FROM win WHERE k = 7
+    )
+    SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+           round(CAST(sum(r6) AS DOUBLE) / count(*), {ndigits}) AS seasonal
+    FROM resid GROUP BY dow
+    """

@@ -10319,6 +10319,71 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(edges, iterations=4)
 
 
+_PG_PERIODS = [6, 8, 12, 24, 48, 168]
+
+
+def _periodogram_oracle() -> str:
+    from pydala2_spark.operators.events import periodogram_oracle_sql
+
+    return periodogram_oracle_sql(_PG_PERIODS)
+
+
+@query("ev_periodogram", _periodogram_oracle())
+def ev_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFT power at candidate periods (6h..weekly) over the hourly
+    event-count series — cycle detection that NAMES the period where
+    ev_autocorr answers yes/no at a chosen lag. Trig weights are
+    driver-computed full-repr literals joined on (period, t mod p),
+    so no libm call happens inside either engine; products round-12
+    then accumulate as DECIMAL(38,12). One hourly groupBy, one
+    broadcast weight join, one |periods|-group agg.
+    See operators/events.periodogram."""
+    from pydala2_spark.operators.events import periodogram
+
+    return periodogram(_t(spark, sf_dir, "events"), _PG_PERIODS)
+
+
+def _granger_oracle() -> str:
+    from pydala2_spark.operators.events import granger_oracle_sql
+
+    return granger_oracle_sql("purchase", "click")
+
+
+@query("ev_granger_lag", _granger_oracle())
+def ev_granger_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-style lead-lag screen: does yesterday's click value
+    explain today's purchase value beyond yesterday's purchases?
+    Closed-form restricted-vs-full OLS (Cramer's rule on exact
+    decimal moments) with the incremental-F statistic — the pre-test
+    before a cross-series forecasting feature ships. Daily decimal
+    reductions, calendar equi-joins, one single-row moment aggregate.
+    See operators/events.granger_lag_f."""
+    from pydala2_spark.operators.events import granger_lag_f
+
+    return granger_lag_f(_t(spark, sf_dir, "events"), "purchase", "click")
+
+
+def _seasonal_oracle() -> str:
+    from pydala2_spark.operators.events import seasonal_decompose_oracle_sql
+
+    return seasonal_decompose_oracle_sql()
+
+
+@query("ev_seasonal_decompose", _seasonal_oracle())
+def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive STL-lite decomposition of daily event counts: trend =
+    centered 7-day moving average (full windows only), seasonal =
+    per-day-of-week mean residual — separates "Mondays are slow" from
+    "the corpus is growing", which ev_dow_seasonality's raw means
+    conflate. The moving average is a +-3-day range equi-join on the
+    calendar-bounded daily frame, not a window funnel; residuals
+    round-6 then accumulate as DECIMAL(38,6).
+    See operators/events.seasonal_decompose_dow."""
+    from pydala2_spark.operators.events import seasonal_decompose_dow
+
+    return seasonal_decompose_dow(_t(spark, sf_dir, "events"))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -10400,6 +10465,9 @@ _VERIFY_FIRST = [
     "graph_hits",
     "dq_candidate_keys",
     "dq_psi",
+    "ev_periodogram",
+    "ev_granger_lag",
+    "ev_seasonal_decompose",
     # --- padding to 50: stalest (r7-checked) block ---
     "dq_fk_orphans",
     "dq_benford",
