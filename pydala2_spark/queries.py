@@ -10384,6 +10384,74 @@ def ev_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_decompose_dow(_t(spark, sf_dir, "events"))
 
 
+_BUCKETED_ORACLE = """
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE), 2)
+             AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """
+
+
+@query("j_bucketed_join", _BUCKETED_ORACLE)
+def j_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join driven through the oracle gate: write
+    orders and customer as bucketed tables on the customer key
+    (sources/writer.write_bucketed — pay the shuffle ONCE at write
+    time), then join them and prove (a) the physical plan has NO
+    shuffle exchange with broadcast disabled — asserted inside the
+    query, so a silent bucketing regression fails loudly — and (b)
+    the result matches the plain-join oracle on the pristine parquet.
+    At 100 TB this is the difference between re-shuffling the fact
+    table on every query and never shuffling it again.
+    See sources/writer.write_bucketed; tests/test_bucketing.py pins
+    the same no-Exchange contract on synthetic data."""
+    from pydala2_spark.sources.writer import write_bucketed
+
+    root = _app_scoped_tmp(spark, sf_dir, "pydala2_spark_bktq")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    write_bucketed(
+        orders.withColumnRenamed("o_custkey", "custkey"),
+        "r11_bucketed_orders",
+        "custkey",
+        num_buckets=16,
+        path=f"{root}/orders",
+    )
+    write_bucketed(
+        cust.withColumnRenamed("c_custkey", "custkey"),
+        "r11_bucketed_customer",
+        "custkey",
+        num_buckets=16,
+        path=f"{root}/customer",
+    )
+    joined = spark.table("r11_bucketed_orders").join(
+        spark.table("r11_bucketed_customer"), "custkey"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = spark.table("r11_bucketed_orders").join(
+            spark.table("r11_bucketed_customer"), "custkey"
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:
+            raise AssertionError(
+                "bucketed join planned a shuffle exchange - bucketing "
+                "metadata was lost:\n" + plan
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,2)")).cast("double"),
+            2,
+        ).alias("revenue"),
+    )
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -10468,6 +10536,7 @@ _VERIFY_FIRST = [
     "ev_periodogram",
     "ev_granger_lag",
     "ev_seasonal_decompose",
+    "j_bucketed_join",
     # --- padding to 50: stalest (r7-checked) block ---
     "dq_fk_orphans",
     "dq_benford",
