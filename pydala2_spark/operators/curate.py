@@ -2241,3 +2241,111 @@ def textrank_edges_oracle_sql(
       UNION ALL
       SELECT d AS src, s AS dst, w FROM u
     )"""
+
+
+# -- out-of-vocabulary rate ----------------------------------------------
+
+
+def oov_rate(
+    docs: DataFrame,
+    ref_col,
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Out-of-vocabulary rate of one corpus half against the other's
+    vocabulary — the tokenizer-coverage / domain-shift eval a training
+    pipeline runs before committing a vocab (a rising token-OOV rate
+    on fresh data means the tokenizer was fit on a stale mix;
+    type-OOV rising faster than token-OOV means a long tail of new
+    jargon, not a frequency shift).
+
+    ``ref_col`` is a boolean Column: true rows define the reference
+    vocabulary, false rows are evaluated against it. Whitespace
+    tokenization (the corpus token convention); empty tokens dropped.
+
+    One row out: ``(n_tokens, n_oov_tokens, token_oov_rate, n_types,
+    n_oov_types, type_oov_rate)``.
+
+    100 TB shape: one explode pass; the reference vocabulary is
+    Zipf-bounded (distinct tokens grow ~sqrt of corpus — Heaps' law),
+    so the membership join broadcasts; the type-level stats
+    re-aggregate the evaluated side's distinct table, not the corpus.
+    """
+    toks = docs.select(
+        ref_col.alias("__ref"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.filter(F.col("__ref"))
+        .select("tok")
+        .distinct()
+        .withColumn("__in", F.lit(1))
+    )
+    b = toks.filter(~F.col("__ref")).select("tok")
+    marked = b.join(F.broadcast(vocab), "tok", "left")
+    tok_stats = marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.count(F.when(F.col("__in").isNull(), F.lit(1)))
+        .cast("long")
+        .alias("n_oov_tokens"),
+    )
+    type_stats = (
+        marked.select("tok", "__in")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.count(F.when(F.col("__in").isNull(), F.lit(1)))
+            .cast("long")
+            .alias("n_oov_types"),
+        )
+    )
+    return tok_stats.crossJoin(F.broadcast(type_stats)).select(
+        "n_tokens",
+        "n_oov_tokens",
+        F.round(
+            F.col("n_oov_tokens").cast("double")
+            / F.col("n_tokens").cast("double"),
+            ndigits,
+        ).alias("token_oov_rate"),
+        "n_types",
+        "n_oov_types",
+        F.round(
+            F.col("n_oov_types").cast("double")
+            / F.col("n_types").cast("double"),
+            ndigits,
+        ).alias("type_oov_rate"),
+    )
+
+
+def oov_rate_oracle_sql(ref_sql: str, ndigits: int = 6) -> str:
+    """DuckDB oracle for :func:`oov_rate` over the documents table;
+    ``ref_sql`` is the boolean reference-half predicate."""
+    return f"""
+    WITH toks AS (
+      SELECT ({ref_sql}) AS ref, u.t AS tok
+      FROM documents, unnest(string_split(text, ' ')) AS u(t)
+      WHERE u.t <> ''
+    ), vocab AS (SELECT DISTINCT tok FROM toks WHERE ref),
+    b AS (SELECT tok FROM toks WHERE NOT ref),
+    marked AS (
+      SELECT b.tok, v.tok IS NOT NULL AS inv
+      FROM b LEFT JOIN vocab v USING (tok)
+    ), tok_stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(CASE WHEN NOT inv THEN 1 END) AS BIGINT)
+               AS n_oov_tokens
+      FROM marked
+    ), type_stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_types,
+             CAST(count(CASE WHEN NOT inv THEN 1 END) AS BIGINT)
+               AS n_oov_types
+      FROM (SELECT DISTINCT tok, inv FROM marked)
+    )
+    SELECT n_tokens, n_oov_tokens,
+           round(CAST(n_oov_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE),
+                 {ndigits}) AS token_oov_rate,
+           n_types, n_oov_types,
+           round(CAST(n_oov_types AS DOUBLE) / CAST(n_types AS DOUBLE),
+                 {ndigits}) AS type_oov_rate
+    FROM tok_stats, type_stats
+    """

@@ -10452,6 +10452,75 @@ def j_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DPP_ORACLE = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2)
+             AS value_sum
+    FROM events
+    WHERE dayofweek(date_trunc('day', ts)) + 1 = 2
+    GROUP BY 1
+    """
+
+
+@query("p_dynamic_partition_pruning", _DPP_ORACLE)
+def p_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning driven through the oracle gate: land
+    events day-partitioned, join the fact against a filtered dim
+    (Mondays), and assert INSIDE the query that the fact scan carries
+    a ``dynamicpruningexpression`` PartitionFilter (the broadcast-
+    reusing subquery that prunes fact partitions at RUNTIME from the
+    dim side) — the Spark feature that turns a 100 TB
+    fact-x-filtered-dim join into a read of only the matching
+    partitions, complementing hive_partitioned_scan's static pruning.
+    The oracle recomputes the Monday aggregate from the pristine
+    table, so the partitioned round-trip must also preserve values."""
+    path = _app_scoped_tmp(spark, sf_dir, "pydala2_spark_dppq")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "value", F.to_date("ts").alias("d")
+    )
+    ev.write.mode("overwrite").partitionBy("d").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        fact.select("d")
+        .distinct()
+        .withColumn("dow", F.dayofweek("d"))
+        .filter(F.col("dow") == 2)
+    )
+    joined = fact.join(dim, "d")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    if "dynamicpruningexpression" not in plan:
+        raise AssertionError(
+            "fact scan lost its dynamic partition pruning filter:\n" + plan
+        )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 2
+        ).alias("value_sum"),
+    )
+
+
+def _oov_oracle() -> str:
+    from pydala2_spark.operators.curate import oov_rate_oracle_sql
+
+    return oov_rate_oracle_sql("doc_id % 2 = 0")
+
+
+@query("doc_oov_rate", _oov_oracle())
+def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate of the odd corpus half against the even
+    half's vocabulary (token-level and type-level) — the tokenizer-
+    coverage / domain-shift eval before committing a vocab: token-OOV
+    rising means a stale fit, type-OOV rising faster means new
+    jargon. One explode pass; the Heaps-bounded vocabulary broadcasts
+    for the membership join; type stats re-aggregate the distinct
+    table, not the corpus. See operators/curate.oov_rate."""
+    from pydala2_spark.operators.curate import oov_rate
+
+    return oov_rate(_t(spark, sf_dir, "documents"), F.col("doc_id") % 2 == 0)
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -10537,6 +10606,8 @@ _VERIFY_FIRST = [
     "ev_granger_lag",
     "ev_seasonal_decompose",
     "j_bucketed_join",
+    "p_dynamic_partition_pruning",
+    "doc_oov_rate",
     # --- padding to 50: stalest (r7-checked) block ---
     "dq_fk_orphans",
     "dq_benford",
