@@ -1261,3 +1261,156 @@ def hits_oracle_sql(edges_sql: str, iterations: int = 4) -> str:
         f"    SELECT auth AS node, 'authority' AS role, a AS score"
         f" FROM a{last}"
     )
+
+
+def negative_edge_samples(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Deterministic negative sampling for link-prediction training
+    data, with a per-label common-neighbor feature summary — the
+    contrastive-pairs generator on the graph side (the counterpart of
+    similarity.hard_negatives for embeddings): every positive edge
+    (u, v) is corrupted to the candidate negative (u, succ(v)) where
+    ``succ`` is the next node in id order (wrapping) — the standard
+    corrupt-the-tail scheme made reproducible (no RNG), linear (no
+    candidate cross join), and oracle-checkable. Corruptions that
+    collide with a real edge or a self-loop are dropped (the usual
+    filtered-negative protocol).
+
+    Output: one row per label — ``(label, n_pairs, n_with_cn,
+    avg_cn)`` where cn is the common-neighbor count, the
+    link-prediction feature whose separation between label 1 and
+    label 0 is exactly what a downstream ranker learns.
+
+    100 TB shape: node ranks come from a distributed range-prefix
+    (no global window); succ is an equi-join on rank+1; negatives are
+    one anti-join on the canonical pair; the CN feature is two
+    adjacency equi-joins per pair set. The canonical edge frame is
+    consumed four times and localCheckpoint-ed.
+    """
+    from pydala2_spark.functions.skew import distributed_prefix
+
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    ranked = distributed_prefix(nodes, ["node"], rank_col="r").localCheckpoint()
+    nv = ranked.agg(F.count(F.lit(1)).alias("__nv"))
+    succ = (
+        ranked.crossJoin(F.broadcast(nv))
+        .select(
+            "node",
+            (F.pmod(F.col("r"), F.col("__nv")) + 1).alias("__rn"),
+        )
+        .join(
+            ranked.select(F.col("node").alias("succ"), F.col("r").alias("__rn")),
+            "__rn",
+        )
+        .select("node", "succ")
+    )
+    neg = (
+        e.join(succ.withColumnRenamed("node", "b"), "b")
+        .select(
+            F.least(F.col("a"), F.col("succ")).alias("a"),
+            F.greatest(F.col("a"), F.col("succ")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .join(e, ["a", "b"], "left_anti")
+    )
+    pairs = e.select("a", "b", F.lit(1).alias("label")).unionByName(
+        neg.select("a", "b", F.lit(0).alias("label"))
+    )
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    cn = (
+        pairs.join(adj.select(F.col("u").alias("a"), F.col("v").alias("m")), "a")
+        .join(adj.select(F.col("u").alias("b"), F.col("v").alias("m")), ["b", "m"])
+        .groupBy("a", "b", "label")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    feat = pairs.join(cn, ["a", "b", "label"], "left").select(
+        "label", F.coalesce("cn", F.lit(0)).alias("cn")
+    )
+    return (
+        feat.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.count(F.when(F.col("cn") > 0, F.lit(1)))
+            .cast("long")
+            .alias("n_with_cn"),
+            F.round(
+                F.sum(F.col("cn").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1)),
+                ndigits,
+            ).alias("avg_cn"),
+        )
+        .select("label", "n_pairs", "n_with_cn", "avg_cn")
+    )
+
+
+def negative_samples_oracle_sql(edges_sql: str, ndigits: int = 6) -> str:
+    """DuckDB oracle for :func:`negative_edge_samples` — identical
+    canonical edges, rank/successor corruption, filtered anti-join,
+    and common-neighbor summary. ``edges_sql`` must yield (src, dst).
+    CTEs referenced more than once are MATERIALIZED (the hits oracle
+    lesson)."""
+    return f"""
+    WITH raw AS ({edges_sql}),
+    e AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ), nodes AS (
+      SELECT a AS node FROM e UNION SELECT b FROM e
+    ), ranked AS MATERIALIZED (
+      SELECT node, row_number() OVER (ORDER BY node) AS r FROM nodes
+    ), succ AS MATERIALIZED (
+      SELECT x.node, y.node AS succ
+      FROM ranked x
+      JOIN ranked y
+        ON y.r = (x.r % (SELECT count(*) FROM ranked)) + 1
+    ), neg AS MATERIALIZED (
+      SELECT DISTINCT p.a, p.b
+      FROM (
+        SELECT least(e.a, s.succ) AS a, greatest(e.a, s.succ) AS b
+        FROM e JOIN succ s ON s.node = e.b
+      ) p
+      WHERE p.a <> p.b
+        AND NOT EXISTS (SELECT 1 FROM e WHERE e.a = p.a AND e.b = p.b)
+    ), pairs AS MATERIALIZED (
+      SELECT a, b, 1 AS label FROM e
+      UNION ALL
+      SELECT a, b, 0 AS label FROM neg
+    ), adj AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+    ), cn AS MATERIALIZED (
+      SELECT p.a, p.b, p.label, count(*) AS cn
+      FROM pairs p
+      JOIN adj x ON x.u = p.a
+      JOIN adj y ON y.u = p.b AND y.v = x.v
+      GROUP BY p.a, p.b, p.label
+    ), feat AS (
+      SELECT p.label, coalesce(c.cn, 0) AS cn
+      FROM pairs p
+      LEFT JOIN cn c ON c.a = p.a AND c.b = p.b AND c.label = p.label
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(CASE WHEN cn > 0 THEN 1 END) AS BIGINT) AS n_with_cn,
+           round(CAST(sum(CAST(cn AS DECIMAL(38,0))) AS DOUBLE) / count(*),
+                 {ndigits}) AS avg_cn
+    FROM feat GROUP BY label
+    """

@@ -10521,6 +10521,45 @@ def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oov_rate(_t(spark, sf_dir, "documents"), F.col("doc_id") % 2 == 0)
 
 
+def _neg_samples_oracle() -> str:
+    from pydala2_spark.operators.graph import negative_samples_oracle_sql
+
+    return negative_samples_oracle_sql(
+        """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                       FROM lineitem WHERE l_quantity >= 45)
+           SELECT x.p AS src, y.p AS dst
+           FROM li x JOIN li y ON x.o = y.o AND x.p < y.p"""
+    )
+
+
+@query("graph_negative_samples", _neg_samples_oracle())
+def graph_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corrupt-the-tail negative sampling for link-
+    prediction training data over the co-purchase graph, summarized by
+    the common-neighbor feature per label — the graph-side
+    contrastive-pairs generator (emb_hard_negatives' counterpart):
+    positives should separate from filtered negatives on cn, and this
+    query MEASURES that separation. No RNG (successor-in-id-order
+    corruption), no candidate cross join (rank equi-join), negatives
+    filtered against real edges by one anti-join.
+    See operators/graph.negative_edge_samples."""
+    from pydala2_spark.operators.graph import negative_edge_samples
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    edges = (
+        li.alias("x")
+        .join(li.alias("y"), "o")
+        .filter(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+    )
+    return negative_edge_samples(edges)
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -10608,6 +10647,7 @@ _VERIFY_FIRST = [
     "j_bucketed_join",
     "p_dynamic_partition_pruning",
     "doc_oov_rate",
+    "graph_negative_samples",
     # --- padding to 50: stalest (r7-checked) block ---
     "dq_fk_orphans",
     "dq_benford",

@@ -242,6 +242,8 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         # L1-normalizer one-row aggregate frames, attached per
         # iteration — same 1-row broadcast shape as q11
         "graph_hits",
+        # node-count one-row frame for the wrap-around successor rank
+        "graph_negative_samples",
         # node-count and dangling-mass one-row aggregate frames,
         # attached per iteration — same 1-row broadcast shape as q11
         "graph_pagerank",
