@@ -10560,6 +10560,59 @@ def graph_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_edge_samples(edges)
 
 
+_UPSERT_SINK_ORACLE = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2)
+             AS value_sum,
+           round(min(value), 2) AS min_value
+    FROM events
+    GROUP BY 1
+    """
+
+
+@query("stream_upsert_sink", _UPSERT_SINK_ORACLE)
+def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thirteenth streaming oracle query: CDC-style streaming UPSERT
+    sink — the landing zone drains through foreachBatch into a managed
+    dataset via the keyed merge, with per-batch markers making replays
+    effectively-once (streaming/pipeline.merge_stream). The target is
+    PRE-SEEDED with corrupted rows (value = -9999 for every tenth
+    event), so the oracle comparison against the pristine table proves
+    the upsert actually OVERWROTE matched keys rather than appending:
+    a surviving seed row drags min_value and value_sum off the oracle.
+    At 100 TB the per-batch cost is proportional to the files whose
+    key ranges the batch touches, not the dataset size."""
+    import shutil
+
+    from pydala2_spark.streaming.pipeline import merge_stream
+
+    root = _app_scoped_tmp(spark, sf_dir, "pydala2_spark_upsq")
+    run = f"{root}/run"
+    shutil.rmtree(run, ignore_errors=True)
+    target, ckpt = f"{run}/target", f"{run}/ckpt"
+    ev = _t(spark, sf_dir, "events")
+    seed = ev.filter(F.col("event_id") % 10 == 0).withColumn(
+        "value", F.lit(-9999.0)
+    )
+    seed.write.parquet(target)
+    merge_stream(
+        spark,
+        f"{sf_dir}/events.parquet",
+        target,
+        key_columns=["event_id"],
+        checkpoint_dir=ckpt,
+    )
+    back = spark.read.parquet(target)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 2
+        ).alias("value_sum"),
+        F.round(F.min("value"), 2).alias("min_value"),
+    )
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -10648,6 +10701,7 @@ _VERIFY_FIRST = [
     "p_dynamic_partition_pruning",
     "doc_oov_rate",
     "graph_negative_samples",
+    "stream_upsert_sink",
     # --- padding to 50: stalest (r7-checked) block ---
     "dq_fk_orphans",
     "dq_benford",
