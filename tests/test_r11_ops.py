@@ -1,0 +1,244 @@
+"""Round-11 operator contracts: Spearman, PSI, candidate keys, HITS,
+periodogram, Granger lead-lag, seasonal decomposition, OOV rate,
+negative sampling."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1, rows
+    return rows[0]
+
+
+# -- Spearman ------------------------------------------------------------
+
+
+def _spearman_numpy(xs, ys):
+    import numpy as np
+
+    def avg_ranks(v):
+        v = np.asarray(v, dtype=float)
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v))
+        i = 0
+        sv = v[order]
+        while i < len(v):
+            j = i
+            while j < len(v) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j + 1) / 2.0  # 1-based average rank
+            i = j
+        return ranks
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    rx, ry = rx - rx.mean(), ry - ry.mean()
+    return float((rx * ry).sum() / math.sqrt((rx**2).sum() * (ry**2).sum()))
+
+
+def test_spearman_matches_numpy_with_ties(spark):
+    from pydala2_spark.functions.dq import spearman_corr
+
+    xs = [1, 2, 2, 3, 3, 3, 10, 4, 5, 1]
+    ys = [2.0, 1.0, 3.0, 3.0, 5.0, 4.0, 30.0, 4.0, 6.0, 0.5]
+    df = spark.createDataFrame(pd.DataFrame({"x": xs, "y": ys}))
+    row = _one(spearman_corr(df, "x", "y"))
+    assert row["n_pairs"] == 10
+    assert row["spearman_rho"] == pytest.approx(
+        _spearman_numpy(xs, ys), abs=1e-6
+    )
+
+
+def test_spearman_perfect_monotone(spark):
+    from pydala2_spark.functions.dq import spearman_corr
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"x": range(20), "y": [v**3 for v in range(20)]})
+    )
+    assert _one(spearman_corr(df, "x", "y"))["spearman_rho"] == 1.0
+
+
+# -- PSI -----------------------------------------------------------------
+
+
+def test_psi_zero_for_identical_cohorts(spark):
+    from pydala2_spark.functions.dq import psi_report
+
+    pdf = pd.DataFrame({"v": list(range(100)) * 2, "g": [0] * 100 + [1] * 100})
+    df = spark.createDataFrame(pdf)
+    row = _one(psi_report(df, "v", F.col("g") == 0, bin_width=10, max_bin=9))
+    assert row["psi"] == 0.0 and row["n_a"] == row["n_b"] == 100
+
+
+def test_psi_detects_shift(spark):
+    from pydala2_spark.functions.dq import psi_report
+
+    pdf = pd.DataFrame(
+        {
+            "v": list(range(100)) + [v + 50 for v in range(100)],
+            "g": [0] * 100 + [1] * 100,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    row = _one(psi_report(df, "v", F.col("g") == 0, bin_width=10, max_bin=14))
+    assert row["psi"] > 0.25  # a half-range shift is "broken" territory
+
+
+# -- candidate keys ------------------------------------------------------
+
+
+def test_candidate_keys_verdicts(spark):
+    from pydala2_spark.functions.dq import candidate_keys
+
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4],
+            "dup": [1, 1, 2, 2],
+            "nul": [1.0, 2.0, None, 4.0],
+        }
+    )
+    out = {
+        r["column"]: r
+        for r in candidate_keys(
+            spark.createDataFrame(pdf), ["id", "dup", "nul"]
+        ).collect()
+    }
+    assert out["id"]["is_candidate_key"] is True
+    assert out["dup"]["is_candidate_key"] is False
+    assert out["nul"]["is_candidate_key"] is False  # null disqualifies
+    assert out["dup"]["n_distinct"] == 2 and out["nul"]["n_nulls"] == 1
+
+
+# -- HITS ----------------------------------------------------------------
+
+
+def test_hits_star_graph(spark):
+    """One hub pointing at 3 authorities + a 1-edge straggler: the
+    star hub must out-score the straggler hub, the shared authorities
+    tie, and each role's scores L1-sum to ~1."""
+    from pydala2_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {"hub": [1, 1, 1, 2], "auth": [10, 11, 12, 10]}
+        )
+    )
+    rows = hits(edges, iterations=4).collect()
+    hubs = {r["node"]: r["score"] for r in rows if r["role"] == "hub"}
+    auths = {r["node"]: r["score"] for r in rows if r["role"] == "authority"}
+    assert hubs[1] > hubs[2]
+    assert auths[11] == auths[12] and auths[10] > auths[11]
+    assert sum(hubs.values()) == pytest.approx(1.0, abs=1e-9)
+    assert sum(auths.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+# -- periodogram ---------------------------------------------------------
+
+
+def test_periodogram_finds_planted_cycle(spark):
+    """Events clustered every 8 hours: power at period 8 dominates the
+    other candidates."""
+    from pydala2_spark.operators.events import periodogram
+
+    rows = []
+    for t in range(24 * 14):  # 14 days of hours
+        n = 5 + (4 if t % 8 == 0 else 0)
+        for _ in range(n):
+            rows.append(pd.Timestamp("2024-01-01") + pd.Timedelta(hours=t))
+    df = spark.createDataFrame(pd.DataFrame({"ts": rows}))
+    out = {r["period"]: r["power"] for r in periodogram(df, [5, 7, 8, 12]).collect()}
+    assert out[8] > 5 * max(out[5], out[7], out[12])
+
+
+# -- Granger -------------------------------------------------------------
+
+
+def test_granger_detects_planted_lead(spark):
+    """y_t == x_{t-1} by construction -> beta_xlag ~= 1 and a huge F."""
+    from pydala2_spark.operators.events import granger_lag_f
+
+    days = pd.date_range("2024-01-01", periods=40, freq="D")
+    xs = [float((7 * i) % 13 + 1) for i in range(40)]
+    recs = []
+    for i, d in enumerate(days):
+        recs.append((d + pd.Timedelta(hours=1), "x", xs[i]))
+        if i > 0:
+            # small deterministic wobble keeps RSS_full > 0 (an exact
+            # fit is NULLed by the degenerate-model guard)
+            recs.append(
+                (d + pd.Timedelta(hours=2), "y", xs[i - 1] + 0.01 * ((3 * i) % 7))
+            )
+    df = spark.createDataFrame(
+        pd.DataFrame(recs, columns=["ts", "event_type", "value"])
+    )
+    row = _one(granger_lag_f(df, "y", "x"))
+    assert row["beta_xlag"] == pytest.approx(1.0, abs=0.05)
+    assert row["f_stat"] > 1e3
+
+
+# -- seasonal decomposition ----------------------------------------------
+
+
+def test_seasonal_decompose_recovers_dow_bump(spark):
+    """Flat daily traffic + a +70 bump every Sunday: the Sunday
+    seasonal index is ~+60 (7-day MA absorbs 10), all others ~-10."""
+    from pydala2_spark.operators.events import seasonal_decompose_dow
+
+    days = pd.date_range("2024-01-01", periods=42, freq="D")
+    recs = []
+    for d in days:
+        n = 30 + (70 if d.dayofweek == 6 else 0)  # pandas: 6 = Sunday
+        for k in range(n):
+            recs.append(d + pd.Timedelta(minutes=k))
+    df = spark.createDataFrame(pd.DataFrame({"ts": recs}))
+    out = {r["dow"]: r["seasonal"] for r in seasonal_decompose_dow(df).collect()}
+    assert out[1] == pytest.approx(60.0, abs=1.0)  # Spark dow 1 = Sunday
+    for dow in range(2, 8):
+        assert out[dow] == pytest.approx(-10.0, abs=1.0)
+
+
+# -- OOV rate ------------------------------------------------------------
+
+
+def test_oov_rate_counts(spark):
+    from pydala2_spark.operators.curate import oov_rate
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 2, 1, 3],
+            "text": ["a b c", "a d", "a b x", "x y y"],
+        }
+    )
+    row = _one(
+        oov_rate(spark.createDataFrame(pdf), F.col("doc_id") % 2 == 0)
+    )
+    # eval half tokens: a b x x y y -> oov x,x,y,y (4/6); types a b x y
+    assert row["n_tokens"] == 6 and row["n_oov_tokens"] == 4
+    assert row["n_types"] == 4 and row["n_oov_types"] == 2
+    assert row["token_oov_rate"] == pytest.approx(4 / 6, abs=1e-6)
+
+
+# -- negative sampling ---------------------------------------------------
+
+
+def test_negative_samples_hand_checked(spark):
+    """Triangle 1-2-3 + pendant 3-4, ranks = ids, succ wraps 4->1.
+    Corruptions: (1,succ(2))=(1,3) collides, (1,succ(3))=(1,4) kept,
+    (2,succ(3))=(2,4) kept, (3,succ(4))=(1,3) collides -> negatives
+    {(1,4),(2,4)}, each with exactly one common neighbor (node 3);
+    positives average cn = (1+1+1+0)/4."""
+    from pydala2_spark.operators.graph import negative_edge_samples
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": [1, 1, 2, 3], "dst": [2, 3, 3, 4]})
+    )
+    out = {r["label"]: r for r in negative_edge_samples(edges).collect()}
+    assert out[1]["n_pairs"] == 4 and out[1]["avg_cn"] == 0.75
+    assert out[0]["n_pairs"] == 2 and out[0]["avg_cn"] == 1.0
+    assert out[0]["n_with_cn"] == 2 and out[1]["n_with_cn"] == 3
