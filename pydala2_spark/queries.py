@@ -10613,6 +10613,119 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_multiprobe_oracle() -> str:
+    """Oracle for emb_lsh_multiprobe: exact / single-probe / 1-flip
+    multi-probe top-5 ranked identically, hits aggregated per query."""
+    bucket = _srp_bucket_sql(8)
+    masks = ", ".join(f"({m})" for m in [0] + [1 << p for p in range(8)])
+    return f"""
+    WITH u AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)
+               / sqrt(list_sum(list_transform(embedding,
+                        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS uv,
+             {bucket} AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, uv AS qv, bucket FROM u WHERE vec_id < 10
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_sum(list_transform(generate_series(1, 64),
+                       i -> c.uv[i] * q.qv[i])), 4) DESC, c.vec_id ASC)
+                 AS rank
+        FROM u c CROSS JOIN q WHERE c.vec_id <> q.query_id
+      ) WHERE rank <= 5
+    ), single AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_sum(list_transform(generate_series(1, 64),
+                       i -> c.uv[i] * q.qv[i])), 4) DESC, c.vec_id ASC)
+                 AS rank
+        FROM u c JOIN q ON c.bucket = q.bucket
+        WHERE c.vec_id <> q.query_id
+      ) WHERE rank <= 5
+    ), qm AS (
+      SELECT query_id, qv, xor(bucket, m.mask) AS bucket
+      FROM q, (VALUES {masks}) AS m(mask)
+    ), multi AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qm.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY qm.query_id ORDER BY
+                 round(list_sum(list_transform(generate_series(1, 64),
+                       i -> c.uv[i] * qm.qv[i])), 4) DESC, c.vec_id ASC)
+                 AS rank
+        FROM u c JOIN qm ON c.bucket = qm.bucket
+        WHERE c.vec_id <> qm.query_id
+      ) WHERE rank <= 5
+    )
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(s.neighbor_id) AS BIGINT) AS hits_single,
+           CAST(count(m.neighbor_id) AS BIGINT) AS hits_multi,
+           round(CAST(count(s.neighbor_id) AS DOUBLE) / count(*), 4)
+             AS recall_single,
+           round(CAST(count(m.neighbor_id) AS DOUBLE) / count(*), 4)
+             AS recall_multi
+    FROM exact e
+    LEFT JOIN single s USING (query_id, neighbor_id)
+    LEFT JOIN multi m USING (query_id, neighbor_id)
+    GROUP BY e.query_id
+    """
+
+
+@query("emb_lsh_multiprobe", _lsh_multiprobe_oracle())
+def emb_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH recall evaluation: per-query recall@5 of the
+    single-bucket SRP probe vs the 1-flip multi-probe (query-side
+    fan-out to the 8 Hamming-adjacent buckets) against the exact
+    brute-force top-5 — MEASURING the standard recall lever instead
+    of asserting it. Multi-probe costs |queries| x (planes+1)
+    broadcast rows and never a second corpus pass; at 100 TB the
+    corpus side still partitions by one bucket id per vector.
+    See operators/similarity.cosine_topk_lsh(multi_probe=...)."""
+    from pydala2_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, probes, k=5).select("query_id", "neighbor_id")
+    single = (
+        cosine_topk_lsh(emb, probes, k=5)
+        .select("query_id", "neighbor_id")
+        .withColumn("__s", F.lit(1))
+    )
+    multi = (
+        cosine_topk_lsh(emb, probes, k=5, multi_probe=1)
+        .select("query_id", "neighbor_id")
+        .withColumn("__m", F.lit(1))
+    )
+    j = exact.join(F.broadcast(single), ["query_id", "neighbor_id"], "left").join(
+        F.broadcast(multi), ["query_id", "neighbor_id"], "left"
+    )
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.coalesce("__s", F.lit(0))).cast("long").alias("hits_single"),
+            F.sum(F.coalesce("__m", F.lit(0))).cast("long").alias("hits_multi"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "hits_single",
+            "hits_multi",
+            F.round(
+                F.col("hits_single").cast("double") / F.col("n_exact"), 4
+            ).alias("recall_single"),
+            F.round(
+                F.col("hits_multi").cast("double") / F.col("n_exact"), 4
+            ).alias("recall_multi"),
+        )
+    )
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -10702,6 +10815,7 @@ _VERIFY_FIRST = [
     "doc_oov_rate",
     "graph_negative_samples",
     "stream_upsert_sink",
+    "emb_lsh_multiprobe",
     # --- padding to 50: stalest (r7-checked) block ---
     "dq_fk_orphans",
     "dq_benford",

@@ -1069,6 +1069,101 @@ def main():
 
         out.setdefault("holt_winters", {})[label] = timed(run_hw, reps=2)
 
+
+    # ---- round-11 operators ------------------------------------------
+
+    def norm_ts(df):
+        if dict(df.dtypes).get("ts") == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
+
+    if want("spearman"):
+        from pydala2_spark.functions.dq import spearman_corr
+
+        for label, p in (("1x", "ev_1x"), ("big", "ev_big")):
+            d = spark.read.parquet(f"{ROOT}/{p}")
+            out.setdefault("spearman", {})[label] = timed(
+                lambda d=d: spearman_corr(d, "value", "user_id").collect(),
+                reps=2,
+            )
+
+    if want("periodogram"):
+        from pydala2_spark.operators.events import periodogram
+
+        for label, p in (("1x", "ev_1x"), ("big", "ev_big")):
+            d = norm_ts(spark.read.parquet(f"{ROOT}/{p}"))
+            out.setdefault("periodogram", {})[label] = timed(
+                lambda d=d: periodogram(d, [6, 8, 12, 24, 48, 168]).collect(),
+                reps=2,
+            )
+
+    if want("granger"):
+        from pydala2_spark.operators.events import granger_lag_f
+
+        for label, p in (("1x", "ev_1x"), ("big", "ev_big")):
+            d = norm_ts(spark.read.parquet(f"{ROOT}/{p}"))
+            out.setdefault("granger", {})[label] = timed(
+                lambda d=d: granger_lag_f(d, "purchase", "click").collect(),
+                reps=2,
+            )
+
+    if want("seasonal"):
+        from pydala2_spark.operators.events import seasonal_decompose_dow
+
+        for label, p in (("1x", "ev_1x"), ("big", "ev_big")):
+            d = norm_ts(spark.read.parquet(f"{ROOT}/{p}"))
+            out.setdefault("seasonal", {})[label] = timed(
+                lambda d=d: seasonal_decompose_dow(d).collect(), reps=2
+            )
+
+    if want("psi"):
+        from pydala2_spark.functions.dq import psi_report
+
+        for label, p in (("1x", "docs_1x"), ("big", "docs_big")):
+            d = spark.read.parquet(f"{ROOT}/{p}")
+            out.setdefault("psi", {})[label] = timed(
+                lambda d=d: psi_report(
+                    d, "n_chars", F.col("doc_id") % 2 == 0,
+                    bin_width=64, max_bin=8,
+                ).collect(),
+                reps=2,
+            )
+
+    if want("oov"):
+        from pydala2_spark.operators.curate import oov_rate
+
+        for label, p in (("1x", "docs_1x"), ("big", "docs_big")):
+            d = spark.read.parquet(f"{ROOT}/{p}")
+            out.setdefault("oov_rate", {})[label] = timed(
+                lambda d=d: oov_rate(d, F.col("doc_id") % 2 == 0).collect(),
+                reps=2,
+            )
+
+    if want("candidate_keys"):
+        from pydala2_spark.functions.dq import candidate_keys
+
+        for label, p in (("1x", "ev_1x"), ("big", "ev_big")):
+            d = spark.read.parquet(f"{ROOT}/{p}")
+            out.setdefault("candidate_keys", {})[label] = timed(
+                lambda d=d: candidate_keys(
+                    d, ["event_id", "user_id", "event_type"]
+                ).collect(),
+                reps=2,
+            )
+
+    if want("hits"):
+        from pydala2_spark.operators.graph import hits
+
+        for label, p in (("1x", "ev_1x"), ("big", "ev_big")):
+            d = norm_ts(spark.read.parquet(f"{ROOT}/{p}"))
+            edges = d.select(
+                F.col("user_id").alias("hub"),
+                F.to_date("ts").alias("auth"),
+            )
+            out.setdefault("hits", {})[label] = timed(
+                lambda e=edges: hits(e, iterations=4).count(), reps=2
+            )
+
     print(f"{'op':24s} {'1x':>7s} {'x' + str(FACTOR):>7s} {'ratio':>7s}")
     for op, t in out.items():
         ratio = t["big"] / t["1x"]
