@@ -161,3 +161,98 @@ def distributed_ntile(
         .cast("int")
     )
     return r.withColumn(out_col, bucket).drop("__r", "__n")
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    qs: list[float],
+    ndigits: int = 6,
+) -> DataFrame:
+    """Exact weighted quantiles WITHOUT a global window: the smallest
+    value whose cumulative weight reaches q x W, for each q — the
+    weighted median/quartiles a pricing or capacity analysis needs
+    when every row does not count equally (revenue-weighted price
+    percentiles, bytes-weighted file-size quantiles).
+
+    Shape: one map-side-combined groupBy to the distinct-value table
+    (weights summed exactly as DECIMAL(38,6)), one distributed range-
+    prefix over it (:func:`distributed_prefix` — range shuffle +
+    broadcast offsets, never a one-task window), one single-row
+    aggregate. Thresholds compare in double against the exact decimal
+    prefix — both engines evaluate the identical expression.
+
+    Output: one row per q — ``(q, total_weight, value)``.
+    """
+    if not qs or any(not 0 < q <= 1 for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1], got {qs}")
+    g = (
+        df.select(
+            F.col(value_col).alias("v"),
+            F.col(weight_col).cast("decimal(38,6)").alias("w"),
+        )
+        .filter(F.col("v").isNotNull() & F.col("w").isNotNull())
+        .groupBy("v")
+        .agg(F.sum("w").alias("cw"))
+    )
+    pre = distributed_prefix(g, ["v"], sum_col="cw", cum_col="__cum")
+    tot = pre.agg(F.max("__cum").alias("__w"))
+    j = pre.crossJoin(F.broadcast(tot)).select(
+        "v",
+        F.col("__cum").cast("double").alias("cum"),
+        F.col("__w").cast("double").alias("w"),
+    )
+    aggs = []
+    for q in qs:
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") >= F.lit(q) * F.col("w"), F.col("v"))
+            ).alias(f"v_{int(q * 10000)}")
+        )
+    row = j.agg(F.round(F.max("w"), ndigits).alias("total_weight"), *aggs)
+    arms = [
+        F.struct(
+            F.lit(q).alias("q"),
+            F.col("total_weight"),
+            F.col(f"v_{int(q * 10000)}").alias("value"),
+        )
+        for q in qs
+    ]
+    return row.select(F.explode(F.array(*arms)).alias("r")).select("r.*")
+
+
+def weighted_quantiles_oracle_sql(
+    table_sql: str,
+    value_col: str,
+    weight_col: str,
+    qs: list[float],
+    ndigits: int = 6,
+) -> str:
+    """DuckDB oracle for :func:`weighted_quantiles` — window cumsum
+    over the same decimal-weighted distinct-value table (fine at
+    oracle SF), identical double threshold comparison."""
+    arms = []
+    for q in qs:
+        arms.append(
+            f"SELECT CAST({q!r} AS DOUBLE) AS q, total_weight,"
+            f" (SELECT min(v) FROM pre"
+            f"  WHERE CAST(cum AS DOUBLE) >= {q!r} * CAST(w0.w AS DOUBLE))"
+            f" AS value FROM w0"
+        )
+    return f"""
+    WITH g AS (
+      SELECT {value_col} AS v,
+             sum(CAST({weight_col} AS DECIMAL(38,6))) AS cw
+      FROM ({table_sql})
+      WHERE {value_col} IS NOT NULL AND {weight_col} IS NOT NULL
+      GROUP BY 1
+    ), pre AS MATERIALIZED (
+      SELECT v, sum(cw) OVER (ORDER BY v) AS cum FROM g
+    ), w0 AS MATERIALIZED (
+      SELECT max(cum) AS w,
+             round(CAST(max(cum) AS DOUBLE), {ndigits}) AS total_weight
+      FROM pre
+    )
+    {" UNION ALL ".join(arms)}
+    """

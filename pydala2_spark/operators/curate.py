@@ -2349,3 +2349,80 @@ def oov_rate_oracle_sql(ref_sql: str, ndigits: int = 6) -> str:
                  {ndigits}) AS type_oov_rate
     FROM tok_stats, type_stats
     """
+
+
+# -- feature hashing -----------------------------------------------------
+
+
+def feature_hash_audit(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Hashing-trick collision audit: hash every distinct token into
+    ``n_buckets`` (md5-derived — identical in any engine, unlike
+    engine-native hash functions) and report per-bucket type/token
+    load plus the corpus-level collision rate — the check before
+    committing a hashed-feature dimensionality (too small a D silently
+    merges features; this measures exactly how much).
+
+    Output: one row per non-empty bucket — ``(bucket, n_types,
+    n_tokens, type_share)`` — where n_types counts distinct tokens in
+    the bucket (n_types > 1 = colliding) and type_share is the
+    bucket's share of all types.
+
+    100 TB shape: one explode pass to token counts (map-side
+    combined, Heaps-bounded distinct table), the hash is a scan-stage
+    expression on the DISTINCT table, one |buckets| groupBy.
+    """
+    toks = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+    b = toks.select(bucket.alias("bucket"), "c")
+    g = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+    tot = g.agg(F.sum("n_types").cast("long").alias("__t"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_types",
+        "n_tokens",
+        F.round(
+            F.col("n_types").cast("double") / F.col("__t").cast("double"),
+            ndigits,
+        ).alias("type_share"),
+    )
+
+
+def feature_hash_oracle_sql(n_buckets: int = 64, ndigits: int = 6) -> str:
+    """DuckDB oracle for :func:`feature_hash_audit` — identical md5
+    bucket derivation (hex prefix -> int -> mod)."""
+    return f"""
+    WITH toks AS (
+      SELECT u.t AS tok, count(*) AS c
+      FROM documents, unnest(string_split(text, ' ')) AS u(t)
+      WHERE u.t <> ''
+      GROUP BY 1
+    ), b AS (
+      SELECT CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+               % {n_buckets} AS bucket, c
+      FROM toks
+    ), g AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(c) AS BIGINT) AS n_tokens
+      FROM b GROUP BY 1
+    ), tot AS (SELECT CAST(sum(n_types) AS BIGINT) AS t FROM g)
+    SELECT bucket, n_types, n_tokens,
+           round(CAST(n_types AS DOUBLE) / CAST(t AS DOUBLE), {ndigits})
+             AS type_share
+    FROM g, tot
+    """

@@ -10726,6 +10726,58 @@ def emb_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WQ_QS = [0.25, 0.5, 0.75, 0.95]
+
+
+def _wq_oracle() -> str:
+    from pydala2_spark.functions.skew import weighted_quantiles_oracle_sql
+
+    return weighted_quantiles_oracle_sql(
+        "SELECT l_extendedprice, l_quantity FROM lineitem",
+        "l_extendedprice",
+        "l_quantity",
+        _WQ_QS,
+    )
+
+
+@query("agg_weighted_quantiles", _wq_oracle())
+def agg_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted price quantiles (weighted median and
+    quartiles of l_extendedprice) — the unequal-row-weight percentile
+    a pricing analysis needs, computed WITHOUT a global window: one
+    groupBy to the distinct-value table with exact decimal weight
+    sums, one distributed range-prefix, one single-row aggregate.
+    See functions/skew.weighted_quantiles."""
+    from pydala2_spark.functions.skew import weighted_quantiles
+
+    return weighted_quantiles(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "l_quantity",
+        _WQ_QS,
+    )
+
+
+def _feature_hash_oracle() -> str:
+    from pydala2_spark.operators.curate import feature_hash_oracle_sql
+
+    return feature_hash_oracle_sql(n_buckets=64)
+
+
+@query("doc_feature_hashing", _feature_hash_oracle())
+def doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick collision audit: every distinct token hashed into
+    64 buckets via md5 (engine-portable, unlike native hash functions)
+    with per-bucket type/token load and type share — the measurement
+    behind choosing a hashed-feature dimensionality (n_types > 1 in a
+    bucket = features silently merged). One explode pass to the
+    Heaps-bounded distinct table; the hash is scan-stage on THAT
+    table, not the corpus. See operators/curate.feature_hash_audit."""
+    from pydala2_spark.operators.curate import feature_hash_audit
+
+    return feature_hash_audit(_t(spark, sf_dir, "documents"), n_buckets=64)
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -10816,6 +10868,8 @@ _VERIFY_FIRST = [
     "graph_negative_samples",
     "stream_upsert_sink",
     "emb_lsh_multiprobe",
+    "agg_weighted_quantiles",
+    "doc_feature_hashing",
     # --- padding to 50: stalest (r7-checked) block ---
     "dq_fk_orphans",
     "dq_benford",

@@ -1158,7 +1158,9 @@ def main():
             d = norm_ts(spark.read.parquet(f"{ROOT}/{p}"))
             edges = d.select(
                 F.col("user_id").alias("hub"),
-                F.to_date("ts").alias("auth"),
+                # integer day key: hub and auth union into ONE node
+                # column inside hits(), so the types must agree
+                (-F.unix_date(F.to_date("ts"))).alias("auth"),
             )
             out.setdefault("hits", {})[label] = timed(
                 lambda e=edges: hits(e, iterations=4).count(), reps=2
