@@ -242,3 +242,58 @@ def test_negative_samples_hand_checked(spark):
     assert out[1]["n_pairs"] == 4 and out[1]["avg_cn"] == 0.75
     assert out[0]["n_pairs"] == 2 and out[0]["avg_cn"] == 1.0
     assert out[0]["n_with_cn"] == 2 and out[1]["n_with_cn"] == 3
+
+
+# -- weighted quantiles ---------------------------------------------------
+
+
+def test_weighted_quantiles_hand_checked(spark):
+    """Values 1..4 with weights 1,1,2,4 (W=8): q25 -> first cum>=2 is
+    value 2 (cum 2), median -> value 3 (cum 4), q75 -> value 4."""
+    from pydala2_spark.functions.skew import weighted_quantiles
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": [1, 2, 3, 4], "w": [1, 1, 2, 4]})
+    )
+    out = {r["q"]: r["value"] for r in weighted_quantiles(df, "v", "w", [0.25, 0.5, 0.75]).collect()}
+    assert out[0.25] == 2 and out[0.5] == 3 and out[0.75] == 4
+
+
+def test_weighted_quantiles_unit_weights_match_unweighted_median(spark):
+    from pydala2_spark.functions.skew import weighted_quantiles
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": list(range(1, 102)), "w": [1] * 101})
+    )
+    out = _one(weighted_quantiles(df, "v", "w", [0.5]))
+    assert out["value"] == 51 and out["total_weight"] == 101.0
+
+
+# -- feature hashing ------------------------------------------------------
+
+
+def test_feature_hash_audit_partitions_types(spark):
+    from pydala2_spark.operators.curate import feature_hash_audit
+
+    pdf = pd.DataFrame(
+        {"text": ["a b c d", "a b", "e f g h i j k l m n o p"]}
+    )
+    rows = feature_hash_audit(spark.createDataFrame(pdf), n_buckets=4).collect()
+    assert sum(r["n_types"] for r in rows) == 16  # every distinct token lands once
+    assert sum(r["n_tokens"] for r in rows) == 18
+    assert abs(sum(r["type_share"] for r in rows) - 1.0) < 1e-6
+
+
+# -- multi-probe LSH ------------------------------------------------------
+
+
+def test_multiprobe_recall_dominates_single(spark, sf_dir):
+    """1-flip probing searches a superset of the single bucket, so per
+    query hits_multi >= hits_single, and recall values are in [0,1]."""
+    from pydala2_spark.queries import queries
+
+    rows = queries()["emb_lsh_multiprobe"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["hits_multi"] >= r["hits_single"]
+        assert 0.0 <= r["recall_single"] <= r["recall_multi"] <= 1.0
