@@ -10799,12 +10799,17 @@ _VERIFY_FIRST = [
     #     (graph_clustering_coeff, emb_centroid_drift,
     #     agg_corr_matrix), so their first driver rows also cover the
     #     new plans.
-    #   positions 31+: queries ADDED in r11 (never driver-seen), then
-    #     padding to 50 with the stalest previously-checked entries
-    #     (the r7-checked block, CORRECTNESS_r07 order).
+    #   positions 31-45: the FIFTEEN queries added in r11 (never
+    #     driver-seen, mirror-green before commit).
+    #   positions 46-49: padding from the stalest previously-checked
+    #     entries (the r7-checked block, CORRECTNESS_r07 order) —
+    #     dq_fk_orphans, dq_benford, er_part_linkage,
+    #     ev_conversion_latency make the cut; the rest of that block
+    #     sits just past the window and leads r12.
     # r12 pre-staging: after this window, every registry entry that
     # existed at r10 has a driver row. Order r12 by staleness — the
-    # REMAINDER of the r7-checked block first (scd2_event_history,
+    # REMAINDER of the r7-checked block first (ev_anomaly_days,
+    # ev_rolling_quantiles, ev_value_histogram, scd2_event_history,
     # doc_heaps_fit, doc_token_pmi, doc_zipf_fit, graph_pagerank,
     # emb_dim_stats, part_skyline, fuzzy_part_matches, agg_hll_sketch,
     # profile_orders, ev_ohlc_bars, ev_resample_interp,
