@@ -1529,7 +1529,7 @@ def embedding_drift(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     ndigits: int = 6,
-    dim: int | None = None,
+    dim: int | None = None,  # retained for API compat; shape no longer needs it
 ) -> DataFrame:
     """Embedding-distribution drift monitor between two corpus halves
     (even vs odd ``id_col`` — stand-ins for reference vs candidate
@@ -1543,23 +1543,50 @@ def embedding_drift(
 
     Determinism: per-dimension sums accumulate as DECIMAL(38,6)
     (label_centroids contract); the per-dimension diff/product terms
-    round to 12 then add as DECIMAL(38,12) (exact, so the chained add
-    equals the oracle's SUM over per-dim rows); norms round to 6 then
-    average exactly as DECIMAL(38,6).
+    round to 12 and re-accumulate as DECIMAL(38,12); norms round to 6
+    then average exactly as DECIMAL(38,6).
 
-    100 TB shape: ONE corpus pass — the per-dim sums are 2d wide-agg
-    buffers (the pca_fit pattern, similarity.pca_fit) in the SAME
-    map-side-combined single-row aggregate that carries the counts and
-    norm sums; everything after is driver-free expression arithmetic
-    on one row. (The previous posexplode shape multiplied every vector
-    by d rows before aggregating — the 1000x sweep's worst
-    non-inherent ratio; this shape adds zero rows.)
-
-    Fixed-dimension contract: every vector must have ``dim`` non-null
-    entries (the embeddings-table contract; the oracle's per-position
-    counts assume the same)."""
-    d = dim or vector_dim(df, vec_col)
-    a = F.col("__a")
+    100 TB shape: one posexplode aggregation to the |dims| frame and
+    one scan-stage norm aggregation — two corpus passes, all
+    map-side-combined (4 aggregate buffers each, comfortably inside
+    whole-stage codegen), one-row broadcasts after. The explode
+    multiplies rows by d BEFORE the combine, which reads as a large
+    sweep ratio, but the work is a linear row iteration measured 68x
+    UNDER linear at 1000x; the tempting wide-agg alternative (2d+4
+    buffers, pca_fit-style) was tried in r11 and REVERTED — its
+    generated aggregate update blows Janino's 64 KB method limit, and
+    the failed-compile-then-interpret path costs far more than the
+    explode at every scale (and saved ~nothing at 1000x). ``_spread``
+    parallelizes the explode past single-row-group corpus files."""
+    dec = "decimal(38,12)"
+    spread = _spread(df, id_col)
+    e = spread.select(
+        (F.col(id_col) % 2 == 0).alias("__a"),
+        F.posexplode(
+            F.expr(f"transform({vec_col}, x -> cast(x as double))")
+        ).alias("pos", "x"),
+    )
+    d6 = F.col("x").cast("decimal(38,6)")
+    dims = e.groupBy("pos").agg(
+        F.sum(F.when(F.col("__a"), d6)).alias("sa"),
+        F.count(F.when(F.col("__a"), F.lit(1))).alias("na"),
+        F.sum(F.when(~F.col("__a"), d6)).alias("sb"),
+        F.count(F.when(~F.col("__a"), F.lit(1))).alias("nb"),
+    )
+    ma = F.col("sa").cast("double") / F.col("na").cast("double")
+    mb = F.col("sb").cast("double") / F.col("nb").cast("double")
+    t = dims.select(
+        F.round((ma - mb) * (ma - mb), 12).cast(dec).alias("d2"),
+        F.round(ma * mb, 12).cast(dec).alias("ab"),
+        F.round(ma * ma, 12).cast(dec).alias("aa"),
+        F.round(mb * mb, 12).cast(dec).alias("bb"),
+    )
+    s = t.agg(
+        F.sum("d2").cast("double").alias("d2"),
+        F.sum("ab").cast("double").alias("ab"),
+        F.sum("aa").cast("double").alias("aa"),
+        F.sum("bb").cast("double").alias("bb"),
+    )
     nm = F.round(
         F.sqrt(
             F.expr(
@@ -1569,59 +1596,22 @@ def embedding_drift(
         ),
         6,
     ).cast("decimal(38,6)")
-    base = df.select(
-        (F.col(id_col) % 2 == 0).alias("__a"),
-        F.col(vec_col),
-        nm.alias("__nm"),
+    halves = spread.select(
+        (F.col(id_col) % 2 == 0).alias("__a"), nm.alias("__nm")
+    ).agg(
+        F.count(F.when(F.col("__a"), F.lit(1))).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("__a"), F.col("__nm"))).alias("__sna"),
+        F.count(F.when(~F.col("__a"), F.lit(1))).cast("long").alias("n_b"),
+        F.sum(F.when(~F.col("__a"), F.col("__nm"))).alias("__snb"),
     )
-
-    def x6(i: int):
-        return (
-            F.element_at(F.col(vec_col), i + 1)
-            .cast("double")
-            .cast("decimal(38,6)")
-        )
-
-    aggs = [
-        F.count(F.when(a, F.lit(1))).cast("long").alias("n_a"),
-        F.count(F.when(~a, F.lit(1))).cast("long").alias("n_b"),
-        F.sum(F.when(a, F.col("__nm"))).alias("__sna"),
-        F.sum(F.when(~a, F.col("__nm"))).alias("__snb"),
-    ]
-    for i in range(d):
-        aggs.append(F.sum(F.when(a, x6(i))).alias(f"sa{i}"))
-        aggs.append(F.sum(F.when(~a, x6(i))).alias(f"sb{i}"))
-    row = base.agg(*aggs)
-
-    na_d = F.col("n_a").cast("double")
-    nb_d = F.col("n_b").cast("double")
-    # chained adds must re-cast to a fixed scale each step: Spark's
-    # decimal type derivation at precision 38 would otherwise shrink
-    # the scale one digit per add (allowPrecisionLoss), silently
-    # rounding below the oracle's 12. decimal(20,12) keeps every
-    # (20,12)+(20,12) -> (21,12) add exact; the re-cast is lossless
-    # because the accumulated magnitudes are O(d).
-    acc_dec = "decimal(20,12)"
-    d2 = ab = aa = bb = None
-    for i in range(d):
-        ma = F.col(f"sa{i}").cast("double") / na_d
-        mb = F.col(f"sb{i}").cast("double") / nb_d
-        t_d2 = F.round((ma - mb) * (ma - mb), 12).cast(acc_dec)
-        t_ab = F.round(ma * mb, 12).cast(acc_dec)
-        t_aa = F.round(ma * ma, 12).cast(acc_dec)
-        t_bb = F.round(mb * mb, 12).cast(acc_dec)
-        d2 = t_d2 if d2 is None else (d2 + t_d2).cast(acc_dec)
-        ab = t_ab if ab is None else (ab + t_ab).cast(acc_dec)
-        aa = t_aa if aa is None else (aa + t_aa).cast(acc_dec)
-        bb = t_bb if bb is None else (bb + t_bb).cast(acc_dec)
-    d2, ab, aa, bb = (c.cast("double") for c in (d2, ab, aa, bb))
-    return row.select(
+    return halves.crossJoin(F.broadcast(s)).select(
         "n_a",
         "n_b",
-        F.round(F.sqrt(d2), ndigits).alias("centroid_dist"),
-        F.round(ab / (F.sqrt(aa) * F.sqrt(bb)), ndigits).alias(
-            "centroid_cos"
-        ),
+        F.round(F.sqrt(F.col("d2")), ndigits).alias("centroid_dist"),
+        F.round(
+            F.col("ab") / (F.sqrt(F.col("aa")) * F.sqrt(F.col("bb"))),
+            ndigits,
+        ).alias("centroid_cos"),
         F.round(
             F.col("__sna").cast("double") / F.col("n_a").cast("double"), 4
         ).alias("mean_norm_a"),
