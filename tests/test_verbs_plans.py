@@ -244,6 +244,22 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "graph_hits",
         # node-count one-row frame for the wrap-around successor rank
         "graph_negative_samples",
+        # one-row broadcast totals frames (bin totals / hour-zero+mean /
+        # type stats / cumulative-weight total / type-share total) —
+        # the same 1-row broadcast shape as q11
+        "dq_psi",
+        "ev_periodogram",
+        "doc_oov_rate",
+        "agg_weighted_quantiles",
+        "doc_feature_hashing",
+        # +-3-day moving-average RANGE join on the calendar-bounded
+        # DAILY frame (30-400 rows) — same bounded-range shape as
+        # range_join_ship_window
+        "ev_seasonal_decompose",
+        # exact brute-force baseline leg of the recall eval — same
+        # bounded corpus x broadcast-query-set cross as
+        # emb_knn_bruteforce / emb_ann_recall
+        "emb_lsh_multiprobe",
         # node-count and dangling-mass one-row aggregate frames,
         # attached per iteration — same 1-row broadcast shape as q11
         "graph_pagerank",
