@@ -1136,3 +1136,108 @@ def psi_oracle_sql(
     FROM g, tot
     GROUP BY n_a, n_b, n_bins
     """
+
+
+# -- per-column entropy profile ------------------------------------------
+
+
+def column_entropy(
+    df: DataFrame, cols: list[str], ndigits: int = 6
+) -> DataFrame:
+    """Shannon entropy profile per column: H(col) in nats, the
+    normalized H/ln(ndv) (1.0 = uniform, -> 0 = near-constant), and
+    the exact distinct count — the information-density audit that
+    flags near-constant columns (useless features, broken feeds) and
+    quantifies key spread, complementing :func:`candidate_keys`'
+    binary verdicts.
+
+    NULLs count as a regular category (a feed that went 99% NULL
+    should read near-constant, not be silently dropped).
+
+    One corpus pass: rows unpivot to (column, value-as-string) via a
+    literal-array explode (|cols| x amplification, the Expand-style
+    trade), then one map-side-combined groupBy to the per-column
+    value tables; ln terms round-12 then accumulate as DECIMAL(38,12)
+    (the mutual-info discipline).
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.coalesce(F.col(c).cast("string"), F.lit("__NULL__")).alias(
+                    "val"
+                ),
+            )
+            for c in cols
+        ]
+    )
+    g = (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.col", "p.val")
+        .groupBy("col", "val")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = g.groupBy("col").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("ndv"),
+    )
+    j = g.join(tot, "col")
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term = F.round(-p * F.log(p), 12).cast("decimal(38,12)")
+    ent = (
+        j.groupBy("col", "n", "ndv")
+        .agg(F.sum(term).cast("double").alias("__h"))
+        .select(
+            F.col("col").alias("column"),
+            "n",
+            "ndv",
+            F.round("__h", ndigits).alias("entropy"),
+            F.round(
+                F.when(
+                    F.col("ndv") > 1,
+                    F.col("__h") / F.log(F.col("ndv").cast("double")),
+                ).otherwise(F.lit(0.0)),
+                ndigits,
+            ).alias("normalized"),
+        )
+    )
+    return ent
+
+
+def column_entropy_oracle_sql(
+    table_sql: str, cols: list[str], ndigits: int = 6
+) -> str:
+    """DuckDB oracle for :func:`column_entropy` — identical unpivot,
+    NULL category, and round-12 decimal ln ladder."""
+    arms = ", ".join(
+        f"{{'col': '{c}',"
+        f" 'val': coalesce(CAST({c} AS VARCHAR), '__NULL__')}}"
+        for c in cols
+    )
+    return f"""
+    WITH base AS (SELECT * FROM ({table_sql})),
+    pairs AS (
+      SELECT u['col'] AS col, u['val'] AS val
+      FROM base, unnest([{arms}]) AS t(u)
+    ), g AS (
+      SELECT col, val, count(*) AS c FROM pairs GROUP BY 1, 2
+    ), tot AS (
+      SELECT col, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS ndv
+      FROM g GROUP BY col
+    ), ent AS (
+      SELECT g.col, n, ndv,
+             CAST(sum(CAST(round(
+               -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+               AS DECIMAL(38,12))) AS DOUBLE) AS h
+      FROM g JOIN tot ON g.col = tot.col
+      GROUP BY g.col, n, ndv
+    )
+    SELECT col AS "column", n, ndv, round(h, {ndigits}) AS entropy,
+           round(CASE WHEN ndv > 1 THEN h / ln(CAST(ndv AS DOUBLE))
+                      ELSE 0.0 END, {ndigits}) AS normalized
+    FROM ent
+    """

@@ -2295,3 +2295,148 @@ def seasonal_decompose_oracle_sql(ndigits: int = 6) -> str:
            round(CAST(sum(r6) AS DOUBLE) / count(*), {ndigits}) AS seasonal
     FROM resid GROUP BY dow
     """
+
+
+def seasonal_anomaly_days(
+    events: DataFrame,
+    ts_col: str = "ts",
+    z_cut: float = 3.0,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Seasonally-adjusted anomaly screen over the daily count series:
+    remove the 7-day centered-MA trend and the day-of-week seasonal
+    index (the :func:`seasonal_decompose_dow` pieces), THEN apply the
+    robust median/MAD z-score to the remainder — so a quiet Sunday is
+    not an "anomaly" and a genuinely bad Tuesday is not hidden inside
+    the weekly cycle (both failure modes of the raw-daily screen in
+    :func:`anomaly_days`).
+
+    The trend is the 7-day window MEDIAN, not the mean: a one-day
+    spike contaminates a centered mean for its six neighbors (they
+    all read as dips), while the median trend absorbs it — the
+    robust-STL choice, and exact on 7 values in both engines.
+
+    Output: ``(day, x, remainder, z, is_anomaly)`` for every
+    full-window day, z rounded to ``ndigits`` (NULL when MAD is 0).
+
+    100 TB shape: one map-side-combined daily reduce; the trend is a
+    +-3-day range equi-join on that frame; seasonal index and
+    median/MAD work on the calendar-bounded remainder frame (one
+    window partitioning — bounded rows, not a corpus funnel).
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        events.select(F.to_date(F.col(ts_col)).alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    right = daily.select(F.col("d").alias("d2"), F.col("x").alias("x2"))
+    win = daily.join(
+        right,
+        (F.col("d2") >= F.date_sub(F.col("d"), 3))
+        & (F.col("d2") <= F.date_add(F.col("d"), 3)),
+    )
+    detr = (
+        win.groupBy("d", "x")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.percentile("x2", F.lit(0.5)).alias("med7"),
+        )
+        .filter(F.col("k") == 7)
+        .select(
+            "d",
+            "x",
+            F.round(
+                F.col("x").cast("double") - F.col("med7"), 6
+            ).alias("resid"),
+        )
+    )
+    dow = detr.select(
+        "d",
+        "x",
+        "resid",
+        F.dayofweek("d").alias("dw"),
+        F.col("resid").cast("decimal(38,6)").alias("r6"),
+    )
+    w_dw = Window.partitionBy("dw")
+    seas = dow.withColumn(
+        "seasonal",
+        F.round(
+            F.sum("r6").over(w_dw).cast("double")
+            / F.count(F.lit(1)).over(w_dw),
+            6,
+        ),
+    ).select(
+        "d",
+        "x",
+        F.round(F.col("resid") - F.col("seasonal"), 6).alias("remainder"),
+    )
+    w_all = Window.partitionBy()
+    med = F.percentile("remainder", F.lit(0.5)).over(w_all)
+    scored = seas.withColumn("__med", med).withColumn(
+        "__dev", F.abs(F.col("remainder") - F.col("__med"))
+    )
+    mad = F.percentile("__dev", F.lit(0.5)).over(w_all)
+    out = scored.withColumn("__mad", mad).select(
+        "d",
+        "x",
+        "remainder",
+        F.round(
+            F.when(
+                F.col("__mad") > 0,
+                (F.col("remainder") - F.col("__med"))
+                / (F.col("__mad") * F.lit(1.4826)),
+            ),
+            ndigits,
+        ).alias("z"),
+    )
+    return out.select(
+        F.col("d").alias("day"),
+        "x",
+        "remainder",
+        "z",
+        (F.abs(F.col("z")) > z_cut).alias("is_anomaly"),
+    )
+
+
+def seasonal_anomaly_oracle_sql(z_cut: float = 3.0, ndigits: int = 4) -> str:
+    """DuckDB oracle for :func:`seasonal_anomaly_days` — identical MA
+    range join, dow adjustment, and median/MAD ladder."""
+    return f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS x
+      FROM events GROUP BY 1
+    ), win AS (
+      SELECT a.d, a.x, count(*) AS k,
+             quantile_cont(CAST(b.x AS DOUBLE), 0.5) AS med7
+      FROM daily a JOIN daily b
+        ON b.d >= a.d - INTERVAL 3 DAY AND b.d <= a.d + INTERVAL 3 DAY
+      GROUP BY a.d, a.x
+    ), detr AS (
+      SELECT d, x,
+             round(CAST(x AS DOUBLE) - med7, 6) AS resid
+      FROM win WHERE k = 7
+    ), seas AS (
+      SELECT d, x,
+             round(resid - round(
+               CAST(sum(CAST(resid AS DECIMAL(38,6)))
+                    OVER (PARTITION BY dayofweek(d)) AS DOUBLE)
+               / count(*) OVER (PARTITION BY dayofweek(d)), 6), 6)
+               AS remainder
+      FROM detr
+    ), med AS (
+      SELECT *, quantile_cont(remainder, 0.5) OVER () AS m FROM seas
+    ), mad AS (
+      SELECT *, quantile_cont(abs(remainder - m), 0.5) OVER () AS s
+      FROM med
+    )
+    SELECT d AS day, x, remainder,
+           round(CASE WHEN s > 0
+                      THEN (remainder - m) / (s * 1.4826) END, {ndigits})
+             AS z,
+           (abs(round(CASE WHEN s > 0
+                           THEN (remainder - m) / (s * 1.4826)
+                      END, {ndigits})) > {z_cut!r}) AS is_anomaly
+    FROM mad
+    """

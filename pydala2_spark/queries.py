@@ -10779,6 +10779,131 @@ def doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Round-11 batch 3: seasonal anomalies, entropy profile, truncation
+# =====================================================================
+
+
+def _seasonal_anomaly_oracle() -> str:
+    from pydala2_spark.operators.events import seasonal_anomaly_oracle_sql
+
+    return seasonal_anomaly_oracle_sql()
+
+
+@query("ev_anomaly_seasonal", _seasonal_anomaly_oracle())
+def ev_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly screen: remove the 7-day centered-MA
+    trend and the day-of-week index, THEN robust-z (median/MAD) the
+    remainder — so a quiet Sunday is not an "anomaly" and a bad
+    Tuesday is not hidden inside the weekly cycle, the two failure
+    modes of ev_anomaly_days' raw screen. All window work happens on
+    the calendar-bounded daily frame.
+    See operators/events.seasonal_anomaly_days."""
+    from pydala2_spark.operators.events import seasonal_anomaly_days
+
+    return seasonal_anomaly_days(_t(spark, sf_dir, "events"))
+
+
+_ENTROPY_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+
+
+def _entropy_oracle() -> str:
+    from pydala2_spark.functions.dq import column_entropy_oracle_sql
+
+    return column_entropy_oracle_sql("SELECT * FROM orders", _ENTROPY_COLS)
+
+
+@query("dq_column_entropy", _entropy_oracle())
+def dq_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-entropy profile per column (nats, plus H/ln(ndv)
+    normalization and exact NDV) — the information-density audit that
+    flags near-constant columns and quantifies key spread, the
+    gradient next to dq_candidate_keys' binary verdicts. NULLs count
+    as a category so a 99%-NULL feed reads near-constant. One unpivot
+    pass, round-12 decimal ln ladder.
+    See functions/dq.column_entropy."""
+    from pydala2_spark.functions.dq import column_entropy
+
+    return column_entropy(_t(spark, sf_dir, "orders"), _ENTROPY_COLS)
+
+
+_TRUNC_ORACLE = """
+    WITH u AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)
+               / sqrt(list_sum(list_transform(embedding,
+                        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS uv,
+             list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)
+               / sqrt(list_sum(list_transform(embedding[1:16],
+                        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS tv
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, uv AS qv, tv AS qt FROM u
+      WHERE vec_id < 10
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_sum(list_transform(generate_series(1, 64),
+                       i -> c.uv[i] * q.qv[i])), 4) DESC, c.vec_id ASC)
+                 AS rank
+        FROM u c CROSS JOIN q WHERE c.vec_id <> q.query_id
+      ) WHERE rank <= 5
+    ), trunc AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_sum(list_transform(generate_series(1, 16),
+                       i -> c.tv[i] * q.qt[i])), 4) DESC, c.vec_id ASC)
+                 AS rank
+        FROM u c CROSS JOIN q WHERE c.vec_id <> q.query_id
+      ) WHERE rank <= 5
+    )
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(t.neighbor_id) AS BIGINT) AS n_hits,
+           round(CAST(count(t.neighbor_id) AS DOUBLE) / count(*), 4)
+             AS recall
+    FROM exact e
+    LEFT JOIN trunc t USING (query_id, neighbor_id)
+    GROUP BY e.query_id
+    """
+
+
+@query("emb_dim_truncation_eval", _TRUNC_ORACLE)
+def emb_dim_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation eval: recall@5 of cosine
+    search over the FIRST 16 re-normalized dimensions against the full
+    64-dim exact top-5 — the measurement behind "can we store/search
+    a 4x smaller prefix of the embedding" (a 4x ANN-index shrink that
+    complements emb_quantize_error's int8 answer). Both legs reuse
+    cosine_topk; evaluation cost is probe-sized."""
+    from pydala2_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, probes, k=5).select("query_id", "neighbor_id")
+    sliced = emb.select("vec_id", F.expr("slice(embedding, 1, 16)").alias("emb16"))
+    probes16 = sliced.filter(F.col("vec_id") < 10)
+    trunc = (
+        cosine_topk(sliced, probes16, k=5, vec_col="emb16")
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    j = exact.join(F.broadcast(trunc), ["query_id", "neighbor_id"], "left")
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .withColumn(
+            "recall",
+            F.round(F.col("n_hits").cast("double") / F.col("n_exact"), 4),
+        )
+    )
+
+
+# =====================================================================
 # Registry ordering
 # =====================================================================
 # The driver's correctness gate verifies the FIRST 50 dict entries
@@ -10875,6 +11000,9 @@ _VERIFY_FIRST = [
     "emb_lsh_multiprobe",
     "agg_weighted_quantiles",
     "doc_feature_hashing",
+    "ev_anomaly_seasonal",
+    "dq_column_entropy",
+    "emb_dim_truncation_eval",
     # --- padding to 50: stalest (r7-checked) block ---
     "dq_fk_orphans",
     "dq_benford",

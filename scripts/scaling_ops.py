@@ -1166,6 +1166,28 @@ def main():
                 lambda e=edges: hits(e, iterations=4).count(), reps=2
             )
 
+
+    if want("seasonal_anomaly"):
+        from pydala2_spark.operators.events import seasonal_anomaly_days
+
+        for label, pth in (("1x", "ev_1x"), ("big", "ev_big")):
+            d = norm_ts(spark.read.parquet(f"{ROOT}/{pth}"))
+            out.setdefault("seasonal_anomaly", {})[label] = timed(
+                lambda d=d: seasonal_anomaly_days(d).collect(), reps=2
+            )
+
+    if want("column_entropy"):
+        from pydala2_spark.functions.dq import column_entropy
+
+        for label, pth in (("1x", "ev_1x"), ("big", "ev_big")):
+            d = spark.read.parquet(f"{ROOT}/{pth}")
+            out.setdefault("column_entropy", {})[label] = timed(
+                lambda d=d: column_entropy(
+                    d, ["event_type", "user_id"]
+                ).collect(),
+                reps=2,
+            )
+
     print(f"{'op':24s} {'1x':>7s} {'x' + str(FACTOR):>7s} {'ratio':>7s}")
     for op, t in out.items():
         ratio = t["big"] / t["1x"]

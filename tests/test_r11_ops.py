@@ -297,3 +297,73 @@ def test_multiprobe_recall_dominates_single(spark, sf_dir):
     for r in rows:
         assert r["hits_multi"] >= r["hits_single"]
         assert 0.0 <= r["recall_single"] <= r["recall_multi"] <= 1.0
+
+
+# -- seasonal anomaly screen ----------------------------------------------
+
+
+def test_seasonal_anomaly_unflags_weekly_dip_flags_spike(spark):
+    """Regular Sunday dips must NOT be anomalies once the dow index is
+    removed; a one-off mid-week spike must be."""
+    from pydala2_spark.operators.events import seasonal_anomaly_days
+
+    days = pd.date_range("2024-01-01", periods=42, freq="D")
+    recs = []
+    for i, d in enumerate(days):
+        # deterministic jitter keeps MAD > 0 (a perfectly regular
+        # series has no scale and the screen NULLs every z)
+        n = 100 - (60 if d.dayofweek == 6 else 0) + (i * 7) % 5
+        if d == pd.Timestamp("2024-01-17"):  # a Wednesday
+            n += 300
+        for k in range(n):
+            recs.append(d + pd.Timedelta(minutes=k % 1200))
+    df = spark.createDataFrame(pd.DataFrame({"ts": recs}))
+    out = {r["day"]: r for r in seasonal_anomaly_days(df).collect()}
+    import datetime
+
+    spike = out[datetime.date(2024, 1, 17)]
+    assert spike["is_anomaly"] is True
+    sundays = [
+        r for d, r in out.items() if d.weekday() == 6  # python: 6 = Sunday
+        and d != datetime.date(2024, 1, 17)
+    ]
+    assert sundays and all(not r["is_anomaly"] for r in sundays)
+
+
+# -- column entropy -------------------------------------------------------
+
+
+def test_column_entropy_orders_constant_vs_uniform(spark):
+    import math
+
+    from pydala2_spark.functions.dq import column_entropy
+
+    pdf = pd.DataFrame(
+        {
+            "const": ["a"] * 64,
+            "uniform": [str(i % 8) for i in range(64)],
+            "nully": [None] * 63 + ["x"],
+        }
+    )
+    out = {
+        r["column"]: r
+        for r in column_entropy(
+            spark.createDataFrame(pdf), ["const", "uniform", "nully"]
+        ).collect()
+    }
+    assert out["const"]["entropy"] == 0.0 and out["const"]["normalized"] == 0.0
+    assert out["uniform"]["entropy"] == pytest.approx(math.log(8), abs=1e-6)
+    assert out["uniform"]["normalized"] == pytest.approx(1.0, abs=1e-6)
+    assert out["nully"]["ndv"] == 2 and out["nully"]["normalized"] < 0.2
+
+
+# -- dimension truncation -------------------------------------------------
+
+
+def test_dim_truncation_recall_bounds(spark, sf_dir):
+    from pydala2_spark.queries import queries
+
+    rows = queries()["emb_dim_truncation_eval"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["n_exact"] == 5 and 0.0 <= r["recall"] <= 1.0

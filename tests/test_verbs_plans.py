@@ -256,6 +256,10 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         # DAILY frame (30-400 rows) — same bounded-range shape as
         # range_join_ship_window
         "ev_seasonal_decompose",
+        "ev_anomaly_seasonal",
+        # exact brute-force legs of the truncation eval — same bounded
+        # corpus x broadcast-query-set cross as emb_knn_bruteforce
+        "emb_dim_truncation_eval",
         # exact brute-force baseline leg of the recall eval — same
         # bounded corpus x broadcast-query-set cross as
         # emb_knn_bruteforce / emb_ann_recall
