@@ -10924,16 +10924,16 @@ _VERIFY_FIRST = [
     #     (graph_clustering_coeff, emb_centroid_drift,
     #     agg_corr_matrix), so their first driver rows also cover the
     #     new plans.
-    #   positions 31-45: the FIFTEEN queries added in r11 (never
+    #   positions 31-48: the EIGHTEEN queries added in r11 (never
     #     driver-seen, mirror-green before commit).
-    #   positions 46-49: padding from the stalest previously-checked
+    #   position 49: padding from the stalest previously-checked
     #     entries (the r7-checked block, CORRECTNESS_r07 order) —
-    #     dq_fk_orphans, dq_benford, er_part_linkage,
-    #     ev_conversion_latency make the cut; the rest of that block
-    #     sits just past the window and leads r12.
+    #     dq_fk_orphans makes the cut; the rest of that block sits
+    #     just past the window and leads r12.
     # r12 pre-staging: after this window, every registry entry that
     # existed at r10 has a driver row. Order r12 by staleness — the
-    # REMAINDER of the r7-checked block first (ev_anomaly_days,
+    # REMAINDER of the r7-checked block first (dq_benford,
+    # er_part_linkage, ev_conversion_latency, ev_anomaly_days,
     # ev_rolling_quantiles, ev_value_histogram, scd2_event_history,
     # doc_heaps_fit, doc_token_pmi, doc_zipf_fit, graph_pagerank,
     # emb_dim_stats, part_skyline, fuzzy_part_matches, agg_hll_sketch,
