@@ -2440,3 +2440,64 @@ def seasonal_anomaly_oracle_sql(z_cut: float = 3.0, ndigits: int = 4) -> str:
                       END, {ndigits})) > {z_cut!r}) AS is_anomaly
     FROM mad
     """
+
+
+def active_streaks(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Longest consecutive-active-day streak per user, summarized as a
+    histogram ``(streak_len, n_users)`` — the engagement/habit metric
+    next to cohort retention's calendar view. Classic gaps-and-islands:
+    group key = active_day - row_number (consecutive days share it),
+    island length = count, per-user max, then one histogram groupBy.
+
+    100 TB shape: events reduce map-side to |user|x|days| distinct
+    rows; the row_number window partitions BY USER (keyed shuffle,
+    thousands of tasks — not a global funnel); everything after is
+    map-side-combined aggregation.
+    """
+    from pyspark.sql import Window
+
+    days = (
+        events.select(
+            F.col(user_col).alias("u"), F.to_date(F.col(ts_col)).alias("d")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("u").orderBy("d")
+    islands = days.withColumn(
+        "g", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("u", "g").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    best = streaks.groupBy("u").agg(F.max("len").alias("streak_len"))
+    return (
+        best.groupBy("streak_len")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select("streak_len", "n_users")
+    )
+
+
+def active_streaks_oracle_sql() -> str:
+    """DuckDB oracle for :func:`active_streaks` — identical
+    gaps-and-islands construction."""
+    return """
+    WITH days AS (
+      SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ), islands AS (
+      SELECT u, d,
+             d - CAST(row_number() OVER (PARTITION BY u ORDER BY d)
+                      AS INTEGER) AS g
+      FROM days
+    ), streaks AS (
+      SELECT u, g, count(*) AS len FROM islands GROUP BY u, g
+    ), best AS (
+      SELECT u, max(len) AS streak_len FROM streaks GROUP BY u
+    )
+    SELECT streak_len, CAST(count(*) AS BIGINT) AS n_users
+    FROM best GROUP BY streak_len
+    """

@@ -1414,3 +1414,113 @@ def negative_samples_oracle_sql(edges_sql: str, ndigits: int = 6) -> str:
                  {ndigits}) AS avg_cn
     FROM feat GROUP BY label
     """
+
+
+def degree_powerlaw(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    dmin: int = 2,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Degree distribution summary with the power-law tail exponent —
+    the one-number answer to "is this graph scale-free, and how heavy
+    is the hub tail" that decides whether hub-capping / salting is
+    needed before the quadratic graph ops run. Uses the Clauset-
+    Shalizi-Newman discrete MLE approximation
+    ``alpha = 1 + n_tail / Σ ln(d / (dmin - 0.5))`` over degrees
+    >= dmin.
+
+    One row out: ``(n_nodes, n_tail, dmin, alpha, max_degree,
+    mean_degree)``. Determinism: ln terms round-12 then accumulate as
+    DECIMAL(38,12) (pagerank discipline); the final division is one
+    double expression.
+
+    100 TB shape: degrees come from one map-side-combined groupBy of
+    the canonical edge list; everything after runs on the |nodes|
+    frame in a single aggregate.
+    """
+    if dmin < 1:
+        raise ValueError(f"dmin must be >= 1, got {dmin}")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dd = F.col("d").cast("double")
+    term = F.when(
+        F.col("d") >= dmin,
+        F.round(F.log(dd / F.lit(dmin - 0.5)), 12).cast("decimal(38,12)"),
+    )
+    s = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.count(F.when(F.col("d") >= dmin, F.lit(1)))
+        .cast("long")
+        .alias("n_tail"),
+        F.sum(term).cast("double").alias("__lnsum"),
+        F.max("d").cast("long").alias("max_degree"),
+        F.round(
+            F.sum(F.col("d").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)),
+            ndigits,
+        ).alias("mean_degree"),
+    )
+    return s.select(
+        "n_nodes",
+        "n_tail",
+        F.lit(dmin).alias("dmin"),
+        F.round(
+            F.when(
+                F.col("__lnsum") > 0,
+                F.lit(1.0)
+                + F.col("n_tail").cast("double") / F.col("__lnsum"),
+            ),
+            ndigits,
+        ).alias("alpha"),
+        "max_degree",
+        "mean_degree",
+    )
+
+
+def degree_powerlaw_oracle_sql(
+    edges_sql: str, dmin: int = 2, ndigits: int = 4
+) -> str:
+    """DuckDB oracle for :func:`degree_powerlaw` — identical canonical
+    degrees and round-12 decimal ln ladder."""
+    return f"""
+    WITH raw AS ({edges_sql}),
+    e AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ), deg AS (
+      SELECT n, count(*) AS d FROM (
+        SELECT a AS n FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY n
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(count(CASE WHEN d >= {dmin} THEN 1 END) AS BIGINT)
+               AS n_tail,
+             CAST(sum(CASE WHEN d >= {dmin} THEN CAST(round(
+                 ln(CAST(d AS DOUBLE) / {dmin - 0.5!r}), 12)
+                 AS DECIMAL(38,12)) END) AS DOUBLE) AS lnsum,
+             CAST(max(d) AS BIGINT) AS max_degree,
+             round(CAST(sum(CAST(d AS DECIMAL(38,0))) AS DOUBLE)
+                   / count(*), {ndigits}) AS mean_degree
+      FROM deg
+    )
+    SELECT n_nodes, n_tail, {dmin} AS dmin,
+           round(CASE WHEN lnsum > 0
+                      THEN 1.0 + CAST(n_tail AS DOUBLE) / lnsum END,
+                 {ndigits}) AS alpha,
+           max_degree, mean_degree
+    FROM s
+    """

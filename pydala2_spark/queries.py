@@ -10903,6 +10903,62 @@ def emb_dim_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _powerlaw_oracle() -> str:
+    from pydala2_spark.operators.graph import degree_powerlaw_oracle_sql
+
+    return degree_powerlaw_oracle_sql(
+        """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                       FROM lineitem WHERE l_quantity >= 40)
+           SELECT x.p AS src, y.p AS dst
+           FROM li x JOIN li y ON x.o = y.o AND x.p < y.p"""
+    )
+
+
+@query("graph_degree_powerlaw", _powerlaw_oracle())
+def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution summary with the Clauset-Shalizi-Newman
+    power-law tail exponent over the co-purchase graph — the
+    one-number "is this graph scale-free and how heavy is the hub
+    tail" diagnostic that decides whether hub-capping / salting is
+    needed before quadratic graph ops run. One degree groupBy, one
+    single-row aggregate, round-12 decimal ln ladder.
+    See operators/graph.degree_powerlaw."""
+    from pydala2_spark.operators.graph import degree_powerlaw
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 40)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    edges = (
+        li.alias("x")
+        .join(li.alias("y"), "o")
+        .filter(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+    )
+    return degree_powerlaw(edges)
+
+
+def _streaks_oracle() -> str:
+    from pydala2_spark.operators.events import active_streaks_oracle_sql
+
+    return active_streaks_oracle_sql()
+
+
+@query("ev_active_streaks", _streaks_oracle())
+def ev_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user, as a histogram
+    (streak_len, n_users) — the habit/engagement metric next to
+    cohort retention's calendar view. Gaps-and-islands with the
+    row_number window partitioned BY USER (keyed shuffle, never a
+    global funnel); events reduce map-side to user-day grain first.
+    See operators/events.active_streaks."""
+    from pydala2_spark.operators.events import active_streaks
+
+    return active_streaks(_t(spark, sf_dir, "events"))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -10924,15 +10980,15 @@ _VERIFY_FIRST = [
     #     (graph_clustering_coeff, emb_centroid_drift,
     #     agg_corr_matrix), so their first driver rows also cover the
     #     new plans.
-    #   positions 31-48: the EIGHTEEN queries added in r11 (never
-    #     driver-seen, mirror-green before commit).
-    #   position 49: padding from the stalest previously-checked
-    #     entries (the r7-checked block, CORRECTNESS_r07 order) —
-    #     dq_fk_orphans makes the cut; the rest of that block sits
-    #     just past the window and leads r12.
+    #   positions 31-49: nineteen of the TWENTY queries added in r11
+    #     (never driver-seen, mirror-green before commit). The
+    #     twentieth (ev_active_streaks, added last) sits at position
+    #     50 — just past the window — and must LEAD r12 along with
+    #     the stale r7 block.
     # r12 pre-staging: after this window, every registry entry that
-    # existed at r10 has a driver row. Order r12 by staleness — the
-    # REMAINDER of the r7-checked block first (dq_benford,
+    # existed at r10 has a driver row. Order r12: ev_active_streaks
+    # first (r11 addition, never driver-checked), then the REMAINDER
+    # of the r7-checked block by staleness (dq_fk_orphans, dq_benford,
     # er_part_linkage, ev_conversion_latency, ev_anomaly_days,
     # ev_rolling_quantiles, ev_value_histogram, scd2_event_history,
     # doc_heaps_fit, doc_token_pmi, doc_zipf_fit, graph_pagerank,
@@ -11003,6 +11059,8 @@ _VERIFY_FIRST = [
     "ev_anomaly_seasonal",
     "dq_column_entropy",
     "emb_dim_truncation_eval",
+    "graph_degree_powerlaw",
+    "ev_active_streaks",
     # --- padding to 50: stalest (r7-checked) block ---
     "dq_fk_orphans",
     "dq_benford",

@@ -367,3 +367,45 @@ def test_dim_truncation_recall_bounds(spark, sf_dir):
     assert len(rows) == 10
     for r in rows:
         assert r["n_exact"] == 5 and 0.0 <= r["recall"] <= 1.0
+
+
+# -- degree power law -----------------------------------------------------
+
+
+def test_degree_powerlaw_mle_hand_checked(spark):
+    """Star on 5 leaves + one extra edge: degrees {5:1, 1:4, 2:2}...
+    build explicitly: hub 0 -> 1..5, plus 1-2. Degrees: 0:5, 1:2,
+    2:2, 3:1, 4:1, 5:1. Tail (d>=2): {5,2,2}; alpha = 1 + 3/ln-sum."""
+    import math
+
+    from pydala2_spark.operators.graph import degree_powerlaw
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": [0, 0, 0, 0, 0, 1], "dst": [1, 2, 3, 4, 5, 2]})
+    )
+    row = _one(degree_powerlaw(edges, dmin=2))
+    lnsum = sum(
+        round(math.log(d / 1.5), 12) for d in (5, 2, 2)
+    )
+    assert row["n_nodes"] == 6 and row["n_tail"] == 3
+    assert row["max_degree"] == 5
+    assert row["alpha"] == pytest.approx(1 + 3 / lnsum, abs=1e-4)
+
+
+# -- active streaks -------------------------------------------------------
+
+
+def test_active_streaks_gaps_and_islands(spark):
+    """User 1: days 1,2,3 then 5,6 -> max streak 3. User 2: days 1 and
+    3 -> max streak 1. Histogram: {3:1, 1:1}."""
+    from pydala2_spark.operators.events import active_streaks
+
+    recs = []
+    for day in [1, 2, 3, 5, 6]:
+        recs.append((1, pd.Timestamp(f"2024-01-0{day} 10:00")))
+    for day in [1, 3]:
+        recs.append((2, pd.Timestamp(f"2024-01-0{day} 11:00")))
+    recs.append((1, pd.Timestamp("2024-01-02 23:00")))  # dup day ignored
+    df = spark.createDataFrame(pd.DataFrame(recs, columns=["user_id", "ts"]))
+    out = {r["streak_len"]: r["n_users"] for r in active_streaks(df).collect()}
+    assert out == {3: 1, 1: 1}
