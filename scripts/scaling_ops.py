@@ -1188,6 +1188,29 @@ def main():
                 reps=2,
             )
 
+
+    if want("powerlaw"):
+        from pydala2_spark.operators.graph import degree_powerlaw
+
+        for label, pth in (("1x", "ev_1x"), ("big", "ev_big")):
+            d = norm_ts(spark.read.parquet(f"{ROOT}/{pth}"))
+            edges = d.select(
+                F.col("user_id").alias("src"),
+                (-F.unix_date(F.to_date("ts"))).alias("dst"),
+            )
+            out.setdefault("degree_powerlaw", {})[label] = timed(
+                lambda e=edges: degree_powerlaw(e).collect(), reps=2
+            )
+
+    if want("streaks"):
+        from pydala2_spark.operators.events import active_streaks
+
+        for label, pth in (("1x", "ev_1x"), ("big", "ev_big")):
+            d = norm_ts(spark.read.parquet(f"{ROOT}/{pth}"))
+            out.setdefault("active_streaks", {})[label] = timed(
+                lambda d=d: active_streaks(d).collect(), reps=2
+            )
+
     print(f"{'op':24s} {'1x':>7s} {'x' + str(FACTOR):>7s} {'ratio':>7s}")
     for op, t in out.items():
         ratio = t["big"] / t["1x"]
