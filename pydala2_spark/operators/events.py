@@ -2501,3 +2501,89 @@ def active_streaks_oracle_sql() -> str:
     SELECT streak_len, CAST(count(*) AS BIGINT) AS n_users
     FROM best GROUP BY streak_len
     """
+
+
+def dau_wau_mau(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Daily / trailing-7-day / trailing-30-day active users plus the
+    DAU/MAU stickiness ratio, per calendar day — the canonical product
+    engagement rollup. Trailing windows are range equi-joins of the
+    USER-DAY grain against the day (x7 / x30 bounded fan-out of an
+    already-reduced frame), deduped map-side before the count — never
+    a distinct over a sliding window of raw events.
+
+    Output: ``(day, dau, wau, mau, stickiness)``.
+
+    100 TB shape: events reduce map-side to |user|x|days| rows once;
+    each trailing count is dropDuplicates + groupBy on that frame
+    (two-phase distinct — both shuffles skew-tolerant); the three
+    legs join back on the bounded calendar key.
+    """
+    ud = (
+        events.select(
+            F.to_date(F.col(ts_col)).alias("d"), F.col(user_col).alias("u")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    days = ud.select("d").distinct()
+
+    def trailing(window: int, out: str) -> DataFrame:
+        j = days.join(
+            ud.select(F.col("d").alias("d2"), "u"),
+            (F.col("d2") <= F.col("d"))
+            & (F.col("d2") >= F.date_sub(F.col("d"), window - 1)),
+        )
+        return (
+            j.select("d", "u")
+            .dropDuplicates(["d", "u"])
+            .groupBy("d")
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    out = (
+        dau.join(trailing(7, "wau"), "d")
+        .join(trailing(30, "mau"), "d")
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+            F.round(
+                F.col("dau").cast("double") / F.col("mau").cast("double"),
+                ndigits,
+            ).alias("stickiness"),
+        )
+    )
+    return out
+
+
+def dau_wau_mau_oracle_sql(ndigits: int = 4) -> str:
+    """DuckDB oracle for :func:`dau_wau_mau` — identical user-day
+    grain and trailing range joins."""
+    return f"""
+    WITH ud AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d,
+             user_id AS u
+      FROM events
+    ), days AS (SELECT DISTINCT d FROM ud),
+    dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY d),
+    wau AS (
+      SELECT days.d, CAST(count(DISTINCT ud.u) AS BIGINT) AS wau
+      FROM days JOIN ud ON ud.d <= days.d AND ud.d >= days.d - 6
+      GROUP BY days.d
+    ), mau AS (
+      SELECT days.d, CAST(count(DISTINCT ud.u) AS BIGINT) AS mau
+      FROM days JOIN ud ON ud.d <= days.d AND ud.d >= days.d - 29
+      GROUP BY days.d
+    )
+    SELECT dau.d AS day, dau.dau, wau.wau, mau.mau,
+           round(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE),
+                 {ndigits}) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d JOIN mau ON dau.d = mau.d
+    """

@@ -10959,6 +10959,25 @@ def ev_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active_streaks(_t(spark, sf_dir, "events"))
 
 
+def _dau_oracle() -> str:
+    from pydala2_spark.operators.events import dau_wau_mau_oracle_sql
+
+    return dau_wau_mau_oracle_sql()
+
+
+@query("ev_dau_wau_mau", _dau_oracle())
+def ev_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day / trailing-30-day active users with the
+    DAU/MAU stickiness ratio per day — the canonical engagement
+    rollup. Trailing windows are bounded range joins of the user-day
+    grain (x7/x30 fan-out of the reduced frame), two-phase-distinct
+    counted — never a sliding distinct over raw events.
+    See operators/events.dau_wau_mau."""
+    from pydala2_spark.operators.events import dau_wau_mau
+
+    return dau_wau_mau(_t(spark, sf_dir, "events"))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -10980,14 +10999,15 @@ _VERIFY_FIRST = [
     #     (graph_clustering_coeff, emb_centroid_drift,
     #     agg_corr_matrix), so their first driver rows also cover the
     #     new plans.
-    #   positions 31-49: nineteen of the TWENTY queries added in r11
-    #     (never driver-seen, mirror-green before commit). The
-    #     twentieth (ev_active_streaks, added last) sits at position
-    #     50 — just past the window — and must LEAD r12 along with
-    #     the stale r7 block.
+    #   positions 31-49: nineteen of the TWENTY-ONE queries added in
+    #     r11 (never driver-seen, mirror-green before commit). The
+    #     last two added (ev_active_streaks, ev_dau_wau_mau) sit at
+    #     positions 50-51 — just past the window — and must LEAD r12
+    #     along with the stale r7 block.
     # r12 pre-staging: after this window, every registry entry that
     # existed at r10 has a driver row. Order r12: ev_active_streaks
-    # first (r11 addition, never driver-checked), then the REMAINDER
+    # and ev_dau_wau_mau first (r11 additions, never
+    # driver-checked), then the REMAINDER
     # of the r7-checked block by staleness (dq_fk_orphans, dq_benford,
     # er_part_linkage, ev_conversion_latency, ev_anomaly_days,
     # ev_rolling_quantiles, ev_value_histogram, scd2_event_history,
@@ -11061,6 +11081,7 @@ _VERIFY_FIRST = [
     "emb_dim_truncation_eval",
     "graph_degree_powerlaw",
     "ev_active_streaks",
+    "ev_dau_wau_mau",
     # --- padding to 50: stalest (r7-checked) block ---
     "dq_fk_orphans",
     "dq_benford",

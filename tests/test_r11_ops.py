@@ -409,3 +409,30 @@ def test_active_streaks_gaps_and_islands(spark):
     df = spark.createDataFrame(pd.DataFrame(recs, columns=["user_id", "ts"]))
     out = {r["streak_len"]: r["n_users"] for r in active_streaks(df).collect()}
     assert out == {3: 1, 1: 1}
+
+
+# -- DAU/WAU/MAU ----------------------------------------------------------
+
+
+def test_dau_wau_mau_hand_checked(spark):
+    """Users 1,2 daily; user 3 only on day 10: DAU=2 except day 10
+    (3); WAU on day 10..16 includes user 3; stickiness = dau/mau."""
+    from pydala2_spark.operators.events import dau_wau_mau
+
+    recs = []
+    for day in range(1, 21):
+        for u in (1, 2):
+            recs.append((u, pd.Timestamp(f"2024-01-{day:02d} 08:00")))
+    recs.append((3, pd.Timestamp("2024-01-10 09:00")))
+    df = spark.createDataFrame(pd.DataFrame(recs, columns=["user_id", "ts"]))
+    out = {r["day"]: r for r in dau_wau_mau(df).collect()}
+    import datetime
+
+    d10 = out[datetime.date(2024, 1, 10)]
+    d16 = out[datetime.date(2024, 1, 16)]
+    d17 = out[datetime.date(2024, 1, 17)]
+    assert d10["dau"] == 3 and d10["wau"] == 3 and d10["mau"] == 3
+    assert d16["dau"] == 2 and d16["wau"] == 3  # day 10 still in the 7-window
+    assert d17["wau"] == 2  # user 3 aged out
+    assert d17["mau"] == 3  # still in the 30-window
+    assert d17["stickiness"] == pytest.approx(2 / 3, abs=1e-4)

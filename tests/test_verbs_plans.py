@@ -257,6 +257,9 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         # range_join_ship_window
         "ev_seasonal_decompose",
         "ev_anomaly_seasonal",
+        # trailing-window range joins on the reduced user-day grain —
+        # bounded x7/x30 fan-out, same shape as range_join_ship_window
+        "ev_dau_wau_mau",
         # exact brute-force legs of the truncation eval — same bounded
         # corpus x broadcast-query-set cross as emb_knn_bruteforce
         "emb_dim_truncation_eval",
