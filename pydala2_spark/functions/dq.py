@@ -1073,6 +1073,12 @@ def psi_report(
 
     Output: one row ``(n_a, n_b, n_bins, psi)``.
 
+    NULL ``value_col`` rows are EXCLUDED (filtered before binning, in
+    both engines). Without the filter, Spark's null-skipping
+    ``least()`` would silently route NULLs to the overflow bin — and
+    DuckDB's ``least()`` NULL handling changed across versions, a
+    latent cross-engine mismatch on nullable columns.
+
     100 TB shape: one map-side-combined groupBy to the <= max_bin+1
     frame; everything after runs on that frame.
     """
@@ -1080,7 +1086,9 @@ def psi_report(
         F.floor(F.col(value_col) / F.lit(bin_width)).cast("long"),
         F.lit(max_bin),
     )
-    g = df.select(split_col.alias("__a"), b.alias("bin")).groupBy("bin").agg(
+    g = df.filter(F.col(value_col).isNotNull()).select(
+        split_col.alias("__a"), b.alias("bin")
+    ).groupBy("bin").agg(
         F.count(F.when(F.col("__a"), F.lit(1))).alias("ca"),
         F.count(F.when(~F.col("__a"), F.lit(1))).alias("cb"),
     )
@@ -1113,14 +1121,16 @@ def psi_oracle_sql(
     ndigits: int = 6,
 ) -> str:
     """DuckDB oracle for :func:`psi_report` — identical integer bins,
-    Laplace smoothing, and round-12 decimal ln-term ladder."""
+    Laplace smoothing, round-12 decimal ln-term ladder, and the same
+    NULL-value exclusion (no reliance on either engine's
+    version-dependent ``least()`` NULL semantics)."""
     return f"""
     WITH g AS (
       SELECT least(CAST(floor({value_col} / {bin_width}) AS BIGINT), {max_bin})
                AS bin,
              count(CASE WHEN {split_sql} THEN 1 END) AS ca,
              count(CASE WHEN NOT ({split_sql}) THEN 1 END) AS cb
-      FROM ({table_sql}) GROUP BY 1
+      FROM ({table_sql}) WHERE {value_col} IS NOT NULL GROUP BY 1
     ), tot AS (
       SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
              CAST(count(*) AS BIGINT) AS n_bins

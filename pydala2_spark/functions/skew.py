@@ -184,6 +184,13 @@ def weighted_quantiles(
     prefix — both engines evaluate the identical expression.
 
     Output: one row per q — ``(q, total_weight, value)``.
+
+    Weights must be NON-NEGATIVE: the total is taken as ``max(cum)``
+    and the threshold scan assumes a monotone cumulative — negative
+    weights would silently produce wrong quantiles. Rows with
+    ``weight < 0`` are therefore FILTERED (alongside NULLs), in both
+    this operator and the oracle, making the precondition enforced
+    rather than assumed.
     """
     if not qs or any(not 0 < q <= 1 for q in qs):
         raise ValueError(f"quantiles must be in (0, 1], got {qs}")
@@ -192,7 +199,9 @@ def weighted_quantiles(
             F.col(value_col).alias("v"),
             F.col(weight_col).cast("decimal(38,6)").alias("w"),
         )
-        .filter(F.col("v").isNotNull() & F.col("w").isNotNull())
+        .filter(
+            F.col("v").isNotNull() & F.col("w").isNotNull() & (F.col("w") >= 0)
+        )
         .groupBy("v")
         .agg(F.sum("w").alias("cw"))
     )
@@ -231,7 +240,8 @@ def weighted_quantiles_oracle_sql(
 ) -> str:
     """DuckDB oracle for :func:`weighted_quantiles` — window cumsum
     over the same decimal-weighted distinct-value table (fine at
-    oracle SF), identical double threshold comparison."""
+    oracle SF), identical double threshold comparison, and the same
+    negative-weight exclusion (monotone-cumulative precondition)."""
     arms = []
     for q in qs:
         arms.append(
@@ -246,6 +256,7 @@ def weighted_quantiles_oracle_sql(
              sum(CAST({weight_col} AS DECIMAL(38,6))) AS cw
       FROM ({table_sql})
       WHERE {value_col} IS NOT NULL AND {weight_col} IS NOT NULL
+        AND {weight_col} >= 0
       GROUP BY 1
     ), pre AS MATERIALIZED (
       SELECT v, sum(cw) OVER (ORDER BY v) AS cum FROM g

@@ -2511,37 +2511,44 @@ def dau_wau_mau(
 ) -> DataFrame:
     """Daily / trailing-7-day / trailing-30-day active users plus the
     DAU/MAU stickiness ratio, per calendar day — the canonical product
-    engagement rollup. Trailing windows are range equi-joins of the
-    USER-DAY grain against the day (x7 / x30 bounded fan-out of an
-    already-reduced frame), deduped map-side before the count — never
-    a distinct over a sliding window of raw events.
+    engagement rollup. Each trailing window is an EXPLODE of a
+    day-offset sequence over the reduced user-day grain (a user active
+    on day d contributes membership rows for days d..d+w-1), then the
+    two-phase distinct — never a distinct over a sliding window of raw
+    events, and never a range join.
 
     Output: ``(day, dau, wau, mau, stickiness)``.
 
-    100 TB shape: events reduce map-side to |user|x|days| rows once;
-    each trailing count is dropDuplicates + groupBy on that frame
-    (two-phase distinct — both shuffles skew-tolerant); the three
-    legs join back on the bounded calendar key.
+    100 TB shape: events reduce map-side to |user|x|days| rows once
+    (lazily checkpointed — the three legs read the stored copy, not the
+    scan); each trailing leg is a strictly bounded x7 / x30 row fan-out
+    followed by dropDuplicates + groupBy (both shuffles hash-partition
+    on equi keys, skew-tolerant). The r11 shape — a pure-range join of
+    the user-day grain against the calendar frame — planned as a
+    broadcast nested-loop join: every user-day row compared against
+    EVERY calendar day, a ~|days|x constant on the dominant frame where
+    this x7/x30 fan-out suffices; the sweep in tests/test_verbs_plans
+    now DENIES nested-loop joins here. Trailing counts generated for
+    days past the observed calendar are dropped by the final inner
+    join on the dau leg.
     """
-    ud = (
+    from pydala2_spark.operators.dedup import _materialize_once
+
+    ud = _materialize_once(
         events.select(
             F.to_date(F.col(ts_col)).alias("d"), F.col(user_col).alias("u")
-        )
-        .distinct()
-        .localCheckpoint()
+        ).distinct()
     )
     dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
-    days = ud.select("d").distinct()
 
     def trailing(window: int, out: str) -> DataFrame:
-        j = days.join(
-            ud.select(F.col("d").alias("d2"), "u"),
-            (F.col("d2") <= F.col("d"))
-            & (F.col("d2") >= F.date_sub(F.col("d"), window - 1)),
-        )
+        fan = ud.select(
+            F.col("d").alias("d0"),
+            "u",
+            F.explode(F.sequence(F.lit(0), F.lit(window - 1))).alias("off"),
+        ).select(F.date_add(F.col("d0"), F.col("off")).alias("d"), "u")
         return (
-            j.select("d", "u")
-            .dropDuplicates(["d", "u"])
+            fan.dropDuplicates(["d", "u"])
             .groupBy("d")
             .agg(F.count(F.lit(1)).cast("long").alias(out))
         )

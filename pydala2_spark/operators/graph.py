@@ -342,12 +342,19 @@ def clustering_coefficients(
         "n_nodes",
         (F.col("sum_t") / 3).cast("long").alias("n_triangles"),
         "wedges",
-        F.round(
-            F.col("sum_t").cast("double") / F.col("wedges").cast("double"), 6
+        # guard 0/0 -> NULL (graph with no degree>=2 nodes), matching
+        # the when(den>0) style used by corr_matrix / spearman
+        F.when(
+            F.col("wedges") > 0,
+            F.round(
+                F.col("sum_t").cast("double") / F.col("wedges").cast("double"),
+                6,
+            ),
         ).alias("global_coeff"),
-        F.round(F.col("sum_c") / F.col("n_nodes").cast("double"), 6).alias(
-            "avg_local_coeff"
-        ),
+        F.when(
+            F.col("n_nodes") > 0,
+            F.round(F.col("sum_c") / F.col("n_nodes").cast("double"), 6),
+        ).alias("avg_local_coeff"),
     )
 
 
@@ -1288,10 +1295,22 @@ def negative_edge_samples(
     100 TB shape: node ranks come from a distributed range-prefix
     (no global window); succ is an equi-join on rank+1; negatives are
     one anti-join on the canonical pair; the CN feature is two
-    adjacency equi-joins per pair set. The canonical edge frame is
-    consumed four times and localCheckpoint-ed.
+    adjacency equi-joins per pair set. Lineage-share discipline (the
+    pattern that took graph_triangles 25->9 exchanges in r11): the
+    canonical edge frame is eagerly checkpointed (consumed four
+    times), the pair and adjacency frames lazily checkpointed
+    (consumed twice each), and the per-pair CN counts reduce straight
+    to the per-label grain — the final summary joins two
+    rows-per-label aggregate frames instead of left-joining the CN
+    counts back onto the corpus-sized pair frame (which replayed the
+    succ/anti-join lineage a third time). r11 plan: 21 exchanges —
+    the suite's highest; the shared-lineage shape lands at 14 in the
+    pre-execution explain (the lazy checkpoints keep their lineage
+    visible until first use) and is pinned at <=16 in
+    tests/test_verbs_plans.py.
     """
     from pydala2_spark.functions.skew import distributed_prefix
+    from pydala2_spark.operators.dedup import _materialize_once
 
     e = (
         edges.select(
@@ -1331,11 +1350,15 @@ def negative_edge_samples(
         .distinct()
         .join(e, ["a", "b"], "left_anti")
     )
-    pairs = e.select("a", "b", F.lit(1).alias("label")).unionByName(
-        neg.select("a", "b", F.lit(0).alias("label"))
+    pairs = _materialize_once(
+        e.select("a", "b", F.lit(1).alias("label")).unionByName(
+            neg.select("a", "b", F.lit(0).alias("label"))
+        )
     )
-    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
-        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    adj = _materialize_once(
+        e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
     )
     cn = (
         pairs.join(adj.select(F.col("u").alias("a"), F.col("v").alias("m")), "a")
@@ -1343,19 +1366,30 @@ def negative_edge_samples(
         .groupBy("a", "b", "label")
         .agg(F.count(F.lit(1)).alias("cn"))
     )
-    feat = pairs.join(cn, ["a", "b", "label"], "left").select(
-        "label", F.coalesce("cn", F.lit(0)).alias("cn")
+    # pairs absent from cn have cn = 0, so they contribute nothing to
+    # n_with_cn or the cn sum — reduce cn straight to the label grain
+    # and join the two per-label aggregate frames (2 rows each)
+    # instead of left-joining cn back onto the corpus-sized pair frame
+    counts = pairs.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    cn_agg = cn.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_with_cn"),
+        F.sum(F.col("cn").cast("decimal(38,0)")).alias("__sum_cn"),
     )
     return (
-        feat.groupBy("label")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            F.count(F.when(F.col("cn") > 0, F.lit(1)))
-            .cast("long")
-            .alias("n_with_cn"),
+        counts.join(cn_agg, "label", "left")
+        .select(
+            "label",
+            "n_pairs",
+            F.coalesce(F.col("__n_with_cn"), F.lit(0).cast("long")).alias(
+                "n_with_cn"
+            ),
             F.round(
-                F.sum(F.col("cn").cast("decimal(38,0)")).cast("double")
-                / F.count(F.lit(1)),
+                F.coalesce(
+                    F.col("__sum_cn"), F.lit(0).cast("decimal(38,0)")
+                ).cast("double")
+                / F.col("n_pairs"),
                 ndigits,
             ).alias("avg_cn"),
         )

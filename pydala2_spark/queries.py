@@ -9620,11 +9620,14 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-distribution drift between corpus halves (centroid
     L2 + cosine, per-half mean norms) — the production monitor that
     catches an encoder redeploy or normalization regression before
-    the ANN index degrades. ONE map-side-combined corpus pass: the
-    per-dim sums ride as 2d wide-agg buffers (pca_fit pattern) in the
-    same single-row aggregate as the counts and norm sums — no
-    posexplode row blow-up, no second pass, no broadcast join.
-    See operators/similarity.embedding_drift."""
+    the ANN index degrades. Two map-side-combined passes: scalar
+    counts/norm sums in one, per-dim sums via posexplode + (half, dim)
+    groupBy in the other — 4 codegen-friendly aggregate buffers per
+    group. The 2d-wide-agg single-pass rewrite was tried in r11 and
+    REVERTED with evidence: 132 aggregate buffers blow Janino's 64 KB
+    method limit, costing 4-12 s of failed-compile-then-interpret to
+    save ~nothing at 1000x (adjudication in the operator docstring
+    and SCALING.md §r11). See operators/similarity.embedding_drift."""
     from pydala2_spark.operators.similarity import embedding_drift
 
     return embedding_drift(_t(spark, sf_dir, "embeddings"))
@@ -9960,9 +9963,10 @@ _CLUSTERING_ORACLE = """
       FROM per_node
     )
     SELECT n_nodes, CAST(sum_t / 3 AS BIGINT) AS n_triangles, wedges,
-           round(CAST(sum_t AS DOUBLE) / CAST(wedges AS DOUBLE), 6)
+           round(CAST(sum_t AS DOUBLE) / CAST(nullif(wedges, 0) AS DOUBLE), 6)
              AS global_coeff,
-           round(sum_c / CAST(n_nodes AS DOUBLE), 6) AS avg_local_coeff
+           round(sum_c / CAST(nullif(n_nodes, 0) AS DOUBLE), 6)
+             AS avg_local_coeff
     FROM agg
     """
 

@@ -200,6 +200,36 @@ def test_clustering_coeff_shares_triangle_pass(spark, sf_dir):
     assert plan.count("Exchange") <= 17, plan.count("Exchange")
 
 
+def test_negative_samples_shares_lineage(spark, sf_dir):
+    """negative_edge_samples reduces the per-pair CN counts straight
+    to the per-label grain and joins two per-label aggregate frames,
+    instead of left-joining CN back onto the corpus-sized pair frame
+    (which replayed the succ/anti-join lineage a third time); the
+    twice-consumed pair and adjacency frames are lazily checkpointed.
+    r11 BENCH_DETAIL flagged 21 exchanges (suite's highest); the
+    shared-lineage shape lands at 14 pre-execution."""
+    from pydala2_spark.queries import queries
+
+    plan = _plan(queries()["graph_negative_samples"](spark, sf_dir))
+    assert plan.count("Exchange") <= 16, plan.count("Exchange")
+
+
+def test_dau_wau_mau_denies_nested_loop(spark, sf_dir):
+    """dau_wau_mau's trailing windows are explode(sequence(0, w-1))
+    equi-joins over the user-day grain — NOT range joins. The r11
+    shape (pure-range join of user-days against the calendar) planned
+    as a BroadcastNestedLoopJoin: |user-days| x |calendar-days|
+    compares where a strict x7/x30 fan-out fits. DENY, don't allow —
+    this query is also excluded from the global-sweep allowlist."""
+    from pydala2_spark.queries import queries
+
+    plan = _plan(queries()["ev_dau_wau_mau"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # two trailing legs (dedup + count each) + dau + 2 final joins
+    assert plan.count("Exchange") <= 12, plan.count("Exchange")
+
+
 def test_merge_core_uses_nullsafe_join(spark, sf_dir):
     from pydala2_spark.queries import queries
 
@@ -257,9 +287,6 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         # range_join_ship_window
         "ev_seasonal_decompose",
         "ev_anomaly_seasonal",
-        # trailing-window range joins on the reduced user-day grain —
-        # bounded x7/x30 fan-out, same shape as range_join_ship_window
-        "ev_dau_wau_mau",
         # exact brute-force legs of the truncation eval — same bounded
         # corpus x broadcast-query-set cross as emb_knn_bruteforce
         "emb_dim_truncation_eval",
