@@ -1251,3 +1251,427 @@ def column_entropy_oracle_sql(
                       ELSE 0.0 END, {ndigits}) AS normalized
     FROM ent
     """
+
+
+# -- Mann-Whitney U (Wilcoxon rank-sum) ----------------------------------
+
+
+def mann_whitney(
+    df: DataFrame,
+    value_col: str,
+    split_col,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between two cohorts of
+    one numeric column — the nonparametric location test that
+    complements :func:`ks_test`'s distribution-equality verdict and
+    events.welch_ttest's mean test when the values are heavy-tailed
+    (revenue, latencies): it asks "does cohort A stochastically
+    dominate cohort B", immune to outliers that wreck a t-test.
+
+    ``split_col`` is a boolean Column: true rows form cohort A. Exact
+    pooled ranks with average-rank ties and NO global window (the
+    spearman_corr machinery): one map-side-combined groupBy to the
+    distinct-value table with per-cohort counts, one distributed
+    range-prefix over it, one single-row aggregate. The derivation
+    carries twice-average-ranks (always integral) so every moment is
+    an exact decimal; the normal approximation z uses the standard
+    tie-corrected variance
+    ``na*nb/12 * ((n+1) - sum(t^3-t)/(n*(n-1)))`` and no continuity
+    correction. Final doubles are one fixed expression shape both
+    engines evaluate identically.
+
+    One row out: ``(n_a, n_b, u_stat, z_score)`` — ``u_stat`` is
+    cohort A's U.
+
+    100 TB shape: ranks never touch a global window; the corpus
+    reduces to the distinct-value table at the first groupBy.
+    """
+    from pydala2_spark.functions.skew import distributed_prefix
+
+    base = df.select(
+        F.col(value_col).alias("v"), split_col.alias("__a")
+    ).filter(F.col("v").isNotNull())
+    g = base.groupBy("v").agg(
+        F.count(F.when(F.col("__a"), F.lit(1))).alias("ca"),
+        F.count(F.when(~F.col("__a"), F.lit(1))).alias("cb"),
+    )
+    g = g.withColumn(
+        "c", (F.col("ca") + F.col("cb")).cast("decimal(38,0)")
+    )
+    g = distributed_prefix(g, ["v"], sum_col="c", cum_col="__cum")
+    # twice-average-rank of the tied block: 2*(rows strictly before)
+    # + ties + 1 — always integral (spearman_corr discipline)
+    r2 = F.lit(2) * (F.col("__cum") - F.col("c")) + F.col("c") + F.lit(1)
+    s = g.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(F.col("ca").cast("decimal(38,0)") * r2).alias("r2a"),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    # 2*R_a = r2a; U_a = R_a - na*(na+1)/2  =>  u = (r2a - na*(na+1))/2
+    u = (F.col("r2a").cast("double") - na * (na + F.lit(1.0))) / F.lit(2.0)
+    var_u = (
+        na
+        * nb
+        / F.lit(12.0)
+        * (
+            (n + F.lit(1.0))
+            - F.col("tie").cast("double") / (n * (n - F.lit(1.0)))
+        )
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round(u, ndigits).alias("u_stat"),
+        F.round(
+            F.when(var_u > 0, (u - na * nb / F.lit(2.0)) / F.sqrt(var_u)),
+            ndigits,
+        ).alias("z_score"),
+    )
+
+
+def mann_whitney_oracle_sql(
+    table_sql: str,
+    value_col: str,
+    split_sql: str,
+    ndigits: int = 6,
+) -> str:
+    """DuckDB oracle for :func:`mann_whitney` — identical pooled
+    distinct-value ranks (window cumsum is fine at oracle SF),
+    twice-average-rank integral moments, tie-corrected variance, and
+    final double expression shape."""
+    return f"""
+    WITH base AS (
+      SELECT {value_col} AS v, ({split_sql}) AS a
+      FROM ({table_sql}) WHERE {value_col} IS NOT NULL
+    ), g AS (
+      SELECT v, count(CASE WHEN a THEN 1 END) AS ca,
+             count(CASE WHEN NOT a THEN 1 END) AS cb
+      FROM base GROUP BY v
+    ), p AS (
+      SELECT ca, cb, CAST(ca + cb AS DECIMAL(38,0)) AS c,
+             sum(CAST(ca + cb AS DECIMAL(38,0))) OVER (ORDER BY v)
+               AS cum
+      FROM g
+    ), s AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b,
+             sum(CAST(ca AS DECIMAL(38,0)) * (2 * (cum - c) + c + 1))
+               AS r2a,
+             sum(c * c * c - c) AS tie
+      FROM p
+    )
+    SELECT n_a, n_b,
+           round((CAST(r2a AS DOUBLE)
+                  - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0))
+                 / 2.0, {ndigits}) AS u_stat,
+           round(CASE WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                   * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+                      - CAST(tie AS DOUBLE)
+                        / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                           * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                              - 1.0))) > 0
+             THEN ((CAST(r2a AS DOUBLE)
+                    - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0))
+                   / 2.0
+                   - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+                  / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                   * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+                      - CAST(tie AS DOUBLE)
+                        / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                           * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                              - 1.0))))
+             END, {ndigits}) AS z_score
+    FROM s
+    """
+
+
+# -- block-jackknife confidence interval ---------------------------------
+
+
+def jackknife_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_groups: int = 20,
+    z: float = 1.96,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Delete-one-block jackknife standard error and confidence
+    interval for the mean of one numeric column — distributed
+    uncertainty quantification with NO resampling RNG: rows partition
+    deterministically into ``n_groups`` blocks by ``id_col %
+    n_groups``, the leave-one-block-out means are computed from exact
+    block sums, and the jackknife variance ``(g-1)/g * sum((m_i -
+    mbar)^2)`` prices the estimate's stability. The tool an A/B or
+    data-mixture readout needs next to the point estimate (a plain
+    s/sqrt(n) SE understates error under within-block correlation —
+    the usual case when blocks follow ingest order).
+
+    ``id_col`` must be a non-negative integral column (ids). Output:
+    one row ``(n_rows, n_blocks, mean, se_jack, ci_lo, ci_hi)``.
+
+    Determinism ladder: block sums are exact DECIMAL(38,6); each
+    leave-one-out mean is one double division, round-12, back to
+    DECIMAL(38,12) for the cross-block sums (the mutual-info ln
+    discipline — cross-engine float summation order never matters).
+
+    100 TB shape: ONE map-side-combined groupBy to the g-row block
+    frame; both jackknife passes run on those g rows against one-row
+    broadcast totals.
+    """
+    if n_groups < 2:
+        raise ValueError("n_groups must be >= 2")
+    base = df.select(
+        F.col(value_col).alias("v"),
+        F.pmod(F.col(id_col), F.lit(n_groups)).alias("g"),
+    ).filter(F.col("v").isNotNull())
+    per = base.groupBy("g").agg(
+        F.sum(F.col("v").cast(_DEC)).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    tot = per.agg(
+        F.sum("s").alias("tot_s"),
+        F.sum("c").cast("long").alias("tot_n"),
+        F.count(F.lit(1)).cast("long").alias("tot_k"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    m_i = (F.col("tot_s").cast("double") - F.col("s").cast("double")) / (
+        F.col("tot_n").cast("double") - F.col("c").cast("double")
+    )
+    m12 = F.round(m_i, 12).cast("decimal(38,12)")
+    stage1 = j.groupBy("tot_s", "tot_n", "tot_k").agg(F.sum(m12).alias("sm"))
+    j2 = j.crossJoin(
+        F.broadcast(stage1.select(F.col("sm"), F.col("tot_k").alias("__k2")))
+    )
+    mbar2 = F.col("sm").cast("double") / F.col("__k2").cast("double")
+    term = F.round(
+        (F.round(m_i, 12) - mbar2) * (F.round(m_i, 12) - mbar2), 12
+    ).cast("decimal(38,12)")
+    s2 = j2.groupBy("tot_s", "tot_n", "tot_k").agg(F.sum(term).alias("ss"))
+    kd = F.col("tot_k").cast("double")
+    mean_d = F.col("tot_s").cast("double") / F.col("tot_n").cast("double")
+    se_d = F.sqrt(
+        (kd - F.lit(1.0)) / kd * F.col("ss").cast("double")
+    )
+    return s2.select(
+        F.col("tot_n").alias("n_rows"),
+        F.col("tot_k").alias("n_blocks"),
+        F.round(mean_d, ndigits).alias("mean"),
+        F.round(se_d, ndigits).alias("se_jack"),
+        F.round(mean_d - F.lit(z) * se_d, ndigits).alias("ci_lo"),
+        F.round(mean_d + F.lit(z) * se_d, ndigits).alias("ci_hi"),
+    )
+
+
+def jackknife_oracle_sql(
+    table_sql: str,
+    value_col: str,
+    id_col: str,
+    n_groups: int = 20,
+    z: float = 1.96,
+    ndigits: int = 6,
+) -> str:
+    """DuckDB oracle for :func:`jackknife_ci` — identical block sums,
+    round-12 leave-one-out means, decimal cross-block accumulation,
+    and final double expression shapes."""
+    return f"""
+    WITH base AS (
+      SELECT CAST({value_col} AS DECIMAL(38,6)) AS v, {id_col} % {n_groups} AS g
+      FROM ({table_sql}) WHERE {value_col} IS NOT NULL
+    ), per AS (
+      SELECT g, sum(v) AS s, count(*) AS c FROM base GROUP BY g
+    ), tot AS (
+      SELECT sum(s) AS tot_s, CAST(sum(c) AS BIGINT) AS tot_n,
+             CAST(count(*) AS BIGINT) AS tot_k
+      FROM per
+    ), m AS (
+      SELECT tot.tot_s, tot.tot_n, tot.tot_k,
+             (CAST(tot.tot_s AS DOUBLE) - CAST(per.s AS DOUBLE))
+               / (CAST(tot.tot_n AS DOUBLE) - CAST(per.c AS DOUBLE)) AS m_i
+      FROM per, tot
+    ), s1 AS (
+      SELECT tot_s, tot_n, tot_k,
+             sum(CAST(round(m_i, 12) AS DECIMAL(38,12))) AS sm
+      FROM m GROUP BY tot_s, tot_n, tot_k
+    ), s2 AS (
+      SELECT m.tot_s, m.tot_n, m.tot_k,
+             sum(CAST(round(
+               (round(m_i, 12)
+                - CAST(s1.sm AS DOUBLE) / CAST(s1.tot_k AS DOUBLE))
+               * (round(m_i, 12)
+                  - CAST(s1.sm AS DOUBLE) / CAST(s1.tot_k AS DOUBLE)),
+               12) AS DECIMAL(38,12))) AS ss
+      FROM m, s1 GROUP BY m.tot_s, m.tot_n, m.tot_k
+    )
+    SELECT tot_n AS n_rows, tot_k AS n_blocks,
+           round(CAST(tot_s AS DOUBLE) / CAST(tot_n AS DOUBLE), {ndigits})
+             AS mean,
+           round(sqrt((CAST(tot_k AS DOUBLE) - 1.0) / CAST(tot_k AS DOUBLE)
+                      * CAST(ss AS DOUBLE)), {ndigits}) AS se_jack,
+           round(CAST(tot_s AS DOUBLE) / CAST(tot_n AS DOUBLE)
+                 - {z!r} * sqrt((CAST(tot_k AS DOUBLE) - 1.0)
+                                / CAST(tot_k AS DOUBLE)
+                                * CAST(ss AS DOUBLE)), {ndigits}) AS ci_lo,
+           round(CAST(tot_s AS DOUBLE) / CAST(tot_n AS DOUBLE)
+                 + {z!r} * sqrt((CAST(tot_k AS DOUBLE) - 1.0)
+                                / CAST(tot_k AS DOUBLE)
+                                * CAST(ss AS DOUBLE)), {ndigits}) AS ci_hi
+    FROM s2
+    """
+
+
+# -- IQR fence outlier screen --------------------------------------------
+
+
+def iqr_outliers(
+    df: DataFrame,
+    cols: list[str],
+    fence: float = 1.5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Tukey-fence outlier screen per numeric column: EXACT Q1/Q3
+    (type-1 quantiles — smallest value whose cumulative count reaches
+    q*N, the weighted_quantiles convention), the 1.5*IQR fences, and
+    how many rows fall outside each — the robust spread audit that
+    catches unit mix-ups and sensor spikes a mean/stddev profile
+    smooths over.
+
+    Output: one row per column — ``(col_name, n_rows, q1, q3, iqr,
+    lo_fence, hi_fence, n_below, n_above, outlier_rate)``.
+
+    100 TB shape: ONE corpus pass — rows unpivot to (column, value)
+    via a literal-array explode (|cols| x amplification, the
+    column_entropy trade), one map-side-combined groupBy to the
+    per-column distinct-value tables (materialized once), then ONE
+    distributed range-prefix over the composite (col, v) order; each
+    column's cumulative is the global prefix minus its block offset
+    (exact long arithmetic). The first cut ran |cols| independent
+    prefix pipelines and paid |cols| x the fixed shuffle/checkpoint
+    overhead (6.2 s for three lineitem columns at sf0.1; this shape
+    ~2 s). Quantile and fence passes run on the reduced tables
+    against broadcast per-column frames — never a one-task global
+    window.
+    """
+    from pydala2_spark.functions.skew import distributed_prefix
+    from pydala2_spark.operators.dedup import _materialize_once
+
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"), F.col(c).cast("double").alias("v")
+            )
+            for c in cols
+        ]
+    )
+    base = (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.col", "p.v")
+        .filter(F.col("v").isNotNull())
+    )
+    # counts ride as LONGs: integer addition is exact and associative
+    # (the helper's DECIMAL requirement exists for fractional sums;
+    # row counts cannot overflow 2^63)
+    g = _materialize_once(
+        base.groupBy("col", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pre = distributed_prefix(g, ["col", "v"], sum_col="cnt", cum_col="__cum")
+    colstat = pre.groupBy("col").agg(
+        F.max("__cum").alias("__hi"), F.sum("cnt").alias("__w")
+    )
+    j = pre.join(
+        F.broadcast(
+            colstat.select(
+                "col", (F.col("__hi") - F.col("__w")).alias("__off"), "__w"
+            )
+        ),
+        "col",
+    )
+    cum_d = (F.col("__cum") - F.col("__off")).cast("double")
+    w_d = F.col("__w").cast("double")
+    qrow = j.groupBy("col").agg(
+        F.min(F.when(cum_d >= F.lit(0.25) * w_d, F.col("v"))).alias("q1"),
+        F.min(F.when(cum_d >= F.lit(0.75) * w_d, F.col("v"))).alias("q3"),
+    )
+    lo = F.col("q1") - F.lit(fence) * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + F.lit(fence) * (F.col("q3") - F.col("q1"))
+    fr = g.join(F.broadcast(qrow), "col")
+    agg = fr.groupBy("col", "q1", "q3").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("v") < lo, F.col("cnt"))).cast("long").alias(
+            "__nb"
+        ),
+        F.sum(F.when(F.col("v") > hi, F.col("cnt"))).cast("long").alias(
+            "__na"
+        ),
+    )
+    return agg.select(
+        F.col("col").alias("col_name"),
+        "n_rows",
+        "q1",
+        "q3",
+        (F.col("q3") - F.col("q1")).alias("iqr"),
+        lo.alias("lo_fence"),
+        hi.alias("hi_fence"),
+        F.coalesce(F.col("__nb"), F.lit(0)).alias("n_below"),
+        F.coalesce(F.col("__na"), F.lit(0)).alias("n_above"),
+        F.round(
+            (
+                F.coalesce(F.col("__nb"), F.lit(0))
+                + F.coalesce(F.col("__na"), F.lit(0))
+            ).cast("double")
+            / F.col("n_rows").cast("double"),
+            ndigits,
+        ).alias("outlier_rate"),
+    )
+
+
+def iqr_outliers_oracle_sql(
+    table_sql: str,
+    cols: list[str],
+    fence: float = 1.5,
+    ndigits: int = 6,
+) -> str:
+    """DuckDB oracle for :func:`iqr_outliers` — identical type-1
+    quantiles from a window cumsum over the distinct-value table
+    (fine at oracle SF) and identical fence arithmetic."""
+    legs = []
+    for c in cols:
+        legs.append(f"""
+    SELECT '{c}' AS col_name, n_rows, q1, q3, q3 - q1 AS iqr,
+           q1 - {fence!r} * (q3 - q1) AS lo_fence,
+           q3 + {fence!r} * (q3 - q1) AS hi_fence,
+           n_below, n_above,
+           round(CAST(n_below + n_above AS DOUBLE)
+                 / CAST(n_rows AS DOUBLE), {ndigits}) AS outlier_rate
+    FROM (
+      WITH g AS (
+        SELECT CAST({c} AS DOUBLE) AS v, count(*) AS cnt
+        FROM ({table_sql}) WHERE {c} IS NOT NULL GROUP BY 1
+      ), p AS (
+        SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cum FROM g
+      ), w AS (SELECT max(cum) AS W FROM p),
+      q AS (
+        SELECT
+          (SELECT min(v) FROM p, w
+           WHERE CAST(cum AS DOUBLE) >= 0.25 * CAST(W AS DOUBLE)) AS q1,
+          (SELECT min(v) FROM p, w
+           WHERE CAST(cum AS DOUBLE) >= 0.75 * CAST(W AS DOUBLE)) AS q3
+      )
+      SELECT q.q1, q.q3,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(coalesce(sum(CASE WHEN v < q1 - {fence!r} * (q3 - q1)
+                                    THEN cnt END), 0) AS BIGINT) AS n_below,
+             CAST(coalesce(sum(CASE WHEN v > q3 + {fence!r} * (q3 - q1)
+                                    THEN cnt END), 0) AS BIGINT) AS n_above
+      FROM g, q GROUP BY q.q1, q.q3
+    )""")
+    return " UNION ALL ".join(legs)

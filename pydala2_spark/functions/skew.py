@@ -82,11 +82,25 @@ def distributed_prefix(
     (inclusive decimal prefix sum).
 
     Shape: one range shuffle + two tiny aggregations over
-    |partitions| rows; no task ever sees more than its range."""
+    |partitions| rows; no task ever sees more than its range.
+
+    The ranged frame is materialized ONCE (lazy localCheckpoint,
+    released by the ContextCleaner): the per-partition offsets join
+    references it on both sides, and without materialization each
+    side may re-evaluate the range shuffle with DIFFERENT sampled
+    boundaries (RangePartitioner samples a shuffle output whose
+    intra-partition row order is not deterministic, and runtime
+    exchange reuse is best-effort, not guaranteed) — rows then pick
+    up offsets computed for a partitioning they are not in, silently
+    corrupting ranks. Observed in r12: three consecutive aggregations
+    over one prefix frame returned three different sums until the
+    checkpoint pinned the partitioning."""
     from pyspark.sql import Window
 
-    ranged = df.repartitionByRange(n_partitions, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(n_partitions, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     w_local = Window.partitionBy("__pid").orderBy(*order_cols)
     out = ranged.withColumn("__lrank", F.row_number().over(w_local))

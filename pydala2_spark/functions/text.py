@@ -208,6 +208,20 @@ def shingles(text: str = "text", k: int = 3, tokens_col: str | None = None) -> C
     return F.expr(shingles_sql(text, k, tokens_col))
 
 
+def raw_shingles(
+    text: str = "text", k: int = 3, tokens_col: str | None = None
+) -> Column:
+    """Every k-token shingle occurrence IN ORDER (no per-doc dedup) —
+    the occurrence-level counterpart of :func:`shingles` for metrics
+    that weight by frequency (n-gram novelty's token coverage)."""
+    t = _toks(text, tokens_col)
+    parts = ", ".join(f"element_at({t}, i + {j})" for j in range(k))
+    return F.expr(
+        f"transform(sequence(1, greatest(size({t}) - {k - 1}, 1)), "
+        f"i -> concat_ws(' ', {parts}))"
+    )
+
+
 def raw_shingle_count(text: str = "text", k: int = 3, tokens_col: str | None = None) -> Column:
     """Number of k-token shingles BEFORE dedup (``shingles`` returns
     the distinct set; the repetition metrics need both)."""

@@ -2426,3 +2426,133 @@ def feature_hash_oracle_sql(n_buckets: int = 64, ndigits: int = 6) -> str:
              AS type_share
     FROM g, tot
     """
+
+
+def ngram_novelty(
+    reference: DataFrame,
+    incoming: DataFrame,
+    text: str = "text",
+    k: int = 5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Cross-corpus n-gram novelty: how much of an INCOMING corpus is
+    k-gram-new relative to a REFERENCE corpus — the memorization /
+    freshness readout of a training-data refresh (the inverse of
+    :func:`contamination_screen`'s question): type novelty says how
+    much new phrasing arrives, occurrence novelty says how much of the
+    incoming TOKEN MASS is new (a corpus can add many rare new n-grams
+    while 95% of its volume is re-crawl).
+
+    One row out: ``(n_ref_types, n_new_types, n_novel_types,
+    type_novelty, n_new_occ, n_novel_occ, occ_novelty)``.
+
+    100 TB shape: both sides explode to shingles and reduce map-side
+    (reference to its DISTINCT type table, incoming to (shingle,
+    occurrence-count)); the novelty check is ONE shuffled hash
+    equi-join of the two reduced tables — deliberately NOT a
+    broadcast: unlike the benchmark-decontamination case both sides
+    are corpus-sized, and the shingle hash keys distribute evenly.
+    All counts exact; two guarded double divisions at the end.
+    """
+    from pydala2_spark.functions.text import raw_shingles
+
+    def occ(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.split(F.col(text), " ").alias("__tk"))
+            .select(F.explode(raw_shingles(text, k, "__tk")).alias("sh"))
+            .filter(F.size(F.split(F.col("sh"), " ")) == k)
+        )
+
+    ref_types = occ(reference).distinct().withColumn("__seen", F.lit(1))
+    newg = occ(incoming).groupBy("sh").agg(F.count(F.lit(1)).alias("occ"))
+    j = newg.join(ref_types, "sh", "left")
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_types"),
+        F.count(F.when(F.col("__seen").isNull(), F.lit(1)))
+        .cast("long")
+        .alias("n_novel_types"),
+        F.sum("occ").cast("long").alias("n_new_occ"),
+        F.sum(F.when(F.col("__seen").isNull(), F.col("occ")))
+        .cast("long")
+        .alias("__novel_occ"),
+    )
+    nref = ref_types.agg(F.count(F.lit(1)).cast("long").alias("n_ref_types"))
+    return (
+        s.crossJoin(F.broadcast(nref))
+        .select(
+            "n_ref_types",
+            "n_new_types",
+            "n_novel_types",
+            F.round(
+                F.when(
+                    F.col("n_new_types") > 0,
+                    F.col("n_novel_types").cast("double")
+                    / F.col("n_new_types").cast("double"),
+                ),
+                ndigits,
+            ).alias("type_novelty"),
+            "n_new_occ",
+            F.coalesce(F.col("__novel_occ"), F.lit(0)).alias("n_novel_occ"),
+            F.round(
+                F.when(
+                    F.col("n_new_occ") > 0,
+                    F.coalesce(F.col("__novel_occ"), F.lit(0)).cast("double")
+                    / F.col("n_new_occ").cast("double"),
+                ),
+                ndigits,
+            ).alias("occ_novelty"),
+        )
+    )
+
+
+def ngram_novelty_oracle_sql(
+    ref_sql: str,
+    new_sql: str,
+    text: str = "text",
+    k: int = 5,
+    ndigits: int = 6,
+) -> str:
+    """DuckDB oracle for :func:`ngram_novelty` — identical sliding
+    k-gram construction (short-doc stubs filtered by token count, the
+    contamination idiom), occurrence counting, and guarded ratios."""
+    probes = ", ".join(f"tk[i+{j}]" for j in range(k))
+    gen = (
+        f"list_transform(generate_series(1, greatest(len(tk) - {k - 1}, 1)), "
+        f"i -> concat_ws(' ', {probes}))"
+    )
+    return f"""
+    WITH refs AS (
+      SELECT DISTINCT s FROM (
+        SELECT string_split({text}, ' ') AS tk FROM ({ref_sql})
+      ), unnest({gen}) AS u(s)
+      WHERE len(string_split(s, ' ')) = {k}
+    ), newg AS (
+      SELECT s AS sh, count(*) AS occ FROM (
+        SELECT string_split({text}, ' ') AS tk FROM ({new_sql})
+      ), unnest({gen}) AS u(s)
+      WHERE len(string_split(s, ' ')) = {k}
+      GROUP BY s
+    ), j AS (
+      SELECT newg.sh, newg.occ, refs.s IS NOT NULL AS seen
+      FROM newg LEFT JOIN refs ON newg.sh = refs.s
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_new_types,
+             CAST(count(CASE WHEN NOT seen THEN 1 END) AS BIGINT)
+               AS n_novel_types,
+             CAST(sum(occ) AS BIGINT) AS n_new_occ,
+             CAST(coalesce(sum(CASE WHEN NOT seen THEN occ END), 0)
+                  AS BIGINT) AS n_novel_occ
+      FROM j
+    ), r AS (SELECT CAST(count(*) AS BIGINT) AS n_ref_types FROM refs)
+    SELECT n_ref_types, n_new_types, n_novel_types,
+           round(CASE WHEN n_new_types > 0
+                 THEN CAST(n_novel_types AS DOUBLE)
+                      / CAST(n_new_types AS DOUBLE) END, {ndigits})
+             AS type_novelty,
+           n_new_occ, n_novel_occ,
+           round(CASE WHEN n_new_occ > 0
+                 THEN CAST(n_novel_occ AS DOUBLE)
+                      / CAST(n_new_occ AS DOUBLE) END, {ndigits})
+             AS occ_novelty
+    FROM s, r
+    """

@@ -2594,3 +2594,127 @@ def dau_wau_mau_oracle_sql(ndigits: int = 4) -> str:
                  {ndigits}) AS stickiness
     FROM dau JOIN wau ON dau.d = wau.d JOIN mau ON dau.d = mau.d
     """
+
+
+def growth_accounting(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Weekly growth accounting: every active user classified as NEW
+    (first-ever week), RETAINED (also active the prior week), or
+    RESURRECTED (seen before, but not last week), plus the prior
+    week's CHURNED count and the quick ratio
+    ``(new + resurrected) / churned`` — the canonical
+    new/retained/resurrected/churned decomposition a growth team reads
+    before any topline MAU number (the same grain social-capital-style
+    growth accounting uses).
+
+    Output: one row per observed week —
+    ``(week, active, new_users, retained, resurrected, churned,
+    quick_ratio)``. ``churned`` at week w counts users active in w-7
+    but not in w; weeks with no events at all produce no row (their
+    churn folds into the next OBSERVED week only if exactly 7 days
+    later — documented grain limit).
+
+    100 TB shape: events reduce map-side to the |user|x|weeks| grain
+    once (lazily checkpointed; all four legs read the stored copy);
+    first-seen weeks are one groupBy; the prior-week flag and the
+    churn count are equi-joins on (week, user) — no windows, no range
+    joins, everything hash-partitions on bounded-skew keys.
+    """
+    from pydala2_spark.operators.dedup import _materialize_once
+
+    uw = _materialize_once(
+        events.select(
+            F.date_trunc("week", F.col(ts_col)).cast("date").alias("w"),
+            F.col(user_col).alias("u"),
+        ).distinct()
+    )
+    first = uw.groupBy("u").agg(F.min("w").alias("fw"))
+    prev = uw.select(
+        F.date_add(F.col("w"), 7).alias("w"), "u", F.lit(1).alias("__p")
+    )
+    cur = uw.join(prev, ["w", "u"], "left").join(first, "u")
+    per = cur.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("active"),
+        F.count(F.when(F.col("fw") == F.col("w"), F.lit(1)))
+        .cast("long")
+        .alias("new_users"),
+        F.count(F.when(F.col("__p").isNotNull(), F.lit(1)))
+        .cast("long")
+        .alias("retained"),
+        F.count(
+            F.when(
+                F.col("__p").isNull() & (F.col("fw") < F.col("w")), F.lit(1)
+            )
+        )
+        .cast("long")
+        .alias("resurrected"),
+    )
+    ch = (
+        prev.select("w", "u")
+        .join(uw, ["w", "u"], "left_anti")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("__ch"))
+    )
+    return per.join(ch, "w", "left").select(
+        F.col("w").alias("week"),
+        "active",
+        "new_users",
+        "retained",
+        "resurrected",
+        F.coalesce(F.col("__ch"), F.lit(0).cast("long")).alias("churned"),
+        F.round(
+            F.when(
+                F.coalesce(F.col("__ch"), F.lit(0)) > 0,
+                (F.col("new_users") + F.col("resurrected")).cast("double")
+                / F.coalesce(F.col("__ch"), F.lit(0)).cast("double"),
+            ),
+            ndigits,
+        ).alias("quick_ratio"),
+    )
+
+
+def growth_accounting_oracle_sql(ndigits: int = 4) -> str:
+    """DuckDB oracle for :func:`growth_accounting` — identical weekly
+    user grain (Monday-start date_trunc in both engines), first-seen
+    classification, and (week, user) equi-join churn."""
+    return f"""
+    WITH uw AS (
+      SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS w,
+             user_id AS u
+      FROM events
+    ), first AS (
+      SELECT u, min(w) AS fw FROM uw GROUP BY u
+    ), prev AS (
+      SELECT w + 7 AS w, u FROM uw
+    ), cur AS (
+      SELECT uw.w, uw.u, first.fw,
+             prev.u IS NOT NULL AS p
+      FROM uw
+      LEFT JOIN prev ON prev.w = uw.w AND prev.u = uw.u
+      JOIN first ON first.u = uw.u
+    ), per AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS active,
+             CAST(count(CASE WHEN fw = w THEN 1 END) AS BIGINT)
+               AS new_users,
+             CAST(count(CASE WHEN p THEN 1 END) AS BIGINT) AS retained,
+             CAST(count(CASE WHEN NOT p AND fw < w THEN 1 END) AS BIGINT)
+               AS resurrected
+      FROM cur GROUP BY w
+    ), ch AS (
+      SELECT prev.w, CAST(count(*) AS BIGINT) AS churned
+      FROM prev LEFT JOIN uw ON uw.w = prev.w AND uw.u = prev.u
+      WHERE uw.u IS NULL
+      GROUP BY prev.w
+    )
+    SELECT per.w AS week, active, new_users, retained, resurrected,
+           coalesce(ch.churned, 0) AS churned,
+           round(CASE WHEN coalesce(ch.churned, 0) > 0
+                 THEN CAST(new_users + resurrected AS DOUBLE)
+                      / CAST(coalesce(ch.churned, 0) AS DOUBLE) END,
+                 {ndigits}) AS quick_ratio
+    FROM per LEFT JOIN ch ON ch.w = per.w
+    """

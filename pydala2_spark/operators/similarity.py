@@ -1684,3 +1684,113 @@ def embedding_drift_oracle_sql(
              AS mean_norm_b
     FROM h, s
     """
+
+
+def pair_cosine_histogram(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    strides: tuple = (1, 7, 31),
+    dim: int | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Cosine-similarity distribution over a DETERMINISTIC sample of
+    vector pairs — the isotropy / hubness screen an embedding corpus
+    gets before ANN indexing: a healthy encoder's random-pair cosines
+    center near 0 with modest spread; a collapsed or anisotropic
+    space (mean >> 0, tight spread) breaks both LSH bucketing and
+    IVF cell balance. Pairing is id-successor at fixed strides
+    (``(id, id+s)`` for each stride — the negative-sampling
+    corruption scheme): no RNG, linear in corpus size, oracle-exact.
+
+    Output: one row per 0.1-wide cosine bin —
+    ``(bin_lo, n_pairs, share, avg_cos)``.
+
+    100 TB shape: unit vectors widen to scalar columns ONCE (lazily
+    checkpointed — both join sides read the stored copy and the
+    O(pairs) dot stays in whole-stage codegen); pairs are |strides|
+    equi-joins on id arithmetic; the histogram is one
+    map-side-combined groupBy over <= 21 bins with a one-row
+    broadcast total for the shares.
+    """
+    from pydala2_spark.operators.dedup import _materialize_once
+
+    d = dim or vector_dim(emb, vec_col)
+    wide = _materialize_once(unit_scalar_frame(emb, vec_col, [id_col], d))
+    ua = wide.select(
+        F.col(id_col).alias("ia"), *[F.col(f"d{i}").alias(f"a{i}") for i in range(1, d + 1)]
+    )
+    ub = wide.select(
+        F.col(id_col).alias("ib"), *[F.col(f"d{i}").alias(f"b{i}") for i in range(1, d + 1)]
+    )
+    ids = emb.select(
+        F.col(id_col).alias("ia"),
+        F.explode(F.array(*[F.lit(int(s)) for s in strides])).alias("s"),
+    ).select("ia", (F.col("ia") + F.col("s")).alias("ib"))
+    j = ids.join(ua, "ia").join(ub, "ib")
+    dot = None
+    for i in range(1, d + 1):
+        term = F.col(f"a{i}") * F.col(f"b{i}")
+        dot = term if dot is None else dot + term
+    cos = F.round(dot, 4)
+    binned = j.select(
+        F.floor(cos * F.lit(10.0)).cast("int").alias("bin"),
+        cos.alias("c"),
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("c").cast("decimal(38,6)")).alias("__sc"),
+    )
+    tot = per.agg(F.sum("n_pairs").cast("long").alias("__t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("bin").cast("double") / F.lit(10.0)).alias("bin_lo"),
+            "n_pairs",
+            F.round(
+                F.col("n_pairs").cast("double") / F.col("__t").cast("double"),
+                ndigits,
+            ).alias("share"),
+            F.round(
+                F.col("__sc").cast("double") / F.col("n_pairs").cast("double"),
+                ndigits,
+            ).alias("avg_cos"),
+        )
+    )
+
+
+def pair_cosine_histogram_oracle_sql(
+    strides: tuple = (1, 7, 31),
+    dim: int = 64,
+    ndigits: int = 6,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB oracle for :func:`pair_cosine_histogram` — identical
+    unit-vector product chain (the near-dup oracle idiom), round-4
+    cosines, floor binning, and share/avg ladders."""
+    ss = ", ".join(str(int(s)) for s in strides)
+    return f"""
+    WITH u AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)
+               / sqrt(list_sum(list_transform(embedding,
+                        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS uv
+      FROM {table}
+    ), pr AS (
+      SELECT round(list_sum(list_transform(generate_series(1, {dim}),
+                     i -> a.uv[i] * b.uv[i])), 4) AS c
+      FROM u a
+      CROSS JOIN (SELECT unnest([{ss}]) AS s) st
+      JOIN u b ON b.vec_id = a.vec_id + st.s
+    ), per AS (
+      SELECT CAST(floor(c * 10.0) AS INT) AS bin,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             sum(CAST(c AS DECIMAL(38,6))) AS sc
+      FROM pr GROUP BY 1
+    ), tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS t FROM per)
+    SELECT CAST(bin AS DOUBLE) / 10.0 AS bin_lo, n_pairs,
+           round(CAST(n_pairs AS DOUBLE) / CAST(t AS DOUBLE), {ndigits})
+             AS share,
+           round(CAST(sc AS DOUBLE) / CAST(n_pairs AS DOUBLE), {ndigits})
+             AS avg_cos
+    FROM per, tot
+    """

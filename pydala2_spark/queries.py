@@ -10973,13 +10973,165 @@ def _dau_oracle() -> str:
 def ev_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU / trailing-7-day / trailing-30-day active users with the
     DAU/MAU stickiness ratio per day — the canonical engagement
-    rollup. Trailing windows are bounded range joins of the user-day
-    grain (x7/x30 fan-out of the reduced frame), two-phase-distinct
-    counted — never a sliding distinct over raw events.
-    See operators/events.dau_wau_mau."""
+    rollup. Trailing windows are explode(sequence(0, w-1)) equi-joins
+    over the user-day grain (strictly bounded x7/x30 fan-out),
+    two-phase-distinct counted — never a sliding distinct over raw
+    events and never a nested-loop range join (the r11 shape, denied
+    by the plan sweep since r12). See operators/events.dau_wau_mau."""
     from pydala2_spark.operators.events import dau_wau_mau
 
     return dau_wau_mau(_t(spark, sf_dir, "events"))
+
+
+# =====================================================================
+# Round-12 additions: nonparametric / uncertainty stats, corpus
+# novelty, embedding isotropy, growth accounting
+# =====================================================================
+
+
+def _mann_whitney_oracle() -> str:
+    from pydala2_spark.functions.dq import mann_whitney_oracle_sql
+
+    return mann_whitney_oracle_sql(
+        "SELECT * FROM lineitem", "l_extendedprice", "l_returnflag = 'R'"
+    )
+
+
+@query("agg_mann_whitney", _mann_whitney_oracle())
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between returned and non-returned line items on
+    extended price — the nonparametric location test next to
+    ev_welch_ttest's mean test and dq_ks_test's distribution verdict
+    (heavy-tailed revenue columns want rank tests, not t-tests).
+    Exact pooled average ranks with NO global window: the
+    spearman_corr distinct-value range-prefix machinery; integral
+    twice-average-rank moments keep everything exact decimal until
+    the final z expression. See functions/dq.mann_whitney."""
+    from pydala2_spark.functions.dq import mann_whitney
+
+    return mann_whitney(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        F.col("l_returnflag") == "R",
+    )
+
+
+def _jackknife_oracle() -> str:
+    from pydala2_spark.functions.dq import jackknife_oracle_sql
+
+    return jackknife_oracle_sql(
+        "SELECT * FROM events", "value", "event_id", n_groups=20
+    )
+
+
+@query("agg_jackknife_ci", _jackknife_oracle())
+def agg_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-block jackknife SE + 95% CI for the mean event
+    value — deterministic distributed uncertainty quantification (no
+    resampling RNG; blocks are id % 20). The error bar an A/B or
+    mixture readout needs next to the point estimate, robust to
+    within-block correlation. ONE map-side-combined groupBy to 20
+    block rows; both jackknife passes run on those rows.
+    See functions/dq.jackknife_ci."""
+    from pydala2_spark.functions.dq import jackknife_ci
+
+    return jackknife_ci(
+        _t(spark, sf_dir, "events"), "value", "event_id", n_groups=20
+    )
+
+
+_IQR_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def _iqr_oracle() -> str:
+    from pydala2_spark.functions.dq import iqr_outliers_oracle_sql
+
+    return iqr_outliers_oracle_sql("SELECT * FROM lineitem", _IQR_COLS)
+
+
+@query("dq_iqr_outliers", _iqr_oracle())
+def dq_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier screen over lineitem's numeric columns:
+    EXACT Q1/Q3 via the distributed range-prefix (type-1 quantiles,
+    the weighted_quantiles convention), 1.5*IQR fences, per-column
+    outlier counts and rate — the robust spread audit next to
+    profile_drift's mean/stddev envelope. See
+    functions/dq.iqr_outliers."""
+    from pydala2_spark.functions.dq import iqr_outliers
+
+    return iqr_outliers(_t(spark, sf_dir, "lineitem"), _IQR_COLS)
+
+
+def _novelty_oracle() -> str:
+    from pydala2_spark.operators.curate import ngram_novelty_oracle_sql
+
+    return ngram_novelty_oracle_sql(
+        "SELECT text FROM documents WHERE doc_id % 2 = 0",
+        "SELECT text FROM documents WHERE doc_id % 2 = 1",
+        k=5,
+    )
+
+
+@query("doc_ngram_novelty", _novelty_oracle())
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus 5-gram novelty of one document half against the
+    other — the memorization / freshness readout of a corpus refresh
+    (inverse of doc_contamination's question, and corpus-vs-corpus
+    where contamination is corpus-vs-small-benchmark): type novelty
+    for new phrasing, occurrence novelty for new token MASS. Both
+    sides reduce map-side before ONE shuffled hash equi-join of the
+    reduced shingle tables (deliberately NOT a broadcast — both sides
+    are corpus-sized at 100 TB). See operators/curate.ngram_novelty."""
+    from pydala2_spark.operators.curate import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_novelty(
+        reference=docs.filter(F.col("doc_id") % 2 == 0),
+        incoming=docs.filter(F.col("doc_id") % 2 == 1),
+        k=5,
+    )
+
+
+def _pair_cos_oracle() -> str:
+    from pydala2_spark.operators.similarity import (
+        pair_cosine_histogram_oracle_sql,
+    )
+
+    return pair_cosine_histogram_oracle_sql()
+
+
+@query("emb_pair_cosine_hist", _pair_cos_oracle())
+def emb_pair_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine distribution over deterministic id-stride vector pairs
+    (strides 1/7/31 — the negative-sampling corruption scheme, no
+    RNG) binned 0.1-wide — the isotropy / collapse screen an
+    embedding corpus gets before ANN indexing: anisotropic spaces
+    (mean cosine >> 0) break LSH bucketing and IVF balance. Unit
+    vectors widen to scalar columns once (codegen dot chain, the
+    near-dup discipline); pairs are equi-joins on id arithmetic.
+    See operators/similarity.pair_cosine_histogram."""
+    from pydala2_spark.operators.similarity import pair_cosine_histogram
+
+    return pair_cosine_histogram(_t(spark, sf_dir, "embeddings"))
+
+
+def _growth_oracle() -> str:
+    from pydala2_spark.operators.events import growth_accounting_oracle_sql
+
+    return growth_accounting_oracle_sql()
+
+
+@query("ev_growth_accounting", _growth_oracle())
+def ev_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting — every active user classified
+    new / retained / resurrected, prior-week churn, and the quick
+    ratio — the canonical growth decomposition upstream of any MAU
+    topline (and of ev_dau_wau_mau's stickiness). All equi-joins on
+    the reduced |user|x|weeks| grain; no windows, no range joins.
+    See operators/events.growth_accounting."""
+    from pydala2_spark.operators.events import growth_accounting
+
+    return growth_accounting(_t(spark, sf_dir, "events"))
 
 
 # =====================================================================
@@ -10993,100 +11145,64 @@ def ev_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mirror (scripts/check_correctness.py runs every entry).
 
 _VERIFY_FIRST = [
-    # round 11 rotation — the r10 verdict's #1 ask, performed (the r10
-    # window staged this ordering in a comment; this is the rotation).
+    # round 12 rotation — the r11 verdict's #1 ask, performed.
     # Ordering rationale:
-    #   positions 0-30: the thirty-one r10 third/fourth-batch queries
-    #     that have NEVER had a driver t2 row (judge-mirror-green in
-    #     r10; this window gives each its first driver-oracle row).
-    #     Three of them were rewritten for performance in r11
-    #     (graph_clustering_coeff, emb_centroid_drift,
-    #     agg_corr_matrix), so their first driver rows also cover the
-    #     new plans.
-    #   positions 31-49: nineteen of the TWENTY-ONE queries added in
-    #     r11 (never driver-seen, mirror-green before commit). The
-    #     last two added (ev_active_streaks, ev_dau_wau_mau) sit at
-    #     positions 50-51 — just past the window — and must LEAD r12
-    #     along with the stale r7 block.
-    # r12 pre-staging: after this window, every registry entry that
-    # existed at r10 has a driver row. Order r12: ev_active_streaks
-    # and ev_dau_wau_mau first (r11 additions, never
-    # driver-checked), then the REMAINDER
-    # of the r7-checked block by staleness (dq_fk_orphans, dq_benford,
-    # er_part_linkage, ev_conversion_latency, ev_anomaly_days,
-    # ev_rolling_quantiles, ev_value_histogram, scd2_event_history,
-    # doc_heaps_fit, doc_token_pmi, doc_zipf_fit, graph_pagerank,
-    # emb_dim_stats, part_skyline, fuzzy_part_matches, agg_hll_sketch,
-    # profile_orders, ev_ohlc_bars, ev_resample_interp,
-    # ev_resample_locf, asof_nearest_tolerance, snapshot_cdf,
-    # ivm_incremental_rollup, ivm_join_rollup, catalog_sql_roundtrip,
-    # orc_roundtrip_scan, update_where_semantics,
-    # delete_where_semantics, doc_gopher_rules, doc_bm25_search,
-    # doc_dsir_resample, doc_bigram_logprob, doc_substring_spans,
-    # emb_semantic_dedup, stream_cms_counters, stream_hll_distinct,
-    # stream_ohlc_bars, mm_audio_metadata, mm_image_extended_decode,
-    # mm_image_webp_decode, mm_gif_frame_sample, mm_image_tiff_decode,
-    # mm_image_real_decode, mm_audio_real_features — then pad with the
-    # r8-checked block (CORRECTNESS_r08 order: scan_filter_project,
-    # sort_limit_topk, ...) and any queries added or rewritten in r12.
+    #   positions 0-1: the ONLY two registry entries that had never
+    #     had a driver t2 row (added after the r11 window was fixed);
+    #     ev_dau_wau_mau's trailing windows were ALSO rewritten this
+    #     round (explode equi-joins replace the nested-loop range
+    #     join), so its first driver row covers the fixed plan.
+    #   positions 2-7: the six queries ADDED in r12 (mann-whitney,
+    #     block-jackknife CI, IQR fences, n-gram novelty, pair-cosine
+    #     isotropy, growth accounting) — mirror-green before commit.
+    #   positions 8-20: queries whose code or plan CHANGED in r12 and
+    #     whose prior driver rows therefore predate the change:
+    #     the distributed_prefix consistency fix (the ranged frame is
+    #     now materialized once — every prefix/ntile consumer gets a
+    #     fresh driver row on the fixed code path: spearman, weighted
+    #     quantiles, negative samples, ks/profile-drift/key-skew,
+    #     concurrency, rfm, deciles, pareto, exact-substr removal),
+    #     psi's NULL-exclusion, and clustering-coeff's 0/0 guards.
+    #   positions 21-49: the stalest (r7-checked) block, continuing
+    #     the staleness-refresh rotation.
+    # r13 pre-staging: order r13 by staleness — the REMAINDER of the
+    # r7 block (doc_bm25_search, doc_dsir_resample, doc_bigram_logprob,
+    # doc_substring_spans, emb_semantic_dedup, stream_cms_counters,
+    # stream_hll_distinct, stream_ohlc_bars, mm_audio_metadata,
+    # mm_image_extended_decode, mm_image_webp_decode,
+    # mm_gif_frame_sample, mm_image_tiff_decode, mm_image_real_decode,
+    # mm_audio_real_features), then the r8-checked block in
+    # CORRECTNESS_r08 order (scan_filter_project, sort_limit_topk,
+    # q1_pricing_summary, q6_forecast_revenue, ...) padded to 50,
+    # plus any queries added or rewritten in r13 (those lead).
     # Entries past the window hold green driver rows from earlier
     # rounds and stay covered by the full local mirror
     # (scripts/check_correctness.py runs every entry).
-    # --- positions 0-30: first driver rows ---
-    "agg_corr_matrix",
-    "dq_mutual_info",
-    "doc_readability",
-    "ev_markov_transitions",
-    "ev_frequent_paths",
-    "graph_bfs_distances",
-    "doc_collocation_llr",
-    "ev_kaplan_meier",
-    "doc_js_divergence",
-    "emb_mmr_diversify",
-    "dq_ks_test",
-    "graph_label_prop",
-    "agg_chi2_independence",
-    "ev_attribution",
-    "ev_rfm_scores",
-    "ev_concurrency_peak",
-    "emb_silhouette",
-    "emb_hard_negatives",
-    "emb_ann_recall",
-    "agg_anova_f",
-    "graph_modularity",
-    "doc_nb_classifier",
-    "dedup_minhash_eval",
-    "graph_assortativity",
-    "graph_clustering_coeff",
-    "emb_centroid_drift",
-    "doc_textrank_keywords",
-    "ev_cohort_ltv",
-    "ev_holt_winters",
-    "graph_ppr",
-    "ev_interarrival_stats",
-    # --- positions 31+: r11 additions land here (newest first) ---
-    "agg_spearman",
-    "graph_hits",
-    "dq_candidate_keys",
-    "dq_psi",
-    "ev_periodogram",
-    "ev_granger_lag",
-    "ev_seasonal_decompose",
-    "j_bucketed_join",
-    "p_dynamic_partition_pruning",
-    "doc_oov_rate",
-    "graph_negative_samples",
-    "stream_upsert_sink",
-    "emb_lsh_multiprobe",
-    "agg_weighted_quantiles",
-    "doc_feature_hashing",
-    "ev_anomaly_seasonal",
-    "dq_column_entropy",
-    "emb_dim_truncation_eval",
-    "graph_degree_powerlaw",
+    # --- positions 0-1: first driver rows (r11 late adds) ---
     "ev_active_streaks",
     "ev_dau_wau_mau",
-    # --- padding to 50: stalest (r7-checked) block ---
+    # --- positions 2-7: r12 additions ---
+    "agg_mann_whitney",
+    "agg_jackknife_ci",
+    "dq_iqr_outliers",
+    "doc_ngram_novelty",
+    "emb_pair_cosine_hist",
+    "ev_growth_accounting",
+    # --- positions 8-20: r12 rewrites / prefix-fix consumers ---
+    "agg_spearman",
+    "agg_weighted_quantiles",
+    "graph_negative_samples",
+    "dq_ks_test",
+    "dq_profile_drift",
+    "dq_key_skew",
+    "ev_concurrency_peak",
+    "ev_rfm_scores",
+    "w_value_deciles",
+    "w_pareto_abc",
+    "dedup_exact_substr_removal",
+    "dq_psi",
+    "graph_clustering_coeff",
+    # --- positions 21-49: stalest (r7-checked) block ---
     "dq_fk_orphans",
     "dq_benford",
     "er_part_linkage",
@@ -11106,6 +11222,16 @@ _VERIFY_FIRST = [
     "profile_orders",
     "ev_ohlc_bars",
     "ev_resample_interp",
+    "ev_resample_locf",
+    "asof_nearest_tolerance",
+    "snapshot_cdf",
+    "ivm_incremental_rollup",
+    "ivm_join_rollup",
+    "catalog_sql_roundtrip",
+    "orc_roundtrip_scan",
+    "update_where_semantics",
+    "delete_where_semantics",
+    "doc_gopher_rules",
 ]
 
 

@@ -1211,6 +1211,78 @@ def main():
                 lambda d=d: active_streaks(d).collect(), reps=2
             )
 
+    if want("dau"):
+        from pydala2_spark.operators.events import dau_wau_mau
+
+        for label, pth in (("1x", "ev_1x"), ("big", "ev_big")):
+            d = norm_ts(spark.read.parquet(f"{ROOT}/{pth}"))
+            out.setdefault("dau_wau_mau", {})[label] = timed(
+                lambda d=d: dau_wau_mau(d).collect(), reps=2
+            )
+
+    if want("growth"):
+        from pydala2_spark.operators.events import growth_accounting
+
+        for label, pth in (("1x", "ev_1x"), ("big", "ev_big")):
+            d = norm_ts(spark.read.parquet(f"{ROOT}/{pth}"))
+            out.setdefault("growth_accounting", {})[label] = timed(
+                lambda d=d: growth_accounting(d).collect(), reps=2
+            )
+
+    if want("mwu"):
+        from pydala2_spark.functions.dq import mann_whitney
+
+        for label, pth in (("1x", "ev_1x"), ("big", "ev_big")):
+            d = spark.read.parquet(f"{ROOT}/{pth}")
+            out.setdefault("mann_whitney", {})[label] = timed(
+                lambda d=d: mann_whitney(
+                    d, "value", F.col("event_type") == "click"
+                ).collect(),
+                reps=2,
+            )
+
+    if want("jack"):
+        from pydala2_spark.functions.dq import jackknife_ci
+
+        for label, pth in (("1x", "ev_1x"), ("big", "ev_big")):
+            d = spark.read.parquet(f"{ROOT}/{pth}")
+            out.setdefault("jackknife_ci", {})[label] = timed(
+                lambda d=d: jackknife_ci(d, "value", "event_id").collect(),
+                reps=2,
+            )
+
+    if want("iqr"):
+        from pydala2_spark.functions.dq import iqr_outliers
+
+        for label, pth in (("1x", "ev_1x"), ("big", "ev_big")):
+            d = spark.read.parquet(f"{ROOT}/{pth}")
+            out.setdefault("iqr_outliers", {})[label] = timed(
+                lambda d=d: iqr_outliers(d, ["value"]).collect(), reps=2
+            )
+
+    if want("novelty"):
+        from pydala2_spark.operators.curate import ngram_novelty
+
+        for label, pth in (("1x", "docs_1x"), ("big", "docs_big")):
+            d = spark.read.parquet(f"{ROOT}/{pth}")
+            out.setdefault("ngram_novelty", {})[label] = timed(
+                lambda d=d: ngram_novelty(
+                    d.filter(F.col("doc_id") % 2 == 0),
+                    d.filter(F.col("doc_id") % 2 == 1),
+                    k=5,
+                ).collect(),
+                reps=2,
+            )
+
+    if want("paircos"):
+        from pydala2_spark.operators.similarity import pair_cosine_histogram
+
+        for label, pth in (("1x", "emb_1x"), ("big", "emb_big")):
+            d = spark.read.parquet(f"{ROOT}/{pth}")
+            out.setdefault("pair_cosine_hist", {})[label] = timed(
+                lambda d=d: pair_cosine_histogram(d).collect(), reps=2
+            )
+
     print(f"{'op':24s} {'1x':>7s} {'x' + str(FACTOR):>7s} {'ratio':>7s}")
     for op, t in out.items():
         ratio = t["big"] / t["1x"]
