@@ -1675,3 +1675,213 @@ def iqr_outliers_oracle_sql(
       FROM g, q GROUP BY q.q1, q.q3
     )""")
     return " UNION ALL ".join(legs)
+
+
+# -- id-sequence completeness audit --------------------------------------
+
+
+def sequence_gaps(
+    df: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Completeness audit of a supposedly-dense integral id sequence:
+    how many ids in [min, max] are MISSING, how many rows are
+    duplicates of an already-seen id, and the largest contiguous gap —
+    the first question after every ingest of an autoincrement-keyed
+    feed ("did we drop a chunk, did we double-load one").
+
+    One row out: ``(n_rows, n_distinct, n_duplicate_rows, min_id,
+    max_id, n_missing, max_gap)``. ``max_gap`` is the largest run of
+    consecutive missing ids (0 when the range is dense or fewer than
+    two distinct ids exist).
+
+    100 TB shape: one map-side-combined groupBy to the distinct-id
+    table; scalar stats come from one aggregate over it; the gap scan
+    is the distributed range-prefix (rank) plus ONE equi-join on
+    rank+1 — successor differences without a global window funnel.
+    """
+    from pydala2_spark.functions.skew import distributed_prefix
+    from pydala2_spark.operators.dedup import _materialize_once
+
+    g = _materialize_once(
+        df.select(F.col(id_col).cast("long").alias("i"))
+        .filter(F.col("i").isNotNull())
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = g.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("cnt") - 1).cast("long").alias("n_duplicate_rows"),
+        F.min("i").alias("min_id"),
+        F.max("i").alias("max_id"),
+    )
+    ranked = distributed_prefix(g.select("i"), ["i"], rank_col="r")
+    succ = ranked.join(
+        ranked.select(
+            (F.col("r") - 1).alias("r"), F.col("i").alias("i_next")
+        ),
+        "r",
+    )
+    gap = succ.agg(
+        F.coalesce(
+            F.max(F.col("i_next") - F.col("i") - 1), F.lit(0)
+        ).cast("long").alias("max_gap")
+    )
+    return stats.crossJoin(F.broadcast(gap)).select(
+        "n_rows",
+        "n_distinct",
+        "n_duplicate_rows",
+        "min_id",
+        "max_id",
+        (F.col("max_id") - F.col("min_id") + 1 - F.col("n_distinct"))
+        .cast("long")
+        .alias("n_missing"),
+        "max_gap",
+    )
+
+
+def sequence_gaps_oracle_sql(table_sql: str, id_col: str) -> str:
+    """DuckDB oracle for :func:`sequence_gaps` — identical distinct-id
+    stats and a lag-window successor scan (fine at oracle SF)."""
+    return f"""
+    WITH g AS (
+      SELECT CAST({id_col} AS BIGINT) AS i, count(*) AS cnt
+      FROM ({table_sql}) WHERE {id_col} IS NOT NULL GROUP BY 1
+    ), stats AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(cnt - 1) AS BIGINT) AS n_duplicate_rows,
+             min(i) AS min_id, max(i) AS max_id
+      FROM g
+    ), gaps AS (
+      SELECT CAST(coalesce(max(nxt - i - 1), 0) AS BIGINT) AS max_gap
+      FROM (
+        SELECT i, lead(i) OVER (ORDER BY i) AS nxt FROM g
+      ) WHERE nxt IS NOT NULL
+    )
+    SELECT n_rows, n_distinct, n_duplicate_rows, min_id, max_id,
+           CAST(max_id - min_id + 1 - n_distinct AS BIGINT) AS n_missing,
+           max_gap
+    FROM stats, gaps
+    """
+
+
+# -- missingness-structure (null co-occurrence) audit ---------------------
+
+
+def null_correlation(
+    df: DataFrame,
+    cols: list[str],
+    ndigits: int = 6,
+) -> DataFrame:
+    """Pairwise NULL co-occurrence audit: for every column pair, the
+    2x2 missingness table and its phi coefficient — the structure-of-
+    missingness readout that separates "random nulls" from "these two
+    fields die together" (one broken upstream join) or "exactly one is
+    ever set" (a mis-merged union). A per-column null COUNT cannot see
+    either.
+
+    Output: one row per unordered pair — ``(col_a, col_b, n_rows,
+    n_both_null, n_only_a, n_only_b, null_rate_a, null_rate_b, phi)``
+    with phi NULL when any margin is empty (constant missingness).
+
+    100 TB shape: ONE map-side-combined aggregate computes every
+    pair's cell counts in a single corpus pass (|cols|^2 conditional
+    sums ride as aggregate buffers — columns are few by construction);
+    the unpivot to pair rows happens on the single reduced row.
+    """
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    pairs = []
+    for i, a in enumerate(cols):
+        aggs.append(
+            F.count(F.when(F.col(a).isNull(), F.lit(1)))
+            .cast("long")
+            .alias(f"__na_{i}")
+        )
+        for j in range(i + 1, len(cols)):
+            b = cols[j]
+            aggs.append(
+                F.count(
+                    F.when(F.col(a).isNull() & F.col(b).isNull(), F.lit(1))
+                )
+                .cast("long")
+                .alias(f"__nb_{i}_{j}")
+            )
+            pairs.append((i, j, a, b))
+    row = df.agg(*aggs)
+    arms = []
+    for i, j, a, b in pairs:
+        n = F.col("__n").cast("double")
+        na = F.col(f"__na_{i}").cast("double")
+        nb = F.col(f"__na_{j}").cast("double")
+        n11 = F.col(f"__nb_{i}_{j}").cast("double")
+        n10 = na - n11
+        n01 = nb - n11
+        n00 = n - na - nb + n11
+        den = F.sqrt(na * (n - na) * nb * (n - nb))
+        arms.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nb_{i}_{j}").alias("n_both_null"),
+                (F.col(f"__na_{i}") - F.col(f"__nb_{i}_{j}")).alias(
+                    "n_only_a"
+                ),
+                (F.col(f"__na_{j}") - F.col(f"__nb_{i}_{j}")).alias(
+                    "n_only_b"
+                ),
+                F.round(na / n, ndigits).alias("null_rate_a"),
+                F.round(nb / n, ndigits).alias("null_rate_b"),
+                F.round(
+                    F.when(den > 0, (n11 * n00 - n10 * n01) / den), ndigits
+                ).alias("phi"),
+            )
+        )
+    return row.select(F.explode(F.array(*arms)).alias("p")).select("p.*")
+
+
+def null_correlation_oracle_sql(
+    table_sql: str,
+    cols: list[str],
+    ndigits: int = 6,
+) -> str:
+    """DuckDB oracle for :func:`null_correlation` — identical one-pass
+    cell counts and phi expression shape."""
+    sel = ["count(*) AS n"]
+    for i, a in enumerate(cols):
+        sel.append(f"count(CASE WHEN {a} IS NULL THEN 1 END) AS na_{i}")
+        for j in range(i + 1, len(cols)):
+            sel.append(
+                f"count(CASE WHEN {a} IS NULL AND {cols[j]} IS NULL "
+                f"THEN 1 END) AS nb_{i}_{j}"
+            )
+    legs = []
+    for i, a in enumerate(cols):
+        for j in range(i + 1, len(cols)):
+            b = cols[j]
+            n = "CAST(n AS DOUBLE)"
+            na = f"CAST(na_{i} AS DOUBLE)"
+            nb = f"CAST(na_{j} AS DOUBLE)"
+            n11 = f"CAST(nb_{i}_{j} AS DOUBLE)"
+            den = f"sqrt({na} * ({n} - {na}) * {nb} * ({n} - {nb}))"
+            legs.append(f"""
+    SELECT '{a}' AS col_a, '{b}' AS col_b,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(nb_{i}_{j} AS BIGINT) AS n_both_null,
+           CAST(na_{i} - nb_{i}_{j} AS BIGINT) AS n_only_a,
+           CAST(na_{j} - nb_{i}_{j} AS BIGINT) AS n_only_b,
+           round({na} / {n}, {ndigits}) AS null_rate_a,
+           round({nb} / {n}, {ndigits}) AS null_rate_b,
+           round(CASE WHEN {den} > 0 THEN
+             ({n11} * ({n} - {na} - {nb} + {n11})
+              - ({na} - {n11}) * ({nb} - {n11})) / {den} END,
+             {ndigits}) AS phi
+    FROM c""")
+    return (
+        f"WITH c AS (SELECT {', '.join(sel)} FROM ({table_sql}))"
+        + " UNION ALL ".join(legs)
+    )

@@ -1862,3 +1862,254 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "n_a", "n_b", "containment")
     )
+
+
+def lsh_band_tuning(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    strides: tuple = (1, 5),
+    grid: tuple = ((2, 6), (3, 4), (4, 3), (6, 2)),
+    target_j: float = 0.5,
+    noise_j: float = 0.3,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Band-configuration tuning readout for the MinHash-LSH index:
+    measure the corpus's ACTUAL pair-similarity distribution on a
+    deterministic id-stride pair sample, then score each candidate
+    (bands, rows_per_band) config with the analytic S-curve
+    ``P(candidate) = 1 - (1 - j^r)^b`` — expected recall over
+    target pairs (true Jaccard >= ``target_j``) and expected
+    false-candidate rate over noise pairs (< ``noise_j``). The
+    b/r choice every LSH deployment hand-waves, answered from the
+    corpus itself before a single signature is built (pairs between
+    ``noise_j`` and ``target_j`` are the gray zone and score neither).
+
+    Output: one row per config — ``(bands, rows_per_band,
+    n_target_pairs, n_noise_pairs, exp_recall, exp_noise_rate)``.
+
+    Determinism: exact per-pair k-gram Jaccard rounds to 4 digits;
+    the S-curve evaluates via REPEATED MULTIPLICATION (integer
+    exponents — never pow(), whose last-ulp behavior differs between
+    JVM Math.pow and C libm), round-12 terms accumulate as
+    DECIMAL(38,12).
+
+    100 TB shape: shingle sets compute once per doc (scan stage,
+    lazily checkpointed — both pair sides read the copy); pairs are
+    |strides| equi-joins on id arithmetic; configs explode on the
+    reduced pair frame; one groupBy to |grid| rows.
+    """
+    from pydala2_spark.functions.text import shingles_sql
+
+    sh = _materialize_once(
+        docs.select(
+            F.col(id_col).alias("__i"), F.split(F.col(text), " ").alias("__tk")
+        ).select("__i", F.expr(shingles_sql(text, k, "__tk")).alias("sh"))
+    )
+    ids = docs.select(
+        F.col(id_col).alias("ia"),
+        F.explode(F.array(*[F.lit(int(s)) for s in strides])).alias("s"),
+    ).select("ia", (F.col("ia") + F.col("s")).alias("ib"))
+    pr = (
+        ids.join(
+            sh.select(F.col("__i").alias("ia"), F.col("sh").alias("sh_a")),
+            "ia",
+        )
+        .join(
+            sh.select(F.col("__i").alias("ib"), F.col("sh").alias("sh_b")),
+            "ib",
+        )
+        .select(
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ).alias("j")
+        )
+    )
+
+    def ipow(col, e: int):
+        out = None
+        for _ in range(e):
+            out = col if out is None else out * col
+        return out
+
+    arms = []
+    for b, r in grid:
+        catch = F.round(
+            F.lit(1.0) - ipow(F.lit(1.0) - ipow(F.col("j"), r), b), 12
+        ).cast("decimal(38,12)")
+        arms.append(
+            F.struct(
+                F.lit(int(b)).alias("bands"),
+                F.lit(int(r)).alias("rows_per_band"),
+                catch.alias("catch"),
+            )
+        )
+    e = pr.select("j", F.explode(F.array(*arms)).alias("c")).select(
+        "j", "c.bands", "c.rows_per_band", "c.catch"
+    )
+    return (
+        e.groupBy("bands", "rows_per_band")
+        .agg(
+            F.count(F.when(F.col("j") >= target_j, F.lit(1)))
+            .cast("long")
+            .alias("n_target_pairs"),
+            F.count(F.when(F.col("j") < noise_j, F.lit(1)))
+            .cast("long")
+            .alias("n_noise_pairs"),
+            F.round(
+                F.sum(
+                    F.when(F.col("j") >= target_j, F.col("catch"))
+                ).cast("double")
+                / F.count(F.when(F.col("j") >= target_j, F.lit(1))),
+                ndigits,
+            ).alias("exp_recall"),
+            F.round(
+                F.sum(
+                    F.when(F.col("j") < noise_j, F.col("catch"))
+                ).cast("double")
+                / F.count(F.when(F.col("j") < noise_j, F.lit(1))),
+                ndigits,
+            ).alias("exp_noise_rate"),
+        )
+        .select(
+            "bands",
+            "rows_per_band",
+            "n_target_pairs",
+            "n_noise_pairs",
+            "exp_recall",
+            "exp_noise_rate",
+        )
+    )
+
+
+def lsh_band_tuning_oracle_sql(
+    table_sql: str = "SELECT doc_id, text FROM documents",
+    k: int = 3,
+    strides: tuple = (1, 5),
+    grid: tuple = ((2, 6), (3, 4), (4, 3), (6, 2)),
+    target_j: float = 0.5,
+    noise_j: float = 0.3,
+    ndigits: int = 6,
+) -> str:
+    """DuckDB oracle for :func:`lsh_band_tuning` — identical shingle
+    sets, round-4 Jaccard, repeated-multiplication S-curve, round-12
+    decimal accumulation."""
+    probes = ", ".join(f"tk[i+{n}]" for n in range(k))
+    gen = (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len(tk) - {k - 1}, 1)), "
+        f"i -> concat_ws(' ', {probes})))"
+    )
+    ss = ", ".join(str(int(s)) for s in strides)
+
+    def ipow(expr: str, e: int) -> str:
+        return " * ".join([f"({expr})"] * e)
+
+    legs = []
+    for b, r in grid:
+        catch = f"(1.0 - {ipow('1.0 - ' + ipow('j', r), b)})"
+        legs.append(f"""
+    SELECT {int(b)} AS bands, {int(r)} AS rows_per_band,
+           CAST(count(CASE WHEN j >= {target_j!r} THEN 1 END) AS BIGINT)
+             AS n_target_pairs,
+           CAST(count(CASE WHEN j < {noise_j!r} THEN 1 END) AS BIGINT)
+             AS n_noise_pairs,
+           round(CAST(sum(CASE WHEN j >= {target_j!r} THEN
+                   CAST(round({catch}, 12) AS DECIMAL(38,12)) END)
+                 AS DOUBLE)
+                 / count(CASE WHEN j >= {target_j!r} THEN 1 END),
+                 {ndigits}) AS exp_recall,
+           round(CAST(sum(CASE WHEN j < {noise_j!r} THEN
+                   CAST(round({catch}, 12) AS DECIMAL(38,12)) END)
+                 AS DOUBLE)
+                 / count(CASE WHEN j < {noise_j!r} THEN 1 END),
+                 {ndigits}) AS exp_noise_rate
+    FROM pr""")
+    return f"""
+    WITH d AS (
+      SELECT doc_id AS i, string_split(text, ' ') AS tk
+      FROM ({table_sql})
+    ), sh AS (
+      SELECT i, {gen} AS sh FROM d
+    ), pr AS (
+      SELECT round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS j
+      FROM sh a
+      CROSS JOIN (SELECT unnest([{ss}]) AS s) st
+      JOIN sh b ON b.i = a.i + st.s
+    )
+    {" UNION ALL ".join(legs)}
+    """
+
+
+def incremental_dedup_screen(
+    spark,
+    reference: DataFrame,
+    incoming: DataFrame,
+    index_path: str,
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 12,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """End-to-end incremental dedup verdicts for an ingest batch: the
+    daily-crawl-vs-existing-corpus screen every continuously-growing
+    training corpus runs. Builds (or rebuilds) the persisted MinHash
+    index over ``reference`` at ``index_path``
+    (:func:`build_minhash_index`), md5-screens ``incoming`` for exact
+    duplicates, band-screens the rest via
+    :func:`incremental_near_dups`, and returns one verdict row per
+    incoming document: ``(doc_id, verdict, n_matches)`` with verdict
+    ``exact`` (same md5 as >= 1 reference doc, n_matches = how many),
+    ``near`` (estimated signature Jaccard >= threshold against >= 1
+    indexed doc), or ``unique``.
+
+    100 TB shape: the reference TEXT is read exactly once (index
+    build); the exact screen broadcasts nothing corpus-sized (md5
+    join keyed on the hash); the near screen is the band-store
+    equi-join — each ingest pays O(batch) hashing plus candidate
+    verification against stored signatures.
+    """
+    build_minhash_index(
+        spark,
+        reference,
+        index_path,
+        text=text,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        k=k,
+    )
+    ref_h = (
+        reference.select(F.md5(F.col(text)).alias("__h"))
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n_exact"))
+    )
+    inc_h = incoming.select(F.col(id_col), F.md5(F.col(text)).alias("__h"))
+    exact = inc_h.join(ref_h, "__h", "left").select(id_col, "__n_exact")
+    near = (
+        incremental_near_dups(
+            spark, index_path, incoming, text=text, threshold=threshold
+        )
+        .groupBy("new_id")
+        .agg(F.count_distinct("corpus_id").cast("long").alias("__n_near"))
+        .withColumnRenamed("new_id", id_col)
+    )
+    return (
+        exact.join(near, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("__n_exact").isNotNull(), F.lit("exact"))
+            .when(F.col("__n_near").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("unique"))
+            .alias("verdict"),
+            F.coalesce("__n_exact", "__n_near", F.lit(0).cast("long")).alias(
+                "n_matches"
+            ),
+        )
+    )

@@ -11134,6 +11134,194 @@ def ev_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return growth_accounting(_t(spark, sf_dir, "events"))
 
 
+def _seq_gaps_oracle() -> str:
+    from pydala2_spark.functions.dq import sequence_gaps_oracle_sql
+
+    return sequence_gaps_oracle_sql("SELECT * FROM orders", "o_orderkey")
+
+
+@query("dq_sequence_gaps", _seq_gaps_oracle())
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness audit of the order-key sequence (TPC-H keys are
+    deliberately sparse — 8 used per 32-block — so the audit has real
+    gaps to find): missing-id count over [min, max], duplicate rows,
+    and the largest contiguous gap — the did-we-drop-a-chunk /
+    did-we-double-load question after every autoincrement-keyed
+    ingest. Distinct-id reduce + range-prefix successor join; no
+    global window. See functions/dq.sequence_gaps."""
+    from pydala2_spark.functions.dq import sequence_gaps
+
+    return sequence_gaps(_t(spark, sf_dir, "orders"), "o_orderkey")
+
+
+_NULLCORR_SQL = """SELECT
+      CASE WHEN event_type <> 'error' THEN props END AS props_n,
+      CASE WHEN value >= 1.0 THEN value END AS value_n,
+      CASE WHEN user_id % 97 <> 0 THEN user_id END AS user_n
+    FROM events"""
+
+
+def _null_corr_oracle() -> str:
+    from pydala2_spark.functions.dq import null_correlation_oracle_sql
+
+    return null_correlation_oracle_sql(
+        _NULLCORR_SQL, ["props_n", "value_n", "user_n"]
+    )
+
+
+@query("dq_null_correlation", _null_corr_oracle())
+def dq_null_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missingness-structure audit: pairwise NULL co-occurrence 2x2
+    tables + phi per column pair — separates random nulls from
+    fields-that-die-together (broken upstream join) and
+    exactly-one-set (mis-merged union). The corpus has no physical
+    NULLs, so the query derives a deterministic missingness pattern
+    in-query (error rows lose props, sub-1 values null out, every
+    97th user anonymized) — same construction in both engines; the
+    operator is the general one. ONE aggregate pass for all pairs.
+    See functions/dq.null_correlation."""
+    from pydala2_spark.functions.dq import null_correlation
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("event_type") != "error", F.col("props")).alias(
+            "props_n"
+        ),
+        F.when(F.col("value") >= 1.0, F.col("value")).alias("value_n"),
+        F.when(F.col("user_id") % 97 != 0, F.col("user_id")).alias("user_n"),
+    )
+    return null_correlation(ev, ["props_n", "value_n", "user_n"])
+
+
+def _band_tuning_oracle() -> str:
+    from pydala2_spark.operators.dedup import lsh_band_tuning_oracle_sql
+
+    return lsh_band_tuning_oracle_sql()
+
+
+@query("dedup_band_tuning", _band_tuning_oracle())
+def dedup_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash band-configuration tuning readout: exact 3-gram
+    Jaccard over deterministic id-stride doc pairs, then the analytic
+    S-curve P(candidate) = 1-(1-j^r)^b per (bands, rows) config —
+    expected recall on true near-dup pairs vs expected
+    false-candidate rate on noise pairs, measured from THIS corpus's
+    similarity distribution (the b/r choice the 12-perm/4-band
+    default hand-waves). Integer-exponent multiplication chains, no
+    pow(). See operators/dedup.lsh_band_tuning."""
+    from pydala2_spark.operators.dedup import lsh_band_tuning
+
+    return lsh_band_tuning(_t(spark, sf_dir, "documents"))
+
+
+_INCR_INC_SQL = """(
+      SELECT doc_id + 20000000 AS doc_id, text FROM documents
+      WHERE doc_id % 50 = 0
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 2,
+               len(string_split(text, ' '))), ' ') AS text
+      FROM documents
+      WHERE doc_id % 40 = 0 AND len(string_split(text, ' ')) >= 20
+    )"""
+
+
+def _incr_dedup_oracle() -> str:
+    from pydala2_spark.operators.dedup import MINHASH_P, _minhash_consts
+
+    a_consts, b_consts = _minhash_consts(12)
+    a_arr = "[" + ", ".join(str(a) for a in a_consts) + "]"
+    b_arr = "[" + ", ".join(str(b) for b in b_consts) + "]"
+
+    def sig_cte(name: str, src: str) -> str:
+        return f"""{name}_sh AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(tk) - 2, 1)),
+               i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM {src})
+    ), {name}_mh AS MATERIALIZED (
+      SELECT doc_id,
+             list_transform(generate_series(1, 12),
+               h -> list_min(list_transform(
+                 list_transform(sh, s ->
+                   ('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_P}),
+                 x -> ({a_arr}[h] * x + {b_arr}[h]) % {MINHASH_P}))) AS mh
+      FROM {name}_sh
+    ), {name}_bands AS MATERIALIZED (
+      SELECT doc_id, b,
+             md5(array_to_string(list_slice(mh, b * 3 + 1, b * 3 + 3),
+                 '|')) AS sig
+      FROM {name}_mh, unnest(generate_series(0, 3)) AS u(b)
+    )"""
+
+    return f"""
+    WITH inc AS MATERIALIZED ({_INCR_INC_SQL}),
+    refh AS (
+      SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1
+    ), exact AS (
+      SELECT i.doc_id, refh.n
+      FROM inc i LEFT JOIN refh ON md5(i.text) = refh.h
+    ),
+    {sig_cte("r", "documents")},
+    {sig_cte("i", "inc")},
+    cand AS MATERIALIZED (
+      SELECT DISTINCT r.doc_id AS cid, i.doc_id AS nid
+      FROM r_bands r JOIN i_bands i ON r.b = i.b AND r.sig = i.sig
+    ), est AS (
+      SELECT cand.cid, cand.nid,
+             round(list_sum(list_transform(generate_series(1, 12),
+                     h -> CASE WHEN rm.mh[h] = im.mh[h]
+                               THEN 1 ELSE 0 END)) / 12.0, 4) AS e
+      FROM cand
+      JOIN r_mh rm ON rm.doc_id = cand.cid
+      JOIN i_mh im ON im.doc_id = cand.nid
+    ), near AS (
+      SELECT nid, CAST(count(DISTINCT cid) AS BIGINT) AS n
+      FROM est WHERE e >= 0.5 GROUP BY nid
+    )
+    SELECT e.doc_id,
+           CASE WHEN e.n IS NOT NULL THEN 'exact'
+                WHEN near.n IS NOT NULL THEN 'near'
+                ELSE 'unique' END AS verdict,
+           CAST(coalesce(e.n, near.n, 0) AS BIGINT) AS n_matches
+    FROM exact e LEFT JOIN near ON near.nid = e.doc_id
+    """
+
+
+@query("dedup_incremental_screen", _incr_dedup_oracle())
+def dedup_incremental_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end incremental dedup: build the persisted MinHash index
+    over the document corpus IN-QUERY (proof-by-construction, the
+    zorder/substring-search pattern), then screen a synthetic ingest
+    batch — every 50th doc verbatim (must flag exact) plus the
+    first-token-dropped clone of every 40th long doc (must flag near
+    via banding) — and emit per-doc verdicts. This drives the
+    build_minhash_index / incremental_near_dups pair (previously
+    pytest-only) through the oracle gate: the daily-crawl-vs-corpus
+    screen a continuously growing training set runs, where corpus
+    TEXT is read once ever and each ingest pays O(batch).
+    See operators/dedup.incremental_dedup_screen."""
+    from pydala2_spark.operators.dedup import incremental_dedup_screen
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    verbatim = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"), "text"
+    )
+    base = docs.withColumn("__tk", F.split("text", " "))
+    clones = base.filter(
+        (F.col("doc_id") % 40 == 0) & (F.size("__tk") >= 20)
+    ).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.array_join(F.expr("slice(__tk, 2, size(__tk))"), " ").alias("text"),
+    )
+    incoming = verbatim.unionByName(clones)
+    path = _app_scoped_tmp(spark, sf_dir, "pydala2_spark_mhidx")
+    return incremental_dedup_screen(
+        spark, docs, incoming, f"{path}/idx", threshold=0.5
+    )
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -11152,10 +11340,12 @@ _VERIFY_FIRST = [
     #     ev_dau_wau_mau's trailing windows were ALSO rewritten this
     #     round (explode equi-joins replace the nested-loop range
     #     join), so its first driver row covers the fixed plan.
-    #   positions 2-7: the six queries ADDED in r12 (mann-whitney,
+    #   positions 2-11: the TEN queries ADDED in r12 (mann-whitney,
     #     block-jackknife CI, IQR fences, n-gram novelty, pair-cosine
-    #     isotropy, growth accounting) — mirror-green before commit.
-    #   positions 8-20: queries whose code or plan CHANGED in r12 and
+    #     isotropy, growth accounting, sequence gaps, null
+    #     correlation, band tuning, incremental dedup screen) —
+    #     every one mirror-green before commit.
+    #   positions 12-24: queries whose code or plan CHANGED in r12 and
     #     whose prior driver rows therefore predate the change:
     #     the distributed_prefix consistency fix (the ranged frame is
     #     now materialized once — every prefix/ntile consumer gets a
@@ -11163,10 +11353,14 @@ _VERIFY_FIRST = [
     #     quantiles, negative samples, ks/profile-drift/key-skew,
     #     concurrency, rfm, deciles, pareto, exact-substr removal),
     #     psi's NULL-exclusion, and clustering-coeff's 0/0 guards.
-    #   positions 21-49: the stalest (r7-checked) block, continuing
-    #     the staleness-refresh rotation.
-    # r13 pre-staging: order r13 by staleness — the REMAINDER of the
-    # r7 block (doc_bm25_search, doc_dsir_resample, doc_bigram_logprob,
+    #   positions 25-49: the stalest (r7-checked) block, continuing
+    #     the staleness-refresh rotation (its last four entries moved
+    #     to lead the staged r13 list when batch two landed).
+    # r13 pre-staging: order r13 by staleness — FIRST the four r7
+    # entries displaced when the second r12 batch took their window
+    # slots (orc_roundtrip_scan, update_where_semantics,
+    # delete_where_semantics, doc_gopher_rules), then the REMAINDER of
+    # the r7 block (doc_bm25_search, doc_dsir_resample, doc_bigram_logprob,
     # doc_substring_spans, emb_semantic_dedup, stream_cms_counters,
     # stream_hll_distinct, stream_ohlc_bars, mm_audio_metadata,
     # mm_image_extended_decode, mm_image_webp_decode,
@@ -11188,6 +11382,10 @@ _VERIFY_FIRST = [
     "doc_ngram_novelty",
     "emb_pair_cosine_hist",
     "ev_growth_accounting",
+    "dq_sequence_gaps",
+    "dq_null_correlation",
+    "dedup_band_tuning",
+    "dedup_incremental_screen",
     # --- positions 8-20: r12 rewrites / prefix-fix consumers ---
     "agg_spearman",
     "agg_weighted_quantiles",
@@ -11228,10 +11426,6 @@ _VERIFY_FIRST = [
     "ivm_incremental_rollup",
     "ivm_join_rollup",
     "catalog_sql_roundtrip",
-    "orc_roundtrip_scan",
-    "update_where_semantics",
-    "delete_where_semantics",
-    "doc_gopher_rules",
 ]
 
 

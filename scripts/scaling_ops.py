@@ -1274,6 +1274,60 @@ def main():
                 reps=2,
             )
 
+    if want("seqgaps"):
+        from pydala2_spark.functions.dq import sequence_gaps
+
+        for label, pth in (("1x", "ev_1x"), ("big", "ev_big")):
+            d = spark.read.parquet(f"{ROOT}/{pth}").filter(
+                F.col("value") >= 1.0
+            )
+            out.setdefault("sequence_gaps", {})[label] = timed(
+                lambda d=d: sequence_gaps(d, "event_id").collect(), reps=2
+            )
+
+    if want("nullcorr"):
+        from pydala2_spark.functions.dq import null_correlation
+
+        for label, pth in (("1x", "ev_1x"), ("big", "ev_big")):
+            d = spark.read.parquet(f"{ROOT}/{pth}").select(
+                F.when(F.col("event_type") != "error", F.col("props")).alias(
+                    "a"
+                ),
+                F.when(F.col("value") >= 1.0, F.col("value")).alias("b"),
+                F.when(F.col("user_id") % 97 != 0, F.col("user_id")).alias(
+                    "c"
+                ),
+            )
+            out.setdefault("null_correlation", {})[label] = timed(
+                lambda d=d: null_correlation(d, ["a", "b", "c"]).collect(),
+                reps=2,
+            )
+
+    if want("bandtune"):
+        from pydala2_spark.operators.dedup import lsh_band_tuning
+
+        for label, pth in (("1x", "docs_1x"), ("big", "docs_big")):
+            d = spark.read.parquet(f"{ROOT}/{pth}")
+            out.setdefault("band_tuning", {})[label] = timed(
+                lambda d=d: lsh_band_tuning(d).collect(), reps=2
+            )
+
+    if want("incrscreen"):
+        from pydala2_spark.operators.dedup import incremental_dedup_screen
+
+        for label, pth in (("1x", "docs_1x"), ("big", "docs_big")):
+            d = spark.read.parquet(f"{ROOT}/{pth}").select("doc_id", "text")
+            inc = d.filter(F.col("doc_id") % 50 == 0).select(
+                (F.col("doc_id") + F.lit(900_000_000)).alias("doc_id"),
+                "text",
+            )
+            out.setdefault("incremental_screen", {})[label] = timed(
+                lambda d=d, inc=inc, label=label: incremental_dedup_screen(
+                    spark, d, inc, f"{ROOT}/mhidx_{label}"
+                ).collect(),
+                reps=1,
+            )
+
     if want("paircos"):
         from pydala2_spark.operators.similarity import pair_cosine_histogram
 

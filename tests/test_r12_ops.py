@@ -317,3 +317,151 @@ def test_distributed_prefix_stable_across_actions(spark):
     )
     for _ in range(3):
         assert p.agg(expr).collect()[0][0] == truth
+
+
+# -- sequence gaps -------------------------------------------------------
+
+
+def test_sequence_gaps_planted(spark):
+    from pydala2_spark.functions.dq import sequence_gaps
+
+    # ids 1..10 minus {4,5,6,9}, with 7 duplicated twice
+    ids = [1, 2, 3, 7, 7, 7, 8, 10]
+    df = spark.createDataFrame(pd.DataFrame({"i": ids}))
+    row = _one(sequence_gaps(df, "i"))
+    assert row["n_rows"] == 8 and row["n_distinct"] == 6
+    assert row["n_duplicate_rows"] == 2
+    assert row["min_id"] == 1 and row["max_id"] == 10
+    assert row["n_missing"] == 4
+    assert row["max_gap"] == 3  # 4,5,6
+
+
+def test_sequence_gaps_dense(spark):
+    from pydala2_spark.functions.dq import sequence_gaps
+
+    df = spark.createDataFrame(pd.DataFrame({"i": list(range(100))}))
+    row = _one(sequence_gaps(df, "i"))
+    assert row["n_missing"] == 0 and row["max_gap"] == 0
+    assert row["n_duplicate_rows"] == 0
+
+
+# -- null correlation ----------------------------------------------------
+
+
+def test_null_correlation_perfect_cooccurrence(spark):
+    from pydala2_spark.functions.dq import null_correlation
+
+    # a and b null together on even rows -> phi = 1; c independent
+    rows = [
+        (None if i % 2 == 0 else 1.0, None if i % 2 == 0 else 2.0,
+         None if i % 3 == 0 else 3.0)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["a", "b", "c"])
+    out = {(r["col_a"], r["col_b"]): r
+           for r in null_correlation(df, ["a", "b", "c"]).collect()}
+    assert out[("a", "b")]["phi"] == 1.0
+    assert out[("a", "b")]["n_both_null"] == 30
+    assert out[("a", "b")]["n_only_a"] == 0
+    assert abs(out[("a", "c")]["phi"]) < 0.2  # independent-ish
+
+
+def test_null_correlation_mutually_exclusive(spark):
+    from pydala2_spark.functions.dq import null_correlation
+
+    # exactly one of a/b null per row -> phi = -1
+    rows = [
+        (None if i % 2 == 0 else 1.0, 2.0 if i % 2 == 0 else None)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    row = _one(null_correlation(df, ["a", "b"]))
+    assert row["phi"] == -1.0 and row["n_both_null"] == 0
+
+
+def test_null_correlation_constant_guard(spark):
+    from pydala2_spark.functions.dq import null_correlation
+
+    # no nulls at all -> every margin empty -> phi NULL, not NaN
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": [1.0, 2.0], "b": [3.0, 4.0]})
+    )
+    row = _one(null_correlation(df, ["a", "b"]))
+    assert row["phi"] is None and row["null_rate_a"] == 0.0
+
+
+# -- LSH band tuning -----------------------------------------------------
+
+
+def test_band_tuning_scurve_hand_check(spark):
+    from pydala2_spark.operators.dedup import lsh_band_tuning
+
+    # two docs per stride pair: one identical pair (j=1), one disjoint
+    # (j=0); catch(1)=1 for every config, catch(0)=0
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),
+            (1, "a b c d e f"),
+            (2, "p q r s t u"),
+            (3, "v w x y z zz"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = lsh_band_tuning(
+        docs, strides=(1,), grid=((4, 3),), target_j=0.5, noise_j=0.3
+    ).collect()
+    row = out[0]
+    assert row["n_target_pairs"] == 1  # the identical pair
+    assert row["n_noise_pairs"] == 2  # the two disjoint pairs
+    assert row["exp_recall"] == 1.0
+    assert row["exp_noise_rate"] == 0.0
+
+
+def test_band_tuning_more_bands_more_recall(spark, sf_dir):
+    from pydala2_spark.operators.dedup import lsh_band_tuning
+    from pydala2_spark.sources.testdata import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = {(r["bands"], r["rows_per_band"]): r
+           for r in lsh_band_tuning(docs).collect()}
+    # at fixed num_hashes=12, more bands (shorter rows) can only raise
+    # both catch rates: (6,2) dominates (2,6) on recall AND noise
+    if out[(2, 6)]["n_target_pairs"]:
+        assert out[(6, 2)]["exp_recall"] >= out[(2, 6)]["exp_recall"]
+    assert out[(6, 2)]["exp_noise_rate"] >= out[(2, 6)]["exp_noise_rate"]
+
+
+# -- incremental dedup screen --------------------------------------------
+
+
+def test_incremental_screen_verdicts(spark, tmp_path):
+    from pydala2_spark.operators.dedup import incremental_dedup_screen
+
+    ref = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "pack my box with five dozen liquor jugs right now"),
+            (3, "sphinx of black quartz judge my vow said the king"),
+        ],
+        ["doc_id", "text"],
+    )
+    incoming = spark.createDataFrame(
+        [
+            # verbatim copy of 1 -> exact
+            (101, "the quick brown fox jumps over the lazy dog today"),
+            # one-token-changed copy of 2 -> near (high shingle overlap)
+            (102, "pack my box with five dozen liquor jugs right here"),
+            # unrelated -> unique
+            (103, "completely different words about nothing in particular"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in incremental_dedup_screen(
+            spark, ref, incoming, str(tmp_path / "idx"), threshold=0.5
+        ).collect()
+    }
+    assert out[101]["verdict"] == "exact" and out[101]["n_matches"] == 1
+    assert out[102]["verdict"] == "near" and out[102]["n_matches"] >= 1
+    assert out[103]["verdict"] == "unique" and out[103]["n_matches"] == 0

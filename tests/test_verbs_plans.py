@@ -289,12 +289,13 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "ev_anomaly_seasonal",
         # r12: one-row broadcast aggregate frames — block totals
         # (jackknife), W/quantile rows (iqr), ref-type count
-        # (novelty), pair total (cosine hist) — same 1-row broadcast
-        # shape as q11
+        # (novelty), pair total (cosine hist), max-gap row (sequence
+        # gaps) — same 1-row broadcast shape as q11
         "agg_jackknife_ci",
         "dq_iqr_outliers",
         "doc_ngram_novelty",
         "emb_pair_cosine_hist",
+        "dq_sequence_gaps",
         # exact brute-force legs of the truncation eval — same bounded
         # corpus x broadcast-query-set cross as emb_knn_bruteforce
         "emb_dim_truncation_eval",
