@@ -1885,3 +1885,124 @@ def null_correlation_oracle_sql(
         f"WITH c AS (SELECT {', '.join(sel)} FROM ({table_sql}))"
         + " UNION ALL ".join(legs)
     )
+
+
+# -- winsorized mean ------------------------------------------------------
+
+
+def winsorized_mean(
+    df: DataFrame,
+    value_col: str,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Winsorized mean: clamp the column at its EXACT type-1
+    ``lo_q``/``hi_q`` quantiles, then average — the robust location
+    estimate that keeps a corrupted feed's spikes from dragging the
+    topline, reported next to the raw mean so the gap itself is the
+    outlier-impact number.
+
+    One row out: ``(n_rows, p_lo, p_hi, raw_mean, winsorized_mean,
+    n_clamped_lo, n_clamped_hi)``.
+
+    100 TB shape: one map-side-combined groupBy to the distinct-value
+    table (materialized once), one distributed range-prefix for the
+    quantiles, then ONE pass over that same small table computes the
+    clamped sum exactly (cnt x clamp(v) in decimal) — the corpus is
+    scanned once, clamping never touches it.
+    """
+    from pydala2_spark.functions.skew import distributed_prefix
+    from pydala2_spark.operators.dedup import _materialize_once
+
+    if not 0 <= lo_q < hi_q <= 1:
+        raise ValueError(f"need 0 <= lo_q < hi_q <= 1, got {lo_q}, {hi_q}")
+    g = _materialize_once(
+        df.select(F.col(value_col).cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pre = distributed_prefix(g, ["v"], sum_col="cnt", cum_col="__cum")
+    tot = pre.agg(F.max("__cum").alias("W"))
+    jq = pre.crossJoin(F.broadcast(tot))
+    cum_d = F.col("__cum").cast("double")
+    w_d = F.col("W").cast("double")
+    qrow = jq.agg(
+        F.min(
+            F.when(cum_d >= F.lit(lo_q) * w_d, F.col("v"))
+        ).alias("p_lo"),
+        F.min(
+            F.when(cum_d >= F.lit(hi_q) * w_d, F.col("v"))
+        ).alias("p_hi"),
+    )
+    fr = g.crossJoin(F.broadcast(qrow))
+    clamped = F.greatest(F.least(F.col("v"), F.col("p_hi")), F.col("p_lo"))
+    agg = fr.groupBy("p_lo", "p_hi").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.sum(
+            (F.col("cnt") * F.col("v")).cast("decimal(38,6)")
+        ).alias("__raw_sum"),
+        F.sum(
+            (F.col("cnt") * clamped).cast("decimal(38,6)")
+        ).alias("__win_sum"),
+        F.sum(F.when(F.col("v") < F.col("p_lo"), F.col("cnt")))
+        .cast("long")
+        .alias("__n_lo"),
+        F.sum(F.when(F.col("v") > F.col("p_hi"), F.col("cnt")))
+        .cast("long")
+        .alias("__n_hi"),
+    )
+    return agg.select(
+        "n_rows",
+        "p_lo",
+        "p_hi",
+        F.round(
+            F.col("__raw_sum").cast("double") / F.col("n_rows").cast("double"),
+            ndigits,
+        ).alias("raw_mean"),
+        F.round(
+            F.col("__win_sum").cast("double") / F.col("n_rows").cast("double"),
+            ndigits,
+        ).alias("winsorized_mean"),
+        F.coalesce(F.col("__n_lo"), F.lit(0)).alias("n_clamped_lo"),
+        F.coalesce(F.col("__n_hi"), F.lit(0)).alias("n_clamped_hi"),
+    )
+
+
+def winsorized_mean_oracle_sql(
+    table_sql: str,
+    value_col: str,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    ndigits: int = 6,
+) -> str:
+    """DuckDB oracle for :func:`winsorized_mean` — identical type-1
+    quantiles from a window cumsum and the same exact decimal clamped
+    sums."""
+    return f"""
+    WITH g AS (
+      SELECT CAST({value_col} AS DOUBLE) AS v, count(*) AS cnt
+      FROM ({table_sql}) WHERE {value_col} IS NOT NULL GROUP BY 1
+    ), p AS (
+      SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cum FROM g
+    ), w AS (SELECT max(cum) AS W FROM p),
+    q AS (
+      SELECT
+        (SELECT min(v) FROM p, w
+         WHERE CAST(cum AS DOUBLE) >= {lo_q!r} * CAST(W AS DOUBLE)) AS p_lo,
+        (SELECT min(v) FROM p, w
+         WHERE CAST(cum AS DOUBLE) >= {hi_q!r} * CAST(W AS DOUBLE)) AS p_hi
+    )
+    SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, q.p_lo, q.p_hi,
+           round(CAST(sum(CAST(cnt * v AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(sum(cnt) AS DOUBLE), {ndigits}) AS raw_mean,
+           round(CAST(sum(CAST(cnt * greatest(least(v, q.p_hi), q.p_lo)
+                               AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(sum(cnt) AS DOUBLE), {ndigits}) AS winsorized_mean,
+           CAST(coalesce(sum(CASE WHEN v < q.p_lo THEN cnt END), 0)
+                AS BIGINT) AS n_clamped_lo,
+           CAST(coalesce(sum(CASE WHEN v > q.p_hi THEN cnt END), 0)
+                AS BIGINT) AS n_clamped_hi
+    FROM g, q GROUP BY q.p_lo, q.p_hi
+    """

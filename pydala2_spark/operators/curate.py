@@ -2556,3 +2556,140 @@ def ngram_novelty_oracle_sql(
              AS occ_novelty
     FROM s, r
     """
+
+
+def idf_drift(
+    reference: DataFrame,
+    incoming: DataFrame,
+    text: str = "text",
+    ndigits: int = 6,
+) -> DataFrame:
+    """IDF drift between two corpus snapshots: how much each term's
+    inverse document frequency moved — the retrieval-index
+    maintenance readout (a BM25/TF-IDF index scores with FROZEN IDFs;
+    when the corpus shifts, ranking quality decays silently — this
+    number says when to rebuild) that complements
+    :func:`ngram_novelty`'s phrase-level view with the term-weight
+    view.
+
+    One row out: ``(n_docs_a, n_docs_b, n_shared_terms, n_only_a,
+    n_only_b, mean_abs_idf_shift, max_abs_idf_shift)`` — idf =
+    ln(N/df) over each side's document-frequency table; shift stats
+    over the SHARED vocabulary.
+
+    Determinism: each idf rounds to 12 before the difference, the
+    absolute difference rounds to 12 again and accumulates as
+    DECIMAL(38,12) (the mutual-info ln discipline).
+
+    100 TB shape: both sides reduce map-side to their Heaps-bounded
+    document-frequency tables (explode distinct-tokens-per-doc, one
+    groupBy); the drift is ONE shuffled hash equi-join of the two
+    vocab tables against one-row broadcast doc counts.
+    """
+
+    def dfreq(df: DataFrame, n_alias: str, df_alias: str):
+        tbl = (
+            df.select(
+                F.explode(
+                    F.array_distinct(F.split(F.col(text), " "))
+                ).alias("t")
+            )
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).alias(df_alias))
+        )
+        n = df.agg(F.count(F.lit(1)).cast("long").alias(n_alias))
+        return tbl, n
+
+    ta, na = dfreq(reference, "n_docs_a", "dfa")
+    tb, nb = dfreq(incoming, "n_docs_b", "dfb")
+    j = (
+        ta.join(tb, "t", "full_outer")
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+    )
+    idf_a = F.round(
+        F.log(F.col("n_docs_a").cast("double") / F.col("dfa").cast("double")),
+        12,
+    )
+    idf_b = F.round(
+        F.log(F.col("n_docs_b").cast("double") / F.col("dfb").cast("double")),
+        12,
+    )
+    shift = F.round(F.abs(idf_a - idf_b), 12)
+    shared = F.col("dfa").isNotNull() & F.col("dfb").isNotNull()
+    agg = j.groupBy("n_docs_a", "n_docs_b").agg(
+        F.count(F.when(shared, F.lit(1))).cast("long").alias(
+            "n_shared_terms"
+        ),
+        F.count(F.when(F.col("dfb").isNull(), F.lit(1)))
+        .cast("long")
+        .alias("n_only_a"),
+        F.count(F.when(F.col("dfa").isNull(), F.lit(1)))
+        .cast("long")
+        .alias("n_only_b"),
+        F.sum(
+            F.when(shared, shift.cast("decimal(38,12)"))
+        ).alias("__sum_shift"),
+        F.max(F.when(shared, shift)).alias("__max_shift"),
+    )
+    return agg.select(
+        "n_docs_a",
+        "n_docs_b",
+        "n_shared_terms",
+        "n_only_a",
+        "n_only_b",
+        F.round(
+            F.col("__sum_shift").cast("double")
+            / F.col("n_shared_terms").cast("double"),
+            ndigits,
+        ).alias("mean_abs_idf_shift"),
+        F.round(F.col("__max_shift"), ndigits).alias("max_abs_idf_shift"),
+    )
+
+
+def idf_drift_oracle_sql(
+    ref_sql: str,
+    new_sql: str,
+    text: str = "text",
+    ndigits: int = 6,
+) -> str:
+    """DuckDB oracle for :func:`idf_drift` — identical per-side
+    document-frequency tables and the round-12 ln ladder."""
+    return f"""
+    WITH ra AS ({ref_sql}), rb AS ({new_sql}),
+    ta AS (
+      SELECT t, count(*) AS dfa FROM (
+        SELECT unnest(list_distinct(string_split({text}, ' '))) AS t
+        FROM ra
+      ) GROUP BY t
+    ), tb AS (
+      SELECT t, count(*) AS dfb FROM (
+        SELECT unnest(list_distinct(string_split({text}, ' '))) AS t
+        FROM rb
+      ) GROUP BY t
+    ), na AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_a FROM ra),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_b FROM rb),
+    j AS (
+      SELECT ta.dfa, tb.dfb, na.n_docs_a, nb.n_docs_b,
+             round(abs(
+               round(ln(CAST(na.n_docs_a AS DOUBLE) / CAST(ta.dfa AS DOUBLE)),
+                     12)
+               - round(ln(CAST(nb.n_docs_b AS DOUBLE)
+                          / CAST(tb.dfb AS DOUBLE)), 12)), 12) AS shift
+      FROM ta FULL OUTER JOIN tb ON ta.t = tb.t, na, nb
+    )
+    SELECT n_docs_a, n_docs_b,
+           CAST(count(CASE WHEN dfa IS NOT NULL AND dfb IS NOT NULL
+                           THEN 1 END) AS BIGINT) AS n_shared_terms,
+           CAST(count(CASE WHEN dfb IS NULL THEN 1 END) AS BIGINT)
+             AS n_only_a,
+           CAST(count(CASE WHEN dfa IS NULL THEN 1 END) AS BIGINT)
+             AS n_only_b,
+           round(CAST(sum(CASE WHEN dfa IS NOT NULL AND dfb IS NOT NULL
+                   THEN CAST(shift AS DECIMAL(38,12)) END) AS DOUBLE)
+                 / count(CASE WHEN dfa IS NOT NULL AND dfb IS NOT NULL
+                              THEN 1 END), {ndigits}) AS mean_abs_idf_shift,
+           round(max(CASE WHEN dfa IS NOT NULL AND dfb IS NOT NULL
+                          THEN shift END), {ndigits}) AS max_abs_idf_shift
+    FROM j GROUP BY n_docs_a, n_docs_b
+    """

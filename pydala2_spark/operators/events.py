@@ -2718,3 +2718,163 @@ def growth_accounting_oracle_sql(ndigits: int = 4) -> str:
                  {ndigits}) AS quick_ratio
     FROM per LEFT JOIN ch ON ch.w = per.w
     """
+
+
+def diff_in_diff(
+    events: DataFrame,
+    value_col: str = "value",
+    treat_col=None,
+    ts_col: str = "ts",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Difference-in-differences estimate with a normal-approximation
+    z — the experiment readout when randomization is by UNIT and the
+    change lands at a point in TIME: (treated post - treated pre) -
+    (control post - control pre) cancels both the group baseline and
+    the common time trend that a naive post-vs-pre or
+    treated-vs-control comparison conflates.
+
+    ``treat_col`` is a boolean Column marking the treated group. The
+    pre/post split is the calendar MIDPOINT of the observed range
+    (deterministic — no config drift between engines). SE is the
+    four-cell pooled ``sqrt(sum s_i^2 / n_i)`` under independence.
+
+    One row out: ``(n_rows, m_ctrl_pre, m_ctrl_post, m_treat_pre,
+    m_treat_post, did, se, z_score)``.
+
+    100 TB shape: ONE map-side-combined aggregate computes all four
+    cells' exact decimal (sum, sum-of-squares, count) moments in a
+    single corpus pass against the broadcast midpoint row; everything
+    after is arithmetic on one row.
+    """
+    if treat_col is None:
+        raise ValueError("treat_col is required")
+    base = events.select(
+        F.col(value_col).alias("v"),
+        treat_col.alias("__t"),
+        F.to_date(F.col(ts_col)).alias("d"),
+    ).filter(F.col("v").isNotNull())
+    bounds = base.agg(
+        F.min("d").alias("__d0"), F.max("d").alias("__d1")
+    )
+    j = base.crossJoin(F.broadcast(bounds))
+    # explicit floor: DuckDB ROUNDS double->int casts while Spark
+    # truncates (the r11 dq_psi lesson) — floor agrees in both engines
+    post = F.col("d") > F.date_add(
+        F.col("__d0"),
+        F.floor(
+            F.datediff(F.col("__d1"), F.col("__d0")) / F.lit(2.0)
+        ).cast("int"),
+    )
+    cells = []
+    for t, p, tag in (
+        (False, False, "c0"),
+        (False, True, "c1"),
+        (True, False, "t0"),
+        (True, True, "t1"),
+    ):
+        cond = (F.col("__t") == t) & (post == p)
+        cells += [
+            F.sum(F.when(cond, F.col("v").cast("decimal(38,6)"))).alias(
+                f"s_{tag}"
+            ),
+            F.sum(
+                F.when(
+                    cond,
+                    (F.col("v") * F.col("v")).cast("decimal(38,6)"),
+                )
+            ).alias(f"q_{tag}"),
+            F.count(F.when(cond, F.lit(1))).cast("long").alias(f"n_{tag}"),
+        ]
+    row = j.agg(F.count(F.lit(1)).cast("long").alias("n_rows"), *cells)
+
+    def mean(tag):
+        return F.col(f"s_{tag}").cast("double") / F.col(f"n_{tag}").cast(
+            "double"
+        )
+
+    def var_over_n(tag):
+        n = F.col(f"n_{tag}").cast("double")
+        s = F.col(f"s_{tag}").cast("double")
+        q = F.col(f"q_{tag}").cast("double")
+        return (q - s * s / n) / (n - F.lit(1.0)) / n
+
+    did = (mean("t1") - mean("t0")) - (mean("c1") - mean("c0"))
+    se = F.sqrt(
+        var_over_n("t1") + var_over_n("t0") + var_over_n("c1")
+        + var_over_n("c0")
+    )
+    return row.select(
+        "n_rows",
+        F.round(mean("c0"), ndigits).alias("m_ctrl_pre"),
+        F.round(mean("c1"), ndigits).alias("m_ctrl_post"),
+        F.round(mean("t0"), ndigits).alias("m_treat_pre"),
+        F.round(mean("t1"), ndigits).alias("m_treat_post"),
+        F.round(did, ndigits).alias("did"),
+        F.round(se, ndigits).alias("se"),
+        F.round(F.when(se > 0, did / se), ndigits).alias("z_score"),
+    )
+
+
+def diff_in_diff_oracle_sql(
+    value_col: str = "value",
+    treat_sql: str = "user_id % 2 = 0",
+    ndigits: int = 6,
+) -> str:
+    """DuckDB oracle for :func:`diff_in_diff` — identical midpoint
+    split, exact decimal cell moments, and final double expression
+    shapes."""
+    cells = []
+    for t, p, tag in (
+        ("NOT t", "NOT post", "c0"),
+        ("NOT t", "post", "c1"),
+        ("t", "NOT post", "t0"),
+        ("t", "post", "t1"),
+    ):
+        cond = f"{t} AND {p}"
+        cells.append(
+            f"sum(CASE WHEN {cond} THEN CAST(v AS DECIMAL(38,6)) END)"
+            f" AS s_{tag},"
+            f" sum(CASE WHEN {cond} THEN CAST(v * v AS DECIMAL(38,6)) END)"
+            f" AS q_{tag},"
+            f" CAST(count(CASE WHEN {cond} THEN 1 END) AS BIGINT) AS n_{tag}"
+        )
+
+    def mean(tag):
+        return f"(CAST(s_{tag} AS DOUBLE) / CAST(n_{tag} AS DOUBLE))"
+
+    def von(tag):
+        n = f"CAST(n_{tag} AS DOUBLE)"
+        s = f"CAST(s_{tag} AS DOUBLE)"
+        q = f"CAST(q_{tag} AS DOUBLE)"
+        return f"(({q} - {s} * {s} / {n}) / ({n} - 1.0) / {n})"
+
+    did = f"(({mean('t1')} - {mean('t0')}) - ({mean('c1')} - {mean('c0')}))"
+    se = f"sqrt({von('t1')} + {von('t0')} + {von('c1')} + {von('c0')})"
+    return f"""
+    WITH base AS (
+      SELECT {value_col} AS v, ({treat_sql}) AS t,
+             CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events WHERE {value_col} IS NOT NULL
+    ), bounds AS (
+      SELECT min(d) AS d0, max(d) AS d1 FROM base
+    ), flagged AS (
+      SELECT v, t,
+             d > d0 + CAST(floor(CAST(date_diff('day', d0, d1) AS DOUBLE)
+                                 / 2) AS INT) AS post
+      FROM base, bounds
+    ), c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows, {", ".join(cells)}
+      FROM flagged
+    )
+    SELECT n_rows,
+           round({mean('c0')}, {ndigits}) AS m_ctrl_pre,
+           round({mean('c1')}, {ndigits}) AS m_ctrl_post,
+           round({mean('t0')}, {ndigits}) AS m_treat_pre,
+           round({mean('t1')}, {ndigits}) AS m_treat_post,
+           round({did}, {ndigits}) AS did,
+           round({se}, {ndigits}) AS se,
+           round(CASE WHEN {se} > 0 THEN {did} / {se} END, {ndigits})
+             AS z_score
+    FROM c
+    """

@@ -11322,6 +11322,145 @@ def dedup_incremental_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _did_oracle() -> str:
+    from pydala2_spark.operators.events import diff_in_diff_oracle_sql
+
+    return diff_in_diff_oracle_sql("value", "user_id % 2 = 0")
+
+
+@query("ev_diff_in_diff", _did_oracle())
+def ev_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout (treated = even user ids,
+    pre/post split at the deterministic calendar midpoint): cancels
+    both group baseline and common time trend — the experiment
+    analysis a unit-randomized launch needs where ev_welch_ttest's
+    plain two-sample comparison conflates them. ONE corpus pass
+    computes all four cells' exact decimal moments.
+    See operators/events.diff_in_diff."""
+    from pydala2_spark.operators.events import diff_in_diff
+
+    return diff_in_diff(
+        _t(spark, sf_dir, "events"),
+        treat_col=F.col("user_id") % 2 == 0,
+    )
+
+
+def _winsor_oracle() -> str:
+    from pydala2_spark.functions.dq import winsorized_mean_oracle_sql
+
+    return winsorized_mean_oracle_sql("SELECT * FROM events", "value")
+
+
+@query("agg_winsorized_mean", _winsor_oracle())
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of event value (exact type-1 P1/P99 clamping):
+    the robust topline next to the raw mean — the gap between the two
+    IS the outlier-impact number a corrupted-feed alert thresholds
+    on. Quantiles from the distinct-value range-prefix; the clamped
+    sum computes exactly on the reduced table (cnt x clamp(v) in
+    decimal) — the corpus is scanned once.
+    See functions/dq.winsorized_mean."""
+    from pydala2_spark.functions.dq import winsorized_mean
+
+    return winsorized_mean(_t(spark, sf_dir, "events"), "value")
+
+
+@query(
+    "graph_component_sizes",
+    """
+    WITH RECURSIVE li AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      FROM lineitem WHERE l_quantity >= 48
+    ), pe AS (
+      SELECT DISTINCT x.p AS a, y.p AS b
+      FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM pe UNION SELECT b, a FROM pe
+    ), reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+    ), cc AS (
+      SELECT node, min(label) AS cid FROM reach GROUP BY node
+    ), sizes AS (
+      SELECT cid, count(*) AS sz FROM cc GROUP BY cid
+    )
+    SELECT CAST(sz AS BIGINT) AS component_size,
+           CAST(count(*) AS BIGINT) AS n_components,
+           CAST(sz * count(*) AS BIGINT) AS n_nodes
+    FROM sizes GROUP BY sz
+    """,
+)
+def graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component size histogram of the bulk co-purchase
+    graph — the fragmentation readout (one giant component vs many
+    islands) that decides whether per-component graph work can
+    partition cleanly, and the graph-side surface of the SAME CC
+    engine the dedup family uses (operators/dedup.duplicate_clusters:
+    driver union-find under a measured edge budget, distributed
+    min-label pointer-doubling above it). Components of size 1
+    (edgeless nodes) are out of frame by construction — documented.
+    Oracle: recursive min-reachable-id CTE, the dedup_clusters
+    pattern."""
+    from pydala2_spark.operators.dedup import duplicate_clusters
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 48)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), "o")
+        .filter(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("id_a"), F.col("y.p").alias("id_b"))
+        .distinct()
+    )
+    cl = duplicate_clusters(pairs)
+    return (
+        cl.groupBy("cluster_id", "cluster_size")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .groupBy(F.col("cluster_size").alias("component_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_components"),
+            F.sum("cluster_size").cast("long").alias("n_nodes"),
+        )
+        .select(
+            F.col("component_size").cast("long").alias("component_size"),
+            "n_components",
+            "n_nodes",
+        )
+    )
+
+
+def _idf_drift_oracle() -> str:
+    from pydala2_spark.operators.curate import idf_drift_oracle_sql
+
+    return idf_drift_oracle_sql(
+        "SELECT text FROM documents WHERE doc_id % 2 = 0",
+        "SELECT text FROM documents WHERE doc_id % 2 = 1",
+    )
+
+
+@query("doc_idf_drift", _idf_drift_oracle())
+def doc_idf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF drift between document-corpus halves: per-term ln(N/df)
+    shift over the shared vocabulary plus vocabulary churn counts —
+    the retrieval-index maintenance readout (BM25/TF-IDF indexes
+    score with FROZEN IDFs; this number says when ranking decay
+    justifies a rebuild), next to doc_ngram_novelty's phrase-level
+    view. Both sides reduce map-side to Heaps-bounded df tables; ONE
+    shuffled hash full-outer join. See operators/curate.idf_drift."""
+    from pydala2_spark.operators.curate import idf_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return idf_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -11340,12 +11479,13 @@ _VERIFY_FIRST = [
     #     ev_dau_wau_mau's trailing windows were ALSO rewritten this
     #     round (explode equi-joins replace the nested-loop range
     #     join), so its first driver row covers the fixed plan.
-    #   positions 2-11: the TEN queries ADDED in r12 (mann-whitney,
-    #     block-jackknife CI, IQR fences, n-gram novelty, pair-cosine
-    #     isotropy, growth accounting, sequence gaps, null
-    #     correlation, band tuning, incremental dedup screen) —
-    #     every one mirror-green before commit.
-    #   positions 12-24: queries whose code or plan CHANGED in r12 and
+    #   positions 2-15: the FOURTEEN queries ADDED in r12
+    #     (mann-whitney, block-jackknife CI, IQR fences, n-gram
+    #     novelty, pair-cosine isotropy, growth accounting, sequence
+    #     gaps, null correlation, band tuning, incremental dedup
+    #     screen, diff-in-diff, winsorized mean, component sizes,
+    #     idf drift) — every one mirror-green before commit.
+    #   positions 16-28: queries whose code or plan CHANGED in r12 and
     #     whose prior driver rows therefore predate the change:
     #     the distributed_prefix consistency fix (the ranged frame is
     #     now materialized once — every prefix/ntile consumer gets a
@@ -11353,13 +11493,16 @@ _VERIFY_FIRST = [
     #     quantiles, negative samples, ks/profile-drift/key-skew,
     #     concurrency, rfm, deciles, pareto, exact-substr removal),
     #     psi's NULL-exclusion, and clustering-coeff's 0/0 guards.
-    #   positions 25-49: the stalest (r7-checked) block, continuing
-    #     the staleness-refresh rotation (its last four entries moved
-    #     to lead the staged r13 list when batch two landed).
-    # r13 pre-staging: order r13 by staleness — FIRST the four r7
-    # entries displaced when the second r12 batch took their window
-    # slots (orc_roundtrip_scan, update_where_semantics,
-    # delete_where_semantics, doc_gopher_rules), then the REMAINDER of
+    #   positions 29-49: the stalest (r7-checked) block, continuing
+    #     the staleness-refresh rotation (its last eight entries moved
+    #     to lead the staged r13 list as batches two and three
+    #     landed).
+    # r13 pre-staging: order r13 by staleness — FIRST the eight r7
+    # entries displaced when the second and third r12 batches took
+    # their window slots (snapshot_cdf, ivm_incremental_rollup,
+    # ivm_join_rollup, catalog_sql_roundtrip, orc_roundtrip_scan,
+    # update_where_semantics, delete_where_semantics,
+    # doc_gopher_rules), then the REMAINDER of
     # the r7 block (doc_bm25_search, doc_dsir_resample, doc_bigram_logprob,
     # doc_substring_spans, emb_semantic_dedup, stream_cms_counters,
     # stream_hll_distinct, stream_ohlc_bars, mm_audio_metadata,
@@ -11386,6 +11529,10 @@ _VERIFY_FIRST = [
     "dq_null_correlation",
     "dedup_band_tuning",
     "dedup_incremental_screen",
+    "ev_diff_in_diff",
+    "agg_winsorized_mean",
+    "graph_component_sizes",
+    "doc_idf_drift",
     # --- positions 8-20: r12 rewrites / prefix-fix consumers ---
     "agg_spearman",
     "agg_weighted_quantiles",
@@ -11422,10 +11569,6 @@ _VERIFY_FIRST = [
     "ev_resample_interp",
     "ev_resample_locf",
     "asof_nearest_tolerance",
-    "snapshot_cdf",
-    "ivm_incremental_rollup",
-    "ivm_join_rollup",
-    "catalog_sql_roundtrip",
 ]
 
 

@@ -1328,6 +1328,57 @@ def main():
                 reps=1,
             )
 
+    if want("did"):
+        from pydala2_spark.operators.events import diff_in_diff
+
+        for label, pth in (("1x", "ev_1x"), ("big", "ev_big")):
+            d = norm_ts(spark.read.parquet(f"{ROOT}/{pth}"))
+            out.setdefault("diff_in_diff", {})[label] = timed(
+                lambda d=d: diff_in_diff(
+                    d, treat_col=F.col("user_id") % 2 == 0
+                ).collect(),
+                reps=2,
+            )
+
+    if want("winsor"):
+        from pydala2_spark.functions.dq import winsorized_mean
+
+        for label, pth in (("1x", "ev_1x"), ("big", "ev_big")):
+            d = spark.read.parquet(f"{ROOT}/{pth}")
+            out.setdefault("winsorized_mean", {})[label] = timed(
+                lambda d=d: winsorized_mean(d, "value").collect(), reps=2
+            )
+
+    if want("compsize"):
+        from pydala2_spark.operators.dedup import duplicate_clusters
+
+        for label, pth in (("1x", "ev_1x"), ("big", "ev_big")):
+            d = norm_ts(spark.read.parquet(f"{ROOT}/{pth}"))
+            pairs = d.select(
+                F.col("user_id").alias("id_a"),
+                (-F.unix_date(F.to_date("ts"))).alias("id_b"),
+            ).distinct()
+            out.setdefault("component_sizes", {})[label] = timed(
+                lambda p=pairs: duplicate_clusters(p)
+                .groupBy("cluster_size")
+                .count()
+                .collect(),
+                reps=2,
+            )
+
+    if want("idfdrift"):
+        from pydala2_spark.operators.curate import idf_drift
+
+        for label, pth in (("1x", "docs_1x"), ("big", "docs_big")):
+            d = spark.read.parquet(f"{ROOT}/{pth}")
+            out.setdefault("idf_drift", {})[label] = timed(
+                lambda d=d: idf_drift(
+                    d.filter(F.col("doc_id") % 2 == 0),
+                    d.filter(F.col("doc_id") % 2 == 1),
+                ).collect(),
+                reps=2,
+            )
+
     if want("paircos"):
         from pydala2_spark.operators.similarity import pair_cosine_histogram
 

@@ -465,3 +465,154 @@ def test_incremental_screen_verdicts(spark, tmp_path):
     assert out[101]["verdict"] == "exact" and out[101]["n_matches"] == 1
     assert out[102]["verdict"] == "near" and out[102]["n_matches"] >= 1
     assert out[103]["verdict"] == "unique" and out[103]["n_matches"] == 0
+
+
+# -- diff in diff --------------------------------------------------------
+
+
+def test_diff_in_diff_recovers_planted_effect(spark):
+    from pydala2_spark.operators.events import diff_in_diff
+
+    # 40 days, two users per group per day. baseline 10, common time
+    # trend +5 post, treatment effect +3 post for treated only
+    rows = []
+    for day in range(40):
+        post = day > 19  # midpoint split: d0=day0, d1=day39 -> mid=day19
+        for uid in (0, 2):  # treated (even)
+            rows.append(
+                (uid, f"2024-01-{day + 1:02d} 12:00:00" if day < 31
+                 else f"2024-02-{day - 30:02d} 12:00:00",
+                 10.0 + (5.0 + 3.0 if post else 0.0))
+            )
+        for uid in (1, 3):  # control (odd)
+            rows.append(
+                (uid, f"2024-01-{day + 1:02d} 12:00:00" if day < 31
+                 else f"2024-02-{day - 30:02d} 12:00:00",
+                 10.0 + (5.0 if post else 0.0))
+            )
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "value"]).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    row = _one(diff_in_diff(ev, treat_col=F.col("user_id") % 2 == 0))
+    assert row["did"] == pytest.approx(3.0, abs=1e-9)
+    # naive post-pre on treated alone would read 8.0; DiD removes the
+    # common +5 trend
+    assert row["m_treat_post"] - row["m_treat_pre"] == pytest.approx(8.0, abs=1e-9)
+    # zero within-cell variance => se == 0 => z NULL (guarded)
+    assert row["se"] == 0.0 and row["z_score"] is None
+
+
+def test_diff_in_diff_null_when_no_effect(spark):
+    from pydala2_spark.operators.events import diff_in_diff
+
+    rows = []
+    for day in range(20):
+        for uid in range(4):
+            rows.append(
+                (uid, f"2024-03-{day + 1:02d} 09:00:00",
+                 float(uid) + (1.0 if day > 9 else 0.0))
+            )
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "value"]).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    row = _one(diff_in_diff(ev, treat_col=F.col("user_id") % 2 == 0))
+    assert row["did"] == pytest.approx(0.0, abs=1e-9)
+
+
+# -- winsorized mean -----------------------------------------------------
+
+
+def test_winsorized_mean_clamps_spikes(spark):
+    from pydala2_spark.functions.dq import winsorized_mean
+
+    base = [float(v) for v in range(1, 99)]  # 1..98
+    data = base + [10_000.0, -10_000.0]  # two spikes
+    row = _one(
+        winsorized_mean(
+            spark.createDataFrame(pd.DataFrame({"v": data})),
+            "v",
+            lo_q=0.02,
+            hi_q=0.98,
+        )
+    )
+    # type-1 quantiles over 100 rows: p_lo = 2nd smallest, p_hi = 98th
+    sv = sorted(data)
+    # type-1: p_lo = smallest v with cum >= 2 (the 2nd value), p_hi =
+    # smallest v with cum >= 98 (the 98th value = 97.0 — so both 98.0
+    # and the spike clamp down)
+    assert row["p_lo"] == sv[1] and row["p_hi"] == sv[97]
+    assert row["n_clamped_lo"] == 1 and row["n_clamped_hi"] == 2
+    # winsorized mean is near the uncontaminated center; raw is not
+    assert abs(row["winsorized_mean"] - 49.5) < 2.0
+    assert row["raw_mean"] == pytest.approx(sum(data) / 100, abs=1e-6)
+
+
+def test_winsorized_mean_noop_on_clean_data(spark):
+    from pydala2_spark.functions.dq import winsorized_mean
+
+    data = [float(v) for v in range(1, 101)]
+    row = _one(
+        winsorized_mean(
+            spark.createDataFrame(pd.DataFrame({"v": data})),
+            "v",
+            lo_q=0.0,
+            hi_q=1.0,
+        )
+    )
+    assert row["winsorized_mean"] == row["raw_mean"]
+    assert row["n_clamped_lo"] == 0 and row["n_clamped_hi"] == 0
+
+
+# -- graph component sizes -----------------------------------------------
+
+
+def test_component_sizes_hand_graph(spark):
+    from pydala2_spark.queries import queries  # noqa: F401 (import check)
+    from pydala2_spark.operators.dedup import duplicate_clusters
+
+    # triangle {1,2,3}, edge {10,11}, chain {20,21,22,23}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        ["id_a", "id_b"],
+    )
+    cl = duplicate_clusters(pairs)
+    sizes = (
+        cl.groupBy("cluster_id", "cluster_size")
+        .count()
+        .groupBy("cluster_size")
+        .count()
+        .collect()
+    )
+    got = {r["cluster_size"]: r["count"] for r in sizes}
+    assert got == {3: 1, 2: 1, 4: 1}
+
+
+# -- idf drift -----------------------------------------------------------
+
+
+def test_idf_drift_identical_halves_zero(spark):
+    from pydala2_spark.operators.curate import idf_drift
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"text": ["alpha beta gamma", "beta gamma delta"]})
+    )
+    row = _one(idf_drift(docs, docs))
+    assert row["mean_abs_idf_shift"] == 0.0
+    assert row["max_abs_idf_shift"] == 0.0
+    assert row["n_only_a"] == 0 and row["n_only_b"] == 0
+
+
+def test_idf_drift_detects_shift(spark):
+    from pydala2_spark.operators.curate import idf_drift
+
+    # term "x" in 1/2 ref docs (idf ln2) vs 2/2 incoming docs (idf 0)
+    ref = spark.createDataFrame(
+        pd.DataFrame({"text": ["x common", "common other"]})
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame({"text": ["x common", "x common"]})
+    )
+    row = _one(idf_drift(ref, new))
+    assert row["max_abs_idf_shift"] == pytest.approx(math.log(2), abs=1e-6)
+    assert row["n_only_a"] == 1  # "other" vanished
+    assert row["n_shared_terms"] == 2  # x, common

@@ -296,6 +296,12 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "doc_ngram_novelty",
         "emb_pair_cosine_hist",
         "dq_sequence_gaps",
+        # r12 batch three: midpoint bounds row (diff-in-diff),
+        # W/quantile rows (winsorized), per-side doc-count rows (idf
+        # drift) — same 1-row broadcast shape as q11
+        "ev_diff_in_diff",
+        "agg_winsorized_mean",
+        "doc_idf_drift",
         # exact brute-force legs of the truncation eval — same bounded
         # corpus x broadcast-query-set cross as emb_knn_bruteforce
         "emb_dim_truncation_eval",
