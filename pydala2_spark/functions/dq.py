@@ -1414,8 +1414,11 @@ def jackknife_ci(
     s/sqrt(n) SE understates error under within-block correlation —
     the usual case when blocks follow ingest order).
 
-    ``id_col`` must be a non-negative integral column (ids). Output:
-    one row ``(n_rows, n_blocks, mean, se_jack, ci_lo, ci_hi)``.
+    ``id_col`` must be an integral column (ids); negative ids are
+    assigned pmod (non-negative residue) blocks, and the oracle uses
+    the same ``((id % n) + n) % n`` convention. Output: one row
+    ``(n_rows, n_blocks, mean, se_jack, ci_lo, ci_hi)``; ``se_jack`` /
+    ``ci_*`` are explicit NULLs when fewer than 2 blocks are populated.
 
     Determinism ladder: block sums are exact DECIMAL(38,6); each
     leave-one-out mean is one double division, round-12, back to
@@ -1442,8 +1445,13 @@ def jackknife_ci(
         F.count(F.lit(1)).cast("long").alias("tot_k"),
     )
     j = per.crossJoin(F.broadcast(tot))
-    m_i = (F.col("tot_s").cast("double") - F.col("s").cast("double")) / (
-        F.col("tot_n").cast("double") - F.col("c").cast("double")
+    # guard the leave-one-out division: with ONE populated block the
+    # denominator is 0 (ANSI Spark raises DIVIDE_BY_ZERO; DuckDB emits
+    # IEEE inf/NaN) — emit NULL instead, matching the oracle's CASE
+    m_i = F.when(
+        F.col("tot_n") > F.col("c"),
+        (F.col("tot_s").cast("double") - F.col("s").cast("double"))
+        / (F.col("tot_n").cast("double") - F.col("c").cast("double")),
     )
     m12 = F.round(m_i, 12).cast("decimal(38,12)")
     stage1 = j.groupBy("tot_s", "tot_n", "tot_k").agg(F.sum(m12).alias("sm"))
@@ -1457,8 +1465,14 @@ def jackknife_ci(
     s2 = j2.groupBy("tot_s", "tot_n", "tot_k").agg(F.sum(term).alias("ss"))
     kd = F.col("tot_k").cast("double")
     mean_d = F.col("tot_s").cast("double") / F.col("tot_n").cast("double")
-    se_d = F.sqrt(
-        (kd - F.lit(1.0)) / kd * F.col("ss").cast("double")
+    # Degenerate-partition guard: n_groups >= 2 does NOT guarantee >= 2
+    # NON-EMPTY blocks (a constant id_col puts every row in one residue
+    # class), and a single block makes every leave-one-out mean a 0/0
+    # (Spark NULL, DuckDB NaN — the engines diverge). Emit an explicit
+    # NULL se/ci below two populated blocks, identically in both.
+    se_d = F.when(
+        F.col("tot_k") >= 2,
+        F.sqrt((kd - F.lit(1.0)) / kd * F.col("ss").cast("double")),
     )
     return s2.select(
         F.col("tot_n").alias("n_rows"),
@@ -1480,10 +1494,18 @@ def jackknife_oracle_sql(
 ) -> str:
     """DuckDB oracle for :func:`jackknife_ci` — identical block sums,
     round-12 leave-one-out means, decimal cross-block accumulation,
-    and final double expression shapes."""
+    and final double expression shapes. Blocking uses pmod semantics
+    (``((id % n) + n) % n``) so negative ids land in the same
+    non-negative residue class Spark's ``pmod`` assigns them."""
+    se_sql = (
+        "CASE WHEN tot_k >= 2 THEN"
+        " sqrt((CAST(tot_k AS DOUBLE) - 1.0) / CAST(tot_k AS DOUBLE)"
+        " * CAST(ss AS DOUBLE)) END"
+    )
     return f"""
     WITH base AS (
-      SELECT CAST({value_col} AS DECIMAL(38,6)) AS v, {id_col} % {n_groups} AS g
+      SELECT CAST({value_col} AS DECIMAL(38,6)) AS v,
+             ((({id_col}) % {n_groups}) + {n_groups}) % {n_groups} AS g
       FROM ({table_sql}) WHERE {value_col} IS NOT NULL
     ), per AS (
       SELECT g, sum(v) AS s, count(*) AS c FROM base GROUP BY g
@@ -1493,8 +1515,10 @@ def jackknife_oracle_sql(
       FROM per
     ), m AS (
       SELECT tot.tot_s, tot.tot_n, tot.tot_k,
-             (CAST(tot.tot_s AS DOUBLE) - CAST(per.s AS DOUBLE))
-               / (CAST(tot.tot_n AS DOUBLE) - CAST(per.c AS DOUBLE)) AS m_i
+             CASE WHEN tot.tot_n > per.c THEN
+               (CAST(tot.tot_s AS DOUBLE) - CAST(per.s AS DOUBLE))
+                 / (CAST(tot.tot_n AS DOUBLE) - CAST(per.c AS DOUBLE))
+             END AS m_i
       FROM per, tot
     ), s1 AS (
       SELECT tot_s, tot_n, tot_k,
@@ -1513,16 +1537,11 @@ def jackknife_oracle_sql(
     SELECT tot_n AS n_rows, tot_k AS n_blocks,
            round(CAST(tot_s AS DOUBLE) / CAST(tot_n AS DOUBLE), {ndigits})
              AS mean,
-           round(sqrt((CAST(tot_k AS DOUBLE) - 1.0) / CAST(tot_k AS DOUBLE)
-                      * CAST(ss AS DOUBLE)), {ndigits}) AS se_jack,
+           round({se_sql}, {ndigits}) AS se_jack,
            round(CAST(tot_s AS DOUBLE) / CAST(tot_n AS DOUBLE)
-                 - {z!r} * sqrt((CAST(tot_k AS DOUBLE) - 1.0)
-                                / CAST(tot_k AS DOUBLE)
-                                * CAST(ss AS DOUBLE)), {ndigits}) AS ci_lo,
+                 - {z!r} * {se_sql}, {ndigits}) AS ci_lo,
            round(CAST(tot_s AS DOUBLE) / CAST(tot_n AS DOUBLE)
-                 + {z!r} * sqrt((CAST(tot_k AS DOUBLE) - 1.0)
-                                / CAST(tot_k AS DOUBLE)
-                                * CAST(ss AS DOUBLE)), {ndigits}) AS ci_hi
+                 + {z!r} * {se_sql}, {ndigits}) AS ci_hi
     FROM s2
     """
 

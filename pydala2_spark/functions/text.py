@@ -213,7 +213,14 @@ def raw_shingles(
 ) -> Column:
     """Every k-token shingle occurrence IN ORDER (no per-doc dedup) —
     the occurrence-level counterpart of :func:`shingles` for metrics
-    that weight by frequency (n-gram novelty's token coverage)."""
+    that weight by frequency (n-gram novelty's token coverage).
+
+    Short-doc stub: a document with FEWER than k tokens still emits
+    ONE partial shingle (the ``greatest(size - k + 1, 1)`` floor, the
+    same convention as :func:`shingles` / :func:`raw_shingle_count`,
+    which keeps distinct/total ratios well-defined). Callers counting
+    true k-gram occurrences must filter docs with ``size(tokens) < k``
+    first — ngram_novelty does exactly this."""
     t = _toks(text, tokens_col)
     parts = ", ".join(f"element_at({t}, i + {j})" for j in range(k))
     return F.expr(

@@ -2789,8 +2789,13 @@ def diff_in_diff(
     row = j.agg(F.count(F.lit(1)).cast("long").alias("n_rows"), *cells)
 
     def mean(tag):
-        return F.col(f"s_{tag}").cast("double") / F.col(f"n_{tag}").cast(
-            "double"
+        # empty cell: s is NULL and n is 0 — ANSI Spark would raise on
+        # the 0 divisor where DuckDB's NULL/0 propagates NULL; guard to
+        # the same NULL
+        return F.when(
+            F.col(f"n_{tag}") > 0,
+            F.col(f"s_{tag}").cast("double")
+            / F.col(f"n_{tag}").cast("double"),
         )
 
     def var_over_n(tag):
@@ -2800,9 +2805,22 @@ def diff_in_diff(
         return (q - s * s / n) / (n - F.lit(1.0)) / n
 
     did = (mean("t1") - mean("t0")) - (mean("c1") - mean("c0"))
-    se = F.sqrt(
-        var_over_n("t1") + var_over_n("t0") + var_over_n("c1")
-        + var_over_n("c0")
+    # Degenerate-cell guard: a cell with 0 or 1 rows makes var/n a 0/0
+    # (Spark ANSI-off yields NULL, DuckDB IEEE yields NaN — the engines
+    # DIVERGE). The estimate needs >=2 rows in every cell anyway, so
+    # emit an explicit NULL se/z below that, identically in both.
+    cells_ok = (
+        (F.col("n_t1") > 1)
+        & (F.col("n_t0") > 1)
+        & (F.col("n_c1") > 1)
+        & (F.col("n_c0") > 1)
+    )
+    se = F.when(
+        cells_ok,
+        F.sqrt(
+            var_over_n("t1") + var_over_n("t0") + var_over_n("c1")
+            + var_over_n("c0")
+        ),
     )
     return row.select(
         "n_rows",
@@ -2850,7 +2868,13 @@ def diff_in_diff_oracle_sql(
         return f"(({q} - {s} * {s} / {n}) / ({n} - 1.0) / {n})"
 
     did = f"(({mean('t1')} - {mean('t0')}) - ({mean('c1')} - {mean('c0')}))"
-    se = f"sqrt({von('t1')} + {von('t0')} + {von('c1')} + {von('c0')})"
+    # mirror of the Spark-side degenerate-cell guard: CASE keeps the
+    # 0/0 NaN (DuckDB IEEE division) out of se entirely
+    se = (
+        "CASE WHEN n_t1 > 1 AND n_t0 > 1 AND n_c1 > 1 AND n_c0 > 1"
+        f" THEN sqrt({von('t1')} + {von('t0')} + {von('c1')} + {von('c0')})"
+        " END"
+    )
     return f"""
     WITH base AS (
       SELECT {value_col} AS v, ({treat_sql}) AS t,
