@@ -4977,6 +4977,95 @@ def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "csv_roundtrip_scan",
+    """
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal, c_mktsegment
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND round(c_acctbal, 2) > 1000
+    """,
+)
+def csv_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-format round-trip (S4): customer lands in a CSV dataset
+    through the package Writer (header row on), reads back through
+    CSVDataset with an EXPLICIT schema, filters, and must reproduce
+    the parquet source bit-for-bit (the oracle reads the original
+    parquet). Money survives because it is rounded to 2 digits before
+    serialization — a 2-decimal double's shortest repr parses back to
+    the identical bit pattern.
+
+    At 100 TB: the explicit ``schema=`` is the scale-honest path —
+    schema inference costs a FULL extra pass over the text corpus
+    (CSVDataset supports it for exploration; production hands the DDL
+    string). Spark's CSV reader still prunes columns at parse time and
+    applies the pushed filters mid-parse
+    (spark.sql.csv.filterPushdown.enabled), so scan cost tracks the
+    selected rows, not the serialized width.
+
+    Reference: `pydala/dataset.py:2656-2713` (CsvDataset)."""
+    from pydala2_spark.sources.dataset import CSVDataset
+
+    path = _app_scoped_tmp(spark, sf_dir, "pydala2_spark_csv")
+    src = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        "c_mktsegment",
+    )
+    ds = CSVDataset(
+        path,
+        spark=spark,
+        schema="c_custkey bigint, c_name string, acctbal double, "
+        "c_mktsegment string",
+    )
+    ds.write_to_dataset(src, mode="overwrite")
+    return ds.filter("c_mktsegment = 'BUILDING' AND acctbal > 1000").select(
+        "c_custkey", "c_name", "acctbal", "c_mktsegment"
+    )
+
+
+@query(
+    "json_roundtrip_scan",
+    """
+    SELECT doc_id, lang, n_chars, source
+    FROM documents
+    WHERE lang = 'en' AND n_chars > 200
+    """,
+)
+def json_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured round-trip (S5): documents lands in a
+    line-delimited JSON dataset through the package Writer, reads back
+    through JSONDataset with an EXPLICIT schema, filters, and must
+    reproduce the parquet source exactly (the oracle reads the
+    original parquet). Spark's JSON writer OMITS null fields per
+    record; the explicit schema resurfaces them as typed NULLs, so
+    null-lang documents survive the trip.
+
+    At 100 TB: explicit ``schema=`` skips the inference pass (JSON
+    inference samples EVERY record by default); the JSON reader prunes
+    unprojected keys at parse time and applies pushed predicates
+    mid-parse (spark.sql.json.filterPushdown.enabled) — per-file cost
+    tracks selected rows. JSON is the wire format of scraped/API
+    corpora, so this is the ingest edge of the document pipeline.
+
+    Reference: `pydala/dataset.py:2716-2774` (JsonDataset)."""
+    from pydala2_spark.sources.dataset import JSONDataset
+
+    path = _app_scoped_tmp(spark, sf_dir, "pydala2_spark_json")
+    src = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "source"
+    )
+    ds = JSONDataset(
+        path,
+        spark=spark,
+        schema="doc_id bigint, lang string, n_chars bigint, source string",
+    )
+    ds.write_to_dataset(src, mode="overwrite")
+    return ds.filter("lang = 'en' AND n_chars > 200").select(
+        "doc_id", "lang", "n_chars", "source"
+    )
+
+
+@query(
     "update_where_semantics",
     """
     SELECT doc_id, lang,

@@ -129,3 +129,44 @@ def test_jackknife_negative_ids_match_oracle(spark):
             assert sv == pytest.approx(o, abs=1e-9), c
         else:
             assert sv == o, c
+
+
+# -- CSV/JSON round-trip datasets (S4/S5 driver-query support) -------------
+
+
+def test_json_roundtrip_resurfaces_null_fields(spark, tmp_ds_path):
+    # Spark's JSON writer OMITS null fields; an explicit read schema
+    # must bring them back as typed NULLs
+    from pydala2_spark.sources.dataset import JSONDataset
+
+    src = spark.createDataFrame(
+        [(1, "en", 10), (2, None, 20), (3, "de", None)],
+        "doc_id bigint, lang string, n_chars bigint",
+    )
+    ds = JSONDataset(
+        tmp_ds_path, spark=spark,
+        schema="doc_id bigint, lang string, n_chars bigint",
+    )
+    ds.write_to_dataset(src, mode="overwrite")
+    rows = {r["doc_id"]: r for r in ds.df.collect()}
+    assert rows[2]["lang"] is None and rows[2]["n_chars"] == 20
+    assert rows[3]["lang"] == "de" and rows[3]["n_chars"] is None
+
+
+def test_csv_roundtrip_explicit_schema_types(spark, tmp_ds_path):
+    # explicit schema read-back (the scale path: no inference pass)
+    # preserves exact types and 2-decimal doubles bit-for-bit
+    from pydala2_spark.sources.dataset import CSVDataset
+
+    src = spark.createDataFrame(
+        [(1, "a,b", 12.34), (2, "plain", -0.05)],
+        "id bigint, name string, v double",
+    )
+    ds = CSVDataset(
+        tmp_ds_path, spark=spark, schema="id bigint, name string, v double"
+    )
+    ds.write_to_dataset(src, mode="overwrite")
+    got = {r["id"]: r for r in ds.df.collect()}
+    assert dict(ds.df.dtypes) == {"id": "bigint", "name": "string", "v": "double"}
+    assert got[1]["name"] == "a,b" and got[1]["v"] == 12.34
+    assert got[2]["v"] == -0.05
