@@ -2025,3 +2025,139 @@ def winsorized_mean_oracle_sql(
                 AS BIGINT) AS n_clamped_hi
     FROM g, q GROUP BY q.p_lo, q.p_hi
     """
+
+
+# -- 1-D Wasserstein (earth mover's) distance -----------------------------
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    value_col: str,
+    cohort_a,
+    cohort_b,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth mover's) distance between two
+    cohorts' value distributions: ``W1 = integral |F_a(t) - F_b(t)| dt``
+    evaluated exactly over the observed support — the drift metric in
+    TRANSPORT UNITS (how far mass must move, in the value's own units)
+    that complements dq_ks_test's sup-gap (sensitive to one point) and
+    dq_psi's binned divergence (bin-choice-dependent). ``cohort_a`` /
+    ``cohort_b`` are boolean Columns; rows in neither are ignored.
+
+    Output: one row ``(n_a, n_b, n_values, w1)``; w1 is NULL when
+    either cohort is empty.
+
+    Determinism ladder: per-cohort counts cumulate as exact decimals in
+    ONE shared range-prefix; each support interval's contribution
+    ``|cumA/nA - cumB/nB| * (v_next - v)`` is one double expression
+    rounded to 12 and re-accumulated as DECIMAL(38,12) (the mutual-info
+    ln discipline) so cross-engine float summation order cannot move a
+    bit.
+
+    100 TB shape: ONE map-side-combined groupBy to the distinct-value
+    table, ONE distributed range-prefix computing BOTH cohorts' CDFs in
+    the same shuffle (:func:`distributed_prefix` list form), a
+    rank-equi self-join for the neighbor value (shuffle on rank — never
+    a one-task lead() window), then one scalar aggregate."""
+    from pydala2_spark.functions.skew import distributed_prefix
+
+    base = df.select(
+        F.col(value_col).alias("v"),
+        cohort_a.alias("__a"),
+        cohort_b.alias("__b"),
+    ).filter(
+        F.col("v").isNotNull()
+        & (F.coalesce(F.col("__a"), F.lit(False))
+           | F.coalesce(F.col("__b"), F.lit(False)))
+    )
+    g = base.groupBy("v").agg(
+        F.count(F.when(F.col("__a"), F.lit(1))).cast(_DEC).alias("ca"),
+        F.count(F.when(F.col("__b"), F.lit(1))).cast(_DEC).alias("cb"),
+    )
+    pre = distributed_prefix(
+        g, ["v"], sum_col=["ca", "cb"], cum_col=["cum_a", "cum_b"],
+        rank_col="__r",
+    )
+    tot = g.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+    )
+    nxt = pre.select(
+        (F.col("__r") - 1).alias("__r"), F.col("v").alias("v_next")
+    )
+    j = pre.join(nxt, "__r").crossJoin(F.broadcast(tot))
+    gap = F.abs(
+        F.col("cum_a").cast("double") / F.col("n_a").cast("double")
+        - F.col("cum_b").cast("double") / F.col("n_b").cast("double")
+    )
+    # per-row guard: an empty cohort would make gap a /0 (ANSI error)
+    term = F.round(
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            gap * (F.col("v_next") - F.col("v")),
+        ),
+        12,
+    ).cast("decimal(38,12)")
+    return (
+        j.groupBy("n_a", "n_b", "n_values")
+        .agg(F.sum(term).alias("__w1"))
+        .select(
+            "n_a",
+            "n_b",
+            "n_values",
+            F.round(
+                F.when(
+                    (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                    F.col("__w1").cast("double"),
+                ),
+                ndigits,
+            ).alias("w1"),
+        )
+    )
+
+
+def wasserstein_oracle_sql(
+    table_sql: str,
+    value_col: str,
+    cohort_a_sql: str,
+    cohort_b_sql: str,
+    ndigits: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`wasserstein_1d`: identical distinct-value
+    CDF table (window cumsum at oracle SF), identical per-interval
+    double expression, round-12 decimal re-accumulation, empty-cohort
+    CASE."""
+    return f"""
+    WITH base AS (
+      SELECT {value_col} AS v,
+             coalesce(({cohort_a_sql}), FALSE) AS a,
+             coalesce(({cohort_b_sql}), FALSE) AS b
+      FROM ({table_sql})
+      WHERE {value_col} IS NOT NULL
+    ), g AS (
+      SELECT v,
+             CAST(count(CASE WHEN a THEN 1 END) AS DECIMAL(38,6)) AS ca,
+             CAST(count(CASE WHEN b THEN 1 END) AS DECIMAL(38,6)) AS cb
+      FROM base WHERE a OR b GROUP BY v
+    ), pre AS MATERIALIZED (
+      SELECT v, sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b,
+             lead(v) OVER w AS v_next
+      FROM g WINDOW w AS (ORDER BY v)
+    ), t AS MATERIALIZED (
+      SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+             CAST(count(*) AS BIGINT) AS n_values
+      FROM g
+    )
+    SELECT t.n_a, t.n_b, t.n_values,
+           round(CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN CAST(sum(
+             CAST(round(CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN
+               abs(CAST(cum_a AS DOUBLE) / CAST(t.n_a AS DOUBLE)
+                   - CAST(cum_b AS DOUBLE) / CAST(t.n_b AS DOUBLE))
+               * (v_next - v) END, 12) AS DECIMAL(38,12))
+           ) AS DOUBLE) END, {ndigits}) AS w1
+    FROM pre, t
+    WHERE v_next IS NOT NULL
+    GROUP BY t.n_a, t.n_b, t.n_values
+    """

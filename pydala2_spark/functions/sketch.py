@@ -841,3 +841,161 @@ def cms_inner_product(
     return per_row.agg(
         F.min("__ip").cast("long").alias("inner_product_est")
     )
+
+
+# -- DDSketch: relative-error mergeable quantile digest ------------------
+
+
+def _dd_params(alpha: float) -> tuple[float, float]:
+    """(gamma, ln_gamma) for a DDSketch with relative accuracy alpha.
+    ln(gamma) is computed ONCE in Python and inlined as the identical
+    double literal into both engines — the only transcendental the
+    bucket index needs is ln(value), whose last-ulp engine differences
+    the round-9 below absorbs."""
+    import math
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    return gamma, math.log(gamma)
+
+
+def ddsketch_state(
+    df: DataFrame, value_col: str, alpha: float = 0.01
+) -> DataFrame:
+    """DDSketch bucket table for one positive-valued column (Masson,
+    Rim & Lee, VLDB 2019): bucket ``i = ceil(log_gamma(v))`` with
+    ``gamma = (1+alpha)/(1-alpha)``, so every value in bucket i is
+    within relative error alpha of ``2*gamma^i/(gamma+1)``. Returns
+    ``(bucket, cnt)`` — the full sketch state.
+
+    Sketch properties the 100 TB path leans on:
+    - the state is a pure function of the value MULTISET: states merge
+      by union + count-add (map-side combine does almost all the work,
+      exactly like the HLL/CMS registers above);
+    - the state size is O(log(max/min)/alpha) — INDEPENDENT of row
+      count (l_extendedprice at alpha=0.01 is ~240 buckets), so the
+      extraction pass is driver-trivial no matter the input scale;
+    - unlike the KMV sample sketch the error bound is a GUARANTEE
+      (relative, per-quantile), not a sampling confidence.
+
+    Determinism: bucket index is ``ceil(round(ln(v)/ln_gamma, 9))`` —
+    round-9 collapses cross-engine libm last-ulp differences (~1e-16
+    relative) while leaving real boundaries (spacing ~alpha) intact.
+    Zero/negative/NULL values are filtered (DDSketch's positive-store
+    contract; route negatives through a mirrored store if needed)."""
+    _, lg = _dd_params(alpha)
+    return (
+        df.select(F.col(value_col).alias("__v"))
+        .filter(F.col("__v").isNotNull() & (F.col("__v") > 0))
+        .select(
+            F.ceil(F.round(F.log("__v") / F.lit(lg), 9))
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def ddsketch_merge(*states: DataFrame) -> DataFrame:
+    """Merge DDSketch states: union + count-add. Exact (integer
+    counts), associative, commutative — the property that lets
+    per-partition / per-day sketches roll up without re-reading data."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def ddsketch_quantiles(
+    state: DataFrame,
+    qs: list[float],
+    alpha: float = 0.01,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Quantile extraction from a DDSketch state: the smallest bucket
+    whose cumulative count reaches ``q * n``, decoded to the bucket's
+    representative value ``2*gamma^i/(gamma+1)`` (within alpha of the
+    true quantile, guaranteed). Output: one row per q —
+    ``(q, n_rows, n_buckets, est_value)``.
+
+    The cumulative window runs over the BUCKET table (O(log range /
+    alpha) rows — constant in data size), so the one-task window is
+    bounded by the sketch resolution, never the corpus."""
+    from pyspark.sql import Window
+
+    gamma, lg = _dd_params(alpha)
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = state.withColumn("__cum", F.sum("cnt").over(w))
+    tot = state.agg(
+        F.sum("cnt").cast("long").alias("__n"),
+        F.count(F.lit(1)).cast("long").alias("__nb"),
+    )
+    j = c.crossJoin(F.broadcast(tot))
+    picks = [
+        F.min(
+            F.when(
+                F.col("__cum").cast("double")
+                >= F.lit(q) * F.col("__n").cast("double"),
+                F.col("bucket"),
+            )
+        ).alias(f"__b{i}")
+        for i, q in enumerate(qs)
+    ]
+    row = j.agg(F.max("__n").alias("n_rows"), F.max("__nb").alias("n_buckets"), *picks)
+    arms = [
+        F.struct(
+            F.lit(q).alias("q"),
+            F.col("n_rows"),
+            F.col("n_buckets"),
+            F.round(
+                F.lit(2.0)
+                * F.exp(F.col(f"__b{i}").cast("double") * F.lit(lg))
+                / F.lit(gamma + 1.0),
+                ndigits,
+            ).alias("est_value"),
+        )
+        for i, q in enumerate(qs)
+    ]
+    return row.select(F.explode(F.array(*arms)).alias("r")).select("r.*")
+
+
+def ddsketch_oracle_sql(
+    table_sql: str,
+    value_col: str,
+    qs: list[float],
+    alpha: float = 0.01,
+    ndigits: int = 4,
+) -> str:
+    """DuckDB mirror of ddsketch_state + ddsketch_quantiles: identical
+    inlined ln_gamma double literal, identical round-9 bucket index,
+    identical threshold and decode expressions."""
+    gamma, lg = _dd_params(alpha)
+    arms = []
+    for q in qs:
+        arms.append(
+            f"SELECT CAST({q!r} AS DOUBLE) AS q, n_rows, n_buckets,"
+            f" round(2.0 * exp(CAST((SELECT min(bucket) FROM c WHERE"
+            f" CAST(cum AS DOUBLE) >= {q!r} * CAST(t.n_rows AS DOUBLE))"
+            f" AS DOUBLE) * {lg!r}) / {gamma + 1.0!r}, {ndigits})"
+            f" AS est_value FROM t"
+        )
+    return f"""
+    WITH b AS (
+      SELECT CAST(ceil(round(ln({value_col}) / {lg!r}, 9)) AS BIGINT)
+               AS bucket,
+             count(*) AS cnt
+      FROM ({table_sql})
+      WHERE {value_col} IS NOT NULL AND {value_col} > 0
+      GROUP BY 1
+    ), c AS MATERIALIZED (
+      SELECT bucket, CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum
+      FROM b
+    ), t AS MATERIALIZED (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_buckets
+      FROM b
+    )
+    {" UNION ALL ".join(arms)}
+    """

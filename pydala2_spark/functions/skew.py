@@ -61,10 +61,10 @@ def salted_join(
 def distributed_prefix(
     df: DataFrame,
     order_cols: list,
-    sum_col: str | None = None,
+    sum_col: str | list[str] | None = None,
     n_partitions: int = 32,
     rank_col: str = "__rank",
-    cum_col: str = "__cum",
+    cum_col: str | list[str] = "__cum",
 ):
     """Distributed cumulative RANK and (optionally) cumulative SUM
     over a total order — the scalable replacement for a global
@@ -74,12 +74,15 @@ def distributed_prefix(
     decimal sum of everything before it).
 
     ``order_cols`` must totally order the rows (include a unique
-    tiebreaker). ``sum_col``, when given, must be a DECIMAL column —
-    exact addition is associative, so the result is bit-identical to
-    the single-window form no matter where the sampled range
-    boundaries fall (a float sum would NOT be). Returns the frame
-    with ``rank_col`` (1-based) and, if requested, ``cum_col``
-    (inclusive decimal prefix sum).
+    tiebreaker). ``sum_col``, when given, must be a DECIMAL (or
+    integral) column — exact addition is associative, so the result is
+    bit-identical to the single-window form no matter where the
+    sampled range boundaries fall (a float sum would NOT be). Returns
+    the frame with ``rank_col`` (1-based) and, if requested,
+    ``cum_col`` (inclusive exact prefix sum). ``sum_col``/``cum_col``
+    may be parallel LISTS to compute several cumulative sums in the
+    same single range shuffle (e.g. two cohorts' CDFs for a
+    Wasserstein distance).
 
     Shape: one range shuffle + two tiny aggregations over
     |partitions| rows; no task ever sees more than its range.
@@ -97,50 +100,49 @@ def distributed_prefix(
     checkpoint pinned the partitioning."""
     from pyspark.sql import Window
 
+    sum_cols = [sum_col] if isinstance(sum_col, str) else list(sum_col or [])
+    cum_cols = [cum_col] if isinstance(cum_col, str) else list(cum_col or [])
+    if sum_cols and len(cum_cols) < len(sum_cols):
+        raise ValueError("cum_col must name one output per sum_col")
     ranged = (
         df.repartitionByRange(n_partitions, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
     w_local = Window.partitionBy("__pid").orderBy(*order_cols)
+    w_run = w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     out = ranged.withColumn("__lrank", F.row_number().over(w_local))
     aggs = [F.count(F.lit(1)).alias("__pn")]
-    if sum_col is not None:
-        out = out.withColumn(
-            "__lcum",
-            F.sum(sum_col).over(
-                w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        aggs.append(F.sum(sum_col).alias("__psum"))
+    for i, sc in enumerate(sum_cols):
+        out = out.withColumn(f"__lcum{i}", F.sum(sc).over(w_run))
+        aggs.append(F.sum(sc).alias(f"__psum{i}"))
     per_part = out.groupBy("__pid").agg(*aggs)
     w_off = (
         Window.partitionBy()
         .orderBy("__pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    per_types = dict(per_part.dtypes)
     offsets = per_part.select(
         "__pid",
         F.coalesce(F.sum("__pn").over(w_off), F.lit(0)).alias("__off_n"),
-        *(
-            [
-                F.coalesce(
-                    F.sum("__psum").over(w_off),
-                    F.lit(0).cast(dict(per_part.dtypes)["__psum"]),
-                ).alias("__off_s")
-            ]
-            if sum_col is not None
-            else []
-        ),
+        *[
+            F.coalesce(
+                F.sum(f"__psum{i}").over(w_off),
+                F.lit(0).cast(per_types[f"__psum{i}"]),
+            ).alias(f"__off_s{i}")
+            for i in range(len(sum_cols))
+        ],
     )
     out = out.join(F.broadcast(offsets), "__pid").withColumn(
         rank_col, (F.col("__lrank") + F.col("__off_n")).cast("long")
     )
-    if sum_col is not None:
-        out = out.withColumn(cum_col, F.col("__lcum") + F.col("__off_s"))
-    drop = ["__pid", "__lrank", "__off_n"] + (
-        ["__lcum", "__off_s"] if sum_col is not None else []
-    )
+    drop = ["__pid", "__lrank", "__off_n"]
+    for i in range(len(sum_cols)):
+        out = out.withColumn(
+            cum_cols[i], F.col(f"__lcum{i}") + F.col(f"__off_s{i}")
+        )
+        drop += [f"__lcum{i}", f"__off_s{i}"]
     return out.drop(*drop)
 
 
@@ -280,4 +282,92 @@ def weighted_quantiles_oracle_sql(
       FROM pre
     )
     {" UNION ALL ".join(arms)}
+    """
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    ndigits: int = 6,
+) -> DataFrame:
+    """Exact Gini concentration coefficient of one NON-NEGATIVE column
+    — the single-number inequality readout (0 = perfectly even,
+    ->1 = one row holds everything) a revenue / token-count / traffic
+    mix audit wants next to the pareto_abc table. Uses the rank
+    formula ``G = (2*sum(i*x_(i)) - (n+1)*sum(x)) / (n*sum(x))`` over
+    values sorted ascending with ``key_cols`` as the unique tiebreak
+    (ties in x make i*x_i order-independent only with a total order).
+
+    Output: one row ``(n_rows, total, gini)``.
+
+    Determinism: each row's ``rank * value`` is one double product
+    (bit-identical cross-engine), cast to DECIMAL(38,6) and summed
+    exactly — summation order can't move a bit; the final expression
+    is double arithmetic on three exact scalars. NULL and negative
+    values are filtered (Gini's non-negativity precondition, enforced
+    like weighted_quantiles' weights).
+
+    100 TB shape: ONE distributed range-prefix assigns global ranks
+    (:func:`distributed_prefix` — range shuffle + broadcast offsets,
+    never a one-task window), then ONE map-side-combined aggregate.
+    """
+    base = df.select(
+        F.col(value_col).alias("__v"), *[F.col(k) for k in key_cols]
+    ).filter(F.col("__v").isNotNull() & (F.col("__v") >= 0))
+    r = distributed_prefix(base, ["__v", *key_cols], rank_col="__r")
+    row = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("__v").cast("decimal(38,6)")).alias("__s"),
+        F.sum(
+            (F.col("__r").cast("double") * F.col("__v")).cast("decimal(38,6)")
+        ).alias("__si"),
+    )
+    n = F.col("n_rows").cast("double")
+    s = F.col("__s").cast("double")
+    si = F.col("__si").cast("double")
+    return row.select(
+        "n_rows",
+        F.round(s, 2).alias("total"),
+        F.round(
+            F.when(
+                (F.col("n_rows") > 0) & (s > 0),
+                (F.lit(2.0) * si - (n + F.lit(1.0)) * s) / (n * s),
+            ),
+            ndigits,
+        ).alias("gini"),
+    )
+
+
+def gini_oracle_sql(
+    table_sql: str,
+    value_col: str,
+    key_cols: list[str],
+    ndigits: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`gini_coefficient`: identical total
+    order, identical per-row double product cast to exact decimal,
+    identical final double expression and degenerate-input CASE."""
+    order = ", ".join(["v", *key_cols])
+    return f"""
+    WITH base AS (
+      SELECT {value_col} AS v, {", ".join(key_cols)}
+      FROM ({table_sql})
+      WHERE {value_col} IS NOT NULL AND {value_col} >= 0
+    ), r AS (
+      SELECT v, row_number() OVER (ORDER BY {order}) AS rk FROM base
+    ), a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             sum(CAST(v AS DECIMAL(38,6))) AS s,
+             sum(CAST(CAST(rk AS DOUBLE) * v AS DECIMAL(38,6))) AS si
+      FROM r
+    )
+    SELECT n_rows,
+           round(CAST(s AS DOUBLE), 2) AS total,
+           round(CASE WHEN n_rows > 0 AND CAST(s AS DOUBLE) > 0 THEN
+             (2.0 * CAST(si AS DOUBLE)
+              - (CAST(n_rows AS DOUBLE) + 1.0) * CAST(s AS DOUBLE))
+             / (CAST(n_rows AS DOUBLE) * CAST(s AS DOUBLE))
+           END, {ndigits}) AS gini
+    FROM a
     """

@@ -2693,3 +2693,109 @@ def idf_drift_oracle_sql(
                           THEN shift END), {ndigits}) AS max_abs_idf_shift
     FROM j GROUP BY n_docs_a, n_docs_b
     """
+
+
+def lexical_diversity(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group lexical diversity audit: Simpson concentration over
+    the token-frequency distribution — ``sum c_i*(c_i-1) / (N*(N-1))``,
+    the probability two random token OCCURRENCES are the same type —
+    plus its reciprocal (effective vocabulary size) and the type-token
+    ratio. The corpus-mix readout that catches a source gone
+    template-heavy (diversity collapses) before perplexity would: a
+    boilerplate-flooded slice concentrates token mass into few types
+    while its raw token count looks healthy.
+
+    Output per group: ``(group, n_docs, n_tokens, n_types, simpson,
+    effective_types, ttr)``. Simpson is exact integer arithmetic with
+    one final double division — bit-identical cross-engine; NULL when
+    a group has < 2 tokens.
+
+    Tokenization is the corpus convention (split on single space —
+    doc_token_stats' contract).
+
+    100 TB shape: explode to (group, token) then TWO map-side-combined
+    groupBys (token counts, then group moments) — the same two-stage
+    reduction every frequency op here uses; no windows, no joins."""
+    tf = (
+        docs.select(
+            F.col(group_col).alias("g"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .groupBy("g", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ndocs = docs.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    mo = tf.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("__s2"),
+    )
+    n = F.col("n_tokens").cast("double")
+    simpson = F.when(
+        F.col("n_tokens") > 1,
+        F.col("__s2").cast("double") / (n * (n - F.lit(1.0))),
+    )
+    return (
+        mo.join(ndocs, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_docs",
+            "n_tokens",
+            "n_types",
+            F.round(simpson, ndigits).alias("simpson"),
+            F.round(
+                F.when(
+                    simpson > 0, F.lit(1.0) / simpson
+                ),
+                ndigits,
+            ).alias("effective_types"),
+            F.round(
+                F.col("n_types").cast("double") / n, ndigits
+            ).alias("ttr"),
+        )
+    )
+
+
+def lexical_diversity_oracle_sql(
+    group_col: str = "source",
+    text_col: str = "text",
+    table: str = "documents",
+    ndigits: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`lexical_diversity`: identical token
+    split, identical exact integer moments and double expressions."""
+    simpson = (
+        "CASE WHEN n_tokens > 1 THEN CAST(s2 AS DOUBLE)"
+        " / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0))"
+        " END"
+    )
+    return f"""
+    WITH tf AS (
+      SELECT {group_col} AS g, t.tok, count(*) AS c
+      FROM {table},
+           LATERAL unnest(string_split({text_col}, ' ')) AS t(tok)
+      GROUP BY 1, 2
+    ), nd AS (
+      SELECT {group_col} AS g, CAST(count(*) AS BIGINT) AS n_docs
+      FROM {table} GROUP BY 1
+    ), mo AS (
+      SELECT g, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(c * (c - 1)) AS BIGINT) AS s2
+      FROM tf GROUP BY g
+    )
+    SELECT mo.g AS {group_col}, nd.n_docs, mo.n_tokens, mo.n_types,
+           round({simpson}, {ndigits}) AS simpson,
+           round(CASE WHEN {simpson} > 0 THEN 1.0 / ({simpson}) END,
+                 {ndigits}) AS effective_types,
+           round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE),
+                 {ndigits}) AS ttr
+    FROM mo JOIN nd ON mo.g = nd.g
+    """

@@ -2902,3 +2902,198 @@ def diff_in_diff_oracle_sql(
              AS z_score
     FROM c
     """
+
+
+def cuped(
+    events: DataFrame,
+    value_col: str = "value",
+    treat_col=None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    ndigits: int = 6,
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
+    Walker, WSDM 2013): each user's PRE-period mean is the control
+    covariate for their POST-period mean — ``theta = cov(x, y) /
+    var(x)`` pooled over users, and because the global covariate mean
+    cancels in a between-group difference, ``diff_cuped = diff_raw -
+    theta * diff_x``. The estimator the experimentation stack runs
+    next to diff_in_diff: DiD needs the parallel-trends assumption,
+    CUPED only needs the covariate to correlate (it removes
+    ``corr^2`` of the variance — reported as ``var_reduction``).
+
+    Pre/post split is the calendar MIDPOINT of the observed range (the
+    diff_in_diff convention); users need >= 1 event on each side (no
+    pre-period covariate -> nothing to adjust; imputing the mean is
+    equivalent to dropping under the difference estimator).
+
+    Output: one row ``(n_users, n_treat, n_ctrl, theta, diff_raw,
+    diff_cuped, var_reduction)``. theta / diff_cuped / var_reduction
+    are explicit NULLs when var(x) is 0 (constant covariate) or a
+    group is empty.
+
+    Determinism ladder: per-user pre/post means come from exact
+    decimal sums (one double division each); every pooled moment
+    re-accumulates round-12 per-user terms as DECIMAL(38,12); the
+    final expressions are double arithmetic on exact scalars.
+
+    100 TB shape: ONE map-side-combined groupBy(user) against a
+    broadcast midpoint row, then ONE aggregate over the user frame
+    computing all moments and both groups' sums in a single pass."""
+    if treat_col is None:
+        raise ValueError("treat_col is required")
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.col(value_col).alias("v"),
+        treat_col.alias("__t"),
+        F.to_date(F.col(ts_col)).alias("d"),
+    ).filter(F.col("v").isNotNull())
+    bounds = base.agg(F.min("d").alias("__d0"), F.max("d").alias("__d1"))
+    j = base.crossJoin(F.broadcast(bounds))
+    post = F.col("d") > F.date_add(
+        F.col("__d0"),
+        F.floor(
+            F.datediff(F.col("__d1"), F.col("__d0")) / F.lit(2.0)
+        ).cast("int"),
+    )
+    per_user = (
+        j.groupBy("u", "__t")
+        .agg(
+            F.sum(F.when(~post, F.col("v").cast(_DEC))).alias("s_pre"),
+            F.count(F.when(~post, F.lit(1))).alias("c_pre"),
+            F.sum(F.when(post, F.col("v").cast(_DEC))).alias("s_post"),
+            F.count(F.when(post, F.lit(1))).alias("c_post"),
+        )
+        .filter((F.col("c_pre") > 0) & (F.col("c_post") > 0))
+        .select(
+            "__t",
+            (F.col("s_pre").cast("double") / F.col("c_pre").cast("double"))
+            .alias("x"),
+            (F.col("s_post").cast("double") / F.col("c_post").cast("double"))
+            .alias("y"),
+        )
+    )
+
+    def _m(expr):
+        return F.sum(F.round(expr, 12).cast("decimal(38,12)"))
+
+    row = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count(F.when(F.col("__t"), F.lit(1))).cast("long").alias("n_treat"),
+        F.count(F.when(~F.col("__t"), F.lit(1))).cast("long").alias("n_ctrl"),
+        _m(F.col("x")).alias("sx"),
+        _m(F.col("y")).alias("sy"),
+        _m(F.col("x") * F.col("x")).alias("sxx"),
+        _m(F.col("y") * F.col("y")).alias("syy"),
+        _m(F.col("x") * F.col("y")).alias("sxy"),
+        _m(F.when(F.col("__t"), F.col("x"))).alias("sx_t"),
+        _m(F.when(F.col("__t"), F.col("y"))).alias("sy_t"),
+        _m(F.when(~F.col("__t"), F.col("x"))).alias("sx_c"),
+        _m(F.when(~F.col("__t"), F.col("y"))).alias("sy_c"),
+    )
+    n = F.col("n_users").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = F.col("sxy").cast("double") - sx * sy / n
+    var_x = F.col("sxx").cast("double") - sx * sx / n
+    var_y = F.col("syy").cast("double") - sy * sy / n
+    nt = F.col("n_treat").cast("double")
+    nc = F.col("n_ctrl").cast("double")
+    both = (F.col("n_treat") > 0) & (F.col("n_ctrl") > 0)
+    diff_raw = F.when(
+        both,
+        F.col("sy_t").cast("double") / nt - F.col("sy_c").cast("double") / nc,
+    )
+    diff_x = F.col("sx_t").cast("double") / nt - F.col("sx_c").cast(
+        "double"
+    ) / nc
+    ok = both & (var_x > 0)
+    theta = F.when(ok, cov / var_x)
+    return row.select(
+        "n_users",
+        "n_treat",
+        "n_ctrl",
+        F.round(theta, ndigits).alias("theta"),
+        F.round(diff_raw, ndigits).alias("diff_raw"),
+        F.round(diff_raw - theta * diff_x, ndigits).alias("diff_cuped"),
+        F.round(
+            F.when(ok & (var_y > 0), cov * cov / (var_x * var_y)),
+            ndigits,
+        ).alias("var_reduction"),
+    )
+
+
+def cuped_oracle_sql(
+    value_col: str = "value",
+    treat_sql: str = "user_id % 2 = 0",
+    ndigits: int = 6,
+) -> str:
+    """DuckDB oracle for :func:`cuped` — identical midpoint split,
+    per-user exact-decimal means, round-12 decimal moment
+    accumulation, and final double expression shapes."""
+
+    def m(expr):
+        return f"sum(CAST(round({expr}, 12) AS DECIMAL(38,12)))"
+
+    n = "CAST(n_users AS DOUBLE)"
+    sx = "CAST(sx AS DOUBLE)"
+    sy = "CAST(sy AS DOUBLE)"
+    cov = f"(CAST(sxy AS DOUBLE) - {sx} * {sy} / {n})"
+    var_x = f"(CAST(sxx AS DOUBLE) - {sx} * {sx} / {n})"
+    var_y = f"(CAST(syy AS DOUBLE) - {sy} * {sy} / {n})"
+    nt = "CAST(n_treat AS DOUBLE)"
+    nc = "CAST(n_ctrl AS DOUBLE)"
+    both = "n_treat > 0 AND n_ctrl > 0"
+    diff_raw = (
+        f"CASE WHEN {both} THEN CAST(sy_t AS DOUBLE) / {nt}"
+        f" - CAST(sy_c AS DOUBLE) / {nc} END"
+    )
+    diff_x = f"(CAST(sx_t AS DOUBLE) / {nt} - CAST(sx_c AS DOUBLE) / {nc})"
+    ok = f"{both} AND {var_x} > 0"
+    theta = f"CASE WHEN {ok} THEN {cov} / {var_x} END"
+    return f"""
+    WITH base AS (
+      SELECT user_id AS u, {value_col} AS v, ({treat_sql}) AS t,
+             CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events WHERE {value_col} IS NOT NULL
+    ), bounds AS (
+      SELECT min(d) AS d0, max(d) AS d1 FROM base
+    ), flagged AS (
+      SELECT u, v, t,
+             d > d0 + CAST(floor(CAST(date_diff('day', d0, d1) AS DOUBLE)
+                                 / 2) AS INT) AS post
+      FROM base, bounds
+    ), per_user AS (
+      SELECT t,
+             CAST(sum(CASE WHEN NOT post
+                           THEN CAST(v AS DECIMAL(38,6)) END) AS DOUBLE)
+               / CAST(count(CASE WHEN NOT post THEN 1 END) AS DOUBLE) AS x,
+             CAST(sum(CASE WHEN post
+                           THEN CAST(v AS DECIMAL(38,6)) END) AS DOUBLE)
+               / CAST(count(CASE WHEN post THEN 1 END) AS DOUBLE) AS y
+      FROM flagged GROUP BY u, t
+      HAVING count(CASE WHEN NOT post THEN 1 END) > 0
+         AND count(CASE WHEN post THEN 1 END) > 0
+    ), mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(count(CASE WHEN t THEN 1 END) AS BIGINT) AS n_treat,
+             CAST(count(CASE WHEN NOT t THEN 1 END) AS BIGINT) AS n_ctrl,
+             {m("x")} AS sx, {m("y")} AS sy,
+             {m("x * x")} AS sxx, {m("y * y")} AS syy,
+             {m("x * y")} AS sxy,
+             {m("CASE WHEN t THEN x END")} AS sx_t,
+             {m("CASE WHEN t THEN y END")} AS sy_t,
+             {m("CASE WHEN NOT t THEN x END")} AS sx_c,
+             {m("CASE WHEN NOT t THEN y END")} AS sy_c
+      FROM per_user
+    )
+    SELECT n_users, n_treat, n_ctrl,
+           round({theta}, {ndigits}) AS theta,
+           round({diff_raw}, {ndigits}) AS diff_raw,
+           round(({diff_raw}) - ({theta}) * {diff_x}, {ndigits})
+             AS diff_cuped,
+           round(CASE WHEN {ok} AND {var_y} > 0
+                      THEN {cov} * {cov} / ({var_x} * {var_y}) END,
+                 {ndigits}) AS var_reduction
+    FROM mo
+    """

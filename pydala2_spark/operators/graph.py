@@ -1558,3 +1558,4 @@ def degree_powerlaw_oracle_sql(
            max_degree, mean_degree
     FROM s
     """
+

@@ -47,3 +47,13 @@ def make_simple_pdf(n_rows: int = 10, seed: int = 0):
             "timestamp": pd.to_datetime([f"2024-01-{(i % 28) + 1:02d}" for i in ids]),
         }
     )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "flaky_under_load: timing-sensitive under machine saturation; "
+        "the test retries once when loadavg exceeds the core count, so "
+        "a co-tenant-load red is machine-adjudicated (retry) rather "
+        "than prose-adjudicated (NOTES)",
+    )

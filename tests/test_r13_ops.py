@@ -170,3 +170,270 @@ def test_csv_roundtrip_explicit_schema_types(spark, tmp_ds_path):
     assert dict(ds.df.dtypes) == {"id": "bigint", "name": "string", "v": "double"}
     assert got[1]["name"] == "a,b" and got[1]["v"] == 12.34
     assert got[2]["v"] == -0.05
+
+
+# -- DDSketch ---------------------------------------------------------------
+
+
+def test_ddsketch_relative_error_bound(spark):
+    from pydala2_spark.functions.sketch import (
+        ddsketch_quantiles,
+        ddsketch_state,
+    )
+
+    vals = [1.0 + (i * 37 % 1000) * 3.7 for i in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = {
+        r["q"]: r
+        for r in ddsketch_quantiles(
+            ddsketch_state(df, "v", alpha=0.01), [0.5, 0.9, 0.99], alpha=0.01
+        ).collect()
+    }
+    sv = sorted(vals)
+    n = len(sv)
+    for q in (0.5, 0.9, 0.99):
+        # exact value at the same cum >= q*n convention
+        idx = math.ceil(q * n) - 1
+        exact = sv[idx]
+        assert abs(out[q]["est_value"] - exact) / exact <= 0.0101, q
+        assert out[q]["n_rows"] == n
+
+
+def test_ddsketch_merge_equals_single_pass(spark):
+    from pydala2_spark.functions.sketch import ddsketch_merge, ddsketch_state
+
+    vals = [(float(i % 97) + 0.5, i) for i in range(500)]
+    df = spark.createDataFrame(vals, "v double, i bigint")
+    full = ddsketch_state(df, "v")
+    merged = ddsketch_merge(
+        ddsketch_state(df.filter(F.col("i") % 2 == 0), "v"),
+        ddsketch_state(df.filter(F.col("i") % 2 == 1), "v"),
+    )
+    a = {r["bucket"]: r["cnt"] for r in full.collect()}
+    b = {r["bucket"]: r["cnt"] for r in merged.collect()}
+    assert a == b and sum(a.values()) == 500
+
+
+def test_ddsketch_filters_nonpositive(spark):
+    from pydala2_spark.functions.sketch import ddsketch_state
+
+    df = spark.createDataFrame(
+        [(1.0,), (0.0,), (-5.0,), (None,), (2.0,)], "v double"
+    )
+    total = sum(r["cnt"] for r in ddsketch_state(df, "v").collect())
+    assert total == 2
+
+
+# -- Gini ---------------------------------------------------------------
+
+
+def test_gini_known_values(spark):
+    from pydala2_spark.functions.skew import gini_coefficient
+
+    even = spark.createDataFrame(
+        [(5.0, i) for i in range(8)], "v double, k bigint"
+    )
+    row = _one(gini_coefficient(even, "v", ["k"]))
+    assert row["gini"] == 0.0 and row["n_rows"] == 8
+    # one row holds everything: G = (n-1)/n = 0.75 for n=4
+    conc = spark.createDataFrame(
+        [(0.0, 1), (0.0, 2), (0.0, 3), (10.0, 4)], "v double, k bigint"
+    )
+    row = _one(gini_coefficient(conc, "v", ["k"]))
+    assert row["gini"] == pytest.approx(0.75, abs=1e-9)
+
+
+def test_gini_filters_negative_and_null(spark):
+    from pydala2_spark.functions.skew import gini_coefficient
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (-3.0, 2), (None, 3), (2.0, 4)], "v double, k bigint"
+    )
+    row = _one(gini_coefficient(df, "v", ["k"]))
+    assert row["n_rows"] == 2
+
+
+# -- Wasserstein ---------------------------------------------------------
+
+
+def test_wasserstein_known_shift(spark):
+    from pydala2_spark.functions.dq import wasserstein_1d
+
+    rows = [(0.0, "a"), (1.0, "a"), (1.0, "b"), (2.0, "b")]
+    df = spark.createDataFrame(rows, "v double, g string")
+    row = _one(
+        wasserstein_1d(df, "v", F.col("g") == "a", F.col("g") == "b")
+    )
+    # F_a - F_b: [0,1): 0.5; [1,2): 1.0 - 0.5 = 0.5 -> W1 = 1.0
+    assert row["w1"] == pytest.approx(1.0, abs=1e-9)
+    assert row["n_a"] == 2 and row["n_b"] == 2
+
+
+def test_wasserstein_identical_is_zero(spark):
+    from pydala2_spark.functions.dq import wasserstein_1d
+
+    rows = [(float(i % 7), "a") for i in range(70)] + [
+        (float(i % 7), "b") for i in range(70)
+    ]
+    df = spark.createDataFrame(rows, "v double, g string")
+    row = _one(
+        wasserstein_1d(df, "v", F.col("g") == "a", F.col("g") == "b")
+    )
+    assert row["w1"] == 0.0
+
+
+def test_wasserstein_empty_cohort_null(spark):
+    from pydala2_spark.functions.dq import wasserstein_1d
+
+    rows = [(1.0, "a"), (2.0, "a"), (3.0, "a")]
+    df = spark.createDataFrame(rows, "v double, g string")
+    row = _one(
+        wasserstein_1d(df, "v", F.col("g") == "a", F.col("g") == "b")
+    )
+    assert row["w1"] is None and row["n_b"] == 0
+
+
+# -- CUPED ---------------------------------------------------------------
+
+
+def test_cuped_recovers_effect_and_reduces_variance(spark):
+    from pydala2_spark.operators.events import cuped
+
+    # BALANCED design (covariate independent of assignment — CUPED's
+    # own precondition): x = 10 + (u % 5) is uniform within each
+    # parity group over 40 users, post value = 2x + 5*treat exactly.
+    # Then theta = 2 and both estimators recover the planted 5.0, and
+    # the covariate explains corr^2 = 4*var(x)/(4*var(x)+25*var(t))
+    # = 8/14.25 of the outcome variance.
+    rows = []
+    for u in range(40):
+        x = 10.0 + (u % 5)
+        treat = u % 2 == 0
+        for d in range(1, 6):  # pre period
+            rows.append((u, f"2024-01-{d:02d} 10:00:00", x))
+        for d in range(7, 12):  # post period
+            rows.append(
+                (u, f"2024-01-{d:02d} 10:00:00",
+                 2.0 * x + (5.0 if treat else 0.0))
+            )
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "value"]).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    row = _one(cuped(ev, treat_col=F.col("user_id") % 2 == 0))
+    assert row["n_users"] == 40
+    assert row["theta"] == pytest.approx(2.0, abs=1e-6)
+    assert row["diff_raw"] == pytest.approx(5.0, abs=1e-6)
+    assert row["diff_cuped"] == pytest.approx(5.0, abs=1e-6)
+    assert row["var_reduction"] == pytest.approx(8.0 / 14.25, abs=1e-6)
+
+
+def test_cuped_constant_covariate_null_theta(spark):
+    from pydala2_spark.operators.events import cuped
+
+    rows = []
+    for u in range(10):
+        rows.append((u, "2024-02-01 10:00:00", 1.0))  # constant pre
+        rows.append((u, "2024-02-10 10:00:00", float(u)))
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "value"]).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    row = _one(cuped(ev, treat_col=F.col("user_id") % 2 == 0))
+    assert row["theta"] is None and row["diff_cuped"] is None
+    assert row["diff_raw"] is not None
+
+
+# -- lexical diversity -------------------------------------------------------
+
+
+def test_lexical_diversity_known_corpus(spark):
+    from pydala2_spark.operators.curate import lexical_diversity
+
+    docs = spark.createDataFrame(
+        [
+            ("s1", "a a a a"),          # 4 tokens, 1 type
+            ("s2", "a b c d"),          # 4 tokens, 4 types
+        ],
+        "source string, text string",
+    )
+    rows = {r["source"]: r for r in lexical_diversity(docs, "source").collect()}
+    # s1: sum c(c-1) = 12, N(N-1) = 12 -> simpson 1.0
+    assert rows["s1"]["simpson"] == 1.0
+    assert rows["s1"]["effective_types"] == 1.0
+    # s2: all distinct -> simpson 0, effective NULL (1/0 guarded)
+    assert rows["s2"]["simpson"] == 0.0
+    assert rows["s2"]["effective_types"] is None
+    assert rows["s2"]["ttr"] == 1.0
+
+
+# -- streaming session funnel ------------------------------------------------
+
+
+class _FakeState:
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+
+def test_funnel_fn_ordered_stages():
+    from pydala2_spark.streaming.pipeline import _funnel_fn
+
+    us = 1_000_000  # microseconds per step
+    t0 = 1_700_000_000_000_000
+
+    def pdf(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [1] * len(rows),
+                "ts": pd.to_datetime(
+                    [t0 + r[0] * us for r in rows], unit="us"
+                ),
+                "event_id": [i for i in range(len(rows))],
+                "event_type": [r[1] for r in rows],
+            }
+        )
+
+    # session 1: click before view -> only view counts -> stage 1;
+    # >30 min gap; session 2: view, click, purchase in order -> stage 3
+    gap = 31 * 60
+    rows = [
+        (0, "click"), (10, "view"),
+        (gap + 20, "view"), (gap + 30, "click"), (gap + 40, "purchase"),
+    ]
+    st = _FakeState()
+    out = list(_funnel_fn((1,), [pdf(rows)], st))
+    r = out[0].iloc[0]
+    assert (r["s0"], r["s1"], r["s2"], r["s3"]) == (0, 1, 0, 1)
+
+
+def test_funnel_fn_open_session_counts_and_state_carries():
+    from pydala2_spark.streaming.pipeline import _funnel_fn
+
+    us = 1_000_000
+    t0 = 1_700_000_000_000_000
+
+    def pdf(rows, base_id=0):
+        return pd.DataFrame(
+            {
+                "user_id": [7] * len(rows),
+                "ts": pd.to_datetime([t0 + r[0] * us for r in rows], unit="us"),
+                "event_id": [base_id + i for i in range(len(rows))],
+                "event_type": [r[1] for r in rows],
+            }
+        )
+
+    st = _FakeState()
+    out1 = list(_funnel_fn((7,), [pdf([(0, "view"), (5, "click")])], st))
+    r1 = out1[0].iloc[0]
+    assert (r1["s1"], r1["s2"]) == (0, 1)  # open session at stage 2
+    # second batch continues the SAME session to purchase
+    out2 = list(_funnel_fn((7,), [pdf([(10, "purchase")], 100)], st))
+    r2 = out2[0].iloc[0]
+    assert (r2["s2"], r2["s3"]) == (0, 1)

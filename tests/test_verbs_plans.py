@@ -386,6 +386,15 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "doc_textrank_keywords",
         # PPR's one-row seed-count / dangling-mass broadcasts
         "graph_ppr",
+        # r13: one-row broadcast aggregate frames — sketch totals
+        # (ddsketch), both-cohort totals (wasserstein), midpoint
+        # bounds + moment rows (cuped), basket-count frame (pruned
+        # rules, same as assoc_rules_parts) — all the 1-row broadcast
+        # shape as q11
+        "agg_ddsketch_quantiles",
+        "dq_wasserstein",
+        "ev_cuped",
+        "assoc_rules_pruned",
     }
     offenders = []
     for name, fn in queries().items():
