@@ -2161,3 +2161,112 @@ def wasserstein_oracle_sql(
     WHERE v_next IS NOT NULL
     GROUP BY t.n_a, t.n_b, t.n_values
     """
+
+
+# -- ingest freshness / arrival-rate audit --------------------------------
+
+
+def freshness_report(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    window_days: int = 7,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group ingest freshness: how stale is each slice relative to
+    the corpus frontier, and is its arrival RATE holding? The audit a
+    continuously-fed lake runs before anyone trusts "latest" — a feed
+    that silently died keeps its historical rows (volume looks fine)
+    while its lag grows and its trailing-window rate collapses.
+
+    Per group: ``(group, n_events, last_seen, lag_hours, n_last,
+    n_prev, rate_ratio)`` where the windows are the ``window_days``
+    before the CORPUS max timestamp and the ``window_days`` before
+    that; ``rate_ratio = n_last / n_prev`` (NULL when n_prev is 0).
+    ``last_seen`` is a formatted string (determinism rule: no raw
+    timestamps cross the oracle gate); ``lag_hours`` is exact integer
+    microsecond arithmetic with one double division.
+
+    100 TB shape: ONE one-row corpus-max aggregate broadcast onto the
+    scan, then ONE map-side-combined groupBy — two passes, no windows,
+    no joins wider than a row."""
+    # cast NTZ timestamps up front: unix_micros requires TIMESTAMP, and
+    # an NTZ column (common in written-by-Spark corpora) casts exactly
+    # under the session's UTC timezone
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+    ).filter(F.col("ts").isNotNull())
+    frontier = base.agg(F.max("ts").alias("__mx"))
+    j = base.crossJoin(F.broadcast(frontier))
+    us = F.unix_micros(F.col("ts"))
+    mx = F.unix_micros(F.col("__mx"))
+    day_us = 86_400_000_000
+    last_lo = mx - F.lit(window_days * day_us)
+    prev_lo = mx - F.lit(2 * window_days * day_us)
+    out = j.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "last_seen"
+        ),
+        F.round(
+            (F.max(mx) - F.max(us)).cast("double") / F.lit(3.6e9), 4
+        ).alias("lag_hours"),
+        F.count(F.when(us > last_lo, F.lit(1))).cast("long").alias("n_last"),
+        F.count(F.when((us > prev_lo) & (us <= last_lo), F.lit(1)))
+        .cast("long")
+        .alias("n_prev"),
+    )
+    return out.select(
+        F.col("g").alias(group_col),
+        "n_events",
+        "last_seen",
+        "lag_hours",
+        "n_last",
+        "n_prev",
+        F.round(
+            F.when(
+                F.col("n_prev") > 0,
+                F.col("n_last").cast("double") / F.col("n_prev").cast("double"),
+            ),
+            ndigits,
+        ).alias("rate_ratio"),
+    )
+
+
+def freshness_oracle_sql(
+    table: str,
+    group_col: str,
+    ts_col: str = "ts",
+    window_days: int = 7,
+    ndigits: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`freshness_report`: identical integer
+    microsecond windows off the corpus max and the same guarded
+    ratio."""
+    day_us = 86_400_000_000
+    return f"""
+    WITH base AS (
+      SELECT {group_col} AS g, {ts_col} AS ts, epoch_us({ts_col}) AS us
+      FROM {table} WHERE {ts_col} IS NOT NULL
+    ), f AS (SELECT max(us) AS mx FROM base),
+    agg AS (
+      SELECT g,
+             CAST(count(*) AS BIGINT) AS n_events,
+             strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+             round(CAST(max(f.mx) - max(us) AS DOUBLE) / 3600000000.0, 4)
+               AS lag_hours,
+             CAST(count(CASE WHEN us > f.mx - {window_days * day_us}
+                             THEN 1 END) AS BIGINT) AS n_last,
+             CAST(count(CASE WHEN us > f.mx - {2 * window_days * day_us}
+                              AND us <= f.mx - {window_days * day_us}
+                             THEN 1 END) AS BIGINT) AS n_prev
+      FROM base, f GROUP BY g
+    )
+    SELECT g AS {group_col}, n_events, last_seen, lag_hours,
+           n_last, n_prev,
+           round(CASE WHEN n_prev > 0
+                      THEN CAST(n_last AS DOUBLE) / CAST(n_prev AS DOUBLE)
+                 END, {ndigits}) AS rate_ratio
+    FROM agg
+    """

@@ -371,3 +371,133 @@ def gini_oracle_sql(
            END, {ndigits}) AS gini
     FROM a
     """
+
+
+def theil_decomposition(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Theil-T inequality index with its EXACT between/within
+    decomposition (Theil 1967) — the property Gini lacks and the reason
+    a mix audit wants both: ``T_total = T_between + T_within``
+    identically, so "how much revenue inequality is BETWEEN segments
+    vs WITHIN them" is a real split, not a residual. Using value-share
+    weights: ``T = L/A - ln(mu)`` per population with ``A = sum(v)``,
+    ``L = sum(v*ln v)``; ``T_between = sum_g (A_g/A) * ln(mu_g/mu)``;
+    ``T_within = sum_g (A_g/A) * T_g``.
+
+    Output: one row ``(n_rows, n_groups, theil_total, theil_between,
+    theil_within, between_share)``; NULLs when no positive values.
+    Rows with ``v <= 0`` or NULL are filtered (Theil's positivity
+    precondition, enforced like gini's).
+
+    Determinism ladder: per-row ``v*ln(v)`` rounds to 12 and
+    accumulates as DECIMAL(38,12) (the idf/mutual-info ln discipline);
+    cross-group terms re-round to 12 before their decimal sum; final
+    expressions are double arithmetic on exact scalars.
+
+    100 TB shape: ONE map-side-combined groupBy to the |groups|-row
+    moment table (n_g, A_g, L_g); everything after runs on that small
+    frame against a one-row broadcast total."""
+    base = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).filter(F.col("v").isNotNull() & (F.col("v") > 0))
+    per = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(F.col("v").cast("decimal(38,6)")).alias("a_g"),
+        F.sum(
+            F.round(F.col("v") * F.log("v"), 12).cast("decimal(38,12)")
+        ).alias("l_g"),
+    )
+    tot = per.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("a_g").alias("a"),
+        F.sum("l_g").alias("l"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    a_g = F.col("a_g").cast("double")
+    a = F.col("a").cast("double")
+    mu_g = a_g / F.col("n_g").cast("double")
+    mu = a / F.col("n").cast("double")
+    share = a_g / a
+    t_g = F.col("l_g").cast("double") / a_g - F.log(mu_g)
+    between_term = F.round(share * F.log(mu_g / mu), 12).cast(
+        "decimal(38,12)"
+    )
+    within_term = F.round(share * t_g, 12).cast("decimal(38,12)")
+    agg = j.groupBy("n", "a", "l", "n_groups").agg(
+        F.sum(between_term).alias("tb"),
+        F.sum(within_term).alias("tw"),
+    )
+    t_total = F.col("l").cast("double") / F.col("a").cast("double") - F.log(
+        F.col("a").cast("double") / F.col("n").cast("double")
+    )
+    tb = F.col("tb").cast("double")
+    tw = F.col("tw").cast("double")
+    return agg.select(
+        F.col("n").alias("n_rows"),
+        "n_groups",
+        F.round(t_total, ndigits).alias("theil_total"),
+        F.round(tb, ndigits).alias("theil_between"),
+        F.round(tw, ndigits).alias("theil_within"),
+        F.round(
+            F.when(t_total > 0, tb / t_total), ndigits
+        ).alias("between_share"),
+    )
+
+
+def theil_oracle_sql(
+    table_sql: str,
+    value_col: str,
+    group_col: str,
+    ndigits: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`theil_decomposition`: identical ln
+    ladder (round-12 decimal term accumulation at BOTH levels) and
+    final double expressions."""
+    return f"""
+    WITH base AS (
+      SELECT {group_col} AS g, {value_col} AS v
+      FROM ({table_sql})
+      WHERE {value_col} IS NOT NULL AND {value_col} > 0
+    ), per AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+             sum(CAST(v AS DECIMAL(38,6))) AS a_g,
+             sum(CAST(round(v * ln(v), 12) AS DECIMAL(38,12))) AS l_g
+      FROM base GROUP BY g
+    ), tot AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n, sum(a_g) AS a, sum(l_g) AS l,
+             CAST(count(*) AS BIGINT) AS n_groups
+      FROM per
+    ), terms AS (
+      SELECT tot.n, tot.a, tot.l, tot.n_groups,
+             sum(CAST(round(
+               (CAST(a_g AS DOUBLE) / CAST(tot.a AS DOUBLE))
+               * ln((CAST(a_g AS DOUBLE) / CAST(n_g AS DOUBLE))
+                    / (CAST(tot.a AS DOUBLE) / CAST(tot.n AS DOUBLE))),
+               12) AS DECIMAL(38,12))) AS tb,
+             sum(CAST(round(
+               (CAST(a_g AS DOUBLE) / CAST(tot.a AS DOUBLE))
+               * (CAST(l_g AS DOUBLE) / CAST(a_g AS DOUBLE)
+                  - ln(CAST(a_g AS DOUBLE) / CAST(n_g AS DOUBLE))),
+               12) AS DECIMAL(38,12))) AS tw
+      FROM per, tot
+      GROUP BY tot.n, tot.a, tot.l, tot.n_groups
+    )
+    SELECT n AS n_rows, n_groups,
+           round(CAST(l AS DOUBLE) / CAST(a AS DOUBLE)
+                 - ln(CAST(a AS DOUBLE) / CAST(n AS DOUBLE)), {ndigits})
+             AS theil_total,
+           round(CAST(tb AS DOUBLE), {ndigits}) AS theil_between,
+           round(CAST(tw AS DOUBLE), {ndigits}) AS theil_within,
+           round(CASE WHEN CAST(l AS DOUBLE) / CAST(a AS DOUBLE)
+                           - ln(CAST(a AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+                      THEN CAST(tb AS DOUBLE)
+                           / (CAST(l AS DOUBLE) / CAST(a AS DOUBLE)
+                              - ln(CAST(a AS DOUBLE) / CAST(n AS DOUBLE)))
+                 END, {ndigits}) AS between_share
+    FROM terms
+    """

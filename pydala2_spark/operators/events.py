@@ -3097,3 +3097,134 @@ def cuped_oracle_sql(
                  {ndigits}) AS var_reduction
     FROM mo
     """
+
+
+def burstiness(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    key_col: str = "event_id",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group inter-arrival burstiness (Goh & Barabási 2008): the
+    coefficient of variation of successive gaps and the bounded
+    burstiness index ``B = (cv - 1) / (cv + 1)`` — B < 0 regular
+    (metronome), B = 0 Poisson, B -> 1 bursty. The arrival-process
+    readout capacity planning and anomaly thresholds need BEFORE
+    assuming Poisson (a bursty feed's p99 queue depth is nothing like
+    its mean rate implies).
+
+    Output per group: ``(group, n_gaps, mean_gap_s, cv, burstiness)``;
+    cv/B are NULL when a group has no gaps or zero mean.
+
+    Determinism ladder: each gap is exact integer microseconds with
+    one double division; gap and gap^2 terms round to 12 and
+    accumulate as DECIMAL(38,12); the variance clamps at 0 before the
+    sqrt (round-12 can leave a -1e-13 residue on constant gaps, and
+    sqrt(negative) is a NaN that diverges between engines).
+
+    100 TB shape: ONE distributed range-prefix over the composite
+    (group, ts, key) order assigns global ranks (never a one-task
+    per-group window); the successor arrives by rank-equi join
+    (shuffle on rank) filtered to same-group; then ONE
+    map-side-combined groupBy."""
+    from pydala2_spark.functions.skew import distributed_prefix
+
+    base = events.select(
+        F.col(group_col).alias("g"),
+        # NTZ-tolerant: unix_micros needs TIMESTAMP; exact under UTC
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.col(key_col).alias("k"),
+    ).filter(F.col("ts").isNotNull())
+    r = distributed_prefix(base, ["g", "ts", "k"], rank_col="__r")
+    nxt = r.select(
+        (F.col("__r") - 1).alias("__r"),
+        F.col("g").alias("g2"),
+        F.col("ts").alias("ts2"),
+    )
+    gaps = (
+        r.join(nxt, "__r")
+        .filter(F.col("g") == F.col("g2"))
+        .select(
+            "g",
+            (
+                (F.unix_micros("ts2") - F.unix_micros("ts")).cast("double")
+                / F.lit(1e6)
+            ).alias("gap_s"),
+        )
+    )
+    per = gaps.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum(F.round(F.col("gap_s"), 12).cast("decimal(38,12)")).alias("s"),
+        F.sum(
+            F.round(F.col("gap_s") * F.col("gap_s"), 12).cast("decimal(38,12)")
+        ).alias("q"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mean = F.col("s").cast("double") / n
+    var = F.greatest(
+        F.col("q").cast("double") / n - mean * mean, F.lit(0.0)
+    )
+    cv = F.when(mean > 0, F.sqrt(var) / mean)
+    return per.select(
+        F.col("g").alias(group_col),
+        "n_gaps",
+        F.round(mean, 4).alias("mean_gap_s"),
+        F.round(cv, ndigits).alias("cv"),
+        F.round((cv - 1) / (cv + 1), ndigits).alias("burstiness"),
+    )
+
+
+def burstiness_oracle_sql(
+    table: str = "events",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    key_col: str = "event_id",
+    ndigits: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`burstiness`: per-group lead() window at
+    oracle SF, identical gap arithmetic, round-12 decimal moments,
+    clamped variance, guarded cv."""
+    return f"""
+    WITH base AS (
+      SELECT {group_col} AS g, {ts_col} AS ts, {key_col} AS k
+      FROM {table} WHERE {ts_col} IS NOT NULL
+    ), gaps AS (
+      SELECT g,
+             CAST(epoch_us(lead(ts) OVER w) - epoch_us(ts) AS DOUBLE)
+               / 1000000.0 AS gap_s
+      FROM base WINDOW w AS (PARTITION BY g ORDER BY ts, k)
+      QUALIFY gap_s IS NOT NULL
+    ), per AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_gaps,
+             sum(CAST(round(gap_s, 12) AS DECIMAL(38,12))) AS s,
+             sum(CAST(round(gap_s * gap_s, 12) AS DECIMAL(38,12))) AS q
+      FROM gaps GROUP BY g
+    )
+    SELECT g AS {group_col}, n_gaps,
+           round(CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE), 4)
+             AS mean_gap_s,
+           round(CASE WHEN CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) > 0
+                 THEN sqrt(greatest(
+                        CAST(q AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                        - (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                          * (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)),
+                        0.0))
+                      / (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                 END, {ndigits}) AS cv,
+           round(CASE WHEN CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) > 0
+                 THEN (sqrt(greatest(
+                        CAST(q AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                        - (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                          * (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)),
+                        0.0)) / (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                       - 1.0)
+                      / (sqrt(greatest(
+                        CAST(q AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                        - (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                          * (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)),
+                        0.0)) / (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                       + 1.0)
+                 END, {ndigits}) AS burstiness
+    FROM per
+    """

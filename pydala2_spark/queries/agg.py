@@ -801,3 +801,31 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gini_coefficient(
         _t(spark, sf_dir, "orders"), "o_totalprice", ["o_orderkey"]
     )
+
+
+def _theil_oracle() -> str:
+    from pydala2_spark.functions.skew import theil_oracle_sql
+
+    return theil_oracle_sql(
+        "SELECT c_mktsegment, o_totalprice FROM orders"
+        " JOIN customer ON o_custkey = c_custkey",
+        "o_totalprice",
+        "c_mktsegment",
+    )
+
+
+@query("agg_theil_decomposition", _theil_oracle())
+def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality of order revenue decomposed between/within
+    market segments — the readout agg_gini cannot give: Theil's
+    between + within ADD UP to the total exactly, so "is revenue
+    concentration a segment-mix story or an inside-segment story" is a
+    real split. One broadcast dim join (customer segment onto orders),
+    ONE map-side-combined groupBy to the 5-segment moment table.
+    See functions/skew.theil_decomposition for the ln ladder."""
+    from pydala2_spark.functions.skew import theil_decomposition
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    return theil_decomposition(j, "o_totalprice", "c_mktsegment")

@@ -696,3 +696,24 @@ def dq_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "purchase",
         F.col("event_type") == "click",
     )
+
+
+def _freshness_oracle() -> str:
+    from pydala2_spark.functions.dq import freshness_oracle_sql
+
+    return freshness_oracle_sql("events", "event_type", "ts", window_days=7)
+
+
+@query("dq_freshness", _freshness_oracle())
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type ingest freshness and arrival-rate audit: lag
+    behind the corpus frontier plus trailing-7d vs prior-7d volume
+    ratio — the "did a feed silently die" check that row counts and
+    schema checks miss entirely (a dead feed keeps all its historical
+    rows). Two passes: one-row corpus-max broadcast, one
+    map-side-combined groupBy. See functions/dq.freshness_report."""
+    from pydala2_spark.functions.dq import freshness_report
+
+    return freshness_report(
+        _t(spark, sf_dir, "events"), "event_type", "ts", window_days=7
+    )

@@ -1930,3 +1930,23 @@ def ev_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events"),
         treat_col=F.col("user_id") % 2 == 0,
     )
+
+
+def _burstiness_oracle() -> str:
+    from pydala2_spark.operators.events import burstiness_oracle_sql
+
+    return burstiness_oracle_sql("events", "event_type", "ts", "event_id")
+
+
+@query("ev_burstiness", _burstiness_oracle())
+def ev_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival burstiness (Goh-Barabási B index from the
+    gap CV) — the arrival-process shape behind ev_hourly_rollup's
+    volumes and stream_cusum_alarm's thresholds: B near 0 says Poisson
+    sizing is safe, B -> 1 says p99 queue depth is far beyond what the
+    mean rate implies. Gaps come from ONE distributed range-prefix +
+    rank-equi successor join (the sequence_gaps shape), never a
+    one-task per-type window. See operators/events.burstiness."""
+    from pydala2_spark.operators.events import burstiness
+
+    return burstiness(_t(spark, sf_dir, "events"), "event_type", "ts", "event_id")

@@ -437,3 +437,125 @@ def test_funnel_fn_open_session_counts_and_state_carries():
     out2 = list(_funnel_fn((7,), [pdf([(10, "purchase")], 100)], st))
     r2 = out2[0].iloc[0]
     assert (r2["s2"], r2["s3"]) == (0, 1)
+
+
+# -- Theil decomposition -------------------------------------------------
+
+
+def test_theil_decomposition_adds_up_and_known_cases(spark):
+    from pydala2_spark.functions.skew import theil_decomposition
+
+    # all-equal values -> zero inequality
+    eq = spark.createDataFrame(
+        [("a", 5.0)] * 4 + [("b", 5.0)] * 4, "g string, v double"
+    )
+    row = _one(theil_decomposition(eq, "v", "g"))
+    assert row["theil_total"] == 0.0
+    assert row["theil_between"] == 0.0 and row["theil_within"] == 0.0
+    # between-only inequality: each group internally equal
+    be = spark.createDataFrame(
+        [("a", 2.0)] * 4 + [("b", 8.0)] * 4, "g string, v double"
+    )
+    row = _one(theil_decomposition(be, "v", "g"))
+    assert row["theil_within"] == pytest.approx(0.0, abs=1e-9)
+    assert row["theil_between"] == pytest.approx(row["theil_total"], abs=1e-9)
+    # python reference for the total: T = sum(v/A * ln(v/mu))... via
+    # T = L/A - ln(mu)
+    vals = [2.0] * 4 + [8.0] * 4
+    A = sum(vals)
+    L = sum(round(v * math.log(v), 12) for v in vals)
+    t_ref = L / A - math.log(A / len(vals))
+    assert row["theil_total"] == pytest.approx(t_ref, abs=1e-6)
+    # mixed: decomposition must ADD UP
+    mix = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 30.0), ("b", 20.0)],
+        "g string, v double",
+    )
+    row = _one(theil_decomposition(mix, "v", "g"))
+    assert row["theil_between"] + row["theil_within"] == pytest.approx(
+        row["theil_total"], abs=1e-5
+    )
+    assert row["theil_total"] > row["theil_between"] > 0
+
+
+def test_theil_filters_nonpositive(spark):
+    from pydala2_spark.functions.skew import theil_decomposition
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 0.0), ("a", -2.0), ("a", None), ("b", 4.0)],
+        "g string, v double",
+    )
+    row = _one(theil_decomposition(df, "v", "g"))
+    assert row["n_rows"] == 2 and row["n_groups"] == 2
+
+
+# -- freshness -------------------------------------------------------------
+
+
+def test_freshness_flags_stale_feed(spark):
+    from pydala2_spark.functions.dq import freshness_report
+
+    rows = []
+    # live feed: daily events up to day 28
+    for d in range(1, 29):
+        rows.append(("live", f"2024-03-{d:02d} 12:00:00"))
+    # dead feed: stopped at day 10
+    for d in range(1, 11):
+        rows.append(("dead", f"2024-03-{d:02d} 06:00:00"))
+    df = spark.createDataFrame(rows, ["src", "ts"]).select(
+        "src", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {r["src"]: r for r in freshness_report(df, "src", "ts").collect()}
+    assert out["live"]["lag_hours"] == 0.0
+    # dead: last seen 03-10 06:00, frontier 03-28 12:00 -> 438 h
+    assert out["dead"]["lag_hours"] == pytest.approx(438.0, abs=1e-9)
+    # live had 7 events in the trailing window and 7 before -> ratio 1
+    assert out["live"]["rate_ratio"] == 1.0
+    # dead has nothing in either trailing window -> NULL ratio
+    assert out["dead"]["n_last"] == 0 and out["dead"]["rate_ratio"] is None
+    assert out["dead"]["last_seen"] == "2024-03-10 06:00:00"
+
+
+# -- burstiness -------------------------------------------------------------
+
+
+def test_burstiness_regular_vs_bursty(spark):
+    from pydala2_spark.operators.events import burstiness
+
+    rows = []
+    # metronome: exactly hourly -> cv 0, B = -1
+    for i in range(24):
+        rows.append((i, f"2024-04-01 {i:02d}:00:00", "regular"))
+    # bursty: clusters of 4 events 1 s apart, clusters 6 h apart
+    eid = 100
+    for c in range(4):
+        for k in range(4):
+            rows.append(
+                (eid, f"2024-04-01 {c * 6:02d}:00:{k:02d}", "bursty")
+            )
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type"]).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    out = {r["event_type"]: r for r in burstiness(df).collect()}
+    assert out["regular"]["cv"] == 0.0
+    assert out["regular"]["burstiness"] == -1.0
+    assert out["regular"]["n_gaps"] == 23
+    # 12 one-second gaps + 3 ~six-hour gaps: cv ~= 2 -> B ~= 1/3
+    assert out["bursty"]["burstiness"] > 0.3
+    assert out["bursty"]["n_gaps"] == 15
+    assert out["bursty"]["mean_gap_s"] == pytest.approx(
+        (12 * 1 + 3 * 21597) / 15.0, abs=1e-6
+    )
+
+
+def test_burstiness_single_event_group_absent(spark):
+    from pydala2_spark.operators.events import burstiness
+
+    df = spark.createDataFrame(
+        [(1, "2024-04-01 10:00:00", "solo"), (2, "2024-04-01 10:00:00", "pair"),
+         (3, "2024-04-01 11:00:00", "pair")],
+        ["event_id", "ts", "event_type"],
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    out = {r["event_type"]: r for r in burstiness(df).collect()}
+    assert "solo" not in out and out["pair"]["n_gaps"] == 1

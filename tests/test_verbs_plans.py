@@ -395,6 +395,10 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "dq_wasserstein",
         "ev_cuped",
         "assoc_rules_pruned",
+        # r13 batch two: one-row broadcast totals (theil moment row,
+        # freshness corpus-max frontier) — same 1-row broadcast shape
+        "agg_theil_decomposition",
+        "dq_freshness",
     }
     offenders = []
     for name, fn in queries().items():
