@@ -3228,3 +3228,133 @@ def burstiness_oracle_sql(
                  END, {ndigits}) AS burstiness
     FROM per
     """
+
+
+#: two-sided alpha = 0.05 and power = 0.80 normal quantiles, inlined as
+#: full-precision literals so both engines use the identical doubles
+Z_ALPHA_025 = 1.959963984540054
+Z_POWER_080 = 0.8416212335729143
+
+
+def power_mde(
+    events: DataFrame,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    rel_effect: float = 0.01,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Experiment DESIGN readout: the minimum detectable effect (MDE)
+    a user-randomized A/B on this metric could resolve with the users
+    we have, and the per-arm sample size a target relative effect
+    would need — the question that comes BEFORE ev_cuped/ev_diff_in_
+    diff ever run ("is this test even worth launching?"). Standard
+    two-sample normal approximation at two-sided alpha=0.05, power
+    0.8: ``MDE = (z_a + z_b) * sqrt(2 * var / n_arm)`` with
+    ``n_arm = floor(n_users / 2)``, and
+    ``n_req = ceil(2 * (z_a+z_b)^2 * var / (rel_effect * mean)^2)``.
+
+    The unit of analysis is the USER (per-user mean of the metric —
+    randomization-unit variance, not row variance; row-level variance
+    understates MDE whenever users contribute many correlated rows).
+
+    Output: one row ``(n_users, mean_metric, sd_user, mde_abs,
+    mde_rel, n_per_arm_for_target)``; NULLs when fewer than 2 users
+    or zero mean/variance where required.
+
+    Determinism ladder: per-user means from exact decimal sums;
+    round-12 decimal moment accumulation; z constants inlined as
+    identical full-precision literals in both engines.
+
+    100 TB shape: ONE map-side-combined groupBy(user) + ONE moment
+    aggregate — the cuped economics without the time split."""
+    per_user = (
+        events.select(
+            F.col(user_col).alias("u"), F.col(value_col).alias("v")
+        )
+        .filter(F.col("v").isNotNull() & F.col("u").isNotNull())
+        .groupBy("u")
+        .agg(
+            F.sum(F.col("v").cast(_DEC)).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .select(
+            (F.col("s").cast("double") / F.col("c").cast("double")).alias("x")
+        )
+    )
+    row = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.round(F.col("x"), 12).cast("decimal(38,12)")).alias("sx"),
+        F.sum(
+            F.round(F.col("x") * F.col("x"), 12).cast("decimal(38,12)")
+        ).alias("sxx"),
+    )
+    n = F.col("n_users").cast("double")
+    mean = F.col("sx").cast("double") / n
+    var = F.greatest(
+        F.col("sxx").cast("double") / n - mean * mean, F.lit(0.0)
+    )
+    z = F.lit(Z_ALPHA_025 + Z_POWER_080)
+    n_arm = F.floor(F.col("n_users") / 2).cast("double")
+    ok = F.col("n_users") >= 2
+    mde = F.when(ok, z * F.sqrt(F.lit(2.0) * var / n_arm))
+    return row.select(
+        "n_users",
+        F.round(F.when(ok, mean), ndigits).alias("mean_metric"),
+        F.round(F.when(ok, F.sqrt(var)), ndigits).alias("sd_user"),
+        F.round(mde, ndigits).alias("mde_abs"),
+        F.round(
+            F.when(ok & (mean > 0), mde / mean), ndigits
+        ).alias("mde_rel"),
+        F.when(
+            ok & (mean > 0) & (var > 0),
+            F.ceil(
+                F.lit(2.0) * z * z * var
+                / ((F.lit(rel_effect) * mean) * (F.lit(rel_effect) * mean))
+            ).cast("long"),
+        ).alias("n_per_arm_for_target"),
+    )
+
+
+def power_mde_oracle_sql(
+    value_col: str = "value",
+    user_col: str = "user_id",
+    rel_effect: float = 0.01,
+    ndigits: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`power_mde` — identical z literals,
+    per-user decimal means, round-12 moments, guards."""
+    z = Z_ALPHA_025 + Z_POWER_080
+    n = "CAST(n_users AS DOUBLE)"
+    mean = f"(CAST(sx AS DOUBLE) / {n})"
+    var = f"greatest(CAST(sxx AS DOUBLE) / {n} - {mean} * {mean}, 0.0)"
+    n_arm = "CAST(CAST(floor(n_users / 2) AS BIGINT) AS DOUBLE)"
+    mde = f"{z!r} * sqrt(2.0 * {var} / {n_arm})"
+    return f"""
+    WITH per_user AS (
+      SELECT CAST(sum(CAST({value_col} AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS x
+      FROM events
+      WHERE {value_col} IS NOT NULL AND {user_col} IS NOT NULL
+      GROUP BY {user_col}
+    ), mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             sum(CAST(round(x, 12) AS DECIMAL(38,12))) AS sx,
+             sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS sxx
+      FROM per_user
+    )
+    SELECT n_users,
+           round(CASE WHEN n_users >= 2 THEN {mean} END, {ndigits})
+             AS mean_metric,
+           round(CASE WHEN n_users >= 2 THEN sqrt({var}) END, {ndigits})
+             AS sd_user,
+           round(CASE WHEN n_users >= 2 THEN {mde} END, {ndigits})
+             AS mde_abs,
+           round(CASE WHEN n_users >= 2 AND {mean} > 0
+                      THEN ({mde}) / {mean} END, {ndigits}) AS mde_rel,
+           CAST(CASE WHEN n_users >= 2 AND {mean} > 0 AND {var} > 0
+                     THEN ceil(2.0 * {z!r} * {z!r} * {var}
+                               / (({rel_effect!r} * {mean})
+                                  * ({rel_effect!r} * {mean})))
+                END AS BIGINT) AS n_per_arm_for_target
+    FROM mo
+    """

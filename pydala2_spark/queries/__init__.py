@@ -50,21 +50,21 @@ from pydala2_spark.queries import (  # noqa: E402,F401
 _VERIFY_FIRST = [
     # round 13 rotation — the r12 verdict's #1/#2 asks, performed.
     # Ordering rationale:
-    #   positions 0-14: queries ADDED or CHANGED in r13 — the two S4/S5
+    #   positions 0-16: queries ADDED or CHANGED in r13 — the two S4/S5
     #     round-trip scans (first-ever driver rows for CSV/JSON), the
     #     eight r13 analytics additions (DDSketch digest, Gini,
     #     Wasserstein-1, CUPED, lexical diversity, streaming session
     #     funnel, pruned association rules), and the
     #     two ADVICE-guard rewrites (diff-in-diff degenerate cells,
     #     jackknife single-block/pmod) whose prior rows predate the fix.
-    #   positions 15-37: the 23 r7-stale entries, exactly as staged in
+    #   positions 17-39: the 23 r7-stale entries, exactly as staged in
     #     r12 — first the eight displaced when the late r12 batches took
     #     their slots, then the remainder of the r7 block.
-    #   positions 38-49: the r8-checked block in CORRECTNESS_r08 order
+    #   positions 40-49: the r8-checked block in CORRECTNESS_r08 order
     #     (its remainder continues in r14).
     # r14 pre-staging: lead with anything added/rewritten in r14, then
     # CONTINUE the r8 block in CORRECTNESS_r08 order (
-    # q7_volume_shipping, q8_market_share, q9_product_profit,
+    # set_ops_union_except, q4_order_priority, q7_volume_shipping, q8_market_share, q9_product_profit,
     # q13_customer_distribution, q14_promo_revenue,
     # q17_small_quantity_revenue, q18_large_volume_customers,
     # q19_disjunctive_predicates, q22_inactive_customers,
@@ -80,7 +80,7 @@ _VERIFY_FIRST = [
     # Entries past the window hold green driver rows from earlier
     # rounds and stay covered by the full local mirror
     # (scripts/check_correctness.py runs every entry).
-    # --- positions 0-14: r13 additions + r13 guard rewrites ---
+    # --- positions 0-16: r13 additions + r13 guard rewrites ---
     "csv_roundtrip_scan",
     "json_roundtrip_scan",
     "agg_ddsketch_quantiles",
@@ -93,9 +93,11 @@ _VERIFY_FIRST = [
     "agg_theil_decomposition",
     "dq_freshness",
     "ev_burstiness",
+    "ev_power_mde",
+    "stream_freshness",
     "ev_diff_in_diff",
     "agg_jackknife_ci",
-    # --- positions 15-37: the r7-stale block (staged r12 order) ---
+    # --- positions 17-39: the r7-stale block (staged r12 order) ---
     "snapshot_cdf",
     "ivm_incremental_rollup",
     "ivm_join_rollup",
@@ -119,7 +121,7 @@ _VERIFY_FIRST = [
     "mm_image_tiff_decode",
     "mm_image_real_decode",
     "mm_audio_real_features",
-    # --- positions 38-49: r8-checked block, CORRECTNESS_r08 order ---
+    # --- positions 40-49: r8-checked block, CORRECTNESS_r08 order ---
     "scan_filter_project",
     "sort_limit_topk",
     "distinct_keyed",
@@ -131,8 +133,6 @@ _VERIFY_FIRST = [
     "q5_nation_revenue",
     "q10_returned_items",
     "join_semi_anti",
-    "set_ops_union_except",
-    "q4_order_priority",
 ]
 
 

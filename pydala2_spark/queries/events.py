@@ -1950,3 +1950,23 @@ def ev_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pydala2_spark.operators.events import burstiness
 
     return burstiness(_t(spark, sf_dir, "events"), "event_type", "ts", "event_id")
+
+
+def _power_mde_oracle() -> str:
+    from pydala2_spark.operators.events import power_mde_oracle_sql
+
+    return power_mde_oracle_sql("value", "user_id", rel_effect=0.01)
+
+
+@query("ev_power_mde", _power_mde_oracle())
+def ev_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-design power analysis on the event value metric: the
+    minimum detectable effect a user-randomized A/B could resolve with
+    the observed user count and user-level variance (alpha=0.05,
+    power=0.8), plus the per-arm sample size a 1% relative effect
+    would need — the go/no-go readout that precedes ev_cuped /
+    ev_diff_in_diff. User-level variance (per-user means), never row
+    variance. See operators/events.power_mde."""
+    from pydala2_spark.operators.events import power_mde
+
+    return power_mde(_t(spark, sf_dir, "events"), "value", "user_id", 0.01)

@@ -755,3 +755,55 @@ def stream_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cnt").cast("long").alias("n_sessions"))
         .filter(F.col("n_sessions") > 0)
     )
+
+
+@query(
+    "stream_freshness",
+    """
+    WITH per AS (
+      SELECT event_type, max(ts) AS last_ts,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type
+    ), f AS (SELECT max(last_ts) AS mx FROM per)
+    SELECT event_type, n_events,
+           strftime(last_ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
+           round(CAST(epoch_us(f.mx) - epoch_us(last_ts) AS DOUBLE)
+                 / 3600000000.0, 4) AS lag_hours
+    FROM per, f
+    """,
+)
+def stream_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the ALWAYS-ON twin of dq_freshness: a complete-mode streaming
+    # aggregation holds one (frontier, count) tuple per event_type and
+    # updates it per micro-batch; drained with availableNow it must
+    # converge to the batch scan's answer. State never expires (no
+    # watermark — a freshness monitor that forgets its frontier would
+    # re-alert on every quiet period).
+    import os
+    import tempfile
+    import uuid
+
+    from pydala2_spark.streaming.pipeline import (
+        freshness_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    events = read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    fresh = freshness_stream(events)
+    name = f"fresh_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix=f"ck_{name}_")
+    drained = run_to_memory(
+        fresh, name, ck, state_partitions=4, output_mode="complete"
+    )
+    frontier = drained.agg(F.max("last_ts").alias("__mx"))
+    return drained.crossJoin(F.broadcast(frontier)).select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        F.round(
+            (F.unix_micros("__mx") - F.unix_micros("last_ts")).cast("double")
+            / F.lit(3.6e9),
+            4,
+        ).alias("lag_hours"),
+    )

@@ -1152,3 +1152,15 @@ def funnel_sessions_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def freshness_stream(events: DataFrame) -> DataFrame:
+    """Streaming ingest-freshness state: per-group frontier timestamp
+    and row count, maintained incrementally — the monitor a continuous
+    pipeline keeps ALWAYS-ON (the batch freshness_report re-scans; this
+    holds one (max_ts, count) tuple per group and updates per
+    micro-batch). No watermark: the frontier must never expire."""
+    return events.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

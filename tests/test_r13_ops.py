@@ -559,3 +559,44 @@ def test_burstiness_single_event_group_absent(spark):
     ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
     out = {r["event_type"]: r for r in burstiness(df).collect()}
     assert "solo" not in out and out["pair"]["n_gaps"] == 1
+
+
+# -- power / MDE -------------------------------------------------------------
+
+
+def test_power_mde_analytic(spark):
+    from pydala2_spark.operators.events import (
+        Z_ALPHA_025,
+        Z_POWER_080,
+        power_mde,
+    )
+
+    # four users with constant per-user means 10, 12, 14, 16:
+    # mean 13, var 5 (population), n_arm = 2
+    rows = []
+    for u, v in ((1, 10.0), (2, 12.0), (3, 14.0), (4, 16.0)):
+        rows += [(u, v), (u, v)]  # two identical events per user
+    df = spark.createDataFrame(rows, "user_id bigint, value double")
+    row = _one(power_mde(df, "value", "user_id", rel_effect=0.01))
+    z = Z_ALPHA_025 + Z_POWER_080
+    assert row["n_users"] == 4
+    assert row["mean_metric"] == pytest.approx(13.0, abs=1e-9)
+    assert row["sd_user"] == pytest.approx(math.sqrt(5.0), abs=1e-6)
+    assert row["mde_abs"] == pytest.approx(z * math.sqrt(2 * 5.0 / 2), abs=1e-6)
+    assert row["n_per_arm_for_target"] == math.ceil(
+        2 * z * z * 5.0 / (0.01 * 13.0) ** 2
+    )
+
+
+def test_power_mde_degenerate_guards(spark):
+    from pydala2_spark.operators.events import power_mde
+
+    one = spark.createDataFrame([(1, 5.0)], "user_id bigint, value double")
+    row = _one(power_mde(one, "value", "user_id"))
+    assert row["n_users"] == 1 and row["mde_abs"] is None
+    zero_mean = spark.createDataFrame(
+        [(1, -2.0), (2, 2.0)], "user_id bigint, value double"
+    )
+    row = _one(power_mde(zero_mean, "value", "user_id"))
+    assert row["mde_abs"] is not None  # variance exists
+    assert row["mde_rel"] is None and row["n_per_arm_for_target"] is None

@@ -399,6 +399,8 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         # freshness corpus-max frontier) — same 1-row broadcast shape
         "agg_theil_decomposition",
         "dq_freshness",
+        # r13 batch three: post-drain frontier row (stream freshness)
+        "stream_freshness",
     }
     offenders = []
     for name, fn in queries().items():
