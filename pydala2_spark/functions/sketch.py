@@ -924,6 +924,11 @@ def ddsketch_quantiles(
     from pyspark.sql import Window
 
     gamma, lg = _dd_params(alpha)
+    # the state feeds BOTH the cumulative and the totals legs; without
+    # materialization each leg replays the caller's full corpus scan
+    # (observed: 4 FileScans for a two-half merge). The state is
+    # O(log range / alpha) rows — the checkpoint is ~free.
+    state = state.localCheckpoint(eager=False)
     w = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -410,7 +410,7 @@ def theil_decomposition(
         F.sum(
             F.round(F.col("v") * F.log("v"), 12).cast("decimal(38,12)")
         ).alias("l_g"),
-    )
+    ).localCheckpoint(eager=False)  # |groups| rows feed totals AND terms
     tot = per.agg(
         F.sum("n_g").cast("long").alias("n"),
         F.sum("a_g").alias("a"),
