@@ -1559,3 +1559,109 @@ def degree_powerlaw_oracle_sql(
     FROM s
     """
 
+
+
+def rich_club(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    thresholds: tuple = (2, 4, 8, 16),
+    ndigits: int = 6,
+) -> DataFrame:
+    """Rich-club coefficient (Colizza et al. 2006): for each degree
+    threshold k, the density ``phi(k) = 2 * E_k / (N_k * (N_k - 1))``
+    of the subgraph induced by nodes with degree > k — do the
+    well-connected connect to EACH OTHER? The hub-structure readout
+    behind assortativity's single number: a rising phi(k) says the
+    core is a clique-ish club (one hot partition at shuffle time, one
+    failure domain), a flat phi says hubs spread.
+
+    Output: one row per threshold ``(k, n_nodes, n_edges, phi)``;
+    phi is NULL when fewer than 2 nodes clear the threshold. Exact
+    integers with one final division.
+
+    100 TB shape: ONE degree aggregation, one edge-to-degree equi-join
+    (both endpoints), then a single conditional aggregate over the
+    LITERAL threshold set — no per-k passes, no subgraph
+    materialization."""
+    e = _canonical_edges(edges, src, dst)
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    ed = e.join(
+        deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+    edge_aggs = [
+        F.count(
+            F.when((F.col("da") > k) & (F.col("db") > k), F.lit(1))
+        ).cast("long").alias(f"e_{k}")
+        for k in thresholds
+    ]
+    node_aggs = [
+        F.count(F.when(F.col("d") > k, F.lit(1))).cast("long").alias(f"n_{k}")
+        for k in thresholds
+    ]
+    erow = ed.agg(*edge_aggs)
+    nrow = deg.agg(*node_aggs)
+    j = erow.crossJoin(F.broadcast(nrow))
+    arms = []
+    for k in thresholds:
+        nk = F.col(f"n_{k}").cast("double")
+        arms.append(
+            F.struct(
+                F.lit(int(k)).alias("k"),
+                F.col(f"n_{k}").alias("n_nodes"),
+                F.col(f"e_{k}").alias("n_edges"),
+                F.round(
+                    F.when(
+                        F.col(f"n_{k}") >= 2,
+                        F.lit(2.0)
+                        * F.col(f"e_{k}").cast("double")
+                        / (nk * (nk - F.lit(1.0))),
+                    ),
+                    ndigits,
+                ).alias("phi"),
+            )
+        )
+    return j.select(F.explode(F.array(*arms)).alias("r")).select("r.*")
+
+
+def rich_club_oracle_sql(
+    edges_sql: str,
+    thresholds: tuple = (2, 4, 8, 16),
+    ndigits: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`rich_club`. ``edges_sql`` must yield the
+    canonical (a, b) undirected edge list, a < b, one row per edge."""
+    arms = []
+    for k in thresholds:
+        arms.append(f"""
+    SELECT {int(k)} AS k,
+           (SELECT CAST(count(*) AS BIGINT) FROM deg WHERE d > {k})
+             AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM ed
+            WHERE da > {k} AND db > {k}) AS n_edges,
+           round(CASE WHEN (SELECT count(*) FROM deg WHERE d > {k}) >= 2
+                 THEN 2.0 * (SELECT CAST(count(*) AS DOUBLE) FROM ed
+                             WHERE da > {k} AND db > {k})
+                      / ((SELECT CAST(count(*) AS DOUBLE) FROM deg
+                          WHERE d > {k})
+                         * ((SELECT CAST(count(*) AS DOUBLE) FROM deg
+                             WHERE d > {k}) - 1.0))
+                 END, {ndigits}) AS phi""")
+    return f"""
+    WITH e AS ({edges_sql}),
+    deg AS (
+      SELECT n, count(*) AS d
+      FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+      GROUP BY n
+    ), ed AS (
+      SELECT e.a, e.b, da.d AS da, db.d AS db
+      FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n
+    )
+    {" UNION ALL ".join(arms)}
+    """

@@ -753,3 +753,46 @@ def graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+_RICHCLUB_EDGES = """
+      SELECT DISTINCT x.p AS a, y.p AS b
+      FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_quantity >= 40) x
+      JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_quantity >= 40) y
+        ON x.o = y.o AND x.p < y.p
+"""
+
+
+def _rich_club_oracle() -> str:
+    from pydala2_spark.operators.graph import rich_club_oracle_sql
+
+    return rich_club_oracle_sql(_RICHCLUB_EDGES)
+
+
+@query("graph_rich_club", _rich_club_oracle())
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club density profile of the co-purchase graph — do the
+    high-degree parts co-occur with EACH OTHER? The hub-structure
+    readout behind graph_assortativity's single correlation: a rising
+    phi(k) marks a clique-ish core (one hot shuffle partition, one
+    failure domain at cluster scale). One degree pass + one
+    conditional aggregate over the literal threshold set.
+    See operators/graph.rich_club."""
+    from pydala2_spark.operators.graph import rich_club
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 40)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    edges = (
+        li.alias("x")
+        .join(li.alias("y"), "o")
+        .filter(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("src"), F.col("y.p").alias("dst"))
+        .distinct()
+    )
+    return rich_club(edges)

@@ -600,3 +600,23 @@ def test_power_mde_degenerate_guards(spark):
     row = _one(power_mde(zero_mean, "value", "user_id"))
     assert row["mde_abs"] is not None  # variance exists
     assert row["mde_rel"] is None and row["n_per_arm_for_target"] is None
+
+
+# -- rich club -------------------------------------------------------------
+
+
+def test_rich_club_hand_graph(spark):
+    from pydala2_spark.operators.graph import rich_club
+
+    # star 0-(1..5) plus triangle 6-7-8: deg(0)=5, leaves 1, tri 2
+    edges = [(0, i) for i in range(1, 6)] + [(6, 7), (7, 8), (6, 8)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    out = {r["k"]: r for r in rich_club(df, thresholds=(0, 1, 4)).collect()}
+    # k=0: whole graph — 9 nodes, 8 edges
+    assert out[0]["n_nodes"] == 9 and out[0]["n_edges"] == 8
+    assert out[0]["phi"] == pytest.approx(2 * 8 / (9 * 8), abs=1e-6)  # round-6 output
+    # k=1: center + triangle (deg>1) — star edges drop (leaf deg 1)
+    assert out[1]["n_nodes"] == 4 and out[1]["n_edges"] == 3
+    assert out[1]["phi"] == pytest.approx(0.5, abs=1e-9)
+    # k=4: only the center clears — phi NULL below 2 nodes
+    assert out[4]["n_nodes"] == 1 and out[4]["phi"] is None

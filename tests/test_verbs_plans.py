@@ -399,8 +399,10 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         # freshness corpus-max frontier) — same 1-row broadcast shape
         "agg_theil_decomposition",
         "dq_freshness",
-        # r13 batch three: post-drain frontier row (stream freshness)
+        # r13 batch three: post-drain frontier row (stream freshness);
+        # one-row edge-counts x node-counts frames (rich club)
         "stream_freshness",
+        "graph_rich_club",
     }
     offenders = []
     for name, fn in queries().items():
