@@ -294,3 +294,98 @@ def w_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("revenue_share"),
     )
+
+
+@query(
+    "w_cumulative_users",
+    """
+    WITH f AS (
+      SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS d
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), n AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY d
+    )
+    SELECT d AS day, n_new,
+           CAST(sum(n_new) OVER (ORDER BY d) AS BIGINT) AS cum_users
+    FROM n
+    """,
+)
+def w_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the audience-growth curve
+    every dashboard leads with, computed WITHOUT a running distinct:
+    first-seen day per user (one map-side-combined groupBy), per-day
+    new-user counts, then a running sum over the DAY table. The
+    cumulative window runs over O(calendar days) rows — bounded by
+    time, not data — so the one-task window is safe at any corpus
+    size (the ddsketch-extraction argument). Exact integers end to
+    end."""
+    ev = _t(spark, sf_dir, "events")
+    f = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("d"))
+    )
+    n = f.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return n.select(
+        F.col("d").alias("day"),
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("cum_users"),
+    )
+
+
+@query(
+    "w_yoy_growth",
+    """
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+               AS mkey,
+             strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2)
+                  AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT cur.month, cur.revenue,
+           prev.revenue AS prev_year_revenue,
+           round(CASE WHEN prev.revenue > 0
+                      THEN (cur.revenue - prev.revenue) / prev.revenue * 100.0
+                 END, 4) AS yoy_pct
+    FROM m cur LEFT JOIN m prev ON cur.mkey = prev.mkey + 100
+    """,
+)
+def w_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth — the BI staple beside
+    w_monthly_growth's month-over-month view, expressed as an
+    EQUI-JOIN of the month table with itself shifted one year (mkey =
+    prev + 100) instead of a lag-12 window: join keys shuffle-prune,
+    no frame ordering, and a missing prior year is an explicit NULL
+    rather than a silent frame underrun. Revenue accumulates in exact
+    decimal; the month table is O(calendar months)."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("mkey"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    ).agg(_dsum("o_totalprice", 2).alias("revenue"))
+    prev = m.select(
+        (F.col("mkey") + 100).alias("mkey"),
+        F.col("revenue").alias("prev_year_revenue"),
+    )
+    return (
+        m.join(prev, "mkey", "left")
+        .select(
+            "month",
+            "revenue",
+            "prev_year_revenue",
+            F.round(
+                F.when(
+                    F.col("prev_year_revenue") > 0,
+                    (F.col("revenue") - F.col("prev_year_revenue"))
+                    / F.col("prev_year_revenue")
+                    * 100.0,
+                ),
+                4,
+            ).alias("yoy_pct"),
+        )
+    )

@@ -620,3 +620,45 @@ def test_rich_club_hand_graph(spark):
     assert out[1]["phi"] == pytest.approx(0.5, abs=1e-9)
     # k=4: only the center clears — phi NULL below 2 nodes
     assert out[4]["n_nodes"] == 1 and out[4]["phi"] is None
+
+
+# -- window-family additions ----------------------------------------------
+
+
+def test_cumulative_users_monotone_and_total(spark, sf_dir):
+    from pydala2_spark.queries import queries
+
+    rows = (
+        queries()["w_cumulative_users"](spark, sf_dir)
+        .orderBy("day")
+        .collect()
+    )
+    cums = [r["cum_users"] for r in rows]
+    assert cums == sorted(cums)
+    assert cums[-1] == sum(r["n_new"] for r in rows)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_users = ev.filter(F.col("user_id").isNotNull()).select(
+        "user_id"
+    ).distinct().count()
+    assert cums[-1] == n_users
+
+
+def test_yoy_growth_join_semantics(spark, sf_dir):
+    from pydala2_spark.queries import queries
+
+    rows = {r["month"]: r for r in
+            queries()["w_yoy_growth"](spark, sf_dir).collect()}
+    # every month of the FIRST year has no prior year -> NULL pct
+    first_year = min(m[:4] for m in rows)
+    for m, r in rows.items():
+        if m.startswith(first_year):
+            assert r["prev_year_revenue"] is None and r["yoy_pct"] is None
+    # a month with a prior year gets the exact ratio
+    linked = [r for r in rows.values() if r["prev_year_revenue"] is not None]
+    assert linked, "corpus spans multiple years"
+    r = linked[0]
+    expect = round(
+        (r["revenue"] - r["prev_year_revenue"]) / r["prev_year_revenue"] * 100,
+        4,
+    )
+    assert r["yoy_pct"] == pytest.approx(expect, abs=1e-9)
