@@ -662,3 +662,36 @@ def test_yoy_growth_join_semantics(spark, sf_dir):
         4,
     )
     assert r["yoy_pct"] == pytest.approx(expect, abs=1e-9)
+
+
+# -- multi-sum distributed_prefix ------------------------------------------
+
+
+def test_distributed_prefix_multi_sum_matches_single(spark):
+    from pydala2_spark.functions.skew import distributed_prefix
+
+    rows = [(float(i % 23), i, float(i % 5), float(i % 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, "v double, k bigint, a double, b double")
+    df = df.selectExpr(
+        "v", "k", "CAST(a AS DECIMAL(38,6)) a", "CAST(b AS DECIMAL(38,6)) b"
+    )
+    multi = distributed_prefix(
+        df, ["v", "k"], sum_col=["a", "b"], cum_col=["ca", "cb"],
+        rank_col="r",
+    ).select("k", "r", "ca", "cb").collect()
+    sa = distributed_prefix(
+        df, ["v", "k"], sum_col="a", cum_col="ca", rank_col="r"
+    ).select("k", "r", "ca").collect()
+    sb = distributed_prefix(
+        df, ["v", "k"], sum_col="b", cum_col="cb", rank_col="r"
+    ).select("k", "cb").collect()
+    m = {r["k"]: r for r in multi}
+    for r in sa:
+        assert m[r["k"]]["r"] == r["r"] and m[r["k"]]["ca"] == r["ca"]
+    for r in sb:
+        assert m[r["k"]]["cb"] == r["cb"]
+    # exactness: the final cum equals the exact total
+    import decimal
+
+    tot_a = sum(decimal.Decimal(i % 5) for i in range(500))
+    assert max(r["ca"] for r in multi) == tot_a
