@@ -1146,3 +1146,154 @@ def p_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 2
         ).alias("value_sum"),
     )
+
+
+@query(
+    "m2_compact_timeperiod_roundtrip",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events GROUP BY 1
+    """,
+)
+def m2_compact_timeperiod_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-period compaction (M2) driven through the oracle gate:
+    events land as a 30-file dataset, compact into one file per DAY
+    bucket, and the post-compaction per-day aggregate must equal the
+    oracle computed on the pristine table — a silent row loss, a
+    duplicated row, or a bucket-boundary misassignment all flip the
+    hash. The file-count contract (≤ one file per day, fewer than the
+    input) pins inside the query.
+
+    100 TB shape: the single-job fast path — rows rejoin their
+    interval bucket via a broadcast (file → group) equi-join, ONE
+    shuffle on the bucket gives each (interval) one output file
+    (operators/maintenance.compact_by_timeperiod)."""
+    import glob as _g
+    import shutil
+
+    from pydala2_spark.operators.maintenance import compact_by_timeperiod
+
+    root = _app_scoped_tmp(spark, sf_dir, "pydala2_spark_m2q")
+    path = f"{root}/events"
+    shutil.rmtree(path, ignore_errors=True)
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    ev.repartition(30).write.parquet(path)
+    n_rows = spark.read.parquet(path).count()
+    compact_by_timeperiod(
+        spark, path, interval="1d", timestamp_column="ts",
+        max_rows_per_file=n_rows + 1,
+    )
+    n_days = spark.read.parquet(path).select(
+        F.to_date("ts").alias("d")
+    ).distinct().count()
+    n_files = len(_g.glob(f"{path}/*.parquet"))
+    if not 0 < n_files <= min(n_days, 29):
+        raise AssertionError(
+            f"time-period compaction left {n_files} files for {n_days} "
+            "days — expected at most one per day and fewer than the "
+            "30-file input"
+        )
+    back = spark.read.parquet(path)
+    return back.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+    )
+
+
+@query(
+    "m3_compact_rows_roundtrip",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT p_partkey) AS BIGINT) AS n_keys,
+           CAST(sum(p_size) AS BIGINT) AS size_sum
+    FROM part
+    """,
+)
+def m3_compact_rows_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-count compaction (M3) driven through the oracle gate: part
+    lands as a 25-file unpartitioned dataset, compacts to row-bounded
+    files, and the corpus totals must match the pristine oracle. The
+    layout contract (ceil(rows / cap) files, fewer than input) pins
+    inside the query.
+
+    100 TB shape: one scan + one repartition(n_target) write with
+    maxRecordsPerFile; delete-old after publish
+    (operators/maintenance.compact_by_rows)."""
+    import glob as _g
+    import math as _m
+    import shutil
+
+    from pydala2_spark.operators.maintenance import compact_by_rows
+
+    root = _app_scoped_tmp(spark, sf_dir, "pydala2_spark_m3q")
+    path = f"{root}/part"
+    shutil.rmtree(path, ignore_errors=True)
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_size")
+    part.repartition(25).write.parquet(path)
+    n_rows = spark.read.parquet(path).count()
+    cap = max(1, _m.ceil(n_rows / 4))  # target ~4 files at any SF
+    compact_by_rows(spark, path, max_rows_per_file=cap)
+    n_files = len(_g.glob(f"{path}/*.parquet"))
+    if not 0 < n_files < 25:
+        raise AssertionError(
+            f"row compaction left {n_files} files — expected a "
+            "consolidated layout strictly smaller than the 25-file input"
+        )
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct("p_partkey").cast("long").alias("n_keys"),
+        F.sum("p_size").cast("long").alias("size_sum"),
+    )
+
+
+@query(
+    "m4_repartition_roundtrip",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2)
+                AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def m4_repartition_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive re-layout (M4) driven through the oracle gate: orders land
+    flat, repartition into a year=... hive layout (the partition
+    column DERIVED from the timestamp — the reference's datepart
+    pipeline), and the per-year aggregate read back THROUGH the
+    partition column must match the pristine oracle. The layout
+    contract (a year=* directory per year, partition pruning works)
+    pins inside the query: the readback groups by the hive column
+    itself, so a misassigned row changes a group's hash.
+
+    100 TB shape: one scan + one partitionBy write into a staging dir
+    with atomic rename swap (operators/maintenance.repartition_dataset)."""
+    import glob as _g
+    import shutil
+
+    from pydala2_spark.operators.maintenance import repartition_dataset
+
+    root = _app_scoped_tmp(spark, sf_dir, "pydala2_spark_m4q")
+    path = f"{root}/orders"
+    shutil.rmtree(path, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    orders.repartition(8).write.parquet(path)
+    repartition_dataset(
+        spark, path, partitioning_columns=["year"],
+        timestamp_column="o_orderdate",
+    )
+    year_dirs = _g.glob(f"{path}/year=*")
+    if not year_dirs:
+        raise AssertionError("repartition produced no year=* hive dirs")
+    back = spark.read.option("basePath", path).parquet(path)
+    return back.groupBy(F.col("year").cast("long").alias("year")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2
+        ).cast("double").alias("revenue"),
+    )
