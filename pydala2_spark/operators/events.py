@@ -3358,3 +3358,168 @@ def power_mde_oracle_sql(
                 END AS BIGINT) AS n_per_arm_for_target
     FROM mo
     """
+
+
+def retention_halflife(
+    events: DataFrame,
+    max_offset: int = 14,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Retention half-life: fit ``ln(retention_rate) ~ day_offset`` by
+    closed-form OLS over the pooled cohort retention curve and report
+    ``t_half = ln(2) / -slope`` — the single number ("days until half
+    the new users are gone") product teams quote from the retention
+    TABLE ev_cohort_retention already emits. Pooling uses only cohorts
+    with a FULL ``max_offset``-day observation window, so late cohorts
+    don't drag the tail down (right-censoring bias — the classic
+    retention-curve mistake).
+
+    Output: one row ``(n_cohorts, cohort_users, slope, half_life_days,
+    rate_1, rate_7)``; slope/half-life are NULL when fewer than 2
+    positive-rate offsets exist or the fitted slope is >= 0.
+
+    Determinism ladder: rates are exact-integer divisions; ln(rate)
+    rounds to 12; the OLS moments accumulate round-12 decimals over
+    the <= max_offset-row offset table (cross-engine summation order
+    cannot move a bit).
+
+    100 TB shape: rides :func:`cohort_retention`'s two
+    map-side-combined aggregations (user-day dedup -> first-seen
+    join); everything after runs on the O(cohorts x offsets) frame
+    against one-row broadcast bounds."""
+    from pydala2_spark.operators.dedup import _materialize_once
+
+    a = _materialize_once(
+        events.select(user_col, F.to_date(ts_col).alias("day"))
+        .filter(F.col(user_col).isNotNull())
+        .distinct()
+    )
+    f = a.groupBy(user_col).agg(F.min("day").alias("cohort"))
+    bounds = a.agg(F.max("day").alias("__mx"))
+    # cohorts fully observed over [0, max_offset]
+    full = (
+        f.crossJoin(F.broadcast(bounds))
+        .filter(F.datediff(F.col("__mx"), F.col("cohort")) >= max_offset)
+        .select(user_col, "cohort")
+    )
+    act = (
+        a.join(full, user_col)
+        .select(F.datediff("day", "cohort").cast("long").alias("d"))
+        .filter((F.col("d") >= 0) & (F.col("d") <= max_offset))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    base = full.agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users"),
+        F.count_distinct("cohort").cast("long").alias("n_cohorts"),
+    )
+    r = act.crossJoin(F.broadcast(base)).withColumn(
+        "rate",
+        F.col("n_active").cast("double") / F.col("cohort_users").cast("double"),
+    )
+    fitpts = r.filter((F.col("d") >= 1) & (F.col("rate") > 0))
+
+    def _m(expr):
+        return F.sum(F.round(expr, 12).cast("decimal(38,12)"))
+
+    mo = fitpts.groupBy("cohort_users", "n_cohorts").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        _m(F.col("d").cast("double")).alias("sx"),
+        _m(F.log("rate")).alias("sy"),
+        _m(F.col("d").cast("double") * F.col("d").cast("double")).alias("sxx"),
+        _m(F.col("d").cast("double") * F.log("rate")).alias("sxy"),
+    )
+    kd = F.col("k").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    varx = F.col("sxx").cast("double") - sx * sx / kd
+    cov = F.col("sxy").cast("double") - sx * sy / kd
+    ok = (F.col("k") >= 2) & (varx > 0)
+    slope = F.when(ok, cov / varx)
+    rates = r.groupBy().pivot("d", [1, 7]).agg(F.round(F.max("rate"), ndigits))
+    out = mo.crossJoin(
+        F.broadcast(
+            rates.select(
+                F.col("1").alias("rate_1"), F.col("7").alias("rate_7")
+            )
+        )
+    )
+    return out.select(
+        "n_cohorts",
+        "cohort_users",
+        F.round(slope, ndigits).alias("slope"),
+        F.round(
+            F.when(ok & (slope < 0), -float(__import__("math").log(2.0)) / slope),
+            ndigits,
+        ).alias("half_life_days"),
+        "rate_1",
+        "rate_7",
+    )
+
+
+def retention_halflife_oracle_sql(
+    max_offset: int = 14,
+    ndigits: int = 6,
+) -> str:
+    """DuckDB mirror of :func:`retention_halflife` — identical
+    full-window cohort cut, exact-integer rates, round-12 ln ladder,
+    closed-form OLS, and guards."""
+    import math
+
+    ln2 = math.log(2.0)
+    kd = "CAST(k AS DOUBLE)"
+    sx = "CAST(sx AS DOUBLE)"
+    sy = "CAST(sy AS DOUBLE)"
+    varx = f"(CAST(sxx AS DOUBLE) - {sx} * {sx} / {kd})"
+    cov = f"(CAST(sxy AS DOUBLE) - {sx} * {sy} / {kd})"
+    ok = f"k >= 2 AND {varx} > 0"
+    slope = f"CASE WHEN {ok} THEN {cov} / {varx} END"
+    return f"""
+    WITH a AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events WHERE user_id IS NOT NULL
+    ), f AS (
+      SELECT user_id, min(day) AS cohort FROM a GROUP BY user_id
+    ), b AS (SELECT max(day) AS mx FROM a),
+    full_ AS (
+      SELECT f.user_id, f.cohort FROM f, b
+      WHERE date_diff('day', f.cohort, b.mx) >= {max_offset}
+    ), act AS (
+      SELECT date_diff('day', full_.cohort, a.day) AS d,
+             CAST(count(*) AS BIGINT) AS n_active
+      FROM a JOIN full_ USING (user_id)
+      WHERE date_diff('day', full_.cohort, a.day) BETWEEN 0 AND {max_offset}
+      GROUP BY 1
+    ), base AS (
+      SELECT CAST(count(*) AS BIGINT) AS cohort_users,
+             CAST(count(DISTINCT cohort) AS BIGINT) AS n_cohorts
+      FROM full_
+    ), r AS (
+      SELECT act.d,
+             CAST(act.n_active AS DOUBLE) / CAST(base.cohort_users AS DOUBLE)
+               AS rate,
+             base.cohort_users, base.n_cohorts
+      FROM act, base
+    ), mo AS (
+      SELECT cohort_users, n_cohorts,
+             CAST(count(*) AS BIGINT) AS k,
+             sum(CAST(round(CAST(d AS DOUBLE), 12) AS DECIMAL(38,12))) AS sx,
+             sum(CAST(round(ln(rate), 12) AS DECIMAL(38,12))) AS sy,
+             sum(CAST(round(CAST(d AS DOUBLE) * CAST(d AS DOUBLE), 12)
+                      AS DECIMAL(38,12))) AS sxx,
+             sum(CAST(round(CAST(d AS DOUBLE) * ln(rate), 12)
+                      AS DECIMAL(38,12))) AS sxy
+      FROM r WHERE d >= 1 AND rate > 0
+      GROUP BY cohort_users, n_cohorts
+    )
+    SELECT mo.n_cohorts, mo.cohort_users,
+           round({slope}, {ndigits}) AS slope,
+           round(CASE WHEN {ok} AND ({slope}) < 0
+                      THEN -{ln2!r} / ({slope}) END, {ndigits})
+             AS half_life_days,
+           (SELECT round(max(rate), {ndigits}) FROM r WHERE d = 1) AS rate_1,
+           (SELECT round(max(rate), {ndigits}) FROM r WHERE d = 7) AS rate_7
+    FROM mo
+    """

@@ -50,20 +50,20 @@ from pydala2_spark.queries import (  # noqa: E402,F401
 _VERIFY_FIRST = [
     # round 13 rotation — the r12 verdict's #1/#2 asks, performed.
     # Ordering rationale:
-    #   positions 0-21: queries ADDED or CHANGED in r13 — the two S4/S5
+    #   positions 0-22: queries ADDED or CHANGED in r13 — the two S4/S5
     #     round-trip scans (first-ever driver rows for CSV/JSON), the
     #     eight r13 analytics additions (DDSketch digest, Gini,
     #     Wasserstein-1, CUPED, lexical diversity, streaming session
     #     funnel, pruned association rules), and the
     #     two ADVICE-guard rewrites (diff-in-diff degenerate cells,
     #     jackknife single-block/pmod) whose prior rows predate the fix.
-    #   positions 22-44: the 23 r7-stale entries, exactly as staged in
+    #   positions 23-45: the 23 r7-stale entries, exactly as staged in
     #     r12 — first the eight displaced when the late r12 batches took
     #     their slots, then the remainder of the r7 block.
-    #   positions 45-49: the r8-checked block in CORRECTNESS_r08 order
+    #   positions 46-49: the r8-checked block in CORRECTNESS_r08 order
     #     (its remainder continues in r14).
     # r14 pre-staging: lead with anything added/rewritten in r14, then
-    # CONTINUE the r8 block in CORRECTNESS_r08 order (
+    # CONTINUE the r8 block in CORRECTNESS_r08 order (q6_forecast_revenue,
     # agg_rollup_status_priority, agg_approx_distinct,
     # q3_shipping_priority, q5_nation_revenue,
     # q10_returned_items, join_semi_anti,
@@ -83,7 +83,7 @@ _VERIFY_FIRST = [
     # Entries past the window hold green driver rows from earlier
     # rounds and stay covered by the full local mirror
     # (scripts/check_correctness.py runs every entry).
-    # --- positions 0-21: r13 additions + r13 guard rewrites ---
+    # --- positions 0-22: r13 additions + r13 guard rewrites ---
     "csv_roundtrip_scan",
     "json_roundtrip_scan",
     "agg_ddsketch_quantiles",
@@ -104,9 +104,10 @@ _VERIFY_FIRST = [
     "m2_compact_timeperiod_roundtrip",
     "m3_compact_rows_roundtrip",
     "m4_repartition_roundtrip",
+    "ev_retention_halflife",
     "ev_diff_in_diff",
     "agg_jackknife_ci",
-    # --- positions 22-44: the r7-stale block (staged r12 order) ---
+    # --- positions 23-45: the r7-stale block (staged r12 order) ---
     "snapshot_cdf",
     "ivm_incremental_rollup",
     "ivm_join_rollup",
@@ -130,12 +131,11 @@ _VERIFY_FIRST = [
     "mm_image_tiff_decode",
     "mm_image_real_decode",
     "mm_audio_real_features",
-    # --- positions 45-49: r8-checked block, CORRECTNESS_r08 order ---
+    # --- positions 46-49: r8-checked block, CORRECTNESS_r08 order ---
     "scan_filter_project",
     "sort_limit_topk",
     "distinct_keyed",
     "q1_pricing_summary",
-    "q6_forecast_revenue",
 ]
 
 

@@ -1970,3 +1970,22 @@ def ev_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pydala2_spark.operators.events import power_mde
 
     return power_mde(_t(spark, sf_dir, "events"), "value", "user_id", 0.01)
+
+
+def _halflife_oracle() -> str:
+    from pydala2_spark.operators.events import retention_halflife_oracle_sql
+
+    return retention_halflife_oracle_sql(max_offset=14)
+
+
+@query("ev_retention_halflife", _halflife_oracle())
+def ev_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention half-life: log-linear decay fit over the pooled
+    cohort retention curve (full-observation-window cohorts only — no
+    right-censoring bias) — the one-number summary of
+    ev_cohort_retention's triangle, with day-1/day-7 rates alongside.
+    Exact-integer rates, round-12 ln ladder, closed-form OLS on the
+    O(offsets) frame. See operators/events.retention_halflife."""
+    from pydala2_spark.operators.events import retention_halflife
+
+    return retention_halflife(_t(spark, sf_dir, "events"), max_offset=14)

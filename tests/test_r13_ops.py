@@ -695,3 +695,54 @@ def test_distributed_prefix_multi_sum_matches_single(spark):
 
     tot_a = sum(decimal.Decimal(i % 5) for i in range(500))
     assert max(r["ca"] for r in multi) == tot_a
+
+
+# -- retention half-life ------------------------------------------------------
+
+
+def test_retention_halflife_recovers_planted_decay(spark):
+    from pydala2_spark.operators.events import retention_halflife
+
+    # 60 users in ONE cohort (day 0), exact exponential decay with
+    # half-life 4 days: active count halves every 4 days over a
+    # 14-day fully-observed window (plus padding days so the window
+    # is complete).
+    import math
+
+    rows = []
+    day0 = 1
+    for u in range(60):
+        rows.append((u, f"2024-07-{day0:02d} 10:00:00"))
+    for d in range(1, 15):
+        n_active = round(60 * math.exp(-math.log(2) / 4 * d))
+        for u in range(n_active):
+            rows.append((u, f"2024-07-{day0 + d:02d} 10:00:00"))
+    # sentinel user keeps the corpus max day far enough out
+    rows.append((999, f"2024-07-{day0:02d} 09:00:00"))
+    rows.append((999, "2024-07-20 09:00:00"))
+    df = spark.createDataFrame(rows, ["user_id", "ts"]).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    row = df and retention_halflife(df, max_offset=14).collect()[0]
+    assert row["n_cohorts"] == 1 and row["cohort_users"] == 61
+    # rounding the planted counts perturbs the fit slightly
+    assert row["half_life_days"] == pytest.approx(4.0, rel=0.15)
+    assert row["slope"] < 0
+    assert row["rate_1"] == pytest.approx(round(60 * math.exp(-math.log(2) / 4)) / 61, abs=1e-6)
+
+
+def test_retention_halflife_flat_retention_null(spark):
+    from pydala2_spark.operators.events import retention_halflife
+
+    # everyone active every day -> rate 1.0 at every offset -> slope 0
+    # -> half-life NULL (not inf/NaN)
+    rows = []
+    for u in range(10):
+        for d in range(1, 17):
+            rows.append((u, f"2024-08-{d:02d} 12:00:00"))
+    df = spark.createDataFrame(rows, ["user_id", "ts"]).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    row = retention_halflife(df, max_offset=14).collect()[0]
+    assert row["slope"] == 0.0
+    assert row["half_life_days"] is None

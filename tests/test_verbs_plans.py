@@ -403,6 +403,8 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         # one-row edge-counts x node-counts frames (rich club)
         "stream_freshness",
         "graph_rich_club",
+        # one-row bounds/base/rate frames around the O(offsets) fit
+        "ev_retention_halflife",
     }
     offenders = []
     for name, fn in queries().items():
