@@ -25,6 +25,12 @@ def _prepare(spark: SparkSession) -> None:
     # Arrow batch transfer for the few driver-side handoffs (kcore
     # finish, union-find finish): runtime conf, safe to set post-boot
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # Spark's default timestamp parquet encoding is INT96, which
+    # carries NO footer min/max stats — in-query writes would land
+    # files invisible to stats-driven planners (M2) and row-group
+    # pruning. µs int64 keeps footer stats alive; runtime conf, safe
+    # to set post-boot (r13 driver red m2_compact_timeperiod_roundtrip).
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -57,3 +57,15 @@ class PartialMergeError(RuntimeError):
         super().__init__(message)
         self.merge_result = merge_result
         self.pending_deletes = list(pending_deletes or [])
+
+
+class MissingFooterStatsWarning(RuntimeWarning):
+    """A footer-stats-driven planner found candidate files WITHOUT
+    min/max statistics for the column it plans on (e.g. INT96
+    timestamps, which parquet stores stat-less) and fell back to a
+    data scan to derive them.
+
+    Emitted instead of silently skipping those files: a maintenance
+    operator that quietly plans nothing while reporting success is an
+    operational hazard at scale (unbounded small-file accumulation).
+    """

@@ -408,9 +408,46 @@ def plan_compact_by_timeperiod(
     ts_str = F.regexp_replace(
         F.regexp_replace(cs.getField("min"), '^"|"$', ""), "Z$", "+00:00"
     )
-    bucket = F.floor(F.unix_timestamp(F.to_timestamp(ts_str)) / step)
+    min_ts = F.to_timestamp(ts_str)
+    # A file without footer stats for the timestamp column (INT96
+    # timestamps carry none) must NOT silently fall out of the plan —
+    # that turns the operator into a no-op that reports success. Get
+    # loud and derive the per-file min from a data scan instead (one
+    # column, one pass over only what the footers cannot answer).
+    counts = st.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(cs.isNotNull() & cs.getField("min").isNotNull(), 1)).alias(
+            "with_stat"
+        ),
+    ).first()
+    if counts["n"] and counts["with_stat"] < counts["n"]:
+        import warnings
+
+        from pydala2_spark.errors import MissingFooterStatsWarning
+
+        warnings.warn(
+            f"{counts['n'] - counts['with_stat']}/{counts['n']} parquet files "
+            f"under {path!r} have no footer min/max for "
+            f"{timestamp_column!r} (INT96 timestamps carry no stats); "
+            "falling back to a data scan of that column to bucket them",
+            MissingFooterStatsWarning,
+            stacklevel=2,
+        )
+        norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+        scanned = (
+            spark.read.parquet(path)
+            .select(
+                F.input_file_name().alias("__f"),
+                F.col(timestamp_column).alias("__ts"),
+            )
+            .groupBy(norm(F.col("__f")).alias("__nf"))
+            .agg(F.min("__ts").alias("__scan_min"))
+        )
+        st = st.join(scanned, norm(F.col("file_path")) == F.col("__nf"), "left")
+        min_ts = F.coalesce(min_ts, F.col("__scan_min"))
+    bucket = F.floor(F.unix_timestamp(min_ts) / step)
     per_bucket = (
-        st.filter(cs.isNotNull() & cs.getField("min").isNotNull())
+        st.filter(min_ts.isNotNull())
         .withColumn("__bucket", bucket)
         .filter(F.col("__bucket").isNotNull())
         .groupBy("__bucket")

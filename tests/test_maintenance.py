@@ -393,6 +393,42 @@ def test_compact_by_timeperiod(spark, tmp_ds_path):
     assert _snapshot(spark, tmp_ds_path) == before
 
 
+def test_compact_by_timeperiod_int96_no_stats_gets_loud_and_compacts(
+    spark, tmp_ds_path
+):
+    """r13 driver red: INT96 timestamps carry no parquet footer stats,
+    and the planner silently produced an EMPTY plan — the operator
+    no-op'd while reporting success. Contract now: warn loudly and
+    fall back to a data-scan min so compaction still happens."""
+    from pydala2_spark.errors import MissingFooterStatsWarning
+
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        for day, seed in (("2024-01-01", 0), ("2024-01-01", 50), ("2024-02-05", 100)):
+            pdf = make_simple_pdf(20, seed=seed)
+            pdf["timestamp"] = pd.to_datetime(day)
+            spark.createDataFrame(pdf).repartition(1).write.mode("append").parquet(
+                tmp_ds_path
+            )
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    # precondition: the footers really carry no stats for `timestamp`
+    st = collect_file_stats(spark, tmp_ds_path)
+    assert (
+        st.filter(
+            F.col("column_stats").getItem("timestamp").isNotNull()
+        ).count()
+        == 0
+    ), "INT96 write unexpectedly produced timestamp footer stats"
+    before = _snapshot(spark, tmp_ds_path)
+    with pytest.warns(MissingFooterStatsWarning, match="no footer min/max"):
+        compact_by_timeperiod(spark, tmp_ds_path, "1d", "timestamp")
+    # the doubled day compacted to one file despite missing stats
+    assert len(list_files(spark, tmp_ds_path)) == 2
+    assert _snapshot(spark, tmp_ds_path) == before
+
+
 # -- M4 repartition ------------------------------------------------------
 
 
