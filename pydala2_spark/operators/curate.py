@@ -1289,28 +1289,39 @@ def build_trigram_index(
     are |doc| x |distinct grams per doc| rows of (id, 3 chars) —
     bounded by corpus size with a small constant — and every search
     reads only |pattern grams| / ``buckets`` of the partitions."""
-    grams = (
-        df.select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.lit(1), F.greatest(F.length(text) - 2, F.lit(0)))
-            ).alias("__i"),
-            F.col(text).alias("__t"),
+    # Per-row dedup in the EXPRESSION layer: each document's distinct
+    # trigram set comes out of array_distinct before the explode, so
+    # the postings rows are already unique per (doc, gram) when ids
+    # are unique — no dedup exchange over raw grams (the old shape
+    # paid distinct's full hash exchange on (doc, gram) AND a second
+    # full repartition on bucket; this shuffles the already-deduped
+    # postings exactly once).
+    gram_arr = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(char_length({text}) - 2, 0)),"
+            f" i -> substring({text}, i, 3))"
         )
-        .select(
-            F.col(id_col), F.col("__t").substr(F.col("__i"), F.lit(3)).alias("gram")
-        )
-        .distinct()
     )
-    # repartition BY the partition column before the hive write: one
-    # task owns each bucket, so each bucket directory gets ONE file
+    grams = df.select(F.col(id_col), F.explode(gram_arr).alias("gram"))
+    # ONE exchange for dedup-safety + layout: ``bucket`` is a pure
+    # function of ``gram``, so hash-partitioning by bucket colocates
+    # every copy of a (doc, gram) pair — HashPartitioning(bucket)
+    # satisfies the dropDuplicates aggregate's ClusteredDistribution
+    # (subset rule) and Catalyst inserts no further exchange. The
+    # aggregate only guards against duplicate ``id_col`` rows in the
+    # input (its rows are otherwise already unique and it is cheap).
+    # The bucket partitioning doubles as the write layout: one task
+    # owns each bucket, so each bucket directory gets ONE file
     # instead of one per (task x bucket) — the small-files trap that
-    # makes both the write and every later pruned probe slow
-    grams.withColumn(
-        "bucket", _term_bucket(F.col("gram"), buckets)
-    ).repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(f"{path}/postings")
+    # makes both the write and every later pruned probe slow.
+    (
+        grams.withColumn("bucket", _term_bucket(F.col("gram"), buckets))
+        .repartition(F.col("bucket"))
+        .dropDuplicates(["bucket", id_col, "gram"])
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
 
 
 def substring_search_indexed(

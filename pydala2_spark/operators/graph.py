@@ -1177,31 +1177,34 @@ def hits(
     )
     a = None
     for _ in range(iterations):
-        araw = (
+        # materialize the RAW contribution frame, not the normalized
+        # scores: ``araw``/``hraw`` are each referenced twice (by the
+        # normalizer subquery and by the score projection), and
+        # Catalyst emits no ReusedExchange across the two references —
+        # unmaterialized, every half-iteration paid the edge join +
+        # aggregate TWICE (r14 measurement). The normalized frames are
+        # a cheap projection over the checkpoint, so they stay lazy.
+        araw = _materialize_once(
             e.join(h, "hub")
             .groupBy("auth")
             .agg(F.sum(F.col("h").cast(dec)).alias("__ar"))
         )
         asum = araw.agg(F.sum("__ar").cast("double").alias("__as"))
-        a = _materialize_once(
-            araw.crossJoin(F.broadcast(asum)).select(
-                "auth",
-                F.round(F.col("__ar").cast("double") / F.col("__as"), 12)
-                .alias("a"),
-            )
+        a = araw.crossJoin(F.broadcast(asum)).select(
+            "auth",
+            F.round(F.col("__ar").cast("double") / F.col("__as"), 12)
+            .alias("a"),
         )
-        hraw = (
+        hraw = _materialize_once(
             e.join(a, "auth")
             .groupBy("hub")
             .agg(F.sum(F.col("a").cast(dec)).alias("__hr"))
         )
         hsum = hraw.agg(F.sum("__hr").cast("double").alias("__hs"))
-        h = _materialize_once(
-            hraw.crossJoin(F.broadcast(hsum)).select(
-                "hub",
-                F.round(F.col("__hr").cast("double") / F.col("__hs"), 12)
-                .alias("h"),
-            )
+        h = hraw.crossJoin(F.broadcast(hsum)).select(
+            "hub",
+            F.round(F.col("__hr").cast("double") / F.col("__hs"), 12)
+            .alias("h"),
         )
     hubs = h.select(
         F.col("hub").alias("node"), F.lit("hub").alias("role"),
