@@ -746,7 +746,13 @@ def p_bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _app_scoped_tmp(spark, sf_dir, "pydala2_spark_bloomq")
     path = f"{root}/docs"
     shutil.rmtree(path, ignore_errors=True)
-    _t(spark, sf_dir, "documents").repartition(8).write.parquet(path)
+    # project to the probe's columns before the fixture write (guide
+    # §2.3 "project before the exchange"): the bloom proof is about
+    # file pruning on doc_id; shipping the text blobs through the
+    # scatter shuffle and write adds nothing to it
+    _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).repartition(8).write.parquet(path)
     build_bloom_index(spark, path, "doc_id", num_bits=1 << 14)
     vals = [7, 123, 456]
     pruned = read_bloom_pruned(spark, path, "doc_id", vals)
@@ -789,10 +795,10 @@ def m1_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders.repartition(40).write.parquet(path)
     # candidate rule is the reference's: a partition compacts only if
-    # its TOTAL rows fit one output file — size the cap to the data so
-    # the round-trip consolidates at every SF
-    n_rows = spark.read.parquet(path).count()
-    compact_partitions(spark, path, max_rows_per_file=n_rows + 1)
+    # its TOTAL rows fit one output file — an effectively-unbounded
+    # cap consolidates at every SF without paying a row-count job to
+    # size it (r14: the count's only consumer was this cap)
+    compact_partitions(spark, path, max_rows_per_file=2**62)
     import glob as _g
 
     n_files = len(_g.glob(f"{path}/*.parquet"))
@@ -1180,10 +1186,11 @@ def m2_compact_timeperiod_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     shutil.rmtree(path, ignore_errors=True)
     ev = _t(spark, sf_dir, "events").select("event_id", "ts")
     ev.repartition(30).write.parquet(path)
-    n_rows = spark.read.parquet(path).count()
+    # effectively-unbounded cap: one file per day bucket at every SF,
+    # without a row-count job whose only consumer was this cap (r14)
     compact_by_timeperiod(
         spark, path, interval="1d", timestamp_column="ts",
-        max_rows_per_file=n_rows + 1,
+        max_rows_per_file=2**62,
     )
     n_days = spark.read.parquet(path).select(
         F.to_date("ts").alias("d")

@@ -1432,14 +1432,23 @@ def doc_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the oracle. See functions/text.fix_mojibake."""
     from pydala2_spark.functions.text import fix_mojibake, mojibake_count
 
+    from pydala2_spark.operators.dedup import _materialize_once
+
     docs = _t(spark, sf_dir, "documents")
     c = F.col("text")
     for pat, rep in _MOJIBAKE_INJECT:
         c = F.replace(c, F.lit(pat), F.lit(rep))
-    out = docs.select(
-        "doc_id",
-        mojibake_count(col=c).alias("n_bad"),
-        F.md5(fix_mojibake(col=c).cast("binary")).alias("fixed_md5"),
+    # materialize (doc_id, n_bad, fixed_md5) BEFORE the n_bad filter:
+    # predicate pushdown otherwise substitutes the whole ~350-replace()
+    # detect/repair chain into the Filter node too, evaluating it
+    # twice per row (r14 plan audit: 352 replaces in Filter + 389 in
+    # Project → one pass over 3 narrow columns)
+    out = _materialize_once(
+        docs.select(
+            "doc_id",
+            mojibake_count(col=c).alias("n_bad"),
+            F.md5(fix_mojibake(col=c).cast("binary")).alias("fixed_md5"),
+        )
     )
     return out.filter(F.col("n_bad") > 0)
 

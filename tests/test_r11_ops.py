@@ -55,6 +55,26 @@ def test_spearman_matches_numpy_with_ties(spark):
     )
 
 
+def test_spearman_stacked_path_matches_per_column_path(spark):
+    # r14: same-dtype inputs take the single composite-prefix path;
+    # mixed dtypes keep the per-column pipelines. Same data, same
+    # answer — the int column cast to double flips the path taken.
+    from pydala2_spark.functions.dq import spearman_corr
+
+    xs = [1, 2, 2, 3, 3, 3, 10, 4, 5, 1]
+    ys = [2.0, 1.0, 3.0, 3.0, 5.0, 4.0, 30.0, 4.0, 6.0, 0.5]
+    mixed = spark.createDataFrame(pd.DataFrame({"x": xs, "y": ys}))
+    same = spark.createDataFrame(
+        pd.DataFrame({"x": [float(v) for v in xs], "y": ys})
+    )
+    assert dict(mixed.dtypes)["x"] != dict(mixed.dtypes)["y"]
+    assert dict(same.dtypes)["x"] == dict(same.dtypes)["y"]
+    a = _one(spearman_corr(mixed, "x", "y"))
+    b = _one(spearman_corr(same, "x", "y"))
+    assert a["n_pairs"] == b["n_pairs"] == 10
+    assert a["spearman_rho"] == b["spearman_rho"]
+
+
 def test_spearman_perfect_monotone(spark):
     from pydala2_spark.functions.dq import spearman_corr
 
