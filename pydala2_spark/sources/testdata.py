@@ -37,10 +37,31 @@ TABLES = [
 ]
 
 
+# Session-scoped open-table cache: re-opening the same source parquet
+# re-lists the directory and re-reads a footer for schema inference —
+# ~80-105 ms per open measured at sf0.1, and a full bench run performs
+# ~900 opens (278 queries x ~1.5 tables x ~2.2 passes). The cached
+# object is the UNRESOLVED scan DataFrame: no rows or results are
+# cached — every action still reads the parquet files — only the file
+# listing + inferred schema (catalog metadata) are reused, which is
+# exactly what a table catalog exists to hold. Keyed by applicationId
+# so a new session never sees another session's plans, and safe for
+# the corpus tables because nothing in the engine mutates sf_dir
+# (side-effecting queries write to app-scoped /tmp datasets and read
+# those back with fresh spark.read calls).
+_OPEN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        df = _fix_event_ts(df)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    df = _OPEN_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events":
+            df = _fix_event_ts(df)
+        if len(_OPEN_CACHE) > 256:  # bound growth across many sessions
+            _OPEN_CACHE.clear()
+        _OPEN_CACHE[key] = df
     return df
 
 
