@@ -662,14 +662,73 @@ def repartition_dataset(
 # ---------------------------------------------------------------------------
 
 
-def zorder_expr(df: DataFrame, cols: list[str], bits: int = 12):
+def _footer_minmax(
+    spark: SparkSession, path: str, cols: list[str]
+) -> dict[str, tuple[float, float]] | None:
+    """Global (min, max) per column from parquet FOOTERS only — no data
+    pages touched. Returns ``None`` when any file lacks min/max for any
+    requested column (caller falls back to a data-scan aggregate, the
+    M2 loud-fallback pattern). Driver-side for small file lists, a
+    distributed footer scan above that — metadata cost either way."""
+    import json as _json
+
+    from pydala2_spark.plans.fs import list_files
+    from pydala2_spark.plans.stats import (
+        _SCHEME_FILESYSTEMS,
+        _read_footers,
+        collect_file_stats,
+    )
+
+    files = list_files(spark, path, suffixes=(".parquet",))
+    if not files:
+        return None
+    if len(files) <= 32:
+        base = (
+            path
+            if "://" in path
+            else "file:" + os.path.abspath(path.removeprefix("file:"))
+        )
+        per_file = [
+            {k: {"min": v[0], "max": v[1]} for k, v in r[5].items()}
+            for r in _read_footers(base, files, dict(_SCHEME_FILESYSTEMS))
+        ]
+    else:
+        per_file = [
+            {k: {"min": v["min"], "max": v["max"]} for k, v in row[0].items()}
+            for row in collect_file_stats(spark, path, files=files)
+            .select("column_stats")
+            .collect()
+        ]
+    out: dict[str, tuple[float, float]] = {}
+    for c in cols:
+        mn = mx = None
+        for cs in per_file:
+            s = cs.get(c)
+            if s is None or s["min"] is None or s["max"] is None:
+                return None  # a stat-less file makes the footer answer partial
+            lo, hi = _json.loads(s["min"]), _json.loads(s["max"])
+            if not isinstance(lo, (int, float)) or not isinstance(hi, (int, float)):
+                return None
+            mn = lo if mn is None or lo < mn else mn
+            mx = hi if mx is None or hi > mx else mx
+        out[c] = (float(mn), float(mx))
+    return out
+
+
+def zorder_expr(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 12,
+    mins_maxs: dict[str, tuple[float, float]] | None = None,
+):
     """Interleaved-bit (Morton) key over ``cols``.
 
     Each column maps to a ``2^bits``-bucket id via ``width_bucket`` over
     its [min, max] (one tiny agg job — no per-column global sort), then
     the bucket bits interleave into one BIGINT. Pure Catalyst
     expressions end to end. Numeric columns only; rank/dictionary-encode
-    categoricals first.
+    categoricals first. ``mins_maxs`` supplies precomputed per-column
+    (min, max) — e.g. from parquet footers — skipping the scan job.
     """
     if not cols:
         raise ValueError("zorder_expr needs at least one column")
@@ -681,17 +740,21 @@ def zorder_expr(df: DataFrame, cols: list[str], bits: int = 12):
     if max_bits < 1:
         raise ValueError(f"too many z-order columns ({len(cols)}): max 63")
     bits = min(bits, max_bits)
-    mins_maxs = df.agg(
-        *[F.min(c).alias(f"mn_{c}") for c in cols],
-        *[F.max(c).alias(f"mx_{c}") for c in cols],
-    ).first()
+    if mins_maxs is None:
+        row = df.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in cols],
+            *[F.max(c).alias(f"mx_{c}") for c in cols],
+        ).first()
+        mins_maxs = {
+            c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in cols
+        }
     n = 1 << bits
     bucket_exprs = []
     for c in cols:
         # an all-null column has null min/max: give it the degenerate
         # [0, 1] range (every row lands in bucket 0 — no clustering
         # signal, but no crash and the other columns still interleave)
-        mn_raw, mx_raw = mins_maxs[f"mn_{c}"], mins_maxs[f"mx_{c}"]
+        mn_raw, mx_raw = mins_maxs[c]
         mn = float(mn_raw) if mn_raw is not None else 0.0
         mx = float(mx_raw) if mx_raw is not None else 1.0
         if mx <= mn:
@@ -734,7 +797,16 @@ def zorder_rewrite(
     Swap is staged + atomic, same as ``repartition_dataset``.
     """
     df = spark.read.parquet(path)
-    z = zorder_expr(df, cols, bits).alias("__z")
+    # min/max from parquet footers when every file carries exact stats
+    # for every z-column (integral columns only — float stats carry a
+    # NaN hazard, strings truncate): a metadata-only job replaces the
+    # full-table min/max scan. Falls back to the scan aggregate when
+    # stats are partial (e.g. INT96 data), the M2 loud-fallback shape.
+    dtypes = dict(df.dtypes)
+    mm = None
+    if all(dtypes.get(c) in ("tinyint", "smallint", "int", "bigint") for c in cols):
+        mm = _footer_minmax(spark, path, cols)
+    z = zorder_expr(df, cols, bits, mins_maxs=mm).alias("__z")
     clustered = df.select("*", z)
     if target_file_count:
         clustered = clustered.repartitionByRange(target_file_count, F.col("__z"))

@@ -693,6 +693,42 @@ def test_zorder_improves_multi_column_pruning(spark, tmp_ds_path):
     assert spark.read.parquet(tmp_ds_path).count() == 40_000  # rows preserved
 
 
+def test_zorder_footer_minmax_exact_and_statless_fallback(spark, tmp_ds_path):
+    """The footer-only min/max used by zorder_rewrite on integral
+    columns must equal the data-scan answer exactly (same bucket
+    boundaries, so the clustered layout is bit-identical), and a
+    dataset containing ANY stat-less file must yield None so the
+    caller falls back to the scan aggregate instead of clustering on
+    partial bounds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from pydala2_spark.operators.maintenance import _footer_minmax
+
+    df = spark.range(0, 10_000).selectExpr(
+        "id AS k", "cast(id % 97 AS bigint) AS v"
+    )
+    df.repartition(4).write.parquet(tmp_ds_path)
+    mm = _footer_minmax(spark, tmp_ds_path, ["k", "v"])
+    scan = df.agg(
+        F.min("k"), F.max("k"), F.min("v"), F.max("v")
+    ).first()
+    assert mm == {
+        "k": (float(scan[0]), float(scan[1])),
+        "v": (float(scan[2]), float(scan[3])),
+    }
+
+    # drop a stat-less parquet file into the dataset: footer answer
+    # must become None (partial bounds are worse than a scan)
+    pq.write_table(
+        pa.table({"k": pa.array([5], pa.int64()), "v": pa.array([3], pa.int64())}),
+        f"{tmp_ds_path}/nostats.parquet",
+        write_statistics=False,
+    )
+    assert _footer_minmax(spark, tmp_ds_path, ["k", "v"]) is None
+
+
 def test_zorder_expr_null_column_and_bits_clamp(spark):
     """An all-null column must not crash the key builder, and the
     interleave must stay inside 63 bits however many columns are given
