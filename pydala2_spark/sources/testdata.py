@@ -37,31 +37,35 @@ TABLES = [
 ]
 
 
-# Session-scoped open-table cache: re-opening the same source parquet
-# re-lists the directory and re-reads a footer for schema inference —
-# ~80-105 ms per open measured at sf0.1, and a full bench run performs
-# ~900 opens (278 queries x ~1.5 tables x ~2.2 passes). The cached
-# object is the UNRESOLVED scan DataFrame: no rows or results are
-# cached — every action still reads the parquet files — only the file
-# listing + inferred schema (catalog metadata) are reused, which is
-# exactly what a table catalog exists to hold. Keyed by applicationId
-# so a new session never sees another session's plans, and safe for
-# the corpus tables because nothing in the engine mutates sf_dir
-# (side-effecting queries write to app-scoped /tmp datasets and read
-# those back with fresh spark.read calls).
-_OPEN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# Session-scoped SCHEMA cache: re-opening the same source parquet
+# re-reads a footer for schema inference — ~80-105 ms per open
+# measured at sf0.1, and a full bench run performs ~900 opens
+# (278 queries x ~1.5 tables x ~2.2 passes). Only the inferred schema
+# (catalog metadata — what a table catalog exists to hold) is reused;
+# every call still returns a FRESH relation with fresh expression ids,
+# so two opens of one table join as two relations, never an ambiguous
+# self-join (caching the DataFrame itself broke q8's nation-x-nation
+# join), and every action still reads the parquet files. Keyed by
+# applicationId so a new session never reuses another's metadata; the
+# corpus tables are immutable for a session's lifetime (side-effecting
+# queries write to app-scoped /tmp datasets, read back with fresh
+# spark.read calls).
+_SCHEMA_CACHE: dict[tuple[str, str, str], object] = {}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
-    df = _OPEN_CACHE.get(key)
-    if df is None:
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if name == "events":
-            df = _fix_event_ts(df)
-        if len(_OPEN_CACHE) > 256:  # bound growth across many sessions
-            _OPEN_CACHE.clear()
-        _OPEN_CACHE[key] = df
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        if len(_SCHEMA_CACHE) > 256:  # bound growth across many sessions
+            _SCHEMA_CACHE.clear()
+        _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
+    if name == "events":
+        df = _fix_event_ts(df)
     return df
 
 
