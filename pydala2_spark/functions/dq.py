@@ -657,9 +657,15 @@ def ks_two_sample(
     )
     cum2 = (F.col("__cum") % shift).cast("decimal(38,0)")
     cum1 = ((F.col("__cum") - cum2) / shift).cast("decimal(38,0)")
-    tot = per_v.agg(
-        F.sum("c1").cast("long").alias("n1"),
-        F.sum("c2").cast("long").alias("n2"),
+    # totals = the LAST inclusive prefix, unpacked — aggregating per_v
+    # again would re-run the corpus scan + groupBy; the max over the
+    # prefix CHECKPOINT is the same exact packed integer (counts are
+    # nonnegative, so the cumulative is monotone)
+    tot = pref.agg(F.max("__cum").alias("__mx")).select(
+        ((F.col("__mx") - F.col("__mx") % shift) / shift)
+        .cast("long")
+        .alias("n1"),
+        (F.col("__mx") % shift).cast("long").alias("n2"),
     )
     mx = (
         pref.crossJoin(F.broadcast(tot))
@@ -2079,10 +2085,14 @@ def wasserstein_1d(
         g, ["v"], sum_col=["ca", "cb"], cum_col=["cum_a", "cum_b"],
         rank_col="__r",
     )
-    tot = g.agg(
-        F.sum("ca").cast("long").alias("n_a"),
-        F.sum("cb").cast("long").alias("n_b"),
-        F.count(F.lit(1)).cast("long").alias("n_values"),
+    # totals from the prefix CHECKPOINT (last inclusive cum / max rank)
+    # — aggregating g again would re-run the corpus scan + groupBy;
+    # counts are nonnegative so the cumulatives are monotone and their
+    # max is the exact total
+    tot = pre.agg(
+        F.max("cum_a").cast("long").alias("n_a"),
+        F.max("cum_b").cast("long").alias("n_b"),
+        F.max("__r").cast("long").alias("n_values"),
     )
     nxt = pre.select(
         (F.col("__r") - 1).alias("__r"), F.col("v").alias("v_next")

@@ -174,6 +174,11 @@ def distributed_ntile(
 
     ``order_cols`` must totally order the rows (include a unique
     tiebreaker)."""
+    # n comes from df.agg(count), NOT max(rank) over the prefix frame:
+    # every caller feeds a materialized input, so the count is a
+    # trivial scan, while the max-rank form re-runs the prefix window
+    # for the broadcast subquery (measured 17% slower on rfm_scores,
+    # r14 interleaved A/B)
     n_row = df.agg(F.count(F.lit(1)).alias("__n"))
     r = distributed_prefix(
         df, order_cols, n_partitions=n_partitions, rank_col="__r"

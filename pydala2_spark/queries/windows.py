@@ -268,14 +268,18 @@ def w_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         )
     ).withColumn("__rd", F.col("revenue").cast(_DEC))
-    total = rev.agg(F.sum("__rd").cast("double").alias("total"))
+    pre = distributed_prefix(
+        rev,
+        [F.desc("revenue"), F.asc("partkey")],
+        sum_col="__rd",
+        cum_col="__cumd",
+    )
+    # total = the LAST inclusive prefix (exact decimal) — aggregating
+    # rev again would re-run the lineitem scan+groupBy; max(__cumd)
+    # reads the prefix checkpoint instead (guide §1.2)
+    total = pre.agg(F.max("__cumd").cast("double").alias("total"))
     c = (
-        distributed_prefix(
-            rev,
-            [F.desc("revenue"), F.asc("partkey")],
-            sum_col="__rd",
-            cum_col="__cumd",
-        )
+        pre
         .withColumn("cum", F.col("__cumd").cast("double"))
         .crossJoin(F.broadcast(total))
     )
