@@ -30,25 +30,31 @@ def fk_orphan_report(
     NULL foreign keys are not orphans (they are the profile's
     ``n_null`` problem, not a dangling reference).
 
-    100 TB shape: each relation is one LEFT ANTI join on the key —
-    Catalyst broadcasts the deduped dimension key set when small
-    (always, for real dimensions), so the fact side streams without a
-    shuffle; the count collapses map-side. Relations union as
-    single-row frames — no driver collect.
+    100 TB shape: each relation is ONE pass over the fact — a LEFT
+    join against the broadcast deduped dimension key set (1:<=1, no
+    fanout), with the total row count and the orphan count (non-null
+    key, no match) folding in the same map-side aggregate; the fact
+    side never shuffles and is never scanned twice. Relations union
+    as single-row frames — no driver collect.
     """
     if not relations:
         raise ValueError("relations must be non-empty")
     outs = []
     for name, fact, fk, dim, pk in relations:
         keys = dim.select(F.col(pk).alias("__pk")).distinct()
-        nonnull = fact.filter(F.col(fk).isNotNull())
-        orphans = nonnull.join(
-            F.broadcast(keys), nonnull[fk] == F.col("__pk"), "left_anti"
+        j = fact.select(F.col(fk).alias("__fk")).join(
+            F.broadcast(keys), F.col("__fk") == F.col("__pk"), "left"
         )
-        o = orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
-        n = fact.agg(F.count(F.lit(1)).alias("n_rows"))
         outs.append(
-            n.crossJoin(F.broadcast(o)).select(
+            j.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(
+                    F.when(
+                        F.col("__fk").isNotNull() & F.col("__pk").isNull(),
+                        F.lit(1),
+                    )
+                ).alias("n_orphans"),
+            ).select(
                 F.lit(name).alias("relation"),
                 "n_rows",
                 "n_orphans",

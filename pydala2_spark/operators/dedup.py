@@ -750,6 +750,8 @@ def semantic_dedup(
     """
     from pydala2_spark.operators.similarity import (
         _KMEANS_LITERAL_LIMIT,
+        _assign_expr,
+        _centroid_literal_sql,
         kmeans_lloyd,
         scalar_dot,
         srp_bucket,
@@ -760,11 +762,48 @@ def semantic_dedup(
     if quantizer not in ("auto", "kmeans", "srp"):
         raise ValueError(f"quantizer must be auto|kmeans|srp, got {quantizer!r}")
     d = dim or vector_dim(df, vec_col)
+    # Attach the cell id WITHOUT a corpus-by-id join wherever the
+    # assignment is expressible as a scan-stage projection (the §8
+    # "decide small, attach cheap" shape): an id equi-join of the
+    # corpus with an n-row assignment frame shuffles the whole corpus
+    # by a key that has nothing to do with where rows must end up
+    # (cells). Only a caller-supplied `assignments` frame — an
+    # external artifact — still joins (LEFT, so partial coverage
+    # surfaces as cid-null keepers).
+    base = None
     if assignments is None:
         use_kmeans = quantizer == "kmeans" or (
             quantizer == "auto" and k * d <= _KMEANS_LITERAL_LIMIT
         )
-        if use_kmeans:
+        if use_kmeans and k * d <= _KMEANS_LITERAL_LIMIT:
+            # fit only (assign=False skips kmeans' final assignment
+            # pass + eager checkpoint); re-derive the identical argmin
+            # as a projection over the corpus scan — same centroid
+            # literal, same left-to-right distance fold, same cid-asc
+            # tiebreak as _assign_frame's literal path
+            _, cents = kmeans_lloyd(
+                df,
+                k=k,
+                iters=iters,
+                vec_col=vec_col,
+                id_col=id_col,
+                dim=d,
+                assign=False,
+            )
+            cast_vec = f"transform({vec_col}, x -> cast(x as double))"
+            # _spread: the per-row widening downstream needs more than
+            # the source file count of partitions on tiny inputs; the
+            # old join's exchange provided that incidentally
+            base = _spread(df, id_col).select(
+                F.col(id_col),
+                F.col(vec_col),
+                _assign_expr(_centroid_literal_sql(cents), vec=cast_vec)[
+                    "cid"
+                ].alias("cid"),
+            )
+        elif use_kmeans:
+            # forced quantizer="kmeans" above the literal limit: the
+            # broadcast-join assignment path needs the frame form
             assignments, _ = kmeans_lloyd(
                 df, k=k, iters=iters, vec_col=vec_col, id_col=id_col, dim=d
             )
@@ -772,14 +811,18 @@ def semantic_dedup(
             # the measured 39x-at-100x Lloyd cliff: constant cell size
             # means k ∝ n and brute assignment is k·n. SRP cells give
             # ~k data-distributed blocks from one scan-stage
-            # projection — same pair screen, O(n) quantizer.
+            # projection — same pair screen, O(n) quantizer; the
+            # bucket expression rides the corpus scan directly.
             planes = max(1, math.ceil(math.log2(max(2, k))))
-            assignments = df.select(
-                F.col(id_col), srp_bucket(vec_col, planes, d).alias("cid")
+            base = _spread(df, id_col).select(
+                F.col(id_col),
+                F.col(vec_col),
+                srp_bucket(vec_col, planes, d).alias("cid"),
             )
-    base = df.select(id_col, vec_col).join(
-        assignments.select(id_col, "cid"), id_col, "left"
-    )
+    if base is None:
+        base = df.select(id_col, vec_col).join(
+            assignments.select(id_col, "cid"), id_col, "left"
+        )
     v = _materialize_once(unit_scalar_frame(base, vec_col, [id_col, "cid"], d))
     cond = (F.col("a.cid") == F.col("b.cid")) & (
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")

@@ -3399,7 +3399,12 @@ def retention_halflife(
     f = a.groupBy(user_col).agg(F.min("day").alias("cohort"))
     bounds = a.agg(F.max("day").alias("__mx"))
     # cohorts fully observed over [0, max_offset]
-    full = (
+    # `full` feeds BOTH the activity join and the base agg; `r` feeds
+    # BOTH the OLS moments and the rate pivot — without a checkpoint
+    # each consumer re-runs the first-seen aggregate / the activity
+    # join (Catalyst emits no ReusedExchange here, the
+    # _materialize_once measurement)
+    full = _materialize_once(
         f.crossJoin(F.broadcast(bounds))
         .filter(F.datediff(F.col("__mx"), F.col("cohort")) >= max_offset)
         .select(user_col, "cohort")
@@ -3415,9 +3420,12 @@ def retention_halflife(
         F.count(F.lit(1)).cast("long").alias("cohort_users"),
         F.count_distinct("cohort").cast("long").alias("n_cohorts"),
     )
-    r = act.crossJoin(F.broadcast(base)).withColumn(
-        "rate",
-        F.col("n_active").cast("double") / F.col("cohort_users").cast("double"),
+    r = _materialize_once(
+        act.crossJoin(F.broadcast(base)).withColumn(
+            "rate",
+            F.col("n_active").cast("double")
+            / F.col("cohort_users").cast("double"),
+        )
     )
     fitpts = r.filter((F.col("d") >= 1) & (F.col("rate") > 0))
 

@@ -505,7 +505,8 @@ def kmeans_lloyd(
     id_col: str = "vec_id",
     dim: int = 64,
     persist: bool = True,
-) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    assign: bool = True,
+) -> tuple[DataFrame | None, list[tuple[int, list[float]]]]:
     """Distributed Lloyd's k-means over an embedding column; returns
     (assignments, final_centroids) where assignments carries
     ``(id_col, cid, d)`` with ``d`` the squared L2 distance to the
@@ -602,6 +603,13 @@ def kmeans_lloyd(
             .collect()
         )
         cents = [(r["cid"], list(r["c"])) for r in means]
+    if not assign:
+        # caller only wants the fitted centroids (it will attach cids
+        # itself, e.g. as a scan-stage projection — semantic_dedup):
+        # skip the final assignment pass AND its eager checkpoint
+        if persist:
+            e.unpersist()
+        return None, cents
     out = _assign_frame(e, cents, id_col)
     if persist:
         # cut the returned frame's lineage off the corpus-sized cache

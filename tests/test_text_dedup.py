@@ -638,6 +638,22 @@ def test_kmeans_recovers_separated_blobs(spark, blobs):
     assert len(cents) == 2 and all(len(c) == 8 for _, c in cents)
 
 
+def test_kmeans_assign_false_returns_same_centroids(spark, blobs):
+    """assign=False is the fit-only fast path (semantic_dedup attaches
+    cids itself as a scan-stage projection): it must return (None,
+    cents) with cents IDENTICAL to the assign=True fit — same seeds,
+    same decimal-accumulated means."""
+    from pydala2_spark.operators.similarity import kmeans_lloyd
+
+    full_assigned, full_cents = kmeans_lloyd(blobs, k=2, iters=2, dim=8)
+    none_assigned, fit_cents = kmeans_lloyd(
+        blobs, k=2, iters=2, dim=8, assign=False
+    )
+    assert none_assigned is None
+    assert fit_cents == full_cents
+    assert full_assigned.count() == 60
+
+
 def test_kmeans_inertia_non_increasing(spark, blobs):
     from pyspark.sql import functions as F
 
