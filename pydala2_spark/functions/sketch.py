@@ -948,7 +948,17 @@ def ddsketch_quantiles(
         ).alias(f"__b{i}")
         for i, q in enumerate(qs)
     ]
-    row = j.agg(F.max("__n").alias("n_rows"), F.max("__nb").alias("n_buckets"), *picks)
+    # n_rows/n_buckets come from the TOTALS leg, not max() over the
+    # (possibly empty) cumulative frame: on an empty state max() is
+    # NULL while the oracle's count(*) totals leg says n_buckets=0 —
+    # the engines must agree on the degenerate input too (non-empty
+    # states: max of a constant column == the totals value, identical)
+    row = (
+        j.agg(*picks)
+        .crossJoin(F.broadcast(tot))
+        .withColumnRenamed("__n", "n_rows")
+        .withColumnRenamed("__nb", "n_buckets")
+    )
     arms = [
         F.struct(
             F.lit(q).alias("q"),

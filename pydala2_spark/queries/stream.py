@@ -713,6 +713,12 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ORACLE ORDER-KEY BOUND: the oracle encodes the in-session event
+    # order as k = epoch_us(ts) * 1e9 + event_id (HUGEINT), which
+    # matches the operator's lexicographic (ts, event_id) sort only
+    # while event_id < 1e9 — testdata event_ids are dense row numbers
+    # far below that; a corpus with larger ids would need the oracle
+    # to compare (ts, event_id) tuples directly.
     # custom STATEFUL streaming operator, oracle-checked end-to-end:
     # per-user session-scoped ORDERED funnel (first view, first click
     # after it, first purchase after that; sessions split on >30 min

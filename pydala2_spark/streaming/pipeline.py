@@ -1098,7 +1098,17 @@ def _funnel_fn(
         last_ts, v, c, p = None, False, False, False
         s0 = s1 = s2 = s3 = 0
         has_open = False
-    for pdf in batches:
+    # applyInPandasWithState delivers a group's rows as MULTIPLE Arrow
+    # chunks (maxRecordsPerBatch, multi-file micro-batches) in
+    # partition order, not timestamp order — the ordered funnel is
+    # order-sensitive, so concatenate the whole group and sort ONCE
+    # over (ts, event_id) before iterating (per-user data is small;
+    # state stays O(1) per user)
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(
+            chunks, ignore_index=True
+        )
         pdf = pdf.assign(__us=pdf["ts"].astype("int64") // 1000).sort_values(
             ["__us", "event_id"]
         )

@@ -146,10 +146,20 @@ def test_concurrent_committers_lose_no_updates(spark, tmp_ds_path):
 
     try:
         race(tmp_ds_path)
-    except AssertionError:
+    except AssertionError as first:
         saturated = os.getloadavg()[0] > (os.cpu_count() or 1)
         if not saturated:
             raise
+        # keep the masked first-run red VISIBLE in test output — an
+        # intermittent real lost-update bug must not vanish silently
+        # behind the load retry
+        import warnings
+
+        warnings.warn(
+            "concurrent-committers race retried under load "
+            f"(loadavg={os.getloadavg()[0]:.1f}); first failure: {first!r}",
+            stacklevel=1,
+        )
         retry_path = tmp_ds_path + "_retry"
         try:
             race(retry_path)
