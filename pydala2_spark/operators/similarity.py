@@ -1716,26 +1716,30 @@ def pair_cosine_histogram(
 
     100 TB shape: unit vectors widen to scalar columns ONCE (lazily
     checkpointed — both join sides read the stored copy and the
-    O(pairs) dot stays in whole-stage codegen); pairs are |strides|
-    equi-joins on id arithmetic; the histogram is one
-    map-side-combined groupBy over <= 21 bins with a one-row
-    broadcast total for the shares.
+    O(pairs) dot stays in whole-stage codegen); the stride fanout is
+    an explode ON the stored wide frame (every id exists in it, so
+    the former ids-side equi-join was an identity filter — one join
+    and its two exchanges removed), leaving ONE equi-join on id
+    arithmetic; the histogram is one map-side-combined groupBy over
+    <= 21 bins with a one-row broadcast total for the shares.
     """
     from pydala2_spark.operators.dedup import _materialize_once
 
     d = dim or vector_dim(emb, vec_col)
     wide = _materialize_once(unit_scalar_frame(emb, vec_col, [id_col], d))
     ua = wide.select(
-        F.col(id_col).alias("ia"), *[F.col(f"d{i}").alias(f"a{i}") for i in range(1, d + 1)]
+        F.col(id_col).alias("ia"),
+        F.explode(F.array(*[F.lit(int(s)) for s in strides])).alias("__s"),
+        *[F.col(f"d{i}").alias(f"a{i}") for i in range(1, d + 1)],
+    ).select(
+        "ia",
+        (F.col("ia") + F.col("__s")).alias("ib"),
+        *[f"a{i}" for i in range(1, d + 1)],
     )
     ub = wide.select(
         F.col(id_col).alias("ib"), *[F.col(f"d{i}").alias(f"b{i}") for i in range(1, d + 1)]
     )
-    ids = emb.select(
-        F.col(id_col).alias("ia"),
-        F.explode(F.array(*[F.lit(int(s)) for s in strides])).alias("s"),
-    ).select("ia", (F.col("ia") + F.col("s")).alias("ib"))
-    j = ids.join(ua, "ia").join(ub, "ib")
+    j = ua.join(ub, "ib")
     dot = None
     for i in range(1, d + 1):
         term = F.col(f"a{i}") * F.col(f"b{i}")
