@@ -1131,16 +1131,16 @@ def mmr_select(
 
     100 TB shape: ONE corpus pass scores relevance and
     TakeOrderedAndProject keeps the ``pool`` candidates (the re-rank
-    pool, the standard production shape); the k-step greedy loop then
-    runs on that pool-sized frame with chosen vectors inlined as
-    literals — zero joins, driver holds k + pool rows of metadata,
-    never the corpus."""
+    pool, the standard production shape); the greedy loop then runs
+    DRIVER-SIDE over the collected pool — every round-4 dot and score
+    the loop can touch is precomputed by one tiny local Spark job
+    (pool² rows, no scan), so the arithmetic stays engine-exact while
+    the k picks cost zero jobs instead of one plan+collect each.
+    The driver holds k + pool rows of metadata, never the corpus."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     if pool < k:
         raise ValueError(f"pool must be >= k, got pool={pool} k={k}")
-    from pydala2_spark.operators.dedup import _materialize_once
-
     u = _spread(df, id_col).select(
         F.col(id_col), unit_expr(vec_col).alias("__uv")
     )
@@ -1154,53 +1154,75 @@ def mmr_select(
         ),
         4,
     )
-    cand = _materialize_once(
+    cand = (
         u.select(F.col(id_col), F.col("__uv"), rel.alias("__rel"))
         .orderBy(F.col("__rel").desc(), F.col(id_col).asc())
         .limit(pool)
+        .collect()
     )
-    seed = cand.orderBy(F.col("__rel").desc(), F.col(id_col).asc()).limit(
-        1
-    ).collect()[0]
-    chosen = [
-        (seed[id_col], float(seed["__rel"]), float(seed["__rel"]),
-         list(seed["__uv"]))
+    cand.sort(key=lambda r: (-r["__rel"], r[id_col]))
+    # ALL round-4 dots and scores the greedy loop can consult, in ONE
+    # local job with the exact expression forms the per-pick jobs used
+    # (same zip_with/aggregate fold, same shared-repr weight literals)
+    # — the loop itself then only compares precomputed doubles, which
+    # is decision-equivalent to the former per-pick Spark argmax.
+    wl, wd = _mmr_weights(lam)
+    prs = [
+        (
+            int(a[id_col]), int(b[id_col]), float(a["__rel"]),
+            [float(x) for x in a["__uv"]], [float(x) for x in b["__uv"]],
+        )
+        for a in cand
+        for b in cand
+        if a[id_col] != b[id_col]
     ]
-    for _ in range(k - 1):
-        dots = [
+    dotc = F.round(
+        F.aggregate(
+            F.zip_with("va", "vb", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+    mat = (
+        df.sparkSession.createDataFrame(
+            prs, "ca long, cb long, ra double, va array<double>, vb array<double>"
+        )
+        .select(
+            "ca",
+            "cb",
+            dotc.alias("d"),
             F.round(
-                F.aggregate(
-                    F.zip_with(
-                        "__uv",
-                        F.array(*[F.lit(float(x)) for x in vec]),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                4,
-            )
-            for (_, _, _, vec) in chosen
-        ]
-        mc = F.greatest(*dots) if len(dots) > 1 else dots[0]
-        wl, wd = _mmr_weights(lam)
-        score = F.round(
-            F.expr(wl) * F.col("__rel") - F.expr(wd) * mc, 4
+                F.expr(wl) * F.col("ra") - F.expr(wd) * dotc, 4
+            ).alias("sc"),
         )
-        pick = (
-            cand.filter(~F.col(id_col).isin([c[0] for c in chosen]))
-            .select(F.col(id_col), "__uv", "__rel", score.alias("__s"))
-            .orderBy(F.col("__s").desc(), F.col(id_col).asc())
-            .limit(1)
-            .collect()[0]
-        )
-        chosen.append(
-            (pick[id_col], float(pick["__rel"]), float(pick["__s"]),
-             list(pick["__uv"]))
-        )
-    rows = [(i + 1, cid, r, s) for i, (cid, r, s, _) in enumerate(chosen)]
+        .collect()
+    )
+    dot = {(r["ca"], r["cb"]): r["d"] for r in mat}
+    sc_at = {(r["ca"], r["cb"]): r["sc"] for r in mat}
+    seed = cand[0]
+    chosen = [int(seed[id_col])]
+    out = [(1, int(seed[id_col]), float(seed["__rel"]), float(seed["__rel"]))]
+    for _ in range(k - 1):
+        best = None  # (score, id, rel); argmax by (score DESC, id ASC)
+        for r in cand:
+            cid = int(r[id_col])
+            if cid in chosen:
+                continue
+            mc = max(dot[(cid, s)] for s in chosen)
+            # equal d => equal sc, so any maximizing s yields THE score
+            s_star = next(s for s in chosen if dot[(cid, s)] == mc)
+            s = sc_at[(cid, s_star)]
+            if (
+                best is None
+                or s > best[0]
+                or (s == best[0] and cid < best[1])
+            ):
+                best = (s, cid, float(r["__rel"]))
+        chosen.append(best[1])
+        out.append((len(out) + 1, best[1], best[2], best[0]))
     return df.sparkSession.createDataFrame(
-        rows, "sel_rank int, id long, relevance double, mmr_score double"
+        out, "sel_rank int, id long, relevance double, mmr_score double"
     )
 
 
