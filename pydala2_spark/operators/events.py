@@ -1485,41 +1485,52 @@ def concurrency_sweep(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         .agg(F.min("ts").alias("__s"), F.max("ts").alias("__e"))
         .localCheckpoint()
     )
+    # ONE scan of the session checkpoint emits both sweep deltas per
+    # interval (explode), instead of a two-branch union scanning it
+    # twice; the prefix re-sorts globally, so row order is immaterial
     deltas = sess.select(
-        F.col("__s").alias("t"),
-        F.lit(0).alias("pri"),
-        F.lit(1).cast("decimal(38,0)").alias("d"),
         "user_id",
         "__sid",
-    ).unionAll(
-        sess.select(
-            F.col("__e").alias("t"),
-            F.lit(1).alias("pri"),
-            F.lit(-1).cast("decimal(38,0)").alias("d"),
-            "user_id",
-            "__sid",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("__s").alias("t"),
+                    F.lit(0).alias("pri"),
+                    F.lit(1).cast("decimal(38,0)").alias("d"),
+                ),
+                F.struct(
+                    F.col("__e").alias("t"),
+                    F.lit(1).alias("pri"),
+                    F.lit(-1).cast("decimal(38,0)").alias("d"),
+                ),
+            )
+        ).alias("__ev"),
+    ).select("user_id", "__sid", "__ev.t", "__ev.pri", "__ev.d")
     cum = distributed_prefix(
         deltas,
         [F.asc("t"), F.asc("pri"), F.asc("user_id"), F.asc("__sid")],
         sum_col="d",
         cum_col="__cum",
     ).localCheckpoint()
-    peak = cum.agg(F.max("__cum").alias("__peak"))
-    n_int = sess.agg(F.count(F.lit(1)).alias("n_intervals"))
-    first = (
-        cum.join(F.broadcast(peak), F.col("__cum") == F.col("__peak"))
-        .agg(F.min("t").alias("__ft"))
+    # peak AND first-peak-time in ONE pass over the checkpoint: the
+    # lexicographic max of (cum, -epoch_us) is (max cum, -min t among
+    # argmax rows) — exact integer/decimal compare, no tie hazard
+    pk = cum.agg(
+        F.max(
+            F.struct(
+                F.col("__cum").alias("c"),
+                (-F.unix_micros("t")).alias("negus"),
+            )
+        ).alias("__m")
+    ).select(
+        F.col("__m.c").alias("__peak"),
+        F.timestamp_micros(-F.col("__m.negus")).alias("__ft"),
     )
-    return (
-        n_int.crossJoin(F.broadcast(peak))
-        .crossJoin(F.broadcast(first))
-        .select(
-            "n_intervals",
-            F.col("__peak").cast("long").alias("peak_concurrency"),
-            F.date_format("__ft", "yyyy-MM-dd HH:mm:ss").alias("first_peak_at"),
-        )
+    n_int = sess.agg(F.count(F.lit(1)).alias("n_intervals"))
+    return n_int.crossJoin(F.broadcast(pk)).select(
+        "n_intervals",
+        F.col("__peak").cast("long").alias("peak_concurrency"),
+        F.date_format("__ft", "yyyy-MM-dd HH:mm:ss").alias("first_peak_at"),
     )
 
 
