@@ -27,6 +27,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _endpoints(e: DataFrame, a: str, b: str, out: str = "n") -> DataFrame:
+    """Both edge endpoints in ONE scan of the edge frame (explode) —
+    the two-branch union form reads the frame twice per consumer (the
+    concurrency_sweep lesson; multiset output is identical)."""
+    return e.select(F.explode(F.array(a, b)).alias(out))
+
+
+def _symmetrize(
+    e: DataFrame, a: str, b: str, u: str = "u", v: str = "v"
+) -> DataFrame:
+    """Undirected adjacency — every edge in both directions — in ONE
+    scan (explode of the two oriented structs), not a two-branch
+    union scanning the edge frame twice. Multiset-identical output."""
+    return e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a).alias(u), F.col(b).alias(v)),
+                F.struct(F.col(b).alias(u), F.col(a).alias(v)),
+            )
+        ).alias("__s")
+    ).select(f"__s.{u}", f"__s.{v}")
+
+
 def transition_edges(
     ev: DataFrame,
     type_col: str = "event_type",
@@ -257,8 +280,7 @@ def _triangle_pass(e: DataFrame) -> tuple[DataFrame, DataFrame]:
     replaying the pass per leg (the 289-exchange plan this module's
     checkpoint discipline eliminated)."""
     deg = (
-        e.select(F.col("a").alias("n"))
-        .unionAll(e.select(F.col("b").alias("n")))
+        _endpoints(e, "a", "b")
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
         .localCheckpoint()
@@ -406,10 +428,7 @@ def kcore(
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     if checkpoint_every < 1:
         raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
-    adj = edges.select(
-        F.col("src").alias("u"), F.col("dst").alias("v")
-    ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
-    adj = adj.localCheckpoint()
+    adj = _symmetrize(edges, "src", "dst").localCheckpoint()
     n_edges = adj.count()
     rounds_left = max_iter
     while rounds_left > 0 and n_edges > 0:
@@ -551,9 +570,7 @@ def link_prediction_scores(
     localCheckpoint-ed — the triangle_counts lesson: without it every
     consumption re-runs the caller's full edge-derivation lineage."""
     edges = edges.select("src", "dst").localCheckpoint()
-    adj = edges.select(
-        F.col("src").alias("u"), F.col("dst").alias("v")
-    ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    adj = _symmetrize(edges, "src", "dst")
     deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     mid = deg
     if max_middle_degree is not None:
@@ -634,9 +651,7 @@ def bfs_distances(
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
     edges = edges.select("src", "dst").localCheckpoint()
-    adj = edges.select(
-        F.col("src").alias("node"), F.col("dst").alias("v")
-    ).unionAll(edges.select(F.col("dst").alias("node"), F.col("src").alias("v")))
+    adj = _symmetrize(edges, "src", "dst", u="node", v="v")
     nodes = adj.select("node").distinct()
     settled = (
         seeds.select("node")
@@ -718,13 +733,7 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     edges = edges.select("src", "dst").localCheckpoint()
-    adj = (
-        edges.select(F.col("src").alias("node"), F.col("dst").alias("v"))
-        .unionAll(
-            edges.select(F.col("dst").alias("node"), F.col("src").alias("v"))
-        )
-        .localCheckpoint()
-    )
+    adj = _symmetrize(edges, "src", "dst", u="node", v="v").localCheckpoint()
     labels = (
         adj.select("node")
         .distinct()
@@ -799,8 +808,7 @@ def modularity_report(
     comm = communities.localCheckpoint()
     m_row = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
     deg = (
-        edges.select(F.col("src").alias("node"))
-        .unionAll(edges.select(F.col("dst").alias("node")))
+        _endpoints(edges, "src", "dst", out="node")
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -890,8 +898,7 @@ def degree_assortativity(edges: DataFrame, ndigits: int = 6) -> DataFrame:
     dec = "decimal(38,0)"
     edges = edges.select("src", "dst").localCheckpoint()
     deg = (
-        edges.select(F.col("src").alias("node"))
-        .unionAll(edges.select(F.col("dst").alias("node")))
+        _endpoints(edges, "src", "dst", out="node")
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
         .localCheckpoint()
@@ -1324,11 +1331,7 @@ def negative_edge_samples(
         .distinct()
         .localCheckpoint()
     )
-    nodes = (
-        e.select(F.col("a").alias("node"))
-        .unionAll(e.select(F.col("b").alias("node")))
-        .distinct()
-    )
+    nodes = _endpoints(e, "a", "b", out="node").distinct()
     ranked = distributed_prefix(nodes, ["node"], rank_col="r").localCheckpoint()
     nv = ranked.agg(F.count(F.lit(1)).alias("__nv"))
     succ = (
@@ -1358,11 +1361,7 @@ def negative_edge_samples(
             neg.select("a", "b", F.lit(0).alias("label"))
         )
     )
-    adj = _materialize_once(
-        e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
-            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
-        )
-    )
+    adj = _materialize_once(_symmetrize(e, "a", "b"))
     cn = (
         pairs.join(adj.select(F.col("u").alias("a"), F.col("v").alias("m")), "a")
         .join(adj.select(F.col("u").alias("b"), F.col("v").alias("m")), ["b", "m"])
@@ -1488,8 +1487,7 @@ def degree_powerlaw(
         .distinct()
     )
     deg = (
-        e.select(F.col("a").alias("n"))
-        .unionAll(e.select(F.col("b").alias("n")))
+        _endpoints(e, "a", "b")
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -1589,8 +1587,7 @@ def rich_club(
     materialization."""
     e = _canonical_edges(edges, src, dst)
     deg = (
-        e.select(F.col("a").alias("n"))
-        .unionAll(e.select(F.col("b").alias("n")))
+        _endpoints(e, "a", "b")
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
         .localCheckpoint(eager=False)
