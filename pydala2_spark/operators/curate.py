@@ -73,9 +73,9 @@ def curate_corpus(
         F.col(text),
         F.split(F.col(text), " ").alias("__tk"),
     )
-    # scored feeds two branches (low + passing) and survivors feeds
-    # three (pairs, near-anti-join, kept) — cache both so the scan /
-    # scoring / dedup-window run once, not once per branch. Storage is
+    # scored feeds two branches (low + passing) and with_keeper feeds
+    # three (exact, pairs, kept) — cache both so the scan / scoring /
+    # dedup-window run once, not once per branch. Storage is
     # MEMORY_AND_DISK and Spark LRU-evicts, so this is safe at scale;
     # on a 100 TB corpus these frames are the post-filter minority.
     scored = toks.withColumn("__q", quality_score(text, tokens_col="__tk")).cache()
@@ -87,13 +87,21 @@ def curate_corpus(
     passing = scored.filter(passes)
 
     grp = Window.partitionBy(F.md5(F.col(text)))
-    with_keeper = passing.withColumn("__keeper", F.min(id_col).over(grp))
+    # ONE md5-window pass: with_keeper feeds both the exact-dup branch
+    # and the survivor frame, so cache IT (minus the heavy token/score
+    # columns — the pair screen re-tokenizes from text) instead of
+    # caching survivors and re-running the window for `exact`
+    with_keeper = (
+        passing.withColumn("__keeper", F.min(id_col).over(grp))
+        .drop("__q", "__tk")
+        .cache()
+    )
     exact = with_keeper.filter(F.col(id_col) != F.col("__keeper")).select(
         F.col(id_col), F.lit(STATUS_EXACT_DUP).alias("status")
     )
-    survivors = with_keeper.filter(F.col(id_col) == F.col("__keeper")).drop(
-        "__keeper", "__q", "__tk"
-    ).cache()
+    survivors = with_keeper.filter(
+        F.col(id_col) == F.col("__keeper")
+    ).drop("__keeper")
 
     pairs = ngram_jaccard_pairs(
         survivors,
