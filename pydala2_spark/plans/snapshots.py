@@ -766,26 +766,29 @@ class SnapshotDataset:
             return j.select(*[_out(c) for c in out_cols], "_change_type")
 
         # Delta-CDF contract: updates split into a pre-image retraction
-        # and a post-image assertion. The classified change frame
-        # materializes once (it is |changes|-sized, far below the
-        # scanned file subset) so the two branches don't re-run the
-        # file diff join.
+        # and a post-image assertion — emitted by ONE explode over the
+        # classified frame (updates yield both images, other changes
+        # one row), not a 3-branch union scanning it three times. The
+        # classified frame still materializes once (|changes|-sized):
+        # feed consumers act repeatedly, and without the checkpoint
+        # each action re-runs the file-diff full-outer join (measured
+        # 1.36x slower across the CDC family without it).
         from pydala2_spark.operators.dedup import _materialize_once
 
         j = _materialize_once(j)
-        non_upd = j.filter(F.col("_change_type") != "update").select(
-            *[_out(c) for c in out_cols], "_change_type"
-        )
-        upd = j.filter(F.col("_change_type") == "update")
-        pre_rows = upd.select(
+        pre_img = F.struct(
             *[_pre_col(c).alias(c) for c in out_cols],
             F.lit("update_preimage").alias("_change_type"),
         )
-        post_rows = upd.select(
+        post_img = F.struct(
             *[F.col(f"__post_{c}").alias(c) for c in out_cols],
             F.lit("update_postimage").alias("_change_type"),
         )
-        return non_upd.unionByName(pre_rows).unionByName(post_rows)
+        plain = F.struct(*[_out(c) for c in out_cols], F.col("_change_type"))
+        variants = F.when(
+            F.col("_change_type") == "update", F.array(pre_img, post_img)
+        ).otherwise(F.array(plain))
+        return j.select(F.explode(variants).alias("__r")).select("__r.*")
 
     # -- compaction -------------------------------------------------------
 
