@@ -792,11 +792,19 @@ def lag_autocorr(
     series + a map-side-combined moment agg; events never join."""
     if not lags or any(k < 1 for k in lags):
         raise ValueError(f"lags must be positive, got {lags}")
+    from pydala2_spark.operators.dedup import _materialize_once
+
     dec = "decimal(38,12)"
-    base = series.select(
-        F.col(group_col),
-        F.col(time_index_col).alias("__i"),
-        F.col(value_col).alias("__x"),
+    # materialized: each lag's self-join consumes the series twice
+    # (|lags| x 2 evaluations of the caller's corpus-scale daily
+    # aggregate otherwise), and the stored frame is calendar-bounded —
+    # the small-output/heavy-compute shape where a checkpoint pays
+    base = _materialize_once(
+        series.select(
+            F.col(group_col),
+            F.col(time_index_col).alias("__i"),
+            F.col(value_col).alias("__x"),
+        )
     )
     outs = []
     for k in lags:
