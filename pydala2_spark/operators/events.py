@@ -246,7 +246,12 @@ def resample_locf(
             F.col(ts_col).desc(), F.col(id_col).desc()
         )
     )
-    per_bucket = (
+    from pydala2_spark.operators.dedup import _materialize_once
+
+    # materialized: per_bucket feeds the grid bounds, the global end
+    # and the grid join — three corpus-scan + dedup-window re-runs
+    # otherwise, and the stored frame is |users x buckets| (reduced)
+    per_bucket = _materialize_once(
         ev.select(
             F.col(user_col),
             bucket.alias("bucket"),
@@ -482,7 +487,11 @@ def resample_interp(
         Window.partitionBy(F.col(user_col), F.date_trunc("day", F.col(ts_col)))
         .orderBy(F.col(ts_col).desc(), F.col(id_col).desc())
     )
-    per_day = (
+    from pydala2_spark.operators.dedup import _materialize_once
+
+    # materialized: per_day feeds the grid bounds and the grid join —
+    # two corpus-scan + dedup-window re-runs otherwise (reduced frame)
+    per_day = _materialize_once(
         ev.select(
             F.col(user_col),
             F.date_trunc("day", F.col(ts_col)).alias("__d"),
