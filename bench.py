@@ -75,6 +75,25 @@ def main() -> None:
         except Exception:
             return -1
 
+    def calib_sec() -> float:
+        """Fixed-work calibration probe (r14 verdict #6): one tiny
+        Spark job whose cost is pure scheduler + codegen-warm engine
+        throughput, independent of this repo's code. A smeared box
+        (co-tenant load) inflates it the same way it inflates every
+        query, so a +20% run is self-identifying in the JSON line
+        instead of reading as a code regression. min-of-3, seconds."""
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(0, 4_000_000, 1, 16).selectExpr(
+                "sum(id * 3 % 7)"
+            ).collect()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
+    load_start = os.getloadavg()[0]
+    calib_start = calib_sec()
+
     timings: dict[str, float] = {}
     shuffles: dict[str, int] = {}
     for _pass in range(3):
@@ -98,6 +117,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # run-condition telemetry (ADDITIVE keys — contract line,
+        # value and queries dict unchanged): 1-min loadavg at start/end
+        # and a fixed-work calibration probe at start/end. Quiet-box
+        # reference on this sandbox: load < 2 before start, calib
+        # ~0.03-0.06 s; a calib reading 1.5x+ above that marks the
+        # whole run as smeared by co-tenant load (r14: 33 apparent
+        # regressions, ~30 of which evaporated at 8 cores).
+        "loadavg": [round(load_start, 2), round(os.getloadavg()[0], 2)],
+        "calib_sec": [calib_start, calib_sec()],
     }
     # The driver keeps only the LAST 2000 chars of stdout and parses the
     # final JSON line from that tail (r1: a 2.1k-char line got its head

@@ -1303,7 +1303,10 @@ def build_trigram_index(
     # are unique — no dedup exchange over raw grams (the old shape
     # paid distinct's full hash exchange on (doc, gram) AND a second
     # full repartition on bucket; this shuffles the already-deduped
-    # postings exactly once).
+    # postings exactly once). Duplicate-id inputs (two rows sharing an
+    # id) may leave duplicate (id, gram) rows in the postings; the
+    # probe counts DISTINCT grams per id, so the candidate set — and
+    # with it the exact verified result — is unchanged either way.
     gram_arr = F.array_distinct(
         F.expr(
             f"transform(sequence(1, greatest(char_length({text}) - 2, 0)),"
@@ -1311,21 +1314,22 @@ def build_trigram_index(
         )
     )
     grams = df.select(F.col(id_col), F.explode(gram_arr).alias("gram"))
-    # ONE exchange for dedup-safety + layout: ``bucket`` is a pure
-    # function of ``gram``, so hash-partitioning by bucket colocates
-    # every copy of a (doc, gram) pair — HashPartitioning(bucket)
-    # satisfies the dropDuplicates aggregate's ClusteredDistribution
-    # (subset rule) and Catalyst inserts no further exchange. The
-    # aggregate only guards against duplicate ``id_col`` rows in the
-    # input (its rows are otherwise already unique and it is cheap).
-    # The bucket partitioning doubles as the write layout: one task
-    # owns each bucket, so each bucket directory gets ONE file
-    # instead of one per (task x bucket) — the small-files trap that
-    # makes both the write and every later pruned probe slow.
+    # ONE exchange, purely for write LAYOUT: hash-partitioning by
+    # bucket puts each bucket in exactly one task, so each bucket
+    # directory gets ONE file instead of one per (task x bucket) — the
+    # small-files trap that makes both the write and every later
+    # pruned probe slow. No aggregate rides the exchange: the r14
+    # shape ran a complete dropDuplicates([bucket, id, gram]) hash
+    # aggregate INSIDE the bucket-capped post-shuffle tasks (the
+    # HashPartitioning(bucket) subset rule suppressed the map-side
+    # partial), capping the dedup's parallelism at the live bucket
+    # count — measurably slower at 32 cores in both driver runs (r14
+    # verdict item 2). The rows are already unique per (id, gram), so
+    # the aggregate bought nothing; post-shuffle tasks now only
+    # serialize rows to parquet.
     (
         grams.withColumn("bucket", _term_bucket(F.col("gram"), buckets))
         .repartition(F.col("bucket"))
-        .dropDuplicates(["bucket", id_col, "gram"])
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{path}/postings")
@@ -1372,7 +1376,12 @@ def substring_search_indexed(
     )
     cand = (
         postings.groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("__hits"))  # (id, gram) distinct at build
+        # DISTINCT grams per id: identical to count(1) when ids are
+        # unique (array_distinct makes (id, gram) rows unique at
+        # build), and exact for duplicate-id inputs too now that the
+        # build no longer dedups across rows — runs over the pruned
+        # posting lists only (|pattern grams| / buckets of the index)
+        .agg(F.countDistinct("gram").alias("__hits"))
         .filter(F.col("__hits") == len(grams))
         .select(id_col)
     )

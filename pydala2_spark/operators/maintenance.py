@@ -268,9 +268,12 @@ def compact_partitions(
     plan = plan_compact_partitions(spark, path, max_rows_per_file, sort_by)
     if dry_run:
         return plan
-    # one collect of the flat file list doubles as the emptiness check
-    # (the list is what the read/delete need anyway — same metadata
-    # scale as Spark's own FileIndex)
+    # one collect materializes the whole plan (groups + rows + files —
+    # same metadata scale as Spark's own FileIndex): every later probe
+    # (.files emptiness, .max_outputs_per_group, the fallback loop's
+    # .groups/.rows) is then a driver dict read instead of one Spark
+    # job each (r15, guide §1.2)
+    _ = plan.groups
     all_files = plan.files
     if not all_files:
         return plan
@@ -396,7 +399,9 @@ def plan_compact_by_timeperiod(
     """Group files by the interval bucket of their min(ts) footer stat.
     Each candidate file lands in exactly one group (no double rewrite);
     groups with >1 file are compacted."""
-    st = stats if stats is not None else collect_file_stats(spark, path)
+    # the footer scan feeds TWO actions (the stat-less probe below and
+    # the candidate materialization) — one lazy checkpoint runs it once
+    st = stats if stats is not None else collect_file_stats(spark, path).localCheckpoint(eager=False)
     step = _interval_seconds(interval)
     # bucket + candidate selection stay DISTRIBUTED (same rationale as
     # compaction_candidates): the driver receives one row per
@@ -412,21 +417,26 @@ def plan_compact_by_timeperiod(
     # A file without footer stats for the timestamp column (INT96
     # timestamps carry none) must NOT silently fall out of the plan —
     # that turns the operator into a no-op that reports success. Get
-    # loud and derive the per-file min from a data scan instead (one
-    # column, one pass over only what the footers cannot answer).
-    counts = st.agg(
-        F.count("*").alias("n"),
-        F.count(F.when(cs.isNotNull() & cs.getField("min").isNotNull(), 1)).alias(
-            "with_stat"
-        ),
-    ).first()
-    if counts["n"] and counts["with_stat"] < counts["n"]:
+    # loud and derive the per-file min from a data scan instead — of
+    # ONLY the stat-less files (r14 verdict #4: the fallback re-read
+    # the ts column of EVERY file whenever ANY lacked stats; at 100 TB
+    # one bad legacy file must not force a full-dataset scan). The
+    # collect is the stat-less file list, which is exactly the set the
+    # scan must open anyway — and it replaces the old counting
+    # aggregate, so the no-fallback common case pays ONE metadata job.
+    statless = [
+        r["file_path"]
+        for r in st.filter(cs.isNull() | cs.getField("min").isNull())
+        .select("file_path")
+        .collect()
+    ]
+    if statless:
         import warnings
 
         from pydala2_spark.errors import MissingFooterStatsWarning
 
         warnings.warn(
-            f"{counts['n'] - counts['with_stat']}/{counts['n']} parquet files "
+            f"{len(statless)} parquet file(s) "
             f"under {path!r} have no footer min/max for "
             f"{timestamp_column!r} (INT96 timestamps carry no stats); "
             "falling back to a data scan of that column to bucket them",
@@ -435,7 +445,7 @@ def plan_compact_by_timeperiod(
         )
         norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
         scanned = (
-            spark.read.parquet(path)
+            spark.read.parquet(*statless)
             .select(
                 F.input_file_name().alias("__f"),
                 F.col(timestamp_column).alias("__ts"),
@@ -481,7 +491,12 @@ def compact_by_timeperiod(
     plan = plan_compact_by_timeperiod(spark, path, interval, timestamp_column)
     if dry_run:
         return plan
-    all_files = plan.files  # flat-list collect doubles as emptiness check
+    # materialize the plan dicts with ONE collect: .files and
+    # .max_outputs_per_group below then run driver-side instead of one
+    # Spark job each (the flat file list was already being collected,
+    # so driver metadata scale is unchanged — r15, guide §1.2)
+    _ = plan.groups
+    all_files = plan.files  # flat list doubles as emptiness check
     if not all_files:
         return plan
     part_cols = _discover_partition_cols(spark, path)

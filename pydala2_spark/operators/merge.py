@@ -374,7 +374,14 @@ def merge(
     src_cols = [c for c in src.columns if c not in (_BATCH, _ORD)]
     source_count = src.count()
 
-    target_exists = path_exists(spark, target_path) and bool(list_files(spark, target_path))
+    # one listing serves the existence check AND the pre-merge file
+    # set below — nothing writes to the target in between (r15: each
+    # Hadoop listing is ~0.1 s of driver fs round-trips; merge paid 6,
+    # needs 3)
+    files_at_entry = (
+        list_files(spark, target_path) if path_exists(spark, target_path) else []
+    )
+    target_exists = bool(files_at_entry)
 
     # -- discover partitioning of an existing target (hive dirs) ---------
     if target_exists and not partition_by:
@@ -491,14 +498,34 @@ def merge(
                 "partition columns are immutable under merge"
             )
 
-    updated = matched_source.count() if matched_source is not None else 0
-    inserted = inserts.count() if inserts is not None else 0
+    # ONE flagged pass counts both splits (r15: two broadcast-join
+    # count jobs → one aggregate; the values are identical — the
+    # semi/anti frames partition `deduped` on the same matched-keys
+    # set this left join flags, and matched_keys rows are distinct so
+    # the 1:<=1 join preserves row multiplicity)
+    if strategy == "upsert":
+        mk_flagged = matched_keys.select(*keys, F.lit(1).alias("__matched"))
+        flagged = deduped.join(
+            _hint_small(mk_flagged, source_count),
+            on=_null_safe_cond(deduped, mk_flagged, keys),
+            how="left",
+        )
+        split_row = flagged.agg(
+            F.count(F.when(F.col("__matched").isNotNull(), 1)).alias("u"),
+            F.count(F.when(F.col("__matched").isNull(), 1)).alias("i"),
+        ).first()
+        updated, inserted = int(split_row["u"]), int(split_row["i"])
+    else:
+        updated = matched_source.count() if matched_source is not None else 0
+        inserted = inserts.count() if inserts is not None else 0
     # the rewrite collapses every matched target row (duplicates
     # included — plain appends can leave several rows per key) into one
     # source row, so the post-merge count must subtract what matched
     matched_target_rows = matched_target.count() if updated else 0
 
-    all_files_before = list_files(spark, target_path)
+    # the entry listing is still current: nothing has written to the
+    # target between the existence check and here
+    all_files_before = files_at_entry
 
     # Ordering matters: every plan below still READS the pre-merge file
     # set (the DataFrame's FileIndex was pinned at load), so all appends
@@ -507,16 +534,17 @@ def merge(
     # accumulated MergeResult + the not-yet-deleted files, so the caller
     # can finish (or undo) the mutation deliberately.
     try:
+        files_after_inserts = all_files_before
         if inserted:
             _append(inserts.select(*target_cols), target_path, partition_by, compression, max_rows_per_file)
             before = set(all_files_before)
+            files_after_inserts = list_files(spark, target_path)
             result.inserted_files = [
-                f for f in list_files(spark, target_path) if f not in before
+                f for f in files_after_inserts if f not in before
             ]
 
         # -- rewrite matched files: (their unmatched rows) ∪ (matched source)
         if updated and matched_files:
-            files_after_inserts = list_files(spark, target_path)
             survivors = (
                 _filter_to_files(tagged, matched_files)
                 .join(

@@ -45,8 +45,8 @@ def test_logreg_matches_numpy_reference(spark):
     rows = [tuple(map(float, x[i])) + (float(y[i]),) for i in range(len(y))]
     df = spark.createDataFrame(rows, "f1 double, f2 double, f3 double, y double")
 
-    model = logreg_fit(df, ["f1", "f2", "f3"], "y", iters=40, lr=0.5)
-    w_ref, b_ref = _numpy_fit(x, y, iters=40, lr=0.5)
+    model = logreg_fit(df, ["f1", "f2", "f3"], "y", iters=15, lr=0.5)
+    w_ref, b_ref = _numpy_fit(x, y, iters=15, lr=0.5)
 
     np.testing.assert_allclose(model["weights"], w_ref, rtol=1e-6, atol=1e-8)
     assert abs(model["bias"] - b_ref) < 1e-6
@@ -64,7 +64,10 @@ def test_logreg_separates_planted_classes(spark):
         (float(i % 7) - 10.0, 0.0) for i in range(100)
     ]
     df = spark.createDataFrame(rows, "f double, y double")
-    model = logreg_fit(df, ["f"], "y", iters=60, lr=1.0)
+    # 35 iters: margin 0.91/0.09 vs the 0.9/0.1 gates (numpy sweep
+    # r15) — one Spark job per GD iteration, so fewer iters = faster
+    # suite at identical contract strength
+    model = logreg_fit(df, ["f"], "y", iters=35, lr=1.0)
     scored = logreg_score(df, model)
     pos = scored.filter(F.col("y") == 1.0).agg(F.min("score")).first()[0]
     neg = scored.filter(F.col("y") == 0.0).agg(F.max("score")).first()[0]

@@ -429,6 +429,45 @@ def test_compact_by_timeperiod_int96_no_stats_gets_loud_and_compacts(
     assert _snapshot(spark, tmp_ds_path) == before
 
 
+def test_compact_by_timeperiod_mixed_stats_scans_only_statless(
+    spark, tmp_ds_path
+):
+    """r15: the data-scan fallback reads ONLY the stat-less files
+    (r14 verdict #4 — it re-scanned every file whenever any lacked
+    stats). Mixed footers: one INT96 file (no ts stats) sharing a day
+    with a MICROS file (stats) must still compact into that day's
+    group, and the untouched day stays untouched."""
+    from pydala2_spark.errors import MissingFooterStatsWarning
+
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    # day 1 file A: INT96 (stat-less); day 1 file B + day 2 file C: MICROS
+    pdf = make_simple_pdf(20, seed=0)
+    pdf["timestamp"] = pd.to_datetime("2024-01-01")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        spark.createDataFrame(pdf).repartition(1).write.mode("append").parquet(
+            tmp_ds_path
+        )
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    for day, seed in (("2024-01-01", 50), ("2024-02-05", 100)):
+        pdf = make_simple_pdf(20, seed=seed)
+        pdf["timestamp"] = pd.to_datetime(day)
+        spark.createDataFrame(pdf).repartition(1).write.mode("append").parquet(
+            tmp_ds_path
+        )
+    st = collect_file_stats(spark, tmp_ds_path)
+    n_statless = st.filter(
+        F.col("column_stats").getItem("timestamp").isNull()
+    ).count()
+    assert n_statless == 1, "fixture should have exactly one stat-less file"
+    before = _snapshot(spark, tmp_ds_path)
+    with pytest.warns(MissingFooterStatsWarning, match="1 parquet file"):
+        compact_by_timeperiod(spark, tmp_ds_path, "1d", "timestamp")
+    assert len(list_files(spark, tmp_ds_path)) == 2
+    assert _snapshot(spark, tmp_ds_path) == before
+
+
 # -- M4 repartition ------------------------------------------------------
 
 

@@ -1651,6 +1651,44 @@ def test_trigram_substring_search_exact_and_pruned(spark, tmp_path):
     assert len(dirs) == 1 and all(d.startswith("bucket=") for d in dirs)
 
 
+def test_trigram_search_exact_with_duplicate_ids(spark, tmp_path):
+    """r15: the build no longer dedups (id, gram) across input rows
+    (the aggregate rode the bucket-capped exchange — r14 verdict #2);
+    the probe counts DISTINCT grams instead. A duplicate-id corpus is
+    the case where the two shapes differ on disk — the search result
+    must still equal the full-scan filter exactly (no false negative
+    from double-counted gram hits)."""
+    from pyspark.sql import functions as F
+
+    from pydala2_spark.operators.curate import (
+        build_trigram_index,
+        substring_search_indexed,
+    )
+
+    rows = [
+        (1, "abcdef"),
+        (1, "abcdef"),        # exact duplicate row
+        (2, "abcxxx"),
+        (2, "xxxdef"),        # same id, grams split across rows
+        (3, "nothing"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "trgm_dup")
+    build_trigram_index(spark, docs, path)
+    for pat in ("abc", "abcdef", "cde"):
+        got = sorted(
+            r["doc_id"]
+            for r in substring_search_indexed(spark, path, docs, pat)
+            .select("doc_id")
+            .collect()
+        )
+        want = sorted(
+            r["doc_id"]
+            for r in docs.filter(F.col("text").contains(pat)).collect()
+        )
+        assert got == want, pat
+
+
 def test_containment_pairs_planted_subsets(spark):
     """A verbatim embedded passage is ALWAYS found (the
     min-hash-membership block has recall 1 for true shingle subsets)
